@@ -1,0 +1,93 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+The reference's HashSet-iteration last-write-wins is nondeterministic; this
+engine standardizes on **sorted-set semantics** (sort_array(collect_set(...)))
+which matches the list-typed expectations of the reference's integration test
+(OntologyGraphBuilderTest.java:364,378) and is reproducible at any parallelism.
+
+Scale notes: every groupBy here is a hash aggregate with map-side partial
+aggregation; keys are strings (id/number/attr) with high cardinality and no
+inherent skew.  collect_set partial-aggregates too, and per-vertex attribute
+sets are bounded by the ontology vocabulary (small), so state stays tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRIPLE_KEY = ["subject", "predicate", "object_kind", "object_iri", "object_lexical"]
+
+
+def agg_distinct_triples(triples: DataFrame, per_file: bool = False) -> DataFrame:
+    """Global dedup of triples across files (HashSet semantics).
+    Ref: OntologyTripleParser.java:159-171."""
+    keys = (["src_file"] if per_file else []) + TRIPLE_KEY
+    return triples.dropDuplicates(keys)
+
+
+def agg_distinct_vertices(nodes: DataFrame, keys: list[str] = ("id", "number")) -> DataFrame:
+    """One vertex per (collectionId, number).  Ref: OntologyGraphBuilder.java:147-179."""
+    return nodes.dropDuplicates(list(keys))
+
+
+def agg_pivot_vertex_attrs(literal_triples: DataFrame) -> DataFrame:
+    """Long → wide document assembly.
+
+    Input: rows (id, number, attr, value) — valid-subject literal triples with
+    the predicate already labeled.  Output: (id, number,
+    attrs MAP<STRING, ARRAY<STRING>>) with deterministically sorted value sets.
+    Ref: OntologyGraphBuilder.java:194-234 (nondeterministic scalar overwrite,
+    replaced by sorted-set policy per SURVEY.md §2.4).
+    """
+    per_attr = literal_triples.groupBy("id", "number", "attr").agg(
+        F.sort_array(F.collect_set("value")).alias("values")
+    )
+    return per_attr.groupBy("id", "number").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("attr", "values")))
+        ).alias("attrs")
+    )
+
+
+def agg_dedup_edges(edge_rows: DataFrame) -> DataFrame:
+    """One edge per ((from_id, to_id), {fromNum}-{toNum}); labels and sources
+    become deterministically sorted sets.  Ref: OntologyGraphBuilder.java:345-401."""
+    return edge_rows.groupBy(
+        F.col("from_id").alias("from_collection"),
+        F.col("to_id").alias("to_collection"),
+        F.col("from_number").alias("from_key"),
+        F.col("to_number").alias("to_key"),
+    ).agg(
+        F.sort_array(F.collect_set("label")).alias("labels"),
+        F.sort_array(F.collect_set("source")).alias("sources"),
+    )
+
+
+def agg_collect_edge_labels(edge_rows: DataFrame, label_col: str = "raw_label") -> DataFrame:
+    """Distinct set of raw edge labels across passes.
+    Ref: OntologyGraphBuilder.java:352,366,405,541-543,611-616."""
+    return edge_rows.select(F.col(label_col)).distinct()
+
+
+def agg_count_metrics(df: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Vertex/edge/triple counts for logging.  Ref: OntologyGraphBuilder.java:153-154 etc."""
+    if group_col is None:
+        return df.agg(F.count(F.lit(1)).alias("n"))
+    return df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def agg_first_fallback_rootns(triples: DataFrame, iao_root_objects: DataFrame) -> DataFrame:
+    """Per-file root namespace: the ontology's IAO_0000700 root term split at
+    '_'; fallback = first class URI split at '_'.  Document order is not
+    reproducible under parallel scan, so the fallback uses min() for
+    determinism (SURVEY.md §2.4).  Ref: OntologyTripleParser.java:130-150."""
+    fallback = triples.groupBy("src_file").agg(
+        F.min(F.split(F.col("subject"), "_").getItem(0)).alias("fallback_ns")
+    )
+    declared = iao_root_objects.groupBy("src_file").agg(
+        F.min(F.split(F.col("root_uri"), "_").getItem(0)).alias("declared_ns")
+    )
+    return fallback.join(declared, "src_file", "left").select(
+        "src_file", F.coalesce("declared_ns", "fallback_ns").alias("root_ns")
+    )

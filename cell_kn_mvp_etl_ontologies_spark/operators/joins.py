@@ -1,0 +1,115 @@
+"""Join operators (SURVEY.md §2.3).
+
+Design notes for scale:
+  - ``join_ro_label_lookup`` broadcasts the term dictionary (a few thousand
+    rows even for the full RO) — no shuffle on the fact side.
+  - ``join_flatten_restriction`` is the one genuinely intricate operator: a
+    self-join keyed on (src_file, bnode_id).  Bnode labels are file-local, so
+    src_file MUST be part of the key (SURVEY.md §4 custom-work item 2).  The
+    bnode side is pre-aggregated (one row per bnode) before the join, which
+    both shrinks the build side and makes the join 1:1; AQE picks broadcast
+    vs sort-merge from runtime stats.
+  - semi/anti/upsert joins are expressed with Spark's dedicated join types so
+    Catalyst can plan them (BHJ/SMJ + AQE skew handling) instead of hand-rolled
+    key-set lookups as in the reference.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import KIND_BNODE, OWL_ON_PROPERTY, OWL_SOME_VALUES_FROM, RDFS_SUBCLASS_OF
+
+
+def join_flatten_restriction(triples: DataFrame) -> DataFrame:
+    """Flatten ``owl:Restriction`` bnodes into named triples.
+
+    For statements ``(:C rdfs:subClassOf _:b)``: look up the statements about
+    ``_:b``; the object of its ``owl:onProperty`` statement becomes the
+    predicate and of its ``owl:someValuesFrom`` statement the object, emitting
+    ``(:C, prop, filler)``.  Bnodes missing either half are dropped.
+    Ref: OntologyTripleParser.java:90-115.
+
+    Returns rows in the triples schema with object_kind='iri'.
+    """
+    anon_parents = triples.filter(
+        (F.col("predicate") == RDFS_SUBCLASS_OF) & (F.col("object_kind") == KIND_BNODE)
+    ).select("src_file", "subject", F.col("object_iri").alias("bnode_id"))
+
+    # One row per bnode: conditional aggregation replaces the reference's
+    # per-statement loop; max() is safe because owl:Restriction carries at most
+    # one onProperty/someValuesFrom — and makes duplicates deterministic.
+    bnode_stmts = (
+        triples.filter(F.col("predicate").isin(OWL_ON_PROPERTY, OWL_SOME_VALUES_FROM))
+        .groupBy("src_file", F.col("subject").alias("bnode_id"))
+        .agg(
+            F.max(F.when(F.col("predicate") == OWL_ON_PROPERTY, F.col("object_iri"))).alias("on_property"),
+            F.max(F.when(F.col("predicate") == OWL_SOME_VALUES_FROM, F.col("object_iri"))).alias("some_values_from"),
+        )
+        .filter(F.col("on_property").isNotNull() & F.col("some_values_from").isNotNull())
+    )
+
+    return anon_parents.join(bnode_stmts, on=["src_file", "bnode_id"], how="inner").select(
+        "src_file",
+        "subject",
+        F.col("on_property").alias("predicate"),
+        F.lit("iri").alias("object_kind"),
+        F.col("some_values_from").alias("object_iri"),
+        F.lit(None).cast("string").alias("object_lexical"),
+    )
+
+
+def join_ro_label_lookup(
+    df: DataFrame, ro_terms: DataFrame, token_col: str = "pred_token", out_col: str = "label"
+) -> DataFrame:
+    """Map a predicate's trailing path token through the ro.owl dictionary to
+    its human label (``RO_0002202`` -> ``develops from``), keeping the token
+    when no entry exists.  Broadcast left join — the dictionary is small.
+    Ref: OntologyGraphBuilder.java:117-123.
+    """
+    dim = F.broadcast(ro_terms.select(F.col("term"), F.col("label").alias("_ro_label")).dropDuplicates(["term"]))
+    joined = df.join(dim, on=df[token_col] == dim["term"], how="left")
+    return joined.withColumn(out_col, F.coalesce(F.col("_ro_label"), F.col(token_col))).drop("term", "_ro_label")
+
+
+def join_semi_edge_endpoints(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Keep edges whose BOTH endpoints exist in the vertex set (referential
+    integrity) — two left-semi joins.  Ref: OntologyGraphBuilder.java:463-466."""
+    v = vertices.select(F.col("collection"), F.col("key"))
+    from_ok = edges.join(
+        v,
+        (edges["from_collection"] == v["collection"]) & (edges["from_key"] == v["key"]),
+        "left_semi",
+    )
+    return from_ok.join(
+        v,
+        (from_ok["to_collection"] == v["collection"]) & (from_ok["to_key"] == v["key"]),
+        "left_semi",
+    )
+
+
+def join_anti_new_only(incoming: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """Documents whose key does not yet exist in the sink (the insert path of
+    the reference's per-document exists check).  Ref: OntologyGraphBuilder.java:254,463."""
+    return incoming.join(existing.select(*keys), on=keys, how="left_anti")
+
+
+def join_upsert(incoming: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics: incoming wins per key, existing rows without a match
+    are kept — full-outer join + per-column coalesce.  Replaces the reference's
+    one-HTTP-round-trip-per-document upsert (OntologyGraphBuilder.java:254-273,
+    463-479) with a single distributed join.
+    """
+    cols = [c for c in incoming.columns if c not in keys]
+    assert set(incoming.columns) == set(existing.columns), "upsert requires identical schemas"
+    inc = reduce(lambda d, c: d.withColumnRenamed(c, "_inc_" + c), cols, incoming)
+    inc = inc.withColumn("_inc_present", F.lit(True))
+    joined = inc.join(existing, on=keys, how="full_outer")
+    picked = [
+        F.when(F.col("_inc_present").isNotNull(), F.col("_inc_" + c)).otherwise(F.col(c)).alias(c)
+        for c in cols
+    ]
+    return joined.select(*keys, *picked)

@@ -1,0 +1,203 @@
+"""Triples → property-graph pipeline (reference EP1, SURVEY.md §3).
+
+One lazily-composed DataFrame DAG per pass:
+
+  triples ──(flatten restrictions: self-join)──┐
+          ──(named-object filter chain)────────┤→ clean triples (dedup)
+                                               │
+        ┌──────────────────────────────────────┘
+        ├─ nodes → vtuple → valid → distinct ─────────→ vertex keys
+        ├─ literal triples → label lookup → pivot ────→ vertex attrs (MAP)
+        │    vertex keys ⟕ attrs → deprecated split ──→ vertices + side output
+        └─ iri triples, both endpoints valid → label/source normalize
+             → dedup (sorted sets) → endpoint semi-join ────→ edges
+
+Everything is shuffle-based — no driver collects; the ro dictionary is the
+only broadcast.  Replaces OntologyGraphBuilder.java:141-484's in-heap maps and
+per-document HTTP round trips.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import KIND_IRI
+from ..functions import fn_normalize_edge_label, fn_normalize_edge_source, fn_predicate_label
+from ..operators.aggregates import (
+    agg_dedup_edges,
+    agg_distinct_triples,
+    agg_distinct_vertices,
+    agg_pivot_vertex_attrs,
+)
+from ..operators.filters import (
+    deprecated_obsolete_predicate,
+    filter_object_is_literal,
+    filter_predicate_ns_whitelist,
+    filter_skip_file,
+    with_vtuple,
+)
+from ..operators.joins import (
+    join_flatten_restriction,
+    join_ro_label_lookup,
+    join_semi_edge_endpoints,
+)
+
+
+@dataclass
+class GraphBuildResult:
+    clean_triples: DataFrame
+    vertices: DataFrame        # (collection, key, attrs) — deprecated/obsolete removed
+    deprecated: DataFrame      # (term,) side-output rows "id_number"
+    edges: DataFrame           # (from_collection, to_collection, from_key, to_key, labels, sources)
+    edge_labels: DataFrame     # (raw_label,) distinct pre-normalization labels
+
+
+def clean_triples(triples: DataFrame, skip_dictionary_file: bool = True) -> DataFrame:
+    """Named-object triples + flattened restrictions, predicate-whitelisted,
+    globally deduplicated.  The upstream per-file root-namespace and class
+    filters (OntologyTripleParser.java:74-77) are applied at extraction time
+    by the sources; this operates on the long triples store."""
+    if skip_dictionary_file:
+        triples = filter_skip_file(triples)
+    named = triples.filter(F.col("object_kind") != "bnode").filter(
+        # bnode-subject statements (owl:onProperty / owl:someValuesFrom rows)
+        # describe restrictions, not classes; they are consumed by the
+        # flattener below, matching the reference's class-statement iteration.
+        ~F.col("subject").startswith("_:")
+    )
+    named = filter_predicate_ns_whitelist(named)
+    flattened = join_flatten_restriction(triples)
+    return agg_distinct_triples(named.unionByName(flattened))
+
+
+def parse_uri_dim(clean: DataFrame) -> DataFrame:
+    """Distinct-URI dimension with parsed VTuple fields.
+
+    Parsing (regex chains + 20-element isin) runs ONCE per distinct URI
+    instead of per triple occurrence per field — at 100 TB the URI vocabulary
+    is orders of magnitude smaller than the triple stream, so this trades two
+    cheap hash joins (AQE broadcasts the dim when small) for a ~10-100× cut in
+    string-parse CPU.  It also keeps each codegen stage's expression tree
+    small: inlining the parse at every use site previously collapsed 8-10
+    copies of it into one stage and overflowed the JVM's 64 KB method limit,
+    dropping the whole stage out of codegen.
+
+    Output: (node_uri, id, number, is_valid) — only valid rows retained, so
+    joins against it double as the validity filter (left join + null check,
+    or inner join for "must be valid" paths).
+    """
+    uris = (
+        clean.select(F.col("subject").alias("node_uri"))
+        .unionAll(
+            clean.filter(F.col("object_kind") == KIND_IRI).select(
+                F.col("object_iri").alias("node_uri")
+            )
+        )
+        .dropDuplicates(["node_uri"])
+    )
+    parsed = with_vtuple(uris, "node_uri", "")
+    # Filter on the materialized `valid` column (not a predicate over
+    # node_uri): a URI-expression filter here would be copied to the fact
+    # side of every join against this dimension by constraint propagation,
+    # re-inlining the whole parse into each fact-scan filter.
+    return parsed.filter(F.col("valid")).select("node_uri", "id", "number")
+
+
+def label_predicates(triples: DataFrame, ro_terms: DataFrame) -> DataFrame:
+    """Attach the human predicate label: fragment/last-path token, then the
+    broadcast ro-dictionary lookup.  Ref: OntologyGraphBuilder.java:105-131."""
+    toks = triples.withColumn("pred_token", fn_predicate_label(F.col("predicate")))
+    # Only fragment-less predicates consult the dictionary in the reference;
+    # dictionary keys are RO_nnnnnnn tokens which never collide with fragment
+    # labels, so an unconditional lookup is equivalent — and one join, not two.
+    return join_ro_label_lookup(toks, ro_terms, "pred_token", "attr")
+
+
+def build_vertices(
+    clean: DataFrame, ro_terms: DataFrame, uri_dim: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(vertices, deprecated) from clean triples.
+
+    vertices: (collection, key, attrs MAP<STRING,ARRAY<STRING>>)
+    deprecated: (term,) rows "{id}_{number}" diverted to the side output.
+    Ref: OntologyGraphBuilder.java:141-279.
+    """
+    if uri_dim is None:
+        uri_dim = parse_uri_dim(clean)
+    keys = agg_distinct_vertices(uri_dim.select("id", "number"))
+
+    lit_rows = filter_object_is_literal(clean)
+    lit_rows = lit_rows.join(uri_dim, lit_rows["subject"] == uri_dim["node_uri"], "inner")
+    lit_rows = label_predicates(lit_rows, ro_terms).select(
+        "id", "number", "attr", F.col("object_lexical").alias("value")
+    )
+    attrs = agg_pivot_vertex_attrs(lit_rows)
+
+    vertices = (
+        keys.join(attrs, on=["id", "number"], how="left")
+        .select(
+            F.col("id").alias("collection"),
+            F.col("number").alias("key"),
+            F.coalesce(F.col("attrs"), F.map_from_arrays(F.array(), F.array())).alias("attrs"),
+        )
+    )
+    dep_pred = deprecated_obsolete_predicate("attrs")
+    deprecated = vertices.filter(dep_pred).select(
+        F.concat_ws("_", F.col("collection"), F.col("key")).alias("term")
+    )
+    return vertices.filter(~dep_pred), deprecated
+
+
+def build_edges(
+    clean: DataFrame,
+    ro_terms: DataFrame,
+    vertices: DataFrame,
+    uri_dim: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(edges, raw_edge_labels) from clean triples.
+
+    Edge rows need BOTH endpoint vtuples valid — two inner joins against the
+    valid-only URI dimension; label = predicate label via ro dictionary,
+    normalized; source = normalized subject ontology id.
+    Ref: OntologyGraphBuilder.java:338-484.
+    """
+    if uri_dim is None:
+        uri_dim = parse_uri_dim(clean)
+    iri = clean.filter(F.col("object_kind") == KIND_IRI)
+    from_dim = uri_dim.select(
+        F.col("node_uri").alias("_from_uri"),
+        F.col("id").alias("from_id"),
+        F.col("number").alias("from_number"),
+    )
+    to_dim = uri_dim.select(
+        F.col("node_uri").alias("_to_uri"),
+        F.col("id").alias("to_id"),
+        F.col("number").alias("to_number"),
+    )
+    both = iri.join(from_dim, iri["subject"] == from_dim["_from_uri"], "inner").join(
+        to_dim, iri["object_iri"] == to_dim["_to_uri"], "inner"
+    )
+    labeled = label_predicates(both, ro_terms).withColumnRenamed("attr", "raw_label")
+    edge_labels = labeled.select("raw_label").distinct()
+    rows = labeled.select(
+        F.col("from_id"),
+        F.col("to_id"),
+        F.col("from_number"),
+        F.col("to_number"),
+        fn_normalize_edge_label(F.col("raw_label")).alias("label"),
+        fn_normalize_edge_source(F.col("from_id")).alias("source"),
+    )
+    edges = agg_dedup_edges(rows)
+    edges = join_semi_edge_endpoints(edges, vertices)
+    return edges, edge_labels
+
+
+def build_graph(triples: DataFrame, ro_terms: DataFrame) -> GraphBuildResult:
+    clean = clean_triples(triples)
+    uri_dim = parse_uri_dim(clean)
+    vertices, deprecated = build_vertices(clean, ro_terms, uri_dim)
+    edges, edge_labels = build_edges(clean, ro_terms, vertices, uri_dim)
+    return GraphBuildResult(clean, vertices, deprecated, edges, edge_labels)
