@@ -1,0 +1,178 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Queries are the engine's heavy paths: scan+agg, broadcast join + top-k,
+triples-shaped dedup+pivot, MinHash LSH, brute-force cosine top-k, windowed
+running sums, as-of join, inverted index.  Results are materialized with the
+noop sink so timings measure full compute without driver collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.io import load_table
+from cell_kn_mvp_etl_ontologies_spark.operators.asof import join_asof
+from cell_kn_mvp_etl_ontologies_spark.operators.dedup import dedup_minhash_lsh
+from cell_kn_mvp_etl_ontologies_spark.operators.similarity import similarity_topk
+from cell_kn_mvp_etl_ontologies_spark.operators.windows import window_rank_topk, window_running_sum
+from cell_kn_mvp_etl_ontologies_spark.search import build_inverted_index, text_en_no_stem_tokens
+from cell_kn_mvp_etl_ontologies_spark.session import ENGINE_SQL_CONF
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+
+
+def q1_pricing_summary(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue(spark):
+    c = load_table(spark, SF_DIR, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    rev = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    return rev.orderBy(F.col("revenue").desc(), "o_orderkey").limit(10)
+
+
+def graph_pivot(spark):
+    """Triples-shaped pipeline on lineitem: dedup then long->MAP pivot (the
+    vertex-document assembly shape)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    rows = li.select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_linenumber").cast("string").alias("number"),
+        F.concat(F.lit("P"), (F.col("l_partkey") % 20).cast("string")).alias("attr"),
+        F.col("l_extendedprice").cast("string").alias("value"),
+    ).dropDuplicates(["id", "number", "attr", "value"])
+    per_attr = rows.groupBy("id", "number", "attr").agg(
+        F.sort_array(F.collect_set("value")).alias("values")
+    )
+    return per_attr.groupBy("id", "number").agg(
+        F.map_from_entries(F.sort_array(F.collect_list(F.struct("attr", "values")))).alias("attrs")
+    )
+
+
+def minhash_dedup(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 100 < 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup_minhash_lsh(
+        docs.unionByName(dups), "text", "doc_id",
+        shingle_width=5, prefix_len=200, n_hashes=8, n_bands=4,
+    )
+
+
+def cosine_topk(spark):
+    em = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    q = em.filter(F.col("vec_id") < 50)
+    return similarity_topk(q, em, k=10, quantized=False)
+
+
+def running_windows(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = window_running_sum(ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], "value")
+    return window_rank_topk(
+        out, ["user_id"], [F.col("running_sum").desc(), F.col("event_id").asc()], 5
+    )
+
+
+def asof_events(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    return join_asof(ev, o, "user_id", "ts", "o_orderdate", "o_orderkey")
+
+
+def inverted_index(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    return build_inverted_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
+
+
+BENCH_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue": q3_top_revenue,
+    "graph_pivot": graph_pivot,
+    "minhash_dedup": minhash_dedup,
+    "cosine_topk": cosine_topk,
+    "running_windows": running_windows,
+    "asof_events": asof_events,
+    "inverted_index": inverted_index,
+}
+
+
+def main() -> None:
+    builder = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("cell-kn-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS * 2))
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in ENGINE_SQL_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file listing so timings reflect steady-state compute
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.time()
+        fn(spark).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Query catalog: one entry per operator ID from SURVEY.md §2.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable registered under its
+operator ID, optionally with an equivalent DuckDB oracle SQL string.  The
+driver runs both at sf0.01 and compares row count + schema + order-insensitive
+value hash (the t2 correctness gate).
+
+Cross-engine output rules (learned differentially, see tools/check_correctness.py):
+  - integer outputs: cast to BIGINT in both engines (parquet int32 vs Spark int)
+  - aggregate numerics: sum in DECIMAL(18,6) for determinism, cast the result
+    to DOUBLE in both (Spark Decimal vs DuckDB float stringify differently)
+  - no raw timestamp columns in outputs — format to strings with
+    date_format/strftime (collected dtypes differ)
+  - floating point math (e.g. dot products): force DOUBLE element types in
+    both engines; DuckDB's list_dot_product on FLOAT[] computes in single
+    precision and diverges
+  - every computed column aliased identically in Spark and SQL
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Register a query under a SURVEY.md §2 operator ID, with an optional
+    DuckDB oracle.  Queries without an oracle get the driver's weaker
+    rows-only check (reserved for genuinely non-SQL-expressible operators)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import all catalog modules so their registrations run."""
+    from . import core  # noqa: F401
+    from . import ontology  # noqa: F401
+    from . import extensions  # noqa: F401
+    from . import streaming  # noqa: F401

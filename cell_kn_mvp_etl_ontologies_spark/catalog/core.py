@@ -1,0 +1,525 @@
+"""Core operator queries (SURVEY.md §2.1-2.10) on the synthetic star schema.
+
+FIXTURES.md §6 maps ontology semantics onto the star schema: nation/customer
+play dimension-dictionary roles, lineitem plays the triples role, orders ×
+customer exercises semi/anti joins.  Every query routes through the package's
+operator implementations so the oracle genuinely checks them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import (
+    agg_count_metrics,
+    agg_dedup_edges,
+    agg_distinct_triples,
+    agg_distinct_vertices,
+    agg_pivot_vertex_attrs,
+    join_anti_new_only,
+    join_ro_label_lookup,
+    join_semi_edge_endpoints,
+    join_upsert,
+    setop_intersect,
+    setop_union_label_sets,
+    window_last_wins,
+    window_rank_topk,
+    window_running_sum,
+)
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# §2.1 scans
+# --------------------------------------------------------------------------
+@register(
+    "scan_dir_regex",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+)
+def scan_dir_regex(spark, sf_dir):
+    """Directory scan with a filename pattern (PathUtilities.java:24-30):
+    glob-filtered load of one table out of a mixed-schema directory."""
+    df = (
+        spark.read.format("parquet")
+        .option("pathGlobFilter", "lineitem*")
+        .load(sf_dir)
+    )
+    return df.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# §2.2 filters / projections
+# --------------------------------------------------------------------------
+@register(
+    "filter_root_ns_class",
+    oracle="SELECT doc_id, lang FROM documents WHERE text LIKE 'the %'",
+)
+def filter_root_ns_class(spark, sf_dir):
+    """startswith filter (OntologyTripleParser.java:74-77): documents whose
+    text starts with the 'root namespace' prefix."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").startswith("the ")).select("doc_id", "lang")
+
+
+@register(
+    "filter_predicate_ns_whitelist",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE event_type LIKE 's%' OR event_type LIKE 'c%' OR event_type LIKE 'p%'
+    """,
+)
+def filter_predicate_ns_whitelist(spark, sf_dir):
+    """OR-of-startswith whitelist (OntologyTripleParser.java:37-40,82)."""
+    ev = _t(spark, sf_dir, "events")
+    pred = F.col("event_type")
+    cond = pred.startswith("s") | pred.startswith("c") | pred.startswith("p")
+    return ev.filter(cond).select("event_id", "event_type")
+
+
+@register(
+    "filter_valid_triple",
+    oracle="""
+    SELECT event_id FROM events
+    WHERE props LIKE '%"k"%' AND (NOT event_type = 'click' OR value > 100.0)
+    """,
+)
+def filter_valid_triple(spark, sf_dir):
+    """Compound subject/object validity predicate
+    (OntologyTripleParser.java:42-49): contains + conditional object check."""
+    ev = _t(spark, sf_dir, "events")
+    cond = F.col("props").contains('"k"') & (
+        ~(F.col("event_type") == "click") | (F.col("value") > 100.0)
+    )
+    return ev.filter(cond).select("event_id")
+
+
+@register(
+    "filter_object_is_literal",
+    oracle="SELECT event_id, value FROM events WHERE event_type = 'error'",
+)
+def filter_object_is_literal(spark, sf_dir):
+    """Tag-dispatch filter (OntologyGraphBuilder.java:205-208): keep rows of
+    one kind out of a tagged union."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "error").select("event_id", "value")
+
+
+@register(
+    "filter_isin_valid_vertices",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+    WHERE n_name IN ('NATION_0','NATION_7','NATION_13','NATION_24')
+    """,
+)
+def filter_isin_valid_vertices(spark, sf_dir):
+    """Static whitelist membership (OntologyGraphBuilder.java:45-64,100) —
+    broadcast-folded In predicate."""
+    nat = _t(spark, sf_dir, "nation")
+    return nat.filter(
+        F.col("n_name").isin("NATION_0", "NATION_7", "NATION_13", "NATION_24")
+    ).select(F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name")
+
+
+@register(
+    "filter_deprecated_obsolete",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE NOT (text LIKE '%slow%' OR lang = 'zh')
+    """,
+)
+def filter_deprecated_obsolete(spark, sf_dir):
+    """Negated OR-of-contains drop filter (OntologyGraphBuilder.java:255-261)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(~(F.col("text").contains("slow") | (F.col("lang") == "zh"))).select(
+        "doc_id"
+    )
+
+
+@register(
+    "filter_skip_file",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+    FROM lineitem WHERE l_returnflag <> 'A'
+    """,
+)
+def filter_skip_file(spark, sf_dir):
+    """Partition-prunable inequality skip (OntologyTripleParser.java:164)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") != "A").select(
+        "l_orderkey", F.col("l_linenumber").cast("long").alias("l_linenumber")
+    )
+
+
+@register(
+    "project_triple_nodes",
+    oracle="""
+    SELECT o_custkey AS node FROM orders
+    UNION ALL
+    SELECT o_orderkey AS node FROM orders
+    """,
+)
+def project_triple_nodes(spark, sf_dir):
+    """Explode each row into its two node ids
+    (OntologyGraphBuilder.java:158-159) — projection + explode, bag semantics."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(F.explode(F.array(F.col("o_custkey"), F.col("o_orderkey"))).alias("node"))
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations / dedup
+# --------------------------------------------------------------------------
+@register(
+    "agg_distinct_triples",
+    oracle="SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem",
+)
+def agg_distinct_triples_q(spark, sf_dir):
+    """Global set-dedup (OntologyTripleParser.java:159-171)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    return li.dropDuplicates(["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+@register(
+    "agg_distinct_vertices",
+    oracle="SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment FROM customer",
+)
+def agg_distinct_vertices_q(spark, sf_dir):
+    """First-occurrence-wins key dedup (OntologyGraphBuilder.java:147-179)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"), "c_mktsegment"
+    )
+    return agg_distinct_vertices(c, ["c_nationkey", "c_mktsegment"])
+
+
+@register(
+    "agg_pivot_vertex_attrs",
+    oracle="""
+    SELECT DISTINCT user_id AS id, event_type AS attr, props AS value
+    FROM events
+    """,
+)
+def agg_pivot_vertex_attrs_q(spark, sf_dir):
+    """Long->wide MAP assembly with sorted-set values
+    (OntologyGraphBuilder.java:194-234), verified by re-exploding the map."""
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        F.col("user_id").alias("id"),
+        F.lit("u").alias("number"),
+        F.col("event_type").alias("attr"),
+        F.col("props").alias("value"),
+    )
+    pivoted = agg_pivot_vertex_attrs(rows)
+    return (
+        pivoted.select("id", F.explode("attrs").alias("attr", "values"))
+        .select("id", "attr", F.explode("values").alias("value"))
+    )
+
+
+@register(
+    "agg_dedup_edges",
+    oracle="""
+    SELECT DISTINCT
+      l_returnflag AS from_collection, l_linestatus AS to_collection,
+      CAST(l_orderkey AS VARCHAR) AS from_key, CAST(l_linenumber AS VARCHAR) AS to_key,
+      'P' || CAST(l_partkey % 5 AS VARCHAR) AS label
+    FROM lineitem
+    """,
+)
+def agg_dedup_edges_q(spark, sf_dir):
+    """Edge dedup with sorted label sets (OntologyGraphBuilder.java:345-401),
+    verified by re-exploding the label set."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_returnflag").alias("from_id"),
+        F.col("l_linestatus").alias("to_id"),
+        F.col("l_orderkey").cast("string").alias("from_number"),
+        F.col("l_linenumber").cast("string").alias("to_number"),
+        F.concat(F.lit("P"), (F.col("l_partkey") % 5).cast("string")).alias("label"),
+        F.col("l_returnflag").alias("source"),
+    )
+    edges = agg_dedup_edges(rows)
+    return edges.select(
+        "from_collection", "to_collection", "from_key", "to_key",
+        F.explode("labels").alias("label"),
+    )
+
+
+@register("agg_collect_edge_labels", oracle="SELECT DISTINCT event_type AS raw_label FROM events")
+def agg_collect_edge_labels_q(spark, sf_dir):
+    """Distinct label accumulation (OntologyGraphBuilder.java:352,366,405)."""
+    ev = _t(spark, sf_dir, "events").select(F.col("event_type").alias("raw_label"))
+    return ev.distinct()
+
+
+@register(
+    "agg_count_metrics",
+    oracle="SELECT l_returnflag AS collection, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def agg_count_metrics_q(spark, sf_dir):
+    """Per-collection counts (OntologyGraphBuilder.java:153-154,184)."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_returnflag").alias("collection"))
+    return agg_count_metrics(li, "collection")
+
+
+@register(
+    "agg_first_fallback_rootns",
+    oracle="""
+    SELECT lang AS src_file, MIN(split_part(text, ' ', 1)) AS root_ns
+    FROM documents GROUP BY lang
+    """,
+)
+def agg_first_fallback_rootns_q(spark, sf_dir):
+    """Deterministic first-token-per-group derivation
+    (OntologyTripleParser.java:130-150, min() policy per SURVEY §2.4)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("src_file"), F.split("text", " ").getItem(0).alias("tok"))
+        .groupBy("src_file")
+        .agg(F.min("tok").alias("root_ns"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+@register(
+    "join_ro_label_lookup",
+    oracle="""
+    SELECT o.o_orderkey,
+           COALESCE(c.c_name, CAST(o.o_custkey AS VARCHAR)) AS label
+    FROM orders o
+    LEFT JOIN (SELECT CAST(c_custkey AS VARCHAR) AS term, c_name FROM customer WHERE c_custkey < 50) c
+      ON CAST(o.o_custkey AS VARCHAR) = c.term
+    """,
+)
+def join_ro_label_lookup_q(spark, sf_dir):
+    """Broadcast dictionary lookup with pass-through fallback
+    (OntologyGraphBuilder.java:117-123)."""
+    o = _t(spark, sf_dir, "orders").withColumn("pred_token", F.col("o_custkey").cast("string"))
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(F.col("c_custkey").cast("string").alias("term"), F.col("c_name").alias("label"))
+    )
+    return join_ro_label_lookup(o, dim, "pred_token", "label").select("o_orderkey", "label")
+
+
+@register(
+    "join_semi_edge_endpoints",
+    oracle="""
+    SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
+    """,
+)
+def join_semi_edge_endpoints_q(spark, sf_dir):
+    """Both-endpoints referential check as two left-semi joins
+    (OntologyGraphBuilder.java:463-466)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.lit("O").alias("from_collection"),
+        F.col("l_orderkey").cast("string").alias("from_key"),
+        F.lit("P").alias("to_collection"),
+        F.col("l_partkey").cast("string").alias("to_key"),
+        "l_orderkey", "l_partkey", "l_linenumber",
+    )
+    o_vertices = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000.0)
+        .select(F.lit("O").alias("collection"), F.col("o_orderkey").cast("string").alias("key"))
+    )
+    p_vertices = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 25)
+        .select(F.lit("P").alias("collection"), F.col("p_partkey").cast("string").alias("key"))
+    )
+    vertices = o_vertices.unionByName(p_vertices)
+    kept = join_semi_edge_endpoints(edges, vertices)
+    return kept.select(
+        "l_orderkey", "l_partkey", F.col("l_linenumber").cast("long").alias("l_linenumber")
+    )
+
+
+@register(
+    "join_anti_new_only",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti_new_only_q(spark, sf_dir):
+    """Insert-path split: left-anti on key (OntologyGraphBuilder.java:254,463)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"), "c_name")
+    existing = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return join_anti_new_only(c, existing, ["key"]).select(
+        F.col("key").alias("c_custkey"), "c_name"
+    )
+
+
+@register(
+    "join_upsert",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey < 100 THEN 'UPD_' || c_name ELSE c_name END AS c_name
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey, 'NEW_' || c_name AS c_name
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def join_upsert_q(spark, sf_dir):
+    """MERGE semantics via full-outer join + coalesce
+    (OntologyGraphBuilder.java:254-273,463-479): updates + inserts + untouched."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    updates = c.filter(F.col("c_custkey") < 100).select(
+        "c_custkey", F.concat(F.lit("UPD_"), F.col("c_name")).alias("c_name")
+    )
+    inserts = c.filter(F.col("c_custkey") < 100).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("c_name")).alias("c_name"),
+    )
+    incoming = updates.unionByName(inserts)
+    return join_upsert(incoming, c, ["c_custkey"])
+
+
+# --------------------------------------------------------------------------
+# §2.5-2.6 windows / sorts
+# --------------------------------------------------------------------------
+@register(
+    "window_last_wins",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def window_last_wins_q(spark, sf_dir):
+    """Deterministic last-write-wins (engine policy for
+    OntologyGraphBuilder.java:225-229): latest event per user."""
+    ev = _t(spark, sf_dir, "events")
+    out = window_last_wins(ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
+    return out.select("user_id", "event_id", "event_type")
+
+
+@register(
+    "window_rank_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def window_rank_topk_q(spark, sf_dir):
+    """Top-k per partition (§2.12): top-3 orders per customer by price."""
+    o = _t(spark, sf_dir, "orders")
+    out = window_rank_topk(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", F.col("rnk").cast("long").alias("rnk"))
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
+    FROM events
+    """,
+)
+def window_running_sum_q(spark, sf_dir):
+    """Analytic running aggregate (§2.12) — summed in DECIMAL for exact
+    cross-engine determinism, surfaced as DOUBLE."""
+    ev = _t(spark, sf_dir, "events").withColumn("value", F.col("value").cast("decimal(18,6)"))
+    out = window_running_sum(
+        ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], "value"
+    )
+    return out.select("user_id", "event_id", F.col("running_sum").cast("double").alias("running_sum"))
+
+
+@register(
+    "sort_by_key",
+    oracle="SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
+)
+def sort_by_key_q(spark, sf_dir):
+    """Deterministic sink ordering (SURVEY §2.6).  The oracle hash is
+    order-insensitive; determinism itself is asserted in pytest."""
+    from ..operators import sort_by_key
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+    return sort_by_key(nat, ["n_nationkey"])
+
+
+# --------------------------------------------------------------------------
+# §2.7 set operations
+# --------------------------------------------------------------------------
+@register(
+    "setop_union_files",
+    oracle="""
+    SELECT DISTINCT l_orderkey, l_partkey FROM (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      UNION ALL
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linestatus = 'F'
+    )
+    """,
+)
+def setop_union_files_q(spark, sf_dir):
+    """Bag union of per-'file' slices then set dedup
+    (OntologyTripleParser.java:163-167)."""
+    from ..operators import setop_union_files
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey", "l_partkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_orderkey", "l_partkey")
+    return setop_union_files([a, b], ["l_orderkey", "l_partkey"])
+
+
+@register(
+    "setop_union_label_sets",
+    oracle="""
+    SELECT event_type AS label FROM events
+    UNION
+    SELECT o_orderstatus AS label FROM orders
+    """,
+)
+def setop_union_label_sets_q(spark, sf_dir):
+    """Set union of two label sets (OntologyGraphBuilder.java:541-543)."""
+    ev = _t(spark, sf_dir, "events").select(F.col("event_type").alias("label"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("label"))
+    return setop_union_label_sets(ev, o)
+
+
+@register(
+    "setop_intersect_except",
+    oracle="""
+    SELECT 'both' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey AS c_custkey FROM orders)
+    UNION ALL
+    SELECT 'only_customer' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders)
+    """,
+)
+def setop_intersect_except_q(spark, sf_dir):
+    """intersect + except (§2.12 extension surface)."""
+    from ..operators import setop_except
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    both = setop_intersect(c, o).withColumn("tag", F.lit("both"))
+    only = setop_except(c, o, keep_duplicates=False).withColumn("tag", F.lit("only_customer"))
+    return both.unionByName(only).select("tag", "c_custkey")

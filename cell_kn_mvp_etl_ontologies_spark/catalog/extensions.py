@@ -1,0 +1,481 @@
+"""LLM-data-pipeline extension queries (SURVEY.md §2.12) over the
+documents/embeddings/events tables, each with a DuckDB oracle where exactly
+expressible (integer-quantized math makes even cosine similarity exact)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.asof import join_asof
+from ..operators.dedup import (
+    dedup_exact_hash,
+    dedup_minhash_lsh,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from ..operators.multimodal import attach_binary_payload, decode_payloads
+from ..operators.similarity import embedding_near_dups, similarity_topk
+from ..operators.text_analysis import (
+    BPE_TOKEN_RE,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+from ..search import analyze_edge_ngram, analyze_ngram, build_inverted_index, text_en_no_stem_tokens
+from . import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _docs_with_dups(spark, sf_dir, limit: int, n_dups: int):
+    """documents subset plus exact copies (id + 10000) so dedup operators
+    have true positives to find on the synthetic corpus."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < limit).select("doc_id", "text")
+    dups = (
+        docs.filter(F.col("doc_id") < n_dups)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return docs.unionByName(dups)
+
+
+_DOCS_DUPS_SQL = """
+    SELECT doc_id, text FROM documents WHERE doc_id < {limit}
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < {n_dups}
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM ({}) GROUP BY sha256(text)
+    """.format(_DOCS_DUPS_SQL.format(limit=500, n_dups=20)),
+)
+def dedup_exact_hash_q(spark, sf_dir):
+    corpus = _docs_with_dups(spark, sf_dir, 500, 20)
+    return dedup_exact_hash(corpus, "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH corpus AS ({corpus}),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, substring(substring(text, 1, 60), i, 5) AS shingle
+      FROM corpus, generate_series(1, 56) t(i)
+      WHERE i <= greatest(length(substring(text, 1, 60)) - 4, 0)
+    ),
+    sigs AS (
+      SELECT id,
+        MIN(md5('0' || '|' || shingle)) AS sig_0, MIN(md5('1' || '|' || shingle)) AS sig_1,
+        MIN(md5('2' || '|' || shingle)) AS sig_2, MIN(md5('3' || '|' || shingle)) AS sig_3,
+        MIN(md5('4' || '|' || shingle)) AS sig_4, MIN(md5('5' || '|' || shingle)) AS sig_5
+      FROM sh GROUP BY id
+    ),
+    bands AS (
+      SELECT id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band_key FROM sigs
+      UNION ALL SELECT id, md5('1' || '|' || sig_2 || '|' || sig_3) FROM sigs
+      UNION ALL SELECT id, md5('2' || '|' || sig_4 || '|' || sig_5) FROM sigs
+    )
+    SELECT DISTINCT x.id AS a, y.id AS b
+    FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.id < y.id
+    """.format(corpus=_DOCS_DUPS_SQL.format(limit=60, n_dups=10)),
+)
+def dedup_minhash_lsh_q(spark, sf_dir):
+    corpus = _docs_with_dups(spark, sf_dir, 60, 10)
+    return dedup_minhash_lsh(
+        corpus, "text", "doc_id", shingle_width=5, prefix_len=60, n_hashes=6, n_bands=3
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+    toks AS (
+      SELECT doc_id AS id, t.tok FROM corpus,
+        LATERAL unnest(string_split_regex(text, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    bits AS (
+      SELECT id, tok, b.b,
+        (CAST(floor((strpos('0123456789abcdef', substring(md5(tok), CAST(b.b // 4 AS INT) + 1, 1)) - 1)
+              / power(2.0, CAST(3 - b.b % 4 AS DOUBLE))) AS BIGINT) % 2) AS bit
+      FROM toks, generate_series(0, 15) AS b(b)
+    ),
+    votes AS (
+      SELECT id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY id, b
+    )
+    SELECT id, CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY id
+    """,
+)
+def dedup_simhash_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return simhash16(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH corpus AS ({corpus}),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, substring(substring(text, 1, 40), i, 3) AS shingle
+      FROM corpus, generate_series(1, 38) t(i)
+      WHERE i <= greatest(length(substring(text, 1, 40)) - 2, 0)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT x.id AS a, y.id AS b, COUNT(*) AS n_common
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+      GROUP BY x.id, y.id
+    )
+    SELECT a, b,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = a
+    JOIN sizes sb ON sb.id = b
+    """.format(corpus=_DOCS_DUPS_SQL.format(limit=25, n_dups=5)),
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    corpus = _docs_with_dups(spark, sf_dir, 25, 5)
+    return ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_width=3, prefix_len=40)
+
+
+_QUANT_SQL = """
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5
+    ),
+    {quant}
+    , dots AS (
+      SELECT q.vec_id AS a, t.vec_id AS b, SUM(q.v * t.v) AS dot
+      FROM quant q JOIN quant t ON q.i = t.i AND q.vec_id < t.vec_id
+      GROUP BY q.vec_id, t.vec_id
+    )
+    SELECT a, b,
+           CAST(dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) AS cos
+    FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) > 0.95
+    """.format(quant=_QUANT_SQL),
+)
+def dedup_embedding_cosine_q(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings")
+    corpus = (
+        em.filter(F.col("vec_id") < 50)
+        .select("vec_id", "embedding")
+        .unionByName(
+            em.filter(F.col("vec_id") < 5).select(
+                (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    return embedding_near_dups(corpus, threshold=0.95)
+
+
+@register(
+    "similarity_topk",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    {quant}
+    , dots AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS t_id, SUM(q.v * t.v) AS dot
+      FROM quant q JOIN quant t ON q.i = t.i
+      WHERE q.vec_id < 10 AND q.vec_id <> t.vec_id
+      GROUP BY q.vec_id, t.vec_id
+    ),
+    scored AS (
+      SELECT q_id, t_id,
+             CAST(dot AS DOUBLE) / sqrt(CAST(nq.norm_sq AS DOUBLE) * CAST(nt.norm_sq AS DOUBLE)) AS cos
+      FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nt ON nt.vec_id = t_id
+    )
+    SELECT q_id, t_id, cos, rnk FROM (
+      SELECT q_id, t_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """.format(quant=_QUANT_SQL),
+)
+def similarity_topk_q(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    q = em.filter(F.col("vec_id") < 10)
+    out = similarity_topk(q, em, k=5, quantized=True)
+    return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@register(
+    "text_tokenize_stats",
+    oracle=f"""
+    SELECT doc_id AS id,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_tokenize_stats_q(spark, sf_dir):
+    return token_counts(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id AS id,
+      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        / (CAST(length(text) AS DOUBLE) + 1.0) AS punct_ratio,
+      CAST(len(list_filter(string_split_regex(text, '\\s+'),
+            t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS stopword_ratio,
+      CAST(len(list_filter(string_split_regex(text, '\\s+'),
+            t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) * 0.5
+      + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+          / (CAST(length(text) AS DOUBLE) + 1.0)) * 0.5 AS quality
+    FROM documents
+    """,
+)
+def text_quality_score_q(spark, sf_dir):
+    return quality_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN CAST(len(list_filter(string_split_regex(text, '\\s+'),
+             t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) >= 0.04
+           THEN 'en' ELSE 'unk' END AS predicted_lang
+    FROM documents
+    """,
+)
+def text_lang_id_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("predicted_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, substring(substring(text, 1, 40), i, 4) AS shingle
+      FROM documents, generate_series(1, 37) t(i)
+      WHERE i <= greatest(length(substring(text, 1, 40)) - 3, 0)
+    )
+    SELECT id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY id
+    """,
+)
+def text_fingerprint_q(spark, sf_dir):
+    return doc_fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Search analyzers (§2.9 exercised on the synthetic corpus)
+# --------------------------------------------------------------------------
+@register(
+    "text_ngram_analyzer",
+    oracle="""
+    WITH src AS (SELECT doc_id, substring(text, 1, 20) AS s FROM documents WHERE doc_id < 50)
+    SELECT doc_id, substring(s, i, 3) AS ngram
+    FROM src, generate_series(1, 18) t(i) WHERE i <= greatest(length(s) - 2, 0)
+    UNION ALL
+    SELECT doc_id, substring(s, i, 4) AS ngram
+    FROM src, generate_series(1, 17) t(i) WHERE i <= greatest(length(s) - 3, 0)
+    UNION ALL
+    SELECT doc_id, s AS ngram FROM src
+    """,
+)
+def text_ngram_analyzer_q(spark, sf_dir):
+    """n-gram analyzer (min 3, max 4, preserveOriginal).
+    Ref: ArangoDbUtilities.java:219-231."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.substring("text", 1, 20).alias("s"))
+    )
+    return analyze_ngram(docs, "s", out_col="ngram", n_min=3, n_max=4).select("doc_id", "ngram")
+
+
+@register(
+    "text_edge_ngram_analyzer",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok FROM
+        (SELECT doc_id, lower(substring(text, 1, 30)) AS s FROM documents WHERE doc_id < 30) src,
+        LATERAL unnest(string_split_regex(s, '\\s+')) AS t(tok)
+    )
+    SELECT doc_id, substring(tok, 1, n) AS gram
+    FROM toks, generate_series(3, 12) g(n) WHERE n <= length(tok)
+    UNION ALL
+    SELECT doc_id, tok AS gram FROM toks WHERE length(tok) > 12
+    """,
+)
+def text_edge_ngram_analyzer_q(spark, sf_dir):
+    """text_en_no_stem: lowercase, accent-fold, edge n-grams 3-12 with
+    preserveOriginal.  Ref: ArangoDbUtilities.java:234-249."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", F.substring("text", 1, 30).alias("s"))
+    )
+    return analyze_edge_ngram(docs, "s", out_col="gram", n_min=3, n_max=12).select("doc_id", "gram")
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT t.tok AS token, CAST(doc_id AS VARCHAR) AS doc_key
+      FROM (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 100) src,
+        LATERAL unnest(string_split_regex(s, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    )
+    SELECT token, COUNT(*) AS n_docs FROM toks GROUP BY token
+    """,
+)
+def text_inverted_index_q(spark, sf_dir):
+    """Inverted-index materialization (ArangoDbUtilities.java:280-312):
+    token -> postings; surfaced as document frequencies."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    idx = build_inverted_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
+    return idx.select("token", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_columns",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, lang, n_chars
+    FROM documents
+    """,
+)
+def multimodal_columns_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    payload = attach_binary_payload(docs)
+    return payload.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.n_chars").alias("n_chars"),
+    )
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
+           CAST((doc_id * 7) % 64 + 1 AS BIGINT) AS height,
+           CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT) AS n_frames,
+           'stub' AS decoder
+    FROM documents
+    """,
+)
+def multimodal_decode_stub_q(spark, sf_dir):
+    """Arrow-batched mapInPandas decode stage with a deterministic stub
+    decoder (real codecs import-gated; not present in this container)."""
+    docs = _t(spark, sf_dir, "documents")
+    return decode_payloads(attach_binary_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# Relational extensions
+# --------------------------------------------------------------------------
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(r_name, '(all)') AS r_name,
+           CASE WHEN n_name IS NULL THEN '(all)' ELSE n_name END AS n_name,
+           COUNT(c_custkey) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def agg_grouping_sets_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(n, c["c_nationkey"] == n["n_nationkey"]).join(
+        r, n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("r_name"),
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("n_name"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+@register("agg_approx_distinct")  # approx values are engine-specific: rows-only check
+def agg_approx_distinct_q(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_type").alias("approx_types"),
+    )
+
+
+@register(
+    "join_asof_events",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, o.o_orderkey AS asof_orderkey
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_events_q(spark, sf_dir):
+    """As-of join: each event matched to the latest order of the same user at
+    or before the event time — union + windowed carry-forward (no range cross
+    product)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    out = join_asof(
+        ev, orders, on="user_id", left_time="ts", right_time="o_orderdate",
+        right_value="o_orderkey", out_col="asof_orderkey",
+    )
+    return out.select("event_id", "asof_orderkey")

@@ -1,0 +1,455 @@
+"""Ontology-surface queries with constant (VALUES-based) DuckDB oracles.
+
+These exercise the reference-specific operators — restriction flattening,
+graph build, scalar URI functions, normalization maps, sinks, the two-pass
+pipeline — on the golden macrophage fixture (FIXTURES.md), with oracles that
+are literal expected-value SQL.  The driver's hash compare then checks golden
+values end to end, the check layer the reference itself lacked (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..constants import OBO_PURLS
+from ..fixtures import fixture_ro_terms, fixture_triples
+from ..functions import (
+    fn_doc_collection_name,
+    fn_doc_key,
+    fn_extract_version_date,
+    fn_normalize_edge_label,
+    fn_normalize_edge_source,
+    fn_predicate_label,
+    fn_uri_basename,
+    fn_uri_fragment,
+    fn_version_newer,
+    fn_vtuple,
+)
+from ..io import load_table
+from ..operators import join_flatten_restriction
+from ..plans import build_graph
+from ..plans.two_pass import pipeline_two_pass
+from . import register
+
+OBO = "http://purl.obolibrary.org/obo/"
+
+
+# --------------------------------------------------------------------------
+# join_flatten_restriction — golden flattened triples
+# --------------------------------------------------------------------------
+@register(
+    "join_flatten_restriction",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('macrophage.owl', '{OBO}CL_0000235', '{OBO}RO_0002202', '{OBO}CL_0000576'),
+      ('macrophage.owl', '{OBO}CL_0000235', '{OBO}RO_0002215', '{OBO}GO_0031268'),
+      ('macrophage.owl', '{OBO}CL_0000235', '{OBO}RO_0002175', '{OBO}NCBITaxon_9606')
+    ) AS t(src_file, subject, predicate, object_iri)
+    """,
+)
+def join_flatten_restriction_q(spark, sf_dir):
+    flat = join_flatten_restriction(fixture_triples(spark))
+    return flat.select("src_file", "subject", "predicate", "object_iri")
+
+
+# --------------------------------------------------------------------------
+# graph build — vertices / edges / side outputs, golden values
+# --------------------------------------------------------------------------
+_VERTEX_ROWS = """
+  ('CL', '0000113', NULL, NULL),
+  ('CL', '0000145', NULL, NULL),
+  ('CL', '0000766', NULL, NULL),
+  ('GO', '0031268', NULL, NULL),
+  ('NCBITaxon', '9606', NULL, NULL),
+  ('CL', '0000576', 'label', 'monocyte'),
+  ('CL', '0000235', 'label', 'macrophage'),
+  ('CL', '0000235', 'IAO_0000115', 'A mononuclear phagocyte present in variety of tissues.'),
+  ('CL', '0000235', 'comment', 'Morphology: Diameter 30_M-80 _M.'),
+  ('CL', '0000235', 'hasDbXref', 'ZFA:0009141'),
+  ('CL', '0000235', 'hasDbXref', 'CALOHA:TS-0587'),
+  ('CL', '0000235', 'hasDbXref', 'MESH:D008264'),
+  ('CL', '0000235', 'hasDbXref', 'FMA:83585'),
+  ('CL', '0000235', 'hasDbXref', 'BTO:0000801'),
+  ('CL', '0000235', 'hasDbXref', 'FMA:63261'),
+  ('CL', '0000235', 'hasExactSynonym', 'histiocyte'),
+  ('CL', '0000235', 'id', 'CL:0000235')
+"""
+
+
+@register(
+    "graph_build_vertices",
+    oracle=f"SELECT * FROM (VALUES {_VERTEX_ROWS}) AS t(collection, key, attr, value)",
+)
+def graph_build_vertices(spark, sf_dir):
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    return (
+        g.vertices.select("collection", "key", F.explode_outer("attrs").alias("attr", "values"))
+        .select("collection", "key", "attr", F.explode_outer("values").alias("value"))
+    )
+
+
+_EDGE_ROWS = """
+  ('CL', '0000235', 'CL', '0000113', 'SUB_CLASS_OF', 'CL'),
+  ('CL', '0000235', 'CL', '0000145', 'SUB_CLASS_OF', 'CL'),
+  ('CL', '0000235', 'CL', '0000766', 'SUB_CLASS_OF', 'CL'),
+  ('CL', '0000235', 'CL', '0000576', 'DEVELOPS_FROM', 'CL'),
+  ('CL', '0000235', 'GO', '0031268', 'CAPABLE_OF', 'CL'),
+  ('CL', '0000235', 'NCBITaxon', '9606', 'PRESENT_IN_TAXON', 'CL')
+"""
+
+
+@register(
+    "graph_build_edges",
+    oracle=f"""
+    SELECT * FROM (VALUES {_EDGE_ROWS})
+    AS t(from_collection, from_key, to_collection, to_key, label, source)
+    """,
+)
+def graph_build_edges(spark, sf_dir):
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    return g.edges.select(
+        "from_collection", "from_key", "to_collection", "to_key",
+        F.explode("labels").alias("label"),
+    ).join(
+        g.edges.select(
+            "from_collection", "from_key", "to_collection", "to_key",
+            F.explode("sources").alias("source"),
+        ),
+        on=["from_collection", "from_key", "to_collection", "to_key"],
+    )
+
+
+@register(
+    "pipeline_two_pass",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pass1', 7, 6),
+      ('pass2', 2, 1)
+    ) AS t(pass, n_vertices, n_edges)
+    """,
+)
+def pipeline_two_pass_q(spark, sf_dir):
+    g1, g2 = pipeline_two_pass(fixture_triples(spark), fixture_ro_terms(spark))
+
+    def counts(tag, g):
+        return g.vertices.agg(F.count(F.lit(1)).alias("n_vertices")).crossJoin(
+            g.edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        ).select(F.lit(tag).alias("pass"), F.col("n_vertices").cast("int"), F.col("n_edges").cast("int"))
+
+    return counts("pass1", g1).unionByName(counts("pass2", g2))
+
+
+# --------------------------------------------------------------------------
+# sinks — write then read back (SURVEY.md §2.1)
+# --------------------------------------------------------------------------
+@register(
+    "sink_graph_upsert",
+    oracle="""
+    SELECT * FROM (VALUES ('CL', 5), ('GO', 1), ('NCBITaxon', 1)) AS t(collection, n)
+    """,
+)
+def sink_graph_upsert_q(spark, sf_dir):
+    """Partitioned parquet graph store (replaces per-document ArangoDB HTTP
+    upserts, OntologyGraphBuilder.java:254-273): write partitionBy(collection),
+    read back, count per partition."""
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    out = tempfile.mkdtemp(prefix="graph_sink_")
+    g.vertices.write.mode("overwrite").partitionBy("collection").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("collection").agg(F.count(F.lit(1)).cast("int").alias("n"))
+
+
+@register(
+    "sink_jsonl_export",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def sink_jsonl_export_q(spark, sf_dir):
+    """JSONL export round-trip (export-arangodb.sh:1-13 -> df.write.json)."""
+    nat = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="jsonl_sink_")
+    nat.write.mode("overwrite").json(out)
+    return spark.read.json(out).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+
+
+@register(
+    "sink_side_output_deprecated",
+    oracle="SELECT 'CL_0000999' AS term",
+)
+def sink_side_output_deprecated_q(spark, sf_dir):
+    """Deprecated-terms side output (OntologyGraphBuilder.java:41,246-261,276):
+    text-file write + read-back."""
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    out = tempfile.mkdtemp(prefix="dep_terms_")
+    g.deprecated.write.mode("overwrite").text(out)
+    return spark.read.text(out).select(F.col("value").alias("term"))
+
+
+@register(
+    "sink_side_output_edge_labels",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('subClassOf', 'SUB_CLASS_OF'),
+      ('develops from', 'DEVELOPS_FROM'),
+      ('capable of', 'CAPABLE_OF'),
+      ('present in taxon', 'PRESENT_IN_TAXON')
+    ) AS t(raw_label, normalized_label)
+    """,
+)
+def sink_side_output_edge_labels_q(spark, sf_dir):
+    """Edge-labels side output (OntologyGraphBuilder.java:42,556-562): raw +
+    normalized, csv write + read-back."""
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    labels = g.edge_labels.withColumn("normalized_label", fn_normalize_edge_label(F.col("raw_label")))
+    out = tempfile.mkdtemp(prefix="edge_labels_")
+    labels.write.mode("overwrite").option("header", "true").csv(out)
+    return spark.read.option("header", "true").csv(out)
+
+
+# --------------------------------------------------------------------------
+# source_http_versioned — version-compare decision logic (no network)
+# --------------------------------------------------------------------------
+_PURL_VALUES = ", ".join(f"({i}, '{p}')" for i, p in enumerate(OBO_PURLS))
+
+
+@register(
+    "source_http_versioned",
+    oracle=f"""
+    SELECT purl,
+           regexp_extract(purl, '([^/]+)[.]owl$', 1) AS stem,
+           '2024-0' || CAST((i % 3) + 1 AS VARCHAR) || '-15' AS ver_new,
+           CASE WHEN i % 3 = 0 THEN NULL ELSE '2024-02-01' END AS ver_cur,
+           CASE
+             WHEN i % 3 = 0 THEN 'init'
+             WHEN '2024-0' || CAST((i % 3) + 1 AS VARCHAR) || '-15' > '2024-02-01' THEN 'replace'
+             ELSE 'keep'
+           END AS decision
+    FROM (VALUES {_PURL_VALUES}) AS t(i, purl)
+    """,
+)
+def source_http_versioned_q(spark, sf_dir):
+    """Version-compare replace/archive decision (OntologyDownloader.java:86-133)
+    as a DataFrame over the 9 OBO PURLs; the HTTP fetch itself stays
+    driver-side (sources.http_versioned) and is not exercised here."""
+    rows = [(i, p) for i, p in enumerate(OBO_PURLS)]
+    df = spark.createDataFrame(rows, "i: int, purl: string")
+    ver_new = F.concat(F.lit("2024-0"), ((F.col("i") % 3) + 1).cast("string"), F.lit("-15"))
+    ver_cur = F.when(F.col("i") % 3 != 0, F.lit("2024-02-01"))
+    stem = F.regexp_extract(fn_uri_basename(F.col("purl")), r"(.+)\.owl$", 1)
+    return df.select(
+        "purl",
+        stem.alias("stem"),
+        ver_new.alias("ver_new"),
+        ver_cur.alias("ver_cur"),
+        F.when(ver_cur.isNull(), "init")
+        .when(fn_version_newer(ver_new, ver_cur), "replace")
+        .otherwise("keep")
+        .alias("decision"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 scalar function surfaces
+# --------------------------------------------------------------------------
+@register(
+    "fn_vtuple",
+    oracle=f"""
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+      CASE p_partkey % 4
+        WHEN 0 THEN 'CL_' || CAST(p_partkey AS VARCHAR)
+        WHEN 2 THEN 'PCLCS_' || CAST(p_partkey AS VARCHAR)
+      END AS term,
+      CASE p_partkey % 4 WHEN 0 THEN 'CL' WHEN 2 THEN 'PCLCS' END AS id,
+      CASE p_partkey % 4
+        WHEN 0 THEN CAST(p_partkey AS VARCHAR)
+        WHEN 2 THEN CAST(p_partkey AS VARCHAR)
+      END AS number,
+      (p_partkey % 4 = 0) AS is_valid_vertex
+    FROM part
+    """,
+)
+def fn_vtuple_q(spark, sf_dir):
+    """createVTuple over four URI shapes (valid CL term, fragment-only,
+    pcl/CS rewrite, opaque colon URI).  Ref: OntologyGraphBuilder.java:72-102."""
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey") % 4
+    uri = (
+        F.when(k == 0, F.concat(F.lit(OBO + "CL_"), F.col("p_partkey").cast("string")))
+        .when(k == 1, F.lit("http://www.w3.org/2000/01/rdf-schema#subClassOf"))
+        .when(k == 2, F.concat(F.lit(OBO + "pcl/CS"), F.col("p_partkey").cast("string")))
+        .otherwise(F.concat(F.lit("CL:"), F.col("p_partkey").cast("string")))
+    )
+    return part.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"), fn_vtuple(uri).alias("vt")
+    ).select("p_partkey", "vt.*")
+
+
+@register(
+    "fn_uri_parse",
+    oracle="""
+    SELECT doc_id,
+           'D_' || CAST(doc_id AS VARCHAR) AS basename,
+           CASE WHEN doc_id % 2 = 0 THEN 'frag' || CAST(doc_id AS VARCHAR) END AS fragment,
+           CASE WHEN doc_id % 2 = 0 THEN 'frag' || CAST(doc_id AS VARCHAR)
+                ELSE 'D_' || CAST(doc_id AS VARCHAR) END AS pred_label
+    FROM documents
+    """,
+)
+def fn_uri_parse_q(spark, sf_dir):
+    """fn_uri_basename / fn_uri_fragment / fn_predicate_label over URIs with
+    and without fragments.  Ref: OntologyGraphBuilder.java:81-85,105-131."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.concat(F.lit("http://example.org/obo/D_"), F.col("doc_id").cast("string"))
+    uri = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(base, F.lit("#frag"), F.col("doc_id").cast("string")),
+    ).otherwise(base)
+    return docs.select(
+        "doc_id",
+        fn_uri_basename(uri).alias("basename"),
+        fn_uri_fragment(uri).alias("fragment"),
+        fn_predicate_label(uri).alias("pred_label"),
+    )
+
+
+@register(
+    "fn_doc_id_helpers",
+    oracle="""
+    SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) AS full_id,
+           source AS collection, CAST(doc_id AS VARCHAR) AS key
+    FROM documents
+    UNION ALL
+    SELECT doc_id, source AS full_id, NULL AS collection, NULL AS key
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def fn_doc_id_helpers_q(spark, sf_dir):
+    """getDocumentCollectionName / getDocumentKey golden behavior incl. the
+    no-slash NULL path.  Ref: OntologyGraphBuilder.java:415-436."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_slash = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias("full_id"),
+    )
+    no_slash = docs.filter(F.col("doc_id") < 20).select("doc_id", F.col("source").alias("full_id"))
+    ids = with_slash.unionByName(no_slash)
+    return ids.select(
+        "doc_id",
+        "full_id",
+        fn_doc_collection_name(F.col("full_id")).alias("collection"),
+        fn_doc_key(F.col("full_id")).alias("key"),
+    )
+
+
+_LABEL_SPECIALS = [
+    "subClassOf", "disjointWith", "crossSpeciesExactMatch",
+    "exactMatch", "equivalentClass", "seeAlso", "develops from",
+]
+
+
+@register(
+    "fn_normalize_edge_label",
+    oracle="""
+    SELECT raw_label,
+      CASE raw_label
+        WHEN 'subClassOf' THEN 'SUB_CLASS_OF'
+        WHEN 'disjointWith' THEN 'DISJOINT_WITH'
+        WHEN 'crossSpeciesExactMatch' THEN 'CROSS_SPECIES_EXACT_MATCH'
+        WHEN 'exactMatch' THEN 'EXACT_MATCH'
+        WHEN 'equivalentClass' THEN 'EQUIVALENT_CLASS'
+        WHEN 'seeAlso' THEN 'SEE_ALSO'
+        ELSE UPPER(REPLACE(raw_label, ' ', '_'))
+      END AS normalized
+    FROM (
+      SELECT DISTINCT event_type AS raw_label FROM events
+      UNION
+      SELECT * FROM (VALUES ('subClassOf'), ('disjointWith'), ('crossSpeciesExactMatch'),
+        ('exactMatch'), ('equivalentClass'), ('seeAlso'), ('develops from')) AS t(raw_label)
+    )
+    """,
+)
+def fn_normalize_edge_label_q(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(F.col("event_type").alias("raw_label")).distinct()
+    specials = spark.createDataFrame([(s,) for s in _LABEL_SPECIALS], "raw_label: string")
+    labels = ev.unionByName(specials).distinct()
+    return labels.select("raw_label", fn_normalize_edge_label(F.col("raw_label")).alias("normalized"))
+
+
+@register(
+    "fn_normalize_edge_source",
+    oracle="""
+    SELECT source,
+      CASE source
+        WHEN 'mondo-simple' THEN 'MONDO'
+        WHEN 'taxslim' THEN 'NCBITAXON'
+        WHEN 'go-plus' THEN 'GO'
+        WHEN 'uberon-base' THEN 'UBERON'
+        ELSE UPPER(source)
+      END AS normalized
+    FROM (
+      SELECT DISTINCT source FROM documents
+      UNION
+      SELECT * FROM (VALUES ('mondo-simple'), ('taxslim'), ('go-plus'), ('uberon-base')) AS t(source)
+    )
+    """,
+)
+def fn_normalize_edge_source_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("source").distinct()
+    specials = spark.createDataFrame(
+        [("mondo-simple",), ("taxslim",), ("go-plus",), ("uberon-base",)], "source: string"
+    )
+    src = docs.unionByName(specials).distinct()
+    return src.select("source", fn_normalize_edge_source(F.col("source")).alias("normalized"))
+
+
+@register(
+    "fn_extract_version_date",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%Y-%m-%d') END AS vdate,
+           CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%Y-%m-%d') > '1998-06-01'
+                ELSE FALSE END AS is_newer
+    FROM orders
+    """,
+)
+def fn_extract_version_date_q(spark, sf_dir):
+    """Date regex extraction + lexicographic newer-than compare.
+    Ref: OntologyDownloader.java:38,48-74,113."""
+    o = load_table(spark, sf_dir, "orders")
+    vtext = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(F.lit("releases/"), F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("/x.owl")),
+    ).otherwise(F.lit("no date here"))
+    vdate = fn_extract_version_date(vtext)
+    return o.select(
+        "o_orderkey",
+        vdate.alias("vdate"),
+        fn_version_newer(vdate, F.lit("1998-06-01")).alias("is_newer"),
+    )
+
+
+@register(
+    "fn_json_config",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+    FROM events GROUP BY k
+    """,
+)
+def fn_json_config_q(spark, sf_dir):
+    """JSON config/field extraction (ArangoDbUtilities.java:280-307) as a
+    data-plane get_json_object."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

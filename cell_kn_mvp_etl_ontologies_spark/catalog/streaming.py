@@ -1,0 +1,62 @@
+"""Streaming queries (SURVEY.md §2.11): the same declarative operators over a
+file stream, run bounded with availableNow + memory sink.  Oracles compare
+against the equivalent batch SQL — exact because a single availableNow run
+processes everything in order with no late-data eviction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..streaming import read_events_stream, run_stream_to_table
+from . import register
+
+
+@register(
+    "stream_file_source",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def stream_file_source_q(spark, sf_dir):
+    """File-source stream + streaming aggregation (complete mode)."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_stream_to_table(agg, output_mode="complete")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_watermark_q(spark, sf_dir):
+    """Watermarked streaming dropDuplicates — state-bounded dedup."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["user_id", "event_type"])
+    return run_stream_to_table(deduped.select("user_id", "event_type"), output_mode="append")
+
+
+@register(
+    "stream_window_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_window_tumbling_q(spark, sf_dir):
+    """Tumbling event-time window aggregation with watermark."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    out = run_stream_to_table(agg, output_mode="complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )

@@ -1,0 +1,157 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.12).
+
+All hashing is md5/sha2-based (identical across Spark/DuckDB/most engines)
+rather than engine-native hash functions, so results are portable and
+oracle-checkable.  Everything is expression-level (no UDFs) and shuffle-
+bounded: exact dedup is one hash aggregate; MinHash-LSH is
+shingle-explode → per-doc signature aggregate → band-key join, the standard
+linear-scan + bucketed-join shape that survives 100 TB corpora (no all-pairs
+comparison ever materializes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..search.analyzers import char_ngrams
+
+
+def dedup_exact_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup: one row per distinct sha2(text); keeps the
+    smallest id as the canonical representative (deterministic)."""
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col).alias("id"))
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, width: int, prefix_len: int | None = None) -> DataFrame:
+    """(id, shingle) pairs: character shingles of the (optionally truncated)
+    text.  Truncation bounds work per row for fixed benchmarking cost."""
+    src = F.col(text_col)
+    if prefix_len is not None:
+        src = F.substring(src, 1, prefix_len)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_ngrams(src, width, width, preserve_original=False)).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int) -> DataFrame:
+    """Per-id MinHash signature: sig[k] = MIN(md5(k || '|' || shingle)).
+
+    Min over md5 hex strings is a valid uniform min-hash (lexicographic order
+    on a uniformly distributed hex digest) and is engine-portable — no
+    modular arithmetic, no engine-native hash.
+    """
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(k)), F.col("shingle")))).alias(f"sig_{k}")
+        for k in range(n_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_band_keys(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    """(id, band_key) rows; band_key = md5(band || member sig values)."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        members = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(F.md5(F.concat_ws("|", F.lit(str(b)), *members)).alias("band_key"))
+    pairs = [sigs.select("id", band) for band in bands]
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_width: int = 5,
+    prefix_len: int | None = None,
+    n_hashes: int = 6,
+    n_bands: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) sharing at least one LSH band.
+
+    Scale shape: signatures are one aggregate over the shingle explode;
+    candidates come from a self-join on band_key — the join key space is the
+    band hash, so skew only arises from genuinely duplicate content.
+    """
+    sigs = minhash_signatures(shingles(df, text_col, id_col, shingle_width, prefix_len), n_hashes)
+    bands = minhash_band_keys(sigs, n_hashes, n_bands)
+    a = bands.select(F.col("id").alias("a"), "band_key")
+    b = bands.select(F.col("id").alias("b"), "band_key")
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash fingerprint over whitespace tokens (portable bit
+    arithmetic: hex-digit decoding via instr, no engine-native hash).
+
+    Output: (id, simhash BIGINT).  Identical fingerprints flag near-identical
+    token distributions; at scale, group by fingerprint (or by rotated
+    fingerprint segments) to generate candidates.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bits = toks.select(
+        "id", "tok", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    )
+    # bit b of the first 4 hex chars of md5(tok):
+    #   char index = b div 4, bit-in-char = 3 - b % 4 (MSB first)
+    hex_char = F.substring(F.md5(F.col("tok")), F.floor(F.col("b") / 4).cast("int") + 1, 1)
+    hex_val = F.instr(F.lit("0123456789abcdef"), hex_char) - 1
+    bit = F.floor(hex_val / F.pow(F.lit(2.0), (3 - F.col("b") % 4).cast("double"))).cast("long") % 2
+    votes = bits.select("id", "b", F.when(bit == 1, 1).otherwise(-1).alias("vote"))
+    per_bit = votes.groupBy("id", "b").agg(F.sum("vote").alias("v"))
+    # 2^b via pow (exact for b<=15; shiftleft needs a literal bit count)
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b").cast("double")).cast("long")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, shingle_width: int = 3, prefix_len: int | None = None
+) -> DataFrame:
+    """Exact pairwise Jaccard over character-shingle sets via a shingle join:
+    |A∩B| from the join, |A∪B| = |A| + |B| − |A∩B|.  Emits (a, b, jaccard
+    DOUBLE) for pairs sharing ≥1 shingle — the sparse-similarity shape that
+    avoids the full cross product."""
+    sh = shingles(df, text_col, id_col, shingle_width, prefix_len)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

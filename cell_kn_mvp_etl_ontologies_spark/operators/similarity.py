@@ -1,0 +1,156 @@
+"""Embedding similarity operators (SURVEY.md §2.12).
+
+Brute-force cosine is the correctness baseline; the LSH-bucketed variant is
+the scale path (random-hyperplane signatures shrink the candidate set from
+O(N·Q) to per-bucket joins).  All math stays JVM-side: ``zip_with`` +
+``aggregate`` over array columns — no Python in the hot path.
+
+Determinism note: cross-engine float reduction differs (DuckDB's
+list_dot_product on FLOAT[] accumulates in single precision), so the
+oracle-checked variant quantizes to integers (exact, associative) and only
+then divides in double — bit-identical across engines.  The default double
+path is used for benchmarking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .windows import window_rank_topk
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _dot_long(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def quantize_vec(v: Column, scale: int = 1000) -> Column:
+    """array<float> -> array<long> of round(x*scale).  float*1000 can never
+    land exactly on .5 (denominator 2000 is not dyadic), so round-half
+    direction differences between engines cannot surface."""
+    return F.transform(v, lambda x: F.round(x.cast("double") * scale, 0).cast("long"))
+
+
+def with_norm_sq(df: DataFrame, vec_col: str, out_col: str = "norm_sq") -> Column:
+    return df.withColumn(out_col, _dot_long(F.col(vec_col), F.col(vec_col)))
+
+
+def cosine_join_quantized(
+    queries: DataFrame, targets: DataFrame, scale: int = 1000
+) -> DataFrame:
+    """Exact-deterministic all-pairs cosine: (q_id, t_id, cos DOUBLE).
+
+    Input frames need columns (vec_id, embedding).  Quantized integer dot
+    products are exact and associative; the single double division
+    ``dot / sqrt(double(nq) * double(nt))`` is IEEE-deterministic.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), quantize_vec(F.col("embedding"), scale).alias("q_vec")
+    )
+    q = q.withColumn("q_norm", _dot_long(F.col("q_vec"), F.col("q_vec")))
+    t = targets.select(
+        F.col("vec_id").alias("t_id"), quantize_vec(F.col("embedding"), scale).alias("t_vec")
+    )
+    t = t.withColumn("t_norm", _dot_long(F.col("t_vec"), F.col("t_vec")))
+    # Broadcast the query side: top-k/near-dup workloads have |Q| << |T|.
+    pairs = t.join(F.broadcast(q), on=F.lit(True), how="inner")
+    dot = _dot_long(F.col("q_vec"), F.col("t_vec"))
+    return pairs.select(
+        "q_id",
+        "t_id",
+        (
+            dot.cast("double")
+            / F.sqrt(F.col("q_norm").cast("double") * F.col("t_norm").cast("double"))
+        ).alias("cos"),
+    )
+
+
+def cosine_join(queries: DataFrame, targets: DataFrame) -> DataFrame:
+    """Double-precision all-pairs cosine (bench path; same plan shape)."""
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("q_vec"),
+    ).withColumn("q_norm", _dot(F.col("q_vec"), F.col("q_vec")))
+    t = targets.select(
+        F.col("vec_id").alias("t_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("t_vec"),
+    ).withColumn("t_norm", _dot(F.col("t_vec"), F.col("t_vec")))
+    pairs = t.join(F.broadcast(q), on=F.lit(True), how="inner")
+    return pairs.select(
+        "q_id",
+        "t_id",
+        (_dot(F.col("q_vec"), F.col("t_vec")) / F.sqrt(F.col("q_norm") * F.col("t_norm"))).alias("cos"),
+    )
+
+
+def similarity_topk(
+    queries: DataFrame, targets: DataFrame, k: int, quantized: bool = True
+) -> DataFrame:
+    """Top-k cosine neighbors per query (excluding self)."""
+    join = cosine_join_quantized if quantized else cosine_join
+    pairs = join(queries, targets).filter(F.col("q_id") != F.col("t_id"))
+    return window_rank_topk(
+        pairs, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )
+
+
+def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Near-duplicate pairs (a < b) by cosine over the full corpus.
+
+    At scale, pre-bucket with LSH (simhash_buckets below) and run this join
+    per bucket instead of all-pairs."""
+    pairs = cosine_join_quantized(corpus, corpus).filter(F.col("q_id") < F.col("t_id"))
+    return pairs.filter(F.col("cos") > threshold).select(
+        F.col("q_id").alias("a"), F.col("t_id").alias("b"), "cos"
+    )
+
+
+def hyperplane_lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 16, seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH bucket id (scale path for cosine search).
+
+    Plane components are derived deterministically from md5(seed, plane, dim)
+    so the bucketing is reproducible across engines and runs without RNG
+    state.  Vectors whose angle is small agree on most sign bits; candidate
+    generation joins on bucket id.
+    """
+    dims = F.size(F.col(vec_col))
+    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+
+    def plane_component(p: Column, d: Column) -> Column:
+        h = F.md5(F.concat_ws("|", F.lit(seed), p.cast("string"), d.cast("string")))
+        # first 4 hex chars -> [0, 65535] -> centered
+        return (
+            F.conv(F.substring(h, 1, 4), 16, 10).cast("double") - F.lit(32767.5)
+        )
+
+    sign_bits = F.transform(
+        planes,
+        lambda p: (
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.sequence(F.lit(0), dims - 1),
+                    lambda x, d: x.cast("double") * plane_component(p, d),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int"),
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            sign_bits,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda b, i: b * F.pow(F.lit(2.0), i.cast("double")).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("lsh_bucket", bucket)

@@ -1,0 +1,72 @@
+"""Text analysis operators for training-data pipelines (SURVEY.md §2.12):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+All pure Column expressions — portable and codegen-resident.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    toks = ws_tokens(text)
+    matches = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return matches.cast("double") / F.size(toks).cast("double")
+
+
+def lang_id(text: Column, threshold: float = 0.04) -> Column:
+    """N-gram/stopword heuristic language ID: flag as 'en' when the English
+    stopword ratio clears the threshold.  (Real profiles plug in as extra
+    stopword lists; the synthetic corpus only distinguishes en-like text.)"""
+    return F.when(stopword_ratio(text) >= threshold, "en").otherwise("unk")
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens, n_chars)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(ws_tokens(text)).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long").alias("n_bpe_tokens"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_tokens, punct_ratio, stopword_ratio, quality DOUBLE) — a
+    deterministic length/punctuation/stopword quality heuristic."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    n_toks = F.size(ws_tokens(text))
+    sw = stopword_ratio(text)
+    punct_ratio = n_punct.cast("double") / (n_chars.cast("double") + F.lit(1.0))
+    quality = sw * F.lit(0.5) + (F.lit(1.0) - punct_ratio) * F.lit(0.5)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_toks.cast("long").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        sw.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str, id_col: str,
+                    shingle_width: int = 4, prefix_len: int = 40) -> DataFrame:
+    """(id, fingerprint): winnowing-style document fingerprint — the minimum
+    md5 over character shingles (rolling-hash analog, engine-portable)."""
+    from .dedup import shingles
+
+    sh = shingles(df, text_col, id_col, shingle_width, prefix_len)
+    return sh.groupBy("id").agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))

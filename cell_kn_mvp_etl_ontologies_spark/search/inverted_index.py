@@ -1,0 +1,39 @@
+"""Materialized inverted index (SURVEY.md §2.9 text_inverted_index_view).
+
+The ArangoSearch view (`indexed`, ArangoDbUtilities.java:280-312) becomes a
+token-posting DataFrame: per configured (collection, field), tokenize with an
+analyzer and aggregate postings per token.  Batch overwrite replaces the 1 s
+commit/consolidate cadence; a query is a join on token.
+
+Scale: one shuffle keyed by token; postings lists are collect_set-bounded by
+document frequency — for web-scale corpora swap the list for a count/top-k
+summary or bucket postings by (token, shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    key_cols: list[str],
+    field_col: str,
+    analyzer: "callable[[Column], Column]",
+    analyzer_name: str = "text_en_no_stem",
+) -> DataFrame:
+    """(token, analyzer, field, n_docs, postings sorted array of keys)."""
+    key = F.concat_ws("/", *[F.col(c).cast("string") for c in key_cols])
+    tokens = docs.select(
+        key.alias("doc_key"), F.explode(analyzer(F.col(field_col))).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tokens.groupBy("token")
+        .agg(
+            F.countDistinct("doc_key").alias("n_docs"),
+            F.sort_array(F.collect_set("doc_key")).alias("postings"),
+        )
+        .withColumn("analyzer", F.lit(analyzer_name))
+        .withColumn("field", F.lit(field_col))
+    )

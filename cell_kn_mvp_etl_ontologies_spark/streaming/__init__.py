@@ -1,0 +1,1 @@
+from .file_stream import read_events_stream, run_stream_to_table

@@ -1,0 +1,48 @@
+"""Structured Streaming variants of the append-compatible operators
+(SURVEY.md §2.11).
+
+The reference is pure batch; these re-run the same declarative transforms
+over a file stream.  Tests/queries use ``trigger(availableNow=True)`` + a
+memory sink so a stream run is a bounded job; in production the same plans
+run continuously against an object-store drop zone with checkpointing.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with the same ns->NTZ
+    timestamp rebuild as the batch loader (io.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file streams need a directory source; glob-filter the one table out of
+    # the mixed-schema testdata dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*")
+        .parquet(sf_dir)
+    )
+    # LTZ (timestamp_micros), not NTZ: watermarks/event-time windows require
+    # TIMESTAMP type.  The container and driver sessions run UTC, so
+    # formatted output matches DuckDB's naive timestamps.
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Run a (bounded) stream to completion into a uniquely-named memory sink
+    and return the sink table."""
+    name = f"stream_sink_{uuid.uuid4().hex[:12]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return df.sparkSession.table(name)
