@@ -36,6 +36,12 @@ from . import register
 OBO = "http://purl.obolibrary.org/obo/"
 
 
+def _fixture_owl_dir() -> str:
+    from ..sources.owl_fixtures import write_fixture_dir
+
+    return write_fixture_dir(tempfile.mkdtemp(prefix="owl_fixtures_"))
+
+
 # --------------------------------------------------------------------------
 # join_flatten_restriction — golden flattened triples
 # --------------------------------------------------------------------------
@@ -213,6 +219,112 @@ def sink_side_output_edge_labels_q(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="edge_labels_")
     labels.write.mode("overwrite").option("header", "true").csv(out)
     return spark.read.option("header", "true").csv(out)
+
+
+# --------------------------------------------------------------------------
+# OWL sources (scan_xml_elements / scan_rdf_triples) + end-to-end pipeline
+# --------------------------------------------------------------------------
+@register(
+    "scan_xml_elements",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('macrophage', 'CL_0000235', '{OBO}CL_0000235', 'macrophage'),
+      ('macrophage', 'CL_0000576', '{OBO}CL_0000576', 'monocyte'),
+      ('macrophage', 'CL_0000999', '{OBO}CL_0000999', 'obsolete nurse cell'),
+      ('macrophage', 'BFO_0000004', '{OBO}BFO_0000004', 'independent continuant'),
+      ('ro', 'RO_0002202', '{OBO}RO_0002202', 'develops from'),
+      ('ro', 'RO_0002215', '{OBO}RO_0002215', 'capable of'),
+      ('ro', 'RO_0002175', '{OBO}RO_0002175', 'present in taxon'),
+      ('ro', 'RO_0002162', '{OBO}RO_0002162', 'in taxon'),
+      ('no-IAO_0000700-test', 'XAO_0000001', '{OBO}XAO_0000001', 'anatomical entity')
+    ) AS t(src_ontology, term, purl, label)
+    """,
+)
+def scan_xml_elements_q(spark, sf_dir):
+    """DOM element scan: owl:* elements with rdf:about + rdfs:label →
+    term dictionary rows.  Ref: OntologyElementParser.java:97-135."""
+    from ..sources.owl import scan_xml_elements
+
+    return scan_xml_elements(spark, _fixture_owl_dir())
+
+
+@register(
+    "scan_ontology_meta",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('macrophage', '{OBO}cl.owl', '{OBO}cl/releases/2024-09-26/cl.owl', NULL, '{OBO}CL_0000000'),
+      ('ro', '{OBO}ro.owl', '{OBO}ro/releases/2024-04-24/ro.owl', NULL, NULL),
+      ('version-info-test', 'http://example.org/version-info-test.owl',
+        'http://example.org/releases/2023-12-01/version-info-test.owl', '2024-01-15', NULL),
+      ('no-version-test', 'http://example.org/no-version-test.owl', NULL, NULL, NULL),
+      ('no-IAO_0000700-test', 'http://example.org/no-IAO_0000700-test.owl', NULL, NULL, NULL)
+    ) AS t(src_ontology, purl, version_iri, version_info, root)
+    """,
+)
+def scan_ontology_meta_q(spark, sf_dir):
+    """Per-file ontology metadata scan (title/description/purl/versionIRI/
+    versionInfo/root).  Ref: OntologyElementParser.java:146-184."""
+    from ..sources.owl import scan_ontology_meta
+
+    meta = scan_ontology_meta(spark, _fixture_owl_dir())
+    return meta.select("src_ontology", "purl", "version_iri", "version_info", "root")
+
+
+@register(
+    "scan_rdf_triples",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('macrophage.owl', 'iri', 20), ('macrophage.owl', 'bnode', 3), ('macrophage.owl', 'literal', 15),
+      ('ro.owl', 'iri', 6), ('ro.owl', 'literal', 4),
+      ('version-info-test.owl', 'iri', 2), ('version-info-test.owl', 'literal', 1),
+      ('no-version-test.owl', 'iri', 1),
+      ('no-IAO_0000700-test.owl', 'iri', 2), ('no-IAO_0000700-test.owl', 'literal', 1)
+    ) AS t(src_file, object_kind, n)
+    """,
+)
+def scan_rdf_triples_q(spark, sf_dir):
+    """Raw RDF/XML triple scan: per-file node-kind profile (bnode structure
+    preserved for the flattener).  Ref: OntologyTripleParser.java:62-121."""
+    from ..sources.owl import scan_rdf_triples
+
+    raw = scan_rdf_triples(spark, _fixture_owl_dir())
+    return raw.groupBy("src_file", "object_kind").agg(F.count(F.lit(1)).cast("int").alias("n"))
+
+
+@register(
+    "extract_triples_owl",
+    oracle="""
+    SELECT * FROM (VALUES ('iri', 7), ('literal', 14)) AS t(object_kind, n)
+    """,
+)
+def extract_triples_owl_q(spark, sf_dir):
+    """Full extraction chain from OWL files: root-ns classes, predicate
+    whitelist, restriction flattening, dedup.  Ref: OntologyTripleParser.java:62-171."""
+    from ..plans.extract import extract_triples
+
+    clean = extract_triples(spark, _fixture_owl_dir())
+    return clean.groupBy("object_kind").agg(F.count(F.lit(1)).cast("int").alias("n"))
+
+
+@register(
+    "owl_graph_end_to_end",
+    oracle=f"""
+    SELECT * FROM (VALUES {_EDGE_ROWS})
+    AS t(from_collection, from_key, to_collection, to_key, label, source)
+    """,
+)
+def owl_graph_end_to_end_q(spark, sf_dir):
+    """EP1 end to end: OWL directory → parse → extract → property graph;
+    edge set matches the reference's integration-test golden values
+    (OntologyGraphBuilderTest.java:371-399)."""
+    from ..plans.extract import ontology_graph_from_owl
+
+    g = ontology_graph_from_owl(spark, _fixture_owl_dir())
+    return g.edges.select(
+        "from_collection", "from_key", "to_collection", "to_key",
+        F.explode("labels").alias("label"),
+        F.element_at("sources", 1).alias("source"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,92 @@
+"""OWL → triples extraction plan (reference EP1 steps 1-3, EP2).
+
+Composes the binaryFile/mapInPandas scans with the reference's filter chain:
+root-namespace resolution, class filter, predicate whitelist, restriction
+flattening, validity filter, global dedup — all declarative DataFrame ops
+(SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import IAO_ROOT_TERM, KIND_IRI
+from ..operators.filters import filter_skip_file
+from ..plans.graph_build import clean_triples
+from ..sources.owl import OWL_NS, RDF_NS, scan_rdf_triples, scan_xml_elements
+from .graph_build import GraphBuildResult, build_graph
+
+RDF_TYPE = RDF_NS + "type"
+OWL_CLASS = OWL_NS + "Class"
+
+
+def derive_root_ns(raw: DataFrame) -> DataFrame:
+    """Per-file root namespace: the IAO_0000700 root term split at '_', else
+    the (deterministically min) class URI split at '_'.
+    Ref: OntologyTripleParser.java:130-150 (document-order 'first class'
+    replaced by min for reproducibility, SURVEY.md §2.4)."""
+    iao = raw.filter(F.col("predicate") == IAO_ROOT_TERM).groupBy("src_file").agg(
+        F.min(F.split(F.col("object_iri"), "_").getItem(0)).alias("declared_ns")
+    )
+    classes = (
+        raw.filter((F.col("predicate") == RDF_TYPE) & (F.col("object_iri") == OWL_CLASS))
+        .groupBy("src_file")
+        .agg(F.min(F.split(F.col("subject"), "_").getItem(0)).alias("fallback_ns"))
+    )
+    return classes.join(iao, "src_file", "left").select(
+        "src_file", F.coalesce("declared_ns", "fallback_ns").alias("root_ns")
+    )
+
+
+def extract_triples(
+    spark: SparkSession, path: str, test_object: bool = False, glob: str = "*.owl"
+) -> DataFrame:
+    """Clean triples from a directory of OWL files.
+
+    Chain (per file, all as one DataFrame DAG): raw RDF/XML scan → skip
+    ro.owl → keep statements of root-namespace classes (+ bnode statements
+    for the flattener) → predicate whitelist + restriction flattening +
+    global dedup (clean_triples) → validity filter (strict object check when
+    test_object).  Ref: OntologyTripleParser.java:62-121,159-171.
+    """
+    raw = scan_rdf_triples(spark, path, glob)
+    raw = filter_skip_file(raw)
+    root_ns = derive_root_ns(raw)
+
+    classes = (
+        raw.filter((F.col("predicate") == RDF_TYPE) & (F.col("object_iri") == OWL_CLASS))
+        .select("src_file", "subject")
+        .distinct()
+    )
+    class_stmts = raw.join(classes, on=["src_file", "subject"], how="left_semi")
+    class_stmts = class_stmts.join(root_ns, "src_file").filter(
+        F.col("subject").startswith(F.col("root_ns"))
+    )
+    # statements about bnodes feed the restriction flattener
+    bnode_stmts = raw.filter(F.col("subject").startswith("_:")).join(root_ns, "src_file")
+    kept = class_stmts.unionByName(bnode_stmts)
+
+    subject_ok = F.col("subject").contains(F.col("root_ns"))
+    if test_object:
+        object_named = F.col("object_kind") == KIND_IRI
+        object_ok = F.coalesce(F.col("object_iri").contains(F.col("root_ns")), F.lit(False))
+        valid = subject_ok & (~object_named | object_ok)
+    else:
+        valid = subject_ok
+    # clean first (whitelist + flatten + dedup), then validity — flattened
+    # triples must pass the same validity check (OntologyTripleParser.java:109-115)
+    cleaned = clean_triples(kept.drop("root_ns"), skip_dictionary_file=False)
+    return (
+        cleaned.join(root_ns, "src_file")
+        .filter(valid)
+        .drop("root_ns")
+    )
+
+
+def ontology_graph_from_owl(spark: SparkSession, path: str, test_object: bool = False) -> GraphBuildResult:
+    """Full EP1 pipeline: OWL directory → property graph.  The ro.owl term
+    dictionary is parsed with the element scan (broadcast downstream)."""
+    triples = extract_triples(spark, path, test_object)
+    ro_terms = scan_xml_elements(spark, path, glob="ro.owl")
+    return build_graph(triples, ro_terms)

@@ -1,0 +1,125 @@
+"""OWL source tests: golden assertions mirroring OntologyElementParserTest,
+OntologyTripleParserTest, and the end-to-end OntologyGraphBuilderTest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.plans.extract import (
+    derive_root_ns,
+    extract_triples,
+    ontology_graph_from_owl,
+)
+from cell_kn_mvp_etl_ontologies_spark.sources.owl import (
+    scan_ontology_meta,
+    scan_rdf_triples,
+    scan_xml_elements,
+)
+from cell_kn_mvp_etl_ontologies_spark.sources.owl_fixtures import write_fixture_dir
+
+OBO = "http://purl.obolibrary.org/obo/"
+
+
+@pytest.fixture(scope="module")
+def owl_dir(tmp_path_factory):
+    return write_fixture_dir(str(tmp_path_factory.mktemp("obo")))
+
+
+def test_scan_xml_elements_ro_dictionary(spark, owl_dir):
+    # OntologyElementParserTest.java:110-116
+    terms = scan_xml_elements(spark, owl_dir, glob="ro.owl")
+    got = {r["term"]: r["label"] for r in terms.collect()}
+    assert got["RO_0002202"] == "develops from"
+    assert got["RO_0002215"] == "capable of"
+    assert got["RO_0002175"] == "present in taxon"
+
+
+def test_scan_xml_elements_requires_label_and_about(spark, owl_dir):
+    terms = scan_xml_elements(spark, owl_dir, glob="no-version-test.owl")
+    assert terms.count() == 0  # ontology element has no label
+
+
+def test_scan_ontology_meta_golden(spark, owl_dir):
+    # OntologyElementParserTest.java:133-159 + OntologyDownloaderTest.java:18-44
+    meta = {r["src_ontology"]: r for r in scan_ontology_meta(spark, owl_dir).collect()}
+    mac = meta["macrophage"]
+    assert mac["purl"] == OBO + "cl.owl"
+    assert mac["version_iri"] == OBO + "cl/releases/2024-09-26/cl.owl"
+    assert mac["root"] == OBO + "CL_0000000"
+    assert meta["version-info-test"]["version_info"] == "2024-01-15"
+    assert meta["no-version-test"]["version_iri"] is None
+    assert meta["no-IAO_0000700-test"]["root"] is None
+
+
+def test_scan_rdf_triples_restriction_bnodes(spark, owl_dir):
+    raw = scan_rdf_triples(spark, owl_dir, glob="macrophage.owl")
+    sub = raw.filter(
+        (F.col("subject") == OBO + "CL_0000235")
+        & (F.col("predicate") == "http://www.w3.org/2000/01/rdf-schema#subClassOf")
+    )
+    kinds = {r["object_kind"] for r in sub.collect()}
+    assert kinds == {"iri", "bnode"}
+    assert sub.filter(F.col("object_kind") == "bnode").count() == 3
+    # every bnode has onProperty + someValuesFrom statements
+    bn = raw.filter(F.col("subject").startswith("_:"))
+    assert bn.filter(F.col("predicate").endswith("onProperty")).count() == 3
+    assert bn.filter(F.col("predicate").endswith("someValuesFrom")).count() == 3
+
+
+def test_derive_root_ns(spark, owl_dir):
+    raw = scan_rdf_triples(spark, owl_dir)
+    ns = {r["src_file"]: r["root_ns"] for r in derive_root_ns(raw).collect()}
+    # declared via IAO_0000700 (OntologyTripleParserTest.java:128-137)
+    assert ns["macrophage.owl"] == OBO + "CL"
+    # fallback: first/min class URI (OntologyTripleParserTest.java:139-147)
+    assert ns["no-IAO_0000700-test.owl"] == OBO + "XAO"
+
+
+def test_extract_triples_golden(spark, owl_dir):
+    clean = extract_triples(spark, owl_dir)
+    # macrophage subClassOf objects (OntologyTripleParserTest.java:38-55)
+    subs = {
+        r["object_iri"]
+        for r in clean.filter(
+            (F.col("subject") == OBO + "CL_0000235")
+            & (F.col("predicate").endswith("subClassOf"))
+        ).collect()
+    }
+    assert subs == {OBO + "CL_0000113", OBO + "CL_0000145", OBO + "CL_0000766"}
+    # flattened restrictions (OntologyTripleParserTest.java:58-85)
+    flat = {
+        (r["predicate"], r["object_iri"])
+        for r in clean.filter(F.col("predicate").startswith(OBO + "RO_")).collect()
+    }
+    assert (OBO + "RO_0002202", OBO + "CL_0000576") in flat
+    assert (OBO + "RO_0002215", OBO + "GO_0031268") in flat
+    # ro.owl skipped (OntologyTripleParserTest.java:99-112)
+    assert clean.filter(F.col("src_file") == "ro.owl").count() == 0
+    # BFO class outside root namespace excluded
+    assert clean.filter(F.col("subject").contains("BFO")).count() == 0
+
+
+def test_owl_graph_end_to_end(spark, owl_dir):
+    # OntologyGraphBuilderTest.java:316-417
+    g = ontology_graph_from_owl(spark, owl_dir)
+    mac = g.vertices.filter((F.col("collection") == "CL") & (F.col("key") == "0000235")).first()
+    assert mac["attrs"]["label"] == ["macrophage"]
+    assert len(mac["attrs"]["hasDbXref"]) == 6
+    edges = {
+        (r["to_collection"], r["to_key"], tuple(r["labels"]))
+        for r in g.edges.filter(F.col("from_key") == "0000235").collect()
+    }
+    assert ("CL", "0000576", ("DEVELOPS_FROM",)) in edges
+    assert ("GO", "0031268", ("CAPABLE_OF",)) in edges
+    assert ("NCBITaxon", "9606", ("PRESENT_IN_TAXON",)) in edges
+    assert {r["term"] for r in g.deprecated.collect()} == {"CL_0000999"}
+
+
+def test_strict_pass_object_filter(spark, owl_dir):
+    clean = extract_triples(spark, owl_dir, test_object=True)
+    # strict: named objects outside the root namespace are dropped
+    assert clean.filter(F.col("object_iri").contains("GO_")).count() == 0
+    assert clean.filter(F.col("object_iri").contains("NCBITaxon")).count() == 0
+    # literals unaffected
+    assert clean.filter(F.col("object_kind") == "literal").count() > 0
