@@ -23,7 +23,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from cell_kn_mvp_etl_ontologies_spark.io import load_table
+from cell_kn_mvp_etl_ontologies_spark.io import load_table, parallelize
 from cell_kn_mvp_etl_ontologies_spark.operators.asof import join_asof
 from cell_kn_mvp_etl_ontologies_spark.operators.dedup import dedup_minhash_lsh
 from cell_kn_mvp_etl_ontologies_spark.operators.similarity import similarity_topk
@@ -72,7 +72,10 @@ def q3_top_revenue(spark):
 def graph_pivot(spark):
     """Triples-shaped pipeline on lineitem: dedup then long->MAP pivot (the
     vertex-document assembly shape)."""
-    li = load_table(spark, SF_DIR, "lineitem")
+    # hash-repartition by the aggregation key: one exchange satisfies the
+    # dedup AND both pivot aggregations (their grouping keys all contain id),
+    # and it restores parallelism lost to the single-row-group scan
+    li = load_table(spark, SF_DIR, "lineitem").repartition(CPUS * 2, "l_orderkey")
     rows = li.select(
         F.col("l_orderkey").alias("id"),
         F.col("l_linenumber").cast("string").alias("number"),
@@ -93,7 +96,7 @@ def minhash_dedup(spark):
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     return dedup_minhash_lsh(
-        docs.unionByName(dups), "text", "doc_id",
+        parallelize(docs.unionByName(dups)), "text", "doc_id",
         shingle_width=5, prefix_len=200, n_hashes=8, n_bands=4,
     )
 
@@ -101,7 +104,7 @@ def minhash_dedup(spark):
 def cosine_topk(spark):
     em = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
     q = em.filter(F.col("vec_id") < 50)
-    return similarity_topk(q, em, k=10, quantized=False)
+    return similarity_topk(q, parallelize(em), k=10, quantized=False)
 
 
 def running_windows(spark):
@@ -121,7 +124,7 @@ def asof_events(spark):
 
 
 def inverted_index(spark):
-    docs = load_table(spark, SF_DIR, "documents")
+    docs = parallelize(load_table(spark, SF_DIR, "documents"))
     return build_inverted_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
 
 

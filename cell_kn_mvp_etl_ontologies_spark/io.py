@@ -35,6 +35,18 @@ TABLES = [
 NS_TIMESTAMP_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+def parallelize(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition to restore parallelism after an unsplittable
+    scan.  The synthetic testdata ships one row group per file, so parquet
+    scans are single-task regardless of maxPartitionBytes; CPU-heavy
+    downstream stages (shingling, hashing, vector math) would otherwise run
+    on one core.  Worth one small shuffle only when per-row compute dominates
+    — cheap scan+agg queries should NOT use this.  On real multi-row-group
+    data this is a no-op decision made by the caller."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(n or sc.defaultParallelism * 2)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     configure(spark)

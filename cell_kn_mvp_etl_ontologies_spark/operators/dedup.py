@@ -28,16 +28,27 @@ def dedup_exact_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, width: int, prefix_len: int | None = None) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int,
+    prefix_len: int | None = None,
+    distinct: bool = True,
+) -> DataFrame:
     """(id, shingle) pairs: character shingles of the (optionally truncated)
-    text.  Truncation bounds work per row for fixed benchmarking cost."""
+    text.  ``distinct=False`` skips the set-dedup shuffle for consumers that
+    are duplicate-insensitive (MIN-based MinHash): the biggest intermediate
+    in the pipeline then never shuffles at all — partial aggregation folds it
+    map-side."""
     src = F.col(text_col)
     if prefix_len is not None:
         src = F.substring(src, 1, prefix_len)
-    return df.select(
+    out = df.select(
         F.col(id_col).alias("id"),
         F.explode(char_ngrams(src, width, width, preserve_original=False)).alias("shingle"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int) -> DataFrame:
@@ -55,17 +66,18 @@ def minhash_signatures(sh: DataFrame, n_hashes: int) -> DataFrame:
 
 
 def minhash_band_keys(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
-    """(id, band_key) rows; band_key = md5(band || member sig values)."""
+    """(id, band_key) rows; band_key = md5(band || member sig values).
+
+    Emitted via a single explode over an array of band expressions — a
+    per-band union would re-evaluate the whole signature-aggregation subplan
+    once per band (4 bands = 4 redundant aggregations in the physical plan).
+    """
     rows_per_band = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
         members = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(F.md5(F.concat_ws("|", F.lit(str(b)), *members)).alias("band_key"))
-    pairs = [sigs.select("id", band) for band in bands]
-    out = pairs[0]
-    for p in pairs[1:]:
-        out = out.unionByName(p)
-    return out
+        bands.append(F.md5(F.concat_ws("|", F.lit(str(b)), *members)))
+    return sigs.select("id", F.explode(F.array(*bands)).alias("band_key"))
 
 
 def dedup_minhash_lsh(
@@ -83,7 +95,9 @@ def dedup_minhash_lsh(
     candidates come from a self-join on band_key — the join key space is the
     band hash, so skew only arises from genuinely duplicate content.
     """
-    sigs = minhash_signatures(shingles(df, text_col, id_col, shingle_width, prefix_len), n_hashes)
+    sigs = minhash_signatures(
+        shingles(df, text_col, id_col, shingle_width, prefix_len, distinct=False), n_hashes
+    )
     bands = minhash_band_keys(sigs, n_hashes, n_bands)
     a = bands.select(F.col("id").alias("a"), "band_key")
     b = bands.select(F.col("id").alias("b"), "band_key")
