@@ -34,6 +34,63 @@ def stream_dedup_watermark_q(spark, sf_dir):
 
 
 @register(
+    "stream_window_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n
+    FROM islands GROUP BY user_id, session_id
+    """,
+)
+def stream_window_session_q(spark, sf_dir):
+    """Session-window aggregation (10-minute gap) — stateful merging windows;
+    oracle reproduces the gaps-and-islands equivalent in batch SQL."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        F.session_window("ts", "10 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = run_stream_to_table(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n",
+    )
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals_q(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    totals with explicit GroupState (SURVEY.md §2.11 extension surface)."""
+    from ..streaming.stateful import stateful_user_totals
+
+    stream = read_events_stream(spark, sf_dir).select("user_id", "value")
+    out = run_stream_to_table(stateful_user_totals(stream), output_mode="update")
+    return out.select(
+        "user_id", "n_events", F.round("total_value", 2).cast("double").alias("total_value")
+    )
+
+
+@register(
     "stream_window_tumbling",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

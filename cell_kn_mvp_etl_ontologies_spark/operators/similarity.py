@@ -111,6 +111,52 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95) -> DataFrame
     )
 
 
+def hyperplane_lsh_bucket_quantized(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, seed: int = 42, scale: int = 1000
+) -> DataFrame:
+    """Exact-deterministic random-hyperplane LSH bucket over the quantized
+    vector: plane component for (plane p, dim d) = 2*h - 65535 where h is the
+    first-4-hex-chars value of md5(seed|p|d) — an odd integer, so the dot
+    product is a nonzero-biased exact integer and the sign bit is identical
+    in any engine.  Bucket id packs the n_planes sign bits.
+
+    This is the scale path for cosine search: candidate generation joins on
+    bucket id (vectors at small angles agree on most sign bits), cutting the
+    exact-scoring join from O(N·Q) to per-bucket."""
+    qv = quantize_vec(F.col(vec_col), scale)
+
+    def plane_dot(p: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                qv,
+                F.sequence(F.lit(0), F.size(qv) - 1),
+                lambda x, d: x
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("|", F.lit(str(seed)), p.cast("string"), d.cast("string"))),
+                            1,
+                            4,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    * 2
+                    - 65535
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(plane_dot(p) > 0, F.pow(F.lit(2.0), p.cast("double")).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    bucket = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.withColumn("lsh_bucket", bucket)
+
+
 def hyperplane_lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 16, seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH bucket id (scale path for cosine search).
 
