@@ -455,6 +455,140 @@ def agg_approx_distinct_q(spark, sf_dir):
 
 
 @register(
+    "similarity_ann_lsh",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+    {quant}
+    , planes AS (
+      SELECT p.p, q.i,
+             (('0x' || substring(md5('42' || '|' || CAST(p.p AS VARCHAR) || '|' ||
+               CAST(q.i - 1 AS VARCHAR)), 1, 4))::BIGINT * 2 - 65535) AS w
+      FROM generate_series(0, 3) p(p), generate_series(1, 64) q(i)
+    ),
+    pd AS (
+      SELECT q.vec_id, pl.p, SUM(q.v * pl.w) AS dot
+      FROM quant q JOIN planes pl ON pl.i = q.i
+      GROUP BY q.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS bucket
+      FROM pd GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS t_id
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    dots AS (
+      SELECT c.q_id, c.t_id, SUM(x.v * y.v) AS dot
+      FROM cand c JOIN quant x ON x.vec_id = c.q_id
+      JOIN quant y ON y.vec_id = c.t_id AND y.i = x.i
+      GROUP BY c.q_id, c.t_id
+    ),
+    scored AS (
+      SELECT q_id, t_id,
+             CAST(dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) AS cos
+      FROM dots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = t_id
+    )
+    SELECT q_id, t_id, cos, rnk FROM (
+      SELECT q_id, t_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """.format(quant=_QUANT_SQL),
+)
+def similarity_ann_lsh_q(spark, sf_dir):
+    """ANN scale path: hyperplane-LSH bucketing for candidate generation,
+    exact quantized cosine + top-k only within buckets — the per-bucket join
+    replaces the O(N·Q) cross product of similarity_topk."""
+    from ..operators.similarity import (
+        _dot_long,
+        hyperplane_lsh_bucket_quantized,
+        quantize_vec,
+    )
+    from ..operators.windows import window_rank_topk
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120).select("vec_id", "embedding")
+    b = hyperplane_lsh_bucket_quantized(em, "embedding", n_planes=4, seed=42).select(
+        "vec_id",
+        quantize_vec(F.col("embedding")).alias("qv"),
+        "lsh_bucket",
+    ).withColumn("norm_sq", _dot_long(F.col("qv"), F.col("qv")))
+    q = b.select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_vec"),
+        F.col("norm_sq").alias("q_norm"), "lsh_bucket",
+    )
+    t = b.select(
+        F.col("vec_id").alias("t_id"), F.col("qv").alias("t_vec"),
+        F.col("norm_sq").alias("t_norm"), "lsh_bucket",
+    )
+    pairs = q.join(t, on="lsh_bucket").filter(F.col("q_id") != F.col("t_id"))
+    scored = pairs.select(
+        "q_id",
+        "t_id",
+        (
+            _dot_long(F.col("q_vec"), F.col("t_vec")).cast("double")
+            / F.sqrt(F.col("q_norm").cast("double") * F.col("t_norm").cast("double"))
+        ).alias("cos"),
+    )
+    out = window_rank_topk(
+        scored, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], 3, rank_col="rnk"
+    )
+    return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
+# --------------------------------------------------------------------------
+# UDF extension surface (SURVEY.md §2.12 udf_surface)
+# --------------------------------------------------------------------------
+@register(
+    "udf_surface",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40)
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, string_split(text, ' ')[i] AS token,
+           CAST(doc_id AS VARCHAR) AS uri_base
+    FROM docs, generate_series(1, 2000) t(i)
+    WHERE i <= len(string_split(text, ' '))
+    """,
+)
+def udf_surface_q(spark, sf_dir):
+    """Python UDTF (lateral tokenize) + scalar pandas UDF (URI basename) in
+    one plan — the engine's sanctioned Python extension points; everything
+    else in the catalog stays on built-in expressions."""
+    from ..operators.udfs import TokenizeUDTF, uri_basename_udf
+
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select("doc_id", "text")
+    docs.createOrReplaceTempView("udf_surface_docs")
+    toks = spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM udf_surface_docs d, LATERAL tokenize_udtf(d.text) t"
+    )
+    return toks.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "token",
+        uri_basename_udf(
+            F.concat(F.lit("http://example.org/doc/"), F.col("doc_id").cast("string"))
+        ).alias("uri_base"),
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT o_orderstatus, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def udf_grouped_agg_q(spark, sf_dir):
+    """Grouped-aggregate pandas UDF: exact integer-cents total per order
+    status (Arrow-batched; round-then-int per element is cross-engine exact)."""
+    from ..operators.udfs import cents_sum_udf
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(cents_sum_udf("o_totalprice").alias("cents"))
+
+
+@register(
     "join_asof_events",
     oracle="""
     WITH o AS (
