@@ -73,17 +73,23 @@ def dedup_exact_hash_q(spark, sf_dir):
       FROM corpus, generate_series(1, 56) t(i)
       WHERE i <= greatest(length(substring(text, 1, 60)) - 4, 0)
     ),
+    hs AS (
+      SELECT id,
+             ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh
+    ),
     sigs AS (
       SELECT id,
-        MIN(md5('0' || '|' || shingle)) AS sig_0, MIN(md5('1' || '|' || shingle)) AS sig_1,
-        MIN(md5('2' || '|' || shingle)) AS sig_2, MIN(md5('3' || '|' || shingle)) AS sig_3,
-        MIN(md5('4' || '|' || shingle)) AS sig_4, MIN(md5('5' || '|' || shingle)) AS sig_5
-      FROM sh GROUP BY id
+        MIN(h1 + 0 * h2) AS sig_0, MIN(h1 + 1 * h2) AS sig_1,
+        MIN(h1 + 2 * h2) AS sig_2, MIN(h1 + 3 * h2) AS sig_3,
+        MIN(h1 + 4 * h2) AS sig_4, MIN(h1 + 5 * h2) AS sig_5
+      FROM hs GROUP BY id
     ),
     bands AS (
-      SELECT id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band_key FROM sigs
-      UNION ALL SELECT id, md5('1' || '|' || sig_2 || '|' || sig_3) FROM sigs
-      UNION ALL SELECT id, md5('2' || '|' || sig_4 || '|' || sig_5) FROM sigs
+      SELECT id, md5('0' || '|' || CAST(sig_0 AS VARCHAR) || '|' || CAST(sig_1 AS VARCHAR)) AS band_key FROM sigs
+      UNION ALL SELECT id, md5('1' || '|' || CAST(sig_2 AS VARCHAR) || '|' || CAST(sig_3 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT id, md5('2' || '|' || CAST(sig_4 AS VARCHAR) || '|' || CAST(sig_5 AS VARCHAR)) FROM sigs
     )
     SELECT DISTINCT x.id AS a, y.id AS b
     FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.id < y.id

@@ -40,13 +40,31 @@ def agg_pivot_vertex_attrs(literal_triples: DataFrame) -> DataFrame:
     Ref: OntologyGraphBuilder.java:194-234 (nondeterministic scalar overwrite,
     replaced by sorted-set policy per SURVEY.md §2.4).
     """
-    per_attr = literal_triples.groupBy("id", "number", "attr").agg(
-        F.sort_array(F.collect_set("value")).alias("values")
+    # ONE aggregation, not two: collect the (attr, value) pairs per vertex,
+    # then regroup into MAP<attr, ARRAY<value>> with codegen'd array
+    # expressions.  A per-(id,number,attr) pre-aggregation is a second full
+    # ObjectHashAggregate chain over nearly-unchanged cardinality (attribute
+    # rows per vertex are few) — the array regroup does the same work
+    # JVM-side within the row.  Entries are sorted by (attr, value), so
+    # array_distinct yields attrs in ascending order and filter preserves
+    # sorted values — identical output to the two-level formulation.
+    entries = F.sort_array(F.collect_set(F.struct("attr", "value")))
+    regroup = F.map_from_entries(
+        F.transform(
+            F.array_distinct(F.transform(F.col("entries"), lambda e: e["attr"])),
+            lambda a: F.struct(
+                a.alias("attr"),
+                F.transform(
+                    F.filter(F.col("entries"), lambda e: e["attr"] == a),
+                    lambda e: e["value"],
+                ).alias("values"),
+            ),
+        )
     )
-    return per_attr.groupBy("id", "number").agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("attr", "values")))
-        ).alias("attrs")
+    return (
+        literal_triples.groupBy("id", "number")
+        .agg(entries.alias("entries"))
+        .select("id", "number", regroup.alias("attrs"))
     )
 
 

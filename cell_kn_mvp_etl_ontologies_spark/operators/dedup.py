@@ -52,14 +52,22 @@ def shingles(
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int) -> DataFrame:
-    """Per-id MinHash signature: sig[k] = MIN(md5(k || '|' || shingle)).
+    """Per-id MinHash signature: sig[k] = MIN(h1 + k*h2) where h1/h2 are the
+    first/second 8 hex chars of md5(shingle) as integers (Kirsch-Mitzenmacher
+    double hashing, the same family Spark ML's MinHashLSH uses).
 
-    Min over md5 hex strings is a valid uniform min-hash (lexicographic order
-    on a uniformly distributed hex digest) and is engine-portable — no
-    modular arithmetic, no engine-native hash.
+    ONE digest per shingle row — deriving the k-th function arithmetically
+    instead of hashing k times cuts the signature stage's md5 count by
+    n_hashes× (the pipeline's dominant cost).  Integer arithmetic is exact
+    and engine-portable: h1,h2 < 2^32 and k < 2^16, so h1 + k*h2 < 2^49
+    never overflows BIGINT in any engine.
     """
+    d = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    sh = sh.select("id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(k)), F.col("shingle")))).alias(f"sig_{k}")
+        F.min(F.col("h1") + F.lit(k) * F.col("h2")).alias(f"sig_{k}")
         for k in range(n_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -75,7 +83,10 @@ def minhash_band_keys(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame
     rows_per_band = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
-        members = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        members = [
+            F.col(f"sig_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         bands.append(F.md5(F.concat_ws("|", F.lit(str(b)), *members)))
     return sigs.select("id", F.explode(F.array(*bands)).alias("band_key"))
 

@@ -28,12 +28,18 @@ def build_inverted_index(
     tokens = docs.select(
         key.alias("doc_key"), F.explode(analyzer(F.col(field_col))).alias("token")
     ).filter(F.col("token") != "")
+    # n_docs = size(postings), NOT countDistinct: count(distinct) alongside
+    # collect_set makes Spark plan a two-exchange distinct-aggregate
+    # (shuffle by (token, doc_key), re-shuffle by token); the set is already
+    # distinct, so sizing it afterwards keeps the plan at ONE exchange.
     return (
         tokens.groupBy("token")
-        .agg(
-            F.countDistinct("doc_key").alias("n_docs"),
-            F.sort_array(F.collect_set("doc_key")).alias("postings"),
+        .agg(F.sort_array(F.collect_set("doc_key")).alias("postings"))
+        .select(
+            "token",
+            F.size("postings").cast("long").alias("n_docs"),
+            "postings",
+            F.lit(analyzer_name).alias("analyzer"),
+            F.lit(field_col).alias("field"),
         )
-        .withColumn("analyzer", F.lit(analyzer_name))
-        .withColumn("field", F.lit(field_col))
     )
