@@ -49,3 +49,4 @@ def load_all() -> None:
     from . import ontology  # noqa: F401
     from . import extensions  # noqa: F401
     from . import streaming  # noqa: F401
+    from . import fine_grained  # noqa: F401

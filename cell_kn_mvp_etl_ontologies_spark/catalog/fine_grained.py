@@ -1,0 +1,355 @@
+"""Exact-ID queries for SURVEY.md §2 rows whose behavior is otherwise only
+exercised inside combined queries (fn_uri_parse, fn_doc_id_helpers,
+agg_dedup_edges, text_inverted_index, ...).
+
+Each §2 operator ID gets its own oracle-checked entry so the coverage
+checklist maps 1:1 onto CORRECTNESS results — no ID has to be traced into a
+composite query to see it verified.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..fixtures import fixture_ro_terms, fixture_triples
+from ..functions import (
+    fn_doc_collection_name,
+    fn_doc_key,
+    fn_make_edge_key,
+    fn_make_vertex_id,
+    fn_pred_last_path,
+    fn_term_split,
+    fn_uri_basename,
+    fn_uri_fragment,
+    fn_uri_rewrite_special,
+    fn_version_newer,
+)
+from ..io import load_table
+from ..plans import build_graph
+from ..search import build_inverted_index, text_en_no_stem_tokens
+from ..sinks.graph import read_graph_vertices, write_graph
+from . import QUERIES, ORACLES, register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# §2.8 scalar functions, one ID per query
+# --------------------------------------------------------------------------
+@register(
+    "fn_uri_basename",
+    oracle="""
+    SELECT doc_id, 'CL_' || CAST(doc_id AS VARCHAR) AS basename FROM documents
+    """,
+)
+def fn_uri_basename_q(spark, sf_dir):
+    """Last path segment (OntologyGraphBuilder.java:81-85), incl. fragment
+    stripping and trailing-slash trim."""
+    docs = _t(spark, sf_dir, "documents")
+    uri = F.concat(
+        F.lit("http://purl.obolibrary.org/obo/CL_"), F.col("doc_id").cast("string")
+    )
+    # odd ids get a #fragment, which basename must ignore
+    uri = F.when(F.col("doc_id") % 2 == 1, F.concat(uri, F.lit("#frag"))).otherwise(uri)
+    return docs.select("doc_id", fn_uri_basename(uri).alias("basename"))
+
+
+@register(
+    "fn_uri_fragment",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'f' || CAST(doc_id AS VARCHAR) END AS fragment
+    FROM documents
+    """,
+)
+def fn_uri_fragment_q(spark, sf_dir):
+    """#fragment extraction, NULL when absent (OntologyGraphBuilder.java:115)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(F.lit("http://www.w3.org/2000/01/rdf-schema"))
+    uri = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(base, F.lit("#f"), F.col("doc_id").cast("string")),
+    ).otherwise(base)
+    return docs.select("doc_id", fn_uri_fragment(uri).alias("fragment"))
+
+
+@register(
+    "fn_pred_last_path",
+    oracle="""
+    SELECT doc_id, 'RO_' || CAST(doc_id AS VARCHAR) AS token FROM documents
+    """,
+)
+def fn_pred_last_path_q(spark, sf_dir):
+    """Last path token for fragment-less predicate URIs
+    (OntologyGraphBuilder.java:117-119)."""
+    docs = _t(spark, sf_dir, "documents")
+    uri = F.concat(F.lit("http://purl.obolibrary.org/obo/RO_"), F.col("doc_id").cast("string"))
+    return docs.select("doc_id", fn_pred_last_path(uri).alias("token"))
+
+
+@register(
+    "fn_uri_rewrite_special",
+    oracle="""
+    SELECT doc_id,
+      CASE doc_id % 3
+        WHEN 0 THEN 'http://x.org/PCLCS_' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN 'http://x.org/ENSG_' || CAST(doc_id AS VARCHAR)
+        ELSE 'http://x.org/obo/CL_' || CAST(doc_id AS VARCHAR)
+      END AS rewritten
+    FROM documents
+    """,
+)
+def fn_uri_rewrite_special_q(spark, sf_dir):
+    """/pcl/CS -> /PCLCS_ and /ensembl/ENSG -> /ENSG_ first-occurrence
+    rewrites (OntologyElementParser.java:41-44,77-87)."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 3
+    uri = (
+        F.when(k == 0, F.concat(F.lit("http://x.org/pcl/CS"), F.col("doc_id").cast("string")))
+        .when(k == 1, F.concat(F.lit("http://x.org/ensembl/ENSG"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("http://x.org/obo/CL_"), F.col("doc_id").cast("string")))
+    )
+    return docs.select("doc_id", fn_uri_rewrite_special(uri).alias("rewritten"))
+
+
+@register(
+    "fn_term_split",
+    oracle="""
+    SELECT doc_id,
+      CASE doc_id % 4 WHEN 0 THEN 'CL' WHEN 1 THEN 'GO' END AS id,
+      CASE doc_id % 4
+        WHEN 0 THEN CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN CAST(doc_id AS VARCHAR)
+      END AS number
+    FROM documents
+    """,
+)
+def fn_term_split_q(spark, sf_dir):
+    """2-token split on _ else : with invalid shapes yielding NULLs
+    (OntologyGraphBuilder.java:86-99)."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 4
+    term = (
+        F.when(k == 0, F.concat(F.lit("CL_"), F.col("doc_id").cast("string")))
+        .when(k == 1, F.concat(F.lit("GO:"), F.col("doc_id").cast("string")))
+        .when(k == 2, F.lit("noseparator"))
+        .otherwise(F.concat(F.lit("A_B_C_"), F.col("doc_id").cast("string")))  # >2 tokens
+    )
+    return docs.select("doc_id", fn_term_split(term).alias("st")).select(
+        "doc_id", F.col("st.id").alias("id"), F.col("st.number").alias("number")
+    )
+
+
+@register(
+    "fn_make_vertex_id",
+    oracle="""
+    SELECT doc_id,
+           source || '/' || CAST(doc_id AS VARCHAR) AS vertex_id,
+           CAST(doc_id AS VARCHAR) || '-' || CAST(doc_id + 1 AS VARCHAR) AS edge_key
+    FROM documents
+    """,
+)
+def fn_make_vertex_id_q(spark, sf_dir):
+    """{id}/{number} vertex ids and {fromNum}-{toNum} edge keys
+    (OntologyGraphBuilder.java:382,387-389)."""
+    docs = _t(spark, sf_dir, "documents")
+    num = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        fn_make_vertex_id(F.col("source"), num).alias("vertex_id"),
+        fn_make_edge_key(num, (F.col("doc_id") + 1).cast("string")).alias("edge_key"),
+    )
+
+
+@register(
+    "fn_doc_collection_name",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 <> 0 THEN source END AS collection
+    FROM documents
+    """,
+)
+def fn_doc_collection_name_q(spark, sf_dir):
+    """Prefix before first '/', NULL without one
+    (OntologyGraphBuilder.java:415-421)."""
+    docs = _t(spark, sf_dir, "documents")
+    full_id = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("source"))
+    return docs.select("doc_id", fn_doc_collection_name(full_id).alias("collection"))
+
+
+@register(
+    "fn_doc_key",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 <> 0 THEN CAST(doc_id AS VARCHAR) END AS key
+    FROM documents
+    """,
+)
+def fn_doc_key_q(spark, sf_dir):
+    """Suffix after first '/', NULL without one
+    (OntologyGraphBuilder.java:430-436)."""
+    docs = _t(spark, sf_dir, "documents")
+    full_id = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("source"))
+    return docs.select("doc_id", fn_doc_key(full_id).alias("key"))
+
+
+@register(
+    "fn_contains",
+    oracle="""
+    SELECT doc_id,
+           contains(text, 'the') AS has_rootns,
+           contains(text, 'obsolete') AS is_obsolete
+    FROM documents
+    """,
+)
+def fn_contains_q(spark, sf_dir):
+    """Substring membership checks (OntologyTripleParser.java:43-46,
+    OntologyGraphBuilder.java:257-258)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").contains("the").alias("has_rootns"),
+        F.col("text").contains("obsolete").alias("is_obsolete"),
+    )
+
+
+@register(
+    "fn_version_newer",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') > '1996-06-15' AS is_newer
+    FROM orders
+    """,
+)
+def fn_version_newer_q(spark, sf_dir):
+    """Lexicographic ISO-date compare (OntologyDownloader.java:113)."""
+    o = _t(spark, sf_dir, "orders")
+    new_ver = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return o.select(
+        "o_orderkey", fn_version_newer(new_ver, F.lit("1996-06-15")).alias("is_newer")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 / §2.9 / §2.10 aliases and DDL surfaces
+# --------------------------------------------------------------------------
+# agg_dedup_edges_last_wins is the §2.4 row name for the edge-dedup operator
+# registered as agg_dedup_edges (sorted-set policy per SURVEY §2.4) — same
+# query, both IDs oracle-checked.
+def _alias(new_id: str, existing_id: str) -> None:
+    QUERIES[new_id] = QUERIES[existing_id]
+    if existing_id in ORACLES:
+        ORACLES[new_id] = ORACLES[existing_id]
+
+
+@register(
+    "ddl_database_graph",
+    oracle="""
+    SELECT * FROM (VALUES ('CL', 5), ('GO', 1), ('NCBITaxon', 1)) AS t(collection, n)
+    """,
+)
+def ddl_database_graph_q(spark, sf_dir):
+    """Idempotent database/graph/collection DDL (ArangoDbUtilities.java:80-212,
+    drop-recreate OntologyGraphBuilder.java:511-517) as the
+    {root}/{database}/{graph}/{collection} parquet layout: write the graph
+    twice (drop-recreate = mode overwrite), read back through the catalog
+    path helpers."""
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    root = tempfile.mkdtemp(prefix="graph_ddl_")
+    # run the DDL twice to prove idempotence (second overwrite == recreate)
+    write_graph(g.vertices, g.edges, root, "Cell-KN-Ontologies", "KN-Ontologies-v2.0")
+    write_graph(g.vertices, g.edges, root, "Cell-KN-Ontologies", "KN-Ontologies-v2.0")
+    back = read_graph_vertices(spark, root, "Cell-KN-Ontologies", "KN-Ontologies-v2.0")
+    return back.groupBy("collection").agg(F.count(F.lit(1)).cast("int").alias("n"))
+
+
+@register(
+    "text_inverted_index_view",
+    oracle="""
+    WITH cfg AS (
+      SELECT * FROM (VALUES ('documents', 'text'), ('documents', 'source')) AS t(collection, field)
+    ),
+    toks AS (
+      SELECT 'text' AS field, t.tok AS token, CAST(doc_id AS VARCHAR) AS doc_key
+      FROM (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 60) src,
+        LATERAL unnest(string_split_regex(s, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+      UNION ALL
+      SELECT 'source' AS field, lower(source) AS token, CAST(doc_id AS VARCHAR) AS doc_key
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT field, token, COUNT(DISTINCT doc_key) AS n_docs
+    FROM toks
+    WHERE field IN (SELECT field FROM cfg)
+    GROUP BY field, token
+    """,
+)
+def text_inverted_index_view_q(spark, sf_dir):
+    """Config-driven search view (ArangoDbUtilities.java:280-312 + the JSON
+    collection-maps config): one inverted index per configured (collection,
+    field), unioned into the view."""
+    import json
+
+    config = json.loads(
+        '{"maps": [["documents", {"individual_fields":'
+        ' [{"field_to_display": "text"}, {"field_to_display": "source"}]}]]}'
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    fields = [
+        f["field_to_display"]
+        for coll, spec in config["maps"]
+        for f in spec["individual_fields"]
+    ]
+    parts = []
+    for field in fields:
+        idx = build_inverted_index(docs, ["doc_id"], field, text_en_no_stem_tokens)
+        parts.append(
+            idx.select(
+                F.lit(field).alias("field"), "token", F.col("n_docs").cast("long").alias("n_docs")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "text_search_ddl",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT t.tok AS token, CAST(doc_id AS VARCHAR) AS doc_key
+      FROM (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 40) src,
+        LATERAL unnest(string_split_regex(s, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    )
+    SELECT COUNT(DISTINCT token) AS n_tokens, COUNT(*) AS n_postings FROM toks
+    """,
+)
+def text_search_ddl_q(spark, sf_dir):
+    """Idempotent analyzer/view create-overwrite (ArangoDbUtilities.java:
+    219-270,319-326): materialize the index table twice with mode overwrite,
+    read back totals — double-apply must equal single-apply."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    idx = build_inverted_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
+    out = tempfile.mkdtemp(prefix="search_ddl_") + "/indexed"
+    idx.write.mode("overwrite").parquet(out)
+    idx.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.size("postings")).alias("n_postings"),
+    )
+
+
+_alias("agg_dedup_edges_last_wins", "agg_dedup_edges")
