@@ -543,6 +543,45 @@ def similarity_ann_lsh_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Skew mitigation (100 TB posture): salted aggregation + salted join
+# --------------------------------------------------------------------------
+@register(
+    "agg_salted_hot_key",
+    oracle="SELECT DISTINCT event_type, user_id FROM events",
+)
+def agg_salted_hot_key_q(spark, sf_dir):
+    """Two-phase salted collect_set over a hot grouping key (event_type has
+    ~5 distinct values — every one is hot): per-salt bounded sets, array-
+    merged per key.  Result equals the unsalted aggregate (verified by
+    re-exploding)."""
+    from ..operators.skew import salted_collect_set
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_collect_set(ev, ["event_type"], "user_id", n_salts=8)
+    return out.select("event_type", F.explode("values").alias("user_id"))
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT e.event_id, n.n_name
+    FROM (SELECT event_id, user_id % 25 AS k FROM events) e
+    JOIN (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM nation) n USING (k)
+    """,
+)
+def join_salted_skew_q(spark, sf_dir):
+    """Salt-and-replicate skew join: big side salted, small side replicated
+    n_salts×, hot keys spread over n_salts reducers."""
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", (F.col("user_id") % 25).alias("k"))
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), "n_name"
+    )
+    return salted_join(ev, nat, ["k"], n_salts=8).select("event_id", "n_name")
+
+
+# --------------------------------------------------------------------------
 # UDF extension surface (SURVEY.md §2.12 udf_surface)
 # --------------------------------------------------------------------------
 @register(
