@@ -1,0 +1,100 @@
+"""Plan-shape regression tests: the scale properties documented in SCALE.md,
+asserted against `.explain`/physical-plan text so they cannot silently
+regress.  These don't measure time — they pin the *structure* Catalyst
+produces (exchange counts, broadcast strategies, scan pushdown)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.io import load_table
+from cell_kn_mvp_etl_ontologies_spark.operators.aggregates import agg_pivot_vertex_attrs
+from cell_kn_mvp_etl_ontologies_spark.operators.joins import join_ro_label_lookup
+from cell_kn_mvp_etl_ontologies_spark.search import (
+    build_inverted_index,
+    text_en_no_stem_tokens,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def plan_text(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_text(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def count_exchanges(df) -> int:
+    # exclude reused exchanges; count physical shuffle boundaries
+    return sum(
+        1
+        for line in plan_text(df).splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line
+    )
+
+
+def test_parquet_filter_pushdown(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    q = li.filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_partkey")
+    txt = plan_text(q)
+    assert "EqualTo(l_orderkey,42)" in txt.split("PushedFilters:")[1]
+    # column pruning: scan schema carries only the two referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in txt
+
+
+def test_pivot_is_single_exchange(spark):
+    rows = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("id"),
+        F.col("l_linenumber").cast("string").alias("number"),
+        F.col("l_returnflag").alias("attr"),
+        F.col("l_linestatus").alias("value"),
+    )
+    assert count_exchanges(agg_pivot_vertex_attrs(rows)) == 1
+
+
+def test_dictionary_join_is_broadcast(spark):
+    facts = load_table(spark, SF_DIR, "orders").withColumn(
+        "pred_token", F.col("o_custkey").cast("string")
+    )
+    dim = (
+        load_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(F.col("c_custkey").cast("string").alias("term"), F.col("c_name").alias("label"))
+    )
+    out = join_ro_label_lookup(facts, dim, "pred_token", "label")
+    assert "BroadcastHashJoin" in plan_text(out)
+
+
+def test_inverted_index_is_single_exchange(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = build_inverted_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
+    assert count_exchanges(idx) == 1
+
+
+def test_startswith_whitelist_stays_predicate(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    pred = F.col("event_type")
+    q = ev.filter(pred.startswith("s") | pred.startswith("c")).select("event_id")
+    assert "StartsWith" in optimized_text(q)
+
+
+def test_no_codegen_overflow_in_graph_build(spark):
+    """The vtuple/URI expression chains must stay under the JVM codegen
+    limit: WholeStageCodegen spans present, no fallback marker."""
+    from cell_kn_mvp_etl_ontologies_spark.fixtures import fixture_ro_terms, fixture_triples
+    from cell_kn_mvp_etl_ontologies_spark.plans import build_graph
+
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    g.vertices.count()  # finalize the AQE plan so codegen markers appear
+    txt = plan_text(g.vertices)
+    # '*(n)' prefixes mark whole-stage-codegen'd operators in the final plan
+    assert "*(" in txt
