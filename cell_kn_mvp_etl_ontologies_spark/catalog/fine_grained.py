@@ -352,4 +352,43 @@ def text_search_ddl_q(spark, sf_dir):
     )
 
 
+@register(
+    "sink_bucketed_table",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sink_bucketed_table_q(spark, sf_dir):
+    """Bucketed-table sink (SCALE.md): bucketBy pre-shuffles at write time so
+    the keyed join + aggregation read co-located buckets with no exchange.
+    Verified against the plain-join oracle."""
+    import shutil
+
+    from ..sinks.bucketed import read_table, write_bucketed
+
+    # drop catalog entries AND any orphaned location a previous session left
+    # behind (managed-table locations outlive the in-memory catalog)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    for t in ("t2_bucketed_customer", "t2_bucketed_nation"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_nationkey").cast("long").alias("k"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), "n_name"
+    )
+    write_bucketed(c, "t2_bucketed_customer", ["k"], 4)
+    write_bucketed(n, "t2_bucketed_nation", ["k"], 4)
+    joined = read_table(spark, "t2_bucketed_customer").join(
+        read_table(spark, "t2_bucketed_nation"), on="k"
+    )
+    return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
 _alias("agg_dedup_edges_last_wins", "agg_dedup_edges")

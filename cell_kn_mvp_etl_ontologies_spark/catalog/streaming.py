@@ -34,6 +34,59 @@ def stream_dedup_watermark_q(spark, sf_dir):
 
 
 @register(
+    "stream_join_dim",
+    oracle="""
+    SELECT e.event_id, n.n_name
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    """,
+)
+def stream_join_dim_q(spark, sf_dir):
+    """Stream-static dimension join: the streaming side joins a batch
+    dimension broadcast per micro-batch — the streaming analog of
+    join_ro_label_lookup."""
+    from ..io import load_table
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", (F.col("user_id") % 25).alias("k")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), "n_name"
+    )
+    joined = stream.join(F.broadcast(nation), on="k").select("event_id", "n_name")
+    return run_stream_to_table(joined, output_mode="append")
+
+
+@register(
+    "stream_window_sliding",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS bucket, event_type
+      FROM events
+    ),
+    offsets AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(o))
+    SELECT strftime(bucket - o * INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n
+    FROM b, offsets
+    GROUP BY 1, 2
+    """,
+)
+def stream_window_sliding_q(spark, sf_dir):
+    """Sliding windows (15 min length, 5 min slide): each event lands in 3
+    overlapping windows; oracle replicates via the bucket-minus-offset
+    expansion."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        F.window("ts", "15 minutes", "5 minutes"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = run_stream_to_table(agg, output_mode="complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+@register(
     "stream_window_session",
     oracle="""
     WITH marked AS (
