@@ -413,6 +413,58 @@ def multimodal_decode_stub_q(spark, sf_dir):
     return decode_payloads(attach_binary_payload(docs))
 
 
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
+             CAST((doc_id * 7) % 64 + 1 AS BIGINT) AS height
+      FROM documents
+    ),
+    fit AS (
+      SELECT doc_id, width, height,
+             LEAST(width, 32) AS w1, (height * LEAST(width, 32)) // width AS h1
+      FROM d
+    )
+    SELECT doc_id, width, height,
+           GREATEST(CASE WHEN h1 > 32 THEN (width * 32) // height ELSE w1 END, 1) AS out_width,
+           GREATEST(CASE WHEN h1 > 32 THEN 32 ELSE h1 END, 1) AS out_height
+    FROM fit
+    """,
+)
+def multimodal_resize_q(spark, sf_dir):
+    """Integer-exact aspect-preserving resize box over the decode stage."""
+    from ..operators.multimodal import resize_stub
+
+    docs = _t(spark, sf_dir, "documents")
+    return resize_stub(decode_payloads(attach_binary_payload(docs)))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+           substring(text, CAST(j * 8 + 1 AS INT), 8) AS frame_stub
+    FROM d, generate_series(0, 9) t(j)
+    WHERE j < n_frames AND j % 3 = 0
+    """,
+)
+def multimodal_frame_sample_q(spark, sf_dir):
+    """Every-3rd-frame sampling with stub byte-slice frames — bounded
+    JVM-side explode after the decode stage."""
+    from ..operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs)
+    return sample_frames(decode_payloads(payloads), payloads, every_k=3, frame_bytes=8)
+
+
 # --------------------------------------------------------------------------
 # Relational extensions
 # --------------------------------------------------------------------------

@@ -76,3 +76,66 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def decode_payloads(df: DataFrame) -> DataFrame:
     """Arrow-batched decode stage: (doc_id, payload) -> decode metadata."""
     return df.select("doc_id", "payload").mapInPandas(_decode_batch, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+    ]
+)
+
+
+def resize_stub(decoded: DataFrame, max_w: int = 32, max_h: int = 32) -> DataFrame:
+    """Arrow-batched resize stage over decode metadata: fit (width, height)
+    into (max_w, max_h) preserving aspect ratio with integer-only math so the
+    result is exact in any engine.  Real pixel resampling is import-gated
+    like decode; the box computation IS the production logic."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w, h = pdf["width"], pdf["height"]
+            # integer scale-to-fit: try width-bound, fall back to height-bound
+            out_w = w.clip(upper=max_w)
+            out_h = (h * out_w) // w
+            over = out_h > max_h
+            out_h = out_h.mask(over, max_h)
+            out_w = out_w.mask(over, (w * max_h) // h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "out_width": out_w.clip(lower=1),
+                    "out_height": out_h.clip(lower=1),
+                }
+            )
+
+    return decoded.select("doc_id", "width", "height").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    decoded: DataFrame,
+    payloads: DataFrame,
+    every_k: int = 3,
+    frame_bytes: int = 8,
+) -> DataFrame:
+    """Frame sampling: one row per k-th frame index in [0, n_frames); the
+    stub frame payload is the frame_bytes-wide slice of the payload at the
+    frame offset.  All JVM-side (sequence + explode + substr) — the decode
+    stage bounded n_frames, so the explode fan-out is bounded too."""
+    joined = decoded.join(payloads.select("doc_id", "payload"), "doc_id")
+    idx = F.explode(
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
+    ).alias("frame_idx")
+    rows = joined.select("doc_id", "n_frames", F.col("payload").cast("string").alias("p"), idx)
+    return rows.select(
+        "doc_id",
+        "frame_idx",
+        F.col("p")
+        .substr(F.col("frame_idx") * frame_bytes + 1, F.lit(frame_bytes))
+        .alias("frame_stub"),
+    )
