@@ -503,6 +503,69 @@ def agg_grouping_sets_q(spark, sf_dir):
     )
 
 
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+           COALESCE(l_linestatus, '(all)') AS l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_q(spark, sf_dir):
+    """Full cube over (returnflag, linestatus) — all 4 grouping sets in one
+    pass via Expand (§2.12 grouping-sets surface alongside the rollup in
+    agg_grouping_sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "window_analytics",
+    oracle="""
+    SELECT user_id, event_id,
+           DENSE_RANK() OVER w AS drnk,
+           LAG(event_id) OVER w AS prev_event,
+           LEAD(event_id) OVER w AS next_event,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def window_analytics_q(spark, sf_dir):
+    """dense_rank / lag / lead plus a bounded ROWS frame (§2.5 analytic
+    window surface beyond row_number top-k)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wf = w.rowsBetween(-2, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(wf).cast("double").alias("roll3"),
+    )
+
+
 @register("agg_approx_distinct")  # approx values are engine-specific: rows-only check
 def agg_approx_distinct_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
