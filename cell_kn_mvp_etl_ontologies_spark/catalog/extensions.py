@@ -373,6 +373,36 @@ def text_inverted_index_q(spark, sf_dir):
     return idx.select("token", F.col("n_docs").cast("long").alias("n_docs"))
 
 
+@register(
+    "text_index_positions",
+    oracle="""
+    WITH src AS (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 80),
+    toks AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_key,
+             string_split_regex(s, '\\s+')[i] AS token,
+             CAST(i - 1 AS BIGINT) AS pos
+      FROM src, generate_series(1, 2000) t(i)
+      WHERE i <= len(string_split_regex(s, '\\s+'))
+        AND string_split_regex(s, '\\s+')[i] <> ''
+    )
+    SELECT token, doc_key, pos FROM toks
+    """,
+)
+def text_index_positions_q(spark, sf_dir):
+    """Position-aware postings (the analyzer `position` feature,
+    ArangoDbUtilities.java:229), verified by re-exploding the nested
+    postings back to (token, doc_key, pos) rows."""
+    from ..search import build_positional_index
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    idx = build_positional_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
+    return (
+        idx.select("token", F.explode("postings").alias("p"))
+        .select("token", F.col("p.doc_key").alias("doc_key"), F.explode("p.positions").alias("pos"))
+        .select("token", "doc_key", F.col("pos").cast("long").alias("pos"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal
 # --------------------------------------------------------------------------
