@@ -403,6 +403,32 @@ def text_index_positions_q(spark, sf_dir):
     )
 
 
+@register(
+    "text_phrase_search",
+    oracle="""
+    WITH src AS (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 200),
+    toks AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_key,
+             string_split_regex(s, '\\s+')[i] AS token,
+             CAST(i - 1 AS BIGINT) AS pos
+      FROM src, generate_series(1, 2000) t(i)
+      WHERE i <= len(string_split_regex(s, '\\s+'))
+    )
+    SELECT a.doc_key, a.pos AS start_pos
+    FROM toks a JOIN toks b ON a.doc_key = b.doc_key AND b.pos = a.pos + 1
+    WHERE a.token = 'table' AND b.token = 'value'
+    """,
+)
+def text_phrase_search_q(spark, sf_dir):
+    """Phrase query over the positional index: adjacent-token match via
+    postings join + offset check (the query side of the search view)."""
+    from ..search import build_positional_index, phrase_search, text_en_no_stem_tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    idx = build_positional_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
+    return phrase_search(idx, ["table", "value"])
+
+
 # --------------------------------------------------------------------------
 # Multimodal
 # --------------------------------------------------------------------------

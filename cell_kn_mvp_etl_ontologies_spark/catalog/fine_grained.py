@@ -391,4 +391,35 @@ def sink_bucketed_table_q(spark, sf_dir):
     return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
 
 
+@register(
+    "graph_closure",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS a, CAST(n_nationkey + 1 AS BIGINT) AS b
+      FROM nation WHERE n_nationkey < 24
+    ),
+    closure(a, b, hops) AS (
+      SELECT a, b, 1 FROM edges
+      UNION ALL
+      SELECT c.a, e.b, c.hops + 1 FROM closure c JOIN edges e ON c.b = e.a
+      WHERE c.hops < 4
+    )
+    SELECT a, b, MIN(hops) AS hops FROM closure GROUP BY a, b
+    """,
+)
+def graph_closure_q(spark, sf_dir):
+    """Bounded transitive closure (<=4 hops) over a synthetic 25-node chain —
+    the reachability query the reference delegated to ArangoDB traversals,
+    answered with iterative distributed joins (plans/graph_query.py)."""
+    from ..plans.graph_query import transitive_closure
+
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 24)
+    edges = n.select(
+        F.col("n_nationkey").cast("long").alias("a"),
+        (F.col("n_nationkey") + 1).cast("long").alias("b"),
+    )
+    out = transitive_closure(edges, max_hops=4)
+    return out.select("a", "b", F.col("hops").cast("long").alias("hops"))
+
+
 _alias("agg_dedup_edges_last_wins", "agg_dedup_edges")

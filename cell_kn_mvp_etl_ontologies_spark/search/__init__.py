@@ -6,4 +6,4 @@ from .analyzers import (
     edge_ngrams,
     text_en_no_stem_tokens,
 )
-from .inverted_index import build_inverted_index, build_positional_index
+from .inverted_index import build_inverted_index, build_positional_index, phrase_search

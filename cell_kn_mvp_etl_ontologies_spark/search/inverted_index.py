@@ -45,6 +45,45 @@ def build_inverted_index(
     )
 
 
+def phrase_search(positional_index: DataFrame, phrase: list[str]) -> DataFrame:
+    """Documents containing ``phrase`` as adjacent tokens, via the positional
+    index: join the per-term postings on doc_key and check offset adjacency
+    with array expressions (positions of term i+1 must contain pos+1 for some
+    pos of term i).  Returns (doc_key, start_pos) per occurrence.
+
+    This is the query side the ArangoSearch view served; each additional
+    phrase term is one more broadcast-sized join against the index."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    # explode each term's postings to (doc_key, positions) and join on doc
+    terms = []
+    for i, term in enumerate(phrase):
+        t = (
+            positional_index.filter(F.col("token") == term)
+            .select(F.explode("postings").alias("p"))
+            .select(
+                F.col("p.doc_key").alias("doc_key"),
+                F.col("p.positions").alias(f"pos_{i}"),
+            )
+        )
+        terms.append(t)
+    joined = terms[0]
+    for i in range(1, len(phrase)):
+        joined = joined.join(terms[i], on="doc_key")
+    # start positions: p in pos_0 such that p+i is in pos_i for all i
+    def adjacent(p: Column) -> Column:
+        cond = F.lit(True)
+        for i in range(1, len(phrase)):
+            cond = cond & F.array_contains(F.col(f"pos_{i}"), p + i)
+        return cond
+
+    start = F.filter(F.col("pos_0"), adjacent)
+    return (
+        joined.select("doc_key", F.explode(start).alias("start_pos"))
+        .select("doc_key", F.col("start_pos").cast("long").alias("start_pos"))
+    )
+
+
 def build_positional_index(
     docs: DataFrame,
     key_cols: list[str],
