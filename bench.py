@@ -124,6 +124,45 @@ def inverted_index(spark):
     return build_inverted_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
 
 
+def ann_lsh(spark):
+    """LSH-bucketed ANN: bucket join + exact cosine within buckets."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        _dot,
+        hyperplane_lsh_bucket,
+    )
+
+    em = parallelize(load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding"))
+    b = hyperplane_lsh_bucket(em, "embedding", n_planes=6).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "lsh_bucket",
+    )
+    b = b.withColumn("norm", _dot(F.col("v"), F.col("v")))
+    q = b.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qn"), "lsh_bucket",
+    )
+    t = b.select(
+        F.col("vec_id").alias("t_id"), F.col("v").alias("tv"),
+        F.col("norm").alias("tn"), "lsh_bucket",
+    )
+    pairs = q.join(t, on="lsh_bucket").filter(F.col("q_id") != F.col("t_id"))
+    scored = pairs.select(
+        "q_id", "t_id",
+        (_dot(F.col("qv"), F.col("tv")) / F.sqrt(F.col("qn") * F.col("tn"))).alias("cos"),
+    )
+    return window_rank_topk(
+        scored, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], 10
+    )
+
+
+def positional_index(spark):
+    from cell_kn_mvp_etl_ontologies_spark.search import build_positional_index
+
+    docs = parallelize(load_table(spark, SF_DIR, "documents"))
+    return build_positional_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
+
+
 BENCH_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -133,6 +172,8 @@ BENCH_QUERIES = {
     "running_windows": running_windows,
     "asof_events": asof_events,
     "inverted_index": inverted_index,
+    "ann_lsh": ann_lsh,
+    "positional_index": positional_index,
 }
 
 

@@ -98,33 +98,34 @@ def build_positional_index(
     Positions are 0-based indices into the analyzer's token array — for the
     \\s+ tokenizers consecutive whitespace collapses to one slot, so offsets
     are token distances (what phrase queries need), not character columns.
-    Same single-exchange shape as build_inverted_index: ONE collect per
-    token, the per-doc regroup runs JVM-side over the collected array."""
+
+    Shape: ONE explicit exchange on token; both aggregations reuse it
+    (hash-partitioning on {token} satisfies grouping by (token, doc_key) —
+    subset rule).  The regroup is two-level aggregation, NOT an array
+    nested-loop over collected entries: a stop-word-grade token matches most
+    documents, so any per-token O(n_docs x n_entries) expression is
+    quadratic exactly where the index is hottest."""
     key = F.concat_ws("/", *[F.col(c).cast("string") for c in key_cols])
-    tokens = docs.select(
-        key.alias("doc_key"),
-        F.posexplode(analyzer(F.col(field_col))).alias("pos", "token"),
-    ).filter(F.col("token") != "")
-    entries = F.sort_array(F.collect_list(F.struct("doc_key", "pos")))
-    regroup = F.transform(
-        F.array_distinct(F.transform(F.col("entries"), lambda e: e["doc_key"])),
-        lambda d: F.struct(
-            d.alias("doc_key"),
-            F.transform(
-                F.filter(F.col("entries"), lambda e: e["doc_key"] == d),
-                lambda e: e["pos"],
-            ).alias("positions"),
-        ),
+    tokens = (
+        docs.select(
+            key.alias("doc_key"),
+            F.posexplode(analyzer(F.col(field_col))).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+        .repartition("token")
+    )
+    per_doc = tokens.groupBy("token", "doc_key").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
     )
     return (
-        tokens.groupBy("token")
-        .agg(entries.alias("entries"))
+        per_doc.groupBy("token")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_key", "positions"))).alias("postings")
+        )
         .select(
             "token",
-            F.size(F.array_distinct(F.transform(F.col("entries"), lambda e: e["doc_key"])))
-            .cast("long")
-            .alias("n_docs"),
-            regroup.alias("postings"),
+            F.size("postings").cast("long").alias("n_docs"),
+            "postings",
             F.lit(analyzer_name).alias("analyzer"),
             F.lit(field_col).alias("field"),
         )
