@@ -48,6 +48,13 @@ def agg_pivot_vertex_attrs(literal_triples: DataFrame) -> DataFrame:
     # JVM-side within the row.  Entries are sorted by (attr, value), so
     # array_distinct yields attrs in ascending order and filter preserves
     # sorted values — identical output to the two-level formulation.
+    #
+    # BOUNDEDNESS CAVEAT: the regroup is O(n_attrs x n_entries) per group —
+    # linear here only because a vertex's attribute rows are bounded by the
+    # per-term predicate vocabulary (tens).  Do NOT copy this shape for
+    # unbounded groups: the positional inverted index hit 35s at sf0.1 with
+    # it (hot tokens match most documents) and uses two-level aggregation
+    # over one shared exchange instead (search/inverted_index.py).
     entries = F.sort_array(F.collect_set(F.struct("attr", "value")))
     regroup = F.map_from_entries(
         F.transform(
