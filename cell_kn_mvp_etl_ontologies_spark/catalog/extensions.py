@@ -713,6 +713,74 @@ def similarity_ann_lsh_q(spark, sf_dir):
     return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
 
 
+@register(
+    "similarity_ann_ivf",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+    {quant}
+    , cents AS (SELECT vec_id AS cell FROM corpus WHERE vec_id < 8),
+    cdots AS (
+      SELECT a.vec_id, c.cell, SUM(a.v * b.v) AS dot
+      FROM quant a
+      JOIN cents c ON TRUE
+      JOIN quant b ON b.vec_id = c.cell AND b.i = a.i
+      GROUP BY a.vec_id, c.cell
+    ),
+    ccos AS (
+      SELECT d.vec_id, d.cell,
+             CAST(d.dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) AS c_cos
+      FROM cdots d JOIN norms na ON na.vec_id = d.vec_id JOIN norms nb ON nb.vec_id = d.cell
+    ),
+    corpus_cells AS (
+      SELECT vec_id AS t_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell ASC) AS rn
+        FROM ccos
+      ) WHERE rn = 1
+    ),
+    query_cells AS (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell ASC) AS rn
+        FROM ccos WHERE vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.q_id, t.t_id
+      FROM query_cells q JOIN corpus_cells t USING (cell)
+      WHERE q.q_id <> t.t_id
+    ),
+    dots AS (
+      SELECT c.q_id, c.t_id, SUM(x.v * y.v) AS dot
+      FROM cand c JOIN quant x ON x.vec_id = c.q_id
+      JOIN quant y ON y.vec_id = c.t_id AND y.i = x.i
+      GROUP BY c.q_id, c.t_id
+    ),
+    scored AS (
+      SELECT q_id, t_id,
+             CAST(dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) AS cos
+      FROM dots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = t_id
+    )
+    SELECT q_id, t_id, cos, rnk FROM (
+      SELECT q_id, t_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """.format(quant=_QUANT_SQL),
+)
+def similarity_ann_ivf_q(spark, sf_dir):
+    """IVF-flat ANN (the inverted-file scale path alongside LSH): corpus
+    vectors live in their nearest cell, queries probe their nprobe=2 nearest
+    cells, exact quantized scoring only within probed cells."""
+    from ..operators.similarity import ivf_topk
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150).select(
+        "vec_id", "embedding"
+    )
+    centroids = em.filter(F.col("vec_id") < 8)
+    queries = em.filter(F.col("vec_id") < 10)
+    out = ivf_topk(queries, em, centroids, k=3, nprobe=2)
+    return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
 # --------------------------------------------------------------------------
 # Skew mitigation (100 TB posture): salted aggregation + salted join
 # --------------------------------------------------------------------------

@@ -144,6 +144,40 @@ def stream_stateful_totals_q(spark, sf_dir):
 
 
 @register(
+    "stream_graph_upsert",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_updates
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_graph_upsert_q(spark, sf_dir):
+    """Continuous MERGE into the parquet graph store via foreachBatch —
+    the streaming version of sink_graph_upsert.  Upserted state after the
+    bounded run holds one row per (user_id, event_type) with the latest
+    count; verified against the batch aggregation."""
+    import shutil
+    import tempfile
+
+    from ..streaming import run_stream_upsert
+
+    stream = read_events_stream(spark, sf_dir)
+    agg_rows = stream.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_updates")
+    )
+    # complete-mode agg -> upsert keyed on the group: last write per key wins
+    root = tempfile.mkdtemp(prefix="stream_upsert_")
+    path = root + "/state"
+    out = run_stream_upsert(
+        agg_rows.select("user_id", "event_type", "n_updates"),
+        path,
+        keys=["user_id", "event_type"],
+    )
+    result = out.select("user_id", "event_type", "n_updates")
+    shutil.rmtree(path + "__checkpoint", ignore_errors=True)
+    return result
+
+
+@register(
     "stream_window_tumbling",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

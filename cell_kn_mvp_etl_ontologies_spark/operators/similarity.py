@@ -111,6 +111,91 @@ def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95) -> DataFrame
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: each vector mapped to its ``nprobe`` nearest
+    centroids by exact quantized cosine (ties broken by centroid id).
+
+    Output: (id_col, cell, probe_rank).  The centroid set is broadcast (k is
+    small by construction); assignment is a narrow map over the data — no
+    shuffle of the corpus.  Centroid choice is the caller's (deterministic
+    subsets work fine for oracle checking; k-means iterations can refine the
+    same contract at scale)."""
+    c = centroids.select(
+        F.col(id_col).alias("cell"), quantize_vec(F.col(vec_col), scale).alias("c_vec")
+    ).withColumn("c_norm", _dot_long(F.col("c_vec"), F.col("c_vec")))
+    v = df.select(
+        F.col(id_col),
+        quantize_vec(F.col(vec_col), scale).alias("v_vec"),
+    ).withColumn("v_norm", _dot_long(F.col("v_vec"), F.col("v_vec")))
+    pairs = v.join(F.broadcast(c), on=F.lit(True), how="inner")
+    scored = pairs.select(
+        id_col,
+        "cell",
+        (
+            _dot_long(F.col("v_vec"), F.col("c_vec")).cast("double")
+            / F.sqrt(F.col("v_norm").cast("double") * F.col("c_norm").cast("double"))
+        ).alias("c_cos"),
+    )
+    from .windows import window_rank_topk as _topk
+
+    ranked = _topk(
+        scored, [id_col], [F.col("c_cos").desc(), F.col("cell").asc()], nprobe,
+        rank_col="probe_rank",
+    )
+    return ranked.select(id_col, "cell", "probe_rank")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-flat ANN: corpus vectors live in their single nearest cell; each
+    query probes its ``nprobe`` nearest cells and exact-scores only those
+    cells' members.  One shuffle keyed on cell; recall is tuned by nprobe —
+    the classic inverted-file trade replacing the O(N·Q) cross product."""
+    corpus_cells = ivf_assign(corpus, centroids, nprobe=1, scale=scale).select(
+        F.col("vec_id").alias("t_id"), "cell"
+    )
+    query_cells = ivf_assign(queries, centroids, nprobe=nprobe, scale=scale).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    t = corpus.select(
+        F.col("vec_id").alias("t_id"), quantize_vec(F.col("embedding"), scale).alias("t_vec")
+    ).withColumn("t_norm", _dot_long(F.col("t_vec"), F.col("t_vec")))
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), quantize_vec(F.col("embedding"), scale).alias("q_vec")
+    ).withColumn("q_norm", _dot_long(F.col("q_vec"), F.col("q_vec")))
+    cand = (
+        query_cells.join(corpus_cells, on="cell")
+        .select("q_id", "t_id")
+        .distinct()
+        .filter(F.col("q_id") != F.col("t_id"))
+    )
+    pairs = cand.join(t, on="t_id").join(F.broadcast(q), on="q_id")
+    scored = pairs.select(
+        "q_id",
+        "t_id",
+        (
+            _dot_long(F.col("q_vec"), F.col("t_vec")).cast("double")
+            / F.sqrt(F.col("q_norm").cast("double") * F.col("t_norm").cast("double"))
+        ).alias("cos"),
+    )
+    return window_rank_topk(
+        scored, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )
+
+
 def hyperplane_lsh_bucket_quantized(
     df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, seed: int = 42, scale: int = 1000
 ) -> DataFrame:

@@ -1,1 +1,1 @@
-from .file_stream import read_events_stream, run_stream_to_table
+from .file_stream import read_events_stream, run_stream_to_table, run_stream_upsert

@@ -33,6 +33,37 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def run_stream_upsert(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Run a (bounded) stream with a foreachBatch MERGE into a parquet path
+    and return the resulting table.  Each micro-batch upserts via the same
+    join_upsert the batch sink uses — the continuous version of
+    sink_graph_upsert (exactly-once per batch comes from the checkpointed
+    batch id in production; availableNow bounds it here)."""
+    from ..sinks.graph import upsert_parquet
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # dedup within the batch first: upsert keys must be unique per merge
+        upsert_parquet(
+            batch_df.sparkSession, batch_df.dropDuplicates(keys), path, keys, partition_by
+        )
+
+    query = (
+        df.writeStream.foreachBatch(handle_batch)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path.rstrip("/") + "__checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    return df.sparkSession.read.parquet(path)
+
+
 def run_stream_to_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Run a (bounded) stream to completion into a uniquely-named memory sink
     and return the sink table."""
