@@ -1,0 +1,56 @@
+"""Tests for IVF-flat ANN assignment/probing and the foreachBatch upsert."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.operators.similarity import ivf_assign, ivf_topk
+
+
+def _vecs(spark):
+    # two well-separated clusters around e1 and e2
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # centroid A
+        (1, [0.0, 1.0, 0.0]),   # centroid B
+        (10, [0.9, 0.1, 0.0]),  # near A
+        (11, [0.95, 0.05, 0.0]),
+        (20, [0.1, 0.9, 0.0]),  # near B
+        (21, [0.05, 0.95, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_assign_nearest_centroid(spark):
+    em = _vecs(spark)
+    cents = em.filter(F.col("vec_id") < 2)
+    got = {r.vec_id: r.cell for r in ivf_assign(em, cents, nprobe=1).collect()}
+    assert got[10] == 0 and got[11] == 0
+    assert got[20] == 1 and got[21] == 1
+
+
+def test_ivf_topk_stays_in_cluster(spark):
+    em = _vecs(spark)
+    cents = em.filter(F.col("vec_id") < 2)
+    queries = em.filter(F.col("vec_id") == 10)
+    out = ivf_topk(queries, em, cents, k=2, nprobe=1).collect()
+    # nearest neighbors of 10 within its probed cell: 11 and centroid 0
+    assert [(r.t_id, r.rnk) for r in sorted(out, key=lambda r: r.rnk)] == [(11, 1), (0, 2)]
+
+
+def test_stream_upsert_incoming_wins(spark):
+    from cell_kn_mvp_etl_ontologies_spark.sinks.graph import upsert_parquet
+
+    root = tempfile.mkdtemp(prefix="upsert_test_")
+    path = root + "/state"
+    try:
+        first = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        upsert_parquet(spark, first, path, ["k"])
+        second = spark.createDataFrame([(2, "B2"), (3, "c")], "k long, v string")
+        upsert_parquet(spark, second, path, ["k"])
+        got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+        assert got == {1: "a", 2: "B2", 3: "c"}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
