@@ -392,6 +392,33 @@ def sink_bucketed_table_q(spark, sf_dir):
 
 
 @register(
+    "sink_compact",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def sink_compact_q(spark, sf_dir):
+    """Small-files compaction: fragment the documents table into 64 files,
+    compact to size-targeted files, verify row content unchanged."""
+    import tempfile
+
+    from ..sinks.compact import compact_parquet
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="compact_")
+    path = root + "/docs"
+    docs.repartition(64).write.mode("overwrite").parquet(path)
+    compacted = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    return compacted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
     "graph_closure",
     oracle="""
     WITH RECURSIVE edges AS (
