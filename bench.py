@@ -91,6 +91,9 @@ def minhash_dedup(spark):
     dups = docs.filter(F.col("doc_id") % 100 < 5).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
+    # portable=True (md5) measured FASTER than the xxhash64 variant here:
+    # one digest is CSE'd across h1/h2, while two xxhash64 calls evaluate
+    # separately (A/B at sf0.1: md5 ~2-4s vs xxhash ~5-6s)
     return dedup_minhash_lsh(
         parallelize(docs.unionByName(dups)), "text", "doc_id",
         shingle_width=5, prefix_len=200, n_hashes=8, n_bands=4,

@@ -51,20 +51,33 @@ def shingles(
     return out.distinct() if distinct else out
 
 
-def minhash_signatures(sh: DataFrame, n_hashes: int) -> DataFrame:
-    """Per-id MinHash signature: sig[k] = MIN(h1 + k*h2) where h1/h2 are the
-    first/second 8 hex chars of md5(shingle) as integers (Kirsch-Mitzenmacher
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int, portable: bool = True
+) -> DataFrame:
+    """Per-id MinHash signature: sig[k] = MIN(h1 + k*h2) (Kirsch-Mitzenmacher
     double hashing, the same family Spark ML's MinHashLSH uses).
 
-    ONE digest per shingle row — deriving the k-th function arithmetically
-    instead of hashing k times cuts the signature stage's md5 count by
-    n_hashes× (the pipeline's dominant cost).  Integer arithmetic is exact
-    and engine-portable: h1,h2 < 2^32 and k < 2^16, so h1 + k*h2 < 2^49
-    never overflows BIGINT in any engine.
+    ``portable=True`` (oracle-checkable): h1/h2 are the first/second 8 hex
+    chars of md5(shingle) as integers — ONE digest per shingle row; deriving
+    the k-th function arithmetically instead of hashing k times cuts the
+    signature stage's md5 count by n_hashes× (the pipeline's dominant cost).
+    Integer arithmetic is exact and engine-portable: h1,h2 < 2^32 and
+    k < 2^16, so h1 + k*h2 < 2^49 never overflows BIGINT in any engine.
+
+    ``portable=False``: h1/h2 = xxhash64(shingle, seed) masked to 32 bits —
+    Spark-specific hashes, so only the portable path is differentially
+    checked.  Measured at sf0.1 the md5 path is FASTER here (one digest
+    CSE'd across h1/h2 vs two separate xxhash64 evaluations), so portable
+    is also the default performance choice; the flag remains for engines
+    pinning different hash families.
     """
-    d = F.md5(F.col("shingle"))
-    h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    if portable:
+        d = F.md5(F.col("shingle"))
+        h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    else:
+        h1 = F.xxhash64(F.col("shingle"), F.lit(1)).bitwiseAND(F.lit(0xFFFFFFFF))
+        h2 = F.xxhash64(F.col("shingle"), F.lit(2)).bitwiseAND(F.lit(0xFFFFFFFF))
     sh = sh.select("id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
         F.min(F.col("h1") + F.lit(k) * F.col("h2")).alias(f"sig_{k}")
@@ -99,6 +112,7 @@ def dedup_minhash_lsh(
     prefix_len: int | None = None,
     n_hashes: int = 6,
     n_bands: int = 3,
+    portable: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) sharing at least one LSH band.
 
@@ -107,7 +121,9 @@ def dedup_minhash_lsh(
     band hash, so skew only arises from genuinely duplicate content.
     """
     sigs = minhash_signatures(
-        shingles(df, text_col, id_col, shingle_width, prefix_len, distinct=False), n_hashes
+        shingles(df, text_col, id_col, shingle_width, prefix_len, distinct=False),
+        n_hashes,
+        portable=portable,
     )
     bands = minhash_band_keys(sigs, n_hashes, n_bands)
     a = bands.select(F.col("id").alias("a"), "band_key")
