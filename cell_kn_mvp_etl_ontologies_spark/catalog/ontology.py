@@ -249,6 +249,28 @@ def scan_xml_elements_q(spark, sf_dir):
 
 
 @register(
+    "scan_term_prefixes",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('macrophage', 'CL'), ('macrophage', 'BFO'),
+      ('ro', 'RO'),
+      ('no-IAO_0000700-test', 'XAO')
+    ) AS t(src_ontology, prefix)
+    """,
+)
+def scan_term_prefixes_q(spark, sf_dir):
+    """Per-file term-ID prefix set (the OntologyElementMap Set<String>,
+    OntologyElementMap.java:13-47): distinct split(term,'_')[0] per
+    ontology, per SURVEY §1.1."""
+    from ..sources.owl import scan_xml_elements
+
+    terms = scan_xml_elements(spark, _fixture_owl_dir())
+    return terms.select(
+        "src_ontology", F.split("term", "_").getItem(0).alias("prefix")
+    ).distinct()
+
+
+@register(
     "scan_ontology_meta",
     oracle=f"""
     SELECT * FROM (VALUES
