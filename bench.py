@@ -166,6 +166,36 @@ def positional_index(spark):
     return build_positional_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
 
 
+def graph_build_full(spark):
+    """The flagship ontology pipeline on ~600k synthetic triples: URI/VTuple
+    parse chains, predicate labeling, vertex pivot, deprecated filter, edge
+    dedup + endpoint semi-joins — the whole build_graph DAG, not just the
+    pivot shape."""
+    from cell_kn_mvp_etl_ontologies_spark.fixtures import OBO, RDFS, fixture_ro_terms
+    from cell_kn_mvp_etl_ontologies_spark.plans import build_graph
+
+    li = parallelize(load_table(spark, SF_DIR, "lineitem"))
+    subj = F.concat(
+        F.lit(OBO + "CL_"), F.lpad((F.col("l_orderkey") % 100000).cast("string"), 7, "0")
+    )
+    obj = F.concat(
+        F.lit(OBO + "GO_"), F.lpad((F.col("l_partkey") % 50000).cast("string"), 7, "0")
+    )
+    is_edge = (F.col("l_linenumber") % 3) != 0
+    triples = li.select(
+        F.lit("synthetic.owl").alias("src_file"),
+        subj.alias("subject"),
+        F.when(is_edge, F.lit(RDFS + "subClassOf"))
+        .otherwise(F.lit(RDFS + "label"))
+        .alias("predicate"),
+        F.when(is_edge, F.lit("iri")).otherwise(F.lit("literal")).alias("object_kind"),
+        F.when(is_edge, obj).alias("object_iri"),
+        F.when(~is_edge, F.concat(F.lit("label for "), subj)).alias("object_lexical"),
+    )
+    g = build_graph(triples, fixture_ro_terms(spark))
+    return g.edges
+
+
 BENCH_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -177,6 +207,7 @@ BENCH_QUERIES = {
     "inverted_index": inverted_index,
     "ann_lsh": ann_lsh,
     "positional_index": positional_index,
+    "graph_build_full": graph_build_full,
 }
 
 
