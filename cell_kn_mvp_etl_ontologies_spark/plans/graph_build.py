@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..constants import KIND_IRI
 from ..functions import fn_normalize_edge_label, fn_normalize_edge_source, fn_predicate_label
@@ -73,21 +74,34 @@ def clean_triples(triples: DataFrame, skip_dictionary_file: bool = True) -> Data
     return agg_distinct_triples(named.unionByName(flattened))
 
 
-def parse_uri_dim(clean: DataFrame) -> DataFrame:
+def parse_uri_dim(clean: DataFrame, materialize: bool = True) -> DataFrame:
     """Distinct-URI dimension with parsed VTuple fields.
 
     Parsing (regex chains + 20-element isin) runs ONCE per distinct URI
     instead of per triple occurrence per field — at 100 TB the URI vocabulary
     is orders of magnitude smaller than the triple stream, so this trades two
     cheap hash joins (AQE broadcasts the dim when small) for a ~10-100× cut in
-    string-parse CPU.  It also keeps each codegen stage's expression tree
-    small: inlining the parse at every use site previously collapsed 8-10
-    copies of it into one stage and overflowed the JVM's 64 KB method limit,
-    dropping the whole stage out of codegen.
+    string-parse CPU.
 
-    Output: (node_uri, id, number, is_valid) — only valid rows retained, so
-    joins against it double as the validity filter (left join + null check,
-    or inner join for "must be valid" paths).
+    ``materialize=True`` (the default) persists the parsed dimension
+    (MEMORY_AND_DISK) before the validity filter.  The persist is load-bearing,
+    not a cache hint: ``PushDownPredicates`` substitutes the ``valid`` alias
+    with its defining expression when pushing the filter through the parse
+    projections, inlining ~8 copies of the whole regex chain into a filter
+    that then lands below the union in BOTH branches (~100 regexp_extract
+    calls in one stage).  That overflows the JVM's 64 KB codegen method limit;
+    worse, every task then re-attempts (and re-fails) the janino compile of
+    the ~12k-line stage, turning a 2 s parse into minutes.  The persist
+    boundary stops alias substitution, keeps each parse step in its own small
+    codegen stage, and computes the dimension once for all three joins
+    against it instead of once per join.  At scale the dimension is orders of
+    magnitude smaller than the triple stream, so executor storage holds it
+    comfortably; pass ``materialize=False`` only for plan-shape inspection of
+    the unpersisted DAG.
+
+    Output: (node_uri, id, number) — only valid rows retained, so joins
+    against it double as the validity filter (left join + null check, or
+    inner join for "must be valid" paths).
     """
     uris = (
         clean.select(F.col("subject").alias("node_uri"))
@@ -99,10 +113,8 @@ def parse_uri_dim(clean: DataFrame) -> DataFrame:
         .dropDuplicates(["node_uri"])
     )
     parsed = with_vtuple(uris, "node_uri", "")
-    # Filter on the materialized `valid` column (not a predicate over
-    # node_uri): a URI-expression filter here would be copied to the fact
-    # side of every join against this dimension by constraint propagation,
-    # re-inlining the whole parse into each fact-scan filter.
+    if materialize:
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
     return parsed.filter(F.col("valid")).select("node_uri", "id", "number")
 
 

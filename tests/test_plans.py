@@ -87,6 +87,27 @@ def test_startswith_whitelist_stays_predicate(spark):
     assert "StartsWith" in optimized_text(q)
 
 
+def test_uri_parse_not_inlined_into_filters(spark):
+    """The persist barrier in parse_uri_dim must keep the VTuple regex parse
+    out of pushed-down Filters.  Without it, PushDownPredicates substitutes
+    the `valid` alias and lands ~8 copies of the parse below the union in
+    both branches (>100 regexp_extract in one stage), overflowing the 64 KB
+    codegen limit and forcing every task through a failing janino compile."""
+    from cell_kn_mvp_etl_ontologies_spark.fixtures import fixture_ro_terms, fixture_triples
+    from cell_kn_mvp_etl_ontologies_spark.plans import build_graph
+
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    for df in (g.vertices, g.edges):
+        plan = optimized_text(df)
+        # the dimension is consumed from the cache, not recomputed per join
+        assert "InMemoryRelation" in plan
+        for line in plan.splitlines():
+            if "Filter" in line:
+                assert "regexp_extract" not in line
+        # total parse copies stay bounded (pre-fix: >100 in a single stage)
+        assert plan.count("regexp_extract") <= 40
+
+
 def test_no_codegen_overflow_in_graph_build(spark):
     """The vtuple/URI expression chains must stay under the JVM codegen
     limit: WholeStageCodegen spans present, no fallback marker."""
