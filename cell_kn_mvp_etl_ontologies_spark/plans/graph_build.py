@@ -19,7 +19,7 @@ per-document HTTP round trips.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,6 +54,13 @@ class GraphBuildResult:
     deprecated: DataFrame      # (term,) side-output rows "id_number"
     edges: DataFrame           # (from_collection, to_collection, from_key, to_key, labels, sources)
     edge_labels: DataFrame     # (raw_label,) distinct pre-normalization labels
+    persisted: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        """Release the dimension caches (URI dim, vertex set) once every
+        output of this build has been materialized."""
+        for df in self.persisted:
+            df.unpersist()
 
 
 def clean_triples(triples: DataFrame, skip_dictionary_file: bool = True) -> DataFrame:
@@ -74,7 +81,11 @@ def clean_triples(triples: DataFrame, skip_dictionary_file: bool = True) -> Data
     return agg_distinct_triples(named.unionByName(flattened))
 
 
-def parse_uri_dim(clean: DataFrame, materialize: bool = True) -> DataFrame:
+def parse_uri_dim(
+    clean: DataFrame,
+    materialize: bool = True,
+    persisted_out: list[DataFrame] | None = None,
+) -> DataFrame:
     """Distinct-URI dimension with parsed VTuple fields.
 
     Parsing (regex chains + 20-element isin) runs ONCE per distinct URI
@@ -115,6 +126,8 @@ def parse_uri_dim(clean: DataFrame, materialize: bool = True) -> DataFrame:
     parsed = with_vtuple(uris, "node_uri", "")
     if materialize:
         parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(parsed)
     return parsed.filter(F.col("valid")).select("node_uri", "id", "number")
 
 
@@ -208,8 +221,28 @@ def build_edges(
 
 
 def build_graph(triples: DataFrame, ro_terms: DataFrame) -> GraphBuildResult:
+    """Compose the full triples → graph DAG.
+
+    Two dimension-sized intermediates are persisted (MEMORY_AND_DISK), each
+    consumed by 2-3 downstream joins that would otherwise recompute their
+    whole upstream subtree per consumer:
+
+      - the parsed URI dimension (see parse_uri_dim — its persist is also a
+        codegen-overflow barrier);
+      - the vertex set, whose attrs pivot would otherwise run once per
+        endpoint semi-join in the edges plan on top of once for the vertices
+        output itself (A/B at sf0.1: edges 15.8 s unpersisted → 7.7 s).
+
+    The triple-stream intermediates (clean) are deliberately NOT persisted:
+    at 100 TB the facts don't fit executor storage, and their dedup exchange
+    is reused by AQE within a job where plans coincide.  Call
+    ``result.unpersist()`` after materializing all outputs.
+    """
+    persisted: list[DataFrame] = []
     clean = clean_triples(triples)
-    uri_dim = parse_uri_dim(clean)
+    uri_dim = parse_uri_dim(clean, persisted_out=persisted)
     vertices, deprecated = build_vertices(clean, ro_terms, uri_dim)
+    vertices = vertices.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.append(vertices)
     edges, edge_labels = build_edges(clean, ro_terms, vertices, uri_dim)
-    return GraphBuildResult(clean, vertices, deprecated, edges, edge_labels)
+    return GraphBuildResult(clean, vertices, deprecated, edges, edge_labels, persisted)
