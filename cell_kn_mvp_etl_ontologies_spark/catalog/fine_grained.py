@@ -264,7 +264,7 @@ def ddl_database_graph_q(spark, sf_dir):
     {root}/{database}/{graph}/{collection} parquet layout: write the graph
     twice (drop-recreate = mode overwrite), read back through the catalog
     path helpers."""
-    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark), persist_clean=True)
     root = tempfile.mkdtemp(prefix="graph_ddl_")
     # run the DDL twice to prove idempotence (second overwrite == recreate)
     write_graph(g.vertices, g.edges, root, "Cell-KN-Ontologies", "KN-Ontologies-v2.0")

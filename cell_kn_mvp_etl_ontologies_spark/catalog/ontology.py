@@ -28,7 +28,7 @@ from ..functions import (
     fn_vtuple,
 )
 from ..io import load_table
-from ..operators import join_flatten_restriction
+from ..operators import join_flatten_restriction, with_vtuple
 from ..plans import build_graph
 from ..plans.two_pass import pipeline_two_pass
 from . import register
@@ -89,7 +89,7 @@ _VERTEX_ROWS = """
     oracle=f"SELECT * FROM (VALUES {_VERTEX_ROWS}) AS t(collection, key, attr, value)",
 )
 def graph_build_vertices(spark, sf_dir):
-    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark), persist_clean=True)
     return (
         g.vertices.select("collection", "key", F.explode_outer("attrs").alias("attr", "values"))
         .select("collection", "key", "attr", F.explode_outer("values").alias("value"))
@@ -114,16 +114,16 @@ _EDGE_ROWS = """
     """,
 )
 def graph_build_edges(spark, sf_dir):
-    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark), persist_clean=True)
+    # labels × sources per edge via chained explodes — edge keys are unique
+    # after agg_dedup_edges, so this equals the (keys-join of the two
+    # exploded views) without recomputing the edges subtree twice
     return g.edges.select(
         "from_collection", "from_key", "to_collection", "to_key",
-        F.explode("labels").alias("label"),
-    ).join(
-        g.edges.select(
-            "from_collection", "from_key", "to_collection", "to_key",
-            F.explode("sources").alias("source"),
-        ),
-        on=["from_collection", "from_key", "to_collection", "to_key"],
+        F.explode("labels").alias("label"), "sources",
+    ).select(
+        "from_collection", "from_key", "to_collection", "to_key",
+        "label", F.explode("sources").alias("source"),
     )
 
 
@@ -160,7 +160,7 @@ def sink_graph_upsert_q(spark, sf_dir):
     """Partitioned parquet graph store (replaces per-document ArangoDB HTTP
     upserts, OntologyGraphBuilder.java:254-273): write partitionBy(collection),
     read back, count per partition."""
-    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark), persist_clean=True)
     out = tempfile.mkdtemp(prefix="graph_sink_")
     g.vertices.write.mode("overwrite").partitionBy("collection").parquet(out)
     back = spark.read.parquet(out)
@@ -194,7 +194,7 @@ def sink_jsonl_export_q(spark, sf_dir):
 def sink_side_output_deprecated_q(spark, sf_dir):
     """Deprecated-terms side output (OntologyGraphBuilder.java:41,246-261,276):
     text-file write + read-back."""
-    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark), persist_clean=True)
     out = tempfile.mkdtemp(prefix="dep_terms_")
     g.deprecated.write.mode("overwrite").text(out)
     return spark.read.text(out).select(F.col("value").alias("term"))
@@ -214,7 +214,7 @@ def sink_side_output_deprecated_q(spark, sf_dir):
 def sink_side_output_edge_labels_q(spark, sf_dir):
     """Edge-labels side output (OntologyGraphBuilder.java:42,556-562): raw +
     normalized, csv write + read-back."""
-    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark))
+    g = build_graph(fixture_triples(spark), fixture_ro_terms(spark), persist_clean=True)
     labels = g.edge_labels.withColumn("normalized_label", fn_normalize_edge_label(F.col("raw_label")))
     out = tempfile.mkdtemp(prefix="edge_labels_")
     labels.write.mode("overwrite").option("header", "true").csv(out)
@@ -422,9 +422,16 @@ def fn_vtuple_q(spark, sf_dir):
         .when(k == 2, F.concat(F.lit(OBO + "pcl/CS"), F.col("p_partkey").cast("string")))
         .otherwise(F.concat(F.lit("CL:"), F.col("p_partkey").cast("string")))
     )
-    return part.select(
-        F.col("p_partkey").cast("long").alias("p_partkey"), fn_vtuple(uri).alias("vt")
-    ).select("p_partkey", "vt.*")
+    # with_vtuple (staged withColumns), not fn_vtuple(...).select("vt.*"):
+    # expanding the struct per field substitutes the full parse expression
+    # into every output column (~350 regexp calls in one projection); the
+    # staged form keeps the multi-use parse steps in their own projections.
+    base = part.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"), uri.alias("node_uri")
+    )
+    return with_vtuple(base, "node_uri", "").select(
+        "p_partkey", "term", "id", "number", F.col("valid").alias("is_valid_vertex")
+    )
 
 
 @register(

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..constants import IAO_ROOT_TERM, KIND_IRI
 from ..operators.filters import filter_skip_file
@@ -40,7 +41,12 @@ def derive_root_ns(raw: DataFrame) -> DataFrame:
 
 
 def extract_triples(
-    spark: SparkSession, path: str, test_object: bool = False, glob: str = "*.owl"
+    spark: SparkSession,
+    path: str,
+    test_object: bool = False,
+    glob: str = "*.owl",
+    materialize: bool = True,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Clean triples from a directory of OWL files.
 
@@ -49,10 +55,28 @@ def extract_triples(
     for the flattener) → predicate whitelist + restriction flattening +
     global dedup (clean_triples) → validity filter (strict object check when
     test_object).  Ref: OntologyTripleParser.java:62-121,159-171.
+
+    ``materialize=True`` persists the raw parsed triples: the Arrow-batched
+    Python RDF parse is the most expensive narrow stage in the pipeline and
+    this plan references it from ~8 places (namespace derivation, class
+    semi-join, bnode flattener, dedup) — parse ONCE, consume many.  In a
+    production run the same effect comes from landing raw triples to parquet
+    right after parsing; the persist is the in-session equivalent.
     """
     raw = scan_rdf_triples(spark, path, glob)
+    if materialize:
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(raw)
     raw = filter_skip_file(raw)
     root_ns = derive_root_ns(raw)
+    if materialize:
+        # per-file namespace dimension (one row per file): referenced by the
+        # class filter, the bnode flattener feed, and the final validity
+        # filter — persist so its two aggregations run once, not three times
+        root_ns = root_ns.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(root_ns)
 
     classes = (
         raw.filter((F.col("predicate") == RDF_TYPE) & (F.col("object_iri") == OWL_CLASS))
@@ -87,6 +111,11 @@ def extract_triples(
 def ontology_graph_from_owl(spark: SparkSession, path: str, test_object: bool = False) -> GraphBuildResult:
     """Full EP1 pipeline: OWL directory → property graph.  The ro.owl term
     dictionary is parsed with the element scan (broadcast downstream)."""
-    triples = extract_triples(spark, path, test_object)
+    persisted: list[DataFrame] = []
+    triples = extract_triples(spark, path, test_object, persisted_out=persisted)
     ro_terms = scan_xml_elements(spark, path, glob="ro.owl")
-    return build_graph(triples, ro_terms)
+    # ontology corpora fit executor storage by construction (the reference
+    # holds every triple in one JVM heap) — persist the clean triples too
+    result = build_graph(triples, ro_terms, persist_clean=True)
+    result.persisted.extend(persisted)
+    return result

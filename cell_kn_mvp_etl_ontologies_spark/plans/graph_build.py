@@ -220,7 +220,9 @@ def build_edges(
     return edges, edge_labels
 
 
-def build_graph(triples: DataFrame, ro_terms: DataFrame) -> GraphBuildResult:
+def build_graph(
+    triples: DataFrame, ro_terms: DataFrame, persist_clean: bool = False
+) -> GraphBuildResult:
     """Compose the full triples → graph DAG.
 
     Two dimension-sized intermediates are persisted (MEMORY_AND_DISK), each
@@ -233,13 +235,19 @@ def build_graph(triples: DataFrame, ro_terms: DataFrame) -> GraphBuildResult:
         endpoint semi-join in the edges plan on top of once for the vertices
         output itself (A/B at sf0.1: edges 15.8 s unpersisted → 7.7 s).
 
-    The triple-stream intermediates (clean) are deliberately NOT persisted:
-    at 100 TB the facts don't fit executor storage, and their dedup exchange
-    is reused by AQE within a job where plans coincide.  Call
-    ``result.unpersist()`` after materializing all outputs.
+    The triple stream (clean) is NOT persisted by default: when the input is
+    fact-scale it doesn't fit executor storage, and its dedup exchange is
+    reused by AQE within a job where plans coincide.  ``persist_clean=True``
+    opts in for ontology-scale corpora (the reference holds ALL triples in a
+    single JVM heap — cluster executor storage is strictly larger), where it
+    saves the flatten-join + dedup recompute in each of the ~4 consumers.
+    Call ``result.unpersist()`` after materializing all outputs.
     """
     persisted: list[DataFrame] = []
     clean = clean_triples(triples)
+    if persist_clean:
+        clean = clean.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(clean)
     uri_dim = parse_uri_dim(clean, persisted_out=persisted)
     vertices, deprecated = build_vertices(clean, ro_terms, uri_dim)
     vertices = vertices.persist(StorageLevel.MEMORY_AND_DISK)

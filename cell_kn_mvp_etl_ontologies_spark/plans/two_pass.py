@@ -21,9 +21,11 @@ def pipeline_two_pass(
     pass2_file: str = "cl.owl",
     pass2_root_ns: str | Column = "http://purl.obolibrary.org/obo/CL",
 ) -> tuple[GraphBuildResult, GraphBuildResult]:
-    pass1 = build_graph(triples, ro_terms)
+    # ontology-scale inputs: persist each pass's clean triples (see
+    # build_graph docstring for when this is and isn't appropriate)
+    pass1 = build_graph(triples, ro_terms, persist_clean=True)
     strict = filter_valid_triple(
         triples.filter(F.col("src_file") == pass2_file), pass2_root_ns, test_object=True
     )
-    pass2 = build_graph(strict, ro_terms)
+    pass2 = build_graph(strict, ro_terms, persist_clean=True)
     return pass1, pass2

@@ -1,0 +1,150 @@
+"""Plan-shape audit across the whole query catalog.
+
+Sweeps every `__spark_entry__.queries()` entry, inspects the optimized and
+executed plans, and flags scale red-flags that correctness tests can't see:
+
+  - BIG_FILTER:   a Filter condition > --filter-chars characters (alias
+                  substitution has inlined an expensive expression chain —
+                  the pushdown blowup documented in SCALE.md)
+  - MANY_REGEX:   > --regex-max regexp calls in one plan (duplicated parse)
+  - CARTESIAN:    CartesianProduct / BroadcastNestedLoopJoin in the physical
+                  plan (accidental cross join)
+  - MANY_EXCH:    more than --exchange-max physical Exchanges (shuffle chain
+                  that likely collapses at scale)
+
+Usage: python tools/audit_plans.py [--sf-dir DIR] [query ...]
+Exit code 1 if any red flag fires (so it can gate CI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Queries whose physical plan legitimately trips a generic bound, with the
+# reason recorded so waivers stay auditable.
+WAIVERS: dict[str, set[str]] = {
+    # IVF training intentionally cross-joins a tiny (n_cells × dim) centroid
+    # table against itself during Lloyd iterations; bounded by n_cells.
+    "similarity_ann_ivf": {"CARTESIAN"},
+    # brute-force baseline: query side is broadcast by design (|Q| small);
+    # Spark plans broadcast NL join for the explicit crossJoin.
+    "similarity_topk": {"CARTESIAN"},
+    "dedup_embedding_cosine": {"CARTESIAN"},
+    # the reporting query combines two single-row count aggregates with a
+    # 1x1 crossJoin; the pipeline itself has no cross product. Exchange
+    # count is ~2x a single build because the query IS two full builds.
+    "pipeline_two_pass": {"CARTESIAN", "MANY_EXCH"},
+}
+
+
+def strip_cached_subtrees(plan: str) -> str:
+    """Drop the cached-plan subtree printed under every InMemoryRelation /
+    InMemoryTableScan occurrence — it executes once at cache materialization,
+    so counting its operators once per consumer massively over-counts."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        m = re.search(r"[+:]- ", line)
+        depth = m.start() if m else -1
+        if skip_depth is not None:
+            if depth > skip_depth or (depth == -1 and line.strip()):
+                continue
+            skip_depth = None
+        out.append(line)
+        if "InMemoryRelation" in line or "InMemoryTableScan" in line:
+            skip_depth = depth
+    return "\n".join(out)
+
+
+def iter_flags(name: str, opt: str, phys: str, args) -> list[str]:
+    opt = strip_cached_subtrees(opt)
+    phys = strip_cached_subtrees(phys)
+    flags = []
+    for line in opt.splitlines():
+        if "Filter" in line and len(line) > args.filter_chars:
+            flags.append(f"BIG_FILTER({len(line)} chars)")
+            break
+    n_regex = opt.count("regexp_extract") + opt.count("regexp_replace")
+    if n_regex > args.regex_max:
+        flags.append(f"MANY_REGEX({n_regex})")
+    if "CartesianProduct" in phys or "BroadcastNestedLoopJoin" in phys:
+        flags.append("CARTESIAN")
+    # count SHUFFLE exchanges only: broadcast exchanges move the small side
+    # by design and don't repartition the stream, so they aren't the
+    # at-scale red flag this bound is for
+    n_exch = sum(
+        1
+        for line in phys.splitlines()
+        if "Exchange" in line
+        and "ReusedExchange" not in line
+        and "BroadcastExchange" not in line
+    )
+    if n_exch > args.exchange_max:
+        flags.append(f"MANY_EXCH({n_exch})")
+    waived = WAIVERS.get(name, set())
+    return [f for f in flags if f.split("(")[0] not in waived]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--filter-chars", type=int, default=4000)
+    ap.add_argument("--regex-max", type=int, default=60)
+    ap.add_argument("--exchange-max", type=int, default=12)
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", os.path.join(REPO, "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from pyspark.sql import SparkSession
+
+    from cell_kn_mvp_etl_ontologies_spark.session import ENGINE_SQL_CONF
+
+    b = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in ENGINE_SQL_CONF.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("FATAL")
+
+    qs = entry.queries()
+    names = args.queries or sorted(qs)
+    bad = 0
+    for name in names:
+        try:
+            df = qs[name](spark, args.sf_dir)
+            qe = df._jdf.queryExecution()
+            opt = qe.optimizedPlan().toString()
+            phys = qe.executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+            print(f"ERROR {name}: {type(exc).__name__}: {exc}")
+            bad += 1
+            continue
+        flags = iter_flags(name, opt, phys, args)
+        if flags:
+            bad += 1
+            print(f"FLAG  {name}: {', '.join(flags)}")
+        else:
+            print(f"ok    {name}")
+    print(f"\n{len(names) - bad} clean / {bad} flagged of {len(names)}")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
