@@ -50,3 +50,4 @@ def load_all() -> None:
     from . import extensions  # noqa: F401
     from . import streaming  # noqa: F401
     from . import fine_grained  # noqa: F401
+    from . import training  # noqa: F401

@@ -1,0 +1,262 @@
+"""Training-data pipeline queries (deterministic splits, sampling, packing,
+sharding, quantization, decontamination) over the documents/embeddings
+tables — every sampling decision is a pure md5 function of the row key, so
+each query has an exact DuckDB oracle.
+
+The Spark↔SQL hash contract: Spark `conv(substring(md5(s),1,8),16,10)`
+== DuckDB `('0x' || substring(md5(s),1,8))::BIGINT` (both uniform 32-bit);
+fractions divide by 2^32 (power of two → exact in double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.training import (
+    assign_shards,
+    contamination_ngrams,
+    interleave_weighted,
+    pack_sequences,
+    pack_sequences_greedy,
+    quantize_embeddings_int8,
+    sample_stratified,
+    split_train_val_test,
+)
+from . import register
+
+# DuckDB equivalents of hash_fraction / hash_bucket (salt inlined).
+_FRAC = "(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+_BUCKET = "(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {n})"
+_HASH32 = "(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT)"
+
+
+@register(
+    "sample_split_hash",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, {frac} AS frac FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN frac < 0.8 THEN 'train'
+                WHEN frac < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM f
+    """.format(frac=_FRAC.format(salt="split", key="doc_id")),
+)
+def sample_split_hash_q(spark, sf_dir):
+    """80/10/10 hash-threshold split of the corpus: membership is a pure
+    function of doc_id (stable under re-runs, retries, repartitioning —
+    `randomSplit` is none of those).  Pure projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return split_train_val_test(docs, "doc_id")
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE {frac} <
+          CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9
+                    WHEN 'de' THEN 0.25 ELSE 0.1 END
+    """.format(frac=_FRAC.format(salt="strat", key="doc_id")),
+)
+def sample_stratified_q(spark, sf_dir):
+    """Per-language deterministic downsample (rebalance a web-scale corpus
+    toward under-represented languages).  Literal-map rate lookup + hash
+    threshold: one narrow pass, rows keep/drop decisions stable forever."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = {"en": 0.5, "zh": 0.9, "de": 0.25}
+    return sample_stratified(docs, "lang", rates, "doc_id", default_fraction=0.1)
+
+
+@register(
+    "interleave_weighted",
+    oracle="""
+    SELECT doc_id, source, {ordh} AS order_hash
+    FROM documents
+    WHERE source IN ('src0', 'src1', 'src2', 'src3')
+      AND {frac} <
+          CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                      WHEN 'src2' THEN 0.25 ELSE 0.125 END
+    """.format(
+        ordh=_HASH32.format(salt="mix:ord", key="doc_id"),
+        frac=_FRAC.format(salt="mix:acc", key="doc_id"),
+    ),
+)
+def interleave_weighted_q(spark, sf_dir):
+    """Weighted source mixture + deterministic shuffle order: each source
+    down-sampled to its mixture rate, surviving rows keyed by an order hash
+    (range-partition the write on it = global shuffle with no global
+    window)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+        .select("doc_id", "source")
+    )
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+    return interleave_weighted(docs, "source", weights, "doc_id")
+
+
+@register(
+    "shard_assign",
+    oracle="""
+    WITH s AS (SELECT doc_id, {bucket} AS shard FROM documents)
+    SELECT shard, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM s GROUP BY shard
+    """.format(bucket=_BUCKET.format(salt="shard", key="doc_id", n=8)),
+)
+def shard_assign_q(spark, sf_dir):
+    """Stable hash sharding into 8 output shards + per-shard occupancy
+    (uniformity check).  Incremental rebuilds rewrite only shards whose
+    members changed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        assign_shards(docs, "doc_id", 8)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+# token estimate shared by both packers: ceil-ish chars/4, arithmetic only
+# (no tokenizer in either engine; pure-integer so Spark/DuckDB agree).
+_TOKENS_SQL = "greatest(n_chars // 4, 1)"
+_PACK_CORPUS_SQL = """
+    SELECT doc_id, {bucket} AS shard, {tokens} AS tokens
+    FROM documents
+""".format(bucket=_BUCKET.format(salt="shard", key="doc_id", n=4), tokens=_TOKENS_SQL)
+
+
+def _pack_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = assign_shards(docs, "doc_id", 4)
+    return docs.select(
+        "doc_id", "shard", F.greatest(F.floor(F.col("n_chars") / 4), F.lit(1)).cast("long").alias("tokens")
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH corpus AS ({corpus}),
+    packed AS (
+      SELECT shard, doc_id, tokens,
+             CAST(COALESCE(SUM(tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+      FROM corpus
+    )
+    SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY shard, bin
+    """.format(corpus=_PACK_CORPUS_SQL),
+)
+def pack_sequences_q(spark, sf_dir):
+    """Quotient packing into 512-token bins per shard (window partitioned by
+    shard — no global window; bins may overflow by at most one straddling
+    document).  Returns per-bin occupancy."""
+    packed = pack_sequences(_pack_corpus(spark, sf_dir), "shard", "doc_id", "tokens", 512)
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("tokens").alias("bin_tokens")
+    )
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle="""
+    WITH RECURSIVE corpus AS ({corpus}),
+    ordered AS (
+      SELECT shard, doc_id, tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM corpus
+    ),
+    packed AS (
+      SELECT shard, rn, doc_id, tokens, tokens AS fill, CAST(0 AS BIGINT) AS bin
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.tokens,
+             CASE WHEN p.fill + o.tokens > 512 THEN o.tokens ELSE p.fill + o.tokens END,
+             CASE WHEN p.fill + o.tokens > 512 THEN p.bin + 1 ELSE p.bin END
+      FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT shard, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY shard, bin
+    """.format(corpus=_PACK_CORPUS_SQL),
+)
+def pack_sequences_greedy_q(spark, sf_dir):
+    """Strict greedy packing (no bin exceeds 512 tokens unless a single doc
+    does): sequential per-shard state via applyInPandas — Arrow-batched, one
+    group per shard, shards pack in parallel.  Oracle: per-shard recursive
+    CTE with identical semantics."""
+    packed = pack_sequences_greedy(_pack_corpus(spark, sf_dir), "shard", "doc_id", "tokens", 512)
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("tokens").alias("bin_tokens")
+    )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, 64) t(i)
+      WHERE vec_id < 100 AND i <= len(embedding)
+    ),
+    s AS (SELECT vec_id, MAX(abs(x)) / 127.0 AS scale FROM v GROUP BY vec_id)
+    SELECT v.vec_id, v.i, CAST(floor(v.x / s.scale + 0.5) AS BIGINT) AS q, s.scale
+    FROM v JOIN s ON v.vec_id = s.vec_id
+    """,
+)
+def embedding_quantize_q(spark, sf_dir):
+    """Symmetric per-vector int8 quantization, exploded to components so the
+    oracle checks every value.  floor(x+0.5) rounding — the one mode Spark,
+    DuckDB, and a C++ serving stack agree on (Spark round is half-even,
+    DuckDB's is half-away)."""
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return quantize_embeddings_int8(em)
+
+
+@register(
+    "contamination_ngram",
+    oracle="""
+    WITH train AS (
+      SELECT doc_id, substring(text, 1, 120) AS prefix FROM documents WHERE source <> 'src0'
+    ),
+    bench AS (
+      SELECT doc_id, substring(text, 1, 120) AS prefix FROM documents WHERE source = 'src0'
+      UNION ALL
+      SELECT doc_id + 10000, substring(text, 1, 120) FROM documents
+      WHERE source <> 'src0' AND doc_id % 7 = 0
+    ),
+    tsh AS (
+      SELECT DISTINCT doc_id, md5(substring(prefix, i, 8)) AS sh
+      FROM train, generate_series(1, 113) t(i)
+      WHERE i <= greatest(length(prefix) - 7, 0)
+    ),
+    bsh AS (
+      SELECT DISTINCT md5(substring(prefix, i, 8)) AS sh
+      FROM bench, generate_series(1, 113) t(i)
+      WHERE i <= greatest(length(prefix) - 7, 0)
+    )
+    SELECT doc_id, COUNT(*) AS n_hits
+    FROM tsh JOIN bsh USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def contamination_ngram_q(spark, sf_dir):
+    """Benchmark decontamination: 8-char shingle overlap between the
+    training split and a 'benchmark' set that deliberately contains copies
+    of every 7th training doc (true positives).  md5 shingle keys, per-side
+    dedup, benchmark side broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    bench = docs.filter(F.col("source") == "src0").select("doc_id", "text").unionByName(
+        docs.filter((F.col("source") != "src0") & (F.col("doc_id") % 7 == 0)).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    return contamination_ngrams(train, bench)

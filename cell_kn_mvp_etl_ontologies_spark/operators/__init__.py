@@ -31,4 +31,16 @@ from .joins import (
     join_upsert,
 )
 from .setops import setop_except, setop_intersect, setop_union_files, setop_union_label_sets
+from .training import (
+    assign_shards,
+    contamination_ngrams,
+    hash_bucket,
+    hash_fraction,
+    interleave_weighted,
+    pack_sequences,
+    pack_sequences_greedy,
+    quantize_embeddings_int8,
+    sample_stratified,
+    split_train_val_test,
+)
 from .windows import sort_by_key, window_last_wins, window_rank_topk, window_running_sum

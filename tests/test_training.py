@@ -1,0 +1,112 @@
+"""Training-data operator invariants (operators/training.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.operators.training import (
+    assign_shards,
+    contamination_ngrams,
+    hash_bucket,
+    hash_fraction,
+    pack_sequences,
+    pack_sequences_greedy,
+    quantize_embeddings_int8,
+    sample_stratified,
+    split_train_val_test,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_split_proportions_and_stability(spark):
+    docs = _docs(spark).select("doc_id")
+    split = split_train_val_test(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert 0.7 < counts["train"] / total < 0.9
+    # membership is per-key: splitting a SUBSET assigns identical labels
+    sub = split_train_val_test(docs.filter(F.col("doc_id") % 3 == 0), "doc_id")
+    joined = split.join(sub.withColumnRenamed("split", "sub_split"), "doc_id")
+    assert joined.filter(F.col("split") != F.col("sub_split")).count() == 0
+
+
+def test_hash_bucket_range_and_fraction_bounds(spark):
+    docs = _docs(spark).select("doc_id")
+    df = docs.select(
+        hash_bucket(F.col("doc_id"), 8).alias("b"),
+        hash_fraction(F.col("doc_id")).alias("f"),
+    )
+    row = df.agg(
+        F.min("b").alias("bmin"), F.max("b").alias("bmax"),
+        F.min("f").alias("fmin"), F.max("f").alias("fmax"),
+    ).first()
+    assert 0 <= row["bmin"] and row["bmax"] <= 7
+    assert 0.0 <= row["fmin"] and row["fmax"] < 1.0
+
+
+def test_stratified_rates(spark):
+    docs = _docs(spark).select("doc_id", "lang")
+    kept = sample_stratified(docs, "lang", {"en": 1.0, "zh": 0.0}, "doc_id", default_fraction=0.5)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert kept.filter(F.col("lang") == "en").count() == n_en  # rate 1.0 keeps all
+    assert kept.filter(F.col("lang") == "zh").count() == 0     # rate 0.0 drops all
+
+
+def test_greedy_packing_never_overflows(spark):
+    budget = 256
+    corpus = assign_shards(_docs(spark).select("doc_id", "n_chars"), "doc_id", 4).select(
+        "doc_id", "shard", F.greatest(F.floor(F.col("n_chars") / 4), F.lit(1)).alias("tokens")
+    )
+    packed = pack_sequences_greedy(corpus, "shard", "doc_id", "tokens", budget)
+    bins = packed.groupBy("shard", "bin").agg(
+        F.sum("tokens").alias("fill"), F.count("*").alias("n")
+    )
+    # a bin over budget must be a single oversized document
+    assert bins.filter((F.col("fill") > budget) & (F.col("n") > 1)).count() == 0
+    # bins are dense per shard: max(bin) + 1 == n_bins
+    per_shard = bins.groupBy("shard").agg(
+        (F.max("bin") + 1).alias("expect"), F.count("*").alias("got")
+    )
+    assert per_shard.filter(F.col("expect") != F.col("got")).count() == 0
+    assert packed.count() == corpus.count()
+
+
+def test_quotient_packing_monotone(spark):
+    corpus = assign_shards(_docs(spark).select("doc_id", "n_chars"), "doc_id", 2).select(
+        "doc_id", "shard", F.greatest(F.floor(F.col("n_chars") / 4), F.lit(1)).alias("tokens")
+    )
+    packed = pack_sequences(corpus, "shard", "doc_id", "tokens", 512)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    lagged = packed.withColumn("prev_bin", F.lag("bin").over(w))
+    assert lagged.filter(F.col("bin") < F.col("prev_bin")).count() == 0
+
+
+def test_quantize_bounds_and_reconstruction(spark):
+    em = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    q = quantize_embeddings_int8(em)
+    assert q.filter(F.abs(F.col("q")) > 127).count() == 0
+    # dequantized component is within scale/2 of the original
+    orig = em.select("vec_id", F.posexplode("embedding").alias("i0", "x")).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x")
+    )
+    err = q.join(orig, ["vec_id", "i"]).select(
+        (F.abs(F.col("q") * F.col("scale") - F.col("x")) - F.col("scale") / 2).alias("over")
+    )
+    assert err.filter(F.col("over") > 1e-12).count() == 0
+
+
+def test_contamination_finds_planted_copies(spark):
+    docs = _docs(spark).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") < 40)
+    bench = docs.filter(F.col("doc_id") < 5)  # exact copies of 5 train docs
+    hits = contamination_ngrams(train, bench)
+    flagged = {r["doc_id"] for r in hits.collect()}
+    assert set(range(5)) <= flagged
