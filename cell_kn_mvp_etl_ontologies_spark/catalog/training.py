@@ -221,6 +221,70 @@ def embedding_quantize_q(spark, sf_dir):
 
 
 @register(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+    pairs AS (
+      SELECT doc_id AS a, doc_id + 10000 AS b FROM ids WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 10000, doc_id + 20000 FROM ids WHERE doc_id < 15
+      UNION ALL
+      SELECT doc_id + 20000, doc_id + 30000 FROM ids WHERE doc_id < 5
+    ),
+    sym AS (
+      SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    reach AS (
+      SELECT x AS node, x AS r FROM sym
+      UNION
+      SELECT s.x, reach.r FROM sym s JOIN reach ON reach.node = s.y
+    )
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components_q(spark, sf_dir):
+    """Duplicate-cluster finisher: pair output from exact/LSH dedup is only
+    half the job — keep-one-per-group needs the transitive closure of pairs.
+    Min-label propagation over a planted chain graph (diameter 3, so the
+    iteration actually propagates); component = min reachable doc_id."""
+    from ..plans.graph_query import connected_components
+
+    ids = load_table(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    link = lambda n, off_a, off_b: ids.filter(F.col("doc_id") < n).select(  # noqa: E731
+        (F.col("doc_id") + off_a).alias("a"), (F.col("doc_id") + off_b).alias("b")
+    )
+    pairs = link(30, 0, 10000).unionByName(link(15, 10000, 20000)).unionByName(
+        link(5, 20000, 30000)
+    )
+    return connected_components(pairs)
+
+
+@register(
+    "agg_quantiles",
+    oracle="""
+    WITH qs AS (
+      SELECT lang, quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS q
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, i, q[i] AS q_value FROM qs, generate_series(1, 3) t(i)
+    """,
+)
+def agg_quantiles_q(spark, sf_dir):
+    """Exact per-language length quantiles (p50/p90/p99) — the distribution
+    stats that drive corpus curation cutoffs.  Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition, so the oracle
+    is exact.  At 100 TB swap for `approx_percentile` (t-digest-style, one
+    pass, mergeable) — same call shape, declared tolerance."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = docs.groupBy("lang").agg(
+        F.percentile(F.col("n_chars"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+    )
+    return qs.select("lang", F.posexplode("q").alias("i0", "q_value")).select(
+        "lang", (F.col("i0") + 1).alias("i"), "q_value"
+    )
+
+
+@register(
     "contamination_ngram",
     oracle="""
     WITH train AS (

@@ -36,3 +36,54 @@ def transitive_closure(
         )
         all_paths = all_paths.unionByName(frontier)
     return all_paths.groupBy("a", "b").agg(F.min("hops").alias("hops"))
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) for every node in ``pairs``; component = minimum
+    node id reachable through the pair graph (deterministic canonical label).
+
+    The duplicate-clustering finisher: exact/MinHash/SimHash dedup emit
+    PAIRS, but keep-one-per-group needs the transitive closure of those
+    pairs (A~B, B~C ⇒ {A,B,C} one cluster, keep min).
+
+    Min-label propagation: each round, every node takes the min of its own
+    and its neighbors' labels — one join + one min-aggregate per round, both
+    keyed shuffles on uniformly distributed ids.  Rounds needed = component
+    diameter; duplicate clusters from LSH band pairs are near-cliques
+    (diameter ≤ 2-3), so this converges in a handful of rounds — the
+    convergence check (labels unchanged) is a count aggregate, no collect.
+    ``localCheckpoint`` truncates the growing lineage each round (swap for
+    reliable ``checkpoint()`` on a cluster).  For adversarial long-chain
+    graphs switch to alternating large-star/small-star (O(log d) rounds).
+    """
+    edges = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    sym = edges.unionByName(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "y"), on="y"
+        ).select(F.col("x").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, on="node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

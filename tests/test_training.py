@@ -103,6 +103,22 @@ def test_quantize_bounds_and_reconstruction(spark):
     assert err.filter(F.col("over") > 1e-12).count() == 0
 
 
+def test_connected_components_chain_and_isolates(spark):
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import connected_components
+
+    pairs = spark.createDataFrame(
+        # one 5-node chain (diameter 4) + one 2-clique + one self-contained pair
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10), (20, 21)],
+        "a long, b long",
+    )
+    got = {(r["node"], r["component"]) for r in connected_components(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+
+
 def test_contamination_finds_planted_copies(spark):
     docs = _docs(spark).select("doc_id", "text")
     train = docs.filter(F.col("doc_id") < 40)
