@@ -126,3 +126,38 @@ def test_contamination_finds_planted_copies(spark):
     hits = contamination_ngrams(train, bench)
     flagged = {r["doc_id"] for r in hits.collect()}
     assert set(range(5)) <= flagged
+
+
+def test_hash_fraction_matches_pure_python(spark):
+    """The Spark expression and an independent hashlib reimplementation must
+    agree bit-for-bit — this is the portability contract the DuckDB oracles
+    (and any third engine) rely on."""
+    import hashlib
+
+    keys = [0, 1, 7, 42, 999, 123456789, -3]
+    df = spark.createDataFrame([(k,) for k in keys], "k long").select(
+        "k", hash_fraction(F.col("k"), "salt").alias("f"),
+        hash_bucket(F.col("k"), 8, "s2").alias("b"),
+    )
+    got = {r["k"]: (r["f"], r["b"]) for r in df.collect()}
+    for k in keys:
+        f = int(hashlib.md5(f"salt{k}".encode()).hexdigest()[:8], 16) / 2**32
+        b = int(hashlib.md5(f"s2{k}".encode()).hexdigest()[:8], 16) % 8
+        assert got[k] == (f, b), k
+
+
+def test_empty_inputs_are_total(spark):
+    """Every training operator is total on empty input (no first()/head()
+    assumptions)."""
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import connected_components
+
+    empty_docs = _docs(spark).select("doc_id", "lang", "n_chars").limit(0)
+    assert split_train_val_test(empty_docs, "doc_id").count() == 0
+    assert sample_stratified(empty_docs, "lang", {"en": 1.0}, "doc_id").count() == 0
+    corpus = assign_shards(empty_docs.select("doc_id", "n_chars"), "doc_id", 4).select(
+        "doc_id", "shard", F.lit(1).cast("long").alias("tokens")
+    )
+    assert pack_sequences(corpus, "shard", "doc_id", "tokens", 512).count() == 0
+    assert pack_sequences_greedy(corpus, "shard", "doc_id", "tokens", 512).count() == 0
+    pairs = spark.createDataFrame([], "a long, b long")
+    assert connected_components(pairs).count() == 0
