@@ -221,6 +221,46 @@ def embedding_quantize_q(spark, sf_dir):
 
 
 @register(
+    "text_repetition_filter",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    base AS (
+      SELECT doc_id AS id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words, w
+      FROM words
+    ),
+    bigrams AS (
+      SELECT id, w[i] || ' ' || w[i + 1] AS bg
+      FROM base, generate_series(1, 600) t(i)
+      WHERE i <= len(w) - 1
+    ),
+    top AS (
+      SELECT id, MAX(c) AS top_bg
+      FROM (SELECT id, bg, COUNT(*) AS c FROM bigrams GROUP BY id, bg)
+      GROUP BY id
+    )
+    SELECT b.id, b.n_words, b.n_distinct_words,
+           COALESCE(b.n_distinct_words / CAST(NULLIF(b.n_words, 0) AS DOUBLE), 0.0)
+             AS distinct_word_ratio,
+           COALESCE(t.top_bg * 2.0 / CAST(NULLIF(b.n_words, 0) AS DOUBLE), 0.0)
+             AS top_bigram_frac
+    FROM base b LEFT JOIN top t USING (id)
+    """,
+)
+def text_repetition_filter_q(spark, sf_dir):
+    """Intra-document repetition metrics (distinct-word ratio, top-bigram
+    coverage) — the boilerplate/spam filter signals.  Single-exchange
+    two-level aggregation; see operators/text_analysis.py."""
+    from ..operators.text_analysis import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return repetition_metrics(docs, "text", "doc_id")
+
+
+@register(
     "dedup_connected_components",
     oracle="""
     WITH RECURSIVE ids AS (SELECT doc_id FROM documents),

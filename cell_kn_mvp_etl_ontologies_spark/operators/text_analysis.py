@@ -70,3 +70,57 @@ def doc_fingerprint(df: DataFrame, text_col: str, id_col: str,
 
     sh = shingles(df, text_col, id_col, shingle_width, prefix_len)
     return sh.groupBy("id").agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
+
+
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_words, n_distinct_words, distinct_word_ratio, top_bigram_frac)
+    — intra-document repetition signals (the Gopher/MassiveText-style
+    repetition filter): low distinct-word ratio or a single bigram covering
+    a large token fraction flags boilerplate/spam for removal.
+
+    Shape: word/distinct counts are per-row array expressions (no shuffle);
+    the top-bigram count explodes bigrams and aggregates twice over ONE
+    exchange — the explicit repartition on id satisfies both the (id, bg)
+    and the (id) grouping (hash-partitioning on a subset of the grouping key
+    is a valid clustered distribution), the same single-exchange two-level
+    shape as the positional index.  Explode fan-out is ~n_words per doc —
+    linear, unlike an O(words²) per-row expression.
+    """
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    # sequence(1, 0) DESCENDS ([1, 0]) rather than being empty — docs with
+    # fewer than two words must short-circuit to an empty bigram array
+    bigrams = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .select(
+            "id",
+            F.size("toks").cast("long").alias("n_words"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_words"),
+            bigrams.alias("bgs"),
+        )
+    )
+    bg = base.select(
+        "id", "n_words", "n_distinct_words", F.explode_outer("bgs").alias("bg")
+    ).repartition("id")
+    per_bg = bg.groupBy("id", "n_words", "n_distinct_words", "bg").agg(
+        F.count(F.when(F.col("bg").isNotNull(), 1)).alias("c")
+    )
+    top = per_bg.groupBy("id", "n_words", "n_distinct_words").agg(
+        F.max("c").alias("top_bg")
+    )
+    nz = F.when(F.col("n_words") > 0, F.col("n_words").cast("double"))
+    return top.select(
+        "id",
+        "n_words",
+        "n_distinct_words",
+        F.coalesce(F.col("n_distinct_words") / nz, F.lit(0.0)).alias("distinct_word_ratio"),
+        F.coalesce(F.col("top_bg") * F.lit(2.0) / nz, F.lit(0.0)).alias("top_bigram_frac"),
+    )

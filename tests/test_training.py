@@ -128,6 +128,24 @@ def test_contamination_finds_planted_copies(spark):
     assert set(range(5)) <= flagged
 
 
+def test_repetition_metrics_values(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.text_analysis import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 6 words, 2 distinct, 'a b' ×3 of 5 bigrams
+            (2, "all words differ ok"),
+            (3, ""),                    # empty → zeros, not divide-by-null
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in repetition_metrics(df, "text", "doc_id").collect()}
+    assert got[1]["n_words"] == 6 and got[1]["n_distinct_words"] == 2
+    assert got[1]["top_bigram_frac"] == 3 * 2.0 / 6
+    assert got[2]["distinct_word_ratio"] == 1.0
+    assert got[3]["n_words"] == 0 and got[3]["top_bigram_frac"] == 0.0
+
+
 def test_hash_fraction_matches_pure_python(spark):
     """The Spark expression and an independent hashlib reimplementation must
     agree bit-for-bit — this is the portability contract the DuckDB oracles
