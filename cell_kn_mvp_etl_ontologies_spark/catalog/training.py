@@ -325,6 +325,30 @@ def agg_quantiles_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id, i,
+           ('0x' || substring(md5(text), 2 * i - 1, 2))::INT / 255.0 AS f
+    FROM documents, generate_series(1, 16) t(i)
+    WHERE doc_id < 100
+    """,
+)
+def multimodal_feature_extract_q(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads — the bridge
+    from multimodal columns into the similarity/dedup operators.  Container
+    stand-in encoder is md5-derived (deterministic ⇒ exact oracle); the
+    Spark plumbing (mapInPandas batches, no shuffle) is the production
+    shape."""
+    from ..operators.multimodal import attach_binary_payload, extract_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    feats = extract_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id", F.posexplode("embedding").alias("i0", "f")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "f")
+
+
+@register(
     "contamination_ngram",
     oracle="""
     WITH train AS (

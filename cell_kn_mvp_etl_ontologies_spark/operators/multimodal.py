@@ -15,7 +15,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 DECODE_SCHEMA = StructType(
     [
@@ -139,3 +146,37 @@ def sample_frames(
         .substr(F.col("frame_idx") * frame_bytes + 1, F.lit(frame_bytes))
         .alias("frame_stub"),
     )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Arrow-batched feature-extraction stage: (doc_id, payload) →
+    fixed-width embedding, the bridge from opaque payloads into the
+    similarity/dedup operators (cosine top-k, ANN, embedding near-dup).
+
+    A real deployment runs a vision/audio encoder here (import-gated like
+    the decoder); the container stand-in derives component j from byte j of
+    md5(payload) scaled to [0, 1] — deterministic, so the whole stage is
+    oracle-checkable, while keeping the production plumbing (Arrow batches,
+    pure per-row map, no shuffle) real.  ``dim`` ≤ 16 (one md5 digest).
+    """
+    if not 1 <= dim <= 16:
+        raise ValueError("dim must be in [1, 16] (one md5 digest)")
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embs = [
+                [b / 255.0 for b in hashlib.md5(bytes(p)).digest()[:dim]]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)

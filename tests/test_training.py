@@ -119,6 +119,33 @@ def test_connected_components_chain_and_isolates(spark):
     }
 
 
+def test_multimodal_features_feed_similarity(spark):
+    """Feature extraction matches hashlib and its output plugs directly into
+    the similarity operators (the multimodal → embedding bridge)."""
+    import hashlib
+
+    import pytest
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import similarity_topk
+
+    docs = _docs(spark).filter(F.col("doc_id") < 10)
+    feats = extract_features(attach_binary_payload(docs))
+    row = feats.filter(F.col("doc_id") == 0).first()
+    text = docs.filter(F.col("doc_id") == 0).first()["text"]
+    assert row["embedding"] == [b / 255.0 for b in hashlib.md5(text.encode()).digest()]
+
+    em = feats.select(F.col("doc_id").alias("vec_id"), "embedding")
+    topk = similarity_topk(em.filter(F.col("vec_id") < 3), em, k=2, quantized=False)
+    assert topk.count() == 6  # 3 queries × k
+
+    with pytest.raises(ValueError):
+        extract_features(attach_binary_payload(docs), dim=17)
+
+
 def test_contamination_finds_planted_copies(spark):
     docs = _docs(spark).select("doc_id", "text")
     train = docs.filter(F.col("doc_id") < 40)
