@@ -119,3 +119,49 @@ def test_no_codegen_overflow_in_graph_build(spark):
     txt = plan_text(g.vertices)
     # '*(n)' prefixes mark whole-stage-codegen'd operators in the final plan
     assert "*(" in txt
+
+
+def test_repetition_metrics_single_exchange(spark):
+    """Bigram top-count runs both aggregation levels over ONE shuffle: the
+    repartition on id satisfies the (id, bg) and (id) groupings."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.text_analysis import repetition_metrics
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = repetition_metrics(docs, "text", "doc_id")
+    shuffles = sum(
+        1
+        for line in plan_text(df).splitlines()
+        if "Exchange" in line
+        and "ReusedExchange" not in line
+        and "BroadcastExchange" not in line
+    )
+    assert shuffles == 1
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    """The benchmark shingle set must broadcast — the training side streams,
+    never shuffles for the join."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.training import contamination_ngrams
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    df = contamination_ngrams(docs.filter(F.col("doc_id") >= 5), docs.filter(F.col("doc_id") < 5))
+    plan = plan_text(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_training_projections_shuffle_free(spark):
+    """Split/stratified-sample/shard assignment are pure narrow plans — zero
+    exchanges, so they pipeline into whatever scan precedes them."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.training import (
+        assign_shards,
+        sample_stratified,
+        split_train_val_test,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    for df in (
+        split_train_val_test(docs, "doc_id"),
+        sample_stratified(docs, "lang", {"en": 0.5}, "doc_id"),
+        assign_shards(docs, "doc_id", 8),
+    ):
+        assert count_exchanges(df) == 0
