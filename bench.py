@@ -166,6 +166,38 @@ def positional_index(spark):
     return build_positional_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
 
 
+def training_pipeline(spark):
+    """Training-data curation path on 600k rows: deterministic hash split →
+    stratified downsample → shard assignment → strict greedy sequence
+    packing (Arrow applyInPandas per shard) → per-(split, shard) occupancy.
+    Measures the md5 projection throughput and the Arrow round-trip of the
+    packer under real row counts (documents is only 5k rows at sf0.1)."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.training import (
+        assign_shards,
+        pack_sequences_greedy,
+        sample_stratified,
+        split_train_val_test,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("doc_id"),
+        F.col("l_returnflag").alias("stratum"),
+        F.greatest((F.col("l_quantity") * 4).cast("long"), F.lit(1)).alias("tokens"),
+    )
+    rows = split_train_val_test(li, "doc_id")
+    rows = sample_stratified(rows, "stratum", {"A": 0.9, "N": 0.5, "R": 0.25}, "doc_id")
+    rows = assign_shards(rows, "doc_id", 64).select("doc_id", "split", "shard", "tokens")
+    # split rides through the packer (passthrough) — joining it back on
+    # doc_id afterwards would be a full extra shuffle of both sides
+    packed = pack_sequences_greedy(rows, "shard", "doc_id", "tokens", 2048, passthrough=["split"])
+    stats = packed.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max("bin") + 1).alias("n_bins"),
+        F.sum("tokens").alias("tokens"),
+    )
+    return stats
+
+
 def graph_build_full(spark):
     """The flagship ontology pipeline on ~600k synthetic triples: URI/VTuple
     parse chains, predicate labeling, vertex pivot, deprecated filter, edge
@@ -217,6 +249,7 @@ BENCH_QUERIES = {
     "inverted_index": inverted_index,
     "ann_lsh": ann_lsh,
     "positional_index": positional_index,
+    "training_pipeline": training_pipeline,
     "graph_build_full": graph_build_full,
 }
 

@@ -190,6 +190,7 @@ def pack_sequences_greedy(
     order_col: str,
     tokens_col: str,
     budget: int,
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """Strict greedy packing: walk each shard in order; a document that
     would overflow the current bin closes it and opens the next.  No bin
@@ -200,8 +201,14 @@ def pack_sequences_greedy(
     layout packs thousands of shards in parallel).  The semantics are still
     SQL-expressible (recursive CTE over per-shard row_number), which is what
     the DuckDB oracle runs.
+
+    ``passthrough`` columns ride along through the packer unchanged —
+    carrying labels through costs nothing here, whereas joining them back on
+    the id afterwards is a full extra shuffle of both sides.
     """
-    schema = f"{shard_col} int, {order_col} long, {tokens_col} long, bin long"
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_cols = [shard_col, order_col, tokens_col, *passthrough]
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col).reset_index(drop=True)
@@ -213,13 +220,15 @@ def pack_sequences_greedy(
             fill += t
             bins.append(cur)
         pdf["bin"] = pd.Series(bins, dtype="int64")
-        return pdf[[shard_col, order_col, tokens_col, "bin"]]
+        return pdf[out_cols + ["bin"]]
 
     sel = df.select(
         F.col(shard_col).cast("int").alias(shard_col),
         F.col(order_col).cast("long").alias(order_col),
         F.col(tokens_col).cast("long").alias(tokens_col),
+        *passthrough,
     )
+    schema = StructType(list(sel.schema.fields) + [StructField("bin", LongType())])
     return sel.groupBy(shard_col).applyInPandas(pack, schema=schema)
 
 
