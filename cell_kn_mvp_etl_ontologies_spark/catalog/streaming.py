@@ -204,3 +204,33 @@ def stream_window_tumbling_q(spark, sf_dir):
         "n",
         "total_value",
     )
+
+
+@register(
+    "stream_split_route",
+    oracle="""
+    WITH f AS (
+      SELECT (('0x' || substring(md5('split' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0) AS frac
+      FROM events
+    )
+    SELECT CASE WHEN frac < 0.8 THEN 'train'
+                WHEN frac < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM f GROUP BY 1
+    """,
+)
+def stream_split_route_q(spark, sf_dir):
+    """Streaming train/val/test routing: because split membership is a pure
+    md5 function of the key (operators/training.py), the SAME expression runs
+    unchanged over a stream, and streaming and batch assignments agree
+    exactly — the property that makes incremental corpus ingestion safe
+    (a rand()-based split would re-roll membership every micro-batch).
+    Complete-mode count per split, oracled against the batch equivalent."""
+    from ..operators.training import split_train_val_test
+
+    stream = read_events_stream(spark, sf_dir)
+    routed = split_train_val_test(stream.select("event_id"), "event_id")
+    agg = routed.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    return run_stream_to_table(agg, output_mode="complete")
