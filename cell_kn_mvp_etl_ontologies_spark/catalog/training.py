@@ -325,6 +325,30 @@ def agg_quantiles_q(spark, sf_dir):
 
 
 @register(
+    "sink_range_sharded",
+    oracle="SELECT COUNT(*) AS total_rows, true AS ranges_disjoint FROM documents",
+)
+def sink_range_sharded_q(spark, sf_dir):
+    """Globally ordered shard write: repartitionByRange + sortWithinPartitions
+    on the interleave order hash (one sampled-boundary shuffle, each task
+    writes its own sorted file — no merge step, no driver bottleneck).
+    Verification reads the files back and checks per-file key intervals are
+    disjoint."""
+    import tempfile
+
+    from ..operators.training import interleave_weighted
+    from ..sinks.sharded import verify_range_sharded, write_range_sharded
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ordered = interleave_weighted(
+        docs, "source", {f"src{i}": 1.0 for i in range(20)}, "doc_id"
+    )
+    path = tempfile.mkdtemp(prefix="range_shard_") + "/shards"
+    back = write_range_sharded(ordered, path, "order_hash", 8)
+    return verify_range_sharded(back, "order_hash")
+
+
+@register(
     "multimodal_feature_extract",
     oracle="""
     SELECT doc_id, i,
