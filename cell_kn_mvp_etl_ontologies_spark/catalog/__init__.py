@@ -43,6 +43,25 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def finish_and_clean(df: DataFrame, *scratch_dirs: str) -> DataFrame:
+    """Materialize a small verification frame driver-side, then delete the
+    scratch directories it reads from.
+
+    Catalog queries that write to a ``mkdtemp`` scratch area return frames
+    that are LAZY over those files — deleting first would break the read, and
+    not deleting leaks state into /tmp on every gate/bench invocation.  The
+    frames routed through here are verification summaries (tens to a few
+    thousand rows by construction), so a collect is driver-scale.
+    """
+    import shutil
+
+    rows = df.collect()
+    out = df.sparkSession.createDataFrame(rows, df.schema)
+    for p in scratch_dirs:
+        shutil.rmtree(p, ignore_errors=True)
+    return out
+
+
 def load_all() -> None:
     """Import all catalog modules so their registrations run."""
     from . import core  # noqa: F401

@@ -30,7 +30,7 @@ from ..io import load_table
 from ..plans import build_graph
 from ..search import build_inverted_index, text_en_no_stem_tokens
 from ..sinks.graph import read_graph_vertices, write_graph
-from . import QUERIES, ORACLES, register
+from . import QUERIES, ORACLES, finish_and_clean, register
 
 
 def _t(spark, sf_dir, name):
@@ -270,7 +270,8 @@ def ddl_database_graph_q(spark, sf_dir):
     write_graph(g.vertices, g.edges, root, "Cell-KN-Ontologies", "KN-Ontologies-v2.0")
     write_graph(g.vertices, g.edges, root, "Cell-KN-Ontologies", "KN-Ontologies-v2.0")
     back = read_graph_vertices(spark, root, "Cell-KN-Ontologies", "KN-Ontologies-v2.0")
-    return back.groupBy("collection").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    counts = back.groupBy("collection").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    return finish_and_clean(counts, root)
 
 
 @register(
@@ -342,14 +343,16 @@ def text_search_ddl_q(spark, sf_dir):
     read back totals — double-apply must equal single-apply."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     idx = build_inverted_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
-    out = tempfile.mkdtemp(prefix="search_ddl_") + "/indexed"
+    root = tempfile.mkdtemp(prefix="search_ddl_")
+    out = root + "/indexed"
     idx.write.mode("overwrite").parquet(out)
     idx.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
-    return back.agg(
+    totals = back.agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.size("postings")).alias("n_postings"),
     )
+    return finish_and_clean(totals, root)
 
 
 @register(
@@ -411,11 +414,12 @@ def sink_compact_q(spark, sf_dir):
     path = root + "/docs"
     docs.repartition(64).write.mode("overwrite").parquet(path)
     compacted = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
-    return compacted.agg(
+    totals = compacted.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+    return finish_and_clean(totals, root)
 
 
 @register(

@@ -31,15 +31,30 @@ from ..io import load_table
 from ..operators import join_flatten_restriction, with_vtuple
 from ..plans import build_graph
 from ..plans.two_pass import pipeline_two_pass
-from . import register
+from . import finish_and_clean, register
 
 OBO = "http://purl.obolibrary.org/obo/"
 
 
-def _fixture_owl_dir() -> str:
-    from ..sources.owl_fixtures import write_fixture_dir
+_OWL_DIR: str | None = None
 
-    return write_fixture_dir(tempfile.mkdtemp(prefix="owl_fixtures_"))
+
+def _fixture_owl_dir() -> str:
+    """One shared fixture dir per process (content is static), removed at
+    interpreter exit — repeated gate/bench runs must not accumulate /tmp
+    state, and the OWL scan queries hold lazy plans over these files so the
+    dir has to outlive every query in the run."""
+    global _OWL_DIR
+    if _OWL_DIR is None:
+        import atexit
+        import shutil
+
+        from ..sources.owl_fixtures import write_fixture_dir
+
+        root = tempfile.mkdtemp(prefix="owl_fixtures_")
+        _OWL_DIR = write_fixture_dir(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return _OWL_DIR
 
 
 # --------------------------------------------------------------------------
@@ -164,7 +179,8 @@ def sink_graph_upsert_q(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="graph_sink_")
     g.vertices.write.mode("overwrite").partitionBy("collection").parquet(out)
     back = spark.read.parquet(out)
-    return back.groupBy("collection").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    counts = back.groupBy("collection").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    return finish_and_clean(counts, out)
 
 
 @register(
@@ -180,11 +196,12 @@ def sink_jsonl_export_q(spark, sf_dir):
     nat = load_table(spark, sf_dir, "nation")
     out = tempfile.mkdtemp(prefix="jsonl_sink_")
     nat.write.mode("overwrite").json(out)
-    return spark.read.json(out).select(
+    back = spark.read.json(out).select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"),
         "n_name",
         F.col("n_regionkey").cast("long").alias("n_regionkey"),
     )
+    return finish_and_clean(back, out)
 
 
 @register(
@@ -197,7 +214,8 @@ def sink_side_output_deprecated_q(spark, sf_dir):
     g = build_graph(fixture_triples(spark), fixture_ro_terms(spark), persist_clean=True)
     out = tempfile.mkdtemp(prefix="dep_terms_")
     g.deprecated.write.mode("overwrite").text(out)
-    return spark.read.text(out).select(F.col("value").alias("term"))
+    back = spark.read.text(out).select(F.col("value").alias("term"))
+    return finish_and_clean(back, out)
 
 
 @register(
@@ -218,7 +236,7 @@ def sink_side_output_edge_labels_q(spark, sf_dir):
     labels = g.edge_labels.withColumn("normalized_label", fn_normalize_edge_label(F.col("raw_label")))
     out = tempfile.mkdtemp(prefix="edge_labels_")
     labels.write.mode("overwrite").option("header", "true").csv(out)
-    return spark.read.option("header", "true").csv(out)
+    return finish_and_clean(spark.read.option("header", "true").csv(out), out)
 
 
 # --------------------------------------------------------------------------

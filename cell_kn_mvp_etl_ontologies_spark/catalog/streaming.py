@@ -155,10 +155,10 @@ def stream_graph_upsert_q(spark, sf_dir):
     the streaming version of sink_graph_upsert.  Upserted state after the
     bounded run holds one row per (user_id, event_type) with the latest
     count; verified against the batch aggregation."""
-    import shutil
     import tempfile
 
     from ..streaming import run_stream_upsert
+    from . import finish_and_clean
 
     stream = read_events_stream(spark, sf_dir)
     agg_rows = stream.groupBy("user_id", "event_type").agg(
@@ -173,8 +173,7 @@ def stream_graph_upsert_q(spark, sf_dir):
         keys=["user_id", "event_type"],
     )
     result = out.select("user_id", "event_type", "n_updates")
-    shutil.rmtree(path + "__checkpoint", ignore_errors=True)
-    return result
+    return finish_and_clean(result, root)
 
 
 @register(

@@ -205,9 +205,13 @@ def pack_sequences_greedy_q(spark, sf_dir):
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, generate_series(1, 64) t(i)
       WHERE vec_id < 100 AND i <= len(embedding)
+      UNION ALL
+      SELECT 99999, i, 0.0 FROM generate_series(1, 64) t(i)
     ),
     s AS (SELECT vec_id, MAX(abs(x)) / 127.0 AS scale FROM v GROUP BY vec_id)
-    SELECT v.vec_id, v.i, CAST(floor(v.x / s.scale + 0.5) AS BIGINT) AS q, s.scale
+    SELECT v.vec_id, v.i,
+           CAST(coalesce(floor(v.x / nullif(s.scale, 0.0) + 0.5), 0) AS BIGINT) AS q,
+           s.scale
     FROM v JOIN s ON v.vec_id = s.vec_id
     """,
 )
@@ -215,9 +219,13 @@ def embedding_quantize_q(spark, sf_dir):
     """Symmetric per-vector int8 quantization, exploded to components so the
     oracle checks every value.  floor(x+0.5) rounding — the one mode Spark,
     DuckDB, and a C++ serving stack agree on (Spark round is half-even,
-    DuckDB's is half-away)."""
+    DuckDB's is half-away).  An injected all-zero vector pins the degenerate
+    scale=0 case (q defined as 0, not NULL/divide-by-zero) in both engines."""
     em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    return quantize_embeddings_int8(em)
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    return quantize_embeddings_int8(em.select("vec_id", "embedding").unionByName(zero))
 
 
 @register(
@@ -338,14 +346,15 @@ def sink_range_sharded_q(spark, sf_dir):
 
     from ..operators.training import interleave_weighted
     from ..sinks.sharded import verify_range_sharded, write_range_sharded
+    from . import finish_and_clean
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     ordered = interleave_weighted(
         docs, "source", {f"src{i}": 1.0 for i in range(20)}, "doc_id"
     )
-    path = tempfile.mkdtemp(prefix="range_shard_") + "/shards"
-    back = write_range_sharded(ordered, path, "order_hash", 8)
-    return verify_range_sharded(back, "order_hash")
+    root = tempfile.mkdtemp(prefix="range_shard_")
+    back = write_range_sharded(ordered, root + "/shards", "order_hash", 8)
+    return finish_and_clean(verify_range_sharded(back, "order_hash"), root)
 
 
 @register(
@@ -377,12 +386,16 @@ def multimodal_feature_extract_q(spark, sf_dir):
     oracle="""
     WITH train AS (
       SELECT doc_id, substring(text, 1, 120) AS prefix FROM documents WHERE source <> 'src0'
+      UNION ALL
+      SELECT 99991, 'abc'
     ),
     bench AS (
       SELECT doc_id, substring(text, 1, 120) AS prefix FROM documents WHERE source = 'src0'
       UNION ALL
       SELECT doc_id + 10000, substring(text, 1, 120) FROM documents
       WHERE source <> 'src0' AND doc_id % 7 = 0
+      UNION ALL
+      SELECT 99992, 'abc'
     ),
     tsh AS (
       SELECT DISTINCT doc_id, md5(substring(prefix, i, 8)) AS sh
@@ -403,12 +416,21 @@ def contamination_ngram_q(spark, sf_dir):
     """Benchmark decontamination: 8-char shingle overlap between the
     training split and a 'benchmark' set that deliberately contains copies
     of every 7th training doc (true positives).  md5 shingle keys, per-side
-    dedup, benchmark side broadcast."""
+    dedup, benchmark side broadcast.  Injected sub-shingle-width ('abc')
+    rows on BOTH sides pin the short-text edge: texts shorter than the
+    shingle width emit zero shingles, never a spurious whole-text hit."""
     docs = load_table(spark, sf_dir, "documents")
-    train = docs.filter(F.col("source") != "src0").select("doc_id", "text")
-    bench = docs.filter(F.col("source") == "src0").select("doc_id", "text").unionByName(
-        docs.filter((F.col("source") != "src0") & (F.col("doc_id") % 7 == 0)).select(
-            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    train = docs.filter(F.col("source") != "src0").select("doc_id", "text").unionByName(
+        spark.createDataFrame([(99991, "abc")], "doc_id long, text string")
+    )
+    bench = (
+        docs.filter(F.col("source") == "src0")
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter((F.col("source") != "src0") & (F.col("doc_id") % 7 == 0)).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
         )
+        .unionByName(spark.createDataFrame([(99992, "abc")], "doc_id long, text string"))
     )
     return contamination_ngrams(train, bench)

@@ -245,13 +245,23 @@ def quantize_embeddings_int8(
     ``(id, i, q, scale)`` so the oracle compares every component.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # nullif-guard the degenerate all-zero vector: scale = 0 would divide by
+    # zero (NULL under Spark non-ANSI, undefined downstream); define q = 0.
+    safe_scale = F.nullif(F.col("scale"), F.lit(0.0))
     return (
         df.select(F.col(id_col), v.alias("v"))
         .withColumn("scale", F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0))
         .select(
             id_col,
             "scale",
-            F.posexplode(F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long"))).alias("i", "q"),
+            F.posexplode(
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.coalesce(
+                        F.floor(x / safe_scale + F.lit(0.5)), F.lit(0)
+                    ).cast("long"),
+                )
+            ).alias("i", "q"),
         )
         .select(id_col, (F.col("i") + 1).alias("i"), "q", "scale")
     )
@@ -279,10 +289,16 @@ def contamination_ngrams(
     def shingles(df: DataFrame, ident: str) -> DataFrame:
         prefix = F.substring(F.col(text_col), 1, prefix_len)
         n = F.greatest(F.length(prefix) - F.lit(shingle_width - 1), F.lit(0))
-        sh = F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.md5(prefix.substr(i, F.lit(shingle_width))),
-        )
+        # Spark sequence(1, 0) DESCENDS to [1, 0]: a text shorter than the
+        # shingle width would emit a spurious whole-text shingle — guard with
+        # an explicit empty array, like every other n-gram builder here.
+        sh = F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.md5(prefix.substr(i, F.lit(shingle_width))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
         return (
             df.select(F.col(id_col).alias(ident), F.explode(sh).alias("sh"))
             .dropDuplicates([ident, "sh"])

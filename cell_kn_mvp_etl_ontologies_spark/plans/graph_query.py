@@ -58,6 +58,8 @@ def connected_components(
     reliable ``checkpoint()`` on a cluster).  For adversarial long-chain
     graphs switch to alternating large-star/small-star (O(log d) rounds).
     """
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     edges = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
     sym = edges.unionByName(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
     sym = sym.localCheckpoint(eager=True)
@@ -67,6 +69,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("node", "y"), on="y"
@@ -86,4 +89,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Partially-propagated labels would silently split one true component
+        # into several — downstream keep-one-per-cluster dedup would then keep
+        # extra copies.  Fail loudly instead of returning wrong clusters.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); component diameter exceeds "
+            f"max_iter — raise max_iter or switch to large-star/small-star."
+        )
     return labels.select("node", F.col("label").alias("component"))

@@ -103,6 +103,48 @@ def test_quantize_bounds_and_reconstruction(spark):
     assert err.filter(F.col("over") > 1e-12).count() == 0
 
 
+def test_quantize_zero_vector_is_defined(spark):
+    """All-zero embedding → scale = 0; q must be 0 everywhere, never NULL
+    (divide-by-zero under non-ANSI Spark) — the degenerate case ADVICE r1
+    flagged."""
+    em = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.0, 254.0, -127.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {(r["vec_id"], r["i"]): r for r in quantize_embeddings_int8(em).collect()}
+    assert [rows[(1, i)]["q"] for i in (1, 2, 3)] == [0, 0, 0]
+    assert rows[(1, 1)]["scale"] == 0.0
+    assert all(rows[(1, i)]["q"] is not None for i in (1, 2, 3))
+    assert [rows[(2, i)]["q"] for i in (1, 2, 3)] == [0, 127, -63]  # floor(x+0.5)
+
+
+def test_contamination_short_texts_emit_no_shingles(spark):
+    """Texts shorter than the shingle width share zero shingles — Spark's
+    sequence(1, 0) descends to [1, 0], which unguarded emits a spurious
+    whole-text shingle (ADVICE r1)."""
+    train = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "abc"), (8, "")], "doc_id long, text string")
+    assert contamination_ngrams(train, bench).count() == 0
+    # exactly-width texts still match
+    t2 = spark.createDataFrame([(1, "12345678")], "doc_id long, text string")
+    hits = contamination_ngrams(t2, t2).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in hits] == [(1, 1)]
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest
+
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "a long, b long"
+    )  # diameter 5 > max_iter
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    with pytest.raises(ValueError):
+        connected_components(chain, max_iter=0)
+
+
 def test_connected_components_chain_and_isolates(spark):
     from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import connected_components
 
