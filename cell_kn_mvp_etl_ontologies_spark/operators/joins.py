@@ -35,26 +35,39 @@ def join_flatten_restriction(triples: DataFrame) -> DataFrame:
 
     Returns rows in the triples schema with object_kind='iri'.
     """
-    anon_parents = triples.filter(
-        (F.col("predicate") == RDFS_SUBCLASS_OF) & (F.col("object_kind") == KIND_BNODE)
-    ).select("src_file", "subject", F.col("object_iri").alias("bnode_id"))
-
-    # One row per bnode: conditional aggregation replaces the reference's
-    # per-statement loop; max() is safe because owl:Restriction carries at most
-    # one onProperty/someValuesFrom — and makes duplicates deterministic.
-    bnode_stmts = (
-        triples.filter(F.col("predicate").isin(OWL_ON_PROPERTY, OWL_SOME_VALUES_FROM))
-        .groupBy("src_file", F.col("subject").alias("bnode_id"))
+    # ONE scan, ONE shuffle, NO self-join: both legs of the old formulation
+    # (parent statements pointing AT a bnode, statements ABOUT a bnode) key on
+    # the same (src_file, bnode_id), so a single filtered pass can route each
+    # row to its role and a single groupBy assembles the restriction — the
+    # parents as a collected list (one output row per parent statement, like
+    # the old 1:N join), onProperty/someValuesFrom as conditional max()
+    # (safe: owl:Restriction carries at most one of each — and max makes
+    # duplicates deterministic).  The old shape scanned the triple stream
+    # twice more and shuffled both sides of a join; at fact scale those are
+    # two full extra passes over unpersisted input.
+    is_parent = (F.col("predicate") == RDFS_SUBCLASS_OF) & (F.col("object_kind") == KIND_BNODE)
+    legs = triples.filter(
+        is_parent | F.col("predicate").isin(OWL_ON_PROPERTY, OWL_SOME_VALUES_FROM)
+    )
+    keyed = legs.select(
+        "src_file",
+        F.when(is_parent, F.col("object_iri")).otherwise(F.col("subject")).alias("bnode_id"),
+        F.when(is_parent, F.col("subject")).alias("parent"),
+        F.when(F.col("predicate") == OWL_ON_PROPERTY, F.col("object_iri")).alias("onp"),
+        F.when(F.col("predicate") == OWL_SOME_VALUES_FROM, F.col("object_iri")).alias("svf"),
+    )
+    assembled = (
+        keyed.groupBy("src_file", "bnode_id")
         .agg(
-            F.max(F.when(F.col("predicate") == OWL_ON_PROPERTY, F.col("object_iri"))).alias("on_property"),
-            F.max(F.when(F.col("predicate") == OWL_SOME_VALUES_FROM, F.col("object_iri"))).alias("some_values_from"),
+            F.collect_list("parent").alias("parents"),  # collect_list skips nulls
+            F.max("onp").alias("on_property"),
+            F.max("svf").alias("some_values_from"),
         )
         .filter(F.col("on_property").isNotNull() & F.col("some_values_from").isNotNull())
     )
-
-    return anon_parents.join(bnode_stmts, on=["src_file", "bnode_id"], how="inner").select(
+    return assembled.select(
         "src_file",
-        "subject",
+        F.explode("parents").alias("subject"),  # no parents -> bnode dropped, like the inner join
         F.col("on_property").alias("predicate"),
         F.lit("iri").alias("object_kind"),
         F.col("some_values_from").alias("object_iri"),
