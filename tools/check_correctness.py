@@ -65,6 +65,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    ap.add_argument("--json-out", default=None, help="write per-query results (driver CORRECTNESS shape) to this path")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -95,6 +96,7 @@ def main() -> int:
     names = args.queries or list(queries)
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    results: dict[str, dict] = {}
     for name in names:
         fn = queries[name]
         t0 = time.time()
@@ -106,10 +108,15 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                             "spark_rows": None, "oracle_rows": None, "err": "spark error"}
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(s_pd)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
+            results[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                             "spark_rows": len(s_pd), "oracle_rows": None, "err": None,
+                             "rows_only": True}
             continue
         try:
             d_pd = con.sql(oracles[name]).df()
@@ -118,10 +125,14 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                             "spark_rows": len(s_pd), "oracle_rows": None, "err": "duckdb error"}
             continue
         sn, sc, sh = frame_hash(s_pd)
         dn, dc, dh = frame_hash(d_pd)
         ok = (sn, sc, sh) == (dn, dc, dh)
+        results[name] = {"rows_match": sn == dn, "schema_match": sc == dc, "hash_match": sh == dh,
+                         "spark_rows": sn, "oracle_rows": dn, "err": None}
         if ok:
             n_pass += 1
             print(f"PASS  {name}: {sn} rows [{time.time()-t0:.1f}s]")
@@ -141,6 +152,12 @@ def main() -> int:
     print(f"\n{n_pass} pass / {n_fail} fail / {n_rows_only} rows-only of {len(names)}")
     if failures:
         print("failures:", " ".join(failures))
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
