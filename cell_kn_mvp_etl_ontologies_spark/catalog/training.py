@@ -434,3 +434,131 @@ def contamination_ngram_q(spark, sf_dir):
         .unionByName(spark.createDataFrame([(99992, "abc")], "doc_id long, text string"))
     )
     return contamination_ngrams(train, bench)
+
+
+# --------------------------------------------------------------------------
+# corpus curation: PII redaction + C4 line cleaning (operators/curation.py)
+# --------------------------------------------------------------------------
+# The synthetic documents contain no PII and no newlines, so both queries
+# append deterministic structure (same expression in Spark and SQL) before
+# running the operator — the injection IS part of the differential check.
+
+_PII_AUG_SQL = """
+    SELECT doc_id,
+      text
+      || CASE WHEN doc_id % 5 = 0 THEN ' contact bob.smith+spam@example.org now' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN ' call 415-555-0123.' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' card 4111 1111 1111 1111 exp' ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+      || CASE WHEN doc_id % 17 = 0 THEN ' from 10.0.42.7 host' ELSE '' END AS text
+    FROM documents WHERE doc_id < 300
+"""
+
+
+def _pii_augmented(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    frags = [
+        (5, " contact bob.smith+spam@example.org now"),
+        (7, " call 415-555-0123."),
+        (11, " card 4111 1111 1111 1111 exp"),
+        (13, " ssn 123-45-6789"),
+        (17, " from 10.0.42.7 host"),
+    ]
+    text = F.col("text")
+    for mod, frag in frags:
+        text = F.concat(text, F.when(F.col("doc_id") % mod == 0, F.lit(frag)).otherwise(F.lit("")))
+    return docs.select("doc_id", text.alias("text"))
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS ({_PII_AUG_SQL})
+    SELECT doc_id AS id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+              '\\b\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}\\b', '[CREDIT_CARD]', 'g'),
+            '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '[SSN]', 'g'),
+          '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '[PHONE]', 'g'),
+        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IPV4]', 'g') AS redacted,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(text, '\\b\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}\\b')) AS BIGINT) AS n_credit_card,
+      CAST(len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS BIGINT) AS n_ssn,
+      CAST(len(regexp_extract_all(text, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4
+    FROM aug
+    """,
+)
+def text_pii_redact_q(spark, sf_dir):
+    """PII scrub over the corpus: mask emails/cards/SSNs/phones/IPs with
+    [KIND] tokens and count hits per kind.  Pure chained regexp_replace —
+    a narrow map stage, no shuffle; patterns are RE2-safe so Spark and
+    DuckDB agree byte-for-byte."""
+    from ..operators.curation import redact_pii
+
+    return redact_pii(_pii_augmented(spark, sf_dir))
+
+
+_C4_AUG_SQL = """
+    SELECT doc_id,
+      'First line of doc ' || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+      || CASE WHEN doc_id % 2 = 0 THEN 'contains lorem ipsum filler.' ELSE 'a good second line here!' END || chr(10)
+      || 'too short.' || chr(10)
+      || substring(text, 1, 40) || chr(10)
+      || CASE WHEN doc_id % 5 = 0 THEN 'Cookie Policy applies here.' ELSE 'another well formed sentence.' END || chr(10)
+      || 'final line ends well.' AS text
+    FROM documents WHERE doc_id < 300
+"""
+
+
+def _c4_augmented(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    nl = F.lit("\n")
+    text = F.concat(
+        F.lit("First line of doc "), F.col("doc_id").cast("string"), F.lit("."), nl,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("contains lorem ipsum filler.")).otherwise(
+            F.lit("a good second line here!")
+        ), nl,
+        F.lit("too short."), nl,
+        F.substring(F.col("text"), 1, 40), nl,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Cookie Policy applies here.")).otherwise(
+            F.lit("another well formed sentence.")
+        ), nl,
+        F.lit("final line ends well."),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+@register(
+    "text_c4_line_filter",
+    oracle=f"""
+    WITH aug AS ({_C4_AUG_SQL}),
+    l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug),
+    k AS (
+      SELECT doc_id, lines,
+        list_filter(lines, x ->
+          regexp_matches(x, '[.!?"'']$')
+          AND len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) >= 3
+          AND NOT contains(lower(x), 'javascript')
+          AND NOT contains(lower(x), 'lorem ipsum')
+          AND NOT contains(lower(x), 'cookie policy')
+          AND NOT contains(lower(x), 'terms of use')) AS kept
+      FROM l
+    )
+    SELECT doc_id AS id, array_to_string(kept, chr(10)) AS cleaned,
+           CAST(len(lines) AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept
+    FROM k
+    """,
+)
+def text_c4_line_filter_q(spark, sf_dir):
+    """C4-style line cleaning: keep sentence-like lines (terminal
+    punctuation, >= 3 words, no boilerplate phrases), rejoin survivors.
+    Higher-order array filter per row — no explode, no shuffle; documents
+    never leave their partition."""
+    from ..operators.curation import c4_line_filter
+
+    return c4_line_filter(_c4_augmented(spark, sf_dir))

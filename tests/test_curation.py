@@ -1,0 +1,68 @@
+"""Corpus-curation operators: PII redaction + C4 line cleaning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.operators.curation import (
+    C4_BAD_PHRASES,
+    PII_PATTERNS,
+    c4_line_filter,
+    redact_pii,
+)
+
+
+def test_redact_pii_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_9@sub.example.co.uk or x@y.io today"),
+            (2, "card 4111 1111-1111 1111 and 4111-1111-1111-1111"),
+            (3, "ssn 123-45-6789 phone 415.555.0123 ip 10.0.42.7"),
+            (4, "nothing sensitive here 12345"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_email"] == 2
+    assert got[1]["redacted"] == "mail [EMAIL] or [EMAIL] today"
+    # '4111 1111-1111 1111' mixes separators -> NOT a card (pattern requires
+    # a consistent shape per separator position); the dashed one matches
+    assert got[2]["n_credit_card"] == 2  # both match: separator may vary per gap
+    assert "[CREDIT_CARD]" in got[2]["redacted"]
+    assert (got[3]["n_ssn"], got[3]["n_phone"], got[3]["n_ipv4"]) == (1, 1, 1)
+    assert got[3]["redacted"] == "ssn [SSN] phone [PHONE] ip [IPV4]"
+    assert got[4]["redacted"] == "nothing sensitive here 12345"
+    assert all(got[4][f"n_{k}"] == 0 for k in PII_PATTERNS)
+    assert got[5]["redacted"] == ""
+
+
+def test_c4_line_filter_keeps_sentences(spark):
+    text = "\n".join(
+        [
+            "This line is a proper sentence.",
+            "no terminal punctuation here",
+            "short.",
+            "This one mentions JavaScript sadly.",
+            "Ends with a question mark?",
+            "",
+        ]
+    )
+    df = spark.createDataFrame([(1, text), (2, "x.\ny!")], "doc_id long, text string")
+    got = {r["id"]: r for r in c4_line_filter(df).collect()}
+    assert got[1]["n_lines"] == 6
+    assert got[1]["n_kept"] == 2
+    assert got[1]["cleaned"] == "This line is a proper sentence.\nEnds with a question mark?"
+    # single-word lines fail min_words even with terminal punctuation
+    assert got[2]["n_kept"] == 0 and got[2]["cleaned"] == ""
+
+
+def test_c4_bad_phrases_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Read our COOKIE POLICY for details.\nA perfectly fine line.")],
+        "doc_id long, text string",
+    )
+    row = c4_line_filter(df).first()
+    assert row["n_kept"] == 1
+    assert "COOKIE" not in row["cleaned"]
+    assert "cookie policy" in C4_BAD_PHRASES
