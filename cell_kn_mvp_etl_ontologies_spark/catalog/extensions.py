@@ -897,3 +897,79 @@ def join_asof_events_q(spark, sf_dir):
         right_value="o_orderkey", out_col="asof_orderkey",
     )
     return out.select("event_id", "asof_orderkey")
+
+
+@register(
+    "join_range_interval",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS p, value FROM events
+    ),
+    iv AS (
+      SELECT event_id AS interval_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+      FROM events WHERE event_id % 50 = 0
+    )
+    SELECT interval_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM pts JOIN iv ON p >= s AND p <= e
+    GROUP BY interval_id
+    """,
+)
+def join_range_interval_q(spark, sf_dir):
+    """Range (interval) join without a cartesian: every 50th event opens a
+    30-minute window; events are matched via a bucketized equi-join
+    (bucket = epoch div window) + exact refine filter, then aggregated per
+    interval.  The oracle is the plain inequality join DuckDB can afford at
+    sf0.01."""
+    from ..operators.temporal import join_range_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select("event_id", F.unix_timestamp("ts").alias("p"), "value")
+    iv = ev.filter(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 1800).alias("e"),
+    )
+    joined = join_range_bucketed(pts, iv, "p", "s", "e", 1800)
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "agg_time_rollup",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS b, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS t
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT date_trunc('hour', b) AS b, event_type, SUM(n) AS n, SUM(t) AS t
+      FROM m GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT date_trunc('day', b) AS b, event_type, SUM(n) AS n, SUM(t) AS t
+      FROM h GROUP BY 1, 2
+    )
+    SELECT 'minute' AS grain, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type, CAST(n AS BIGINT) AS n, CAST(t AS DOUBLE) AS total_value FROM m
+    UNION ALL
+    SELECT 'hour', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type,
+           CAST(n AS BIGINT), CAST(t AS DOUBLE) FROM h
+    UNION ALL
+    SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type,
+           CAST(n AS BIGINT), CAST(t AS DOUBLE) FROM d
+    """,
+)
+def agg_time_rollup_q(spark, sf_dir):
+    """Hypertable-style continuous aggregate: minute buckets from the raw
+    stream, hour from minute, day from hour — the raw stream shuffles once;
+    coarser grains re-aggregate grain-cardinality rows.  DECIMAL sums stay
+    exact through the cascade (assoc.), surfaced as DOUBLE."""
+    from ..operators.temporal import time_rollup
+
+    return time_rollup(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,108 @@
+"""Temporal operators: bucketized range join + hierarchical time rollup
+(SURVEY.md §2.12 extension surface).
+
+Spark has no native interval/range join or continuous aggregate; these are
+the standard scale-safe formulations:
+
+- ``join_range_bucketed`` turns a range predicate into an equi-join on a
+  bucket id (plus an exact refine filter), so Catalyst plans a hash join
+  with a bounded fan-out instead of a broadcast-nested-loop cartesian.
+- ``time_rollup`` computes the finest grain from the raw stream ONCE, then
+  derives every coarser grain from the next-finer aggregate — the
+  hypertable / continuous-aggregate cascade.  Only the first aggregation
+  shuffles fact-scale data; the re-aggs shuffle grain-cardinality rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def join_range_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """All (point, interval) matches with ``start <= point <= end`` as an
+    equi-join: intervals explode to every ``bucket_width``-sized bucket they
+    overlap, points map to exactly one bucket, the join key is the bucket id
+    and the exact range predicate refines.
+
+    Each point lives in ONE bucket, so matches are emitted exactly once — no
+    post-join distinct.  Fan-out is ceil(interval_len / width) + 1 rows per
+    interval: pick ``bucket_width`` near the typical interval length so the
+    explode stays O(|intervals|) while each bucket join stays selective.
+    Long-tail intervals (>> width) are the skew risk at scale — cap their
+    fan-out by splitting oversized intervals upstream or raising width.
+    All columns of both inputs pass through; numeric (cast timestamps to
+    epoch seconds first).
+    """
+    w = F.lit(bucket_width).cast("long")
+    p = points.withColumn("_bucket", (F.col(point_col).cast("long") / w).cast("long"))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col).cast("long") / w).cast("long"),
+                (F.col(end_col).cast("long") / w).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, on="_bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    grains: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hierarchical time-bucketed aggregate: (grain, bucket_start, key, n,
+    total_value) for each grain, each coarser grain re-aggregated from the
+    next finer one.
+
+    ``grains`` must be ordered finest → coarsest (each a valid
+    ``date_trunc`` unit).  The raw stream is aggregated exactly once (at the
+    finest grain); the cascade re-aggs shuffle only grain-cardinality rows —
+    at 100 TB that is the difference between one wide shuffle and
+    len(grains) of them.  Sums carry DECIMAL(18,6) through the cascade
+    (exact, associative) and surface as DOUBLE.
+    """
+    finest = grains[0]
+    cur = (
+        events.groupBy(
+            F.date_trunc(finest, F.col(ts_col)).alias("_bucket"), F.col(key_col)
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_total"),
+        )
+    )
+    levels = [cur.withColumn("grain", F.lit(finest))]
+    for grain in grains[1:]:
+        cur = (
+            cur.groupBy(
+                F.date_trunc(grain, F.col("_bucket")).alias("_bucket"), F.col(key_col)
+            ).agg(F.sum("n").alias("n"), F.sum("_total").alias("_total"))
+        )
+        levels.append(cur.withColumn("grain", F.lit(grain)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "grain",
+        F.date_format("_bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        key_col,
+        F.col("n").cast("long").alias("n"),
+        F.col("_total").cast("double").alias("total_value"),
+    )

@@ -1,0 +1,58 @@
+"""Temporal operators: bucketized range join + hierarchical time rollup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.operators.temporal import (
+    join_range_bucketed,
+    time_rollup,
+)
+
+
+def test_range_join_boundaries_and_fanout(spark):
+    pts = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, 100), (4, 250), (5, 251)], "pid long, p long"
+    )
+    iv = spark.createDataFrame(
+        [(10, 10, 25), (20, 90, 260)], "interval_id long, s long, e long"
+    )
+    # bucket width much smaller than interval 20 -> interval spans many
+    # buckets; each match must still appear exactly once
+    got = {
+        (r["pid"], r["interval_id"])
+        for r in join_range_bucketed(pts, iv, "p", "s", "e", 7).collect()
+    }
+    assert got == {(1, 10), (2, 10), (3, 20), (4, 20), (5, 20)}  # both ends inclusive
+    # count = set size (no duplicate emissions despite multi-bucket intervals)
+    assert join_range_bucketed(pts, iv, "p", "s", "e", 7).count() == len(got)
+
+
+def test_range_join_empty_and_negative(spark):
+    pts = spark.createDataFrame([(1, -15)], "pid long, p long")
+    iv = spark.createDataFrame([(10, -20, -10), (20, 0, 5)], "interval_id long, s long, e long")
+    rows = join_range_bucketed(pts, iv, "p", "s", "e", 8).collect()
+    assert [(r["pid"], r["interval_id"]) for r in rows] == [(1, 10)]
+
+
+def test_time_rollup_grains_consistent(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:10", "a", 1.5),
+            (2, "2024-01-01 00:00:40", "a", 2.5),
+            (3, "2024-01-01 00:59:59", "a", 1.0),
+            (4, "2024-01-01 01:00:00", "a", 10.0),
+            (5, "2024-01-02 05:00:00", "b", 7.0),
+        ],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = time_rollup(df).collect()
+    by = {(r["grain"], r["bucket_start"], r["event_type"]): (r["n"], r["total_value"]) for r in out}
+    assert by[("minute", "2024-01-01 00:00:00", "a")] == (2, 4.0)
+    assert by[("hour", "2024-01-01 00:00:00", "a")] == (3, 5.0)
+    assert by[("day", "2024-01-01 00:00:00", "a")] == (4, 15.0)
+    assert by[("day", "2024-01-02 00:00:00", "b")] == (1, 7.0)
+    # every coarser grain's totals must equal the sum of its finer children
+    n_minute = sum(v[0] for k, v in by.items() if k[0] == "minute")
+    n_day = sum(v[0] for k, v in by.items() if k[0] == "day")
+    assert n_minute == n_day == 5
