@@ -66,3 +66,33 @@ def test_c4_bad_phrases_case_insensitive(spark):
     assert row["n_kept"] == 1
     assert "COOKIE" not in row["cleaned"]
     assert "cookie policy" in C4_BAD_PHRASES
+
+
+def test_redact_pii_is_idempotent_and_clean(spark):
+    """After redaction no PII pattern matches the output, and a second pass
+    is a no-op (masks never form new matches)."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.curation import PII_PATTERNS
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@b.co and 10.1.2.3 and 123-45-6789 and 415-555-0123 and 4111 1111 1111 1111"),
+            (2, "email-in-email a@b.co@c.io edge"),
+            (3, "ip-ish 999.999.999.999 and 1.2.3.4.5"),
+        ],
+        "doc_id long, text string",
+    )
+    once = redact_pii(df)
+    leftovers = once.select(
+        *[
+            F.size(F.regexp_extract_all(F.col("redacted"), F.lit(p), F.lit(0))).alias(k)
+            for k, p in PII_PATTERNS.items()
+        ]
+    ).collect()
+    assert all(v == 0 for r in leftovers for v in r), leftovers
+    twice = redact_pii(
+        once.select(F.col("id").alias("doc_id"), F.col("redacted").alias("text"))
+    )
+    pairs = once.select(F.col("id"), F.col("redacted")).join(
+        twice.select("id", F.col("redacted").alias("re2")), "id"
+    )
+    assert pairs.filter(F.col("redacted") != F.col("re2")).count() == 0

@@ -56,3 +56,44 @@ def test_time_rollup_grains_consistent(spark):
     n_minute = sum(v[0] for k, v in by.items() if k[0] == "minute")
     n_day = sum(v[0] for k, v in by.items() if k[0] == "day")
     assert n_minute == n_day == 5
+
+
+def test_range_join_plan_is_hash_join_not_nested_loop(spark):
+    """The whole point of the bucketized formulation: the physical plan must
+    be an equi (hash/sort-merge) join, never BroadcastNestedLoopJoin — the
+    plan Spark falls back to for raw range predicates and the one that dies
+    at scale."""
+    pts = spark.range(1000).select(F.col("id").alias("pid"), (F.col("id") * 3).alias("p"))
+    iv = spark.range(50).select(
+        F.col("id").alias("interval_id"),
+        (F.col("id") * 60).alias("s"),
+        (F.col("id") * 60 + 30).alias("e"),
+    )
+    plan = (
+        join_range_bucketed(pts, iv, "p", "s", "e", 30)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_range_join_matches_brute_force(spark):
+    """Bucketized result == the naive inequality join, across widths."""
+    pts = spark.range(200).select(F.col("id").alias("pid"), ((F.col("id") * 37) % 500).alias("p"))
+    iv = spark.range(30).select(
+        F.col("id").alias("interval_id"),
+        ((F.col("id") * 53) % 400).alias("s"),
+        ((F.col("id") * 53) % 400 + (F.col("id") % 90)).alias("e"),
+    )
+    brute = {
+        (r["pid"], r["interval_id"])
+        for r in pts.crossJoin(iv)
+        .filter((F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")))
+        .collect()
+    }
+    for width in (1, 7, 64, 1000):
+        got = {
+            (r["pid"], r["interval_id"])
+            for r in join_range_bucketed(pts, iv, "p", "s", "e", width).collect()
+        }
+        assert got == brute, width
