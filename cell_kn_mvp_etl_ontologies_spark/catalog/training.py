@@ -562,3 +562,86 @@ def text_c4_line_filter_q(spark, sf_dir):
     from ..operators.curation import c4_line_filter
 
     return c4_line_filter(_c4_augmented(spark, sf_dir))
+
+
+@register(
+    "dedup_pipeline_keep_canonical",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 5
+      UNION ALL
+      SELECT doc_id + 20000, text || ' extra tail words' FROM documents WHERE doc_id < 5
+    ),
+    hx AS (SELECT doc_id AS id, md5(text) AS h FROM corpus),
+    exact_pairs AS (
+      SELECT x.id AS a, y.id AS b FROM hx x JOIN hx y ON x.h = y.h AND x.id < y.id
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, substring(substring(text, 1, 40), i, 3) AS shingle
+      FROM corpus, generate_series(1, 38) t(i)
+      WHERE i <= greatest(length(substring(text, 1, 40)) - 2, 0)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT x.id AS a, y.id AS b, COUNT(*) AS n
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+      GROUP BY x.id, y.id
+    ),
+    near_pairs AS (
+      SELECT a, b FROM common
+      JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+      WHERE CAST(n AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n AS DOUBLE) >= 0.5
+    ),
+    pairs AS (SELECT a, b FROM exact_pairs UNION SELECT a, b FROM near_pairs),
+    sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT x AS node, x AS r FROM sym
+      UNION
+      SELECT s.x, reach.r FROM sym s JOIN reach ON reach.node = s.y
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT node, component AS keep_id FROM comp WHERE node <> component
+    """,
+)
+def dedup_pipeline_keep_canonical_q(spark, sf_dir):
+    """The full dedup pipeline, end to end: exact pairs (content hash
+    self-join) ∪ near-dup pairs (3-gram Jaccard >= 0.5 on a 40-char prefix)
+    → connected components (transitive closure: an exact copy of A and a
+    near copy of A land in ONE cluster even though they never compared) →
+    keep the min id per cluster, emit (dropped node, keep_id).  The corpus
+    plants exact copies (+10000) and tail-extended near copies (+20000) of
+    the first five docs."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..plans.graph_query import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 25).select("doc_id", "text")
+    corpus = (
+        base.unionByName(
+            docs.filter(F.col("doc_id") < 5).select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        ).unionByName(
+            docs.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra tail words")).alias("text"),
+            )
+        )
+    )
+    hx = corpus.select(F.col("doc_id").alias("id"), F.md5("text").alias("h"))
+    exact = (
+        hx.alias("x")
+        .join(hx.alias("y"), "h")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+    )
+    near = (
+        ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_width=3, prefix_len=40)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b")
+    )
+    pairs = exact.unionByName(near).distinct()
+    comp = connected_components(pairs)
+    return comp.filter(F.col("node") != F.col("component")).select(
+        "node", F.col("component").alias("keep_id")
+    )
