@@ -210,7 +210,10 @@ def graph_build_full(spark):
     partially cached run, not the full build.  persist_clean=True because a
     production run lands clean triples once (to storage or cache) rather than
     recomputing the flatten+dedup subtree per consumer — the A/B is in
-    tools/profile_graph_build.py (cold min 8.7 s vs 12.0 s at sf0.1)."""
+    tools/profile_graph_build.py.  Since the edges DAG stopped consuming the
+    attrs pivot (valid-keys semi-joins, see plans/graph_build.py) the two
+    modes are within noise of each other at sf0.1 (min ~7.3 vs ~7.6 s over
+    5 runs); True is kept as the production posture for ontology corpora."""
     from cell_kn_mvp_etl_ontologies_spark.fixtures import OBO, RDFS, fixture_ro_terms
     from cell_kn_mvp_etl_ontologies_spark.plans import build_graph
 

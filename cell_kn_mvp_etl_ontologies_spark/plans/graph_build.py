@@ -34,7 +34,6 @@ from ..operators.aggregates import (
     agg_pivot_vertex_attrs,
 )
 from ..operators.filters import (
-    deprecated_obsolete_predicate,
     filter_object_is_literal,
     filter_predicate_ns_whitelist,
     filter_skip_file,
@@ -157,12 +156,22 @@ def label_predicates(triples: DataFrame, ro_terms: DataFrame) -> DataFrame:
 
 def build_vertices(
     clean: DataFrame, ro_terms: DataFrame, uri_dim: DataFrame | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """(vertices, deprecated) from clean triples.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(vertices, deprecated, valid_keys) from clean triples.
 
     vertices: (collection, key, attrs MAP<STRING,ARRAY<STRING>>)
     deprecated: (term,) rows "{id}_{number}" diverted to the side output.
+    valid_keys: (collection, key) — the surviving vertex identity set.
     Ref: OntologyGraphBuilder.java:141-279.
+
+    The deprecated/obsolete test is evaluated ROW-LEVEL on the labeled
+    literal rows (attr='deprecated' & value~'true' | attr='label' &
+    value~'obsolete') — equivalent to ``deprecated_obsolete_predicate`` on
+    the pivoted map (the map's value array is exactly the collected values
+    of that attr), but independent of the attrs pivot.  ``valid_keys`` is
+    therefore all the edge builder needs for endpoint integrity, and the
+    pivot — the build's most expensive aggregation — exists only in the
+    ``vertices`` output branch: an edges-only consumer never computes it.
     """
     if uri_dim is None:
         uri_dim = parse_uri_dim(clean)
@@ -173,21 +182,30 @@ def build_vertices(
     lit_rows = label_predicates(lit_rows, ro_terms).select(
         "id", "number", "attr", F.col("object_lexical").alias("value")
     )
-    attrs = agg_pivot_vertex_attrs(lit_rows)
+    dep_keys = (
+        lit_rows.filter(
+            ((F.col("attr") == "deprecated") & F.col("value").contains("true"))
+            | ((F.col("attr") == "label") & F.col("value").contains("obsolete"))
+        )
+        .select("id", "number")
+        .distinct()
+    )
+    valid = keys.join(dep_keys, on=["id", "number"], how="left_anti")
+    deprecated = keys.join(dep_keys, on=["id", "number"], how="left_semi").select(
+        F.concat_ws("_", F.col("id"), F.col("number")).alias("term")
+    )
 
+    attrs = agg_pivot_vertex_attrs(lit_rows)
     vertices = (
-        keys.join(attrs, on=["id", "number"], how="left")
+        valid.join(attrs, on=["id", "number"], how="left")
         .select(
             F.col("id").alias("collection"),
             F.col("number").alias("key"),
             F.coalesce(F.col("attrs"), F.map_from_arrays(F.array(), F.array())).alias("attrs"),
         )
     )
-    dep_pred = deprecated_obsolete_predicate("attrs")
-    deprecated = vertices.filter(dep_pred).select(
-        F.concat_ws("_", F.col("collection"), F.col("key")).alias("term")
-    )
-    return vertices.filter(~dep_pred), deprecated
+    valid_keys = valid.select(F.col("id").alias("collection"), F.col("number").alias("key"))
+    return vertices, deprecated, valid_keys
 
 
 def build_edges(
@@ -245,9 +263,12 @@ def build_graph(
 
       - the parsed URI dimension (see parse_uri_dim — its persist is also a
         codegen-overflow barrier);
-      - the vertex set, whose attrs pivot would otherwise run once per
-        endpoint semi-join in the edges plan on top of once for the vertices
-        output itself (A/B at sf0.1: edges 15.8 s unpersisted → 7.7 s).
+      - the valid vertex KEY set (collection, key) — consumed by both
+        endpoint semi-joins in the edges plan and by the vertices output.
+        Persisting the keys (not the full vertices with their attrs map)
+        keeps the attrs pivot — the build's most expensive aggregation —
+        out of the edges DAG entirely: it runs only when the caller
+        materializes ``vertices`` (see build_vertices).
 
     The triple stream (clean) is NOT persisted by default: when the input is
     fact-scale it doesn't fit executor storage, and its dedup exchange is
@@ -265,8 +286,8 @@ def build_graph(
         clean = clean.persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(clean)
     uri_dim = parse_uri_dim(clean, persisted_out=persisted)
-    vertices, deprecated = build_vertices(clean, ro_terms, uri_dim)
-    vertices = vertices.persist(StorageLevel.MEMORY_AND_DISK)
-    persisted.append(vertices)
-    edges, edge_labels = build_edges(clean, ro_terms, vertices, uri_dim)
+    vertices, deprecated, valid_keys = build_vertices(clean, ro_terms, uri_dim)
+    valid_keys = valid_keys.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.append(valid_keys)
+    edges, edge_labels = build_edges(clean, ro_terms, valid_keys, uri_dim)
     return GraphBuildResult(clean, vertices, deprecated, edges, edge_labels, persisted)
