@@ -233,3 +233,50 @@ def stream_split_route_q(spark, sf_dir):
     routed = split_train_val_test(stream.select("event_id"), "event_id")
     agg = routed.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
     return run_stream_to_table(agg, output_mode="complete")
+
+
+@register(
+    "stream_time_rollup",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS b, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS t
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT date_trunc('hour', b) AS b, event_type, SUM(n) AS n, SUM(t) AS t
+      FROM m GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT date_trunc('day', b) AS b, event_type, SUM(n) AS n, SUM(t) AS t
+      FROM h GROUP BY 1, 2
+    )
+    SELECT 'minute' AS grain, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type, CAST(n AS BIGINT) AS n, CAST(t AS DOUBLE) AS total_value FROM m
+    UNION ALL
+    SELECT 'hour', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type,
+           CAST(n AS BIGINT), CAST(t AS DOUBLE) FROM h
+    UNION ALL
+    SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type,
+           CAST(n AS BIGINT), CAST(t AS DOUBLE) FROM d
+    """,
+)
+def stream_time_rollup_q(spark, sf_dir):
+    """Continuous-aggregate maintenance: the STREAM maintains only the
+    finest (minute) grain — watermarked state, one row per bucket×key — and
+    the batch cascade (operators/temporal.rollup_cascade) derives hour/day
+    from the maintained table.  Result must equal the all-batch
+    agg_time_rollup, which is exactly what the shared oracle asserts."""
+    from ..operators.temporal import rollup_cascade
+
+    stream = read_events_stream(spark, sf_dir)
+    minute = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("_bucket"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_total"),
+        )
+    )
+    maintained = run_stream_to_table(minute, output_mode="complete")
+    return rollup_cascade(maintained, ("minute", "hour", "day"))

@@ -88,7 +88,22 @@ def time_rollup(
             F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_total"),
         )
     )
-    levels = [cur.withColumn("grain", F.lit(finest))]
+    return rollup_cascade(cur, grains, key_col)
+
+
+def rollup_cascade(
+    finest: DataFrame, grains: tuple[str, ...], key_col: str = "event_type"
+) -> DataFrame:
+    """Derive every coarser grain from a finest-grain aggregate
+    (``(_bucket TIMESTAMP, key, n, _total DECIMAL)``) and union the levels.
+
+    Split out of ``time_rollup`` so a STREAMING job can maintain the finest
+    grain incrementally (watermarked state, one row per bucket×key) while
+    this batch cascade derives hour/day views from it — the
+    continuous-aggregate maintenance pattern.
+    """
+    cur = finest
+    levels = [cur.withColumn("grain", F.lit(grains[0]))]
     for grain in grains[1:]:
         cur = (
             cur.groupBy(
