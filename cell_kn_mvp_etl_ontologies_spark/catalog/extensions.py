@@ -973,3 +973,34 @@ def agg_time_rollup_q(spark, sf_dir):
     from ..operators.temporal import time_rollup
 
     return time_rollup(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "filter_quality_percentile",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id AS id, lang AS grp,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) * 0.5
+        + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+            / (CAST(length(text) AS DOUBLE) + 1.0)) * 0.5 AS quality
+      FROM documents
+    ),
+    r AS (
+      SELECT id, grp, quality,
+             percent_rank() OVER (PARTITION BY grp ORDER BY quality) AS pct
+      FROM q
+    )
+    SELECT id, grp AS lang, quality, pct FROM r WHERE pct >= 0.5
+    """,
+)
+def filter_quality_percentile_q(spark, sf_dir):
+    """Per-language quality-percentile cut: keep docs at/above their
+    language's median quality score — per-group cutoffs, not one global
+    bar.  percent_rank is pure order statistics, so the float-valued score
+    cuts identically in both engines."""
+    from ..operators.text_analysis import filter_quality_percentile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_quality_percentile(docs, "text", "doc_id", "lang", 0.5)

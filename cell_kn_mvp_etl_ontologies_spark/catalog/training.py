@@ -645,3 +645,24 @@ def dedup_pipeline_keep_canonical_q(spark, sf_dir):
     return comp.filter(F.col("node") != F.col("component")).select(
         "node", F.col("component").alias("keep_id")
     )
+
+
+@register(
+    "sample_cap_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY {frac}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 12
+    """.format(frac=_FRAC.format(salt="cap", key="doc_id")),
+)
+def sample_cap_per_group_q(spark, sf_dir):
+    """Domain capping: at most 12 docs per source, chosen by md5-hash order
+    (reproducible uniform choice, not head-of-partition bias) — bounds any
+    one domain's share of the corpus."""
+    from ..operators.training import sample_cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_cap_per_group(docs, "source", "doc_id", 12)

@@ -124,3 +124,30 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.coalesce(F.col("n_distinct_words") / nz, F.lit(0.0)).alias("distinct_word_ratio"),
         F.coalesce(F.col("top_bg") * F.lit(2.0) / nz, F.lit(0.0)).alias("top_bigram_frac"),
     )
+
+
+def filter_quality_percentile(
+    df: DataFrame, text_col: str, id_col: str, group_col: str, min_pct: float = 0.5
+) -> DataFrame:
+    """Keep documents at or above the ``min_pct`` quality percentile WITHIN
+    their group (per-language/per-source cutoffs, not one global bar).
+
+    percent_rank is pure order statistics — ties share a rank in every
+    engine, so the cut is reproducible cross-engine even though quality is
+    float-valued.  One shuffle (window partitioned by group); at 100 TB
+    replace the exact window with approx_percentile cutoffs joined back if
+    a group's rows exceed executor memory.
+
+    Output: (id, group, quality, pct) for surviving docs.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(df, text_col, id_col).join(
+        df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp")), on="id"
+    )
+    w = Window.partitionBy("grp").orderBy("quality")
+    return (
+        q.withColumn("pct", F.percent_rank().over(w))
+        .filter(F.col("pct") >= F.lit(min_pct))
+        .select("id", F.col("grp").alias(group_col), "quality", "pct")
+    )

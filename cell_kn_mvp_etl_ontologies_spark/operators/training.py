@@ -311,3 +311,28 @@ def contamination_ngrams(
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
+
+
+def sample_cap_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int, salt: str = "cap"
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``k`` rows per group,
+    chosen by md5-hash order of the key (a reproducible uniform sample, not
+    head-of-partition bias).  The domain-capping primitive: bound any one
+    source/domain's share of the corpus.
+
+    One shuffle (window by group); ties impossible (hash order is broken by
+    the key itself).  Like every sampling op here, membership is a pure
+    function of (key, salt) and the group's other members — stable under
+    re-runs and repartitioning.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_fraction(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -96,3 +96,14 @@ def test_redact_pii_is_idempotent_and_clean(spark):
         twice.select("id", F.col("redacted").alias("re2")), "id"
     )
     assert pairs.filter(F.col("redacted") != F.col("re2")).count() == 0
+
+
+def test_curation_null_text_propagates_null(spark):
+    """NULL text → NULL outputs (unknown, not zero) — the cross-engine
+    contract: DuckDB's regexp/list functions propagate NULL identically."""
+    df = spark.createDataFrame([(1, None), (2, "ok text here.")], "doc_id long, text string")
+    r = {x["id"]: x for x in redact_pii(df).collect()}
+    assert r[1]["redacted"] is None and r[1]["n_email"] is None
+    c = {x["id"]: x for x in c4_line_filter(df).collect()}
+    assert c[1]["cleaned"] is None and c[1]["n_lines"] is None
+    assert c[2]["n_kept"] == 1

