@@ -284,14 +284,16 @@ def main() -> None:
         .save()
     )
 
-    # Two timed iterations per query, best-of kept: the object-heavy stages
+    # Three timed iterations per query, best-of kept: the object-heavy stages
     # (collect_set states, shingle explodes) generate enough garbage that a
-    # full GC pause lands on whichever query happens to be running — min-of-2
-    # with an inter-query GC measures steady-state compute, not GC scheduling.
+    # full GC pause lands on whichever query happens to be running — min-of-N
+    # with an inter-query GC measures steady-state compute, not GC scheduling
+    # (this host shows multi-second run-to-run noise; 2 iterations recorded a
+    # 30%-high flagship number in round 1).
     timings: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark._jvm.System.gc()
             t0 = time.time()
             fn(spark).write.mode("overwrite").format("noop").save()
