@@ -66,6 +66,8 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     ap.add_argument("--json-out", default=None, help="write per-query results (driver CORRECTNESS shape) to this path")
+    ap.add_argument("--ansi", default=None, choices=["true", "false"],
+                    help="force spark.sql.ansi.enabled (default: engine default) — the driver's session config is unknown, so the gate must pass under BOTH modes")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -77,14 +79,16 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .appName("check-correctness")
         .config("spark.sql.shuffle.partitions", str(int(args.cpus) * 2))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        .getOrCreate()
     )
+    if args.ansi is not None:
+        builder = builder.config("spark.sql.ansi.enabled", args.ansi)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
