@@ -388,6 +388,57 @@ def join_upsert_q(spark, sf_dir):
     return join_upsert(incoming, c, ["c_custkey"])
 
 
+@register(
+    "join_upsert_scd2",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+             c_mktsegment AS segment, '1995-01-01' AS valid_from
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, CAST(c_acctbal + 100.0 AS DOUBLE), c_mktsegment, '1996-06-01'
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE), 'MOVED', '1997-01-01'
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT c_custkey, acctbal, segment, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) IS NULL AS is_current
+    FROM v
+    """,
+)
+def join_upsert_scd2_q(spark, sf_dir):
+    """Type-2 SCD merge: the historized sibling of join_upsert — two update
+    batches over the customer dimension, every version kept with a
+    (valid_from, valid_to] interval and an is_current flag.  Union + one
+    lead() window = one shuffle on the key, no join (operators/joins.py)."""
+    from ..operators import join_upsert_scd2
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").alias("valid_from"),
+    )
+    upd1 = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1996-06-01").alias("valid_from"),
+    )
+    upd2 = c.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.lit("MOVED").alias("segment"),
+        F.lit("1997-01-01").alias("valid_from"),
+    )
+    return join_upsert_scd2(
+        base, upd1.unionByName(upd2), ["c_custkey"], "valid_from"
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.5-2.6 windows / sorts
 # --------------------------------------------------------------------------
@@ -446,6 +497,53 @@ def window_running_sum_q(spark, sf_dir):
         ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], "value"
     )
     return out.select("user_id", "event_id", F.col("running_sum").cast("double").alias("running_sum"))
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, value, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, value, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def window_sessionize_q(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands, §2.12): per-user sessions
+    split at 30-minute inactivity gaps, then per-session rollup.  One
+    shuffle for both window passes + one for the rollup; the streaming twin
+    is stream_window_session.  Both window passes (lag AND the running sum)
+    order by (ts, event_id): a timestamp tie straddling a session boundary
+    makes is_new vary WITHIN the tie group, so the cumulative numbering is
+    only deterministic under the same total order in both engines."""
+    from ..operators import window_sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    sess = window_sessionize(
+        ev, ["user_id"], "ts", 1800, tiebreak_cols=["event_id"]
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
 
 
 @register(

@@ -590,6 +590,42 @@ def agg_cube_q(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_WIDE_SQL = "SELECT user_id,\n" + ",\n".join(
+    f"""  CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}_n,
+  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = '{t}'), 0) AS DOUBLE) AS {t}_total"""
+    for t in _EVENT_TYPES
+) + "\nFROM events GROUP BY user_id"
+
+
+@register("agg_pivot_wide", oracle=_PIVOT_WIDE_SQL)
+def agg_pivot_wide_q(spark, sf_dir):
+    """Wide pivot with an EXPLICIT value list (operators/aggregates.py:
+    agg_pivot_wide): per-user count + exact-decimal total per event type as
+    dedicated columns — the bounded-vocabulary wide view complementing the
+    MAP-typed agg_pivot_vertex_attrs.  The explicit list keeps it ONE hash
+    aggregate (no schema-discovery distinct job); empty cells are coalesced
+    to 0 because pivot yields NULL where no rows matched, while the oracle's
+    conditional-aggregation formulation counts 0."""
+    from ..operators import agg_pivot_wide
+
+    ev = _t(spark, sf_dir, "events")
+    piv = agg_pivot_wide(
+        ev,
+        ["user_id"],
+        "event_type",
+        _EVENT_TYPES,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+    )
+    sel = [F.col("user_id")]
+    for t in _EVENT_TYPES:
+        sel.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_n"))
+        sel.append(F.coalesce(F.col(f"{t}_total"), F.lit(0.0)).alias(f"{t}_total"))
+    return piv.select(*sel)
+
+
 @register(
     "window_analytics",
     oracle="""

@@ -9,6 +9,7 @@ from .aggregates import (
     agg_distinct_vertices,
     agg_first_fallback_rootns,
     agg_pivot_vertex_attrs,
+    agg_pivot_wide,
 )
 from .filters import (
     deprecated_obsolete_predicate,
@@ -29,6 +30,7 @@ from .joins import (
     join_ro_label_lookup,
     join_semi_edge_endpoints,
     join_upsert,
+    join_upsert_scd2,
 )
 from .setops import setop_except, setop_intersect, setop_union_files, setop_union_label_sets
 from .training import (
@@ -43,4 +45,10 @@ from .training import (
     sample_stratified,
     split_train_val_test,
 )
-from .windows import sort_by_key, window_last_wins, window_rank_topk, window_running_sum
+from .windows import (
+    sort_by_key,
+    window_last_wins,
+    window_rank_topk,
+    window_running_sum,
+    window_sessionize,
+)

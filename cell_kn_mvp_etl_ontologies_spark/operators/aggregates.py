@@ -116,3 +116,27 @@ def agg_first_fallback_rootns(triples: DataFrame, iao_root_objects: DataFrame) -
     return fallback.join(declared, "src_file", "left").select(
         "src_file", F.coalesce("declared_ns", "fallback_ns").alias("root_ns")
     )
+
+
+def agg_pivot_wide(
+    df: DataFrame,
+    keys: list[str],
+    pivot_col: str,
+    pivot_values: list[str],
+    *aggs,
+) -> DataFrame:
+    """Wide (columnar) pivot: one output column per ``pivot_values`` ×
+    aggregate — the "exploded wide view per collection" from SURVEY.md §1.1's
+    data-model note, complementing ``agg_pivot_vertex_attrs``'s MAP form for
+    the unbounded-vocabulary case.
+
+    ``pivot_values`` is REQUIRED, not optional: without an explicit list
+    Spark first runs an eager distinct job over ``pivot_col`` to discover the
+    output schema — a full extra scan + shuffle before the query even plans —
+    and an unbounded vocabulary would explode the schema.  With the list,
+    the pivot compiles to a single hash aggregate over ``keys`` with
+    per-column conditional aggregation (exactly the manual
+    ``agg(F.x(when(col==v, ...)))`` formulation), i.e. ONE shuffle at key
+    cardinality and map-side partial aggregation.
+    """
+    return df.groupBy(*keys).pivot(pivot_col, pivot_values).agg(*aggs)

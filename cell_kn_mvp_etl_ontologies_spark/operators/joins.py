@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..constants import KIND_BNODE, OWL_ON_PROPERTY, OWL_SOME_VALUES_FROM, RDFS_SUBCLASS_OF
@@ -126,3 +126,32 @@ def join_upsert(incoming: DataFrame, existing: DataFrame, keys: list[str]) -> Da
         for c in cols
     ]
     return joined.select(*keys, *picked)
+
+
+def join_upsert_scd2(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    eff_col: str,
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: instead of overwriting
+    (``join_upsert``'s MERGE), every version is kept with a validity
+    interval.  ``base`` and ``updates`` are full row snapshots sharing a
+    schema that includes ``eff_col`` (the version's effective-from marker,
+    any totally ordered type); the output closes each version with
+    ``end_col`` = the key's next effective-from (NULL for the open/current
+    version) and flags ``current_col``.
+
+    Union + one lead() window — a single shuffle on the dimension keys, no
+    join at all, so it scales with the dimension regardless of how many
+    update batches are unioned in.  History tables built this way join back
+    to facts with the §2.12 bucketized range join (fact ts between
+    valid_from and valid_to).
+    """
+    assert set(base.columns) == set(updates.columns), "scd2 requires identical schemas"
+    versions = base.unionByName(updates)
+    w = Window.partitionBy(*keys).orderBy(eff_col)
+    nxt = F.lead(F.col(eff_col)).over(w)
+    return versions.withColumn(end_col, nxt).withColumn(current_col, F.col(end_col).isNull())

@@ -46,6 +46,44 @@ def window_running_sum(
     return df.withColumn(out_col, F.sum(value_col).over(w))
 
 
+def window_sessionize(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_cols: list[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts whenever
+    the gap from the previous event in the key partition exceeds
+    ``gap_seconds``; ``session_col`` numbers sessions 1..n per key.
+
+    Two window passes (lag to flag boundaries, running sum to number them)
+    over the SAME partitioning and ordering — Catalyst plans one exchange +
+    one sort feeding both Window execs, so the whole operator is a single
+    shuffle on the session keys regardless of input size.  ``tiebreak_cols``
+    make the intra-key order total, which makes session assignment
+    deterministic when timestamps collide (required for the differential
+    oracle, and for reproducible pipelines generally).
+
+    This is the batch twin of the streaming session window
+    (streaming §2.11 ``stream_window_session`` — F.session_window); same
+    semantics, no watermark needed because the batch has all the data.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    ts_type = dict(df.dtypes)[ts_col]
+    sec = (
+        F.unix_timestamp(F.col(ts_col))
+        if ts_type.startswith("timestamp")
+        else F.col(ts_col).cast("long")
+    )
+    gap = sec - F.lag(sec).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(session_col, F.sum(is_new).over(running))
+
+
 def sort_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
     """Deterministic sink ordering (SURVEY.md §2.6): replaces the reference's
     undefined HashMap iteration order on output."""

@@ -132,3 +132,95 @@ def test_join_asof_basic(spark):
     assert out[2] == 8   # latest at-or-before 205
     assert out[3] is None  # before any right row
     assert out[4] is None  # no right rows for user 99
+
+
+# ---------------------------------------------------------------------------
+# sessionization / SCD2 / wide pivot (round-2 additions)
+# ---------------------------------------------------------------------------
+def test_sessionize_gaps_and_islands(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators import window_sessionize
+
+    rows = [
+        # user a: 3 events within gaps, then a >600s gap -> 2 sessions
+        ("a", 1, 1000), ("a", 2, 1100), ("a", 3, 1500),
+        ("a", 4, 5000), ("a", 5, 5400),
+        # user b: single event -> 1 session
+        ("b", 6, 42),
+    ]
+    df = spark.createDataFrame(rows, "user string, eid long, t long")
+    out = window_sessionize(df, ["user"], "t", 600, tiebreak_cols=["eid"])
+    got = {(r.user, r.eid): r.session_id for r in out.collect()}
+    assert got == {
+        ("a", 1): 1, ("a", 2): 1, ("a", 3): 1,
+        ("a", 4): 2, ("a", 5): 2,
+        ("b", 6): 1,
+    }
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both window passes share one partitioning+ordering: the physical plan
+    must contain exactly ONE (non-broadcast) exchange."""
+    from cell_kn_mvp_etl_ontologies_spark.operators import window_sessionize
+
+    df = spark.createDataFrame([("a", 1, 10)], "user string, eid long, t long")
+    out = window_sessionize(df, ["user"], "t", 600, tiebreak_cols=["eid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_ex = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line
+    )
+    assert n_ex == 1, plan
+    assert plan.count("Sort ") <= 1, plan
+
+
+def test_sessionize_timestamp_tie_straddling_boundary(spark):
+    """Ties on the timestamp resolve by the tiebreak column even when the
+    session boundary lands inside the tie group."""
+    from cell_kn_mvp_etl_ontologies_spark.operators import window_sessionize
+
+    rows = [("u", 2, 10000), ("u", 1, 100), ("u", 3, 10000)]
+    df = spark.createDataFrame(rows, "user string, eid long, t long")
+    out = window_sessionize(df, ["user"], "t", 600, tiebreak_cols=["eid"])
+    got = {r.eid: r.session_id for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 2}
+
+
+def test_scd2_intervals_chain(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators import join_upsert_scd2
+
+    base = spark.createDataFrame(
+        [("k1", 10.0, "1995-01-01"), ("k2", 20.0, "1995-01-01")],
+        "key string, bal double, valid_from string",
+    )
+    upd = spark.createDataFrame(
+        [("k1", 11.0, "1996-01-01"), ("k1", 12.0, "1997-01-01")],
+        "key string, bal double, valid_from string",
+    )
+    out = join_upsert_scd2(base, upd, ["key"], "valid_from").collect()
+    k1 = sorted((r for r in out if r.key == "k1"), key=lambda r: r.valid_from)
+    assert [(r.bal, r.valid_from, r.valid_to, r.is_current) for r in k1] == [
+        (10.0, "1995-01-01", "1996-01-01", False),
+        (11.0, "1996-01-01", "1997-01-01", False),
+        (12.0, "1997-01-01", None, True),
+    ]
+    (k2,) = [r for r in out if r.key == "k2"]
+    assert k2.valid_to is None and k2.is_current
+
+
+def test_pivot_wide_matches_conditional_agg(spark):
+    from pyspark.sql import functions as F
+
+    from cell_kn_mvp_etl_ontologies_spark.operators import agg_pivot_wide
+
+    rows = [("u1", "x", 1.0), ("u1", "x", 2.0), ("u1", "y", 5.0), ("u2", "y", 7.0)]
+    df = spark.createDataFrame(rows, "user string, kind string, v double")
+    piv = agg_pivot_wide(
+        df, ["user"], "kind", ["x", "y", "z"],
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("t"),
+    )
+    got = {r.user: r.asDict() for r in piv.collect()}
+    assert got["u1"]["x_n"] == 2 and got["u1"]["x_t"] == 3.0
+    assert got["u1"]["y_n"] == 1 and got["u1"]["y_t"] == 5.0
+    # absent pivot cell -> NULL (catalog query coalesces to 0)
+    assert got["u2"]["x_n"] is None and got["u2"]["z_t"] is None
