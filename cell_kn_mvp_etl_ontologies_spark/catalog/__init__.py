@@ -70,3 +70,4 @@ def load_all() -> None:
     from . import streaming  # noqa: F401
     from . import fine_grained  # noqa: F401
     from . import training  # noqa: F401
+    from . import scale_ops  # noqa: F401

@@ -1,0 +1,279 @@
+"""Scale-pattern queries: the operators a 100 TB deployment leans on that
+have no small-data analog in the reference — incremental snapshot diffing
+(CDC), URL canonicalization ahead of crawl dedup, skew-proof triangle
+counting, re-aggregatable exact distinct sketches, and z-order clustered
+layout for two-dimensional data skipping.
+
+Each entry is exactly DuckDB-oracled; the z-order oracle re-derives the
+Morton code with the same unrolled bit arithmetic the Spark side uses.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.aggregates import bitmap_distinct_rollup, bitmap_distinct_words
+from ..operators.curation import canonicalize_url
+from ..operators.incremental import snapshot_diff
+from ..plans.graph_query import canonical_undirected, triangle_count
+from ..sinks.zorder import write_zorder_clustered, z_value_sql, zorder_cell_stats
+from . import finish_and_clean, register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# cdc_snapshot_diff — incremental diff between two snapshots
+# --------------------------------------------------------------------------
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH prev AS (
+      SELECT * FROM orders WHERE o_orderkey % 11 <> 3
+    ),
+    curr AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END
+               AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 13 <> 5
+    ),
+    classified AS (
+      SELECT CAST(COALESCE(c.o_orderkey, p.o_orderkey) AS BIGINT) AS o_orderkey,
+             CASE
+               WHEN p.o_orderkey IS NULL THEN 'insert'
+               WHEN c.o_orderkey IS NULL THEN 'delete'
+               WHEN c.o_custkey      IS DISTINCT FROM p.o_custkey
+                 OR c.o_orderstatus  IS DISTINCT FROM p.o_orderstatus
+                 OR c.o_totalprice   IS DISTINCT FROM p.o_totalprice
+                 OR c.o_orderdate    IS DISTINCT FROM p.o_orderdate
+                 OR c.o_orderpriority IS DISTINCT FROM p.o_orderpriority
+               THEN 'update'
+               ELSE 'unchanged'
+             END AS change_type
+      FROM curr c FULL OUTER JOIN prev p ON c.o_orderkey = p.o_orderkey
+    )
+    SELECT o_orderkey, change_type FROM classified
+    WHERE change_type <> 'unchanged'
+    """,
+)
+def cdc_snapshot_diff_q(spark, sf_dir):
+    """Snapshot differencing (operators/incremental.py): "yesterday" drops
+    keys ≡3 mod 11, "today" drops keys ≡5 mod 13 and bumps o_totalprice on
+    keys ≡0 mod 7, so all three change classes occur.
+    The engine classifies via 8-byte row fingerprints (join shuffles keys +
+    hash, not row width); the oracle compares columns directly."""
+    orders = _t(spark, sf_dir, "orders")
+    prev = orders.filter(F.col("o_orderkey") % 11 != 3)
+    curr = orders.filter(F.col("o_orderkey") % 13 != 5).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    out = snapshot_diff(curr, prev, keys=["o_orderkey"])
+    return out.select(F.col("o_orderkey").cast("long").alias("o_orderkey"), "change_type")
+
+
+# --------------------------------------------------------------------------
+# dedup_url_canonicalize — crawl-URL normalization ahead of exact dedup
+# --------------------------------------------------------------------------
+_URL_ORACLE = r"""
+    WITH urls AS (
+      SELECT doc_id,
+             CAST(doc_id // 4 AS VARCHAR) AS b,
+             CAST(doc_id % 4 AS INTEGER) AS v
+      FROM documents
+    ),
+    messy AS (
+      SELECT doc_id,
+        CASE v
+          WHEN 0 THEN 'https://example' || b || '.com/products/' || b || '/?a=1&b=2'
+          WHEN 1 THEN 'HTTPS://EXAMPLE' || b || '.COM:443/products/' || b || '?b=2&a=1#frag'
+          WHEN 2 THEN 'https://example' || b || '.com/products/' || b || '?utm_source=feed&b=2&a=1'
+          ELSE 'https://EXAMPLE' || b || '.com:443/products/' || b || '?a=1&b=2&utm_campaign=x'
+        END AS url
+      FROM urls
+    ),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(url, '#.*', ''),
+                            '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      FROM messy
+    ),
+    hp AS (
+      SELECT doc_id, scheme, rest,
+             lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport,
+             regexp_extract(rest, '^[^/?]*(.*)$', 1) AS pathq
+      FROM parts
+    ),
+    norm AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS host,
+             regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path0,
+             regexp_extract(pathq, '^[^?]*\?(.*)$', 1) AS query
+      FROM hp
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || host ||
+             (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+             (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canonical_url
+      FROM (
+        SELECT doc_id, scheme, host, path0,
+               array_to_string(list_sort(list_filter(string_split(query, '&'),
+                 p -> p <> '' AND NOT starts_with(p, 'utm_')
+                      AND NOT starts_with(p, 'fbclid=')
+                      AND NOT starts_with(p, 'gclid=')
+                      AND NOT starts_with(p, 'msclkid=')
+                      AND NOT starts_with(p, 'ref='))), '&') AS cq
+        FROM norm
+      )
+    )
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM canon GROUP BY canonical_url
+"""
+
+
+@register("dedup_url_canonicalize", oracle=_URL_ORACLE)
+def dedup_url_canonicalize_q(spark, sf_dir):
+    """URL canonicalization (operators/curation.py): four messy variants of
+    each base URL (case noise, default port, tracking params, param order,
+    trailing slash, fragment) must collapse to ONE canonical key — each
+    canonical cluster counts exactly its 4 variants."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.floor(F.col("doc_id") / 4).cast("long").cast("string")
+    v = (F.col("doc_id") % 4).cast("int")
+    stem = F.concat(F.lit("/products/"), b)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://example"), b, F.lit(".com"), stem, F.lit("/?a=1&b=2")))
+        .when(v == 1, F.concat(F.lit("HTTPS://EXAMPLE"), b, F.lit(".COM:443"), stem, F.lit("?b=2&a=1#frag")))
+        .when(v == 2, F.concat(F.lit("https://example"), b, F.lit(".com"), stem, F.lit("?utm_source=feed&b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://EXAMPLE"), b, F.lit(".com:443"), stem, F.lit("?a=1&b=2&utm_campaign=x")))
+    )
+    canon = canonicalize_url(docs.withColumn("url", url), url_col="url", id_col="doc_id")
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_triangle_count — skew-proof triangle counting on a co-purchase graph
+# --------------------------------------------------------------------------
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+    ),
+    e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM li x JOIN li y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(n AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count_q(spark, sf_dir):
+    """Triangle count (plans/graph_query.py) over the co-purchase graph:
+    parts are adjacent iff they share an order.  The engine enumerates via
+    degree-oriented wedges (out-degree bounded by O(sqrt(m)) — hub-skew
+    immune); the oracle counts the naive a<b<c formulation.  Equality of
+    the two is itself the correctness claim."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), on="l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    )
+    edges = canonical_undirected(pairs)
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    tri = triangle_count(edges)
+    return n_edges.crossJoin(tri)
+
+
+# --------------------------------------------------------------------------
+# agg_bitmap_distinct — exact, mergeable distinct-count sketch
+# --------------------------------------------------------------------------
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct_q(spark, sf_dir):
+    """Exact distinct customers per priority via the bitmap-word sketch
+    (operators/aggregates.py): words built at the FINER (priority, month)
+    grain, then merged to priority with bit_or — proving the sketch
+    re-aggregates without touching raw data, which count(distinct) cannot.
+    The oracle is the plain count(distinct)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.month("o_orderdate")
+    )
+    words = bitmap_distinct_words(orders, ["o_orderpriority", "month"], "o_custkey")
+    return bitmap_distinct_rollup(words, ["o_orderpriority"])
+
+
+# --------------------------------------------------------------------------
+# sink_zorder_cluster — Morton-clustered layout + box-query skipping stats
+# --------------------------------------------------------------------------
+_Z_SQL = z_value_sql("x", "y", bits=10)
+
+_ZORDER_ORACLE = f"""
+    WITH xy AS (
+      SELECT p_partkey % 1024 AS x, (p_partkey // 13) % 1024 AS y FROM part
+    ),
+    z AS (
+      SELECT x, y, {_Z_SQL} AS z FROM xy
+    )
+    SELECT CAST(z >> 14 AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+           CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+           bool_or(x >= 100 AND x < 200 AND y >= 20 AND y < 60) AS cell_hit
+    FROM z GROUP BY 1
+"""
+
+
+@register("sink_zorder_cluster", oracle=_ZORDER_ORACLE)
+def sink_zorder_cluster_q(spark, sf_dir):
+    """Z-order clustered write (sinks/zorder.py): parts land in Morton-prefix
+    cells on (x, y); read-back per-cell bounding boxes show the locality a
+    box-query scanner prunes on, and cell_hit marks which cells a concrete
+    box query would actually read.  Oracle recomputes the identical Morton
+    code with unrolled bit arithmetic."""
+    part = _t(spark, sf_dir, "part").select(
+        (F.col("p_partkey") % 1024).alias("x"),
+        (F.floor(F.col("p_partkey") / 13).cast("long") % 1024).alias("y"),
+    )
+    root = tempfile.mkdtemp(prefix="zorder_")
+    back = write_zorder_clustered(
+        part, root + "/part", "x", "y", bits=10, prefix_shift=14
+    )
+    stats = zorder_cell_stats(back, "x", "y", box=(100, 200, 20, 60))
+    return finish_and_clean(stats, root)

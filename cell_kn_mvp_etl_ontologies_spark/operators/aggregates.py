@@ -140,3 +140,35 @@ def agg_pivot_wide(
     cardinality and map-side partial aggregation.
     """
     return df.groupBy(*keys).pivot(pivot_col, pivot_values).agg(*aggs)
+
+
+def bitmap_distinct_words(
+    df: DataFrame, group_cols: list[str], id_col: str
+) -> DataFrame:
+    """Exact distinct-count SKETCH: per group and 64-id chunk, a BIGINT word
+    whose set bits mark which ids were seen.
+
+    Maps each non-negative integer id to (chunk = id div 64, bit = id mod 64)
+    and ORs the bits per (group, chunk).  Unlike ``count(distinct)`` —
+    whose partial state is the raw value set, reshuffled wholesale — these
+    words are tiny, mergeable partial states: re-aggregating to ANY coarser
+    grouping is another ``bit_or`` over the words (see
+    ``bitmap_distinct_rollup``), which is how a 100 TB fact table gets
+    distinct-user counts at hour/day/month grains from ONE pass over raw
+    data.  The roaring-bitmap idea, expressed in pure Spark SQL.
+    """
+    chunk = F.floor(F.col(id_col) / 64).alias("chunk")
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({id_col} % 64 AS INT))")
+    return df.groupBy(*group_cols, chunk).agg(F.bit_or(bit).alias("word"))
+
+
+def bitmap_distinct_rollup(
+    words: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge bitmap words (from ``bitmap_distinct_words``) to a coarser
+    grouping and finalize: (group_cols..., n_distinct BIGINT).  Merge =
+    ``bit_or`` per (group, chunk); finalize = sum of ``bit_count``."""
+    merged = words.groupBy(*group_cols, "chunk").agg(F.bit_or("word").alias("word"))
+    return merged.groupBy(*group_cols).agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_distinct")
+    )

@@ -1,0 +1,79 @@
+"""Incremental-pipeline operators: snapshot differencing (CDC extraction).
+
+The reference rebuilds its graph from scratch every run (drop + recreate at
+``OntologyGraphBuilder.java:511-517``) and upserts per document.  At 100 TB
+the viable pattern is incremental: diff today's snapshot against yesterday's
+and feed ONLY the changed rows downstream.  ``snapshot_diff`` is that
+primitive — the batch analog of a CDC feed, and the natural producer for the
+``join_upsert`` / ``join_upsert_scd2`` consumers already in this engine.
+
+Scale design: both snapshots are first projected down to (keys, fingerprint)
+where the fingerprint is ``xxhash64(to_json(struct(compare_cols)))`` — the
+full-outer join then shuffles keys + 8 bytes per row instead of the whole row
+width.  ``to_json`` keeps NULLs positional: Spark's multi-arg hash functions
+skip NULL inputs, so ``('a', NULL)`` and ``(NULL, 'a')`` would collide and a
+real change could classify as ``unchanged``; the JSON encoding makes every
+field explicit.  Classification by fingerprint equality is exact up to
+xxhash64 collision (~2^-64 per changed row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHANGE_COL = "change_type"
+
+
+def _fingerprint(df: DataFrame, keys: list[str], compare_cols: list[str]) -> DataFrame:
+    fp = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in compare_cols])))
+    return df.select(*keys, fp.alias("_fp"))
+
+
+def snapshot_diff(
+    current: DataFrame,
+    previous: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Classify rows between two snapshots of the same keyed table.
+
+    Output: (keys..., change_type) with change_type in
+    {'insert', 'update', 'delete'} (plus 'unchanged' when requested):
+
+    - ``insert``: key present only in ``current``
+    - ``delete``: key present only in ``previous``
+    - ``update``: key in both, ``compare_cols`` fingerprints differ
+    - ``unchanged``: key in both, fingerprints equal
+
+    ``compare_cols`` defaults to every non-key column present in BOTH
+    frames.  One full-outer sort-merge/hash join on ``keys`` — a single
+    keyed shuffle of (keys, 8-byte fingerprint) per side regardless of row
+    width; AQE handles key skew.  Consumers that need the changed payloads
+    join this frame (semi-join on keys per change_type) back to the
+    snapshots, keeping the wide-row scan out of the diff itself.
+    """
+    if not keys:
+        raise ValueError("snapshot_diff requires at least one key column")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in current.columns if c not in keys and c in set(previous.columns)
+        ]
+    if not compare_cols:
+        raise ValueError("no compare columns: snapshots share only key columns")
+
+    cur = _fingerprint(current, keys, compare_cols)
+    prev = _fingerprint(previous, keys, compare_cols)
+    joined = cur.alias("c").join(prev.alias("p"), on=keys, how="full_outer")
+
+    change = (
+        F.when(F.col("p._fp").isNull(), F.lit("insert"))
+        .when(F.col("c._fp").isNull(), F.lit("delete"))
+        .when(F.col("c._fp") != F.col("p._fp"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(*keys, change.alias(CHANGE_COL))
+    if not include_unchanged:
+        out = out.filter(F.col(CHANGE_COL) != "unchanged")
+    return out

@@ -99,3 +99,68 @@ def connected_components(
             f"max_iter — raise max_iter or switch to large-star/small-star."
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def canonical_undirected(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Distinct undirected edge set as (a, b) with a < b; self-loops dropped.
+    One projection + one dedup shuffle."""
+    lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
+    return (
+        edges.filter(F.col(a) != F.col(b))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Global triangle count of the undirected graph given by ``edges``.
+
+    Degree-oriented enumeration: orient every canonical edge from the
+    endpoint with (degree, id)-lower rank to the higher one, join oriented
+    wedges (u→v→w), then semi-join the closing edge (u→w).  Orientation by
+    degree bounds every node's out-degree by O(sqrt(m)), so the wedge join
+    is O(m^1.5) worst-case REGARDLESS of hub skew — the property that lets
+    this survive power-law web/citation graphs at 100 TB, where orienting by
+    raw id would square the hub degrees.  Each triangle is counted exactly
+    once (its vertices form a unique oriented path under the total order).
+
+    Three keyed shuffles: degree agg, wedge join, closing semi-join.  The
+    canonical edge set feeds four plan branches (degree agg twice, the
+    orientation join, the closing side) and the oriented set three — both
+    are checkpointed so upstream edge derivation runs ONCE, not once per
+    branch (unchecked, a derived edge set like a co-occurrence self-join
+    re-executes ~6×: measured 66 exchanges vs 14 on the co-purchase query).
+    Output: single row (n_triangles BIGINT).
+    """
+    und = canonical_undirected(edges, a, b).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "deg_a"), on="a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "deg_b"), on="b")
+    )
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    wedges = (
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(
+            oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+            on="v",
+        )
+        .select("u", "w")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        on=["u", "w"],
+        how="left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -41,6 +41,10 @@ WAIVERS: dict[str, set[str]] = {
     # 1x1 crossJoin; the pipeline itself has no cross product. Exchange
     # count is ~2x a single build because the query IS two full builds.
     "pipeline_two_pass": {"CARTESIAN", "MANY_EXCH"},
+    # the reporting query joins two SINGLE-ROW aggregates (n_edges ×
+    # n_triangles) with a 1x1 crossJoin; the counting pipeline itself is
+    # checkpoint-bounded hash joins (see plans/graph_query.py).
+    "graph_triangle_count": {"CARTESIAN"},
 }
 
 
