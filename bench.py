@@ -198,6 +198,50 @@ def training_pipeline(spark):
     return stats
 
 
+def cdc_diff(spark):
+    """Snapshot differencing on the 600k-row fact table: measures the
+    to_json row-fingerprint projection + the keys-and-8-bytes full-outer
+    join (operators/incremental.py) at real width (6 columns in, 2 out)."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.incremental import snapshot_diff
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_shipdate", "l_returnflag",
+    )
+    prev = li.filter(F.col("l_orderkey") % 97 != 0)
+    curr = li.filter(F.col("l_orderkey") % 89 != 0).withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 7 == 0, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    return snapshot_diff(curr, prev, keys=["l_orderkey", "l_linenumber"])
+
+
+def triangle_copurchase(spark):
+    """Degree-oriented triangle counting (plans/graph_query.py) on the
+    co-purchase graph: ~100k+ distinct part-pair edges with organic hub
+    skew from popular parts — exercises the checkpointed wedge join."""
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+        canonical_undirected,
+        triangle_count,
+    )
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), on="l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    )
+    return triangle_count(canonical_undirected(pairs))
+
+
 def graph_build_full(spark):
     """The flagship ontology pipeline on ~600k synthetic triples: URI/VTuple
     parse chains, predicate labeling, vertex pivot, deprecated filter, edge
@@ -253,6 +297,8 @@ BENCH_QUERIES = {
     "ann_lsh": ann_lsh,
     "positional_index": positional_index,
     "training_pipeline": training_pipeline,
+    "cdc_diff": cdc_diff,
+    "triangle_copurchase": triangle_copurchase,
     "graph_build_full": graph_build_full,
 }
 

@@ -28,6 +28,60 @@ def _t(spark, sf_dir, name):
 
 
 # --------------------------------------------------------------------------
+# pipeline_incremental_graph — CDC applied to the ontology pipeline itself
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_incremental_graph",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('CL', '0000576', 'update'),
+      ('CL', '0009999', 'insert'),
+      ('NCBITaxon', '9606', 'delete')
+    ) AS t(collection, key, change_type)
+    """,
+)
+def pipeline_incremental_graph_q(spark, sf_dir):
+    """Incremental graph maintenance: the reference drops and rebuilds its
+    whole database every run (OntologyGraphBuilder.java:511-517) and then
+    round-trips EVERY document through exists/insert/update HTTP calls; at
+    100 TB the viable shape is build-new-snapshot -> snapshot_diff on the
+    vertex-document grain -> ship only changed docs to the sink.  Golden
+    edit script on the macrophage fixture: a label edit (update), a new
+    class (insert), and a retracted restriction whose filler vertex
+    disappears (delete); every untouched vertex produces NO sink traffic."""
+    from ..fixtures import OBO, OWL as OWL_NS
+    from ..fixtures import RDFS, fixture_ro_terms, fixture_triples
+
+    t0 = fixture_triples(spark)
+    mono_label = (F.col("subject") == OBO + "CL_0000576") & (
+        F.col("predicate") == RDFS + "label"
+    )
+    retracted = (F.col("subject") == "_:b2") & (
+        F.col("predicate") == OWL_NS + "someValuesFrom"
+    )
+    new_class = spark.createDataFrame(
+        [("macrophage.owl", OBO + "CL_0009999", RDFS + "label", "literal", None, "new cell type")],
+        t0.schema,
+    )
+    t1 = (
+        t0.filter(~retracted)
+        .withColumn(
+            "object_lexical",
+            F.when(mono_label, F.lit("monocyte (v2)")).otherwise(F.col("object_lexical")),
+        )
+        .unionByName(new_class)
+    )
+    from ..plans import build_graph
+
+    ro = fixture_ro_terms(spark)
+    v0 = build_graph(t0, ro, persist_clean=True).vertices
+    v1 = build_graph(t1, ro, persist_clean=True).vertices
+    # attrs is MAP<STRING,ARRAY<STRING>> assembled with sorted entries, so
+    # the to_json fingerprint inside snapshot_diff is deterministic
+    return snapshot_diff(v1, v0, keys=["collection", "key"])
+
+
+# --------------------------------------------------------------------------
 # cdc_snapshot_diff — incremental diff between two snapshots
 # --------------------------------------------------------------------------
 @register(
