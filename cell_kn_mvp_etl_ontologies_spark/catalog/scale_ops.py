@@ -82,6 +82,67 @@ def pipeline_incremental_graph_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# stream_cdc_apply — streaming changelog ingestion into keyed state
+# --------------------------------------------------------------------------
+@register(
+    "stream_cdc_apply",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CASE WHEN o_orderkey % 11 = 3 THEN o_totalprice + 2
+                WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey < 3000
+      AND NOT (o_orderkey % 13 = 5 AND o_orderkey % 11 <> 3)
+    """,
+)
+def stream_cdc_apply_q(spark, sf_dir):
+    """Streaming CDC ingestion (streaming/file_stream.py): a three-commit
+    changelog (full insert load; then updates + deletes; then later updates
+    that must survive earlier deletes) lands as parquet files and streams
+    through foreachBatch apply_changes with maxFilesPerTrigger=2 — so the
+    micro-batch bundling does NOT align with commit boundaries, and the
+    seq-resolved apply must still reach the same fixed point the oracle
+    computes declaratively.  Keys hit by both an update and a delete in the
+    same commit (7·13 overlaps) pin the tie rule (delete wins)."""
+    import tempfile
+
+    from ..operators.incremental import live_view
+    from ..streaming import run_stream_apply_changes
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+
+    def change(df, price, op, seq):
+        return df.select(
+            "o_orderkey",
+            price.alias("o_totalprice"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    b0 = change(orders, F.col("o_totalprice"), "I", 0)
+    b1 = change(orders.filter(k % 7 == 0), F.col("o_totalprice") + 1, "U", 1).unionByName(
+        change(orders.filter(k % 13 == 5), F.col("o_totalprice"), "D", 1)
+    )
+    b2 = change(orders.filter(k % 11 == 3), F.col("o_totalprice") + 2, "U", 2)
+
+    root = tempfile.mkdtemp(prefix="cdc_stream_")
+    log_dir, state = root + "/changelog", root + "/state"
+    for batch in (b0, b1, b2):
+        batch.coalesce(1).write.mode("append").parquet(log_dir)
+    changelog = (
+        spark.readStream.schema("o_orderkey long, o_totalprice double, op string, seq long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(log_dir)
+    )
+    final_state = run_stream_apply_changes(changelog, state, keys=["o_orderkey"])
+    return finish_and_clean(live_view(final_state), root)
+
+
+# --------------------------------------------------------------------------
 # cdc_snapshot_diff — incremental diff between two snapshots
 # --------------------------------------------------------------------------
 @register(

@@ -19,7 +19,7 @@ xxhash64 collision (~2^-64 per changed row).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 CHANGE_COL = "change_type"
@@ -77,3 +77,40 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col(CHANGE_COL) != "unchanged")
     return out
+
+
+def apply_changes(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a CDC changelog batch to keyed state, out-of-order tolerant.
+
+    Both frames share one schema: (keys..., payload..., op, seq) with op in
+    {'I','U','D'} and seq a monotonically increasing change sequence.  The
+    new state keeps, per key, the row with the HIGHEST seq across old state
+    and incoming changes — so batches may arrive in any order, re-bundled
+    into any micro-batch partitioning, and the fixed point is identical.
+    Deletes are retained as tombstones (op='D' rows): dropping them instead
+    would let a late lower-seq update resurrect a deleted key.  Compact
+    tombstones out periodically once upstream guarantees no older changes
+    remain in flight.  Ties (same key, same seq — e.g. one upstream commit
+    emitting U and D for a key) resolve op-ascending, so 'D' wins: the
+    conservative choice for dedup-style consumers.
+
+    One keyed shuffle (window over keys); state never joins wide."""
+    allrows = state.unionByName(changes)
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc(), F.col(op_col).asc())
+    return (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def live_view(state: DataFrame, op_col: str = "op", seq_col: str = "seq") -> DataFrame:
+    """The queryable face of CDC state: tombstones filtered, bookkeeping
+    columns dropped."""
+    return state.filter(F.col(op_col) != "D").drop(op_col, seq_col)

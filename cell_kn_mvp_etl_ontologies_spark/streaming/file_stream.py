@@ -64,6 +64,49 @@ def run_stream_upsert(
     return df.sparkSession.read.parquet(path)
 
 
+def run_stream_apply_changes(
+    changelog: DataFrame,
+    path: str,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Run a (bounded) CDC changelog stream into keyed parquet state via
+    foreachBatch ``apply_changes`` and return the final state (with
+    tombstones — pass through ``live_view`` for the queryable face).
+
+    Because apply_changes is seq-resolved, the result is INDEPENDENT of how
+    the file source bundles files into micro-batches or in what order they
+    arrive — the property that makes CDC ingestion restartable and
+    backfillable at scale.  Same two-phase staging rewrite as
+    run_stream_upsert (a parquet path can't be overwritten mid-read)."""
+    import shutil
+
+    from ..operators.incremental import apply_changes
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(path)
+        except Exception:  # first batch: empty state with the changelog schema
+            state = batch_df.limit(0)
+        merged = apply_changes(state, batch_df, keys, op_col, seq_col)
+        staging = path.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+        shutil.rmtree(staging.replace("file:", ""), ignore_errors=True)
+
+    query = (
+        changelog.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path.rstrip("/") + "__checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    return changelog.sparkSession.read.parquet(path)
+
+
 def run_stream_to_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Run a (bounded) stream to completion into a uniquely-named memory sink
     and return the sink table."""

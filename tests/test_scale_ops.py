@@ -54,6 +54,50 @@ def test_snapshot_diff_null_to_null_unchanged(spark):
     assert snapshot_diff(curr, prev, keys=["k"]).count() == 0
 
 
+def _chg(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, op string, seq long")
+
+
+def test_apply_changes_is_order_independent(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.incremental import (
+        apply_changes,
+        live_view,
+    )
+
+    b0 = [(1, "a", "I", 0), (2, "b", "I", 0), (3, "c", "I", 0)]
+    b1 = [(2, "b2", "U", 1), (3, "c", "D", 1)]
+    b2 = [(3, "c3", "U", 2), (4, "d", "I", 2)]
+
+    def run(order):
+        state = _chg(spark, []).limit(0)
+        for b in order:
+            state = apply_changes(state, _chg(spark, b), ["k"])
+        return rows_set(live_view(state))
+
+    want = {(1, "a"), (2, "b2"), (3, "c3"), (4, "d")}
+    assert run([b0, b1, b2]) == want
+    assert run([b2, b0, b1]) == want  # late-arriving earlier commits
+    assert run([b2, b1, b0]) == want
+
+
+def test_apply_changes_tombstone_blocks_late_update(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.incremental import (
+        apply_changes,
+        live_view,
+    )
+
+    deleted = apply_changes(_chg(spark, []).limit(0), _chg(spark, [(1, "x", "D", 5)]), ["k"])
+    late = apply_changes(deleted, _chg(spark, [(1, "old", "U", 3)]), ["k"])
+    assert live_view(late).count() == 0  # seq-3 update must NOT resurrect
+    # same-seq U + D tie resolves to D (conservative for dedup consumers)
+    tied = apply_changes(
+        _chg(spark, []).limit(0),
+        _chg(spark, [(1, "u", "U", 7), (1, "d", "D", 7)]),
+        ["k"],
+    )
+    assert live_view(tied).count() == 0
+
+
 # --------------------------------------------------------------- canonicalize_url
 def test_canonicalize_url_goldens(spark):
     cases = [
@@ -73,6 +117,25 @@ def test_canonicalize_url_goldens(spark):
     got = {r["id"]: r["canonical_url"] for r in canonicalize_url(df).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    # canonical output must be a fixed point: running the canonicalizer on
+    # its own output changes nothing (else dedup keys drift per pass)
+    urls = [
+        "HTTP://WWW.Example.COM:80/A/B/?z=1&a=2#frag",
+        "https://example.com:443",
+        "https://example.com:8443/x",
+        "https://e.com/p?utm_source=a&q=ok&b=1&a=2",
+        "http://sub.host.io/path/deep/?x=%20y&y=a+b",
+        "https://e.com/p///",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    once = canonicalize_url(df)
+    twice = canonicalize_url(
+        once.select(F.col("id").alias("doc_id"), F.col("canonical_url").alias("url"))
+    )
+    assert rows_set(once) == rows_set(twice)
 
 
 # ---------------------------------------------------------------- triangle_count
