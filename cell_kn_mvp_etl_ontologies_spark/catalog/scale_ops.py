@@ -282,6 +282,74 @@ def dedup_url_canonicalize_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# agg_funnel_steps — ordered-funnel completion counts
+# --------------------------------------------------------------------------
+@register(
+    "agg_funnel_steps",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS step, CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+    """,
+)
+def agg_funnel_steps_q(spark, sf_dir):
+    """view -> click -> purchase funnel (operators/temporal.py): the engine
+    folds each user's time-sorted event array in ONE keyed shuffle; the
+    oracle chains three min-ts joins.  Both implement greedy
+    earliest-match, which is exact for ordered-subsequence existence — their
+    equality is the correctness claim."""
+    from ..operators.temporal import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+# --------------------------------------------------------------------------
+# agg_retention_cohort — weekly cohort retention matrix
+# --------------------------------------------------------------------------
+@register(
+    "agg_retention_cohort",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cw FROM events GROUP BY user_id
+    ),
+    aw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT strftime(fs.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', fs.cw, aw.w) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM aw JOIN fs ON aw.user_id = fs.user_id
+    GROUP BY fs.cw, week_offset
+    """,
+)
+def agg_retention_cohort_q(spark, sf_dir):
+    """Weekly retention (operators/temporal.py): cohort = first-seen ISO
+    week, counted per later active week.  Both engines truncate weeks to
+    Monday, so offsets are exact multiples of 7 days and the integer
+    division is cross-engine exact."""
+    from ..operators.temporal import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+# --------------------------------------------------------------------------
 # graph_triangle_count — skew-proof triangle counting on a co-purchase graph
 # --------------------------------------------------------------------------
 @register(

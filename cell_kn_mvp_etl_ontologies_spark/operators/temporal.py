@@ -121,3 +121,94 @@ def rollup_cascade(
         F.col("n").cast("long").alias("n"),
         F.col("_total").cast("double").alias("total_value"),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users complete step 1, then step 2
+    strictly later, then step 3 strictly later, ... (the exists-an-ordered-
+    subsequence semantics every event-analytics store ships).
+
+    One groupBy(user) collects the user's (ts, type) events into a sorted
+    array; a single ``F.aggregate`` fold walks it greedily — matching each
+    step at its earliest possible time, which is optimal for subsequence
+    existence, and requiring strict ts increase between steps.  The fold is
+    a JVM-side higher-order expression: no UDF, no per-step self-join, ONE
+    keyed shuffle total (an N-step funnel via joins is N fact-scale
+    shuffles).  Per-user state is the event array — bounded by per-user
+    activity; cap with a windowed top-K by ts for adversarial whale users.
+
+    Output: (step BIGINT 1..len(steps), n_users BIGINT reaching that step).
+    """
+    ev = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))
+    )
+    state0 = F.struct(
+        F.lit(0).alias("step"), F.lit(None).cast("timestamp").alias("last_ts")
+    )
+
+    def advance(st, e):
+        cond = None
+        for i, step_type in enumerate(steps):
+            c = (st["step"] == i) & (e["et"] == step_type)
+            if i > 0:  # later steps must be strictly later in time
+                c = c & (e["ts"] > st["last_ts"])
+            cond = c if cond is None else (cond | c)
+        return F.when(
+            cond,
+            F.struct((st["step"] + 1).alias("step"), e["ts"].alias("last_ts")),
+        ).otherwise(st)
+
+    per_user = events.groupBy(user_col).agg(
+        F.aggregate(ev, state0, advance, lambda st: st["step"]).alias("reached")
+    )
+    counts = per_user.agg(
+        *[
+            F.sum((F.col("reached") >= i + 1).cast("long")).alias(f"s{i + 1}")
+            for i in range(len(steps))
+        ]
+    )
+    stack = ", ".join(f"{i + 1}L, s{i + 1}" for i in range(len(steps)))
+    return counts.selectExpr(f"stack({len(steps)}, {stack}) AS (step, n_users)")
+
+
+def retention_cohorts(
+    events: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-seen week (cohort),
+    counted in each later week they were active.
+
+    Two grain reductions before anything joins: first-seen per user (one
+    keyed agg) and distinct (user, week) activity (one agg at user-week
+    cardinality, partial-aggregated map-side).  The cohort join is then
+    user-keyed on both sides — co-partitioned with the activity dedup, so
+    AQE plans it without an extra exchange; nothing fact-scale shuffles
+    twice.  Output: (cohort_week STRING, week_offset BIGINT, n_users BIGINT).
+    """
+    week = lambda c: F.date_trunc("week", F.col(c))  # noqa: E731  ISO Monday start
+    first_seen = events.groupBy(user_col).agg(
+        F.min(week(ts_col)).alias("cohort_week")
+    )
+    active = events.select(
+        F.col(user_col), week(ts_col).alias("active_week")
+    ).distinct()
+    joined = active.join(first_seen, on=user_col)
+    return (
+        joined.groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )

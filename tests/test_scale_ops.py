@@ -171,6 +171,48 @@ def test_triangle_count_matches_naive_on_hub_graph(spark):
     assert fast == naive > 0
 
 
+# ------------------------------------------------------------ event analytics
+def test_funnel_steps_goldens(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.temporal import funnel_steps
+
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, "2024-01-01 00:00:01", "view"), (1, "2024-01-01 00:00:02", "click"),
+        (1, "2024-01-01 00:00:03", "purchase"),
+        # u2's click precedes its view: stalls at step 1
+        (2, "2024-01-01 00:00:01", "click"), (2, "2024-01-01 00:00:02", "view"),
+        (2, "2024-01-01 00:00:03", "purchase2"),
+        # u3's click shares the view's timestamp: strict > rejects it
+        (3, "2024-01-01 00:00:01", "view"), (3, "2024-01-01 00:00:01", "click"),
+        # u4 never views
+        (4, "2024-01-01 00:00:01", "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = dict(rows_set(funnel_steps(df, "user_id", "ts", "event_type", ["view", "click", "purchase"])))
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_retention_cohorts_goldens(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 10:00:00"),  # same week
+        (1, "2024-01-15 10:00:00"),                              # +2 weeks
+        (2, "2024-01-01 10:00:00"), (2, "2024-01-08 10:00:00"),  # +1 week
+        (3, "2024-01-08 10:00:00"),                              # later cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = rows_set(retention_cohorts(df, "user_id", "ts"))
+    assert got == {
+        ("2024-01-01", 0, 2), ("2024-01-01", 1, 1), ("2024-01-01", 2, 1),
+        ("2024-01-08", 0, 1),
+    }
+
+
 # ------------------------------------------------------------- bitmap distinct
 def test_bitmap_distinct_matches_count_distinct(spark):
     rows = [(g, m, (g * 7 + m * 13 + i * i) % 200) for g in range(3) for m in range(4) for i in range(50)]
