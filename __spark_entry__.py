@@ -94,13 +94,16 @@ _PRIORITY = [
     # streaming (§2.11)
     "stream_dedup_watermark",
     # dedup / similarity / text analysis / multimodal / training (§2.12)
-    "dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    # (simhash/ngram-jaccard/stratified stay fully verified in the local
+    # full-catalog artifact; their slots surface round-2 scale ops here)
+    "dedup_exact_hash", "dedup_minhash_lsh", "dedup_embedding_cosine",
     "similarity_topk", "similarity_ann_lsh",
     "text_lang_id", "text_quality_score", "text_tokenize_stats",
     "multimodal_feature_extract",
-    "sample_split_hash", "sample_stratified", "pack_sequences_greedy",
+    "sample_split_hash", "pack_sequences_greedy",
     "embedding_quantize", "contamination_ngram", "dedup_connected_components",
+    # scale patterns (round 2): incremental CDC, 2-D clustered layout, funnel
+    "cdc_snapshot_diff", "sink_zorder_cluster", "agg_funnel_steps",
 ]
 
 
