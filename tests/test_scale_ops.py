@@ -275,3 +275,38 @@ def test_zorder_cells_are_prefix_consistent(spark, tmp_path):
     # prefix cell: 14-bit suffix => 2^7 x 2^7 cell extent
     for r in stats:
         assert r["max_x"] - r["min_x"] < 128 and r["max_y"] - r["min_y"] < 128
+
+
+def test_apply_changes_random_changelogs_are_order_independent(spark):
+    """Property: for a random changelog, every batch permutation and
+    re-bundling reaches the same live view — plus a pure-Python oracle."""
+    import itertools
+    import random
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.incremental import (
+        apply_changes,
+        live_view,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        # unique (key, seq) pairs with random ops/payloads
+        pairs = rng.sample([(k, s) for k in range(6) for s in range(5)], 14)
+        rows = [
+            (k, f"v{k}_{s}", rng.choice("IUD"), s) for k, s in pairs
+        ]
+        # python oracle: max seq per key, D wins ties (unique seqs here), live = op != D
+        latest = {}
+        for k, v, op, s in rows:
+            if k not in latest or s > latest[k][1]:
+                latest[k] = (v, s, op)
+        want = {(k, v) for k, (v, s, op) in latest.items() if op != "D"}
+
+        chunks = [rows[i::3] for i in range(3)]  # arbitrary re-bundling
+        results = set()
+        for perm in itertools.permutations(range(3)):
+            state = _chg(spark, []).limit(0)
+            for i in perm:
+                state = apply_changes(state, _chg(spark, chunks[i]), ["k"])
+            results.add(frozenset(rows_set(live_view(state))))
+        assert results == {frozenset(want)}, f"trial {trial}"
