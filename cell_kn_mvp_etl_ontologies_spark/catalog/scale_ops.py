@@ -282,6 +282,65 @@ def dedup_url_canonicalize_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# agg_incremental_maintain — materialized-aggregate maintenance from CDC
+# --------------------------------------------------------------------------
+@register(
+    "agg_incremental_maintain",
+    oracle="""
+    WITH curr AS (
+      SELECT o_orderpriority,
+             o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS p
+      FROM orders WHERE o_orderkey % 13 <> 5
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM curr GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_maintain_q(spark, sf_dir):
+    """Materialized-view maintenance (operators/incremental.py): the
+    previous snapshot's (count, sum) aggregate is folded forward with
+    signed before/after-image deltas — change-scale work — and must equal
+    the oracle's full recompute over the current snapshot.  DECIMAL sums
+    make retraction exact (x + d - d == x), which double sums don't
+    guarantee."""
+    from ..operators.incremental import cdc_delta_rows, maintain_group_agg
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    prev = orders.filter(k % 11 != 3)
+    bumped = F.when(k % 7 == 0, F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice"))
+
+    agg0 = prev.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec(F.col("o_totalprice"))).alias("total")
+    )
+
+    def imaged(df, op, before_price, after_price):
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("o_orderpriority").alias("before_o_orderpriority"),
+            dec(before_price).alias("before_price"),
+            F.col("o_orderpriority").alias("after_o_orderpriority"),
+            dec(after_price).alias("after_price"),
+        )
+
+    ins = imaged(orders.filter((k % 11 == 3) & (k % 13 != 5)), "I", F.lit(None), bumped)
+    dels = imaged(orders.filter((k % 13 == 5) & (k % 11 != 3)), "D", F.col("o_totalprice"), F.lit(None))
+    upds = imaged(
+        orders.filter((k % 11 != 3) & (k % 13 != 5) & (k % 7 == 0)),
+        "U", F.col("o_totalprice"), bumped,
+    )
+    changelog = ins.unionByName(dels).unionByName(upds)
+    deltas = cdc_delta_rows(changelog, ["o_orderpriority", "price"])
+    out = maintain_group_agg(agg0, deltas, ["o_orderpriority"], "price")
+    return out.select(
+        "o_orderpriority", F.col("n").cast("long").alias("n"),
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
 # agg_funnel_steps — ordered-funnel completion counts
 # --------------------------------------------------------------------------
 @register(

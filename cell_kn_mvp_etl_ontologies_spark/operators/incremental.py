@@ -114,3 +114,66 @@ def live_view(state: DataFrame, op_col: str = "op", seq_col: str = "seq") -> Dat
     """The queryable face of CDC state: tombstones filtered, bookkeeping
     columns dropped."""
     return state.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+
+
+def cdc_delta_rows(
+    changes: DataFrame,
+    cols: list[str],
+    op_col: str = "op",
+    before_prefix: str = "before_",
+    after_prefix: str = "after_",
+) -> DataFrame:
+    """Signed delta rows from a before/after-image changelog (Debezium
+    shape): deletes contribute their before-image with sign -1, inserts
+    their after-image with sign +1, updates both.  Because each image keeps
+    its OWN column values, an update that moves a row between groups
+    retracts from the old group and adds to the new one with no special
+    casing.  Output: (cols..., sign INT)."""
+    ops = F.col(op_col)
+    minus = changes.filter(ops.isin("U", "D")).select(
+        *[F.col(before_prefix + c).alias(c) for c in cols], F.lit(-1).alias("sign")
+    )
+    plus = changes.filter(ops.isin("I", "U")).select(
+        *[F.col(after_prefix + c).alias(c) for c in cols], F.lit(1).alias("sign")
+    )
+    return minus.unionByName(plus)
+
+
+def maintain_group_agg(
+    agg_state: DataFrame,
+    deltas: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_col: str = "n",
+    total_col: str = "total",
+) -> DataFrame:
+    """Incremental maintenance of a grouped (count, sum) aggregate — the
+    materialized-view-maintenance core: merge CHANGE-scale deltas into the
+    existing aggregate instead of rescanning the fact table.
+
+    ``agg_state`` holds (group_cols..., n, total); ``deltas`` comes from
+    ``cdc_delta_rows``.  Deltas aggregate at group cardinality (one small
+    shuffle over the changes only), then one outer join folds them in;
+    groups whose count reaches zero disappear, new groups appear.  Sums
+    must be DECIMAL (exact, associative, commutative — retraction needs
+    x + d - d == x, which floats do not guarantee).  count/sum/avg
+    maintain this way; min/max do not retract (a deleted extremum forces a
+    per-group rescan) — keep them out of incrementally-maintained views or
+    pair them with a monotonic merge strategy."""
+    d = (
+        deltas.groupBy(*group_cols)
+        .agg(
+            F.sum("sign").alias("_dn"),
+            F.sum(F.col(value_col) * F.col("sign")).alias("_dt"),
+        )
+    )
+    merged = agg_state.join(d, on=group_cols, how="full_outer")
+    zero = F.lit(0).cast(agg_state.schema[total_col].dataType)
+    return (
+        merged.select(
+            *group_cols,
+            (F.coalesce(F.col(n_col), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias(n_col),
+            (F.coalesce(F.col(total_col), zero) + F.coalesce(F.col("_dt"), zero)).alias(total_col),
+        )
+        .filter(F.col(n_col) > 0)
+    )

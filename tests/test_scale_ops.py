@@ -310,3 +310,32 @@ def test_apply_changes_random_changelogs_are_order_independent(spark):
                 state = apply_changes(state, _chg(spark, chunks[i]), ["k"])
             results.add(frozenset(rows_set(live_view(state))))
         assert results == {frozenset(want)}, f"trial {trial}"
+
+
+def test_maintain_group_agg_moves_and_drops_groups(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.incremental import (
+        cdc_delta_rows,
+        maintain_group_agg,
+    )
+
+    agg0 = spark.createDataFrame(
+        [("a", 2, 30.0), ("b", 1, 5.0)], "g string, n long, total double"
+    ).withColumn("total", F.col("total").cast("decimal(18,6)"))
+    # one row moves a->c (group-moving update), b's only row is deleted,
+    # and a brand-new group d appears
+    changelog = spark.createDataFrame(
+        [
+            ("U", "a", 10.0, "c", 12.0),
+            ("D", "b", 5.0, None, None),
+            ("I", None, None, "d", 7.0),
+        ],
+        "op string, before_g string, before_v double, after_g string, after_v double",
+    ).select(
+        "op", "before_g", F.col("before_v").cast("decimal(18,6)").alias("before_v"),
+        "after_g", F.col("after_v").cast("decimal(18,6)").alias("after_v"),
+    )
+    deltas = cdc_delta_rows(changelog, ["g", "v"])
+    out = maintain_group_agg(agg0, deltas, ["g"], "v")
+    got = {r["g"]: (r["n"], float(r["total"])) for r in out.collect()}
+    # a keeps one row (30 - 10), b vanishes, c and d appear
+    assert got == {"a": (1, 20.0), "c": (1, 12.0), "d": (1, 7.0)}
