@@ -77,33 +77,40 @@ _PRIORITY = [
     "source_http_versioned", "sink_graph_upsert", "sink_side_output_deprecated",
     # filters / projections (§2.2)
     "filter_valid_triple", "filter_predicate_ns_whitelist",
-    "filter_deprecated_obsolete", "project_triple_nodes",
-    # joins (§2.3)
-    "join_flatten_restriction", "join_ro_label_lookup", "join_upsert",
-    "join_anti_new_only",
+    "filter_deprecated_obsolete",
+    # joins (§2.3) — scd2 and range-interval rotated in for round 3
+    # (project_triple_nodes / join_ro_label_lookup are driver-green twice
+    # and stay verified in the local full-catalog artifact)
+    "join_flatten_restriction", "join_upsert", "join_anti_new_only",
+    "join_upsert_scd2", "join_range_interval",
     # aggregations (§2.4)
     "agg_distinct_triples", "agg_pivot_vertex_attrs", "agg_dedup_edges",
     "agg_first_fallback_rootns",
-    # windows / sorts / set ops (§2.5-2.7)
+    # windows / sorts / set ops (§2.5-2.7) — sessionize rotated in
     "window_last_wins", "window_rank_topk", "window_running_sum",
-    "sort_by_key", "setop_intersect_except",
-    # scalar function composites (§2.8)
-    "fn_vtuple", "fn_uri_parse",
+    "window_sessionize", "sort_by_key", "setop_intersect_except",
+    # (fn_vtuple / fn_uri_parse: driver-green twice, rotated out to the
+    # local full-catalog artifact to make room for scale ops)
     # text search (§2.9)
     "text_inverted_index", "text_phrase_search",
     # streaming (§2.11)
-    "stream_dedup_watermark",
+    "stream_dedup_watermark", "stream_cdc_apply",
     # dedup / similarity / text analysis / multimodal / training (§2.12)
     # (simhash/ngram-jaccard/stratified stay fully verified in the local
     # full-catalog artifact; their slots surface round-2 scale ops here)
     "dedup_exact_hash", "dedup_minhash_lsh", "dedup_embedding_cosine",
     "similarity_topk", "similarity_ann_lsh",
-    "text_lang_id", "text_quality_score", "text_tokenize_stats",
+    # (text_lang_id / text_quality_score / sample_split_hash /
+    # embedding_quantize: driver-green twice, rotated out)
+    "text_tokenize_stats",
     "multimodal_feature_extract",
-    "sample_split_hash", "pack_sequences_greedy",
-    "embedding_quantize", "contamination_ngram", "dedup_connected_components",
-    # scale patterns (round 2): incremental CDC, 2-D clustered layout, funnel
+    "pack_sequences_greedy",
+    "contamination_ngram", "dedup_connected_components",
+    # scale patterns (rounds 2-3): incremental CDC + maintenance, 2-D
+    # clustered layout, funnel/retention, event-time rollup
     "cdc_snapshot_diff", "sink_zorder_cluster", "agg_funnel_steps",
+    "pipeline_incremental_graph", "agg_retention_cohort",
+    "agg_incremental_maintain", "agg_time_rollup",
 ]
 
 

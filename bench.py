@@ -336,28 +336,35 @@ def main() -> None:
     # with an inter-query GC measures steady-state compute, not GC scheduling
     # (this host shows multi-second run-to-run noise; 2 iterations recorded a
     # 30%-high flagship number in round 1).
+    # Fault-isolated per query (round-2 postmortem: one analysis error must
+    # not zero the whole round's performance evidence) — a failed query is
+    # recorded under "errors" and the summary line still prints.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in BENCH_QUERIES.items():
         best = float("inf")
-        for _ in range(3):
-            spark._jvm.System.gc()
-            t0 = time.time()
-            fn(spark).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(3):
+                spark._jvm.System.gc()
+                t0 = time.time()
+                fn(spark).write.mode("overwrite").format("noop").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — keep benchmarking the rest
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -1,13 +1,20 @@
 """Table loading for the driver's synthetic parquet tables (TESTDATA.md).
 
-The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark 4
-refuses to read natively.  We read nanos as long
-(``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable) and rebuild a
-TIMESTAMP_NTZ with integer division to microseconds.  Integer ``div`` matters:
-``/`` is double division in Spark and a 1.7e18 nanosecond value loses
-precision past double's 15-16 significant digits, producing off-by-1µs values
-versus DuckDB's truncating parquet reader.  NTZ (not LTZ) keeps collected
-values timezone-independent, matching DuckDB's naive timestamps.
+The ``events`` table's ``ts`` column has changed storage type across driver
+refreshes — parquet TIMESTAMP(NANOS) in earlier rounds, TIMESTAMP(MICROS)
+now — so normalization is driven by the OBSERVED dtype, never assumed:
+
+- ``bigint`` (nanos read as long under ``spark.sql.legacy.parquet.nanosAsLong``,
+  which Spark 4 needs because it refuses native NANOS): rebuild TIMESTAMP_NTZ
+  with integer division to microseconds.  Integer ``div`` matters: ``/`` is
+  double division in Spark and a 1.7e18 nanosecond value loses precision past
+  double's 15-16 significant digits, producing off-by-1µs values versus
+  DuckDB's truncating parquet reader.
+- ``timestamp`` / ``timestamp_ntz`` (native MICROS): cast to TIMESTAMP_NTZ
+  as-is, no arithmetic.
+
+NTZ (not LTZ) keeps collected values timezone-independent, matching DuckDB's
+naive timestamps.
 """
 
 from __future__ import annotations
@@ -30,9 +37,38 @@ TABLES = [
     "embeddings",
 ]
 
-# Columns stored as TIMESTAMP(NANOS) that arrive as LongType under
-# nanosAsLong and need the ns -> µs -> TIMESTAMP_NTZ rebuild.
-NS_TIMESTAMP_COLS: dict[str, list[str]] = {"events": ["ts"]}
+# Event-time columns normalized to TIMESTAMP_NTZ on load, branching on the
+# dtype the parquet reader actually produced (see module docstring).
+EVENT_TIME_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def normalize_event_time(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Normalize event-time columns to TIMESTAMP_NTZ regardless of how the
+    parquet file stored them.  ``bigint`` means nanos-as-long (legacy NANOS
+    storage under ``nanosAsLong``) and needs the ns->µs rebuild; any
+    timestamp flavor is cast straight to NTZ.  Unknown dtypes raise loudly so
+    a future storage change fails in our suite, not the driver gate."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt is None:
+            continue
+        if dt == "bigint":
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"TIMESTAMPADD(MICROSECOND, {c} div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif dt in ("timestamp", "timestamp_ntz"):
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+        else:
+            raise TypeError(
+                f"event-time column {c!r} has unexpected dtype {dt!r}; "
+                "extend normalize_event_time for this storage type"
+            )
+    return df
 
 
 def parallelize(df: DataFrame, n: int | None = None) -> DataFrame:
@@ -51,9 +87,4 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in NS_TIMESTAMP_COLS.get(name, []):
-        df = df.withColumn(
-            c,
-            F.expr(f"TIMESTAMPADD(MICROSECOND, {c} div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        )
-    return df
+    return normalize_event_time(df, EVENT_TIME_COLS.get(name, []))

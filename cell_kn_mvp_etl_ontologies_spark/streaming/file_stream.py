@@ -16,8 +16,11 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table with the same ns->NTZ
-    timestamp rebuild as the batch loader (io.load_table)."""
+    """File-source stream over the events table with the same dtype-branched
+    timestamp normalization as the batch loader (io.normalize_event_time),
+    except targeting LTZ: watermarks/event-time windows require TIMESTAMP
+    type, not NTZ.  The container and driver sessions run UTC, so formatted
+    output matches DuckDB's naive timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file streams need a directory source; glob-filter the one table out of
@@ -27,10 +30,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events*")
         .parquet(sf_dir)
     )
-    # LTZ (timestamp_micros), not NTZ: watermarks/event-time windows require
-    # TIMESTAMP type.  The container and driver sessions run UTC, so
-    # formatted output matches DuckDB's naive timestamps.
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = dict(stream.dtypes).get("ts")
+    if dt == "bigint":  # legacy TIMESTAMP(NANOS) storage read as long
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt in ("timestamp", "timestamp_ntz"):
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    raise TypeError(
+        f"events.ts has unexpected stream dtype {dt!r}; "
+        "extend read_events_stream for this storage type"
+    )
 
 
 def run_stream_upsert(
