@@ -668,6 +668,37 @@ def agg_approx_distinct_q(spark, sf_dir):
 
 
 @register(
+    "agg_distinct_exact_twin",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '<all>' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    """,
+)
+def agg_distinct_exact_twin_q(spark, sf_dir):
+    """Hash-checkable exact twin of agg_approx_distinct: distinct users per
+    event type AND globally, both finalized from ONE set of bitmap words
+    built at the finer (event_type, day) grain (operators/aggregates.py) —
+    the re-aggregation property an HLL sketch gives approximately, delivered
+    exactly.  At 100 TB this is one pass over raw events serving every
+    coarser distinct-count grain; count(distinct) would reshuffle raw ids
+    per grain."""
+    from ..operators.aggregates import bitmap_distinct_rollup, bitmap_distinct_words
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    words = bitmap_distinct_words(ev, ["event_type", "day"], "user_id")
+    per_type = bitmap_distinct_rollup(words, ["event_type"]).select(
+        "event_type", F.col("n_distinct").alias("n_users")
+    )
+    total = bitmap_distinct_rollup(words, []).select(
+        F.lit("<all>").alias("event_type"), F.col("n_distinct").alias("n_users")
+    )
+    return per_type.unionByName(total)
+
+
+@register(
     "similarity_ann_lsh",
     oracle="""
     WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),

@@ -7,7 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..streaming import read_events_stream, run_stream_to_table
+from ..search import text_en_no_stem_tokens
+from ..streaming import read_documents_stream, read_events_stream, run_stream_to_table
 from . import register
 
 
@@ -232,6 +233,43 @@ def stream_split_route_q(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     routed = split_train_val_test(stream.select("event_id"), "event_id")
     agg = routed.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    return run_stream_to_table(agg, output_mode="complete")
+
+
+@register(
+    "stream_index_maintain",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT t.tok AS token, doc_id
+      FROM (SELECT doc_id, lower(text) AS s FROM documents) src,
+        LATERAL unnest(string_split_regex(s, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM toks GROUP BY token
+    """,
+)
+def stream_index_maintain_q(spark, sf_dir):
+    """Continuous inverted-index maintenance — the streaming analog of the
+    batch overwrite in text_inverted_index_view, closing the reference's
+    search-view refresh-cadence semantics (ArangoSearch commit/consolidate
+    intervals, ArangoDbUtilities.java:287): each arriving document updates
+    per-token doc frequencies instead of rebuilding the index.
+
+    Scale shape: tokens are deduplicated WITHIN each document row
+    (array_distinct, a stateless narrow map), so the only stateful operator
+    is one streaming count per token — no cross-row dedup state, which is
+    what keeps state linear in vocabulary size rather than corpus size.
+    Exact because each doc_id arrives exactly once in the bounded run."""
+    stream = read_documents_stream(spark, sf_dir)
+    per_doc_tokens = stream.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(text_en_no_stem_tokens(F.col("text")), lambda t: t != "")
+            )
+        ).alias("token")
+    )
+    agg = per_doc_tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
     return run_stream_to_table(agg, output_mode="complete")
 
 

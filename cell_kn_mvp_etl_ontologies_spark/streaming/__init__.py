@@ -1,4 +1,5 @@
 from .file_stream import (
+    read_documents_stream,
     read_events_stream,
     run_stream_apply_changes,
     run_stream_to_table,

@@ -41,6 +41,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (no event-time column, so
+    no normalization needed) — the ingestion side of continuous index
+    maintenance."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents*")
+        .parquet(sf_dir)
+    )
+
+
 def run_stream_upsert(
     df: DataFrame,
     path: str,
