@@ -102,6 +102,96 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     )
 
 
+_MINHASH_CTE_SQL = """
+    {p}_sh AS (
+      SELECT DISTINCT doc_id AS id, substring(substring(text, 1, 60), i, 5) AS shingle
+      FROM {p} , generate_series(1, 56) t(i)
+      WHERE i <= greatest(length(substring(text, 1, 60)) - 4, 0)
+    ),
+    {p}_hs AS (
+      SELECT id,
+             ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM {p}_sh
+    ),
+    {p}_sigs AS (
+      SELECT id,
+        MIN(h1 + 0 * h2) AS sig_0, MIN(h1 + 1 * h2) AS sig_1,
+        MIN(h1 + 2 * h2) AS sig_2, MIN(h1 + 3 * h2) AS sig_3,
+        MIN(h1 + 4 * h2) AS sig_4, MIN(h1 + 5 * h2) AS sig_5
+      FROM {p}_hs GROUP BY id
+    ),
+    {p}_bands AS (
+      SELECT id, md5('0' || '|' || CAST(sig_0 AS VARCHAR) || '|' || CAST(sig_1 AS VARCHAR)) AS band_key FROM {p}_sigs
+      UNION ALL SELECT id, md5('1' || '|' || CAST(sig_2 AS VARCHAR) || '|' || CAST(sig_3 AS VARCHAR)) FROM {p}_sigs
+      UNION ALL SELECT id, md5('2' || '|' || CAST(sig_4 AS VARCHAR) || '|' || CAST(sig_5 AS VARCHAR)) FROM {p}_sigs
+    )
+"""
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=(
+        """
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    newbatch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 60 AND doc_id < 80
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 8
+    ),
+    """
+        + _MINHASH_CTE_SQL.format(p="corpus")
+        + ","
+        + _MINHASH_CTE_SQL.format(p="newbatch")
+        + """,
+    hits AS (
+      SELECT n.id, MIN(c.id) AS matched
+      FROM newbatch_bands n JOIN corpus_bands c ON n.band_key = c.band_key
+      GROUP BY n.id
+    )
+    SELECT i.id, hits.matched IS NOT NULL AS is_dup, hits.matched
+    FROM (SELECT DISTINCT doc_id AS id FROM newbatch) i
+    LEFT JOIN hits ON hits.id = i.id
+    """
+    ),
+)
+def dedup_incremental_lsh_q(spark, sf_dir):
+    """Incremental near-dedup: a new document batch screened against the
+    corpus's PRE-MATERIALIZED LSH band keys (operators/dedup.
+    dedup_incremental_lsh) — per-ingest work is O(batch), the corpus is
+    joined, never rescanned.  True positives: 8 corpus copies planted in
+    the new batch."""
+    from ..operators.dedup import (
+        dedup_incremental_lsh,
+        minhash_band_keys,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 60).select("doc_id", "text")
+    new = (
+        docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 80))
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") < 8).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+    )
+    corpus_bands = minhash_band_keys(
+        minhash_signatures(
+            shingles(corpus, "text", "doc_id", 5, 60, distinct=False), 6
+        ),
+        6,
+        3,
+    )
+    return dedup_incremental_lsh(
+        new, corpus_bands, "text", "doc_id", shingle_width=5, prefix_len=60,
+        n_hashes=6, n_bands=3,
+    )
+
+
 @register(
     "dedup_simhash",
     oracle="""
@@ -155,6 +245,40 @@ def dedup_simhash_q(spark, sf_dir):
 def dedup_ngram_jaccard_q(spark, sf_dir):
     corpus = _docs_with_dups(spark, sf_dir, 25, 5)
     return ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_width=3, prefix_len=40)
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH corpus AS ({corpus}),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, substring(substring(text, 1, 40), i, 3) AS shingle
+      FROM corpus, generate_series(1, 38) t(i)
+      WHERE i <= greatest(length(substring(text, 1, 40)) - 2, 0)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT x.id AS a, y.id AS b, COUNT(*) AS n_common
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id <> y.id
+      GROUP BY x.id, y.id
+    )
+    SELECT a, b, CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment
+    FROM common JOIN sizes sa ON sa.id = a
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.8
+    """.format(corpus=_DOCS_DUPS_SQL.format(limit=25, n_dups=5)),
+)
+def dedup_containment_q(spark, sf_dir):
+    """Directed shingle containment (operators/dedup.containment_pairs):
+    catches SUBSET duplicates — a document embedded in a longer one — that
+    symmetric Jaccard under-scores because the longer side dominates the
+    union.  Same scale shape as the Jaccard query: shingle equi-join, never
+    a cross product."""
+    from ..operators.dedup import containment_pairs
+
+    corpus = _docs_with_dups(spark, sf_dir, 25, 5)
+    return containment_pairs(
+        corpus, "text", "doc_id", shingle_width=3, prefix_len=40, min_containment=0.8
+    )
 
 
 _QUANT_SQL = """

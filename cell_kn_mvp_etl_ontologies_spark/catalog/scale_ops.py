@@ -409,6 +409,63 @@ def agg_retention_cohort_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# graph_pagerank — bit-exact integer-scaled PageRank (3 iterations)
+# --------------------------------------------------------------------------
+_PR_NODES_SQL = """
+    e AS (
+      SELECT DISTINCT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst
+      FROM lineitem WHERE l_orderkey % 7 = 0
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
+"""
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    c{cur} AS (
+      SELECT e.dst AS node, SUM(r{prev}.rank_units // deg.deg) AS in_units
+      FROM e JOIN r{prev} ON r{prev}.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{cur} AS (
+      SELECT nodes.node,
+             (1000000000000 - 1000000000000 * 85 // 100) // nn.n
+               + COALESCE(c{cur}.in_units, 0) * 85 // 100 AS rank_units
+      FROM nodes CROSS JOIN nn LEFT JOIN c{cur} ON c{cur}.node = nodes.node
+    )"""
+
+
+@register(
+    "graph_pagerank",
+    oracle="WITH "
+    + _PR_NODES_SQL
+    + ", r0 AS (SELECT node, 1000000000000 // nn.n AS rank_units FROM nodes CROSS JOIN nn),"
+    + _pr_iter_sql("0", "1")
+    + ","
+    + _pr_iter_sql("1", "2")
+    + ","
+    + _pr_iter_sql("2", "3")
+    + " SELECT node, CAST(rank_units AS BIGINT) AS rank_units FROM r3",
+)
+def graph_pagerank_q(spark, sf_dir):
+    """Integer-scaled PageRank (plans/graph_query.pagerank_integer) on the
+    order→part graph: ranks are BIGINT units of 1e-12, every update is
+    integer multiply / truncating div / sum, so the result is bit-exact
+    across engines and reduction orders — float PageRank can't be
+    hash-gated.  The oracle unrolls the same three iterations as CTEs."""
+    from ..plans.graph_query import pagerank_integer
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    edges = li.select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+    )
+    return pagerank_integer(edges, n_iter=3)
+
+
+# --------------------------------------------------------------------------
 # graph_triangle_count — skew-proof triangle counting on a co-purchase graph
 # --------------------------------------------------------------------------
 @register(

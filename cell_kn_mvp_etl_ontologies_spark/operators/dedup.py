@@ -136,6 +136,51 @@ def dedup_minhash_lsh(
     )
 
 
+def dedup_incremental_lsh(
+    new_df: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_width: int = 5,
+    prefix_len: int | None = None,
+    n_hashes: int = 6,
+    n_bands: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Screen a NEW batch of documents against an existing corpus whose LSH
+    band keys are already materialized — the incremental-ingestion shape of
+    near-dedup: per increment, only the new batch is shingled and hashed; the
+    corpus is never rescanned, its (id, band_key) table is just joined.
+
+    At 100 TB this is the difference between O(batch) and O(corpus) work per
+    ingest: corpus band keys live in a bucketed table keyed on band_key, so
+    the probe is a co-located join.  ``corpus_bands`` must come from
+    ``minhash_band_keys`` with the SAME shingle/hash/band parameters —
+    mismatched parameters silently produce disjoint key spaces.
+
+    Output: one row per distinct new id — (id, is_dup BOOLEAN,
+    matched = min matching corpus id or NULL).
+    """
+    sigs = minhash_signatures(
+        shingles(new_df, text_col, id_col, shingle_width, prefix_len, distinct=False),
+        n_hashes,
+        portable=portable,
+    )
+    new_bands = minhash_band_keys(sigs, n_hashes, n_bands)
+    hits = (
+        new_bands.join(
+            corpus_bands.select(F.col("id").alias("matched"), "band_key"),
+            on="band_key",
+        )
+        .groupBy("id")
+        .agg(F.min("matched").alias("matched"))
+    )
+    ids = new_df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(hits, on="id", how="left").select(
+        "id", F.col("matched").isNotNull().alias("is_dup"), "matched"
+    )
+
+
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash fingerprint over whitespace tokens (portable bit
     arithmetic: hex-digit decoding via instr, no engine-native hash).
@@ -163,6 +208,48 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b").cast("double")).cast("long")).otherwise(0)
         ).alias("simhash")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_width: int = 3,
+    prefix_len: int | None = None,
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """Directed shingle containment C(a→b) = |A∩B| / |A| for ordered pairs —
+    the asymmetric twin of Jaccard that catches SUBSET duplicates (a short
+    document wholly embedded in a longer one, quote farms, benchmark text
+    pasted into a webpage), which symmetric Jaccard under-scores because the
+    union is dominated by the longer side.
+
+    Same sparse-similarity shape as ngram_jaccard_pairs: candidates come from
+    a shingle equi-join (never a cross product), |A∩B| from the join count,
+    |A| from a per-doc size aggregate.  Emits both directions of each pair
+    (a≠b) so callers filter on the direction they mean: high C(a→b) reads
+    "a is contained in b"."""
+    sh = shingles(df, text_col, id_col, shingle_width, prefix_len)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
+    out = common.join(sa, "a").select(
+        "a",
+        "b",
+        (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    if min_containment > 0.0:
+        out = out.filter(F.col("containment") >= min_containment)
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -101,6 +101,74 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def pagerank_integer(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank with integer-scaled arithmetic: every rank is a BIGINT in
+    units of 1/``scale``, every update uses only integer multiply / truncating
+    ``div`` / sum — so the result is BIT-EXACT regardless of engine, task
+    count, or reduction order.  Float PageRank differs in the last ulps per
+    run (sum order varies with partitioning), which breaks cross-engine
+    verification and makes incremental re-runs non-reproducible; integer
+    units trade a bounded truncation leak (< out_degree ulps per node per
+    iteration, mass only ever shrinks) for exact determinism.
+
+    Dangling nodes (no out-edges) keep their base rank; their damped mass is
+    dropped rather than redistributed — ranks remain a deterministic
+    importance ORDER, which is what dedup canonical-pick / crawl
+    prioritization consumes.  Per iteration: one contribution join keyed on
+    the frontier node + one sum aggregate — two keyed shuffles, with
+    ``localCheckpoint`` truncating the growing lineage (swap for reliable
+    ``checkpoint()`` on a cluster).  Output: (node, rank_units BIGINT).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    init_units = scale // n_nodes
+    base_units = (scale - scale * damping_num // damping_den) // n_nodes
+    ranks = nodes.withColumn("rank_units", F.lit(init_units).cast("long"))
+    for _ in range(n_iter):
+        contribs = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(outdeg, on="src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_units div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_units"))
+        )
+        ranks = (
+            nodes.join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(base_units)
+                    + F.expr(
+                        f"coalesce(in_units, 0L) * {damping_num} div {damping_den}"
+                    )
+                ).cast("long").alias("rank_units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def canonical_undirected(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """Distinct undirected edge set as (a, b) with a < b; self-loops dropped.
     One projection + one dedup shuffle."""
