@@ -237,6 +237,62 @@ def stream_split_route_q(spark, sf_dir):
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    """,
+)
+def stream_stream_join_q(spark, sf_dir):
+    """Stream-stream interval join — purchases joined to the same user's
+    views within the preceding hour (attribution).  Both sides are
+    watermarked so the state store can evict views older than the join
+    window plus slack; the time-interval condition bounds buffered state to
+    O(users × window), the property that keeps stream-stream joins runnable
+    indefinitely.  A single availableNow pass buffers everything, so the
+    result is exactly the batch join the oracle computes."""
+    events = read_events_stream(spark, sf_dir)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("v_user_id") == F.col("user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    )
+    out = run_stream_to_table(joined, output_mode="append")
+    return out.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
+@register(
     "stream_index_maintain",
     oracle="""
     WITH toks AS (
