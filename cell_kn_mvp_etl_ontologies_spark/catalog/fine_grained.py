@@ -326,6 +326,54 @@ def text_inverted_index_view_q(spark, sf_dir):
 
 
 @register(
+    "text_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_key, t.tok AS token
+      FROM (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 200) src,
+        LATERAL unnest(string_split_regex(s, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    tf AS (SELECT doc_key, token, COUNT(*) AS tf FROM toks GROUP BY doc_key, token),
+    dl AS (SELECT doc_key, SUM(tf) AS dl FROM tf GROUP BY doc_key),
+    totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    dfr AS (
+      SELECT token, COUNT(*) AS df FROM tf
+      WHERE token IN ('data', 'processing', 'pipeline') GROUP BY token
+    ),
+    contrib AS (
+      SELECT tf.doc_key,
+             (22 * t.total_len * tf.tf * (2 * t.n_docs - 2 * dfr.df + 1) * 100000)
+               // ((10 * t.total_len * tf.tf + 3 * t.total_len + 9 * dl.dl * t.n_docs)
+                   * (2 * dfr.df + 1)) AS c
+      FROM tf JOIN dfr ON dfr.token = tf.token
+      JOIN dl ON dl.doc_key = tf.doc_key
+      CROSS JOIN totals t
+    ),
+    scores AS (SELECT doc_key, CAST(SUM(c) AS BIGINT) AS score_units FROM contrib GROUP BY doc_key)
+    SELECT doc_key, score_units, CAST(rnk AS INT) AS rnk FROM (
+      SELECT doc_key, score_units,
+             ROW_NUMBER() OVER (ORDER BY score_units DESC, doc_key ASC) AS rnk
+      FROM scores
+    ) WHERE rnk <= 10
+    """,
+)
+def text_bm25_topk_q(spark, sf_dir):
+    """Ranked retrieval (search/ranking.py): integer-scaled BM25 variant —
+    rational idf and one truncating div per term contribution make scores
+    BIGINT and bit-exact cross-engine, closing the scoring half of the
+    reference's search views (boolean search already covered by
+    text_inverted_index / text_phrase_search)."""
+    from ..search.ranking import bm25_rank_integer
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return bm25_rank_integer(
+        docs, ["doc_id"], "text", ["data", "processing", "pipeline"],
+        text_en_no_stem_tokens, k=10,
+    )
+
+
+@register(
     "text_search_ddl",
     oracle="""
     WITH toks AS (

@@ -85,3 +85,35 @@ def test_dedup_incremental_lsh_flags_planted_copies(spark):
     ).collect()}
     assert out[100]["is_dup"] and out[100]["matched"] == 3
     assert not out[101]["is_dup"] and out[101]["matched"] is None
+
+
+def test_bm25_integer_ranking_and_determinism(spark):
+    from cell_kn_mvp_etl_ontologies_spark.search import text_en_no_stem_tokens
+    from cell_kn_mvp_etl_ontologies_spark.search.ranking import bm25_rank_integer
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data data data processing pipeline"),
+            (2, "data processing"),
+            (3, "pipeline"),
+            (4, "nothing relevant here at all"),
+            (5, "data and more filler words to dilute term frequency data"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_rank_integer(
+        docs, ["doc_id"], "text", ["data", "processing", "pipeline"],
+        text_en_no_stem_tokens, k=3,
+    ).collect()
+    ranked = [r["doc_key"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert len(ranked) == 3
+    # doc 4 has no query terms and must never appear
+    assert "4" not in ranked
+    # doc 1 saturates tf on 'data' AND hits all three terms: must rank first
+    assert ranked[0] == "1"
+    # bit-exact under repartitioning
+    out2 = bm25_rank_integer(
+        docs.repartition(7), ["doc_id"], "text",
+        ["data", "processing", "pipeline"], text_en_no_stem_tokens, k=3,
+    ).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in out2}
