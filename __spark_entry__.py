@@ -86,19 +86,20 @@ _PRIORITY = [
     # aggregations (§2.4)
     "agg_distinct_triples", "agg_pivot_vertex_attrs", "agg_dedup_edges",
     "agg_first_fallback_rootns",
-    # windows / sorts / set ops (§2.5-2.7) — sessionize rotated in
+    # windows / sorts / set ops (§2.5-2.7) — sessionize rotated in;
+    # sort_by_key (driver-green twice) gives its slot to graph analytics
     "window_last_wins", "window_rank_topk", "window_running_sum",
-    "window_sessionize", "sort_by_key", "setop_intersect_except",
+    "window_sessionize", "setop_intersect_except",
     # (fn_vtuple / fn_uri_parse: driver-green twice, rotated out to the
     # local full-catalog artifact to make room for scale ops)
-    # text search (§2.9)
-    "text_inverted_index", "text_phrase_search",
+    # text search (§2.9) — boolean index + integer-BM25 ranked retrieval
+    "text_inverted_index", "text_bm25_topk",
     # streaming (§2.11)
     "stream_dedup_watermark", "stream_cdc_apply",
     # dedup / similarity / text analysis / multimodal / training (§2.12)
     # (simhash/ngram-jaccard/stratified stay fully verified in the local
     # full-catalog artifact; their slots surface round-2 scale ops here)
-    "dedup_exact_hash", "dedup_minhash_lsh", "dedup_embedding_cosine",
+    "dedup_exact_hash", "dedup_minhash_lsh", "dedup_incremental_lsh",
     "similarity_topk", "similarity_ann_lsh",
     # (text_lang_id / text_quality_score / sample_split_hash /
     # embedding_quantize: driver-green twice, rotated out)
@@ -110,7 +111,7 @@ _PRIORITY = [
     # clustered layout, funnel/retention, event-time rollup
     "cdc_snapshot_diff", "sink_zorder_cluster", "agg_funnel_steps",
     "pipeline_incremental_graph", "agg_retention_cohort",
-    "agg_incremental_maintain", "agg_time_rollup",
+    "agg_incremental_maintain", "agg_time_rollup", "graph_pagerank",
 ]
 
 

@@ -242,6 +242,34 @@ def triangle_copurchase(spark):
     return triangle_count(canonical_undirected(pairs))
 
 
+def pagerank_orders(spark):
+    """Integer-scaled PageRank, 5 iterations, on the order→part graph
+    (~300k distinct edges at sf0.1): measures the per-iteration join+agg
+    cadence and the localCheckpoint lineage truncation under real fan-in."""
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import pagerank_integer
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 50000).alias("src"),
+        (F.col("l_partkey") % 20000).alias("dst"),
+    )
+    return pagerank_integer(edges, n_iter=5)
+
+
+def bm25_documents(spark):
+    """Integer-BM25 ranked retrieval over the full documents table: the
+    token-stream aggregation cascade (tf → dl → totals/df) plus the scored
+    top-k — measures text-scoring throughput per token."""
+    from cell_kn_mvp_etl_ontologies_spark.search import text_en_no_stem_tokens
+    from cell_kn_mvp_etl_ontologies_spark.search.ranking import bm25_rank_integer
+
+    docs = parallelize(load_table(spark, SF_DIR, "documents"))
+    return bm25_rank_integer(
+        docs, ["doc_id"], "text", ["data", "processing", "pipeline", "model"],
+        text_en_no_stem_tokens, k=20,
+    )
+
+
 def graph_build_full(spark):
     """The flagship ontology pipeline on ~600k synthetic triples: URI/VTuple
     parse chains, predicate labeling, vertex pivot, deprecated filter, edge
@@ -299,6 +327,8 @@ BENCH_QUERIES = {
     "training_pipeline": training_pipeline,
     "cdc_diff": cdc_diff,
     "triangle_copurchase": triangle_copurchase,
+    "pagerank_orders": pagerank_orders,
+    "bm25_documents": bm25_documents,
     "graph_build_full": graph_build_full,
 }
 
