@@ -15,7 +15,11 @@ import tempfile
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.aggregates import bitmap_distinct_rollup, bitmap_distinct_words
+from ..operators.aggregates import (
+    bitmap_distinct_rollup,
+    bitmap_distinct_words,
+    bitmap_overlap,
+)
 from ..operators.curation import canonicalize_url
 from ..operators.incremental import snapshot_diff
 from ..plans.graph_query import canonical_undirected, triangle_count
@@ -536,6 +540,33 @@ def agg_bitmap_distinct_q(spark, sf_dir):
     )
     words = bitmap_distinct_words(orders, ["o_orderpriority", "month"], "o_custkey")
     return bitmap_distinct_rollup(words, ["o_orderpriority"])
+
+
+# --------------------------------------------------------------------------
+# agg_bitmap_overlap — exact audience overlap from the distinct-set sketch
+# --------------------------------------------------------------------------
+@register(
+    "agg_bitmap_overlap",
+    oracle="""
+    SELECT
+      CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT) AS n_left,
+      CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS n_right,
+      CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' AND user_id IN
+        (SELECT user_id FROM events WHERE event_type = 'purchase') THEN user_id END) AS BIGINT) AS n_both,
+      CAST(COUNT(DISTINCT CASE WHEN event_type IN ('view', 'purchase') THEN user_id END) AS BIGINT) AS n_either
+    FROM events
+    """,
+)
+def agg_bitmap_overlap_q(spark, sf_dir):
+    """Exact audience overlap (viewers ∩ purchasers) from the bitmap
+    distinct-set sketch (operators/aggregates.bitmap_overlap): the sketch
+    preserves id SETS, so intersection/union are per-chunk ``&``/``|`` over
+    the stored words — the raw events table is scanned once to build words
+    and never again for any overlap question.  A count-distinct rollup
+    cannot answer this; set sketches can, exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    words = bitmap_distinct_words(ev, ["event_type"], "user_id")
+    return bitmap_overlap(words, "event_type", "view", "purchase")
 
 
 # --------------------------------------------------------------------------

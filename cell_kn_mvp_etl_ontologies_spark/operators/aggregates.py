@@ -172,3 +172,32 @@ def bitmap_distinct_rollup(
     return merged.groupBy(*group_cols).agg(
         F.sum(F.bit_count("word")).cast("long").alias("n_distinct")
     )
+
+
+def bitmap_overlap(
+    words: DataFrame, set_col: str, left: str, right: str
+) -> DataFrame:
+    """Exact set algebra between two bitmap-sketched id sets: distinct counts
+    of ``left``, ``right``, their intersection, and their union — WITHOUT
+    touching raw data again.
+
+    The set-intersection question ("distinct users who did X AND Y") is the
+    one a count-distinct rollup cannot answer: distinct counts don't
+    intersect, id SETS do.  Bitmap words preserve the sets, so intersection
+    is ``word_l & word_r`` per chunk and union is ``|`` — two more tiny
+    aggregates over the sketch table.  ``words`` is the output of
+    ``bitmap_distinct_words`` grouped by ``set_col``; chunks missing on one
+    side contribute 0 via the full-outer join + coalesce.  Output: one row
+    (n_left, n_right, n_both, n_either BIGINT).
+    """
+    lw = words.filter(F.col(set_col) == left).select("chunk", F.col("word").alias("wl"))
+    rw = words.filter(F.col(set_col) == right).select("chunk", F.col("word").alias("wr"))
+    joined = lw.join(rw, on="chunk", how="full_outer").select(
+        F.coalesce("wl", F.lit(0)).alias("wl"), F.coalesce("wr", F.lit(0)).alias("wr")
+    )
+    return joined.agg(
+        F.sum(F.bit_count("wl")).cast("long").alias("n_left"),
+        F.sum(F.bit_count("wr")).cast("long").alias("n_right"),
+        F.sum(F.bit_count(F.expr("wl & wr"))).cast("long").alias("n_both"),
+        F.sum(F.bit_count(F.expr("wl | wr"))).cast("long").alias("n_either"),
+    )

@@ -117,3 +117,16 @@ def test_bm25_integer_ranking_and_determinism(spark):
         ["data", "processing", "pipeline"], text_en_no_stem_tokens, k=3,
     ).collect()
     assert {tuple(r) for r in out} == {tuple(r) for r in out2}
+
+
+def test_bitmap_overlap_exact_sets(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.aggregates import (
+        bitmap_distinct_words,
+        bitmap_overlap,
+    )
+
+    rows = [("x", u) for u in [1, 2, 3, 100, 200]] + [("y", u) for u in [2, 3, 999]]
+    df = spark.createDataFrame(rows, "s string, uid long")
+    words = bitmap_distinct_words(df, ["s"], "uid")
+    out = bitmap_overlap(words, "s", "x", "y").head()
+    assert (out["n_left"], out["n_right"], out["n_both"], out["n_either"]) == (5, 3, 2, 6)
