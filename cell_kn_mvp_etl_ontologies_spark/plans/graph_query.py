@@ -138,6 +138,8 @@ def pagerank_integer(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty graph: empty result, not a ZeroDivisionError
+        return nodes.withColumn("rank_units", F.lit(0).cast("long"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     init_units = scale // n_nodes
     base_units = (scale - scale * damping_num // damping_den) // n_nodes

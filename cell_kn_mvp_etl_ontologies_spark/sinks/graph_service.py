@@ -1,0 +1,114 @@
+"""Distributed graph-service sink connector: batched per-partition upserts
+through a pluggable transport.
+
+The reference loads its graph with per-document HTTP round trips from a
+single thread (ArangoDbUtilities.java:80-212 exists/insert/update per doc,
+OntologyGraphBuilder.java:254-273).  The distributed shape is: every
+executor partition batches its rows and calls a bulk-upsert endpoint, with
+bounded retry — N+1 round trips become ceil(rows/batch_size) bulk calls
+spread across the cluster.
+
+The transport is a CALLABLE `(collection, list[dict]) -> None` so the
+network layer is injected: production passes an HTTP client wrapper
+(ArangoDB's /_api/document bulk endpoint with overwriteMode=update, or any
+graph service); tests pass a recorder.  The callable must be picklable —
+it ships to executors inside the foreachPartition closure.  Keep
+connection establishment INSIDE the transport (lazily, per partition),
+never captured in the closure: sockets don't pickle.
+
+Idempotence contract: batches are keyed upserts, so retries and Spark task
+re-attempts are safe — the same batch applied twice converges to the same
+state.  That is the property that lets this run under task-level fault
+tolerance with no distributed transaction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+Transport = Callable[[str, list[dict]], None]
+
+
+def upsert_via_transport(
+    df: DataFrame,
+    collection: str,
+    transport: Transport,
+    batch_size: int = 1000,
+    max_retries: int = 3,
+    backoff: Callable[[int], None] | None = None,
+) -> None:
+    """Ship every row of ``df`` to ``transport`` in batches of
+    ``batch_size``, per partition, with bounded retry.
+
+    ``backoff(attempt)`` is called between retries (attempt = 1-based retry
+    number); default is no-op so tests stay instant — production passes
+    ``lambda a: time.sleep(min(2 ** a, 30))`` or similar.  A batch that
+    still fails after ``max_retries`` re-raises: the Spark task fails and
+    task-level retry re-runs the partition (safe under the idempotent-upsert
+    contract).
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+
+    def handle_partition(rows) -> None:
+        batch: list[dict] = []
+
+        def flush() -> None:
+            if not batch:
+                return
+            for attempt in range(max_retries + 1):
+                try:
+                    transport(collection, batch)
+                    break
+                except Exception:
+                    if attempt == max_retries:
+                        raise
+                    if backoff is not None:
+                        backoff(attempt + 1)
+            batch.clear()
+
+        for row in rows:
+            batch.append(row.asDict(recursive=True))
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+
+    df.foreachPartition(handle_partition)
+
+
+def upsert_graph_via_transport(
+    vertices: DataFrame,
+    edges: DataFrame,
+    transport: Transport,
+    vertex_collection_col: str = "collection",
+    batch_size: int = 1000,
+    max_retries: int = 3,
+    backoff: Callable[[int], None] | None = None,
+) -> None:
+    """Load a property graph through the transport: vertices first (edges
+    reference them — same ordering as OntologyGraphBuilder.java:241-273),
+    one logical collection per distinct vertex collection value, then the
+    edge set as the ``"edges"`` collection.
+
+    The per-collection split filters the vertex frame rather than grouping
+    driver-side; each filter is one narrow scan of the (typically persisted)
+    vertices plan.  Distinct collection values are a tiny driver list by
+    construction (ontology prefixes)."""
+    colls = [
+        r[0]
+        for r in vertices.select(vertex_collection_col).distinct().collect()
+    ]
+    for coll in sorted(colls):
+        upsert_via_transport(
+            vertices.filter(vertices[vertex_collection_col] == coll),
+            str(coll),
+            transport,
+            batch_size,
+            max_retries,
+            backoff,
+        )
+    upsert_via_transport(
+        edges, "edges", transport, batch_size, max_retries, backoff
+    )

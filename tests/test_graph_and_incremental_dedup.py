@@ -130,3 +130,10 @@ def test_bitmap_overlap_exact_sets(spark):
     words = bitmap_distinct_words(df, ["s"], "uid")
     out = bitmap_overlap(words, "s", "x", "y").head()
     assert (out["n_left"], out["n_right"], out["n_both"], out["n_either"]) == (5, 3, 2, 6)
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_integer(empty, n_iter=2)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"node": "bigint", "rank_units": "bigint"}

@@ -1,0 +1,94 @@
+"""Tests for the distributed graph-service sink connector
+(sinks/graph_service.py): batching, retry, ordering, and cross-executor
+delivery via a filesystem-backed fake transport."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.sinks.graph_service import (
+    upsert_graph_via_transport,
+    upsert_via_transport,
+)
+
+
+def _dir_transport(root: str):
+    """Picklable transport that lands each batch as one JSONL file — works
+    from executor processes, unlike a closure over driver-local state."""
+
+    def transport(collection: str, batch: list[dict]) -> None:
+        path = os.path.join(root, f"{collection}__{uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as f:
+            for doc in batch:
+                f.write(json.dumps({"collection": collection, **doc}, sort_keys=True) + "\n")
+
+    return transport
+
+
+def _read_back(root: str) -> list[dict]:
+    docs = []
+    for path in glob.glob(os.path.join(root, "*.jsonl")):
+        with open(path) as f:
+            docs.extend(json.loads(line) for line in f)
+    return docs
+
+
+def test_upsert_delivers_all_rows_in_batches(spark, tmp_path):
+    root = str(tmp_path)
+    df = spark.range(0, 97).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("v")
+    ).repartition(4)
+    upsert_via_transport(df, "things", _dir_transport(root), batch_size=10)
+    docs = _read_back(root)
+    assert {(d["key"], d["v"]) for d in docs} == {(i, 2 * i) for i in range(97)}
+    # batch_size is a per-call ceiling, enforced in every file
+    for path in glob.glob(os.path.join(root, "*.jsonl")):
+        assert sum(1 for _ in open(path)) <= 10
+
+
+def test_upsert_retries_then_raises(spark, tmp_path):
+    marker = str(tmp_path / "attempts")
+    os.mkdir(marker)
+
+    def flaky(collection: str, batch: list[dict]) -> None:
+        # executor-side attempt counter via marker files
+        n = len(os.listdir(marker))
+        open(os.path.join(marker, f"a{n}_{uuid.uuid4().hex}"), "w").close()
+        raise RuntimeError("service down")
+
+    df = spark.range(0, 5).select(F.col("id").alias("key")).coalesce(1)
+    with pytest.raises(Exception, match="service down"):
+        upsert_via_transport(df, "c", flaky, batch_size=100, max_retries=2)
+    # 1 original try + 2 retries
+    assert len(os.listdir(marker)) == 3
+
+
+def test_graph_upsert_orders_vertices_before_edges(spark, tmp_path):
+    root = str(tmp_path)
+    vertices = spark.createDataFrame(
+        [("CL", "0000235", "macrophage"), ("GO", "0031268", "ruffle")],
+        "collection string, key string, label string",
+    )
+    edges = spark.createDataFrame(
+        [("CL", "GO", "0000235", "0031268")],
+        "from_collection string, to_collection string, from_key string, to_key string",
+    )
+    upsert_graph_via_transport(vertices, edges, _dir_transport(root), batch_size=10)
+    docs = _read_back(root)
+    by_coll = {}
+    for d in docs:
+        by_coll.setdefault(d["collection"], []).append(d)
+    assert set(by_coll) == {"CL", "GO", "edges"}
+    assert by_coll["CL"][0]["key"] == "0000235"
+    assert by_coll["edges"][0]["to_key"] == "0031268"
+    # vertex files must predate the edge file (load ordering contract)
+    v_times = [os.path.getmtime(p) for p in glob.glob(os.path.join(root, "CL__*"))]
+    v_times += [os.path.getmtime(p) for p in glob.glob(os.path.join(root, "GO__*"))]
+    e_times = [os.path.getmtime(p) for p in glob.glob(os.path.join(root, "edges__*"))]
+    assert max(v_times) <= max(e_times)
