@@ -109,6 +109,7 @@ def pagerank_integer(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**12,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """PageRank with integer-scaled arithmetic: every rank is a BIGINT in
     units of 1/``scale``, every update uses only integer multiply / truncating
@@ -123,9 +124,12 @@ def pagerank_integer(
     dropped rather than redistributed — ranks remain a deterministic
     importance ORDER, which is what dedup canonical-pick / crawl
     prioritization consumes.  Per iteration: one contribution join keyed on
-    the frontier node + one sum aggregate — two keyed shuffles, with
-    ``localCheckpoint`` truncating the growing lineage (swap for reliable
-    ``checkpoint()`` on a cluster).  Output: (node, rank_units BIGINT).
+    the frontier node + one sum aggregate — two keyed shuffles.
+    ``checkpoint_every`` trades lineage depth for materialization cost:
+    every k-th iteration ``localCheckpoint``s the ranks (swap for reliable
+    ``checkpoint()`` on a cluster); k=2 halves the materializations while
+    keeping the uncheckpointed plan at most two join+agg layers deep —
+    well under codegen/analysis limits.  Output: (node, rank_units BIGINT).
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
@@ -141,10 +145,12 @@ def pagerank_integer(
     if n_nodes == 0:  # empty graph: empty result, not a ZeroDivisionError
         return nodes.withColumn("rank_units", F.lit(0).cast("long"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     init_units = scale // n_nodes
     base_units = (scale - scale * damping_num // damping_den) // n_nodes
     ranks = nodes.withColumn("rank_units", F.lit(init_units).cast("long"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contribs = (
             ranks.join(e, ranks["node"] == e["src"])
             .join(outdeg, on="src")
@@ -155,19 +161,17 @@ def pagerank_integer(
             .groupBy("node")
             .agg(F.sum("c").alias("in_units"))
         )
-        ranks = (
-            nodes.join(contribs, on="node", how="left")
-            .select(
-                "node",
-                (
-                    F.lit(base_units)
-                    + F.expr(
-                        f"coalesce(in_units, 0L) * {damping_num} div {damping_den}"
-                    )
-                ).cast("long").alias("rank_units"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, on="node", how="left").select(
+            "node",
+            (
+                F.lit(base_units)
+                + F.expr(
+                    f"coalesce(in_units, 0L) * {damping_num} div {damping_den}"
+                )
+            ).cast("long").alias("rank_units"),
         )
+        if (i + 1) % checkpoint_every == 0 and i != n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
