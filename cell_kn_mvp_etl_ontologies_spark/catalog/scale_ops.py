@@ -543,6 +543,67 @@ def agg_bitmap_distinct_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# quality_expectations — Deequ-style constraint gate over the star schema
+# --------------------------------------------------------------------------
+@register(
+    "quality_expectations",
+    oracle="""
+    SELECT "constraint", violations, violations = 0 AS passed FROM (
+      SELECT 'fk(o_custkey->customer)' AS "constraint",
+             CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+                   AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) AS violations
+      UNION ALL
+      SELECT 'in_range(o_totalprice,0.0,1000000.0)',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0 OR o_totalprice > 1000000)) AS BIGINT)
+      UNION ALL
+      SELECT 'matches_regex(o_orderpriority)',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$')) AS BIGINT)
+      UNION ALL
+      SELECT 'not_null(o_custkey)',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+      UNION ALL
+      SELECT 'not_null(o_orderkey)',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT)
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             CAST(COALESCE((SELECT SUM(n) FROM (
+               SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+             )), 0) AS BIGINT)
+    ) t ORDER BY "constraint"
+    """,
+)
+def quality_expectations_q(spark, sf_dir):
+    """Data-quality gate (operators/quality.py): the checks a training
+    pipeline runs on every ingest.  All row-level constraints fold into ONE
+    aggregate over ONE scan of orders; uniqueness is a keyed aggregate and
+    the FK containment an anti-join shipping only key columns."""
+    from ..operators.quality import (
+        ForeignKey,
+        InRange,
+        MatchesRegex,
+        NotNull,
+        Unique,
+        check_expectations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return check_expectations(
+        orders,
+        row_checks=[
+            NotNull("o_orderkey"),
+            NotNull("o_custkey"),
+            InRange("o_totalprice", 0.0, 1_000_000.0),
+            MatchesRegex("o_orderpriority", r"^[0-9]-[A-Z ]+$"),
+        ],
+        unique_checks=[Unique(("o_orderkey",))],
+        fk_checks=[(ForeignKey("o_custkey", "customer"), customer, "c_custkey")],
+    )
+
+
+# --------------------------------------------------------------------------
 # agg_bitmap_overlap — exact audience overlap from the distinct-set sketch
 # --------------------------------------------------------------------------
 @register(

@@ -1,0 +1,151 @@
+"""Data-quality expectation checks (Deequ-style) as declarative plans.
+
+A training-data pipeline gates every ingest on constraint checks: null
+rates, key uniqueness, referential integrity, value ranges, format
+conformance.  The scale discipline is pass-count: ALL row-level checks
+(not_null / in_range / matches_regex) fold into ONE aggregate over ONE scan
+— adding a constraint adds a conditional-sum column, not a job.  Only
+uniqueness (a keyed aggregate) and foreign-key containment (an anti-join)
+need their own shuffles, and both ship only key columns.
+
+Output schema: (constraint STRING, violations BIGINT, passed BOOLEAN) — one
+row per constraint, deterministic order by constraint name.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class NotNull:
+    col: str
+
+    @property
+    def name(self) -> str:
+        return f"not_null({self.col})"
+
+    def violation(self) -> Column:
+        return F.col(self.col).isNull()
+
+
+@dataclass(frozen=True)
+class InRange:
+    col: str
+    lo: float
+    hi: float
+
+    @property
+    def name(self) -> str:
+        return f"in_range({self.col},{self.lo},{self.hi})"
+
+    def violation(self) -> Column:
+        # NULLs are not range violations — pair with NotNull to forbid them
+        return F.col(self.col).isNotNull() & (
+            (F.col(self.col) < self.lo) | (F.col(self.col) > self.hi)
+        )
+
+
+@dataclass(frozen=True)
+class MatchesRegex:
+    col: str
+    pattern: str
+
+    @property
+    def name(self) -> str:
+        return f"matches_regex({self.col})"
+
+    def violation(self) -> Column:
+        return F.col(self.col).isNotNull() & ~F.col(self.col).rlike(self.pattern)
+
+
+@dataclass(frozen=True)
+class Unique:
+    cols: tuple[str, ...]
+
+    @property
+    def name(self) -> str:
+        return f"unique({','.join(self.cols)})"
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    col: str
+    parent_name: str  # display only
+
+    @property
+    def name(self) -> str:
+        return f"fk({self.col}->{self.parent_name})"
+
+
+def check_expectations(
+    df: DataFrame,
+    row_checks: list,
+    unique_checks: list | None = None,
+    fk_checks: list[tuple["ForeignKey", DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Evaluate constraints against ``df``; see module docstring for the
+    plan shape.  ``fk_checks`` entries are (ForeignKey, parent_df,
+    parent_col): a child value violates if non-null and absent from parent.
+    """
+    parts: list[DataFrame] = []
+
+    if row_checks:
+        aggs = [
+            F.sum(c.violation().cast("long")).alias(c.name) for c in row_checks
+        ]
+        wide = df.agg(*aggs)
+        # unpivot the single wide row into (constraint, violations)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c.name).alias("constraint"),
+                    F.coalesce(F.col(f"`{c.name}`"), F.lit(0)).alias("violations"),
+                )
+                for c in row_checks
+            ]
+        )
+        parts.append(
+            wide.select(F.explode(pairs).alias("kv")).select(
+                "kv.constraint", "kv.violations"
+            )
+        )
+
+    for u in unique_checks or []:
+        # violations = rows carrying a key seen more than once (all of them)
+        dup = (
+            df.groupBy(*u.cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("violations"))
+        )
+        parts.append(dup.select(F.lit(u.name).alias("constraint"), "violations"))
+
+    for fk, parent, parent_col in fk_checks or []:
+        orphans = (
+            df.select(F.col(fk.col).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .join(
+                parent.select(F.col(parent_col).alias("k")).distinct(),
+                on="k",
+                how="left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        )
+        parts.append(
+            orphans.select(F.lit(fk.name).alias("constraint"), "violations")
+        )
+
+    if not parts:
+        raise ValueError("no constraints given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "constraint",
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    ).orderBy("constraint")
