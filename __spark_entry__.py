@@ -83,9 +83,10 @@ _PRIORITY = [
     # and stay verified in the local full-catalog artifact)
     "join_flatten_restriction", "join_upsert", "join_anti_new_only",
     "join_upsert_scd2", "join_range_interval",
-    # aggregations (§2.4)
-    "agg_distinct_triples", "agg_pivot_vertex_attrs", "agg_dedup_edges",
-    "agg_first_fallback_rootns",
+    # aggregations (§2.4) — agg_distinct_triples (driver-green twice) gives
+    # its slot to the data-quality gate
+    "agg_pivot_vertex_attrs", "agg_dedup_edges",
+    "agg_first_fallback_rootns", "quality_expectations",
     # windows / sorts / set ops (§2.5-2.7) — sessionize rotated in;
     # sort_by_key (driver-green twice) gives its slot to graph analytics
     "window_last_wins", "window_rank_topk", "window_running_sum",
@@ -99,8 +100,10 @@ _PRIORITY = [
     # dedup / similarity / text analysis / multimodal / training (§2.12)
     # (simhash/ngram-jaccard/stratified stay fully verified in the local
     # full-catalog artifact; their slots surface round-2 scale ops here)
-    "dedup_exact_hash", "dedup_minhash_lsh", "dedup_incremental_lsh",
-    "similarity_topk", "similarity_ann_lsh",
+    # (dedup_exact_hash: driver-green twice; its slot surfaces the bitmap
+    # overlap set algebra)
+    "dedup_minhash_lsh", "dedup_incremental_lsh",
+    "similarity_topk", "similarity_ann_lsh", "agg_bitmap_overlap",
     # (text_lang_id / text_quality_score / sample_split_hash /
     # embedding_quantize: driver-green twice, rotated out)
     "text_tokenize_stats",

@@ -45,6 +45,10 @@ WAIVERS: dict[str, set[str]] = {
     # n_triangles) with a 1x1 crossJoin; the counting pipeline itself is
     # checkpoint-bounded hash joins (see plans/graph_query.py).
     "graph_triangle_count": {"CARTESIAN"},
+    # corpus statistics (N, L) are ONE broadcast row attached to every
+    # posting via an explicit 1-row crossJoin (search/ranking.py); the
+    # scoring joins themselves are keyed equi-joins.
+    "text_bm25_topk": {"CARTESIAN"},
 }
 
 
