@@ -543,6 +543,74 @@ def agg_bitmap_distinct_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# cluster_kmeans — deterministic integer k-means over embeddings
+# --------------------------------------------------------------------------
+_KM_ASSIGN_SQL = """
+    d{n} AS (
+      SELECT q.vec_id, c.cell, SUM((q.v - c.v) * (q.v - c.v)) AS d
+      FROM quant q JOIN c{p} c ON c.i = q.i
+      GROUP BY q.vec_id, c.cell
+    ),
+    a{n} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM d{n}
+      ) WHERE rn = 1
+    )"""
+
+_KM_UPDATE_SQL = """
+    c{n} AS (
+      SELECT a.cell, q.i, CAST(floor(CAST(SUM(q.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+      FROM a{n} a JOIN quant q ON q.vec_id = a.vec_id
+      GROUP BY a.cell, q.i
+    )"""
+
+
+@register(
+    "cluster_kmeans",
+    oracle=(
+        """
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    seeds AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+      FROM corpus
+    ),
+    c0 AS (
+      SELECT CAST(s.r - 1 AS INT) AS cell, q.i, q.v
+      FROM seeds s JOIN quant q ON q.vec_id = s.vec_id WHERE s.r <= 4
+    ),"""
+        + _KM_ASSIGN_SQL.format(n=1, p=0)
+        + ","
+        + _KM_UPDATE_SQL.format(n=1)
+        + ","
+        + _KM_ASSIGN_SQL.format(n=2, p=1)
+        + ","
+        + _KM_UPDATE_SQL.format(n=2)
+        + ","
+        + _KM_ASSIGN_SQL.format(n=3, p=2)
+        + " SELECT vec_id, CAST(cell AS INT) AS cell FROM a3"
+    ),
+)
+def cluster_kmeans_q(spark, sf_dir):
+    """Deterministic integer k-means (operators/clustering.py): quantized
+    squared-L2 distances, md5-seeded initialization, floor-division centroid
+    means — assignments are bit-exact across engines and partitionings, so
+    clusters double as stable shard keys and IVF centroid training is
+    reproducible.  The oracle unrolls the same two update iterations (plus
+    the final assignment) as CTEs."""
+    from ..operators.clustering import kmeans_integer
+
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return kmeans_integer(em, "vec_id", "embedding", k=4, n_iter=2)
+
+
+# --------------------------------------------------------------------------
 # quality_expectations — Deequ-style constraint gate over the star schema
 # --------------------------------------------------------------------------
 @register(

@@ -49,6 +49,10 @@ WAIVERS: dict[str, set[str]] = {
     # posting via an explicit 1-row crossJoin (search/ranking.py); the
     # scoring joins themselves are keyed equi-joins.
     "text_bm25_topk": {"CARTESIAN"},
+    # k-means assignment scores every vector against the broadcast k-row
+    # centroid table (operators/clustering.py) — fan-out bounded by k, the
+    # same shape as the waived brute-force similarity baselines.
+    "cluster_kmeans": {"CARTESIAN"},
 }
 
 
