@@ -7,9 +7,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..io import load_table
 from ..search import text_en_no_stem_tokens
 from ..streaming import read_documents_stream, read_events_stream, run_stream_to_table
 from . import register
+from .extensions import _MINHASH_CTE_SQL
 
 
 @register(
@@ -327,6 +329,87 @@ def stream_index_maintain_q(spark, sf_dir):
     )
     agg = per_doc_tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
     return run_stream_to_table(agg, output_mode="complete")
+
+
+@register(
+    "stream_dedup_vs_corpus",
+    oracle=(
+        """
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    newbatch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 60),
+    """
+        + _MINHASH_CTE_SQL.format(p="corpus")
+        + ","
+        + _MINHASH_CTE_SQL.format(p="newbatch")
+        + """,
+    hits AS (
+      SELECT n.id, MIN(c.id) AS matched
+      FROM newbatch_bands n JOIN corpus_bands c ON n.band_key = c.band_key
+      GROUP BY n.id
+    )
+    SELECT i.id, hits.matched IS NOT NULL AS is_dup, hits.matched
+    FROM (SELECT DISTINCT doc_id AS id FROM newbatch) i
+    LEFT JOIN hits ON hits.id = i.id
+    """
+    ),
+)
+def stream_dedup_vs_corpus_q(spark, sf_dir):
+    """Continuous-ingest near-dedup: the documents STREAM is screened
+    micro-batch by micro-batch against the static corpus's pre-materialized
+    LSH band keys — the streaming face of dedup_incremental_lsh.  Because a
+    doc's verdict depends only on (its own shingles × the static corpus),
+    batch bundling cannot change any verdict, so the bounded stream result
+    equals the batch screening the oracle computes.  Per micro-batch the
+    corpus is joined (broadcast here; bucketed-on-band_key at scale), never
+    rescanned."""
+    from ..operators.dedup import (
+        dedup_incremental_lsh,
+        minhash_band_keys,
+        minhash_signatures,
+        shingles,
+    )
+
+    import tempfile
+
+    from . import finish_and_clean
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    corpus_bands = minhash_band_keys(
+        minhash_signatures(
+            shingles(corpus, "text", "doc_id", 5, 60, distinct=False), 6
+        ),
+        6,
+        3,
+    ).localCheckpoint(eager=True)
+
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") >= 60)
+        .select("doc_id", "text")
+    )
+    root = tempfile.mkdtemp(prefix="stream_dedup_corpus_")
+    out_dir = root + "/verdicts"
+
+    def handle_batch(batch_df, batch_id):
+        # the SAME batch operator runs per micro-batch against static bands
+        dedup_incremental_lsh(
+            batch_df, corpus_bands, "text", "doc_id", shingle_width=5,
+            prefix_len=60, n_hashes=6, n_bands=3,
+        ).write.mode("append").parquet(out_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+    )
+    query.awaitTermination()
+    return finish_and_clean(spark.read.parquet(out_dir), root)
 
 
 @register(
