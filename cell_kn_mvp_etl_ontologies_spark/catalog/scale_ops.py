@@ -672,6 +672,54 @@ def quality_expectations_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# profile_numeric — one-pass numeric column profiling
+# --------------------------------------------------------------------------
+@register(
+    "profile_numeric",
+    oracle="""
+    SELECT "column", n_rows, n_null, n_distinct, min_v, max_v, sum_v, mean_v
+    FROM (
+      SELECT 'l_discount' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+             CAST(MIN(l_discount) AS DOUBLE) AS min_v, CAST(MAX(l_discount) AS DOUBLE) AS max_v,
+             CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sum_v,
+             CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)
+               / (COUNT(*) - SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)) AS mean_v
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+             CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE),
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+               / (COUNT(*) - SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END))
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+             CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE),
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+               / (COUNT(*) - SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END))
+      FROM lineitem
+    ) t ORDER BY "column"
+    """,
+)
+def profile_numeric_q(spark, sf_dir):
+    """One-pass numeric profiling (operators/quality.profile_numeric):
+    count/null/distinct/min/max/sum/mean per column from a single aggregate
+    over a single scan — DECIMAL sums keep totals order-independent, so the
+    derived mean is bit-identical cross-engine."""
+    from ..operators.quality import profile_numeric
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+# --------------------------------------------------------------------------
 # agg_bitmap_overlap — exact audience overlap from the distinct-set sketch
 # --------------------------------------------------------------------------
 @register(

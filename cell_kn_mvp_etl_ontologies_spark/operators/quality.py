@@ -81,6 +81,56 @@ class ForeignKey:
         return f"fk({self.col}->{self.parent_name})"
 
 
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column numeric profile in ONE aggregate pass: (column, n_rows,
+    n_null, n_distinct, min_v, max_v, sum_v, mean_v).
+
+    Sums accumulate in DECIMAL(28,6) so they are exact and order-independent;
+    mean is the IEEE double division of two exact inputs, so it is identical
+    cross-engine (unlike a double sum, whose value depends on reduction
+    order).  The exact ``count(distinct)`` columns make Spark plan an Expand
+    (one input duplicate per distinct aggregate) — acceptable for profiling
+    runs; swap in the bitmap-words sketch (operators/aggregates.py) when
+    profiling at full fact-table scale.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.col(c).cast("decimal(28,6)")).alias(f"{c}__sum"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").cast("long").alias("n_rows"),
+                F.coalesce(F.col(f"{c}__null"), F.lit(0)).cast("long").alias("n_null"),
+                F.col(f"{c}__dist").cast("long").alias("n_distinct"),
+                F.col(f"{c}__min").cast("double").alias("min_v"),
+                F.col(f"{c}__max").cast("double").alias("max_v"),
+                F.col(f"{c}__sum").cast("double").alias("sum_v"),
+                (
+                    F.col(f"{c}__sum").cast("double")
+                    / (F.col(f"{c}__n") - F.coalesce(F.col(f"{c}__null"), F.lit(0)))
+                ).alias("mean_v"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(entries).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )
+
+
 def check_expectations(
     df: DataFrame,
     row_checks: list,

@@ -70,3 +70,21 @@ def test_row_checks_fold_into_single_aggregate(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     # one Aggregate over the scan — adding row checks must not add jobs
     assert plan.count("Aggregate") == 1
+
+
+def test_profile_numeric_stats_and_single_pass(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.quality import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (2.0, 30.0), (None, 40.0)],
+        "a double, b double",
+    )
+    out = {r["column"]: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    a = out["a"]
+    assert (a["n_rows"], a["n_null"], a["n_distinct"]) == (4, 1, 2)
+    assert (a["min_v"], a["max_v"], a["sum_v"]) == (1.0, 2.0, 5.0)
+    assert a["mean_v"] == 5.0 / 3
+    b = out["b"]
+    assert (b["n_null"], b["sum_v"], b["mean_v"]) == (1, 80.0, 80.0 / 3)
+    with pytest.raises(ValueError):
+        profile_numeric(df, [])
