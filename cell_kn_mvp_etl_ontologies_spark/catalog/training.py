@@ -71,6 +71,31 @@ def sample_stratified_q(spark, sf_dir):
 
 
 @register(
+    "sample_weighted",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(least(n_chars, 2000) AS DOUBLE) / 2000 AS w
+    FROM documents
+    WHERE {frac} < 0.5 * (CAST(least(n_chars, 2000) AS DOUBLE) / 2000)
+    """.format(frac=_FRAC.format(salt="wsample", key="doc_id")),
+)
+def sample_weighted_q(spark, sf_dir):
+    """Quality-weighted importance sampling (operators/training.
+    sample_weighted): keep probability min(1, rate x weight) with a length-
+    derived weight — the curation downsample that keeps higher-quality
+    documents at a higher rate, reproducible because membership is a pure
+    function of (doc_id, salt, weight).  Pure projection+filter."""
+    from ..operators.training import sample_weighted
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (F.least(F.col("n_chars"), F.lit(2000)).cast("double") / 2000).alias("w"),
+    )
+    return sample_weighted(docs, "doc_id", "w", base_rate=0.5)
+
+
+@register(
     "interleave_weighted",
     oracle="""
     SELECT doc_id, source, {ordh} AS order_hash

@@ -133,6 +133,30 @@ def sample_stratified(
     return df.filter(hash_fraction(F.col(key), salt) < rate)
 
 
+def sample_weighted(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    base_rate: float,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row with probability
+    ``min(1, base_rate × weight)`` — the quality-weighted downsample every
+    curation pipeline runs (keep high-quality documents at a higher rate)
+    made reproducible.
+
+    Acceptance compares the md5 hash fraction (exact double, see
+    ``hash_fraction``) against ``base_rate * weight`` — one multiply of
+    exact inputs, bit-identical in any IEEE engine.  Membership is a pure
+    function of (key, salt, weight), so re-runs, retries, and repartitioning
+    keep exactly the same rows, and a row's fate changes only if ITS weight
+    changes — the property that makes weighted re-sampling diffable across
+    pipeline versions.  Pure projection+filter: no shuffle, no RNG state.
+    """
+    threshold = F.lit(float(base_rate)) * F.col(weight_col)
+    return df.filter(hash_fraction(F.col(key), salt) < threshold)
+
+
 def interleave_weighted(
     df: DataFrame,
     source_col: str,

@@ -288,3 +288,22 @@ def test_quality_percentile_keeps_top_half_per_group(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, lang string, text string")
     out2 = filter_quality_percentile(df2, "text", "doc_id", "lang", 0.5)
     assert 4 <= out2.count() <= 6
+
+
+def test_sample_weighted_deterministic_and_monotone(spark):
+    from pyspark.sql import functions as F
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.training import sample_weighted
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("double").alias("w10"),
+    ).withColumn("w", F.col("w10") / 10)
+    kept = sample_weighted(df, "k", "w", base_rate=1.0)
+    r1 = {r["k"] for r in kept.collect()}
+    r2 = {r["k"] for r in sample_weighted(df.repartition(9), "k", "w", 1.0).collect()}
+    assert r1 == r2  # membership independent of partitioning
+    # weight 0 rows can never be kept; higher weights keep more rows
+    assert not {k for k in r1 if k % 10 == 0}
+    rates = {w: len([k for k in r1 if k % 10 == w]) / 200 for w in range(10)}
+    assert rates[9] > rates[5] > rates[1]
