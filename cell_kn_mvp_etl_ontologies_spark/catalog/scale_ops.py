@@ -672,6 +672,107 @@ def quality_expectations_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# similarity_ann_ivf_kmeans — IVF ANN over k-means-trained centroids
+# --------------------------------------------------------------------------
+@register(
+    "similarity_ann_ivf_kmeans",
+    oracle=(
+        """
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
+    seeds AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+      FROM corpus
+    ),
+    c0 AS (
+      SELECT CAST(s.r - 1 AS INT) AS cell, q.i, q.v
+      FROM seeds s JOIN quant q ON q.vec_id = s.vec_id WHERE s.r <= 4
+    ),"""
+        + _KM_ASSIGN_SQL.format(n=1, p=0)
+        + ","
+        + _KM_UPDATE_SQL.format(n=1)
+        + ","
+        + _KM_ASSIGN_SQL.format(n=2, p=1)
+        + ","
+        + _KM_UPDATE_SQL.format(n=2)
+        + """,
+    cnorms AS (SELECT cell, SUM(v * v) AS norm_sq FROM c2 GROUP BY cell),
+    cdots AS (
+      SELECT a.vec_id, c.cell, SUM(a.v * c.v) AS dot
+      FROM quant a JOIN c2 c ON c.i = a.i
+      GROUP BY a.vec_id, c.cell
+    ),
+    ccos AS (
+      SELECT d.vec_id, d.cell,
+             CAST(d.dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(cn.norm_sq AS DOUBLE)) AS c_cos
+      FROM cdots d JOIN norms na ON na.vec_id = d.vec_id JOIN cnorms cn ON cn.cell = d.cell
+    ),
+    corpus_cells AS (
+      SELECT vec_id AS t_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell ASC) AS rn
+        FROM ccos
+      ) WHERE rn = 1
+    ),
+    query_cells AS (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell ASC) AS rn
+        FROM ccos WHERE vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.q_id, t.t_id
+      FROM query_cells q JOIN corpus_cells t USING (cell)
+      WHERE q.q_id <> t.t_id
+    ),
+    dots AS (
+      SELECT c.q_id, c.t_id, SUM(x.v * y.v) AS dot
+      FROM cand c JOIN quant x ON x.vec_id = c.q_id
+      JOIN quant y ON y.vec_id = c.t_id AND y.i = x.i
+      GROUP BY c.q_id, c.t_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.t_id,
+             CAST(d.dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) AS cos
+      FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.t_id
+    )
+    SELECT q_id, t_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT q_id, t_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """
+    ),
+)
+def similarity_ann_ivf_kmeans_q(spark, sf_dir):
+    """End-to-end trained ANN: centroids come from the deterministic integer
+    k-means (kmeans_fit, 2 iterations) instead of a fixed subset, then the
+    standard IVF probe/score path runs over them — the full production shape
+    (train coarse quantizer → assign corpus → probe queries) with every stage
+    bit-exact.  Centroids are integers in 1/1000 units; dividing back to
+    float and re-quantizing inside ivf_topk reproduces them exactly (error
+    ≪ 0.5 ulp of the rounding)."""
+    from ..operators.clustering import kmeans_fit
+    from ..operators.similarity import ivf_topk
+
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150).select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit(em, "vec_id", "embedding", k=4, n_iter=2)
+    centroids = cents.select(
+        F.col("cell").cast("long").alias("vec_id"),
+        F.transform("cv", lambda x: (x / 1000.0).cast("float")).alias("embedding"),
+    )
+    queries = em.filter(F.col("vec_id") < 10)
+    out = ivf_topk(queries, em, centroids, k=3, nprobe=2)
+    return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
+# --------------------------------------------------------------------------
 # profile_numeric — one-pass numeric column profiling
 # --------------------------------------------------------------------------
 @register(

@@ -41,7 +41,7 @@ def _sq_dist(a, b):
     )
 
 
-def kmeans_integer(
+def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -49,9 +49,10 @@ def kmeans_integer(
     n_iter: int = 2,
     scale: int = 1000,
 ) -> DataFrame:
-    """Cluster ``df[vec_col]`` into ``k`` cells; returns (id_col, cell INT)
-    for every input row.  Cells are 0..k-1 in seed order (ascending md5 of
-    the seed id); assignment ties break on the lower cell."""
+    """Train centroids only: returns (cell INT, cv ARRAY<BIGINT>) — the
+    final integer centroids after ``n_iter`` update rounds.  Feed them to
+    ``ivf_topk`` (divide by ``scale`` back to float space) or to
+    ``kmeans_integer`` for assignments."""
     if k < 1 or n_iter < 1:
         raise ValueError("k and n_iter must be >= 1")
     quant = df.select(
@@ -101,4 +102,41 @@ def kmeans_integer(
             )
             .localCheckpoint(eager=True)
         )
-    return assign(centroids)
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Assign every row to its nearest centroid from ``kmeans_fit`` by
+    integer squared-L2 (ties to the lower cell): (id_col, cell)."""
+    quant = df.select(
+        F.col(id_col), quantize_vec(F.col(vec_col), scale).alias("qv")
+    )
+    scored = quant.join(F.broadcast(centroids), on=F.lit(True)).select(
+        id_col, "cell", _sq_dist(F.col("qv"), F.col("cv")).alias("d")
+    )
+    return window_rank_topk(
+        scored, [id_col], [F.col("d").asc(), F.col("cell").asc()], 1
+    ).select(id_col, "cell")
+
+
+def kmeans_integer(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_iter: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Cluster ``df[vec_col]`` into ``k`` cells; returns (id_col, cell INT)
+    for every input row.  Cells are 0..k-1 in seed order (ascending md5 of
+    the seed id); assignment ties break on the lower cell.  See module
+    docstring for the determinism contract; ``kmeans_fit`` exposes the
+    trained centroids themselves."""
+    centroids = kmeans_fit(df, id_col, vec_col, k, n_iter, scale)
+    return kmeans_assign(df, centroids, id_col, vec_col, scale)

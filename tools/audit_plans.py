@@ -53,6 +53,9 @@ WAIVERS: dict[str, set[str]] = {
     # centroid table (operators/clustering.py) — fan-out bounded by k, the
     # same shape as the waived brute-force similarity baselines.
     "cluster_kmeans": {"CARTESIAN"},
+    # same broadcast-k centroid scoring inside both the k-means trainer and
+    # the IVF cell-assignment it feeds; all corpus-scale joins are keyed.
+    "similarity_ann_ivf_kmeans": {"CARTESIAN"},
 }
 
 
