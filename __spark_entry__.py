@@ -69,52 +69,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
-    # ontology pipeline end-to-end + composites (§2.1/2.3/2.4/2.10, EP1/EP2)
-    "owl_graph_end_to_end", "extract_triples_owl", "graph_build_vertices",
-    "graph_build_edges", "pipeline_two_pass",
-    # scans / sources / sinks (§2.1)
-    "scan_xml_elements", "scan_rdf_triples", "source_owl_datasource",
-    "source_http_versioned", "sink_graph_upsert", "sink_side_output_deprecated",
-    # filters / projections (§2.2)
-    "filter_valid_triple", "filter_predicate_ns_whitelist",
-    "filter_deprecated_obsolete",
-    # joins (§2.3) — scd2 and range-interval rotated in for round 3
-    # (project_triple_nodes / join_ro_label_lookup are driver-green twice
-    # and stay verified in the local full-catalog artifact)
-    "join_flatten_restriction", "join_upsert", "join_anti_new_only",
-    "join_upsert_scd2", "join_range_interval",
-    # aggregations (§2.4) — agg_distinct_triples (driver-green twice) gives
-    # its slot to the data-quality gate
-    "agg_pivot_vertex_attrs", "agg_dedup_edges",
-    "agg_first_fallback_rootns", "quality_expectations",
-    # windows / sorts / set ops (§2.5-2.7) — sessionize rotated in;
-    # sort_by_key (driver-green twice) gives its slot to graph analytics
-    "window_last_wins", "window_rank_topk", "window_running_sum",
-    "window_sessionize", "setop_intersect_except",
-    # (fn_vtuple / fn_uri_parse: driver-green twice, rotated out to the
-    # local full-catalog artifact to make room for scale ops)
-    # text search (§2.9) — boolean index + integer-BM25 ranked retrieval
-    "text_inverted_index", "text_bm25_topk",
-    # streaming (§2.11)
-    "stream_dedup_watermark", "stream_cdc_apply",
-    # dedup / similarity / text analysis / multimodal / training (§2.12)
-    # (simhash/ngram-jaccard/stratified stay fully verified in the local
-    # full-catalog artifact; their slots surface round-2 scale ops here)
-    # (dedup_exact_hash: driver-green twice; its slot surfaces the bitmap
-    # overlap set algebra)
-    "dedup_minhash_lsh", "dedup_incremental_lsh",
-    "similarity_topk", "similarity_ann_lsh", "agg_bitmap_overlap",
-    # (text_lang_id / text_quality_score / sample_split_hash /
-    # embedding_quantize: driver-green twice, rotated out)
-    "text_tokenize_stats",
-    "multimodal_feature_extract",
-    "pack_sequences_greedy",
-    "contamination_ngram", "dedup_connected_components",
-    # scale patterns (rounds 2-3): incremental CDC + maintenance, 2-D
-    # clustered layout, funnel/retention, event-time rollup
-    "cdc_snapshot_diff", "sink_zorder_cluster", "agg_funnel_steps",
-    "pipeline_incremental_graph", "agg_retention_cohort",
-    "agg_incremental_maintain", "agg_time_rollup", "graph_pagerank",
+    # ROUND 4 ROTATION (VERDICT.md r3, "Next round: do this" #1): across
+    # rounds 1-3 the driver directly verified 83 of the 154 catalog queries;
+    # the other 71 were only ever green under the builder's local run of the
+    # same checker (CORRECTNESS_LOCAL_r0{2,3}.json).  This round the entire
+    # 50-slot gated prefix is given to never-driver-verified queries so the
+    # hard signal covers them: all 12 remaining stream_* queries, the k-means
+    # + IVF ANN surface, graph analytics, the fn_* scalar micro-queries, the
+    # remaining dedup/agg/text families, and the two new round-4 queries
+    # (split OWL parse, ANN recall harness).  Every query rotated OUT of the
+    # prefix is driver-green in CORRECTNESS_r0{1,2,3}.json and stays verified
+    # in the local full-catalog artifact (CORRECTNESS_LOCAL_r04.json, same
+    # checker tools/check_correctness.py).
+    #
+    # new in round 4 (never seen by any gate before)
+    "scan_rdf_triples_split", "similarity_ann_recall",
+    # streaming (§2.11) — the entire family had zero driver evidence
+    "stream_file_source", "stream_window_tumbling", "stream_window_sliding",
+    "stream_window_session", "stream_stateful_totals", "stream_join_dim",
+    "stream_stream_join", "stream_graph_upsert", "stream_index_maintain",
+    "stream_dedup_vs_corpus", "stream_split_route", "stream_time_rollup",
+    # clustering / ANN / graph analytics / profiling (VERDICT #1 call-outs)
+    "cluster_kmeans", "similarity_ann_ivf", "similarity_ann_ivf_kmeans",
+    "graph_triangle_count", "graph_closure", "agg_bitmap_distinct",
+    "profile_numeric", "sample_weighted",
+    # scalar-function micro-queries (§2.8)
+    "fn_uri_basename", "fn_uri_fragment", "fn_pred_last_path",
+    "fn_term_split", "fn_uri_rewrite_special", "fn_make_vertex_id",
+    "fn_doc_collection_name", "fn_doc_key", "fn_contains", "fn_version_newer",
+    # joins / skew patterns (§2.3, §2.12)
+    "join_asof_events", "join_salted_skew",
+    # aggregations (§2.4) — rollup/cube/pivot/quantiles/skew-salted
+    "agg_grouping_sets", "agg_cube", "agg_pivot_wide", "agg_quantiles",
+    "agg_salted_hot_key", "agg_distinct_exact_twin",
+    # dedup family (§2.12) — simhash/jaccard/containment/url/pipeline
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_containment",
+    "dedup_url_canonicalize", "dedup_pipeline_keep_canonical",
+    # text analysis / search internals (§2.9, §2.12)
+    "text_fingerprint", "text_index_positions", "text_pii_redact",
+    # multimodal + UDF surface (§2.12)
+    "multimodal_columns", "udf_surface",
 ]
 
 

@@ -332,6 +332,58 @@ def scan_rdf_triples_q(spark, sf_dir):
 
 
 @register(
+    "scan_rdf_triples_split",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('macrophage.owl', 'iri', 20, 0), ('macrophage.owl', 'bnode', 3, 0), ('macrophage.owl', 'literal', 15, 0),
+      ('ro.owl', 'iri', 6, 0), ('ro.owl', 'literal', 4, 0),
+      ('version-info-test.owl', 'iri', 2, 0), ('version-info-test.owl', 'literal', 1, 0),
+      ('no-version-test.owl', 'iri', 1, 0),
+      ('no-IAO_0000700-test.owl', 'iri', 2, 0), ('no-IAO_0000700-test.owl', 'literal', 1, 0)
+    ) AS t(src_file, object_kind, n, n_mismatch)
+    """,
+)
+def scan_rdf_triples_split_q(spark, sf_dir):
+    """Byte-range-parallel parse equivalence gate: parses the fixture dir
+    BOTH whole-file and split (split_bytes=400 forces multiple fragments per
+    file), full-outer-joins the two triple multisets on all six columns, and
+    profiles per (src_file, object_kind) with a mismatch counter.  The
+    oracle pins n_mismatch = 0 everywhere AND the same per-kind counts as
+    scan_rdf_triples — split must be bit-identical to unsplit, bnode
+    numbering included.  Ref: OntologyTripleParser.java:62-121; the split
+    is the Hadoop-XmlInputFormat trade re-expressed over binaryFile +
+    mapInPandas (sources/owl.py:scan_rdf_triples_split)."""
+    from ..sources.owl import scan_rdf_triples, scan_rdf_triples_split
+
+    key = ["src_file", "subject", "predicate", "object_kind", "object_iri", "object_lexical"]
+
+    def keyed(df):
+        # object_iri / object_lexical are NULL by kind; a plain equi-join
+        # would drop those keys (NULL != NULL), so sentinel-coalesce them —
+        # cheaper at scale than eqNullSafe, which defeats join pruning
+        return df.select(
+            "src_file", "subject", "predicate", "object_kind",
+            F.coalesce("object_iri", F.lit("\x00")).alias("object_iri"),
+            F.coalesce("object_lexical", F.lit("\x00")).alias("object_lexical"),
+        )
+
+    split = keyed(scan_rdf_triples_split(spark, _fixture_owl_dir(), split_bytes=400))
+    whole = keyed(scan_rdf_triples(spark, _fixture_owl_dir()))
+    sc = split.groupBy(key).agg(F.count(F.lit(1)).alias("n_split"))
+    wc = whole.groupBy(key).agg(F.count(F.lit(1)).alias("n_whole"))
+    j = sc.join(wc, on=key, how="full_outer").withColumn(
+        "mismatch",
+        (
+            F.coalesce(F.col("n_split"), F.lit(0)) != F.coalesce(F.col("n_whole"), F.lit(0))
+        ).cast("int"),
+    )
+    return j.groupBy("src_file", "object_kind").agg(
+        F.sum("n_split").cast("int").alias("n"),
+        F.sum("mismatch").cast("int").alias("n_mismatch"),
+    )
+
+
+@register(
     "source_owl_datasource",
     oracle="""
     SELECT * FROM (VALUES

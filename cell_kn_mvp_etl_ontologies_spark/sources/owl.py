@@ -10,9 +10,13 @@ covering the OBO-style subset the reference consumes: typed node elements
 with rdf:about, property elements with rdf:resource / literal text / nested
 anonymous nodes (owl:Restriction bnodes).
 
-Scale: parsing parallelism = number of files; each file is independent.  For
-multi-GB single files, swap the per-file parse for a SAX split by top-level
-element — the downstream triples schema is unchanged.
+Scale: ``scan_xml_elements`` / ``scan_rdf_triples`` parse one file per task
+(each file independent), which caps parallelism at file count.
+``scan_rdf_triples_split`` removes that cap for multi-GB single files: a
+streaming expat index pass records top-level element byte offsets (constant
+memory), then fragments of the file parse in parallel tasks that read only
+their byte range — same triples schema, bit-identical output including
+bnode numbering.
 """
 
 from __future__ import annotations
@@ -21,7 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
@@ -218,9 +222,15 @@ def _parse_triples(src_file: str, content: bytes) -> list[tuple]:
     for OBO-style OWL (OntologyTripleParser.java:62-121)."""
     import xml.etree.ElementTree as ET
 
-    root = ET.fromstring(content)
+    return _emit_from_root(src_file, ET.fromstring(content), counter_start=0)
+
+
+def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
+    """Triple emission over a parsed (fragment) root.  ``counter_start``
+    seeds the bnode counter so a fragment parse numbers its anonymous nodes
+    exactly as the whole-file parse would (split == unsplit, bit-for-bit)."""
     triples: list[tuple] = []
-    counter = [0]
+    counter = [counter_start]
 
     def new_bnode() -> str:
         counter[0] += 1
@@ -265,6 +275,207 @@ def _parse_triples(src_file: str, content: bytes) -> list[tuple]:
         triples.append((src_file, subject, RDF_NS + "type", "iri", ns + local, None))
         emit(subject, elem)
     return triples
+
+
+# ---------------------------------------------------------------------------
+# scan_rdf_triples_split — byte-range-parallel parse of large single files
+# ---------------------------------------------------------------------------
+_ABOUT_KEY = f"{RDF_NS}}}about"
+_RESOURCE_KEY = f"{RDF_NS}}}resource"
+_NODEID_KEY = f"{RDF_NS}}}nodeID"
+
+
+def _index_top_level(content: bytes) -> tuple[list[tuple[int, int]], int, int]:
+    """Streaming (expat, constant-memory) index of a RDF/XML document.
+
+    Returns ``(starts, header_end, footer_start)`` where ``starts`` is one
+    ``(byte_offset, bnodes_before)`` per top-level (depth-1) element,
+    ``header_end`` is the offset of the first top-level element (everything
+    before it — XML decl + root start tag with its xmlns declarations — is
+    the header every fragment is re-wrapped with), and ``footer_start`` is
+    the offset of the root close tag.
+
+    ``bnodes_before`` is the number of anonymous-bnode allocations
+    ``_emit_from_root`` performs before reaching that element, computed by
+    mirroring its traversal exactly: a nested node element allocates a bnode
+    iff it is the FIRST element child of a property element that has neither
+    rdf:resource nor rdf:nodeID, within a visited subtree, and itself lacks
+    rdf:about.  Seeding fragment parses with this count makes the split
+    parse bit-identical to the unsplit one.
+    """
+    import xml.parsers.expat as expat
+
+    parser = expat.ParserCreate(namespace_separator="}")
+    starts: list[tuple[int, int]] = []
+    bnode_cum = [0]
+    footer_start = [len(content)]
+    header_end = [None]
+    # stack frames: for node elements -> {"visited": bool};
+    # for property elements -> {"visited", "has_ref", "first_pending"}
+    stack: list[dict] = []
+
+    def on_start(name: str, attrs: dict) -> None:
+        depth = len(stack)  # depth of THIS element (root = 0)
+        offset = parser.CurrentByteIndex
+        if depth == 0:  # root (rdf:RDF)
+            stack.append({"visited": True})
+            return
+        if depth % 2 == 1:  # node-element position (top-level at depth 1)
+            if depth == 1:
+                if header_end[0] is None:
+                    header_end[0] = offset
+                starts.append((offset, bnode_cum[0]))
+                visited = _ABOUT_KEY in attrs
+            else:
+                prop = stack[-1]
+                visited = prop["visited"] and not prop["has_ref"] and prop["first_pending"]
+                prop["first_pending"] = False
+                if visited and _ABOUT_KEY not in attrs:
+                    bnode_cum[0] += 1
+            stack.append({"visited": visited})
+        else:  # property-element position
+            node = stack[-1]
+            stack.append(
+                {
+                    "visited": node["visited"],
+                    "has_ref": _RESOURCE_KEY in attrs or _NODEID_KEY in attrs,
+                    "first_pending": True,
+                }
+            )
+
+    def on_end(name: str) -> None:
+        stack.pop()
+        if not stack:  # root closed
+            footer_start[0] = parser.CurrentByteIndex
+
+    parser.StartElementHandler = on_start
+    parser.EndElementHandler = on_end
+    parser.Parse(content, True)
+    if header_end[0] is None:
+        header_end[0] = footer_start[0]
+    return starts, header_end[0], footer_start[0]
+
+
+def _plan_fragments(
+    starts: list[tuple[int, int]], footer_start: int, split_bytes: int
+) -> list[tuple[int, int, int]]:
+    """Group consecutive top-level elements into ~``split_bytes`` byte
+    ranges: one ``(frag_start, frag_end, bnode_counter_start)`` per task."""
+    frags: list[tuple[int, int, int]] = []
+    if not starts:
+        return frags
+    cur_start, cur_bnodes = starts[0]
+    for off, bn in starts[1:]:
+        if off - cur_start >= split_bytes:
+            frags.append((cur_start, off, cur_bnodes))
+            cur_start, cur_bnodes = off, bn
+    frags.append((cur_start, footer_start, cur_bnodes))
+    return frags
+
+
+def _open_local_or_uri(path: str):
+    """binaryFile yields 'file:/...' URIs locally; on a cluster the same
+    code path resolves s3://... / hdfs://... through pyarrow.fs."""
+    if path.startswith("file:"):
+        local = path[len("file:"):]
+        while local.startswith("//"):
+            local = local[1:]
+        return open(local, "rb")
+    if "://" not in path:
+        return open(path, "rb")
+    from pyarrow import fs as pafs
+
+    filesystem, inner = pafs.FileSystem.from_uri(path)
+    return filesystem.open_input_file(inner)
+
+
+def scan_rdf_triples_split(
+    spark: SparkSession, path: str, glob: str = "*.owl", split_bytes: int = 32 << 20
+) -> DataFrame:
+    """Byte-range-parallel raw triples scan, bit-identical to
+    ``scan_rdf_triples`` (same schema, same bnode numbering).
+
+    Two stages:
+
+    1. **Index** (distributed, one task per file): a streaming expat pass
+       records top-level element byte offsets + cumulative bnode counts and
+       groups them into ~``split_bytes`` fragments.  Only the fragment
+       *metadata* (O(file_size / split_bytes) rows) returns to the driver —
+       the planner-side listing a FileSourceScanExec does for parquet.
+    2. **Parse** (distributed, one task per fragment): each task reads only
+       header + its byte range + footer, re-wraps them into a valid
+       document, and emits triples with the bnode counter seeded from the
+       index — so a 4 GB cl.owl parses in 128 parallel 32 MB tasks instead
+       of one.
+
+    The expat index touches every byte once but builds no tree (an order of
+    magnitude cheaper than the DOM parse it parallelizes); fragment tasks
+    re-read only their own range, so total I/O is 2× the corpus — the same
+    trade Hadoop's XmlInputFormat makes.
+    """
+    files = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+    index_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("frag_start", LongType()),
+            StructField("frag_end", LongType()),
+            StructField("bnode_start", LongType()),
+            StructField("header_end", LongType()),
+            StructField("footer_start", LongType()),
+            StructField("file_size", LongType()),
+        ]
+    )
+
+    def index_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                starts, header_end, footer_start = _index_top_level(data)
+                for frag_start, frag_end, bnode_start in _plan_fragments(
+                    starts, footer_start, split_bytes
+                ):
+                    rows.append(
+                        (p, frag_start, frag_end, bnode_start, header_end, footer_start, len(data))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in index_schema.fields])
+
+    fragments = (
+        files.select("path", "content").mapInPandas(index_run, index_schema).collect()
+    )
+
+    def parse_fragment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                with _open_local_or_uri(row.path) as f:
+                    f.seek(0)
+                    header = f.read(int(row.header_end))
+                    f.seek(int(row.frag_start))
+                    body = f.read(int(row.frag_end) - int(row.frag_start))
+                    f.seek(int(row.footer_start))
+                    footer = f.read(int(row.file_size) - int(row.footer_start))
+                doc_root = ET.fromstring(header + body + footer)
+                rows.extend(
+                    _emit_from_root(
+                        _file_name(row.path), doc_root, counter_start=int(row.bnode_start)
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "src_file", "subject", "predicate",
+                    "object_kind", "object_iri", "object_lexical",
+                ],
+            )
+
+    frag_df = spark.createDataFrame(fragments, index_schema)
+    # one task per fragment: that IS the parallelism being bought
+    frag_df = frag_df.repartition(max(len(fragments), 1))
+    return frag_df.mapInPandas(parse_fragment, TRIPLES_SCHEMA)
 
 
 def scan_rdf_triples(

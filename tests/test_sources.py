@@ -139,3 +139,74 @@ def test_owl_datasource_matches_mapinpandas_scan(spark, owl_dir):
     assert via_scan.exceptAll(via_ds).count() == 0
     n_files = via_scan.select("src_file").distinct().count()
     assert via_ds.rdd.getNumPartitions() == n_files
+
+
+# ---------------------------------------------------------------------------
+# scan_rdf_triples_split — byte-range-parallel parse of large single files
+# ---------------------------------------------------------------------------
+def _write_big_owl(path: str, n_classes: int = 120) -> str:
+    """One OWL file big enough to split: n_classes classes, every third with
+    an anonymous owl:Restriction bnode (exercises the seeded counter)."""
+    import os
+
+    parts = [
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"\n'
+        '         xmlns:owl="http://www.w3.org/2002/07/owl#"\n'
+        '         xmlns:obo="http://purl.obolibrary.org/obo/">\n'
+    ]
+    for i in range(n_classes):
+        uri = f"http://purl.obolibrary.org/obo/CL_{9000000 + i}"
+        parts.append(f'  <owl:Class rdf:about="{uri}">\n')
+        parts.append(f"    <rdfs:label>synthetic class {i}</rdfs:label>\n")
+        if i % 3 == 0:
+            parts.append(
+                "    <rdfs:subClassOf>\n"
+                "      <owl:Restriction>\n"
+                '        <owl:onProperty rdf:resource="http://purl.obolibrary.org/obo/RO_0002202"/>\n'
+                f'        <owl:someValuesFrom rdf:resource="http://purl.obolibrary.org/obo/CL_{9100000 + i}"/>\n'
+                "      </owl:Restriction>\n"
+                "    </rdfs:subClassOf>\n"
+            )
+        parts.append("  </owl:Class>\n")
+    parts.append("</rdf:RDF>\n")
+    out = os.path.join(path, "big.owl")
+    with open(out, "w") as f:
+        f.write("".join(parts))
+    return out
+
+
+def test_split_scan_bit_identical_and_parallel(spark, tmp_path):
+    """VERDICT r3 #3: one multi-fragment file parses in >1 partition and the
+    result is bit-identical to the whole-file parse (bnode ids included)."""
+    from cell_kn_mvp_etl_ontologies_spark.sources.owl import scan_rdf_triples_split
+
+    d = str(tmp_path / "big")
+    import os
+
+    os.makedirs(d)
+    _write_big_owl(d)
+    whole = scan_rdf_triples(spark, d)
+    split = scan_rdf_triples_split(spark, d, split_bytes=2048)
+    assert split.rdd.getNumPartitions() > 1
+    assert split.count() == whole.count()
+    assert split.exceptAll(whole).count() == 0
+    assert whole.exceptAll(split).count() == 0
+    # bnode numbering really is the whole-file sequence: _:b0.._:b(n-1)
+    bnodes = sorted(
+        r["object_iri"]
+        for r in split.filter(F.col("object_kind") == "bnode").collect()
+    )
+    assert bnodes == sorted(f"_:b{i}" for i in range(len(bnodes)))
+
+
+def test_split_scan_fixture_dir_matches(spark, owl_dir):
+    """Split parse over the mixed fixture dir (bnodes, literals, tiny files
+    below split_bytes) equals the per-file parse."""
+    from cell_kn_mvp_etl_ontologies_spark.sources.owl import scan_rdf_triples_split
+
+    whole = scan_rdf_triples(spark, owl_dir)
+    split = scan_rdf_triples_split(spark, owl_dir, split_bytes=400)
+    assert split.exceptAll(whole).count() == 0
+    assert whole.exceptAll(split).count() == 0
