@@ -674,10 +674,12 @@ def quality_expectations_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # similarity_ann_ivf_kmeans — IVF ANN over k-means-trained centroids
 # --------------------------------------------------------------------------
-@register(
-    "similarity_ann_ivf_kmeans",
-    oracle=(
-        """
+# Shared CTE chain (train k-means quantizer -> assign corpus -> probe
+# queries -> exact-score candidates into `scored`); the trained-ANN query
+# selects the ranked top-k from it, the recall gate joins it against the
+# exact brute-force top-k.
+_IVF_KMEANS_SCORED_CTE = (
+    """
     WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
     quant AS (
       SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
@@ -740,6 +742,15 @@ def quality_expectations_q(spark, sf_dir):
              CAST(d.dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) AS cos
       FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.t_id
     )
+    """
+)
+
+
+@register(
+    "similarity_ann_ivf_kmeans",
+    oracle=(
+        _IVF_KMEANS_SCORED_CTE
+        + """
     SELECT q_id, t_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
       SELECT q_id, t_id, cos,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rnk
@@ -770,6 +781,86 @@ def similarity_ann_ivf_kmeans_q(spark, sf_dir):
     queries = em.filter(F.col("vec_id") < 10)
     out = ivf_topk(queries, em, centroids, k=3, nprobe=2)
     return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
+# --------------------------------------------------------------------------
+# similarity_ann_recall — recall@k of the trained ANN vs exact brute force
+# --------------------------------------------------------------------------
+@register(
+    "similarity_ann_recall",
+    oracle=(
+        _IVF_KMEANS_SCORED_CTE
+        + """
+    , ann_topk AS (
+      SELECT q_id, t_id FROM (
+        SELECT q_id, t_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= 3
+    ),
+    edots AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS t_id, SUM(q.v * t.v) AS dot
+      FROM quant q JOIN quant t ON q.i = t.i
+      WHERE q.vec_id < 10 AND q.vec_id <> t.vec_id
+      GROUP BY q.vec_id, t.vec_id
+    ),
+    exact_topk AS (
+      SELECT q_id, t_id FROM (
+        SELECT e.q_id, e.t_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.q_id
+                 ORDER BY CAST(e.dot AS DOUBLE)
+                          / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) DESC,
+                          e.t_id ASC
+               ) AS rnk
+        FROM edots e JOIN norms na ON na.vec_id = e.q_id JOIN norms nb ON nb.vec_id = e.t_id
+      ) WHERE rnk <= 3
+    )
+    SELECT COALESCE(e.q_id, a.q_id) AS q_id,
+           CAST(COUNT(e.t_id) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.t_id) AS BIGINT) AS n_ann,
+           CAST(SUM(CASE WHEN e.t_id IS NOT NULL AND a.t_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlap
+    FROM exact_topk e FULL OUTER JOIN ann_topk a ON a.q_id = e.q_id AND a.t_id = e.t_id
+    GROUP BY COALESCE(e.q_id, a.q_id)
+    """
+    ),
+)
+def similarity_ann_recall_q(spark, sf_dir):
+    """Recall@3 audit of the trained IVF path against exact brute force —
+    the recorded recall check VERDICT r3 asked for when the ANN path became
+    the similarity headline.  Runs BOTH paths over the same corpus (the
+    brute-force top-k as ground truth, the k-means-trained IVF as the
+    candidate) and full-outer-joins the two top-k sets per query: n_overlap
+    == n_exact iff the probe covered the true neighbors.  Both paths are
+    integer-deterministic, so the per-query overlap profile is bit-exact
+    and hash-gated — recall is *measured evidence*, not a claim."""
+    from ..operators.clustering import kmeans_fit
+    from ..operators.similarity import ivf_topk, similarity_topk
+
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150).select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit(em, "vec_id", "embedding", k=4, n_iter=2)
+    centroids = cents.select(
+        F.col("cell").cast("long").alias("vec_id"),
+        F.transform("cv", lambda x: (x / 1000.0).cast("float")).alias("embedding"),
+    )
+    queries = em.filter(F.col("vec_id") < 10)
+    ann = ivf_topk(queries, em, centroids, k=3, nprobe=2).select(
+        "q_id", "t_id", F.lit(1).alias("in_ann")
+    )
+    exact = similarity_topk(queries, em, k=3, quantized=True).select(
+        "q_id", "t_id", F.lit(1).alias("in_exact")
+    )
+    j = exact.join(ann, on=["q_id", "t_id"], how="full_outer")
+    return j.groupBy("q_id").agg(
+        F.count("in_exact").cast("long").alias("n_exact"),
+        F.count("in_ann").cast("long").alias("n_ann"),
+        F.sum(
+            (F.col("in_exact").isNotNull() & F.col("in_ann").isNotNull()).cast("int")
+        ).cast("long").alias("n_overlap"),
+    )
 
 
 # --------------------------------------------------------------------------

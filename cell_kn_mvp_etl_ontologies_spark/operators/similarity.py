@@ -196,6 +196,69 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    scale: int = 1000,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """One-time IVF index build: corpus quantized, normed, assigned to its
+    nearest cell, and hash-partitioned BY cell — the layout the probe join
+    needs.  Returns (t_id, t_vec ARRAY<BIGINT>, t_norm, cell).
+
+    Persist (or write bucketed by cell) the result and serve many query
+    batches from it: the build is the O(corpus) cost that end-to-end timing
+    unfairly charges to every batch — at 100 TB the index is built once per
+    corpus version while query batches arrive continuously.  Because the
+    output is partitioned on cell, ``ivf_topk_prebuilt``'s candidate join
+    reuses that partitioning instead of re-shuffling the corpus per batch.
+    """
+    cells = ivf_assign(corpus, centroids, nprobe=1, scale=scale).select(
+        F.col("vec_id").alias("t_id"), "cell"
+    )
+    t = corpus.select(
+        F.col("vec_id").alias("t_id"), quantize_vec(F.col("embedding"), scale).alias("t_vec")
+    ).withColumn("t_norm", _dot_long(F.col("t_vec"), F.col("t_vec")))
+    indexed = t.join(cells, on="t_id")
+    if n_partitions:
+        indexed = indexed.repartition(n_partitions, "cell")
+    return indexed
+
+
+def ivf_topk_prebuilt(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Serving path of IVF ANN over a prebuilt ``build_ivf_index`` frame:
+    probe assignment is a broadcast-centroid map over the (small) query
+    batch, the candidate join touches only the probed cells' partitions, and
+    exact scoring runs on |Q|·nprobe·cell_size pairs instead of |Q|·N."""
+    query_cells = ivf_assign(queries, centroids, nprobe=nprobe, scale=scale).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), quantize_vec(F.col("embedding"), scale).alias("q_vec")
+    ).withColumn("q_norm", _dot_long(F.col("q_vec"), F.col("q_vec")))
+    cand = index.join(F.broadcast(query_cells), on="cell").filter(
+        F.col("q_id") != F.col("t_id")
+    )
+    scored = cand.join(F.broadcast(q), on="q_id").select(
+        "q_id",
+        "t_id",
+        (
+            _dot_long(F.col("q_vec"), F.col("t_vec")).cast("double")
+            / F.sqrt(F.col("q_norm").cast("double") * F.col("t_norm").cast("double"))
+        ).alias("cos"),
+    )
+    return window_rank_topk(
+        scored, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )
+
+
 def hyperplane_lsh_bucket_quantized(
     df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, seed: int = 42, scale: int = 1000
 ) -> DataFrame:

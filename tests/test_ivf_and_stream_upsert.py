@@ -54,3 +54,26 @@ def test_stream_upsert_incoming_wins(spark):
         assert got == {1: "a", 2: "B2", 3: "c"}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ivf_prebuilt_matches_inline(spark):
+    """build_ivf_index + ivf_topk_prebuilt must equal the inline ivf_topk on
+    real embeddings (same centroids, same k/nprobe) — index reuse changes
+    the cost, never the answer."""
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_prebuilt,
+    )
+
+    em = load_table(spark, "/root/testdata/sf0.01", "embeddings").filter(
+        F.col("vec_id") < 120
+    ).select("vec_id", "embedding")
+    cents = em.filter(F.col("vec_id") < 4)
+    queries = em.filter(F.col("vec_id") < 8)
+    inline = ivf_topk(queries, em, cents, k=3, nprobe=2)
+    index = build_ivf_index(em, cents, n_partitions=4)
+    pre = ivf_topk_prebuilt(queries, index, cents, k=3, nprobe=2)
+    a = {(r.q_id, r.t_id, r.rnk) for r in inline.collect()}
+    b = {(r.q_id, r.t_id, r.rnk) for r in pre.collect()}
+    assert a == b
