@@ -190,8 +190,20 @@ def bitmap_overlap(
     side contribute 0 via the full-outer join + coalesce.  Output: one row
     (n_left, n_right, n_both, n_either BIGINT).
     """
-    lw = words.filter(F.col(set_col) == left).select("chunk", F.col("word").alias("wl"))
-    rw = words.filter(F.col(set_col) == right).select("chunk", F.col("word").alias("wr"))
+    # defensive pre-merge: `words` is one row per (set, chunk) when built at
+    # this grain, but a caller passing finer-grained words (e.g. per-day)
+    # would otherwise double-count bits through the join — bit_or is the
+    # correct (idempotent) fold to any grain
+    lw = (
+        words.filter(F.col(set_col) == left)
+        .groupBy("chunk")
+        .agg(F.bit_or("word").alias("wl"))
+    )
+    rw = (
+        words.filter(F.col(set_col) == right)
+        .groupBy("chunk")
+        .agg(F.bit_or("word").alias("wr"))
+    )
     joined = lw.join(rw, on="chunk", how="full_outer").select(
         F.coalesce("wl", F.lit(0)).alias("wl"), F.coalesce("wr", F.lit(0)).alias("wr")
     )

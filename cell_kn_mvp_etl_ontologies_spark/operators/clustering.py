@@ -8,9 +8,13 @@ partitioning.  This variant removes both sources:
   the similarity operators), so squared-L2 distances are exact integer sums;
 - seeding is the k vectors with the smallest ``md5(id)`` (a uniform but
   deterministic draw — no RNG state);
-- centroid updates are element-wise FLOOR divisions of integer sums
-  (floor, not truncation: embedding sums go negative, and floor is the
-  semantics DuckDB's ``//`` shares, keeping the oracle exact).
+- centroid updates are element-wise FLOOR divisions of integer sums —
+  in BOTH engines expressed as ``floor()`` over IEEE double division
+  (exact: |sum| stays far below 2^53).  Note DuckDB's ``//`` is NOT that
+  operation — it truncates toward zero (``-7 // 2 = -3``), so substituting
+  ``SUM(v) // COUNT(*)`` in the oracle would diverge wherever a centroid
+  sum is negative; keep the oracle on ``floor(CAST(SUM(v) AS DOUBLE) /
+  COUNT(*))``.
 
 The result is bit-identical across engines, task counts, partitionings,
 and re-runs — the property that makes cluster assignments usable as stable

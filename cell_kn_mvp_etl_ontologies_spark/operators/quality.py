@@ -85,10 +85,13 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-column numeric profile in ONE aggregate pass: (column, n_rows,
     n_null, n_distinct, min_v, max_v, sum_v, mean_v).
 
-    Sums accumulate in DECIMAL(28,6) so they are exact and order-independent;
-    mean is the IEEE double division of two exact inputs, so it is identical
-    cross-engine (unlike a double sum, whose value depends on reduction
-    order).  The exact ``count(distinct)`` columns make Spark plan an Expand
+    Sums accumulate in DECIMAL(28,6) — exact and order-independent AFTER
+    each value is quantized to 6 fractional digits, which is the documented
+    contract of this profile (for general doubles the decimal sum/mean can
+    differ from the true float sum by the rounding; the oracle mirrors the
+    same cast).  Mean is the IEEE double division of two such inputs, so it
+    is identical cross-engine (unlike a double sum, whose value depends on
+    reduction order).  The exact ``count(distinct)`` columns make Spark plan an Expand
     (one input duplicate per distinct aggregate) — acceptable for profiling
     runs; swap in the bitmap-words sketch (operators/aggregates.py) when
     profiling at full fact-table scale.

@@ -23,6 +23,9 @@ window.  Overflow bound: the scaled numerator is
 ``L * tf * N * scale < ~4e16``; the default 1e5 is safe for corpora up to
 ~10M total tokens scored per shard, and the caller can shard larger corpora
 and merge top-k lists (scores are corpus-statistic-dependent either way).
+The bound is ENFORCED at runtime: each scored posting row checks its own
+``22*L*tf*(2N+1)*scale`` against 9e18 and raises a descriptive error
+(naming L, N, scale) instead of silently wrapping.
 """
 
 from __future__ import annotations
@@ -74,15 +77,46 @@ def bm25_rank_integer(
         .join(dl, on="doc_key")
         .crossJoin(F.broadcast(totals))
     )
+    # Runtime overflow guard (ADVICE r3): the documented envelope
+    # L*tf*N*scale < ~4e16 was previously unchecked — exceeding it meant a
+    # silent BIGINT wraparound (wrong rankings) under non-ANSI Spark.  The
+    # guard is evaluated per posting row against the row's own tf (exact,
+    # JVM-side, no extra job; double compare with margin below 2^63) and
+    # raises a descriptive error telling the caller to shard.
+    guard = (
+        F.lit(22.0)
+        * F.col("total_len").cast("double")
+        * F.col("tf").cast("double")
+        * (2.0 * F.col("n_docs").cast("double") + 1.0)
+        * F.lit(float(scale))
+    )
     contrib = postings.select(
         "doc_key",
-        F.expr(
-            f"""
-            (22 * total_len * tf * (2 * n_docs - 2 * df + 1) * CAST({scale} AS BIGINT))
-            div ((10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)
-                 * (2 * df + 1))
-            """
-        ).alias("c"),
+        F.when(
+            guard < 9.0e18,
+            F.expr(
+                f"""
+                (22 * total_len * tf * (2 * n_docs - 2 * df + 1) * CAST({scale} AS BIGINT))
+                div ((10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)
+                     * (2 * df + 1))
+                """
+            ),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bm25_rank_integer: scaled numerator exceeds the BIGINT "
+                        "envelope (22*L*tf*(2N+1)*scale >= 9e18) at L="
+                    ),
+                    F.col("total_len"),
+                    F.lit(", N="),
+                    F.col("n_docs"),
+                    F.lit(f", scale={scale}; shard the corpus and merge top-k lists"),
+                )
+            )
+        )
+        .alias("c"),
     )
     scores = contrib.groupBy("doc_key").agg(F.sum("c").alias("score_units"))
     # orderBy+limit plans as TakeOrderedAndProject: per-partition top-k then a

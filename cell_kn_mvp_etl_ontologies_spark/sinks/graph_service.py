@@ -100,6 +100,14 @@ def upsert_graph_via_transport(
         r[0]
         for r in vertices.select(vertex_collection_col).distinct().collect()
     ]
+    bad = [c for c in colls if c is None or not isinstance(c, str)]
+    if bad:
+        raise ValueError(
+            f"vertex column {vertex_collection_col!r} must be non-null strings; "
+            f"found invalid collection values {bad!r} — filter or map them "
+            "before loading (str(None) would silently create a 'None' "
+            "collection in the graph service)"
+        )
     for coll in sorted(colls):
         upsert_via_transport(
             vertices.filter(vertices[vertex_collection_col] == coll),

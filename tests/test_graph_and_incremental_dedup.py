@@ -137,3 +137,38 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank_integer(empty, n_iter=2)
     assert out.count() == 0
     assert dict(out.dtypes) == {"node": "bigint", "rank_units": "bigint"}
+
+
+def test_bitmap_overlap_premerges_finer_grain(spark):
+    """ADVICE r3: words built at a finer grain than (set, chunk) — e.g. per
+    day — must bit_or-fold before the join, not double-count bits."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.aggregates import (
+        bitmap_distinct_words,
+        bitmap_overlap,
+    )
+
+    rows = [("x", d, uid) for d in (1, 2) for uid in (0, 1, 2)] + [
+        ("y", d, uid) for d in (1, 2) for uid in (2, 3)
+    ]
+    df = spark.createDataFrame(rows, "s string, day int, uid long")
+    fine = bitmap_distinct_words(df, ["s", "day"], "uid")  # finer than (s, chunk)
+    out = bitmap_overlap(fine, "s", "x", "y").head()
+    assert (out.n_left, out.n_right, out.n_both, out.n_either) == (3, 2, 1, 4)
+
+
+def test_bm25_overflow_guard_raises(spark):
+    """ADVICE r3: exceeding the BIGINT envelope raises a descriptive error
+    instead of silently wrapping (forced here via an absurd scale)."""
+    import pytest as _pytest
+
+    from cell_kn_mvp_etl_ontologies_spark.search.analyzers import text_en_no_stem_tokens
+    from cell_kn_mvp_etl_ontologies_spark.search.ranking import bm25_rank_integer
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " * 50) for i in range(20)], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="BIGINT envelope"):
+        bm25_rank_integer(
+            docs, ["doc_id"], "text", ["alpha"], text_en_no_stem_tokens,
+            k=3, scale=10**15,
+        ).collect()

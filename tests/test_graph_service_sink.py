@@ -92,3 +92,19 @@ def test_graph_upsert_orders_vertices_before_edges(spark, tmp_path):
     v_times += [os.path.getmtime(p) for p in glob.glob(os.path.join(root, "GO__*"))]
     e_times = [os.path.getmtime(p) for p in glob.glob(os.path.join(root, "edges__*"))]
     assert max(v_times) <= max(e_times)
+
+
+def test_graph_upsert_rejects_null_collection(spark, tmp_path):
+    """ADVICE r3: a NULL collection value must fail with a descriptive error
+    naming the offending value, not TypeError from sorted() or a silent
+    'None' collection."""
+    root = str(tmp_path)
+    vertices = spark.createDataFrame(
+        [("CL", "0000235", "macrophage"), (None, "0031268", "ruffle")],
+        "collection string, key string, label string",
+    )
+    edges = spark.createDataFrame(
+        [], "from_collection string, to_collection string, from_key string, to_key string"
+    )
+    with pytest.raises(ValueError, match="non-null strings"):
+        upsert_graph_via_transport(vertices, edges, _dir_transport(root), batch_size=10)
