@@ -326,6 +326,40 @@ def text_inverted_index_view_q(spark, sf_dir):
 
 
 @register(
+    "text_inverted_index_capped",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT t.tok AS token, CAST(doc_id AS VARCHAR) AS doc_key
+      FROM (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 60) src,
+        LATERAL unnest(string_split_regex(s, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(LEAST(COUNT(*), 5) AS INT) AS n_stored,
+           array_to_string(list_slice(list_sort(list(doc_key)), 1, 5), '|') AS postings_head
+    FROM toks GROUP BY token
+    """,
+)
+def text_inverted_index_capped_q(spark, sf_dir):
+    """Skew-guarded inverted index (VERDICT r3 #5): max_postings=5 caps the
+    stored list at the 5 lexicographically-first doc_keys per token via the
+    salted two-level build (crc32(doc_key) salt spreads a hot token's
+    aggregation state over 16 reducers), while n_docs stays the TRUE
+    document frequency — both hash-gated against DuckDB computing the same
+    cap from full postings."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    idx = build_inverted_index(
+        docs, ["doc_id"], "text", text_en_no_stem_tokens, max_postings=5
+    )
+    return idx.select(
+        "token",
+        "n_docs",
+        F.size("postings").alias("n_stored"),
+        F.concat_ws("|", F.col("postings")).alias("postings_head"),
+    )
+
+
+@register(
     "text_bm25_topk",
     oracle="""
     WITH toks AS (

@@ -52,3 +52,43 @@ def test_salted_join_left_keeps_unmatched(spark):
         for r in salted_join(big, small, ["k"], n_salts=4, how="left").collect()
     }
     assert rows == {("a", 1, 10), ("zzz", 2, None)}
+
+
+def test_inverted_index_hot_token_cap(spark):
+    """VERDICT r3 #5: one synthetic hot token at ~100x median document
+    frequency.  The capped build must (a) keep the TRUE df for the hot
+    token, (b) store only K postings for it, (c) agree exactly with the
+    uncapped build on every token at-or-under the cap, and (d) plan the
+    salted path as two-level hash aggregation, not a per-token window."""
+    from cell_kn_mvp_etl_ontologies_spark.search import text_en_no_stem_tokens
+    from cell_kn_mvp_etl_ontologies_spark.search.inverted_index import (
+        build_inverted_index,
+    )
+
+    # 400 docs all contain hot token 'the'; rare tokens appear in ~4 docs
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the rare"), (F.col("id") % 100).cast("string"), F.lit(" tail")
+        ).alias("text"),
+    )
+    capped = build_inverted_index(
+        docs, ["doc_id"], "text", text_en_no_stem_tokens, max_postings=8, n_salts=4
+    )
+    exact = build_inverted_index(docs, ["doc_id"], "text", text_en_no_stem_tokens)
+
+    got = {r.token: r for r in capped.collect()}
+    want = {r.token: r for r in exact.collect()}
+    assert got["the"].n_docs == 400  # true df survives the cap
+    assert len(got["the"].postings) == 8
+    # capped head == first 8 of the exact sorted postings
+    assert got["the"].postings == want["the"].postings[:8]
+    for tok, w in want.items():
+        assert got[tok].n_docs == w.n_docs
+        if w.n_docs <= 8:
+            assert got[tok].postings == w.postings
+    # plan shape: two-level hash aggregate over (token, salt) then token —
+    # no Window (a per-token sort would re-concentrate the hot token)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
