@@ -108,3 +108,64 @@ def test_graph_upsert_rejects_null_collection(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-null strings"):
         upsert_graph_via_transport(vertices, edges, _dir_transport(root), batch_size=10)
+
+
+def _keyed_store_transport(root: str, fail_marker: str | None = None):
+    """Picklable fake graph service with UPSERT semantics: one file per
+    (collection, key), overwritten on re-delivery — the keyed store a real
+    bulk endpoint with overwriteMode=update converges to.  If fail_marker
+    is given, the transport raises ONCE per marker dir mid-way through the
+    first batch that contains key >= 50 AFTER persisting part of it —
+    simulating a connection drop after partial application."""
+
+    def transport(collection: str, batch: list[dict]) -> None:
+        applied = 0
+        for doc in batch:
+            should_fail = (
+                fail_marker is not None
+                and not os.listdir(fail_marker)
+                and doc["key"] >= 50
+                and applied >= len(batch) // 2
+            )
+            if should_fail:
+                open(os.path.join(fail_marker, "tripped"), "w").close()
+                raise ConnectionError("simulated drop mid-batch")
+            path = os.path.join(root, f"{collection}__{doc['key']}.json")
+            with open(path, "w") as f:
+                json.dump({"collection": collection, **doc}, f, sort_keys=True)
+            applied += 1
+
+    return transport
+
+
+def test_upsert_retry_after_midbatch_failure_is_idempotent(spark, tmp_path):
+    """VERDICT r3 #7: a transport that dies halfway through applying a batch
+    leaves partial state; the bounded retry re-sends the whole batch and the
+    keyed-upsert contract makes the final sink state byte-identical to a
+    clean run — no duplicates, no holes."""
+    clean_root = str(tmp_path / "clean")
+    faulty_root = str(tmp_path / "faulty")
+    marker = str(tmp_path / "marker")
+    for d in (clean_root, faulty_root, marker):
+        os.mkdir(d)
+
+    df = spark.range(0, 97).select(
+        F.col("id").alias("key"), (F.col("id") * 3).alias("v")
+    ).repartition(4)
+    upsert_via_transport(df, "things", _keyed_store_transport(clean_root), batch_size=10)
+    upsert_via_transport(
+        df, "things", _keyed_store_transport(faulty_root, fail_marker=marker),
+        batch_size=10, max_retries=2,
+    )
+    assert os.listdir(marker)  # the failure really happened
+
+    def state(root):
+        out = {}
+        for p in sorted(glob.glob(os.path.join(root, "*.json"))):
+            with open(p) as f:
+                out[os.path.basename(p)] = f.read()
+        return out
+
+    clean, faulty = state(clean_root), state(faulty_root)
+    assert faulty == clean  # byte-identical after retry
+    assert len(clean) == 97
