@@ -37,6 +37,9 @@ ABOUT = f"{{{RDF_NS}}}about"
 RESOURCE = f"{{{RDF_NS}}}resource"
 DATATYPE = f"{{{RDF_NS}}}datatype"
 NODE_ID = f"{{{RDF_NS}}}nodeID"
+RDF_ID = f"{{{RDF_NS}}}ID"
+PARSETYPE = f"{{{RDF_NS}}}parseType"
+XML_BASE = "{http://www.w3.org/XML/1998/namespace}base"
 
 TRIPLES_SCHEMA = StructType(
     [
@@ -228,13 +231,44 @@ def _parse_triples(src_file: str, content: bytes) -> list[tuple]:
 def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
     """Triple emission over a parsed (fragment) root.  ``counter_start``
     seeds the bnode counter so a fragment parse numbers its anonymous nodes
-    exactly as the whole-file parse would (split == unsplit, bit-for-bit)."""
+    exactly as the whole-file parse would (split == unsplit, bit-for-bit).
+
+    Conformance beyond the OBO subset (round 4, VERDICT r3 gap #3):
+    ``rdf:parseType="Resource"`` (implicit bnode whose children are
+    properties), ``rdf:parseType="Collection"`` (rdf:first/rdf:rest list
+    cells ending in rdf:nil, one cell bnode per member allocated before any
+    anonymous member bnode), ``rdf:parseType="Literal"`` (flattened text of
+    the XML island), and ``rdf:ID`` (resolved against ``xml:base`` on the
+    root).  Known drops, documented: ``rdf:datatype``/``xml:lang`` literal
+    annotations (the triples schema carries lexical forms only) and
+    property-element ``rdf:ID`` reification quads."""
     triples: list[tuple] = []
     counter = [counter_start]
+    base = (root.get(XML_BASE) or "").split("#", 1)[0]
 
     def new_bnode() -> str:
         counter[0] += 1
         return f"_:b{counter[0] - 1}"
+
+    def node_name(elem) -> str | None:
+        """Subject/object IRI of a node element: rdf:about, or rdf:ID
+        resolved against xml:base; None for anonymous."""
+        about = elem.get(ABOUT)
+        if about is not None:
+            return about
+        rid = elem.get(RDF_ID)
+        if rid is not None:
+            return f"{base}#{rid}"
+        return None
+
+    def visit_node(elem, name: str | None) -> str:
+        """Emit the node element's type + properties; returns its term
+        (IRI or fresh bnode)."""
+        ns, local = _split_tag(elem.tag)
+        node = name if name is not None else new_bnode()
+        triples.append((src_file, node, RDF_NS + "type", "iri", ns + local, None))
+        emit(node, elem)
+        return node
 
     def emit(subject: str, elem) -> None:
         # elem is a typed node element; its children are property elements
@@ -243,8 +277,45 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
             pred = pns + plocal
             resource = prop.get(RESOURCE)
             node_id = prop.get(NODE_ID)
+            parse_type = prop.get(PARSETYPE)
             children = list(prop)
-            if resource is not None:
+            if parse_type == "Resource":
+                # implicit bnode; the property element's children are ITS
+                # property elements
+                node = new_bnode()
+                triples.append((src_file, subject, pred, "bnode", node, None))
+                emit(node, prop)
+            elif parse_type == "Collection":
+                # rdf list: one cell bnode per member (allocated before the
+                # member's own bnode, if anonymous), closed with rdf:nil
+                prev_cell = None
+                for child in children:
+                    cell = new_bnode()
+                    if prev_cell is None:
+                        triples.append((src_file, subject, pred, "bnode", cell, None))
+                    else:
+                        triples.append(
+                            (src_file, prev_cell, RDF_NS + "rest", "bnode", cell, None)
+                        )
+                    name = node_name(child)
+                    member = visit_node(child, name)
+                    kind = "iri" if name is not None else "bnode"
+                    triples.append((src_file, cell, RDF_NS + "first", kind, member, None))
+                    prev_cell = cell
+                if prev_cell is None:
+                    triples.append(
+                        (src_file, subject, pred, "iri", RDF_NS + "nil", None)
+                    )
+                else:
+                    triples.append(
+                        (src_file, prev_cell, RDF_NS + "rest", "iri", RDF_NS + "nil", None)
+                    )
+            elif parse_type == "Literal":
+                # XML literal island: keep the flattened text content
+                triples.append(
+                    (src_file, subject, pred, "literal", None, "".join(prop.itertext()))
+                )
+            elif resource is not None:
                 triples.append((src_file, subject, pred, "iri", resource, None))
             elif node_id is not None:
                 triples.append((src_file, subject, pred, "bnode", f"_:{node_id}", None))
@@ -252,28 +323,28 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
                 # nested node element (an RDF/XML property element has at
                 # most one node child); anonymous -> file-local bnode
                 child = children[0]
-                cns, clocal = _split_tag(child.tag)
-                about = child.get(ABOUT)
-                if about:
-                    node = about
-                    triples.append((src_file, subject, pred, "iri", about, None))
+                name = node_name(child)
+                if name is not None:
+                    triples.append((src_file, subject, pred, "iri", name, None))
+                    node = visit_node(child, name)
                 else:
+                    # bnode numbering contract: the REFERENCE triple sees
+                    # the bnode before the child's own subtree allocates
                     node = new_bnode()
                     triples.append((src_file, subject, pred, "bnode", node, None))
-                triples.append((src_file, node, RDF_NS + "type", "iri", cns + clocal, None))
-                emit(node, child)
+                    cns, clocal = _split_tag(child.tag)
+                    triples.append(
+                        (src_file, node, RDF_NS + "type", "iri", cns + clocal, None)
+                    )
+                    emit(node, child)
             else:
                 triples.append((src_file, subject, pred, "literal", None, prop.text or ""))
 
     for elem in list(root):
-        ns, local = _split_tag(elem.tag)
-        about = elem.get(ABOUT)
-        if about is None:
+        name = node_name(elem)
+        if name is None:
             continue
-        subject = about
-        # rdf:type from the element tag itself (owl:Class, owl:Ontology, ...)
-        triples.append((src_file, subject, RDF_NS + "type", "iri", ns + local, None))
-        emit(subject, elem)
+        visit_node(elem, name)
     return triples
 
 
@@ -283,6 +354,8 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
 _ABOUT_KEY = f"{RDF_NS}}}about"
 _RESOURCE_KEY = f"{RDF_NS}}}resource"
 _NODEID_KEY = f"{RDF_NS}}}nodeID"
+_ID_KEY = f"{RDF_NS}}}ID"
+_PARSETYPE_KEY = f"{RDF_NS}}}parseType"
 
 
 def _index_top_level(content: bytes) -> tuple[list[tuple[int, int]], int, int]:
@@ -297,11 +370,14 @@ def _index_top_level(content: bytes) -> tuple[list[tuple[int, int]], int, int]:
 
     ``bnodes_before`` is the number of anonymous-bnode allocations
     ``_emit_from_root`` performs before reaching that element, computed by
-    mirroring its traversal exactly: a nested node element allocates a bnode
-    iff it is the FIRST element child of a property element that has neither
-    rdf:resource nor rdf:nodeID, within a visited subtree, and itself lacks
-    rdf:about.  Seeding fragment parses with this count makes the split
-    parse bit-identical to the unsplit one.
+    mirroring its traversal exactly with a role stack (node / property /
+    collection / ignored-XML-literal — RDF/XML striping plus the parseType
+    overrides, so depth parity alone is NOT the role): a fresh bnode is
+    allocated for (a) the first anonymous node child of a plain visited
+    property, (b) each visited parseType="Resource" property, (c) each
+    member of a visited parseType="Collection" (one list-cell bnode, plus
+    one more when the member itself is anonymous).  Seeding fragment parses
+    with this count makes the split parse bit-identical to the unsplit one.
     """
     import xml.parsers.expat as expat
 
@@ -310,38 +386,56 @@ def _index_top_level(content: bytes) -> tuple[list[tuple[int, int]], int, int]:
     bnode_cum = [0]
     footer_start = [len(content)]
     header_end = [None]
-    # stack frames: for node elements -> {"visited": bool};
-    # for property elements -> {"visited", "has_ref", "first_pending"}
-    stack: list[dict] = []
+    stack: list[dict] = []  # frames: {"kind": root|node|prop|coll|ignore, ...}
 
     def on_start(name: str, attrs: dict) -> None:
-        depth = len(stack)  # depth of THIS element (root = 0)
         offset = parser.CurrentByteIndex
-        if depth == 0:  # root (rdf:RDF)
-            stack.append({"visited": True})
+        if not stack:  # root (rdf:RDF)
+            stack.append({"kind": "root", "visited": True})
             return
-        if depth % 2 == 1:  # node-element position (top-level at depth 1)
-            if depth == 1:
-                if header_end[0] is None:
-                    header_end[0] = offset
-                starts.append((offset, bnode_cum[0]))
-                visited = _ABOUT_KEY in attrs
-            else:
-                prop = stack[-1]
-                visited = prop["visited"] and not prop["has_ref"] and prop["first_pending"]
-                prop["first_pending"] = False
-                if visited and _ABOUT_KEY not in attrs:
+        parent = stack[-1]
+        kind = parent["kind"]
+        named = _ABOUT_KEY in attrs or _ID_KEY in attrs
+        if kind == "root":
+            if header_end[0] is None:
+                header_end[0] = offset
+            starts.append((offset, bnode_cum[0]))
+            stack.append({"kind": "node", "visited": named})
+        elif kind == "node":  # this element is a property
+            v = parent["visited"]
+            pt = attrs.get(_PARSETYPE_KEY)
+            if pt == "Resource":
+                if v:
                     bnode_cum[0] += 1
-            stack.append({"visited": visited})
-        else:  # property-element position
-            node = stack[-1]
-            stack.append(
-                {
-                    "visited": node["visited"],
-                    "has_ref": _RESOURCE_KEY in attrs or _NODEID_KEY in attrs,
-                    "first_pending": True,
-                }
-            )
+                stack.append({"kind": "node", "visited": v})
+            elif pt == "Collection":
+                stack.append({"kind": "coll", "visited": v})
+            elif pt == "Literal":
+                stack.append({"kind": "ignore"})
+            else:
+                stack.append(
+                    {
+                        "kind": "prop",
+                        "visited": v,
+                        "has_ref": _RESOURCE_KEY in attrs or _NODEID_KEY in attrs,
+                        "first_pending": True,
+                    }
+                )
+        elif kind == "prop":  # nested node element
+            v = parent["visited"] and not parent["has_ref"] and parent["first_pending"]
+            parent["first_pending"] = False
+            if v and not named:
+                bnode_cum[0] += 1
+            stack.append({"kind": "node", "visited": v})
+        elif kind == "coll":  # collection member node
+            v = parent["visited"]
+            if v:
+                bnode_cum[0] += 1  # list-cell bnode
+                if not named:
+                    bnode_cum[0] += 1  # anonymous member bnode
+            stack.append({"kind": "node", "visited": v})
+        else:  # ignore (XML literal island)
+            stack.append({"kind": "ignore"})
 
     def on_end(name: str) -> None:
         stack.pop()
