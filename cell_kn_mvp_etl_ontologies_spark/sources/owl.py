@@ -6,9 +6,12 @@ rows, one Python parse per file on the executor — the Spark-native shape of
 the reference's per-file DOM/Jena loops (OntologyElementParser.java:52-184,
 OntologyTripleParser.java:62-121).  rdflib/Jena are not available in this
 container, so triple extraction uses a stdlib ElementTree RDF/XML reader
-covering the OBO-style subset the reference consumes: typed node elements
+covering the OBO-style subset the reference consumes — typed node elements
 with rdf:about, property elements with rdf:resource / literal text / nested
-anonymous nodes (owl:Restriction bnodes).
+anonymous nodes (owl:Restriction bnodes) — plus (round 4)
+rdf:parseType="Collection"/"Resource"/"Literal", rdf:ID, and xml:base.
+Documented drops: rdf:datatype/xml:lang literal annotations (the triples
+schema carries lexical forms only) and property-rdf:ID reification.
 
 Scale: ``scan_xml_elements`` / ``scan_rdf_triples`` parse one file per task
 (each file independent), which caps parallelism at file count.

@@ -36,6 +36,10 @@ WAIVERS: dict[str, set[str]] = {
     # brute-force baseline: query side is broadcast by design (|Q| small);
     # Spark plans broadcast NL join for the explicit crossJoin.
     "similarity_topk": {"CARTESIAN"},
+    # the recall gate runs the SAME brute-force baseline as ground truth
+    # against the IVF path — its cross join is the thing being compared,
+    # |Q|=10 broadcast by design.
+    "similarity_ann_recall": {"CARTESIAN"},
     "dedup_embedding_cosine": {"CARTESIAN"},
     # the reporting query combines two single-row count aggregates with a
     # 1x1 crossJoin; the pipeline itself has no cross product. Exchange
