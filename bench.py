@@ -5,9 +5,13 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Queries are the engine's heavy paths: scan+agg, broadcast join + top-k,
-triples-shaped dedup+pivot, MinHash LSH, brute-force cosine top-k, windowed
-running sums, as-of join, inverted index.  Results are materialized with the
-noop sink so timings measure full compute without driver collection.
+triples-shaped dedup+pivot, MinHash LSH, brute-force cosine top-k (2k
+corpus continuity row + 80k expanded-corpus twin), IVF-trained ANN serving
+path over a prebuilt index, windowed running sums, as-of join, inverted
+index.  Results are materialized with the noop sink so timings measure full
+compute without driver collection.  Methodology (warm session, min-of-3
+with inter-iteration GC, ANN index-build amortization) is pinned in
+BASELINE.md.
 """
 
 from __future__ import annotations
