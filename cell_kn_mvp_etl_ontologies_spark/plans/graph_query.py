@@ -123,13 +123,19 @@ def pagerank_integer(
     Dangling nodes (no out-edges) keep their base rank; their damped mass is
     dropped rather than redistributed — ranks remain a deterministic
     importance ORDER, which is what dedup canonical-pick / crawl
-    prioritization consumes.  Per iteration: one contribution join keyed on
-    the frontier node + one sum aggregate — two keyed shuffles.
-    ``checkpoint_every`` trades lineage depth for materialization cost:
-    every k-th iteration ``localCheckpoint``s the ranks (swap for reliable
-    ``checkpoint()`` on a cluster); k=2 halves the materializations while
-    keeping the uncheckpointed plan at most two join+agg layers deep —
-    well under codegen/analysis limits.  Output: (node, rank_units BIGINT).
+    prioritization consumes.  The STATIC side is prepared once (round 4):
+    out-degree is pre-joined onto the edge table and the result is
+    hash-partitioned by ``src`` before checkpointing, so each iteration
+    shuffles only the (node, rank) frontier — the edge table's exchange is
+    satisfied by its stored partitioning every round instead of being
+    re-planned per iteration, and the per-iteration degree join disappears.
+    Per iteration: one contribution join keyed on the frontier node + one
+    sum aggregate.  ``checkpoint_every`` trades lineage depth for
+    materialization cost: every k-th iteration ``localCheckpoint``s the
+    ranks (swap for reliable ``checkpoint()`` on a cluster); k=2 halves the
+    materializations while keeping the uncheckpointed plan at most two
+    join+agg layers deep — well under codegen/analysis limits.  Output:
+    (node, rank_units BIGINT).
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
@@ -145,6 +151,9 @@ def pagerank_integer(
     if n_nodes == 0:  # empty graph: empty result, not a ZeroDivisionError
         return nodes.withColumn("rank_units", F.lit(0).cast("long"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = (
+        e.join(outdeg, on="src").repartition("src").localCheckpoint(eager=True)
+    )
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
     init_units = scale // n_nodes
@@ -152,8 +161,7 @@ def pagerank_integer(
     ranks = nodes.withColumn("rank_units", F.lit(init_units).cast("long"))
     for i in range(n_iter):
         contribs = (
-            ranks.join(e, ranks["node"] == e["src"])
-            .join(outdeg, on="src")
+            ranks.join(e_deg, ranks["node"] == e_deg["src"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_units div deg").alias("c"),
