@@ -784,6 +784,83 @@ def similarity_ann_ivf_kmeans_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# dedup_embedding_clustered — k-means-bucketed near-dup pairs (scale path)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_embedding_clustered",
+    oracle=(
+        """
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5
+    ),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
+    seeds AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+      FROM corpus
+    ),
+    c0 AS (
+      SELECT CAST(s.r - 1 AS INT) AS cell, q.i, q.v
+      FROM seeds s JOIN quant q ON q.vec_id = s.vec_id WHERE s.r <= 4
+    ),"""
+        + _KM_ASSIGN_SQL.format(n=1, p=0)
+        + ","
+        + _KM_UPDATE_SQL.format(n=1)
+        + ","
+        + _KM_ASSIGN_SQL.format(n=2, p=1)
+        + ","
+        + _KM_UPDATE_SQL.format(n=2)
+        + ","
+        + _KM_ASSIGN_SQL.format(n=3, p=2)
+        + """,
+    pairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    ),
+    dots AS (
+      SELECT p.a, p.b, SUM(q.v * t.v) AS dot
+      FROM pairs p
+      JOIN quant q ON q.vec_id = p.a
+      JOIN quant t ON t.vec_id = p.b AND t.i = q.i
+      GROUP BY p.a, p.b
+    )
+    SELECT a, b,
+           CAST(dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) AS cos
+    FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) > 0.95
+    """
+    ),
+)
+def dedup_embedding_clustered_q(spark, sf_dir):
+    """Cluster-bucketed embedding near-dup (round 4): the scale path the
+    all-pairs `dedup_embedding_cosine` query documents — k-means buckets
+    first (deterministic integer k-means, k=4, 2 iterations), cosine only
+    within cells.  The planted exact duplicates (vec_id+10000) must all
+    survive: identical vectors can never split cells (identical distances,
+    tie-break on cell id).  The oracle replays the identical k-means chain
+    and within-cell scoring in SQL, so bucketing AND scoring are hash-gated."""
+    from ..operators.similarity import embedding_near_dups_clustered
+
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        em.filter(F.col("vec_id") < 50)
+        .select("vec_id", "embedding")
+        .unionByName(
+            em.filter(F.col("vec_id") < 5).select(
+                (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    return embedding_near_dups_clustered(corpus, k=4, n_iter=2, threshold=0.95)
+
+
+# --------------------------------------------------------------------------
 # similarity_ann_recall — recall@k of the trained ANN vs exact brute force
 # --------------------------------------------------------------------------
 @register(

@@ -357,6 +357,26 @@ def agg_quantiles_q(spark, sf_dir):
     )
 
 
+@register("agg_approx_quantiles")  # sketch output is engine-specific: rows-only check
+def agg_approx_quantiles_q(spark, sf_dir):
+    """The 100-TB path `agg_quantiles` names: `approx_percentile` (one pass,
+    mergeable partial sketches, bounded state per group — no per-group sort
+    of raw values).  Sketch estimates are engine-specific, so like
+    agg_approx_distinct this is a rows-only gate; the accuracy evidence is
+    tests/test_training.py::test_approx_quantiles_within_declared_accuracy,
+    which pins the estimate against the exact twin at the declared 1/acc
+    rank tolerance on the same sf0.01 table."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = docs.groupBy("lang").agg(
+        F.approx_percentile(
+            F.col("n_chars"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(1000)
+        ).alias("q")
+    )
+    return qs.select("lang", F.posexplode("q").alias("i0", "q_value")).select(
+        "lang", (F.col("i0") + 1).alias("i"), "q_value"
+    )
+
+
 @register(
     "sink_range_sharded",
     oracle="SELECT COUNT(*) AS total_rows, true AS ranges_disjoint FROM documents",

@@ -103,12 +103,58 @@ def similarity_topk(
 def embedding_near_dups(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Near-duplicate pairs (a < b) by cosine over the full corpus.
 
-    At scale, pre-bucket with LSH (simhash_buckets below) and run this join
-    per bucket instead of all-pairs."""
+    At scale, pre-bucket (``embedding_near_dups_clustered`` below, or
+    hyperplane LSH) and run this join per bucket instead of all-pairs."""
     pairs = cosine_join_quantized(corpus, corpus).filter(F.col("q_id") < F.col("t_id"))
     return pairs.filter(F.col("cos") > threshold).select(
         F.col("q_id").alias("a"), F.col("t_id").alias("b"), "cos"
     )
+
+
+def embedding_near_dups_clustered(
+    corpus: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    scale: int = 1000,
+) -> DataFrame:
+    """Scale path for embedding near-dup detection: k-means-bucket the
+    corpus (deterministic integer k-means), then score pairs WITHIN each
+    cell only — the all-pairs O(N²) cross join becomes k equi-join buckets
+    of ~(N/k)² and the pair-generation join is a plain shuffle on cell.
+
+    Recall trade, stated plainly: a near-dup pair whose members fall in
+    different cells is missed (same class of trade as LSH banding).  An
+    exact duplicate vector can never split cells — identical vectors have
+    identical centroid distances and the argmin tie-breaks on cell id — so
+    true duplicates always survive; raise k for tighter buckets, lower k
+    (or union multiple clusterings) for recall.  Every stage is
+    integer-deterministic, so results are hash-gateable cross-engine."""
+    from .clustering import kmeans_integer
+
+    cells = kmeans_integer(corpus, "vec_id", "embedding", k=k, n_iter=n_iter, scale=scale)
+    q = corpus.select(
+        "vec_id", quantize_vec(F.col("embedding"), scale).alias("v")
+    ).withColumn("norm", _dot_long(F.col("v"), F.col("v")))
+    t = q.join(cells, on="vec_id")
+    a = t.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"), "cell",
+    )
+    b = t.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), "cell",
+    )
+    pairs = a.join(b, on="cell").filter(F.col("a") < F.col("b"))
+    scored = pairs.select(
+        "a",
+        "b",
+        (
+            _dot_long(F.col("va"), F.col("vb")).cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("cos"),
+    )
+    return scored.filter(F.col("cos") > threshold)
 
 
 def ivf_assign(

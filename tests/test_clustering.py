@@ -37,3 +37,30 @@ def test_kmeans_k1_and_bad_args(spark):
     assert {r["cell"] for r in out} == {0}
     with pytest.raises(ValueError):
         kmeans_integer(df, k=0)
+
+
+def test_embedding_near_dups_clustered_finds_planted_dups(spark):
+    """Planted exact duplicates always survive cluster bucketing (identical
+    vectors cannot split cells), and the clustered pair set is a subset of
+    the all-pairs result (bucketing only ever drops cross-cell pairs)."""
+    from pyspark.sql import functions as F
+
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_clustered,
+    )
+
+    em = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    corpus = (
+        em.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+        .unionByName(
+            em.filter(F.col("vec_id") < 5).select(
+                (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    clustered = {(r.a, r.b) for r in embedding_near_dups_clustered(corpus, k=4).collect()}
+    full = {(r.a, r.b) for r in embedding_near_dups(corpus).collect()}
+    assert {(i, i + 10000) for i in range(5)} <= clustered
+    assert clustered <= full

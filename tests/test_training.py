@@ -307,3 +307,40 @@ def test_sample_weighted_deterministic_and_monotone(spark):
     assert not {k for k in r1 if k % 10 == 0}
     rates = {w: len([k for k in r1 if k % 10 == w]) / 200 for w in range(10)}
     assert rates[9] > rates[5] > rates[1]
+
+
+def test_approx_quantiles_within_declared_accuracy(spark):
+    """agg_approx_quantiles' rows-only waiver, evidence-backed: with
+    accuracy=1000, approx_percentile guarantees the returned element's exact
+    RANK lies within [floor((p-eps)*N), ceil((p+eps)*N)] for eps=1/1000
+    (it returns a data element, not an interpolated value, so the bound is
+    on rank).  Checked per (lang, percentile) on the sf0.01 table."""
+    import math
+
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    ps = [0.5, 0.9, 0.99]
+    eps = 1.0 / 1000
+    approx = {
+        r.lang: list(r.q)
+        for r in docs.groupBy("lang").agg(
+            F.approx_percentile("n_chars", F.array(*[F.lit(p) for p in ps]), F.lit(1000)).alias("q")
+        ).collect()
+    }
+    by_lang = {}
+    for r in docs.select("lang", "n_chars").collect():
+        by_lang.setdefault(r.lang, []).append(r.n_chars)
+    assert set(approx) == set(by_lang)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        for p, v in zip(ps, approx[lang]):
+            import bisect
+
+            rank_le = bisect.bisect_right(vals, v)   # values <= v
+            rank_lt = bisect.bisect_left(vals, v)    # values < v
+            lo = math.floor((p - eps) * n)
+            hi = math.ceil((p + eps) * n)
+            assert rank_le >= lo, (lang, p, v, rank_le, lo)
+            assert rank_lt <= hi, (lang, p, v, rank_lt, hi)

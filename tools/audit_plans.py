@@ -40,6 +40,10 @@ WAIVERS: dict[str, set[str]] = {
     # against the IVF path — its cross join is the thing being compared,
     # |Q|=10 broadcast by design.
     "similarity_ann_recall": {"CARTESIAN"},
+    # k-means assignment broadcasts the k-row centroid table against the
+    # corpus (bounded by k, the IVF/kmeans waiver pattern); the near-dup
+    # pair join itself is a cell equi-join, not a cross product.
+    "dedup_embedding_clustered": {"CARTESIAN"},
     "dedup_embedding_cosine": {"CARTESIAN"},
     # the reporting query combines two single-row count aggregates with a
     # 1x1 crossJoin; the pipeline itself has no cross product. Exchange
