@@ -487,7 +487,11 @@ def _open_local_or_uri(path: str):
 
 
 def scan_rdf_triples_split(
-    spark: SparkSession, path: str, glob: str = "*.owl", split_bytes: int = 32 << 20
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.owl",
+    split_bytes: int = 32 << 20,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Byte-range-parallel raw triples scan, bit-identical to
     ``scan_rdf_triples`` (same schema, same bnode numbering).
@@ -509,7 +513,13 @@ def scan_rdf_triples_split(
     magnitude cheaper than the DOM parse it parallelizes); fragment tasks
     re-read only their own range, so total I/O is 2× the corpus — the same
     trade Hadoop's XmlInputFormat makes.
+
+    ``on_error`` mirrors ``scan_rdf_triples``: 'fail' aborts on a malformed
+    file (the index pass detects malformation — expat scans every byte, so
+    nothing reaches the fragment stage unvalidated); 'skip' drops the file
+    and keeps the corpus-scale job alive.
     """
+    assert on_error in ("fail", "skip")
     files = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
 
     index_schema = StructType(
@@ -525,11 +535,18 @@ def scan_rdf_triples_split(
     )
 
     def index_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xml.parsers.expat import ExpatError
+
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
-                starts, header_end, footer_start = _index_top_level(data)
+                try:
+                    starts, header_end, footer_start = _index_top_level(data)
+                except ExpatError:
+                    if on_error == "fail":
+                        raise
+                    continue
                 for frag_start, frag_end, bnode_start in _plan_fragments(
                     starts, footer_start, split_bytes
                 ):

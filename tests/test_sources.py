@@ -279,3 +279,38 @@ def test_rdfxml_conformance_constructs(spark, tmp_path):
     split = scan_rdf_triples_split(spark, d, split_bytes=200)
     assert split.exceptAll(whole).count() == 0
     assert whole.exceptAll(split).count() == 0
+
+
+def test_split_scan_skip_and_edge_files(spark, tmp_path):
+    """on_error='skip' drops a malformed file but parses the rest; an RDF
+    file with zero top-level node elements contributes no rows and no
+    fragments (no crash)."""
+    import os
+
+    import pytest as _pytest
+
+    from cell_kn_mvp_etl_ontologies_spark.sources.owl import scan_rdf_triples_split
+
+    d = str(tmp_path / "mixed")
+    os.makedirs(d)
+    with open(os.path.join(d, "good.owl"), "w") as f:
+        f.write(
+            '<?xml version="1.0"?>\n'
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+            ' xmlns:owl="http://www.w3.org/2002/07/owl#">\n'
+            '  <owl:Class rdf:about="http://x/A"/>\n'
+            "</rdf:RDF>\n"
+        )
+    with open(os.path.join(d, "empty.owl"), "w") as f:
+        f.write(
+            '<?xml version="1.0"?>\n'
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"/>\n'
+        )
+    with open(os.path.join(d, "broken.owl"), "w") as f:
+        f.write("<rdf:RDF this is not xml")
+
+    with _pytest.raises(Exception):
+        scan_rdf_triples_split(spark, d).count()
+    rows = scan_rdf_triples_split(spark, d, on_error="skip").collect()
+    assert {r.src_file for r in rows} == {"good.owl"}
+    assert len(rows) == 1  # the rdf:type triple of http://x/A
