@@ -457,3 +457,73 @@ def stream_time_rollup_q(spark, sf_dir):
     )
     maintained = run_stream_to_table(minute, output_mode="complete")
     return rollup_cascade(maintained, ("minute", "hour", "day"))
+
+
+@register(
+    "stream_ann_index_maintain",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
+    cents AS (SELECT vec_id AS cell FROM corpus WHERE vec_id < 8),
+    cdots AS (
+      SELECT a.vec_id, c.cell, SUM(a.v * b.v) AS dot
+      FROM quant a
+      JOIN cents c ON TRUE
+      JOIN quant b ON b.vec_id = c.cell AND b.i = a.i
+      GROUP BY a.vec_id, c.cell
+    ),
+    ccos AS (
+      SELECT d.vec_id, d.cell,
+             CAST(d.dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) AS c_cos
+      FROM cdots d JOIN norms na ON na.vec_id = d.vec_id JOIN norms nb ON nb.vec_id = d.cell
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+      SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell ASC) AS rn
+      FROM ccos
+    ) WHERE rn = 1
+    """,
+)
+def stream_ann_index_maintain_q(spark, sf_dir):
+    """Continuous ANN-index maintenance (round 4) — the streaming analog of
+    build_ivf_index, completing the IVF production story: each arriving
+    embedding batch is assigned to its nearest centroid INSIDE foreachBatch
+    (the micro-batch is a plain batch frame, so the broadcast-scored
+    assignment + per-vector top-1 window run unchanged) and MERGEd into the
+    parquet index keyed by vec_id — re-delivered vectors update their cell
+    instead of duplicating, so the index converges under at-least-once
+    delivery.  O(batch) per trigger: the corpus-sized index is never
+    rebuilt.  Centroids here are the fixed deterministic subset
+    (similarity_ann_ivf's contract); a production loop would periodically
+    re-train with kmeans_fit and rebuild — maintenance and (re)build are
+    the same code path."""
+    import tempfile
+
+    from ..operators.similarity import ivf_assign
+    from ..streaming import read_embeddings_stream, run_stream_upsert
+    from . import finish_and_clean
+
+    centroids = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+    )
+
+    def assign_batch(batch_df):
+        return ivf_assign(batch_df, centroids, nprobe=1).select(
+            "vec_id", F.col("cell").cast("int").alias("cell")
+        )
+
+    stream = read_embeddings_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_ann_index_")
+    out = run_stream_upsert(
+        stream.select("vec_id", "embedding"),
+        root + "/state",
+        keys=["vec_id"],
+        transform=assign_batch,
+    )
+    return finish_and_clean(out.select("vec_id", "cell"), root)

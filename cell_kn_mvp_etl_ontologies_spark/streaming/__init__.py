@@ -1,5 +1,6 @@
 from .file_stream import (
     read_documents_stream,
+    read_embeddings_stream,
     read_events_stream,
     run_stream_apply_changes,
     run_stream_to_table,

@@ -53,21 +53,40 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings table — the ingestion side of
+    continuous ANN-index maintenance."""
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings*")
+        .parquet(sf_dir)
+    )
+
+
 def run_stream_upsert(
     df: DataFrame,
     path: str,
     keys: list[str],
     partition_by: list[str] | None = None,
     output_mode: str = "update",
+    transform=None,
 ) -> DataFrame:
     """Run a (bounded) stream with a foreachBatch MERGE into a parquet path
     and return the resulting table.  Each micro-batch upserts via the same
     join_upsert the batch sink uses — the continuous version of
     sink_graph_upsert (exactly-once per batch comes from the checkpointed
-    batch id in production; availableNow bounds it here)."""
+    batch id in production; availableNow bounds it here).
+
+    ``transform`` (optional, ``batch DataFrame -> DataFrame``) runs inside
+    foreachBatch, where the micro-batch is a plain batch frame — the place
+    for operators a streaming plan can't host directly (windows, top-k
+    ranking, broadcast-scored assignment)."""
     from ..sinks.graph import upsert_parquet
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         # dedup within the batch first: upsert keys must be unique per merge
         upsert_parquet(
             batch_df.sparkSession, batch_df.dropDuplicates(keys), path, keys, partition_by
