@@ -77,3 +77,34 @@ def test_ivf_prebuilt_matches_inline(spark):
     a = {(r.q_id, r.t_id, r.rnk) for r in inline.collect()}
     b = {(r.q_id, r.t_id, r.rnk) for r in pre.collect()}
     assert a == b
+
+
+def test_ivf_prebuilt_serve_has_no_index_side_exchange(spark):
+    """Plan pin for the serve-time claim in SCALE.md: probing a prebuilt
+    (cell-partitioned, persisted) index must broadcast the query probes —
+    the only exchanges in the serve plan are the index build's own
+    repartition (cached upstream) and the final small top-k shuffles, never
+    a fresh corpus-wide exchange keyed on cell."""
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_prebuilt,
+    )
+
+    em = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = em.filter(F.col("vec_id") < 4)
+    index = build_ivf_index(em, cents, n_partitions=4).persist()
+    index.count()
+    try:
+        out = ivf_topk_prebuilt(em.filter(F.col("vec_id") < 3), index, cents, k=3, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan  # index served from cache
+        # the candidate join consumes the broadcast probe side
+        assert "BroadcastHashJoin" in plan
+        # no sort-merge join anywhere in the serve path (would mean the
+        # index side got re-sorted/re-shuffled for the join)
+        assert "SortMergeJoin" not in plan
+    finally:
+        index.unpersist()
