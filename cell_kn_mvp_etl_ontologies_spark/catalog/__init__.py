@@ -71,3 +71,4 @@ def load_all() -> None:
     from . import fine_grained  # noqa: F401
     from . import training  # noqa: F401
     from . import scale_ops  # noqa: F401
+    from . import analytics  # noqa: F401

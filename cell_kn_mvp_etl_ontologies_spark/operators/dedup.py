@@ -283,3 +283,91 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def fuzzy_pairs_levenshtein(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    prefix_len: int = 12,
+    max_dist: int = 4,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs via prefix-bucketed candidate
+    generation: normalize (lower + trim), equi-join on the first
+    ``prefix_len`` characters, then refine with exact levenshtein ≤
+    ``max_dist``.  Output: (id_a, id_b, dist) with id_a < id_b.
+
+    The prefix bucket turns the all-pairs O(N²) comparison into an
+    equi-join whose cost is Σ bucket_size² — at 100 TB the buckets are the
+    unit of work and the levenshtein refine (JVM codegen, no Python) runs
+    only inside them.  Recall contract: a pair is found iff the edits all
+    fall AFTER the shared prefix; for edits anywhere, swap the bucket key
+    for a MinHash band key (dedup_minhash_lsh) and keep the same refine.
+    Boilerplate-heavy corpora (shared headers) make one bucket quadratic —
+    cap bucket size or extend prefix_len upstream for those.
+    """
+    norm = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.lower(F.trim(F.col(text_col))).alias("_t"),
+    ).withColumn("_pfx", F.substring(F.col("_t"), 1, prefix_len))
+    a, b = norm.alias("a"), norm.alias("b")
+    dist = F.levenshtein(F.col("a._t"), F.col("b._t"))
+    return (
+        a.join(
+            b,
+            (F.col("a._pfx") == F.col("b._pfx")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(dist <= max_dist)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )
+
+
+def duplicated_span_hashes(
+    df: DataFrame, text_col: str, id_col: str, window_tokens: int = 8
+) -> DataFrame:
+    """Cross-document duplicated token-window detection — the scalable core
+    of substring-level exact dedup (the suffix-array method of "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022, recast as
+    a window-hash equi-group instead of a monolithic suffix array).
+
+    Every ``window_tokens``-token sliding window is hashed; a hash held by
+    more than one document marks a duplicated span.  Output: (span, n_docs,
+    n_occurrences, first_doc) per duplicated window hash.
+
+    Scale: tokenization and window hashing are per-row expression work (no
+    shuffle, no Python); the only shuffle is the groupBy on the 128-bit span
+    hash, which partial-aggregates map-side.  Fan-out is ~one row per token
+    (each token starts ≤1 window), so the exploded set is O(total tokens) —
+    the same order as the corpus itself.  Downstream, consumers join spans
+    back to documents to splice out repeated regions; stop-phrase-grade
+    spans (boilerplate headers at 1e6+ occurrences) are the skew risk —
+    the groupBy's map-side combine absorbs them, and a HAVING-style cap on
+    n_occurrences bounds what flows to the join.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).cast("long").alias("_id"), toks.alias("_t"))
+    n_wins = F.size("_t") - window_tokens + 1
+    # Hash inside transform() so only the 32-char hashes explode — exploding
+    # the window INDEX instead would copy the whole token array into every
+    # window row within the stage.
+    span_hashes = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, window_tokens))),
+    )
+    wins = base.filter(F.size("_t") >= window_tokens).select(
+        "_id", F.explode(span_hashes).alias("span")
+    )
+    return (
+        wins
+        .groupBy("span")
+        .agg(
+            F.countDistinct("_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -212,3 +212,76 @@ def retention_cohorts(
             "n_users",
         )
     )
+
+
+def gap_fill_interpolate(
+    obs: DataFrame, key_col: str, bucket_col: str, value_col: str
+) -> DataFrame:
+    """Densify a bucketized series per key and linearly interpolate missing
+    buckets — the time-series ``gap fill`` / ``interpolate`` resample shape
+    (TimescaleDB's time_bucket_gapfill + interpolate, which the reference
+    family of ETL pipelines applies to versioned ontology release series).
+
+    ``obs`` has ONE row per (key, bucket) with ``value_col`` in integer
+    micro-units (BIGINT).  Output is the dense min..max bucket grid per key
+    with ``value_units`` = observed value, or the linear interpolation
+    between the nearest observed neighbours, and an ``interpolated`` flag.
+
+    Exactness: interpolation is floor((pv*(nb-b) + nv*(b-pb)) / (nb-pb))
+    computed in DOUBLE; numerator stays < 2^53 for micro-unit values below
+    ~1e3 units × 1e6 scale × 1e3-bucket gaps, so the floor is bit-exact and
+    cross-engine hash-stable.
+
+    Scale: the grid explode is bounded by span length per key (a sequence()
+    per key row, no shuffle); the fill itself is two single-partition-key
+    window passes (one ordering, Spark fuses both frames over one sort), so
+    the whole operator is one shuffle on ``key_col``.  Skewed span lengths
+    (one key spanning years at second grain) are the risk at scale — bucket
+    coarsening or span capping upstream, not this operator, addresses that.
+    """
+    from pyspark.sql import Window
+
+    k, b, v = F.col(key_col), F.col(bucket_col), F.col(value_col)
+    span = obs.groupBy(key_col).agg(
+        F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1")
+    )
+    grid = span.select(
+        key_col, F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias(bucket_col)
+    )
+    j = grid.join(obs, [key_col, bucket_col], "left")
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(v.isNotNull(), b)
+    f = j.select(
+        k.cast("long").alias(key_col),
+        b.cast("long").alias(bucket_col),
+        v.alias("_v"),
+        F.last(v, ignorenulls=True).over(w_prev).alias("_pv"),
+        F.last(obs_bucket, ignorenulls=True).over(w_prev).alias("_pb"),
+        F.first(v, ignorenulls=True).over(w_next).alias("_nv"),
+        F.first(obs_bucket, ignorenulls=True).over(w_next).alias("_nb"),
+    )
+    interp = F.floor(
+        (
+            F.col("_pv") * (F.col("_nb") - F.col(bucket_col))
+            + F.col("_nv") * (F.col(bucket_col) - F.col("_pb"))
+        )
+        / (F.col("_nb") - F.col("_pb")).cast("double")
+    )
+    return f.select(
+        key_col,
+        bucket_col,
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("value_units"),
+        F.col("_v").isNull().alias("interpolated"),
+    )

@@ -246,3 +246,47 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         how="left_semi",
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    v: str = "v",
+) -> DataFrame:
+    """Multi-source BFS: shortest hop distance (≤ ``max_hops``) from any
+    seed vertex, over a directed edge list.  Output: (v, dist BIGINT) for
+    every vertex within ``max_hops`` of a seed — the bounded-depth
+    traversal behind ontology neighborhood queries (the reference walks
+    subclass chains a fixed number of AQL hops; e.g. the 1..n-depth
+    traversals issued by its graph query endpoints).
+
+    Bellman-Ford-style min propagation: each round joins the current
+    distance frame to the edge list and folds with min(dist) — after k
+    rounds distances ≤ k are exact, and min-folding makes the result
+    independent of join order (deterministic, hash-gateable).
+
+    Scale: each round is one equi-join on the vertex key plus one
+    map-side-combining min-aggregate — 2 keyed shuffles per hop, the same
+    shape as pagerank_integer above.  The distance frame is O(|reached|),
+    never O(edges); repartition both sides on the vertex key upstream to
+    make the per-round joins co-partitioned.  For deep traversals (> ~5
+    hops) switch to frontier-only propagation (join only rows whose dist
+    equals the round number) and localCheckpoint every few rounds to cut
+    lineage — at ≤3 hops the straight fold is cheaper than the extra
+    bookkeeping.
+    """
+    cur = seeds.select(F.col(v).cast("long").alias(v), F.lit(0).cast("long").alias("dist"))
+    e = edges.select(F.col(src).cast("long").alias(src), F.col(dst).cast("long").alias(dst))
+    for _ in range(max_hops):
+        nxt = cur.join(e, cur[v] == e[src]).select(
+            F.col(dst).alias(v), (F.col("dist") + F.lit(1).cast("long")).alias("dist")
+        )
+        cur = (
+            cur.unionByName(nxt)
+            .groupBy(v)
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return cur

@@ -1,0 +1,171 @@
+"""Round-4 analytics additions: gap-fill interpolation, unpivot, fuzzy
+levenshtein dedup, bounded BFS, and substring-span dedup — golden semantics
+plus the plan-shape claims their docstrings make."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.operators.dedup import (
+    duplicated_span_hashes,
+    fuzzy_pairs_levenshtein,
+)
+from cell_kn_mvp_etl_ontologies_spark.operators.temporal import gap_fill_interpolate
+from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import bfs_distances
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# --------------------------------------------------------------------------
+# gap_fill_interpolate
+# --------------------------------------------------------------------------
+def test_gap_fill_interpolates_interior_gaps(spark):
+    obs = spark.createDataFrame(
+        [(1, 10, 100), (1, 13, 400), (1, 14, 1000), (2, 5, 50)],
+        "k long, b long, v long",
+    )
+    out = gap_fill_interpolate(obs, "k", "b", "v")
+    got = {(r.k, r.b): (r.value_units, r.interpolated) for r in out.collect()}
+    # key 1 spans 10..14; buckets 11, 12 interpolate 100 -> 400 over gap 3
+    assert got[(1, 10)] == (100, False)
+    assert got[(1, 11)] == (200, True)
+    assert got[(1, 12)] == (300, True)
+    assert got[(1, 13)] == (400, False)
+    assert got[(1, 14)] == (1000, False)
+    # single-observation key has a 1-bucket span, nothing to fill
+    assert got[(2, 5)] == (50, False)
+    assert len(got) == 6
+
+
+def test_gap_fill_floor_semantics_on_uneven_gap(spark):
+    # 0 -> 10 over a 3-bucket gap: exact thirds floor to 3 and 6
+    obs = spark.createDataFrame([(1, 0, 0), (1, 3, 10)], "k long, b long, v long")
+    out = gap_fill_interpolate(obs, "k", "b", "v")
+    got = {r.b: r.value_units for r in out.collect()}
+    assert got == {0: 0, 1: 3, 2: 6, 3: 10}
+
+
+def test_gap_fill_single_shuffle_plan(spark):
+    obs = spark.createDataFrame([(1, 0, 0), (1, 5, 10)], "k long, b long, v long")
+    plan = (
+        gap_fill_interpolate(obs, "k", "b", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the two window frames share one partitioning+sort; the span agg and
+    # grid join add exchanges over the same key, but no bucket-level shuffle
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# fuzzy_pairs_levenshtein
+# --------------------------------------------------------------------------
+def test_fuzzy_pairs_finds_suffix_edits_only_within_bucket(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumped"),  # dist 2 from doc 1, same prefix
+            (3, "a completely different text"),
+            (4, "THE QUICK brown fox jumps"),  # same after lower() -> dist 0
+            (5, "xhe quick brown fox jumps"),  # first-char edit: other bucket
+        ],
+        "doc_id long, text string",
+    )
+    out = fuzzy_pairs_levenshtein(docs, "text", "doc_id", prefix_len=12, max_dist=4)
+    pairs = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+    assert pairs[(1, 2)] == 2
+    assert pairs[(1, 4)] == 0
+    assert pairs[(2, 4)] == 2
+    # doc 5 differs in the bucketing prefix -> not a candidate (recall contract)
+    assert not any(5 in p for p in pairs)
+    assert not any(3 in p for p in pairs)
+
+
+def test_fuzzy_pairs_plan_is_equijoin_not_cartesian(spark):
+    docs = spark.createDataFrame(
+        [(i, f"prefix shared {i}") for i in range(50)], "doc_id long, text string"
+    )
+    plan = (
+        fuzzy_pairs_levenshtein(docs, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# bfs_distances
+# --------------------------------------------------------------------------
+def test_bfs_distances_shortest_paths_on_path_graph(spark):
+    # path 1-2-3-4-5 plus shortcut 1-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src long, dst long"
+    )
+    sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = spark.createDataFrame([(1,)], "v long")
+    out = bfs_distances(sym, seeds, max_hops=3)
+    got = {r.v: r.dist for r in out.collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (4,)], "v long")
+    out = bfs_distances(edges, seeds, max_hops=2)
+    got = {r.v: r.dist for r in out.collect()}
+    # directed: 4 reaches nothing; 1 reaches 2 and 3
+    assert got == {1: 0, 2: 1, 3: 2, 4: 0}
+
+
+def test_bfs_distances_hop_bound_excludes_far_vertices(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(6)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "v long")
+    out = bfs_distances(edges, seeds, max_hops=2)
+    got = {r.v: r.dist for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+# --------------------------------------------------------------------------
+# duplicated_span_hashes
+# --------------------------------------------------------------------------
+def test_duplicated_spans_detects_shared_window(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {shared} outro"),
+            (2, f"different opening here {shared}"),
+            (3, "no overlap with anything else at all whatsoever truly"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_span_hashes(docs, "text", "doc_id", window_tokens=8)
+    rows = out.collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.n_docs == 2 and r.n_occurrences == 2 and r.first_doc == 1
+
+
+def test_duplicated_spans_short_docs_and_within_doc_repeats_excluded(spark):
+    rep = "a b c d e f g h " * 2  # window repeats WITHIN one doc only
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, rep)], "doc_id long, text string"
+    )
+    out = duplicated_span_hashes(docs, "text", "doc_id", window_tokens=8)
+    assert out.count() == 0  # n_docs > 1 required
+
+
+def test_duplicated_spans_explodes_hashes_not_token_arrays(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f g h i j")], "doc_id long, text string")
+    out = duplicated_span_hashes(docs, "text", "doc_id", window_tokens=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # single Generate over the transform()'d hash array; one aggregate exchange
+    assert plan.count("Generate") == 1
+    assert "md5" not in plan.split("Generate")[0], (
+        "md5 must be computed before the explode, not per exploded row"
+    )
