@@ -169,3 +169,36 @@ def test_duplicated_spans_explodes_hashes_not_token_arrays(spark):
     assert "md5" not in plan.split("Generate")[0], (
         "md5 must be computed before the explode, not per exploded row"
     )
+
+
+# --------------------------------------------------------------------------
+# documented-risk robustness
+# --------------------------------------------------------------------------
+def test_gap_fill_long_span_boundaries(spark):
+    # one key spanning 10k buckets with only the endpoints observed: the
+    # dense grid is the span-skew case the docstring names — interior fills
+    # must interpolate exactly and the grid must not duplicate buckets
+    obs = spark.createDataFrame([(1, 0, 0), (1, 10000, 10000000)], "k long, b long, v long")
+    out = gap_fill_interpolate(obs, "k", "b", "v")
+    assert out.count() == 10001
+    assert out.filter(F.col("interpolated")).count() == 9999
+    mid = out.filter(F.col("b") == 5000).first()
+    assert mid.value_units == 5000000  # exact linear midpoint
+    # monotone series stays monotone under floor interpolation
+    vals = [r.value_units for r in out.orderBy("b").collect()]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+
+def test_duplicated_spans_hot_span_counts(spark):
+    # one boilerplate window shared by 200 docs (the stop-phrase skew case):
+    # counts must stay exact through the map-side-combining aggregate
+    shared = "x1 x2 x3 x4 x5 x6 x7 x8"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} tail{i} {shared}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = duplicated_span_hashes(docs, "text", "doc_id", window_tokens=8)
+    rows = {r.span: r for r in out.collect()}
+    hot = [r for r in rows.values() if r.n_docs == 200]
+    assert len(hot) == 1
+    assert hot[0].n_occurrences == 200 and hot[0].first_doc == 0
