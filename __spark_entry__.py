@@ -82,6 +82,23 @@ _PRIORITY = [
     # in the local full-catalog artifact (CORRECTNESS_LOCAL_r04.json, same
     # checker tools/check_correctness.py).
     #
+    # ROUND-5 ROTATION PLAN (precomputed this round): after r4's gate runs,
+    # exactly 32 catalog queries will still lack driver evidence — rotate
+    # THEM into the front of the r5 prefix: the round-4 late additions
+    # (temporal_gap_fill, agg_unpivot_long, dedup_fuzzy_levenshtein,
+    # graph_bfs_distance, dedup_substring_spans, dedup_embedding_clustered,
+    # agg_approx_quantiles, stream_ann_index_maintain, sink_bucketed_table,
+    # sink_compact, text_inverted_index_capped, udf_grouped_agg,
+    # multimodal_decode_stub/frame_sample/resize, window_analytics,
+    # agg_dedup_edges_last_wins, agg_approx_distinct) plus the 14 remaining
+    # r1-r3 locals (ddl_database_graph, filter_quality_percentile,
+    # interleave_weighted, pack_sequences, sample_cap_per_group,
+    # sample_stratified, shard_assign, sink_range_sharded,
+    # text_c4_line_filter, text_edge_ngram_analyzer, text_inverted_index_view,
+    # text_ngram_analyzer, text_repetition_filter, text_search_ddl) — then
+    # fill the remaining ~18 slots with the oldest driver-green queries
+    # (r1 evidence only) so recency stays fresh.
+    #
     # new in round 4 (never seen by any gate before)
     "scan_rdf_triples_split", "similarity_ann_recall",
     # streaming (§2.11) — the entire family had zero driver evidence
