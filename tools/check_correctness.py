@@ -68,6 +68,8 @@ def main() -> int:
     ap.add_argument("--json-out", default=None, help="write per-query results (driver CORRECTNESS shape) to this path")
     ap.add_argument("--ansi", default=None, choices=["true", "false"],
                     help="force spark.sql.ansi.enabled (default: engine default) — the driver's session config is unknown, so the gate must pass under BOTH modes")
+    ap.add_argument("--tz", default=None,
+                    help="force spark.sql.session.timeZone (e.g. America/New_York) — the gate must be timezone-independent: all event-time math runs on TIMESTAMP_NTZ")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -88,6 +90,8 @@ def main() -> int:
     )
     if args.ansi is not None:
         builder = builder.config("spark.sql.ansi.enabled", args.ansi)
+    if args.tz is not None:
+        builder = builder.config("spark.sql.session.timeZone", args.tz)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
