@@ -70,6 +70,8 @@ def main() -> int:
                     help="force spark.sql.ansi.enabled (default: engine default) — the driver's session config is unknown, so the gate must pass under BOTH modes")
     ap.add_argument("--tz", default=None,
                     help="force spark.sql.session.timeZone (e.g. America/New_York) — the gate must be timezone-independent: all event-time math runs on TIMESTAMP_NTZ")
+    ap.add_argument("--master", default=None,
+                    help="override the Spark master, e.g. local-cluster[4,4,4096] to run the gate across REAL executor processes (separate heaps, wire serialization, executor-side Python workers) instead of local threads")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -82,7 +84,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     builder = (
-        SparkSession.builder.master(f"local[{args.cpus}]")
+        SparkSession.builder.master(args.master or f"local[{args.cpus}]")
         .appName("check-correctness")
         .config("spark.sql.shuffle.partitions", str(int(args.cpus) * 2))
         .config("spark.ui.enabled", "false")
@@ -92,6 +94,11 @@ def main() -> int:
         builder = builder.config("spark.sql.ansi.enabled", args.ansi)
     if args.tz is not None:
         builder = builder.config("spark.sql.session.timeZone", args.tz)
+    if args.master is not None:
+        # Multi-process masters spawn executor-side Python workers that must
+        # import this package — the local equivalent of shipping it with
+        # --py-files / a cluster pip install on a real deployment.
+        builder = builder.config("spark.executorEnv.PYTHONPATH", REPO)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
