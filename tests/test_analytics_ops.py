@@ -202,3 +202,32 @@ def test_duplicated_spans_hot_span_counts(spark):
     hot = [r for r in rows.values() if r.n_docs == 200]
     assert len(hot) == 1
     assert hot[0].n_occurrences == 200 and hot[0].first_doc == 0
+
+
+def test_new_ops_empty_inputs(spark):
+    # all five operators must return empty frames (not raise) on empty input
+    empty_obs = spark.createDataFrame([], "k long, b long, v long")
+    assert gap_fill_interpolate(empty_obs, "k", "b", "v").count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert fuzzy_pairs_levenshtein(empty_docs, "text", "doc_id").count() == 0
+    assert duplicated_span_hashes(empty_docs, "text", "doc_id").count() == 0
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    no_seeds = spark.createDataFrame([], "v long")
+    assert bfs_distances(edges, no_seeds, max_hops=2).count() == 0
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    seeds = spark.createDataFrame([(7,)], "v long")
+    got = {r.v: r.dist for r in bfs_distances(no_edges, seeds, max_hops=2).collect()}
+    assert got == {7: 0}  # seeds survive with distance 0
+
+
+def test_gap_fill_null_text_and_fuzzy_null_safety(spark):
+    # null text rows must not poison the prefix bucket join
+    docs = spark.createDataFrame(
+        [(1, "same prefix here a"), (2, "same prefix here b"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = fuzzy_pairs_levenshtein(docs, "text", "doc_id")
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(1, 2)}
+    spans = duplicated_span_hashes(docs, "text", "doc_id", window_tokens=3)
+    assert not any(r.first_doc == 3 for r in spans.collect())
