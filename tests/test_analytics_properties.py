@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis) for the round-4 analytics operators.
+
+Each property checks an invariant that must hold for ANY input, not a
+golden case: gap fill against a pure-Python interpolation reference, BFS
+against the triangle inequality + an exact Dijkstra-free reference on
+random graphs, and duplicated-span detection against a pure-Python window
+counter.  Example counts stay small (one Spark job per example)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cell_kn_mvp_etl_ontologies_spark.operators.dedup import duplicated_span_hashes
+from cell_kn_mvp_etl_ontologies_spark.operators.temporal import gap_fill_interpolate
+from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import bfs_distances
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+# -- gap fill --------------------------------------------------------------
+
+def ref_gap_fill(obs: dict[int, int]) -> dict[int, int]:
+    """Pure-Python reference: dense grid over [min,max], floor-interpolated."""
+    buckets = sorted(obs)
+    out: dict[int, int] = {}
+    import math
+
+    for lo, hi in zip(buckets, buckets[1:]):
+        out[lo] = obs[lo]
+        for b in range(lo + 1, hi):
+            out[b] = math.floor(
+                (obs[lo] * (hi - b) + obs[hi] * (b - lo)) / float(hi - lo)
+            )
+    out[buckets[-1]] = obs[buckets[-1]]
+    return out
+
+
+@SETTINGS
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=-10**9, max_value=10**9),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gap_fill_matches_python_reference(spark, obs):
+    df = spark.createDataFrame([(1, b, v) for b, v in obs.items()], "k long, b long, v long")
+    got = {r.b: r.value_units for r in gap_fill_interpolate(df, "k", "b", "v").collect()}
+    assert got == ref_gap_fill(obs)
+
+
+# -- BFS -------------------------------------------------------------------
+
+def ref_bfs(edges: list[tuple[int, int]], seeds: set[int], max_hops: int) -> dict[int, int]:
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {v for u in frontier for v in adj[u] if v not in dist}
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    return dist
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sets(st.integers(0, 12), min_size=1, max_size=3),
+)
+def test_bfs_matches_reference_and_triangle_inequality(spark, edges, seeds):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(v,) for v in seeds], "v long")
+    got = {r.v: r.dist for r in bfs_distances(e, s, max_hops=3).collect()}
+    assert got == ref_bfs(edges, seeds, 3)
+    # triangle inequality on every edge whose endpoints were both reached
+    for a, b in edges:
+        if a in got and b in got:
+            assert got[b] <= got[a] + 1
+
+
+# -- duplicated spans ------------------------------------------------------
+
+def ref_spans(docs: dict[int, list[str]], w: int) -> dict[str, tuple[int, int, int]]:
+    occ: dict[str, list[int]] = defaultdict(list)
+    for doc_id, toks in docs.items():
+        for i in range(len(toks) - w + 1):
+            h = hashlib.md5(" ".join(toks[i : i + w]).encode()).hexdigest()
+            occ[h].append(doc_id)
+    return {
+        h: (len(set(ids)), len(ids), min(ids))
+        for h, ids in occ.items()
+        if len(set(ids)) > 1
+    }
+
+
+@SETTINGS
+@given(
+    st.dictionaries(
+        st.integers(0, 6),
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=10),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_duplicated_spans_match_python_reference(spark, docs):
+    w = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r.span: (r.n_docs, r.n_occurrences, r.first_doc)
+        for r in duplicated_span_hashes(df, "text", "doc_id", window_tokens=w).collect()
+    }
+    # empty-text docs tokenize to [''] in Spark's split-of-empty-string; the
+    # reference mirrors that by treating [] and [''] identically for w=3
+    # (neither yields a window), so compare on the non-degenerate corpus
+    assert got == ref_spans({i: t for i, t in docs.items()}, w)
