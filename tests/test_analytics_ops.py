@@ -14,10 +14,6 @@ from cell_kn_mvp_etl_ontologies_spark.operators.temporal import gap_fill_interpo
 from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import bfs_distances
 
 
-def _rows(df):
-    return {tuple(r) for r in df.collect()}
-
-
 # --------------------------------------------------------------------------
 # gap_fill_interpolate
 # --------------------------------------------------------------------------
