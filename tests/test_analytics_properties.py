@@ -131,3 +131,45 @@ def test_duplicated_spans_match_python_reference(spark, docs):
     # reference mirrors that by treating [] and [''] identically for w=3
     # (neither yields a window), so compare on the non-degenerate corpus
     assert got == ref_spans({i: t for i, t in docs.items()}, w)
+
+
+# -- fuzzy levenshtein -----------------------------------------------------
+
+def ref_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet="abc x", min_size=0, max_size=20),
+        min_size=2,
+        max_size=6,
+        unique=True,
+    )
+)
+def test_fuzzy_pairs_match_python_reference(spark, texts):
+    from cell_kn_mvp_etl_ontologies_spark.operators.dedup import fuzzy_pairs_levenshtein
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs_levenshtein(df, "text", "doc_id", prefix_len=4, max_dist=3).collect()
+    }
+    # reference: same normalize -> prefix bucket -> refine
+    norm = [(i, t.lower().strip()) for i, t in docs]
+    want = {}
+    for ia, ta in norm:
+        for ib, tb in norm:
+            if ia < ib and ta[:4] == tb[:4]:
+                d = ref_levenshtein(ta, tb)
+                if d <= 3:
+                    want[(ia, ib)] = d
+    assert got == want
