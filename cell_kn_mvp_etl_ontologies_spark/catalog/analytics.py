@@ -259,3 +259,239 @@ def dedup_substring_spans_q(spark, sf_dir):
     )
     corpus = base.unionByName(shifted)
     return duplicated_span_hashes(corpus, "text", "doc_id", window_tokens=8)
+
+
+# --------------------------------------------------------------------------
+# join_bloom_prefilter — Bloom semi-join reduction ahead of the exchange
+# --------------------------------------------------------------------------
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    WITH keys AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey % 19 = 0
+    ),
+    kh AS (
+      SELECT k,
+        ('0x' || substring(md5('bloom|' || CAST(k AS VARCHAR)), 1, 15))::BIGINT AS h1,
+        (('0x' || substring(md5('bloom|' || CAST(k AS VARCHAR)), 16, 15))::BIGINT | 1) AS h2
+      FROM keys
+    ),
+    pos AS (
+      SELECT ((h1 + i.i * h2) % 2048) AS pos
+      FROM kh, (SELECT unnest(range(0, 4)) AS i) i
+    ),
+    words AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+      FROM pos GROUP BY 1
+    ),
+    oh AS (
+      SELECT o_orderpriority, o_custkey,
+        ('0x' || substring(md5('bloom|' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h1,
+        (('0x' || substring(md5('bloom|' || CAST(o_custkey AS VARCHAR)), 16, 15))::BIGINT | 1) AS h2
+      FROM orders
+    ),
+    cand AS (
+      SELECT o_orderpriority, o_custkey FROM oh
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT unnest(range(0, 4)) AS i) i
+        WHERE (COALESCE((SELECT word FROM words w
+                         WHERE w.word_idx = ((oh.h1 + i.i * oh.h2) % 2048) // 32),
+                        0)
+               & (1::BIGINT << CAST(((oh.h1 + i.i * oh.h2) % 2048) % 32 AS INT))) = 0
+      )
+    )
+    SELECT o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      CAST(COUNT(k) AS BIGINT) AS n_matched
+    FROM cand LEFT JOIN keys ON cand.o_custkey = keys.k
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter_q(spark, sf_dir):
+    """Bloom semi-join reduction (operators/sketches.py): a 2048-bit filter
+    over a selective customer subset, broadcast and applied to orders BEFORE
+    any shuffle — only might-match rows reach the exact join.  The output
+    hash-gates BOTH halves of the contract: n_candidates checks the filter
+    bit-for-bit against the oracle's SQL replica (same md5/KM positions,
+    same words), and n_matched must equal a plain join's count — a single
+    dropped true match breaks the hash (no false negatives)."""
+    from ..operators.sketches import bloom_build, bloom_prefilter
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 19 == 0)
+    )
+    keys = cust.select("c_custkey")
+    bloom = bloom_build(keys, "c_custkey", m_bits=2048, k=4)
+    orders = _t(spark, sf_dir, "orders")
+    cand = bloom_prefilter(orders, "o_custkey", bloom, m_bits=2048, k=4)
+    matched = cand.join(
+        F.broadcast(keys), cand["o_custkey"] == keys["c_custkey"], "left"
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.count("c_custkey").cast("long").alias("n_matched"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_heavy_hitters_cms — count-min sketch vs exact counts on the top items
+# --------------------------------------------------------------------------
+@register(
+    "agg_heavy_hitters_cms",
+    oracle="""
+    WITH items AS (SELECT CAST(l_partkey AS BIGINT) AS item FROM lineitem),
+    h AS (
+      SELECT item,
+        ('0x' || substring(md5('cms|' || CAST(item AS VARCHAR)), 1, 15))::BIGINT AS h1,
+        (('0x' || substring(md5('cms|' || CAST(item AS VARCHAR)), 16, 15))::BIGINT | 1) AS h2
+      FROM items
+    ),
+    cells AS (
+      SELECT r.r AS r, ((h1 + r.r * h2) % 256) AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM h, (SELECT unnest(range(0, 4)) AS r) r
+      GROUP BY 1, 2
+    ),
+    true_counts AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM items GROUP BY item
+    ),
+    top AS (SELECT * FROM true_counts ORDER BY true_cnt DESC, item LIMIT 10),
+    tc AS (
+      SELECT t.item, r.r AS r,
+        ((('0x' || substring(md5('cms|' || CAST(t.item AS VARCHAR)), 1, 15))::BIGINT
+          + r.r * ((('0x' || substring(md5('cms|' || CAST(t.item AS VARCHAR)), 16, 15))::BIGINT) | 1))
+         % 256) AS c
+      FROM top t, (SELECT unnest(range(0, 4)) AS r) r
+    ),
+    est AS (
+      SELECT tc.item, MIN(COALESCE(cells.cnt, 0)) AS cms_est
+      FROM tc LEFT JOIN cells ON cells.r = tc.r AND cells.c = tc.c
+      GROUP BY tc.item
+    )
+    SELECT top.item, top.true_cnt,
+      CAST(est.cms_est AS BIGINT) AS cms_est,
+      CAST(est.cms_est - top.true_cnt AS BIGINT) AS overestimate
+    FROM top JOIN est ON top.item = est.item
+    """,
+)
+def agg_heavy_hitters_cms_q(spark, sf_dir):
+    """Count-min heavy hitters (operators/sketches.py): a 4x256-cell CMS over
+    lineitem part keys, probed at the true top-10 items (deterministic
+    count-desc, key-asc order).  Every cell is md5/KM-derived so the oracle
+    rebuilds the identical sketch; the gate checks estimates cell-exactly,
+    and `overestimate` >= 0 row-by-row is the CMS one-sided error guarantee
+    made visible.  The sketch is depth*width bounded state, mergeable by
+    summing cells — the fixed-memory answer to frequency questions a 100 TB
+    item domain makes uncountable exactly."""
+    from ..operators.sketches import count_min_build, count_min_estimate
+
+    items = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("item")
+    )
+    cms = count_min_build(items, "item", depth=4, width=256, salt="cms")
+    true_counts = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    top = true_counts.orderBy(F.col("true_cnt").desc(), F.col("item")).limit(10)
+    est = count_min_estimate(
+        top.select("item"), "item", cms, depth=4, width=256, salt="cms"
+    )
+    return top.join(est, "item").select(
+        "item",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).cast("long").alias("overestimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_chunk_split — overlapping context-window chunking for embedding/RAG
+# --------------------------------------------------------------------------
+@register(
+    "text_chunk_split",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS len FROM documents
+      WHERE doc_id % 7 = 0 AND length(text) > 0
+    ),
+    g AS (
+      SELECT doc_id, text, len,
+             unnest(range(0, (len - 1) // 90 + 1)) AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id,
+      CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      CAST((len - 1) // 90 + 1 AS BIGINT) AS n_chunks,
+      CAST(length(substring(text, CAST(chunk_idx * 90 + 1 AS INT), 120)) AS BIGINT)
+        AS chunk_chars,
+      md5(substring(text, CAST(chunk_idx * 90 + 1 AS INT), 120)) AS chunk_md5
+    FROM g
+    """,
+)
+def text_chunk_split_q(spark, sf_dir):
+    """Overlapping character-window chunking (operators/text_analysis.py
+    chunk_text): chunk_len=120, stride=90 — each doc yields its full cover of
+    windows, the 30-char overlap keeping boundary-straddling sentences whole
+    in at least one chunk.  Map-only explode inside codegen (no shuffle);
+    chunks surfaced as md5 digests so the gate checks every chunk's exact
+    bytes without hauling text."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    from ..operators.text_analysis import chunk_text
+
+    ch = chunk_text(docs, "text", "doc_id", chunk_len=120, stride=90)
+    return ch.select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "n_chunks",
+        "chunk_chars",
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# filter_outlier_mad — robust per-group outlier screen (median ± k*MAD)
+# --------------------------------------------------------------------------
+@register(
+    "filter_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS grp_median
+      FROM documents GROUP BY lang
+    ),
+    j AS (
+      SELECT d.lang, CAST(d.n_chars AS BIGINT) AS n_chars, m.grp_median
+      FROM documents d JOIN med m ON d.lang = m.lang
+    ),
+    mad AS (
+      SELECT lang, quantile_cont(abs(n_chars - grp_median), 0.5) AS grp_mad
+      FROM j GROUP BY lang
+    )
+    SELECT j.lang,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN abs(j.n_chars - j.grp_median) > 3.0 * mad.grp_mad
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      MIN(j.grp_median) AS median_chars,
+      MIN(mad.grp_mad) AS mad_chars
+    FROM j JOIN mad ON j.lang = mad.lang
+    GROUP BY j.lang
+    """,
+)
+def filter_outlier_mad_q(spark, sf_dir):
+    """Robust per-language length-outlier screen (operators/quality.py
+    mad_outlier_filter): median ± 3*MAD, the curation cut that mean±k*sigma
+    gets wrong because outliers drag the moments.  Integer lengths make the
+    median halves and the MAD quarters — dyadic rationals, bit-exact in
+    doubles — so the boundary comparison hash-gates cleanly cross-engine."""
+    from ..operators.quality import mad_outlier_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    flagged = mad_outlier_filter(docs, "lang", "n_chars", n_mads=3.0)
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.min("grp_median").alias("median_chars"),
+        F.min("grp_mad").alias("mad_chars"),
+    )

@@ -202,3 +202,49 @@ def check_expectations(
         F.col("violations").cast("long").alias("violations"),
         (F.col("violations") == 0).alias("passed"),
     ).orderBy("constraint")
+
+
+def mad_outlier_filter(
+    df: DataFrame, group_col: str, value_col: str, n_mads: float = 3.0
+) -> DataFrame:
+    """Robust per-group outlier cut: keep rows whose value lies within
+    ``n_mads`` median-absolute-deviations of their group's median — the
+    length/score outlier screen a curation pipeline runs per language or per
+    source, where mean±k*stddev would let the outliers themselves drag the
+    cutoff (median and MAD have a 50% breakdown point; moments have 0%).
+
+    Exact MAD is inherently two order statistics deep (median first, then
+    the median of deviations FROM it), so the shape is: per-group median
+    (one aggregate at group cardinality, broadcast back), deviation pass
+    (second aggregate, broadcast back), filter pass — three scans of the
+    raw input with only group-cardinality frames ever shuffled or
+    broadcast.  At 100 TB, cache/checkpoint the input projection once and
+    the two stats passes read the cached columnar slice; or swap both
+    ``percentile`` calls for ``approx_percentile`` to collapse the sketch
+    state (the cut tolerance then dominates the approximation error).
+
+    Determinism: with integer values, medians interpolate to halves and the
+    MAD to quarters — dyadic rationals, exact in binary doubles, so the
+    boundary comparison cannot waver cross-engine.
+
+    Output: input columns + (grp_median, grp_mad, is_outlier) for ALL rows —
+    callers filter on ``is_outlier`` (the query form reports both counts).
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("grp_median")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = (
+        with_med.groupBy(group_col)
+        .agg(
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("grp_median")), F.lit(0.5)
+            ).alias("grp_mad")
+        )
+    )
+    out = with_med.join(F.broadcast(mad), group_col)
+    return out.withColumn(
+        "is_outlier",
+        F.abs(F.col(value_col) - F.col("grp_median"))
+        > F.lit(float(n_mads)) * F.col("grp_mad"),
+    )

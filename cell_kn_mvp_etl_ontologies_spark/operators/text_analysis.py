@@ -151,3 +151,52 @@ def filter_quality_percentile(
         .filter(F.col("pct") >= F.lit(min_pct))
         .select("id", F.col("grp").alias(group_col), "quality", "pct")
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_len: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split each document into fixed-size overlapping character windows —
+    the context-window chunking step of an embedding/retrieval corpus build
+    (chunk, embed, index), where ``stride < chunk_len`` gives the overlap
+    that keeps sentences straddling a boundary retrievable.
+
+    Chunk starts are 0, stride, 2*stride, ... while start < length: every
+    document yields ceil(len/stride)-ish chunks, the last possibly short but
+    never empty.  Pure per-row expressions (sequence + explode + substring),
+    no shuffle, linear ~len/stride fan-out inside codegen — at 100 TB the
+    chunker is a map-only stage that pipelines straight into the embedding
+    UDF or the token counter.
+
+    Output: (id, chunk_idx, n_chunks, chunk_chars, chunk) — one row per
+    chunk, ``chunk_idx`` 0-based.  Empty/NULL documents yield no rows.
+    """
+    last_idx = F.floor((F.length(F.col(text_col)) - 1) / stride).cast("int")
+    out = (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            (last_idx + 1).cast("long").alias("n_chunks"),
+            F.col(text_col).alias("_txt"),
+            F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"),
+        )
+        .select(
+            "id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "n_chunks",
+            F.expr(f"substring(_txt, chunk_idx * {stride} + 1, {chunk_len})").alias(
+                "chunk"
+            ),
+        )
+    )
+    return out.select(
+        "id",
+        "chunk_idx",
+        "n_chunks",
+        F.length("chunk").cast("long").alias("chunk_chars"),
+        "chunk",
+    )

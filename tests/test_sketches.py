@@ -1,0 +1,138 @@
+"""Tests for operators/sketches.py (Bloom prefilter, count-min sketch),
+chunk_text, and mad_outlier_filter — the round-4 third-block additions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.operators.quality import mad_outlier_filter
+from cell_kn_mvp_etl_ontologies_spark.operators.sketches import (
+    bloom_build,
+    bloom_prefilter,
+    count_min_build,
+    count_min_estimate,
+)
+from cell_kn_mvp_etl_ontologies_spark.operators.text_analysis import chunk_text
+
+
+# ---------------------------------------------------------------- bloom ----
+def test_bloom_never_drops_a_true_key(spark):
+    keys = spark.range(0, 50).select((F.col("id") * 17).alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=512, k=4)
+    big = spark.range(0, 2000).select(F.col("id").alias("k"))
+    kept = {r.k for r in bloom_prefilter(big, "k", bloom, m_bits=512, k=4).collect()}
+    true_keys = {r.k for r in keys.collect()}
+    assert true_keys <= kept  # no false negatives, ever
+
+
+def test_bloom_actually_prunes(spark):
+    keys = spark.range(0, 20).select((F.col("id") * 131).alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=2048, k=4)
+    big = spark.range(0, 5000).select(F.col("id").alias("k"))
+    n_kept = bloom_prefilter(big, "k", bloom, m_bits=2048, k=4).count()
+    # 20 set keys x 4 bits in 2048 bits -> expected FP rate well under 1%;
+    # allow 10x slack so the assertion is about pruning, not the exact rate
+    assert n_kept < 5000 * 0.1 + 20
+
+
+def test_bloom_filter_runs_before_any_exchange(spark):
+    """The whole point: the bit-test filter must sit in the scan stage, not
+    after a shuffle."""
+    keys = spark.range(0, 10).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=256, k=4)
+    big = spark.range(0, 100).select(F.col("id").alias("k"))
+    plan = (
+        bloom_prefilter(big, "k", bloom, m_bits=256, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Catalyst folds the bit tests into the 1-row broadcast join's condition:
+    # big side reads straight into a BroadcastNestedLoopJoin that evaluates
+    # the membership test per streamed row — the big side must NOT shuffle.
+    # executedPlan prints the streamed (big) side before the BroadcastExchange
+    # build side, so no "Exchange" may appear before it.
+    assert "BroadcastNestedLoopJoin" in plan and "element_at" in plan
+    build_side = plan.find("BroadcastExchange")
+    assert build_side != -1
+    assert "Exchange" not in plan[:build_side]
+
+
+# ------------------------------------------------------------------ cms ----
+def test_cms_never_underestimates(spark):
+    items = spark.range(0, 3000).select((F.col("id") % 37).alias("item"))
+    cms = count_min_build(items, "item", depth=4, width=64)
+    true = items.groupBy("item").count()
+    probes = true.select("item")
+    est = count_min_estimate(probes, "item", cms, depth=4, width=64)
+    j = true.join(est, "item").collect()
+    assert len(j) == 37
+    assert all(r["cms_est"] >= r["count"] for r in j)
+
+
+def test_cms_merges_by_summing_cells(spark):
+    """Sketches over shards merged by summing cells == sketch over the union
+    — the mergeability that makes CMS usable as a partial aggregate."""
+    a = spark.range(0, 500).select((F.col("id") % 11).alias("item"))
+    b = spark.range(500, 1200).select((F.col("id") % 11).alias("item"))
+    whole = count_min_build(a.unionAll(b), "item", depth=4, width=32)
+    merged = (
+        count_min_build(a, "item", depth=4, width=32)
+        .unionAll(count_min_build(b, "item", depth=4, width=32))
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert {tuple(r) for r in whole.collect()} == {tuple(r) for r in merged.collect()}
+
+
+# ----------------------------------------------------------- chunk_text ----
+def test_chunk_text_covers_document_exactly(spark):
+    docs = spark.createDataFrame(
+        [(1, "a" * 10), (2, "b" * 150), (3, "xyz"), (4, ""), (5, None)],
+        "doc_id LONG, text STRING",
+    )
+    out = chunk_text(docs, "text", "doc_id", chunk_len=100, stride=60).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    # empty/NULL docs emit nothing
+    assert set(by_doc) == {1, 2, 3}
+    # doc 2 (150 chars, stride 60): starts 0, 60, 120 -> 3 chunks
+    assert sorted(r.chunk_idx for r in by_doc[2]) == [0, 1, 2]
+    assert all(r.n_chunks == 3 for r in by_doc[2])
+    # chunk lengths: 100, 90 (150-60), 30 (150-120)
+    assert sorted(r.chunk_chars for r in by_doc[2]) == [30, 90, 100]
+    # single short chunk for tiny docs
+    assert by_doc[3][0].chunk == "xyz" and by_doc[3][0].n_chunks == 1
+
+
+def test_chunk_text_stride_overlap_reconstructs(spark):
+    text = "".join(chr(97 + (i % 26)) for i in range(301))
+    docs = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    rows = sorted(
+        chunk_text(docs, "text", "doc_id", chunk_len=120, stride=90).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # stitching chunk[i][:stride] plus the last chunk reproduces the text
+    rebuilt = "".join(r.chunk[:90] for r in rows[:-1]) + rows[-1].chunk
+    assert rebuilt == text
+
+
+# ------------------------------------------------------------------ mad ----
+def test_mad_outlier_flags_planted_outlier(spark):
+    rows = [("en", v) for v in [100, 102, 98, 101, 99, 103, 97, 100, 5000]]
+    rows += [("fr", v) for v in [50, 55, 45, 52, 48]]
+    df = spark.createDataFrame(rows, "lang STRING, n_chars LONG")
+    out = mad_outlier_filter(df, "lang", "n_chars", n_mads=3.0).collect()
+    en_out = [r for r in out if r.lang == "en" and r.is_outlier]
+    assert [r.n_chars for r in en_out] == [5000]
+    assert all(not r.is_outlier for r in out if r.lang == "fr")
+
+
+def test_mad_zero_mad_group_flags_any_deviation(spark):
+    # constant group: MAD = 0, so ANY deviating value is an outlier
+    rows = [("x", 10)] * 6 + [("x", 11)]
+    df = spark.createDataFrame(rows, "lang STRING, n_chars LONG")
+    out = mad_outlier_filter(df, "lang", "n_chars", n_mads=3.0).collect()
+    assert sum(r.is_outlier for r in out) == 1
+    assert next(r.n_chars for r in out if r.is_outlier) == 11

@@ -64,6 +64,12 @@ WAIVERS: dict[str, set[str]] = {
     # same broadcast-k centroid scoring inside both the k-means trainer and
     # the IVF cell-assignment it feeds; all corpus-scale joins are keyed.
     "similarity_ann_ivf_kmeans": {"CARTESIAN"},
+    # the Bloom filter is ONE broadcast row (map of words) attached to the
+    # big side via crossJoin so the bit tests fold into the broadcast NL
+    # join's condition — the big side never shuffles, which is the point
+    # (operators/sketches.py bloom_prefilter; pinned by
+    # tests/test_sketches.py::test_bloom_filter_runs_before_any_exchange).
+    "join_bloom_prefilter": {"CARTESIAN"},
 }
 
 
