@@ -173,3 +173,62 @@ def test_fuzzy_pairs_match_python_reference(spark, texts):
                 if d <= 3:
                     want[(ia, ib)] = d
     assert got == want
+
+
+# -- chunk_text ------------------------------------------------------------
+
+@SETTINGS
+@given(
+    st.text(alphabet="abcxyz 0", min_size=0, max_size=400),
+    st.integers(min_value=2, max_value=50),
+    st.integers(min_value=1, max_value=50),
+)
+def test_chunk_text_cover_property(spark, text, chunk_len, stride):
+    """For ANY text/params: chunks tile the document (stride-prefixes plus
+    the final chunk reconstruct it), indices are dense from 0, n_chunks is
+    consistent, and every chunk is text[start:start+chunk_len]."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.text_analysis import chunk_text
+
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    rows = sorted(
+        chunk_text(df, "text", "doc_id", chunk_len=chunk_len, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    if len(text) == 0:
+        assert rows == []
+        return
+    expected_n = (len(text) - 1) // stride + 1
+    assert [r.chunk_idx for r in rows] == list(range(expected_n))
+    assert all(r.n_chunks == expected_n for r in rows)
+    for r in rows:
+        start = r.chunk_idx * stride
+        assert r.chunk == text[start : start + chunk_len]
+    if stride <= chunk_len:
+        # tiling/overlap mode: stride-prefixes + final chunk reconstruct the
+        # text exactly (stride > chunk_len is sampling mode — gaps by design)
+        rebuilt = "".join(r.chunk[:stride] for r in rows[:-1]) + rows[-1].chunk
+        assert rebuilt == text
+
+
+# -- bloom filter ----------------------------------------------------------
+
+@SETTINGS
+@given(
+    st.sets(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=30),
+    st.sets(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=60),
+)
+def test_bloom_no_false_negatives_property(spark, member_keys, probe_keys):
+    """For ANY key sets (negatives included): every member key survives the
+    prefilter — the Bloom contract that makes pre-shuffle pruning safe."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.sketches import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    keys = spark.createDataFrame([(k,) for k in member_keys], "k LONG")
+    bloom = bloom_build(keys, "k", m_bits=512, k=3)
+    big = spark.createDataFrame(
+        [(k,) for k in (member_keys | probe_keys)], "k LONG"
+    )
+    kept = {r.k for r in bloom_prefilter(big, "k", bloom, m_bits=512, k=3).collect()}
+    assert member_keys <= kept
