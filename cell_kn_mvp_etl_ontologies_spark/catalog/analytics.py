@@ -495,3 +495,90 @@ def filter_outlier_mad_q(spark, sf_dir):
         F.min("grp_median").alias("median_chars"),
         F.min("grp_mad").alias("mad_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_bloom_screen — bloom-screened exact-dup check of a batch vs a corpus
+# --------------------------------------------------------------------------
+@register(
+    "dedup_bloom_screen",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 3 = 0
+    ),
+    kh AS (
+      SELECT h,
+        ('0x' || substring(md5('bloom|' || h), 1, 15))::BIGINT AS h1,
+        (('0x' || substring(md5('bloom|' || h), 16, 15))::BIGINT | 1) AS h2
+      FROM corpus
+    ),
+    pos AS (
+      SELECT ((h1 + i.i * h2) % 8192) AS pos
+      FROM kh, (SELECT unnest(range(0, 4)) AS i) i
+    ),
+    words AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+      FROM pos GROUP BY 1
+    ),
+    bh AS (
+      SELECT source, sha256(text) AS h,
+        ('0x' || substring(md5('bloom|' || sha256(text)), 1, 15))::BIGINT AS h1,
+        (('0x' || substring(md5('bloom|' || sha256(text)), 16, 15))::BIGINT | 1) AS h2
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    marked AS (
+      SELECT source, h,
+        NOT EXISTS (
+          SELECT 1 FROM (SELECT unnest(range(0, 4)) AS i) i
+          WHERE (COALESCE((SELECT word FROM words w
+                           WHERE w.word_idx = ((bh.h1 + i.i * bh.h2) % 8192) // 32),
+                          0)
+                 & (1::BIGINT << CAST(((bh.h1 + i.i * bh.h2) % 8192) % 32 AS INT))) = 0
+        ) AS is_candidate
+      FROM bh
+    )
+    SELECT m.source,
+      CAST(COUNT(*) AS BIGINT) AS n_batch,
+      CAST(SUM(CASE WHEN m.is_candidate THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+      CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      CAST(COUNT(*) - SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+    FROM marked m LEFT JOIN corpus c ON m.h = c.h
+    GROUP BY m.source
+    """,
+)
+def dedup_bloom_screen_q(spark, sf_dir):
+    """Bloom-screened ingest dedup: an arriving batch is checked for EXACT
+    duplicates against a corpus by first testing each content hash against
+    the corpus's pre-built Bloom filter (operators/sketches.py bloom_mark),
+    so at production scale only bloom-positive rows pay the keyed join into
+    the corpus hash table — bloom-negative rows are *provably* new and skip
+    it (no false negatives).  The cheap exact-dup sibling of the LSH probe
+    in dedup_incremental_lsh: same O(batch) ingest cost, membership state is
+    m/32 BIGINT words instead of a band-key table.  The gate checks the
+    screen three ways: n_candidates is bit-exact vs the oracle's SQL bloom
+    replica, n_dups must equal a plain join's count, and n_dups <=
+    n_candidates row-by-row or the hash breaks."""
+    from ..operators.sketches import bloom_build, bloom_mark
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.sha2(F.col("text"), 256).alias("h"))
+        .distinct()
+    )
+    bloom = bloom_build(corpus, "h", m_bits=8192, k=4)
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "source", F.sha2(F.col("text"), 256).alias("h")
+    )
+    marked = bloom_mark(batch, "h", bloom, m_bits=8192, k=4)
+    in_corp = corpus.withColumn("in_corpus", F.lit(True))
+    j = marked.join(in_corp, "h", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(F.when(F.col("is_candidate"), 1).otherwise(0)).cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("in_corpus"), 1).otherwise(0)).cast("long").alias("n_dups"),
+        (
+            F.count(F.lit(1)) - F.sum(F.when(F.col("in_corpus"), 1).otherwise(0))
+        ).cast("long").alias("n_new"),
+    )

@@ -81,6 +81,25 @@ def bloom_build(
     )
 
 
+def _attach_tests(big, key, bloom, m_bits, k, salt):
+    """Cross-join the 1-row bloom frame onto ``big``, materialize the k bit
+    positions as temp columns, and return (frame, membership Column, temp
+    column names)."""
+    out = big.crossJoin(F.broadcast(bloom))
+    h1, h2 = _km_hashes(F.col(key), salt)
+    keep = None
+    for i in range(k):
+        pos = (h1 + F.lit(i) * h2) % F.lit(m_bits)
+        out = out.withColumn(f"_bp{i}", pos)
+        test = F.expr(
+            f"(coalesce(element_at(bloom, CAST(_bp{i} DIV 32 AS BIGINT)), "
+            f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(_bp{i} % 32 AS INT))) != 0"
+        )
+        keep = test if keep is None else keep & test
+    return out, keep, [f"_bp{i}" for i in range(k)]
+
+
 def bloom_prefilter(
     big: DataFrame,
     key: str,
@@ -98,19 +117,25 @@ def bloom_prefilter(
     exchange.  Guarantee: never drops a true match (no false negatives);
     survivors still need the exact join/semijoin downstream.
     """
-    out = big.crossJoin(F.broadcast(bloom))
-    h1, h2 = _km_hashes(F.col(key), salt)
-    keep = None
-    for i in range(k):
-        pos = ((h1 + F.lit(i) * h2) % F.lit(m_bits)).alias(f"_bp{i}")
-        out = out.withColumn(f"_bp{i}", pos)
-        test = F.expr(
-            f"(coalesce(element_at(bloom, CAST(_bp{i} DIV 32 AS BIGINT)), "
-            f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(_bp{i} % 32 AS INT))) != 0"
-        )
-        keep = test if keep is None else keep & test
-    return out.filter(keep).drop("bloom", *[f"_bp{i}" for i in range(k)])
+    out, keep, tmp = _attach_tests(big, key, bloom, m_bits, k, salt)
+    return out.filter(keep).drop("bloom", *tmp)
+
+
+def bloom_mark(
+    big: DataFrame,
+    key: str,
+    bloom: DataFrame,
+    m_bits: int = 2048,
+    k: int = 4,
+    salt: str = "bloom",
+    out_col: str = "is_candidate",
+) -> DataFrame:
+    """Like ``bloom_prefilter`` but ADDS a boolean membership column instead
+    of filtering — for screening flows that need both populations in one
+    pass (e.g. route bloom-positive rows to an exact check and bloom-negative
+    rows straight to the definitely-new path)."""
+    out, keep, tmp = _attach_tests(big, key, bloom, m_bits, k, salt)
+    return out.withColumn(out_col, keep).drop("bloom", *tmp)
 
 
 def count_min_build(

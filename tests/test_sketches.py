@@ -136,3 +136,20 @@ def test_mad_zero_mad_group_flags_any_deviation(spark):
     out = mad_outlier_filter(df, "lang", "n_chars", n_mads=3.0).collect()
     assert sum(r.is_outlier for r in out) == 1
     assert next(r.n_chars for r in out if r.is_outlier) == 11
+
+
+def test_bloom_mark_agrees_with_prefilter(spark):
+    keys = spark.range(0, 25).select((F.col("id") * 7).alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=512, k=4)
+    big = spark.range(0, 400).select(F.col("id").alias("k"))
+    from cell_kn_mvp_etl_ontologies_spark.operators.sketches import bloom_mark
+
+    marked = bloom_mark(big, "k", bloom, m_bits=512, k=4)
+    assert marked.columns == ["k", "is_candidate"]
+    via_mark = {r.k for r in marked.filter("is_candidate").collect()}
+    via_filter = {
+        r.k for r in bloom_prefilter(big, "k", bloom, m_bits=512, k=4).collect()
+    }
+    assert via_mark == via_filter
+    # both populations present: negatives carry is_candidate = False
+    assert marked.filter(~F.col("is_candidate")).count() == 400 - len(via_mark)

@@ -70,6 +70,9 @@ WAIVERS: dict[str, set[str]] = {
     # (operators/sketches.py bloom_prefilter; pinned by
     # tests/test_sketches.py::test_bloom_filter_runs_before_any_exchange).
     "join_bloom_prefilter": {"CARTESIAN"},
+    # same 1-row broadcast bloom-words crossJoin as join_bloom_prefilter
+    # (bloom_mark variant); the dup-check join itself is a keyed equi-join.
+    "dedup_bloom_screen": {"CARTESIAN"},
 }
 
 
