@@ -49,8 +49,35 @@ def _km_hashes(value: Column, salt: str) -> tuple[Column, Column]:
     return h1, h2
 
 
+def _km_hashes_fast(value: Column, salt: str) -> tuple[Column, Column]:
+    """The production sibling of ``_km_hashes``: two xxhash64 calls — native,
+    codegen'd, ~20x cheaper per evaluation than the md5+conv pair.  This
+    matters because Catalyst inlines these expressions into join conditions
+    and filters where common subexpressions are NOT eliminated: each of the
+    k bit tests re-evaluates both hashes (measured 3.7 s md5 vs 0.7 s
+    xxhash64 over 600k rows at k=4).  Same portable-vs-fast doctrine as
+    operators/dedup.py's MinHash.  Build and probe MUST agree on the
+    setting — the bit positions differ between the two families."""
+    # 59-bit mask: h1 + i*h2 stays under 2^63 for i <= 15, so no ANSI
+    # overflow for any practical k (the md5 path's 15-hex-char substrings
+    # give 60 bits and the same headroom argument)
+    mask = F.lit((1 << 59) - 1)
+    h1 = F.xxhash64(F.lit(salt), value).bitwiseAND(mask)
+    h2 = F.xxhash64(F.lit(salt + "#2"), value).bitwiseAND(mask).bitwiseOR(F.lit(1))
+    return h1, h2
+
+
+def _hashes(value: Column, salt: str, portable: bool) -> tuple[Column, Column]:
+    return _km_hashes(value, salt) if portable else _km_hashes_fast(value, salt)
+
+
 def bloom_build(
-    df: DataFrame, key: str, m_bits: int = 2048, k: int = 4, salt: str = "bloom"
+    df: DataFrame,
+    key: str,
+    m_bits: int = 2048,
+    k: int = 4,
+    salt: str = "bloom",
+    portable: bool = True,
 ) -> DataFrame:
     """Build a Bloom filter over ``df[key]`` as ONE row holding a
     MAP<BIGINT, BIGINT> from word index to 32-bit word (see inline note on
@@ -64,7 +91,7 @@ def bloom_build(
     map stays sparse for underfull filters.
     """
     positions = []
-    h1, h2 = _km_hashes(F.col(key), salt)
+    h1, h2 = _hashes(F.col(key), salt, portable)
     for i in range(k):
         # h1, h2 < 2^60 and i < k (small), so h1 + i*h2 stays well under 2^63
         positions.append((h1 + F.lit(i) * h2) % F.lit(m_bits))
@@ -81,23 +108,43 @@ def bloom_build(
     )
 
 
-def _attach_tests(big, key, bloom, m_bits, k, salt):
-    """Cross-join the 1-row bloom frame onto ``big``, materialize the k bit
-    positions as temp columns, and return (frame, membership Column, temp
-    column names)."""
-    out = big.crossJoin(F.broadcast(bloom))
-    h1, h2 = _km_hashes(F.col(key), salt)
+def _word_test(word: Column, pos: Column) -> Column:
+    """True iff bit ``pos % 32`` is set in ``word`` (NULL word = empty).
+    bit_get is a plain codegen'd expression — higher-order forall/transform
+    formulations measured SLOWER here (HOF lambdas evaluate interpreted,
+    allocating a positions array per row)."""
+    return (
+        F.bit_get(F.coalesce(word, F.lit(0).cast("long")), (pos % 32).cast("int"))
+        == 1
+    )
+
+
+def _membership(key: Column, lookup, m_bits: int, k: int, salt: str, portable: bool) -> Column:
+    """Conjunction of the k bit tests; ``lookup`` maps a word-index Column to
+    a word Column (map lookup for the broadcast frame, element_at for the
+    literal-array variant)."""
+    h1, h2 = _hashes(key, salt, portable)
     keep = None
     for i in range(k):
         pos = (h1 + F.lit(i) * h2) % F.lit(m_bits)
-        out = out.withColumn(f"_bp{i}", pos)
-        test = F.expr(
-            f"(coalesce(element_at(bloom, CAST(_bp{i} DIV 32 AS BIGINT)), "
-            f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(_bp{i} % 32 AS INT))) != 0"
-        )
+        test = _word_test(lookup(F.floor(pos / 32).cast("long")), pos)
         keep = test if keep is None else keep & test
-    return out, keep, [f"_bp{i}" for i in range(k)]
+    return keep
+
+
+def _attach_tests(big, key, bloom, m_bits, k, salt, portable):
+    """Cross-join the 1-row bloom frame onto ``big`` and return (frame,
+    membership Column)."""
+    out = big.crossJoin(F.broadcast(bloom))
+    keep = _membership(
+        F.col(key),
+        lambda idx: F.element_at(F.col("bloom"), idx),
+        m_bits,
+        k,
+        salt,
+        portable,
+    )
+    return out, keep
 
 
 def bloom_prefilter(
@@ -107,6 +154,7 @@ def bloom_prefilter(
     m_bits: int = 2048,
     k: int = 4,
     salt: str = "bloom",
+    portable: bool = True,
 ) -> DataFrame:
     """Keep only rows of ``big`` whose ``key`` MIGHT be in the filter.
 
@@ -117,8 +165,45 @@ def bloom_prefilter(
     exchange.  Guarantee: never drops a true match (no false negatives);
     survivors still need the exact join/semijoin downstream.
     """
-    out, keep, tmp = _attach_tests(big, key, bloom, m_bits, k, salt)
-    return out.filter(keep).drop("bloom", *tmp)
+    out, keep = _attach_tests(big, key, bloom, m_bits, k, salt, portable)
+    return out.filter(keep).drop("bloom")
+
+
+def bloom_prefilter_materialized(
+    big: DataFrame,
+    key: str,
+    bloom: DataFrame,
+    m_bits: int = 2048,
+    k: int = 4,
+    salt: str = "bloom",
+    portable: bool = True,
+) -> DataFrame:
+    """``bloom_prefilter`` with the words COLLECTED to the driver and embedded
+    as an array literal — a pure Filter over the scan, no join at all.
+
+    This is how Spark's own runtime bloom filter ships (the built sketch
+    becomes a literal in the reused subquery), and what you want when the
+    filter is reused across many queries or the extra BroadcastNestedLoopJoin
+    node is unwelcome in the plan.  The collect is bounded by the filter
+    size: m_bits/32 BIGINTs (2048 bits = 64 longs ≈ 0.5 KB; even 2^24 bits
+    is 4 MB) — sketch-scale, not data-scale, the same class as the sink
+    DDL's collection-list collect.  Triggers the bloom build job eagerly.
+    """
+    [row] = bloom.collect()
+    words = row[0] or {}
+    dense = [int(words.get(i, 0)) for i in range(m_bits // 32)]
+    # one ArrayType literal (not m/32 scalar literals) — a single constant in
+    # the plan, cheap to codegen even for multi-MB filters
+    arr = F.lit(dense).cast("array<bigint>")
+    keep = _membership(
+        F.col(key),
+        lambda idx: F.element_at(arr, (idx + 1).cast("int")),
+        m_bits,
+        k,
+        salt,
+        portable,
+    )
+    return big.filter(keep)
 
 
 def bloom_mark(
@@ -129,17 +214,23 @@ def bloom_mark(
     k: int = 4,
     salt: str = "bloom",
     out_col: str = "is_candidate",
+    portable: bool = True,
 ) -> DataFrame:
     """Like ``bloom_prefilter`` but ADDS a boolean membership column instead
     of filtering — for screening flows that need both populations in one
     pass (e.g. route bloom-positive rows to an exact check and bloom-negative
     rows straight to the definitely-new path)."""
-    out, keep, tmp = _attach_tests(big, key, bloom, m_bits, k, salt)
-    return out.withColumn(out_col, keep).drop("bloom", *tmp)
+    out, keep = _attach_tests(big, key, bloom, m_bits, k, salt, portable)
+    return out.withColumn(out_col, keep).drop("bloom")
 
 
 def count_min_build(
-    df: DataFrame, item: str, depth: int = 4, width: int = 256, salt: str = "cms"
+    df: DataFrame,
+    item: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+    portable: bool = True,
 ) -> DataFrame:
     """Count-min sketch cells: (r BIGINT, c BIGINT, cnt BIGINT), one row per
     non-empty cell, ``r`` in [0, depth), ``c`` in [0, width).
@@ -150,7 +241,7 @@ def count_min_build(
     moves at most depth*width rows per task).  Sketches over different data
     slices merge by summing ``cnt`` per (r, c).
     """
-    h1, h2 = _km_hashes(F.col(item), salt)
+    h1, h2 = _hashes(F.col(item), salt, portable)
     cells = []
     for r in range(depth):
         cells.append(
@@ -170,6 +261,7 @@ def count_min_estimate(
     depth: int = 4,
     width: int = 256,
     salt: str = "cms",
+    portable: bool = True,
 ) -> DataFrame:
     """Estimated frequency for each probe item: min over the sketch's rows of
     the probed cells — the classic CMS point query, as a broadcast join.
@@ -178,7 +270,7 @@ def count_min_estimate(
     a probe-side explode to (item, r, c) + broadcast-hash left join + min.
     Output: (item, cms_est BIGINT) with cms_est >= the true count always.
     """
-    h1, h2 = _km_hashes(F.col(item), salt)
+    h1, h2 = _hashes(F.col(item), salt, portable)
     cells = []
     for r in range(depth):
         cells.append(
