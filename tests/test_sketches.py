@@ -153,3 +153,38 @@ def test_bloom_mark_agrees_with_prefilter(spark):
     assert via_mark == via_filter
     # both populations present: negatives carry is_candidate = False
     assert marked.filter(~F.col("is_candidate")).count() == 400 - len(via_mark)
+
+
+def test_bloom_materialized_is_pure_filter_and_agrees(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.sketches import (
+        bloom_prefilter_materialized,
+    )
+
+    keys = spark.range(0, 30).select((F.col("id") * 13).alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=1024, k=4)
+    big = spark.range(0, 1000).select(F.col("id").alias("k"))
+    mat = bloom_prefilter_materialized(big, "k", bloom, m_bits=1024, k=4)
+    # the words are embedded as a literal: the plan is a codegen'd Filter
+    # over the scan — no join node, no exchange at all
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "Filter" in plan
+    lazy = {r.k for r in bloom_prefilter(big, "k", bloom, m_bits=1024, k=4).collect()}
+    assert {r.k for r in mat.collect()} == lazy
+
+
+def test_bloom_fast_hash_family_contract(spark):
+    """portable=False: same no-false-negative guarantee, and mixing hash
+    families between build and probe is the documented pitfall — the fast
+    probe against an md5-built filter would drop true keys, so assert the
+    matched-family path keeps them all."""
+    keys = spark.range(0, 40).select((F.col("id") * 23).alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=1024, k=4, portable=False)
+    big = spark.range(0, 2000).select(F.col("id").alias("k"))
+    kept = {
+        r.k
+        for r in bloom_prefilter(
+            big, "k", bloom, m_bits=1024, k=4, portable=False
+        ).collect()
+    }
+    assert {r.k for r in keys.collect()} <= kept
