@@ -527,3 +527,101 @@ def stream_ann_index_maintain_q(spark, sf_dir):
         transform=assign_batch,
     )
     return finish_and_clean(out.select("vec_id", "cell"), root)
+
+
+@register(
+    "stream_bloom_screen",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id < 60
+    ),
+    kh AS (
+      SELECT h,
+        ('0x' || substring(md5('bloom|' || h), 1, 15))::BIGINT AS h1,
+        (('0x' || substring(md5('bloom|' || h), 16, 15))::BIGINT | 1) AS h2
+      FROM corpus
+    ),
+    pos AS (
+      SELECT ((h1 + i.i * h2) % 8192) AS pos
+      FROM kh, (SELECT unnest(range(0, 4)) AS i) i
+    ),
+    words AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+      FROM pos GROUP BY 1
+    ),
+    bh AS (
+      SELECT doc_id, sha256(text) AS h,
+        ('0x' || substring(md5('bloom|' || sha256(text)), 1, 15))::BIGINT AS h1,
+        (('0x' || substring(md5('bloom|' || sha256(text)), 16, 15))::BIGINT | 1) AS h2
+      FROM documents WHERE doc_id >= 30
+    )
+    SELECT bh.doc_id,
+      NOT EXISTS (
+        SELECT 1 FROM (SELECT unnest(range(0, 4)) AS i) i
+        WHERE (COALESCE((SELECT word FROM words w
+                         WHERE w.word_idx = ((bh.h1 + i.i * bh.h2) % 8192) // 32),
+                        0)
+               & (1::BIGINT << CAST(((bh.h1 + i.i * bh.h2) % 8192) % 32 AS INT))) = 0
+      ) AS is_candidate,
+      (c.h IS NOT NULL) AS is_dup
+    FROM bh LEFT JOIN corpus c ON bh.h = c.h
+    """,
+)
+def stream_bloom_screen_q(spark, sf_dir):
+    """Streaming face of dedup_bloom_screen: the document STREAM is screened
+    for exact duplicates against a STATIC corpus bloom filter, micro-batch
+    by micro-batch inside foreachBatch — bloom_mark and the exact-check join
+    are plain batch operators over each micro-batch frame, so they run
+    unchanged.  A doc's verdict depends only on (its own content hash x the
+    static filter), so batch bundling cannot change any verdict and the
+    bounded-stream result equals the oracle's batch screening.  Per batch
+    the corpus is touched ONLY through the pre-built sketch (a checkpointed
+    KB-scale frame) plus the keyed join for candidates — at scale that join
+    reads a hash-bucketed corpus table, and bloom-negative rows never reach
+    it."""
+    import tempfile
+
+    from ..operators.sketches import bloom_build, bloom_mark
+    from . import finish_and_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") < 60)
+        .select(F.sha2(F.col("text"), 256).alias("h"))
+        .distinct()
+    )
+    bloom = bloom_build(corpus, "h", m_bits=8192, k=4).localCheckpoint(eager=True)
+    corpus_hashes = corpus.localCheckpoint(eager=True)
+
+    # the splits OVERLAP on doc_id in [30, 60): those stream docs are
+    # guaranteed true duplicates of corpus content, so the gate exercises
+    # the positive path (candidate -> exact-confirmed), not just negatives
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") >= 30)
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    )
+    root = tempfile.mkdtemp(prefix="stream_bloom_screen_")
+    out_dir = root + "/verdicts"
+
+    def handle_batch(batch_df, batch_id):
+        marked = bloom_mark(batch_df, "h", bloom, m_bits=8192, k=4)
+        joined = marked.join(
+            corpus_hashes.withColumn("_dup", F.lit(True)), "h", "left"
+        )
+        joined.select(
+            "doc_id",
+            "is_candidate",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        ).write.mode("append").parquet(out_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+    )
+    query.awaitTermination()
+    return finish_and_clean(spark.read.parquet(out_dir), root)
