@@ -232,3 +232,57 @@ def test_bloom_no_false_negatives_property(spark, member_keys, probe_keys):
     )
     kept = {r.k for r in bloom_prefilter(big, "k", bloom, m_bits=512, k=3).collect()}
     assert member_keys <= kept
+
+
+# -- count-min sketch ------------------------------------------------------
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60)
+)
+def test_cms_one_sided_error_property(spark, items):
+    """For ANY multiset: every estimate >= the true count (CMS never
+    undercounts), and equals it when no colliding item shares all cells."""
+    from collections import Counter
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    df = spark.createDataFrame([(v,) for v in items], "item LONG")
+    cms = count_min_build(df, "item", depth=3, width=16)
+    probes = df.distinct()
+    est = {
+        r.item: r.cms_est
+        for r in count_min_estimate(probes, "item", cms, depth=3, width=16).collect()
+    }
+    true = Counter(items)
+    assert set(est) == set(true)
+    assert all(est[i] >= c for i, c in true.items())
+
+
+# -- MAD outlier screen ----------------------------------------------------
+
+def _median(xs):
+    ys = sorted(xs)
+    n = len(ys)
+    mid = n // 2
+    return float(ys[mid]) if n % 2 else (ys[mid - 1] + ys[mid]) / 2.0
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=25)
+)
+def test_mad_matches_python_reference(spark, values):
+    """For ANY integer sample: flags agree with a pure-Python median/MAD
+    computed on exact dyadic rationals — no float-boundary wobble."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.quality import mad_outlier_filter
+
+    df = spark.createDataFrame([("g", v) for v in values], "grp STRING, v LONG")
+    got = {(r.v, r.is_outlier) for r in mad_outlier_filter(df, "grp", "v", 3.0).collect()}
+    med = _median(values)
+    mad = _median([abs(v - med) for v in values])
+    want = {(v, abs(v - med) > 3.0 * mad) for v in values}
+    assert got == want
