@@ -582,3 +582,81 @@ def dedup_bloom_screen_q(spark, sf_dir):
             F.count(F.lit(1)) - F.sum(F.when(F.col("in_corpus"), 1).otherwise(0))
         ).cast("long").alias("n_new"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_bpe_pair_counts — one BPE merge round's statistics, exact-gated
+# --------------------------------------------------------------------------
+@register(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents
+    ),
+    words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+      WHERE word <> '' GROUP BY word
+    ),
+    syms AS (SELECT freq, string_split(word, '') AS s FROM words),
+    pairs AS (
+      SELECT s[i] AS left_sym, s[i + 1] AS right_sym, SUM(freq) AS cnt
+      FROM syms, unnest(range(1, len(s))) t(i)
+      GROUP BY 1, 2
+    )
+    SELECT left_sym, right_sym, CAST(cnt AS BIGINT) AS cnt
+    FROM pairs ORDER BY cnt DESC, left_sym, right_sym LIMIT 25
+    """,
+)
+def text_bpe_pair_counts_q(spark, sf_dir):
+    """One BPE training round's statistics over the documents corpus: the
+    frequency-weighted adjacent-character pair counts, top-25 with the
+    deterministic (count DESC, pair ASC) tie-break — the argmax feed of
+    bpe_train (operators/bpe.py), hash-gated cell-exactly.  The corpus
+    collapses to the vocabulary in ONE shuffle; the pair explode and count
+    are vocab-scale."""
+    from ..operators.bpe import _initial_symbols, bpe_pair_counts, word_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = bpe_pair_counts(_initial_symbols(word_frequencies(docs, "text")))
+    return (
+        counts.select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "cnt",
+        )
+        .orderBy(F.col("cnt").desc(), "left_sym", "right_sym")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# text_bpe_train — iterative merge training (rows-only; python-ref pinned)
+# --------------------------------------------------------------------------
+@register("text_bpe_train")  # iterative driver loop: no single-SQL oracle —
+# the driver records a rows-only check; exact equivalence to a pure-Python
+# reference BPE (same corpus, same tie-break) is pinned by
+# tests/test_bpe.py::test_bpe_train_matches_python_reference_on_gate_table
+def text_bpe_train_q(spark, sf_dir):
+    """Train 8 BPE merges on the documents corpus and encode the vocabulary
+    with them (operators/bpe.py): output one row per merge rank with the
+    merged symbol and the vocabulary token count after all merges — the
+    artifact a tokenizer-training pipeline ships.  Corpus touched once
+    (word counts); every round is vocab-cardinality; argmax is a 1-row
+    driver collect per round (the PageRank-class bounded loop)."""
+    from ..operators.bpe import bpe_encode_words, bpe_train, word_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=8)
+    words = word_frequencies(docs, "text")
+    encoded = bpe_encode_words(words, merges)
+    n_tokens = encoded.select(
+        F.sum(F.size("tokens") * F.col("freq")).cast("long").alias("n")
+    ).collect()[0]["n"]
+    rows = [
+        (rank, left, right, left + right, int(n_tokens)) for rank, left, right in merges
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank LONG, left_sym STRING, right_sym STRING, merged STRING, corpus_tokens_after LONG",
+    )
