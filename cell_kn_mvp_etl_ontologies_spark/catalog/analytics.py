@@ -660,3 +660,67 @@ def text_bpe_train_q(spark, sf_dir):
         rows,
         "rank LONG, left_sym STRING, right_sym STRING, merged STRING, corpus_tokens_after LONG",
     )
+
+
+# --------------------------------------------------------------------------
+# text_bpe_encode — apply a fixed ranked merge list to the vocabulary
+# --------------------------------------------------------------------------
+@register(
+    "text_bpe_encode",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents
+    ),
+    words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+      WHERE word <> '' GROUP BY word
+    ),
+    -- bracket-delimited symbol string: each symbol enclosed in chr(31), so a
+    -- merge pattern can never match inside a multi-character symbol
+    s0 AS (
+      SELECT word, freq,
+        chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31) AS s
+      FROM words
+    ),
+    s1 AS (SELECT word, freq, replace(s, chr(31)||'t'||chr(31)||chr(31)||'h'||chr(31),
+                                      chr(31)||'th'||chr(31)) AS s FROM s0),
+    s2 AS (SELECT word, freq, replace(s, chr(31)||'th'||chr(31)||chr(31)||'e'||chr(31),
+                                      chr(31)||'the'||chr(31)) AS s FROM s1),
+    s3 AS (SELECT word, freq, replace(s, chr(31)||'i'||chr(31)||chr(31)||'n'||chr(31),
+                                      chr(31)||'in'||chr(31)) AS s FROM s2),
+    s4 AS (SELECT word, freq, replace(s, chr(31)||'e'||chr(31)||chr(31)||'r'||chr(31),
+                                      chr(31)||'er'||chr(31)) AS s FROM s3),
+    s5 AS (SELECT word, freq, replace(s, chr(31)||'er'||chr(31)||chr(31)||'s'||chr(31),
+                                      chr(31)||'ers'||chr(31)) AS s FROM s4),
+    enc AS (
+      SELECT word, freq, string_split(trim(s, chr(31)), chr(31)||chr(31)) AS tokens
+      FROM s5
+    )
+    SELECT word, freq,
+      CAST(len(tokens) AS BIGINT) AS n_tokens,
+      array_to_string(tokens, ' ') AS tokens_str
+    FROM enc
+    """,
+)
+def text_bpe_encode_q(spark, sf_dir):
+    """Apply a FIXED ranked merge list (t+h, th+e, i+n, e+r, er+s — two
+    multi-round merges that consume earlier outputs) to the documents
+    vocabulary via the fold-expression encoder (operators/bpe.py
+    bpe_encode_words) and emit every word's tokenization.  The oracle
+    re-derives the same encoding with an independent mechanism — bracket-
+    delimited string replacement, where each symbol is enclosed in US
+    separators so a pattern can never match inside a multi-character symbol
+    — making the gate a cross-IMPLEMENTATION check of the greedy leftmost
+    non-overlapping merge semantics, not a replay of the same code."""
+    from ..operators.bpe import bpe_encode_words, word_frequencies
+
+    merges = [(0, "t", "h"), (1, "th", "e"), (2, "i", "n"), (3, "e", "r"), (4, "er", "s")]
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_words(word_frequencies(docs, "text"), merges)
+    return enc.select(
+        "word",
+        "freq",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "tokens").alias("tokens_str"),
+    )
