@@ -724,3 +724,45 @@ def text_bpe_encode_q(spark, sf_dir):
         F.size("tokens").cast("long").alias("n_tokens"),
         F.concat_ws(" ", "tokens").alias("tokens_str"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_lm_quality_score — unigram-LM curation signal, integer-exact
+# --------------------------------------------------------------------------
+@register(
+    "text_lm_quality_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    t AS (SELECT id, tok FROM toks WHERE tok <> ''),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM t GROUP BY tok),
+    scored AS (SELECT t.id, v.freq FROM t JOIN vocab v ON t.tok = v.tok),
+    per_doc AS (
+      SELECT id,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(0 AS BIGINT) AS oov_tokens,
+        CAST(SUM(CAST(FLOOR(log2(freq)) AS BIGINT)) AS BIGINT) AS score_bits
+      FROM scored GROUP BY id
+    )
+    SELECT id, n_tokens, oov_tokens, score_bits,
+      CAST(FLOOR(score_bits * 1000 / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+        AS mean_millibits
+    FROM per_doc
+    """,
+)
+def text_lm_quality_score_q(spark, sf_dir):
+    """Unigram-LM quality proxy (operators/text_analysis.py
+    unigram_lm_scores): every token contributes floor(log2(corpus_freq))
+    bits — the CCNet/KenLM curation signal with integer-quantized log
+    probabilities, bit-exact across engines because log2 of an integer can
+    only land on an integer at powers of two, where it is exact.
+    Self-scoring pass (vocab = the corpus's own frequencies), so oov is 0
+    by construction; the operator also takes a frozen reference vocab for
+    scoring new documents, where oov counts surface."""
+    from ..operators.text_analysis import unigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, "text", "doc_id")

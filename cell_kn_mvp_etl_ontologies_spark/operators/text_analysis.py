@@ -200,3 +200,53 @@ def chunk_text(
         F.length("chunk").cast("long").alias("chunk_chars"),
         "chunk",
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame, text_col: str, id_col: str, vocab: DataFrame | None = None
+) -> DataFrame:
+    """Per-document unigram language-model quality proxy, integer-exact.
+
+    The CCNet/KenLM-style curation signal — "is this document made of
+    plausible tokens?" — reduced to a unigram model with integer-quantized
+    log-probabilities so the score is bit-exact across engines and
+    reduction orders: each token contributes ``floor(log2(corpus_freq))``
+    (exact for doubles: log2 of an integer can only land ON an integer at
+    powers of two, where it is computed exactly, so the floor can never
+    waver).  Higher total/mean bits = more common tokens = more natural
+    text; gibberish and rare-token spam score low.
+
+    ``vocab`` defaults to the input corpus's own token frequencies (the
+    self-scoring curation pass); pass a frozen vocab table (token, freq) to
+    score NEW documents against a reference corpus — tokens absent from it
+    count as ``oov_tokens`` and contribute 0 bits.
+
+    Shape: one shuffle builds the vocab, the score join keys on token, the
+    doc rollup keys on id — three exchanges, all keyed, none corpus-squared.
+    At 100 TB the vocab join is the big one; bucket the frozen vocab on
+    token for co-located probes, or broadcast it when the vocabulary is
+    bounded (real text: millions of tokens, broadcastable).
+
+    Output: (id, n_tokens, oov_tokens, score_bits, mean_millibits).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    if vocab is None:
+        vocab = toks.groupBy(F.col("tok")).agg(
+            F.count(F.lit(1)).cast("long").alias("freq")
+        )
+    scored = toks.join(vocab.select("tok", "freq"), "tok", "left")
+    bits = F.when(
+        F.col("freq").isNotNull(), F.floor(F.log2(F.col("freq"))).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("freq").isNull(), 1).otherwise(0)).cast("long").alias("oov_tokens"),
+        F.sum(bits).cast("long").alias("score_bits"),
+    )
+    return per_doc.withColumn(
+        "mean_millibits",
+        F.floor(F.col("score_bits") * 1000 / F.col("n_tokens")).cast("long"),
+    )

@@ -188,3 +188,37 @@ def test_bloom_fast_hash_family_contract(spark):
         ).collect()
     }
     assert {r.k for r in keys.collect()} <= kept
+
+
+# -------------------------------------------------------------- lm score ---
+def test_unigram_lm_score_prefers_common_tokens(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.text_analysis import (
+        unigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),        # 4x a freq-8 token -> 4*3 bits
+            (2, "zq xv qj kp"),            # four singletons -> 0 bits
+            (3, "the the the the zq2"),    # mixed
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.id: r for r in unigram_lm_scores(docs, "text", "doc_id").collect()}
+    assert out[1].score_bits == 4 * 3  # 'the' occurs 8 times -> floor(log2 8)=3
+    assert out[2].score_bits == 0
+    assert out[1].mean_millibits > out[3].mean_millibits > out[2].mean_millibits
+    assert all(r.oov_tokens == 0 for r in out.values())
+
+
+def test_unigram_lm_score_frozen_vocab_counts_oov(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.text_analysis import (
+        unigram_lm_scores,
+    )
+
+    vocab = spark.createDataFrame([("known", 16)], "tok STRING, freq LONG")
+    docs = spark.createDataFrame(
+        [(1, "known known novel")], "doc_id LONG, text STRING"
+    )
+    [r] = unigram_lm_scores(docs, "text", "doc_id", vocab=vocab).collect()
+    assert (r.n_tokens, r.oov_tokens, r.score_bits) == (3, 1, 2 * 4)
