@@ -135,6 +135,20 @@ def cosine_topk_80k(spark):
     return similarity_topk(q, corpus, k=10, quantized=False)
 
 
+def cosine_topk_80k_vec(spark):
+    """Arrow/numpy twin of cosine_topk_80k (quantized; gate-proven
+    bit-identical to the expression path): the HOF dot products evaluate
+    interpreted, the matmul path vectorizes them — measured 2.4x at this
+    workload (SCALE.md)."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    corpus = _expanded_embeddings(spark)
+    q = corpus.filter(F.col("vec_id") < 50)
+    return cosine_topk_vectorized(q, corpus, k=10)
+
+
 _ANN_STATE: dict = {}
 
 
@@ -386,6 +400,7 @@ BENCH_QUERIES = {
     "minhash_dedup": minhash_dedup,
     "cosine_topk": cosine_topk,
     "cosine_topk_80k": cosine_topk_80k,
+    "cosine_topk_80k_vec": cosine_topk_80k_vec,
     "ann_ivf_80k": ann_ivf_80k,
     "running_windows": running_windows,
     "asof_events": asof_events,

@@ -766,3 +766,33 @@ def text_lm_quality_score_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return unigram_lm_scores(docs, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# similarity_topk_vectorized — numpy twin of the expression-path brute force
+# --------------------------------------------------------------------------
+def _register_similarity_topk_vectorized():
+    # reuse the exact oracle of similarity_topk: passing the SAME SQL proves
+    # the Arrow/numpy path is bit-identical to the expression path's contract
+    from . import ORACLES
+
+    @register("similarity_topk_vectorized", oracle=ORACLES["similarity_topk"])
+    def similarity_topk_vectorized_q(spark, sf_dir):
+        """Arrow-batched numpy brute-force cosine top-k (operators/
+        similarity.py cosine_topk_vectorized) on the identical workload and
+        oracle as similarity_topk — the gate pins bit-identity between the
+        interpreted higher-order-function path and the vectorized matmul
+        path (quantized ints + one IEEE-shaped float division each)."""
+        from ..operators.similarity import cosine_topk_vectorized
+
+        em = (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 200)
+            .select("vec_id", "embedding")
+        )
+        q = em.filter(F.col("vec_id") < 10)
+        out = cosine_topk_vectorized(q, em, k=5)
+        return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
+_register_similarity_topk_vectorized()

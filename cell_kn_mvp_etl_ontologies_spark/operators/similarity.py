@@ -394,3 +394,86 @@ def hyperplane_lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 16, seed:
         lambda acc, x: acc + x,
     )
     return df.withColumn("lsh_bucket", bucket)
+
+
+def cosine_topk_vectorized(
+    queries: DataFrame, targets: DataFrame, k: int, scale: int = 1000
+) -> DataFrame:
+    """Arrow-batched numpy twin of ``similarity_topk(quantized=True)`` —
+    bit-identical results, vectorized hot loop.
+
+    The expression path's per-row ``zip_with``+``aggregate`` dot product is
+    a higher-order function, which Spark evaluates INTERPRETED (no codegen)
+    — the same finding that drove the bloom filter's hash-family choice.
+    Here the fix is the sanctioned vectorized-UDF path: the query matrix is
+    collected and quantized driver-side (|Q| << |T| is this operator's
+    contract — Q-scale, not data-scale, like the materialized bloom words),
+    and each Arrow batch of targets scores as ONE int64 matmul.
+
+    Exactness argument, step by step:
+      - quantization: both paths compute round(float64(x) * scale); a
+        float*scale can never land exactly on .5 (non-dyadic denominator),
+        so numpy's half-even and Spark's half-up agree everywhere;
+      - dot/norms: int64 arithmetic, exact and associative — matmul order
+        cannot matter;
+      - cosine: one float64 multiply + sqrt + divide, the same IEEE ops in
+        the same shape as the JVM expression — bit-identical doubles.
+
+    Each batch emits only its LOCAL top-k per query under the exact final
+    total order (cos DESC, t_id ASC), so candidates are n_batches*|Q|*k
+    rows — the per-partition-heap shape of TakeOrderedAndProject — and the
+    global window top-k over them equals the true top-k (union-of-local-
+    top-k property of total orders).  Zero-norm vectors are undefined in
+    both paths (NaN cosine); filter them upstream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select("vec_id", "embedding").collect()
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.rint(
+        np.array([r.embedding for r in qrows], dtype=np.float64) * scale
+    ).astype(np.int64)
+    q_norm = (Q * Q).sum(axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            t_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            T = np.rint(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            t_norm = (T * T).sum(axis=1)
+            dots = T @ Q.T
+            # same IEEE shape as the expression path: double(dot) /
+            # sqrt(double(nq) * double(nt))
+            cos = dots.astype(np.float64) / np.sqrt(
+                q_norm[None, :].astype(np.float64) * t_norm[:, None].astype(np.float64)
+            )
+            out_q, out_t, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                idx = np.nonzero(t_ids != qid)[0]
+                if idx.size == 0:
+                    continue
+                col = cos[idx, j]
+                order = np.lexsort((t_ids[idx], -col))[:k]
+                sel = idx[order]
+                out_q.append(np.full(sel.size, qid, dtype=np.int64))
+                out_t.append(t_ids[sel])
+                out_c.append(cos[sel, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "t_id": np.concatenate(out_t),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    cand = targets.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, t_id long, cos double"
+    )
+    return window_rank_topk(
+        cand, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )

@@ -222,3 +222,20 @@ def test_unigram_lm_score_frozen_vocab_counts_oov(spark):
     )
     [r] = unigram_lm_scores(docs, "text", "doc_id", vocab=vocab).collect()
     assert (r.n_tokens, r.oov_tokens, r.score_bits) == (3, 1, 2 * 4)
+
+
+def test_cosine_topk_vectorized_matches_expression_path(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        similarity_topk,
+    )
+
+    q = df.filter(F.col("vec_id") < 5)
+    a = similarity_topk(q, df, k=4, quantized=True).select("q_id", "t_id", "cos", "rnk")
+    b = cosine_topk_vectorized(q, df, k=4).select("q_id", "t_id", "cos", "rnk")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
