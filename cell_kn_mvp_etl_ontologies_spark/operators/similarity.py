@@ -477,3 +477,100 @@ def cosine_topk_vectorized(
     return window_rank_topk(
         cand, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
     )
+
+
+def ivf_topk_prebuilt_vectorized(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Vectorized serving path over a ``build_ivf_index`` frame —
+    bit-identical to ``ivf_topk_prebuilt``, with the per-candidate HOF dot
+    replaced by per-cell numpy matmuls.
+
+    Shape: probe assignment is unchanged (broadcast-centroid map over the
+    query batch); the probed cell→queries routing table and the quantized
+    query matrix are collected driver-side (both Q-scale); the index is
+    FILTERED to probed cells (partition-pruned when the index is stored
+    partitioned/bucketed by cell) and each Arrow batch scores its members
+    against exactly the queries probing their cells — index vectors cross
+    into Python ONCE, already quantized, and each (batch, cell) group emits
+    only its local top-k per query under the final total order before the
+    global window refine.  Same exactness argument as
+    cosine_topk_vectorized (int64 dots, one IEEE-shaped division).
+    Honest measurement (80k corpus, 64 cells, nprobe=8, local[32]): 1.34 s
+    vs the expression path's 1.23 s — PARITY, not a win.  After IVF's 8x
+    candidate pruning the scoring volume (~500k pairs) is small enough that
+    probe assignment, Python worker startup, and the Arrow hop of the index
+    vectors offset the interpreted-HOF savings that gave the brute-force
+    twin its 2.4-3x.  Use this variant when cells are large (bigger corpora,
+    fewer cells, higher nprobe) — the matmul advantage grows linearly with
+    pairs-per-cell while the overheads stay fixed; below that regime the
+    expression path is already the right choice."""
+    import numpy as np
+    import pandas as pd
+
+    probe = ivf_assign(queries, centroids, nprobe=nprobe, scale=scale).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    qrows = queries.select("vec_id", "embedding").collect()
+    q_index = {int(r.vec_id): i for i, r in enumerate(qrows)}
+    Q = np.rint(
+        np.array([r.embedding for r in qrows], dtype=np.float64) * scale
+    ).astype(np.int64)
+    q_ids_arr = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_norm = (Q * Q).sum(axis=1)
+    cell_to_q: dict[int, list[int]] = {}
+    for r in probe.collect():
+        cell_to_q.setdefault(int(r.cell), []).append(q_index[int(r.q_id)])
+    probed_cells = sorted(cell_to_q)
+
+    members = index.filter(F.col("cell").isin(probed_cells)).select(
+        "cell", "t_id", "t_vec", "t_norm"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells = pdf["cell"].to_numpy()
+            for cell in np.unique(cells):
+                qs = cell_to_q.get(int(cell))
+                if not qs:
+                    continue
+                sub = pdf[cells == cell]
+                t_ids = sub["t_id"].to_numpy(dtype=np.int64)
+                T = np.stack(sub["t_vec"].to_numpy()).astype(np.int64)
+                t_norm = sub["t_norm"].to_numpy(dtype=np.int64)
+                Qc, qn, qi = Q[qs], q_norm[qs], q_ids_arr[qs]
+                dots = T @ Qc.T
+                cos = dots.astype(np.float64) / np.sqrt(
+                    qn[None, :].astype(np.float64) * t_norm[:, None].astype(np.float64)
+                )
+                out_q, out_t, out_c = [], [], []
+                for j, qid in enumerate(qi):
+                    idx = np.nonzero(t_ids != qid)[0]
+                    if idx.size == 0:
+                        continue
+                    col = cos[idx, j]
+                    order = np.lexsort((t_ids[idx], -col))[:k]
+                    sel = idx[order]
+                    out_q.append(np.full(sel.size, qid, dtype=np.int64))
+                    out_t.append(t_ids[sel])
+                    out_c.append(cos[sel, j])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "q_id": np.concatenate(out_q),
+                            "t_id": np.concatenate(out_t),
+                            "cos": np.concatenate(out_c),
+                        }
+                    )
+
+    cand = members.mapInPandas(score, "q_id long, t_id long, cos double")
+    return window_rank_topk(
+        cand, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )

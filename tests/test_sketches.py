@@ -239,3 +239,31 @@ def test_cosine_topk_vectorized_matches_expression_path(spark):
     a = similarity_topk(q, df, k=4, quantized=True).select("q_id", "t_id", "cos", "rnk")
     b = cosine_topk_vectorized(q, df, k=4).select("q_id", "t_id", "cos", "rnk")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_vectorized_serving_matches_expression_path(spark):
+    import numpy as np
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.clustering import kmeans_fit
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_prebuilt,
+        ivf_topk_prebuilt_vectorized,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in range(120)]
+    em = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    cents = kmeans_fit(em, "vec_id", "embedding", k=4, n_iter=1)
+    centroids = em.sparkSession.createDataFrame(
+        [
+            (int(r.cell), [v / 1000.0 for v in r.cv])
+            for r in cents.collect()
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    index = build_ivf_index(em, centroids)
+    q = em.filter(F.col("vec_id") < 6)
+    a = ivf_topk_prebuilt(q, index, centroids, k=3, nprobe=2)
+    b = ivf_topk_prebuilt_vectorized(q, index, centroids, k=3, nprobe=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
