@@ -796,3 +796,81 @@ def _register_similarity_topk_vectorized():
 
 
 _register_similarity_topk_vectorized()
+
+
+# --------------------------------------------------------------------------
+# dedup_keep_best_quality — keep the HIGHEST-QUALITY member per dup cluster
+# --------------------------------------------------------------------------
+@register(
+    "dedup_keep_best_quality",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    tr AS (
+      SELECT doc_id + 10000 AS doc_id, substring(text, 1, 80) AS text
+      FROM base WHERE doc_id % 4 = 0
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM tr),
+    q AS (
+      SELECT doc_id, md5(substring(text, 1, 40)) AS cluster_key,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) * 0.5
+        + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+            / (CAST(length(text) AS DOUBLE) + 1.0)) * 0.5 AS quality
+      FROM corpus
+    ),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY cluster_key
+                           ORDER BY quality DESC, doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY cluster_key) AS n_members
+      FROM q
+    )
+    SELECT cluster_key, doc_id AS keep_id,
+      CAST(n_members AS BIGINT) AS n_members, quality AS best_quality
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality_q(spark, sf_dir):
+    """Keep-BEST-per-cluster dedup: duplicate clusters resolved by quality,
+    not by arbitrary min-id — the policy curation pipelines actually want
+    (when a full document and its truncated/boilerplate variant collide,
+    keep the complete one).  Planted truncated copies (doc_id+10000,
+    substring 1..80) share their original's 40-char-prefix cluster key and
+    usually lose on the punctuation/stopword quality heuristic — though not
+    always (cutting a punctuation-heavy tail can raise the score; at sf0.01
+    a minority of clusters keep the truncation, and the gate hashes that
+    honestly rather than assuming the original wins).  Exact copies tie on
+    quality and fall back to id-asc determinism.  One quality projection + ONE window
+    over the cluster key (rank and member count share the partition sort);
+    quality_score is the already-hash-gated cross-engine-exact scorer, so
+    the float ordering cannot diverge."""
+    from pyspark.sql import Window
+
+    from ..operators.text_analysis import quality_score
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    tr = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.substring("text", 1, 80).alias("text"),
+    )
+    corpus = base.unionByName(tr)
+    q = quality_score(corpus, "text", "doc_id").select("id", "quality")
+    keyed = corpus.select(
+        "doc_id", F.md5(F.substring("text", 1, 40)).alias("cluster_key")
+    ).join(q, F.col("doc_id") == F.col("id"))
+    w = Window.partitionBy("cluster_key")
+    ranked = keyed.withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.col("quality").desc(), F.col("doc_id"))),
+    ).withColumn("n_members", F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_key",
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("quality").alias("best_quality"),
+    )
