@@ -267,3 +267,36 @@ def test_ivf_vectorized_serving_matches_expression_path(spark):
     a = ivf_topk_prebuilt(q, index, centroids, k=3, nprobe=2)
     b = ivf_topk_prebuilt_vectorized(q, index, centroids, k=3, nprobe=2)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ----------------------------------------------------- NULL-input pins ----
+def test_bloom_null_keys_pass_through_to_exact_check(spark):
+    """NULL keys hash to one constant position set (concat_ws drops NULLs),
+    so NULL probe rows survive the prefilter when the build saw any NULL —
+    conservative (no false negative) and resolved by the exact join, which
+    never matches on NULL equality."""
+    keys = spark.createDataFrame([(1,), (None,)], "k LONG")
+    bloom = bloom_build(keys, "k", m_bits=256, k=3)
+    big = spark.createDataFrame([(1,), (99,), (None,)], "k LONG")
+    kept = {(r.k is None, r.k) for r in bloom_prefilter(big, "k", bloom, m_bits=256, k=3).collect()}
+    assert (False, 1) in kept and (True, None) in kept
+
+
+def test_cms_nulls_collapse_to_one_pseudo_item(spark):
+    items = spark.createDataFrame([(1,), (None,), (None,)], "item LONG")
+    cms = count_min_build(items, "item", depth=2, width=8)
+    est = {
+        (r.item is None): r.cms_est
+        for r in count_min_estimate(items.distinct(), "item", cms, depth=2, width=8).collect()
+    }
+    assert est[False] >= 1 and est[True] >= 2  # both NULLs land in one cell set
+
+
+def test_mad_null_values_are_neither_flagged_nor_inliers(spark):
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", 3), ("g", None)], "grp STRING, v LONG"
+    )
+    out = mad_outlier_filter(df, "grp", "v", 3.0).collect()
+    assert len(out) == 4
+    assert [r.is_outlier for r in out if r.v is None] == [None]
+    assert all(r.is_outlier is not None for r in out if r.v is not None)
