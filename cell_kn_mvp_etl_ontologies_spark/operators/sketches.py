@@ -89,6 +89,12 @@ def bloom_build(
     the build is one scan + one ``m_bits/64``-row shuffle regardless of input
     size.  Absent words mean all-zero (``bloom_prefilter`` coalesces), so the
     map stays sparse for underfull filters.
+
+    NULL keys: concat_ws drops the NULL, so every NULL key hashes to one
+    constant position set — a build containing NULLs lets NULL probe rows
+    through (conservative; the exact join downstream never matches
+    NULL=NULL, so correctness is unaffected).  Pinned in
+    tests/test_sketches.py.
     """
     positions = []
     h1, h2 = _hashes(F.col(key), salt, portable)
@@ -239,7 +245,9 @@ def count_min_build(
     from it.  The build is a single scan + one aggregate at ``depth*width``
     cardinality (map-side partials do almost all the work — the shuffle
     moves at most depth*width rows per task).  Sketches over different data
-    slices merge by summing ``cnt`` per (r, c).
+    slices merge by summing ``cnt`` per (r, c).  NULL items collapse to
+    one pseudo-item (constant digest input) — drop NULLs upstream if they
+    should not be counted.
     """
     h1, h2 = _hashes(F.col(item), salt, portable)
     cells = []
