@@ -874,3 +874,48 @@ def dedup_keep_best_quality_q(spark, sf_dir):
         F.col("n_members").cast("long").alias("n_members"),
         F.col("quality").alias("best_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# temporal_ema_smooth — integer-exact exponential smoothing per key
+# --------------------------------------------------------------------------
+@register(
+    "temporal_ema_smooth",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS v
+      FROM events WHERE user_id < 50
+    ),
+    arr AS (
+      SELECT user_id,
+             list_sort(list({'o0': t, 'o1': event_id, 'v': v})) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+      CAST(list_reduce(list_transform(xs, s -> s.v), (a, b) -> (a + b) // 2)
+           AS BIGINT) AS ema_units
+    FROM arr
+    """,
+)
+def temporal_ema_smooth_q(spark, sf_dir):
+    """Exponentially smoothed (alpha=1/2) per-user value series
+    (operators/temporal.py ema_integer): recursive state folds with
+    truncating integer halving, so Spark's aggregate() fold and DuckDB's
+    list_reduce — genuinely different fold machinery — must land on the
+    same BIGINT per user.  Values floor-quantized to micro-units before
+    smoothing; order = (event-time micros, event_id) for a total order."""
+    from ..operators.temporal import ema_integer
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    prepped = ev.select(
+        "user_id",
+        ts_us.alias("t"),
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+    )
+    return ema_integer(prepped, ["user_id"], ["t", "event_id"], "v")

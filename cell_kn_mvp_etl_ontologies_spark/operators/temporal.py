@@ -285,3 +285,41 @@ def gap_fill_interpolate(
         .alias("value_units"),
         F.col("_v").isNull().alias("interpolated"),
     )
+
+
+def ema_integer(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key exponential smoothing (alpha = 1/2) over the time-ordered
+    value sequence, in pure integer arithmetic: ema_1 = v_1, ema_n =
+    (ema_{n-1} + v_n) div 2 with TRUNCATING division — the same semantics
+    as DuckDB's ``//`` and Spark's ``(q - q % 2) / 2`` (both truncate
+    toward zero, and both ``%`` take the dividend's sign), so the smoothed
+    value is bit-exact cross-engine for any sign.
+
+    Shape: ONE keyed shuffle (collect_list + sort_array), then the fold is
+    a per-row ``aggregate()`` expression over the sorted array — recursive
+    state (each step depends on the previous) is exactly what windows
+    cannot express and a fold can.  Per-key state is that key's full
+    sequence: the standard whale caveat — cap a key's history upstream
+    (windowed top-K by recency) before smoothing unbounded keys.
+
+    Output: key_cols + (n_events BIGINT, ema_units BIGINT).
+    """
+    ordered = F.sort_array(
+        F.collect_list(F.struct(*[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                                F.col(value_col).alias("v")))
+    )
+    g = df.groupBy(*key_cols).agg(
+        ordered.alias("xs"), F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    vals = F.transform(F.col("xs"), lambda s: s["v"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: (((acc + x) - ((acc + x) % 2)) / 2).cast("long"),
+    )
+    return g.select(*key_cols, "n_events", fold.alias("ema_units"))

@@ -97,3 +97,26 @@ def test_range_join_matches_brute_force(spark):
             for r in join_range_bucketed(pts, iv, "p", "s", "e", width).collect()
         }
         assert got == brute, width
+
+
+def test_ema_integer_matches_python_fold(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.temporal import ema_integer
+
+    rows = [(1, i, v) for i, v in enumerate([10, 20, 6, -7, 3])] + [(2, 0, 100)]
+    df = spark.createDataFrame(rows, "k LONG, t LONG, v LONG")
+    got = {r.k: (r.n_events, r.ema_units) for r in ema_integer(df, ["k"], ["t"], "v").collect()}
+
+    def ref(vals):
+        acc = vals[0]
+        for v in vals[1:]:
+            q = acc + v
+            acc = int(q / 2) if q >= 0 else -((-q) // 2)  # truncate toward zero
+        return acc
+
+    assert got[1] == (5, ref([10, 20, 6, -7, 3]))
+    assert got[2] == (1, 100)
+    # negative-sum step truncates toward zero in BOTH engines: (−7+3 after
+    # smoothing history) — spot-check a pure negative sequence
+    df2 = spark.createDataFrame([(3, 0, -7), (3, 1, -2)], "k LONG, t LONG, v LONG")
+    [r] = ema_integer(df2, ["k"], ["t"], "v").collect()
+    assert r.ema_units == -4  # (-7 + -2) = -9 -> trunc(-9/2) = -4
