@@ -919,3 +919,66 @@ def temporal_ema_smooth_q(spark, sf_dir):
         F.floor(F.col("value") * 1000000).cast("long").alias("v"),
     )
     return ema_integer(prepped, ["user_id"], ["t", "event_id"], "v")
+
+
+# --------------------------------------------------------------------------
+# join_asof_forward — next-event alignment with a tolerance horizon
+# --------------------------------------------------------------------------
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 50 = 0
+    ),
+    r AS (
+      SELECT user_id, ts AS t, MIN(event_id) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, CAST(e.user_id AS BIGINT) AS user_id,
+      (SELECT r.v FROM r
+        WHERE r.user_id = e.user_id AND r.t >= e.ts
+          AND r.t <= e.ts + INTERVAL 2 DAY
+        ORDER BY r.t ASC LIMIT 1) AS next_purchase,
+      (SELECT CAST(date_diff('microsecond', e.ts, r.t) AS BIGINT) FROM r
+        WHERE r.user_id = e.user_id AND r.t >= e.ts
+          AND r.t <= e.ts + INTERVAL 2 DAY
+        ORDER BY r.t ASC LIMIT 1) AS wait_us
+    FROM ev e
+    """,
+)
+def join_asof_forward_q(spark, sf_dir):
+    """Forward as-of with tolerance (operators/asof.py join_asof_forward):
+    each sampled event matched to the same user's EARLIEST purchase event
+    at-or-after its time, but only within a 2-day horizon — time-to-
+    conversion, the next-event alignment the backward as-of cannot answer.
+    Both sides share the events timeline so the horizon genuinely splits
+    matched from unmatched rows (at sf0.01 both outcomes occur).  Same
+    union + one-keyed-window shape as join_asof (no range cross product);
+    the oracle is an independent correlated-subquery formulation, so the
+    gate cross-checks semantics, not implementation."""
+    from ..operators.asof import join_asof_forward
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 50 == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("t"), F.col("event_id").alias("p_id"))
+    )
+    out = join_asof_forward(
+        ev, purchases, on="user_id", left_time="ts", right_time="t",
+        right_value="p_id", tolerance_seconds=2 * 86400,
+        out_col="next_purchase",
+    )
+    return out.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("next_purchase").cast("long").alias("next_purchase"),
+        # microsecond delta: exact integers in both engines (DuckDB's
+        # date_diff('second') counts boundary crossings, Spark truncates —
+        # they disagree on sub-second offsets; microseconds have no rounding)
+        F.expr("timestampdiff(MICROSECOND, ts, next_purchase_at)").cast("long").alias("wait_us"),
+    )

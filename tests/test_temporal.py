@@ -120,3 +120,41 @@ def test_ema_integer_matches_python_fold(spark):
     df2 = spark.createDataFrame([(3, 0, -7), (3, 1, -2)], "k LONG, t LONG, v LONG")
     [r] = ema_integer(df2, ["k"], ["t"], "v").collect()
     assert r.ema_units == -4  # (-7 + -2) = -9 -> trunc(-9/2) = -4
+
+
+def test_join_asof_forward_semantics(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.asof import join_asof_forward
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 00:00:00"), (2, "u", "2024-01-05 00:00:00"),
+         (3, "v", "2024-01-01 00:00:00")],
+        "id LONG, k STRING, lt STRING",
+    ).select("id", "k", F.col("lt").cast("timestamp_ntz").alias("lt"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-03 00:00:00", 30), ("u", "2024-01-03 00:00:00", 10),
+         ("u", "2024-01-10 00:00:00", 99)],
+        "k STRING, rt STRING, v LONG",
+    ).select("k", F.col("rt").cast("timestamp_ntz").alias("rt"), "v")
+    out = {r.id: (r.nxt, r.nxt_at) for r in join_asof_forward(
+        left, right, "k", "lt", "rt", "v",
+        tolerance_seconds=4 * 86400, out_col="nxt",
+    ).collect()}
+    # id 1: earliest right >= Jan 1 within 4 days is Jan 3; tie keeps MIN v
+    assert out[1][0] == 10
+    # id 2 (Jan 5): next right is Jan 10 — outside the 4-day tolerance -> NULL
+    assert out[2] == (None, None)
+    # id 3: key v has no right rows at all -> NULL
+    assert out[3] == (None, None)
+
+
+def test_join_asof_forward_inclusive_at_equal_time(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.asof import join_asof_forward
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-03 00:00:00")], "id LONG, k STRING, lt STRING"
+    ).select("id", "k", F.col("lt").cast("timestamp_ntz").alias("lt"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-03 00:00:00", 7)], "k STRING, rt STRING, v LONG"
+    ).select("k", F.col("rt").cast("timestamp_ntz").alias("rt"), "v")
+    [r] = join_asof_forward(left, right, "k", "lt", "rt", "v", out_col="nxt").collect()
+    assert r.nxt == 7  # >= is inclusive
