@@ -83,7 +83,7 @@ _PRIORITY = [
     # checker tools/check_correctness.py).
     #
     # ROUND-5 ROTATION PLAN (precomputed this round): after r4's gate runs,
-    # 43 catalog queries will still lack driver evidence — rotate
+    # 47 catalog queries will still lack driver evidence — rotate
     # THEM into the front of the r5 prefix: the round-4 late additions
     # (temporal_gap_fill, agg_unpivot_long, dedup_fuzzy_levenshtein,
     # graph_bfs_distance, dedup_substring_spans, dedup_embedding_clustered,
@@ -94,7 +94,9 @@ _PRIORITY = [
     # additions join_bloom_prefilter, agg_heavy_hitters_cms,
     # text_chunk_split, filter_outlier_mad, dedup_bloom_screen,
     # stream_bloom_screen, text_bpe_pair_counts, text_bpe_train,
-    # text_bpe_encode, text_lm_quality_score) plus the 14 remaining
+    # text_bpe_encode, text_lm_quality_score, similarity_topk_vectorized,
+    # dedup_keep_best_quality, temporal_ema_smooth, join_asof_forward)
+    # plus the 14 remaining
     # r1-r3 locals (ddl_database_graph, filter_quality_percentile,
     # interleave_weighted, pack_sequences, sample_cap_per_group,
     # sample_stratified, shard_assign, sink_range_sharded,
