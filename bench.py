@@ -186,6 +186,27 @@ def ann_ivf_80k(spark):
     return ivf_topk_prebuilt(q, _ANN_STATE["index"], _ANN_STATE["centroids"], k=10, nprobe=8)
 
 
+def ann_ivf_routed_10k(spark):
+    """Large-batch IVF serving (VERDICT r4 #2): |Q| = 10,000 queries against
+    the same prebuilt 80k-corpus index via ivf_topk_prebuilt_routed — the
+    fully-distributed cogroup path with NO driver collect of the query side.
+    At this batch size the collect-based vectorized twin would ship a
+    10k x 64 matrix (plus a 10k-entry routing dict) through the driver; the
+    routed path keeps routing as a cell-keyed join and scores each cell with
+    one executor-side matmul.  Bit-identity to ivf_topk_prebuilt at this
+    exact shape is asserted by tools/verify_routed_ann.py (run once per
+    round; recorded in SCALE.md)."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        ivf_topk_prebuilt_routed,
+    )
+
+    ann_ivf_80k(spark)  # ensure the shared index exists (built once)
+    q = _ANN_STATE["corpus"].filter(F.col("vec_id") < 10000)
+    return ivf_topk_prebuilt_routed(
+        q, _ANN_STATE["index"], _ANN_STATE["centroids"], k=10, nprobe=8
+    )
+
+
 def running_windows(spark):
     ev = load_table(spark, SF_DIR, "events")
     out = window_running_sum(ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], "value")
@@ -402,6 +423,7 @@ BENCH_QUERIES = {
     "cosine_topk_80k": cosine_topk_80k,
     "cosine_topk_80k_vec": cosine_topk_80k_vec,
     "ann_ivf_80k": ann_ivf_80k,
+    "ann_ivf_routed_10k": ann_ivf_routed_10k,
     "running_windows": running_windows,
     "asof_events": asof_events,
     "inverted_index": inverted_index,
@@ -499,6 +521,21 @@ def main() -> None:
     ]
     if ratios:
         summary["host_noise_ratio"] = round(max(ratios), 2)
+        # Noise-normalized protocol (VERDICT r4 #8): round-over-round
+        # comparisons use these, not raw seconds.  The geometric mean of the
+        # sentinel ratios estimates THIS run's host speed relative to the
+        # pinned quiet-host reference; dividing every timing by it expresses
+        # "seconds on the reference host".  r4 recorded five runs of
+        # identical code spanning 22.9-39.2 s raw totals; their normalized
+        # totals collapse to a far tighter band (BASELINE.md).
+        import math
+
+        speed = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+        summary["host_speed_ratio"] = round(speed, 3)
+        summary["queries_normalized"] = {
+            q: round(t / speed, 3) for q, t in timings.items()
+        }
+        summary["normalized_total"] = round(sum(summary["queries_normalized"].values()), 3)
     print(json.dumps(summary))
     spark.stop()
 

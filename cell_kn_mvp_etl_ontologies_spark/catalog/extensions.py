@@ -904,9 +904,11 @@ def similarity_ann_lsh_q(spark, sf_dir):
     return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
 
 
-@register(
-    "similarity_ann_ivf",
-    oracle="""
+# Shared by similarity_ann_ivf and similarity_ann_ivf_routed: the routed
+# serving path is bit-identical to the inline ivf_topk by contract (pinned
+# in tests/test_sketches.py::test_ivf_routed_serving_matches_expression_path_dyadic),
+# so both queries check against the same DuckDB replay.
+_IVF_ORACLE_SQL = """
     WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
     {quant}
     , cents AS (SELECT vec_id AS cell FROM corpus WHERE vec_id < 8),
@@ -955,8 +957,10 @@ def similarity_ann_lsh_q(spark, sf_dir):
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rnk
       FROM scored
     ) WHERE rnk <= 3
-    """.format(quant=_QUANT_SQL),
-)
+    """.format(quant=_QUANT_SQL)
+
+
+@register("similarity_ann_ivf", oracle=_IVF_ORACLE_SQL)
 def similarity_ann_ivf_q(spark, sf_dir):
     """IVF-flat ANN (the inverted-file scale path alongside LSH): corpus
     vectors live in their nearest cell, queries probe their nprobe=2 nearest
@@ -969,6 +973,25 @@ def similarity_ann_ivf_q(spark, sf_dir):
     centroids = em.filter(F.col("vec_id") < 8)
     queries = em.filter(F.col("vec_id") < 10)
     out = ivf_topk(queries, em, centroids, k=3, nprobe=2)
+    return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
+@register("similarity_ann_ivf_routed", oracle=_IVF_ORACLE_SQL)
+def similarity_ann_ivf_routed_q(spark, sf_dir):
+    """Fully-distributed vectorized IVF serving (VERDICT r4 #2): queries
+    never touch the driver — probe routing is a cell-keyed join and scoring
+    is a cogrouped applyInPandas matmul per cell.  Must be bit-identical to
+    similarity_ann_ivf (same oracle replay), which is what makes the
+    routing/cogroup machinery itself hash-gated cross-engine."""
+    from ..operators.similarity import build_ivf_index, ivf_topk_prebuilt_routed
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150).select(
+        "vec_id", "embedding"
+    )
+    centroids = em.filter(F.col("vec_id") < 8)
+    queries = em.filter(F.col("vec_id") < 10)
+    index = build_ivf_index(em, centroids)
+    out = ivf_topk_prebuilt_routed(queries, index, centroids, k=3, nprobe=2)
     return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
 
 

@@ -31,10 +31,26 @@ def _dot_long(a: Column, b: Column) -> Column:
 
 
 def quantize_vec(v: Column, scale: int = 1000) -> Column:
-    """array<float> -> array<long> of round(x*scale).  float*1000 can never
-    land exactly on .5 (denominator 2000 is not dyadic), so round-half
-    direction differences between engines cannot surface."""
+    """array<float> -> array<long> of round(x*scale), HALF_UP (round half
+    away from zero).  Dyadic embedding values DO land exactly on .5 after
+    scaling (0.0625 * 1000 = 62.5 exactly), so the rounding mode is part of
+    the cross-engine contract: Spark ``round`` and DuckDB ``round`` both
+    round half away from zero, and every numpy twin must replicate that via
+    ``quantize_np`` below — ``np.rint`` (half-even) silently diverges at
+    exactly those values."""
     return F.transform(v, lambda x: F.round(x.cast("double") * scale, 0).cast("long"))
+
+
+def quantize_np(x, scale: int = 1000):
+    """numpy twin of ``quantize_vec``: HALF_UP quantization matching Spark
+    and DuckDB ``round`` (half away from zero).  ``np.rint`` is half-even
+    and disagrees at dyadic values (0.0625*1000=62.5 -> rint 62, Spark 63),
+    which would silently break the bit-identical contract of the vectorized
+    ANN twins (ADVICE r4, high)."""
+    import numpy as np
+
+    y = np.asarray(x, dtype=np.float64) * scale
+    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
 
 
 def with_norm_sq(df: DataFrame, vec_col: str, out_col: str = "norm_sq") -> Column:
@@ -411,9 +427,10 @@ def cosine_topk_vectorized(
     and each Arrow batch of targets scores as ONE int64 matmul.
 
     Exactness argument, step by step:
-      - quantization: both paths compute round(float64(x) * scale); a
-        float*scale can never land exactly on .5 (non-dyadic denominator),
-        so numpy's half-even and Spark's half-up agree everywhere;
+      - quantization: both paths compute HALF_UP round(float64(x) * scale) —
+        ``quantize_np`` replicates Spark's half-away-from-zero rounding
+        exactly (dyadic values like 0.0625 land on .5 after scaling, where
+        np.rint's half-even would diverge);
       - dot/norms: int64 arithmetic, exact and associative — matmul order
         cannot matter;
       - cosine: one float64 multiply + sqrt + divide, the same IEEE ops in
@@ -431,9 +448,7 @@ def cosine_topk_vectorized(
 
     qrows = queries.select("vec_id", "embedding").collect()
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = np.rint(
-        np.array([r.embedding for r in qrows], dtype=np.float64) * scale
-    ).astype(np.int64)
+    Q = quantize_np(np.array([r.embedding for r in qrows], dtype=np.float64), scale)
     q_norm = (Q * Q).sum(axis=1)
 
     def score(batches):
@@ -441,9 +456,7 @@ def cosine_topk_vectorized(
             if pdf.empty:
                 continue
             t_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            T = np.rint(
-                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * scale
-            ).astype(np.int64)
+            T = quantize_np(np.stack(pdf["embedding"].to_numpy()), scale)
             t_norm = (T * T).sum(axis=1)
             dots = T @ Q.T
             # same IEEE shape as the expression path: double(dot) /
@@ -518,9 +531,10 @@ def ivf_topk_prebuilt_vectorized(
     )
     qrows = queries.select("vec_id", "embedding").collect()
     q_index = {int(r.vec_id): i for i, r in enumerate(qrows)}
-    Q = np.rint(
-        np.array([r.embedding for r in qrows], dtype=np.float64) * scale
-    ).astype(np.int64)
+    # HALF_UP, same as quantize_vec: ivf_assign quantizes these queries
+    # half-up for probe assignment and the index's t_vec is half-up — one
+    # query vector must never be quantized two different ways (ADVICE r4).
+    Q = quantize_np(np.array([r.embedding for r in qrows], dtype=np.float64), scale)
     q_ids_arr = np.array([r.vec_id for r in qrows], dtype=np.int64)
     q_norm = (Q * Q).sum(axis=1)
     cell_to_q: dict[int, list[int]] = {}
@@ -571,6 +585,106 @@ def ivf_topk_prebuilt_vectorized(
                     )
 
     cand = members.mapInPandas(score, "q_id long, t_id long, cos double")
+    return window_rank_topk(
+        cand, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )
+
+
+def ivf_topk_prebuilt_routed(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Fully-distributed vectorized IVF serving — NO driver collect of the
+    query side (VERDICT r4 #2).  Bit-identical to ``ivf_topk_prebuilt``.
+
+    The collect-based twin (``ivf_topk_prebuilt_vectorized``) ships the
+    query matrix through the driver, a hop that stops scaling around
+    |Q|~10k.  Here queries stay a DataFrame end-to-end:
+
+      1. probe assignment (broadcast-centroid map, unchanged) produces the
+         (q_id, cell) routing table as a DataFrame;
+      2. queries are quantized ONCE via the expression path
+         (``quantize_vec`` — so there is exactly one rounding mode in play)
+         and joined to their probed cells: (cell, q_id, q_vec, q_norm);
+      3. a cogrouped ``applyInPandas`` on cell brings each cell's index
+         members and its probing queries together on the EXECUTOR — one
+         int64 matmul per cell, local top-k per query under the final total
+         order (cos DESC, t_id ASC);
+      4. a global window top-k refines the per-cell candidates (each t_id
+         lives in exactly one cell, so candidates are duplicate-free and
+         the union-of-local-top-k property applies per query).
+
+    Shuffle shape: one exchange of the routed queries + one of the index on
+    cell (the second is free when the index was written
+    partitioned/bucketed by cell — same co-location contract as
+    ``ivf_topk_prebuilt``).  Per-cell state is bounded by cell size x
+    probing-query count; skewed cells split naturally across nothing — a
+    hot cell is the IVF analogue of a hot key, mitigated by raising k_cells
+    at build time (documented trade, same as the expression path)."""
+    import numpy as np
+    import pandas as pd
+
+    probe = ivf_assign(queries, centroids, nprobe=nprobe, scale=scale).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        quantize_vec(F.col("embedding"), scale).alias("q_vec"),
+    ).withColumn("q_norm", _dot_long(F.col("q_vec"), F.col("q_vec")))
+    routed = probe.join(q, on="q_id").select("cell", "q_id", "q_vec", "q_norm")
+    members = index.select("cell", "t_id", "t_vec", "t_norm")
+
+    empty = pd.DataFrame(
+        {
+            "q_id": pd.Series(dtype="int64"),
+            "t_id": pd.Series(dtype="int64"),
+            "cos": pd.Series(dtype="float64"),
+        }
+    )
+
+    def score(mem: pd.DataFrame, qs: pd.DataFrame) -> pd.DataFrame:
+        if mem.empty or qs.empty:
+            return empty
+        t_ids = mem["t_id"].to_numpy(dtype=np.int64)
+        T = np.stack(mem["t_vec"].to_numpy()).astype(np.int64)
+        t_norm = mem["t_norm"].to_numpy(dtype=np.int64)
+        q_ids = qs["q_id"].to_numpy(dtype=np.int64)
+        Q = np.stack(qs["q_vec"].to_numpy()).astype(np.int64)
+        q_norm = qs["q_norm"].to_numpy(dtype=np.int64)
+        dots = T @ Q.T
+        cos = dots.astype(np.float64) / np.sqrt(
+            q_norm[None, :].astype(np.float64) * t_norm[:, None].astype(np.float64)
+        )
+        out_q, out_t, out_c = [], [], []
+        for j, qid in enumerate(q_ids):
+            idx = np.nonzero(t_ids != qid)[0]
+            if idx.size == 0:
+                continue
+            col = cos[idx, j]
+            order = np.lexsort((t_ids[idx], -col))[:k]
+            sel = idx[order]
+            out_q.append(np.full(sel.size, qid, dtype=np.int64))
+            out_t.append(t_ids[sel])
+            out_c.append(cos[sel, j])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "q_id": np.concatenate(out_q),
+                "t_id": np.concatenate(out_t),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    cand = (
+        members.groupBy("cell")
+        .cogroup(routed.groupBy("cell"))
+        .applyInPandas(score, "q_id long, t_id long, cos double")
+    )
     return window_rank_topk(
         cand, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
     )

@@ -58,13 +58,31 @@ def _km_hashes_fast(value: Column, salt: str) -> tuple[Column, Column]:
     xxhash64 over 600k rows at k=4).  Same portable-vs-fast doctrine as
     operators/dedup.py's MinHash.  Build and probe MUST agree on the
     setting — the bit positions differ between the two families."""
-    # 59-bit mask: h1 + i*h2 stays under 2^63 for i <= 15, so no ANSI
-    # overflow for any practical k (the md5 path's 15-hex-char substrings
-    # give 60 bits and the same headroom argument)
+    # 59-bit mask: h1 + i*h2 stays under 2^63 for i <= 15.  NOTE the md5
+    # path's 15-hex-char substrings give 60 bits, which is only safe to
+    # i <= 7 — both bounds are enforced by _check_km_positions
     mask = F.lit((1 << 59) - 1)
     h1 = F.xxhash64(F.lit(salt), value).bitwiseAND(mask)
     h2 = F.xxhash64(F.lit(salt + "#2"), value).bitwiseAND(mask).bitwiseOR(F.lit(1))
     return h1, h2
+
+
+def _check_km_positions(n_positions: int, portable: bool, what: str) -> None:
+    """Overflow guard for the KM walk h1 + i*h2 (ADVICE r4).
+
+    The md5 path yields 60-bit h1/h2, so h1 + i*h2 < (i+1)*2^60 stays under
+    2^63 only for i <= 7 — with k >= 9 positions the sum overflows int64
+    (negative word indices, or an ANSI error).  The xxhash64 path masks to
+    59 bits, safe to i <= 15.  Masking md5 to 59 bits instead would change
+    every already-gate-verified sketch bit pattern and its DuckDB oracle,
+    so the bound is enforced rather than papered over."""
+    limit = 8 if portable else 16
+    if n_positions > limit:
+        raise ValueError(
+            f"{what}: {'md5-portable' if portable else 'xxhash64'} KM hashing "
+            f"supports at most {limit} positions without int64 overflow "
+            f"(got {n_positions}); lower k/depth or switch hash family"
+        )
 
 
 def _hashes(value: Column, salt: str, portable: bool) -> tuple[Column, Column]:
@@ -96,10 +114,11 @@ def bloom_build(
     NULL=NULL, so correctness is unaffected).  Pinned in
     tests/test_sketches.py.
     """
+    _check_km_positions(k, portable, "bloom_build")
     positions = []
     h1, h2 = _hashes(F.col(key), salt, portable)
     for i in range(k):
-        # h1, h2 < 2^60 and i < k (small), so h1 + i*h2 stays well under 2^63
+        # bounded by _check_km_positions: h1 + i*h2 < 2^63 for all allowed i
         positions.append((h1 + F.lit(i) * h2) % F.lit(m_bits))
     # 32 bits per BIGINT word, not 64: bit 63 would need shiftleft(1, 63),
     # whose negative result DuckDB rejects as overflow — 32-bit words keep
@@ -129,6 +148,7 @@ def _membership(key: Column, lookup, m_bits: int, k: int, salt: str, portable: b
     """Conjunction of the k bit tests; ``lookup`` maps a word-index Column to
     a word Column (map lookup for the broadcast frame, element_at for the
     literal-array variant)."""
+    _check_km_positions(k, portable, "bloom probe")
     h1, h2 = _hashes(key, salt, portable)
     keep = None
     for i in range(k):
@@ -249,6 +269,7 @@ def count_min_build(
     one pseudo-item (constant digest input) — drop NULLs upstream if they
     should not be counted.
     """
+    _check_km_positions(depth, portable, "count_min_build")
     h1, h2 = _hashes(F.col(item), salt, portable)
     cells = []
     for r in range(depth):
@@ -278,6 +299,7 @@ def count_min_estimate(
     a probe-side explode to (item, r, c) + broadcast-hash left join + min.
     Output: (item, cms_est BIGINT) with cms_est >= the true count always.
     """
+    _check_km_positions(depth, portable, "count_min_estimate")
     h1, h2 = _hashes(F.col(item), salt, portable)
     cells = []
     for r in range(depth):

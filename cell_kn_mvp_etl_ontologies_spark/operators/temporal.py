@@ -296,9 +296,13 @@ def ema_integer(
     """Per-key exponential smoothing (alpha = 1/2) over the time-ordered
     value sequence, in pure integer arithmetic: ema_1 = v_1, ema_n =
     (ema_{n-1} + v_n) div 2 with TRUNCATING division — the same semantics
-    as DuckDB's ``//`` and Spark's ``(q - q % 2) / 2`` (both truncate
-    toward zero, and both ``%`` take the dividend's sign), so the smoothed
-    value is bit-exact cross-engine for any sign.
+    as DuckDB's ``//`` (truncate toward zero; ``%`` takes the dividend's
+    sign), so the smoothed value is bit-exact cross-engine for any sign.
+    The halving stays INTEGRAL end-to-end: t - t%2 is even and truncates t
+    toward the even below it, and an arithmetic shiftright(even, 1) is
+    exact division by 2 for either sign — no double division anywhere, so
+    exactness holds for the full int64 range, not just |t| <= 2^53
+    (ADVICE r4).
 
     Shape: ONE keyed shuffle (collect_list + sort_array), then the fold is
     a per-row ``aggregate()`` expression over the sorted array — recursive
@@ -320,6 +324,6 @@ def ema_integer(
     fold = F.aggregate(
         F.slice(vals, 2, F.size(vals) - 1),
         F.element_at(vals, 1),
-        lambda acc, x: (((acc + x) - ((acc + x) % 2)) / 2).cast("long"),
+        lambda acc, x: F.shiftright((acc + x) - ((acc + x) % 2), 1),
     )
     return g.select(*key_cols, "n_events", fold.alias("ema_units"))

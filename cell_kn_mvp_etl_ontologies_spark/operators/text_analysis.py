@@ -217,9 +217,14 @@ def unigram_lm_scores(
     text; gibberish and rare-token spam score low.
 
     ``vocab`` defaults to the input corpus's own token frequencies (the
-    self-scoring curation pass); pass a frozen vocab table (token, freq) to
-    score NEW documents against a reference corpus — tokens absent from it
-    count as ``oov_tokens`` and contribute 0 bits.
+    self-scoring curation pass); pass a frozen vocab table with columns
+    named EXACTLY ``(tok, freq)`` to score NEW documents against a
+    reference corpus — tokens absent from it count as ``oov_tokens`` and
+    contribute 0 bits.  Supplied rows with ``freq < 1`` are treated as
+    out-of-vocabulary too (filtered before the join) rather than silently
+    dropping the token's contribution while still counting it in
+    ``n_tokens``, which is what a NULL ``log2`` would otherwise do
+    (ADVICE r4).
 
     Shape: one shuffle builds the vocab, the score join keys on token, the
     doc rollup keys on id — three exchanges, all keyed, none corpus-squared.
@@ -237,7 +242,15 @@ def unigram_lm_scores(
         vocab = toks.groupBy(F.col("tok")).agg(
             F.count(F.lit(1)).cast("long").alias("freq")
         )
-    scored = toks.join(vocab.select("tok", "freq"), "tok", "left")
+    else:
+        missing = {"tok", "freq"} - set(vocab.columns)
+        if missing:
+            raise ValueError(
+                f"unigram_lm_scores: vocab must have columns ('tok', 'freq'); missing {sorted(missing)}"
+            )
+    # freq < 1 would make log2 NULL and silently drop the token from
+    # score_bits while still counting it in n_tokens — treat as OOV instead
+    scored = toks.join(vocab.select("tok", "freq").filter(F.col("freq") >= 1), "tok", "left")
     bits = F.when(
         F.col("freq").isNotNull(), F.floor(F.log2(F.col("freq"))).cast("long")
     ).otherwise(F.lit(0).cast("long"))

@@ -300,3 +300,114 @@ def test_mad_null_values_are_neither_flagged_nor_inliers(spark):
     assert len(out) == 4
     assert [r.is_outlier for r in out if r.v is None] == [None]
     assert all(r.is_outlier is not None for r in out if r.v is not None)
+
+
+# -------------------------------------------- ADVICE r4 regression pins ----
+def test_quantize_np_half_up_matches_spark_round_at_dyadic_values(spark):
+    """Dyadic embedding values land exactly on .5 after scaling (0.0625*1000
+    = 62.5): Spark/DuckDB round half away from zero, np.rint half-even —
+    quantize_np must replicate the former (ADVICE r4, high)."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        quantize_np,
+        quantize_vec,
+    )
+
+    vals = [0.0625, 0.1875, -0.0625, -0.1875, 0.5, -0.5, 0.1, -0.1]
+    df = spark.createDataFrame([(1, vals)], "vec_id LONG, embedding ARRAY<FLOAT>")
+    [row] = df.select(quantize_vec(F.col("embedding")).alias("q")).collect()
+    got = list(quantize_np([float(v) for v in vals]))
+    assert got == list(row.q)
+    assert got[:4] == [63, 188, -63, -188]  # .5-landing cases, half AWAY from zero
+
+
+def test_cosine_topk_vectorized_bit_identical_at_dyadic_embeddings(spark):
+    """The r4 advice counterexample: embeddings made of multiples of 1/16 so
+    every component scales onto .5 — np.rint would silently diverge here."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        similarity_topk,
+    )
+
+    import random
+
+    rnd = random.Random(3)
+    rows = [
+        (int(i), [rnd.randrange(-16, 17) / 16.0 for _ in range(8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = df.filter(F.col("vec_id") < 4)
+    a = similarity_topk(q, df, k=3, quantized=True).select("q_id", "t_id", "cos", "rnk")
+    b = cosine_topk_vectorized(q, df, k=3).select("q_id", "t_id", "cos", "rnk")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_routed_serving_matches_expression_path_dyadic(spark):
+    """ivf_topk_prebuilt_routed (no driver collect of queries) must be
+    bit-identical to ivf_topk_prebuilt, including at .5-landing values."""
+    import random
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.clustering import kmeans_fit
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_prebuilt,
+        ivf_topk_prebuilt_routed,
+        ivf_topk_prebuilt_vectorized,
+    )
+
+    rnd = random.Random(13)
+    rows = [
+        (int(i), [rnd.randrange(-16, 17) / 16.0 for _ in range(8)]) for i in range(90)
+    ]
+    em = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    cents = kmeans_fit(em, "vec_id", "embedding", k=4, n_iter=1)
+    centroids = em.sparkSession.createDataFrame(
+        [(int(r.cell), [v / 1000.0 for v in r.cv]) for r in cents.collect()],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    index = build_ivf_index(em, centroids)
+    q = em.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_topk_prebuilt(q, index, centroids, k=3, nprobe=2).collect()))
+    b = sorted(map(tuple, ivf_topk_prebuilt_routed(q, index, centroids, k=3, nprobe=2).collect()))
+    c = sorted(map(tuple, ivf_topk_prebuilt_vectorized(q, index, centroids, k=3, nprobe=2).collect()))
+    assert a == b == c
+
+
+def test_km_position_overflow_guard(spark):
+    """md5-portable KM hashing overflows int64 at k >= 9 (60-bit h1/h2);
+    the builders must refuse instead of emitting negative positions."""
+    import pytest as _pytest
+
+    keys = spark.createDataFrame([(1,)], "k LONG")
+    with _pytest.raises(ValueError, match="at most 8 positions"):
+        bloom_build(keys, "k", m_bits=256, k=9, portable=True)
+    with _pytest.raises(ValueError, match="at most 16 positions"):
+        bloom_build(keys, "k", m_bits=256, k=17, portable=False)
+    with _pytest.raises(ValueError, match="at most 8 positions"):
+        count_min_build(keys, "k", depth=9, width=8, portable=True)
+    # boundary cases stay legal and produce non-negative positions
+    b8 = bloom_build(keys, "k", m_bits=256, k=8, portable=True)
+    assert all(int(w) >= 0 for w in b8.collect()[0][0].values())
+    b16 = bloom_build(keys, "k", m_bits=256, k=16, portable=False)
+    assert all(int(w) >= 0 for w in b16.collect()[0][0].values())
+
+
+def test_unigram_lm_vocab_validation_and_nonpositive_freq(spark):
+    """Supplied vocab must carry (tok, freq); freq < 1 rows are treated as
+    OOV instead of silently dropping the token's bits (ADVICE r4)."""
+    import pytest as _pytest
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.text_analysis import (
+        unigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame([(1, "good bad")], "doc_id LONG, text STRING")
+    bad_cols = spark.createDataFrame([("good", 16)], "token STRING, freq LONG")
+    with _pytest.raises(ValueError, match="must have columns"):
+        unigram_lm_scores(docs, "text", "doc_id", vocab=bad_cols)
+
+    vocab = spark.createDataFrame(
+        [("good", 16), ("bad", 0)], "tok STRING, freq LONG"
+    )
+    [r] = unigram_lm_scores(docs, "text", "doc_id", vocab=vocab).collect()
+    # 'bad' (freq=0) counts as OOV and contributes 0 bits; 'good' gives 4
+    assert (r.n_tokens, r.oov_tokens, r.score_bits) == (2, 1, 4)

@@ -158,3 +158,21 @@ def test_join_asof_forward_inclusive_at_equal_time(spark):
     ).select("k", F.col("rt").cast("timestamp_ntz").alias("rt"), "v")
     [r] = join_asof_forward(left, right, "k", "lt", "rt", "v", out_col="nxt").collect()
     assert r.nxt == 7  # >= is inclusive
+
+
+def test_ema_integer_exact_beyond_double_precision(spark):
+    """The halving is integral end-to-end (shiftright of an even), so values
+    past 2^53 keep the exact cross-engine contract (ADVICE r4): with
+    doubles, (2^60 + (2^60+8)) / 2 would round to a multiple of 256."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.temporal import ema_integer
+
+    big = 1 << 60
+    rows = [("k", 1, big), ("k", 2, big + 8), ("k", 3, -(big + 9))]
+    df = spark.createDataFrame(rows, "k STRING, t LONG, v LONG")
+    [r] = ema_integer(df, ["k"], ["t"], "v").collect()
+    # python reference fold with truncating div
+    e = big
+    for v in (big + 8, -(big + 9)):
+        s = e + v
+        e = s // 2 if s >= 0 else -((-s) // 2)  # truncate toward zero
+    assert (r.n_events, r.ema_units) == (3, e)
