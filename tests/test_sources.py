@@ -314,3 +314,76 @@ def test_split_scan_skip_and_edge_files(spark, tmp_path):
     rows = scan_rdf_triples_split(spark, d, on_error="skip").collect()
     assert {r.src_file for r in rows} == {"good.owl"}
     assert len(rows) == 1  # the rdf:type triple of http://x/A
+
+
+def test_rdfxml_reification_axiom_blocks_and_containers(spark, tmp_path):
+    """VERDICT r4 gap #3 (parse, don't drop): property-element rdf:ID emits
+    the four reification quads; anonymous top-level nodes (owl:Axiom
+    annotation blocks) parse as bnodes; rdf:li expands to rdf:_n.  The
+    split parse stays bit-identical across all three."""
+    import os
+
+    from cell_kn_mvp_etl_ontologies_spark.sources.owl import scan_rdf_triples_split
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    doc = """<?xml version="1.0"?>
+<rdf:RDF xml:base="http://example.org/base"
+         xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:oio="http://www.geneontology.org/formats/oboInOwl#">
+  <owl:Class rdf:about="http://x/A">
+    <rdfs:label rdf:ID="stmt1">alpha</rdfs:label>
+    <rdfs:seeAlso rdf:ID="stmt2" rdf:resource="http://x/B"/>
+  </owl:Class>
+  <owl:Axiom>
+    <owl:annotatedSource rdf:resource="http://x/A"/>
+    <owl:annotatedProperty rdf:resource="http://www.w3.org/2000/01/rdf-schema#label"/>
+    <owl:annotatedTarget>alpha</owl:annotatedTarget>
+    <oio:hasDbXref>PMID:1234</oio:hasDbXref>
+  </owl:Axiom>
+  <rdf:Seq rdf:about="http://x/seq">
+    <rdf:li rdf:resource="http://x/one"/>
+    <rdf:li>two</rdf:li>
+  </rdf:Seq>
+</rdf:RDF>
+"""
+    d = str(tmp_path / "reif")
+    os.makedirs(d)
+    with open(os.path.join(d, "reif.owl"), "w") as f:
+        f.write(doc)
+
+    whole = scan_rdf_triples(spark, d)
+    rows = {
+        (r.subject, r.predicate, r.object_kind, r.object_iri, r.object_lexical)
+        for r in whole.collect()
+    }
+    S1 = "http://example.org/base#stmt1"
+    # base triple still present
+    assert ("http://x/A", "http://www.w3.org/2000/01/rdf-schema#label", "literal", None, "alpha") in rows
+    # literal-statement reification quad
+    assert (S1, RDF + "type", "iri", RDF + "Statement", None) in rows
+    assert (S1, RDF + "subject", "iri", "http://x/A", None) in rows
+    assert (S1, RDF + "predicate", "iri", "http://www.w3.org/2000/01/rdf-schema#label", None) in rows
+    assert (S1, RDF + "object", "literal", None, "alpha") in rows
+    # resource-statement reification quad
+    S2 = "http://example.org/base#stmt2"
+    assert (S2, RDF + "object", "iri", "http://x/B", None) in rows
+    assert ("http://x/A", "http://www.w3.org/2000/01/rdf-schema#seeAlso", "iri", "http://x/B", None) in rows
+    # anonymous top-level owl:Axiom parses as a bnode with its statements
+    axiom_bnodes = {
+        s for (s, p, k, o, lex) in rows
+        if p == RDF + "type" and o == "http://www.w3.org/2002/07/owl#Axiom"
+    }
+    assert len(axiom_bnodes) == 1
+    (ax,) = axiom_bnodes
+    assert ax.startswith("_:")
+    assert (ax, "http://www.w3.org/2002/07/owl#annotatedSource", "iri", "http://x/A", None) in rows
+    assert (ax, "http://www.geneontology.org/formats/oboInOwl#hasDbXref", "literal", None, "PMID:1234") in rows
+    # rdf:li container expansion
+    assert ("http://x/seq", RDF + "_1", "iri", "http://x/one", None) in rows
+    assert ("http://x/seq", RDF + "_2", "literal", None, "two") in rows
+    # split parse bit-identical (the indexer counts the axiom bnode)
+    split = scan_rdf_triples_split(spark, d, split_bytes=200)
+    assert split.exceptAll(whole).count() == 0
+    assert whole.exceptAll(split).count() == 0
