@@ -631,12 +631,73 @@ def text_bpe_pair_counts_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# text_bpe_train — iterative merge training (rows-only; python-ref pinned)
+# text_bpe_train — iterative merge training, EXACT unrolled-CTE oracle
 # --------------------------------------------------------------------------
-@register("text_bpe_train")  # iterative driver loop: no single-SQL oracle —
-# the driver records a rows-only check; exact equivalence to a pure-Python
-# reference BPE (same corpus, same tie-break) is pinned by
-# tests/test_bpe.py::test_bpe_train_matches_python_reference_on_gate_table
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unroll the bounded BPE training loop as DuckDB CTEs (VERDICT r4 #6,
+    the same doctrine as graph_pagerank's unrolled iterations): per round,
+    pair counts over the current symbol state, the (cnt DESC, left, right)
+    argmax, and a greedy leftmost merge application via the bracket-
+    delimited replace mechanism the text_bpe_encode oracle already
+    cross-validates.  Training state after round r IS the encode of the
+    vocab with merges 0..r (identical fold sequence), so the final token
+    count reads straight off s{n}."""
+    sql = [
+        """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents
+    ),
+    words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+      WHERE word <> '' GROUP BY word
+    ),
+    s0 AS (
+      SELECT freq,
+        chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31) AS s
+      FROM words
+    )"""
+    ]
+    for r in range(n_merges):
+        sql.append(
+            f""",
+    a{r} AS (
+      SELECT freq, string_split(trim(s{r}.s, chr(31)), chr(31)||chr(31)) AS a FROM s{r}
+    ),
+    p{r} AS (
+      SELECT a[i] AS l, a[i + 1] AS r, SUM(freq) AS cnt
+      FROM a{r}, unnest(range(1, len(a))) t(i)
+      GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT l, r FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1),
+    s{r + 1} AS (
+      SELECT freq,
+        replace(s, chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
+                chr(31)||b.l||b.r||chr(31)) AS s
+      FROM s{r}, b{r} b
+    )"""
+        )
+    ranks = "\n      UNION ALL ".join(
+        f"SELECT {r} AS rank, l, r FROM b{r}" for r in range(n_merges)
+    )
+    sql.append(
+        f""",
+    merges AS (
+      {ranks}
+    ),
+    final AS (
+      SELECT CAST(SUM(len(string_split(trim(s, chr(31)), chr(31)||chr(31))) * freq) AS BIGINT) AS n
+      FROM s{n_merges}
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, l AS left_sym, r AS right_sym,
+           l || r AS merged, n AS corpus_tokens_after
+    FROM merges, final ORDER BY rank
+    """
+    )
+    return "".join(sql)
+
+
+@register("text_bpe_train", oracle=_bpe_train_oracle(8))
 def text_bpe_train_q(spark, sf_dir):
     """Train 8 BPE merges on the documents corpus and encode the vocabulary
     with them (operators/bpe.py): output one row per merge rank with the

@@ -221,6 +221,41 @@ def agg_pivot_vertex_attrs_q(spark, sf_dir):
 
 
 @register(
+    "agg_pivot_vertex_attrs_capped",
+    oracle="""
+    SELECT id, attr, value FROM (
+      SELECT id, attr, value,
+             ROW_NUMBER() OVER (PARTITION BY id, attr ORDER BY value) AS rn
+      FROM (
+        SELECT DISTINCT user_id AS id, event_type AS attr, props AS value
+        FROM events
+      )
+    ) WHERE rn <= 3
+    """,
+)
+def agg_pivot_vertex_attrs_capped_q(spark, sf_dir):
+    """Skew-bounded pivot (VERDICT r4 #7): per (vertex, attr) the value set
+    is capped to the first 3 ascending values via the salted two-level
+    aggregation — deterministic keep-first-N, pinned here cell-exactly
+    against a windowed row_number replay.  The whale-vertex behavior
+    (100x median attribute count) is pinned in tests/test_skew.py."""
+    from ..operators.aggregates import agg_pivot_vertex_attrs_capped
+
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        F.col("user_id").alias("id"),
+        F.lit("u").alias("number"),
+        F.col("event_type").alias("attr"),
+        F.col("props").alias("value"),
+    )
+    pivoted = agg_pivot_vertex_attrs_capped(rows, max_values_per_attr=3)
+    return (
+        pivoted.select("id", F.explode("attrs").alias("attr", "values"))
+        .select("id", "attr", F.explode("values").alias("value"))
+    )
+
+
+@register(
     "agg_dedup_edges",
     oracle="""
     SELECT DISTINCT

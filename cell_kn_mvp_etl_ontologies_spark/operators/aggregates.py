@@ -75,6 +75,54 @@ def agg_pivot_vertex_attrs(literal_triples: DataFrame) -> DataFrame:
     )
 
 
+def agg_pivot_vertex_attrs_capped(
+    literal_triples: DataFrame, max_values_per_attr: int, n_salts: int = 8
+) -> DataFrame:
+    """Skew-bounded twin of ``agg_pivot_vertex_attrs`` (VERDICT r4 #7).
+
+    The uncapped pivot builds one ``collect_set`` state per vertex — fine
+    for ontology terms (attribute rows bounded by the per-term predicate
+    vocabulary, tens), but a pathological vertex with 100× the median
+    attribute count concentrates its whole row set in one reducer state,
+    the same dynamic-vocabulary risk the reference's scalar-overwrite loop
+    hides (OntologyGraphBuilder.java:215-229).  This variant bounds state
+    the way the capped inverted index does (search/inverted_index.py):
+
+      1. salt on the VALUE hash; per (vertex, attr, salt) collect a sorted
+         set capped to the first ``max_values_per_attr`` ascending values —
+         aggregation state never exceeds the cap per salt;
+      2. merge the ≤ n_salts capped arrays per (vertex, attr) and re-cap —
+         keep-first-N of a union of per-salt keep-first-Ns equals the
+         global ascending first-N (standard top-k merge property), so the
+         kept values are DETERMINISTIC, not arrival-order;
+      3. regroup to the MAP<attr, ARRAY<value>> document shape.
+
+    Output schema matches the uncapped operator; results are identical
+    whenever no (vertex, attr) exceeds the cap (pinned by test)."""
+    salt = (F.xxhash64(F.col("value")) % n_salts + n_salts) % n_salts
+    lvl1 = (
+        literal_triples.withColumn("_salt", salt)
+        .groupBy("id", "number", "attr", "_salt")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("value")), 1, max_values_per_attr
+            ).alias("vals")
+        )
+    )
+    lvl2 = lvl1.groupBy("id", "number", "attr").agg(
+        F.slice(
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("vals")))),
+            1,
+            max_values_per_attr,
+        ).alias("values")
+    )
+    return lvl2.groupBy("id", "number").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("attr", "values")))
+        ).alias("attrs")
+    )
+
+
 def agg_dedup_edges(edge_rows: DataFrame) -> DataFrame:
     """One edge per ((from_id, to_id), {fromNum}-{toNum}); labels and sources
     become deterministically sorted sets.  Ref: OntologyGraphBuilder.java:345-401."""

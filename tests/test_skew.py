@@ -92,3 +92,66 @@ def test_inverted_index_hot_token_cap(spark):
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def _pivot_rows(spark):
+    """Median vertex: 3 attribute rows.  Whale vertex 'V9': 300 rows
+    (100x median) across 3 attrs — the dynamic-vocabulary skew risk of
+    OntologyGraphBuilder.java:215-229."""
+    median = spark.range(50).select(
+        F.concat(F.lit("V"), (F.col("id") % 10).cast("string")).alias("id"),
+        F.lit("n1").alias("number"),
+        F.concat(F.lit("attr"), (F.col("id") % 3).cast("string")).alias("attr"),
+        F.concat(F.lit("v"), (F.col("id") % 5).cast("string")).alias("value"),
+    ).filter(F.col("id") != "V9")
+    whale = spark.range(300).select(
+        F.lit("V9").alias("id"),
+        F.lit("n1").alias("number"),
+        F.concat(F.lit("attr"), (F.col("id") % 3).cast("string")).alias("attr"),
+        F.concat(F.lit("w"), F.lpad(F.col("id").cast("string"), 3, "0")).alias("value"),
+    )
+    return median.unionByName(whale)
+
+
+def test_pivot_vertex_attrs_whale_vertex_complete_and_sorted(spark):
+    """VERDICT r4 #7: the uncapped pivot must stay correct (complete,
+    deterministically sorted) for a vertex with 100x the median attribute
+    count — the O(n_attrs x n_entries) regroup bound documented on the
+    operator holds because attrs stay few even when values explode."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.aggregates import (
+        agg_pivot_vertex_attrs,
+    )
+
+    out = {r.id: r.attrs for r in agg_pivot_vertex_attrs(_pivot_rows(spark)).collect()}
+    whale = out["V9"]
+    assert sorted(whale.keys()) == ["attr0", "attr1", "attr2"]
+    assert len(whale["attr0"]) == 100
+    assert whale["attr0"] == sorted(whale["attr0"])  # deterministic order
+
+
+def test_pivot_capped_equals_uncapped_below_cap_and_bounds_whale(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.aggregates import (
+        agg_pivot_vertex_attrs,
+        agg_pivot_vertex_attrs_capped,
+    )
+
+    rows = _pivot_rows(spark)
+    plain = {
+        (r.id, r.number): {k: list(v) for k, v in r.attrs.items()}
+        for r in agg_pivot_vertex_attrs(rows).collect()
+    }
+    # cap above every group size: identical output
+    wide = {
+        (r.id, r.number): {k: list(v) for k, v in r.attrs.items()}
+        for r in agg_pivot_vertex_attrs_capped(rows, max_values_per_attr=1000).collect()
+    }
+    assert wide == plain
+    # binding cap: whale attrs keep exactly the FIRST 10 ascending values
+    capped = {
+        (r.id, r.number): {k: list(v) for k, v in r.attrs.items()}
+        for r in agg_pivot_vertex_attrs_capped(rows, max_values_per_attr=10).collect()
+    }
+    for a in ("attr0", "attr1", "attr2"):
+        assert capped[("V9", "n1")][a] == plain[("V9", "n1")][a][:10]
+    # untouched vertices identical
+    assert capped[("V1", "n1")] == plain[("V1", "n1")]
