@@ -98,11 +98,13 @@ _PRIORITY = [
     "text_inverted_index_view", "text_lm_quality_score", "text_ngram_analyzer",
     "text_repetition_filter", "text_search_ddl", "udf_grouped_agg",
     "window_analytics",
-    # -- 2 queries NEW in round 5 (routed ANN serving per VERDICT r4 #2,
-    # skew-capped pivot per #7) so they get driver evidence immediately --
+    # -- 3 queries NEW in round 5 (routed ANN serving per VERDICT r4 #2,
+    # skew-capped pivot per #7, stop-template LSH cap per #4) so they get
+    # driver evidence immediately --
     "similarity_ann_ivf_routed", "agg_pivot_vertex_attrs_capped",
-    # -- 2 stalest driver-green rows (r1-only evidence) to refresh recency --
-    "scan_dir_regex", "filter_root_ns_class",
+    "dedup_minhash_lsh_capped",
+    # -- 1 stalest driver-green row (r1-only evidence) to refresh recency --
+    "scan_dir_regex",
     # ------------------------------------------------------------------
     # Below this line: the round-4 prefix, kept for stable ordering of the
     # unfenced remainder (every query below is driver-green in

@@ -104,6 +104,24 @@ def minhash_dedup(spark):
     )
 
 
+def minhash_dedup_capped(spark):
+    """The stop-template twin of minhash_dedup (VERDICT r4 #4): identical
+    pipeline with overcrowded band buckets (>50 members) dropped before
+    pair expansion.  The uncapped headline's cost tail is candidate-pair
+    VOLUME (868k real pairs, one 736-doc bucket — SCALE.md
+    §minhash-profile), so this is the scale lever, not a shortcut: at
+    100 TB an uncapped template bucket is quadratic death, the cap bounds
+    every bucket's work."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 100 < 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup_minhash_lsh(
+        parallelize(docs.unionByName(dups)), "text", "doc_id",
+        shingle_width=5, prefix_len=200, n_hashes=8, n_bands=4, max_bucket=50,
+    )
+
+
 def cosine_topk(spark):
     em = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
     q = em.filter(F.col("vec_id") < 50)
@@ -419,6 +437,7 @@ BENCH_QUERIES = {
     "q3_top_revenue": q3_top_revenue,
     "graph_pivot": graph_pivot,
     "minhash_dedup": minhash_dedup,
+    "minhash_dedup_capped": minhash_dedup_capped,
     "cosine_topk": cosine_topk,
     "cosine_topk_80k": cosine_topk_80k,
     "cosine_topk_80k_vec": cosine_topk_80k_vec,

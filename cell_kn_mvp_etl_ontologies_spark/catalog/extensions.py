@@ -102,6 +102,55 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_minhash_lsh_capped",
+    oracle="""
+    WITH corpus AS ({corpus}),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, substring(substring(text, 1, 60), i, 5) AS shingle
+      FROM corpus, generate_series(1, 56) t(i)
+      WHERE i <= greatest(length(substring(text, 1, 60)) - 4, 0)
+    ),
+    hs AS (
+      SELECT id,
+             ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh
+    ),
+    sigs AS (
+      SELECT id,
+        MIN(h1 + 0 * h2) AS sig_0, MIN(h1 + 1 * h2) AS sig_1,
+        MIN(h1 + 2 * h2) AS sig_2, MIN(h1 + 3 * h2) AS sig_3,
+        MIN(h1 + 4 * h2) AS sig_4, MIN(h1 + 5 * h2) AS sig_5
+      FROM hs GROUP BY id
+    ),
+    bands AS (
+      SELECT id, md5('0' || '|' || CAST(sig_0 AS VARCHAR) || '|' || CAST(sig_1 AS VARCHAR)) AS band_key FROM sigs
+      UNION ALL SELECT id, md5('1' || '|' || CAST(sig_2 AS VARCHAR) || '|' || CAST(sig_3 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT id, md5('2' || '|' || CAST(sig_4 AS VARCHAR) || '|' || CAST(sig_5 AS VARCHAR)) FROM sigs
+    ),
+    sizes AS (SELECT band_key, COUNT(DISTINCT id) AS n FROM bands GROUP BY band_key)
+    SELECT DISTINCT x.id AS a, y.id AS b
+    FROM bands x
+    JOIN bands y ON x.band_key = y.band_key AND x.id < y.id
+    JOIN sizes s ON s.band_key = x.band_key AND s.n BETWEEN 2 AND 8
+    """.format(corpus=_DOCS_DUPS_SQL.format(limit=60, n_dups=10)),
+)
+def dedup_minhash_lsh_capped_q(spark, sf_dir):
+    """MinHash LSH with the overcrowded-bucket cap (max_bucket=8): bands
+    shared by more than 8 documents are boilerplate templates and are
+    dropped before pair expansion — the stop-template analogue of the
+    capped inverted index, hash-gated against a bucket-size-filtered
+    replay.  SCALE.md §minhash-profile records why: at sf0.1 ONE band
+    bucket holds 736 documents and the uncapped candidate volume (1.68M
+    emissions) is the whole cost tail."""
+    corpus = _docs_with_dups(spark, sf_dir, 60, 10)
+    return dedup_minhash_lsh(
+        corpus, "text", "doc_id", shingle_width=5, prefix_len=60,
+        n_hashes=6, n_bands=3, max_bucket=8,
+    )
+
+
 _MINHASH_CTE_SQL = """
     {p}_sh AS (
       SELECT DISTINCT doc_id AS id, substring(substring(text, 1, 60), i, 5) AS shingle

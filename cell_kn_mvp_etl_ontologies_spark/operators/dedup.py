@@ -113,19 +113,45 @@ def dedup_minhash_lsh(
     n_hashes: int = 6,
     n_bands: int = 3,
     portable: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) sharing at least one LSH band.
 
     Scale shape: signatures are one aggregate over the shingle explode;
     candidates come from a self-join on band_key — the join key space is the
     band hash, so skew only arises from genuinely duplicate content.
-    """
+
+    ``max_bucket`` (round 5, the stop-template lever): a template-heavy
+    corpus concentrates most documents into a few band buckets, and the
+    candidate volume is sum(bucket²/2) — at sf0.1 the synthetic documents
+    put 736 of 5250 docs in ONE bucket (270k pairs from a single band;
+    1.68M emissions total; SCALE.md §minhash-profile), which is real pair
+    volume, not hashing cost.  Setting ``max_bucket`` drops buckets larger
+    than the cap before pair expansion — the same overcrowded-posting-list
+    doctrine as the capped inverted index: a band shared by hundreds of
+    documents identifies a boilerplate template, not near-duplication, and
+    pairs sharing ONLY such bands are (documented) recall loss.  The capped
+    path groups per bucket and double-explodes the member array, so the cap
+    also bounds per-task work; ``None`` keeps exact join semantics."""
     sigs = minhash_signatures(
         shingles(df, text_col, id_col, shingle_width, prefix_len, distinct=False),
         n_hashes,
         portable=portable,
     )
     bands = minhash_band_keys(sigs, n_hashes, n_bands)
+    if max_bucket is not None:
+        buckets = bands.groupBy("band_key").agg(
+            F.sort_array(F.collect_set("id")).alias("ids")
+        )
+        buckets = buckets.filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
+        )
+        pairs = (
+            buckets.select(F.explode("ids").alias("a"), "ids")
+            .select("a", F.explode("ids").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+        )
+        return pairs.distinct()
     a = bands.select(F.col("id").alias("a"), "band_key")
     b = bands.select(F.col("id").alias("b"), "band_key")
     return (

@@ -107,3 +107,34 @@ def test_curation_null_text_propagates_null(spark):
     c = {x["id"]: x for x in c4_line_filter(df).collect()}
     assert c[1]["cleaned"] is None and c[1]["n_lines"] is None
     assert c[2]["n_kept"] == 1
+
+
+def test_minhash_max_bucket_drops_overcrowded_bands(spark):
+    """VERDICT r4 #4: the stop-template cap.  20 copies of one boilerplate
+    text share every band (bucket of 20 > cap); two genuine near-dups share
+    a small bucket and must survive."""
+    from pyspark.sql import functions as F
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.dedup import dedup_minhash_lsh
+
+    boiler = [(i, "the same boilerplate template text repeated verbatim") for i in range(20)]
+    pair = [
+        (100, "a genuinely unique document about spark execution engines"),
+        (101, "a genuinely unique document about spark execution engined"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id LONG, text STRING")
+    uncapped = {
+        (r.a, r.b)
+        for r in dedup_minhash_lsh(df, "text", "doc_id", 5, None, 6, 3).collect()
+    }
+    capped = {
+        (r.a, r.b)
+        for r in dedup_minhash_lsh(
+            df, "text", "doc_id", 5, None, 6, 3, max_bucket=10
+        ).collect()
+    }
+    # boilerplate cluster: 190 pairs uncapped, all dropped by the cap
+    assert sum(1 for a, b in uncapped if a < 100) == 190
+    assert not any(a < 100 for a, b in capped)
+    # the genuine near-dup pair survives (its bucket has 2 members)
+    assert (100, 101) in uncapped and (100, 101) in capped
