@@ -33,6 +33,10 @@ WAIVERS: dict[str, set[str]] = {
     # IVF training intentionally cross-joins a tiny (n_cells × dim) centroid
     # table against itself during Lloyd iterations; bounded by n_cells.
     "similarity_ann_ivf": {"CARTESIAN"},
+    # same probe-assignment broadcast (k-row centroid table vs the query
+    # batch, bounded by k); the serving join itself is the cell-keyed
+    # cogroup — no data-scale cross product.
+    "similarity_ann_ivf_routed": {"CARTESIAN"},
     # brute-force baseline: query side is broadcast by design (|Q| small);
     # Spark plans broadcast NL join for the explicit crossJoin.
     "similarity_topk": {"CARTESIAN"},
