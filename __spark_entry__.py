@@ -105,6 +105,12 @@ _PRIORITY = [
     "dedup_minhash_lsh_capped",
     # -- 1 stalest driver-green row (r1-only evidence) to refresh recency --
     "scan_dir_regex",
+    # ROUND-6 ROTATION PLAN: after this gate runs, the only catalog queries
+    # without driver evidence will be the round-5 late additions
+    # (similarity_pq_adc, similarity_pq_rerank, similarity_ivf_pq,
+    # similarity_pq_recall, and any registered after this comment) — rotate
+    # exactly those into the r6 prefix, then backfill with the stalest
+    # driver-green rows.
     # ------------------------------------------------------------------
     # Below this line: the round-4 prefix, kept for stable ordering of the
     # unfenced remainder (every query below is driver-green in

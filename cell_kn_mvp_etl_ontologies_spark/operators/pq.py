@@ -1,0 +1,287 @@
+"""Product quantization (PQ) for embedding columns — the memory side of the
+ANN scale story (SURVEY.md §2.12; round 5).
+
+IVF (operators/similarity.py) prunes WHICH vectors a query scores; PQ
+compresses WHAT is stored and scored: each d-dim vector becomes m one-byte
+codes (one per subspace) against per-subspace codebooks, a 16-64× memory
+reduction that is what actually lets a 100 TB embedding corpus live in
+serving memory.  Scoring uses the classic asymmetric distance computation
+(ADC): the query stays exact, each subspace contributes a looked-up
+distance to the stored codeword, so scoring never decodes the corpus.
+
+Everything is integer-exact and engine-portable, the repo's standard
+doctrine: vectors quantize via ``quantize_vec`` (HALF_UP ×1000),
+subspace distances are int64 squared-L2 sums, codeword assignment
+tie-breaks (dist ASC, cell ASC), and ADC totals are exact integer sums —
+so codebooks, codes, and top-k results are all hash-gateable cross-engine.
+
+Distance metric note: PQ is formulated in L2 (the classic Jegou et al.
+construction).  The cosine-based IVF queries and these L2-based PQ queries
+are separate, internally-consistent contracts; for cosine-PQ, L2-normalize
+upstream (then L2 order == cosine order).
+
+Scale shapes:
+- ``pq_train_codebooks``: m independent k-means runs over subvector slices
+  (each reuses the deterministic integer k-means) — corpus-scale scans,
+  codebook output is m×ksub rows (KBs, broadcastable forever after).
+- ``pq_encode``: corpus ⨯ broadcast codebook per subspace, argmin per
+  (vector, subspace) — one m-way explode of the corpus, no shuffle wider
+  than the corpus itself; output is (t_id, codes ARRAY<INT>).
+- ``pq_adc_topk``: the LUT (|Q|·m·ksub rows — query-scale) broadcasts; the
+  corpus codes join it on (sub, code) and partial-aggregating sums fold
+  the m per-subspace lookups back to one distance per (q, t).
+- ``ivf_pq_topk``: IVF candidate pruning + ADC scoring of only the probed
+  cells' codes — the production IVF-PQ serving shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import quantize_vec
+from .windows import window_rank_topk
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvectors(vec: Column, m: int, subdim: int) -> Column:
+    """array<long>[d] -> array<struct<sub int, sv array<long>>>[m]."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("sub"),
+            F.slice(vec, s * subdim + 1, subdim).alias("sv"),
+        ),
+    )
+
+
+def pq_subvector_rows(
+    df: DataFrame, m: int, id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = 1000, subdim: int | None = None,
+) -> DataFrame:
+    """(id, sub, sv ARRAY<BIGINT>): quantized subvector long-form — the
+    common input of training, encoding, and LUT construction.  ``subdim``
+    defaults to dim/m and must divide the vector length (short vectors
+    would silently truncate otherwise, so the caller passes it explicitly
+    when vectors are not uniform)."""
+    if subdim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("pq_subvector_rows: empty input")
+        d = int(first["d"])
+        if d % m != 0:
+            raise ValueError(f"pq_subvector_rows: dim {d} not divisible by m={m}")
+        subdim = d // m
+    q = df.select(F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("qv"))
+    return q.select(
+        "id", F.explode(_subvectors(F.col("qv"), m, subdim)).alias("s")
+    ).select("id", "s.sub", "s.sv")
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Train per-subspace codebooks: (sub INT, cell INT, cv ARRAY<BIGINT>).
+
+    One deterministic integer k-means per subspace over the subvector
+    slices (same seeding/update/tie-break doctrine as ``kmeans_fit``, which
+    it reuses verbatim on a reshaped frame) — m bounded training runs, each
+    corpus-scale scans with (cell, dim)-grain partial-aggregating updates.
+    The full codebook is m·ksub rows: permanently broadcastable."""
+    from .clustering import kmeans_fit
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train_codebooks: empty input")
+    d = int(first["d"])
+    if d % m != 0:
+        raise ValueError(f"pq_train_codebooks: dim {d} not divisible by m={m}")
+    subdim = d // m
+    books = None
+    for sub in range(m):
+        # kmeans_fit quantizes internally, so feed it FLOAT subvector slices
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), sub * subdim + 1, subdim).alias(vec_col),
+        )
+        cb = kmeans_fit(sliced, id_col, vec_col, k=ksub, n_iter=n_iter, scale=scale)
+        cb = cb.select(F.lit(sub).cast("int").alias("sub"), "cell", "cv")
+        books = cb if books is None else books.unionByName(cb)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(t_id, codes ARRAY<INT>): nearest codeword per subspace,
+    deterministic tie-break (dist ASC, cell ASC).
+
+    Plan: m-way subvector explode of the corpus, broadcast-join the m·ksub
+    codebook, min_by argmin per (vector, subspace), regroup codes in
+    subspace order.  Corpus crosses the wire once (the explode is a narrow
+    map); the ksub fan-out collapses map-side in the min_by partial agg."""
+    subs = pq_subvector_rows(df, m, id_col, vec_col, scale)
+    scored = subs.join(F.broadcast(codebooks), on="sub").select(
+        "id", "sub", "cell", _sq_dist(F.col("sv"), F.col("cv")).alias("d")
+    )
+    best = scored.groupBy("id", "sub").agg(
+        F.min_by(F.col("cell"), F.struct(F.col("d"), F.col("cell"))).alias("code")
+    )
+    return best.groupBy("id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub", "code"))), lambda e: e["code"]
+        ).alias("codes")
+    ).select(F.col("id").alias("t_id"), "codes")
+
+
+def pq_adc_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(q_id, sub, code, d): exact int64 squared-L2 from each query
+    subvector to each codeword — the ADC lookup table, |Q|·m·ksub rows
+    (query-scale, broadcastable)."""
+    subs = pq_subvector_rows(queries, m, id_col, vec_col, scale)
+    return subs.join(F.broadcast(codebooks), on="sub").select(
+        F.col("id").alias("q_id"),
+        "sub",
+        F.col("cell").alias("code"),
+        _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int,
+    m: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance top-k: (q_id, t_id, adc_dist, rnk), ascending
+    distance, tie-break t_id ASC.  The corpus is scored WITHOUT decoding:
+    codes long-form joins the broadcast LUT on (sub, code) and a
+    partial-aggregating sum folds the m lookups per (q, t) — the shuffle
+    carries (q_id, t_id, partial sums), never vectors."""
+    lut = pq_adc_lut(queries, codebooks, m=m, scale=scale)
+    code_rows = codes.select(
+        "t_id",
+        F.posexplode("codes").alias("sub", "code"),
+    ).select("t_id", F.col("sub").cast("int").alias("sub"), "code")
+    scored = (
+        code_rows.join(F.broadcast(lut), on=["sub", "code"])
+        .filter(F.col("q_id") != F.col("t_id"))
+        .groupBy("q_id", "t_id")
+        .agg(F.sum("d").alias("adc_dist"), F.count(F.lit(1)).alias("n_sub"))
+        .filter(F.col("n_sub") == m)
+        .drop("n_sub")
+    )
+    return window_rank_topk(
+        scored, ["q_id"], [F.col("adc_dist").asc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )
+
+
+def pq_adc_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int,
+    shortlist: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Two-stage PQ serving: ADC shortlist → exact re-rank — the standard
+    production recipe for high recall at PQ memory cost.
+
+    Stage 1 scans only the CODES (the 8-to-32×-compressed representation)
+    and keeps ``shortlist`` candidates per query; stage 2 fetches full
+    vectors for the shortlist alone (at 100 TB a point-lookup tier, here a
+    keyed join) and re-ranks by exact quantized squared-L2.  Measured on
+    the 80k jitter-structured corpus: plain ADC recall@10 = 0.41, rerank
+    with shortlist=100 recall@10 = **1.000** at both ksub=64 and 256
+    (SCALE.md §pq) — the quantization distortion is confined to candidate
+    selection, never to the final order.  Output: (q_id, t_id, d, rnk),
+    exact distance ascending, t_id tie-break."""
+    short = pq_adc_topk(queries, codes, codebooks, shortlist, m=m, scale=scale).select(
+        "q_id", "t_id"
+    )
+    t = corpus.select(
+        F.col(id_col).alias("t_id"), quantize_vec(F.col(vec_col), scale).alias("vb")
+    )
+    qq = queries.select(
+        F.col(id_col).alias("q_id"), quantize_vec(F.col(vec_col), scale).alias("va")
+    )
+    cand = short.join(t, on="t_id").join(F.broadcast(qq), on="q_id")
+    scored = cand.select("q_id", "t_id", _sq_dist(F.col("va"), F.col("vb")).alias("d"))
+    return window_rank_topk(
+        scored, ["q_id"], [F.col("d").asc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    m: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ serving: IVF cell routing prunes candidates, ADC scores only
+    the probed cells' CODES — the canonical 100 TB ANN shape (coarse
+    quantizer for pruning, product quantizer for memory).  The corpus
+    contributes its codes + cell once (both offline-buildable artifacts);
+    at serving time nothing corpus-sized is decoded, collected, or
+    broadcast."""
+    from .similarity import ivf_assign
+
+    corpus_cells = ivf_assign(corpus, centroids, nprobe=1, scale=scale).select(
+        F.col("vec_id").alias("t_id"), "cell"
+    )
+    query_cells = ivf_assign(queries, centroids, nprobe=nprobe, scale=scale).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    codes = pq_encode(corpus, codebooks, m=m, scale=scale)
+    cand = query_cells.join(corpus_cells, on="cell").select("q_id", "t_id").distinct()
+    lut = pq_adc_lut(queries, codebooks, m=m, scale=scale)
+    code_rows = codes.select("t_id", F.posexplode("codes").alias("sub", "code")).select(
+        "t_id", F.col("sub").cast("int").alias("sub"), "code"
+    )
+    scored = (
+        cand.join(code_rows, on="t_id")
+        .join(F.broadcast(lut), on=["q_id", "sub", "code"])
+        .filter(F.col("q_id") != F.col("t_id"))
+        .groupBy("q_id", "t_id")
+        .agg(F.sum("d").alias("adc_dist"), F.count(F.lit(1)).alias("n_sub"))
+        .filter(F.col("n_sub") == m)
+        .drop("n_sub")
+    )
+    return window_rank_topk(
+        scored, ["q_id"], [F.col("adc_dist").asc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )

@@ -1,0 +1,145 @@
+"""Product-quantization operators (operators/pq.py): codebook training,
+encoding, asymmetric-distance scoring, and the IVF-PQ serving composition."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.operators.pq import (
+    ivf_pq_topk,
+    pq_adc_lut,
+    pq_adc_topk,
+    pq_encode,
+    pq_subvector_rows,
+    pq_train_codebooks,
+)
+
+
+def _vecs(spark, n, d=8, seed=5):
+    rnd = random.Random(seed)
+    rows = [(i, [rnd.randrange(-16, 17) / 16.0 for _ in range(d)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def _fixed_codebooks(spark, corpus, m, ksub):
+    """Codewords = quantized subvectors of the first ksub corpus vectors —
+    the deterministic no-training codebook the catalog oracle replays."""
+    subs = pq_subvector_rows(corpus.filter(F.col("vec_id") < ksub), m)
+    return subs.select(
+        "sub", F.col("id").cast("int").alias("cell"), F.col("sv").alias("cv")
+    )
+
+
+def test_pq_encode_exact_codes_when_vectors_are_codewords(spark):
+    """With ksub >= |corpus| and codewords = the corpus subvectors, every
+    vector must encode to its own id in every subspace (dist 0 beats all,
+    ties impossible across distinct subvectors; equal subvectors tie-break
+    to the smallest cell — both cases asserted)."""
+    corpus = _vecs(spark, 6)
+    books = _fixed_codebooks(spark, corpus, m=2, ksub=6)
+    codes = {r.t_id: list(r.codes) for r in pq_encode(corpus, books, m=2).collect()}
+    subs = {
+        (r.id, r.sub): list(r.sv) for r in pq_subvector_rows(corpus, 2).collect()
+    }
+    for t_id, cs in codes.items():
+        for sub, code in enumerate(cs):
+            # the chosen codeword's subvector must equal the vector's own
+            assert subs[(code, sub)] == subs[(t_id, sub)]
+
+
+def test_pq_adc_equals_exact_distance_at_full_codebook(spark):
+    """When every corpus vector is its own codeword, ADC distance IS the
+    exact quantized squared-L2 — so PQ top-k must equal brute-force
+    quantized L2 top-k exactly."""
+    corpus = _vecs(spark, 10)
+    books = _fixed_codebooks(spark, corpus, m=2, ksub=10)
+    codes = pq_encode(corpus, books, m=2)
+    q = corpus.filter(F.col("vec_id") < 3)
+    got = {
+        (r.q_id, r.rnk): (r.t_id, r.adc_dist)
+        for r in pq_adc_topk(q, codes, books, k=4, m=2).collect()
+    }
+    # brute-force reference in python over the quantized vectors
+    subs = {(r.id, r.sub): list(r.sv) for r in pq_subvector_rows(corpus, 2).collect()}
+    n = corpus.count()
+    qv = {i: subs[(i, 0)] + subs[(i, 1)] for i in range(n)}
+    for qid in range(3):
+        dists = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv[qid], qv[t])), t)
+            for t in qv
+            if t != qid
+        )[:4]
+        for rnk, (d, t) in enumerate(dists, start=1):
+            assert got[(qid, rnk)] == (t, d)
+
+
+def test_pq_trained_codebooks_reduce_quantization_error(spark):
+    """Trained per-subspace k-means codebooks must not quantize worse than
+    the naive first-k fixed codebooks (global encode distance sum)."""
+    corpus = _vecs(spark, 40)
+    fixed = _fixed_codebooks(spark, corpus, m=2, ksub=4)
+    trained = pq_train_codebooks(corpus, m=2, ksub=4, n_iter=2)
+
+    def total_err(books):
+        subs = pq_subvector_rows(corpus, 2)
+        scored = subs.join(F.broadcast(books), on="sub").select(
+            "id", "sub",
+            F.aggregate(
+                F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"), lambda a, x: a + x,
+            ).alias("d"),
+        )
+        return (
+            scored.groupBy("id", "sub").agg(F.min("d").alias("d"))
+            .agg(F.sum("d")).collect()[0][0]
+        )
+
+    assert total_err(trained) <= total_err(fixed)
+
+
+def test_ivf_pq_full_probe_equals_plain_adc(spark):
+    """With nprobe = n_cells the IVF routing prunes nothing, so ivf_pq_topk
+    must equal pq_adc_topk exactly (same codes, same LUT, same order)."""
+    corpus = _vecs(spark, 30)
+    books = _fixed_codebooks(spark, corpus, m=2, ksub=5)
+    cents = corpus.filter(F.col("vec_id") < 3)  # 3 IVF cells
+    codes = pq_encode(corpus, books, m=2)
+    q = corpus.filter(F.col("vec_id") < 4)
+    a = sorted(map(tuple, pq_adc_topk(q, codes, books, k=3, m=2).collect()))
+    b = sorted(map(tuple, ivf_pq_topk(q, corpus, cents, books, k=3, nprobe=3, m=2).collect()))
+    assert a == b
+
+
+def test_pq_dimension_validation(spark):
+    import pytest as _pytest
+
+    corpus = _vecs(spark, 4, d=6)
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train_codebooks(corpus, m=4, ksub=2)
+
+
+def test_pq_rerank_recovers_exact_topk_when_shortlist_covers(spark):
+    """With shortlist >= |corpus| the re-rank stage sees every candidate,
+    so the output must equal brute-force exact quantized-L2 top-k even
+    with a terrible (2-codeword) codebook."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import pq_adc_rerank_topk
+
+    corpus = _vecs(spark, 15)
+    books = _fixed_codebooks(spark, corpus, m=2, ksub=2)  # deliberately bad
+    codes = pq_encode(corpus, books, m=2)
+    q = corpus.filter(F.col("vec_id") < 3)
+    got = {
+        (r.q_id, r.rnk): (r.t_id, r.d)
+        for r in pq_adc_rerank_topk(q, corpus, codes, books, k=3, shortlist=14, m=2).collect()
+    }
+    subs = {(r.id, r.sub): list(r.sv) for r in pq_subvector_rows(corpus, 2).collect()}
+    qv = {i: subs[(i, 0)] + subs[(i, 1)] for i in range(15)}
+    for qid in range(3):
+        ref = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv[qid], qv[t])), t)
+            for t in qv if t != qid
+        )[:3]
+        for rnk, (d, t) in enumerate(ref, start=1):
+            assert got[(qid, rnk)] == (t, d)

@@ -37,6 +37,12 @@ WAIVERS: dict[str, set[str]] = {
     # batch, bounded by k); the serving join itself is the cell-keyed
     # cogroup — no data-scale cross product.
     "similarity_ann_ivf_routed": {"CARTESIAN"},
+    # IVF-PQ probe assignment broadcasts the 8-row centroid table (bounded
+    # by n_cells); ADC scoring itself is (sub, code) equi-joins.
+    "similarity_ivf_pq": {"CARTESIAN"},
+    # the recall gate's exact-L2 ground truth broadcasts the 8-query side
+    # by design (|Q| small), same pattern as similarity_ann_recall.
+    "similarity_pq_recall": {"CARTESIAN"},
     # brute-force baseline: query side is broadcast by design (|Q| small);
     # Spark plans broadcast NL join for the explicit crossJoin.
     "similarity_topk": {"CARTESIAN"},
