@@ -243,6 +243,20 @@ def ann_pq_rerank_80k(spark):
     )
 
 
+def ann_hamming_80k(spark):
+    """Binary sign-Hamming scan over the 80k corpus (round 5): 64 float
+    dims packed to two 32-bit words, distance = xor + bit_count — the
+    cheapest candidate generator in the ANN ladder, pure codegen'd integer
+    ALU the whole way.  Brute-force over all 80k x 50 pairs to show the
+    raw scan rate of the compressed representation."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import hamming_topk
+
+    ann_ivf_80k(spark)  # shared persisted corpus
+    corpus = _ANN_STATE["corpus"]
+    q = corpus.filter(F.col("vec_id") < 50)
+    return hamming_topk(q, corpus, k=10)
+
+
 def ann_ivf_routed_10k(spark):
     """Large-batch IVF serving (VERDICT r4 #2): |Q| = 10,000 queries against
     the same prebuilt 80k-corpus index via ivf_topk_prebuilt_routed — the
@@ -483,6 +497,7 @@ BENCH_QUERIES = {
     "ann_ivf_80k": ann_ivf_80k,
     "ann_ivf_routed_10k": ann_ivf_routed_10k,
     "ann_pq_rerank_80k": ann_pq_rerank_80k,
+    "ann_hamming_80k": ann_hamming_80k,
     "running_windows": running_windows,
     "asof_events": asof_events,
     "inverted_index": inverted_index,

@@ -1025,6 +1025,51 @@ def similarity_ann_ivf_q(spark, sf_dir):
     return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
 
 
+@register(
+    "similarity_hamming_topk",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    bits AS (
+      SELECT vec_id, CAST((i - 1) // 32 AS INT) AS w,
+             CASE WHEN embedding[i] > 0
+                  THEN (CAST(1 AS BIGINT) << CAST((i - 1) % 32 AS INT))
+                  ELSE CAST(0 AS BIGINT) END AS bit
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    words AS (SELECT vec_id, w, CAST(SUM(bit) AS BIGINT) AS word FROM bits GROUP BY 1, 2),
+    ham AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS t_id,
+             CAST(SUM(bit_count(xor(q.word, t.word))) AS BIGINT) AS hamming
+      FROM words q JOIN words t ON q.w = t.w
+      WHERE q.vec_id < 8 AND q.vec_id <> t.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT q_id, t_id, hamming, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT q_id, t_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, t_id) AS rnk
+      FROM ham
+    ) WHERE rnk <= 5
+    """,
+)
+def similarity_hamming_topk_q(spark, sf_dir):
+    """Sign-bit binary embeddings + Hamming top-k (round 5,
+    operators/pq.py binarize_sign/hamming_topk): the 256x-compression end
+    of the ANN ladder — 64 float dims packed to two non-negative 32-bit
+    words, distance = xor + bit_count per word, the whole scan pure
+    codegen'd integer ALU ops.  Equivalent to 1-bit axis-aligned
+    hyperplane LSH; packing AND distances hash-gated bit-for-bit (the
+    32-bit word choice exists exactly so DuckDB can replay the packing)."""
+    from ..operators.pq import hamming_topk
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    q = em.filter(F.col("vec_id") < 8)
+    out = hamming_topk(q, em, k=5)
+    return out.select("q_id", "t_id", "hamming", F.col("rnk").cast("long").alias("rnk"))
+
+
 # Shared CTE chain for the PQ queries: quantize -> subvector rows (m=4
 # subspaces of 16 dims) -> fixed codebooks (subvectors of vec_id < 6) ->
 # per-(vector, subspace, cell) squared-L2 distances.  `enc_d` serves BOTH

@@ -203,6 +203,80 @@ def pq_adc_topk(
     )
 
 
+def binarize_sign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    word_bits: int = 32,
+) -> DataFrame:
+    """(id, words ARRAY<BIGINT>): sign-bit binary embedding, ``word_bits``
+    dims packed per word — the 256× compression end of the ladder (64-dim
+    float32 → 8 bytes of sign bits).
+
+    32-bit words, not 64, for the same reason as the bloom filter's words
+    (operators/sketches.py): bit 63 would need shiftleft(1, 63), whose
+    negative result DuckDB rejects — 32-bit words keep every word
+    non-negative so the oracle replicates the packing verbatim.  The bit
+    threshold is ``x > 0`` on the stored float: both engines read the same
+    parquet value, so the comparison is exact."""
+    n_words = F.floor(
+        (F.size(vec_col) + F.lit(word_bits - 1)) / F.lit(word_bits)
+    ).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            # bit value 2^i is exact in a double up to i=31, the same
+            # packing trick as hyperplane_lsh_bucket
+            F.transform(
+                F.slice(F.col(vec_col), w * word_bits + 1, word_bits),
+                lambda x, i: F.when(
+                    x > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), words.alias("words"))
+
+
+def hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by Hamming distance over sign-bit embeddings: (q_id, t_id,
+    hamming BIGINT, rnk) ascending, t_id tie-break.
+
+    The whole scan is codegen'd integer ops — xor + bit_count per word —
+    which is why binary sketches are the cheapest candidate generator in
+    the ladder: ~2 ALU ops per 32 dims vs a multiply-add per dim for
+    integer cosine.  Semantics note: sign-Hamming approximates ANGULAR
+    similarity (it is exactly the 1-bit hyperplane LSH with axis-aligned
+    planes); use it as a shortlist stage (rerank exact, as in
+    ``pq_adc_rerank_topk``) or for dedup-grade near-identity."""
+    q = binarize_sign(queries, id_col, vec_col).select(
+        F.col("id").alias("q_id"), F.col("words").alias("qw")
+    )
+    t = binarize_sign(corpus, id_col, vec_col).select(
+        F.col("id").alias("t_id"), F.col("words").alias("tw")
+    )
+    pairs = t.join(F.broadcast(q), on=F.lit(True), how="inner").filter(
+        F.col("q_id") != F.col("t_id")
+    )
+    ham = F.aggregate(
+        F.zip_with("qw", "tw", lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("q_id", "t_id", ham.alias("hamming"))
+    return window_rank_topk(
+        scored, ["q_id"], [F.col("hamming").asc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )
+
+
 def pq_adc_rerank_topk(
     queries: DataFrame,
     corpus: DataFrame,

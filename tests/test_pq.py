@@ -143,3 +143,45 @@ def test_pq_rerank_recovers_exact_topk_when_shortlist_covers(spark):
         )[:3]
         for rnk, (d, t) in enumerate(ref, start=1):
             assert got[(qid, rnk)] == (t, d)
+
+
+def test_binarize_sign_and_hamming_match_python_reference(spark):
+    """Word packing (32-bit, non-negative) and xor+bit_count distances
+    pinned against a pure-python reference on float32-rounded inputs."""
+    import struct
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import (
+        binarize_sign,
+        hamming_topk,
+    )
+
+    rnd = random.Random(2)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    bw = {r.id: list(r.words) for r in binarize_sign(df).collect()}
+
+    def ref_words(v):
+        out = []
+        for w in range(2):
+            acc = 0
+            for i, x in enumerate(v[w * 32:(w + 1) * 32]):
+                if struct.unpack("f", struct.pack("f", x))[0] > 0:
+                    acc |= 1 << i
+            out.append(acc)
+        return out
+
+    assert all(w >= 0 for ws in bw.values() for w in ws)
+    assert all(bw[i] == ref_words(rows[i][1]) for i in range(20))
+
+    got = {
+        (r.q_id, r.rnk): (r.t_id, r.hamming)
+        for r in hamming_topk(df.filter(F.col("vec_id") < 3), df, k=4).collect()
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    for q in range(3):
+        ref = sorted((ham(bw[q], bw[t]), t) for t in bw if t != q)[:4]
+        for rnk, (d, t) in enumerate(ref, start=1):
+            assert got[(q, rnk)] == (t, d)

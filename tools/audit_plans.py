@@ -43,6 +43,9 @@ WAIVERS: dict[str, set[str]] = {
     # the recall gate's exact-L2 ground truth broadcasts the 8-query side
     # by design (|Q| small), same pattern as similarity_ann_recall.
     "similarity_pq_recall": {"CARTESIAN"},
+    # brute Hamming scan broadcasts the packed query words (|Q| small),
+    # the similarity_topk pattern at 1/32 the bytes per row.
+    "similarity_hamming_topk": {"CARTESIAN"},
     # brute-force baseline: query side is broadcast by design (|Q| small);
     # Spark plans broadcast NL join for the explicit crossJoin.
     "similarity_topk": {"CARTESIAN"},
