@@ -530,6 +530,69 @@ def stream_ann_index_maintain_q(spark, sf_dir):
 
 
 @register(
+    "stream_pq_encode_maintain",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    subs AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub, i, v FROM quant),
+    books AS (SELECT sub, CAST(vec_id AS INT) AS cell, i, v FROM subs WHERE vec_id < 6),
+    enc_d AS (
+      SELECT s.vec_id, s.sub, b.cell,
+             CAST(SUM((s.v - b.v) * (s.v - b.v)) AS BIGINT) AS d
+      FROM subs s JOIN books b ON b.sub = s.sub AND b.i = s.i
+      GROUP BY s.vec_id, s.sub, b.cell
+    )
+    SELECT vec_id, sub, code FROM (
+      SELECT vec_id, sub, cell AS code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+      FROM enc_d
+    ) WHERE rn = 1
+    """,
+)
+def stream_pq_encode_maintain_q(spark, sf_dir):
+    """Continuous PQ-code maintenance (round 5) — the streaming face of
+    pq_encode, completing the PQ production story the way
+    stream_ann_index_maintain completes IVF's: each arriving embedding
+    batch is encoded against the FROZEN broadcast codebooks inside
+    foreachBatch (the micro-batch is a plain frame, so the argmin encode
+    runs unchanged) and MERGEd into the codes table keyed by
+    (vec_id, sub) — re-delivered vectors overwrite their codes, so the
+    table converges under at-least-once delivery.  O(batch) per trigger;
+    codebook re-training is the same offline path as the batch build.
+    Output long-form (vec_id, sub, code), hash-gated against the batch
+    encode of the full table."""
+    import tempfile
+
+    from ..operators.pq import pq_encode, pq_subvector_rows
+    from ..streaming import read_embeddings_stream, run_stream_upsert
+    from . import finish_and_clean
+
+    books = pq_subvector_rows(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 6), m=4
+    ).select("sub", F.col("id").cast("int").alias("cell"), F.col("sv").alias("cv"))
+
+    def encode_batch(batch_df):
+        codes = pq_encode(batch_df, books, m=4)
+        return codes.select(
+            F.col("t_id").alias("vec_id"), F.posexplode("codes").alias("sub", "code")
+        ).select("vec_id", F.col("sub").cast("int").alias("sub"), "code")
+
+    stream = read_embeddings_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_pq_codes_")
+    out = run_stream_upsert(
+        stream.select("vec_id", "embedding"),
+        root + "/state",
+        keys=["vec_id", "sub"],
+        transform=encode_batch,
+    )
+    return finish_and_clean(out.select("vec_id", "sub", "code"), root)
+
+
+@register(
     "stream_bloom_screen",
     oracle="""
     WITH corpus AS (
