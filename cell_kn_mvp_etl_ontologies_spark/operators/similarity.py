@@ -50,7 +50,9 @@ def quantize_np(x, scale: int = 1000):
     import numpy as np
 
     y = np.asarray(x, dtype=np.float64) * scale
-    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
+    # branch-free HALF_UP: |y| rounds up at .5, copysign restores the sign
+    # (floor(|y| + 0.5) == round-half-away-from-zero for non-negative |y|)
+    return np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
 
 
 def with_norm_sq(df: DataFrame, vec_col: str, out_col: str = "norm_sq") -> Column:
