@@ -185,3 +185,91 @@ def test_binarize_sign_and_hamming_match_python_reference(spark):
         ref = sorted((ham(bw[q], bw[t]), t) for t in bw if t != q)[:4]
         for rnk, (d, t) in enumerate(ref, start=1):
             assert got[(q, rnk)] == (t, d)
+
+
+# -- hypothesis properties -------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PQ_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@PQ_SETTINGS
+@given(
+    data=st.lists(
+        st.lists(st.integers(-32, 32).map(lambda v: v / 16.0), min_size=8, max_size=8),
+        min_size=4, max_size=12, unique_by=lambda v: tuple(v),
+    ),
+    m=st.sampled_from([1, 2, 4]),
+)
+def test_pq_encode_and_adc_match_python_reference(spark, data, m):
+    """For ANY corpus and subspace count: codes are the (dist, cell)-argmin
+    per subspace and ADC totals are the exact sums of subspace LUT
+    distances — against an independent pure-Python PQ."""
+    rows = [(i, v) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    ksub = min(3, len(rows))
+    books = _fixed_codebooks(spark, df, m=m, ksub=ksub)
+    codes = {r.t_id: list(r.codes) for r in pq_encode(df, books, m=m).collect()}
+
+    import math
+
+    subd = 8 // m
+    # HALF_UP, not python round() (half-even) — the same divergence class
+    # the r4 ADVICE caught in the numpy twin applies to test references too
+    half_up = lambda x: int(math.copysign(math.floor(abs(x * 1000) + 0.5), x))
+    qv = {i: [half_up(x) for x in v] for i, v in rows}
+
+    def subvec(i, s):
+        return qv[i][s * subd:(s + 1) * subd]
+
+    def dist(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    for i in qv:
+        for s in range(m):
+            best = min((dist(subvec(i, s), subvec(c, s)), c) for c in range(ksub))
+            assert codes[i][s] == best[1]
+
+    adc = {
+        (r.q_id, r.t_id): r.adc_dist
+        for r in pq_adc_topk(
+            df.filter(F.col("vec_id") < 2), pq_encode(df, books, m=m), books,
+            k=len(rows), m=m,
+        ).collect()
+    }
+    for (q, t), got in adc.items():
+        ref = sum(dist(subvec(q, s), subvec(codes[t][s], s)) for s in range(m))
+        assert got == ref
+
+
+@PQ_SETTINGS
+@given(
+    data=st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, width=32),
+            min_size=32, max_size=32,
+        ),
+        min_size=3, max_size=8,
+    ),
+)
+def test_hamming_packing_property(spark, data):
+    """For ANY float vectors: the packed words reproduce the sign bits and
+    pairwise Hamming distances equal the python popcount reference."""
+    import struct
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import binarize_sign
+
+    rows = [(i, v) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {r.id: list(r.words) for r in binarize_sign(df).collect()}
+    for i, v in rows:
+        acc = 0
+        for b, x in enumerate(v):
+            if struct.unpack("f", struct.pack("f", x))[0] > 0:
+                acc |= 1 << b
+        assert got[i] == [acc]
