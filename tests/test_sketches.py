@@ -411,3 +411,33 @@ def test_unigram_lm_vocab_validation_and_nonpositive_freq(spark):
     [r] = unigram_lm_scores(docs, "text", "doc_id", vocab=vocab).collect()
     # 'bad' (freq=0) counts as OOV and contributes 0 bits; 'good' gives 4
     assert (r.n_tokens, r.oov_tokens, r.score_bits) == (2, 1, 4)
+
+
+def test_ivf_assign_vectorized_bit_identical(spark):
+    """The numpy probe-assignment twin must match ivf_assign exactly —
+    including (c_cos, cell) tie-breaks — on dyadic .5-landing embeddings."""
+    import random
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_vectorized,
+    )
+
+    rnd = random.Random(23)
+    rows = [
+        (int(i), [rnd.randrange(-16, 17) / 16.0 for _ in range(8)]) for i in range(60)
+    ]
+    # duplicate a vector so at least one exact cosine tie exists
+    rows.append((60, list(rows[0][1])))
+    em = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    cents = em.filter(F.col("vec_id") < 5)
+    for nprobe in (1, 3):
+        a = sorted(
+            (r.vec_id, r.cell, r.probe_rank)
+            for r in ivf_assign(em, cents, nprobe=nprobe).collect()
+        )
+        b = sorted(
+            (r.vec_id, r.cell, r.probe_rank)
+            for r in ivf_assign_vectorized(em, cents, nprobe=nprobe).collect()
+        )
+        assert a == b
