@@ -273,3 +273,20 @@ def test_hamming_packing_property(spark, data):
             if struct.unpack("f", struct.pack("f", x))[0] > 0:
                 acc |= 1 << b
         assert got[i] == [acc]
+
+
+def test_hamming_handles_non_word_multiple_dims(spark):
+    """40 dims -> two words (32 + 8 bits); the partial final word must pack
+    only the remaining dims and distances stay exact."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import binarize_sign
+
+    rows = [
+        (0, [1.0] * 40),
+        (1, [1.0] * 32 + [-1.0] * 8),
+        (2, [-1.0] * 40),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {r.id: list(r.words) for r in binarize_sign(df).collect()}
+    assert got[0] == [(1 << 32) - 1, (1 << 8) - 1]
+    assert got[1] == [(1 << 32) - 1, 0]
+    assert got[2] == [0, 0]
