@@ -220,7 +220,7 @@ def ann_pq_rerank_80k(spark):
     steady-state two-stage serve."""
     from cell_kn_mvp_etl_ontologies_spark.operators.pq import (
         pq_adc_rerank_topk,
-        pq_encode,
+        pq_encode_vectorized,
         pq_train_codebooks,
     )
 
@@ -229,7 +229,7 @@ def ann_pq_rerank_80k(spark):
         corpus = _ANN_STATE["corpus"]
         books = pq_train_codebooks(corpus, m=8, ksub=64, n_iter=2).persist()
         books.count()
-        codes = pq_encode(corpus, books, m=8).persist()
+        codes = pq_encode_vectorized(corpus, books, m=8).persist()
         codes.count()
         _ANN_STATE["pq_books"] = books
         _ANN_STATE["pq_codes"] = codes

@@ -290,3 +290,21 @@ def test_hamming_handles_non_word_multiple_dims(spark):
     assert got[0] == [(1 << 32) - 1, (1 << 8) - 1]
     assert got[1] == [(1 << 32) - 1, 0]
     assert got[2] == [0, 0]
+
+
+def test_pq_encode_vectorized_bit_identical(spark):
+    """The matmul encode twin must equal the expression encode exactly,
+    including (dist, cell) tie-breaks (duplicate codewords planted)."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import pq_encode_vectorized
+
+    corpus = _vecs(spark, 40)
+    books = _fixed_codebooks(spark, corpus, m=2, ksub=5)
+    # plant a duplicate codeword with a HIGHER cell id: ties must keep
+    # the smaller cell in both paths
+    dup = books.filter(F.col("cell") == 0).select(
+        "sub", (F.col("cell") + 100).alias("cell"), "cv"
+    )
+    books = books.unionByName(dup)
+    a = {r.t_id: list(r.codes) for r in pq_encode(corpus, books, m=2).collect()}
+    b = {r.t_id: list(r.codes) for r in pq_encode_vectorized(corpus, books, m=2).collect()}
+    assert a == b
