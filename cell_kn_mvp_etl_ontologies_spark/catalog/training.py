@@ -53,6 +53,36 @@ def sample_split_hash_q(spark, sf_dir):
 
 
 @register(
+    "sample_split_by_group",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 'dom' || CAST(doc_id % 37 AS VARCHAR) AS domain
+      FROM documents
+    ),
+    f AS (SELECT doc_id, domain, {frac} AS frac FROM d)
+    SELECT doc_id, domain,
+           CASE WHEN frac < 0.8 THEN 'train'
+                WHEN frac < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM f
+    """.format(frac=_FRAC.format(salt="groupsplit", key="domain")),
+)
+def sample_split_by_group_q(spark, sf_dir):
+    """Leakage-safe grouped split (round 5): the hash threshold applies to
+    the GROUP key (here a synthetic url-domain), so every document of a
+    domain lands in one split — the guard against near-dup train/test
+    leakage across a domain.  Atomicity is structural (split is a pure
+    function of domain); the gate hash-checks every row's assignment."""
+    from ..operators.training import split_by_group_leakage_safe
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("dom"), (F.col("doc_id") % 37).cast("string")).alias("domain"),
+    )
+    return split_by_group_leakage_safe(docs, "domain")
+
+
+@register(
     "sample_stratified",
     oracle="""
     SELECT doc_id, lang FROM documents

@@ -112,6 +112,30 @@ def split_train_val_test(
     return df.withColumn(out, expr)
 
 
+def split_by_group_leakage_safe(
+    df: DataFrame,
+    group_col: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    salt: str = "groupsplit",
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash threshold is applied to
+    the GROUP key (url domain, source, author, dedup-cluster id), so every
+    member of a group lands in the same split — the guard against the
+    classic evaluation leak where near-identical documents from one domain
+    straddle train and test and inflate held-out metrics.
+
+    Same determinism contract as ``split_train_val_test`` (membership a
+    pure function of (group, salt); re-runs/repartitions/retries stable),
+    and the same zero-shuffle shape — a pure projection, since the group
+    key is already on the row.  Weights apportion GROUPS, not rows: a
+    heavy group drags its whole mass into one split by design (that IS the
+    leakage guarantee) — rebalance by splitting at a finer group key, not
+    by letting members straddle."""
+    return split_train_val_test(df, group_col, weights, names, salt, out)
+
+
 def sample_stratified(
     df: DataFrame,
     strata_col: str,

@@ -308,3 +308,23 @@ def test_pq_encode_vectorized_bit_identical(spark):
     a = {r.t_id: list(r.codes) for r in pq_encode(corpus, books, m=2).collect()}
     b = {r.t_id: list(r.codes) for r in pq_encode_vectorized(corpus, books, m=2).collect()}
     assert a == b
+
+
+def test_pq_empty_inputs_fail_loudly_or_yield_empty(spark):
+    """Empty corpus: subvector/train/encode raise a clear error (the dim
+    probe needs a row — silent empty output would hide an upstream bug);
+    ADC over an EMPTY codes frame yields an empty result, not a crash."""
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    with _pytest.raises(ValueError, match="empty input"):
+        pq_subvector_rows(empty, m=2)
+    with _pytest.raises(ValueError, match="empty input"):
+        pq_train_codebooks(empty, m=2, ksub=2)
+    with _pytest.raises(ValueError, match="empty input"):
+        pq_encode(empty, _fixed_codebooks(spark, _vecs(spark, 5), m=2, ksub=3), m=2)
+    corpus = _vecs(spark, 5)
+    books = _fixed_codebooks(spark, corpus, m=2, ksub=3)
+    no_codes = pq_encode(corpus, books, m=2).filter(F.lit(False))
+    q = corpus.filter(F.col("vec_id") < 2)
+    assert pq_adc_topk(q, no_codes, books, k=3, m=2).count() == 0

@@ -344,3 +344,33 @@ def test_approx_quantiles_within_declared_accuracy(spark):
             hi = math.ceil((p + eps) * n)
             assert rank_le >= lo, (lang, p, v, rank_le, lo)
             assert rank_lt <= hi, (lang, p, v, rank_lt, hi)
+
+
+def test_split_by_group_is_group_atomic(spark):
+    """Leakage guard: every member of a group gets the same split, and the
+    assignment equals splitting the distinct group keys directly."""
+    from pyspark.sql import functions as F
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.training import (
+        split_by_group_leakage_safe,
+        split_train_val_test,
+    )
+
+    rows = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % 53).cast("string")).alias("domain"),
+    )
+    out = split_by_group_leakage_safe(rows, "domain")
+    # group-atomic: one distinct split per domain
+    per_dom = out.groupBy("domain").agg(F.countDistinct("split").alias("n")).collect()
+    assert all(r.n == 1 for r in per_dom)
+    # equals splitting the distinct group keys with the same salt
+    doms = rows.select("domain").distinct()
+    ref = {
+        r.domain: r.split
+        for r in split_train_val_test(doms, "domain", salt="groupsplit").collect()
+    }
+    got = {r.domain: r.split for r in out.select("domain", "split").distinct().collect()}
+    assert got == ref
+    # all three splits represented across 53 domains
+    assert {r.split for r in out.select("split").distinct().collect()} == {"train", "val", "test"}
