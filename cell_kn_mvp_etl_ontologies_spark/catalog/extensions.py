@@ -1206,12 +1206,10 @@ def similarity_pq_recall_q(spark, sf_dir):
     )
     b = qv.select(F.col("vec_id").alias("t_id"), F.col("v").alias("vb"))
     pairs = b.join(F.broadcast(a), on=F.lit(True)).filter(F.col("q_id") != F.col("t_id"))
+    from ..operators.similarity import sq_dist_long
+
     exact_d = pairs.select(
-        "q_id", "t_id",
-        F.aggregate(
-            F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x,
-        ).alias("d"),
+        "q_id", "t_id", sq_dist_long(F.col("va"), F.col("vb")).alias("d")
     )
     exact = _topk(exact_d, ["q_id"], [F.col("d").asc(), F.col("t_id").asc()], 5).select(
         "q_id", "t_id"
@@ -1342,7 +1340,7 @@ def similarity_ivf_pq_q(spark, sf_dir):
     product-quantized codes + the ADC lookup table score only the probed
     cells' members, the corpus never decoded.  The oracle replays BOTH
     halves (the cosine cell routing and the integer ADC) in one chain."""
-    from ..operators.pq import ivf_pq_topk, pq_subvector_rows
+    from ..operators.pq import ivf_pq_topk, pq_encode, pq_subvector_rows
 
     em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120).select(
         "vec_id", "embedding"
@@ -1352,7 +1350,9 @@ def similarity_ivf_pq_q(spark, sf_dir):
     )
     centroids = em.filter(F.col("vec_id") < 8)
     q = em.filter(F.col("vec_id") < 8)
-    out = ivf_pq_topk(q, em, centroids, books, k=3, nprobe=2, m=4)
+    # codes passed prebuilt — the offline artifact, serving never re-encodes
+    codes = pq_encode(em, books, m=4)
+    out = ivf_pq_topk(q, em, centroids, books, k=3, nprobe=2, m=4, codes=codes)
     return out.select("q_id", "t_id", "adc_dist", F.col("rnk").cast("long").alias("rnk"))
 
 

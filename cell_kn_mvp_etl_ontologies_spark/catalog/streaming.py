@@ -576,7 +576,10 @@ def stream_pq_encode_maintain_q(spark, sf_dir):
     ).select("sub", F.col("id").cast("int").alias("cell"), F.col("sv").alias("cv"))
 
     def encode_batch(batch_df):
-        codes = pq_encode(batch_df, books, m=4)
+        # subdim passed explicitly: a micro-batch can be EMPTY between
+        # arrivals, and the inferred-subdim path both probes with a
+        # blocking driver job per batch and raises on empty input
+        codes = pq_encode(batch_df, books, m=4, subdim=16)
         return codes.select(
             F.col("t_id").alias("vec_id"), F.posexplode("codes").alias("sub", "code")
         ).select("vec_id", F.col("sub").cast("int").alias("sub"), "code")

@@ -98,22 +98,34 @@ def agg_pivot_vertex_attrs_capped(
       3. regroup to the MAP<attr, ARRAY<value>> document shape.
 
     Output schema matches the uncapped operator; results are identical
-    whenever no (vertex, attr) exceeds the cap (pinned by test)."""
+    whenever no (vertex, attr) exceeds the cap — INCLUDING null values
+    (pinned by test).  A bare ``collect_set("value")`` would silently drop
+    NULL elements the uncapped struct-set keeps (round-5 review finding),
+    so values ride inside a (is_not_null, value) struct: sets retain
+    structs with null fields, and the struct sort order (false < true,
+    nulls-first within the value field) replicates the uncapped
+    ascending-with-null-first value order exactly."""
     salt = (F.xxhash64(F.col("value")) % n_salts + n_salts) % n_salts
+    wrapped = F.struct(
+        F.col("value").isNotNull().alias("nn"), F.col("value").alias("v")
+    )
     lvl1 = (
         literal_triples.withColumn("_salt", salt)
         .groupBy("id", "number", "attr", "_salt")
         .agg(
             F.slice(
-                F.sort_array(F.collect_set("value")), 1, max_values_per_attr
+                F.sort_array(F.collect_set(wrapped)), 1, max_values_per_attr
             ).alias("vals")
         )
     )
     lvl2 = lvl1.groupBy("id", "number", "attr").agg(
-        F.slice(
-            F.sort_array(F.array_distinct(F.flatten(F.collect_list("vals")))),
-            1,
-            max_values_per_attr,
+        F.transform(
+            F.slice(
+                F.sort_array(F.array_distinct(F.flatten(F.collect_list("vals")))),
+                1,
+                max_values_per_attr,
+            ),
+            lambda e: e["v"],
         ).alias("values")
     )
     return lvl2.groupBy("id", "number").agg(

@@ -33,16 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .similarity import quantize_vec
+from .similarity import quantize_vec, sq_dist_long as _sq_dist
 from .windows import window_rank_topk
-
-
-def _sq_dist(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, d: acc + d,
-    )
 
 
 def kmeans_fit(

@@ -39,16 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import quantize_np, quantize_vec
+from .similarity import quantize_np, quantize_vec, sq_dist_long as _sq_dist
 from .windows import window_rank_topk
-
-
-def _sq_dist(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
 
 
 def _subvectors(vec: Column, m: int, subdim: int) -> Column:
@@ -130,6 +122,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    subdim: int | None = None,
 ) -> DataFrame:
     """(t_id, codes ARRAY<INT>): nearest codeword per subspace,
     deterministic tie-break (dist ASC, cell ASC).
@@ -137,8 +130,13 @@ def pq_encode(
     Plan: m-way subvector explode of the corpus, broadcast-join the m·ksub
     codebook, min_by argmin per (vector, subspace), regroup codes in
     subspace order.  Corpus crosses the wire once (the explode is a narrow
-    map); the ksub fan-out collapses map-side in the min_by partial agg."""
-    subs = pq_subvector_rows(df, m, id_col, vec_col, scale)
+    map); the ksub fan-out collapses map-side in the min_by partial agg.
+
+    Pass ``subdim`` explicitly when ``df`` may be EMPTY (a streaming
+    micro-batch between arrivals): the default infers it with a one-row
+    probe, which both raises on empty input and costs a blocking driver
+    job per call."""
+    subs = pq_subvector_rows(df, m, id_col, vec_col, scale, subdim=subdim)
     scored = subs.join(F.broadcast(codebooks), on="sub").select(
         "id", "sub", "cell", _sq_dist(F.col("sv"), F.col("cv")).alias("d")
     )
@@ -193,6 +191,14 @@ def pq_encode_vectorized(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = quantize_np(np.stack(pdf[vec_col].to_numpy()), scale)
+            if V.shape[1] != m * subdim:
+                # the expression twin raises on non-divisible dims via
+                # pq_subvector_rows — silently slicing off tail dims here
+                # would mask the same misconfiguration
+                raise ValueError(
+                    f"pq_encode_vectorized: vector dim {V.shape[1]} != "
+                    f"m*subdim = {m}*{subdim}"
+                )
             codes = np.empty((ids.size, m), dtype=np.int32)
             for s in range(m):
                 Vs = V[:, s * subdim:(s + 1) * subdim]
@@ -228,6 +234,29 @@ def pq_adc_lut(
     )
 
 
+def _code_rows(codes: DataFrame) -> DataFrame:
+    return codes.select(
+        "t_id", F.posexplode("codes").alias("sub", "code")
+    ).select("t_id", F.col("sub").cast("int").alias("sub"), "code")
+
+
+def _adc_sum_topk(sub_scores: DataFrame, m: int, k: int) -> DataFrame:
+    """Shared ADC finalization (used by plain ADC and IVF-PQ — ONE copy of
+    the self-match filter, m-subspace completeness guard, and tie-break):
+    per-(q, t) sum of the m subspace lookups, then (adc_dist ASC, t_id
+    ASC) top-k."""
+    scored = (
+        sub_scores.filter(F.col("q_id") != F.col("t_id"))
+        .groupBy("q_id", "t_id")
+        .agg(F.sum("d").alias("adc_dist"), F.count(F.lit(1)).alias("n_sub"))
+        .filter(F.col("n_sub") == m)
+        .drop("n_sub")
+    )
+    return window_rank_topk(
+        scored, ["q_id"], [F.col("adc_dist").asc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -242,21 +271,8 @@ def pq_adc_topk(
     partial-aggregating sum folds the m lookups per (q, t) — the shuffle
     carries (q_id, t_id, partial sums), never vectors."""
     lut = pq_adc_lut(queries, codebooks, m=m, scale=scale)
-    code_rows = codes.select(
-        "t_id",
-        F.posexplode("codes").alias("sub", "code"),
-    ).select("t_id", F.col("sub").cast("int").alias("sub"), "code")
-    scored = (
-        code_rows.join(F.broadcast(lut), on=["sub", "code"])
-        .filter(F.col("q_id") != F.col("t_id"))
-        .groupBy("q_id", "t_id")
-        .agg(F.sum("d").alias("adc_dist"), F.count(F.lit(1)).alias("n_sub"))
-        .filter(F.col("n_sub") == m)
-        .drop("n_sub")
-    )
-    return window_rank_topk(
-        scored, ["q_id"], [F.col("adc_dist").asc(), F.col("t_id").asc()], k, rank_col="rnk"
-    )
+    sub_scores = _code_rows(codes).join(F.broadcast(lut), on=["sub", "code"])
+    return _adc_sum_topk(sub_scores, m, k)
 
 
 def binarize_sign(
@@ -292,6 +308,12 @@ def binarize_sign(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ),
+    )
+    # size 0 would make F.sequence(0, -1) DESCEND to [0, -1] (the bpe.py
+    # gotcha) and fabricate two zero words for an empty vector — guard to
+    # an empty words array so Spark matches the oracle's generate_series
+    words = F.when(F.size(vec_col) > 0, words).otherwise(
+        F.array().cast("array<bigint>")
     )
     return df.select(F.col(id_col).alias("id"), words.alias("words"))
 
@@ -382,13 +404,20 @@ def ivf_pq_topk(
     nprobe: int = 2,
     m: int = 4,
     scale: int = 1000,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ serving: IVF cell routing prunes candidates, ADC scores only
     the probed cells' CODES — the canonical 100 TB ANN shape (coarse
-    quantizer for pruning, product quantizer for memory).  The corpus
-    contributes its codes + cell once (both offline-buildable artifacts);
-    at serving time nothing corpus-sized is decoded, collected, or
-    broadcast."""
+    quantizer for pruning, product quantizer for memory).
+
+    Pass the prebuilt ``codes`` (from ``pq_encode``/``pq_encode_vectorized``
+    — the offline index artifact, like ``build_ivf_index``'s output):
+    without it the corpus is RE-ENCODED on every call, an O(corpus) cost
+    that belongs to the build, not to serving.  The inline-encode default
+    exists for one-shot/exploratory use only.  The corpus-cells assignment
+    is equally offline-buildable on a real deployment (persist it next to
+    the codes).  At serving time nothing corpus-sized is decoded,
+    collected, or broadcast."""
     from .similarity import ivf_assign
 
     corpus_cells = ivf_assign(corpus, centroids, nprobe=1, scale=scale).select(
@@ -397,21 +426,11 @@ def ivf_pq_topk(
     query_cells = ivf_assign(queries, centroids, nprobe=nprobe, scale=scale).select(
         F.col("vec_id").alias("q_id"), "cell"
     )
-    codes = pq_encode(corpus, codebooks, m=m, scale=scale)
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, m=m, scale=scale)
     cand = query_cells.join(corpus_cells, on="cell").select("q_id", "t_id").distinct()
     lut = pq_adc_lut(queries, codebooks, m=m, scale=scale)
-    code_rows = codes.select("t_id", F.posexplode("codes").alias("sub", "code")).select(
-        "t_id", F.col("sub").cast("int").alias("sub"), "code"
+    sub_scores = cand.join(_code_rows(codes), on="t_id").join(
+        F.broadcast(lut), on=["q_id", "sub", "code"]
     )
-    scored = (
-        cand.join(code_rows, on="t_id")
-        .join(F.broadcast(lut), on=["q_id", "sub", "code"])
-        .filter(F.col("q_id") != F.col("t_id"))
-        .groupBy("q_id", "t_id")
-        .agg(F.sum("d").alias("adc_dist"), F.count(F.lit(1)).alias("n_sub"))
-        .filter(F.col("n_sub") == m)
-        .drop("n_sub")
-    )
-    return window_rank_topk(
-        scored, ["q_id"], [F.col("adc_dist").asc(), F.col("t_id").asc()], k, rank_col="rnk"
-    )
+    return _adc_sum_topk(sub_scores, m, k)

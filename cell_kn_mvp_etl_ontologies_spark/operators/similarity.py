@@ -55,6 +55,17 @@ def quantize_np(x, scale: int = 1000):
     return np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
 
 
+def sq_dist_long(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 over quantized vectors — THE canonical copy
+    of the exactness-doctrine expression (int64 arithmetic, left-fold
+    order); clustering and PQ import it rather than re-deriving."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def with_norm_sq(df: DataFrame, vec_col: str, out_col: str = "norm_sq") -> Column:
     return df.withColumn(out_col, _dot_long(F.col(vec_col), F.col(vec_col)))
 
@@ -267,7 +278,7 @@ def ivf_assign_vectorized(
                 order = np.lexsort((cells, -cos[j]))[:nprobe]
                 out_id.append(np.full(order.size, ids[j], dtype=np.int64))
                 out_cell.append(cells[order])
-                out_rank.append(np.arange(1, order.size + 1, dtype=np.int64))
+                out_rank.append(np.arange(1, order.size + 1, dtype=np.int32))
             yield pd.DataFrame(
                 {
                     id_col: np.concatenate(out_id),
@@ -276,8 +287,10 @@ def ivf_assign_vectorized(
                 }
             )
 
+    # probe_rank INT, matching ivf_assign's row_number type exactly so the
+    # two twins union/compare without schema widening
     return df.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} long, cell long, probe_rank long"
+        assign, f"{id_col} long, cell long, probe_rank int"
     )
 
 
@@ -507,8 +520,16 @@ def cosine_topk_vectorized(
     total order (cos DESC, t_id ASC), so candidates are n_batches*|Q|*k
     rows — the per-partition-heap shape of TakeOrderedAndProject — and the
     global window top-k over them equals the true top-k (union-of-local-
-    top-k property of total orders).  Zero-norm vectors are undefined in
-    both paths (NaN cosine); filter them upstream.
+    top-k property of total orders).
+
+    Zero-norm vectors: Spark's non-ANSI double division yields NULL for
+    0/0 (not IEEE NaN) and the DESC window orders nulls LAST; the numpy
+    side produces NaN, which ``-col``-keyed lexsort also orders last and
+    which the pandas→Arrow hop delivers back to Spark as NULL — so both
+    paths exclude zero-norm rows from any top-k that has k valid
+    candidates, and emit them trailing otherwise (pinned by test).  Under
+    ANSI the expression path raises DIVIDE_BY_ZERO instead: zero-norm
+    input is invalid there by construction.
     """
     import numpy as np
     import pandas as pd

@@ -261,16 +261,25 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
         counter[0] += 1
         return f"_:b{counter[0] - 1}"
 
-    def node_name(elem) -> str | None:
-        """Subject/object IRI of a node element: rdf:about, or rdf:ID
-        resolved against xml:base; None for anonymous."""
+    def node_term(elem) -> tuple[str | None, str]:
+        """(term, kind) of a node element: rdf:about / rdf:ID resolve to an
+        IRI; rdf:nodeID on a NODE element is a LABELED bnode (``_:label``)
+        that must corefer with property-side rdf:nodeID references —
+        minting a fresh counter bnode here would orphan the described node
+        (round-5 review finding).  (None, "bnode") means anonymous."""
         about = elem.get(ABOUT)
         if about is not None:
-            return about
+            return about, "iri"
         rid = elem.get(RDF_ID)
         if rid is not None:
-            return f"{base}#{rid}"
-        return None
+            return f"{base}#{rid}", "iri"
+        nid = elem.get(NODE_ID)
+        if nid is not None:
+            return f"_:{nid}", "bnode"
+        return None, "bnode"
+
+    def node_name(elem) -> str | None:
+        return node_term(elem)[0]
 
     def visit_node(elem, name: str | None) -> str:
         """Emit the node element's type + properties; returns its term
@@ -336,10 +345,9 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
                         triples.append(
                             (src_file, prev_cell, RDF_NS + "rest", "bnode", cell, None)
                         )
-                    name = node_name(child)
-                    member = visit_node(child, name)
-                    kind = "iri" if name is not None else "bnode"
-                    triples.append((src_file, cell, RDF_NS + "first", kind, member, None))
+                    term, tkind = node_term(child)
+                    member = visit_node(child, term)
+                    triples.append((src_file, cell, RDF_NS + "first", tkind, member, None))
                     prev_cell = cell
                 if prev_cell is None:
                     link("iri", RDF_NS + "nil", None)
@@ -358,9 +366,9 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
                 # nested node element (an RDF/XML property element has at
                 # most one node child); anonymous -> file-local bnode
                 child = children[0]
-                name = node_name(child)
+                name, nkind = node_term(child)
                 if name is not None:
-                    link("iri", name, None)
+                    link(nkind, name, None)
                     node = visit_node(child, name)
                 else:
                     # bnode numbering contract: the REFERENCE triple sees
@@ -432,7 +440,9 @@ def _index_top_level(content: bytes) -> tuple[list[tuple[int, int]], int, int]:
             return
         parent = stack[-1]
         kind = parent["kind"]
-        named = _ABOUT_KEY in attrs or _ID_KEY in attrs
+        # rdf:nodeID labels count as "named": the emitter uses _:label
+        # instead of allocating a counter bnode (coreference contract)
+        named = _ABOUT_KEY in attrs or _ID_KEY in attrs or _NODEID_KEY in attrs
         if kind == "root":
             if header_end[0] is None:
                 header_end[0] = offset

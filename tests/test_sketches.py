@@ -441,3 +441,40 @@ def test_ivf_assign_vectorized_bit_identical(spark):
             for r in ivf_assign_vectorized(em, cents, nprobe=nprobe).collect()
         )
         assert a == b
+
+
+def test_numpy_twins_replicate_spark_nan_desc_ordering(spark):
+    """Zero-norm contract pin: Spark's non-ANSI 0/0 double division is
+    NULL (not IEEE NaN) and desc windows order nulls LAST; the numpy twin's
+    NaN sorts last in its local shortlist and returns to Spark as NULL via
+    the pandas->Arrow hop — so BOTH paths exclude the zero-norm row from a
+    top-k with enough valid candidates, identically.  (ANSI mode instead
+    raises DIVIDE_BY_ZERO in the expression path: zero-norm input is
+    invalid there by construction.)"""
+    import random
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        similarity_topk,
+    )
+
+    rnd = random.Random(7)
+    rows = [(int(i), [rnd.randrange(1, 17) / 16.0 for _ in range(8)]) for i in range(12)]
+    rows.append((99, [0.0] * 8))  # zero-norm corpus vector -> NaN cosine
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = df.filter(F.col("vec_id") < 2)
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    a = sorted(
+        (r.q_id, r.rnk, r.t_id)
+        for r in similarity_topk(q, df, k=3, quantized=True).collect()
+    )
+    b = sorted(
+        (r.q_id, r.rnk, r.t_id)
+        for r in cosine_topk_vectorized(q, df, k=3).collect()
+    )
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert a == b
+    # the zero-norm row is excluded from BOTH results (NULL cosine,
+    # nulls-last) — twelve valid candidates fill every top-3
+    assert all(t != 99 for (_, _, t) in a)

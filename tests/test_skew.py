@@ -97,12 +97,18 @@ def test_inverted_index_hot_token_cap(spark):
 def _pivot_rows(spark):
     """Median vertex: 3 attribute rows.  Whale vertex 'V9': 300 rows
     (100x median) across 3 attrs — the dynamic-vocabulary skew risk of
-    OntologyGraphBuilder.java:215-229."""
+    OntologyGraphBuilder.java:215-229.  V1 additionally carries a NULL
+    attribute value (the uncapped operator keeps it; the capped one must
+    too — round-5 review finding)."""
     median = spark.range(50).select(
         F.concat(F.lit("V"), (F.col("id") % 10).cast("string")).alias("id"),
         F.lit("n1").alias("number"),
         F.concat(F.lit("attr"), (F.col("id") % 3).cast("string")).alias("attr"),
-        F.concat(F.lit("v"), (F.col("id") % 5).cast("string")).alias("value"),
+        F.when(
+            (F.col("id") % 10 == 1) & (F.col("id") % 3 == 0), F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(F.lit("v"), (F.col("id") % 5).cast("string"))
+        ).alias("value"),
     ).filter(F.col("id") != "V9")
     whale = spark.range(300).select(
         F.lit("V9").alias("id"),

@@ -387,3 +387,51 @@ def test_rdfxml_reification_axiom_blocks_and_containers(spark, tmp_path):
     split = scan_rdf_triples_split(spark, d, split_bytes=200)
     assert split.exceptAll(whole).count() == 0
     assert whole.exceptAll(split).count() == 0
+
+
+def test_rdfxml_nodeid_coreference(spark, tmp_path):
+    """Round-5 review finding: a top-level (or nested) node element carrying
+    rdf:nodeID must parse as the LABELED bnode _:label so property-side
+    rdf:nodeID references corefer — a fresh counter bnode would orphan the
+    described node.  Split parse stays bit-identical (labeled bnodes
+    allocate no counter)."""
+    import os
+
+    from cell_kn_mvp_etl_ontologies_spark.sources.owl import scan_rdf_triples_split
+
+    doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Class rdf:about="http://x/A">
+    <rdfs:seeAlso rdf:nodeID="n1"/>
+    <rdfs:comment>
+      <owl:Thing rdf:nodeID="n2"><rdfs:label>nested labeled</rdfs:label></owl:Thing>
+    </rdfs:comment>
+  </owl:Class>
+  <owl:Thing rdf:nodeID="n1">
+    <rdfs:label>top-level labeled</rdfs:label>
+  </owl:Thing>
+</rdf:RDF>
+"""
+    d = str(tmp_path / "nid")
+    os.makedirs(d)
+    with open(os.path.join(d, "nid.owl"), "w") as f:
+        f.write(doc)
+    whole = scan_rdf_triples(spark, d)
+    rows = {
+        (r.subject, r.predicate, r.object_kind, r.object_iri, r.object_lexical)
+        for r in whole.collect()
+    }
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    # the reference and the described node share the SAME _:n1 label
+    assert ("http://x/A", RDFS + "seeAlso", "bnode", "_:n1", None) in rows
+    assert ("_:n1", RDFS + "label", "literal", None, "top-level labeled") in rows
+    # nested labeled node: reference emitted as bnode _:n2, statements on _:n2
+    assert ("http://x/A", RDFS + "comment", "bnode", "_:n2", None) in rows
+    assert ("_:n2", RDFS + "label", "literal", None, "nested labeled") in rows
+    # no orphaned counter bnodes exist at all in this document
+    assert not any(s.startswith("_:b") for (s, *_rest) in rows)
+    split = scan_rdf_triples_split(spark, d, split_bytes=150)
+    assert split.exceptAll(whole).count() == 0
+    assert whole.exceptAll(split).count() == 0
