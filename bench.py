@@ -5,13 +5,17 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Queries are the engine's heavy paths: scan+agg, broadcast join + top-k,
-triples-shaped dedup+pivot, MinHash LSH, brute-force cosine top-k (2k
-corpus continuity row + 80k expanded-corpus twin), IVF-trained ANN serving
-path over a prebuilt index, windowed running sums, as-of join, inverted
-index.  Results are materialized with the noop sink so timings measure full
-compute without driver collection.  Methodology (warm session, min-of-3
-with inter-iteration GC, ANN index-build amortization) is pinned in
-BASELINE.md.
+triples-shaped dedup+pivot, MinHash LSH (uncapped continuity row + the
+stop-template capped twin), the full ANN ladder on the shared 80k corpus
+(brute expression + numpy twin, IVF serving, cogroup-routed serving at
+|Q|=10k, PQ shortlist+rerank, binary Hamming scan), windowed running sums,
+as-of join, inverted/positional indexes, BM25, training curation, CDC,
+graph analytics, and the flagship ontology build.  Results are
+materialized with the noop sink so timings measure full compute without
+driver collection.  Methodology (warm session, min-of-3 with
+inter-iteration GC, one-time ANN/PQ index builds amortized via _ANN_STATE
+with post-clearCache re-persist, sentinel-normalized cross-round
+comparison) is pinned in BASELINE.md.
 """
 
 from __future__ import annotations
