@@ -106,10 +106,11 @@ _PRIORITY = [
     # -- 1 stalest driver-green row (r1-only evidence) to refresh recency --
     "scan_dir_regex",
     # ROUND-6 ROTATION PLAN: after this gate runs, the only catalog queries
-    # without driver evidence will be the SEVEN round-5 late additions —
+    # without driver evidence will be the EIGHT round-5 late additions —
     # similarity_pq_adc, similarity_pq_rerank, similarity_ivf_pq,
     # similarity_pq_recall, similarity_hamming_topk,
-    # stream_pq_encode_maintain, sample_split_by_group (all hash-green
+    # similarity_hamming_rerank, stream_pq_encode_maintain,
+    # sample_split_by_group (all hash-green
     # locally in CORRECTNESS_LOCAL_r05.json; the PQ/Hamming block also
     # under the ansi/tz/local-cluster sweeps, SCALE.md §round-5-sweeps) —
     # rotate exactly those into the r6 prefix, then backfill the remaining

@@ -1070,6 +1070,73 @@ def similarity_hamming_topk_q(spark, sf_dir):
     return out.select("q_id", "t_id", "hamming", F.col("rnk").cast("long").alias("rnk"))
 
 
+@register(
+    "similarity_hamming_rerank",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    bits AS (
+      SELECT vec_id, CAST((i - 1) // 32 AS INT) AS w,
+             CASE WHEN embedding[i] > 0
+                  THEN (CAST(1 AS BIGINT) << CAST((i - 1) % 32 AS INT))
+                  ELSE CAST(0 AS BIGINT) END AS bit
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    words AS (SELECT vec_id, w, CAST(SUM(bit) AS BIGINT) AS word FROM bits GROUP BY 1, 2),
+    ham AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS t_id,
+             CAST(SUM(bit_count(xor(q.word, t.word))) AS BIGINT) AS hamming
+      FROM words q JOIN words t ON q.w = t.w
+      WHERE q.vec_id < 8 AND q.vec_id <> t.vec_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT q_id, t_id FROM (
+        SELECT q_id, t_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, t_id) AS rn
+        FROM ham
+      ) WHERE rn <= 20
+    ),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
+    rerank AS (
+      SELECT s.q_id, s.t_id,
+             CAST(SUM(a.v * b.v) AS DOUBLE)
+               / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) AS cos
+      FROM short s
+      JOIN quant a ON a.vec_id = s.q_id
+      JOIN quant b ON b.vec_id = s.t_id AND b.i = a.i
+      JOIN norms na ON na.vec_id = s.q_id
+      JOIN norms nb ON nb.vec_id = s.t_id
+      GROUP BY s.q_id, s.t_id, na.norm_sq, nb.norm_sq
+    )
+    SELECT q_id, t_id, cos, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT q_id, t_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t_id ASC) AS rnk
+      FROM rerank
+    ) WHERE rnk <= 5
+    """,
+)
+def similarity_hamming_rerank_q(spark, sf_dir):
+    """Binary shortlist + exact re-rank (round 5, operators/pq.py
+    hamming_rerank_topk): Hamming distance over the 256x-compressed sign
+    words picks 20 candidates per query entirely inside codegen'd integer
+    ops; exact quantized cosine re-ranks only those — the cheapest rung of
+    the shortlist-then-rerank ladder, both stages SQL-replayed."""
+    from ..operators.pq import hamming_rerank_topk
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    q = em.filter(F.col("vec_id") < 8)
+    out = hamming_rerank_topk(q, em, k=5, shortlist=20)
+    return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
 # Shared CTE chain for the PQ queries: quantize -> subvector rows (m=4
 # subspaces of 16 dims) -> fixed codebooks (subvectors of vec_id < 6) ->
 # per-(vector, subspace, cell) squared-L2 distances.  `enc_d` serves BOTH

@@ -355,6 +355,49 @@ def hamming_topk(
     )
 
 
+def hamming_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    shortlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Two-stage binary serving: Hamming shortlist over sign-bit words →
+    exact quantized-cosine re-rank of the shortlist — the 256×-compressed
+    analogue of ``pq_adc_rerank_topk`` and the cheapest end of the
+    shortlist-then-rerank ladder (the scan stage is xor+bit_count inside
+    codegen; full vectors are touched only for shortlist·|Q| rows).
+
+    Output: (q_id, t_id, cos, rnk) by exact quantized cosine DESC, t_id
+    ASC — the same final order as ``similarity_topk(quantized=True)``, so
+    recall against it is purely a question of shortlist coverage."""
+    from .similarity import _dot_long
+
+    short = hamming_topk(queries, corpus, shortlist, id_col, vec_col).select(
+        "q_id", "t_id"
+    )
+    t = corpus.select(
+        F.col(id_col).alias("t_id"), quantize_vec(F.col(vec_col), scale).alias("vb")
+    ).withColumn("t_norm", _dot_long(F.col("vb"), F.col("vb")))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), quantize_vec(F.col(vec_col), scale).alias("va")
+    ).withColumn("q_norm", _dot_long(F.col("va"), F.col("va")))
+    cand = short.join(t, on="t_id").join(F.broadcast(q), on="q_id")
+    scored = cand.select(
+        "q_id",
+        "t_id",
+        (
+            _dot_long(F.col("va"), F.col("vb")).cast("double")
+            / F.sqrt(F.col("q_norm").cast("double") * F.col("t_norm").cast("double"))
+        ).alias("cos"),
+    )
+    return window_rank_topk(
+        scored, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )
+
+
 def pq_adc_rerank_topk(
     queries: DataFrame,
     corpus: DataFrame,

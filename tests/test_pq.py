@@ -328,3 +328,16 @@ def test_pq_empty_inputs_fail_loudly_or_yield_empty(spark):
     no_codes = pq_encode(corpus, books, m=2).filter(F.lit(False))
     q = corpus.filter(F.col("vec_id") < 2)
     assert pq_adc_topk(q, no_codes, books, k=3, m=2).count() == 0
+
+
+def test_hamming_rerank_recovers_exact_topk_when_shortlist_covers(spark):
+    """With shortlist >= |corpus|-1 the re-rank sees every candidate, so
+    the output must equal similarity_topk(quantized=True) exactly."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import hamming_rerank_topk
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import similarity_topk
+
+    corpus = _vecs(spark, 20, d=32, seed=9)
+    q = corpus.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, similarity_topk(q, corpus, k=4, quantized=True).collect()))
+    b = sorted(map(tuple, hamming_rerank_topk(q, corpus, k=4, shortlist=19).collect()))
+    assert a == b

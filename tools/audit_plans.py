@@ -46,6 +46,9 @@ WAIVERS: dict[str, set[str]] = {
     # brute Hamming scan broadcasts the packed query words (|Q| small),
     # the similarity_topk pattern at 1/32 the bytes per row.
     "similarity_hamming_topk": {"CARTESIAN"},
+    # the rerank variant's shortlist stage is the same broadcast scan;
+    # the rerank stage itself is keyed joins on (t_id, q_id).
+    "similarity_hamming_rerank": {"CARTESIAN"},
     # brute-force baseline: query side is broadcast by design (|Q| small);
     # Spark plans broadcast NL join for the explicit crossJoin.
     "similarity_topk": {"CARTESIAN"},
