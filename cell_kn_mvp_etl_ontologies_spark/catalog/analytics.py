@@ -591,7 +591,7 @@ def dedup_bloom_screen_q(spark, sf_dir):
     "text_bpe_pair_counts",
     oracle="""
     WITH toks AS (
-      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      SELECT unnest(string_split_regex(lower(text), '[\\s\x1f]+')) AS word
       FROM documents
     ),
     words AS (
@@ -645,7 +645,7 @@ def _bpe_train_oracle(n_merges: int) -> str:
     sql = [
         """
     WITH toks AS (
-      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      SELECT unnest(string_split_regex(lower(text), '[\\s\x1f]+')) AS word
       FROM documents
     ),
     words AS (
@@ -730,7 +730,7 @@ def text_bpe_train_q(spark, sf_dir):
     "text_bpe_encode",
     oracle="""
     WITH toks AS (
-      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      SELECT unnest(string_split_regex(lower(text), '[\\s\x1f]+')) AS word
       FROM documents
     ),
     words AS (
@@ -795,7 +795,7 @@ def text_bpe_encode_q(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id AS id,
-             unnest(string_split_regex(lower(text), '\\s+')) AS tok
+             unnest(string_split_regex(lower(text), '[\\s\x1f]+')) AS tok
       FROM documents
     ),
     t AS (SELECT id, tok FROM toks WHERE tok <> ''),

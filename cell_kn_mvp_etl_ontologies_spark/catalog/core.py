@@ -225,7 +225,7 @@ def agg_pivot_vertex_attrs_q(spark, sf_dir):
     oracle="""
     SELECT id, attr, value FROM (
       SELECT id, attr, value,
-             ROW_NUMBER() OVER (PARTITION BY id, attr ORDER BY value) AS rn
+             ROW_NUMBER() OVER (PARTITION BY id, attr ORDER BY value NULLS FIRST) AS rn
       FROM (
         SELECT DISTINCT user_id AS id, event_type AS attr, props AS value
         FROM events

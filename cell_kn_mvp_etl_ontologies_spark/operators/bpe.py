@@ -33,9 +33,16 @@ from pyspark.sql import functions as F
 
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """(word, freq): lowercased whitespace words — the ONE corpus-scale
-    aggregation in the BPE pipeline."""
+    aggregation in the BPE pipeline.
+
+    The US control character (0x1F) is delimiter-class alongside
+    whitespace: the DuckDB oracle's replace-based merge replay brackets
+    symbols with chr(31), so a word CONTAINING chr(31) would corrupt its
+    delimiter structure (ADVICE r5).  Excluding it from word content here
+    — mirrored in the oracles' split regex — makes the in-band delimiter
+    sound by construction; no real tokenizer keeps C0 controls in tokens."""
     words = df.select(
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        F.explode(F.split(F.lower(F.col(text_col)), r"[\s\x1f]+")).alias("word")
     ).filter(F.col("word") != "")
     return words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
 

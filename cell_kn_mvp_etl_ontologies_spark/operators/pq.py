@@ -60,9 +60,13 @@ def pq_subvector_rows(
 ) -> DataFrame:
     """(id, sub, sv ARRAY<BIGINT>): quantized subvector long-form — the
     common input of training, encoding, and LUT construction.  ``subdim``
-    defaults to dim/m and must divide the vector length (short vectors
-    would silently truncate otherwise, so the caller passes it explicitly
-    when vectors are not uniform)."""
+    defaults to dim/m and must divide the vector length.  When ``subdim``
+    IS passed (the streaming path, where the input may be an empty
+    micro-batch), a per-row expression guard raises on any vector whose
+    length is not exactly m·subdim — F.slice would otherwise emit short
+    subvectors whose zip_with distances are NULL and min_by codes are
+    garbage, the silent-misconfiguration failure the inferred path already
+    rejects driver-side."""
     if subdim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         if first is None:
@@ -71,7 +75,18 @@ def pq_subvector_rows(
         if d % m != 0:
             raise ValueError(f"pq_subvector_rows: dim {d} not divisible by m={m}")
         subdim = d // m
-    q = df.select(F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("qv"))
+        vec = F.col(vec_col)
+    else:
+        vec = F.when(F.size(vec_col) == m * subdim, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "pq_subvector_rows: vector dim %s != m*subdim = "
+                    f"{m}*{subdim}",
+                    F.size(vec_col).cast("string"),
+                )
+            )
+        )
+    q = df.select(F.col(id_col).alias("id"), quantize_vec(vec, scale).alias("qv"))
     return q.select(
         "id", F.explode(_subvectors(F.col("qv"), m, subdim)).alias("s")
     ).select("id", "s.sub", "s.sv")
@@ -448,24 +463,26 @@ def ivf_pq_topk(
     m: int = 4,
     scale: int = 1000,
     codes: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ serving: IVF cell routing prunes candidates, ADC scores only
     the probed cells' CODES — the canonical 100 TB ANN shape (coarse
     quantizer for pruning, product quantizer for memory).
 
-    Pass the prebuilt ``codes`` (from ``pq_encode``/``pq_encode_vectorized``
-    — the offline index artifact, like ``build_ivf_index``'s output):
-    without it the corpus is RE-ENCODED on every call, an O(corpus) cost
-    that belongs to the build, not to serving.  The inline-encode default
-    exists for one-shot/exploratory use only.  The corpus-cells assignment
-    is equally offline-buildable on a real deployment (persist it next to
-    the codes).  At serving time nothing corpus-sized is decoded,
-    collected, or broadcast."""
+    Pass the prebuilt ``codes`` (from ``pq_encode``/``pq_encode_vectorized``)
+    AND ``corpus_cells`` ((t_id, cell), from ``ivf_assign(corpus, nprobe=1)``
+    or the streaming maintainer) — both are offline index artifacts, like
+    ``build_ivf_index``'s output.  Without them the corpus is re-encoded /
+    re-assigned on every call, O(corpus) and O(corpus × n_cells) costs that
+    belong to the build, not to serving; the inline defaults exist for
+    one-shot/exploratory use only.  At serving time nothing corpus-sized is
+    decoded, collected, or broadcast."""
     from .similarity import ivf_assign
 
-    corpus_cells = ivf_assign(corpus, centroids, nprobe=1, scale=scale).select(
-        F.col("vec_id").alias("t_id"), "cell"
-    )
+    if corpus_cells is None:
+        corpus_cells = ivf_assign(corpus, centroids, nprobe=1, scale=scale).select(
+            F.col("vec_id").alias("t_id"), "cell"
+        )
     query_cells = ivf_assign(queries, centroids, nprobe=nprobe, scale=scale).select(
         F.col("vec_id").alias("q_id"), "cell"
     )

@@ -234,9 +234,12 @@ def unigram_lm_scores(
 
     Output: (id, n_tokens, oov_tokens, score_bits, mean_millibits).
     """
+    # 0x1F is delimiter-class alongside whitespace, matching the BPE word
+    # tokenizer (operators/bpe.py word_frequencies) — one tokenization
+    # contract across the text-analysis surface
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[\s\x1f]+")).alias("tok"),
     ).filter(F.col("tok") != "")
     if vocab is None:
         vocab = toks.groupBy(F.col("tok")).agg(

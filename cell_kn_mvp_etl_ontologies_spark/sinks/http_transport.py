@@ -25,6 +25,16 @@ Design constraints it satisfies:
 from __future__ import annotations
 
 import json
+import urllib.parse
+
+
+def _seg(name: str) -> str:
+    """Percent-encode one URL path segment (safe='', so '/', '?', '#',
+    spaces all encode) — the Java driver encodes path segments, and an
+    unencoded name containing '/' or '?' would silently address a
+    different resource.  Identity for the ordinary [A-Za-z0-9_-] names, so
+    the byte-for-byte wire pins in tests/test_ddl_wire.py are unaffected."""
+    return urllib.parse.quote(str(name), safe="")
 
 
 class HttpJsonTransport:
@@ -54,7 +64,7 @@ class HttpJsonTransport:
     def __call__(self, collection: str, batch: list[dict]) -> None:
         import urllib.request
 
-        url = self.base_url + self.path_template.format(collection=collection)
+        url = self.base_url + self.path_template.format(collection=_seg(collection))
         body = json.dumps(batch, sort_keys=True, default=str).encode("utf-8")
         req = urllib.request.Request(
             url,
@@ -155,38 +165,38 @@ class ArangoDdlClient:
     # -------------------------------------------------- database / graph --
     def create_or_get_database(self, name: str) -> None:
         """ArangoDbUtilities.java:80-91: exists probe, create on absence."""
-        if not self._exists(f"/_db/{name}/_api/database/current"):
+        if not self._exists(f"/_db/{_seg(name)}/_api/database/current"):
             self._request("POST", "/_api/database", {"name": name})
 
     def delete_database(self, name: str) -> None:
-        if self._exists(f"/_db/{name}/_api/database/current"):
-            self._request("DELETE", f"/_api/database/{name}")
+        if self._exists(f"/_db/{_seg(name)}/_api/database/current"):
+            self._request("DELETE", f"/_api/database/{_seg(name)}")
 
     def create_or_get_graph(self, db: str, graph: str) -> None:
         """ArangoDbUtilities.java:115-127: created with EMPTY edge
         definitions, exactly as the reference does."""
-        if not self._exists(f"/_db/{db}/_api/gharial/{graph}"):
+        if not self._exists(f"/_db/{_seg(db)}/_api/gharial/{_seg(graph)}"):
             self._request(
                 "POST",
-                f"/_db/{db}/_api/gharial",
+                f"/_db/{_seg(db)}/_api/gharial",
                 {"edgeDefinitions": [], "name": graph},
             )
 
     def delete_graph(self, db: str, graph: str) -> None:
-        if self._exists(f"/_db/{db}/_api/gharial/{graph}"):
+        if self._exists(f"/_db/{_seg(db)}/_api/gharial/{_seg(graph)}"):
             self._request(
-                "DELETE", f"/_db/{db}/_api/gharial/{graph}?dropCollections=true"
+                "DELETE", f"/_db/{_seg(db)}/_api/gharial/{_seg(graph)}?dropCollections=true"
             )
 
     # -------------------------------------------------------- collections --
     def create_or_get_vertex_collection(self, db: str, graph: str, vertex: str) -> None:
         """ArangoDbUtilities.java:146-157: membership probe against the
         graph's vertex-collection list, add on absence."""
-        _, listing = self._request("GET", f"/_db/{db}/_api/gharial/{graph}/vertex")
+        _, listing = self._request("GET", f"/_db/{_seg(db)}/_api/gharial/{_seg(graph)}/vertex")
         if vertex not in (listing or {}).get("collections", []):
             self._request(
                 "POST",
-                f"/_db/{db}/_api/gharial/{graph}/vertex",
+                f"/_db/{_seg(db)}/_api/gharial/{_seg(graph)}/vertex",
                 {"collection": vertex},
             )
 
@@ -194,11 +204,11 @@ class ArangoDdlClient:
         """ArangoDbUtilities.java:185-197: edge collection named
         '{from}-{to}' with single-element from/to lists."""
         name = f"{from_vertex}-{to_vertex}"
-        _, listing = self._request("GET", f"/_db/{db}/_api/gharial/{graph}/edge")
+        _, listing = self._request("GET", f"/_db/{_seg(db)}/_api/gharial/{_seg(graph)}/edge")
         if name not in (listing or {}).get("collections", []):
             self._request(
                 "POST",
-                f"/_db/{db}/_api/gharial/{graph}/edge",
+                f"/_db/{_seg(db)}/_api/gharial/{_seg(graph)}/edge",
                 {"collection": name, "from": [from_vertex], "to": [to_vertex]},
             )
         return name
@@ -208,14 +218,14 @@ class ArangoDdlClient:
         """ArangoDbUtilities.java:219-249: the n-gram and text_en_no_stem
         analyzers with the reference's exact property sets."""
         for payload in (NGRAM_ANALYZER, TEXT_NO_STEM_ANALYZER):
-            if not self._exists(f"/_db/{db}/_api/analyzer/{payload['name']}"):
-                self._request("POST", f"/_db/{db}/_api/analyzer", payload)
+            if not self._exists(f"/_db/{_seg(db)}/_api/analyzer/{_seg(payload['name'])}"):
+                self._request("POST", f"/_db/{_seg(db)}/_api/analyzer", payload)
 
     def delete_analyzers(self, db: str) -> None:
         """ArangoDbUtilities.java:257-271: delete, tolerating absence."""
         for name in ("n-gram", "text_en_no_stem"):
             status, _ = self._request(
-                "DELETE", f"/_db/{db}/_api/analyzer/{name}", ok_404=True
+                "DELETE", f"/_db/{_seg(db)}/_api/analyzer/{_seg(name)}", ok_404=True
             )
 
     # --------------------------------------------------------- search view --
@@ -237,10 +247,10 @@ class ArangoDdlClient:
             }
             for coll, fields in collection_fields.items()
         }
-        if not self._exists(f"/_db/{db}/_api/view/indexed"):
+        if not self._exists(f"/_db/{_seg(db)}/_api/view/indexed"):
             self._request(
                 "POST",
-                f"/_db/{db}/_api/view",
+                f"/_db/{_seg(db)}/_api/view",
                 {
                     "cleanupIntervalStep": 2,
                     "commitIntervalMsec": 1000,

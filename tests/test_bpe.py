@@ -105,3 +105,14 @@ def test_bpe_encode_words_matches_reference(spark):
     assert got == {w: ref_encode(w, merges) for w in got}
     # training words must round-trip: concatenating tokens rebuilds the word
     assert all("".join(toks) == w for w, toks in got.items())
+
+
+def test_word_frequencies_treats_us_control_char_as_delimiter(spark):
+    """ADVICE r5: chr(31) is the BPE oracle's in-band bracket delimiter, so
+    it is delimiter-class in the tokenizer — a word can never contain it,
+    making the oracle's replace-based merge replay sound by construction."""
+    df = spark.createDataFrame(
+        [("ab\x1fcd ef",), ("\x1f\x1fgh\x1f",)], "text STRING"
+    )
+    got = {r.word: r.freq for r in word_frequencies(df, "text").collect()}
+    assert got == {"ab": 1, "cd": 1, "ef": 1, "gh": 1}

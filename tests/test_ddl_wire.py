@@ -211,3 +211,24 @@ def test_delete_analyzers_tolerates_absence(arango_sim):
         ("DELETE", "/_db/db1/_api/analyzer/n-gram"),
         ("DELETE", "/_db/db1/_api/analyzer/text_en_no_stem"),
     ]
+
+
+def test_path_segments_percent_encoded(arango_sim):
+    """ADVICE r5: names containing '/', '?', '#', or spaces must be
+    percent-encoded into URL path segments (the Java driver encodes
+    segments); unencoded they address a different resource or truncate at
+    the query separator.  Bodies keep the raw name."""
+    client, requests = arango_sim
+    client.create_or_get_database("a/b c?d")
+    assert requests == [
+        ("GET", "/_db/a%2Fb%20c%3Fd/_api/database/current", None),
+        ("POST", "/_api/database", {"name": "a/b c?d"}),
+    ]
+    requests.clear()
+    client.create_or_get_graph("a/b c?d", "g#1")
+    assert requests[0] == ("GET", "/_db/a%2Fb%20c%3Fd/_api/gharial/g%231", None)
+    assert requests[1] == (
+        "POST",
+        "/_db/a%2Fb%20c%3Fd/_api/gharial",
+        {"edgeDefinitions": [], "name": "g#1"},
+    )

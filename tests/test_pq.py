@@ -112,12 +112,54 @@ def test_ivf_pq_full_probe_equals_plain_adc(spark):
     assert a == b
 
 
+def test_ivf_pq_prebuilt_corpus_cells_equals_inline(spark):
+    """ADVICE r5: serving with the OFFLINE corpus-cells artifact (the
+    ivf_assign output persisted next to the codes) must be bit-identical
+    to the inline re-assignment it replaces."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import ivf_assign
+
+    corpus = _vecs(spark, 30)
+    books = _fixed_codebooks(spark, corpus, m=2, ksub=5)
+    cents = corpus.filter(F.col("vec_id") < 3)
+    codes = pq_encode(corpus, books, m=2)
+    cells = ivf_assign(corpus, cents, nprobe=1).select(
+        F.col("vec_id").alias("t_id"), "cell"
+    )
+    q = corpus.filter(F.col("vec_id") < 4)
+    inline = sorted(map(tuple, ivf_pq_topk(
+        q, corpus, cents, books, k=3, nprobe=2, m=2, codes=codes
+    ).collect()))
+    prebuilt = sorted(map(tuple, ivf_pq_topk(
+        q, corpus, cents, books, k=3, nprobe=2, m=2, codes=codes, corpus_cells=cells
+    ).collect()))
+    assert inline == prebuilt and len(inline) > 0
+
+
 def test_pq_dimension_validation(spark):
     import pytest as _pytest
 
     corpus = _vecs(spark, 4, d=6)
     with _pytest.raises(ValueError, match="not divisible"):
         pq_train_codebooks(corpus, m=4, ksub=2)
+
+
+def test_pq_encode_explicit_subdim_raises_on_wrong_dim(spark):
+    """ADVICE r5: the explicit-subdim path (streaming, where empty batches
+    forbid the driver-side probe) must raise loudly on a wrong-dimension
+    vector instead of emitting short F.slice subvectors whose NULL
+    distances turn into arbitrary min_by codes."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    corpus = _vecs(spark, 4, d=8)
+    books = _fixed_codebooks(spark, corpus, m=4, ksub=2)
+    # correct explicit subdim: identical to the inferred path
+    ok = pq_encode(corpus, books, m=4, subdim=2).orderBy("t_id").collect()
+    inferred = pq_encode(corpus, books, m=4).orderBy("t_id").collect()
+    assert [tuple(r.codes) for r in ok] == [tuple(r.codes) for r in inferred]
+    # wrong subdim: per-row guard fires at execution time
+    with _pytest.raises(SparkRuntimeException, match="pq_subvector_rows"):
+        pq_encode(corpus, books, m=4, subdim=3).collect()
 
 
 def test_pq_rerank_recovers_exact_topk_when_shortlist_covers(spark):
