@@ -52,37 +52,74 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    try:  # real decoders are not installed in this environment
-        import PIL.Image  # noqa: F401
+def _decode_batch(
+    batches: Iterator[pd.DataFrame], use_stub: bool = True
+) -> Iterator[pd.DataFrame]:
+    if not use_stub:
+        # Import errors surface at task start, not per-row — a cluster
+        # missing pillow fails the stage loudly instead of half-decoding.
+        import io
 
-        have_pil = True
-    except ImportError:
-        have_pil = False
+        import PIL.Image
 
     for pdf in batches:
         n_bytes = pdf["payload"].map(len)
-        if have_pil:
-            # Real path would decode pdf["payload"] via PIL here.
-            raise NotImplementedError("real image decode not exercised in this container")
-        out = pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes,
-                # Deterministic fake decode: dimensions derived from payload
-                # size and id so the stage is oracle-checkable.
-                "width": (n_bytes % 64) + 1,
-                "height": ((pdf["doc_id"] * 7) % 64) + 1,
-                "n_frames": (n_bytes % 10) + 1,
-                "decoder": "stub",
-            }
-        )
+        if use_stub:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    # Deterministic fake decode: dimensions derived from
+                    # payload size and id so the stage is oracle-checkable.
+                    "width": (n_bytes % 64) + 1,
+                    "height": ((pdf["doc_id"] * 7) % 64) + 1,
+                    "n_frames": (n_bytes % 10) + 1,
+                    "decoder": "stub",
+                }
+            )
+        else:
+            widths, heights, frames, decoders = [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    with PIL.Image.open(io.BytesIO(bytes(p))) as img:
+                        widths.append(int(img.size[0]))
+                        heights.append(int(img.size[1]))
+                        frames.append(int(getattr(img, "n_frames", 1)))
+                        decoders.append((img.format or "pil").lower())
+                except Exception:
+                    # Undecodable payloads are DATA, not configuration:
+                    # null dims + a counting-friendly decoder tag instead
+                    # of failing the 100 TB job on one corrupt image.
+                    widths.append(None)
+                    heights.append(None)
+                    frames.append(None)
+                    decoders.append("undecodable")
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "width": pd.array(widths, dtype="Int64"),
+                    "height": pd.array(heights, dtype="Int64"),
+                    "n_frames": pd.array(frames, dtype="Int64"),
+                    "decoder": decoders,
+                }
+            )
         yield out
 
 
-def decode_payloads(df: DataFrame) -> DataFrame:
-    """Arrow-batched decode stage: (doc_id, payload) -> decode metadata."""
-    return df.select("doc_id", "payload").mapInPandas(_decode_batch, DECODE_SCHEMA)
+def decode_payloads(df: DataFrame, use_stub: bool = True) -> DataFrame:
+    """Arrow-batched decode stage: (doc_id, payload) -> decode metadata.
+
+    ``use_stub`` is an EXPLICIT configuration switch (VERDICT r5 #6), not
+    an import sniff: True (default) runs the deterministic oracle-checkable
+    fake used by the catalog queries; False runs the real PIL decode and
+    raises ImportError at task start if pillow is absent — installing or
+    removing pillow can never silently change which branch executes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _decode_batch(batches, use_stub=use_stub)
+
+    return df.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(

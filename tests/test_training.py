@@ -374,3 +374,78 @@ def test_split_by_group_is_group_atomic(spark):
     assert got == ref
     # all three splits represented across 53 domains
     assert {r.split for r in out.select("split").distinct().collect()} == {"train", "val", "test"}
+
+
+def test_decode_payloads_stub_vs_real_is_explicit(spark):
+    """VERDICT r5 #6: stub-vs-real decode is an explicit flag, not an
+    import sniff.  The stub branch runs regardless of whether pillow is
+    importable; the real branch decodes via PIL (exercised here with a
+    fake PIL module against _decode_batch directly — mapInPandas workers
+    are separate processes, so the sys.modules patch targets the local
+    generator, which contains ALL the branch logic)."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.multimodal import (
+        _decode_batch,
+        attach_binary_payload,
+        decode_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "web", 11), (2, "xy", "en", "web", 2)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    payloads = attach_binary_payload(docs)
+    # stub branch through Spark: deterministic fake dims, decoder='stub'
+    got = {r.doc_id: r for r in decode_payloads(payloads, use_stub=True).collect()}
+    assert got[1].decoder == "stub" and got[1].width == (11 % 64) + 1
+
+    # real branch against a fake PIL: one decodable payload, one corrupt
+    class _FakeImg:
+        size = (640, 480)
+        format = "PNG"
+        n_frames = 3
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def _open(fp):
+        if fp.read(5) == b"IMGOK":
+            return _FakeImg()
+        raise ValueError("cannot identify image file")
+
+    fake_pil = types.ModuleType("PIL")
+    fake_img_mod = types.ModuleType("PIL.Image")
+    fake_img_mod.open = _open
+    fake_pil.Image = fake_img_mod
+    saved = {k: sys.modules.get(k) for k in ("PIL", "PIL.Image")}
+    sys.modules["PIL"] = fake_pil
+    sys.modules["PIL.Image"] = fake_img_mod
+    try:
+        pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [b"IMGOK....", b"junk"]})
+        (out,) = list(_decode_batch(iter([pdf]), use_stub=False))
+        assert list(out["decoder"]) == ["png", "undecodable"]
+        assert out["width"].tolist()[0] == 640 and out["n_frames"].tolist()[0] == 3
+        assert pd.isna(out["width"].tolist()[1])
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    # with pillow truly absent, the real branch must fail loudly (and the
+    # stub branch above already proved it is unaffected by PIL's presence)
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError):
+            list(_decode_batch(iter([pd.DataFrame({"doc_id": [], "payload": []})]), use_stub=False))
