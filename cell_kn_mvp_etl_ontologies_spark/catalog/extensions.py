@@ -1423,6 +1423,111 @@ def similarity_ivf_pq_q(spark, sf_dir):
     return out.select("q_id", "t_id", "adc_dist", F.col("rnk").cast("long").alias("rnk"))
 
 
+def _pq_trained_oracle(m: int = 4, subdim: int = 16, ksub: int = 4, n_iter: int = 2) -> str:
+    """Unroll the full TRAINED-PQ chain as DuckDB CTEs (VERDICT r5 #4): per
+    subspace, the deterministic integer k-means (md5-seeded, floor-division
+    means, dist/cell tie-breaks — the cluster_kmeans unroll doctrine) over
+    the subvector slice, then the encode argmin against the TRAINED books.
+    Emitting a codebook digest (cv_sum) next to each code gates the trained
+    codebook values themselves, not just the assignments."""
+    parts = [
+        """
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    seeds AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+      FROM corpus
+    )"""
+    ]
+    outs = []
+    for s in range(m):
+        lo, hi = subdim * s, subdim * (s + 1)
+        parts.append(
+            f""",
+    q_{s} AS (SELECT vec_id, i - {lo} AS i, v FROM quant WHERE i > {lo} AND i <= {hi}),
+    c0_{s} AS (
+      SELECT CAST(sd.r - 1 AS INT) AS cell, q.i, q.v
+      FROM seeds sd JOIN q_{s} q ON q.vec_id = sd.vec_id WHERE sd.r <= {ksub}
+    )"""
+        )
+        for n in range(1, n_iter + 1):
+            parts.append(
+                f""",
+    d{n}_{s} AS (
+      SELECT q.vec_id, c.cell, SUM((q.v - c.v) * (q.v - c.v)) AS d
+      FROM q_{s} q JOIN c{n - 1}_{s} c ON c.i = q.i
+      GROUP BY q.vec_id, c.cell
+    ),
+    a{n}_{s} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM d{n}_{s}
+      ) WHERE rn = 1
+    ),
+    c{n}_{s} AS (
+      SELECT a.cell, q.i, CAST(floor(CAST(SUM(q.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+      FROM a{n}_{s} a JOIN q_{s} q ON q.vec_id = a.vec_id
+      GROUP BY a.cell, q.i
+    )"""
+            )
+        parts.append(
+            f""",
+    ed_{s} AS (
+      SELECT q.vec_id, c.cell, SUM((q.v - c.v) * (q.v - c.v)) AS d
+      FROM q_{s} q JOIN c{n_iter}_{s} c ON c.i = q.i
+      GROUP BY q.vec_id, c.cell
+    ),
+    code_{s} AS (
+      SELECT vec_id AS t_id, cell AS code FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM ed_{s}
+      ) WHERE rn = 1
+    ),
+    cbsum_{s} AS (SELECT cell, CAST(SUM(v) AS BIGINT) AS cv_sum FROM c{n_iter}_{s} GROUP BY cell)"""
+        )
+        outs.append(
+            f"SELECT t_id, {s} AS sub, code, cv_sum FROM code_{s} JOIN cbsum_{s} ON cell = code"
+        )
+    parts.append(
+        "\n    SELECT t_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code, cv_sum FROM (\n      "
+        + "\n      UNION ALL ".join(outs)
+        + "\n    ) u"
+    )
+    return "".join(parts)
+
+
+@register("similarity_pq_trained", oracle=_pq_trained_oracle())
+def similarity_pq_trained_q(spark, sf_dir):
+    """End-to-end TRAINED product quantization (VERDICT r5 #4,
+    operators/pq.py): pq_train_codebooks (m=4 deterministic integer
+    k-means runs over 16-dim subvector slices, ksub=4, 2 update rounds)
+    feeding pq_encode — the chain the round-5 gates only covered with
+    FIXED codebooks.  Output is the long-form code table with a trained
+    codebook digest per (sub, code), so both the training and the encode
+    are hash-gated cell-exactly against the unrolled-CTE replay."""
+    from ..operators.pq import _code_rows, pq_encode, pq_train_codebooks
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120).select(
+        "vec_id", "embedding"
+    )
+    books = pq_train_codebooks(em, m=4, ksub=4, n_iter=2)
+    codes = pq_encode(em, books, m=4)
+    digest = books.select(
+        "sub",
+        F.col("cell").alias("code"),
+        F.aggregate("cv", F.lit(0).cast("long"), lambda a, x: a + x).alias("cv_sum"),
+    )
+    return _code_rows(codes).join(F.broadcast(digest), on=["sub", "code"]).select(
+        "t_id", "sub", "code", "cv_sum"
+    )
+
+
 @register("similarity_ann_ivf_routed", oracle=_IVF_ORACLE_SQL)
 def similarity_ann_ivf_routed_q(spark, sf_dir):
     """Fully-distributed vectorized IVF serving (VERDICT r4 #2): queries

@@ -596,6 +596,102 @@ def stream_pq_encode_maintain_q(spark, sf_dir):
 
 
 @register(
+    "stream_ivf_pq_maintain",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
+    cents AS (SELECT vec_id AS cell FROM corpus WHERE vec_id < 8),
+    cdots AS (
+      SELECT a.vec_id, c.cell, SUM(a.v * b.v) AS dot
+      FROM quant a
+      JOIN cents c ON TRUE
+      JOIN quant b ON b.vec_id = c.cell AND b.i = a.i
+      GROUP BY a.vec_id, c.cell
+    ),
+    ccos AS (
+      SELECT d.vec_id, d.cell,
+             CAST(d.dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) AS c_cos
+      FROM cdots d JOIN norms na ON na.vec_id = d.vec_id JOIN norms nb ON nb.vec_id = d.cell
+    ),
+    cellassign AS (
+      SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cell ASC) AS rn
+        FROM ccos
+      ) WHERE rn = 1
+    ),
+    subs AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub, i, v FROM quant),
+    books AS (SELECT sub, CAST(vec_id AS INT) AS cell, i, v FROM subs WHERE vec_id < 6),
+    enc_d AS (
+      SELECT s.vec_id, s.sub, b.cell,
+             CAST(SUM((s.v - b.v) * (s.v - b.v)) AS BIGINT) AS d
+      FROM subs s JOIN books b ON b.sub = s.sub AND b.i = s.i
+      GROUP BY s.vec_id, s.sub, b.cell
+    ),
+    pqcodes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, cell AS code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+        FROM enc_d
+      ) WHERE rn = 1
+    )
+    SELECT c.vec_id, c.cell, k.sub, k.code
+    FROM cellassign c JOIN pqcodes k USING (vec_id)
+    """,
+)
+def stream_ivf_pq_maintain_q(spark, sf_dir):
+    """Composed streaming IVF-PQ index maintenance (VERDICT r5 #7): ONE
+    foreachBatch assigns each arriving embedding's IVF cell AND its PQ
+    codes, MERGEd into a single index table keyed by vec_id — the complete
+    production ANN artifact (routing + compressed representation) stays
+    serving-fresh in one keyed upsert per trigger, where the separate
+    maintainers (stream_ann_index_maintain, stream_pq_encode_maintain)
+    would need two stores reconciled at read time.  The maintained row is
+    (vec_id, cell, codes ARRAY<INT>) — exactly what ivf_pq_topk consumes
+    as its prebuilt (corpus_cells, codes) pair.  O(batch) per trigger,
+    idempotent under at-least-once re-delivery; hash-gated equal to the
+    batch ivf_assign + pq_encode chain over the full table."""
+    import tempfile
+
+    from ..operators.pq import pq_encode, pq_subvector_rows
+    from ..operators.similarity import ivf_assign
+    from ..streaming import read_embeddings_stream, run_stream_upsert
+    from . import finish_and_clean
+
+    em = load_table(spark, sf_dir, "embeddings")
+    centroids = em.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    books = pq_subvector_rows(em.filter(F.col("vec_id") < 6), m=4).select(
+        "sub", F.col("id").cast("int").alias("cell"), F.col("sv").alias("cv")
+    )
+
+    def index_batch(batch_df):
+        cells = ivf_assign(batch_df, centroids, nprobe=1).select(
+            "vec_id", F.col("cell").cast("int").alias("cell")
+        )
+        codes = pq_encode(batch_df, books, m=4, subdim=16).select(
+            F.col("t_id").alias("vec_id"), "codes"
+        )
+        return cells.join(codes, "vec_id")
+
+    stream = read_embeddings_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_ivf_pq_")
+    out = run_stream_upsert(
+        stream.select("vec_id", "embedding"),
+        root + "/state",
+        keys=["vec_id"],
+        transform=index_batch,
+    )
+    long_form = out.select(
+        "vec_id", "cell", F.posexplode("codes").alias("sub", "code")
+    ).select("vec_id", "cell", F.col("sub").cast("int").alias("sub"), "code")
+    return finish_and_clean(long_form, root)
+
+
+@register(
     "stream_bloom_screen",
     oracle="""
     WITH corpus AS (
