@@ -69,6 +69,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
+    # ROUND 6 ROTATION (VERDICT.md r5, "Next round: do this" #1): the 50-slot
+    # prefix is (a) the EIGHT round-5 late additions that are the only catalog
+    # queries without driver evidence, (b) the two queries NEW in round 6
+    # (trained-PQ chain per VERDICT r5 #4, composed streaming IVF-PQ
+    # maintenance per #7), (c) the queries whose contract CHANGED this round —
+    # scan_rdf_triples (+object_lang/object_datatype columns, VERDICT r5 #2)
+    # and agg_pivot_vertex_attrs_capped (oracle NULLS FIRST fix, ADVICE r5) —
+    # plus the schema-change blast radius (split scan, OWL extraction,
+    # end-to-end graph build, flatten join), and (d) backfill with the
+    # stalest driver-green rows: all 19 with r1-only evidence and all 13 with
+    # r2-only evidence.  Every query rotated out stays verified in
+    # CORRECTNESS_LOCAL_r06.json (same checker).
+    #
+    # -- (a) the 8 never-driver-verified round-5 additions --
+    "similarity_pq_adc", "similarity_pq_rerank", "similarity_ivf_pq",
+    "similarity_pq_recall", "similarity_hamming_topk",
+    "similarity_hamming_rerank", "stream_pq_encode_maintain",
+    "sample_split_by_group",
+    # -- (b) new in round 6 --
+    "similarity_pq_trained", "stream_ivf_pq_maintain",
+    # -- (c) contract changed this round + blast radius --
+    "scan_rdf_triples", "agg_pivot_vertex_attrs_capped",
+    "scan_rdf_triples_split", "extract_triples_owl", "owl_graph_end_to_end",
+    "graph_build_vertices", "graph_build_edges", "join_flatten_restriction",
+    # -- (d) stalest driver-green: the 19 r1-only rows --
+    "agg_collect_edge_labels", "agg_count_metrics", "agg_distinct_vertices",
+    "filter_isin_valid_vertices", "filter_object_is_literal",
+    "filter_root_ns_class", "filter_skip_file", "fn_doc_id_helpers",
+    "fn_extract_version_date", "fn_json_config", "fn_normalize_edge_label",
+    "fn_normalize_edge_source", "join_semi_edge_endpoints",
+    "scan_ontology_meta", "scan_term_prefixes", "setop_union_files",
+    "setop_union_label_sets", "sink_jsonl_export",
+    "sink_side_output_edge_labels",
+    # -- (d) the 13 r2-only rows --
+    "agg_distinct_triples", "dedup_embedding_cosine", "dedup_exact_hash",
+    "embedding_quantize", "fn_uri_parse", "fn_vtuple", "join_ro_label_lookup",
+    "project_triple_nodes", "sample_split_hash", "sort_by_key",
+    "text_lang_id", "text_phrase_search", "text_quality_score",
+    # ROUND-7 ROTATION PLAN (precomputed): after this gate runs, every
+    # catalog query has driver evidence and the stalest rows are the ~44
+    # remaining r3-verified queries (CORRECTNESS_r03.json keys minus the
+    # eight rotated into (c) above) — give them the r7 prefix, then fill
+    # with r4-verified rows, oldest first.  Any query whose oracle or
+    # operator changes in round 7 jumps to the head, as always.
+    # ------------------------------------------------------------------
     # ROUND 5 ROTATION (VERDICT.md r4, "Next round: do this" #1): after the
     # round-4 gate, exactly 46 of the 179 catalog queries had never been
     # through a driver correctness gate (all hash-green locally in
@@ -101,7 +146,7 @@ _PRIORITY = [
     # -- 3 queries NEW in round 5 (routed ANN serving per VERDICT r4 #2,
     # skew-capped pivot per #7, stop-template LSH cap per #4) so they get
     # driver evidence immediately --
-    "similarity_ann_ivf_routed", "agg_pivot_vertex_attrs_capped",
+    "similarity_ann_ivf_routed",
     "dedup_minhash_lsh_capped",
     # -- 1 stalest driver-green row (r1-only evidence) to refresh recency --
     "scan_dir_regex",
@@ -158,7 +203,7 @@ _PRIORITY = [
     # (r1 evidence only) so recency stays fresh.
     #
     # new in round 4 (never seen by any gate before)
-    "scan_rdf_triples_split", "similarity_ann_recall",
+    "similarity_ann_recall",
     # streaming (§2.11) — the entire family had zero driver evidence
     "stream_file_source", "stream_window_tumbling", "stream_window_sliding",
     "stream_window_session", "stream_stateful_totals", "stream_join_dim",

@@ -314,21 +314,32 @@ def scan_ontology_meta_q(spark, sf_dir):
     "scan_rdf_triples",
     oracle="""
     SELECT * FROM (VALUES
-      ('macrophage.owl', 'iri', 20), ('macrophage.owl', 'bnode', 3), ('macrophage.owl', 'literal', 15),
-      ('ro.owl', 'iri', 6), ('ro.owl', 'literal', 4),
-      ('version-info-test.owl', 'iri', 2), ('version-info-test.owl', 'literal', 1),
-      ('no-version-test.owl', 'iri', 1),
-      ('no-IAO_0000700-test.owl', 'iri', 2), ('no-IAO_0000700-test.owl', 'literal', 1)
-    ) AS t(src_file, object_kind, n)
+      ('macrophage.owl', 'iri', NULL, NULL, 20),
+      ('macrophage.owl', 'bnode', NULL, NULL, 3),
+      ('macrophage.owl', 'literal', 'en', NULL, 1),
+      ('macrophage.owl', 'literal', NULL, 'http://www.w3.org/2001/XMLSchema#boolean', 1),
+      ('macrophage.owl', 'literal', NULL, NULL, 13),
+      ('ro.owl', 'iri', NULL, NULL, 6), ('ro.owl', 'literal', NULL, NULL, 4),
+      ('version-info-test.owl', 'iri', NULL, NULL, 2),
+      ('version-info-test.owl', 'literal', NULL, NULL, 1),
+      ('no-version-test.owl', 'iri', NULL, NULL, 1),
+      ('no-IAO_0000700-test.owl', 'iri', NULL, NULL, 2),
+      ('no-IAO_0000700-test.owl', 'literal', NULL, NULL, 1)
+    ) AS t(src_file, object_kind, object_lang, object_datatype, n)
     """,
 )
 def scan_rdf_triples_q(spark, sf_dir):
     """Raw RDF/XML triple scan: per-file node-kind profile (bnode structure
-    preserved for the flattener).  Ref: OntologyTripleParser.java:62-121."""
+    preserved for the flattener), round 6 extended with the literal
+    lang/datatype annotations (the macrophage fixture carries an
+    xml:lang="en" label and an xsd:boolean-typed owl:deprecated, the shapes
+    real OBO ontologies ship).  Ref: OntologyTripleParser.java:62-121."""
     from ..sources.owl import scan_rdf_triples
 
     raw = scan_rdf_triples(spark, _fixture_owl_dir())
-    return raw.groupBy("src_file", "object_kind").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    return raw.groupBy(
+        "src_file", "object_kind", "object_lang", "object_datatype"
+    ).agg(F.count(F.lit(1)).cast("int").alias("n"))
 
 
 @register(
@@ -355,16 +366,22 @@ def scan_rdf_triples_split_q(spark, sf_dir):
     mapInPandas (sources/owl.py:scan_rdf_triples_split)."""
     from ..sources.owl import scan_rdf_triples, scan_rdf_triples_split
 
-    key = ["src_file", "subject", "predicate", "object_kind", "object_iri", "object_lexical"]
+    key = [
+        "src_file", "subject", "predicate", "object_kind",
+        "object_iri", "object_lexical", "object_lang", "object_datatype",
+    ]
 
     def keyed(df):
-        # object_iri / object_lexical are NULL by kind; a plain equi-join
-        # would drop those keys (NULL != NULL), so sentinel-coalesce them —
-        # cheaper at scale than eqNullSafe, which defeats join pruning
+        # object_iri / object_lexical / lang / datatype are NULL by kind; a
+        # plain equi-join would drop those keys (NULL != NULL), so
+        # sentinel-coalesce them — cheaper at scale than eqNullSafe, which
+        # defeats join pruning
         return df.select(
             "src_file", "subject", "predicate", "object_kind",
             F.coalesce("object_iri", F.lit("\x00")).alias("object_iri"),
             F.coalesce("object_lexical", F.lit("\x00")).alias("object_lexical"),
+            F.coalesce("object_lang", F.lit("\x00")).alias("object_lang"),
+            F.coalesce("object_datatype", F.lit("\x00")).alias("object_datatype"),
         )
 
     split = keyed(scan_rdf_triples_split(spark, _fixture_owl_dir(), split_bytes=400))

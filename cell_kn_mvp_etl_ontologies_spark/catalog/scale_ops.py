@@ -64,7 +64,12 @@ def pipeline_incremental_graph_q(spark, sf_dir):
         F.col("predicate") == OWL_NS + "someValuesFrom"
     )
     new_class = spark.createDataFrame(
-        [("macrophage.owl", OBO + "CL_0009999", RDFS + "label", "literal", None, "new cell type")],
+        [
+            (
+                "macrophage.owl", OBO + "CL_0009999", RDFS + "label",
+                "literal", None, "new cell type", None, None,
+            )
+        ],
         t0.schema,
     )
     t1 = (

@@ -24,6 +24,8 @@ TRIPLES_SCHEMA = StructType(
         StructField("object_kind", StringType()),
         StructField("object_iri", StringType()),
         StructField("object_lexical", StringType()),
+        StructField("object_lang", StringType()),
+        StructField("object_datatype", StringType()),
     ]
 )
 
@@ -109,7 +111,11 @@ RO_TERMS = [
 
 
 def fixture_triples(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(RAW_TRIPLES, TRIPLES_SCHEMA)
+    # RAW_TRIPLES stays 6-wide (the golden literals carry no lang/datatype);
+    # pad to the round-6 8-column triples schema
+    return spark.createDataFrame(
+        [r + (None, None) for r in RAW_TRIPLES], TRIPLES_SCHEMA
+    )
 
 
 def fixture_ro_terms(spark: SparkSession) -> DataFrame:

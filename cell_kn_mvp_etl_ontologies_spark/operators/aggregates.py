@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TRIPLE_KEY = ["subject", "predicate", "object_kind", "object_iri", "object_lexical"]
+# lang/datatype are part of triple identity (round 6): Jena triples that
+# differ only in language tag or datatype are DIFFERENT triples, so the
+# dedup must not collapse them (RDF Concepts §3.3; VERDICT r5 #2)
+TRIPLE_KEY = [
+    "subject", "predicate", "object_kind",
+    "object_iri", "object_lexical", "object_lang", "object_datatype",
+]
 
 
 def agg_distinct_triples(triples: DataFrame, per_file: bool = False) -> DataFrame:

@@ -72,6 +72,8 @@ def join_flatten_restriction(triples: DataFrame) -> DataFrame:
         F.lit("iri").alias("object_kind"),
         F.col("some_values_from").alias("object_iri"),
         F.lit(None).cast("string").alias("object_lexical"),
+        F.lit(None).cast("string").alias("object_lang"),
+        F.lit(None).cast("string").alias("object_datatype"),
     )
 
 

@@ -9,9 +9,12 @@ container, so triple extraction uses a stdlib ElementTree RDF/XML reader
 covering the OBO-style subset the reference consumes — typed node elements
 with rdf:about, property elements with rdf:resource / literal text / nested
 anonymous nodes (owl:Restriction bnodes) — plus (round 4)
-rdf:parseType="Collection"/"Resource"/"Literal", rdf:ID, and xml:base.
-Documented drops: rdf:datatype/xml:lang literal annotations (the triples
-schema carries lexical forms only) and property-rdf:ID reification.
+rdf:parseType="Collection"/"Resource"/"Literal", rdf:ID, and xml:base;
+(round 5) reification quads, rdf:li containers, labeled nodeIDs; (round 6,
+VERDICT r5 #2) literal ``xml:lang`` tags (XML-scoped inheritance included)
+and ``rdf:datatype`` IRIs carried as first-class ``object_lang`` /
+``object_datatype`` columns, matching the fidelity of the reference's Jena
+model up to the point OntologyTripleParser.java:68-117 consumes it.
 
 Scale: ``scan_xml_elements`` / ``scan_rdf_triples`` parse one file per task
 (each file independent), which caps parallelism at file count.
@@ -43,7 +46,16 @@ NODE_ID = f"{{{RDF_NS}}}nodeID"
 RDF_ID = f"{{{RDF_NS}}}ID"
 PARSETYPE = f"{{{RDF_NS}}}parseType"
 XML_BASE = "{http://www.w3.org/XML/1998/namespace}base"
+XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+XML_LITERAL = RDF_NS + "XMLLiteral"
 
+# object_lang / object_datatype (round 6, VERDICT r5 #2): literal triples
+# carry their language tag (xml:lang, XML-scoped inheritance honored) and
+# datatype IRI (rdf:datatype; rdf:XMLLiteral for parseType="Literal").
+# Typed literals have no lang (RDF Concepts §3.3 — Jena agrees), and
+# non-literal triples carry NULL in both.  They are part of triple
+# identity (operators/aggregates.py TRIPLE_KEY): Jena triples differing
+# only in tag/datatype ARE different triples.
 TRIPLES_SCHEMA = StructType(
     [
         StructField("src_file", StringType()),
@@ -52,6 +64,8 @@ TRIPLES_SCHEMA = StructType(
         StructField("object_kind", StringType()),
         StructField("object_iri", StringType()),
         StructField("object_lexical", StringType()),
+        StructField("object_lang", StringType()),
+        StructField("object_datatype", StringType()),
     ]
 )
 
@@ -251,11 +265,17 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
     (rdf:Statement / rdf:subject / rdf:predicate / rdf:object) about
     ``xml:base#ID`` alongside the base triple, as Jena does; ``rdf:li``
     container membership expands to rdf:_1, rdf:_2, ... per parent element.
-    Remaining documented lossiness: ``rdf:datatype``/``xml:lang`` literal
-    annotations (the triples schema carries lexical forms only)."""
+
+    Round 6 (VERDICT r5 #2 — the last semantic gap): literal triples carry
+    ``object_lang`` (xml:lang, inherited through the XML tree per the XML
+    spec — an explicit ``xml:lang=""`` clears it) and ``object_datatype``
+    (rdf:datatype IRI; rdf:XMLLiteral for parseType="Literal").  Typed
+    literals carry no lang, exactly as Jena's model does
+    (OntologyTripleParser.java:68-117 reads that model)."""
     triples: list[tuple] = []
     counter = [counter_start]
     base = (root.get(XML_BASE) or "").split("#", 1)[0]
+    root_lang = root.get(XML_LANG) or None
 
     def new_bnode() -> str:
         counter[0] += 1
@@ -281,16 +301,18 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
     def node_name(elem) -> str | None:
         return node_term(elem)[0]
 
-    def visit_node(elem, name: str | None) -> str:
+    def visit_node(elem, name: str | None, lang: str | None = None) -> str:
         """Emit the node element's type + properties; returns its term
-        (IRI or fresh bnode)."""
+        (IRI or fresh bnode).  ``lang`` is the inherited xml:lang scope."""
         ns, local = _split_tag(elem.tag)
+        el = elem.get(XML_LANG)
+        lang = (el or None) if el is not None else lang
         node = name if name is not None else new_bnode()
-        triples.append((src_file, node, RDF_NS + "type", "iri", ns + local, None))
-        emit(node, elem)
+        triples.append((src_file, node, RDF_NS + "type", "iri", ns + local, None, None, None))
+        emit(node, elem, lang)
         return node
 
-    def emit(subject: str, elem) -> None:
+    def emit(subject: str, elem, lang: str | None = None) -> None:
         # elem is a typed node element; its children are property elements
         li_counter = 0
         for prop in list(elem):
@@ -305,26 +327,34 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
             parse_type = prop.get(PARSETYPE)
             rid = prop.get(RDF_ID)
             reify_id = f"{base}#{rid}" if rid is not None else None
+            pl = prop.get(XML_LANG)
+            prop_lang = (pl or None) if pl is not None else lang
 
-            def link(kind: str, obj: str | None, lex: str | None) -> None:
+            def link(
+                kind: str,
+                obj: str | None,
+                lex: str | None,
+                llang: str | None = None,
+                ldt: str | None = None,
+            ) -> None:
                 """Emit the property's base (linking) triple; with a
                 property-element rdf:ID also emit the four reification
                 quads about base#ID, mirroring Jena's statement-id
                 semantics (no bnode allocation → split-parse parity is
                 unaffected)."""
-                triples.append((src_file, subject, pred, kind, obj, lex))
+                triples.append((src_file, subject, pred, kind, obj, lex, llang, ldt))
                 if reify_id is not None:
                     s_kind = "bnode" if subject.startswith("_:") else "iri"
                     triples.append(
-                        (src_file, reify_id, RDF_NS + "type", "iri", RDF_NS + "Statement", None)
+                        (src_file, reify_id, RDF_NS + "type", "iri", RDF_NS + "Statement", None, None, None)
                     )
                     triples.append(
-                        (src_file, reify_id, RDF_NS + "subject", s_kind, subject, None)
+                        (src_file, reify_id, RDF_NS + "subject", s_kind, subject, None, None, None)
                     )
                     triples.append(
-                        (src_file, reify_id, RDF_NS + "predicate", "iri", pred, None)
+                        (src_file, reify_id, RDF_NS + "predicate", "iri", pred, None, None, None)
                     )
-                    triples.append((src_file, reify_id, RDF_NS + "object", kind, obj, lex))
+                    triples.append((src_file, reify_id, RDF_NS + "object", kind, obj, lex, llang, ldt))
 
             children = list(prop)
             if parse_type == "Resource":
@@ -332,7 +362,7 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
                 # property elements
                 node = new_bnode()
                 link("bnode", node, None)
-                emit(node, prop)
+                emit(node, prop, prop_lang)
             elif parse_type == "Collection":
                 # rdf list: one cell bnode per member (allocated before the
                 # member's own bnode, if anonymous), closed with rdf:nil
@@ -343,21 +373,22 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
                         link("bnode", cell, None)
                     else:
                         triples.append(
-                            (src_file, prev_cell, RDF_NS + "rest", "bnode", cell, None)
+                            (src_file, prev_cell, RDF_NS + "rest", "bnode", cell, None, None, None)
                         )
                     term, tkind = node_term(child)
-                    member = visit_node(child, term)
-                    triples.append((src_file, cell, RDF_NS + "first", tkind, member, None))
+                    member = visit_node(child, term, prop_lang)
+                    triples.append((src_file, cell, RDF_NS + "first", tkind, member, None, None, None))
                     prev_cell = cell
                 if prev_cell is None:
                     link("iri", RDF_NS + "nil", None)
                 else:
                     triples.append(
-                        (src_file, prev_cell, RDF_NS + "rest", "iri", RDF_NS + "nil", None)
+                        (src_file, prev_cell, RDF_NS + "rest", "iri", RDF_NS + "nil", None, None, None)
                     )
             elif parse_type == "Literal":
-                # XML literal island: keep the flattened text content
-                link("literal", None, "".join(prop.itertext()))
+                # XML literal island: flattened text, typed rdf:XMLLiteral
+                # (typed literals carry no lang — RDF Concepts §3.3)
+                link("literal", None, "".join(prop.itertext()), None, XML_LITERAL)
             elif resource is not None:
                 link("iri", resource, None)
             elif node_id is not None:
@@ -369,25 +400,32 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
                 name, nkind = node_term(child)
                 if name is not None:
                     link(nkind, name, None)
-                    node = visit_node(child, name)
+                    node = visit_node(child, name, prop_lang)
                 else:
                     # bnode numbering contract: the REFERENCE triple sees
                     # the bnode before the child's own subtree allocates
                     node = new_bnode()
                     link("bnode", node, None)
                     cns, clocal = _split_tag(child.tag)
+                    cl = child.get(XML_LANG)
+                    child_lang = (cl or None) if cl is not None else prop_lang
                     triples.append(
-                        (src_file, node, RDF_NS + "type", "iri", cns + clocal, None)
+                        (src_file, node, RDF_NS + "type", "iri", cns + clocal, None, None, None)
                     )
-                    emit(node, child)
+                    emit(node, child, child_lang)
             else:
-                link("literal", None, prop.text or "")
+                dt = prop.get(DATATYPE)
+                if dt is not None:
+                    # typed literal: datatype IRI, no lang (Jena semantics)
+                    link("literal", None, prop.text or "", None, dt)
+                else:
+                    link("literal", None, prop.text or "", prop_lang, None)
 
     for elem in list(root):
         # anonymous top-level elements (owl:Axiom annotation blocks etc.)
         # parse as bnodes — Jena yields their statements, so dropping them
         # would be silent data loss (VERDICT r4 #3)
-        visit_node(elem, node_name(elem))
+        visit_node(elem, node_name(elem), root_lang)
     return triples
 
 
@@ -629,8 +667,8 @@ def scan_rdf_triples_split(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "src_file", "subject", "predicate",
-                    "object_kind", "object_iri", "object_lexical",
+                    "src_file", "subject", "predicate", "object_kind",
+                    "object_iri", "object_lexical", "object_lang", "object_datatype",
                 ],
             )
 
@@ -668,8 +706,8 @@ def scan_rdf_triples(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "src_file", "subject", "predicate",
-                    "object_kind", "object_iri", "object_lexical",
+                    "src_file", "subject", "predicate", "object_kind",
+                    "object_iri", "object_lexical", "object_lang", "object_datatype",
                 ],
             )
 

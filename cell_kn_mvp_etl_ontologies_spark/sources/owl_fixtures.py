@@ -15,7 +15,7 @@ MACROPHAGE_OWL = """<?xml version="1.0"?>
     <obo:IAO_0000700 rdf:resource="http://purl.obolibrary.org/obo/CL_0000000"/>
   </owl:Ontology>
   <owl:Class rdf:about="http://purl.obolibrary.org/obo/CL_0000235">
-    <rdfs:label>macrophage</rdfs:label>
+    <rdfs:label xml:lang="en">macrophage</rdfs:label>
     <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/CL_0000113"/>
     <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/CL_0000145"/>
     <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/CL_0000766"/>
@@ -53,7 +53,7 @@ MACROPHAGE_OWL = """<?xml version="1.0"?>
   </owl:Class>
   <owl:Class rdf:about="http://purl.obolibrary.org/obo/CL_0000999">
     <rdfs:label>obsolete nurse cell</rdfs:label>
-    <owl:deprecated>true</owl:deprecated>
+    <owl:deprecated rdf:datatype="http://www.w3.org/2001/XMLSchema#boolean">true</owl:deprecated>
     <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/CL_0000235"/>
   </owl:Class>
   <owl:Class rdf:about="http://purl.obolibrary.org/obo/BFO_0000004">

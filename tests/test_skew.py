@@ -161,3 +161,68 @@ def test_pivot_capped_equals_uncapped_below_cap_and_bounds_whale(spark):
         assert capped[("V9", "n1")][a] == plain[("V9", "n1")][a][:10]
     # untouched vertices identical
     assert capped[("V1", "n1")] == plain[("V1", "n1")]
+
+
+def _skewed_embeddings(spark, n=600, d=8):
+    """Corpus whose mass clusters tightly around one point (vec_id >= 3),
+    with two far-away outlier vectors — so with centroids = the first 3
+    vectors, cell 2 receives ~100x the median cell's members AND ~all
+    probes: the pathological hot IVF cell of VERDICT r5 #5."""
+    rows = []
+    for i in range(n):
+        if i == 0:
+            v = [100.0] + [0.0] * (d - 1)
+        elif i == 1:
+            v = [0.0, 100.0] + [0.0] * (d - 2)
+        else:
+            # tight angular cluster around axis 2 (assignment is cosine):
+            # dominant component on dim 2, tiny jitter elsewhere
+            v = [((i * 7 + j * 3) % 13) / 1000.0 for j in range(d)]
+            v[2] = 10.0
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_routed_ann_hot_cell_degrades_gracefully_and_kcells_mitigates(spark):
+    """VERDICT r5 #5: a pathological IVF cell (one cell holding ~all
+    members and receiving ~all probes) must not change routed-serving
+    RESULTS — the hot cell is one big cogroup task, not a job failure —
+    and raising k_cells at build time (the documented mitigation) must
+    actually break the hot cell up."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.clustering import kmeans_fit
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_prebuilt,
+        ivf_topk_prebuilt_routed,
+    )
+
+    corpus = _skewed_embeddings(spark)
+    centroids = corpus.filter(F.col("vec_id") < 3)  # cells 0, 1, hot 2
+    index = build_ivf_index(corpus, centroids)
+
+    # the planted skew is real: hot cell ~100x the median cell
+    sizes = {r.cell: r.n for r in index.groupBy("cell").count().withColumnRenamed("count", "n").collect()}
+    assert max(sizes.values()) >= 100 * sorted(sizes.values())[len(sizes) // 2]
+
+    queries = corpus.filter((F.col("vec_id") % 40 == 0) & (F.col("vec_id") >= 2))
+    a = sorted(
+        (r.q_id, r.t_id, r.rnk)
+        for r in ivf_topk_prebuilt_routed(queries, index, centroids, k=3, nprobe=1).collect()
+    )
+    b = sorted(
+        (r.q_id, r.t_id, r.rnk)
+        for r in ivf_topk_prebuilt(queries, index, centroids, k=3, nprobe=1).collect()
+    )
+    assert a == b and len(a) > 0  # skew degrades a task, never the answer
+
+    # mitigation: k_cells raised via trained centroids splits the mass
+    trained = kmeans_fit(corpus, k=12, n_iter=2)
+    trained_cents = trained.select(
+        F.col("cell").cast("long").alias("vec_id"),
+        F.transform("cv", lambda x: x.cast("double") / 1000.0).alias("embedding"),
+    )
+    index12 = build_ivf_index(corpus, trained_cents)
+    sizes12 = [r["count"] for r in index12.groupBy("cell").count().collect()]
+    # the former 99.7%-of-corpus cell now splits: max cell share drops hard
+    assert max(sizes12) < 0.6 * max(sizes.values())
+    assert len(sizes12) >= 8

@@ -435,3 +435,86 @@ def test_rdfxml_nodeid_coreference(spark, tmp_path):
     split = scan_rdf_triples_split(spark, d, split_bytes=150)
     assert split.exceptAll(whole).count() == 0
     assert whole.exceptAll(split).count() == 0
+
+
+def test_rdfxml_literal_lang_and_datatype(spark, tmp_path):
+    """VERDICT r5 #2: literal xml:lang (XML-scoped inheritance: root →
+    node → property, explicit override, empty-string reset) and
+    rdf:datatype carry through as object_lang/object_datatype; typed
+    literals have no lang; parseType="Literal" types rdf:XMLLiteral;
+    reification object quads mirror the annotations; split parse stays
+    bit-identical with the new columns."""
+    import os
+
+    from cell_kn_mvp_etl_ontologies_spark.sources.owl import (
+        scan_rdf_triples,
+        scan_rdf_triples_split,
+    )
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    doc = """<?xml version="1.0"?>
+<rdf:RDF xml:lang="en" xml:base="http://example.org/base"
+         xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:obo="http://purl.obolibrary.org/obo/">
+  <owl:Class rdf:about="http://x/A">
+    <rdfs:label>inherited root lang</rdfs:label>
+    <rdfs:label xml:lang="fr">explicite</rdfs:label>
+    <rdfs:label xml:lang="">reset to none</rdfs:label>
+    <obo:count rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">42</obo:count>
+    <rdfs:comment rdf:parseType="Literal">xml <b>island</b></rdfs:comment>
+    <rdfs:seeAlso rdf:ID="stmt1">reified lang literal</rdfs:seeAlso>
+  </owl:Class>
+  <owl:Class rdf:about="http://x/B" xml:lang="de">
+    <rdfs:label>node scope</rdfs:label>
+    <obo:nested>
+      <owl:Class rdf:about="http://x/C">
+        <rdfs:label>nested inherits de</rdfs:label>
+      </owl:Class>
+    </obo:nested>
+  </owl:Class>
+</rdf:RDF>
+"""
+    d = str(tmp_path / "lang")
+    os.makedirs(d)
+    with open(os.path.join(d, "lang.owl"), "w") as f:
+        f.write(doc)
+
+    whole = scan_rdf_triples(spark, d)
+    rows = {
+        (r.subject, r.predicate, r.object_lexical, r.object_lang, r.object_datatype)
+        for r in whole.collect()
+        if r.object_kind == "literal"
+    }
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    assert ("http://x/A", RDFS + "label", "inherited root lang", "en", None) in rows
+    assert ("http://x/A", RDFS + "label", "explicite", "fr", None) in rows
+    assert ("http://x/A", RDFS + "label", "reset to none", None, None) in rows
+    # typed literal: datatype IRI, NO lang even inside the en scope
+    assert (
+        "http://x/A", "http://purl.obolibrary.org/obo/count", "42", None, XSD + "integer"
+    ) in rows
+    assert (
+        "http://x/A", RDFS + "comment", "xml island", None, RDF + "XMLLiteral"
+    ) in rows
+    # node-level + nested inheritance
+    assert ("http://x/B", RDFS + "label", "node scope", "de", None) in rows
+    assert ("http://x/C", RDFS + "label", "nested inherits de", "de", None) in rows
+    # reification: base triple and the rdf:object quad both carry the lang
+    assert ("http://x/A", RDFS + "seeAlso", "reified lang literal", "en", None) in rows
+    assert (
+        "http://example.org/base#stmt1", RDF + "object", "reified lang literal", "en", None
+    ) in rows
+    # non-literal triples carry NULLs
+    nonlit = whole.filter(
+        (F.col("object_kind") != "literal")
+        & (F.col("object_lang").isNotNull() | F.col("object_datatype").isNotNull())
+    ).count()
+    assert nonlit == 0
+
+    # split parse: bit-identical including the two new columns
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, scan_rdf_triples_split(spark, d, split_bytes=300).collect()))
+    assert a == b
