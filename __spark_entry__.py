@@ -88,11 +88,14 @@ _PRIORITY = [
     "similarity_hamming_rerank", "stream_pq_encode_maintain",
     "sample_split_by_group",
     # -- (b) new in round 6 --
-    "similarity_pq_trained", "stream_ivf_pq_maintain",
-    # -- (c) contract changed this round + blast radius --
+    "similarity_pq_trained", "stream_ivf_pq_maintain", "fn_label_lang_fallback",
+    # -- (c) contract changed this round + blast radius (join_flatten_
+    # restriction yields its slot to the new query: its flattened output is
+    # IRI-only so the lang columns it now emits are structurally NULL, and
+    # it stays r3-driver-green + local-r6-green) --
     "scan_rdf_triples", "agg_pivot_vertex_attrs_capped",
     "scan_rdf_triples_split", "extract_triples_owl", "owl_graph_end_to_end",
-    "graph_build_vertices", "graph_build_edges", "join_flatten_restriction",
+    "graph_build_vertices", "graph_build_edges",
     # -- (d) stalest driver-green: the 19 r1-only rows --
     "agg_collect_edge_labels", "agg_count_metrics", "agg_distinct_vertices",
     "filter_isin_valid_vertices", "filter_object_is_literal",

@@ -705,3 +705,44 @@ def fn_json_config_q(spark, sf_dir):
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "fn_label_lang_fallback",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('http://x/A', 'label-en', 'en', 'lang:en'),
+      ('http://x/B', 'label-de', 'de', 'lang:de'),
+      ('http://x/C', 'label-plain', NULL, 'untagged'),
+      ('http://x/D', 'aaa-fr', 'fr', 'other')
+    ) AS t(subject, label, lang, src)
+    """,
+)
+def fn_label_lang_fallback_q(spark, sf_dir):
+    """Language-priority label selection over the round-6 object_lang
+    column (operators/filters.py label_lang_preferred): per subject, keep
+    the first label by (en, de, untagged, any-tag) priority with
+    deterministic (lexical, lang) tie-breaks — the Jena
+    getLiteralLanguage() scan the reference never needed because its OBO
+    inputs are untagged, now first-class and hash-gated.  Inline triples
+    exercise every fallback bucket: multi-lang subject (en wins), de-only
+    (second priority), untagged-only, and fr-only where the 'other' bucket
+    plus the lexical tie-break decide."""
+    from ..fixtures import RDFS, TRIPLES_SCHEMA
+    from ..operators.filters import label_lang_preferred
+
+    rows = [
+        ("f", "http://x/A", RDFS + "label", "literal", None, "label-en", "en", None),
+        ("f", "http://x/A", RDFS + "label", "literal", None, "label-fr", "fr", None),
+        ("f", "http://x/A", RDFS + "label", "literal", None, "label-plain", None, None),
+        ("f", "http://x/B", RDFS + "label", "literal", None, "label-de", "de", None),
+        ("f", "http://x/B", RDFS + "label", "literal", None, "label-fr", "fr", None),
+        ("f", "http://x/C", RDFS + "label", "literal", None, "label-plain", None, None),
+        ("f", "http://x/D", RDFS + "label", "literal", None, "zzz-fr", "fr", None),
+        ("f", "http://x/D", RDFS + "label", "literal", None, "aaa-fr", "fr", None),
+        # noise: non-label predicate and a typed literal must be ignored
+        ("f", "http://x/A", RDFS + "comment", "literal", None, "not a label", "en", None),
+        ("f", "http://x/A", RDFS + "label", "iri", "http://x/not-literal", None, None, None),
+    ]
+    triples = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    return label_lang_preferred(triples, RDFS + "label", langs=("en", "de"))

@@ -125,3 +125,43 @@ def with_vtuple(df: DataFrame, uri_col: str, prefix: str, is_uri: Column | None 
         .withColumn(prefix + "valid", vtuple_valid(F.col("_vt_id"), F.col("_vt_number")))
         .drop("_vt_term", "_vt_number", "_vt_id")
     )
+
+
+def label_lang_preferred(
+    triples: DataFrame,
+    label_predicate: str,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Per-subject preferred label with language fallback (round 6 — the
+    query the ``object_lang`` column exists to answer): for each subject
+    carrying ``label_predicate`` literals, keep ONE label by priority
+    (a) the first language in ``langs``, then the next, ...; (b) an
+    untagged literal; (c) any remaining tag — ties broken (lexical ASC,
+    lang ASC NULLS FIRST) so the pick is deterministic cross-engine.
+
+    Jena consumers do exactly this scan over ``getLiteralLanguage()``;
+    the reference sidesteps it only because its OBO inputs are untagged
+    (OntologyGraphBuilder.java:206-218 stringifies).  One window over one
+    keyed shuffle on subject; at 100 TB this is label-cardinality work.
+
+    Output: (subject, label, lang, src) where src is the priority bucket
+    ('lang:<tag>', 'untagged', 'other')."""
+    from pyspark.sql import Window
+
+    labels = triples.filter(
+        (F.col("predicate") == label_predicate) & (F.col("object_kind") == KIND_LITERAL)
+    ).select("subject", F.col("object_lexical").alias("label"), F.col("object_lang").alias("lang"))
+    prio = F.lit(len(langs) + 1)
+    for i in range(len(langs) - 1, -1, -1):
+        prio = F.when(F.col("lang") == langs[i], F.lit(i)).otherwise(prio)
+    prio = F.when(F.col("lang").isNull(), F.lit(len(langs))).otherwise(prio)
+    w = Window.partitionBy("subject").orderBy(
+        prio.asc(), F.col("label").asc(), F.col("lang").asc_nulls_first()
+    )
+    ranked = labels.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    src = (
+        F.when(prio < len(langs), F.concat(F.lit("lang:"), F.col("lang")))
+        .when(F.col("lang").isNull(), F.lit("untagged"))
+        .otherwise(F.lit("other"))
+    )
+    return ranked.select("subject", "label", "lang", src.alias("src"))
