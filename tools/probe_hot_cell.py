@@ -112,7 +112,7 @@ def main() -> None:
     # HOF dots — the exact cost the routed matmul exists to avoid, and it
     # does not finish in the probe budget (that asymmetry IS a result,
     # reported as expr_subset_wall_s vs the routed full-batch wall).
-    sub = queries.filter(F.col("vec_id") % 20 == 0).persist()
+    sub = queries.filter(F.col("vec_id") % 800 == 0).persist()
     n_sub = sub.count()
     a = sorted(
         map(tuple, ivf_topk_prebuilt_routed(sub, hot_index, hot_cents, k=10, nprobe=1).collect())

@@ -56,6 +56,8 @@ def build(spark, persist_clean: bool):
         F.when(is_edge, F.lit("iri")).otherwise(F.lit("literal")).alias("object_kind"),
         F.when(is_edge, obj).alias("object_iri"),
         F.when(~is_edge, F.concat(F.lit("label for "), subj)).alias("object_lexical"),
+        F.lit(None).cast("string").alias("object_lang"),
+        F.lit(None).cast("string").alias("object_datatype"),
     )
     return build_graph(triples, fixture_ro_terms(spark), persist_clean=persist_clean)
 

@@ -62,6 +62,8 @@ def synthetic_triples(spark, mult: int):
         F.when(is_edge, F.lit("iri")).otherwise(F.lit("literal")).alias("object_kind"),
         F.when(is_edge, obj).alias("object_iri"),
         F.when(~is_edge, F.concat(F.lit("label for "), subj)).alias("object_lexical"),
+        F.lit(None).cast("string").alias("object_lang"),
+        F.lit(None).cast("string").alias("object_datatype"),
     )
 
 
