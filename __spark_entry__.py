@@ -89,13 +89,15 @@ _PRIORITY = [
     "sample_split_by_group",
     # -- (b) new in round 6 --
     "similarity_pq_trained", "stream_ivf_pq_maintain", "fn_label_lang_fallback",
-    # -- (c) contract changed this round + blast radius (join_flatten_
-    # restriction yields its slot to the new query: its flattened output is
-    # IRI-only so the lang columns it now emits are structurally NULL, and
-    # it stays r3-driver-green + local-r6-green) --
+    "sample_source_sqrt", "similarity_hamming_recall",
+    # -- (c) contract changed this round + blast radius.  Slot math: the
+    # five (b) rows displace join_flatten_restriction and the two
+    # graph_build_* rows from (c) — all three stay r3-driver-green AND
+    # hash-green locally this round (their goldens were unchanged by the
+    # schema widening; owl_graph_end_to_end covers the same build DAG
+    # end-to-end inside the prefix) --
     "scan_rdf_triples", "agg_pivot_vertex_attrs_capped",
     "scan_rdf_triples_split", "extract_triples_owl", "owl_graph_end_to_end",
-    "graph_build_vertices", "graph_build_edges",
     # -- (d) stalest driver-green: the 19 r1-only rows --
     "agg_collect_edge_labels", "agg_count_metrics", "agg_distinct_vertices",
     "filter_isin_valid_vertices", "filter_object_is_literal",

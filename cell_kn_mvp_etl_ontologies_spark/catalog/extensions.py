@@ -1770,3 +1770,114 @@ def filter_quality_percentile_q(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return filter_quality_percentile(docs, "text", "doc_id", "lang", 0.5)
+
+
+@register(
+    "similarity_hamming_recall",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    bits AS (
+      SELECT vec_id, CAST((i - 1) // 32 AS INT) AS w,
+             CASE WHEN embedding[i] > 0
+                  THEN (CAST(1 AS BIGINT) << CAST((i - 1) % 32 AS INT))
+                  ELSE CAST(0 AS BIGINT) END AS bit
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    words AS (SELECT vec_id, w, CAST(SUM(bit) AS BIGINT) AS word FROM bits GROUP BY 1, 2),
+    ham AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS t_id,
+             CAST(SUM(bit_count(xor(q.word, t.word))) AS BIGINT) AS hamming
+      FROM words q JOIN words t ON q.w = t.w
+      WHERE q.vec_id < 8 AND q.vec_id <> t.vec_id
+      GROUP BY 1, 2
+    ),
+    ham_topk AS (
+      SELECT q_id, t_id FROM (
+        SELECT q_id, t_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, t_id) AS rnk
+        FROM ham
+      ) WHERE rnk <= 5
+    ),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS t_id, SUM(a.v * b.v) AS dot
+      FROM quant a JOIN quant b ON a.i = b.i
+      WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    cosd AS (
+      SELECT d.q_id, d.t_id,
+             CAST(d.dot AS DOUBLE) / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) AS c
+      FROM dots d JOIN norms na ON na.vec_id = d.q_id JOIN norms nb ON nb.vec_id = d.t_id
+    ),
+    exact_topk AS (
+      SELECT q_id, t_id FROM (
+        SELECT q_id, t_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, t_id) AS rnk
+        FROM cosd
+      ) WHERE rnk <= 5
+    )
+    SELECT e.q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN h.t_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+    FROM exact_topk e
+    LEFT JOIN ham_topk h ON h.q_id = e.q_id AND h.t_id = e.t_id
+    GROUP BY e.q_id
+    """,
+)
+def similarity_hamming_recall_q(spark, sf_dir):
+    """Recall@5 audit of the sign-bit Hamming rung against exact quantized
+    cosine — the honest accounting of what 8-byte binary sketches lose,
+    completing the per-rung recall evidence (similarity_ann_recall for
+    IVF, similarity_pq_recall for PQ, this for Hamming).  Both sides are
+    integer-deterministic (packing replayed bit-for-bit; cosine from
+    quantized int dots), so the per-query overlap profile hash-gates —
+    measured recall, not a claim.  The rerank twin
+    (similarity_hamming_rerank) shows the shortlist-stage recovery."""
+    from ..operators.pq import hamming_topk
+    from ..operators.similarity import _dot_long, quantize_vec
+    from ..operators.windows import window_rank_topk as _topk
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    q = em.filter(F.col("vec_id") < 8)
+    ham = hamming_topk(q, em, k=5).select("q_id", "t_id")
+
+    qv = em.select("vec_id", quantize_vec(F.col("embedding")).alias("v"))
+    a = qv.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("va")
+    )
+    b = qv.select(F.col("vec_id").alias("t_id"), F.col("v").alias("vb"))
+    pairs = b.join(F.broadcast(a), on=F.lit(True)).filter(F.col("q_id") != F.col("t_id"))
+    pairs = pairs.withColumn("qn", _dot_long(F.col("va"), F.col("va"))).withColumn(
+        "tn", _dot_long(F.col("vb"), F.col("vb"))
+    )
+    cosd = pairs.select(
+        "q_id",
+        "t_id",
+        (
+            _dot_long(F.col("va"), F.col("vb")).cast("double")
+            / F.sqrt(F.col("qn").cast("double") * F.col("tn").cast("double"))
+        ).alias("c"),
+    )
+    exact = _topk(cosd, ["q_id"], [F.col("c").desc(), F.col("t_id").asc()], 5).select(
+        "q_id", "t_id"
+    )
+    joined = exact.alias("e").join(
+        ham.alias("h"),
+        (F.col("e.q_id") == F.col("h.q_id")) & (F.col("e.t_id") == F.col("h.t_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("e.q_id").alias("q_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.when(F.col("h.t_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_overlap"),
+    )

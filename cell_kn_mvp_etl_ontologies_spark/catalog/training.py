@@ -741,3 +741,48 @@ def sample_cap_per_group_q(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return sample_cap_per_group(docs, "source", "doc_id", 12)
+
+
+@register(
+    "sample_source_sqrt",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 7 THEN 'web'
+                  WHEN doc_id % 10 < 9 THEN 'books'
+                  ELSE 'code' END AS mix_source
+      FROM documents
+    ),
+    c AS (SELECT mix_source, CAST(COUNT(*) AS BIGINT) AS n_source FROM docs GROUP BY mix_source),
+    m AS (SELECT MIN(n_source) AS mn FROM c),
+    dim AS (
+      SELECT mix_source, n_source,
+             sqrt(CAST(m.mn AS DOUBLE) / CAST(n_source AS DOUBLE)) AS keep_rate
+      FROM c, m
+    )
+    SELECT d.doc_id, d.mix_source, dim.n_source, dim.keep_rate
+    FROM docs d JOIN dim ON d.mix_source = dim.mix_source
+    WHERE {frac} < dim.keep_rate
+    """.format(frac=_FRAC.format(salt="srcbal", key="d.doc_id")),
+)
+def sample_source_sqrt_q(spark, sf_dir):
+    """Square-root source balancing (operators/training.sample_source_sqrt):
+    the temperature-style corpus-mix downsample at its cross-engine-exact
+    T=2 point — per-source keep rate sqrt(min_n/n_s), so kept counts land
+    ∝ sqrt(n_s) (large sources damped, smallest kept whole), membership a
+    pure md5 function of (doc_id, salt, source share).  One KB-scale dim
+    aggregate broadcast onto the corpus; the corpus pays one
+    projection+filter and no shuffle.  The synthetic documents table has
+    UNIFORM sources (rate 1 everywhere — a vacuous gate), so the query
+    derives a 70/20/10 web/books/code mix whose three rates
+    (~0.378/0.707/1.0) all bite."""
+    from ..operators.training import sample_source_sqrt
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("web"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+        .otherwise(F.lit("code"))
+        .alias("mix_source"),
+    )
+    return sample_source_sqrt(docs, "doc_id", "mix_source")

@@ -384,3 +384,43 @@ def sample_cap_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def sample_source_sqrt(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    salt: str = "srcbal",
+) -> DataFrame:
+    """Square-root source balancing — the temperature-style corpus-mix
+    downsample (the T=2 point of the p_s ∝ n_s^(1/T) family used to flatten
+    multilingual / multi-source LLM training mixes): each source keeps rows
+    at rate sqrt(min_n / n_s), so kept counts land ∝ sqrt(n_s) — large
+    sources are damped toward the mix, the smallest source is kept whole.
+
+    T=2 specifically because it stays bit-exact cross-engine: min_n and
+    n_s are exact integers, their double division is one correctly-rounded
+    op, and IEEE-754 sqrt is correctly rounded — unlike general pow(x, 1/T),
+    which libm implementations round differently.  Membership compares the
+    exact md5 hash fraction (``hash_fraction``) against that rate: a pure
+    function of (key, salt, source counts), so re-runs and repartitioning
+    keep exactly the same rows, and a row's fate changes only when its
+    SOURCE's share changes.
+
+    Shape: one dim-sized count aggregate (+ its global min — rows =
+    #sources, KBs), broadcast back onto the corpus; the corpus itself is
+    touched by one projection+filter, no corpus-sized shuffle.
+
+    Output: input columns + (n_source, keep_rate) for observability.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_source"))
+    min_n = counts.agg(F.min("n_source").alias("_min_n"))
+    dim = counts.crossJoin(F.broadcast(min_n)).select(
+        source_col,
+        "n_source",
+        F.sqrt(F.col("_min_n").cast("double") / F.col("n_source").cast("double")).alias(
+            "keep_rate"
+        ),
+    )
+    joined = df.join(F.broadcast(dim), on=source_col)
+    return joined.filter(hash_fraction(F.col(key), salt) < F.col("keep_rate"))

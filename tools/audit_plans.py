@@ -89,6 +89,16 @@ WAIVERS: dict[str, set[str]] = {
     # same 1-row broadcast bloom-words crossJoin as join_bloom_prefilter
     # (bloom_mark variant); the dup-check join itself is a keyed equi-join.
     "dedup_bloom_screen": {"CARTESIAN"},
+    # (round 6) the global MIN of the per-source counts is ONE broadcast
+    # row crossJoined onto the #sources-row dim table (KB-scale both
+    # sides); the corpus-scale join is a keyed broadcast equi-join on
+    # source and the corpus itself never shuffles.
+    "sample_source_sqrt": {"CARTESIAN"},
+    # (round 6) the recall gate's exact-cosine ground truth broadcasts the
+    # 8-query side by design — the similarity_pq_recall/similarity_
+    # ann_recall waiver pattern; the Hamming side is the already-waived
+    # broadcast scan.
+    "similarity_hamming_recall": {"CARTESIAN"},
 }
 
 
