@@ -89,15 +89,16 @@ _PRIORITY = [
     "sample_split_by_group",
     # -- (b) new in round 6 --
     "similarity_pq_trained", "stream_ivf_pq_maintain", "fn_label_lang_fallback",
-    "sample_source_sqrt", "similarity_hamming_recall",
+    "sample_source_sqrt", "similarity_hamming_recall", "similarity_ivf_pq_routed",
     # -- (c) contract changed this round + blast radius.  Slot math: the
-    # five (b) rows displace join_flatten_restriction and the two
-    # graph_build_* rows from (c) — all three stay r3-driver-green AND
-    # hash-green locally this round (their goldens were unchanged by the
-    # schema widening; owl_graph_end_to_end covers the same build DAG
-    # end-to-end inside the prefix) --
+    # six (b) rows displace join_flatten_restriction, the two
+    # graph_build_* rows, and extract_triples_owl from (c) — all four stay
+    # r3-driver-green AND hash-green locally this round (their goldens
+    # were unchanged by the schema widening; scan_rdf_triples and
+    # owl_graph_end_to_end inside the prefix cover the same parse + build
+    # DAG end-to-end) --
     "scan_rdf_triples", "agg_pivot_vertex_attrs_capped",
-    "scan_rdf_triples_split", "extract_triples_owl", "owl_graph_end_to_end",
+    "scan_rdf_triples_split", "owl_graph_end_to_end",
     # -- (d) stalest driver-green: the 19 r1-only rows --
     "agg_collect_edge_labels", "agg_count_metrics", "agg_distinct_vertices",
     "filter_isin_valid_vertices", "filter_object_is_literal",

@@ -247,6 +247,45 @@ def ann_pq_rerank_80k(spark):
     )
 
 
+def ann_ivf_pq_80k(spark):
+    """Routed IVF-PQ serving on the 80k corpus (round 6): the canonical
+    production rung — IVF routing prunes candidates (same trained 64-cell
+    quantizer as ann_ivf_80k, nprobe=8), the probed cells' CODES (m=8
+    trained codebooks shared with ann_pq_rerank_80k) are ADC-scored by the
+    cogrouped per-cell LUT gather (operators/pq.py ivf_pq_topk_routed,
+    bit-identical to the expression path — shared catalog oracle +
+    tests/test_pq.py).  The offline artifact (cell, t_id, codes) builds
+    once and persists; min-of-3 times pure serving.  The expression-path
+    twin measured 7.4-8.3 s on this exact workload (its keyed code-fetch +
+    LUT-sum exchanges; recorded in SCALE.md §pq) — the routed cogroup is
+    the scale shape for both speed and the no-driver-term cost model."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import ivf_pq_topk_routed
+
+    ann_pq_rerank_80k(spark)  # ensures corpus/centroids/index/books/codes
+    if "ivf_pq_index" not in _ANN_STATE:
+        index_codes = (
+            _ANN_STATE["index"].select("cell", "t_id")
+            .join(_ANN_STATE["pq_codes"], on="t_id")
+            .select("cell", "t_id", "codes")
+            .repartition(CPUS, "cell")
+            .persist()
+        )
+        index_codes.count()
+        _ANN_STATE["ivf_pq_index"] = index_codes
+    else:
+        _ANN_STATE["ivf_pq_index"].persist()
+    q = _ANN_STATE["corpus"].filter(F.col("vec_id") < 50)
+    return ivf_pq_topk_routed(
+        q,
+        _ANN_STATE["ivf_pq_index"],
+        _ANN_STATE["centroids"],
+        _ANN_STATE["pq_books"],
+        k=10,
+        nprobe=8,
+        m=8,
+    )
+
+
 def ann_hamming_80k(spark):
     """Binary sign-Hamming scan over the 80k corpus (round 5): 64 float
     dims packed to two 32-bit words, distance = xor + bit_count — the
@@ -503,6 +542,7 @@ BENCH_QUERIES = {
     "ann_ivf_80k": ann_ivf_80k,
     "ann_ivf_routed_10k": ann_ivf_routed_10k,
     "ann_pq_rerank_80k": ann_pq_rerank_80k,
+    "ann_ivf_pq_80k": ann_ivf_pq_80k,
     "ann_hamming_80k": ann_hamming_80k,
     "running_windows": running_windows,
     "asof_events": asof_events,

@@ -1350,9 +1350,8 @@ def similarity_pq_rerank_q(spark, sf_dir):
     return out.select("q_id", "t_id", "d", F.col("rnk").cast("long").alias("rnk"))
 
 
-@register(
-    "similarity_ivf_pq",
-    oracle=_PQ_BASE_SQL
+_IVF_PQ_ORACLE = (
+    _PQ_BASE_SQL
     + """
     , norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
     cents AS (SELECT vec_id AS cell FROM corpus WHERE vec_id < 8),
@@ -1398,8 +1397,11 @@ def similarity_pq_rerank_q(spark, sf_dir):
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, t_id) AS rnk
       FROM scored
     ) WHERE rnk <= 3
-    """,
+    """
 )
+
+
+@register("similarity_ivf_pq", oracle=_IVF_PQ_ORACLE)
 def similarity_ivf_pq_q(spark, sf_dir):
     """IVF-PQ serving (round 5, operators/pq.py ivf_pq_topk): the
     canonical 100 TB ANN composition — IVF cosine routing prunes
@@ -1881,3 +1883,33 @@ def similarity_hamming_recall_q(spark, sf_dir):
         .cast("long")
         .alias("n_overlap"),
     )
+
+
+@register("similarity_ivf_pq_routed", oracle=_IVF_PQ_ORACLE)
+def similarity_ivf_pq_routed_q(spark, sf_dir):
+    """Fully-distributed IVF-PQ serving (round 6, operators/pq.py
+    ivf_pq_topk_routed): the cogrouped-ADC analogue of
+    similarity_ann_ivf_routed — each probed cell's CODES meet their
+    probing queries on the executor, scoring is a per-cell int64 LUT
+    gather-sum, and nothing query- or corpus-sized touches the driver.
+    Same workload and SAME oracle as similarity_ivf_pq: the ADC sums are
+    integer-exact, so the routed path must hash-gate identically to the
+    expression path (bit-identity also pinned in tests/test_pq.py)."""
+    from ..operators.pq import ivf_pq_topk_routed, pq_encode, pq_subvector_rows
+    from ..operators.similarity import ivf_assign
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120).select(
+        "vec_id", "embedding"
+    )
+    books = pq_subvector_rows(em.filter(F.col("vec_id") < 6), m=4).select(
+        "sub", F.col("id").cast("int").alias("cell"), F.col("sv").alias("cv")
+    )
+    centroids = em.filter(F.col("vec_id") < 8)
+    codes = pq_encode(em, books, m=4)
+    cells = ivf_assign(em, centroids, nprobe=1).select(
+        F.col("vec_id").alias("t_id"), "cell"
+    )
+    index_codes = cells.join(codes, on="t_id").select("cell", "t_id", "codes")
+    q = em.filter(F.col("vec_id") < 8)
+    out = ivf_pq_topk_routed(q, index_codes, centroids, books, k=3, nprobe=2, m=4)
+    return out.select("q_id", "t_id", "adc_dist", F.col("rnk").cast("long").alias("rnk"))

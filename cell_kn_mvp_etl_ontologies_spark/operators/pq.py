@@ -488,9 +488,139 @@ def ivf_pq_topk(
     )
     if codes is None:
         codes = pq_encode(corpus, codebooks, m=m, scale=scale)
-    cand = query_cells.join(corpus_cells, on="cell").select("q_id", "t_id").distinct()
+    # NO distinct: (q_id, t_id) pairs are unique by construction — each
+    # corpus vector lives in exactly ONE cell (nprobe=1 assignment; the
+    # prebuilt corpus_cells contract is the same 1-row-per-t_id frame) and
+    # a query's nprobe probe cells are distinct (window-ranked) — so a
+    # dedup here would only add a candidate-scale shuffle to the serving
+    # path (removing it: 8.27 s → 7.35 s on the 80k bench ladder row; the
+    # remaining cost is the keyed code-fetch + LUT-sum exchanges)
+    cand = query_cells.join(corpus_cells, on="cell").select("q_id", "t_id")
     lut = pq_adc_lut(queries, codebooks, m=m, scale=scale)
     sub_scores = cand.join(_code_rows(codes), on="t_id").join(
         F.broadcast(lut), on=["q_id", "sub", "code"]
     )
     return _adc_sum_topk(sub_scores, m, k)
+
+
+def ivf_pq_topk_routed(
+    queries: DataFrame,
+    index_codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    m: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Fully-distributed IVF-PQ serving — the cogrouped-ADC analogue of
+    ``ivf_topk_prebuilt_routed`` (which carried full vectors): queries stay
+    a DataFrame end-to-end, each probed cell's CODES meet its probing
+    queries on the executor, and scoring is a per-cell numpy LUT build +
+    int64 gather-sum — never a driver collect of anything query- or
+    corpus-sized, never a decoded corpus vector.
+
+    ``index_codes`` is the offline artifact ``stream_ivf_pq_maintain``
+    maintains and the batch build produces: (cell, t_id, codes ARRAY<INT>)
+    — the prebuilt (corpus_cells ⨝ codes) pair in one frame, partitionable
+    by cell.  Per cell the task computes each probing query's ADC lookup
+    table (m·ksub int64 squared-L2 entries — KBs), gathers each member's m
+    codes through it, and emits a local top-k under the final total order
+    (adc ASC, t_id ASC); a global window refines (each t_id lives in
+    exactly one cell, so per-cell candidates are duplicate-free and the
+    union-of-local-top-k property holds per query).
+
+    Exactness: queries quantize via the expression path (``quantize_vec``,
+    ONE rounding mode in play), LUT entries and sums are int64 — so the
+    output is bit-identical to ``ivf_pq_topk`` (pinned by test and by the
+    shared catalog oracle).  Codebooks are collected driver-side: m·ksub
+    rows, the always-legal KB-scale collect.
+
+    Shuffle shape: one exchange of the routed queries on cell + one of the
+    code index on cell (free when the index is written partitioned by
+    cell).  A hot cell degrades to one long task, never a failure — the
+    measured doctrine of SCALE.md §hot-cell; mitigation is k_cells at
+    build time."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import ivf_assign_vectorized
+
+    crows = codebooks.select("sub", "cell", "cv").collect()
+    by_sub: dict[int, list] = {}
+    for r in crows:
+        by_sub.setdefault(int(r.sub), []).append((int(r.cell), list(r.cv)))
+    C, cell_order = {}, {}
+    for sub, rows_ in by_sub.items():
+        rows_.sort()
+        cell_order[sub] = np.array([c for c, _ in rows_], dtype=np.int64)
+        C[sub] = np.array([v for _, v in rows_], dtype=np.int64)
+    subdim = C[0].shape[1]
+    if sorted(C) != list(range(m)):
+        raise ValueError(f"ivf_pq_topk_routed: codebooks cover subs {sorted(C)}, want 0..{m - 1}")
+
+    probe = ivf_assign_vectorized(queries, centroids, nprobe=nprobe, scale=scale).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), quantize_vec(F.col("embedding"), scale).alias("q_vec")
+    )
+    routed = probe.join(q, on="q_id").select("cell", "q_id", "q_vec")
+    members = index_codes.select("cell", "t_id", "codes")
+
+    empty = pd.DataFrame(
+        {
+            "q_id": pd.Series(dtype="int64"),
+            "t_id": pd.Series(dtype="int64"),
+            "adc_dist": pd.Series(dtype="int64"),
+        }
+    )
+
+    def score(mem: pd.DataFrame, qs: pd.DataFrame) -> pd.DataFrame:
+        if mem.empty or qs.empty:
+            return empty
+        t_ids = mem["t_id"].to_numpy(dtype=np.int64)
+        codes = np.stack(mem["codes"].to_numpy()).astype(np.int64)  # (n_t, m)
+        if codes.shape[1] != m:
+            raise ValueError(f"ivf_pq_topk_routed: codes width {codes.shape[1]} != m={m}")
+        # code value -> codebook row, via searchsorted on the sorted cells
+        code_idx = np.empty_like(codes)
+        for s in range(m):
+            code_idx[:, s] = np.searchsorted(cell_order[s], codes[:, s])
+        q_ids = qs["q_id"].to_numpy(dtype=np.int64)
+        Q = np.stack(qs["q_vec"].to_numpy()).astype(np.int64)
+        out_q, out_t, out_d = [], [], []
+        for j, qid in enumerate(q_ids):
+            # per-subspace LUT: ||q_s - c_k||^2, int64 exact (KB-scale)
+            adc = np.zeros(t_ids.size, dtype=np.int64)
+            for s in range(m):
+                qs_vec = Q[j, s * subdim:(s + 1) * subdim]
+                diff = qs_vec[None, :] - C[s]
+                lut = (diff * diff).sum(axis=1)  # (ksub,)
+                adc += lut[code_idx[:, s]]
+            keep = np.nonzero(t_ids != qid)[0]
+            if keep.size == 0:
+                continue
+            order = np.lexsort((t_ids[keep], adc[keep]))[:k]
+            sel = keep[order]
+            out_q.append(np.full(sel.size, qid, dtype=np.int64))
+            out_t.append(t_ids[sel])
+            out_d.append(adc[sel])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "q_id": np.concatenate(out_q),
+                "t_id": np.concatenate(out_t),
+                "adc_dist": np.concatenate(out_d),
+            }
+        )
+
+    cand = (
+        members.groupBy("cell")
+        .cogroup(routed.groupBy("cell"))
+        .applyInPandas(score, "q_id long, t_id long, adc_dist long")
+    )
+    return window_rank_topk(
+        cand, ["q_id"], [F.col("adc_dist").asc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )

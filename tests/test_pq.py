@@ -383,3 +383,30 @@ def test_hamming_rerank_recovers_exact_topk_when_shortlist_covers(spark):
     a = sorted(map(tuple, similarity_topk(q, corpus, k=4, quantized=True).collect()))
     b = sorted(map(tuple, hamming_rerank_topk(q, corpus, k=4, shortlist=19).collect()))
     assert a == b
+
+
+def test_ivf_pq_routed_bit_identical_to_expression_path(spark):
+    """Round 6: the cogrouped-ADC routed serving path must equal
+    ivf_pq_topk exactly — same candidates, same int64 ADC distances, same
+    (adc ASC, t_id ASC) order — at partial AND full probe coverage."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import ivf_pq_topk_routed
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import ivf_assign
+
+    corpus = _vecs(spark, 40)
+    books = _fixed_codebooks(spark, corpus, m=2, ksub=5)
+    cents = corpus.filter(F.col("vec_id") < 3)
+    codes = pq_encode(corpus, books, m=2)
+    cells = ivf_assign(corpus, cents, nprobe=1).select(
+        F.col("vec_id").alias("t_id"), "cell"
+    )
+    index_codes = cells.join(codes, on="t_id").select("cell", "t_id", "codes")
+    q = corpus.filter(F.col("vec_id") < 5)
+    for nprobe in (1, 2, 3):
+        a = sorted(map(tuple, ivf_pq_topk(
+            q, corpus, cents, books, k=3, nprobe=nprobe, m=2,
+            codes=codes, corpus_cells=cells,
+        ).collect()))
+        b = sorted(map(tuple, ivf_pq_topk_routed(
+            q, index_codes, cents, books, k=3, nprobe=nprobe, m=2,
+        ).collect()))
+        assert a == b and len(a) > 0, f"diverged at nprobe={nprobe}"

@@ -99,6 +99,11 @@ WAIVERS: dict[str, set[str]] = {
     # ann_recall waiver pattern; the Hamming side is the already-waived
     # broadcast scan.
     "similarity_hamming_recall": {"CARTESIAN"},
+    # (round 6) probe assignment broadcasts the 8-row centroid table
+    # (bounded by n_cells — the similarity_ann_ivf_routed waiver pattern);
+    # serving itself is the cell-keyed cogroup, no data-scale cross
+    # product.
+    "similarity_ivf_pq_routed": {"CARTESIAN"},
 }
 
 
