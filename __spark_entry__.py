@@ -90,6 +90,7 @@ _PRIORITY = [
     # -- (b) new in round 6 --
     "similarity_pq_trained", "stream_ivf_pq_maintain", "fn_label_lang_fallback",
     "sample_source_sqrt", "similarity_hamming_recall", "similarity_ivf_pq_routed",
+    "quality_typed_literals",
     # -- (c) contract changed this round + blast radius.  Slot math: the
     # six (b) rows displace join_flatten_restriction, the two
     # graph_build_* rows, and extract_triples_owl from (c) — all four stay
@@ -109,9 +110,11 @@ _PRIORITY = [
     "setop_union_label_sets", "sink_jsonl_export",
     "sink_side_output_edge_labels",
     # -- (d) the 13 r2-only rows --
+    # (sort_by_key yields its slot to quality_typed_literals — r2-green +
+    # local-r6-green, and the operator is a pure orderBy wrapper)
     "agg_distinct_triples", "dedup_embedding_cosine", "dedup_exact_hash",
     "embedding_quantize", "fn_uri_parse", "fn_vtuple", "join_ro_label_lookup",
-    "project_triple_nodes", "sample_split_hash", "sort_by_key",
+    "project_triple_nodes", "sample_split_hash",
     "text_lang_id", "text_phrase_search", "text_quality_score",
     # ROUND-7 ROTATION PLAN (precomputed): after this gate runs, every
     # catalog query has driver evidence and the stalest rows are the ~44

@@ -746,3 +746,51 @@ def fn_label_lang_fallback_q(spark, sf_dir):
     ]
     triples = spark.createDataFrame(rows, TRIPLES_SCHEMA)
     return label_lang_preferred(triples, RDFS + "label", langs=("en", "de"))
+
+
+@register(
+    "quality_typed_literals",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('http://www.w3.org/2001/XMLSchema#boolean', 'valid', CAST(2 AS BIGINT)),
+      ('http://www.w3.org/2001/XMLSchema#boolean', 'invalid', CAST(1 AS BIGINT)),
+      ('http://www.w3.org/2001/XMLSchema#integer', 'valid', CAST(1 AS BIGINT)),
+      ('http://www.w3.org/2001/XMLSchema#integer', 'invalid', CAST(1 AS BIGINT)),
+      ('http://www.w3.org/2001/XMLSchema#date', 'valid', CAST(1 AS BIGINT)),
+      ('http://www.w3.org/2001/XMLSchema#date', 'invalid', CAST(1 AS BIGINT)),
+      (NULL, 'untyped', CAST(2 AS BIGINT)),
+      ('http://example.org/customType', 'unknown_datatype', CAST(1 AS BIGINT))
+    ) AS t(object_datatype, status, n)
+    """,
+)
+def quality_typed_literals_q(spark, sf_dir):
+    """Typed-literal lexical validation over the round-6 object_datatype
+    column (operators/quality.py validate_typed_literals): every literal
+    with a known XSD datatype checked against its anchored lexical
+    pattern — the audit Jena defers to a DatatypeFormatException at access
+    time, recast as one scan + one hash aggregate so a 100 TB ingest
+    counts and routes violations instead of throwing.  Inline triples
+    plant every bucket: valid/invalid boolean, integer, and date, untyped
+    literals, and an unknown custom datatype."""
+    from ..fixtures import RDFS, TRIPLES_SCHEMA
+    from ..operators.quality import validate_typed_literals
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    P = "http://example.org/p"
+    rows = [
+        ("f", "http://x/A", P, "literal", None, "true", None, XSD + "boolean"),
+        ("f", "http://x/A", P, "literal", None, "0", None, XSD + "boolean"),
+        ("f", "http://x/A", P, "literal", None, "yes", None, XSD + "boolean"),
+        ("f", "http://x/B", P, "literal", None, "42", None, XSD + "integer"),
+        ("f", "http://x/B", P, "literal", None, "4.2", None, XSD + "integer"),
+        ("f", "http://x/C", P, "literal", None, "2024-01-15", None, XSD + "date"),
+        ("f", "http://x/C", P, "literal", None, "Jan 15", None, XSD + "date"),
+        ("f", "http://x/D", RDFS + "label", "literal", None, "plain", None, None),
+        ("f", "http://x/D", RDFS + "label", "literal", None, "tagged", "en", None),
+        ("f", "http://x/E", P, "literal", None, "opaque",
+         None, "http://example.org/customType"),
+        # non-literal rows must be ignored by the audit
+        ("f", "http://x/A", P, "iri", "http://x/B", None, None, None),
+    ]
+    triples = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    return validate_typed_literals(triples)

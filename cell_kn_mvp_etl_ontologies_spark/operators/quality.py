@@ -248,3 +248,59 @@ def mad_outlier_filter(
         F.abs(F.col(value_col) - F.col("grp_median"))
         > F.lit(float(n_mads)) * F.col("grp_mad"),
     )
+
+
+# Lexical-form validators per XSD datatype IRI (round 6): the subset OBO
+# ontologies actually ship (boolean on owl:deprecated, integer/decimal on
+# annotation values, date on version metadata), each as an anchored regex
+# so validation is one codegen'd rlike per row — no UDF, no cast-and-trap.
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+XSD_LEXICAL_PATTERNS: dict[str, str] = {
+    _XSD + "boolean": r"^(true|false|1|0)$",
+    _XSD + "integer": r"^[+-]?[0-9]+$",
+    _XSD + "nonNegativeInteger": r"^\+?[0-9]+$",
+    _XSD + "decimal": r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$",
+    _XSD + "double": r"^([+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?|[+-]?INF|NaN)$",
+    _XSD + "date": r"^-?[0-9]{4}-[0-9]{2}-[0-9]{2}(Z|[+-][0-9]{2}:[0-9]{2})?$",
+    _XSD + "dateTime": r"^-?[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})?$",
+}
+
+
+def validate_typed_literals(
+    triples: DataFrame,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Typed-literal lexical validation over the round-6 ``object_datatype``
+    column — the RDF-side sibling of ``check_expectations``: every literal
+    triple carrying a KNOWN datatype IRI is checked against that type's
+    anchored lexical pattern (Jena would raise ``DatatypeFormatException``
+    on access; a 100 TB ingest wants the violation COUNTED and routed, not
+    thrown).  Literals with no datatype or an unknown datatype are passed
+    through as their own buckets, so the output is a complete audit.
+
+    One scan, one hash aggregate: (object_datatype, status, n) with
+    status ∈ {'valid', 'invalid', 'untyped', 'unknown_datatype'}.
+    """
+    pats = XSD_LEXICAL_PATTERNS if patterns is None else patterns
+    lit = triples.filter(F.col("object_kind") == "literal")
+    known = None
+    for dt, pat in sorted(pats.items()):
+        cond = F.when(
+            F.col("object_datatype") == dt,
+            F.when(F.col("object_lexical").rlike(pat), F.lit("valid")).otherwise(
+                F.lit("invalid")
+            ),
+        )
+        known = cond if known is None else known.when(
+            F.col("object_datatype") == dt,
+            F.when(F.col("object_lexical").rlike(pat), F.lit("valid")).otherwise(
+                F.lit("invalid")
+            ),
+        )
+    status = (
+        F.when(F.col("object_datatype").isNull(), F.lit("untyped"))
+        .otherwise(F.coalesce(known, F.lit("unknown_datatype")))
+    )
+    return lit.groupBy(
+        "object_datatype", status.alias("status")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
