@@ -70,17 +70,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
     # ROUND 6 ROTATION (VERDICT.md r5, "Next round: do this" #1): the 50-slot
-    # prefix is (a) the EIGHT round-5 late additions that are the only catalog
-    # queries without driver evidence, (b) the two queries NEW in round 6
-    # (trained-PQ chain per VERDICT r5 #4, composed streaming IVF-PQ
-    # maintenance per #7), (c) the queries whose contract CHANGED this round —
-    # scan_rdf_triples (+object_lang/object_datatype columns, VERDICT r5 #2)
-    # and agg_pivot_vertex_attrs_capped (oracle NULLS FIRST fix, ADVICE r5) —
-    # plus the schema-change blast radius (split scan, OWL extraction,
-    # end-to-end graph build, flatten join), and (d) backfill with the
-    # stalest driver-green rows: all 19 with r1-only evidence and all 13 with
-    # r2-only evidence.  Every query rotated out stays verified in
-    # CORRECTNESS_LOCAL_r06.json (same checker).
+    # prefix is (a) the EIGHT round-5 late additions that were the only
+    # catalog queries without driver evidence, (b) the SEVEN queries NEW in
+    # round 6 (trained-PQ chain per VERDICT r5 #4, composed streaming IVF-PQ
+    # maintenance per #7, the lang-fallback label query over the new
+    # object_lang column, sqrt source balancing, Hamming recall audit,
+    # routed IVF-PQ serving, typed-literal validation), (c) the queries
+    # whose contract CHANGED this round — scan_rdf_triples
+    # (+object_lang/object_datatype columns, VERDICT r5 #2) and
+    # agg_pivot_vertex_attrs_capped (oracle NULLS FIRST fix, ADVICE r5) —
+    # plus the schema-change blast radius (split scan, end-to-end graph
+    # build), and (d) backfill with the stalest driver-green rows: all 19
+    # with r1-only evidence and 12 of the 13 with r2-only evidence.  Every
+    # query rotated out stays verified in CORRECTNESS_LOCAL_r06.json (same
+    # checker).
     #
     # -- (a) the 8 never-driver-verified round-5 additions --
     "similarity_pq_adc", "similarity_pq_rerank", "similarity_ivf_pq",
@@ -92,12 +95,12 @@ _PRIORITY = [
     "sample_source_sqrt", "similarity_hamming_recall", "similarity_ivf_pq_routed",
     "quality_typed_literals",
     # -- (c) contract changed this round + blast radius.  Slot math: the
-    # six (b) rows displace join_flatten_restriction, the two
-    # graph_build_* rows, and extract_triples_owl from (c) — all four stay
-    # r3-driver-green AND hash-green locally this round (their goldens
-    # were unchanged by the schema widening; scan_rdf_triples and
-    # owl_graph_end_to_end inside the prefix cover the same parse + build
-    # DAG end-to-end) --
+    # seven (b) rows displace join_flatten_restriction, the two
+    # graph_build_* rows, extract_triples_owl (from c) and sort_by_key
+    # (from d) — all five stay r2/r3-driver-green AND hash-green locally
+    # this round (the goldens were unchanged by the schema widening;
+    # scan_rdf_triples and owl_graph_end_to_end inside the prefix cover
+    # the same parse + build DAG end-to-end) --
     "scan_rdf_triples", "agg_pivot_vertex_attrs_capped",
     "scan_rdf_triples_split", "owl_graph_end_to_end",
     # -- (d) stalest driver-green: the 19 r1-only rows --
@@ -117,11 +120,15 @@ _PRIORITY = [
     "project_triple_nodes", "sample_split_hash",
     "text_lang_id", "text_phrase_search", "text_quality_score",
     # ROUND-7 ROTATION PLAN (precomputed): after this gate runs, every
-    # catalog query has driver evidence and the stalest rows are the ~44
-    # remaining r3-verified queries (CORRECTNESS_r03.json keys minus the
-    # eight rotated into (c) above) — give them the r7 prefix, then fill
-    # with r4-verified rows, oldest first.  Any query whose oracle or
-    # operator changes in round 7 jumps to the head, as always.
+    # catalog query has driver evidence.  The stalest rows are then
+    # sort_by_key (r2-only, displaced this round) plus the ~46 r3-verified
+    # queries not in this prefix (CORRECTNESS_r03.json keys minus
+    # scan_rdf_triples/scan_rdf_triples_split/owl_graph_end_to_end, and
+    # including the four displaced rows join_flatten_restriction,
+    # graph_build_vertices, graph_build_edges, extract_triples_owl) —
+    # give them the r7 prefix, then fill with r4-verified rows, oldest
+    # first.  Any query whose oracle or operator changes in round 7 jumps
+    # to the head, as always.
     # ------------------------------------------------------------------
     # ROUND 5 ROTATION (VERDICT.md r4, "Next round: do this" #1): after the
     # round-4 gate, exactly 46 of the 179 catalog queries had never been
