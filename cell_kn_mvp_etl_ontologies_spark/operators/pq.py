@@ -31,7 +31,10 @@ Scale shapes:
   corpus codes join it on (sub, code) and partial-aggregating sums fold
   the m per-subspace lookups back to one distance per (q, t).
 - ``ivf_pq_topk``: IVF candidate pruning + ADC scoring of only the probed
-  cells' codes — the production IVF-PQ serving shape.
+  cells' codes (expression path — the oracle-replayable correctness twin).
+- ``ivf_pq_topk_routed`` (round 6): the serving shape — cogrouped per-cell
+  int64 ADC LUT gather over the (cell, t_id, codes) offline artifact;
+  bit-identical to the expression path, near-flat in |Q| (SCALE.md §pq).
 """
 
 from __future__ import annotations
@@ -583,10 +586,20 @@ def ivf_pq_topk_routed(
         codes = np.stack(mem["codes"].to_numpy()).astype(np.int64)  # (n_t, m)
         if codes.shape[1] != m:
             raise ValueError(f"ivf_pq_topk_routed: codes width {codes.shape[1]} != m={m}")
-        # code value -> codebook row, via searchsorted on the sorted cells
+        # code value -> codebook row, via searchsorted on the sorted cells;
+        # clip + verify so a corrupt code (not a codebook cell) fails the
+        # task loudly instead of silently gathering a neighbor's distance
         code_idx = np.empty_like(codes)
         for s in range(m):
-            code_idx[:, s] = np.searchsorted(cell_order[s], codes[:, s])
+            idx = np.searchsorted(cell_order[s], codes[:, s])
+            idx = np.clip(idx, 0, cell_order[s].size - 1)
+            if not np.array_equal(cell_order[s][idx], codes[:, s]):
+                bad = codes[:, s][cell_order[s][idx] != codes[:, s]][0]
+                raise ValueError(
+                    f"ivf_pq_topk_routed: code {int(bad)} in subspace {s} "
+                    "is not a codebook cell"
+                )
+            code_idx[:, s] = idx
         q_ids = qs["q_id"].to_numpy(dtype=np.int64)
         Q = np.stack(qs["q_vec"].to_numpy()).astype(np.int64)
         out_q, out_t, out_d = [], [], []

@@ -282,6 +282,8 @@ def validate_typed_literals(
     status ∈ {'valid', 'invalid', 'untyped', 'unknown_datatype'}.
     """
     pats = XSD_LEXICAL_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("validate_typed_literals: patterns must be non-empty")
     lit = triples.filter(F.col("object_kind") == "literal")
     known = None
     for dt, pat in sorted(pats.items()):
