@@ -787,3 +787,65 @@ def stream_bloom_screen_q(spark, sf_dir):
     )
     query.awaitTermination()
     return finish_and_clean(spark.read.parquet(out_dir), root)
+
+
+def _stream_ivf_pq_serve_oracle() -> str:
+    from .extensions import _IVF_PQ_ORACLE
+
+    return _IVF_PQ_ORACLE
+
+
+@register("stream_ivf_pq_serve", oracle=_stream_ivf_pq_serve_oracle())
+def stream_ivf_pq_serve_q(spark, sf_dir):
+    """The maintain → serve loop closed in ONE gated query (round 6): the
+    embeddings STREAM builds the IVF-PQ index incrementally (cell + codes
+    per arriving batch, keyed upsert — stream_ivf_pq_maintain's exact
+    machinery, filtered to the PQ workload corpus), and the routed server
+    (operators/pq.py ivf_pq_topk_routed) then answers queries straight
+    from the MAINTAINED table.  The oracle is similarity_ivf_pq's full SQL
+    replay verbatim — so streaming maintenance + cogrouped serving
+    together must land bit-identically where the all-batch expression
+    chain lands.  This is the production topology end-to-end: continuous
+    index freshness, serving that never touches the driver or decodes the
+    corpus."""
+    import tempfile
+
+    from ..operators.pq import ivf_pq_topk_routed, pq_encode, pq_subvector_rows
+    from ..operators.similarity import ivf_assign
+    from ..streaming import read_embeddings_stream, run_stream_upsert
+    from . import finish_and_clean
+
+    em = load_table(spark, sf_dir, "embeddings")
+    workload = em.filter(F.col("vec_id") < 120).select("vec_id", "embedding")
+    centroids = workload.filter(F.col("vec_id") < 8)
+    books = pq_subvector_rows(workload.filter(F.col("vec_id") < 6), m=4).select(
+        "sub", F.col("id").cast("int").alias("cell"), F.col("sv").alias("cv")
+    )
+
+    def index_batch(batch_df):
+        batch_df = batch_df.filter(F.col("vec_id") < 120)
+        cells = ivf_assign(batch_df, centroids, nprobe=1).select(
+            "vec_id", F.col("cell").cast("int").alias("cell")
+        )
+        codes = pq_encode(batch_df, books, m=4, subdim=16).select(
+            F.col("t_id").alias("vec_id"), "codes"
+        )
+        return cells.join(codes, "vec_id")
+
+    stream = read_embeddings_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_ivf_pq_serve_")
+    maintained = run_stream_upsert(
+        stream.select("vec_id", "embedding"),
+        root + "/state",
+        keys=["vec_id"],
+        transform=index_batch,
+    )
+    index_codes = maintained.select(
+        "cell", F.col("vec_id").alias("t_id"), "codes"
+    )
+    q = workload.filter(F.col("vec_id") < 8)
+    out = ivf_pq_topk_routed(q, index_codes, centroids, books, k=3, nprobe=2, m=4)
+    return finish_and_clean(
+        out.select("q_id", "t_id", "adc_dist", F.col("rnk").cast("long").alias("rnk")),
+        root,
+    )
