@@ -71,18 +71,19 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # ROUND 6 ROTATION (VERDICT.md r5, "Next round: do this" #1): the 50-slot
     # prefix is (a) the EIGHT round-5 late additions that were the only
-    # catalog queries without driver evidence, (b) the EIGHT queries NEW in
+    # catalog queries without driver evidence, (b) the NINE queries NEW in
     # round 6 (trained-PQ chain per VERDICT r5 #4, composed streaming IVF-PQ
     # maintenance per #7, the lang-fallback label query over the new
     # object_lang column, sqrt source balancing, Hamming recall audit,
-    # routed IVF-PQ serving, typed-literal validation, and the
-    # streaming-maintained-index serve loop), (c) the queries
+    # routed IVF-PQ serving, typed-literal validation, the
+    # streaming-maintained-index serve loop, and corrupt-routing JSONL
+    # ingest), (c) the queries
     # whose contract CHANGED this round — scan_rdf_triples
     # (+object_lang/object_datatype columns, VERDICT r5 #2) and
     # agg_pivot_vertex_attrs_capped (oracle NULLS FIRST fix, ADVICE r5) —
     # plus the schema-change blast radius (split scan, end-to-end graph
     # build), and (d) backfill with the stalest driver-green rows: all 19
-    # with r1-only evidence and 11 of the 13 with r2-only evidence.  Every
+    # with r1-only evidence and 10 of the 13 with r2-only evidence.  Every
     # query rotated out stays verified in CORRECTNESS_LOCAL_r06.json (same
     # checker).
     #
@@ -94,12 +95,12 @@ _PRIORITY = [
     # -- (b) new in round 6 --
     "similarity_pq_trained", "stream_ivf_pq_maintain", "fn_label_lang_fallback",
     "sample_source_sqrt", "similarity_hamming_recall", "similarity_ivf_pq_routed",
-    "quality_typed_literals", "stream_ivf_pq_serve",
+    "quality_typed_literals", "stream_ivf_pq_serve", "source_jsonl_corrupt_routing",
     # -- (c) contract changed this round + blast radius.  Slot math: the
-    # eight (b) rows displace join_flatten_restriction, the two
-    # graph_build_* rows, extract_triples_owl (from c), sort_by_key and
-    # dedup_embedding_cosine (from d) — all six stay r2/r3-driver-green
-    # AND hash-green locally
+    # nine (b) rows displace join_flatten_restriction, the two
+    # graph_build_* rows, extract_triples_owl (from c), and sort_by_key,
+    # dedup_embedding_cosine, project_triple_nodes (from d) — all seven
+    # stay r2/r3-driver-green AND hash-green locally
     # this round (the goldens were unchanged by the schema widening;
     # scan_rdf_triples and owl_graph_end_to_end inside the prefix cover
     # the same parse + build DAG end-to-end) --
@@ -120,14 +121,17 @@ _PRIORITY = [
     # local-r6-green; sort_by_key is a pure orderBy wrapper and
     # dedup_embedding_cosine is the small-scale facet of the r5-green
     # dedup_embedding_clustered)
+    # (project_triple_nodes also yields its slot — r2-green + local-r6-
+    # green thin projection whose consumers graph_build/owl_graph_end_to_end
+    # sit inside the prefix)
     "agg_distinct_triples", "dedup_exact_hash",
     "embedding_quantize", "fn_uri_parse", "fn_vtuple", "join_ro_label_lookup",
-    "project_triple_nodes", "sample_split_hash",
+    "sample_split_hash",
     "text_lang_id", "text_phrase_search", "text_quality_score",
     # ROUND-7 ROTATION PLAN (precomputed): after this gate runs, every
     # catalog query has driver evidence.  The stalest rows are then
-    # sort_by_key and dedup_embedding_cosine (r2-only, displaced this
-    # round) plus the ~46 r3-verified
+    # sort_by_key, dedup_embedding_cosine, and project_triple_nodes
+    # (r2-only, displaced this round) plus the ~46 r3-verified
     # queries not in this prefix (CORRECTNESS_r03.json keys minus
     # scan_rdf_triples/scan_rdf_triples_split/owl_graph_end_to_end, and
     # including the four displaced rows join_flatten_restriction,

@@ -794,3 +794,51 @@ def quality_typed_literals_q(spark, sf_dir):
     ]
     triples = spark.createDataFrame(rows, TRIPLES_SCHEMA)
     return validate_typed_literals(triples)
+
+
+@register(
+    "source_jsonl_corrupt_routing",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('valid', CAST(3 AS BIGINT), CAST(6 AS BIGINT)),
+      ('corrupt', CAST(2 AS BIGINT), CAST(NULL AS BIGINT))
+    ) AS t(bucket, n, doc_id_sum)
+    """,
+)
+def source_jsonl_corrupt_routing_q(spark, sf_dir):
+    """Production JSONL ingest with corrupt-record routing
+    (sources/files.py read_jsonl_with_corrupt_routing): explicit schema,
+    PERMISSIVE parse, malformed lines quarantined to a side output with
+    the raw line intact — never a crashed job (FAILFAST) or silent loss
+    (DROPMALFORMED).  Planted corpus: three valid documents, one broken
+    JSON line, one type-drift line (string where the schema says LONG) —
+    the summary pins that exactly the valid rows parse and BOTH failure
+    classes route to quarantine."""
+    import os
+
+    from ..sources.files import read_jsonl_with_corrupt_routing
+
+    root = tempfile.mkdtemp(prefix="jsonl_ingest_")
+    with open(os.path.join(root, "docs.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "alpha"}\n')
+        f.write('{"doc_id": 2, "text": "beta"}\n')
+        f.write('{"doc_id": 4, "text": unterminated\n')  # broken JSON
+        f.write('{"doc_id": 3, "text": "gamma"}\n')
+        f.write('{"doc_id": "not-a-number", "text": "drift"}\n')  # type drift
+    valid, corrupt, parsed = read_jsonl_with_corrupt_routing(
+        spark, root, "doc_id LONG, text STRING"
+    )
+    summary = valid.agg(
+        F.lit("valid").alias("bucket"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("doc_id_sum"),
+    ).unionByName(
+        corrupt.agg(
+            F.lit("corrupt").alias("bucket"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("doc_id_sum"),
+        )
+    )
+    out = finish_and_clean(summary, root)
+    parsed.unpersist()
+    return out

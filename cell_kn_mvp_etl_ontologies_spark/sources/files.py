@@ -43,3 +43,41 @@ def scan_dir_regex(
     df = reader.load(directory)
     name = F.element_at(F.split(F.input_file_name(), "/"), -1)
     return df.filter(name.rlike(f"^{name_regex}$"))
+
+
+def read_jsonl_with_corrupt_routing(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Production JSONL ingest: parse against an EXPLICIT schema in
+    PERMISSIVE mode and split the result into (valid, corrupt) frames —
+    the ingest posture a 100 TB crawl pipeline needs, where a malformed
+    line must be counted and quarantined, never crash the job (FAILFAST)
+    or vanish silently (DROPMALFORMED).
+
+    The explicit schema matters twice at scale: it skips Spark's
+    schema-inference pre-pass (a full extra read of the corpus), and it
+    makes drift VISIBLE — a document whose field changed type lands in
+    the corrupt side output with its raw line intact for replay, the same
+    side-output doctrine as `sink_side_output_deprecated`.
+
+    Returns (valid, corrupt, parsed): valid carries the schema columns
+    (corrupt column dropped); corrupt carries the raw ``corrupt_col`` line
+    only; ``parsed`` is the shared CACHED parse both project from — Spark
+    refuses corrupt-column-only queries over a raw scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the parse
+    is persisted here and the caller unpersists ``parsed`` when done.
+    """
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    parsed = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    valid = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    corrupt = parsed.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return valid, corrupt, parsed
