@@ -185,3 +185,50 @@ def test_version_newer(spark):
     )
     out = [r["x"] for r in df.select(fn_version_newer(F.col("new"), F.col("cur")).alias("x")).collect()]
     assert out == [True, False, False]
+
+
+def test_label_lang_preferred_property(spark):
+    """Property pin for the round-6 language-fallback selection: against a
+    brute-force python reference over a grid of label sets covering every
+    priority bucket, tie, and multi-label shape."""
+    import itertools
+
+    from cell_kn_mvp_etl_ontologies_spark.fixtures import RDFS, TRIPLES_SCHEMA
+    from cell_kn_mvp_etl_ontologies_spark.operators.filters import (
+        label_lang_preferred,
+    )
+
+    langs = ("en", "de")
+    # label pool: (lexical, lang) — includes duplicates-by-priority and ties
+    pool = [
+        ("a", "en"), ("b", "en"), ("a", "de"), ("c", "de"),
+        ("a", None), ("d", None), ("a", "fr"), ("e", "fr"), ("a", "zz"),
+    ]
+
+    def ref_pick(labels):
+        def prio(lang):
+            if lang in langs:
+                return langs.index(lang)
+            if lang is None:
+                return len(langs)
+            return len(langs) + 1
+        return min(
+            labels,
+            key=lambda lv: (prio(lv[1]), lv[0], "" if lv[1] is None else "\x01" + lv[1]),
+        )
+
+    rows, expected = [], {}
+    sid = 0
+    for r in (1, 2, 3):
+        for combo in itertools.combinations(pool, r):
+            subj = f"http://x/S{sid}"
+            sid += 1
+            for lex, lang in combo:
+                rows.append(("f", subj, RDFS + "label", "literal", None, lex, lang, None))
+            expected[subj] = ref_pick(combo)[:2]
+    triples = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    got = {
+        r.subject: (r.label, r.lang)
+        for r in label_lang_preferred(triples, RDFS + "label", langs=langs).collect()
+    }
+    assert got == expected
