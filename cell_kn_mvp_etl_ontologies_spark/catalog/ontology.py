@@ -810,10 +810,12 @@ def source_jsonl_corrupt_routing_q(spark, sf_dir):
     (sources/files.py read_jsonl_with_corrupt_routing): explicit schema,
     PERMISSIVE parse, malformed lines quarantined to a side output with
     the raw line intact — never a crashed job (FAILFAST) or silent loss
-    (DROPMALFORMED).  Planted corpus: three valid documents, one broken
-    JSON line, one type-drift line (string where the schema says LONG) —
-    the summary pins that exactly the valid rows parse and BOTH failure
-    classes route to quarantine."""
+    (DROPMALFORMED).  One corpus scan writes both side outputs
+    (partitionBy route — VERDICT r6 #5; no corpus-sized cache), and the
+    returned frames are lazy columnar readers over them.  Planted corpus:
+    three valid documents, one broken JSON line, one type-drift line
+    (string where the schema says LONG) — the summary pins that exactly
+    the valid rows parse and BOTH failure classes route to quarantine."""
     import os
 
     from ..sources.files import read_jsonl_with_corrupt_routing
@@ -825,8 +827,9 @@ def source_jsonl_corrupt_routing_q(spark, sf_dir):
         f.write('{"doc_id": 4, "text": unterminated\n')  # broken JSON
         f.write('{"doc_id": 3, "text": "gamma"}\n')
         f.write('{"doc_id": "not-a-number", "text": "drift"}\n')  # type drift
-    valid, corrupt, parsed = read_jsonl_with_corrupt_routing(
-        spark, root, "doc_id LONG, text STRING"
+    routed_dir = tempfile.mkdtemp(prefix="jsonl_routed_")
+    valid, corrupt = read_jsonl_with_corrupt_routing(
+        spark, root, "doc_id LONG, text STRING", out_dir=routed_dir
     )
     summary = valid.agg(
         F.lit("valid").alias("bucket"),
@@ -839,6 +842,4 @@ def source_jsonl_corrupt_routing_q(spark, sf_dir):
             F.lit(None).cast("long").alias("doc_id_sum"),
         )
     )
-    out = finish_and_clean(summary, root)
-    parsed.unpersist()
-    return out
+    return finish_and_clean(summary, root, routed_dir)

@@ -475,7 +475,13 @@ def ivf_pq_topk(
     Pass the prebuilt ``codes`` (from ``pq_encode``/``pq_encode_vectorized``)
     AND ``corpus_cells`` ((t_id, cell), from ``ivf_assign(corpus, nprobe=1)``
     or the streaming maintainer) — both are offline index artifacts, like
-    ``build_ivf_index``'s output.  Without them the corpus is re-encoded /
+    ``build_ivf_index``'s output.  CONTRACT: ``corpus_cells`` must carry
+    exactly ONE row per ``t_id`` (an nprobe=1 assignment).  The candidate
+    join below deliberately has no ``distinct`` — a duplicate ``t_id`` row
+    would double-count every one of that vector's m sub-distances in the
+    ADC sum rather than fail loudly, so a maintainer that can emit
+    duplicates must ``dropDuplicates(["t_id"])`` before handing the frame
+    here (the in-repo maintainers are keyed upserts and cannot).  Without them the corpus is re-encoded /
     re-assigned on every call, O(corpus) and O(corpus × n_cells) costs that
     belong to the build, not to serving; the inline defaults exist for
     one-shot/exploratory use only.  At serving time nothing corpus-sized is
@@ -558,9 +564,9 @@ def ivf_pq_topk_routed(
         rows_.sort()
         cell_order[sub] = np.array([c for c, _ in rows_], dtype=np.int64)
         C[sub] = np.array([v for _, v in rows_], dtype=np.int64)
-    subdim = C[0].shape[1]
     if sorted(C) != list(range(m)):
         raise ValueError(f"ivf_pq_topk_routed: codebooks cover subs {sorted(C)}, want 0..{m - 1}")
+    subdim = C[0].shape[1]
 
     probe = ivf_assign_vectorized(queries, centroids, nprobe=nprobe, scale=scale).select(
         F.col("vec_id").alias("q_id"), "cell"

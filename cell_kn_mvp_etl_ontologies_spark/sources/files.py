@@ -49,13 +49,15 @@ def read_jsonl_with_corrupt_routing(
     spark: SparkSession,
     path: str,
     schema: str,
+    out_dir: str | None = None,
     corrupt_col: str = "_corrupt_record",
+    route_col: str = "ingest_route",
 ) -> tuple[DataFrame, DataFrame]:
     """Production JSONL ingest: parse against an EXPLICIT schema in
-    PERMISSIVE mode and split the result into (valid, corrupt) frames —
-    the ingest posture a 100 TB crawl pipeline needs, where a malformed
-    line must be counted and quarantined, never crash the job (FAILFAST)
-    or vanish silently (DROPMALFORMED).
+    PERMISSIVE mode and route each line to a valid or corrupt side output
+    in ONE pass — the ingest posture a 100 TB crawl pipeline needs, where
+    a malformed line must be counted and quarantined, never crash the job
+    (FAILFAST) or vanish silently (DROPMALFORMED).
 
     The explicit schema matters twice at scale: it skips Spark's
     schema-inference pre-pass (a full extra read of the corpus), and it
@@ -63,21 +65,39 @@ def read_jsonl_with_corrupt_routing(
     the corrupt side output with its raw line intact for replay, the same
     side-output doctrine as `sink_side_output_deprecated`.
 
-    Returns (valid, corrupt, parsed): valid carries the schema columns
-    (corrupt column dropped); corrupt carries the raw ``corrupt_col`` line
-    only; ``parsed`` is the shared CACHED parse both project from — Spark
-    refuses corrupt-column-only queries over a raw scan
-    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the parse
-    is persisted here and the caller unpersists ``parsed`` when done.
+    Shape (VERDICT r6 #5): the corpus is scanned exactly once — a single
+    ``partitionBy(route_col)`` parquet write emits both side outputs in
+    one job, replacing the earlier corpus-sized ``.cache()`` (Spark
+    refuses corrupt-column-only queries over a raw JSON scan,
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN, so SOME
+    materialization is forced; a write the pipeline needs anyway beats a
+    memory-resident copy of the whole parse at 100 TB).  Returns
+    (valid, corrupt) as LAZY columnar readers over ``out_dir`` — valid
+    carries the schema columns, corrupt carries the raw ``corrupt_col``
+    line only (partition pruning makes each side read only its own
+    files).  Caller owns ``out_dir`` cleanup/retention.
     """
+    import tempfile
+
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="jsonl_routed_")
     full_schema = f"{schema}, {corrupt_col} STRING"
     parsed = (
         spark.read.schema(full_schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
-        .cache()
     )
-    valid = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    corrupt = parsed.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
-    return valid, corrupt, parsed
+    routed = parsed.withColumn(
+        route_col,
+        F.when(F.col(corrupt_col).isNull(), F.lit("valid")).otherwise(F.lit("corrupt")),
+    )
+    routed.write.mode("overwrite").partitionBy(route_col).parquet(out_dir)
+    # Explicit schema on the read-back: an all-valid (or all-corrupt, or
+    # empty) corpus leaves one partition directory absent, and schema
+    # inference over the remaining files cannot see it — the reader must
+    # not fail on the empty side.
+    on_disk = spark.read.schema(f"{full_schema}, {route_col} STRING").parquet(out_dir)
+    valid = on_disk.filter(F.col(route_col) == "valid").drop(route_col, corrupt_col)
+    corrupt = on_disk.filter(F.col(route_col) == "corrupt").select(corrupt_col)
+    return valid, corrupt

@@ -268,14 +268,17 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
 
     Round 6 (VERDICT r5 #2 — the last semantic gap): literal triples carry
     ``object_lang`` (xml:lang, inherited through the XML tree per the XML
-    spec — an explicit ``xml:lang=""`` clears it) and ``object_datatype``
+    spec — an explicit ``xml:lang=""`` clears it; tags are lowercased on
+    capture, matching Jena's RDF/XML parser so ``xml:lang="EN"`` still
+    lands in the 'en' priority bucket downstream — ADVICE r6) and
+    ``object_datatype``
     (rdf:datatype IRI; rdf:XMLLiteral for parseType="Literal").  Typed
     literals carry no lang, exactly as Jena's model does
     (OntologyTripleParser.java:68-117 reads that model)."""
     triples: list[tuple] = []
     counter = [counter_start]
     base = (root.get(XML_BASE) or "").split("#", 1)[0]
-    root_lang = root.get(XML_LANG) or None
+    root_lang = (root.get(XML_LANG) or "").lower() or None
 
     def new_bnode() -> str:
         counter[0] += 1
@@ -306,7 +309,7 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
         (IRI or fresh bnode).  ``lang`` is the inherited xml:lang scope."""
         ns, local = _split_tag(elem.tag)
         el = elem.get(XML_LANG)
-        lang = (el or None) if el is not None else lang
+        lang = (el.lower() or None) if el is not None else lang
         node = name if name is not None else new_bnode()
         triples.append((src_file, node, RDF_NS + "type", "iri", ns + local, None, None, None))
         emit(node, elem, lang)
@@ -328,7 +331,7 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
             rid = prop.get(RDF_ID)
             reify_id = f"{base}#{rid}" if rid is not None else None
             pl = prop.get(XML_LANG)
-            prop_lang = (pl or None) if pl is not None else lang
+            prop_lang = (pl.lower() or None) if pl is not None else lang
 
             def link(
                 kind: str,
@@ -408,7 +411,7 @@ def _emit_from_root(src_file: str, root, counter_start: int = 0) -> list[tuple]:
                     link("bnode", node, None)
                     cns, clocal = _split_tag(child.tag)
                     cl = child.get(XML_LANG)
-                    child_lang = (cl or None) if cl is not None else prop_lang
+                    child_lang = (cl.lower() or None) if cl is not None else prop_lang
                     triples.append(
                         (src_file, node, RDF_NS + "type", "iri", cns + clocal, None, None, None)
                     )

@@ -518,3 +518,87 @@ def test_rdfxml_literal_lang_and_datatype(spark, tmp_path):
     a = sorted(map(tuple, whole.collect()))
     b = sorted(map(tuple, scan_rdf_triples_split(spark, d, split_bytes=300).collect()))
     assert a == b
+
+
+def test_rdfxml_lang_tag_lowercased(spark, tmp_path):
+    """ADVICE r6: Jena's RDF/XML parser lowercases language tags, so
+    xml:lang="EN" / "EN-US" must land as 'en' / 'en-us' — including via
+    inheritance — or the downstream 'en' priority bucket
+    (label_lang_preferred) silently misses them."""
+    import os
+
+    from cell_kn_mvp_etl_ontologies_spark.sources.owl import scan_rdf_triples
+
+    doc = """<?xml version="1.0"?>
+<rdf:RDF xml:lang="EN" xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Class rdf:about="http://x/A">
+    <rdfs:label>root upper inherited</rdfs:label>
+    <rdfs:label xml:lang="EN-US">explicit upper</rdfs:label>
+    <rdfs:label xml:lang="">cleared</rdfs:label>
+  </owl:Class>
+  <owl:Class rdf:about="http://x/B" xml:lang="De-CH">
+    <rdfs:label>node mixed case</rdfs:label>
+  </owl:Class>
+</rdf:RDF>
+"""
+    d = str(tmp_path / "upperlang")
+    os.makedirs(d)
+    with open(os.path.join(d, "up.owl"), "w") as f:
+        f.write(doc)
+    rows = {
+        (r.subject, r.object_lexical, r.object_lang)
+        for r in scan_rdf_triples(spark, d).collect()
+        if r.object_kind == "literal"
+    }
+    assert ("http://x/A", "root upper inherited", "en") in rows
+    assert ("http://x/A", "explicit upper", "en-us") in rows
+    assert ("http://x/A", "cleared", None) in rows
+    assert ("http://x/B", "node mixed case", "de-ch") in rows
+
+
+def test_jsonl_corrupt_routing_one_pass(spark, tmp_path):
+    """VERDICT r6 #5: corrupt routing writes both side outputs in one
+    corpus scan (no corpus-sized cache) and returns lazy readers; the
+    empty-corrupt-side corpus must not break the reader (its partition
+    directory is absent on disk)."""
+    import os
+
+    from cell_kn_mvp_etl_ontologies_spark.sources.files import (
+        read_jsonl_with_corrupt_routing,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "alpha"}\n')
+        f.write("not json at all\n")
+        f.write('{"doc_id": 2, "text": "beta"}\n')
+        f.write('{"doc_id": "drift", "text": "x"}\n')
+    out = str(tmp_path / "routed")
+    valid, corrupt = read_jsonl_with_corrupt_routing(
+        spark, src, "doc_id LONG, text STRING", out_dir=out
+    )
+    assert valid.columns == ["doc_id", "text"]
+    assert corrupt.columns == ["_corrupt_record"]
+    assert sorted(r.doc_id for r in valid.collect()) == [1, 2]
+    bad = sorted(r._corrupt_record for r in corrupt.collect())
+    assert bad == ["not json at all", '{"doc_id": "drift", "text": "x"}']
+    # the outputs are REAL side outputs on disk, partitioned by route
+    routes = sorted(
+        d for d in os.listdir(out) if d.startswith("ingest_route=")
+    )
+    assert routes == ["ingest_route=corrupt", "ingest_route=valid"]
+
+    # all-valid corpus: corrupt partition absent on disk, reader still lazy-safe
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2)
+    with open(os.path.join(src2, "b.jsonl"), "w") as f:
+        f.write('{"doc_id": 7, "text": "ok"}\n')
+    out2 = str(tmp_path / "routed2")
+    valid2, corrupt2 = read_jsonl_with_corrupt_routing(
+        spark, src2, "doc_id LONG, text STRING", out_dir=out2
+    )
+    assert corrupt2.count() == 0
+    assert [r.doc_id for r in valid2.collect()] == [7]
