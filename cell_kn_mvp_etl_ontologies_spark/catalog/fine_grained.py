@@ -437,6 +437,75 @@ def text_search_ddl_q(spark, sf_dir):
     return finish_and_clean(totals, root)
 
 
+def _stemmed_oracle() -> str:
+    """DuckDB replay of the text_en analyzer: the SAME staged rule chain
+    (search/stemmer.py STAGES) rendered to DuckDB SQL, applied to both the
+    corpus tokens and the query words — no second stemmer implementation
+    to drift."""
+    from ..search.analyzers import _ACCENTED, _FOLDED
+    from ..search.stemmer import stem_chain_ctes
+
+    corpus_chain = stem_chain_ctes("toks", "tok", "corpus_stems", "duckdb", prefix="__cs")
+    q_chain = stem_chain_ctes("q", "tok", "q_stems", "duckdb", prefix="__qs")
+    qvals = ", ".join(f"('{w}')" for w in _STEM_QUERY_WORDS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM (SELECT doc_id, translate(lower(text), '{_ACCENTED}', '{_FOLDED}') AS s
+            FROM documents) src,
+        LATERAL unnest(string_split_regex(s, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), {corpus_chain},
+    stats AS (
+      SELECT stem, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM corpus_stems GROUP BY stem
+    ), q AS (
+      SELECT qword, lower(qword) AS tok
+      FROM (VALUES {qvals}) v(qword)
+    ), {q_chain}
+    SELECT qword, stem, COALESCE(n_docs, CAST(0 AS BIGINT)) AS n_docs,
+           COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+    FROM q_stems LEFT JOIN stats USING (stem)
+    """
+
+
+_STEM_QUERY_WORDS = ["merging", "queries", "scanned", "windows", "ordered", "happily"]
+
+
+@register("text_search_stemmed", oracle=_stemmed_oracle())
+def text_search_stemmed_q(spark, sf_dir):
+    """The ``text_en`` STEMMING analyzer (VERDICT r6 #3 — the last §2.9
+    fidelity hole; ref ArangoDbUtilities.java:301 links "text_en" per view
+    field): lowercase + accent-fold + whitespace tokenize + Porter-subset
+    stem via a staged regexp rule chain (search/stemmer.py), then a
+    stemmed-token search — query words stem through the SAME chain and
+    join the corpus stem statistics, so 'merging' finds 'merge' documents
+    and 'queries' finds 'query' documents (the parity a text_en-analyzed
+    field query expects).  The DuckDB oracle replays the identical rule
+    table rendered to its dialect — one rule source, two engines.  At
+    100 TB the analyzer is a stateless per-token map inside codegen; the
+    only shuffle is the stem-stats aggregate."""
+    from ..search.stemmer import analyze_text_en, stem_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = analyze_text_en(docs.select("doc_id", "text"), "text", "stem")
+    stats = corpus.groupBy("stem").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    qwords = spark.createDataFrame([(w,) for w in _STEM_QUERY_WORDS], "qword string")
+    qstem = stem_tokens(
+        qwords.withColumn("tok", F.lower(F.col("qword"))), "tok", "stem"
+    ).drop("tok")
+    return qstem.join(F.broadcast(stats), "stem", "left").select(
+        "qword",
+        "stem",
+        F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+    )
+
+
 @register(
     "sink_bucketed_table",
     oracle="""

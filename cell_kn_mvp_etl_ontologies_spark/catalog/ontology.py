@@ -710,12 +710,40 @@ def fn_json_config_q(spark, sf_dir):
 @register(
     "fn_label_lang_fallback",
     oracle="""
-    SELECT * FROM (VALUES
-      ('http://x/A', 'label-en', 'en', 'lang:en'),
-      ('http://x/B', 'label-de', 'de', 'lang:de'),
-      ('http://x/C', 'label-plain', NULL, 'untagged'),
-      ('http://x/D', 'aaa-fr', 'fr', 'other')
-    ) AS t(subject, label, lang, src)
+    WITH derived AS (
+      SELECT 'http://x/doc/' || CAST(doc_id % 97 AS VARCHAR) AS subject,
+             substring(text, 1, 16) AS label,
+             CASE WHEN doc_id % 4 = 0 THEN NULL ELSE lang END AS lang
+      FROM documents
+    ), planted AS (
+      SELECT * FROM (VALUES
+        ('http://x/A', 'label-en', 'en'),
+        ('http://x/A', 'label-fr', 'fr'),
+        ('http://x/A', 'label-plain', CAST(NULL AS VARCHAR)),
+        ('http://x/B', 'label-de', 'de'),
+        ('http://x/B', 'label-fr', 'fr'),
+        ('http://x/C', 'label-plain', CAST(NULL AS VARCHAR)),
+        ('http://x/D', 'zzz-fr', 'fr'),
+        ('http://x/D', 'aaa-fr', 'fr')
+      ) AS t(subject, label, lang)
+    ), labels AS (
+      SELECT * FROM derived UNION ALL SELECT * FROM planted
+    ), ranked AS (
+      SELECT subject, label, lang,
+        CASE WHEN lang = 'en' THEN 0 WHEN lang = 'de' THEN 1
+             WHEN lang IS NULL THEN 2 ELSE 3 END AS prio,
+        row_number() OVER (
+          PARTITION BY subject
+          ORDER BY CASE WHEN lang = 'en' THEN 0 WHEN lang = 'de' THEN 1
+                        WHEN lang IS NULL THEN 2 ELSE 3 END ASC,
+                   label ASC, lang ASC NULLS FIRST
+        ) AS rn
+      FROM labels
+    )
+    SELECT subject, label, lang,
+      CASE WHEN prio < 2 THEN 'lang:' || lang
+           WHEN lang IS NULL THEN 'untagged' ELSE 'other' END AS src
+    FROM ranked WHERE rn = 1
     """,
 )
 def fn_label_lang_fallback_q(spark, sf_dir):
@@ -724,13 +752,30 @@ def fn_label_lang_fallback_q(spark, sf_dir):
     the first label by (en, de, untagged, any-tag) priority with
     deterministic (lexical, lang) tie-breaks — the Jena
     getLiteralLanguage() scan the reference never needed because its OBO
-    inputs are untagged, now first-class and hash-gated.  Inline triples
-    exercise every fallback bucket: multi-lang subject (en wins), de-only
-    (second priority), untagged-only, and fr-only where the 'other' bucket
-    plus the lexical tie-break decide."""
+    inputs are untagged, now first-class and hash-gated.
+
+    Table-driven (VERDICT r6 #6): ~500 label triples derived
+    deterministically from the sf documents table — ~97 subjects each
+    carrying ~5 labels with the table's real en/de/es/fr/zh tag mix and
+    every 4th label untagged — so the window exercises multi-language
+    contention at table scale; the original planted rows stay unioned in
+    as a floor covering every fallback bucket (en wins, de-only,
+    untagged-only, fr-only with lexical tie-break), plus filtered noise
+    (non-label predicate, iri-kind object)."""
     from ..fixtures import RDFS, TRIPLES_SCHEMA
     from ..operators.filters import label_lang_preferred
 
+    docs = load_table(spark, sf_dir, "documents")
+    derived = docs.selectExpr(
+        "'docs' AS src_file",
+        "concat('http://x/doc/', cast(doc_id % 97 AS string)) AS subject",
+        f"'{RDFS}label' AS predicate",
+        "'literal' AS object_kind",
+        "CAST(NULL AS string) AS object_iri",
+        "substring(text, 1, 16) AS object_lexical",
+        "CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS string) ELSE lang END AS object_lang",
+        "CAST(NULL AS string) AS object_datatype",
+    )
     rows = [
         ("f", "http://x/A", RDFS + "label", "literal", None, "label-en", "en", None),
         ("f", "http://x/A", RDFS + "label", "literal", None, "label-fr", "fr", None),
@@ -744,23 +789,70 @@ def fn_label_lang_fallback_q(spark, sf_dir):
         ("f", "http://x/A", RDFS + "comment", "literal", None, "not a label", "en", None),
         ("f", "http://x/A", RDFS + "label", "iri", "http://x/not-literal", None, None, None),
     ]
-    triples = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    triples = derived.unionByName(spark.createDataFrame(rows, TRIPLES_SCHEMA))
     return label_lang_preferred(triples, RDFS + "label", langs=("en", "de"))
 
 
 @register(
     "quality_typed_literals",
     oracle="""
-    SELECT * FROM (VALUES
-      ('http://www.w3.org/2001/XMLSchema#boolean', 'valid', CAST(2 AS BIGINT)),
-      ('http://www.w3.org/2001/XMLSchema#boolean', 'invalid', CAST(1 AS BIGINT)),
-      ('http://www.w3.org/2001/XMLSchema#integer', 'valid', CAST(1 AS BIGINT)),
-      ('http://www.w3.org/2001/XMLSchema#integer', 'invalid', CAST(1 AS BIGINT)),
-      ('http://www.w3.org/2001/XMLSchema#date', 'valid', CAST(1 AS BIGINT)),
-      ('http://www.w3.org/2001/XMLSchema#date', 'invalid', CAST(1 AS BIGINT)),
-      (NULL, 'untyped', CAST(2 AS BIGINT)),
-      ('http://example.org/customType', 'unknown_datatype', CAST(1 AS BIGINT))
-    ) AS t(object_datatype, status, n)
+    WITH derived AS (
+      SELECT
+        CASE doc_id % 6
+          WHEN 0 THEN 'http://www.w3.org/2001/XMLSchema#boolean'
+          WHEN 1 THEN 'http://www.w3.org/2001/XMLSchema#integer'
+          WHEN 2 THEN 'http://www.w3.org/2001/XMLSchema#date'
+          WHEN 3 THEN CAST(NULL AS VARCHAR)
+          WHEN 4 THEN 'http://example.org/customType'
+          ELSE 'http://www.w3.org/2001/XMLSchema#decimal'
+        END AS object_datatype,
+        CASE doc_id % 6
+          WHEN 0 THEN (CASE WHEN (doc_id // 6) % 3 = 0 THEN 'yes' ELSE 'true' END)
+          WHEN 1 THEN (CASE WHEN (doc_id // 6) % 3 = 0 THEN substring(text, 1, 8)
+                            ELSE CAST(n_chars AS VARCHAR) END)
+          WHEN 2 THEN (CASE WHEN (doc_id // 6) % 3 = 0 THEN 'Jan 15' ELSE '2024-01-15' END)
+          WHEN 3 THEN substring(text, 1, 8)
+          WHEN 4 THEN 'opaque'
+          ELSE (CASE WHEN (doc_id // 6) % 3 = 0 THEN '3..14' ELSE '3.14' END)
+        END AS object_lexical
+      FROM documents
+    ), planted AS (
+      SELECT * FROM (VALUES
+        ('http://www.w3.org/2001/XMLSchema#boolean', 'true'),
+        ('http://www.w3.org/2001/XMLSchema#boolean', '0'),
+        ('http://www.w3.org/2001/XMLSchema#boolean', 'yes'),
+        ('http://www.w3.org/2001/XMLSchema#integer', '42'),
+        ('http://www.w3.org/2001/XMLSchema#integer', '4.2'),
+        ('http://www.w3.org/2001/XMLSchema#date', '2024-01-15'),
+        ('http://www.w3.org/2001/XMLSchema#date', 'Jan 15'),
+        (CAST(NULL AS VARCHAR), 'plain'),
+        (CAST(NULL AS VARCHAR), 'tagged'),
+        ('http://example.org/customType', 'opaque')
+      ) AS t(object_datatype, object_lexical)
+    ), lit AS (
+      SELECT * FROM derived UNION ALL SELECT * FROM planted
+    )
+    SELECT object_datatype,
+      CASE
+        WHEN object_datatype IS NULL THEN 'untyped'
+        WHEN object_datatype = 'http://www.w3.org/2001/XMLSchema#boolean' THEN
+          (CASE WHEN regexp_matches(object_lexical, '^(true|false|1|0)$')
+                THEN 'valid' ELSE 'invalid' END)
+        WHEN object_datatype = 'http://www.w3.org/2001/XMLSchema#integer' THEN
+          (CASE WHEN regexp_matches(object_lexical, '^[+-]?[0-9]+$')
+                THEN 'valid' ELSE 'invalid' END)
+        WHEN object_datatype = 'http://www.w3.org/2001/XMLSchema#date' THEN
+          (CASE WHEN regexp_matches(object_lexical,
+                  '^-?[0-9]{4}-[0-9]{2}-[0-9]{2}(Z|[+-][0-9]{2}:[0-9]{2})?$')
+                THEN 'valid' ELSE 'invalid' END)
+        WHEN object_datatype = 'http://www.w3.org/2001/XMLSchema#decimal' THEN
+          (CASE WHEN regexp_matches(object_lexical, '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$')
+                THEN 'valid' ELSE 'invalid' END)
+        ELSE 'unknown_datatype'
+      END AS status,
+      CAST(count(*) AS BIGINT) AS n
+    FROM lit
+    GROUP BY 1, 2
     """,
 )
 def quality_typed_literals_q(spark, sf_dir):
@@ -769,14 +861,47 @@ def quality_typed_literals_q(spark, sf_dir):
     with a known XSD datatype checked against its anchored lexical
     pattern — the audit Jena defers to a DatatypeFormatException at access
     time, recast as one scan + one hash aggregate so a 100 TB ingest
-    counts and routes violations instead of throwing.  Inline triples
-    plant every bucket: valid/invalid boolean, integer, and date, untyped
-    literals, and an unknown custom datatype."""
+    counts and routes violations instead of throwing.
+
+    Table-driven (VERDICT r6 #6): ~500 typed literals derived
+    deterministically from the sf documents table — doc_id%6 picks the
+    datatype bucket (boolean/integer/date/untyped/custom/decimal) and a
+    second deterministic digit plants a ~1/3 invalid rate inside each
+    validated bucket — so the audit aggregates thousands of pattern
+    evaluations at table scale; the original planted rows stay unioned in
+    as a floor (every status bucket present even if the derivation
+    changes), and a non-literal noise row pins the literal-only filter."""
     from ..fixtures import RDFS, TRIPLES_SCHEMA
     from ..operators.quality import validate_typed_literals
 
     XSD = "http://www.w3.org/2001/XMLSchema#"
     P = "http://example.org/p"
+    docs = load_table(spark, sf_dir, "documents")
+    derived = docs.selectExpr(
+        "'docs' AS src_file",
+        "concat('http://x/doc/', cast(doc_id AS string)) AS subject",
+        f"'{P}' AS predicate",
+        "'literal' AS object_kind",
+        "CAST(NULL AS string) AS object_iri",
+        f"""CASE doc_id % 6
+          WHEN 0 THEN (CASE WHEN (doc_id div 6) % 3 = 0 THEN 'yes' ELSE 'true' END)
+          WHEN 1 THEN (CASE WHEN (doc_id div 6) % 3 = 0 THEN substring(text, 1, 8)
+                            ELSE cast(n_chars AS string) END)
+          WHEN 2 THEN (CASE WHEN (doc_id div 6) % 3 = 0 THEN 'Jan 15' ELSE '2024-01-15' END)
+          WHEN 3 THEN substring(text, 1, 8)
+          WHEN 4 THEN 'opaque'
+          ELSE (CASE WHEN (doc_id div 6) % 3 = 0 THEN '3..14' ELSE '3.14' END)
+        END AS object_lexical""",
+        "CAST(NULL AS string) AS object_lang",
+        f"""CASE doc_id % 6
+          WHEN 0 THEN '{XSD}boolean'
+          WHEN 1 THEN '{XSD}integer'
+          WHEN 2 THEN '{XSD}date'
+          WHEN 3 THEN CAST(NULL AS string)
+          WHEN 4 THEN 'http://example.org/customType'
+          ELSE '{XSD}decimal'
+        END AS object_datatype""",
+    )
     rows = [
         ("f", "http://x/A", P, "literal", None, "true", None, XSD + "boolean"),
         ("f", "http://x/A", P, "literal", None, "0", None, XSD + "boolean"),
@@ -792,7 +917,7 @@ def quality_typed_literals_q(spark, sf_dir):
         # non-literal rows must be ignored by the audit
         ("f", "http://x/A", P, "iri", "http://x/B", None, None, None),
     ]
-    triples = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    triples = derived.unionByName(spark.createDataFrame(rows, TRIPLES_SCHEMA))
     return validate_typed_literals(triples)
 
 
