@@ -214,36 +214,61 @@ def ann_ivf_80k(spark):
     return ivf_topk_prebuilt(q, _ANN_STATE["index"], _ANN_STATE["centroids"], k=10, nprobe=8)
 
 
-def ann_pq_rerank_80k(spark):
-    """Product-quantization serving on the 80k corpus (round 5): trained
-    per-subspace codebooks (m=8, ksub=64) compress each 64-dim vector to 8
-    codes; serving is ADC shortlist(100) over the codes + exact re-rank of
-    the shortlist only — measured recall@10 = 1.000 against exact L2 on
-    this corpus (SCALE.md §pq).  Codebooks + codes build once (the offline
-    index artifact, ~45 s) and persist in _ANN_STATE; min-of-3 times the
-    steady-state two-stage serve."""
+def _ensure_ivf_pq_artifacts(spark):
+    """Build-once offline artifacts shared by the PQ rungs: trained
+    codebooks + codes (m=8, ksub=64) and the cell-keyed (cell, t_id,
+    codes) index joined from the IVF assignment — persisted in _ANN_STATE
+    (re-persisted on later calls; the bench's inter-query clearCache()
+    drops cache-manager state)."""
     from cell_kn_mvp_etl_ontologies_spark.operators.pq import (
-        pq_adc_rerank_topk,
         pq_encode_vectorized,
         pq_train_codebooks,
     )
 
     if "pq_codes" not in _ANN_STATE:
-        ann_ivf_80k(spark)  # shares the persisted corpus
+        ann_ivf_80k(spark)  # shares the persisted corpus + centroids + index
         corpus = _ANN_STATE["corpus"]
         books = pq_train_codebooks(corpus, m=8, ksub=64, n_iter=2).persist()
         books.count()
         codes = pq_encode_vectorized(corpus, books, m=8).persist()
         codes.count()
+        index_codes = (
+            _ANN_STATE["index"].select("cell", "t_id")
+            .join(codes, on="t_id")
+            .select("cell", "t_id", "codes")
+            .repartition(CPUS, "cell")
+            .persist()
+        )
+        index_codes.count()
         _ANN_STATE["pq_books"] = books
         _ANN_STATE["pq_codes"] = codes
+        _ANN_STATE["ivf_pq_index"] = index_codes
     else:
-        for key in ("corpus", "pq_books", "pq_codes"):
+        for key in ("corpus", "centroids", "pq_books", "pq_codes", "ivf_pq_index"):
             _ANN_STATE[key].persist()
+
+
+def ann_pq_rerank_80k(spark):
+    """Product-quantization serving on the 80k corpus: trained per-subspace
+    codebooks (m=8, ksub=64) compress each 64-dim vector to 8 codes;
+    serving is ADC shortlist(100) over the codes + exact re-rank of the
+    shortlist only — measured recall@10 = 1.000 against exact L2 on this
+    corpus (SCALE.md §pq).
+
+    Round 7 (VERDICT r6 #2 — the r6 2× band breach): the shortlist stage
+    now runs through the ROUTED cogroup (pq_adc_rerank_topk_routed,
+    nprobe = all 64 cells == exact full-ADC shortlist, bit-identical by
+    test) instead of the expression code-fetch + LUT-sum exchanges — the
+    same shape change that took IVF-PQ serving from 7.4 s to 1.5 s.  New
+    path, own BASELINE.md band.  Artifacts build once (~45 s) and persist;
+    min-of-3 times the steady-state two-stage serve."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import pq_adc_rerank_topk_routed
+
+    _ensure_ivf_pq_artifacts(spark)
     q = _ANN_STATE["corpus"].filter(F.col("vec_id") < 50)
-    return pq_adc_rerank_topk(
-        q, _ANN_STATE["corpus"], _ANN_STATE["pq_codes"], _ANN_STATE["pq_books"],
-        k=10, shortlist=100, m=8,
+    return pq_adc_rerank_topk_routed(
+        q, _ANN_STATE["corpus"], _ANN_STATE["ivf_pq_index"], _ANN_STATE["centroids"],
+        _ANN_STATE["pq_books"], k=10, shortlist=100, m=8,
     )
 
 
@@ -261,19 +286,7 @@ def ann_ivf_pq_80k(spark):
     the scale shape for both speed and the no-driver-term cost model."""
     from cell_kn_mvp_etl_ontologies_spark.operators.pq import ivf_pq_topk_routed
 
-    ann_pq_rerank_80k(spark)  # ensures corpus/centroids/index/books/codes
-    if "ivf_pq_index" not in _ANN_STATE:
-        index_codes = (
-            _ANN_STATE["index"].select("cell", "t_id")
-            .join(_ANN_STATE["pq_codes"], on="t_id")
-            .select("cell", "t_id", "codes")
-            .repartition(CPUS, "cell")
-            .persist()
-        )
-        index_codes.count()
-        _ANN_STATE["ivf_pq_index"] = index_codes
-    else:
-        _ANN_STATE["ivf_pq_index"].persist()
+    _ensure_ivf_pq_artifacts(spark)
     q = _ANN_STATE["corpus"].filter(F.col("vec_id") < 50)
     return ivf_pq_topk_routed(
         q,

@@ -1207,10 +1207,10 @@ def similarity_pq_adc_q(spark, sf_dir):
     return out.select("q_id", "t_id", "adc_dist", F.col("rnk").cast("long").alias("rnk"))
 
 
-@register(
-    "similarity_pq_recall",
-    oracle=_PQ_BASE_SQL
-    + """
+# Full-ADC recall@5 tail shared by the plain-PQ and OPQ recall audits:
+# score every code against the query LUTs, take ADC top-5, compare with
+# exact quantized-L2 top-5 per query.
+_PQ_RECALL_TAIL_SQL = """
     , scored AS (
       SELECT l.q_id, c.t_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
       FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
@@ -1245,7 +1245,12 @@ def similarity_pq_adc_q(spark, sf_dir):
     FROM exact_topk e
     LEFT JOIN adc_topk a ON a.q_id = e.q_id AND a.t_id = e.t_id
     GROUP BY e.q_id ORDER BY e.q_id
-    """,
+    """
+
+
+@register(
+    "similarity_pq_recall",
+    oracle=_PQ_BASE_SQL + _PQ_RECALL_TAIL_SQL,
 )
 def similarity_pq_recall_q(spark, sf_dir):
     """Recall@5 audit of PQ ADC scoring against exact quantized L2 — the
@@ -1350,9 +1355,11 @@ def similarity_pq_rerank_q(spark, sf_dir):
     return out.select("q_id", "t_id", "d", F.col("rnk").cast("long").alias("rnk"))
 
 
-_IVF_PQ_ORACLE = (
-    _PQ_BASE_SQL
-    + """
+# Routing + composed-ADC block shared by the IVF-PQ serving oracle and the
+# round-7 composed recall audit (one copy of the cosine cell routing,
+# candidate pruning, and ADC scoring — the recall oracle extends it with
+# the exact-quantized-L2 side).
+_IVF_PQ_ROUTING_SQL = """
     , norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
     cents AS (SELECT vec_id AS cell FROM corpus WHERE vec_id < 8),
     cdots AS (
@@ -1392,6 +1399,12 @@ _IVF_PQ_ORACLE = (
       GROUP BY l.q_id, c.t_id
       HAVING COUNT(*) = 4
     )
+"""
+
+_IVF_PQ_ORACLE = (
+    _PQ_BASE_SQL
+    + _IVF_PQ_ROUTING_SQL
+    + """
     SELECT q_id, t_id, adc_dist, CAST(rnk AS BIGINT) AS rnk FROM (
       SELECT q_id, t_id, adc_dist,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, t_id) AS rnk
@@ -1423,6 +1436,202 @@ def similarity_ivf_pq_q(spark, sf_dir):
     codes = pq_encode(em, books, m=4)
     out = ivf_pq_topk(q, em, centroids, books, k=3, nprobe=2, m=4, codes=codes)
     return out.select("q_id", "t_id", "adc_dist", F.col("rnk").cast("long").alias("rnk"))
+
+
+@register(
+    "similarity_ivf_pq_recall",
+    oracle=_PQ_BASE_SQL
+    + _IVF_PQ_ROUTING_SQL
+    + """
+    , adc_topk AS (
+      SELECT q_id, t_id FROM (
+        SELECT q_id, t_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, t_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ),
+    exact_d AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS t_id,
+             CAST(SUM((q.v - t.v) * (q.v - t.v)) AS BIGINT) AS d
+      FROM quant q JOIN quant t ON q.i = t.i
+      WHERE q.vec_id < 8 AND q.vec_id <> t.vec_id
+      GROUP BY q.vec_id, t.vec_id
+    ),
+    exact_topk AS (
+      SELECT q_id, t_id FROM (
+        SELECT q_id, t_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, t_id) AS rnk
+        FROM exact_d
+      ) WHERE rnk <= 5
+    )
+    SELECT e.q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.t_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+    FROM exact_topk e
+    LEFT JOIN adc_topk a ON a.q_id = e.q_id AND a.t_id = e.t_id
+    GROUP BY e.q_id ORDER BY e.q_id
+    """,
+)
+def similarity_ivf_pq_recall_q(spark, sf_dir):
+    """Recall@5 audit of the COMPOSED IVF-PQ rung (VERDICT r6 #4): the
+    production serving chain — cosine cell routing (nprobe=2) pruning
+    candidates, then ADC over 16-byte codes — measured against exact
+    quantized L2 top-5.  The per-stage audits (similarity_ann_recall for
+    the pruning, similarity_pq_recall for the quantization) cannot bound
+    the composition: its loss is the PRODUCT of a pruned candidate set
+    and quantized distances.  Both sides integer-deterministic, so the
+    per-query overlap profile is hash-gated — composed recall is measured
+    evidence, not a claim.  The recall-vs-nprobe curve is recorded in
+    SCALE.md §pq."""
+    from ..operators.pq import ivf_pq_topk, pq_encode, pq_subvector_rows
+    from ..operators.similarity import quantize_vec, sq_dist_long
+    from ..operators.windows import window_rank_topk as _topk
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120).select(
+        "vec_id", "embedding"
+    )
+    books = pq_subvector_rows(em.filter(F.col("vec_id") < 6), m=4).select(
+        "sub", F.col("id").cast("int").alias("cell"), F.col("sv").alias("cv")
+    )
+    centroids = em.filter(F.col("vec_id") < 8)
+    q = em.filter(F.col("vec_id") < 8)
+    codes = pq_encode(em, books, m=4)
+    adc = ivf_pq_topk(q, em, centroids, books, k=5, nprobe=2, m=4, codes=codes).select(
+        "q_id", "t_id"
+    )
+
+    qv = em.select("vec_id", quantize_vec(F.col("embedding")).alias("v"))
+    a = qv.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("va")
+    )
+    b = qv.select(F.col("vec_id").alias("t_id"), F.col("v").alias("vb"))
+    pairs = b.join(F.broadcast(a), on=F.lit(True)).filter(F.col("q_id") != F.col("t_id"))
+    exact_d = pairs.select(
+        "q_id", "t_id", sq_dist_long(F.col("va"), F.col("vb")).alias("d")
+    )
+    exact = _topk(exact_d, ["q_id"], [F.col("d").asc(), F.col("t_id").asc()], 5).select(
+        "q_id", "t_id"
+    )
+    joined = exact.alias("e").join(
+        adc.alias("a"),
+        (F.col("e.q_id") == F.col("a.q_id")) & (F.col("e.t_id") == F.col("a.t_id")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("e.q_id").alias("q_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.when(F.col("a.t_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .orderBy("q_id")
+    )
+
+
+# OPQ-lite base: same corpus/quant as _PQ_BASE_SQL, but subspace membership
+# comes from the TRAINED balanced-variance permutation (rank dims by the
+# integer variance numerator n·Σv²−(Σv)², deal round-robin: sub = rank % m)
+# instead of the contiguous (i-1)//16 split.  Positions within a subspace
+# don't affect ADC distances, so the replay only needs the sub map.
+_OPQ_BASE_SQL = """
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    dimvar AS (
+      SELECT i, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2 FROM quant GROUP BY i
+    ),
+    dimrank AS (
+      SELECT i, ROW_NUMBER() OVER (ORDER BY (n * s2 - s1 * s1) DESC, i ASC) - 1 AS r
+      FROM dimvar
+    ),
+    subs AS (
+      SELECT q.vec_id, CAST(d.r % 4 AS INT) AS sub, q.i, q.v
+      FROM quant q JOIN dimrank d USING (i)
+    ),
+    books AS (SELECT sub, CAST(vec_id AS INT) AS cell, i, v FROM subs WHERE vec_id < 6),
+    enc_d AS (
+      SELECT s.vec_id, s.sub, b.cell, CAST(SUM((s.v - b.v) * (s.v - b.v)) AS BIGINT) AS d
+      FROM subs s JOIN books b ON b.sub = s.sub AND b.i = s.i
+      GROUP BY s.vec_id, s.sub, b.cell
+    ),
+    codes AS (
+      SELECT vec_id AS t_id, sub, cell AS code FROM (
+        SELECT vec_id, sub, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+        FROM enc_d
+      ) WHERE rn = 1
+    ),
+    lut AS (SELECT vec_id AS q_id, sub, cell AS code, d FROM enc_d WHERE vec_id < 8)
+"""
+
+
+@register("similarity_opq_recall", oracle=_OPQ_BASE_SQL + _PQ_RECALL_TAIL_SQL)
+def similarity_opq_recall_q(spark, sf_dir):
+    """OPQ-lite recall@5 audit (VERDICT r6 #7): PQ with a TRAINED
+    balanced-variance axis permutation before the subspace split
+    (operators/pq.py opq_variance_permutation — rank dims by integer
+    variance, deal round-robin so each codebook quantizes an equal share
+    of the signal), A/B-comparable row-for-row against
+    ``similarity_pq_recall`` (same corpus, same fixed first-6-vector
+    codebooks, same exact ground truth — exact L2 is permutation-
+    invariant, so the ONLY difference is the subspace allocation).  The
+    permutation, encode, ADC, and overlap are all integer-deterministic
+    and hash-gated against the SQL replay of the same variance ranking.
+    Bench-scale A/B with trained codebooks is recorded in SCALE.md §pq."""
+    from ..operators.pq import (
+        opq_variance_permutation,
+        permute_vec,
+        pq_adc_topk,
+        pq_encode,
+        pq_subvector_rows,
+    )
+    from ..operators.similarity import quantize_vec, sq_dist_long
+    from ..operators.windows import window_rank_topk as _topk
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120).select(
+        "vec_id", "embedding"
+    )
+    perm = opq_variance_permutation(em, m=4)
+    pm = em.select("vec_id", permute_vec(F.col("embedding"), perm).alias("embedding"))
+    books = pq_subvector_rows(pm.filter(F.col("vec_id") < 6), m=4).select(
+        "sub", F.col("id").cast("int").alias("cell"), F.col("sv").alias("cv")
+    )
+    codes = pq_encode(pm, books, m=4)
+    adc = pq_adc_topk(pm.filter(F.col("vec_id") < 8), codes, books, k=5, m=4).select(
+        "q_id", "t_id"
+    )
+
+    qv = em.select("vec_id", quantize_vec(F.col("embedding")).alias("v"))
+    a = qv.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("va")
+    )
+    b = qv.select(F.col("vec_id").alias("t_id"), F.col("v").alias("vb"))
+    pairs = b.join(F.broadcast(a), on=F.lit(True)).filter(F.col("q_id") != F.col("t_id"))
+    exact_d = pairs.select(
+        "q_id", "t_id", sq_dist_long(F.col("va"), F.col("vb")).alias("d")
+    )
+    exact = _topk(exact_d, ["q_id"], [F.col("d").asc(), F.col("t_id").asc()], 5).select(
+        "q_id", "t_id"
+    )
+    joined = exact.alias("e").join(
+        adc.alias("a"),
+        (F.col("e.q_id") == F.col("a.q_id")) & (F.col("e.t_id") == F.col("a.t_id")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("e.q_id").alias("q_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.when(F.col("a.t_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .orderBy("q_id")
+    )
 
 
 def _pq_trained_oracle(m: int = 4, subdim: int = 16, ksub: int = 4, n_iter: int = 2) -> str:

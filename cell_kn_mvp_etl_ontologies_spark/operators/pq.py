@@ -443,6 +443,21 @@ def pq_adc_rerank_topk(
     short = pq_adc_topk(queries, codes, codebooks, shortlist, m=m, scale=scale).select(
         "q_id", "t_id"
     )
+    return _exact_rerank(short, queries, corpus, k, id_col, vec_col, scale)
+
+
+def _exact_rerank(
+    short: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> DataFrame:
+    """Shared stage-2 of the two-stage recipes: fetch full vectors for the
+    (q_id, t_id) shortlist only (a keyed join — at 100 TB a point-lookup
+    tier) and re-rank by exact quantized squared-L2, (d ASC, t_id ASC)."""
     t = corpus.select(
         F.col(id_col).alias("t_id"), quantize_vec(F.col(vec_col), scale).alias("vb")
     )
@@ -454,6 +469,98 @@ def pq_adc_rerank_topk(
     return window_rank_topk(
         scored, ["q_id"], [F.col("d").asc(), F.col("t_id").asc()], k, rank_col="rnk"
     )
+
+
+def pq_adc_rerank_topk_routed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    index_codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int,
+    shortlist: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Two-stage PQ serving with the ADC shortlist served through the
+    ROUTED cogroup (VERDICT r6 #2): stage 1 probes EVERY cell of the
+    (cell, t_id, codes) offline artifact — nprobe = n_cells makes the
+    routed scan cover the whole corpus, so the shortlist is bit-identical
+    to ``pq_adc_topk``'s (each t_id lives in exactly one cell, every cell
+    probed, same int64 LUT sums and (adc, t_id) tie-break; pinned by
+    test) — but the scoring runs as the per-cell numpy LUT gather that
+    took IVF-PQ from 7.4 s to 1.5 s on the 80k ladder, instead of the
+    candidate-scale keyed code-fetch + LUT-sum exchanges of the
+    expression path.  Stage 2 is the shared exact re-rank of the
+    shortlist alone.
+
+    The cells are a PARTITIONING device here, not a pruning device —
+    recall is the full-ADC-shortlist recall (1.000 after re-rank on the
+    80k corpus) regardless of the quantizer's quality; cell skew degrades
+    only balance, never results (SCALE.md §hot-cell)."""
+    n_cells = centroids.count()  # KB-scale frame; the always-legal collect
+    short = ivf_pq_topk_routed(
+        queries, index_codes, centroids, codebooks, k=shortlist,
+        nprobe=n_cells, m=m, scale=scale,
+    ).select("q_id", "t_id")
+    return _exact_rerank(short, queries, corpus, k, id_col, vec_col, scale)
+
+
+def opq_variance_permutation(
+    corpus: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> list[int]:
+    """OPQ-lite trained pre-rotation (VERDICT r6 #7): a balanced-variance
+    AXIS PERMUTATION chosen from the data, applied before the contiguous
+    subspace split — the integer-deterministic member of the OPQ family
+    (a full learned rotation would put float matmuls between the engines
+    and break hash-gating; sign flips are omitted because squared-L2 and
+    k-means are invariant under them).
+
+    Rationale: plain PQ quantizes CONTIGUOUS dim blocks, so if variance
+    is concentrated in a few adjacent dims one codebook carries most of
+    the signal while others quantize noise.  Ranking dims by variance and
+    dealing them round-robin across the m subspaces equalizes per-subspace
+    variance — the same allocation heuristic OPQ's permutation ancestor
+    uses (Ge et al., "Optimized Product Quantization", CVPR 2013, the
+    non-parametric init).
+
+    Deterministic and exactly replayable cross-engine: per-dim variance is
+    compared via the integer numerator n·Σv² − (Σv)² over the quantized
+    ints (no division), ties break on dim index ASC; rank r maps to
+    subspace r % m, slot r // m.  One corpus scan (posexplode + hash agg),
+    then a d-row collect — KB-scale.  Returns ``perm`` with
+    ``new[j] = old[perm[j]]`` for ``permute_vec``."""
+    q = corpus.select(
+        F.posexplode(quantize_vec(F.col(vec_col), scale)).alias("i", "v")
+    )
+    stats = q.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    rows = stats.select(
+        "i", (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("var_num")
+    ).collect()
+    order = sorted(rows, key=lambda r: (-r.var_num, r.i))
+    d = len(order)
+    if d % m != 0:
+        raise ValueError(f"opq_variance_permutation: dim {d} not divisible by m={m}")
+    subdim = d // m
+    dim_at_rank = [r.i for r in order]
+    # new position j = s*subdim + t holds the dim ranked r = t*m + s, so
+    # contiguous block s gets the balanced set {r ≡ s (mod m)}
+    return [dim_at_rank[(j % subdim) * m + (j // subdim)] for j in range(d)]
+
+
+def permute_vec(col: Column, perm: list[int]) -> Column:
+    """Apply an axis permutation to an array column: out[j] = col[perm[j]].
+    A d-element array constructor — pure codegen, no UDF."""
+    return F.array(*[col.getItem(int(p)) for p in perm])
 
 
 def ivf_pq_topk(

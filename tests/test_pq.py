@@ -410,3 +410,102 @@ def test_ivf_pq_routed_bit_identical_to_expression_path(spark):
             q, index_codes, cents, books, k=3, nprobe=nprobe, m=2,
         ).collect()))
         assert a == b and len(a) > 0, f"diverged at nprobe={nprobe}"
+
+
+def test_pq_rerank_routed_bit_identical_to_expression_shortlist(spark):
+    """Round 7 (VERDICT r6 #2): serving the ADC shortlist through the
+    routed cogroup (nprobe = n_cells probes every cell, so the shortlist
+    is the FULL-ADC shortlist) must reproduce pq_adc_rerank_topk exactly —
+    shortlist selection, exact re-rank distances, and rank order."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import (
+        pq_adc_rerank_topk,
+        pq_adc_rerank_topk_routed,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import ivf_assign
+
+    corpus = _vecs(spark, 40)
+    books = _fixed_codebooks(spark, corpus, m=2, ksub=5)
+    cents = corpus.filter(F.col("vec_id") < 3)
+    codes = pq_encode(corpus, books, m=2)
+    cells = ivf_assign(corpus, cents, nprobe=1).select(
+        F.col("vec_id").alias("t_id"), "cell"
+    )
+    index_codes = cells.join(codes, on="t_id").select("cell", "t_id", "codes")
+    q = corpus.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, pq_adc_rerank_topk(
+        q, corpus, codes, books, k=3, shortlist=8, m=2,
+    ).collect()))
+    b = sorted(map(tuple, pq_adc_rerank_topk_routed(
+        q, corpus, index_codes, cents, books, k=3, shortlist=8, m=2,
+    ).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_opq_variance_permutation_properties(spark):
+    """The balanced-variance permutation is a true permutation, allocates
+    the variance ranks round-robin across subspaces, and matches a plain
+    python reference on the same quantized ints."""
+    import numpy as np
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import (
+        opq_variance_permutation,
+        permute_vec,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import quantize_np
+
+    corpus = _vecs(spark, 30, d=8, seed=11)
+    m = 2
+    perm = opq_variance_permutation(corpus, m=m)
+    assert sorted(perm) == list(range(8))
+
+    # python reference: integer variance numerator, (-var, dim) order,
+    # rank r -> subspace r % m slot r // m
+    rows = corpus.collect()
+    V = np.stack([quantize_np(np.array(r.embedding, dtype=np.float64)) for r in rows])
+    n = V.shape[0]
+    var_num = n * (V.astype(object) ** 2).sum(axis=0) - (V.astype(object).sum(axis=0)) ** 2
+    order = sorted(range(8), key=lambda i: (-var_num[i], i))
+    subdim = 8 // m
+    want = [order[(j % subdim) * m + (j // subdim)] for j in range(8)]
+    assert perm == want
+
+    # each contiguous block of the permuted vector holds ranks {s mod m}
+    rank_of = {d: r for r, d in enumerate(order)}
+    for j, d in enumerate(perm):
+        assert rank_of[d] % m == j // subdim
+
+    # permute_vec applies out[j] = in[perm[j]]
+    got = corpus.select("vec_id", permute_vec(F.col("embedding"), perm).alias("p")).collect()
+    by_id = {r.vec_id: r.embedding for r in rows}
+    for r in got:
+        src = by_id[r.vec_id]
+        assert list(r.p) == [src[p] for p in perm]
+
+
+def test_opq_exact_distances_invariant_under_permutation(spark):
+    """Sanity of the A/B design: exact quantized L2 is permutation-
+    invariant, so plain and OPQ recall audits share one ground truth."""
+    import numpy as np
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.pq import (
+        opq_variance_permutation,
+        permute_vec,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        quantize_vec,
+        sq_dist_long,
+    )
+
+    corpus = _vecs(spark, 12, d=8, seed=3)
+    perm = opq_variance_permutation(corpus, m=2)
+    pm = corpus.select("vec_id", permute_vec(F.col("embedding"), perm).alias("embedding"))
+
+    def dists(df):
+        a = df.select(F.col("vec_id").alias("ai"), quantize_vec(F.col("embedding")).alias("va"))
+        b = df.select(F.col("vec_id").alias("bi"), quantize_vec(F.col("embedding")).alias("vb"))
+        out = a.join(b, F.col("ai") < F.col("bi")).select(
+            "ai", "bi", sq_dist_long(F.col("va"), F.col("vb")).alias("d")
+        )
+        return {(r.ai, r.bi): r.d for r in out.collect()}
+
+    assert dists(corpus) == dists(pm)
