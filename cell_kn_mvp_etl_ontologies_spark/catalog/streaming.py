@@ -849,3 +849,122 @@ def stream_ivf_pq_serve_q(spark, sf_dir):
         out.select("q_id", "t_id", "adc_dist", F.col("rnk").cast("long").alias("rnk")),
         root,
     )
+
+
+# --------------------------------------------------------------------------
+# stream_session_eviction — event-time session windows with watermark
+# eviction audited (VERDICT r6 #8: the last unaudited streaming-state
+# dimension)
+# --------------------------------------------------------------------------
+SESSION_GAP = "10 minutes"
+SESSION_WATERMARK = "30 minutes"
+
+
+def plant_session_eviction_scenario(spark) -> str:
+    """Plant the four-micro-batch session scenario under a fresh tmp dir
+    (one parquet file per batch, mtimes forced increasing so the file
+    source replays them in order with maxFilesPerTrigger=1).  The scenario
+    pins Spark's TWO-watermark design — late-event admission is judged by
+    the PREVIOUS batch's watermark, eviction by the batch's updated one
+    (measured empirically on this engine; numRowsDroppedByWatermark stays
+    0 until a row arrives a full batch after the watermark passed it):
+
+    - batch 0: A 10:00/10:05, B 10:02 — session state accumulates;
+    - batch 1: A 10:07 (merges) and far-future C 12:00, which advances
+      the eviction watermark to 11:30 for the NEXT batch;
+    - batch 2: B 10:04 — behind the 11:30 eviction watermark but judged
+      by the previous 9:35 admission watermark, so it MERGES (B's session
+      becomes [10:02, 10:14) n=2) before A and B finalize+evict at this
+      batch's end; C 12:05 keeps C's session open;
+    - batch 3: B 10:06 — now behind the 11:30 ADMISSION watermark too:
+      DROPPED (numRowsDroppedByWatermark=1; were it admitted it would
+      re-open a session for the already-emitted B and the append output
+      would double-count); C 12:10 extends C.
+
+    Append output = exactly A [10:00,10:17) n=3 and B [10:02,10:14) n=2;
+    C (still open) is withheld and its single row is all that remains in
+    state.  Returns the scenario root; events are under
+    ``<root>/events``."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="session_evict_")
+    ev_dir = root + "/events"
+    batches = [
+        [("A", "2024-03-01 10:00:00"), ("A", "2024-03-01 10:05:00"),
+         ("B", "2024-03-01 10:02:00")],
+        [("A", "2024-03-01 10:07:00"), ("C", "2024-03-01 12:00:00")],
+        [("B", "2024-03-01 10:04:00"), ("C", "2024-03-01 12:05:00")],
+        [("B", "2024-03-01 10:06:00"), ("C", "2024-03-01 12:10:00")],
+    ]
+    stamped: set[str] = set()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id string, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(ev_dir)
+        # FileStreamSource orders by (modification time, path): force a
+        # strictly increasing mtime per planted file so batch order is the
+        # scenario order regardless of filesystem timestamp granularity
+        for p in os.listdir(ev_dir):
+            if p.startswith("part-") and p.endswith(".parquet") and p not in stamped:
+                t = 1_000_000_000 + i * 100
+                os.utime(os.path.join(ev_dir, p), (t, t))
+                stamped.add(p)
+    return root
+
+
+def session_eviction_stream(spark, ev_dir: str):
+    """The audited streaming plan: one file per micro-batch, 30-minute
+    event-time watermark, 10-minute session windows, APPEND mode — sessions
+    emit exactly when the watermark passes their end, which is also the
+    moment their state rows evict."""
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    return (
+        stream.withWatermark("ts", SESSION_WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@register(
+    "stream_session_eviction",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('A', '2024-03-01 10:00:00', '2024-03-01 10:17:00', CAST(3 AS BIGINT)),
+      ('B', '2024-03-01 10:02:00', '2024-03-01 10:14:00', CAST(2 AS BIGINT))
+    ) AS t(user_id, session_start, session_end, n)
+    """,
+)
+def stream_session_eviction_q(spark, sf_dir):
+    """Event-time session windows under watermark EVICTION (VERDICT r6 #8):
+    unlike stream_window_session (complete mode, no late data), this gate
+    runs the planted four-batch scenario in APPEND mode where the output
+    is only right if the state machinery is — a session row appears iff
+    the eviction watermark passed its end (A, B), an in-grace late event
+    merges before finalization (B counts 2 — the two-watermark admission
+    rule), a post-grace late event is dropped (a second late B would
+    re-emit B and hash-mismatch), and a still-open session is withheld (C
+    never appears).  The VALUES oracle pins exactly that — eviction
+    semantics are not SQL-expressible, so the scenario is planted by
+    necessity; the state-size side of the audit (numRowsTotal drops to 1
+    after finalization, numRowsDroppedByWatermark counts the post-grace
+    event, batch-equality to window_sessionize over the admitted events)
+    is pinned in tests/test_streaming_eviction.py over the SAME planted
+    scenario and plan."""
+    from . import finish_and_clean
+
+    root = plant_session_eviction_scenario(spark)
+    agg = session_eviction_stream(spark, root + "/events")
+    out = run_stream_to_table(agg, output_mode="append")
+    result = out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n",
+    )
+    return finish_and_clean(result, root)

@@ -4,5 +4,6 @@ from .file_stream import (
     read_events_stream,
     run_stream_apply_changes,
     run_stream_to_table,
+    run_stream_to_table_with_metrics,
     run_stream_upsert,
 )

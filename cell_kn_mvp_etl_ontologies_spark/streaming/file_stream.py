@@ -149,6 +149,17 @@ def run_stream_apply_changes(
 def run_stream_to_table(df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Run a (bounded) stream to completion into a uniquely-named memory sink
     and return the sink table."""
+    return run_stream_to_table_with_metrics(df, output_mode)[0]
+
+
+def run_stream_to_table_with_metrics(
+    df: DataFrame, output_mode: str = "append"
+) -> tuple[DataFrame, list[dict]]:
+    """Like ``run_stream_to_table`` but also returns the per-micro-batch
+    progress dicts (``query.recentProgress``) — the state-store metrics
+    (`stateOperators[].numRowsTotal/numRowsRemoved/numRowsDroppedByWatermark`)
+    are the observable evidence that watermark eviction actually bounds
+    state (VERDICT r6 #8)."""
     name = f"stream_sink_{uuid.uuid4().hex[:12]}"
     query = (
         df.writeStream.format("memory")
@@ -158,4 +169,4 @@ def run_stream_to_table(df: DataFrame, output_mode: str = "append") -> DataFrame
         .start()
     )
     query.awaitTermination()
-    return df.sparkSession.table(name)
+    return df.sparkSession.table(name), list(query.recentProgress)
