@@ -69,6 +69,54 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
+    # ROUND 7 ROTATION (VERDICT.md r6 "Next round" #1, executing the plan
+    # precomputed last round): (a) the FOUR queries new this round
+    # (text_en stemmed search per VERDICT r6 #3, composed IVF-PQ recall
+    # audit per #4, OPQ-lite recall A/B per #7, session-window eviction
+    # audit per #8) and the THREE whose operator/oracle changed (one-pass
+    # corrupt routing per #5; lang-fallback + typed-literal gates rebased
+    # onto the sf documents table per #6), plus the RDF/XML scan pair —
+    # the parser's lang-tag lowercasing (ADVICE r6) is output-invariant on
+    # the fixtures but the operator changed, so they re-gate; (b) the three
+    # r2-only rows displaced last round; (c) the r3-verified backlog —
+    # the parser blast radius first (extract/build/flatten/sinks/meta),
+    # then alphabetical.  The 10 r3 rows that don't fit
+    # (sink_zorder_cluster, stream_cdc_apply, stream_dedup_watermark,
+    # text_bm25_topk, text_inverted_index, text_tokenize_stats,
+    # window_last_wins, window_rank_topk, window_running_sum,
+    # window_sessionize) stay r3-driver-green + local-r7-green; after this
+    # gate no catalog query has evidence older than r3.
+    #
+    # -- (a) new in round 7 + changed contracts --
+    "text_search_stemmed", "similarity_ivf_pq_recall", "similarity_opq_recall",
+    "stream_session_eviction", "source_jsonl_corrupt_routing",
+    "fn_label_lang_fallback", "quality_typed_literals",
+    "scan_rdf_triples", "scan_rdf_triples_split",
+    # -- (b) the three r2-only rows --
+    "sort_by_key", "dedup_embedding_cosine", "project_triple_nodes",
+    # -- (c) r3 backlog: parser blast radius first --
+    "extract_triples_owl", "graph_build_vertices", "graph_build_edges",
+    "join_flatten_restriction", "scan_xml_elements", "source_owl_datasource",
+    "pipeline_two_pass", "sink_graph_upsert", "sink_side_output_deprecated",
+    "source_http_versioned",
+    # -- (c) r3 backlog, alphabetical fill --
+    "agg_bitmap_overlap", "agg_dedup_edges", "agg_first_fallback_rootns",
+    "agg_funnel_steps", "agg_incremental_maintain", "agg_pivot_vertex_attrs",
+    "agg_retention_cohort", "agg_time_rollup", "cdc_snapshot_diff",
+    "contamination_ngram", "dedup_connected_components", "dedup_incremental_lsh",
+    "dedup_minhash_lsh", "filter_deprecated_obsolete",
+    "filter_predicate_ns_whitelist", "filter_valid_triple", "graph_pagerank",
+    "join_anti_new_only", "join_range_interval", "join_upsert",
+    "join_upsert_scd2", "multimodal_feature_extract", "pack_sequences_greedy",
+    "pipeline_incremental_graph", "quality_expectations",
+    "setop_intersect_except", "similarity_ann_lsh", "similarity_topk",
+    # ROUND-8 ROTATION PLAN (precomputed): after this gate the stalest
+    # driver evidence is the 10 deferred r3 rows named above plus the 49
+    # r4-verified rows — give the r8 prefix to exactly those 10 + the ~40
+    # stalest r4 rows (CORRECTNESS_r04.json keys, alphabetical), and as
+    # always any query whose operator or oracle changes in round 8 jumps
+    # to the head.
+    # ------------------------------------------------------------------
     # ROUND 6 ROTATION (VERDICT.md r5, "Next round: do this" #1): the 50-slot
     # prefix is (a) the EIGHT round-5 late additions that were the only
     # catalog queries without driver evidence, (b) the NINE queries NEW in
