@@ -104,6 +104,17 @@ WAIVERS: dict[str, set[str]] = {
     # serving itself is the cell-keyed cogroup, no data-scale cross
     # product.
     "similarity_ivf_pq_routed": {"CARTESIAN"},
+    # (round 7) the composed recall audit runs TWO full pipelines by
+    # design — the IVF-PQ serving chain (routing + ADC, the
+    # similarity_ivf_pq exchange set) AND the exact-L2 ground truth whose
+    # 8-query side broadcasts (the similarity_pq_recall waiver pattern);
+    # the exchange count is the sum of both, not a scale smell.
+    "similarity_ivf_pq_recall": {"CARTESIAN", "MANY_EXCH"},
+    # (round 7) the OPQ A/B recall gate: same exact-GT 8-query broadcast
+    # as similarity_pq_recall; the variance-ranked permutation itself is
+    # one hash aggregate + a d-row collect, and encode/ADC are keyed
+    # equi-joins.
+    "similarity_opq_recall": {"CARTESIAN"},
 }
 
 
