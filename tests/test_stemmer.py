@@ -100,3 +100,31 @@ def test_analyze_text_en_rows(spark):
     out = analyze_text_en(df, "text")
     got = {(r.id, r.stem) for r in out.collect()}
     assert got == {(1, "merg"), (1, "the"), (1, "caress"), (2, "happi"), (2, "poni")}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_token = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=14)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_token, min_size=1, max_size=30, unique=True))
+def test_stemmer_dialects_agree_property(spark, words):
+    """Property pin of the dual-dialect contract: for ARBITRARY lowercase
+    ASCII tokens (not just the golden list), the Spark staged chain and the
+    DuckDB CTE rendering of the same rule table produce identical stems."""
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    spark_stems = {r.tok: r.stem for r in stem_tokens(df, "tok").collect()}
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = (
+        f"WITH q AS (SELECT tok AS word, tok FROM (VALUES {vals}) v(tok)), "
+        + stem_chain_ctes("q", "tok", "out", "duckdb")
+        + " SELECT word, stem FROM out"
+    )
+    duck_stems = dict(duckdb.sql(sql).fetchall())
+    assert duck_stems == spark_stems
