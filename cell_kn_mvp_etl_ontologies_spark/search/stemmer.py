@@ -69,29 +69,32 @@ def step1a_sql(c: str, dialect: str) -> str:
 
 
 def step1b_sql(c: str, dialect: str) -> str:
-    """Porter 1b strip: (VC)EED→EE; (*v*)ED→∅; (*v*)ING→∅.  A stripped
-    ED/ING is marked with a '+' sentinel so the NEXT stage applies the
-    1b fixups only when a strip actually happened (a 'mitt' must not be
-    undoubled)."""
+    """Porter 1b strip: (VC)EED→EE; (*v*)ED→∅; (*v*)ING→∅.  EVERY output
+    is prefixed with a one-char marker — '+' when an ED/ING strip happened
+    (the NEXT stage must apply the 1b fixups; a 'mitt' must not be
+    undoubled), '-' otherwise — so a RAW token that happens to start with
+    '+' can never impersonate a marked strip (the fixup stage always
+    removes exactly one marker char)."""
     return (
         f"CASE WHEN {_m(c, '[aeiou][^aeiou][a-z]*eed$', dialect)} "
-        f"THEN regexp_replace({c}, 'eed$', 'ee') "
+        f"THEN '-' || regexp_replace({c}, 'eed$', 'ee') "
         # longest-suffix-match: an EED that fails the m>0 guard (feed)
         # STOPS here — it must not fall through to the ED rule
-        f"WHEN {_m(c, 'eed$', dialect)} THEN {c} "
+        f"WHEN {_m(c, 'eed$', dialect)} THEN '-' || {c} "
         f"WHEN {_m(c, '[aeiou][a-z]*ed$', dialect)} "
         f"THEN '+' || regexp_replace({c}, 'ed$', '') "
         f"WHEN {_m(c, '[aeiou][a-z]*ing$', dialect)} "
         f"THEN '+' || regexp_replace({c}, 'ing$', '') "
-        f"ELSE {c} END"
+        f"ELSE '-' || {c} END"
     )
 
 
 def step1b_fixup_sql(c: str, dialect: str) -> str:
-    """Porter 1b fixups on sentinel-marked strips: AT/BL/IZ → +'e';
-    double consonant (not l/s/z) → single; else drop the sentinel."""
+    """Porter 1b fixups on '+'-marked strips: AT/BL/IZ → +'e'; double
+    consonant (not l/s/z) → single.  Always removes exactly the one
+    marker char step1b prefixed ('-'-marked tokens pass through)."""
     return (
-        f"CASE WHEN {c} NOT LIKE '+%' THEN {c} "
+        f"CASE WHEN {c} LIKE '-%' THEN substr({c}, 2, length({c}) - 1) "
         f"WHEN {_m(c, '(at|bl|iz)$', dialect)} "
         f"THEN substr({c}, 2, length({c}) - 1) || 'e' "
         f"WHEN {_m(c, _DOUBLE, dialect)} THEN substr({c}, 2, length({c}) - 2) "

@@ -105,7 +105,9 @@ def test_analyze_text_en_rows(spark):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-_token = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=14)
+# includes '+'/'-' (the step-1b marker chars — a raw token starting with
+# them must never be mistaken for a marked strip) and digits
+_token = st.text(alphabet="abcdefghijklmnopqrstuvwxyz+-0123456789", min_size=1, max_size=14)
 
 
 @settings(
