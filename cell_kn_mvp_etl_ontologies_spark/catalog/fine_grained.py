@@ -506,6 +506,90 @@ def text_search_stemmed_q(spark, sf_dir):
     )
 
 
+def _four_analyzer_oracle() -> str:
+    """DuckDB replay of all FOUR view analyzers over the same bounded
+    field slice: identity, text_en_no_stem (lowercase + whitespace),
+    text_en (the shared stem rule chain), and the 3-4 char n-gram with
+    preserveOriginal."""
+    from ..search.stemmer import stem_chain_ctes
+
+    stem_chain = stem_chain_ctes("toks", "tok", "stems", "duckdb", prefix="__fa")
+    return f"""
+    WITH src AS (
+      SELECT doc_id, substring(text, 1, 30) AS s FROM documents WHERE doc_id < 40
+    ),
+    toks AS (
+      SELECT doc_id, t.tok FROM (SELECT doc_id, lower(s) AS ls FROM src) l,
+        LATERAL unnest(string_split_regex(ls, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), {stem_chain},
+    grams AS (
+      SELECT doc_id, substring(s, i, 3) AS g
+      FROM src, generate_series(1, 28) t(i) WHERE i <= greatest(length(s) - 2, 0)
+      UNION ALL
+      SELECT doc_id, substring(s, i, 4) AS g
+      FROM src, generate_series(1, 27) t(i) WHERE i <= greatest(length(s) - 3, 0)
+      UNION ALL
+      SELECT doc_id, s AS g FROM src
+    ),
+    tagged AS (
+      SELECT 'identity' AS analyzer, doc_id, s AS token FROM src
+      UNION ALL
+      SELECT 'text_en_no_stem', doc_id, tok FROM toks
+      UNION ALL
+      SELECT 'text_en', doc_id, stem FROM stems
+      UNION ALL
+      SELECT 'n-gram', doc_id, g FROM grams
+    )
+    SELECT analyzer,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT (token, doc_id)) AS BIGINT) AS n_postings
+    FROM tagged GROUP BY analyzer
+    """
+
+
+@register("text_view_four_analyzers", oracle=_four_analyzer_oracle())
+def text_view_four_analyzers_q(spark, sf_dir):
+    """The reference view links exactly FOUR analyzers per field —
+    "text_en", "text_en_no_stem", "n-gram", "identity"
+    (ArangoDbUtilities.java:301) — and with the round-7 stemmer the repo
+    covers all four: this capstone builds the per-analyzer index digest
+    (distinct tokens, distinct postings) over one bounded field slice, so
+    full view-linkage parity is one hash-gated query instead of an
+    inference across three.  Each analyzer is a stateless per-row/token
+    expansion (codegen, no UDF); the only shuffle is the digest's
+    distinct-aggregate."""
+    from ..search.analyzers import char_ngrams
+    from ..search.stemmer import analyze_text_en
+
+    src = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.substring("text", 1, 30).alias("s"))
+    )
+    identity = src.select(
+        F.lit("identity").alias("analyzer"), "doc_id", F.col("s").alias("token")
+    )
+    no_stem = src.select(
+        F.lit("text_en_no_stem").alias("analyzer"),
+        "doc_id",
+        F.explode(text_en_no_stem_tokens(F.col("s"))).alias("token"),
+    ).filter(F.col("token") != "")
+    stemmed = analyze_text_en(src, "s", "token").select(
+        F.lit("text_en").alias("analyzer"), "doc_id", "token"
+    )
+    grams = src.select(
+        F.lit("n-gram").alias("analyzer"),
+        "doc_id",
+        F.explode(char_ngrams(F.col("s"), 3, 4, preserve_original=True)).alias("token"),
+    )
+    tagged = identity.unionByName(no_stem).unionByName(stemmed).unionByName(grams)
+    return tagged.groupBy("analyzer").agg(
+        F.countDistinct("token").cast("long").alias("n_tokens"),
+        F.countDistinct("token", "doc_id").cast("long").alias("n_postings"),
+    )
+
+
 @register(
     "sink_bucketed_table",
     oracle="""
