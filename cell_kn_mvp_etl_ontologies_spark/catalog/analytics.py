@@ -1043,3 +1043,58 @@ def join_asof_forward_q(spark, sf_dir):
         # they disagree on sub-second offsets; microseconds have no rounding)
         F.expr("timestampdiff(MICROSECOND, ts, next_purchase_at)").cast("long").alias("wait_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_kcore — k-core membership by fixed-round peeling (round 7)
+# --------------------------------------------------------------------------
+def _kcore_oracle(k: int = 20, n_rounds: int = 3) -> str:
+    """Unroll the fixed-round peel as chained CTEs (the pq_train/pagerank
+    unroll doctrine): per round, a degree aggregate, a keep set, and a
+    double endpoint join."""
+    parts = [
+        """
+    WITH raw AS (
+      SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 1500 AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    und0 AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw)"""
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f""",
+    deg{r} AS (SELECT src AS v, COUNT(*) AS deg FROM und{r} GROUP BY src),
+    keep{r} AS (SELECT v FROM deg{r} WHERE deg >= {k}),
+    und{r + 1} AS (
+      SELECT e.src, e.dst FROM und{r} e
+      JOIN keep{r} k1 ON e.src = k1.v
+      JOIN keep{r} k2 ON e.dst = k2.v
+    )"""
+        )
+        parts.append("")
+    parts.append(
+        f"""
+    SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM und{n_rounds} GROUP BY src"""
+    )
+    return "".join(parts)
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore_q(spark, sf_dir):
+    """k-core cohesion screen (plans/graph_query.py kcore_vertices): the
+    standard dense-subgraph filter a training-data pipeline uses to keep
+    mutually-interacting entities and shed the sparse periphery — here the
+    20-core of the supplier–part co-purchase graph, peeled for a FIXED 3
+    rounds (the bounded-loop doctrine: the unrolled-CTE oracle replays
+    every round, and on this graph the peel converges at round 1, so the
+    two extra rounds hash-gate fixpoint stability too).  Survivors carry
+    their in-core degree."""
+    from ..plans.graph_query import kcore_vertices
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("dst"),
+    )
+    return kcore_vertices(edges, k=20, n_rounds=3)

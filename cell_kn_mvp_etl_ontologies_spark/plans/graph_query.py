@@ -303,3 +303,55 @@ def bfs_distances(
         if (i + 1) % checkpoint_every == 0 and i != max_hops - 1:
             cur = cur.localCheckpoint(eager=True)
     return cur
+
+
+def kcore_vertices(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core membership by fixed-round peeling over an UNDIRECTED simple
+    graph: each round drops every vertex with degree < ``k`` (and its
+    edges); with ``n_rounds`` ≥ the graph's peel depth the fixpoint is the
+    exact k-core — the standard cohesion screen (spam/fraud subgraph
+    pruning, mutual-interaction cores in training-data curation).
+
+    The round count is FIXED, not run-to-convergence, so the computation
+    unrolls to a deterministic chained-CTE SQL replay (the
+    pq_train/pagerank doctrine: bounded loops, oracle-exact); callers pin
+    convergence by checking one extra round changes nothing
+    (tests/test_analytics_ops.py does).  Input edges are canonicalized
+    here: self-loops dropped, then symmetrized + dedup'd, so degree =
+    distinct-neighbor count.
+
+    Scale shape: per round one degree aggregate (map-side combining; the
+    frame is O(live vertices)) and one double semi-join of the live edge
+    list against the keep set — 3 keyed shuffles per round, nothing wider
+    than the live edge list, localCheckpoint every 2 rounds truncates
+    lineage exactly like pagerank_integer/bfs_distances above.  Output:
+    (v, deg BIGINT) for the surviving vertices with their in-core degree.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    for r in range(n_rounds):
+        deg = und.groupBy(F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        und = und.join(
+            keep.withColumnRenamed("v", "src"), on="src", how="left_semi"
+        ).join(keep.withColumnRenamed("v", "dst"), on="dst", how="left_semi")
+        if (r + 1) % 2 == 0 and r != n_rounds - 1:
+            und = und.localCheckpoint(eager=True)
+    return und.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )

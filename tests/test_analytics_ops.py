@@ -227,3 +227,46 @@ def test_gap_fill_null_text_and_fuzzy_null_safety(spark):
     assert pairs == {(1, 2)}
     spans = duplicated_span_hashes(docs, "text", "doc_id", window_tokens=3)
     assert not any(r.first_doc == 3 for r in spans.collect())
+
+
+def test_kcore_matches_python_reference_and_converges(spark):
+    """kcore_vertices equals a plain python peeling reference on a small
+    random graph, and one extra round past convergence changes nothing
+    (the property the fixed-round catalog gate leans on)."""
+    import random
+
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import kcore_vertices
+
+    rnd = random.Random(7)
+    raw = {(rnd.randrange(30), rnd.randrange(30)) for _ in range(160)}
+    raw = [(a, b) for a, b in raw if a != b]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+
+    # python reference: peel to fixpoint, then report in-core degrees
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in raw:
+        adj[a].add(b)
+        adj[b].add(a)
+    k = 4
+    live = set(adj)
+    rounds = 0
+    while True:
+        drop = {v for v in live if sum(1 for n in adj[v] if n in live) < k}
+        if not drop:
+            break
+        live -= drop
+        rounds += 1
+    want = {
+        v: sum(1 for n in adj[v] if n in live) for v in live
+    }
+
+    n_rounds = rounds + 1  # one spare round => exact fixpoint
+    got = {r.v: r.deg for r in kcore_vertices(edges, k=k, n_rounds=n_rounds).collect()}
+    assert got == want
+    # stability: a further round is a no-op
+    again = {r.v: r.deg for r in kcore_vertices(edges, k=k, n_rounds=n_rounds + 1).collect()}
+    assert again == got
+    # and every survivor meets the core condition
+    assert all(d >= k for d in got.values()) or got == {}
