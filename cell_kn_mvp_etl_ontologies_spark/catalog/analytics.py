@@ -1098,3 +1098,66 @@ def graph_kcore_q(spark, sf_dir):
         (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("dst"),
     )
     return kcore_vertices(edges, k=20, n_rounds=3)
+
+
+# --------------------------------------------------------------------------
+# text_lm_bigram_score — bigram-LM transition plausibility, integer-exact
+# --------------------------------------------------------------------------
+@register(
+    "text_lm_bigram_score",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '[\\s\x1f]+'),
+                         t -> t <> '') AS ws
+      FROM documents
+    ),
+    bi AS (
+      -- constant series + length filter: DuckDB's generate_series cannot
+      -- take lateral column bounds; 511 comfortably exceeds the corpus's
+      -- 100-token max (and the engine-side contract is unbounded anyway)
+      SELECT id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM base, generate_series(1, 511) t(i)
+      WHERE i <= len(ws) - 1
+    ),
+    b2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS freq2 FROM bi GROUP BY w1, w2),
+    b1 AS (SELECT w1 AS tok, CAST(COUNT(*) AS BIGINT) AS freq1 FROM bi GROUP BY w1),
+    scored AS (
+      SELECT bi.id, f2.freq2, f1.freq1
+      FROM bi JOIN b2 f2 USING (w1, w2) JOIN b1 f1 ON bi.w1 = f1.tok
+    ),
+    per_doc AS (
+      SELECT id,
+        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(0 AS BIGINT) AS oov_bigrams,
+        CAST(SUM(CAST(FLOOR(log2(freq2)) AS BIGINT)) AS BIGINT) AS pair_bits,
+        CAST(SUM(CAST(FLOOR(log2(freq2)) AS BIGINT)
+                 - CAST(FLOOR(log2(freq1)) AS BIGINT)) AS BIGINT) AS cond_bits
+      FROM scored GROUP BY id
+    )
+    SELECT id, n_bigrams, oov_bigrams, pair_bits, cond_bits,
+      CASE WHEN n_bigrams >= 1
+           THEN CAST(FLOOR(cond_bits * 1000 / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS mean_cond_millibits
+    FROM per_doc
+    UNION ALL
+    SELECT id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM base WHERE len(ws) < 2
+    """,
+)
+def text_lm_bigram_score_q(spark, sf_dir):
+    """Bigram-LM transition plausibility (operators/text_analysis.py
+    bigram_lm_scores): the curation signal unigram scoring cannot see —
+    common words in implausible ORDER score low here.  Each adjacent pair
+    contributes floor(log2 c(w1,w2)) pair bits and the integer conditional
+    floor(log2 c(w1,w2)) − floor(log2 c(w1)) bits (≈ log2 P(w2|w1), c(w1)
+    counted as a bigram CONTEXT).  Self-scoring pass (vocabs = the
+    corpus's own counts, oov 0 by construction); the operator also takes
+    frozen bigram/unigram vocab tables for scoring new documents.  Pair
+    extraction is order-preserving pure codegen (filter + slice + zip +
+    explode); the oracle replays it with list indexing."""
+    from ..operators.text_analysis import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "text", "doc_id")

@@ -266,3 +266,114 @@ def unigram_lm_scores(
         "mean_millibits",
         F.floor(F.col("score_bits") * 1000 / F.col("n_tokens")).cast("long"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bigram_vocab: DataFrame | None = None,
+    unigram_vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document BIGRAM language-model quality proxy, integer-exact —
+    the transition-plausibility upgrade of ``unigram_lm_scores`` (round 7):
+    a document of common words in an implausible ORDER ("the the of and")
+    scores high under a unigram model but low here.
+
+    Doctrine unchanged: integer-quantized log-probabilities so the score
+    is bit-exact across engines and reduction orders.  Each adjacent token
+    pair (w1, w2) contributes ``floor(log2(c2(w1,w2)))`` pair bits and
+    ``floor(log2(c2(w1,w2))) - floor(log2(c1(w1)))`` conditional bits —
+    the latter an integer quantization of log2 P(w2|w1), negative when the
+    transition is rarer than its context is common.  floor(log2(int)) is
+    exact (log2 lands on an integer only at powers of two, computed
+    exactly), and the conditional difference stays in int64.
+
+    Tokenization matches the whole text-analysis surface (lowercase,
+    ``[\\s\\x1f]+`` split, empties dropped ORDER-PRESERVINGLY via a
+    filter on the token array — the pairing is over the cleaned sequence).
+    ``bigram_vocab`` (w1, w2, freq) / ``unigram_vocab`` (tok, freq)
+    default to the corpus's own counts (self-scoring pass, oov 0 by
+    construction); pass frozen tables to score new documents — unseen
+    pairs count as ``oov_bigrams`` and contribute 0 to both sums.
+
+    Shape: bigram extraction is one codegen map (filter + slice + zip +
+    explode — the token arrays never shuffle); one shuffle each for the
+    two vocab builds; the score joins key on (w1, w2) and w1; the doc
+    rollup keys on id.  At 100 TB broadcast or bucket the frozen vocabs
+    (real-text bigram vocabularies are ~100M rows — bucketed, not
+    broadcast).
+
+    Output: (id, n_bigrams, oov_bigrams, pair_bits, cond_bits,
+    mean_cond_millibits) — docs with fewer than two tokens carry zeros.
+    """
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[\s\x1f]+"), lambda t: t != ""
+    )
+    n = F.size(ws)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(ws, 1, n - 1).alias("w1"), F.slice(ws, 2, n - 1).alias("w2")
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    base = df.select(F.col(id_col).alias("id"), pairs.alias("ps"))
+    bi = base.select(
+        "id", F.explode_outer("ps").alias("p")
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # explode_outer keeps sub-2-token docs as a NULL pair row so they
+    # surface with zero counts instead of vanishing
+    if bigram_vocab is None:
+        bigram_vocab = (
+            bi.filter(F.col("w1").isNotNull())
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq2"))
+        )
+    else:
+        missing = {"w1", "w2", "freq"} - set(bigram_vocab.columns)
+        if missing:
+            raise ValueError(
+                f"bigram_lm_scores: bigram_vocab needs (w1, w2, freq); missing {sorted(missing)}"
+            )
+        bigram_vocab = bigram_vocab.select(
+            "w1", "w2", F.col("freq").cast("long").alias("freq2")
+        ).filter(F.col("freq2") >= 1)
+    if unigram_vocab is None:
+        unigram_vocab = (
+            bi.filter(F.col("w1").isNotNull())
+            .groupBy(F.col("w1").alias("tok"))
+            .agg(F.count(F.lit(1)).cast("long").alias("freq1"))
+        )
+    else:
+        missing = {"tok", "freq"} - set(unigram_vocab.columns)
+        if missing:
+            raise ValueError(
+                f"bigram_lm_scores: unigram_vocab needs (tok, freq); missing {sorted(missing)}"
+            )
+        unigram_vocab = unigram_vocab.select(
+            "tok", F.col("freq").cast("long").alias("freq1")
+        ).filter(F.col("freq1") >= 1)
+    scored = bi.join(bigram_vocab, ["w1", "w2"], "left").join(
+        unigram_vocab, bi["w1"] == unigram_vocab["tok"], "left"
+    )
+    known = F.col("freq2").isNotNull() & F.col("freq1").isNotNull()
+    pair_bits = F.when(known, F.floor(F.log2("freq2")).cast("long")).otherwise(F.lit(0))
+    cond_bits = F.when(
+        known,
+        (F.floor(F.log2("freq2")) - F.floor(F.log2("freq1"))).cast("long"),
+    ).otherwise(F.lit(0))
+    per_doc = scored.groupBy("id").agg(
+        F.sum(F.when(F.col("w1").isNotNull(), 1).otherwise(0)).cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("w1").isNotNull() & ~known, 1).otherwise(0))
+        .cast("long")
+        .alias("oov_bigrams"),
+        F.sum(pair_bits).cast("long").alias("pair_bits"),
+        F.sum(cond_bits).cast("long").alias("cond_bits"),
+    )
+    return per_doc.withColumn(
+        "mean_cond_millibits",
+        F.when(
+            F.col("n_bigrams") >= 1,
+            F.floor(F.col("cond_bits") * 1000 / F.col("n_bigrams")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )

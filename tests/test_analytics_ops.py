@@ -270,3 +270,72 @@ def test_kcore_matches_python_reference_and_converges(spark):
     assert again == got
     # and every survivor meets the core condition
     assert all(d >= k for d in got.values()) or got == {}
+
+
+def test_bigram_lm_scores_python_reference_and_ordering_signal(spark):
+    """bigram_lm_scores matches a plain python reference, and a shuffled-
+    word doc (same unigram profile, implausible transitions) scores below
+    its natural twin — the signal unigram scoring cannot see."""
+    import math
+    from collections import Counter
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.text_analysis import (
+        bigram_lm_scores,
+        unigram_lm_scores,
+    )
+
+    natural = "the cat sat on the mat and the cat ran to the mat"
+    shuffled = "the the the cat cat mat on sat and ran to mat the"  # same bag of words
+    docs = [
+        (1, natural), (2, natural), (3, natural),  # plausible transitions dominate
+        (4, shuffled),
+        (5, "solo"),  # < 2 tokens: zero row, not a crash
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.id: r.asDict() for r in bigram_lm_scores(df, "text", "doc_id").collect()}
+
+    # python reference (same tokenization + counts-as-context conditional)
+    toks = {i: [t for t in text.lower().split() if t] for i, text in docs}
+    bis = {i: list(zip(ws, ws[1:])) for i, ws in toks.items()}
+    c2 = Counter(p for ps in bis.values() for p in ps)
+    c1 = Counter(p[0] for ps in bis.values() for p in ps)
+    for i, ps in bis.items():
+        want_pair = sum(math.floor(math.log2(c2[p])) for p in ps)
+        want_cond = sum(
+            math.floor(math.log2(c2[p])) - math.floor(math.log2(c1[p[0]])) for p in ps
+        )
+        assert got[i]["n_bigrams"] == len(ps)
+        assert got[i]["oov_bigrams"] == 0
+        assert got[i]["pair_bits"] == want_pair, i
+        assert got[i]["cond_bits"] == want_cond, i
+    assert got[5] == {
+        "id": 5, "n_bigrams": 0, "oov_bigrams": 0, "pair_bits": 0,
+        "cond_bits": 0, "mean_cond_millibits": 0,
+    }
+    # the ordering signal: shuffled doc scores below its natural twin...
+    assert got[4]["mean_cond_millibits"] < got[1]["mean_cond_millibits"]
+    # ...while the unigram score cannot tell them apart (same token bag,
+    # modulo one token count difference from identical length)
+    uni = {r.id: r.score_bits for r in unigram_lm_scores(df, "text", "doc_id").collect()}
+    assert uni[4] == uni[1]
+
+
+def test_bigram_lm_scores_frozen_vocab_oov(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma zzz")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [("alpha", "beta", 4), ("beta", "gamma", 2)], "w1 string, w2 string, freq long"
+    )
+    b1 = spark.createDataFrame(
+        [("alpha", 8), ("beta", 2)], "tok string, freq long"
+    )
+    row = bigram_lm_scores(df, "text", "doc_id", b2, b1).collect()[0]
+    # (alpha,beta): pair 2, cond 2-3=-1; (beta,gamma): pair 1, cond 1-1=0;
+    # (gamma,zzz): OOV
+    assert row.n_bigrams == 3 and row.oov_bigrams == 1
+    assert row.pair_bits == 3 and row.cond_bits == -1
