@@ -1161,3 +1161,64 @@ def text_lm_bigram_score_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return bigram_lm_scores(docs, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# join_asof_nearest — closest-event alignment within a tolerance
+# --------------------------------------------------------------------------
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 50 = 0
+    ),
+    r AS (
+      SELECT user_id, ts AS t, MIN(event_id) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, CAST(e.user_id AS BIGINT) AS user_id,
+      (SELECT r.v FROM r
+        WHERE r.user_id = e.user_id
+          AND abs(date_diff('microsecond', e.ts, r.t)) <= 86400000000
+        ORDER BY abs(date_diff('microsecond', e.ts, r.t)) ASC,
+                 CASE WHEN r.t <= e.ts THEN 0 ELSE 1 END ASC
+        LIMIT 1) AS near_purchase,
+      (SELECT CAST(abs(date_diff('microsecond', e.ts, r.t)) AS BIGINT) FROM r
+        WHERE r.user_id = e.user_id
+          AND abs(date_diff('microsecond', e.ts, r.t)) <= 86400000000
+        ORDER BY abs(date_diff('microsecond', e.ts, r.t)) ASC,
+                 CASE WHEN r.t <= e.ts THEN 0 ELSE 1 END ASC
+        LIMIT 1) AS near_dist_us
+    FROM ev e
+    """,
+)
+def join_asof_nearest_q(spark, sf_dir):
+    """Nearest as-of (operators/asof.py join_asof_nearest): each sampled
+    event matched to the same user's CLOSEST purchase event in either
+    direction, within a 1-day tolerance — merge_asof(direction='nearest')
+    semantics with the stated tie rule (equal distance → backward).  One
+    union + one keyed exchange feeding two sorts, never a range cross
+    product; the oracle is an independent correlated-subquery formulation
+    so the gate cross-checks semantics, not implementation."""
+    from ..operators.asof import join_asof_nearest
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 50 == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("t"), F.col("event_id").alias("p_id"))
+    )
+    out = join_asof_nearest(
+        ev, purchases, on="user_id", left_time="ts", right_time="t",
+        right_value="p_id", tolerance_seconds=86400, out_col="near_purchase",
+    )
+    return out.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("near_purchase").cast("long").alias("near_purchase"),
+        F.col("near_purchase_dist_us").alias("near_dist_us"),
+    )

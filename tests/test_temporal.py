@@ -176,3 +176,41 @@ def test_ema_integer_exact_beyond_double_precision(spark):
         s = e + v
         e = s // 2 if s >= 0 else -((-s) // 2)  # truncate toward zero
     assert (r.n_events, r.ema_units) == (3, e)
+
+
+def test_join_asof_nearest_tie_and_tolerance(spark):
+    """Nearest as-of: picks the closer side, resolves exact-distance ties
+    BACKWARD, respects the tolerance, and dedups right rows per (key, time)
+    keeping the min value."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.asof import join_asof_nearest
+
+    L = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"),   # backward at 30s, forward at 31s -> backward
+         (2, 1, "2024-01-01 11:00:00"),   # exact tie 60s both sides -> backward
+         (3, 1, "2024-01-01 12:00:00"),   # only forward inside tolerance
+         (4, 1, "2024-01-02 12:00:00"),   # nothing within tolerance
+         (5, 2, "2024-01-01 10:00:00")],  # other key: equal-time dup rows -> min value
+        "event_id long, k long, ts_s string",
+    ).select("event_id", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    R = spark.createDataFrame(
+        [(1, "2024-01-01 09:59:30", 100),
+         (1, "2024-01-01 10:00:31", 101),
+         (1, "2024-01-01 10:59:00", 102),
+         (1, "2024-01-01 11:01:00", 103),
+         (1, "2024-01-01 12:02:00", 104),
+         (2, "2024-01-01 10:00:05", 201),
+         (2, "2024-01-01 10:00:05", 200)],
+        "k long, t_s string, v long",
+    ).select("k", F.col("t_s").cast("timestamp").alias("t"), "v")
+    out = {
+        r.event_id: (r.near, r.near_dist_us)
+        for r in join_asof_nearest(
+            L, R, on="k", left_time="ts", right_time="t", right_value="v",
+            tolerance_seconds=600, out_col="near",
+        ).collect()
+    }
+    assert out[1] == (100, 30_000_000)
+    assert out[2] == (102, 60_000_000)       # tie -> backward
+    assert out[3] == (104, 120_000_000)      # only forward in tolerance
+    assert out[4] == (None, None)
+    assert out[5] == (200, 5_000_000)        # equal-time dedup keeps min value
