@@ -80,11 +80,12 @@ _PRIORITY = [
     # the fixtures but the operator changed, so they re-gate; (b) the three
     # r2-only rows displaced last round; (c) the r3-verified backlog —
     # the parser blast radius first (extract/build/flatten/sinks/meta),
-    # then alphabetical.  The 14 r3 rows that don't fit
-    # (quality_expectations, setop_intersect_except, similarity_ann_lsh,
-    # similarity_topk — displaced by the late-round
-    # text_view_four_analyzers / graph_kcore / text_lm_bigram_score /
-    # join_asof_nearest additions — plus sink_zorder_cluster,
+    # then alphabetical.  The 15 r3 rows that don't fit
+    # (pipeline_incremental_graph, quality_expectations,
+    # setop_intersect_except, similarity_ann_lsh, similarity_topk —
+    # displaced by the late-round text_view_four_analyzers / graph_kcore /
+    # text_lm_bigram_score / join_asof_nearest /
+    # graph_label_propagation additions — plus sink_zorder_cluster,
     # stream_cdc_apply, stream_dedup_watermark, text_bm25_topk,
     # text_inverted_index, text_tokenize_stats, window_last_wins,
     # window_rank_topk, window_running_sum, window_sessionize) stay
@@ -93,7 +94,7 @@ _PRIORITY = [
     #
     # -- (a) new in round 7 + changed contracts --
     "text_search_stemmed", "text_view_four_analyzers", "graph_kcore",
-    "text_lm_bigram_score", "join_asof_nearest",
+    "text_lm_bigram_score", "join_asof_nearest", "graph_label_propagation",
     "similarity_ivf_pq_recall", "similarity_opq_recall",
     "stream_session_eviction", "source_jsonl_corrupt_routing",
     "fn_label_lang_fallback", "quality_typed_literals",

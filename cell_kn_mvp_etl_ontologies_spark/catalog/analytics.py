@@ -1222,3 +1222,59 @@ def join_asof_nearest_q(spark, sf_dir):
         F.col("near_purchase").cast("long").alias("near_purchase"),
         F.col("near_purchase_dist_us").alias("near_dist_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_label_propagation — deterministic synchronous LPA communities
+# --------------------------------------------------------------------------
+def _lpa_oracle(n_rounds: int = 3) -> str:
+    """Unroll the fixed-round majority vote as chained CTEs."""
+    parts = [
+        """
+    WITH raw AS (
+      SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 1500 AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+    verts AS (SELECT DISTINCT src AS v FROM sym),
+    und AS (SELECT src, dst FROM sym UNION SELECT v, v FROM verts),
+    lbl0 AS (SELECT v, v AS lab FROM verts)"""
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f""",
+    votes{r} AS (
+      SELECT e.src AS v, l.lab, COUNT(*) AS c
+      FROM und e JOIN lbl{r} l ON l.v = e.dst
+      GROUP BY e.src, l.lab
+    ),
+    lbl{r + 1} AS (
+      SELECT v, lab FROM (
+        SELECT v, lab, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab ASC) AS rn
+        FROM votes{r}
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT v, CAST(lab AS BIGINT) AS lab FROM lbl{n_rounds}"""
+    )
+    return "".join(parts)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation_q(spark, sf_dir):
+    """Deterministic synchronous label propagation (plans/graph_query.py
+    label_propagation): community labels on the supplier–part co-purchase
+    graph after a FIXED 3 voting rounds — textbook LPA made differential-
+    gateable by total tie-breaks (count DESC, label ASC) and a unit
+    self-loop damping the bipartite 2-cycle.  The unrolled-CTE oracle
+    replays every round's vote exactly."""
+    from ..plans.graph_query import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("dst"),
+    )
+    return label_propagation(edges, n_rounds=3)

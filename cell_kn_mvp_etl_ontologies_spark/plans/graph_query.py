@@ -15,7 +15,7 @@ O(log d) iterations at higher per-step cost).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -355,3 +355,61 @@ def kcore_vertices(
     return und.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (round 7): community
+    detection by iterated neighborhood majority vote — each round every
+    vertex adopts the most frequent label among its neighbors' current
+    labels, ties broken (count DESC, label ASC) so the result is a pure
+    function of the graph, reproducible at any parallelism and
+    hash-gateable (the nondeterministic tie/ordering of textbook LPA is
+    exactly what a differential gate cannot tolerate).
+
+    Labels initialize to the vertex id.  The edge list is canonicalized
+    (self-loops dropped, symmetrized, dedup'd) and then given ONE
+    self-loop per vertex, which makes the vote include the vertex's own
+    current label at weight 1 — the standard damping that prevents the
+    2-cycle oscillation synchronous LPA exhibits on bipartite structure.
+    Fixed round count, so the computation unrolls to a chained-CTE oracle
+    (the kcore/pagerank doctrine).
+
+    Scale shape: per round one join of the static edge list (prepared
+    once: hash-partitioned by ``dst``, localCheckpointed) against the
+    O(vertices) label frame and one two-key count + one-key argmax
+    aggregate — all keyed, nothing edge-squared; label frames
+    localCheckpoint every 2 rounds.  Output: (v, lab) per vertex.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    verts = und.select(F.col("src").alias("v")).distinct()
+    und = (
+        und.unionByName(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
+        .repartition("dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = verts.select("v", F.col("v").alias("lab"))
+    for r in range(n_rounds):
+        votes = (
+            und.join(labels.withColumnRenamed("v", "dst"), on="dst")
+            .groupBy(F.col("src").alias("v"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lab").asc())
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("v", "lab")
+        )
+        if (r + 1) % 2 == 0 and r != n_rounds - 1:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("v", F.col("lab").cast("long").alias("lab"))

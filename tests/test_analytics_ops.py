@@ -339,3 +339,37 @@ def test_bigram_lm_scores_frozen_vocab_oov(spark):
     # (gamma,zzz): OOV
     assert row.n_bigrams == 3 and row.oov_bigrams == 1
     assert row.pair_bits == 3 and row.cond_bits == -1
+
+
+def test_label_propagation_python_reference_and_two_cliques(spark):
+    """label_propagation matches a python reference of the same synchronous
+    vote (self-loop damping, (count DESC, label ASC) ties) and separates
+    two cliques joined by one bridge edge."""
+    from collections import Counter, defaultdict
+
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import label_propagation
+
+    cl1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    cl2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    raw = cl1 + cl2 + [(4, 10)]  # bridge
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r.v: r.lab for r in label_propagation(edges, n_rounds=4).collect()}
+
+    adj = defaultdict(set)
+    for a, b in raw:
+        adj[a].add(b)
+        adj[b].add(a)
+    for v in list(adj):
+        adj[v].add(v)  # the unit self-loop
+    lab = {v: v for v in adj}
+    for _ in range(4):
+        nxt = {}
+        for v in adj:
+            c = Counter(lab[n] for n in adj[v])
+            nxt[v] = min(c, key=lambda L: (-c[L], L))
+        lab = nxt
+    assert got == lab
+    # the two cliques carry distinct labels
+    l1 = {got[v] for v in range(5)}
+    l2 = {got[v] for v in range(10, 15)}
+    assert len(l1) == 1 and len(l2) == 1 and l1 != l2
