@@ -69,6 +69,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
+    # ROUND 7 LATE BATCH (continuation): nine queries added after the
+    # main r7 rotation was laid down — OHLC candles, interval-overlap
+    # join, PMI collocations, common-neighbor link prediction,
+    # multi-vector MaxSim (brute + routed identity + cogrouped-vectorized
+    # identity + single-probe recall audit), and the matryoshka truncation
+    # audit (catalog/frontier.py).
+    # They take the head per the changed-contract rule; the nine rows
+    # they displace from the 50-slot prefix (tail of the r3 alphabetical
+    # backlog: join_upsert, join_upsert_scd2, multimodal_feature_extract,
+    # pack_sequences_greedy, pipeline_incremental_graph,
+    # quality_expectations, setop_intersect_except + the already-deferring
+    # similarity_ann_lsh/similarity_topk) stay r3-driver-green +
+    # local-r7-green and move to the round-8 plan below.
+    "temporal_ohlc", "join_interval_overlap", "text_collocations_pmi",
+    "graph_common_neighbors", "similarity_maxsim", "embedding_mrl_recall",
+    "similarity_maxsim_routed", "similarity_maxsim_recall",
+    "similarity_maxsim_routed_vec",
     # ROUND 7 ROTATION (VERDICT.md r6 "Next round" #1, executing the plan
     # precomputed last round): (a) the FOUR queries new this round
     # (text_en stemmed search per VERDICT r6 #3, composed IVF-PQ recall
@@ -118,11 +135,15 @@ _PRIORITY = [
     "pipeline_incremental_graph", "quality_expectations",
     "setop_intersect_except", "similarity_ann_lsh", "similarity_topk",
     # ROUND-8 ROTATION PLAN (precomputed): after this gate the stalest
-    # driver evidence is the 10 deferred r3 rows named above plus the 49
-    # r4-verified rows — give the r8 prefix to exactly those 10 + the ~40
-    # stalest r4 rows (CORRECTNESS_r04.json keys, alphabetical), and as
-    # always any query whose operator or oracle changes in round 8 jumps
-    # to the head.
+    # driver evidence is the 19 deferred r3 rows (the 10 named in the
+    # round-7 header plus join_upsert, join_upsert_scd2,
+    # multimodal_feature_extract, pack_sequences_greedy,
+    # pipeline_incremental_graph, quality_expectations,
+    # setop_intersect_except, join_range_interval, and the slots yielded
+    # by the late batch) plus the 49 r4-verified rows — give the r8 prefix
+    # to exactly those 19 + the ~31 stalest r4 rows (CORRECTNESS_r04.json keys,
+    # alphabetical), and as always any query whose operator or oracle
+    # changes in round 8 jumps to the head.
     # ------------------------------------------------------------------
     # ROUND 6 ROTATION (VERDICT.md r5, "Next round: do this" #1): the 50-slot
     # prefix is (a) the EIGHT round-5 late additions that were the only

@@ -334,6 +334,35 @@ def ann_ivf_routed_10k(spark):
     )
 
 
+def maxsim_routed_10k(spark):
+    """Multi-vector MaxSim serving (round-7 continuation): the 80k expanded
+    corpus regrouped into 10k 8-token documents, 50 query docs served
+    through the cogrouped-vectorized routed path (64 cells, nprobe=8 — 8×
+    candidate pruning, the IVF posture).  Times the END-TO-END operator
+    (summaries + seeding + assignment + per-cell int64 matmuls + global
+    top-k): routing is two aggregations + an O(n_cells) broadcast, i.e.
+    the per-corpus-version cost is in the same run — unlike the prebuilt
+    ANN rungs there is no hidden offline stage.  Bit-identity of this
+    exact path to the brute/expression twins is hash-gated at sf0.01
+    (similarity_maxsim_routed_vec, shared oracle constant)."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        maxsim_topk_routed_vectorized,
+    )
+
+    corpus = _expanded_embeddings(spark)
+    toks = corpus.select(
+        F.expr("vec_id div 8").cast("long").alias("t_id"),
+        (F.col("vec_id") % 8).cast("long").alias("t_tok"),
+        F.col("embedding").alias("vec"),
+    )
+    q_tokens = toks.filter(F.col("t_id") < 50).select(
+        F.col("t_id").alias("q_id"), F.col("t_tok").alias("q_tok"), "vec"
+    )
+    return maxsim_topk_routed_vectorized(
+        q_tokens, toks, k=10, n_cells=64, nprobe=8, scale=1000
+    )
+
+
 def running_windows(spark):
     ev = load_table(spark, SF_DIR, "events")
     out = window_running_sum(ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], "value")
@@ -557,6 +586,7 @@ BENCH_QUERIES = {
     "ann_pq_rerank_80k": ann_pq_rerank_80k,
     "ann_ivf_pq_80k": ann_ivf_pq_80k,
     "ann_hamming_80k": ann_hamming_80k,
+    "maxsim_routed_10k": maxsim_routed_10k,
     "running_windows": running_windows,
     "asof_events": asof_events,
     "inverted_index": inverted_index,

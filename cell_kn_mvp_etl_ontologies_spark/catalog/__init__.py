@@ -72,3 +72,4 @@ def load_all() -> None:
     from . import training  # noqa: F401
     from . import scale_ops  # noqa: F401
     from . import analytics  # noqa: F401
+    from . import frontier  # noqa: F401

@@ -1,0 +1,527 @@
+"""Round-7 continuation batch: OHLC resample, interval-overlap join,
+PMI collocations, common-neighbor link prediction, multi-vector MaxSim
+retrieval, and the matryoshka-truncation recall audit — each with an
+exactly-equivalent DuckDB oracle (integer quantization keeps every score
+bit-exact across engines; see catalog/__init__ cross-engine rules).
+
+Reference parity notes: these extend the SURVEY §2.12/§2.13 training-data
+surface beyond the reference's own operator set (the brief's "operations a
+large-scale training-data pipeline would need"):
+- temporal_ohlc is the bar/candle resample every telemetry store ships
+  (TimescaleDB candlestick_agg) — deterministic open/close via tie-broken
+  event order, the same determinism doctrine as the md5 samplers.
+- join_interval_overlap generalizes join_range_interval from point-in-range
+  to interval-intersects-interval (genomic overlap joins, outage windows).
+- text_collocations_pmi is word2vec's phrase-discovery pass.
+- graph_common_neighbors is Liben-Nowell/Kleinberg link prediction on the
+  same co-purchase graph the kcore/LPA/triangle queries share.
+- similarity_maxsim is ColBERT-style late interaction — the multi-vector
+  rung of the ANN ladder (brute-force baseline; the scale path routes
+  candidates through IVF over per-doc centroids).
+- embedding_mrl_recall audits Matryoshka-style dimension truncation the
+  way similarity_*_recall audit IVF/PQ/Hamming: measured overlap, not a
+  claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from . import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# temporal_ohlc — deterministic open/high/low/close candle rollup
+# --------------------------------------------------------------------------
+@register(
+    "temporal_ohlc",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS key,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS bucket,
+             ts, event_id,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS v
+      FROM events WHERE user_id < 50
+    ),
+    w AS (
+      SELECT key, bucket, v,
+        first_value(v) OVER (PARTITION BY key, bucket ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        last_value(v) OVER (PARTITION BY key, bucket ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+      FROM base
+    )
+    SELECT CAST(key AS BIGINT) AS key, CAST(bucket AS BIGINT) AS bucket,
+      CAST(MIN(o) AS BIGINT) AS open_units,
+      CAST(MAX(v) AS BIGINT) AS high_units,
+      CAST(MIN(v) AS BIGINT) AS low_units,
+      CAST(MIN(c) AS BIGINT) AS close_units,
+      CAST(COUNT(*) AS BIGINT) AS n_obs,
+      CAST(SUM(v) AS BIGINT) AS sum_units
+    FROM w GROUP BY key, bucket
+    """,
+)
+def temporal_ohlc_q(spark, sf_dir):
+    """Daily OHLC candles per user over the events stream
+    (operators/temporal.py ohlc_rollup): open/close are FIRST/LAST by
+    (ts, event_id) — the tiebreak makes the candle a pure function of the
+    data at any parallelism — high/low/sum over floor-quantized integer
+    micro-units.  One shuffle; window and aggregation share it."""
+    from ..operators.temporal import ohlc_rollup
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return ohlc_rollup(
+        ev, "user_id", "ts", "value",
+        bucket_seconds=86400, scale=1_000_000, tiebreak_col="event_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# join_interval_overlap — bucketized interval-intersects-interval join
+# --------------------------------------------------------------------------
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey AS l_id,
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS l_start,
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400
+               + o_orderkey % 45 AS l_end
+      FROM orders WHERE o_orderkey % 80 = 0
+    ),
+    r AS (
+      SELECT o_orderkey AS r_id,
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS r_start,
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400
+               + o_orderkey % 45 AS r_end
+      FROM orders WHERE o_orderkey % 80 = 1
+    )
+    SELECT l_id, r_id,
+      CAST(l_start AS BIGINT) AS l_start, CAST(l_end AS BIGINT) AS l_end,
+      CAST(r_start AS BIGINT) AS r_start, CAST(r_end AS BIGINT) AS r_end,
+      CAST(least(l_end, r_end) - greatest(l_start, r_start) AS BIGINT) AS overlap
+    FROM l JOIN r ON l_start <= r_end AND r_start <= l_end
+    """,
+)
+def join_interval_overlap_q(spark, sf_dir):
+    """Interval-overlap join (operators/joins.py join_interval_overlap):
+    order fulfillment windows [orderdate, +orderkey%45 days] from two
+    disjoint order samples, every intersecting cross-sample pair with its
+    exact overlap length in days.  The engine runs the bucketized shape
+    (32-day chunks, equi-join, emit-at-overlap-start dedup — zero distinct
+    shuffle); the oracle is the direct inequality join, so the gate
+    cross-checks the bucketization against the declarative semantics."""
+    from ..operators.joins import join_interval_overlap
+
+    od = _t(spark, sf_dir, "orders")
+    day = F.floor(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+        ) / 86400
+    ).cast("long")
+    left = od.filter(F.col("o_orderkey") % 80 == 0).select(
+        F.col("o_orderkey").alias("l_id"),
+        day.alias("l_start"),
+        (day + F.col("o_orderkey") % 45).cast("long").alias("l_end"),
+    )
+    right = od.filter(F.col("o_orderkey") % 80 == 1).select(
+        F.col("o_orderkey").alias("r_id"),
+        day.alias("r_start"),
+        (day + F.col("o_orderkey") % 45).cast("long").alias("r_end"),
+    )
+    return join_interval_overlap(left, right, bucket_size=32)
+
+
+# --------------------------------------------------------------------------
+# text_collocations_pmi — integer-PMI phrase discovery
+# --------------------------------------------------------------------------
+@register(
+    "text_collocations_pmi",
+    oracle="""
+    WITH base AS (
+      SELECT list_filter(string_split_regex(lower(text), '[\\s\x1f]+'),
+                         t -> t <> '') AS ws
+      FROM documents
+    ),
+    bi AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM base, generate_series(1, 511) t(i)
+      WHERE i <= len(ws) - 1
+    ),
+    b2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+    n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bi FROM b2),
+    lm AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM b2 GROUP BY w1),
+    rm AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM b2 GROUP BY w2)
+    SELECT b2.w1, b2.w2, b2.c12, lm.c1, rm.c2,
+      CAST(FLOOR(log2(b2.c12 * n.n_bi)) AS BIGINT)
+        - CAST(FLOOR(log2(lm.c1 * rm.c2)) AS BIGINT) AS pmi_bits
+    FROM b2 JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN n
+    WHERE b2.c12 >= 5
+    """,
+)
+def text_collocations_pmi_q(spark, sf_dir):
+    """Collocation candidates over the documents corpus by integer-envelope
+    PMI (operators/text_analysis.py collocations_pmi): floor-log2 of the
+    exact int64 products c12·N and c1·c2 — bit-exact, within 1 bit of true
+    PMI, rank-faithful for phrase screening.  Marginals are the bigram
+    table's own marginals (probabilities sum to 1); the token stream is
+    read once."""
+    from ..operators.text_analysis import collocations_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations_pmi(docs, "text", min_count=5)
+
+
+# --------------------------------------------------------------------------
+# graph_common_neighbors — link-prediction scores on the co-purchase graph
+# --------------------------------------------------------------------------
+@register(
+    "graph_common_neighbors",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 1500 AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    und AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+    adj0 AS (SELECT src AS anchor, dst AS v FROM und),
+    da AS (SELECT anchor, COUNT(*) AS d FROM adj0 GROUP BY anchor),
+    adj AS (
+      SELECT adj0.anchor, adj0.v FROM adj0 JOIN da USING (anchor) WHERE da.d <= 40
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY v),
+    pairs AS (
+      SELECT a1.v AS a, a2.v AS b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM adj a1 JOIN adj a2 USING (anchor)
+      WHERE a1.v < a2.v
+      GROUP BY a1.v, a2.v
+      HAVING COUNT(*) >= 35
+    )
+    SELECT p.a, p.b, p.common, dl.deg AS deg_a, dr.deg AS deg_b,
+      CAST(FLOOR(p.common * 1000000
+                 / CAST(dl.deg + dr.deg - p.common AS DOUBLE)) AS BIGINT)
+        AS jaccard_ppm
+    FROM pairs p
+    JOIN deg dl ON dl.v = p.a
+    JOIN deg dr ON dr.v = p.b
+    """,
+)
+def graph_common_neighbors_q(spark, sf_dir):
+    """Link-prediction candidates on the supplier–part co-purchase graph
+    (plans/graph_query.py common_neighbor_scores — same edge set as the
+    kcore/LPA/triangle queries): supplier pairs sharing >= 35 parts (the top ~4% of pairs on this graph — a screen, not an enumeration), scored
+    by common-neighbor count and ppm-scaled Jaccard.  Hub anchors above
+    degree 40 are dropped BEFORE pairing in both engines (the stop-word
+    cap that keeps wedge enumeration sub-quadratic); degrees come from the
+    same capped graph."""
+    from ..plans.graph_query import common_neighbor_scores
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("dst"),
+    )
+    return common_neighbor_scores(edges, min_common=35, anchor_cap=40)
+
+
+# --------------------------------------------------------------------------
+# similarity_maxsim (+ routed twin, + recall audit) — multi-vector ladder
+# --------------------------------------------------------------------------
+# Shared CTE prefix: tokens, quantization, all-pairs token dots for the
+# 5 query documents, MaxSim scores.  One oracle constant gates BOTH the
+# brute-force path and the routed path at nprobe = n_cells (the
+# _IVF_PQ_ORACLE shared-constant doctrine: integer-exact scoring makes
+# routed-vs-expression identity a free second gate).
+_MAXSIM_SCORES_CTE = """
+    WITH tok AS (
+      SELECT vec_id // 8 AS d_id, vec_id % 8 AS t, embedding FROM embeddings
+    ),
+    quant AS (
+      SELECT d_id, t, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM tok, generate_series(1, 64) s(i)
+      WHERE i <= len(embedding)
+    ),
+    dots AS (
+      SELECT q.d_id AS q_id, q.t AS q_tok, c.d_id AS t_id, c.t AS t_tok,
+             SUM(q.v * c.v) AS dot
+      FROM quant q JOIN quant c ON q.i = c.i
+      WHERE q.d_id < 5
+      GROUP BY q.d_id, q.t, c.d_id, c.t
+    ),
+    best AS (
+      SELECT q_id, t_id, q_tok, MAX(dot) AS best
+      FROM dots GROUP BY q_id, t_id, q_tok
+    ),
+    scores AS (
+      SELECT q_id, t_id, CAST(SUM(best) AS BIGINT) AS maxsim_units,
+             CAST(COUNT(*) AS BIGINT) AS n_q_tokens
+      FROM best WHERE q_id <> t_id GROUP BY q_id, t_id
+    )"""
+
+_MAXSIM_ORACLE = (
+    _MAXSIM_SCORES_CTE
+    + """
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(t_id AS BIGINT) AS t_id,
+           maxsim_units, n_q_tokens
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY maxsim_units DESC, t_id ASC) AS rnk
+      FROM scores
+    ) WHERE rnk <= 5
+    """
+)
+
+
+@register("similarity_maxsim", oracle=_MAXSIM_ORACLE)
+def similarity_maxsim_q(spark, sf_dir):
+    """Multi-vector MaxSim retrieval (operators/similarity.py maxsim_topk):
+    the embeddings table regrouped into 8-token documents (d_id =
+    vec_id//8, token = vec_id%8), first five documents as queries, top-5
+    neighbors per query by Σ_q max_t <q, t> over HALF_UP-quantized int64
+    dots — score and tie rule bit-exact, so the top-k SET is hash-gated,
+    not just plausible.  Brute-force rung of the multi-vector ladder; the
+    scale path IVF-routes per-doc centroids first."""
+    from ..operators.similarity import maxsim_topk
+
+    q_tokens, t_tokens = _maxsim_frames(spark, sf_dir)
+    out = maxsim_topk(q_tokens, t_tokens, k=5, scale=1000)
+    return out.select("q_id", "t_id", "maxsim_units", "n_q_tokens")
+
+
+def _maxsim_frames(spark, sf_dir):
+    """Token frames for the multi-vector family: embeddings regrouped into
+    8-token documents (d_id = vec_id//8, token = vec_id%8); first five
+    documents double as the query set."""
+    em = _t(spark, sf_dir, "embeddings")
+    toks = em.select(
+        F.expr("vec_id div 8").cast("long").alias("d_id"),
+        (F.col("vec_id") % 8).cast("long").alias("tok"),
+        F.col("embedding"),
+    )
+    q_tokens = toks.filter(F.col("d_id") < 5).select(
+        F.col("d_id").alias("q_id"), F.col("tok").alias("q_tok"), F.col("embedding").alias("vec")
+    )
+    t_tokens = toks.select(
+        F.col("d_id").alias("t_id"), F.col("tok").alias("t_tok"), F.col("embedding").alias("vec")
+    )
+    return q_tokens, t_tokens
+
+
+@register("similarity_maxsim_routed", oracle=_MAXSIM_ORACLE)
+def similarity_maxsim_routed_q(spark, sf_dir):
+    """Cell-routed MaxSim at nprobe = n_cells (operators/similarity.py
+    maxsim_topk_routed): the fully-distributed serving shape — int64
+    token-sum summaries, md5-seeded nearest-seed assignment, candidates
+    from a cell equi-join, exact late interaction only on candidates —
+    run with every cell probed, which makes the candidate set all pairs
+    and the output bit-identical to ``similarity_maxsim``.  The SAME
+    oracle constant gates both (the _IVF_PQ_ORACLE doctrine): cells as a
+    partitioning device, pruning off, identity proven rather than
+    claimed."""
+    from ..operators.similarity import maxsim_topk_routed
+
+    q_tokens, t_tokens = _maxsim_frames(spark, sf_dir)
+    out = maxsim_topk_routed(q_tokens, t_tokens, k=5, n_cells=4, nprobe=4, scale=1000)
+    return out.select("q_id", "t_id", "maxsim_units", "n_q_tokens")
+
+
+@register("similarity_maxsim_routed_vec", oracle=_MAXSIM_ORACLE)
+def similarity_maxsim_routed_vec_q(spark, sf_dir):
+    """Cogrouped-vectorized MaxSim serving at nprobe = n_cells
+    (operators/similarity.py maxsim_topk_routed_vectorized): the
+    production hot path — per-cell int64 numpy matmuls replace the
+    expression twin's interpreted per-token-pair HOF dots, routing shared
+    verbatim (maxsim_route_cells), quantization still expression-side so
+    ONE rounding mode is in play.  Third share of the same oracle
+    constant: brute, routed-expression, and routed-vectorized are pinned
+    mutually bit-identical."""
+    from ..operators.similarity import maxsim_topk_routed_vectorized
+
+    q_tokens, t_tokens = _maxsim_frames(spark, sf_dir)
+    out = maxsim_topk_routed_vectorized(
+        q_tokens, t_tokens, k=5, n_cells=4, nprobe=4, scale=1000
+    )
+    return out.select("q_id", "t_id", "maxsim_units", "n_q_tokens")
+
+
+@register(
+    "similarity_maxsim_recall",
+    oracle=(
+        _MAXSIM_SCORES_CTE
+        + """
+    , sums AS (SELECT d_id, i, SUM(v) AS sv FROM quant GROUP BY d_id, i),
+    seeds AS (
+      SELECT d_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(d_id AS VARCHAR)), d_id) AS r
+      FROM (SELECT DISTINCT d_id FROM sums)
+    ),
+    seedv AS (
+      SELECT CAST(s.r - 1 AS BIGINT) AS cell, m.i, m.sv
+      FROM seeds s JOIN sums m USING (d_id) WHERE s.r <= 4
+    ),
+    dist AS (
+      SELECT m.d_id, v.cell, SUM((m.sv - v.sv) * (m.sv - v.sv)) AS d2
+      FROM sums m JOIN seedv v ON m.i = v.i
+      GROUP BY m.d_id, v.cell
+    ),
+    t_cells AS (
+      SELECT d_id, cell FROM (
+        SELECT d_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY d_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    q_cells AS (
+      SELECT d_id, cell FROM (
+        SELECT d_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY d_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM dist WHERE d_id < 5
+      ) WHERE rn <= 1
+    ),
+    cand AS (
+      SELECT q.d_id AS q_id, t.d_id AS t_id
+      FROM q_cells q JOIN t_cells t USING (cell)
+    ),
+    routed_topk AS (
+      SELECT q_id, t_id FROM (
+        SELECT s.q_id, s.t_id, ROW_NUMBER() OVER (
+          PARTITION BY s.q_id ORDER BY s.maxsim_units DESC, s.t_id ASC) AS rnk
+        FROM scores s JOIN cand c ON c.q_id = s.q_id AND c.t_id = s.t_id
+      ) WHERE rnk <= 5
+    ),
+    brute_topk AS (
+      SELECT q_id, t_id FROM (
+        SELECT q_id, t_id, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY maxsim_units DESC, t_id ASC) AS rnk
+        FROM scores
+      ) WHERE rnk <= 5
+    )
+    SELECT CAST(COALESCE(b.q_id, r.q_id) AS BIGINT) AS q_id,
+      CAST(COUNT(b.t_id) AS BIGINT) AS n_exact,
+      CAST(COUNT(r.t_id) AS BIGINT) AS n_routed,
+      CAST(SUM(CASE WHEN b.t_id IS NOT NULL AND r.t_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+    FROM brute_topk b FULL OUTER JOIN routed_topk r
+      ON r.q_id = b.q_id AND r.t_id = b.t_id
+    GROUP BY COALESCE(b.q_id, r.q_id)
+    """
+    ),
+)
+def similarity_maxsim_recall_q(spark, sf_dir):
+    """Recall audit for the PRUNING configuration of routed MaxSim
+    (nprobe = 1 of 4 cells) against the brute-force ground truth — the
+    similarity_*_recall doctrine extended to the multi-vector rung: both
+    paths integer-deterministic, the per-query top-5 overlap profile
+    full-outer-joined and hash-gated, so single-probe retrieval loss is
+    measured evidence.  The oracle independently replays the whole
+    routing chain (token-sum summaries, md5 seeding, int64 L2
+    assignment) in SQL."""
+    from ..operators.similarity import maxsim_topk, maxsim_topk_routed
+
+    q_tokens, t_tokens = _maxsim_frames(spark, sf_dir)
+    brute = maxsim_topk(q_tokens, t_tokens, k=5, scale=1000).select(
+        "q_id", "t_id", F.lit(1).alias("in_exact")
+    )
+    routed = maxsim_topk_routed(
+        q_tokens, t_tokens, k=5, n_cells=4, nprobe=1, scale=1000
+    ).select("q_id", "t_id", F.lit(1).alias("in_routed"))
+    j = brute.join(routed, on=["q_id", "t_id"], how="full_outer")
+    return j.groupBy("q_id").agg(
+        F.count("in_exact").cast("long").alias("n_exact"),
+        F.count("in_routed").cast("long").alias("n_routed"),
+        F.sum(
+            (F.col("in_exact").isNotNull() & F.col("in_routed").isNotNull()).cast("int")
+        ).cast("long").alias("n_overlap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_mrl_recall — matryoshka truncation overlap audit
+# --------------------------------------------------------------------------
+@register(
+    "embedding_mrl_recall",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) s(i)
+      WHERE i <= len(embedding)
+    ),
+    nf AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
+    nt AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant WHERE i <= 32 GROUP BY vec_id),
+    df_ AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS t_id, SUM(q.v * t.v) AS dot
+      FROM quant q JOIN quant t ON q.i = t.i
+      WHERE q.vec_id < 20 AND q.vec_id <> t.vec_id
+      GROUP BY q.vec_id, t.vec_id
+    ),
+    dt_ AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS t_id, SUM(q.v * t.v) AS dot
+      FROM quant q JOIN quant t ON q.i = t.i AND q.i <= 32 AND t.i <= 32
+      WHERE q.vec_id < 20 AND q.vec_id <> t.vec_id
+      GROUP BY q.vec_id, t.vec_id
+    ),
+    full_topk AS (
+      SELECT q_id, t_id FROM (
+        SELECT d.q_id, d.t_id, ROW_NUMBER() OVER (
+          PARTITION BY d.q_id
+          ORDER BY CAST(d.dot AS DOUBLE)
+                   / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) DESC,
+                   d.t_id ASC) AS rnk
+        FROM df_ d JOIN nf na ON na.vec_id = d.q_id JOIN nf nb ON nb.vec_id = d.t_id
+      ) WHERE rnk <= 3
+    ),
+    trunc_topk AS (
+      SELECT q_id, t_id FROM (
+        SELECT d.q_id, d.t_id, ROW_NUMBER() OVER (
+          PARTITION BY d.q_id
+          ORDER BY CAST(d.dot AS DOUBLE)
+                   / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) DESC,
+                   d.t_id ASC) AS rnk
+        FROM dt_ d JOIN nt na ON na.vec_id = d.q_id JOIN nt nb ON nb.vec_id = d.t_id
+      ) WHERE rnk <= 3
+    )
+    SELECT COALESCE(f.q_id, t.q_id) AS q_id,
+      CAST(COUNT(f.t_id) AS BIGINT) AS n_full,
+      CAST(COUNT(t.t_id) AS BIGINT) AS n_trunc,
+      CAST(SUM(CASE WHEN f.t_id IS NOT NULL AND t.t_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+    FROM full_topk f FULL OUTER JOIN trunc_topk t
+      ON t.q_id = f.q_id AND t.t_id = f.t_id
+    GROUP BY COALESCE(f.q_id, t.q_id)
+    """,
+)
+def embedding_mrl_recall_q(spark, sf_dir):
+    """Matryoshka truncation audit (the similarity_*_recall doctrine
+    applied to dimension truncation): exact quantized-cosine top-3 over
+    the full 64 dims vs over the FIRST 32 dims only, per-query overlap
+    full-outer-joined — the measured evidence for how much retrieval a
+    half-width embedding column keeps, which is the decision a 100 TB
+    store actually faces (half the bytes, half the ANN compute).  Both
+    paths integer-deterministic, so the overlap profile is hash-gated."""
+    from ..operators.similarity import similarity_topk
+
+    em = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+    )
+    queries = em.filter(F.col("vec_id") < 20)
+    full = similarity_topk(queries, em, k=3, quantized=True).select(
+        "q_id", "t_id", F.lit(1).alias("in_full")
+    )
+    em32 = em.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    trunc = similarity_topk(
+        em32.filter(F.col("vec_id") < 20), em32, k=3, quantized=True
+    ).select("q_id", "t_id", F.lit(1).alias("in_trunc"))
+    j = full.join(trunc, on=["q_id", "t_id"], how="full_outer")
+    return j.groupBy("q_id").agg(
+        F.count("in_full").cast("long").alias("n_full"),
+        F.count("in_trunc").cast("long").alias("n_trunc"),
+        F.sum(
+            (F.col("in_full").isNotNull() & F.col("in_trunc").isNotNull()).cast("int")
+        ).cast("long").alias("n_overlap"),
+    )

@@ -14,7 +14,7 @@ path is used for benchmarking.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .windows import window_rank_topk
@@ -778,4 +778,328 @@ def ivf_topk_prebuilt_routed(
     )
     return window_rank_topk(
         cand, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )
+
+
+def maxsim_topk(
+    q_tokens: DataFrame,
+    t_tokens: DataFrame,
+    k: int,
+    scale: int = 1000,
+) -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT-style MaxSim):
+    each document is a SET of token embeddings and the query-document
+    score is Σ_{query token} max_{doc token} <q_tok, t_tok> — the scoring
+    family that beats single-vector cosine when relevance is carried by a
+    few tokens, and the retrieval shape a multi-vector training corpus
+    needs audited.
+
+    Exactness: token vectors are HALF_UP integer-quantized
+    (``quantize_vec``) and every pairwise interaction is an int64 dot —
+    max and sum over int64 are order-free, so the score, and therefore
+    the top-k set under the (score DESC, t_id ASC) tie rule, is
+    bit-identical across engines and reduction orders.
+
+    Shape: this is the brute-force baseline rung of the ladder (the
+    ``cosine_topk`` analogue): the token-pair interaction is a broadcast
+    cross join (query tokens ≪ corpus tokens — the |Q|≪|T| contract),
+    folded immediately by a two-stage aggregation: max over doc tokens
+    keyed (q_id, t_id, q_tok), then sum keyed (q_id, t_id) — both stages
+    partial-aggregate map-side, so the shuffle carries per-pair rows, not
+    per-token-pair.  The scale rung routes candidates through IVF over
+    per-document centroid vectors first and MaxSim-scores only the
+    shortlist (compose with ``ivf_topk_prebuilt_routed``).
+
+    Inputs: (q_id, q_tok, vec) / (t_id, t_tok, vec); output (q_id, t_id,
+    maxsim_units, n_q_tokens) = top-k docs per query.
+    """
+    q = q_tokens.select(
+        F.col("q_id"), F.col("q_tok"), quantize_vec(F.col("vec"), scale).alias("_qv")
+    )
+    t = t_tokens.select(
+        F.col("t_id"), F.col("t_tok"), quantize_vec(F.col("vec"), scale).alias("_tv")
+    )
+    inter = t.join(F.broadcast(q), on=F.lit(True), how="inner").select(
+        "q_id", "t_id", "q_tok", _dot_long(F.col("_qv"), F.col("_tv")).alias("_dot")
+    )
+    per_qtok = inter.groupBy("q_id", "t_id", "q_tok").agg(
+        F.max("_dot").alias("_best")
+    )
+    scores = per_qtok.groupBy("q_id", "t_id").agg(
+        F.sum("_best").cast("long").alias("maxsim_units"),
+        F.count(F.lit(1)).cast("long").alias("n_q_tokens"),
+    )
+    return window_rank_topk(
+        scores.filter(F.col("q_id") != F.col("t_id")),
+        ["q_id"],
+        [F.col("maxsim_units").desc(), F.col("t_id").asc()],
+        k,
+        rank_col="rnk",
+    )
+
+
+def maxsim_doc_summaries(
+    tokens: DataFrame, id_col: str, scale: int = 1000
+) -> DataFrame:
+    """Per-document routing summary for multi-vector MaxSim: the int64
+    element-wise SUM of the document's quantized token vectors — order-free
+    (int64 addition commutes), division-free (a mean would round), and
+    computed with the ``ema_integer`` fold pattern: collect the token
+    vectors per doc and zip_with-add them, first element as the seed.
+    Output: (id_col, svec array<long>)."""
+    q = tokens.select(
+        F.col(id_col), quantize_vec(F.col("vec"), scale).alias("_qv")
+    )
+    g = q.groupBy(id_col).agg(F.collect_list("_qv").alias("_xs"))
+    xs = F.col("_xs")
+    svec = F.aggregate(
+        F.slice(xs, 2, F.size(xs) - 1),
+        F.element_at(xs, 1),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    return g.select(id_col, svec.alias("svec"))
+
+
+def maxsim_route_cells(
+    q_tokens: DataFrame,
+    t_tokens: DataFrame,
+    n_cells: int,
+    nprobe: int,
+    scale: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """THE routing chain for cell-routed MaxSim, shared verbatim by the
+    expression path (``maxsim_topk_routed``) and the cogrouped vectorized
+    path (``maxsim_topk_routed_vectorized``) so their candidate sets are
+    identical by construction: int64 token-sum summaries
+    (``maxsim_doc_summaries``), seeds = first ``n_cells`` docs by
+    (md5(t_id), t_id), assignment = exact int64 squared L2 to the nearest
+    seed (ties → smaller cell); queries keep their ``nprobe`` nearest
+    cells.  Returns (q_cells, t_cells) as (id, cell) frames."""
+    t_sum = maxsim_doc_summaries(t_tokens, "t_id", scale)
+    q_sum = maxsim_doc_summaries(q_tokens, "q_id", scale)
+    seeds = (
+        t_sum.select(
+            "t_id",
+            "svec",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.md5(F.col("t_id").cast("string")), F.col("t_id")
+                )
+            )
+            .alias("_r"),
+        )
+        .filter(F.col("_r") <= n_cells)
+        .select((F.col("_r") - 1).cast("long").alias("cell"), F.col("svec").alias("_sv"))
+    )
+
+    def _assign(side: DataFrame, id_col: str, keep: int) -> DataFrame:
+        d = side.join(F.broadcast(seeds), on=F.lit(True), how="inner").select(
+            id_col,
+            "cell",
+            sq_dist_long(F.col("svec"), F.col("_sv")).alias("_d"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cell").asc())
+        return (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= keep)
+            .select(id_col, "cell")
+        )
+
+    return _assign(q_sum, "q_id", nprobe), _assign(t_sum, "t_id", 1)
+
+
+def maxsim_topk_routed(
+    q_tokens: DataFrame,
+    t_tokens: DataFrame,
+    k: int,
+    n_cells: int = 4,
+    nprobe: int | None = None,
+    scale: int = 1000,
+) -> DataFrame:
+    """Cell-routed multi-vector MaxSim — the scale rung of ``maxsim_topk``:
+    exact token-level late interaction runs ONLY on (query, doc) pairs
+    that share a routing cell, so per-task work is per-cell, never
+    |Q|·|T|·tokens².
+
+    Routing is deterministic end-to-end (the trained-IVF doctrine): each
+    doc is summarized by its int64 token-sum vector
+    (``maxsim_doc_summaries``), seeds are the first ``n_cells`` docs by
+    (md5(t_id), t_id) — a pure function of the ids — and assignment is
+    exact int64 squared L2 to the nearest seed (ties → smaller cell).
+    Queries route through the same metric to their ``nprobe`` nearest
+    cells.  With ``nprobe = n_cells`` the candidate set is all pairs and
+    the output is BIT-IDENTICAL to ``maxsim_topk`` — cells become a pure
+    partitioning device (the IVF-PQ routed-identity doctrine), which is
+    exactly what the shared-oracle gate pins.
+
+    Shape: summaries are one aggregation each side; the n_cells-row seed
+    table broadcasts (corpus never shuffles for assignment); candidates
+    come from an equi-join on cell; scoring joins tokens by id within
+    candidates — every join keyed, the only broadcast is O(n_cells) or
+    O(|Q| tokens).  Hot-cell degradation is one straggler task, the
+    measured IVF hot-cell story (SCALE.md §hot-cell).
+    """
+    if nprobe is None:
+        nprobe = n_cells
+    q_cells, t_cells = maxsim_route_cells(q_tokens, t_tokens, n_cells, nprobe, scale)
+    cand = q_cells.join(t_cells, "cell").select("q_id", "t_id").distinct()
+    q = q_tokens.select(
+        "q_id", "q_tok", quantize_vec(F.col("vec"), scale).alias("_qv")
+    )
+    t = t_tokens.select(
+        "t_id", "t_tok", quantize_vec(F.col("vec"), scale).alias("_tv")
+    )
+    inter = (
+        cand.join(q, "q_id")
+        .join(t, "t_id")
+        .select("q_id", "t_id", "q_tok", _dot_long(F.col("_qv"), F.col("_tv")).alias("_dot"))
+    )
+    per_qtok = inter.groupBy("q_id", "t_id", "q_tok").agg(F.max("_dot").alias("_best"))
+    scores = per_qtok.groupBy("q_id", "t_id").agg(
+        F.sum("_best").cast("long").alias("maxsim_units"),
+        F.count(F.lit(1)).cast("long").alias("n_q_tokens"),
+    )
+    return window_rank_topk(
+        scores.filter(F.col("q_id") != F.col("t_id")),
+        ["q_id"],
+        [F.col("maxsim_units").desc(), F.col("t_id").asc()],
+        k,
+        rank_col="rnk",
+    )
+
+
+def maxsim_topk_routed_vectorized(
+    q_tokens: DataFrame,
+    t_tokens: DataFrame,
+    k: int,
+    n_cells: int = 4,
+    nprobe: int | None = None,
+    scale: int = 1000,
+) -> DataFrame:
+    """Fully-distributed vectorized MaxSim serving — the
+    ``ivf_topk_prebuilt_routed`` shape applied to the multi-vector rung,
+    and the production hot path: the expression twin's per-token-pair HOF
+    dots evaluate interpreted (the documented HOF landmine), while here
+    each cell does ONE int64 numpy matmul per (query, doc) token block.
+
+    Routing is ``maxsim_route_cells`` — the SAME chain as
+    ``maxsim_topk_routed``, shared by construction, so the candidate sets
+    are identical and the scoring is bit-identical: quantization happens
+    in the expression layer (``quantize_vec``, one rounding mode in play)
+    BEFORE the tokens reach numpy, and int64 matmul/max/sum are exact.
+    No driver collect anywhere: queries and corpus stay DataFrames
+    end-to-end; per-doc token matrices are packed by a
+    ``sort_array(collect_list(struct(tok, vec)))`` aggregation (token
+    order fixed by the sort, though max over doc tokens and sum over the
+    sorted query tokens are order-free anyway).
+
+    Shuffle shape: one pack aggregation per side, one exchange of each on
+    cell, the cogroup, then the global window top-k over per-cell
+    candidates (each doc lives in exactly one cell → candidates are
+    duplicate-free; union-of-local-top-k applies per query).  Hot cells
+    are one straggler task — k_cells at route-build time is the documented
+    mitigation, as for IVF.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if nprobe is None:
+        nprobe = n_cells
+    q_cells, t_cells = maxsim_route_cells(q_tokens, t_tokens, n_cells, nprobe, scale)
+
+    def _pack(tokens: DataFrame, id_col: str, tok_col: str) -> DataFrame:
+        # FLAT array<long> of the concatenated token vectors + a token
+        # count, NOT array<array<long>>: pyarrow segfaults converting
+        # large doubly-nested list columns on the cogroup deserialization
+        # path (observed at the 10k-doc bench scale; single-level arrays
+        # are the proven ivf_topk_prebuilt_routed shape) — numpy reshapes
+        # per doc instead
+        q = tokens.select(
+            F.col(id_col),
+            F.col(tok_col).alias("_tok"),
+            quantize_vec(F.col("vec"), scale).alias("_qv"),
+        )
+        packed = q.groupBy(id_col).agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_tok", "_qv"))),
+                lambda s: s["_qv"],
+            ).alias("_toks")
+        )
+        return packed.select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_toks"),
+            F.flatten("_toks").alias("toks"),
+        )
+
+    # the q and t sides often share lineage (queries ARE corpus docs in the
+    # audits), which trips Spark's ambiguous-self-join analysis inside the
+    # cogroup — re-alias the grouping column through a fresh exprId on one
+    # side so the two children are distinguishable
+    q_packed = _pack(q_tokens, "q_id", "q_tok").join(q_cells, "q_id").select(
+        (F.col("cell") + F.lit(0)).alias("cell"), "q_id", "n_toks", "toks"
+    )
+    t_packed = _pack(t_tokens, "t_id", "t_tok").join(t_cells, "t_id").select(
+        "cell", "t_id", "n_toks", "toks"
+    )
+
+    empty = pd.DataFrame(
+        {
+            "q_id": pd.Series(dtype="int64"),
+            "t_id": pd.Series(dtype="int64"),
+            "maxsim_units": pd.Series(dtype="int64"),
+            "n_q_tokens": pd.Series(dtype="int64"),
+        }
+    )
+
+    def score(mem: pd.DataFrame, qs: pd.DataFrame) -> pd.DataFrame:
+        if mem.empty or qs.empty:
+            return empty
+        t_ids = mem["t_id"].to_numpy(dtype=np.int64)
+        # ragged docs arrive FLAT: one concatenated int64 vector per doc
+        # plus its token count; infer dim from the first doc and reshape
+        counts = mem["n_toks"].to_numpy(dtype=np.int64)
+        flat = [np.asarray(m, dtype=np.int64) for m in mem["toks"]]
+        dim = flat[0].size // int(counts[0])
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        T_all = np.concatenate(flat).reshape(-1, dim)
+        frames = []
+        for qid, qn, qtoks in zip(
+            qs["q_id"].to_numpy(dtype=np.int64),
+            qs["n_toks"].to_numpy(dtype=np.int64),
+            qs["toks"],
+        ):
+            Q = np.asarray(qtoks, dtype=np.int64).reshape(int(qn), -1)
+            # ONE matmul per (query, cell), then a segmented max per doc:
+            # max and sum over int64 are exact, so this is bit-identical to
+            # the expression path's per-token-pair fold
+            dots = Q @ T_all.T                                   # (nq, Σ|doc|)
+            seg_max = np.maximum.reduceat(dots, starts, axis=1)  # (nq, |docs|)
+            sums = seg_max.sum(axis=0)                           # (|docs|,)
+            keep = t_ids != qid
+            if not keep.any():
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "q_id": np.full(int(keep.sum()), qid, dtype=np.int64),
+                        "t_id": t_ids[keep],
+                        "maxsim_units": sums[keep],
+                        "n_q_tokens": np.full(
+                            int(keep.sum()), int(qn), dtype=np.int64
+                        ),
+                    }
+                )
+            )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    cand = (
+        t_packed.groupBy("cell")
+        .cogroup(q_packed.groupBy("cell"))
+        .applyInPandas(score, "q_id long, t_id long, maxsim_units long, n_q_tokens long")
+    )
+    return window_rank_topk(
+        cand, ["q_id"], [F.col("maxsim_units").desc(), F.col("t_id").asc()], k, rank_col="rnk"
     )

@@ -327,3 +327,72 @@ def ema_integer(
         lambda acc, x: F.shiftright((acc + x) - ((acc + x) % 2), 1),
     )
     return g.select(*key_cols, "n_events", fold.alias("ema_units"))
+
+
+def ohlc_rollup(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    scale: int = 1_000_000,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Open/high/low/close candle rollup per (key, time bucket) — the
+    financial/telemetry resample shape (TimescaleDB ``candlestick_agg``,
+    kdb-style bar builds) recast as one window pass + one aggregation.
+
+    Determinism is the whole contract: "open" and "close" are FIRST/LAST
+    by event time, and event-time ties are broken by ``tiebreak_col``
+    (unique within a key, e.g. the event id) so the chosen row is a pure
+    function of the data, never of partition order — the same doctrine as
+    the md5-keyed samplers.  Values are floor-quantized to integer
+    micro-units BEFORE any aggregation, so min/max/first/last/sum are
+    bit-exact across engines.
+
+    Shape: ONE shuffle on (key, bucket); the open/close window and the
+    high/low/sum aggregation share that partitioning (the window sort and
+    the partial aggregation both run inside it).  Buckets are derived by
+    pure calendar arithmetic over TIMESTAMP_NTZ (timestampdiff from the
+    epoch — no session-timezone dependence).  Skew: a whale (key, bucket)
+    cell degrades to one big sort task; coarse keys should pre-salt the
+    high/low/sum part (agg_salted_hot_key) and keep open/close via the
+    per-cell min/max of (ts, tiebreak) — not needed at gate scale.
+
+    Output: (key, bucket, open/high/low/close units BIGINT, n_obs, sum_units).
+    """
+    from pyspark.sql import Window
+
+    epoch_s = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    units = F.floor(F.col(value_col).cast("double") * scale).cast("long")
+    tb = [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    base = df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.floor(epoch_s / bucket_seconds).cast("long").alias("bucket"),
+        F.col(ts_col).alias("_ts"),
+        *( [F.col(tiebreak_col).alias("_tb")] if tiebreak_col else [] ),
+        units.alias("_v"),
+    )
+    order = [F.col("_ts").asc()] + ([F.col("_tb").asc()] if tiebreak_col else [])
+    w = (
+        Window.partitionBy("key", "bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    framed = base.select(
+        "key",
+        "bucket",
+        "_v",
+        F.first("_v").over(w).alias("_open"),
+        F.last("_v").over(w).alias("_close"),
+    )
+    return framed.groupBy("key", "bucket").agg(
+        F.first("_open").cast("long").alias("open_units"),
+        F.max("_v").cast("long").alias("high_units"),
+        F.min("_v").cast("long").alias("low_units"),
+        F.first("_close").cast("long").alias("close_units"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("_v").cast("long").alias("sum_units"),
+    )

@@ -377,3 +377,64 @@ def bigram_lm_scores(
             F.floor(F.col("cond_bits") * 1000 / F.col("n_bigrams")).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus collocation mining by integer-quantized PMI — the phrase
+    discovery pass (word2vec's phrase pass, "new_york"-style compounds)
+    a tokenizer-training pipeline runs before vocab induction.
+
+    PMI(w1, w2) = log2( P(w1,w2) / (P(w1)·P(w2)) )
+                = log2( c12·N / (c1·c2) )
+    with c1 = w1's LEFT-position count, c2 = w2's RIGHT-position count and
+    N = total bigrams — so the unigram marginals are the bigram table's own
+    marginals and the probabilities sum to 1 exactly.  The score is
+    quantized to the integer envelope floor(log2(c12·N)) − floor(log2(c1·c2)):
+    both args are exact int64 products (< 2^53 for any corpus this gate
+    sees; at web scale split the logs: floor-log2 of each factor brackets
+    the same ranking), so the score is bit-exact cross-engine, reduction-
+    order-free, and within 1 bit of true PMI — rank-faithful enough to
+    screen collocation candidates, which is this operator's one job.
+
+    Tokenization matches the rest of the text surface (lowercase,
+    ``[\\s\\x1f]+`` split, empties dropped order-preservingly).  Shape:
+    bigram extraction is a codegen map; ONE shuffle builds the bigram
+    counts; the marginals re-aggregate FROM the bigram table (tiny) and
+    join back broadcast — the token stream is read once.
+
+    Output: (w1, w2, c12, c1, c2, pmi_bits), c12 >= min_count.
+    """
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[\s\x1f]+"), lambda t: t != ""
+    )
+    n = F.size(ws)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(ws, 1, n - 1).alias("w1"), F.slice(ws, 2, n - 1).alias("w2")
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    n_total = bi.groupBy().agg(F.sum("c12").cast("long").alias("n_bi"))
+    left = bi.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    right = bi.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    scored = (
+        bi.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(n_total))
+    )
+    pmi_bits = (
+        F.floor(F.log2(F.col("c12") * F.col("n_bi")))
+        - F.floor(F.log2(F.col("c1") * F.col("c2")))
+    ).cast("long")
+    return scored.select("w1", "w2", "c12", "c1", "c2", pmi_bits.alias("pmi_bits"))

@@ -413,3 +413,73 @@ def label_propagation(
         if (r + 1) % 2 == 0 and r != n_rounds - 1:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("v", F.col("lab").cast("long").alias("lab"))
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    min_common: int = 2,
+    anchor_cap: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    jaccard_scale: int = 1_000_000,
+) -> DataFrame:
+    """Link-prediction candidate scoring by shared neighborhoods: for every
+    vertex pair (a < b) with at least ``min_common`` common neighbors,
+    emit the common-neighbor count and the integer-scaled Jaccard
+    floor(scale·|Γa∩Γb| / |Γa∪Γb|) — the classic missing-edge /
+    entity-resolution ranking (Liben-Nowell & Kleinberg), and exactly the
+    wedge-enumeration shape of ``triangle_count`` repointed at OPEN wedges.
+
+    Scale shape: pairs are generated ONLY through shared anchors — a
+    self-join of the (neighbor → vertex) adjacency keyed on the anchor,
+    never vertex×vertex.  Cost is Σ_anchor deg(anchor)², so hub anchors
+    are the quadratic risk; ``anchor_cap`` drops anchors with more than
+    that many neighbors (the link-prediction analogue of stop-word
+    removal — a hub shared by everyone carries no signal; the LSH
+    stop-template cap doctrine).  The cap is applied BEFORE pairing in
+    both this plan and its oracle, so it is part of the operator's
+    definition, not an approximation.  Degrees for the union term are
+    computed on the same capped graph (scores stay internally consistent).
+    One shuffle for adjacency dedup + degree, one for the anchor
+    self-join, one for the pair rollup.
+
+    Output: (a, b, common, deg_a, deg_b, jaccard_ppm) with a < b.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # adjacency keyed by the ANCHOR (the shared neighbor): anchor = src side
+    adj = und.select(F.col("src").alias("anchor"), F.col("dst").alias("v"))
+    if anchor_cap is not None:
+        deg_anchor = adj.groupBy("anchor").agg(F.count(F.lit(1)).alias("_da"))
+        adj = adj.join(
+            F.broadcast(deg_anchor.filter(F.col("_da") <= anchor_cap)), "anchor"
+        ).select("anchor", "v")
+    # the capped adjacency feeds THREE consumers (degrees + both self-join
+    # sides): materialize it once (the label_propagation prepared-edges
+    # doctrine) instead of recomputing the dedup/cap subtree per consumer
+    adj = adj.localCheckpoint(eager=True)
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a1 = adj.select("anchor", F.col("v").alias("a"))
+    a2 = adj.select("anchor", F.col("v").alias("b"))
+    pairs = (
+        a1.join(a2, "anchor")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    scored = (
+        pairs.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b")), "b")
+    )
+    jacc = F.floor(
+        (F.col("common") * jaccard_scale)
+        / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast("double")
+    ).cast("long")
+    return scored.select(
+        "a", "b", "common", "deg_a", "deg_b", jacc.alias("jaccard_ppm")
+    )

@@ -1,0 +1,240 @@
+"""Unit tests for the round-7 continuation batch (catalog/frontier.py):
+OHLC rollup determinism, interval-overlap join semantics (single emission,
+endpoint inclusivity, whale spans), PMI collocation math vs a python
+reference, common-neighbor scoring with the anchor cap, MaxSim scoring vs
+numpy, and the matryoshka truncation audit's internal consistency."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.operators.joins import join_interval_overlap
+from cell_kn_mvp_etl_ontologies_spark.operators.similarity import maxsim_topk, quantize_np
+from cell_kn_mvp_etl_ontologies_spark.operators.temporal import ohlc_rollup
+from cell_kn_mvp_etl_ontologies_spark.operators.text_analysis import collocations_pmi
+from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import common_neighbor_scores
+
+from conftest import rows_set
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_ohlc_rollup_deterministic_ties(spark):
+    # two events at the IDENTICAL timestamp: the tiebreak column decides
+    # open/close, so the candle is a pure function of the data
+    rows = [
+        (1, _ts("2024-01-01T00:00:05"), 10, 3.0),
+        (1, _ts("2024-01-01T00:00:05"), 11, 7.0),   # same ts, higher id
+        (1, _ts("2024-01-01T23:59:59"), 12, 5.0),
+        (1, _ts("2024-01-02T00:00:00"), 13, 9.0),   # next bucket
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long, value double")
+    out = ohlc_rollup(df, "user_id", "ts", "value", 86400, 1_000_000, "event_id")
+    got = {tuple(r) for r in out.collect()}
+    d0 = 19723  # 2024-01-01 in days since epoch
+    assert (1, d0, 3_000_000, 7_000_000, 3_000_000, 5_000_000, 3, 15_000_000) in got
+    assert (1, d0 + 1, 9_000_000, 9_000_000, 9_000_000, 9_000_000, 1, 9_000_000) in got
+    assert out.count() == 2
+
+
+def test_interval_overlap_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 55), (3, 1000, 1005)],
+        "l_id long, l_start long, l_end long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, 120),   # touches interval 1 at exactly one point
+            (11, 54, 300),    # overlaps 1 and 2
+            (12, 101, 150),   # overlaps nothing on the left of 1
+            (13, 900, 999),   # just misses 3
+        ],
+        "r_id long, r_start long, r_end long",
+    )
+    out = join_interval_overlap(left, right, bucket_size=7)
+    got = rows_set(out, "l_id", "r_id", "overlap")
+    # closed-interval semantics: touching endpoints overlap with length 0;
+    # 12 starts after 1 ends, 13 ends just before 3 starts
+    assert got == {(1, 10, 0), (1, 11, 46), (2, 11, 1)}
+    # single emission per pair even though pairs share many 7-wide chunks
+    assert out.groupBy("l_id", "r_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_interval_overlap_whale_span_single_emission(spark):
+    # a whale interval spanning 1000 buckets still pairs exactly once
+    left = spark.createDataFrame([(1, 0, 7000)], "l_id long, l_start long, l_end long")
+    right = spark.createDataFrame([(9, 6990, 8000)], "r_id long, r_start long, r_end long")
+    out = join_interval_overlap(left, right, bucket_size=7).collect()
+    assert len(out) == 1
+    assert out[0].overlap == 10
+
+
+def test_collocations_pmi_matches_python_reference(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "a b x y x y"), (3, "b a")],
+        "doc_id long, text string",
+    )
+    out = collocations_pmi(docs, "text", min_count=2)
+    # python reference over the same tokenization
+    toks = [["a", "b", "a", "b", "a", "b", "c"], ["a", "b", "x", "y", "x", "y"], ["b", "a"]]
+    from collections import Counter
+
+    c12: Counter = Counter()
+    for ws in toks:
+        for u, v in zip(ws, ws[1:]):
+            c12[(u, v)] += 1
+    n = sum(c12.values())
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for (u, v), c in c12.items():
+        c1[u] += c
+        c2[v] += c
+    expect = {
+        (u, v, c, c1[u], c2[v], math.floor(math.log2(c * n)) - math.floor(math.log2(c1[u] * c2[v])))
+        for (u, v), c in c12.items()
+        if c >= 2
+    }
+    assert rows_set(out) == expect
+
+
+def test_common_neighbors_anchor_cap_and_jaccard(spark):
+    # star hub h connects 1..5 (degree 5 > cap 4) — contributes no pairs;
+    # anchors x,y shared by (1,2) give common=2
+    edges = [(i, 100) for i in range(1, 6)]           # hub anchor, degree 5
+    edges += [(1, 200), (2, 200), (1, 201), (2, 201)]  # two small shared anchors
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = common_neighbor_scores(df, min_common=2, anchor_cap=4)
+    got = rows_set(out, "a", "b", "common", "deg_a", "deg_b", "jaccard_ppm")
+    # anchor 100 (degree 5 > cap) generates no pairs and is dropped from
+    # 1's and 2's capped adjacency (deg 2 each); the graph is undirected,
+    # so vertices 1 and 2 are themselves anchors for the part-side pairs —
+    # (200, 201) share {1, 2}, and hub 100 pairs with 200/201 through them
+    # while keeping its own degree 5 (it survives as a NEIGHBOR under the
+    # small anchors 1..5; only its anchor role is capped)
+    assert got == {
+        (1, 2, 2, 2, 2, 1_000_000),
+        (200, 201, 2, 2, 2, 1_000_000),
+        (100, 200, 2, 5, 2, 400_000),
+        (100, 201, 2, 5, 2, 400_000),
+    }
+
+
+def test_maxsim_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    qv = rng.normal(size=(2, 3, 4)).astype(np.float32)   # 2 query docs x 3 toks
+    tv = rng.normal(size=(4, 3, 4)).astype(np.float32)   # 4 corpus docs
+    q_rows = [
+        (int(d), int(t), [float(x) for x in qv[d, t]])
+        for d in range(2) for t in range(3)
+    ]
+    t_rows = [
+        (int(d) + 10, int(t), [float(x) for x in tv[d, t]])
+        for d in range(4) for t in range(3)
+    ]
+    q = spark.createDataFrame(q_rows, "q_id long, q_tok long, vec array<float>")
+    t = spark.createDataFrame(t_rows, "t_id long, t_tok long, vec array<float>")
+    out = maxsim_topk(q, t, k=2, scale=1000)
+    got = {(r.q_id, r.t_id): r.maxsim_units for r in out.collect()}
+
+    qq = np.stack([quantize_np(qv[d]) for d in range(2)])
+    tt = np.stack([quantize_np(tv[d]) for d in range(4)])
+    scores = {}
+    for d in range(2):
+        for e in range(4):
+            dots = qq[d] @ tt[e].T  # (3 q toks, 3 t toks)
+            scores[(d, e + 10)] = int(dots.max(axis=1).sum())
+    for (qi, ti), s in got.items():
+        assert scores[(qi, ti)] == s
+    # top-2 per query by (score desc, t_id asc)
+    for d in range(2):
+        ranked = sorted(((s, t_) for (q_, t_), s in scores.items() if q_ == d),
+                        key=lambda x: (-x[0], x[1]))[:2]
+        assert {(d, t_) for _, t_ in ranked} == {(q_, t_) for (q_, t_) in got if q_ == d}
+
+
+def test_mrl_recall_audit_consistency(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["embedding_mrl_recall"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n_full == 3
+        assert r.n_trunc == 3
+        assert 0 <= r.n_overlap <= 3
+
+
+def test_maxsim_routed_identity_at_full_probe(spark):
+    # nprobe = n_cells makes the candidate set all pairs: routed output
+    # must be BIT-identical to the brute path on arbitrary data
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    tv = rng.normal(size=(10, 4, 6)).astype(np.float32)
+    t_rows = [
+        (int(d), int(t), [float(x) for x in tv[d, t]])
+        for d in range(10) for t in range(4)
+    ]
+    t = spark.createDataFrame(t_rows, "t_id long, t_tok long, vec array<float>")
+    q = (
+        t.filter(F.col("t_id") < 3)
+        .select(F.col("t_id").alias("q_id"), F.col("t_tok").alias("q_tok"), "vec")
+    )
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        maxsim_topk,
+        maxsim_topk_routed,
+    )
+
+    brute = rows_set(maxsim_topk(q, t, k=4), "q_id", "t_id", "maxsim_units")
+    routed = rows_set(
+        maxsim_topk_routed(q, t, k=4, n_cells=3, nprobe=3), "q_id", "t_id", "maxsim_units"
+    )
+    assert brute == routed
+    # pruning probe returns a subset of candidates, ranked by the same score
+    pruned = rows_set(
+        maxsim_topk_routed(q, t, k=4, n_cells=3, nprobe=1), "q_id", "t_id", "maxsim_units"
+    )
+    assert pruned <= rows_set(
+        maxsim_topk(q, t, k=10 * 4), "q_id", "t_id", "maxsim_units"
+    )
+
+
+def test_maxsim_vectorized_matches_expression_at_pruning_probe(spark):
+    # the two routed paths share maxsim_route_cells; at a PRUNING probe
+    # (nprobe=1) any routing or scoring divergence would surface as a
+    # different candidate set or score — assert full-row equality
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    tv = rng.normal(size=(12, 3, 5)).astype(np.float32)
+    t_rows = [
+        (int(d), int(t), [float(x) for x in tv[d, t]])
+        for d in range(12) for t in range(3)
+    ]
+    t = spark.createDataFrame(t_rows, "t_id long, t_tok long, vec array<float>")
+    q = (
+        t.filter(F.col("t_id") < 4)
+        .select(F.col("t_id").alias("q_id"), F.col("t_tok").alias("q_tok"), "vec")
+    )
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        maxsim_topk_routed,
+        maxsim_topk_routed_vectorized,
+    )
+
+    for nprobe in (1, 2):
+        expr = rows_set(
+            maxsim_topk_routed(q, t, k=3, n_cells=3, nprobe=nprobe),
+            "q_id", "t_id", "maxsim_units", "n_q_tokens",
+        )
+        vec = rows_set(
+            maxsim_topk_routed_vectorized(q, t, k=3, n_cells=3, nprobe=nprobe),
+            "q_id", "t_id", "maxsim_units", "n_q_tokens",
+        )
+        assert expr == vec

@@ -30,6 +30,33 @@ sys.path.insert(0, REPO)
 # Queries whose physical plan legitimately trips a generic bound, with the
 # reason recorded so waivers stay auditable.
 WAIVERS: dict[str, set[str]] = {
+    # routed MaxSim broadcasts the n_cells-row seed-summary table for
+    # assignment (the IVF waiver pattern); candidates and scoring are
+    # keyed equi-joins — no data-scale cross product.
+    "similarity_maxsim_routed": {"CARTESIAN"},
+    # the cogrouped-vectorized twin routes through the same seed broadcast
+    # (maxsim_route_cells is shared verbatim); scoring is the cell-keyed
+    # cogroup — no data-scale cross product.
+    "similarity_maxsim_routed_vec": {"CARTESIAN"},
+    # the recall audit runs BOTH the brute baseline (broadcast query
+    # tokens, the similarity_maxsim waiver) and the routed chain (seed
+    # broadcast) plus the full-outer overlap rollup — the exchange count
+    # is the sum of two already-audited paths over KB-scale frames, not
+    # extra data movement per row.
+    "similarity_maxsim_recall": {"CARTESIAN", "MANY_EXCH"},
+    # PMI scoring broadcasts the ONE-ROW bigram-total frame against the
+    # (already aggregated) bigram table — a scalar join, not a cross
+    # product of data-scale sides.
+    "text_collocations_pmi": {"CARTESIAN"},
+    # brute-force rung of the multi-vector ladder: the query TOKEN frame
+    # (|Q| docs x 8 tokens, |Q| small by contract) broadcasts against the
+    # corpus token frame — the similarity_topk pattern at token grain;
+    # the scale rung routes per-doc centroids through IVF first.
+    "similarity_maxsim": {"CARTESIAN"},
+    # truncation audit runs TWO exact ground-truth scans (full-width and
+    # half-width) with the 20-query side broadcast by design — the
+    # similarity_ann_recall waiver pattern, twice.
+    "embedding_mrl_recall": {"CARTESIAN"},
     # IVF training intentionally cross-joins a tiny (n_cells × dim) centroid
     # table against itself during Lloyd iterations; bounded by n_cells.
     "similarity_ann_ivf": {"CARTESIAN"},
