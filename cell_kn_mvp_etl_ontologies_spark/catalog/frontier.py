@@ -525,3 +525,139 @@ def embedding_mrl_recall_q(spark, sf_dir):
             (F.col("in_full").isNotNull() & F.col("in_trunc").isNotNull()).cast("int")
         ).cast("long").alias("n_overlap"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_bitmap_sliding_distinct — trailing-window distinct via sketch merge
+# --------------------------------------------------------------------------
+@register(
+    "agg_bitmap_sliding_distinct",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS bucket, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT bucket FROM ev)
+    SELECT CAST(d.bucket AS BIGINT) AS bucket,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_distinct
+    FROM days d JOIN ev e ON e.bucket BETWEEN d.bucket - 2 AND d.bucket
+    GROUP BY d.bucket
+    """,
+)
+def agg_bitmap_sliding_distinct_q(spark, sf_dir):
+    """Per-day TRAILING-3-DAY distinct users from the bitmap-word sketch
+    (operators/aggregates.py bitmap_distinct_sliding): per-day words built
+    once, each fanned to its 3 target days and merged with bit_or — the
+    overlapping-window rollup count(distinct) would answer by re-shuffling
+    raw ids once per window.  The oracle IS that naive recount, so the
+    gate proves the sketch path exact."""
+    from ..operators.aggregates import bitmap_distinct_sliding, bitmap_distinct_words
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            / 86400
+        ).cast("long").alias("bucket"),
+        "user_id",
+    )
+    words = bitmap_distinct_words(ev, ["bucket"], "user_id")
+    return bitmap_distinct_sliding(words, "bucket", window=3)
+
+
+# --------------------------------------------------------------------------
+# temporal_rolling_anomaly — integer rolling z-score screen
+# --------------------------------------------------------------------------
+@register(
+    "temporal_rolling_anomaly",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS v_units,
+             ts
+      FROM events WHERE user_id < 40
+    ),
+    w AS (
+      SELECT user_id, event_id, v_units,
+        CAST(COUNT(v_units) OVER win AS BIGINT) AS win_n,
+        CAST(COALESCE(SUM(v_units) OVER win, 0) AS BIGINT) AS win_sum,
+        CAST(COALESCE(SUM(v_units * v_units) OVER win, 0) AS BIGINT) AS win_sumsq
+      FROM base
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_id, v_units,
+      win_n, win_sum, win_sumsq,
+      CASE WHEN win_n = 7
+           THEN (v_units * 7 - win_sum) * (v_units * 7 - win_sum)
+                > 9 * (7 * win_sumsq - win_sum * win_sum)
+           ELSE FALSE END AS is_anomaly
+    FROM w
+    """,
+)
+def temporal_rolling_anomaly_q(spark, sf_dir):
+    """Each event flagged against its own trailing 7-event window by the
+    division-free integer z² test (operators/temporal.py
+    rolling_anomaly_integer, k=3): (v·n−S)² > k²(n·S2−S²) in exact int64 —
+    no float variance, no sqrt, cold-start rows explicit (win_n < 7 →
+    false).  One shuffle, one ordered window pass for count/sum/sumsq."""
+    from ..operators.temporal import rolling_anomaly_integer
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return rolling_anomaly_integer(
+        ev, "user_id", ["ts", "event_id"], "value", n=7, k=3, scale=1000
+    ).select(
+        "user_id", "event_id", "v_units", "win_n", "win_sum", "win_sumsq", "is_anomaly"
+    )
+
+
+# --------------------------------------------------------------------------
+# profile_topk_values — per-column frequent-values profile
+# --------------------------------------------------------------------------
+@register(
+    "profile_topk_values",
+    oracle="""
+    WITH long_ AS (
+      SELECT 'lang' AS col_name, lang AS value FROM documents
+      UNION ALL
+      SELECT 'source', source FROM documents
+      UNION ALL
+      SELECT 'len_bucket', CAST(n_chars // 200 AS VARCHAR) FROM documents
+    ),
+    counts AS (
+      SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM long_ GROUP BY col_name, value
+    )
+    SELECT col_name, value, cnt, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY col_name ORDER BY cnt DESC, value ASC) AS rnk
+      FROM counts
+    ) WHERE rnk <= 3
+    """,
+)
+def profile_topk_values_q(spark, sf_dir):
+    """Frequent-values profile — the data-profiling companion of
+    `profile_numeric`: top-3 values per column (deterministic ties: count
+    DESC, value ASC) over a SINGLE scan via `stack()` (the
+    agg_unpivot_long doctrine — the oracle's k-scan UNION ALL is exactly
+    what the single-scan melt avoids at fact scale), one count
+    aggregation, one per-column window top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    long_ = docs.select(
+        F.expr(
+            "stack(3, 'lang', lang, 'source', source,"
+            " 'len_bucket', CAST(n_chars div 200 AS STRING))"
+        ).alias("col_name", "value")
+    )
+    counts = long_.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("col_name", "value", "cnt", "rnk")
+    )

@@ -279,3 +279,40 @@ def bitmap_overlap(
         F.sum(F.bit_count(F.expr("wl & wr"))).cast("long").alias("n_both"),
         F.sum(F.bit_count(F.expr("wl | wr"))).cast("long").alias("n_either"),
     )
+
+
+def bitmap_distinct_sliding(
+    words: DataFrame, bucket_col: str, window: int
+) -> DataFrame:
+    """Trailing-window distinct counts from the bitmap-word sketch: for
+    every observed bucket b, the exact distinct-id count over buckets
+    [b - window + 1, b] — the "distinct users, trailing 7 days, per day"
+    rollup, answered WITHOUT re-touching raw data (the re-aggregation
+    property ``count(distinct)`` fundamentally lacks: overlapping windows
+    would each re-shuffle the raw id sets; here each per-bucket word
+    contributes to its ``window`` target buckets and the merge is
+    ``bit_or``).
+
+    Shape: one codegen explode fans each (bucket, chunk, word) row to its
+    target buckets (fan-out = window, tiny rows), one keyed bit_or + one
+    popcount-sum aggregation, and a semi-join restricting targets to
+    OBSERVED buckets (the window of a day nobody saw doesn't exist).
+    At 100 TB the words table is already the materialized per-(bucket,
+    chunk) sketch — this pass never reads the fact table.
+
+    Input ``words`` from ``bitmap_distinct_words(df, [bucket_col], id)``;
+    output (bucket_col, n_distinct BIGINT) per observed bucket.
+    """
+    b = F.col(bucket_col).cast("long")
+    contrib = words.select(
+        F.explode(F.sequence(b, b + F.lit(window - 1))).alias(bucket_col),
+        "chunk",
+        "word",
+    )
+    merged = contrib.groupBy(bucket_col, "chunk").agg(F.bit_or("word").alias("word"))
+    observed = words.select(b.alias(bucket_col)).distinct()
+    return (
+        merged.join(observed, bucket_col, "left_semi")
+        .groupBy(bucket_col)
+        .agg(F.sum(F.bit_count("word")).cast("long").alias("n_distinct"))
+    )

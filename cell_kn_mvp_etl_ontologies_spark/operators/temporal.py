@@ -396,3 +396,69 @@ def ohlc_rollup(
         F.count(F.lit(1)).cast("long").alias("n_obs"),
         F.sum("_v").cast("long").alias("sum_units"),
     )
+
+
+def rolling_anomaly_integer(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    n: int = 7,
+    k: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Rolling z-score anomaly screen in PURE int64 arithmetic — the
+    streaming-telemetry cousin of ``filter_outlier_mad`` (that one is
+    per-group global; this flags each event against its own trailing
+    window).
+
+    The z² > k² test is cleared of divisions entirely:
+        z² = (v·n − S)² / (n·S2 − S²)         (S, S2 = window sum, sum sq)
+        flag ⇔ (v·n − S)² > k² · (n·S2 − S²)
+    Every factor is an exact int64 on milli-quantized values (envelope:
+    |v| ≤ ~2·10⁶ milli-units keeps both sides < 2^60 at n ≤ 16) — no
+    float variance, no sqrt, bit-exact cross-engine.  The window is the n
+    PRECEDING events (current row excluded, so a spike can't mask
+    itself); rows with fewer than n predecessors emit flag = false with
+    win_n reported (the cold-start contract, explicit rather than NULL).
+
+    Shape: ONE shuffle on key, one ordered window pass computing count,
+    sum, and sum-of-squares over the same frame.  Whale keys degrade to a
+    long sorted partition — the standard window caveat; bucket the key by
+    time first when a single entity's history outgrows a task.
+
+    Output: key, order cols, v_units, win_n, win_sum, win_sumsq,
+    is_anomaly.
+    """
+    from pyspark.sql import Window
+
+    v = F.floor(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(key_col).cast("long").alias(key_col),
+        *[F.col(c) for c in order_cols],
+        v.alias("v_units"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-n, -1)
+    )
+    stats = base.select(
+        key_col,
+        *order_cols,
+        "v_units",
+        F.count("v_units").over(w).cast("long").alias("win_n"),
+        F.sum("v_units").over(w).cast("long").alias("win_sum"),
+        F.sum(F.col("v_units") * F.col("v_units")).over(w).cast("long").alias("win_sumsq"),
+    )
+    lhs = (F.col("v_units") * n - F.col("win_sum"))
+    rhs = F.lit(k * k) * (F.lit(n) * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum"))
+    return stats.select(
+        key_col,
+        *order_cols,
+        "v_units",
+        "win_n",
+        F.coalesce("win_sum", F.lit(0)).alias("win_sum"),
+        F.coalesce("win_sumsq", F.lit(0)).alias("win_sumsq"),
+        F.when(F.col("win_n") == n, (lhs * lhs) > rhs).otherwise(F.lit(False)).alias("is_anomaly"),
+    )

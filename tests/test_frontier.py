@@ -238,3 +238,45 @@ def test_maxsim_vectorized_matches_expression_at_pruning_probe(spark):
             "q_id", "t_id", "maxsim_units", "n_q_tokens",
         )
         assert expr == vec
+
+
+def test_bitmap_sliding_distinct_matches_recount(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.aggregates import (
+        bitmap_distinct_sliding,
+        bitmap_distinct_words,
+    )
+
+    rows = [
+        (1, 10), (1, 11), (1, 10),       # day 1: {10, 11}
+        (2, 11), (2, 70),                # day 2: {11, 70} (70 -> chunk 1)
+        (4, 10),                          # day 4 (gap at 3): {10}
+    ]
+    df = spark.createDataFrame(rows, "bucket long, uid long")
+    words = bitmap_distinct_words(df, ["bucket"], "uid")
+    out = {r.bucket: r.n_distinct for r in bitmap_distinct_sliding(words, "bucket", 2).collect()}
+    # trailing-2 windows over OBSERVED buckets only (no phantom day 3/5)
+    assert out == {1: 2, 2: 3, 4: 1}
+
+
+def test_rolling_anomaly_flags_spike_not_coldstart(spark):
+    import datetime as dt
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.temporal import (
+        rolling_anomaly_integer,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.0, 10.1, 9.9, 500.0, 10.0]
+    rows = [
+        (1, base + dt.timedelta(minutes=i), i, v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long, value double")
+    out = rolling_anomaly_integer(df, "user_id", ["ts", "event_id"], "value", n=4, k=3)
+    by_event = {r.event_id: r for r in out.collect()}
+    # cold start: first 4 events have win_n < 4 -> never flagged
+    for i in range(4):
+        assert not by_event[i].is_anomaly
+    # the 500 spike against a flat {10.0, 10.0, 10.1, 9.9} window flags
+    assert by_event[4].is_anomaly
+    # the return to 10.0 sits inside the spike-inflated variance -> clean
+    assert not by_event[5].is_anomaly
