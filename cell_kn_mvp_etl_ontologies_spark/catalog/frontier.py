@@ -38,9 +38,10 @@ def _t(spark, sf_dir, name):
 # --------------------------------------------------------------------------
 # temporal_ohlc — deterministic open/high/low/close candle rollup
 # --------------------------------------------------------------------------
-@register(
-    "temporal_ohlc",
-    oracle="""
+# Shared by the batch rollup and the streaming maintainer (`stream_ohlc`):
+# one oracle constant pins window-formulation, struct-extrema partials, and
+# the micro-batch merge chain mutually equal.
+_OHLC_ORACLE = """
     WITH base AS (
       SELECT user_id AS key,
              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS bucket,
@@ -64,8 +65,10 @@ def _t(spark, sf_dir, name):
       CAST(COUNT(*) AS BIGINT) AS n_obs,
       CAST(SUM(v) AS BIGINT) AS sum_units
     FROM w GROUP BY key, bucket
-    """,
-)
+    """
+
+
+@register("temporal_ohlc", oracle=_OHLC_ORACLE)
 def temporal_ohlc_q(spark, sf_dir):
     """Daily OHLC candles per user over the events stream
     (operators/temporal.py ohlc_rollup): open/close are FIRST/LAST by
@@ -661,3 +664,57 @@ def profile_topk_values_q(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("col_name", "value", "cnt", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# stream_ohlc — streaming candle maintenance via mergeable partials
+# --------------------------------------------------------------------------
+@register("stream_ohlc", oracle=_OHLC_ORACLE)
+def stream_ohlc_q(spark, sf_dir):
+    """Streaming OHLC maintenance: each micro-batch computes its candle
+    PARTIALS (operators/temporal.py ohlc_partial — open/close carried as
+    full (ts, tiebreak, units) structs so min/max merge them) and
+    foreachBatch folds them into keyed parquet state with ohlc_merge; the
+    returned table is ohlc_finalize over the final state.  Because the
+    partial merge is associative + commutative, the maintained candles
+    are INDEPENDENT of how the file source bundles rows into micro-batches
+    — and the gate proves it: this query shares `temporal_ohlc`'s oracle
+    constant, so stream-maintained == batch-window == DuckDB, hash-exact.
+    O(batch + touched buckets) per trigger; the 100 TB shape partitions
+    state by bucket range so a trigger rewrites only the open candles."""
+    import shutil
+    import tempfile
+
+    from ..operators.temporal import ohlc_finalize, ohlc_merge, ohlc_partial
+    from ..streaming import read_events_stream
+    from . import finish_and_clean
+
+    stream = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 50)
+    root = tempfile.mkdtemp(prefix="stream_ohlc_")
+    state_path = root + "/state"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = ohlc_partial(
+            batch_df, "user_id", "ts", "value",
+            bucket_seconds=86400, scale=1_000_000, tiebreak_col="event_id",
+        )
+        try:
+            state = sp.read.parquet(state_path)
+            merged = ohlc_merge(state.unionByName(part))
+        except Exception:  # first batch: the partial IS the state
+            merged = ohlc_merge(part)
+        staging = root + "/staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    return finish_and_clean(ohlc_finalize(spark.read.parquet(state_path)), root)

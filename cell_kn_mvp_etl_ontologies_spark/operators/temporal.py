@@ -462,3 +462,76 @@ def rolling_anomaly_integer(
         F.coalesce("win_sumsq", F.lit(0)).alias("win_sumsq"),
         F.when(F.col("win_n") == n, (lhs * lhs) > rhs).otherwise(F.lit(False)).alias("is_anomaly"),
     )
+
+
+def ohlc_partial(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    scale: int = 1_000_000,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """MERGEABLE partial state for OHLC candles: per (key, bucket) the
+    open/close carried as full (ts, tiebreak, units) structs — min/max
+    under Spark's lexicographic struct order, so merging two partials is
+    the SAME min/max/sum aggregation (associative + commutative; the
+    result is independent of how rows split across partials, which is what
+    lets a stream maintain candles one micro-batch at a time and a 100 TB
+    backfill union per-shard partials).  ``ohlc_finalize`` merges and
+    projects the candle; ``ohlc_rollup(df) == ohlc_finalize(ohlc_partial
+    (df))`` by construction — the window formulation and the struct-extrema
+    formulation pick the same rows because (ts, tiebreak) is a total
+    order."""
+    epoch_s = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    units = F.floor(F.col(value_col).cast("double") * scale).cast("long")
+    tb = F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0).cast("long")
+    base = df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.floor(epoch_s / bucket_seconds).cast("long").alias("bucket"),
+        F.struct(
+            F.col(ts_col).alias("ts"), tb.alias("tb"), units.alias("v")
+        ).alias("_ev"),
+        units.alias("_v"),
+    )
+    return base.groupBy("key", "bucket").agg(
+        F.min("_ev").alias("o"),
+        F.max("_ev").alias("c"),
+        F.max("_v").cast("long").alias("high_units"),
+        F.min("_v").cast("long").alias("low_units"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("_v").cast("long").alias("sum_units"),
+    )
+
+
+def ohlc_merge(partials: DataFrame) -> DataFrame:
+    """Merge OHLC partial states (same schema as ``ohlc_partial`` output)
+    to one row per (key, bucket) — the re-aggregation a streaming
+    foreachBatch runs per micro-batch and a sharded backfill runs once."""
+    return partials.groupBy("key", "bucket").agg(
+        F.min("o").alias("o"),
+        F.max("c").alias("c"),
+        F.max("high_units").cast("long").alias("high_units"),
+        F.min("low_units").cast("long").alias("low_units"),
+        F.sum("n_obs").cast("long").alias("n_obs"),
+        F.sum("sum_units").cast("long").alias("sum_units"),
+    )
+
+
+def ohlc_finalize(partials: DataFrame) -> DataFrame:
+    """Merge + project the candle: (key, bucket, open/high/low/close units,
+    n_obs, sum_units) — the ``ohlc_rollup`` output contract."""
+    m = ohlc_merge(partials)
+    return m.select(
+        "key",
+        "bucket",
+        F.col("o.v").cast("long").alias("open_units"),
+        "high_units",
+        "low_units",
+        F.col("c.v").cast("long").alias("close_units"),
+        "n_obs",
+        "sum_units",
+    )

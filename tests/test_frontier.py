@@ -280,3 +280,32 @@ def test_rolling_anomaly_flags_spike_not_coldstart(spark):
     assert by_event[4].is_anomaly
     # the return to 10.0 sits inside the spike-inflated variance -> clean
     assert not by_event[5].is_anomaly
+
+
+def test_ohlc_partials_merge_equals_window_rollup(spark):
+    import datetime as dt
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.temporal import (
+        ohlc_finalize,
+        ohlc_partial,
+        ohlc_rollup,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, base + dt.timedelta(hours=h % 30, days=h // 30), h, float((h * 37) % 100) / 4)
+        for h in range(60)
+    ] + [(1, base, 999, 42.0)]  # duplicate timestamp of event 0 -> tiebreak
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long, value double")
+    whole = rows_set(ohlc_rollup(df, "user_id", "ts", "value", 86400, 1000, "event_id"))
+    # struct-extrema formulation over the SAME data
+    one_pass = rows_set(ohlc_finalize(ohlc_partial(df, "user_id", "ts", "value", 86400, 1000, "event_id")))
+    assert whole == one_pass
+    # merge of arbitrary splits == whole (associativity/commutativity):
+    # split rows by event parity, union the two PARTIAL tables, finalize
+    a = df.filter(F.col("event_id") % 2 == 0)
+    b = df.filter(F.col("event_id") % 2 == 1)
+    pa = ohlc_partial(a, "user_id", "ts", "value", 86400, 1000, "event_id")
+    pb = ohlc_partial(b, "user_id", "ts", "value", 86400, 1000, "event_id")
+    merged = rows_set(ohlc_finalize(pa.unionByName(pb)))
+    assert whole == merged
