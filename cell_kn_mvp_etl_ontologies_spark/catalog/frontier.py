@@ -718,3 +718,71 @@ def stream_ohlc_q(spark, sf_dir):
     )
     query.awaitTermination()
     return finish_and_clean(ohlc_finalize(spark.read.parquet(state_path)), root)
+
+
+# --------------------------------------------------------------------------
+# stream_maxsim_maintain — streaming routing-summary maintenance + serve
+# --------------------------------------------------------------------------
+@register("stream_maxsim_maintain", oracle=_MAXSIM_ORACLE)
+def stream_maxsim_maintain_q(spark, sf_dir):
+    """Streaming maintenance of the MaxSim routing structure: token-SUM
+    doc summaries are ADDITIVE (int64 vector addition commutes), so each
+    micro-batch's partial summaries fold into keyed parquet state with
+    one merge (operators/similarity.py merge_doc_summaries) — a document
+    whose tokens arrive across many triggers converges to the same
+    summary as a single-pass build, independent of bundling.  Serving
+    then routes through the MAINTAINED table (the q_sum/t_sum hooks of
+    maxsim_topk_routed) at nprobe = n_cells and must therefore be
+    bit-identical to the all-batch chain — the FOURTH share of the MaxSim
+    oracle constant (brute, routed, routed-vectorized, stream-maintained
+    all mutually pinned).  O(batch) per trigger; the corpus token stream
+    is never rescanned for routing."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        maxsim_doc_summaries,
+        maxsim_topk_routed,
+        merge_doc_summaries,
+    )
+    from ..streaming import read_embeddings_stream
+    from . import finish_and_clean
+
+    stream = read_embeddings_stream(spark, sf_dir).select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="stream_maxsim_")
+    state_path = root + "/state"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        toks = batch_df.select(
+            F.expr("vec_id div 8").cast("long").alias("t_id"),
+            F.col("embedding").alias("vec"),
+        )
+        part = maxsim_doc_summaries(toks, "t_id", scale=1000)
+        try:
+            state = sp.read.parquet(state_path)
+            merged = merge_doc_summaries(state.unionByName(part), "t_id")
+        except Exception:  # first batch
+            merged = part
+        staging = root + "/staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    t_sum = spark.read.parquet(state_path)
+    q_sum = t_sum.filter(F.col("t_id") < 5).withColumnRenamed("t_id", "q_id")
+    q_tokens, t_tokens = _maxsim_frames(spark, sf_dir)
+    out = maxsim_topk_routed(
+        q_tokens, t_tokens, k=5, n_cells=4, nprobe=4, scale=1000,
+        q_sum=q_sum, t_sum=t_sum,
+    ).select("q_id", "t_id", "maxsim_units", "n_q_tokens")
+    return finish_and_clean(out, root)

@@ -860,12 +860,32 @@ def maxsim_doc_summaries(
     return g.select(id_col, svec.alias("svec"))
 
 
+def merge_doc_summaries(partials: DataFrame, id_col: str = "t_id") -> DataFrame:
+    """Merge per-shard/per-batch token-SUM summaries: int64 vector addition
+    is associative and commutative, so summaries maintained one micro-batch
+    at a time (or one backfill shard at a time) equal the single-pass
+    summary regardless of how tokens were bundled — the property
+    ``stream_maxsim_maintain`` gates.  Same fold pattern as
+    ``maxsim_doc_summaries`` (collect + zip_with-add, first element as
+    seed)."""
+    g = partials.groupBy(id_col).agg(F.collect_list("svec").alias("_xs"))
+    xs = F.col("_xs")
+    svec = F.aggregate(
+        F.slice(xs, 2, F.size(xs) - 1),
+        F.element_at(xs, 1),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    return g.select(id_col, svec.alias("svec"))
+
+
 def maxsim_route_cells(
     q_tokens: DataFrame,
     t_tokens: DataFrame,
     n_cells: int,
     nprobe: int,
     scale: int = 1000,
+    q_sum: DataFrame | None = None,
+    t_sum: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """THE routing chain for cell-routed MaxSim, shared verbatim by the
     expression path (``maxsim_topk_routed``) and the cogrouped vectorized
@@ -874,9 +894,17 @@ def maxsim_route_cells(
     (``maxsim_doc_summaries``), seeds = first ``n_cells`` docs by
     (md5(t_id), t_id), assignment = exact int64 squared L2 to the nearest
     seed (ties → smaller cell); queries keep their ``nprobe`` nearest
-    cells.  Returns (q_cells, t_cells) as (id, cell) frames."""
-    t_sum = maxsim_doc_summaries(t_tokens, "t_id", scale)
-    q_sum = maxsim_doc_summaries(q_tokens, "q_id", scale)
+    cells.  Returns (q_cells, t_cells) as (id, cell) frames.
+
+    ``q_sum``/``t_sum`` (id, svec) override the internally-computed
+    summaries — the streaming maintainer's hook: token-SUM summaries are
+    ADDITIVE, so a stream can keep them fresh by merging per-batch sums
+    (`stream_maxsim_maintain`) and route through the maintained table
+    without ever rescanning the corpus tokens."""
+    if t_sum is None:
+        t_sum = maxsim_doc_summaries(t_tokens, "t_id", scale)
+    if q_sum is None:
+        q_sum = maxsim_doc_summaries(q_tokens, "q_id", scale)
     seeds = (
         t_sum.select(
             "t_id",
@@ -916,6 +944,8 @@ def maxsim_topk_routed(
     n_cells: int = 4,
     nprobe: int | None = None,
     scale: int = 1000,
+    q_sum: DataFrame | None = None,
+    t_sum: DataFrame | None = None,
 ) -> DataFrame:
     """Cell-routed multi-vector MaxSim — the scale rung of ``maxsim_topk``:
     exact token-level late interaction runs ONLY on (query, doc) pairs
@@ -942,7 +972,9 @@ def maxsim_topk_routed(
     """
     if nprobe is None:
         nprobe = n_cells
-    q_cells, t_cells = maxsim_route_cells(q_tokens, t_tokens, n_cells, nprobe, scale)
+    q_cells, t_cells = maxsim_route_cells(
+        q_tokens, t_tokens, n_cells, nprobe, scale, q_sum=q_sum, t_sum=t_sum
+    )
     cand = q_cells.join(t_cells, "cell").select("q_id", "t_id").distinct()
     q = q_tokens.select(
         "q_id", "q_tok", quantize_vec(F.col("vec"), scale).alias("_qv")

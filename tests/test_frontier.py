@@ -309,3 +309,39 @@ def test_ohlc_partials_merge_equals_window_rollup(spark):
     pb = ohlc_partial(b, "user_id", "ts", "value", 86400, 1000, "event_id")
     merged = rows_set(ohlc_finalize(pa.unionByName(pb)))
     assert whole == merged
+
+
+def test_doc_summaries_additive_merge(spark):
+    # a document's tokens split across two partial builds must converge to
+    # the single-pass summary (the stream_maxsim_maintain contract; the
+    # bounded availableNow gate may deliver everything in one batch, so
+    # the split path is pinned here)
+    import numpy as np
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        maxsim_doc_summaries,
+        merge_doc_summaries,
+        quantize_np,
+    )
+
+    rng = np.random.default_rng(41)
+    tv = rng.normal(size=(3, 6, 4)).astype(np.float32)
+    rows = [
+        (int(d), [float(x) for x in tv[d, t]])
+        for d in range(3) for t in range(6)
+    ]
+    df = spark.createDataFrame(rows, "t_id long, vec array<float>")
+    whole = {r.t_id: list(r.svec) for r in maxsim_doc_summaries(df, "t_id").collect()}
+    # split each doc's tokens 2/4 across "batches" by row hash parity
+    a = df.sample(False, 1.0, seed=1).limit(9)   # arbitrary uneven split
+    b = df.subtract(a)
+    pa = maxsim_doc_summaries(a, "t_id")
+    pb = maxsim_doc_summaries(b, "t_id")
+    merged = {
+        r.t_id: list(r.svec)
+        for r in merge_doc_summaries(pa.unionByName(pb), "t_id").collect()
+    }
+    assert merged == whole
+    # and the summary equals the numpy sum of HALF_UP-quantized tokens
+    for d in range(3):
+        assert whole[d] == list(quantize_np(tv[d]).sum(axis=0))
