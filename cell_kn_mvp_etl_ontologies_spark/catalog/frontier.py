@@ -786,3 +786,90 @@ def stream_maxsim_maintain_q(spark, sf_dir):
         q_sum=q_sum, t_sum=t_sum,
     ).select("q_id", "t_id", "maxsim_units", "n_q_tokens")
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# fn_json_extract_agg — typed extraction from a semi-structured JSON column
+# --------------------------------------------------------------------------
+@register(
+    "fn_json_extract_agg",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+      CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_json_extract_agg_q(spark, sf_dir):
+    """Typed extraction from the semi-structured ``props`` JSON column
+    (the payload shape every event pipeline carries): `get_json_object`
+    path extraction + cast, aggregated per event type.  The extraction is
+    a pure codegen projection — no UDF, no parse-to-struct materialization
+    — and a missing/malformed key degrades to NULL (counted via n vs n_k)
+    rather than failing the job, which is the production contract for
+    schema-drifting payloads.  At 100 TB: JSON stays a string column in
+    parquet; extraction cost is per-row CPU in the scan stage, and
+    frequently-read keys should be materialized to typed columns by
+    exactly this operator feeding a column sink."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(k).cast("long").alias("n_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# semistructured_keys_profile — key/type census over a JSON column
+# --------------------------------------------------------------------------
+@register(
+    "semistructured_keys_profile",
+    oracle="""
+    WITH kv AS (
+      SELECT e.event_type, k.key,
+             json_extract_string(e.props, '$.' || k.key) AS v
+      FROM events e, unnest(json_keys(e.props)) AS k(key)
+    )
+    SELECT event_type, key,
+      CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'int'
+           WHEN regexp_matches(v, '^-?[0-9]*\\.[0-9]+$') THEN 'float'
+           WHEN v IN ('true', 'false') THEN 'bool'
+           ELSE 'string' END AS vtype,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+    FROM kv GROUP BY 1, 2, 3
+    """,
+)
+def semistructured_keys_profile_q(spark, sf_dir):
+    """Schema census over the semi-structured column — the profiling pass
+    that decides WHICH JSON keys deserve promotion to typed columns:
+    every key observed per event type, its inferred value class
+    (int/float/bool/string by lexical test, identical regexes both
+    engines), occurrence count, and distinct-value count.  Spark side
+    parses once to map<string,string> (`from_json` — key set need not be
+    known in advance, the whole point) and explodes; pure codegen."""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json(F.col("props"), "map<string,string>")).alias("key", "v"),
+    )
+    vtype = (
+        F.when(F.col("v").rlike(r"^-?[0-9]+$"), F.lit("int"))
+        .when(F.col("v").rlike(r"^-?[0-9]*\.[0-9]+$"), F.lit("float"))
+        .when(F.col("v").isin("true", "false"), F.lit("bool"))
+        .otherwise(F.lit("string"))
+    )
+    return (
+        kv.select("event_type", "key", vtype.alias("vtype"), "v")
+        .groupBy("event_type", "key", "vtype")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("v").cast("long").alias("n_distinct"),
+        )
+    )

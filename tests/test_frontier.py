@@ -345,3 +345,56 @@ def test_doc_summaries_additive_merge(spark):
     # and the summary equals the numpy sum of HALF_UP-quantized tokens
     for d in range(3):
         assert whole[d] == list(quantize_np(tv[d]).sum(axis=0))
+
+
+def test_semistructured_profile_type_classes(spark):
+    # the sf gate's props only carry int "k" — pin the float/bool/string
+    # branches and multi-key payloads against a DuckDB mini-differential
+    import duckdb
+
+    payloads = [
+        ("a", '{"k": 1, "r": 2.5, "ok": true, "name": "x"}'),
+        ("a", '{"k": -3, "r": 0.25, "ok": false, "name": "x"}'),
+        ("b", '{"k": 7, "extra": "z"}'),
+        ("b", '{"name": "y"}'),
+    ]
+    df = spark.createDataFrame(payloads, "event_type string, props string")
+    kv = df.select(
+        "event_type",
+        F.explode(F.from_json(F.col("props"), "map<string,string>")).alias("key", "v"),
+    )
+    vtype = (
+        F.when(F.col("v").rlike(r"^-?[0-9]+$"), F.lit("int"))
+        .when(F.col("v").rlike(r"^-?[0-9]*\.[0-9]+$"), F.lit("float"))
+        .when(F.col("v").isin("true", "false"), F.lit("bool"))
+        .otherwise(F.lit("string"))
+    )
+    got = rows_set(
+        kv.select("event_type", "key", vtype.alias("vtype"))
+        .groupBy("event_type", "key", "vtype")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (event_type VARCHAR, props VARCHAR)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)", payloads)
+    expect = set(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH kv AS (
+              SELECT e.event_type, k.key,
+                     json_extract_string(e.props, '$.' || k.key) AS v
+              FROM ev e, unnest(json_keys(e.props)) AS k(key)
+            )
+            SELECT event_type, key,
+              CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'int'
+                   WHEN regexp_matches(v, '^-?[0-9]*\\.[0-9]+$') THEN 'float'
+                   WHEN v IN ('true', 'false') THEN 'bool'
+                   ELSE 'string' END AS vtype,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM kv GROUP BY 1, 2, 3
+            """
+        ).fetchall()
+    )
+    assert got == expect
+    assert ("a", "ok", "bool", 2) in got and ("a", "r", "float", 2) in got
