@@ -873,3 +873,134 @@ def semistructured_keys_profile_q(spark, sf_dir):
             F.countDistinct("v").cast("long").alias("n_distinct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# similarity_maxsim_trained_recall — trained-cells single-probe audit
+# --------------------------------------------------------------------------
+def _kms_assign(n: int, p: int) -> str:
+    return f"""
+    d{n} AS (
+      SELECT q.vec_id, c.cell, SUM((q.v - c.v) * (q.v - c.v)) AS d
+      FROM sums q JOIN c{p} c ON c.i = q.i
+      GROUP BY q.vec_id, c.cell
+    ),
+    a{n} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM d{n}
+      ) WHERE rn = 1
+    )"""
+
+
+def _kms_update(n: int) -> str:
+    return f"""
+    c{n} AS (
+      SELECT a.cell, q.i, CAST(floor(CAST(SUM(q.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+      FROM a{n} a JOIN sums q ON q.vec_id = a.vec_id
+      GROUP BY a.cell, q.i
+    )"""
+
+
+@register(
+    "similarity_maxsim_trained_recall",
+    oracle=(
+        _MAXSIM_SCORES_CTE
+        + """
+    , sums AS (SELECT d_id AS vec_id, i, SUM(v) AS v FROM quant GROUP BY d_id, i),
+    seeds AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+      FROM (SELECT DISTINCT vec_id FROM sums)
+    ),
+    c0 AS (
+      SELECT CAST(s.r - 1 AS INT) AS cell, q.i, q.v
+      FROM seeds s JOIN sums q USING (vec_id) WHERE s.r <= 4
+    ),"""
+        + _kms_assign(1, 0)
+        + ","
+        + _kms_update(1)
+        + ","
+        + _kms_assign(2, 1)
+        + ","
+        + _kms_update(2)
+        + ","
+        + _kms_assign(3, 2)
+        + """,
+    t_cells AS (SELECT vec_id AS t_id, cell FROM a3),
+    q_cells AS (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM d3 WHERE vec_id < 5
+      ) WHERE rn <= 1
+    ),
+    cand AS (SELECT q.q_id, t.t_id FROM q_cells q JOIN t_cells t USING (cell)),
+    routed_topk AS (
+      SELECT q_id, t_id FROM (
+        SELECT s.q_id, s.t_id, ROW_NUMBER() OVER (
+          PARTITION BY s.q_id ORDER BY s.maxsim_units DESC, s.t_id ASC) AS rnk
+        FROM scores s JOIN cand c ON c.q_id = s.q_id AND c.t_id = s.t_id
+      ) WHERE rnk <= 5
+    ),
+    brute_topk AS (
+      SELECT q_id, t_id FROM (
+        SELECT q_id, t_id, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY maxsim_units DESC, t_id ASC) AS rnk
+        FROM scores
+      ) WHERE rnk <= 5
+    )
+    SELECT CAST(COALESCE(b.q_id, r.q_id) AS BIGINT) AS q_id,
+      CAST(COUNT(b.t_id) AS BIGINT) AS n_exact,
+      CAST(COUNT(r.t_id) AS BIGINT) AS n_routed,
+      CAST(SUM(CASE WHEN b.t_id IS NOT NULL AND r.t_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+    FROM brute_topk b FULL OUTER JOIN routed_topk r
+      ON r.q_id = b.q_id AND r.t_id = b.t_id
+    GROUP BY COALESCE(b.q_id, r.q_id)
+    """
+    ),
+)
+def similarity_maxsim_trained_recall_q(spark, sf_dir):
+    """The A/B half SCALE.md §maxsim calls for: single-probe recall with
+    TRAINED cells (k-means over the summaries, 2 rounds — the oracle
+    unrolls the training as chained CTEs, the cluster_kmeans doctrine
+    applied to the sums table) vs the same audit on md5-seeded cells
+    (`similarity_maxsim_recall`).  Identical query set, k, and nprobe, so
+    the two gates' n_overlap columns ARE the measured uplift; the
+    recorded numbers live in SCALE.md §maxsim."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import maxsim_route_cells_trained, maxsim_topk
+
+    q_tokens, t_tokens = _maxsim_frames(spark, sf_dir)
+    q_cells, t_cells = maxsim_route_cells_trained(
+        q_tokens, t_tokens, n_cells=4, nprobe=1, n_iter=2, scale=1000
+    )
+    cand = q_cells.join(t_cells, "cell").select("q_id", "t_id")
+    # exact MaxSim scores (k far beyond any corpus size keeps every pair),
+    # restricted to the trained candidates, then re-ranked to the routed
+    # top-5
+    scores = maxsim_topk(q_tokens, t_tokens, k=10**6, scale=1000).select(
+        "q_id", "t_id", "maxsim_units"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("maxsim_units").desc(), F.col("t_id").asc()
+    )
+    routed = (
+        cand.join(scores, on=["q_id", "t_id"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("q_id", "t_id", F.lit(1).alias("in_routed"))
+    )
+    brute = maxsim_topk(q_tokens, t_tokens, k=5, scale=1000).select(
+        "q_id", "t_id", F.lit(1).alias("in_exact")
+    )
+    j = brute.join(routed, on=["q_id", "t_id"], how="full_outer")
+    return j.groupBy("q_id").agg(
+        F.count("in_exact").cast("long").alias("n_exact"),
+        F.count("in_routed").cast("long").alias("n_routed"),
+        F.sum(
+            (F.col("in_exact").isNotNull() & F.col("in_routed").isNotNull()).cast("int")
+        ).cast("long").alias("n_overlap"),
+    )

@@ -1135,3 +1135,44 @@ def maxsim_topk_routed_vectorized(
     return window_rank_topk(
         cand, ["q_id"], [F.col("maxsim_units").desc(), F.col("t_id").asc()], k, rank_col="rnk"
     )
+
+
+def maxsim_route_cells_trained(
+    q_tokens: DataFrame,
+    t_tokens: DataFrame,
+    n_cells: int,
+    nprobe: int,
+    n_iter: int = 2,
+    scale: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """TRAINED routing for cell-routed MaxSim: k-means over the int64
+    token-sum summaries (``kmeans_fit`` with scale=1 — the summaries are
+    already integers, so quantization is the identity and the whole chain
+    stays hash-gateable), replacing the md5-seeded arbitrary cells of
+    ``maxsim_route_cells``.  This is the measured recall lever SCALE.md
+    §maxsim names: cells that follow the summary distribution keep true
+    neighbors co-located, exactly as k-means training did for
+    single-vector IVF.  Same return contract: (q_cells, t_cells)."""
+    from .clustering import kmeans_fit
+
+    t_sum = maxsim_doc_summaries(t_tokens, "t_id", scale)
+    q_sum = maxsim_doc_summaries(q_tokens, "q_id", scale)
+    cents = kmeans_fit(
+        t_sum.select(F.col("t_id").alias("vec_id"), F.col("svec").alias("embedding")),
+        k=n_cells,
+        n_iter=n_iter,
+        scale=1,
+    )
+
+    def _assign(side: DataFrame, id_col: str, keep: int) -> DataFrame:
+        scored = side.join(F.broadcast(cents), on=F.lit(True), how="inner").select(
+            id_col, "cell", sq_dist_long(F.col("svec"), F.col("cv")).alias("_d")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cell").asc())
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= keep)
+            .select(id_col, F.col("cell").cast("long").alias("cell"))
+        )
+
+    return _assign(q_sum, "q_id", nprobe), _assign(t_sum, "t_id", 1)

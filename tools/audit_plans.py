@@ -44,6 +44,10 @@ WAIVERS: dict[str, set[str]] = {
     # is the sum of two already-audited paths over KB-scale frames, not
     # extra data movement per row.
     "similarity_maxsim_recall": {"CARTESIAN", "MANY_EXCH"},
+    # trained-A/B twin of the recall audit: adds the k-means training
+    # loop's centroid broadcasts (bounded by k, the kmeans waiver) on top
+    # of the brute + routed chains — same two-audited-paths composition.
+    "similarity_maxsim_trained_recall": {"CARTESIAN", "MANY_EXCH"},
     # PMI scoring broadcasts the ONE-ROW bigram-total frame against the
     # (already aggregated) bigram table — a scalar join, not a cross
     # product of data-scale sides.
