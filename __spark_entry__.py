@@ -69,13 +69,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
-    # ROUND 7 LATE BATCH (continuation): seventeen queries added after the
+    # ROUND 7 LATE BATCH (continuation): nineteen queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,
     # multi-vector MaxSim (brute + routed identity + cogrouped-vectorized
     # identity + single-probe recall audit), and the matryoshka truncation
     # audit (catalog/frontier.py).
-    # They take the head per the changed-contract rule; the seventeen rows
+    # They take the head per the changed-contract rule; the nineteen rows
     # they displace from the 50-slot prefix (tail of the r3 alphabetical
     # backlog: join_upsert, join_upsert_scd2, multimodal_feature_extract,
     # pack_sequences_greedy, pipeline_incremental_graph,
@@ -90,6 +90,7 @@ _PRIORITY = [
     "profile_topk_values", "stream_ohlc", "stream_maxsim_maintain",
     "fn_json_extract_agg", "semistructured_keys_profile",
     "similarity_maxsim_trained_recall",
+    "sample_repeat_temperature", "dedup_remove_segments",
     # ROUND 7 ROTATION (VERDICT.md r6 "Next round" #1, executing the plan
     # precomputed last round): (a) the FOUR queries new this round
     # (text_en stemmed search per VERDICT r6 #3, composed IVF-PQ recall
@@ -139,16 +140,17 @@ _PRIORITY = [
     "pipeline_incremental_graph", "quality_expectations",
     "setop_intersect_except", "similarity_ann_lsh", "similarity_topk",
     # ROUND-8 ROTATION PLAN (precomputed): after this gate the stalest
-    # driver evidence is the 27 deferred r3 rows (the 10 named in the
+    # driver evidence is the 29 deferred r3 rows (the 10 named in the
     # round-7 header plus join_upsert, join_upsert_scd2,
     # multimodal_feature_extract, pack_sequences_greedy,
     # pipeline_incremental_graph, quality_expectations,
     # setop_intersect_except, join_range_interval, join_anti_new_only,
     # graph_pagerank, filter_valid_triple, filter_predicate_ns_whitelist,
     # filter_deprecated_obsolete, dedup_minhash_lsh, dedup_incremental_lsh,
-    # dedup_connected_components, and the slots yielded by the late batch)
+    # dedup_connected_components, contamination_ngram, cdc_snapshot_diff,
+    # and the slots yielded by the late batch)
     # plus the 49 r4-verified rows — give the r8 prefix
-    # to exactly those 27 + the ~23 stalest r4 rows (CORRECTNESS_r04.json keys,
+    # to exactly those 29 + the ~21 stalest r4 rows (CORRECTNESS_r04.json keys,
     # alphabetical), and as always any query whose operator or oracle
     # changes in round 8 jumps to the head.
     # ------------------------------------------------------------------

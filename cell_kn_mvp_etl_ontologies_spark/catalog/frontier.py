@@ -1004,3 +1004,111 @@ def similarity_maxsim_trained_recall_q(spark, sf_dir):
             (F.col("in_exact").isNotNull() & F.col("in_routed").isNotNull()).cast("int")
         ).cast("long").alias("n_overlap"),
     )
+
+
+# --------------------------------------------------------------------------
+# sample_repeat_temperature — deterministic fractional epoch repetition
+# --------------------------------------------------------------------------
+@register(
+    "sample_repeat_temperature",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+        CASE (('0x' || substring(md5('srcw' || source), 1, 8))::BIGINT % 4)
+          WHEN 0 THEN 3.0 WHEN 1 THEN 1.5 WHEN 2 THEN 0.75 ELSE 0.375 END AS wt
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+        CAST(FLOOR(wt) AS BIGINT)
+          + CASE WHEN (('0x' || substring(md5('repeat' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < (wt - FLOOR(wt))
+                 THEN 1 ELSE 0 END AS n_repeats
+      FROM w
+    )
+    SELECT doc_id, source, n_repeats, CAST(e.epoch AS INT) AS epoch
+    FROM r, generate_series(1, 3) e(epoch)
+    WHERE n_repeats >= 1 AND e.epoch <= n_repeats
+    """,
+)
+def sample_repeat_temperature_q(spark, sf_dir):
+    """Deterministic fractional upsampling (operators/training.py
+    repeat_by_weight): per-source mixing weights {3.0, 1.5, 0.75, 0.375}
+    (assigned by source-hash bucket so every fractional class is
+    exercised), each doc materialized floor(w) times plus a
+    hash-fraction coin for the remainder — expected copies = w exactly,
+    and the epoch multiset is a pure function of the data (retry/
+    repartition-stable, hence oracle-replicable: the md5 coin is replayed
+    bit-exactly in SQL).  Zero-repeat rows drop, so fractional weights
+    double as subsampling."""
+    from ..operators.training import hash_bucket, repeat_by_weight
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    wt = (
+        F.when(hash_bucket(F.col("source"), 4, "srcw") == 0, F.lit(3.0))
+        .when(hash_bucket(F.col("source"), 4, "srcw") == 1, F.lit(1.5))
+        .when(hash_bucket(F.col("source"), 4, "srcw") == 2, F.lit(0.75))
+        .otherwise(F.lit(0.375))
+    )
+    out = repeat_by_weight(docs, "doc_id", wt, salt="repeat")
+    return out.select("doc_id", "source", "n_repeats", "epoch")
+
+
+# --------------------------------------------------------------------------
+# dedup_remove_segments — duplicated-segment corpus rewrite
+# --------------------------------------------------------------------------
+@register(
+    "dedup_remove_segments",
+    oracle="""
+    WITH uni AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    base AS (
+      SELECT id, list_filter(string_split_regex(lower(text), '[\\s\x1f]+'),
+                             t -> t <> '') AS ws
+      FROM uni
+    ),
+    segs AS (
+      SELECT id, i AS seg_idx,
+             array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ') AS seg
+      FROM base, generate_series(0, 63) t(i)
+      WHERE i * 10 < len(ws)
+    ),
+    kept AS (
+      SELECT id, seg_idx, seg FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY id, seg_idx) AS rn
+        FROM segs
+      ) WHERE rn = 1
+    ),
+    rebuilt AS (
+      SELECT id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY id
+    ),
+    totals AS (SELECT id, CAST(len(ws) AS BIGINT) AS n_tok FROM base)
+    SELECT t.id, COALESCE(r.clean_text, '') AS clean_text,
+      CAST(CEIL(t.n_tok / 10.0) AS BIGINT) AS n_segments,
+      COALESCE(r.n_kept, 0) AS n_kept
+    FROM totals t LEFT JOIN rebuilt r ON r.id = t.id
+    """,
+)
+def dedup_remove_segments_q(spark, sf_dir):
+    """Duplicated-segment corpus REWRITE (operators/dedup.py
+    remove_duplicate_segments): the corpus plus planted full duplicates
+    (every 7th doc re-inserted at id+100000), cut into aligned 10-token
+    segments; each distinct segment survives only at its globally first
+    (id, position) occurrence and every doc is rebuilt from its kept
+    segments — the planted copies come back EMPTY (visible removal),
+    originals intact.  The detection siblings report; this emits the
+    cleaned corpus a training pipeline actually ships."""
+    from ..operators.dedup import remove_duplicate_segments
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("id"), "text"
+        )
+    )
+    return remove_duplicate_segments(uni, "text", "id", seg_tokens=10)

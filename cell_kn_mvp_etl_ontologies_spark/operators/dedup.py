@@ -397,3 +397,74 @@ def duplicated_span_hashes(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def remove_duplicate_segments(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Corpus REWRITE removing exact duplicated segments across documents
+    (Lee et al. 2022's dedup-then-keep-one applied at aligned-segment
+    grain): the token stream is cut into fixed ``seg_tokens`` segments,
+    each distinct segment text survives only at its globally FIRST
+    occurrence (min (doc, position) — deterministic, not partition-order),
+    and every document is rebuilt from its kept segments in order.  The
+    detection siblings (`dedup_substring_spans` = sliding window hashes,
+    `dedup_exact_hash` = whole-doc) report; this one produces the cleaned
+    corpus, which is the artifact a training pipeline actually ships.
+
+    Shape: segmentation is a codegen map (slice + array_join inside
+    ``transform`` — token arrays never shuffle); ONE shuffle elects
+    winners (groupBy segment text, min-struct — boilerplate mega-segments
+    absorb into map-side combine); one join back + one keyed rebuild.
+    Output: (id, clean_text, n_segments, n_kept) for EVERY input doc
+    (fully-duplicated docs come back with empty text, making removal
+    visible rather than silent).
+    """
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[\s\x1f]+"), lambda t: t != ""
+    )
+    n_seg = F.ceil(F.size(ws) / F.lit(seg_tokens)).cast("int")
+    segs_arr = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(ws, i * seg_tokens + 1, seg_tokens), " "),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.when(F.size(ws) > 0, segs_arr)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_segs"),
+    )
+    segs = base.select(
+        "id", F.posexplode("_segs").alias("seg_idx", "seg")
+    )
+    winners = segs.groupBy("seg").agg(
+        F.min(F.struct(F.col("id").alias("wid"), F.col("seg_idx").alias("widx"))).alias("w")
+    )
+    kept = (
+        segs.join(winners, "seg")
+        .filter((F.col("id") == F.col("w.wid")) & (F.col("seg_idx") == F.col("w.widx")))
+        .select("id", "seg_idx", "seg")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = base.select("id", F.size("_segs").cast("long").alias("n_segments"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

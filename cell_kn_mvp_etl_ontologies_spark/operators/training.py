@@ -424,3 +424,31 @@ def sample_source_sqrt(
     )
     joined = df.join(F.broadcast(dim), on=source_col)
     return joined.filter(hash_fraction(F.col(key), salt) < F.col("keep_rate"))
+
+
+def repeat_by_weight(
+    df: DataFrame, key: str, weight: Column, salt: str = "repeat"
+) -> DataFrame:
+    """Deterministic fractional epoch repetition — the data-mixing step
+    that UPSAMPLES a source beyond weight 1.0 (interleave_weighted only
+    reweights order; this materializes repeats): a row with weight w
+    appears floor(w) times plus one more with probability frac(w),
+    decided by the md5 hash fraction of (salt, key) — a pure function of
+    the row, so re-runs, retries, and repartitioning reproduce the exact
+    same epoch multiset (the randomSplit-vs-hash doctrine applied to
+    Poisson-ish upsampling; expected copies = w exactly).
+
+    Zero-repeat rows (w < 1 and the coin says no) drop — fractional
+    weights double as subsampling, one mechanism for the whole mixing
+    range.  Shape: pure projection + bounded ``sequence`` explode, no
+    shuffle, no RNG state; output rows carry ``epoch`` (1-based) and
+    ``n_repeats``.
+    """
+    w = weight.cast("double")
+    base = F.floor(w).cast("long")
+    extra = (hash_fraction(F.col(key), salt) < (w - F.floor(w))).cast("long")
+    rep = (base + extra).alias("n_repeats")
+    out = df.withColumn("n_repeats", rep).filter(F.col("n_repeats") >= 1)
+    return out.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), F.col("n_repeats").cast("int")))
+    )

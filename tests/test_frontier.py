@@ -398,3 +398,51 @@ def test_semistructured_profile_type_classes(spark):
     )
     assert got == expect
     assert ("a", "ok", "bool", 2) in got and ("a", "r", "float", 2) in got
+
+
+def test_repeat_by_weight_semantics(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.training import repeat_by_weight
+
+    df = spark.createDataFrame([(i, "s") for i in range(200)], "doc_id long, src string")
+    out = repeat_by_weight(df, "doc_id", F.lit(2.5), salt="t").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    # every doc appears 2 or 3 times with contiguous 1-based epochs
+    assert set(len(v) for v in by_doc.values()) <= {2, 3}
+    for doc, epochs in by_doc.items():
+        assert sorted(epochs) == list(range(1, len(epochs) + 1))
+    # expected copies ~ 2.5: the md5 coin is uniform, 200 docs -> loose band
+    total = len(out) / 200
+    assert 2.2 < total < 2.8
+    # w < 1: some docs drop entirely, survivors appear exactly once
+    sub = repeat_by_weight(df, "doc_id", F.lit(0.4), salt="t").collect()
+    assert 0 < len(sub) < 200
+    assert all(r.epoch == 1 and r.n_repeats == 1 for r in sub)
+    # determinism: second run identical
+    again = repeat_by_weight(df, "doc_id", F.lit(0.4), salt="t").collect()
+    assert {(r.doc_id, r.epoch) for r in again} == {(r.doc_id, r.epoch) for r in sub}
+
+
+def test_remove_duplicate_segments_rewrite(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.dedup import (
+        remove_duplicate_segments,
+    )
+
+    seg_a = "a b c"          # 3-token segment (seg_tokens=3)
+    seg_b = "d e f"
+    seg_c = "g h i"
+    docs = [
+        (1, f"{seg_a} {seg_b}"),          # original
+        (2, f"{seg_a} {seg_c}"),          # shares first segment with doc 1
+        (3, f"{seg_b} {seg_b}"),          # within-doc duplicate (aligned)
+        (4, f"{seg_a} {seg_b}"),          # full duplicate of doc 1
+        (5, ""),                           # empty doc
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    out = {r.id: r for r in remove_duplicate_segments(df, "text", "id", 3).collect()}
+    assert out[1].clean_text == f"{seg_a} {seg_b}" and out[1].n_kept == 2
+    assert out[2].clean_text == seg_c          # first segment lost to doc 1
+    assert out[3].clean_text == ""             # seg_b owned by doc 1; both copies gone
+    assert out[4].clean_text == "" and out[4].n_segments == 2 and out[4].n_kept == 0
+    assert out[5].clean_text == "" and out[5].n_segments == 0
