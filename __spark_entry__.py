@@ -69,13 +69,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
-    # ROUND 7 LATE BATCH (continuation): nineteen queries added after the
+    # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,
     # multi-vector MaxSim (brute + routed identity + cogrouped-vectorized
     # identity + single-probe recall audit), and the matryoshka truncation
     # audit (catalog/frontier.py).
-    # They take the head per the changed-contract rule; the nineteen rows
+    # They take the head per the changed-contract rule; the twenty-two rows
     # they displace from the 50-slot prefix (tail of the r3 alphabetical
     # backlog: join_upsert, join_upsert_scd2, multimodal_feature_extract,
     # pack_sequences_greedy, pipeline_incremental_graph,
@@ -91,6 +91,7 @@ _PRIORITY = [
     "fn_json_extract_agg", "semistructured_keys_profile",
     "similarity_maxsim_trained_recall",
     "sample_repeat_temperature", "dedup_remove_segments",
+    "window_distribution", "quality_referential_integrity", "graph_degree_stats",
     # ROUND 7 ROTATION (VERDICT.md r6 "Next round" #1, executing the plan
     # precomputed last round): (a) the FOUR queries new this round
     # (text_en stemmed search per VERDICT r6 #3, composed IVF-PQ recall
@@ -140,7 +141,7 @@ _PRIORITY = [
     "pipeline_incremental_graph", "quality_expectations",
     "setop_intersect_except", "similarity_ann_lsh", "similarity_topk",
     # ROUND-8 ROTATION PLAN (precomputed): after this gate the stalest
-    # driver evidence is the 29 deferred r3 rows (the 10 named in the
+    # driver evidence is the 32 deferred r3 rows (the 10 named in the
     # round-7 header plus join_upsert, join_upsert_scd2,
     # multimodal_feature_extract, pack_sequences_greedy,
     # pipeline_incremental_graph, quality_expectations,
@@ -148,9 +149,10 @@ _PRIORITY = [
     # graph_pagerank, filter_valid_triple, filter_predicate_ns_whitelist,
     # filter_deprecated_obsolete, dedup_minhash_lsh, dedup_incremental_lsh,
     # dedup_connected_components, contamination_ngram, cdc_snapshot_diff,
+    # agg_funnel_steps, agg_incremental_maintain, agg_retention_cohort,
     # and the slots yielded by the late batch)
     # plus the 49 r4-verified rows — give the r8 prefix
-    # to exactly those 29 + the ~21 stalest r4 rows (CORRECTNESS_r04.json keys,
+    # to exactly those 32 + the ~18 stalest r4 rows (CORRECTNESS_r04.json keys,
     # alphabetical), and as always any query whose operator or oracle
     # changes in round 8 jumps to the head.
     # ------------------------------------------------------------------

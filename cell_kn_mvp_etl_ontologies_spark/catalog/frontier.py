@@ -1112,3 +1112,147 @@ def dedup_remove_segments_q(spark, sf_dir):
         )
     )
     return remove_duplicate_segments(uni, "text", "id", seg_tokens=10)
+
+
+# --------------------------------------------------------------------------
+# window_distribution — ntile / percent_rank / cume_dist analytics
+# --------------------------------------------------------------------------
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_id,
+      CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      PERCENT_RANK() OVER w AS prnk,
+      CUME_DIST() OVER w AS cdist
+    FROM events WHERE user_id < 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def window_distribution_q(spark, sf_dir):
+    """Distribution analytics completing the §2.5 window family beyond
+    `window_analytics` (rank/lag/frames): quartile assignment (ntile),
+    percent_rank, cume_dist per user ordered by (value, event_id) — the
+    tiebreak makes the ordering total, so ntile boundaries and both
+    rational statistics ((rank−1)/(n−1), rank/n — exact IEEE doubles at
+    these cardinalities) are deterministic and hash-gateable."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_referential_integrity — cross-table FK orphan audit
+# --------------------------------------------------------------------------
+@register(
+    "quality_referential_integrity",
+    oracle="""
+    WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0),
+    ords AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT 'orders->customer' AS relation,
+      CAST(COUNT(*) AS BIGINT) AS n_child,
+      CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+    FROM orders o LEFT JOIN cust c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'lineitem->orders',
+      CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CASE WHEN x.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN ords x ON x.o_orderkey = l.l_orderkey
+    """,
+)
+def quality_referential_integrity_q(spark, sf_dir):
+    """Cross-table referential-integrity audit — the quality check
+    `quality_expectations` (single-table rules) cannot express: orphan
+    counts of each fact table against a dimension SNAPSHOT (here
+    deliberately holey — every 10th customer / 7th order removed — so the
+    audit measures real orphans instead of vacuously passing).  Shape:
+    per relation one left join against the key-only projection of the
+    parent (broadcast when dimension-sized) + a conditional count — the
+    join carries only keys, never payload columns."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 != 0)
+        .select("c_custkey")
+    )
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 != 0)
+        .select(F.col("o_orderkey").alias("parent_ok"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    r1 = (
+        o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.col("c_custkey").isNull().cast("int")).cast("long").alias("n_orphan"),
+        )
+        .select(F.lit("orders->customer").alias("relation"), "n_child", "n_orphan")
+    )
+    r2 = (
+        li.join(F.broadcast(ords), li["l_orderkey"] == ords["parent_ok"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.col("parent_ok").isNull().cast("int")).cast("long").alias("n_orphan"),
+        )
+        .select(F.lit("lineitem->orders").alias("relation"), "n_child", "n_orphan")
+    )
+    return r1.unionByName(r2)
+
+
+# --------------------------------------------------------------------------
+# graph_degree_stats — log-bucketed degree distribution profile
+# --------------------------------------------------------------------------
+@register(
+    "graph_degree_stats",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 1500 AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    und AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+    deg AS (
+      SELECT src AS v, CASE WHEN src >= 100000 THEN 'part' ELSE 'supplier' END AS side,
+             CAST(COUNT(*) AS BIGINT) AS d
+      FROM und GROUP BY src
+    )
+    SELECT side, CAST(FLOOR(log2(d)) AS BIGINT) AS log2_bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_vertices,
+      CAST(MIN(d) AS BIGINT) AS min_deg, CAST(MAX(d) AS BIGINT) AS max_deg
+    FROM deg GROUP BY side, CAST(FLOOR(log2(d)) AS BIGINT)
+    """,
+)
+def graph_degree_stats_q(spark, sf_dir):
+    """Degree-distribution profile of the shared co-purchase graph —
+    the first thing a graph-curation pipeline computes (it decides the
+    anchor caps, the skew salts, the k-core thresholds every downstream
+    graph op here parameterizes): per bipartite side, vertices bucketed
+    by floor(log2(degree)) with count and min/max degree.  Two
+    aggregations over the canonical edge list; floor-log2 of an integer
+    is the established exact envelope."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    raw = li.select(
+        F.col("l_suppkey").cast("long").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("b"),
+    ).distinct()
+    und = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d")).select(
+        F.when(F.col("src") >= 100000, F.lit("part")).otherwise(F.lit("supplier")).alias("side"),
+        "d",
+    )
+    return deg.groupBy(
+        "side", F.floor(F.log2("d")).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+    )
