@@ -69,6 +69,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
+    # ROUND 7 LATE BATCH 2 (continuation): Pareto skyline + AllPairs
+    # prefix-filtered set-similarity join (catalog/frontier2.py) — new
+    # contracts take the head per the changed-contract rule.
+    "skyline_pareto", "join_set_similarity_prefix",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

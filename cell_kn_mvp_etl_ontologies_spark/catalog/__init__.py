@@ -73,3 +73,4 @@ def load_all() -> None:
     from . import scale_ops  # noqa: F401
     from . import analytics  # noqa: F401
     from . import frontier  # noqa: F401
+    from . import frontier2  # noqa: F401

@@ -1,0 +1,157 @@
+"""Unit tests for the round-7 continuation batch 2 (catalog/frontier2.py):
+Pareto-skyline dominance semantics (sweep == definition on planted edge
+cases) and AllPairs prefix-filter losslessness vs a brute-force python
+reference."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES, load_all
+
+load_all()
+
+from conftest import rows_set
+
+
+def _skyline_on(spark, tmp_path, rows):
+    """Run the registered skyline query against a planted part table."""
+    import pandas as pd
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(
+        rows, columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
+    ).to_parquet(sf / "part.parquet")
+    return QUERIES["skyline_pareto"](spark, str(sf))
+
+
+def test_skyline_dominated_point_removed(spark, tmp_path):
+    out = _skyline_on(
+        spark,
+        tmp_path,
+        [
+            (1, "a", "B1", "t", 10, 5.00),   # skyline (cheapest)
+            (2, "b", "B1", "t", 5, 7.00),    # skyline (smallest)
+            (3, "c", "B1", "t", 12, 6.00),   # dominated by 1 (price+size worse)
+            (4, "d", "B1", "t", 10, 6.00),   # dominated by 1 (same size, pricier)
+        ],
+    )
+    assert sorted(r.p_partkey for r in out.collect()) == [1, 2]
+
+
+def test_skyline_equal_duplicates_both_survive(spark, tmp_path):
+    out = _skyline_on(
+        spark,
+        tmp_path,
+        [
+            (1, "a", "B1", "t", 10, 5.00),
+            (2, "b", "B1", "t", 10, 5.00),  # identical point: neither dominates
+        ],
+    )
+    assert sorted(r.p_partkey for r in out.collect()) == [1, 2]
+
+
+def test_skyline_per_brand_isolation(spark, tmp_path):
+    # a point dominated within its own brand survives if the dominator is
+    # in ANOTHER brand
+    out = _skyline_on(
+        spark,
+        tmp_path,
+        [
+            (1, "a", "B1", "t", 10, 5.00),
+            (2, "b", "B2", "t", 12, 6.00),  # would be dominated by 1 — other brand
+        ],
+    )
+    assert sorted(r.p_partkey for r in out.collect()) == [1, 2]
+
+
+def test_skyline_matches_quadratic_definition(spark, tmp_path):
+    # deterministic pseudo-random cloud; compare sweep vs brute force
+    rows = [
+        (i, "n", f"B{i % 3}", "t", (i * 37) % 20 + 1, float((i * 91) % 50 + 1))
+        for i in range(60)
+    ]
+    out = {r.p_partkey for r in _skyline_on(spark, tmp_path, rows).collect()}
+    pts = [(k, b, int(round(p * 100)), s) for (k, _, b, _, s, p) in rows]
+    expected = {
+        k
+        for (k, b, p, s) in pts
+        # self-inclusion is harmless: the strict clause can't hold for itself
+        if not any(
+            b2 == b and p2 <= p and s2 <= s and (p2 < p or s2 < s)
+            for (_k2, b2, p2, s2) in pts
+        )
+    }
+    assert out == expected
+
+
+def _prefix_join_on(spark, tmp_path, texts):
+    import pandas as pd
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(sf / "documents.parquet")
+    return QUERIES["join_set_similarity_prefix"](spark, str(sf))
+
+
+def _brute_jaccard_pairs(texts, t_num=7, t_den=10):
+    import re
+
+    def shingles(s):
+        toks = [x for x in re.split(r"[^a-z0-9]+", s.lower()) if x]
+        return {" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if t_den * inter >= t_num * (len(sa) + len(sb) - inter):
+            out.add((a, b, inter, len(sa), len(sb)))
+    return out
+
+
+def test_prefix_join_lossless_vs_brute_force(spark, tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,                                    # 0
+        base + " lambda",                        # 1: near-dup of 0 (J=6/8)
+        base,                                    # 2: exact dup of 0 (J=1)
+        "one two three four five six seven",     # 3: unrelated
+        "alpha beta gamma delta five six seven eight nine",  # 4: partial overlap
+        "one two three four five six seven",     # 5: exact dup of 3
+    ]
+    got = {
+        (r.a, r.b, r.n_inter, r.n_a, r.n_b)
+        for r in _prefix_join_on(spark, tmp_path, texts).collect()
+    }
+    want = _brute_jaccard_pairs(texts)
+    assert got == want
+    # sanity: the scenario exercises both accept and reject
+    assert (0, 2, 7, 7, 7) in want and (3, 5, 4, 4, 4) in want
+    assert not any(a == 0 and b == 4 for (a, b, *_rest) in want)
+
+
+def test_prefix_join_threshold_boundary(spark, tmp_path):
+    # J exactly at 0.7: 7 shared of 10 union — must be INCLUDED (>=)
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"           # 7 shingles
+    # append 3 words -> 3 new shingles; shares all 7 of a's shingles
+    b = a + " x1 x2 x3"                             # 10 shingles
+    got = {
+        (r.a, r.b, r.n_inter, r.n_a, r.n_b)
+        for r in _prefix_join_on(spark, tmp_path, [a, b]).collect()
+    }
+    assert got == {(0, 1, 7, 7, 10)}
