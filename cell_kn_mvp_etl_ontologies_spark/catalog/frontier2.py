@@ -246,3 +246,240 @@ def join_set_similarity_prefix_q(spark, sf_dir):
         _SSJ_T_DEN * F.col("n_inter")
         >= _SSJ_T_NUM * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     ).select("a", "b", "n_inter", "n_a", "n_b")
+
+
+# --------------------------------------------------------------------------
+# graph_hits — integer-scaled HITS hubs/authorities (L1-normalized)
+# --------------------------------------------------------------------------
+_HITS_SCALE = 1_000_000  # micro-units; bounds every product under int64
+
+
+def _hits_norm_sql(raw, out):
+    return (
+        f"{out} AS (SELECT node, raw * {_HITS_SCALE} // "
+        f"(SELECT SUM(raw) FROM {raw}) AS units FROM {raw})"
+    )
+
+
+@register(
+    "graph_hits",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT CAST(l_orderkey % 1000 AS BIGINT) AS src,
+                      CAST(100000 + l_partkey % 1000 AS BIGINT) AS dst
+      FROM lineitem WHERE l_orderkey % 7 = 0
+    ),
+    h0 AS (SELECT src AS node, CAST({S} AS BIGINT) AS units
+           FROM (SELECT DISTINCT src FROM e)),
+    ra1 AS (SELECT dst AS node, SUM(h0.units) AS raw
+            FROM e JOIN h0 ON h0.node = e.src GROUP BY dst),
+    {A1},
+    rh1 AS (SELECT src AS node, SUM(a1.units) AS raw
+            FROM e JOIN a1 ON a1.node = e.dst GROUP BY src),
+    {H1},
+    ra2 AS (SELECT dst AS node, SUM(h1.units) AS raw
+            FROM e JOIN h1 ON h1.node = e.src GROUP BY dst),
+    {A2}
+    SELECT node, 'hub' AS kind, CAST(units AS BIGINT) AS units FROM h1
+    UNION ALL
+    SELECT node, 'auth' AS kind, CAST(units AS BIGINT) AS units FROM a2
+    """.format(
+        S=_HITS_SCALE,
+        A1=_hits_norm_sql("ra1", "a1"),
+        H1=_hits_norm_sql("rh1", "h1"),
+        A2=_hits_norm_sql("ra2", "a2"),
+    ),
+)
+def graph_hits_q(spark, sf_dir):
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) on the order->part
+    bipartite graph, the eigenvector companion of `graph_pagerank`:
+    authority := in-sum of hub scores, hub := out-sum of authority scores,
+    alternating.  The float algorithm L2-normalizes (a sqrt — not
+    hash-gateable); this implementation uses the L1-normalized variant
+    with the pagerank_integer doctrine: scores are BIGINT micro-units,
+    each normalization is units = raw * SCALE // sum(raw) (truncating
+    div), so every update is reduction-order-free and the oracle can
+    unroll the identical three half-steps (a1, h1, a2) as CTEs.
+
+    100 TB shape: per iteration two keyed equi-join + aggregate shuffles
+    (edge list never materialized per-pair beyond its own size) and ONE
+    scalar broadcast (the L1 norm) attached via 1-row crossJoin — the
+    text_bm25_topk corpus-stats pattern.  Iteration count is a bounded
+    hyperparameter, the bounded-driver-loop doctrine.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    e = li.select(
+        (F.col("l_orderkey") % 1000).cast("long").alias("src"),
+        (F.lit(100000) + F.col("l_partkey") % 1000).cast("long").alias("dst"),
+    ).distinct().localCheckpoint(eager=True)
+    h = e.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(_HITS_SCALE).cast("long").alias("units")
+    )
+
+    def _half_step(scores, edge_key, group_key):
+        # localCheckpoint truncates the per-iteration lineage (the
+        # pagerank_integer / dedup_connected_components doctrine) — without
+        # it each half-step re-derives every predecessor and the plan's
+        # exchange count grows with the iteration count.
+        raw = (
+            e.join(scores, e[edge_key] == scores["node"])
+            .groupBy(F.col(group_key).alias("node"))
+            .agg(F.sum("units").alias("raw"))
+        )
+        total = raw.agg(F.sum("raw").alias("total"))
+        return (
+            raw.crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.expr(f"raw * {_HITS_SCALE} DIV total").cast("long").alias("units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    a1 = _half_step(h, "src", "dst")
+    h1 = _half_step(a1, "dst", "src")
+    a2 = _half_step(h1, "src", "dst")
+    return h1.select("node", F.lit("hub").alias("kind"), "units").unionByName(
+        a2.select("node", F.lit("auth").alias("kind"), "units")
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_drift_tvd — exact-rational distribution drift between two snapshots
+# --------------------------------------------------------------------------
+@register(
+    "agg_drift_tvd",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority || '/' || o_orderstatus AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+    ),
+    b AS (
+      SELECT o_orderpriority || '/' || o_orderstatus AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+    ),
+    tot AS (SELECT (SELECT SUM(c) FROM a) AS n1, (SELECT SUM(c) FROM b) AS n2)
+    SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+           CAST(COALESCE(a.c, 0) AS BIGINT) AS c1,
+           CAST(COALESCE(b.c, 0) AS BIGINT) AS c2,
+           CAST(abs(COALESCE(a.c, 0) * tot.n2 - COALESCE(b.c, 0) * tot.n1) AS BIGINT)
+             AS d_num,
+           CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2
+    FROM a FULL OUTER JOIN b ON a.bucket = b.bucket CROSS JOIN tot
+    """,
+)
+def agg_drift_tvd_q(spark, sf_dir):
+    """Distribution-drift audit between two snapshot populations (orders
+    before/after a pivot date) over the priority x status histogram — the
+    monitoring primitive a training-data pipeline runs between corpus
+    versions.  The usual drift stats (PSI, KL) need logarithms and can't
+    hash-match across engines; total-variation distance is RATIONAL:
+    TVD = sum(d_num) / (2*n1*n2) with d_num = |c1*n2 - c2*n1| kept as an
+    exact BIGINT numerator per bucket — the consumer divides, the gate
+    hashes integers.  Buckets present in only one snapshot surface with
+    an explicit zero (full outer join), which is exactly the
+    new-category-appeared signal drift monitoring exists to catch.
+
+    100 TB shape: two hash aggregates over disjoint partition-pruned date
+    ranges, a bucket-keyed full outer join at histogram (not corpus)
+    scale, and the two totals as a 1-row broadcast.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    pivot = F.lit("1998-01-01").cast("timestamp")
+    bucket = F.concat_ws("/", "o_orderpriority", "o_orderstatus").alias("bucket")
+
+    def hist(side_filter):
+        return (
+            orders.filter(side_filter)
+            .groupBy(bucket)
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    a = hist(F.col("o_orderdate") < pivot).withColumnRenamed("c", "c1")
+    b = hist(F.col("o_orderdate") >= pivot).withColumnRenamed("c", "c2")
+    joined = (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("c1", F.lit(0)).cast("long").alias("c1"),
+            F.coalesce("c2", F.lit(0)).cast("long").alias("c2"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "c1",
+        "c2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        .cast("long")
+        .alias("d_num"),
+        "n1",
+        "n2",
+    )
+
+
+# --------------------------------------------------------------------------
+# window_rolling_median — exact trailing-window discrete median per entity
+# --------------------------------------------------------------------------
+@register(
+    "window_rolling_median",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS v
+      FROM events WHERE user_id < 40
+    ),
+    w AS (
+      SELECT user_id, event_id, v,
+             list_sort(list(v) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+      FROM base
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id, v,
+           CAST(len(win) AS BIGINT) AS win_n,
+           CAST(win[(len(win) + 1) // 2] AS BIGINT) AS med_lo
+    FROM w
+    """,
+)
+def window_rolling_median_q(spark, sf_dir):
+    """Trailing-window exact discrete median per entity (lower median of
+    the last 7 events) — the robust-baseline primitive behind telemetry
+    smoothing and the median-of-medians quality screens; the holistic
+    cousin of `temporal_rolling_anomaly`'s algebraic z-test (a median
+    cannot be maintained from sum/sum-of-squares partials).  Rolling
+    holistic aggregates are exactly where engines diverge (interpolating
+    vs discrete, tie order): this pins the DISCRETE lower median on
+    milli-quantized integers with a total (ts, event_id) row order, so
+    both engines sort identical windows and pick the identical element.
+
+    100 TB shape: ONE exchange on the entity key, one ordered window
+    pass; the collected frame is the 7-row ring buffer itself (bounded by
+    the window width, not the data) — the right plan for small fixed
+    windows, vs the two-heap applyInPandasWithState shape once widths
+    grow user-defined.
+    """
+    base = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = F.sort_array(F.collect_list("v").over(w))
+    return base.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.size(win).cast("long").alias("win_n"),
+        F.element_at(win, ((F.size(win) + 1) / 2).cast("int")).alias("med_lo"),
+    )

@@ -155,3 +155,107 @@ def test_prefix_join_threshold_boundary(spark, tmp_path):
         for r in _prefix_join_on(spark, tmp_path, [a, b]).collect()
     }
     assert got == {(0, 1, 7, 7, 10)}
+
+
+def _write(tmp_path, name, df):
+    import pandas as pd
+
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    pd.DataFrame(df).to_parquet(sf / f"{name}.parquet")
+    return str(sf)
+
+
+def test_hits_star_graph_concentrates_authority(spark, tmp_path):
+    # orders 7,14,21 (all % 7 == 0) each buy part 5; order 7 also buys part 6.
+    # Part 5 should out-score part 6 as an authority; order 7 out-scores the
+    # others as a hub (it points at both authorities).
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {"l_orderkey": [7, 14, 21, 7], "l_partkey": [5, 5, 5, 6]},
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    out = {(r.node, r.kind): r.units for r in QUERIES["graph_hits"](spark, sf).collect()}
+    assert out[(100005, "auth")] > out[(100006, "auth")]
+    assert out[(7, "hub")] > out[(14, "hub")] == out[(21, "hub")]
+    # L1 normalization: each side sums to ~SCALE (truncating div loses < n units)
+    hub_sum = sum(v for (n, k), v in out.items() if k == "hub")
+    auth_sum = sum(v for (n, k), v in out.items() if k == "auth")
+    assert 1_000_000 - 10 <= hub_sum <= 1_000_000
+    assert 1_000_000 - 10 <= auth_sum <= 1_000_000
+
+
+def test_drift_tvd_identical_snapshots_zero(spark, tmp_path):
+    import datetime as dt
+
+    before = dt.datetime(1997, 1, 1)
+    after = dt.datetime(1999, 1, 1)
+    sf = _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderpriority": ["1-URGENT", "2-HIGH"] * 4,
+            "o_orderstatus": ["O"] * 8,
+            "o_orderdate": __import__("pandas").to_datetime([before] * 4 + [after] * 4).astype("datetime64[us]"),
+        },
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["agg_drift_tvd"](spark, sf).collect()
+    assert all(r.d_num == 0 for r in rows)
+    assert {(r.bucket, r.c1, r.c2) for r in rows} == {
+        ("1-URGENT/O", 2, 2),
+        ("2-HIGH/O", 2, 2),
+    }
+
+
+def test_drift_tvd_one_sided_bucket_surfaces(spark, tmp_path):
+    import datetime as dt
+
+    sf = _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderpriority": ["1-URGENT", "5-LOW"],
+            "o_orderstatus": ["O", "F"],
+            "o_orderdate": __import__("pandas").to_datetime(
+                [dt.datetime(1997, 1, 1), dt.datetime(1999, 1, 1)]
+            ).astype("datetime64[us]"),
+        },
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = {r.bucket: r for r in QUERIES["agg_drift_tvd"](spark, sf).collect()}
+    assert rows["1-URGENT/O"].c2 == 0 and rows["5-LOW/F"].c1 == 0
+    # TVD numerator: |1*1 - 0*1| = 1 on each bucket -> TVD = 2/(2*1*1) = 1.0
+    assert rows["1-URGENT/O"].d_num == 1 and rows["5-LOW/F"].d_num == 1
+
+
+def test_rolling_median_rampup_and_window(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 30.0, 20.0, 90.0, 40.0, 50.0, 60.0, 70.0]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(8)),
+            "ts": __import__("pandas").to_datetime(
+                [base + dt.timedelta(minutes=i) for i in range(8)]
+            ),
+            "user_id": [1] * 8,
+            "value": vals,
+        },
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = {r.event_id: r for r in QUERIES["window_rolling_median"](spark, sf).collect()}
+    # ramp-up: lower median of first k values (milli-units)
+    assert rows[0].med_lo == 10000 and rows[0].win_n == 1
+    assert rows[1].med_lo == 10000 and rows[1].win_n == 2   # lower of {10,30}
+    assert rows[2].med_lo == 20000                           # median {10,20,30}
+    # full window at event 7: trailing 7 values 30,20,90,40,50,60,70 -> 50
+    assert rows[7].win_n == 7 and rows[7].med_lo == 50000

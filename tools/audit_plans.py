@@ -146,6 +146,15 @@ WAIVERS: dict[str, set[str]] = {
     # one hash aggregate + a d-row collect, and encode/ADC are keyed
     # equi-joins.
     "similarity_opq_recall": {"CARTESIAN"},
+    # (round 7) each HITS half-step attaches the ONE-row L1 norm to the
+    # score table via broadcast crossJoin (the text_bm25_topk corpus-stats
+    # pattern); the score/edge joins are keyed equi-joins and each
+    # iteration is localCheckpoint-bounded.
+    "graph_hits": {"CARTESIAN"},
+    # (round 7) the two snapshot totals (n1, n2) are ONE broadcast row
+    # attached to the histogram-scale joined frame; both histograms are
+    # keyed hash aggregates.
+    "agg_drift_tvd": {"CARTESIAN"},
 }
 
 
