@@ -74,6 +74,7 @@ _PRIORITY = [
     # contracts take the head per the changed-contract rule.
     "skyline_pareto", "join_set_similarity_prefix",
     "graph_hits", "agg_drift_tvd", "window_rolling_median",
+    "stream_drift_monitor", "agg_hist_equi_depth", "text_keyword_rake",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

@@ -347,9 +347,10 @@ def graph_hits_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # agg_drift_tvd — exact-rational distribution drift between two snapshots
 # --------------------------------------------------------------------------
-@register(
-    "agg_drift_tvd",
-    oracle="""
+# Shared by the batch audit and the streaming maintainer
+# (`stream_drift_monitor`): one oracle constant pins batch two-aggregate
+# formulation and the additively-maintained histogram mutually equal.
+_DRIFT_ORACLE = """
     WITH a AS (
       SELECT o_orderpriority || '/' || o_orderstatus AS bucket,
              CAST(COUNT(*) AS BIGINT) AS c
@@ -368,8 +369,10 @@ def graph_hits_q(spark, sf_dir):
              AS d_num,
            CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2
     FROM a FULL OUTER JOIN b ON a.bucket = b.bucket CROSS JOIN tot
-    """,
-)
+    """
+
+
+@register("agg_drift_tvd", oracle=_DRIFT_ORACLE)
 def agg_drift_tvd_q(spark, sf_dir):
     """Distribution-drift audit between two snapshot populations (orders
     before/after a pivot date) over the priority x status histogram — the
@@ -407,6 +410,12 @@ def agg_drift_tvd_q(spark, sf_dir):
             F.coalesce("c2", F.lit(0)).cast("long").alias("c2"),
         )
     )
+    return _drift_finalize(joined)
+
+
+def _drift_finalize(joined):
+    """(bucket, c1, c2) histogram -> the drift audit frame: attach the two
+    snapshot totals as a 1-row broadcast and the exact TVD numerator."""
     tot = joined.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
     )
@@ -482,4 +491,234 @@ def window_rolling_median_q(spark, sf_dir):
         "v",
         F.size(win).cast("long").alias("win_n"),
         F.element_at(win, ((F.size(win) + 1) / 2).cast("int")).alias("med_lo"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_drift_monitor — streaming maintenance of the drift histogram
+# --------------------------------------------------------------------------
+@register("stream_drift_monitor", oracle=_DRIFT_ORACLE)
+def stream_drift_monitor_q(spark, sf_dir):
+    """Streaming distribution-drift monitoring: each micro-batch of orders
+    contributes per-bucket conditional counts (c1 = before-pivot rows,
+    c2 = after-pivot rows) and foreachBatch folds them into keyed parquet
+    state with a SUM merge — counts are additive, so the maintained
+    histogram is independent of how the file source bundles rows into
+    micro-batches.  The returned audit is `_drift_finalize` over the final
+    state, and the gate proves bundling-independence: this query shares
+    `agg_drift_tvd`'s oracle constant, so stream-maintained == batch
+    two-aggregate == DuckDB, hash-exact.  O(batch + touched buckets) per
+    trigger; at 100 TB the state is histogram-sized (bucket cardinality),
+    the cheapest possible continuous monitor."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_orders_stream
+    from . import finish_and_clean
+
+    stream = read_orders_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_drift_")
+    state_path = root + "/state"
+    pivot = F.lit("1998-01-01").cast("timestamp")
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = batch_df.groupBy(
+            F.concat_ws("/", "o_orderpriority", "o_orderstatus").alias("bucket")
+        ).agg(
+            F.sum((F.col("o_orderdate") < pivot).cast("long")).alias("c1"),
+            F.sum((F.col("o_orderdate") >= pivot).cast("long")).alias("c2"),
+        )
+        try:
+            state = sp.read.parquet(state_path)
+            merged = (
+                state.unionByName(part)
+                .groupBy("bucket")
+                .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+            )
+        except Exception:  # first batch: the partial IS the state
+            merged = part
+        staging = root + "/staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    state = spark.read.parquet(state_path).select(
+        "bucket", F.col("c1").cast("long").alias("c1"), F.col("c2").cast("long").alias("c2")
+    )
+    return finish_and_clean(_drift_finalize(state), root)
+
+
+# --------------------------------------------------------------------------
+# agg_hist_equi_depth — equi-depth (quantile-bucket) histogram profile
+# --------------------------------------------------------------------------
+@register(
+    "agg_hist_equi_depth",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    tiled AS (
+      SELECT v, ntile(10) OVER (ORDER BY v, k) AS tile FROM base
+    )
+    SELECT CAST(tile AS BIGINT) AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi
+    FROM tiled GROUP BY tile
+    """,
+)
+def agg_hist_equi_depth_q(spark, sf_dir):
+    """Equi-depth histogram of order totals: 10 buckets of (near-)equal row
+    count with observed [lo, hi] bounds — the optimizer-statistics /
+    skew-detection profile (`profile_numeric` gives moments, this gives
+    the shape).  ntile semantics agree across engines ONLY under a total
+    order: ties on the cent-quantized value are broken by key, so bucket
+    boundaries are deterministic and the gate can hash them.  The
+    rank-tolerance cousin `agg_approx_quantiles` estimates the same
+    boundaries sketch-wise; this is the exact-twin doctrine applied to
+    histogram construction.
+
+    100 TB shape: a global ntile is a total sort — the exact build is a
+    RangePartitioner pass (Spark sorts distributedly; the single-partition
+    window here is the local[] rendering).  The production profile samples
+    or reuses the approx-quantile sketch for boundaries and keeps this
+    exact path for the audit tier."""
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    tiled = base.select(
+        "v", F.ntile(10).over(Window.orderBy("v", "k")).alias("tile")
+    )
+    return tiled.groupBy(F.col("tile").cast("long").alias("tile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_keyword_rake — RAKE keyword extraction with integer-scaled scores
+# --------------------------------------------------------------------------
+_RAKE_STOPWORDS = "join|hash|row|batch|scan"  # top-5 corpus words = stop list
+
+
+@register(
+    "text_keyword_rake",
+    oracle="""
+    WITH marked AS (
+      SELECT doc_id,
+        regexp_replace(
+          ' ' || replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                         ' ', '  ') || ' ',
+          ' ({stops}) ', ' | ', 'g') AS s
+      FROM documents
+    ),
+    phrases AS (
+      SELECT doc_id,
+             trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+      FROM marked, unnest(string_split(s, '|')) t(p)
+      WHERE trim(p) <> ''
+    ),
+    occ_words AS (
+      SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+             len(string_split(phrase, ' ')) AS plen
+      FROM phrases
+    ),
+    word_stats AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM occ_words GROUP BY w
+    ),
+    word_score AS (SELECT w, deg * 1000 // freq AS score FROM word_stats),
+    phrase_words AS (
+      SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+      FROM (SELECT DISTINCT phrase FROM phrases)
+    ),
+    phrase_score AS (
+      SELECT pw.phrase, CAST(SUM(ws.score) AS BIGINT) AS score_scaled
+      FROM phrase_words pw JOIN word_score ws ON ws.w = pw.w
+      GROUP BY pw.phrase
+    )
+    SELECT p.phrase, CAST(COUNT(*) AS BIGINT) AS n_occ, ps.score_scaled
+    FROM phrases p JOIN phrase_score ps ON ps.phrase = p.phrase
+    GROUP BY p.phrase, ps.score_scaled
+    HAVING COUNT(*) >= 3
+    """.format(stops=_RAKE_STOPWORDS),
+)
+def text_keyword_rake_q(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; word score = deg(w)/freq(w) where
+    freq counts phrase-occurrences of w and deg adds the length of each
+    containing phrase (co-occurrence degree); phrase score = sum of member
+    word scores.  Scores are kept as integer milli-units via truncating
+    division (deg*1000 // freq), the BM25 integer-scaling doctrine, so
+    ranking is bit-exact across engines.  Phrase extraction is pure string
+    algebra both sides: space-doubling makes consecutive stopwords
+    non-overlapping for the marker regex — the identical transform chain
+    in Spark SQL and DuckDB.
+
+    100 TB shape: phrase explode is a codegen map; word stats are one hash
+    aggregate over phrase-occurrence words; the phrase score join is keyed
+    on the word dim then re-aggregated — no UDFs, no driver loops, and the
+    HAVING floor keeps the emitted keyword table vocabulary-scale."""
+    marked = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat(
+                F.lit(" "),
+                F.regexp_replace(
+                    F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")),
+                    " ",
+                    "  ",
+                ),
+                F.lit(" "),
+            ),
+            f" ({_RAKE_STOPWORDS}) ",
+            " | ",
+        ).alias("s"),
+    )
+    phrases = (
+        marked.select(
+            "doc_id", F.explode(F.split("s", "\\|")).alias("p")
+        )
+        .filter(F.trim("p") != "")
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace("p", " +", " ")).alias("phrase"),
+        )
+    )
+    occ_words = phrases.select(
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    word_score = occ_words.groupBy("w").agg(
+        F.expr("sum(plen) * 1000 DIV count(*)").cast("long").alias("score")
+    )
+    phrase_words = (
+        phrases.select("phrase").distinct().select(
+            "phrase", F.explode(F.split("phrase", " ")).alias("w")
+        )
+    )
+    phrase_score = (
+        phrase_words.join(word_score, "w")
+        .groupBy("phrase")
+        .agg(F.sum("score").cast("long").alias("score_scaled"))
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .filter(F.col("n_occ") >= 3)
+        .join(phrase_score, "phrase")
+        .select("phrase", "n_occ", "score_scaled")
     )

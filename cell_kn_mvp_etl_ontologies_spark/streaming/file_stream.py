@@ -53,6 +53,31 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the orders table — the ingestion side of
+    continuous distribution-drift monitoring.  o_orderdate is stored as a
+    micros TIMESTAMP in the synthetic data; branch like read_events_stream
+    so a storage change fails loudly here, not in the driver gate."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders*")
+        .parquet(sf_dir)
+    )
+    dt = dict(stream.dtypes).get("o_orderdate")
+    if dt == "bigint":  # legacy TIMESTAMP(NANOS) storage read as long
+        return stream.withColumn(
+            "o_orderdate", F.timestamp_micros(F.expr("o_orderdate div 1000"))
+        )
+    if dt in ("timestamp", "timestamp_ntz"):
+        return stream.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    raise TypeError(
+        f"orders.o_orderdate has unexpected stream dtype {dt!r}; "
+        "extend read_orders_stream for this storage type"
+    )
+
+
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the embeddings table — the ingestion side of
     continuous ANN-index maintenance."""

@@ -259,3 +259,123 @@ def test_rolling_median_rampup_and_window(spark, tmp_path):
     assert rows[2].med_lo == 20000                           # median {10,20,30}
     # full window at event 7: trailing 7 values 30,20,90,40,50,60,70 -> 50
     assert rows[7].win_n == 7 and rows[7].med_lo == 50000
+
+
+def test_drift_histogram_merge_additive(spark, tmp_path):
+    # the stream_drift_monitor contract: per-batch conditional-count
+    # partials SUM-merge to the whole-input histogram (the bounded
+    # availableNow gate may deliver everything in one batch, so the split
+    # path is pinned here)
+    import datetime as dt
+    import pandas as pd
+
+    rows = {
+        "o_orderkey": list(range(12)),
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "1-URGENT", "3-MEDIUM"] * 3,
+        "o_orderstatus": ["O", "F", "O", "O"] * 3,
+        "o_orderdate": pd.to_datetime(
+            [dt.datetime(1997, 1, 1), dt.datetime(1999, 1, 1)] * 6
+        ).astype("datetime64[us]"),
+    }
+    sf = _write(tmp_path, "orders", rows)
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    whole = rows_set(QUERIES["agg_drift_tvd"](spark, sf))
+
+    orders = spark.read.parquet(sf + "/orders.parquet")
+    pivot = F.lit("1998-01-01").cast("timestamp")
+
+    def hist(df):
+        return df.groupBy(
+            F.concat_ws("/", "o_orderpriority", "o_orderstatus").alias("bucket")
+        ).agg(
+            F.sum((F.col("o_orderdate") < pivot).cast("long")).alias("c1"),
+            F.sum((F.col("o_orderdate") >= pivot).cast("long")).alias("c2"),
+        )
+
+    a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b = orders.filter(F.col("o_orderkey") % 3 != 0)  # arbitrary uneven split
+    merged = (
+        hist(a).unionByName(hist(b)).groupBy("bucket")
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+        .select("bucket", F.col("c1").cast("long"), F.col("c2").cast("long"))
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier2 import _drift_finalize
+
+    assert rows_set(_drift_finalize(merged)) == whole
+
+
+def test_equi_depth_tiles_balanced_and_ordered(spark, tmp_path):
+    sf = _write(
+        tmp_path,
+        "orders",
+        {"o_orderkey": list(range(25)), "o_totalprice": [float(i % 7) for i in range(25)]},
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = sorted(
+        QUERIES["agg_hist_equi_depth"](spark, sf).collect(), key=lambda r: r.tile
+    )
+    assert [r.tile for r in rows] == list(range(1, 11))
+    # 25 rows over 10 tiles: first 5 tiles get 3 rows, rest get 2
+    assert [r.n_rows for r in rows] == [3, 3, 3, 3, 3, 2, 2, 2, 2, 2]
+    # bucket ranges are non-decreasing and cover sorted order
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.hi <= cur.lo
+        assert prev.lo <= prev.hi
+
+
+def test_rake_matches_python_reference(spark, tmp_path):
+    import re
+    from collections import Counter, defaultdict
+
+    texts = [
+        "deep filter merge join deep filter merge",
+        "deep filter merge hash deep filter scan merge sort",
+        "merge sort row deep filter merge",
+        "deep filter merge batch merge sort",
+    ]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    got = {
+        (r.phrase, r.n_occ, r.score_scaled)
+        for r in QUERIES["text_keyword_rake"](spark, sf).collect()
+    }
+
+    stops = {"join", "hash", "row", "batch", "scan"}
+    phrases = []
+    for t in texts:
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        run = []
+        for w in toks + ["join"]:  # sentinel stop flushes the last run
+            if w in stops:
+                if run:
+                    phrases.append(" ".join(run))
+                run = []
+            else:
+                run.append(w)
+    freq, deg = Counter(), Counter()
+    for p in phrases:
+        ws = p.split(" ")
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+    score = {w: deg[w] * 1000 // freq[w] for w in freq}
+    n_occ = Counter(phrases)
+    want = {
+        (p, c, sum(score[w] for w in p.split(" ")))
+        for p, c in n_occ.items()
+        if c >= 3
+    }
+    assert got == want and len(want) > 0
