@@ -37,9 +37,10 @@ def _t(spark, sf_dir, name):
 # --------------------------------------------------------------------------
 # skyline_pareto — multi-objective dominance frontier via window sort-sweep
 # --------------------------------------------------------------------------
-@register(
-    "skyline_pareto",
-    oracle="""
+# Shared by the batch sweep and the streaming maintainer
+# (`stream_skyline_maintain`): one oracle constant pins the window sweep
+# and the skyline-of-skylines merge chain mutually equal.
+_SKYLINE_ORACLE = """
     WITH base AS (
       SELECT p_brand AS brand, CAST(p_partkey AS BIGINT) AS p_partkey,
              CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
@@ -54,8 +55,34 @@ def _t(spark, sf_dir, name):
         AND b.price_c <= a.price_c AND b.size <= a.size
         AND (b.price_c < a.price_c OR b.size < a.size)
     )
-    """,
-)
+    """
+
+
+def _pareto_sweep(base):
+    """O(n log n) two-window dominance sweep over (brand, p_partkey,
+    price_c, size): a row survives iff no strictly-cheaper same-brand row
+    has size <= its size and no same-price row has strictly smaller size."""
+    w_cheaper = (
+        Window.partitionBy("brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same_price = Window.partitionBy("brand", "price_c")
+    flagged = base.select(
+        "brand",
+        "p_partkey",
+        "price_c",
+        "size",
+        F.min("size").over(w_cheaper).alias("min_size_cheaper"),
+        F.min("size").over(w_same_price).alias("min_size_same"),
+    )
+    return flagged.filter(
+        (F.col("min_size_cheaper").isNull() | (F.col("min_size_cheaper") > F.col("size")))
+        & (F.col("min_size_same") >= F.col("size"))
+    ).select("brand", "p_partkey", "price_c", "size")
+
+
+@register("skyline_pareto", oracle=_SKYLINE_ORACLE)
 def skyline_pareto_q(spark, sf_dir):
     """Per-brand Pareto skyline of parts minimizing (price, size) — the
     multi-objective screen a curation pipeline runs to shortlist
@@ -82,24 +109,7 @@ def skyline_pareto_q(spark, sf_dir):
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
         F.col("p_size").cast("long").alias("size"),
     )
-    w_cheaper = (
-        Window.partitionBy("brand")
-        .orderBy("price_c")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_same_price = Window.partitionBy("brand", "price_c")
-    flagged = base.select(
-        "brand",
-        "p_partkey",
-        "price_c",
-        "size",
-        F.min("size").over(w_cheaper).alias("min_size_cheaper"),
-        F.min("size").over(w_same_price).alias("min_size_same"),
-    )
-    return flagged.filter(
-        (F.col("min_size_cheaper").isNull() | (F.col("min_size_cheaper") > F.col("size")))
-        & (F.col("min_size_same") >= F.col("size"))
-    ).select("brand", "p_partkey", "price_c", "size")
+    return _pareto_sweep(base)
 
 
 # --------------------------------------------------------------------------
@@ -721,4 +731,194 @@ def text_keyword_rake_q(spark, sf_dir):
         .filter(F.col("n_occ") >= 3)
         .join(phrase_score, "phrase")
         .select("phrase", "n_occ", "score_scaled")
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_skyline_maintain — streaming Pareto-frontier maintenance
+# --------------------------------------------------------------------------
+@register("stream_skyline_maintain", oracle=_SKYLINE_ORACLE)
+def stream_skyline_maintain_q(spark, sf_dir):
+    """Streaming skyline maintenance: dominance is transitive, so
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — each micro-batch's
+    local sweep merges into keyed state by sweeping the union, and a point
+    dominated once can never re-enter.  The maintained frontier is
+    therefore independent of how the file source bundles rows into
+    micro-batches, and the gate proves it: this query shares
+    `skyline_pareto`'s oracle constant (stream-maintained == batch sweep
+    == the quadratic NOT-EXISTS definition, hash-exact).  O(batch +
+    |frontier|) per trigger — the state is the frontier itself, which for
+    anti-correlated worst cases is the known skyline lower bound, not an
+    implementation artifact."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_part_stream
+    from . import finish_and_clean
+
+    stream = read_part_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_skyline_")
+    state_path = root + "/state"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        base = batch_df.select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        part_sky = _pareto_sweep(base)
+        try:
+            state = sp.read.parquet(state_path)
+            merged = _pareto_sweep(state.unionByName(part_sky))
+        except Exception:  # first batch: the local sweep IS the state
+            merged = part_sky
+        staging = root + "/staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    return finish_and_clean(spark.read.parquet(state_path), root)
+
+
+# --------------------------------------------------------------------------
+# join_band_bucketed — bucketed band self-join (|va - vb| <= w)
+# --------------------------------------------------------------------------
+_BAND_W = 50  # band half-width in value milli-units
+
+
+@register(
+    "join_band_bucketed",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(event_id AS BIGINT) AS id, event_type AS typ,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS v
+      FROM events WHERE user_id < 30
+    )
+    SELECT a.typ, a.id AS id_a, b.id AS id_b, a.v AS v_a, b.v AS v_b
+    FROM e a JOIN e b
+      ON a.typ = b.typ AND a.id < b.id AND abs(a.v - b.v) <= 50
+    """,
+)
+def join_band_bucketed_q(spark, sf_dir):
+    """Band self-join — pairs of same-type events whose values lie within
+    +-w of each other (sensor cross-validation, near-identical price
+    detection; the value-space sibling of `join_interval_overlap`'s
+    time-space predicate).  The ORACLE states the theta-join definition
+    (abs(va - vb) <= w over all pairs); the ENGINE never evaluates it
+    pairwise: values bucket to floor(v/w), the LEFT side fans out to its
+    three candidate buckets {b-1, b, b+1} (any in-band partner must sit
+    there), and the equi-join on (type, bucket) + exact band filter +
+    id_a < id_b finds every qualifying pair EXACTLY once (each right row
+    owns one bucket, so no dedup pass is needed — asymmetric fanout, the
+    id inequality kills the mirrored match).
+
+    100 TB shape: 3x fanout on one side of a keyed equi-join vs the
+    quadratic nested-loop a theta join degenerates to; per-bucket pair
+    work is bounded by band density, the operator's honest output size.
+    """
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select(
+            F.col("event_id").cast("long").alias("id"),
+            F.col("event_type").alias("typ"),
+            F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        )
+    )
+    w = _BAND_W
+    left = e.select(
+        F.col("typ"),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.explode(
+            F.array(
+                (F.floor(F.col("v") / w) - 1).cast("long"),
+                F.floor(F.col("v") / w).cast("long"),
+                (F.floor(F.col("v") / w) + 1).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    right = e.select(
+        F.col("typ"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.floor(F.col("v") / w).cast("long").alias("bucket"),
+    )
+    return (
+        left.join(right, ["typ", "bucket"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("v_a") - F.col("v_b")) <= w)
+        )
+        .select("typ", "id_a", "id_b", "v_a", "v_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# window_streak_islands — gaps-and-islands consecutive-run analytics
+# --------------------------------------------------------------------------
+@register(
+    "window_streak_islands",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_typ
+      FROM events WHERE user_id < 60
+    ),
+    islands AS (
+      SELECT user_id, event_type,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(MIN(event_id) AS BIGINT) AS first_event
+      FROM base GROUP BY user_id, event_type, rn_all - rn_typ
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS max_len,
+           CAST(MIN(first_event) AS BIGINT) AS first_streak_event
+    FROM islands GROUP BY user_id, event_type
+    """,
+)
+def window_streak_islands_q(spark, sf_dir):
+    """Gaps-and-islands streak analytics: maximal runs of consecutive
+    same-type events per user (login streaks, repeated-failure bursts,
+    session monotony screens).  The island identity is the classic
+    two-row_number difference — rn_all - rn_per_type is CONSTANT exactly
+    within a consecutive same-type run — which turns run detection into
+    two window passes plus a hash aggregate, no self-join, no iteration.
+    Determinism: the (ts, event_id) total order makes both row_numbers
+    and hence every island boundary reproducible across engines.
+
+    100 TB shape: ONE exchange on the entity key serves both window
+    passes (same partitioning), then aggregation at island granularity;
+    this is the plan a sessionize-by-predicate always lowers to."""
+    base = _t(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    marked = base.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("island"),
+    )
+    islands = marked.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("event_id").alias("first_event"),
+    )
+    return islands.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").alias("max_len"),
+        F.min("first_event").alias("first_streak_event"),
     )

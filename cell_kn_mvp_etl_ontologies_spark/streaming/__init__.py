@@ -3,6 +3,7 @@ from .file_stream import (
     read_embeddings_stream,
     read_events_stream,
     read_orders_stream,
+    read_part_stream,
     run_stream_apply_changes,
     run_stream_to_table,
     run_stream_to_table_with_metrics,

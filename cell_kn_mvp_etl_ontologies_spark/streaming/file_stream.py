@@ -78,6 +78,17 @@ def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_part_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the part table (no event-time column) — the
+    ingestion side of continuous frontier/skyline maintenance."""
+    schema = spark.read.parquet(f"{sf_dir}/part.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "part*")
+        .parquet(sf_dir)
+    )
+
+
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the embeddings table — the ingestion side of
     continuous ANN-index maintenance."""

@@ -379,3 +379,102 @@ def test_rake_matches_python_reference(spark, tmp_path):
         if c >= 3
     }
     assert got == want and len(want) > 0
+
+
+def test_skyline_merge_of_skylines_equals_whole(spark, tmp_path):
+    # the stream_skyline_maintain contract: skyline(A ∪ B) ==
+    # skyline(skyline(A) ∪ skyline(B)) (the availableNow gate may deliver
+    # everything in one batch, so the split path is pinned here)
+    rows = [
+        (i, "n", f"B{i % 2}", "t", (i * 13) % 15 + 1, float((i * 29) % 40 + 1))
+        for i in range(50)
+    ]
+    sf = _write(
+        tmp_path,
+        "part",
+        {
+            "p_partkey": [r[0] for r in rows],
+            "p_name": [r[1] for r in rows],
+            "p_brand": [r[2] for r in rows],
+            "p_type": [r[3] for r in rows],
+            "p_size": [r[4] for r in rows],
+            "p_retailprice": [r[5] for r in rows],
+        },
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier2 import _pareto_sweep
+
+    whole = rows_set(QUERIES["skyline_pareto"](spark, sf))
+
+    part = spark.read.parquet(sf + "/part.parquet")
+
+    def base(df):
+        return df.select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+
+    a = _pareto_sweep(base(part.filter(F.col("p_partkey") % 3 == 0)))
+    b = _pareto_sweep(base(part.filter(F.col("p_partkey") % 3 != 0)))
+    merged = rows_set(_pareto_sweep(a.unionByName(b)))
+    assert merged == whole
+
+
+def test_band_join_each_pair_exactly_once(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # values straddling a bucket boundary (w=50): 49 and 51 are in
+    # adjacent buckets but within the band; 49 and 120 are out of band
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1)] * 4),
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["click", "click", "click", "view"],
+            "value": [0.049, 0.051, 0.120, 0.050],
+        },
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    got = sorted(
+        (r.id_a, r.id_b) for r in QUERIES["join_band_bucketed"](spark, sf).collect()
+    )
+    # (1,2): |49-51|=2 <= 50 across buckets 0|1 -> found once;
+    # (2,3): |51-120|=69 > 50 -> excluded; (x,4): other type -> excluded
+    assert got == [(1, 2)]
+
+
+def test_streak_islands_counts(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    types = ["click", "click", "view", "click", "click", "click", "view"]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(7)),
+            "ts": pd.to_datetime(
+                [dt.datetime(2024, 1, 1, 0, i) for i in range(7)]
+            ),
+            "user_id": [1] * 7,
+            "event_type": types,
+            "value": [1.0] * 7,
+        },
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = {
+        r.event_type: r for r in QUERIES["window_streak_islands"](spark, sf).collect()
+    }
+    # click: islands [0,1] and [3,4,5] -> 2 streaks, max 3, first at event 0
+    assert rows["click"].n_streaks == 2
+    assert rows["click"].max_len == 3
+    assert rows["click"].first_streak_event == 0
+    # view: two singleton islands (events 2 and 6)
+    assert rows["view"].n_streaks == 2 and rows["view"].max_len == 1
