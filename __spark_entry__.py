@@ -76,6 +76,7 @@ _PRIORITY = [
     "graph_hits", "agg_drift_tvd", "window_rolling_median",
     "stream_drift_monitor", "agg_hist_equi_depth", "text_keyword_rake",
     "stream_skyline_maintain", "join_band_bucketed", "window_streak_islands",
+    "temporal_cusum_changepoint", "agg_attribution_linear", "graph_resource_allocation",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

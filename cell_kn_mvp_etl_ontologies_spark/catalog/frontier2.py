@@ -922,3 +922,252 @@ def window_streak_islands_q(spark, sf_dir):
         F.max("len").alias("max_len"),
         F.min("first_event").alias("first_streak_event"),
     )
+
+
+# --------------------------------------------------------------------------
+# temporal_cusum_changepoint — integer CUSUM change-point detection
+# --------------------------------------------------------------------------
+@register(
+    "temporal_cusum_changepoint",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS v
+      FROM events WHERE user_id < 80
+    ),
+    tot AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS t
+      FROM base GROUP BY user_id
+    ),
+    cum AS (
+      SELECT b.user_id, b.event_id, tot.n, tot.t,
+             row_number() OVER (PARTITION BY b.user_id ORDER BY b.ts, b.event_id)
+               AS k,
+             SUM(b.v) OVER (PARTITION BY b.user_id ORDER BY b.ts, b.event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cs
+      FROM base b JOIN tot ON tot.user_id = b.user_id
+    ),
+    scored AS (
+      SELECT user_id, event_id, n, k,
+             abs(n * cs - k * t) AS abs_s,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY abs(n * cs - k * t) DESC, k ASC) AS rnk
+      FROM cum
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS cp_pos, CAST(event_id AS BIGINT) AS cp_event,
+           CAST(abs_s AS BIGINT) AS s_max_abs
+    FROM scored WHERE rnk = 1
+    """,
+)
+def temporal_cusum_changepoint_q(spark, sf_dir):
+    """Offline CUSUM change-point detection per entity: the split point k
+    maximizing |S_k| where S_k = sum_{i<=k}(v_i - mean) — the first pass
+    of binary-segmentation mean-shift detection.  Floats would make both
+    the mean and the cumsum engine-divergent; multiplying through by n
+    gives the integer identity n*S_k = n*cumsum_k - k*total, exact in
+    int64, so argmax and the score itself hash-gate.  Ties (same |S|)
+    break to the earliest position via the (abs DESC, k ASC) row_number
+    — the deterministic-argmax doctrine.
+
+    100 TB shape: one hash aggregate for (n, total), one ordered window
+    pass for the cumsum, one for the argmax — all on the SAME entity-key
+    partitioning, so Catalyst plans a single exchange; no self-join, no
+    per-candidate rescan of the series."""
+    base = _t(spark, sf_dir, "events").filter(F.col("user_id") < 80).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    tot = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("t"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = base.join(tot, "user_id").select(
+        "user_id",
+        "event_id",
+        "n",
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("v").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+        "t",
+    )
+    scored = cum.select(
+        "user_id",
+        "event_id",
+        "n",
+        "k",
+        F.abs(F.col("n") * F.col("cs") - F.col("k") * F.col("t")).alias("abs_s"),
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(F.desc("abs_s"), F.asc("k"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            "n",
+            F.col("k").cast("long").alias("cp_pos"),
+            F.col("event_id").alias("cp_event"),
+            F.col("abs_s").cast("long").alias("s_max_abs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_attribution_linear — time-bucketed multi-touch attribution
+# --------------------------------------------------------------------------
+@register(
+    "agg_attribution_linear",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_event, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS touch_event, user_id, ts AS touch_ts, event_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    attr AS (
+      SELECT c.conv_event, c.user_id, t.touch_event, t.event_type,
+             row_number() OVER (PARTITION BY c.conv_event
+                                ORDER BY t.touch_ts, t.touch_event) AS pos,
+             COUNT(*) OVER (PARTITION BY c.conv_event) AS n_touch
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.touch_ts < c.conv_ts
+       AND t.touch_ts >= c.conv_ts - INTERVAL 2 HOUR
+    )
+    SELECT CAST(conv_event AS BIGINT) AS conv_event,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(touch_event AS BIGINT) AS touch_event, event_type,
+           CAST(pos AS BIGINT) AS pos, CAST(n_touch AS BIGINT) AS credit_den
+    FROM attr
+    """,
+)
+def agg_attribution_linear_q(spark, sf_dir):
+    """Linear multi-touch attribution: every click/view of the same user
+    in the 2 h before a purchase shares the conversion credit equally —
+    emitted as the exact rational (1 / credit_den) with a deterministic
+    position index (first-touch = pos 1, last-touch = pos credit_den), so
+    first/last/position-decay models are a projection away and nothing is
+    floating point.  The ORACLE states the interval theta-join; the
+    ENGINE buckets time to the lookback width and fans conversions to
+    {b-1, b} (a touch within 2 h must sit in the same or previous
+    bucket) — the join_band_bucketed technique on the time axis, each
+    qualifying (conversion, touch) found exactly once since a touch owns
+    one bucket.
+
+    100 TB shape: keyed equi-join on (user, bucket) with 2x fanout vs
+    an unbounded per-user cross join; window credit assignment partitions
+    by conversion — conversion fanout is bounded by the lookback's touch
+    density, the operator's honest output size."""
+    ev = _t(spark, sf_dir, "events")
+    lookback = 7200
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("long").alias("conv_event"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").cast("long").alias("touch_event"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").alias("touch_ts"),
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / lookback).cast("long").alias("bucket"),
+    )
+    conv_fan = conv.select(
+        "conv_event",
+        "user_id",
+        "conv_ts",
+        F.explode(
+            F.array(
+                (F.floor(F.unix_timestamp("conv_ts") / lookback) - 1).cast("long"),
+                F.floor(F.unix_timestamp("conv_ts") / lookback).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    joined = conv_fan.join(touch, ["user_id", "bucket"]).filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 2 HOURS"))
+    )
+    w_pos = Window.partitionBy("conv_event").orderBy("touch_ts", "touch_event")
+    w_cnt = Window.partitionBy("conv_event")
+    return joined.select(
+        "conv_event",
+        "user_id",
+        "touch_event",
+        "event_type",
+        F.row_number().over(w_pos).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(w_cnt).cast("long").alias("credit_den"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_resource_allocation — degree-weighted link prediction
+# --------------------------------------------------------------------------
+@register(
+    "graph_resource_allocation",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 1500 AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    und AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+    adj0 AS (SELECT src AS anchor, dst AS v FROM und),
+    da AS (SELECT anchor, CAST(COUNT(*) AS BIGINT) AS d FROM adj0 GROUP BY anchor),
+    adj AS (
+      SELECT adj0.anchor, adj0.v, da.d FROM adj0 JOIN da USING (anchor)
+      WHERE da.d <= 40
+    )
+    SELECT a1.v AS a, a2.v AS b, CAST(COUNT(*) AS BIGINT) AS common,
+           CAST(SUM(1000000 // a1.d) AS BIGINT) AS ra_score
+    FROM adj a1 JOIN adj a2 USING (anchor)
+    WHERE a1.v < a2.v
+    GROUP BY a1.v, a2.v
+    HAVING COUNT(*) >= 35
+    """,
+)
+def graph_resource_allocation_q(spark, sf_dir):
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009) on the
+    same supplier–part co-purchase graph as `graph_common_neighbors`:
+    score(a,b) = sum over shared anchors z of 1/deg(z) — rare shared
+    neighbors count for more, the degree-weighted refinement that beats
+    raw common-neighbor counting (and the log-free cousin of Adamic-Adar,
+    which can't hash-gate).  Weights are integer micro-units via
+    truncating division (1000000 // deg), so the pair scores are exact.
+    The same hub-anchor cap (deg <= 40) bounds wedge enumeration BEFORE
+    pairing in both engines — the stop-word doctrine; the weight uses the
+    pre-cap anchor degree so capping changes candidate generation, not
+    the semantics of surviving anchors.
+
+    100 TB shape: identical to the common-neighbor plan — anchor-keyed
+    self-join bounded by cap^2 per anchor, one pair aggregation; the
+    weight rides the adjacency rows, costing nothing extra."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    raw = li.select(
+        F.col("l_suppkey").cast("long").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("b"),
+    ).distinct()
+    und = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    adj0 = und.select(F.col("src").alias("anchor"), F.col("dst").alias("v"))
+    da = adj0.groupBy("anchor").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # Materialized once: the capped adjacency feeds BOTH sides of the
+    # anchor self-join; without the barrier each side re-derives the
+    # distinct/union/degree chain (the _pareto/HITS lineage doctrine).
+    adj = adj0.join(da, "anchor").filter(F.col("d") <= 40).localCheckpoint(eager=True)
+    a1 = adj.select("anchor", F.col("v").alias("a"), "d")
+    a2 = adj.select("anchor", F.col("v").alias("b"))
+    return (
+        a1.join(a2, "anchor")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum(F.expr("1000000 DIV d")).cast("long").alias("ra_score"),
+        )
+        .filter(F.col("common") >= 35)
+    )

