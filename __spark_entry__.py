@@ -77,6 +77,13 @@ _PRIORITY = [
     "stream_drift_monitor", "agg_hist_equi_depth", "text_keyword_rake",
     "stream_skyline_maintain", "join_band_bucketed", "window_streak_islands",
     "temporal_cusum_changepoint", "agg_attribution_linear", "graph_resource_allocation",
+    # ROUND 7 LATE BATCH 3 (catalog/frontier3.py): concentration indices,
+    # Benford audit (+streaming twin), star rollup, Jaccard link
+    # prediction, seasonality, integer TF-IDF, Zipf head.
+    "agg_gini_concentration", "agg_hhi_concentration", "quality_benford",
+    "stream_benford_maintain", "join_star_revenue_rollup",
+    "graph_jaccard_neighbors", "temporal_seasonal_profile",
+    "text_tfidf_topk", "text_zipf_rank",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,
@@ -148,21 +155,17 @@ _PRIORITY = [
     "join_upsert_scd2", "multimodal_feature_extract", "pack_sequences_greedy",
     "pipeline_incremental_graph", "quality_expectations",
     "setop_intersect_except", "similarity_ann_lsh", "similarity_topk",
-    # ROUND-8 ROTATION PLAN (precomputed): after this gate the stalest
-    # driver evidence is the 32 deferred r3 rows (the 10 named in the
-    # round-7 header plus join_upsert, join_upsert_scd2,
-    # multimodal_feature_extract, pack_sequences_greedy,
-    # pipeline_incremental_graph, quality_expectations,
-    # setop_intersect_except, join_range_interval, join_anti_new_only,
-    # graph_pagerank, filter_valid_triple, filter_predicate_ns_whitelist,
-    # filter_deprecated_obsolete, dedup_minhash_lsh, dedup_incremental_lsh,
-    # dedup_connected_components, contamination_ngram, cdc_snapshot_diff,
-    # agg_funnel_steps, agg_incremental_maintain, agg_retention_cohort,
-    # and the slots yielded by the late batch)
-    # plus the 49 r4-verified rows — give the r8 prefix
-    # to exactly those 32 + the ~18 stalest r4 rows (CORRECTNESS_r04.json keys,
-    # alphabetical), and as always any query whose operator or oracle
-    # changes in round 8 jumps to the head.
+    # ROUND-8 ROTATION PLAN (precomputed): the round-7 late batches filled
+    # the whole 50-slot prefix (36 round-7-new queries + the changed
+    # contracts + the RDF/XML scan pair), so NOTHING below this line got
+    # driver evidence in r7.  Stalest-first for round 8: (a) the three
+    # r2-only rows (sort_by_key, dedup_embedding_cosine,
+    # project_triple_nodes — displaced two rounds running), (b) the FULL
+    # r3 backlog above (parser blast radius first, then the alphabetical
+    # fill: extract_triples_owl .. similarity_topk, ~37 rows), (c) backfill
+    # the remaining ~10 slots with the stalest r4-verified rows
+    # (CORRECTNESS_r04.json keys, alphabetical).  As always, any query
+    # whose operator or oracle changes in round 8 jumps to the head.
     # ------------------------------------------------------------------
     # ROUND 6 ROTATION (VERDICT.md r5, "Next round: do this" #1): the 50-slot
     # prefix is (a) the EIGHT round-5 late additions that were the only

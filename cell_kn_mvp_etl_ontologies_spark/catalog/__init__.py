@@ -74,3 +74,4 @@ def load_all() -> None:
     from . import analytics  # noqa: F401
     from . import frontier  # noqa: F401
     from . import frontier2  # noqa: F401
+    from . import frontier3  # noqa: F401

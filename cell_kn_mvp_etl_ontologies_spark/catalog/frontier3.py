@@ -1,0 +1,679 @@
+"""Round-7 continuation batch 3: corpus-concentration and data-quality
+audits plus the classic star-schema rollup — each with an exactly-
+equivalent DuckDB oracle (integer quantization keeps every score bit-exact
+across engines; see catalog/__init__ cross-engine rules).
+
+These extend the SURVEY §2.12/§2.13 training-data / analytics surface
+(the brief's "operations a large-scale training-data pipeline would
+need"):
+
+- agg_gini_concentration / agg_hhi_concentration measure how concentrated
+  a corpus is on few sources — the source-diversity audit run before
+  mixing training data (a Gini near 1 means a handful of customers/
+  domains dominate).  Both are exact: Gini via the integer rank identity,
+  HHI via sum-of-squares — no floats anywhere.
+- quality_benford is the first-significant-digit audit (Benford's law):
+  machine-generated or fraudulent numeric columns deviate from the
+  logarithmic digit curve; deviations are reported in exact ppm against
+  hardcoded integer expectation constants.
+- join_star_revenue_rollup is the TPC-H Q5-shaped denormalization every
+  warehouse runs: fact->dim snowflake with explicitly broadcast dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from . import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# agg_gini_concentration — exact integer Gini of per-customer spend
+# --------------------------------------------------------------------------
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+      SELECT nation, cents,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY cents, cust) AS i
+      FROM spend
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) AS BIGINT)
+             AS gini_num,
+           CAST(COUNT(*) * SUM(cents) AS BIGINT) AS gini_den,
+           CAST(1000000::HUGEINT
+                * (2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents))
+                // (COUNT(*)::HUGEINT * SUM(cents)) AS BIGINT) AS gini_ppm
+    FROM ranked GROUP BY nation
+    """,
+)
+def agg_gini_concentration_q(spark, sf_dir):
+    """Exact Gini coefficient of per-customer spend within each nation —
+    the source-concentration audit a training-data pipeline runs before
+    mixing corpora (Gini 0 = perfectly even contribution, near 1 = a few
+    sources dominate).  The float-free identity: with x_(1) <= ... <=
+    x_(n), G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) — numerator and
+    denominator exact int64 on cent-quantized spend; the ppm ratio
+    multiplies by 1e6 first and so runs in 38-digit arithmetic
+    (DECIMAL(38,0) / HUGEINT) before casting back.  sum(i*x_i) is invariant to how
+    ties are ordered (equal x across a tied rank block contribute the
+    same), but the rank itself is still made deterministic via
+    (cents, cust).
+
+    100 TB shape: one hash aggregate keyed on (nation, cust) — map-side
+    partials do the heavy lifting; the ranking window and the final agg
+    both run on the nation partitioning, so Catalyst plans ONE exchange
+    after the spend agg; no self-join, no collect."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    )
+    spend = (
+        orders.select(
+            "o_custkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
+        )
+        .join(cust, "o_custkey")
+        .groupBy("nation", F.col("o_custkey").alias("cust"))
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "cust")
+    ranked = spend.select("nation", "cents", F.row_number().over(w).alias("i"))
+    n, s, t = F.count(F.lit(1)), F.sum("cents"), F.sum(F.col("i") * F.col("cents"))
+    num = 2 * t - (n + 1) * s
+    return ranked.groupBy("nation").agg(
+        n.cast("long").alias("n_cust"),
+        s.cast("long").alias("total_cents"),
+        num.cast("long").alias("gini_num"),
+        (n * s).cast("long").alias("gini_den"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(7,0))"
+            " * CAST(2*sum(i*cents) - (count(1)+1)*sum(cents) AS DECIMAL(19,0)))"
+            " DIV (CAST(count(1) AS DECIMAL(19,0))"
+            " * CAST(sum(cents) AS DECIMAL(19,0))) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_hhi_concentration — Herfindahl-Hirschman index, pure hash agg
+# --------------------------------------------------------------------------
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice) AS BIGINT)) AS BIGINT)
+               AS units
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(units) AS BIGINT) AS total_units,
+           CAST(SUM(units * units) AS BIGINT) AS sq_sum,
+           CAST(1000000::HUGEINT * SUM(units * units)
+                // (SUM(units)::HUGEINT * SUM(units)) AS BIGINT) AS hhi_ppm
+    FROM spend GROUP BY nation
+    """,
+)
+def agg_hhi_concentration_q(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index per nation: HHI =
+    sum(share_i^2) = sum(x_i^2) / (sum x)^2 — the sort-free companion of
+    `agg_gini_concentration` (HHI is a pure algebraic aggregate, so unlike
+    Gini it needs NO ranking window and is trivially mergeable — the one
+    to maintain incrementally or stream).
+
+    Overflow discipline: spend quantizes to WHOLE currency units (not
+    cents — Gini's linear terms tolerate cents, squares don't: per-
+    customer cents^2 sums past int64 by sf0.1), keeping sq_sum in int64
+    with ~1e3 headroom at sf1; the ppm ratio's numerator (1e6 * sq_sum)
+    genuinely exceeds int64, so it runs in 38-digit arithmetic on BOTH
+    sides — DECIMAL(38,0) in Spark, HUGEINT in DuckDB — and casts back
+    to BIGINT (verified identical under ANSI mode).
+
+    100 TB shape: two hash aggregates back to back on narrowing keys
+    ((nation, cust) then nation) — fully map-side combinable, no window,
+    no sort, one exchange each."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    )
+    spend = (
+        orders.select(
+            "o_custkey", F.floor(F.col("o_totalprice")).cast("long").alias("u")
+        )
+        .join(cust, "o_custkey")
+        .groupBy("nation", "o_custkey")
+        .agg(F.sum("u").cast("long").alias("units"))
+    )
+    return spend.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("units").cast("long").alias("total_units"),
+        F.sum(F.col("units") * F.col("units")).cast("long").alias("sq_sum"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(7,0))"
+            " * CAST(sum(units*units) AS DECIMAL(19,0)))"
+            " DIV (CAST(sum(units) AS DECIMAL(19,0))"
+            " * CAST(sum(units) AS DECIMAL(19,0))) AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_benford — first-significant-digit distribution audit
+# --------------------------------------------------------------------------
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — hardcoded so neither engine
+# ever evaluates a float log; the audit compares observed ppm against
+# these exact integer constants.
+_BENFORD_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+_BENFORD_SQL_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_PPM, start=1)
+) + " END"
+
+_BENFORD_ORACLE = f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts)
+    SELECT d AS digit, n, n_total,
+           CAST(1000000 * n // n_total AS BIGINT) AS observed_ppm,
+           CAST({_BENFORD_SQL_CASE} AS BIGINT) AS benford_ppm,
+           CAST(1000000 * n // n_total - {_BENFORD_SQL_CASE} AS BIGINT)
+             AS dev_ppm
+    FROM counts, tot
+"""
+
+
+@register("quality_benford", oracle=_BENFORD_ORACLE)
+def quality_benford_q(spark, sf_dir):
+    """Benford's-law first-significant-digit audit over order totals —
+    the fraud/synthetic-data screen: naturally occurring magnitudes
+    follow P(d) = log10(1 + 1/d), and machine-generated or tampered
+    numeric columns show up as large dev_ppm on specific digits.  The
+    expectations are HARDCODED integer ppm constants (floor(log10(1+1/d)
+    * 1e6)) so no engine evaluates a float log, and observed shares are
+    truncating-div ppm — everything int64, everything hash-gated.
+
+    100 TB shape: a single hash aggregate over a 9-key space (map-side
+    combine collapses each partition to <= 9 rows before the exchange);
+    the grand total joins back as a 9-row broadcast.  Counts are
+    additive, so the streaming twin `stream_benford_maintain` folds
+    per-batch partials into the same result."""
+    digits = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("n_total"))
+    benford = F.create_map(
+        *[F.lit(x) for d, p in enumerate(_BENFORD_PPM, start=1) for x in (d, p)]
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        "n",
+        "n_total",
+        F.expr("CAST(1000000 * n DIV n_total AS BIGINT)").alias("observed_ppm"),
+        benford[F.col("d")].cast("long").alias("benford_ppm"),
+        (
+            F.expr("1000000 * n DIV n_total") - benford[F.col("d")]
+        ).cast("long").alias("dev_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# join_star_revenue_rollup — TPC-H Q5-shaped snowflake denormalization
+# --------------------------------------------------------------------------
+@register(
+    "join_star_revenue_rollup",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_star_revenue_rollup_q(spark, sf_dir):
+    """The canonical star/snowflake rollup (TPC-H Q5 shape): fact
+    lineitem through orders and customer up the nation -> region
+    dimension chain, discounted revenue per (region, nation) in exact
+    integer cents (floor-quantized per line BEFORE summing, so both
+    engines sum identical int64 terms — summing doubles first would be
+    association-order-dependent).
+
+    100 TB shape: the dims (nation 25 rows, region 5) are explicitly
+    `F.broadcast` — zero shuffle for the snowflake arms; the two real
+    exchanges are fact->orders on orderkey and ->customer on custkey
+    (both uniform TPC-H keys, no skew), then the (region, nation) agg is
+    25 groups — map-side combine collapses it before the final exchange.
+    This is the plan AQE cannot improve on: broadcast where small,
+    shuffle only on the join keys the data requires."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_c"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("rev_c").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_jaccard_neighbors — set-overlap link prediction on the same graph
+# --------------------------------------------------------------------------
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 1500 AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    und AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+    adj0 AS (SELECT src AS anchor, dst AS v FROM und),
+    da AS (SELECT anchor, CAST(COUNT(*) AS BIGINT) AS d FROM adj0 GROUP BY anchor),
+    adj AS (
+      SELECT adj0.anchor, adj0.v FROM adj0 JOIN da USING (anchor)
+      WHERE da.d <= 40
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dv FROM adj0 GROUP BY v),
+    pairs AS (
+      SELECT a1.v AS a, a2.v AS b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM adj a1 JOIN adj a2 USING (anchor)
+      WHERE a1.v < a2.v
+      GROUP BY a1.v, a2.v
+      HAVING COUNT(*) >= 35
+    )
+    SELECT p.a, p.b, p.common,
+           CAST(dx.dv + dy.dv - p.common AS BIGINT) AS union_sz,
+           CAST(1000000 * p.common // (dx.dv + dy.dv - p.common) AS BIGINT)
+             AS jac_ppm
+    FROM pairs p JOIN deg dx ON dx.v = p.a JOIN deg dy ON dy.v = p.b
+    """,
+)
+def graph_jaccard_neighbors_q(spark, sf_dir):
+    """Jaccard-coefficient link prediction on the supplier-part
+    co-purchase graph — |N(a) ∩ N(b)| / |N(a) ∪ N(b)| as the exact
+    integer triple (common, union_sz, truncating ppm), completing the
+    link-prediction family: `graph_common_neighbors` counts overlap,
+    `graph_resource_allocation` weights it by anchor rarity, Jaccard
+    normalizes it by the endpoints' own degrees (a hub sharing 35
+    anchors is far less similar than a leaf sharing 35).
+
+    Degrees are the FULL pre-cap neighbor counts (the endpoints' true
+    set sizes); intersection counts over hub-capped anchors only — the
+    stop-word doctrine shared with the whole family, stated in the
+    oracle so both engines compute the identical capped semantics.
+    common <= true intersection <= min(da, db) keeps union_sz >= common,
+    so the ppm is always a valid [0, 1e6] share.
+
+    100 TB shape: identical wedge plan to the family (anchor-keyed
+    self-join bounded by cap^2 per anchor) plus two keyed joins against
+    the vertex-degree table — degree tables are vertex-cardinality,
+    orders of magnitude below the edge set, and the join keys are the
+    pair endpoints the aggregation already partitioned by."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    raw = li.select(
+        F.col("l_suppkey").cast("long").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("b"),
+    ).distinct()
+    und = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    adj0 = und.select(F.col("src").alias("anchor"), F.col("dst").alias("v"))
+    # One materialization feeds the degree table, the cap filter, and both
+    # self-join sides (the _pareto/HITS lineage doctrine).
+    adj0 = adj0.localCheckpoint(eager=True)
+    da = adj0.groupBy("anchor").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = adj0.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("dv"))
+    adj = adj0.join(da, "anchor").filter(F.col("d") <= 40).select("anchor", "v")
+    a1 = adj.select("anchor", F.col("v").alias("a"))
+    a2 = adj.select("anchor", F.col("v").alias("b"))
+    pairs = (
+        a1.join(a2, "anchor")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= 35)
+    )
+    dx = deg.select(F.col("v").alias("a"), F.col("dv").alias("da_"))
+    dy = deg.select(F.col("v").alias("b"), F.col("dv").alias("db_"))
+    return (
+        pairs.join(dx, "a")
+        .join(dy, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            (F.col("da_") + F.col("db_") - F.col("common"))
+            .cast("long")
+            .alias("union_sz"),
+            F.expr("CAST(1000000 * common DIV (da_ + db_ - common) AS BIGINT)")
+            .alias("jac_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal_seasonal_profile — day-of-week seasonality with exact deviation
+# --------------------------------------------------------------------------
+@register(
+    "temporal_seasonal_profile",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS mv
+      FROM events
+    ),
+    per_dow AS (
+      SELECT event_type, CAST(dow AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_dow,
+             CAST(SUM(mv) AS BIGINT) AS sum_dow
+      FROM base GROUP BY event_type, dow
+    ),
+    per_type AS (
+      SELECT event_type, CAST(SUM(n_dow) AS BIGINT) AS n_total,
+             CAST(SUM(sum_dow) AS BIGINT) AS sum_total
+      FROM per_dow GROUP BY event_type
+    )
+    SELECT d.event_type, d.dow, d.n_dow, d.sum_dow, t.n_total, t.sum_total,
+           CAST(t.n_total * d.sum_dow - d.n_dow * t.sum_total AS BIGINT)
+             AS dev_num
+    FROM per_dow d JOIN per_type t USING (event_type)
+    """,
+)
+def temporal_seasonal_profile_q(spark, sf_dir):
+    """Day-of-week seasonality profile per event type — the periodic-mean
+    decomposition a telemetry pipeline runs before anomaly thresholds
+    (weekday traffic shape vs weekend).  Each bucket's deviation from the
+    type's overall mean is the CUSUM trick again: mean_dow - mean_total
+    has the sign of n_total*sum_dow - n_dow*sum_total, exact in int64 —
+    no float means, so direction AND magnitude numerator hash-gate
+    (denominator n_dow*n_total is implied by the emitted counts).
+
+    Engine note: Spark's dayofweek() is 1=Sunday..7; DuckDB's is
+    0=Sunday..6 — the oracle adds 1 so both emit the same bucket ids.
+
+    100 TB shape: two chained hash aggregates on narrowing keys, both
+    fully map-side combinable (at most 7 rows per (type, partition)
+    survive the map side); the per-type totals re-join as a
+    type-cardinality broadcast."""
+    base = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.floor(F.col("value") * 1000).cast("long").alias("mv"),
+    )
+    per_dow = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dow"),
+        F.sum("mv").cast("long").alias("sum_dow"),
+    )
+    per_type = per_dow.groupBy("event_type").agg(
+        F.sum("n_dow").cast("long").alias("n_total"),
+        F.sum("sum_dow").cast("long").alias("sum_total"),
+    )
+    return per_dow.join(F.broadcast(per_type), "event_type").select(
+        "event_type",
+        "dow",
+        "n_dow",
+        "sum_dow",
+        "n_total",
+        "sum_total",
+        (F.col("n_total") * F.col("sum_dow") - F.col("n_dow") * F.col("sum_total"))
+        .cast("long")
+        .alias("dev_num"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_tfidf_topk — log-free integer TF-IDF term ranking per document
+# --------------------------------------------------------------------------
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE w <> '' GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ),
+    n_docs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.w, tf.tf, df.df,
+             CAST(tf.tf * (1000000 * nd.nd // df.df) AS BIGINT) AS score
+      FROM tf JOIN df USING (w) CROSS JOIN n_docs nd
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, w ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, w, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def text_tfidf_topk_q(spark, sf_dir):
+    """Top-5 characteristic terms per document by log-free integer TF-IDF:
+    score = tf * (1e6 * N_docs // df) — the truncating-division rarity
+    weight (the same log-free substitution `graph_resource_allocation`
+    makes for Adamic-Adar), preserving the TF-IDF ordering property that
+    matters (rarer terms weigh more, monotone in 1/df) while staying
+    int64-exact so the gate hashes scores, not just rankings.  Tie-break
+    (score DESC, w ASC) makes the cutoff deterministic.
+
+    100 TB shape: tokenize-explode is the corpus-linear map; tf is a
+    (doc, term)-keyed hash agg; df re-aggregates the TF TABLE (never the
+    raw token stream — tf is one row per distinct (doc, term), typically
+    10x smaller); the rarity weight joins back keyed on term, skew-safe
+    because stop-terms have LOW scores (no salting needed — the hot keys
+    are the ones the ranking discards); top-5 is a per-doc window on the
+    doc partitioning the tf agg already established."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("nd"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            "df",
+            F.expr("CAST(tf * (1000000 * nd DIV df) AS BIGINT)").alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# text_zipf_rank — rank-frequency head of the corpus vocabulary
+# --------------------------------------------------------------------------
+@register(
+    "text_zipf_rank",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok WHERE w <> '' GROUP BY w
+    ),
+    head AS (
+      SELECT w, freq FROM freq ORDER BY freq DESC, w ASC LIMIT 100
+    )
+    SELECT w, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, w ASC) AS BIGINT) AS rnk,
+           CAST(freq * row_number() OVER (ORDER BY freq DESC, w ASC) AS BIGINT)
+             AS rank_freq
+    FROM head
+    """,
+)
+def text_zipf_rank_q(spark, sf_dir):
+    """Rank-frequency head of the corpus vocabulary (top 100 terms) with
+    the Zipf product rank*freq — near-constant under Zipf's law, so the
+    column IS the diagnostic: a corpus whose head product collapses or
+    explodes is template-heavy or synthetic (the curve the C4/quality
+    papers eyeball before filtering).  (freq DESC, w ASC) totally orders
+    the head, so the 100-row cutoff and every rank hash-gate.
+
+    100 TB shape: one vocabulary hash agg (corpus-linear explode, map-side
+    combined), then orderBy(...).limit(100) — Spark plans TakeOrderedAndProject
+    (per-partition top-100 then a 100-row driver merge), NOT a global
+    sort; the rank window runs on the 100-row result, cost-free."""
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    head = freq.orderBy(F.desc("freq"), F.asc("w")).limit(100)
+    w_rank = Window.orderBy(F.desc("freq"), F.asc("w"))
+    return head.select(
+        "w",
+        "freq",
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        (F.col("freq") * F.row_number().over(w_rank)).cast("long").alias("rank_freq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_benford_maintain — streaming maintenance of the digit histogram
+# --------------------------------------------------------------------------
+@register("stream_benford_maintain", oracle=_BENFORD_ORACLE)
+def stream_benford_maintain_q(spark, sf_dir):
+    """Streaming maintenance of the Benford first-digit audit: each
+    micro-batch of orders contributes per-digit counts and foreachBatch
+    folds them into keyed parquet state with a SUM merge — digit counts
+    are additive, so the maintained histogram is independent of how the
+    file source bundles rows into micro-batches.  Shares
+    `quality_benford`'s oracle constant, so stream-maintained == batch
+    aggregate == DuckDB, hash-exact (the stream_drift_monitor doctrine
+    applied to the quality-audit tier).  State is 9 rows; O(batch) per
+    trigger — the cheapest possible continuous fraud monitor."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_orders_stream
+    from . import finish_and_clean
+
+    stream = read_orders_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_benford_")
+    state_path = root + "/state"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = (
+            batch_df.filter(F.col("o_totalprice") >= 1)
+            .select(
+                F.substring(
+                    F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+                )
+                .cast("long")
+                .alias("d")
+            )
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        try:
+            state = sp.read.parquet(state_path)
+            merged = (
+                state.unionByName(part).groupBy("d").agg(F.sum("n").alias("n"))
+            )
+        except Exception:  # first batch: the partial IS the state
+            merged = part
+        staging = root + "/staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    counts = spark.read.parquet(state_path).select(
+        "d", F.col("n").cast("long").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("n_total"))
+    benford = F.create_map(
+        *[F.lit(x) for d, p in enumerate(_BENFORD_PPM, start=1) for x in (d, p)]
+    )
+    audit = counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        "n",
+        "n_total",
+        F.expr("CAST(1000000 * n DIV n_total AS BIGINT)").alias("observed_ppm"),
+        benford[F.col("d")].cast("long").alias("benford_ppm"),
+        (
+            F.expr("1000000 * n DIV n_total") - benford[F.col("d")]
+        ).cast("long").alias("dev_ppm"),
+    )
+    return finish_and_clean(audit, root)

@@ -1,0 +1,267 @@
+"""Unit tests for the round-7 continuation batch 3 (catalog/frontier3.py):
+concentration indices against hand-computed values, Benford digit math,
+star-rollup revenue quantization, Jaccard link-prediction vs a python
+reference, seasonality deviation signs, integer TF-IDF ranking, and the
+Zipf head cutoff."""
+
+from __future__ import annotations
+
+from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES, load_all
+
+load_all()
+
+
+def _write(tmp_path, name, df):
+    import pandas as pd
+
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    pd.DataFrame(df).to_parquet(sf / f"{name}.parquet")
+    return str(sf)
+
+
+def _orders_customers(tmp_path, spends, nation=0):
+    """One order per (cust, spend) pair, all in one nation."""
+    _write(
+        tmp_path,
+        "customer",
+        {
+            "c_custkey": list(range(1, len(spends) + 1)),
+            "c_name": [f"c{i}" for i in range(len(spends))],
+            "c_nationkey": [nation] * len(spends),
+            "c_acctbal": [0.0] * len(spends),
+            "c_mktsegment": ["M"] * len(spends),
+        },
+    )
+    import pandas as pd
+
+    return _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": list(range(1, len(spends) + 1)),
+            "o_custkey": list(range(1, len(spends) + 1)),
+            "o_orderstatus": ["F"] * len(spends),
+            "o_totalprice": [float(s) for s in spends],
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * len(spends)),
+            "o_orderpriority": ["1-URGENT"] * len(spends),
+        },
+    )
+
+
+def test_gini_equal_spend_is_zero(spark, tmp_path):
+    sf = _orders_customers(tmp_path, [100, 100, 100, 100])
+    (row,) = QUERIES["agg_gini_concentration"](spark, sf).collect()
+    # equal shares: 2*sum(i*x) = 2*x*(1+2+3+4) = 20x; (n+1)*S = 5*4x = 20x
+    assert row.gini_num == 0 and row.gini_ppm == 0
+    assert row.n_cust == 4 and row.total_cents == 40000
+
+
+def test_gini_total_concentration_approaches_limit(spark, tmp_path):
+    # one customer owns everything: G = (n-1)/n = 0.75 -> 750000 ppm
+    sf = _orders_customers(tmp_path, [0, 0, 0, 400])
+    (row,) = QUERIES["agg_gini_concentration"](spark, sf).collect()
+    assert row.gini_ppm == 750000
+    # num = 2*4*40000 - 5*40000 = 120000; den = 4*40000
+    assert row.gini_num == 120000 and row.gini_den == 160000
+
+
+def test_hhi_monopoly_vs_even(spark, tmp_path):
+    sf = _orders_customers(tmp_path, [0, 0, 0, 400])
+    (row,) = QUERIES["agg_hhi_concentration"](spark, sf).collect()
+    assert row.hhi_ppm == 1000000  # monopoly: share^2 = 1
+    sf2 = _orders_customers(tmp_path, [100, 100, 100, 100])
+    (row2,) = QUERIES["agg_hhi_concentration"](spark, sf2).collect()
+    assert row2.hhi_ppm == 250000  # 4 even shares: 4 * (1/4)^2
+
+
+def test_benford_digit_extraction_and_dev(spark, tmp_path):
+    # 30 values with first digit 1, 10 with first digit 2 (mixed magnitudes)
+    spends = [1.5] * 10 + [19.0] * 10 + [150.0] * 10 + [2.0] * 10
+    sf = _orders_customers(tmp_path, spends)
+    rows = {r.digit: r for r in QUERIES["quality_benford"](spark, sf).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n == 30 and rows[2].n == 10 and rows[1].n_total == 40
+    assert rows[1].observed_ppm == 750000
+    assert rows[1].benford_ppm == 301029
+    assert rows[1].dev_ppm == 750000 - 301029
+    # streaming twin folds to the identical audit
+    got_stream = {
+        (r.digit, r.n, r.n_total, r.observed_ppm, r.benford_ppm, r.dev_ppm)
+        for r in QUERIES["stream_benford_maintain"](spark, sf).collect()
+    }
+    got_batch = {
+        (r.digit, r.n, r.n_total, r.observed_ppm, r.benford_ppm, r.dev_ppm)
+        for r in QUERIES["quality_benford"](spark, sf).collect()
+    }
+    assert got_stream == got_batch
+
+
+def test_star_rollup_quantizes_per_line(spark, tmp_path):
+    import pandas as pd
+
+    _write(tmp_path, "region", {"r_regionkey": [0], "r_name": ["EUROPE"]})
+    _write(
+        tmp_path,
+        "nation",
+        {"n_nationkey": [0, 1], "n_name": ["FRANCE", "GERMANY"], "n_regionkey": [0, 0]},
+    )
+    _write(
+        tmp_path,
+        "customer",
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": [0, 1],
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["M", "M"],
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": [10, 20],
+            "o_custkey": [1, 2],
+            "o_orderstatus": ["F", "F"],
+            "o_totalprice": [1.0, 1.0],
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * 2),
+            "o_orderpriority": ["1-URGENT"] * 2,
+        },
+    )
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [10, 10, 20],
+            "l_partkey": [1, 2, 3],
+            "l_suppkey": [1, 1, 1],
+            "l_linenumber": [1, 2, 1],
+            "l_quantity": [1.0] * 3,
+            # 10.005 * 0.9 * 100 = 900.45 -> floor 900 PER LINE (not on sum)
+            "l_extendedprice": [10.005, 10.005, 7.0],
+            "l_discount": [0.1, 0.1, 0.0],
+            "l_tax": [0.0] * 3,
+            "l_returnflag": ["N"] * 3,
+            "l_linestatus": ["O"] * 3,
+            "l_shipdate": pd.to_datetime(["2024-01-02"] * 3),
+        },
+    )
+    rows = {
+        (r.region, r.nation): (r.n_items, r.revenue_cents)
+        for r in QUERIES["join_star_revenue_rollup"](spark, sf).collect()
+    }
+    assert rows == {("EUROPE", "FRANCE"): (2, 1800), ("EUROPE", "GERMANY"): (1, 700)}
+
+
+def test_jaccard_matches_python_reference(spark, tmp_path):
+    n = 120
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [3 * i for i in range(n)],
+            "l_suppkey": [i % 4 for i in range(n)],
+            "l_partkey": [i % 10 for i in range(n)],
+        },
+    )
+    got = {
+        (r.a, r.b): (r.common, r.union_sz, r.jac_ppm)
+        for r in QUERIES["graph_jaccard_neighbors"](spark, sf).collect()
+    }
+    from collections import defaultdict
+
+    edges = {(i % 4, 100000 + (i % 10) % 1500) for i in range(n)}
+    und = edges | {(b, a) for (a, b) in edges}
+    adj = defaultdict(set)
+    for s, d in und:
+        adj[s].add(d)
+    deg = {a: len(vs) for a, vs in adj.items()}
+    kept = {a: vs for a, vs in adj.items() if deg[a] <= 40}
+    pair_common = defaultdict(int)
+    for _, vs in kept.items():
+        for x in vs:
+            for y in vs:
+                if x < y:
+                    pair_common[(x, y)] += 1
+    want = {}
+    for (x, y), c in pair_common.items():
+        if c >= 35:
+            u = deg[x] + deg[y] - c
+            want[(x, y)] = (c, u, 1_000_000 * c // u)
+    assert got == want
+
+
+def test_seasonal_profile_deviation_sign(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # 2024-01-07 is a Sunday (dow 1), 2024-01-08 a Monday (dow 2).
+    # Sundays carry value 2.0, Mondays 1.0 -> Sunday dev_num > 0 > Monday's.
+    rows = [(i, dt.datetime(2024, 1, 7 + (i % 2), 12), 2.0 - (i % 2)) for i in range(8)]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [1] * 8,
+            "event_type": ["click"] * 8,
+            "value": [r[2] for r in rows],
+        },
+    )
+    out = {r.dow: r for r in QUERIES["temporal_seasonal_profile"](spark, sf).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_dow == 4 and out[2].n_dow == 4 and out[1].n_total == 8
+    # total mv = 4*2000 + 4*1000 = 12000; dev_num(dow1) = 8*8000 - 4*12000
+    assert out[1].dev_num == 16000 and out[2].dev_num == -16000
+
+
+def test_tfidf_rare_term_outranks_common(spark, tmp_path):
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "shared shared shared unique",
+                "shared other words here",
+                "shared more other filler",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [10] * 3,
+        },
+    )
+    out = QUERIES["text_tfidf_topk"](spark, sf).collect()
+    doc1 = sorted([r for r in out if r.doc_id == 1], key=lambda r: r.rnk)
+    # 'unique': df=1 -> rarity 3e6, score 3e6.  'shared': tf=3, df=3 ->
+    # rarity 1e6, score 3e6.  Tie -> w ASC: 'shared' takes rank 1.
+    assert doc1[0].w == "shared" and doc1[0].score == 3_000_000
+    assert doc1[1].w == "unique" and doc1[1].score == 3_000_000
+    assert doc1[0].rnk == 1 and doc1[1].rnk == 2
+    # doc 2's rarest terms beat its shared stopword
+    doc2 = sorted([r for r in out if r.doc_id == 2], key=lambda r: r.rnk)
+    assert doc2[-1].w == "shared"  # lowest-ranked of doc 2's four terms
+
+
+def test_zipf_head_rank_and_product(spark, tmp_path):
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": [1],
+            "text": ["aa aa aa aa bb bb cc"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [10],
+        },
+    )
+    rows = sorted(
+        QUERIES["text_zipf_rank"](spark, sf).collect(), key=lambda r: r.rnk
+    )
+    assert [(r.w, r.freq, r.rnk, r.rank_freq) for r in rows] == [
+        ("aa", 4, 1, 4),
+        ("bb", 2, 2, 4),
+        ("cc", 1, 3, 3),
+    ]

@@ -155,6 +155,12 @@ WAIVERS: dict[str, set[str]] = {
     # attached to the histogram-scale joined frame; both histograms are
     # keyed hash aggregates.
     "agg_drift_tvd": {"CARTESIAN"},
+    # (round 7) the digit grand total is ONE broadcast row attached to the
+    # 9-row digit histogram (the agg_drift_tvd pattern).
+    "quality_benford": {"CARTESIAN"},
+    # (round 7) the corpus doc count N is ONE broadcast row attached to the
+    # (doc, term) tf table; tf/df/top-k are keyed aggs and a per-doc window.
+    "text_tfidf_topk": {"CARTESIAN"},
 }
 
 
