@@ -84,6 +84,8 @@ _PRIORITY = [
     "stream_benford_maintain", "join_star_revenue_rollup",
     "graph_jaccard_neighbors", "temporal_seasonal_profile",
     "text_tfidf_topk", "text_zipf_rank",
+    "temporal_markov_transitions", "dedup_sorted_neighborhood",
+    "text_vocab_growth", "stream_star_rollup_maintain",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

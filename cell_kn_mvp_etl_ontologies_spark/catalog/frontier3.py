@@ -254,9 +254,10 @@ def quality_benford_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # join_star_revenue_rollup — TPC-H Q5-shaped snowflake denormalization
 # --------------------------------------------------------------------------
-@register(
-    "join_star_revenue_rollup",
-    oracle="""
+# Shared by the batch rollup and the streaming maintainer
+# (`stream_star_rollup_maintain`): one oracle constant pins the broadcast
+# snowflake plan and the per-batch additive merge chain mutually equal.
+_STAR_ORACLE = """
     SELECT r.r_name AS region, n.n_name AS nation,
            CAST(COUNT(*) AS BIGINT) AS n_items,
            CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
@@ -267,8 +268,10 @@ def quality_benford_q(spark, sf_dir):
     JOIN nation n   ON n.n_nationkey = c.c_nationkey
     JOIN region r   ON r.r_regionkey = n.n_regionkey
     GROUP BY r.r_name, n.n_name
-    """,
-)
+    """
+
+
+@register("join_star_revenue_rollup", oracle=_STAR_ORACLE)
 def join_star_revenue_rollup_q(spark, sf_dir):
     """The canonical star/snowflake rollup (TPC-H Q5 shape): fact
     lineitem through orders and customer up the nation -> region
@@ -677,3 +680,299 @@ def stream_benford_maintain_q(spark, sf_dir):
         ).cast("long").alias("dev_ppm"),
     )
     return finish_and_clean(audit, root)
+
+
+# --------------------------------------------------------------------------
+# temporal_markov_transitions — event-type transition matrix, exact ppm
+# --------------------------------------------------------------------------
+@register(
+    "temporal_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM events
+    ),
+    trans AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    row_tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n, r.n_from,
+           CAST(1000000 * t.n // r.n_from AS BIGINT) AS p_ppm
+    FROM trans t JOIN row_tot r USING (from_type)
+    """,
+)
+def temporal_markov_transitions_q(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    — the behavioral-model / bot-detection primitive (a scripted client's
+    transition rows are near-deterministic; an organic user's are
+    spread), and the event-sequence sibling of `text_lm_bigram_score`'s
+    token bigrams.  Each user's events totally ordered by (ts, event_id);
+    transition probabilities emitted as truncating-div ppm of the
+    from-state row total — everything int64, everything hash-gated.
+
+    100 TB shape: ONE exchange on user_id serves the lag window (sequences
+    never cross users, so no global sort); the transition agg collapses
+    to |types|^2 rows map-side; row totals re-join as a types-cardinality
+    broadcast.  State-space explosion is the consumer's choice of type
+    alphabet, not the operator's."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    trans = (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    row_tot = trans.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return trans.join(F.broadcast(row_tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        F.expr("CAST(1000000 * n DIV n_from AS BIGINT)").alias("p_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_sorted_neighborhood — classic ER blocking on the sorted key axis
+# --------------------------------------------------------------------------
+_SNM_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 10000, text || ' zq' FROM documents WHERE doc_id < 20
+"""
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH corpus AS ({corpus}),
+    norm AS (
+      SELECT doc_id, lower(trim(text)) AS t FROM corpus
+    ),
+    ranked AS (
+      SELECT doc_id, t,
+             row_number() OVER (ORDER BY t, doc_id) AS rnk
+      FROM norm
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM ranked a JOIN ranked b
+      ON b.rnk > a.rnk AND b.rnk <= a.rnk + 10
+    WHERE levenshtein(a.t, b.t) <= 4
+    """.format(corpus=_SNM_CORPUS_SQL),
+)
+def dedup_sorted_neighborhood_q(spark, sf_dir):
+    """Sorted-neighborhood entity-resolution blocking (Hernandez & Stolfo,
+    SIGMOD 1995) on the same planted-edit corpus as
+    `dedup_fuzzy_levenshtein`: sort every record by the normalized
+    blocking key, slide a window of width w=10 down the sorted order, and
+    exact-refine only in-window pairs (levenshtein <= 4).  Complements
+    the prefix-bucket blocker: a prefix edit moves a record OUT of its
+    prefix bucket but only a few positions in sort order, so the two
+    blockers' misses are disjoint — production ER runs both and unions.
+    The ORACLE states the rank theta-join definition; the ENGINE buckets
+    rank by w and fans each LEFT row to {b, b+1} (the `join_band_bucketed`
+    technique on the rank axis — a successor within w sits in the same or
+    next bucket), each pair found exactly once since the right row owns
+    one bucket.
+
+    100 TB shape: the global rank is ONE RangePartitioner sort (Spark's
+    distributed sort — the single-partition window here is the local[]
+    rendering, the `agg_hist_equi_depth` doctrine); after it, candidate
+    generation is a keyed equi-join with 2x fanout and per-task work
+    bounded by bucket width, never all-pairs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 300)
+    edited = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    corpus = base.unionByName(edited).select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
+    )
+    w = 10
+    ranked = corpus.select(
+        "doc_id", "t", F.row_number().over(Window.orderBy("t", "doc_id")).alias("rnk")
+    )
+    left = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("t").alias("ta"),
+        F.col("rnk").alias("ra"),
+        F.explode(
+            F.array((F.col("rnk") / w).cast("long"), (F.col("rnk") / w + 1).cast("long"))
+        ).alias("bucket"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("t").alias("tb"),
+        F.col("rnk").alias("rb"),
+        (F.col("rnk") / w).cast("long").alias("bucket"),
+    )
+    return (
+        left.join(right, "bucket")
+        .filter((F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + w))
+        .filter(F.levenshtein("ta", "tb") <= 4)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("rb") - F.col("ra")).cast("long").alias("rank_gap"),
+            F.levenshtein("ta", "tb").cast("long").alias("dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_vocab_growth — Heaps-law type/token + hapax profile per source
+# --------------------------------------------------------------------------
+@register(
+    "text_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok WHERE w <> '' GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(1000000 * COUNT(*) // SUM(f) AS BIGINT) AS type_token_ppm,
+           CAST(1000000 * SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS hapax_ppm
+    FROM freq GROUP BY source
+    """,
+)
+def text_vocab_growth_q(spark, sf_dir):
+    """Vocabulary-richness profile per corpus source: type/token ratio
+    (Heaps'-law operating point) and hapax-legomena share — the
+    template-detection audit that complements `text_zipf_rank`'s head
+    view with the TAIL view (a boilerplate-heavy source has few types
+    per token and almost no hapax; an OCR-noise source has hapax_ppm
+    near 1e6).  Ratios are truncating-div ppm on exact counts.
+
+    100 TB shape: corpus-linear tokenize-explode into a (source, term)
+    hash agg (map-side combined), then a source-keyed re-aggregation of
+    the vocabulary-sized frequency table — the same never-reaggregate-
+    the-token-stream discipline as `text_tfidf_topk`'s df."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    freq = tok.groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    return freq.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("f") == 1).cast("long")).cast("long").alias("hapax"),
+        F.expr("CAST(1000000 * count(1) DIV sum(f) AS BIGINT)").alias(
+            "type_token_ppm"
+        ),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)"
+            " DIV count(1) AS BIGINT)"
+        ).alias("hapax_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_star_rollup_maintain — incremental warehouse-rollup maintenance
+# --------------------------------------------------------------------------
+@register("stream_star_rollup_maintain", oracle=_STAR_ORACLE)
+def stream_star_rollup_maintain_q(spark, sf_dir):
+    """Streaming maintenance of the star-schema revenue rollup: each
+    micro-batch of lineitem facts joins the STATIC dimension chain
+    (orders -> customer -> broadcast nation/region — the stream-static
+    join Structured Streaming plans per batch) and its per-(region,
+    nation) partials fold into keyed parquet state with a SUM merge.
+    COUNT and SUM are additive, so the maintained rollup is independent
+    of fact-batch bundling — proven by sharing
+    `join_star_revenue_rollup`'s oracle constant (stream-maintained ==
+    batch snowflake == DuckDB, hash-exact).
+
+    100 TB shape: per trigger the work is O(batch ⨝ dims) and the state
+    is rollup-cardinality (25 rows here) — the incremental-view-
+    maintenance posture (`agg_incremental_maintain` doctrine) applied to
+    the warehouse fact table; the full fact corpus is never rescanned."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_lineitem_stream
+    from . import finish_and_clean
+
+    stream = read_lineitem_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_star_")
+    state_path = root + "/state"
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = (
+            batch_df.select(
+                "l_orderkey",
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+                .alias("rev_c"),
+            )
+            .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum("rev_c").cast("long").alias("revenue_cents"),
+            )
+        )
+        try:
+            state = sp.read.parquet(state_path)
+            merged = (
+                state.unionByName(part)
+                .groupBy("region", "nation")
+                .agg(
+                    F.sum("n_items").alias("n_items"),
+                    F.sum("revenue_cents").alias("revenue_cents"),
+                )
+            )
+        except Exception:  # first batch: the partial IS the state
+            merged = part
+        staging = root + "/staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    state = spark.read.parquet(state_path).select(
+        "region",
+        "nation",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+    )
+    return finish_and_clean(state, root)

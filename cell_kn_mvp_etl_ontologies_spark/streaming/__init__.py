@@ -2,6 +2,7 @@ from .file_stream import (
     read_documents_stream,
     read_embeddings_stream,
     read_events_stream,
+    read_lineitem_stream,
     read_orders_stream,
     read_part_stream,
     run_stream_apply_changes,

@@ -78,6 +78,31 @@ def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_lineitem_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the lineitem fact table — the ingestion side
+    of continuous warehouse-rollup maintenance.  l_shipdate gets the same
+    dtype branching as read_orders_stream so a storage change fails loudly
+    here."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem*")
+        .parquet(sf_dir)
+    )
+    dt = dict(stream.dtypes).get("l_shipdate")
+    if dt == "bigint":  # legacy TIMESTAMP(NANOS) storage read as long
+        return stream.withColumn(
+            "l_shipdate", F.timestamp_micros(F.expr("l_shipdate div 1000"))
+        )
+    if dt in ("timestamp", "timestamp_ntz"):
+        return stream.withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    raise TypeError(
+        f"lineitem.l_shipdate has unexpected stream dtype {dt!r}; "
+        "extend read_lineitem_stream for this storage type"
+    )
+
+
 def read_part_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the part table (no event-time column) — the
     ingestion side of continuous frontier/skyline maintenance."""

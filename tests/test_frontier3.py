@@ -265,3 +265,94 @@ def test_zipf_head_rank_and_product(spark, tmp_path):
         ("bb", 2, 2, 4),
         ("cc", 1, 3, 3),
     ]
+
+
+def test_markov_transitions_ppm(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # user 1 sequence: a -> b -> a -> b -> b  (transitions ab, ba, ab, bb)
+    types = ["a", "b", "a", "b", "b"]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(5)),
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1, 0, i) for i in range(5)]),
+            "user_id": [1] * 5,
+            "event_type": types,
+            "value": [1.0] * 5,
+        },
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.n_from, r.p_ppm)
+        for r in QUERIES["temporal_markov_transitions"](spark, sf).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 2, 1_000_000),
+        ("b", "a"): (1, 2, 500_000),
+        ("b", "b"): (1, 2, 500_000),
+    }
+
+
+def test_sorted_neighborhood_finds_prefix_edit(spark, tmp_path):
+    # A PREFIX edit defeats the prefix-bucket blocker but not the sorted
+    # window: planted docs sort adjacent to their originals.
+    texts = [f"record number {i:04d} body" for i in range(40)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(40)),
+            "text": texts,
+            "lang": ["en"] * 40,
+            "source": ["s"] * 40,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    rows = QUERIES["dedup_sorted_neighborhood"](spark, sf).collect()
+    pairs = {(r.id_a, r.id_b): (r.rank_gap, r.dist) for r in rows}
+    # the planted '+ zq' copies of docs 0..19 (ids 10000..10019) sort right
+    # after their originals -> every original matches its copy at dist 3
+    for i in range(20):
+        assert (i, i + 10000) in pairs
+        gap, dist = pairs[(i, i + 10000)]
+        assert dist == 3 and gap >= 1
+    # neighbours like 'record number 0001' vs '0002' are dist 1 <= 4: present
+    assert (1, 2) in pairs
+
+
+def test_vocab_growth_counts(spark, tmp_path):
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": [1, 2],
+            "text": ["aa bb aa", "cc cc cc cc"],
+            "lang": ["en"] * 2,
+            "source": ["s1", "s2"],
+            "n_chars": [8, 11],
+        },
+    )
+    got = {
+        r.source: (r.n_tokens, r.n_types, r.hapax, r.type_token_ppm, r.hapax_ppm)
+        for r in QUERIES["text_vocab_growth"](spark, sf).collect()
+    }
+    # s1: tokens=3, types=2 (aa:2, bb:1), hapax=1
+    assert got["s1"] == (3, 2, 1, 1_000_000 * 2 // 3, 500_000)
+    # s2: tokens=4, types=1, hapax=0
+    assert got["s2"] == (4, 1, 0, 250_000, 0)
+
+
+def test_stream_star_rollup_matches_batch(spark, tmp_path):
+    # identity on the sf0.001 testdata: stream-maintained == batch rollup
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.region, r.nation): (r.n_items, r.revenue_cents)
+        for r in QUERIES["join_star_revenue_rollup"](spark, sf).collect()
+    }
+    stream = {
+        (r.region, r.nation): (r.n_items, r.revenue_cents)
+        for r in QUERIES["stream_star_rollup_maintain"](spark, sf).collect()
+    }
+    assert batch == stream and len(batch) > 0
