@@ -86,6 +86,8 @@ _PRIORITY = [
     "text_tfidf_topk", "text_zipf_rank",
     "temporal_markov_transitions", "dedup_sorted_neighborhood",
     "text_vocab_growth", "stream_star_rollup_maintain",
+    "graph_clustering_coefficient", "quality_completeness_profile",
+    "agg_pareto_coverage",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

@@ -976,3 +976,240 @@ def stream_star_rollup_maintain_q(spark, sf_dir):
         F.col("revenue_cents").cast("long").alias("revenue_cents"),
     )
     return finish_and_clean(state, root)
+
+
+# --------------------------------------------------------------------------
+# graph_clustering_coefficient — per-vertex LCC over the co-purchase graph
+# --------------------------------------------------------------------------
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+    ),
+    e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM li x JOIN li y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_v AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY v
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY v
+    )
+    SELECT CAST(d.v AS BIGINT) AS v, d.deg,
+           CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+           CAST(2000000 * COALESCE(t.tri, 0)
+                // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_ppm
+    FROM deg d LEFT JOIN tri_v t ON t.v = d.v
+    WHERE d.deg >= 2
+    """,
+)
+def graph_clustering_coefficient_q(spark, sf_dir):
+    """Per-vertex local clustering coefficient on the `graph_triangle_count`
+    co-purchase graph: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the
+    community-density profile (a vertex whose neighbors all know each
+    other vs a pure broker), emitted as truncating ppm on exact integer
+    triangle and degree counts.  Vertices with deg < 2 have no defined
+    coefficient and are excluded rather than zero-filled.
+
+    Engine side reuses the degree-oriented `triangle_list` enumeration
+    (plans/graph_query.py — each triangle once under the (degree, id)
+    total order, out-degrees bounded O(sqrt(m)) so hub skew cannot square),
+    explodes the 3 vertices of each triangle, and joins the degree table;
+    the oracle replays the naive a<b<c formulation plus the same census —
+    equality of the two enumerations is itself the correctness claim.
+
+    100 TB shape: triangle_list's three keyed shuffles + a vertex-keyed
+    count and one degree join — all on vertex/edge cardinality frames; the
+    explode is exactly 3x the triangle count, the operator's honest
+    output-side lower bound."""
+    from ..plans.graph_query import canonical_undirected, triangle_list
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), on="l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    )
+    edges = canonical_undirected(pairs).localCheckpoint(eager=True)
+    tri = triangle_list(edges)
+    tri_v = (
+        tri.select(F.col("u").alias("v"))
+        .unionByName(tri.select(F.col("v").alias("v")))
+        .unionByName(tri.select(F.col("w").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return (
+        deg.join(tri_v, "v", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            F.col("v").cast("long").alias("v"),
+            "deg",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+            F.expr(
+                "CAST(2000000 * coalesce(tri, 0) DIV (deg * (deg - 1)) AS BIGINT)"
+            ).alias("lcc_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_completeness_profile — one-pass column census
+# --------------------------------------------------------------------------
+@register(
+    "quality_completeness_profile",
+    oracle="""
+    SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT ts) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'props', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT props) AS BIGINT)
+    FROM events
+    """,
+)
+def quality_completeness_profile_q(spark, sf_dir):
+    """One-pass column-completeness census over the events table — row
+    count, null count, and exact distinct count for EVERY column, the
+    table-level profile that feeds schema-drift alerts and expectation
+    suites (`quality_expectations` checks stated rules; this discovers
+    the stats the rules come from).
+
+    Engine shape: ONE aggregate computes all 18 measures in a single scan
+    (count + per-column null-sum + per-column count(distinct) — Spark
+    plans multi-distinct via a single expand), then the 1-row result
+    UNPIVOTS via stack() into the (col_name, ...) census — the profile
+    never shuffles row-level data, only the 1-row aggregate.  The oracle
+    states the per-column definition as 6 scalar scans.
+
+    100 TB shape: the null/row counts are pure map-side; exact multi-
+    column distinct is the expensive facet (expand multiplies rows by the
+    distinct-column count) — the production tier swaps in
+    approx_count_distinct per column (`agg_approx_distinct` twin doctrine)
+    and keeps this exact path for the audit tier."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"null_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"dist_{c}"))
+    one = ev.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS (col_name, n_null, n_distinct)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct")
+
+
+# --------------------------------------------------------------------------
+# agg_pareto_coverage — cumulative source-coverage (80/20) curve
+# --------------------------------------------------------------------------
+@register(
+    "agg_pareto_coverage",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS total FROM per_source),
+    ranked AS (
+      SELECT source, chars,
+             row_number() OVER (ORDER BY chars DESC, source ASC) AS rnk,
+             SUM(chars) OVER (ORDER BY chars DESC, source ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_chars
+      FROM per_source
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, chars,
+           CAST(cum_chars AS BIGINT) AS cum_chars,
+           CAST(1000000 * cum_chars // total AS BIGINT) AS cum_ppm,
+           cum_chars * 5 >= total * 4 AS covers80
+    FROM ranked, tot
+    """,
+)
+def agg_pareto_coverage_q(spark, sf_dir):
+    """Cumulative source-coverage curve (the 80/20 audit): sources ranked
+    by contributed characters, with exact running share — the first rank
+    where covers80 flips TRUE is "how many sources make up 80% of the
+    corpus", the single number a data-mixing decision needs next to
+    `agg_gini_concentration`'s scalar.  The 80% test is the cross-
+    multiplied integer predicate cum*5 >= total*4 — no division at all;
+    cum_ppm is the plot-ready truncating share.
+
+    100 TB shape: one source-keyed hash agg (corpus-linear, map-side
+    combined) collapses to source cardinality; the ranked cumsum window
+    runs on THAT frame — thousands of rows, one partition is correct, not
+    a compromise; the grand total attaches as a 1-row broadcast."""
+    per_source = _t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("chars")
+    )
+    tot = per_source.agg(F.sum("chars").cast("long").alias("total"))
+    w = Window.orderBy(F.desc("chars"), F.asc("source"))
+    ranked = per_source.select(
+        "source",
+        "chars",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("chars")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_chars"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "rnk",
+        "chars",
+        "cum_chars",
+        F.expr("CAST(1000000 * cum_chars DIV total AS BIGINT)").alias("cum_ppm"),
+        (F.col("cum_chars") * 5 >= F.col("total") * 4).alias("covers80"),
+    )

@@ -356,3 +356,71 @@ def test_stream_star_rollup_matches_batch(spark, tmp_path):
         for r in QUERIES["stream_star_rollup_maintain"](spark, sf).collect()
     }
     assert batch == stream and len(batch) > 0
+
+
+def test_lcc_complete_triangle_and_broker(spark, tmp_path):
+    # orders (all %5==0): order 5 buys parts {1,2,3} -> triangle 1-2-3;
+    # order 10 buys {3,4} -> vertex 4 hangs off 3 (broker 3 has deg 3).
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [5, 5, 5, 10, 10],
+            "l_partkey": [1, 2, 3, 3, 4],
+            "l_suppkey": [1] * 5,
+        },
+    )
+    got = {r.v: (r.deg, r.tri, r.lcc_ppm) for r in
+           QUERIES["graph_clustering_coefficient"](spark, sf).collect()}
+    # 1 and 2: deg 2, in 1 triangle -> lcc = 1.0
+    assert got[1] == (2, 1, 1_000_000) and got[2] == (2, 1, 1_000_000)
+    # 3: deg 3, 1 triangle of 3 possible pairs -> 2*1/(3*2) = 1/3
+    assert got[3] == (3, 1, 333_333)
+    # 4: deg 1 -> excluded
+    assert 4 not in got
+
+
+def test_completeness_profile_nulls_and_distinct(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1)] * 4),
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["a", None, "a", "b"],
+            "value": [1.0, 1.0, None, 2.0],
+            "props": [None, None, None, '{"k":1}'],
+        },
+    )
+    got = {r.col_name: (r.n_rows, r.n_null, r.n_distinct) for r in
+           QUERIES["quality_completeness_profile"](spark, sf).collect()}
+    assert got["event_id"] == (4, 0, 4)
+    assert got["ts"] == (4, 0, 1)
+    assert got["event_type"] == (4, 1, 2)   # distinct ignores NULL
+    assert got["value"] == (4, 1, 2)
+    assert got["props"] == (4, 3, 1)
+
+
+def test_pareto_coverage_cutoff(spark, tmp_path):
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["x"] * 4,
+            "lang": ["en"] * 4,
+            "source": ["big", "mid", "small", "tiny"],
+            "n_chars": [70, 15, 10, 5],
+        },
+    )
+    rows = sorted(QUERIES["agg_pareto_coverage"](spark, sf).collect(),
+                  key=lambda r: r.rnk)
+    assert [r.source for r in rows] == ["big", "mid", "small", "tiny"]
+    assert [r.cum_chars for r in rows] == [70, 85, 95, 100]
+    # 80% of 100 = 80: big alone (70) doesn't cover, big+mid (85) does
+    assert [r.covers80 for r in rows] == [False, True, True, True]
+    assert rows[0].cum_ppm == 700_000

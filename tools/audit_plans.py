@@ -161,6 +161,15 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the corpus doc count N is ONE broadcast row attached to the
     # (doc, term) tf table; tf/df/top-k are keyed aggs and a per-doc window.
     "text_tfidf_topk": {"CARTESIAN"},
+    # (round 7) the corpus grand total is ONE broadcast row attached to the
+    # source-cardinality ranked curve (the agg_drift_tvd pattern).
+    "agg_pareto_coverage": {"CARTESIAN"},
+    # (round 7) triangle_list's checkpointed edge/oriented sets already bound
+    # re-execution; the exchange count is the honest sum of the wedge
+    # machinery (3 keyed shuffles) + vertex census + degree join + the final
+    # vertex join — all on vertex/edge-cardinality frames, none redundant
+    # (the graph_triangle_count lineage doctrine).
+    "graph_clustering_coefficient": {"MANY_EXCH"},
 }
 
 
