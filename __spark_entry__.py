@@ -88,6 +88,8 @@ _PRIORITY = [
     "text_vocab_growth", "stream_star_rollup_maintain",
     "graph_clustering_coefficient", "quality_completeness_profile",
     "agg_pareto_coverage",
+    "embedding_norm_profile", "agg_funnel_time_to_convert",
+    "dedup_minhash_estimate_audit",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

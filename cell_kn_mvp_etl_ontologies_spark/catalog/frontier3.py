@@ -1213,3 +1213,282 @@ def agg_pareto_coverage_q(spark, sf_dir):
         F.expr("CAST(1000000 * cum_chars DIV total AS BIGINT)").alias("cum_ppm"),
         (F.col("cum_chars") * 5 >= F.col("total") * 4).alias("covers80"),
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_norm_profile — vector-column quality audit
+# --------------------------------------------------------------------------
+@register(
+    "embedding_norm_profile",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, label, embedding FROM embeddings),
+    quant AS (
+      SELECT vec_id, label, len(embedding) AS dim, i,
+             CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    norms AS (
+      SELECT vec_id, label, MIN(dim) AS dim,
+             CAST(SUM(v * v) AS BIGINT) AS norm_sq
+      FROM quant GROUP BY vec_id, label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(dim) AS BIGINT) AS dim_min,
+           CAST(MAX(dim) AS BIGINT) AS dim_max,
+           CAST(SUM(CASE WHEN norm_sq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(MIN(norm_sq) AS BIGINT) AS min_norm_sq,
+           CAST(MAX(norm_sq) AS BIGINT) AS max_norm_sq,
+           CAST(SUM(norm_sq) AS BIGINT) AS sum_norm_sq
+    FROM norms GROUP BY label
+    """,
+)
+def embedding_norm_profile_q(spark, sf_dir):
+    """Vector-column quality audit per label: dimension uniformity
+    (dim_min == dim_max or the column is corrupt), zero-vector count (a
+    zero embedding breaks cosine and usually means an upstream encoder
+    failure), and the quantized squared-norm range — the profile run
+    before any ANN build (`profile_numeric`'s doctrine applied to the
+    embedding column).  Norms quantize through the SAME HALF_UP
+    `quantize_vec` contract as every similarity rung, so the stats are
+    bit-comparable with the ANN chain's internal scores.
+
+    100 TB shape: per-vector norm is a HOF aggregate inside the row (no
+    explode in the engine — F.aggregate over the array, corpus-linear,
+    whole-stage codegen); the label rollup is a tiny hash agg.  The
+    ORACLE explodes via generate_series because DuckDB's lambda sums
+    float-typed; the engine never materializes element rows."""
+    from ..operators.similarity import quantize_vec
+
+    em = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.aggregate(
+            quantize_vec(F.col("embedding")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ).alias("norm_sq"),
+    )
+    return em.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.sum((F.col("norm_sq") == 0).cast("long")).cast("long").alias("n_zero"),
+        F.min("norm_sq").alias("min_norm_sq"),
+        F.max("norm_sq").alias("max_norm_sq"),
+        F.sum("norm_sq").cast("long").alias("sum_norm_sq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_funnel_time_to_convert — conversion-latency histogram
+# --------------------------------------------------------------------------
+@register(
+    "agg_funnel_time_to_convert",
+    oracle="""
+    WITH first_view AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT v.user_id,
+             MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT)
+                 - CAST(FLOOR(epoch(v.t_view)) AS BIGINT)) AS delta_s
+      FROM first_view v JOIN events e
+        ON e.user_id = v.user_id
+       AND e.event_type = 'purchase' AND e.ts >= v.t_view
+      GROUP BY v.user_id
+    )
+    SELECT CAST(delta_s // 3600 AS BIGINT) AS hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(delta_s) AS BIGINT) AS min_delta_s,
+           CAST(MAX(delta_s) AS BIGINT) AS max_delta_s
+    FROM conv GROUP BY hour_bucket
+    """,
+)
+def agg_funnel_time_to_convert_q(spark, sf_dir):
+    """Conversion-latency histogram: for each user, seconds from their
+    FIRST view to the EARLIEST purchase at-or-after it, bucketed by hour —
+    the time-to-convert distribution that prices attribution lookbacks
+    (`agg_attribution_linear`'s 2 h window is a parameter; this measures
+    what it should be).  `agg_funnel_steps` counts who converts; this
+    measures how fast.  All epoch math in int64 seconds.
+
+    100 TB shape: two user-keyed hash aggregates and one user-keyed join
+    — first-view is map-side combinable MIN, the purchase probe re-uses
+    the same user partitioning, and the histogram collapses to bucket
+    cardinality map-side.  No window, no sort."""
+    ev = _t(spark, sf_dir, "events")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_timestamp("ts").cast("long")
+                - F.unix_timestamp("t_view").cast("long")
+            ).alias("delta_s")
+        )
+    )
+    return conv.groupBy(
+        F.expr("CAST(delta_s DIV 3600 AS BIGINT)").alias("hour_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("delta_s").cast("long").alias("min_delta_s"),
+        F.max("delta_s").cast("long").alias("max_delta_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_estimate_audit — estimator quality of the MinHash signature
+# --------------------------------------------------------------------------
+_MINHASH_AUDIT_CORPUS = """
+    SELECT doc_id, text FROM documents WHERE doc_id < 60
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 10
+"""
+
+
+@register(
+    "dedup_minhash_estimate_audit",
+    oracle="""
+    WITH corpus AS ({corpus}),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, substring(substring(text, 1, 60), i, 5) AS shingle
+      FROM corpus, generate_series(1, 56) t(i)
+      WHERE i <= greatest(length(substring(text, 1, 60)) - 4, 0)
+    ),
+    hs AS (
+      SELECT id,
+             ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh
+    ),
+    sigs AS (
+      SELECT id,
+        MIN(h1 + 0 * h2) AS sig_0, MIN(h1 + 1 * h2) AS sig_1,
+        MIN(h1 + 2 * h2) AS sig_2, MIN(h1 + 3 * h2) AS sig_3,
+        MIN(h1 + 4 * h2) AS sig_4, MIN(h1 + 5 * h2) AS sig_5
+      FROM hs GROUP BY id
+    ),
+    bands AS (
+      SELECT id, md5('0' || '|' || CAST(sig_0 AS VARCHAR) || '|' || CAST(sig_1 AS VARCHAR)) AS band_key FROM sigs
+      UNION ALL SELECT id, md5('1' || '|' || CAST(sig_2 AS VARCHAR) || '|' || CAST(sig_3 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT id, md5('2' || '|' || CAST(sig_4 AS VARCHAR) || '|' || CAST(sig_5 AS VARCHAR)) FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT x.id AS a, y.id AS b
+      FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.id < y.id
+    ),
+    est AS (
+      SELECT p.a, p.b,
+        CAST((CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END)
+           + (CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END)
+           + (CASE WHEN sa.sig_2 = sb.sig_2 THEN 1 ELSE 0 END)
+           + (CASE WHEN sa.sig_3 = sb.sig_3 THEN 1 ELSE 0 END)
+           + (CASE WHEN sa.sig_4 = sb.sig_4 THEN 1 ELSE 0 END)
+           + (CASE WHEN sa.sig_5 = sb.sig_5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS matches
+      FROM pairs p JOIN sigs sa ON sa.id = p.a JOIN sigs sb ON sb.id = p.b
+    ),
+    sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM pairs p
+      JOIN sh x ON x.id = p.a
+      JOIN sh y ON y.id = p.b AND y.shingle = x.shingle
+      GROUP BY p.a, p.b
+    )
+    SELECT e.a, e.b, e.matches,
+           CAST(1000000 * e.matches // 6 AS BIGINT) AS est_ppm,
+           i.n_inter,
+           CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union,
+           CAST(1000000 * i.n_inter // (sa.n + sb.n - i.n_inter) AS BIGINT)
+             AS jac_ppm,
+           CAST(1000000 * e.matches // 6
+                - 1000000 * i.n_inter // (sa.n + sb.n - i.n_inter) AS BIGINT)
+             AS err_ppm
+    FROM est e
+    JOIN inter i ON i.a = e.a AND i.b = e.b
+    JOIN sizes sa ON sa.id = e.a
+    JOIN sizes sb ON sb.id = e.b
+    """.format(corpus=_MINHASH_AUDIT_CORPUS),
+)
+def dedup_minhash_estimate_audit_q(spark, sf_dir):
+    """Estimator-quality audit for the MinHash pipeline — for every LSH
+    candidate pair, the signature-agreement estimate (matches/6 as ppm)
+    NEXT TO the exact shingle Jaccard it estimates, plus the signed error
+    — the recall-audit doctrine (`similarity_*_recall`) applied to the
+    dedup rung: "6 hashes, 3 bands" stops being a config and becomes
+    measured evidence (planted exact dups show matches=6, err 0; chance
+    collisions show their true overlap).  Every term integer: match
+    counts, shingle-set sizes, truncating ppm.
+
+    100 TB shape: candidates come from the band join (never all-pairs —
+    the audit only prices pairs the production pipeline would surface);
+    the exact-Jaccard refinement is a shingle equi-join on candidate ids,
+    the `dedup_containment` shape; signatures join back keyed on id."""
+    from ..operators.dedup import minhash_band_keys, minhash_signatures, shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 60).unionByName(
+        docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    sh = shingles(corpus, "text", "doc_id", width=5, prefix_len=60, distinct=True)
+    sh = sh.localCheckpoint(eager=True)  # feeds sigs, sizes, and the exact join
+    sigs = minhash_signatures(sh, n_hashes=6)
+    bands = minhash_band_keys(sigs, n_hashes=6, n_bands=3)
+    pairs = (
+        bands.alias("x")
+        .join(bands.alias("y"), on="band_key")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("a"), *[F.col(f"sig_{k}").alias(f"a{k}") for k in range(6)])
+    sb = sigs.select(F.col("id").alias("b"), *[F.col(f"sig_{k}").alias(f"b{k}") for k in range(6)])
+    matches = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("long") for k in range(6)
+    )
+    est = pairs.join(sa, "a").join(sb, "b").select(
+        "a", "b", matches.cast("long").alias("matches")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        est.join(inter, ["a", "b"])
+        .join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            "matches",
+            F.expr("CAST(1000000 * matches DIV 6 AS BIGINT)").alias("est_ppm"),
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .cast("long")
+            .alias("n_union"),
+            F.expr(
+                "CAST(1000000 * n_inter DIV (na + nb - n_inter) AS BIGINT)"
+            ).alias("jac_ppm"),
+            F.expr(
+                "CAST(1000000 * matches DIV 6"
+                " - 1000000 * n_inter DIV (na + nb - n_inter) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )

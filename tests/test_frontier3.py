@@ -424,3 +424,77 @@ def test_pareto_coverage_cutoff(spark, tmp_path):
     # 80% of 100 = 80: big alone (70) doesn't cover, big+mid (85) does
     assert [r.covers80 for r in rows] == [False, True, True, True]
     assert rows[0].cum_ppm == 700_000
+
+
+def test_embedding_norm_profile_zero_and_dims(spark, tmp_path):
+    sf = _write(
+        tmp_path,
+        "embeddings",
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[0.5, 0.5], [0.0, 0.0], [1.0, -1.0]],
+            "label": [0, 0, 0],
+        },
+    )
+    (row,) = QUERIES["embedding_norm_profile"](spark, sf).collect()
+    # quantized: [500,500] -> 500000; [0,0] -> 0; [1000,-1000] -> 2000000
+    assert row.n_vecs == 3 and row.n_zero == 1
+    assert row.dim_min == 2 and row.dim_max == 2
+    assert row.min_norm_sq == 0 and row.max_norm_sq == 2_000_000
+    assert row.sum_norm_sq == 2_500_000
+
+
+def test_funnel_time_to_convert_buckets(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        # user 1: view at t0, purchases at +30min and +10min -> min delta 600s
+        (1, 1, t0, "view"), (2, 1, t0 + dt.timedelta(minutes=30), "purchase"),
+        (3, 1, t0 + dt.timedelta(minutes=10), "purchase"),
+        # user 2: purchase BEFORE first view only -> excluded
+        (4, 2, t0, "purchase"), (5, 2, t0 + dt.timedelta(hours=1), "view"),
+        # user 3: view then purchase 90 min later -> bucket 1
+        (6, 3, t0, "view"), (7, 3, t0 + dt.timedelta(minutes=90), "purchase"),
+    ]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]),
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+        },
+    )
+    got = {r.hour_bucket: (r.n_users, r.min_delta_s, r.max_delta_s)
+           for r in QUERIES["agg_funnel_time_to_convert"](spark, sf).collect()}
+    assert got == {0: (1, 600, 600), 1: (1, 5400, 5400)}
+
+
+def test_minhash_audit_exact_dup_is_error_free(spark, tmp_path):
+    texts = [f"document body text number {i:05d} with stable prefix" for i in range(60)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(60)),
+            "text": texts,
+            "lang": ["en"] * 60,
+            "source": ["s"] * 60,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    rows = QUERIES["dedup_minhash_estimate_audit"](spark, sf).collect()
+    by_pair = {(r.a, r.b): r for r in rows}
+    # the planted exact copies (i, i+10000) must be candidates with a
+    # perfect signature match AND exact Jaccard 1 -> err 0
+    for i in range(10):
+        r = by_pair[(i, i + 10000)]
+        assert r.matches == 6 and r.est_ppm == 1_000_000
+        assert r.n_inter == r.n_union and r.jac_ppm == 1_000_000
+        assert r.err_ppm == 0
+    # every audited pair carries a valid exact Jaccard in [0, 1e6]
+    assert all(0 <= r.jac_ppm <= 1_000_000 for r in rows)
