@@ -1492,3 +1492,256 @@ def dedup_minhash_estimate_audit_q(spark, sf_dir):
             ).alias("err_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# graph_ktruss — fixed-round truss peel with an unrolled-CTE oracle
+# --------------------------------------------------------------------------
+def _ktruss_oracle(k: int = 5, n_rounds: int = 2) -> str:
+    """Unroll the fixed-round truss peel as chained CTEs (the kcore /
+    pq_train unroll doctrine): per round, a triangle enumeration, a
+    per-edge support census (each a<b<c triangle supports its 3 edges),
+    and the support filter."""
+    parts = [
+        """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+    ),
+    e0 AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM li x JOIN li y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    )"""
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f""",
+    tri{r} AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e{r} e1
+      JOIN e{r} e2 ON e1.b = e2.a
+      JOIN e{r} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    supp{r} AS (
+      SELECT a, b, COUNT(*) AS supp FROM (
+        SELECT x AS a, y AS b FROM tri{r}
+        UNION ALL SELECT y, z FROM tri{r}
+        UNION ALL SELECT x, z FROM tri{r}
+      ) GROUP BY a, b
+    ),
+    e{r + 1} AS (
+      SELECT e.a, e.b FROM e{r} e
+      JOIN supp{r} s ON s.a = e.a AND s.b = e.b
+      WHERE s.supp >= {k - 2}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM e{n_rounds}"""
+    )
+    return "".join(parts)
+
+
+@register("graph_ktruss", oracle=_ktruss_oracle())
+def graph_ktruss_q(spark, sf_dir):
+    """5-truss of the co-purchase graph: edges supported by >= 3 triangles
+    after a FIXED 2-round peel — the edge-cohesion refinement of
+    `graph_kcore` (a k-core keeps well-connected VERTICES; a truss keeps
+    edges embedded in dense triangle neighborhoods, the community-core
+    screen).  The bounded-loop doctrine: the engine peels in a driver
+    loop with per-round localCheckpoint lineage cuts, the oracle unrolls
+    the SAME rounds as chained CTEs, so every intermediate support census
+    is pinned, not just the fixpoint.
+
+    Engine rounds reuse the degree-oriented `triangle_list` (each
+    triangle once, O(m^1.5) under hub skew); each triangle's 3 edges are
+    recovered as canonical (least, greatest) pairs — the explode is 3x
+    the triangle count, the census's honest input size.
+
+    100 TB shape: per round, triangle_list's three keyed shuffles + an
+    edge-keyed census + an edge-keyed semi-filter — all edge/triangle
+    cardinality; rounds strictly shrink the edge set, so round 1 is the
+    cost ceiling."""
+    from ..plans.graph_query import canonical_undirected, triangle_list
+
+    k, n_rounds = 5, 2
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), on="l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    )
+    edges = canonical_undirected(pairs)
+    for _ in range(n_rounds):
+        edges = edges.localCheckpoint(eager=True)
+        tri = triangle_list(edges)
+        tri_edges = (
+            tri.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+            .unionByName(
+                tri.select(F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b"))
+            )
+            .unionByName(
+                tri.select(F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b"))
+            )
+        )
+        supp = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("supp"))
+        edges = (
+            edges.join(supp, ["a", "b"])
+            .filter(F.col("supp") >= k - 2)
+            .select("a", "b")
+        )
+    return edges.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_markov_maintain — boundary-stitched streaming transition counts
+# --------------------------------------------------------------------------
+@register(
+    "stream_markov_maintain",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM events
+    ),
+    trans AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    row_tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n, r.n_from,
+           CAST(1000000 * t.n // r.n_from AS BIGINT) AS p_ppm
+    FROM trans t JOIN row_tot r USING (from_type)
+    """,
+)
+def stream_markov_maintain_q(spark, sf_dir):
+    """Streaming maintenance of the Markov transition matrix with BOUNDARY
+    STITCHING: per-batch lag() only sees transitions INSIDE the batch, so
+    the maintainer also keeps each user's LAST event as state and stitches
+    the (stored last -> first-of-batch) transition per user — without it,
+    every batch boundary silently drops one transition per active user
+    and the stream never equals the batch matrix.  Transition counts then
+    fold additively into keyed state (the drift/benford merge).  Shares
+    `temporal_markov_transitions`'s oracle constant: stream-maintained ==
+    batch lag == DuckDB, hash-exact.
+
+    CONTRACT: batches must arrive per-user event-time ordered (file
+    sources partitioned by time — the production log-shipping shape); a
+    user's out-of-order late event would need the full-resequence repair
+    path, not this O(batch) maintainer.  The multi-batch stitch identity
+    is pinned by a 3-file planted test (tests/test_frontier3.py).
+
+    100 TB shape: per trigger — one user-keyed window over the BATCH, a
+    keyed join against user-cardinality last-event state, and a
+    |types|^2-cardinality count merge; the event corpus is never
+    rescanned."""
+    from ..streaming import read_events_stream
+
+    return markov_maintain_run(spark, read_events_stream(spark, sf_dir))
+
+
+def markov_maintain_run(spark, stream):
+    """Run the boundary-stitched Markov maintainer over ``stream`` and
+    return the finalized transition matrix.  Factored out so tests can
+    drive it one-file-per-batch (maxFilesPerTrigger=1 over planted
+    time-split files) to pin the stitch identity across real batch
+    boundaries — the sf gate's single parquet file yields one batch."""
+    import shutil
+    import tempfile
+
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_markov_")
+    counts_path = root + "/counts"
+    last_path = root + "/last"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        b = batch_df.select("user_id", "ts", "event_id", "event_type")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = b.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+            F.row_number().over(w).alias("rn"),
+        )
+        internal = seq.filter(F.col("from_type").isNotNull()).select(
+            "from_type", "to_type"
+        )
+        firsts = seq.filter(F.col("rn") == 1).select(
+            "user_id", F.col("to_type").alias("first_type")
+        )
+        try:
+            last = sp.read.parquet(last_path)
+            boundary = last.join(firsts, "user_id").select(
+                F.col("event_type").alias("from_type"),
+                F.col("first_type").alias("to_type"),
+            )
+            trans = internal.unionByName(boundary)
+            merged_last_src = last.unionByName(
+                b.select("user_id", "ts", "event_id", "event_type")
+            )
+        except Exception:  # first batch: no stored last events yet
+            trans = internal
+            merged_last_src = b.select("user_id", "ts", "event_id", "event_type")
+        part = trans.groupBy("from_type", "to_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        try:
+            counts = sp.read.parquet(counts_path)
+            merged_counts = (
+                counts.unionByName(part)
+                .groupBy("from_type", "to_type")
+                .agg(F.sum("n").alias("n"))
+            )
+        except Exception:
+            merged_counts = part
+        w_last = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        merged_last = (
+            merged_last_src.withColumn("rn", F.row_number().over(w_last))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        for frame, path in ((merged_counts, counts_path), (merged_last, last_path)):
+            staging = path + "_staging"
+            frame.write.mode("overwrite").parquet(staging)
+            sp.read.parquet(staging).write.mode("overwrite").parquet(path)
+            shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    trans = spark.read.parquet(counts_path).select(
+        "from_type", "to_type", F.col("n").cast("long").alias("n")
+    )
+    row_tot = trans.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    out = trans.join(F.broadcast(row_tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        F.expr("CAST(1000000 * n DIV n_from AS BIGINT)").alias("p_ppm"),
+    )
+    return finish_and_clean(out, root)

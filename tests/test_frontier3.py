@@ -6,6 +6,8 @@ Zipf head cutoff."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES, load_all
 
 load_all()
@@ -498,3 +500,92 @@ def test_minhash_audit_exact_dup_is_error_free(spark, tmp_path):
         assert r.err_ppm == 0
     # every audited pair carries a valid exact Jaccard in [0, 1e6]
     assert all(0 <= r.jac_ppm <= 1_000_000 for r in rows)
+
+
+def test_ktruss_matches_python_reference(spark, tmp_path):
+    # small co-purchase graph: orders (all %5==0) define part cliques
+    import itertools
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            # order 5 buys a 5-clique {1..5}; order 10 a triangle {5,6,7};
+            # order 15 a pair {7,8}
+            "l_orderkey": [5] * 5 + [10] * 3 + [15] * 2,
+            "l_partkey": [1, 2, 3, 4, 5, 5, 6, 7, 7, 8],
+            "l_suppkey": [1] * 10,
+        },
+    )
+    got = {(r.a, r.b) for r in QUERIES["graph_ktruss"](spark, sf).collect()}
+
+    # python reference: same 2-round support>=3 peel
+    edges = set()
+    for order, parts in ((5, [1, 2, 3, 4, 5]), (10, [5, 6, 7]), (15, [7, 8])):
+        for x, y in itertools.combinations(sorted(parts), 2):
+            edges.add((x, y))
+    for _ in range(2):
+        tri = [
+            (a, b, c)
+            for (a, b) in edges
+            for c in range(1, 9)
+            if b < c and (b, c) in edges and (a, c) in edges
+        ]
+        supp = {}
+        for (x, y, z) in tri:
+            for e in ((x, y), (y, z), (x, z)):
+                supp[e] = supp.get(e, 0) + 1
+        edges = {e for e in edges if supp.get(e, 0) >= 3}
+    assert got == edges
+    # the 5-clique survives (each edge in 3 triangles); the order-10
+    # triangle (support 1) and the pendant pair are peeled
+    assert got == {(a, b) for a, b in itertools.combinations(range(1, 6), 2)}
+
+
+def test_stream_markov_stitches_batch_boundaries(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier3 import (
+        markov_maintain_run,
+    )
+
+    # user 1's sequence a,b,a,b,a,b split across THREE time-ordered files:
+    # the boundary transitions (file1->file2, file2->file3) exist ONLY via
+    # the stitched last-event state.
+    ev_dir = tmp_path / "events_split"
+    ev_dir.mkdir()
+    types = ["a", "b", "a", "b", "a", "b"]
+    for f in range(3):
+        rows = [(2 * f + j, dt.datetime(2024, 1, 1, 0, 2 * f + j), types[2 * f + j])
+                for j in range(2)]
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "user_id": [1, 1],
+                "event_type": [r[2] for r in rows],
+                "value": [1.0, 1.0],
+            }
+        ).to_parquet(ev_dir / f"part-{f}.parquet")
+        t = 1_000_000_000 + f * 100
+        os.utime(ev_dir / f"part-{f}.parquet", (t, t))
+
+    schema = spark.read.parquet(str(ev_dir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ev_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.n_from, r.p_ppm)
+        for r in markov_maintain_run(spark, stream).collect()
+    }
+    # full sequence a->b->a->b->a->b: ab x3, ba x2 — per-batch lag alone
+    # would see only ab x3 (one per file) and NO ba at all
+    assert got == {
+        ("a", "b"): (3, 3, 1_000_000),
+        ("b", "a"): (2, 2, 1_000_000),
+    }

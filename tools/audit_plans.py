@@ -170,6 +170,12 @@ WAIVERS: dict[str, set[str]] = {
     # vertex join — all on vertex/edge-cardinality frames, none redundant
     # (the graph_triangle_count lineage doctrine).
     "graph_clustering_coefficient": {"MANY_EXCH"},
+    # (round 7) two peel rounds x (triangle wedge machinery + edge census +
+    # support semi-filter), each round localCheckpoint-bounded — the honest
+    # per-round shuffle budget of an iterative truss peel (the kcore /
+    # clustering-coefficient lineage doctrine); rounds strictly shrink the
+    # edge set.
+    "graph_ktruss": {"MANY_EXCH"},
 }
 
 
