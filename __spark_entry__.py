@@ -91,6 +91,8 @@ _PRIORITY = [
     "embedding_norm_profile", "agg_funnel_time_to_convert",
     "dedup_minhash_estimate_audit",
     "graph_ktruss", "stream_markov_maintain",
+    "stream_tfidf_maintain", "sample_negatives_hash",
+    "temporal_interarrival_profile",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

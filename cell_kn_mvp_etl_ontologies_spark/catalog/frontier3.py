@@ -480,9 +480,10 @@ def temporal_seasonal_profile_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # text_tfidf_topk — log-free integer TF-IDF term ranking per document
 # --------------------------------------------------------------------------
-@register(
-    "text_tfidf_topk",
-    oracle="""
+# Shared by the batch ranking and the streaming maintainer
+# (`stream_tfidf_maintain`): one oracle constant pins the single-pass
+# scoring and the maintained-tf-table serve chain mutually equal.
+_TFIDF_ORACLE = """
     WITH tok AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
       FROM documents
@@ -507,8 +508,10 @@ def temporal_seasonal_profile_q(spark, sf_dir):
     )
     SELECT doc_id, w, tf, df, score, CAST(rnk AS BIGINT) AS rnk
     FROM ranked WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@register("text_tfidf_topk", oracle=_TFIDF_ORACLE)
 def text_tfidf_topk_q(spark, sf_dir):
     """Top-5 characteristic terms per document by log-free integer TF-IDF:
     score = tf * (1e6 * N_docs // df) — the truncating-division rarity
@@ -532,6 +535,14 @@ def text_tfidf_topk_q(spark, sf_dir):
         ).alias("w"),
     ).filter(F.col("w") != "")
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    return _tfidf_rank_from_tf(tf)
+
+
+def _tfidf_rank_from_tf(tf):
+    """Score + top-5 ranking over a (doc_id, w, tf) table — shared by the
+    single-pass batch query and the streaming maintainer's serve step (the
+    maintained tf table IS the batch tf table, so one ranking body keeps
+    the two paths structurally identical)."""
     df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
     nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("nd"))
     scored = (
@@ -1745,3 +1756,208 @@ def markov_maintain_run(spark, stream):
         F.expr("CAST(1000000 * n DIV n_from AS BIGINT)").alias("p_ppm"),
     )
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# stream_tfidf_maintain — continuous maintenance of the tf table + serve
+# --------------------------------------------------------------------------
+@register("stream_tfidf_maintain", oracle=_TFIDF_ORACLE)
+def stream_tfidf_maintain_q(spark, sf_dir):
+    """Streaming maintenance of the TF-IDF index: each micro-batch of
+    documents tokenizes and folds its (doc, term, tf) partials into keyed
+    parquet state with a SUM merge — documents are atomic rows, so term
+    counts are additive and the maintained tf table is independent of
+    batch bundling (and idempotent-safe under a re-delivered SPLIT of a
+    doc's tokens, the at-least-once posture).  df and N_docs are DERIVED
+    from the maintained table at serve time, never maintained separately
+    — one source of truth, no drift between the counts.  Serve routes
+    through the same `_tfidf_rank_from_tf` body as the batch query and
+    shares its oracle constant: stream-maintained == single-pass ==
+    DuckDB, hash-exact.
+
+    100 TB shape: per trigger, tokenize + tf-agg of the BATCH only, then
+    a keyed merge against term-table state; the serve-time ranking is the
+    batch query's own cost.  The corpus text is never rescanned for
+    indexing — the `stream_index_maintain` doctrine applied to the
+    scoring tier."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_documents_stream
+    from . import finish_and_clean
+
+    stream = read_documents_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_tfidf_")
+    state_path = root + "/state"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = (
+            batch_df.select(
+                "doc_id",
+                F.explode(
+                    F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+                ).alias("w"),
+            )
+            .filter(F.col("w") != "")
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        try:
+            state = sp.read.parquet(state_path)
+            merged = (
+                state.unionByName(part)
+                .groupBy("doc_id", "w")
+                .agg(F.sum("tf").alias("tf"))
+            )
+        except Exception:  # first batch: the partial IS the state
+            merged = part
+        staging = root + "/staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    tf = spark.read.parquet(state_path).select(
+        "doc_id", "w", F.col("tf").cast("long").alias("tf")
+    )
+    return finish_and_clean(_tfidf_rank_from_tf(tf), root)
+
+
+# --------------------------------------------------------------------------
+# sample_negatives_hash — deterministic contrastive negative sampling
+# --------------------------------------------------------------------------
+@register(
+    "sample_negatives_hash",
+    oracle="""
+    WITH n_docs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ),
+    anchors AS (SELECT doc_id FROM documents),
+    raw AS (
+      SELECT a.doc_id AS anchor, k.k,
+             ('0x' || substring(md5(CAST(a.doc_id AS VARCHAR) || '|'
+                                    || CAST(k.k AS VARCHAR)), 1, 8))::BIGINT
+               % nd.n AS pick,
+             nd.n AS n
+      FROM anchors a CROSS JOIN n_docs nd, generate_series(0, 3) k(k)
+    )
+    SELECT CAST(anchor AS BIGINT) AS anchor, CAST(k AS BIGINT) AS k,
+           CAST(CASE WHEN pick = anchor THEN (pick + 1) % n
+                     ELSE pick END AS BIGINT) AS neg_id
+    FROM raw
+    """,
+)
+def sample_negatives_hash_q(spark, sf_dir):
+    """Deterministic contrastive negative sampling: each document draws
+    K=4 pseudo-random negatives as md5(anchor|k) mod N over the DENSE
+    doc_id space, with a +1 shift when the draw hits the anchor itself —
+    the training-pair miner behind contrastive/embedding objectives,
+    made a pure function of (anchor, k, N) so shards regenerate
+    identically under retries and the pairing is exactly oracle-checkable
+    (the `sample_split_hash` no-RNG doctrine applied to pair mining).
+
+    Density contract: doc_id must be the dense [0, N) key (true of the
+    synthetic corpus; production runs `zipWithIndex`-style dense ranking
+    first or the modulus picks non-existent ids).
+
+    100 TB shape: corpus-linear generate (a 4-way explode per anchor), no
+    join at all — the negative is an ID, not a row lookup; downstream
+    joins it against the (bucketed) corpus when materializing pair text.
+    The count is ONE broadcast row."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    raw = (
+        docs.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("doc_id").alias("anchor"),
+            "n",
+            F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"),
+        )
+        .select(
+            "anchor",
+            F.col("k").cast("long").alias("k"),
+            "n",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col("anchor"), F.col("k"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("pick"),
+        )
+    )
+    return raw.select(
+        "anchor",
+        "k",
+        F.when(F.col("pick") == F.col("anchor"), (F.col("pick") + 1) % F.col("n"))
+        .otherwise(F.col("pick"))
+        .cast("long")
+        .alias("neg_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal_interarrival_profile — inter-event gap histogram, digit-bucketed
+# --------------------------------------------------------------------------
+@register(
+    "temporal_interarrival_profile",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(length(CAST(gap_s AS VARCHAR)) AS BIGINT) AS digits,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s
+    FROM seq WHERE gap_s IS NOT NULL
+    GROUP BY event_type, digits
+    """,
+)
+def temporal_interarrival_profile_q(spark, sf_dir):
+    """Inter-arrival-time histogram per event type, bucketed by DECIMAL
+    DIGIT COUNT of the gap in seconds (1 = under 10 s, 2 = 10-99 s, ...)
+    — the traffic-shape profile behind rate-limit tuning and bot screens
+    (scripted clients pile into one narrow bucket; organic traffic
+    spreads).  floor(log10(gap)) + 1 == string length of the integer in
+    BOTH engines — the order-of-magnitude bucket without ever calling a
+    float log (the Benford-constants trick turned structural).
+
+    100 TB shape: ONE user-keyed exchange serves the lag window; the
+    (type, digits) histogram collapses map-side to dozens of rows.  The
+    gap is attributed to the ARRIVING event's type — stated so the
+    definition is unambiguous at the oracle level."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts").cast("long")
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type", (sec - F.lag(sec).over(w)).alias("gap_s")
+    )
+    return (
+        seq.filter(F.col("gap_s").isNotNull())
+        .groupBy(
+            "event_type",
+            F.length(F.col("gap_s").cast("string")).cast("long").alias("digits"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.sum("gap_s").cast("long").alias("sum_gap_s"),
+        )
+    )

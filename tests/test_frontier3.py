@@ -589,3 +589,64 @@ def test_stream_markov_stitches_batch_boundaries(spark, tmp_path):
         ("a", "b"): (3, 3, 1_000_000),
         ("b", "a"): (2, 2, 1_000_000),
     }
+
+
+def test_stream_tfidf_matches_batch(spark, tmp_path):
+    sf = "/root/testdata/sf0.001"
+    batch = {(r.doc_id, r.rnk): (r.w, r.tf, r.df, r.score)
+             for r in QUERIES["text_tfidf_topk"](spark, sf).collect()}
+    stream = {(r.doc_id, r.rnk): (r.w, r.tf, r.df, r.score)
+              for r in QUERIES["stream_tfidf_maintain"](spark, sf).collect()}
+    assert batch == stream and len(batch) > 0
+
+
+def test_negatives_deterministic_and_never_self(spark, tmp_path):
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(10)),
+            "text": ["x"] * 10,
+            "lang": ["en"] * 10,
+            "source": ["s"] * 10,
+            "n_chars": [1] * 10,
+        },
+    )
+    rows = QUERIES["sample_negatives_hash"](spark, sf).collect()
+    assert len(rows) == 40  # 10 anchors x 4 draws
+    assert all(0 <= r.neg_id < 10 and r.neg_id != r.anchor for r in rows)
+    # pure function of (anchor, k, N): a second run is identical
+    rows2 = QUERIES["sample_negatives_hash"](spark, sf).collect()
+    assert {(r.anchor, r.k, r.neg_id) for r in rows} == \
+           {(r.anchor, r.k, r.neg_id) for r in rows2}
+    # python replay of the md5 ring for one draw
+    import hashlib
+    a, k = 3, 2
+    pick = int(hashlib.md5(f"{a}|{k}".encode()).hexdigest()[:8], 16) % 10
+    want = (pick + 1) % 10 if pick == a else pick
+    got = {(r.anchor, r.k): r.neg_id for r in rows}[(a, k)]
+    assert got == want
+
+
+def test_interarrival_digit_buckets(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    # gaps: 5s (1 digit), 50s (2 digits), 5000s (4 digits)
+    stamps = [t0, t0 + dt.timedelta(seconds=5), t0 + dt.timedelta(seconds=55),
+              t0 + dt.timedelta(seconds=5055)]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(4)),
+            "ts": pd.to_datetime(stamps),
+            "user_id": [1] * 4,
+            "event_type": ["click"] * 4,
+            "value": [1.0] * 4,
+        },
+    )
+    got = {r.digits: (r.n, r.min_gap_s, r.max_gap_s, r.sum_gap_s)
+           for r in QUERIES["temporal_interarrival_profile"](spark, sf).collect()}
+    assert got == {1: (1, 5, 5, 5), 2: (1, 50, 50, 50), 4: (1, 5000, 5000, 5000)}

@@ -176,6 +176,10 @@ WAIVERS: dict[str, set[str]] = {
     # clustering-coefficient lineage doctrine); rounds strictly shrink the
     # edge set.
     "graph_ktruss": {"MANY_EXCH"},
+    # (round 7) the corpus count N is ONE broadcast row attached to each
+    # anchor before the 4-way negative explode (the agg_drift_tvd pattern);
+    # negatives are computed ids, no join at all.
+    "sample_negatives_hash": {"CARTESIAN"},
 }
 
 
