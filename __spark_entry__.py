@@ -93,6 +93,7 @@ _PRIORITY = [
     "graph_ktruss", "stream_markov_maintain",
     "stream_tfidf_maintain", "sample_negatives_hash",
     "temporal_interarrival_profile",
+    "agg_rfm_scores", "graph_degree_assortativity", "multimodal_dedup_exact",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

@@ -1961,3 +1961,213 @@ def temporal_interarrival_profile_q(spark, sf_dir):
             F.sum("gap_s").cast("long").alias("sum_gap_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_rfm_scores — recency/frequency/monetary segmentation
+# --------------------------------------------------------------------------
+@register(
+    "agg_rfm_scores",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS cust,
+             CAST(date_diff('day', MAX(o_orderdate),
+                            (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT cust, recency_days, freq, monetary_cents,
+        CAST(6 - ntile(5) OVER (ORDER BY recency_days ASC, cust ASC) AS BIGINT)
+          AS r_score,
+        CAST(ntile(5) OVER (ORDER BY freq ASC, cust ASC) AS BIGINT) AS f_score,
+        CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, cust ASC) AS BIGINT)
+          AS m_score
+      FROM per_cust
+    )
+    SELECT CAST(cust AS BIGINT) AS cust, recency_days, freq, monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+    FROM scored
+    """,
+)
+def agg_rfm_scores_q(spark, sf_dir):
+    """RFM customer segmentation — the classic warehouse scoring: per
+    customer, days since last order (recency), order count (frequency),
+    lifetime cent-quantized spend (monetary), each quintile-scored 1-5
+    (5 = best: most recent / most frequent / highest spend) and composed
+    into the 111-555 segment code.  ntile agrees across engines only
+    under a total order — ties broken by customer key, the
+    `agg_hist_equi_depth` doctrine — so the segment assignment itself
+    hash-gates, not just the raw measures.
+
+    Spark's datediff(end, start) is DuckDB's date_diff('day', start, end)
+    — argument order REVERSED between engines; the oracle states it the
+    DuckDB way so both compute max_date - cust_date.
+
+    100 TB shape: one customer-keyed hash agg; the three quintile windows
+    run on the customer-cardinality aggregate (dimension-table scale —
+    the production build range-partitions the sort; local[] renders it
+    single-partition); the corpus-wide max date is a 1-row broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    max_date = orders.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "cust",
+            F.datediff("max_d", "last_d").cast("long").alias("recency_days"),
+            "freq",
+            "monetary_cents",
+        )
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("cust"))
+    w_f = Window.orderBy(F.asc("freq"), F.asc("cust"))
+    w_m = Window.orderBy(F.asc("monetary_cents"), F.asc("cust"))
+    scored = per_cust.select(
+        "cust",
+        "recency_days",
+        "freq",
+        "monetary_cents",
+        (F.lit(6) - F.ntile(5).over(w_r)).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("segment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_degree_assortativity — float-free degree-degree correlation
+# --------------------------------------------------------------------------
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 1500 AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    und AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY src),
+    ed AS (
+      SELECT da.d AS da, db.d AS db
+      FROM raw e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(da * db) AS BIGINT) AS s1,
+           CAST(SUM(da + db) AS BIGINT) AS s2,
+           CAST(SUM(da * da + db * db) AS BIGINT) AS s3,
+           CAST(4 * COUNT(*) * SUM(da * db)
+                - SUM(da + db) * SUM(da + db) AS BIGINT) AS r_num,
+           CAST(2 * COUNT(*) * SUM(da * da + db * db)
+                - SUM(da + db) * SUM(da + db) AS BIGINT) AS r_den
+    FROM ed
+    """,
+)
+def graph_degree_assortativity_q(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph (Newman 2002): the
+    Pearson correlation of endpoint degrees across edges — positive means
+    hubs attach to hubs (social shape), negative means hubs attach to
+    leaves (technological/bipartite shape; this supplier-part projection
+    is strongly negative).  The correlation is emitted as the exact
+    integer pair r_num = 4m·S1 − S2², r_den = 2m·S3 − S2² (r = num/den) —
+    NO division at all: r_num is signed, and Spark's DIV truncates toward
+    zero while DuckDB's // floors, so a signed ppm would diverge between
+    engines on negative values — the division-semantics trap stated
+    instead of stepped in.  All sums bounded: deg <= ~2e3, m ~2e4 keeps
+    every term under 1e16.
+
+    100 TB shape: one degree aggregate, two vertex-keyed joins to attach
+    endpoint degrees, one global sum — no window, no self-join; the edge
+    row count is the operator's linear cost."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    raw = li.select(
+        F.col("l_suppkey").cast("long").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("b"),
+    ).distinct()
+    und = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ed = (
+        raw.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    m, s1 = F.count(F.lit(1)), F.sum(F.col("da") * F.col("db"))
+    s2 = F.sum(F.col("da") + F.col("db"))
+    s3 = F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+    return ed.agg(
+        m.cast("long").alias("m"),
+        s1.cast("long").alias("s1"),
+        s2.cast("long").alias("s2"),
+        s3.cast("long").alias("s3"),
+        (4 * m * s1 - s2 * s2).cast("long").alias("r_num"),
+        (2 * m * s3 - s2 * s2).cast("long").alias("r_den"),
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal_dedup_exact — binary-payload content dedup
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 25
+    )
+    -- DuckDB's sha256 signature is VARCHAR-only, but it digests the
+    -- string's utf-8 BYTES — the exact bytes Spark's sha2(binary) sees,
+    -- so hashing the text IS hashing the payload.
+    SELECT sha256(text) AS payload_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM corpus GROUP BY sha256(text)
+    """,
+)
+def multimodal_dedup_exact_q(spark, sf_dir):
+    """Exact content dedup over OPAQUE BINARY payloads — the multimodal
+    twin of `dedup_exact_hash`: image/audio/video blobs dedup by
+    sha2(bytes) without ever decoding (the only content operation that is
+    always safe on undecodable data), keeping the smallest id as
+    canonical and carrying the byte length for the size histogram.
+    Payloads here are the `multimodal_columns` synthetic binaries
+    (UTF-8-encoded text) with planted byte-identical copies.
+
+    100 TB shape: ONE hash aggregate keyed on the 32-byte digest — the
+    map side reduces every partition to its distinct digests, so the
+    exchange carries digests + counters, never payload bytes; the
+    digest-key distribution is uniform by construction (no skew
+    defense needed)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300).unionByName(
+        docs.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    # the attach_binary_payload payload contract (utf-8 bytes of text),
+    # without its metadata struct — dedup never reads metadata
+    payload = corpus.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payload.groupBy(F.sha2("payload", 256).alias("payload_hash")).agg(
+        F.min("doc_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min(F.octet_length("payload")).cast("long").alias("n_bytes"),
+    )

@@ -650,3 +650,92 @@ def test_interarrival_digit_buckets(spark, tmp_path):
     got = {r.digits: (r.n, r.min_gap_s, r.max_gap_s, r.sum_gap_s)
            for r in QUERIES["temporal_interarrival_profile"](spark, sf).collect()}
     assert got == {1: (1, 5, 5, 5), 2: (1, 50, 50, 50), 4: (1, 5000, 5000, 5000)}
+
+
+def test_rfm_scores_known_quintiles(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # 5 customers, one order each: spends 10..50, dates spread so customer
+    # i is also the i-th most recent -> every dimension's quintiles align
+    n = 5
+    _write(
+        tmp_path,
+        "customer",
+        {
+            "c_custkey": list(range(1, n + 1)),
+            "c_name": [f"c{i}" for i in range(n)],
+            "c_nationkey": [0] * n,
+            "c_acctbal": [0.0] * n,
+            "c_mktsegment": ["M"] * n,
+        },
+    )
+    sf = _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": list(range(1, n + 1)),
+            "o_custkey": list(range(1, n + 1)),
+            "o_orderstatus": ["F"] * n,
+            "o_totalprice": [10.0 * (i + 1) for i in range(n)],
+            # micros storage, matching the driver testdata (load_table only
+            # nanos-normalizes events.ts; orders reads the type as stored)
+            "o_orderdate": pd.to_datetime(
+                [dt.datetime(2024, 1, i + 1) for i in range(n)]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT"] * n,
+        },
+    )
+    got = {r.cust: r for r in QUERIES["agg_rfm_scores"](spark, sf).collect()}
+    # customer 5: most recent (recency 0 -> r=5), highest spend (m=5)
+    assert got[5].recency_days == 0 and got[5].r_score == 5
+    assert got[5].m_score == 5 and got[5].segment == 555
+    # customer 1: oldest and lowest spend
+    assert got[1].recency_days == 4 and got[1].r_score == 1
+    assert got[1].m_score == 1 and got[1].segment == 111
+
+
+def test_assortativity_star_is_negative(spark, tmp_path):
+    # one supplier buying 30 distinct parts -> pure star: r must be
+    # strongly negative (hub pairs with leaves only)
+    n = 30
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [3 * i for i in range(n)],
+            "l_suppkey": [1] * n,
+            "l_partkey": list(range(n)),
+        },
+    )
+    (row,) = QUERIES["graph_degree_assortativity"](spark, sf).collect()
+    assert row.m == n
+    # star: every edge has (da, db) = (n, 1): S1=n*n, S2=n(n+1), S3=n(n^2+1)
+    assert row.s1 == n * n and row.s2 == n * (n + 1)
+    assert row.s3 == n * (n * n + 1)
+    # perfect star is degenerate: num = den (r = ... both negative-ish);
+    # check the exact integers instead of a float claim
+    assert row.r_num == 4 * n * n * n - (n * (n + 1)) ** 2
+    assert row.r_den == 2 * n * n * (n * n + 1) - (n * (n + 1)) ** 2
+
+
+def test_multimodal_dedup_groups_byte_identical(spark, tmp_path):
+    texts = [f"payload body {i}" for i in range(30)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(30)),
+            "text": texts,
+            "lang": ["en"] * 30,
+            "source": ["s"] * 30,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    rows = {r.keep_id: r for r in QUERIES["multimodal_dedup_exact"](spark, sf).collect()}
+    # docs 0..24 have planted byte-identical copies at +10000 -> 2 copies
+    for i in range(25):
+        assert rows[i].n_copies == 2
+    for i in range(25, 30):
+        assert rows[i].n_copies == 1
+    assert rows[0].n_bytes == len("payload body 0")

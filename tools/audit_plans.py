@@ -180,6 +180,9 @@ WAIVERS: dict[str, set[str]] = {
     # anchor before the 4-way negative explode (the agg_drift_tvd pattern);
     # negatives are computed ids, no join at all.
     "sample_negatives_hash": {"CARTESIAN"},
+    # (round 7) the corpus max order date is ONE broadcast row attached to
+    # the customer-cardinality RFM aggregate (the agg_drift_tvd pattern).
+    "agg_rfm_scores": {"CARTESIAN"},
 }
 
 
