@@ -69,6 +69,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
+    # CHANGED-CONTRACT BLOCK (must hold the prefix head): the round-7
+    # operator/gate REWRITES — one-pass corrupt routing (VERDICT r6 #5),
+    # the lang-fallback/typed-literal gates rebased onto sf tables (#6),
+    # the RDF/XML scan pair re-gating the parser's lang-tag lowercasing
+    # (ADVICE r6) — plus the round-7 feature queries those verdict items
+    # added (stemmer #3, composed IVF-PQ recall #4, OPQ A/B #7, session
+    # eviction #8) and the round-7 additions that would otherwise carry
+    # NO driver evidence at all.  With ~77 round-7-new queries and 50
+    # slots, the overflow (OHLC/MaxSim late batch, tail of late batch 2)
+    # waits for round 8 with CORRECTNESS_LOCAL_r07.json as its evidence.
+    "source_jsonl_corrupt_routing", "fn_label_lang_fallback",
+    "quality_typed_literals", "scan_rdf_triples", "scan_rdf_triples_split",
+    "text_search_stemmed", "text_view_four_analyzers",
+    "similarity_ivf_pq_recall", "similarity_opq_recall",
+    "stream_session_eviction",
     # ROUND 7 LATE BATCH 2 (continuation): Pareto skyline + AllPairs
     # prefix-filtered set-similarity join (catalog/frontier2.py) — new
     # contracts take the head per the changed-contract rule.
@@ -165,17 +180,18 @@ _PRIORITY = [
     "join_upsert_scd2", "multimodal_feature_extract", "pack_sequences_greedy",
     "pipeline_incremental_graph", "quality_expectations",
     "setop_intersect_except", "similarity_ann_lsh", "similarity_topk",
-    # ROUND-8 ROTATION PLAN (precomputed): the round-7 late batches filled
-    # the whole 50-slot prefix (36 round-7-new queries + the changed
-    # contracts + the RDF/XML scan pair), so NOTHING below this line got
-    # driver evidence in r7.  Stalest-first for round 8: (a) the three
-    # r2-only rows (sort_by_key, dedup_embedding_cosine,
-    # project_triple_nodes — displaced two rounds running), (b) the FULL
-    # r3 backlog above (parser blast radius first, then the alphabetical
-    # fill: extract_triples_owl .. similarity_topk, ~37 rows), (c) backfill
-    # the remaining ~10 slots with the stalest r4-verified rows
-    # (CORRECTNESS_r04.json keys, alphabetical).  As always, any query
-    # whose operator or oracle changes in round 8 jumps to the head.
+    # ROUND-8 ROTATION PLAN (precomputed): the r7 prefix = changed
+    # contracts + the newest ~40 additions, so the r8 stalest set is
+    # (a) the round-7 queries that got NO driver slot: multimodal_dedup_exact,
+    # the OHLC/MaxSim late batch (temporal_ohlc .. graph_degree_stats,
+    # 22 rows), and graph_kcore / text_lm_bigram_score / join_asof_nearest /
+    # graph_label_propagation — all local-r7-green, driver-never;
+    # (b) the three r2-only rows (sort_by_key, dedup_embedding_cosine,
+    # project_triple_nodes — displaced three rounds running); (c) the r3
+    # backlog below (parser blast radius first, then alphabetical).  That
+    # is ~30 + 3 + 17 = 50 slots exactly; the rest of the r3/r4 backlog
+    # rides to r9.  As always, any query whose operator or oracle changes
+    # in round 8 jumps to the head.
     # ------------------------------------------------------------------
     # ROUND 6 ROTATION (VERDICT.md r5, "Next round: do this" #1): the 50-slot
     # prefix is (a) the EIGHT round-5 late additions that were the only
