@@ -109,6 +109,7 @@ _PRIORITY = [
     "stream_tfidf_maintain", "sample_negatives_hash",
     "temporal_interarrival_profile",
     "agg_rfm_scores", "graph_degree_assortativity", "multimodal_dedup_exact",
+    "temporal_event_trigrams", "agg_cohort_ltv", "stream_interarrival_maintain",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

@@ -2171,3 +2171,276 @@ def multimodal_dedup_exact_q(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_copies"),
         F.min(F.octet_length("payload")).cast("long").alias("n_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# temporal_event_trigrams — behavioral motif mining over event sequences
+# --------------------------------------------------------------------------
+@register(
+    "temporal_event_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS t3,
+             lag(event_type, 1) OVER w AS t2,
+             lag(event_type, 2) OVER w AS t1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE t1 IS NOT NULL
+      GROUP BY t1, t2, t3
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM tri)
+    SELECT t1, t2, t3, n, n_total,
+           CAST(1000000 * n // n_total AS BIGINT) AS share_ppm
+    FROM tri, tot
+    """,
+)
+def temporal_event_trigrams_q(spark, sf_dir):
+    """Consecutive event-type trigram census per user sequence — the
+    behavioral-motif miner one order up from `temporal_markov_transitions`
+    (bigrams say WHAT follows what; trigrams expose scripted loops like
+    view->click->view repeating verbatim).  Two stacked lag() calls over
+    ONE window definition, so Catalyst evaluates both in a single Window
+    operator on a single user-key exchange; motif shares are truncating
+    ppm of the trigram total.
+
+    100 TB shape: one exchange + a |types|^3-bounded hash agg (map-side
+    collapsed); the total re-attaches as a 1-row broadcast.  Alphabet
+    explosion is the consumer's modeling choice, not the operator's."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t3"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+    )
+    tri = (
+        seq.filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = tri.agg(F.sum("n").cast("long").alias("n_total"))
+    return tri.crossJoin(F.broadcast(tot)).select(
+        "t1",
+        "t2",
+        "t3",
+        "n",
+        "n_total",
+        F.expr("CAST(1000000 * n DIV n_total AS BIGINT)").alias("share_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_cohort_ltv — cumulative lifetime-value curve per signup cohort
+# --------------------------------------------------------------------------
+@register(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey AS cust,
+             CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    spend AS (
+      SELECT f.cohort,
+             CAST(date_diff('month', f.cohort,
+                            CAST(date_trunc('month', o.o_orderdate) AS DATE))
+                  AS BIGINT) AS age_months,
+             CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN first_order f ON f.cust = o.o_custkey
+    ),
+    monthly AS (
+      SELECT cohort, age_months,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM spend GROUP BY cohort, age_months
+    )
+    SELECT strftime(cohort, '%Y-%m') AS cohort_month, age_months, n_orders,
+           rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age_months
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_rev_cents
+    FROM monthly
+    """,
+)
+def agg_cohort_ltv_q(spark, sf_dir):
+    """Cumulative lifetime-value curve per signup cohort: customers
+    cohorted by their FIRST order month, revenue rolled up by months-
+    since-signup with a running cumulative — the money dimension
+    `agg_retention_cohort` (who comes back) lacks: how much each cohort
+    has earned by age k.  Month arithmetic via date_trunc + month-diff,
+    identical in both engines; the cohort label is emitted as a formatted
+    STRING (no raw date columns in gate outputs — the catalog dtype
+    rule).
+
+    100 TB shape: one customer-keyed MIN agg (the cohort map), one
+    customer-keyed join to tag each order, a (cohort, age) hash agg, then
+    the running sum windows over the cohort-cardinality rollup — the
+    window input is months x cohorts, never order rows."""
+    orders = _t(spark, sf_dir, "orders")
+    first_order = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    spend = orders.join(
+        first_order, orders.o_custkey == first_order.cust
+    ).select(
+        "cohort",
+        (
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")).cast("date"),
+                F.col("cohort"),
+            )
+        )
+        .cast("long")
+        .alias("age_months"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    monthly = spend.groupBy("cohort", "age_months").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("rev_cents"),
+    )
+    w = Window.partitionBy("cohort").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return monthly.select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+        "age_months",
+        "n_orders",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_interarrival_maintain — boundary-stitched gap histogram
+# --------------------------------------------------------------------------
+@register(
+    "stream_interarrival_maintain",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(length(CAST(gap_s AS VARCHAR)) AS BIGINT) AS digits,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s
+    FROM seq WHERE gap_s IS NOT NULL
+    GROUP BY event_type, digits
+    """,
+)
+def stream_interarrival_maintain_q(spark, sf_dir):
+    """Streaming maintenance of the inter-arrival histogram with the SAME
+    boundary stitch as `stream_markov_maintain`: per-batch lag() misses
+    the gap spanning each batch boundary, so each user's last timestamp
+    rides in keyed state and the (stored-last -> first-of-batch) gap is
+    stitched in; bucket counters (n / min / max / sum per (type, digits))
+    then fold with their natural merges (SUM, MIN, MAX, SUM).  Shares
+    `temporal_interarrival_profile`'s oracle constant: stream == batch
+    lag == DuckDB, hash-exact — proving the stitch pattern generalizes
+    from transition LABELS to transition MEASURES.
+
+    Same ordered-ingestion contract as the Markov maintainer; state is
+    user-cardinality (last event) + histogram-cardinality (buckets);
+    O(batch) per trigger."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_events_stream
+    from . import finish_and_clean
+
+    stream = read_events_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_gaps_")
+    hist_path = root + "/hist"
+    last_path = root + "/last"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        sec = F.unix_timestamp("ts").cast("long")
+        b = batch_df.select("user_id", "ts", "event_id", "event_type", sec.alias("s"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = b.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "s",
+            (F.col("s") - F.lag("s").over(w)).alias("gap_s"),
+            F.row_number().over(w).alias("rn"),
+        )
+        gaps = seq.filter(F.col("gap_s").isNotNull()).select("event_type", "gap_s")
+        firsts = seq.filter(F.col("rn") == 1).select(
+            "user_id",
+            F.col("event_type").alias("first_type"),
+            F.col("s").alias("first_s"),
+        )
+        try:
+            last = sp.read.parquet(last_path)
+            boundary = last.join(firsts, "user_id").select(
+                F.col("first_type").alias("event_type"),
+                (F.col("first_s") - F.col("s")).alias("gap_s"),
+            )
+            gaps = gaps.unionByName(boundary)
+            merged_last_src = last.unionByName(
+                b.select("user_id", "ts", "event_id", "event_type", "s")
+            )
+        except Exception:  # first batch: no stored last events yet
+            merged_last_src = b.select("user_id", "ts", "event_id", "event_type", "s")
+        part = gaps.groupBy(
+            "event_type",
+            F.length(F.col("gap_s").cast("string")).cast("long").alias("digits"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+            F.sum("gap_s").cast("long").alias("sum_gap_s"),
+        )
+        try:
+            hist = sp.read.parquet(hist_path)
+            merged_hist = (
+                hist.unionByName(part)
+                .groupBy("event_type", "digits")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.min("min_gap_s").alias("min_gap_s"),
+                    F.max("max_gap_s").alias("max_gap_s"),
+                    F.sum("sum_gap_s").alias("sum_gap_s"),
+                )
+            )
+        except Exception:
+            merged_hist = part
+        w_last = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        merged_last = (
+            merged_last_src.withColumn("rn", F.row_number().over(w_last))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        for frame, path in ((merged_hist, hist_path), (merged_last, last_path)):
+            staging = path + "_staging"
+            frame.write.mode("overwrite").parquet(staging)
+            sp.read.parquet(staging).write.mode("overwrite").parquet(path)
+            shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    out = spark.read.parquet(hist_path).select(
+        "event_type",
+        "digits",
+        F.col("n").cast("long").alias("n"),
+        F.col("min_gap_s").cast("long").alias("min_gap_s"),
+        F.col("max_gap_s").cast("long").alias("max_gap_s"),
+        F.col("sum_gap_s").cast("long").alias("sum_gap_s"),
+    )
+    return finish_and_clean(out, root)

@@ -739,3 +739,128 @@ def test_multimodal_dedup_groups_byte_identical(spark, tmp_path):
     for i in range(25, 30):
         assert rows[i].n_copies == 1
     assert rows[0].n_bytes == len("payload body 0")
+
+
+def test_event_trigrams_counts(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # user 1: a,b,a,b -> trigrams (a,b,a), (b,a,b)
+    types = ["a", "b", "a", "b"]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(4)),
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1, 0, i) for i in range(4)]),
+            "user_id": [1] * 4,
+            "event_type": types,
+            "value": [1.0] * 4,
+        },
+    )
+    got = {(r.t1, r.t2, r.t3): (r.n, r.n_total, r.share_ppm)
+           for r in QUERIES["temporal_event_trigrams"](spark, sf).collect()}
+    assert got == {("a", "b", "a"): (1, 2, 500_000), ("b", "a", "b"): (1, 2, 500_000)}
+
+
+def test_cohort_ltv_running_sum(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # customer 1 signs up Jan (orders Jan $10, Mar $20); customer 2 Feb ($5)
+    sf = _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1, 1, 2],
+            "o_orderstatus": ["F"] * 3,
+            "o_totalprice": [10.0, 20.0, 5.0],
+            "o_orderdate": pd.to_datetime(
+                [dt.datetime(2024, 1, 15), dt.datetime(2024, 3, 2),
+                 dt.datetime(2024, 2, 10)]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        },
+    )
+    got = {(r.cohort_month, r.age_months): (r.n_orders, r.rev_cents, r.cum_rev_cents)
+           for r in QUERIES["agg_cohort_ltv"](spark, sf).collect()}
+    assert got == {
+        ("2024-01", 0): (1, 1000, 1000),
+        ("2024-01", 2): (1, 2000, 3000),   # cumulative carries month 0
+        ("2024-02", 0): (1, 500, 500),
+    }
+
+
+def test_stream_interarrival_stitches_boundaries(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    # gaps 5s, 50s, 5s, 50s, 5s across THREE files split mid-sequence:
+    # two of the five gaps exist only via the stitched last-event state.
+    stamps, t = [], dt.datetime(2024, 1, 1)
+    for i, g in enumerate([0, 5, 50, 5, 50, 5]):
+        t = t + dt.timedelta(seconds=g)
+        stamps.append(t)
+    ev_dir = tmp_path / "events_split"
+    ev_dir.mkdir()
+    for f in range(3):
+        idx = [2 * f, 2 * f + 1]
+        pd.DataFrame(
+            {
+                "event_id": idx,
+                # micros storage: the raw readStream (no load_table nanos
+                # normalization) must see a real TIMESTAMP column
+                "ts": pd.to_datetime([stamps[i] for i in idx]).astype(
+                    "datetime64[us]"
+                ),
+                "user_id": [1, 1],
+                "event_type": ["click", "click"],
+                "value": [1.0, 1.0],
+            }
+        ).to_parquet(ev_dir / f"part-{f}.parquet")
+        tt = 1_000_000_000 + f * 100
+        os.utime(ev_dir / f"part-{f}.parquet", (tt, tt))
+
+    # run the registered BATCH query on a merged table for the expectation
+    merged = tmp_path / "sf"
+    merged.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": list(range(6)),
+            "ts": pd.to_datetime(stamps),
+            "user_id": [1] * 6,
+            "event_type": ["click"] * 6,
+            "value": [1.0] * 6,
+        }
+    ).to_parquet(merged / "events.parquet")
+    want = {(r.event_type, r.digits): (r.n, r.min_gap_s, r.max_gap_s, r.sum_gap_s)
+            for r in QUERIES["temporal_interarrival_profile"](spark, str(merged)).collect()}
+
+    # drive the streaming maintainer one file per batch via its own module
+    # entry (the registered query reads whole-dir; we reuse its body by
+    # pointing read at the split dir through a monkeypatched stream)
+    import cell_kn_mvp_etl_ontologies_spark.catalog.frontier3 as f3
+    import cell_kn_mvp_etl_ontologies_spark.streaming as streaming_mod
+
+    schema = spark.read.parquet(str(ev_dir)).schema
+    real = streaming_mod.read_events_stream
+
+    def split_stream(sp, _sf_dir):
+        return (
+            sp.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(ev_dir))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    streaming_mod.read_events_stream = split_stream
+    try:
+        got = {(r.event_type, r.digits): (r.n, r.min_gap_s, r.max_gap_s, r.sum_gap_s)
+               for r in QUERIES["stream_interarrival_maintain"](spark, str(merged)).collect()}
+    finally:
+        streaming_mod.read_events_stream = real
+    assert got == want
+    assert want[("click", 1)][0] == 3 and want[("click", 2)][0] == 2

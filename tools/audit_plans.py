@@ -183,6 +183,9 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the corpus max order date is ONE broadcast row attached to
     # the customer-cardinality RFM aggregate (the agg_drift_tvd pattern).
     "agg_rfm_scores": {"CARTESIAN"},
+    # (round 7) the trigram grand total is ONE broadcast row attached to the
+    # |types|^3-bounded motif census (the agg_drift_tvd pattern).
+    "temporal_event_trigrams": {"CARTESIAN"},
 }
 
 
