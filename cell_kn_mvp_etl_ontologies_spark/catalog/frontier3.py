@@ -2444,3 +2444,303 @@ def stream_interarrival_maintain_q(spark, sf_dir):
         F.col("sum_gap_s").cast("long").alias("sum_gap_s"),
     )
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# temporal_interval_coalesce — merge overlapping spans (interval algebra)
+# --------------------------------------------------------------------------
+@register(
+    "temporal_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + 60 + (event_id % 10) * 60 AS e,
+             event_id
+      FROM events WHERE user_id < 60
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id
+                    ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM marked
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(island AS BIGINT) AS island,
+           CAST(MIN(s) AS BIGINT) AS span_start_s,
+           CAST(MAX(e) AS BIGINT) AS span_end_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def temporal_interval_coalesce_q(spark, sf_dir):
+    """Interval coalescing (union of overlapping spans) per user — the
+    interval-ALGEBRA complement of `join_interval_overlap`'s pairing: each
+    event carries a deterministic duration (60 + (event_id%10)*60 s) and
+    overlapping/touching spans merge into maximal islands, the
+    availability-window / on-call-coverage / contiguous-lease primitive.
+    Island detection is the running-max trick: a span opens a NEW island
+    iff its start exceeds the max end of ALL earlier spans (sorted by
+    start) — one cumulative-max window + one cumulative-sum window, both
+    on the same (user, start) order, no self-join; null-safe because the
+    first row's empty preceding frame yields NULL max (CASE -> 0, island
+    numbering starts at 0).
+
+    100 TB shape: ONE user-key exchange serves both windows (same
+    partitioning + order, Catalyst folds them into one Window operator);
+    the final island rollup is a hash agg on the partitioning already in
+    place.  The known alternative (self-join on overlap) is quadratic per
+    user — never planned here."""
+    sec = F.unix_timestamp("ts").cast("long")
+    iv = _t(spark, sf_dir, "events").filter(F.col("user_id") < 60).select(
+        "user_id",
+        sec.alias("s"),
+        (sec + 60 + (F.col("event_id") % 10) * 60).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(w_prev), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "user_id", "s", "e", F.sum("is_new").over(w_cum).alias("island")
+    )
+    return islands.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("island").cast("long").alias("island"),
+    ).agg(
+        F.min("s").alias("span_start_s"),
+        F.max("e").alias("span_end_s"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_phonetic_blocking — the third classic ER blocker
+# --------------------------------------------------------------------------
+# One phonetic-key rule chain rendered to both dialects (the stemmer's
+# dual-dialect doctrine): NOT Oracle soundex — a documented simplified key
+# (consonant classes, vowel/hw removal, repeat collapse, 3-digit pad) that
+# both engines compute identically.
+_PHONETIC_CLASSES = [
+    ("[bfpv]", "1"),
+    ("[cgjkqsxz]", "2"),
+    ("[dt]", "3"),
+    ("[l]", "4"),
+    ("[mn]", "5"),
+    ("[r]", "6"),
+]
+
+
+def _phonetic_sql_duck(expr: str) -> str:
+    digits = expr
+    for pat, rep in _PHONETIC_CLASSES:
+        digits = f"regexp_replace({digits}, '{pat}', '{rep}', 'g')"
+    digits = f"regexp_replace({digits}, '[aeiouyhw]', '', 'g')"
+    # DuckDB's RE2 has NO pattern backreferences — '(.)\\1+' silently
+    # matches nothing — so repeats collapse via six literal-digit rules
+    # (the post-vowel-removal alphabet is exactly 1-6).
+    for d in "123456":
+        digits = f"regexp_replace({digits}, '{d}{d}+', '{d}', 'g')"
+    return f"substr({expr}, 1, 1) || rpad(substr({digits}, 2, 3), 3, '0')"
+
+
+@register(
+    "dedup_phonetic_blocking",
+    oracle="""
+    WITH corpus AS ({corpus}),
+    norm AS (
+      SELECT doc_id, lower(trim(text)) AS t,
+             regexp_extract(lower(text), '[a-z]+', 0) AS tok
+      FROM corpus
+    ),
+    keyed AS (
+      SELECT doc_id, t, {key} AS pkey FROM norm WHERE tok <> ''
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+           a.pkey,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM keyed a JOIN keyed b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) <= 4
+    """.format(corpus=_SNM_CORPUS_SQL, key=_phonetic_sql_duck("tok")),
+)
+def dedup_phonetic_blocking_q(spark, sf_dir):
+    """Phonetic-key ER blocking — the THIRD classic blocker beside the
+    prefix bucket (`dedup_fuzzy_levenshtein`) and the sorted window
+    (`dedup_sorted_neighborhood`): records block on a simplified phonetic
+    key of their first token (consonant classes -> vowel/h/w removal ->
+    repeat collapse -> first-letter + 3 digits), so spelling variants
+    that CHANGE early characters but keep the sound ('smith'/'smyth')
+    land in one block where both lexical blockers miss.  The key is one
+    rule chain rendered to BOTH dialects (the `text_search_stemmed`
+    dual-dialect doctrine) — deliberately a documented simplified key,
+    not engine-native soundex (DuckDB has none, and Spark's soundex would
+    be a one-engine black box the oracle could not replay).
+
+    100 TB shape: key assignment is a pure codegen projection; the block
+    join keys on the 4-char key (block sizes are the skew risk — the
+    production run caps blocks like the LSH stop-template cap); exact
+    levenshtein refine only within blocks."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 300)
+    edited = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    corpus = base.unionByName(edited).select(
+        "doc_id",
+        F.lower(F.trim(F.col("text"))).alias("t"),
+        F.regexp_extract(F.lower("text"), "[a-z]+", 0).alias("tok"),
+    ).filter(F.col("tok") != "")
+    digits = F.col("tok")
+    for pat, rep in _PHONETIC_CLASSES:
+        digits = F.regexp_replace(digits, pat, rep)
+    digits = F.regexp_replace(digits, "[aeiouyhw]", "")
+    # same six literal collapse rules as the oracle (RE2 backref limit)
+    for d in "123456":
+        digits = F.regexp_replace(digits, d + d + "+", d)
+    keyed = corpus.select(
+        "doc_id",
+        "t",
+        F.concat(
+            F.substring("tok", 1, 1),
+            F.rpad(F.substring(digits, 2, 3), 3, "0"),
+        ).alias("pkey"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), F.col("t").alias("ta"), "pkey"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), F.col("t").alias("tb"), "pkey"
+    )
+    return (
+        a.join(b, "pkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("ta", "tb") <= 4)
+        .select(
+            "id_a",
+            "id_b",
+            "pkey",
+            F.levenshtein("ta", "tb").cast("long").alias("dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_session_bounce — single-event-session (bounce) rate
+# --------------------------------------------------------------------------
+@register(
+    "agg_session_bounce",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM seq
+    ),
+    per_session AS (
+      SELECT user_id, sid,
+             MIN(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts, event_id) AS rn
+        FROM sess
+      ) GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce,
+           CAST(1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS bounce_ppm
+    FROM per_session GROUP BY entry_type
+    """,
+)
+def agg_session_bounce_q(spark, sf_dir):
+    """Bounce-rate analytics: sessionize per user with the standard
+    30-minute inactivity gap, then the share of single-event sessions
+    grouped by the session's ENTRY event type — the landing-page-quality
+    metric, and the aggregate consumer of `window_sessionize`'s
+    gaps-and-islands assignment (sessionization logic restated here so
+    the oracle is self-contained).  Entry attribution via the
+    deterministic (ts, event_id) first row.
+
+    100 TB shape: one user-key exchange serves the gap-lag, the session
+    cumsum, AND the intra-session row_number (same partitioning); the
+    per-session rollup keys on (user, sid) — a subset of rows already
+    co-located — and the final census is entry-type cardinality."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts").cast("long")
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (sec - F.lag(sec).over(w) > 1800) | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    sess = seq.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    w_in = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    per_session = (
+        sess.withColumn("rn", F.row_number().over(w_in))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("entry_type"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).cast("long").alias("n_bounce"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " DIV count(1) AS BIGINT)"
+        ).alias("bounce_ppm"),
+    )

@@ -864,3 +864,92 @@ def test_stream_interarrival_stitches_boundaries(spark, tmp_path):
         streaming_mod.read_events_stream = real
     assert got == want
     assert want[("click", 1)][0] == 3 and want[("click", 2)][0] == 2
+
+
+def test_interval_coalesce_merges_overlaps(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    # event durations = 60 + (event_id % 10) * 60
+    # e0 at t0 (dur 60s), e1 at t0+30s (dur 120s) -> overlap, one island
+    # e2 at t0+10min (dur 180s) -> separate island
+    rows = [(0, t0), (1, t0 + dt.timedelta(seconds=30)),
+            (2, t0 + dt.timedelta(minutes=10))]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [1] * 3,
+            "event_type": ["click"] * 3,
+            "value": [1.0] * 3,
+        },
+    )
+    got = {r.island: (r.span_start_s, r.span_end_s, r.n_events)
+           for r in QUERIES["temporal_interval_coalesce"](spark, sf).collect()}
+    base = int(t0.timestamp())
+    # island numbering starts at 0: the first row's empty preceding frame
+    # yields NULL running-max -> is_new = 0
+    assert got == {
+        0: (base, base + 30 + 120, 2),      # merged: ends at e1's end
+        1: (base + 600, base + 600 + 180, 1),
+    }
+
+
+def test_phonetic_key_blocks_sound_alikes(spark, tmp_path):
+    texts = ["smith record one", "smyth record two", "zzz unrelated row",
+             "data point alpha"]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    rows = QUERIES["dedup_phonetic_blocking"](spark, sf).collect()
+    pairs = {(r.id_a, r.id_b): (r.pkey, r.dist) for r in rows}
+    # smith/smyth share key s530 and are 1 edit apart — a sound-alike pair
+    # whose spelling diverges at position 3; the query also plants ' zq'
+    # copies of every doc_id < 20, each 3 edits from its original
+    assert pairs == {
+        (1, 2): ("s530", 4),           # smith/smyth (1) + one/two (3)
+        (10001, 10002): ("s530", 4),   # the two planted copies also pair
+        (1, 10001): ("s530", 3),
+        (2, 10002): ("s530", 3),
+        (3, 10003): ("z000", 3),
+        (4, 10004): ("d000", 3),
+    }
+
+
+def test_session_bounce_rate(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions — [view,click] (not bounce), [view] (bounce)
+        (0, 1, t0, "view"), (1, 1, t0 + dt.timedelta(minutes=5), "click"),
+        (2, 1, t0 + dt.timedelta(hours=2), "view"),
+        # user 2: one single-event session entered via click (bounce)
+        (3, 2, t0, "click"),
+    ]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]),
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+        },
+    )
+    got = {r.entry_type: (r.n_sessions, r.n_bounce, r.bounce_ppm)
+           for r in QUERIES["agg_session_bounce"](spark, sf).collect()}
+    assert got == {"view": (2, 1, 500_000), "click": (1, 1, 1_000_000)}
