@@ -2744,3 +2744,257 @@ def agg_session_bounce_q(spark, sf_dir):
             " DIV count(1) AS BIGINT)"
         ).alias("bounce_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_pivot_topk_other — dynamic pivot on the top-k categories + 'other'
+# --------------------------------------------------------------------------
+@register(
+    "agg_pivot_topk_other",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderpriority AS cat, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority
+    ),
+    topk AS (
+      SELECT cat, row_number() OVER (ORDER BY n DESC, cat ASC) AS rnk
+      FROM counts
+    ),
+    tagged AS (
+      SELECT o.o_orderstatus AS status,
+             CASE WHEN t.rnk <= 3 THEN o.o_orderpriority ELSE 'other' END
+               AS bucket,
+             CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN topk t ON t.cat = o.o_orderpriority
+    )
+    SELECT status, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents
+    FROM tagged GROUP BY status, bucket
+    """,
+)
+def agg_pivot_topk_other_q(spark, sf_dir):
+    """Dynamic top-k pivot: the category axis is not a fixed list but the
+    TOP-3 categories by frequency, with everything else folded into
+    'other' — the dashboard/reporting shape that keeps wide pivots bounded
+    when the category domain is open-ended (the production answer to
+    `agg_pivot_wide`'s explicit-list contract).  Emitted LONG (status,
+    bucket) rather than wide columns so the schema is stable regardless
+    of which categories win; the top-k choice is deterministic via
+    (count DESC, category ASC).
+
+    100 TB shape: phase 1 is a category-cardinality census (map-side
+    collapsed) whose top-3 broadcasts back as the bucket map; phase 2 is
+    one hash agg over (status, bucket) — the category join is
+    broadcast-size by construction, and the open-ended domain can never
+    widen the output schema (the failure mode of dynamic wide pivots)."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    topk = counts.select(
+        "cat", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("cat"))).alias("rnk")
+    )
+    tagged = orders.join(
+        F.broadcast(topk), orders.o_orderpriority == topk.cat
+    ).select(
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("rnk") <= 3, F.col("o_orderpriority"))
+        .otherwise(F.lit("other"))
+        .alias("bucket"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return tagged.groupBy("status", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("rev_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_bootstrap_poisson — deterministic Poisson bootstrap replicates
+# --------------------------------------------------------------------------
+# Poisson(1) CDF in ppm, hardcoded (the Benford-constants doctrine): a
+# uniform md5 draw u maps to multiplicity m = #{c in CDF : u >= c}.
+_POIS1_CDF_PPM = [367879, 735758, 919698, 981011, 996340, 999405]
+
+
+@register(
+    "sample_bootstrap_poisson",
+    oracle="""
+    WITH draws AS (
+      SELECT r.rep, o.o_orderkey,
+             CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents,
+             ('0x' || substring(md5(CAST(o.o_orderkey AS VARCHAR) || '|'
+                                    || CAST(r.rep AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 AS u
+      FROM orders o, generate_series(0, 7) r(rep)
+    ),
+    mult AS (
+      SELECT rep, o_orderkey, cents,
+             CAST({mult_expr} AS BIGINT) AS m
+      FROM draws
+    )
+    SELECT CAST(rep AS BIGINT) AS rep,
+           CAST(SUM(m) AS BIGINT) AS n_resampled,
+           CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(m * cents) AS BIGINT) AS sum_cents
+    FROM mult GROUP BY rep
+    """.format(
+        mult_expr=" + ".join(
+            f"(CASE WHEN u >= {c} THEN 1 ELSE 0 END)" for c in _POIS1_CDF_PPM
+        )
+    ),
+)
+def sample_bootstrap_poisson_q(spark, sf_dir):
+    """Deterministic Poisson bootstrap: 8 resample replicates of the
+    orders table where each row's multiplicity in replicate r is
+    Poisson(1)-distributed via a HASH draw — u = md5(key|rep) mod 1e6
+    compared against the hardcoded Poisson(1) CDF ppm constants (the
+    Benford-constants doctrine), m = number of CDF thresholds below u
+    (truncated at 6, CDF 0.999405 — the tail the constants can't see).
+    This is the bagging/CI machinery (bootstrap a statistic without
+    shuffling or RNG state): a pure function of (key, rep), so replicas
+    regenerate identically under retries and the whole resample is
+    oracle-exact — `sample_split_hash`'s no-RNG doctrine extended from
+    membership to MULTIPLICITY.
+
+    100 TB shape: corpus-linear with an 8x replicate explode folded
+    straight into a map-side-combinable per-rep aggregate — multiplicity
+    WEIGHTS the aggregate (sum m*x) instead of materializing m copies,
+    so the resample itself never exists as rows."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    draws = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.array(*[F.lit(r) for r in range(8)])).alias("rep"),
+    ).select(
+        "rep",
+        "cents",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("o_orderkey"), F.col("rep"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).alias("u"),
+    )
+    m = sum(
+        (F.col("u") >= F.lit(c)).cast("long") for c in _POIS1_CDF_PPM
+    )
+    mult = draws.select("rep", "cents", m.alias("m"))
+    return mult.groupBy(F.col("rep").cast("long").alias("rep")).agg(
+        F.sum("m").cast("long").alias("n_resampled"),
+        F.sum((F.col("m") == 0).cast("long")).cast("long").alias("n_dropped"),
+        F.sum(F.col("m") * F.col("cents")).cast("long").alias("sum_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_ab_chi2_parts — deterministic A/B assignment with exact test parts
+# --------------------------------------------------------------------------
+@register(
+    "quality_ab_chi2_parts",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)
+                        || '|ab1'), 1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_conv,
+             CAST(SUM(CASE WHEN arm = 'A' AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_no,
+             CAST(SUM(CASE WHEN arm = 'B' AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_conv,
+             CAST(SUM(CASE WHEN arm = 'B' AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_no
+      FROM assigned
+    )
+    SELECT a_conv, a_no, b_conv, b_no,
+           CAST(1000000 * a_conv // (a_conv + a_no) AS BIGINT) AS rate_a_ppm,
+           CAST(1000000 * b_conv // (b_conv + b_no) AS BIGINT) AS rate_b_ppm,
+           CAST((a_conv + a_no + b_conv + b_no)
+                * (a_conv * b_no - a_no * b_conv)
+                * (a_conv * b_no - a_no * b_conv) AS BIGINT) AS chi2_num,
+           CAST((a_conv + a_no) * (b_conv + b_no)
+                * (a_conv + b_conv) * (a_no + b_no) AS BIGINT) AS chi2_den
+    FROM cells
+    """,
+)
+def quality_ab_chi2_parts_q(spark, sf_dir):
+    """Deterministic A/B experiment readout: users hash-assigned to arms
+    (md5(user|salt) % 2 — the `sample_split_hash` assignment, so the same
+    user lands in the same arm on every run and in every engine),
+    converted = ever purchased, and the 2x2 chi-square statistic emitted
+    as the EXACT integer pair chi2 = N*(ad-bc)^2 / (r1*r2*c1*c2) — the
+    float-free experiment gate (compare chi2_num against 3.841*chi2_den
+    for alpha=0.05, a consumer-side integer comparison).
+
+    Overflow envelope: user counts at sf0.01 are ~2e3 per cell; num <=
+    N*(ad)^2 ~ 4e3*(1e6)^2 = 4e15, den <= (2e3)^4/16 ~ 1e12 — both well
+    inside int64; at larger N the parts downscale to per-mille counts
+    before the product (documented, not silently truncated).
+
+    100 TB shape: one user-keyed agg (assignment is a pure projection,
+    conversion a MAX fold), then a single 4-counter global fold — the
+    cheapest possible experiment pipeline, no join at all."""
+    assigned = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("converted")
+    ).select(
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.col("user_id"), F.lit("ab1"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        "converted",
+    )
+    cells = assigned.agg(
+        F.sum(((F.col("arm") == "A") & (F.col("converted") == 1)).cast("long"))
+        .cast("long")
+        .alias("a_conv"),
+        F.sum(((F.col("arm") == "A") & (F.col("converted") == 0)).cast("long"))
+        .cast("long")
+        .alias("a_no"),
+        F.sum(((F.col("arm") == "B") & (F.col("converted") == 1)).cast("long"))
+        .cast("long")
+        .alias("b_conv"),
+        F.sum(((F.col("arm") == "B") & (F.col("converted") == 0)).cast("long"))
+        .cast("long")
+        .alias("b_no"),
+    )
+    ad_bc = F.col("a_conv") * F.col("b_no") - F.col("a_no") * F.col("b_conv")
+    n = F.col("a_conv") + F.col("a_no") + F.col("b_conv") + F.col("b_no")
+    return cells.select(
+        "a_conv",
+        "a_no",
+        "b_conv",
+        "b_no",
+        F.expr("CAST(1000000 * a_conv DIV (a_conv + a_no) AS BIGINT)").alias(
+            "rate_a_ppm"
+        ),
+        F.expr("CAST(1000000 * b_conv DIV (b_conv + b_no) AS BIGINT)").alias(
+            "rate_b_ppm"
+        ),
+        (n * ad_bc * ad_bc).cast("long").alias("chi2_num"),
+        (
+            (F.col("a_conv") + F.col("a_no"))
+            * (F.col("b_conv") + F.col("b_no"))
+            * (F.col("a_conv") + F.col("b_conv"))
+            * (F.col("a_no") + F.col("b_no"))
+        )
+        .cast("long")
+        .alias("chi2_den"),
+    )

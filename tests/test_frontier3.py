@@ -953,3 +953,87 @@ def test_session_bounce_rate(spark, tmp_path):
     got = {r.entry_type: (r.n_sessions, r.n_bounce, r.bounce_ppm)
            for r in QUERIES["agg_session_bounce"](spark, sf).collect()}
     assert got == {"view": (2, 1, 500_000), "click": (1, 1, 1_000_000)}
+
+
+def test_pivot_topk_other_folds_tail(spark, tmp_path):
+    import pandas as pd
+
+    # priorities: p1 x4, p2 x3, p3 x2, p4 x1, p5 x1 -> top3 = p1,p2,p3
+    prios = ["p1"] * 4 + ["p2"] * 3 + ["p3"] * 2 + ["p4", "p5"]
+    n = len(prios)
+    sf = _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": list(range(n)),
+            "o_custkey": [1] * n,
+            "o_orderstatus": ["F"] * n,
+            "o_totalprice": [1.0] * n,
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * n).astype("datetime64[us]"),
+            "o_orderpriority": prios,
+        },
+    )
+    got = {(r.status, r.bucket): (r.n_orders, r.rev_cents)
+           for r in QUERIES["agg_pivot_topk_other"](spark, sf).collect()}
+    assert got == {
+        ("F", "p1"): (4, 400), ("F", "p2"): (3, 300), ("F", "p3"): (2, 200),
+        ("F", "other"): (2, 200),
+    }
+
+
+def test_bootstrap_poisson_matches_python_and_preserves_mean(spark, tmp_path):
+    import hashlib
+
+    import pandas as pd
+
+    n = 200
+    sf = _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": list(range(n)),
+            "o_custkey": [1] * n,
+            "o_orderstatus": ["F"] * n,
+            "o_totalprice": [float(i) for i in range(n)],
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * n).astype("datetime64[us]"),
+            "o_orderpriority": ["1"] * n,
+        },
+    )
+    got = {r.rep: (r.n_resampled, r.n_dropped, r.sum_cents)
+           for r in QUERIES["sample_bootstrap_poisson"](spark, sf).collect()}
+    CDF = [367879, 735758, 919698, 981011, 996340, 999405]
+    for rep in range(8):
+        n_res, n_drop, s = 0, 0, 0
+        for k in range(n):
+            u = int(hashlib.md5(f"{k}|{rep}".encode()).hexdigest()[:8], 16) % 1_000_000
+            m = sum(1 for c in CDF if u >= c)
+            n_res += m
+            n_drop += (m == 0)
+            s += m * (k * 100)
+        assert got[rep] == (n_res, n_drop, s)
+    # Poisson(1): each replicate resamples ~n rows and drops ~36.8%
+    sizes = [v[0] for v in got.values()]
+    assert all(abs(sz - n) < n * 0.25 for sz in sizes)
+
+
+def test_ab_chi2_balanced_null_experiment(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # every user purchases -> both arms convert at 100%: ad - bc = 0
+    n = 40
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(n)),
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1)] * n),
+            "user_id": list(range(n)),
+            "event_type": ["purchase"] * n,
+            "value": [1.0] * n,
+        },
+    )
+    (row,) = QUERIES["quality_ab_chi2_parts"](spark, sf).collect()
+    assert row.a_conv + row.b_conv == n and row.a_no == 0 and row.b_no == 0
+    assert row.chi2_num == 0  # ad - bc = 0 exactly under the null
+    assert row.rate_a_ppm == 1_000_000 and row.rate_b_ppm == 1_000_000
