@@ -112,6 +112,7 @@ _PRIORITY = [
     "temporal_event_trigrams", "agg_cohort_ltv", "stream_interarrival_maintain",
     "temporal_interval_coalesce", "dedup_phonetic_blocking", "agg_session_bounce",
     "agg_pivot_topk_other", "sample_bootstrap_poisson", "quality_ab_chi2_parts",
+    "temporal_downsample_ltb", "quality_sequence_gaps", "dedup_lsh_banding_audit",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

@@ -2998,3 +2998,343 @@ def quality_ab_chi2_parts_q(spark, sf_dir):
         .cast("long")
         .alias("chi2_den"),
     )
+
+
+# --------------------------------------------------------------------------
+# temporal_downsample_ltb — triangle-area time-series downsampling
+# --------------------------------------------------------------------------
+@register(
+    "temporal_downsample_ltb",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS x,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS y,
+             event_id,
+             ntile(10) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS bucket
+      FROM events WHERE user_id < 40
+    ),
+    bstats AS (
+      SELECT user_id, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM base GROUP BY user_id, bucket
+    ),
+    anchored AS (
+      SELECT b.user_id, b.bucket, b.x, b.y, b.event_id,
+             p.n AS pn, p.sx AS psx, p.sy AS psy,
+             nx.n AS nn, nx.sx AS nsx, nx.sy AS nsy
+      FROM base b
+      JOIN bstats p  ON p.user_id = b.user_id AND p.bucket = b.bucket - 1
+      JOIN bstats nx ON nx.user_id = b.user_id AND nx.bucket = b.bucket + 1
+    ),
+    tri AS (
+      SELECT user_id, bucket, x, y, event_id,
+             abs( (psx * nn - nsx * pn) * (pn * nn * y - psy * nn)
+                - (pn * nn * x - psx * nn) * (psy * nn - nsy * pn) ) AS area2
+      FROM anchored
+    ),
+    picked AS (
+      SELECT user_id, bucket, x, y, event_id, area2,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY area2 DESC, event_id ASC) AS rnk
+      FROM tri
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(area2 AS BIGINT) AS area2
+    FROM picked WHERE rnk = 1
+    """,
+)
+def temporal_downsample_ltb_q(spark, sf_dir):
+    """Triangle-area time-series downsampling (the parallelizable
+    bucket-mean variant of LTTB, Steinarsson 2013): each series splits
+    into 10 equal-count buckets and each INTERIOR bucket keeps the point
+    forming the largest triangle with its neighbor buckets' mean points —
+    the visual-fidelity downsampler dashboards run before plotting 1e9
+    points.  Classic LTTB anchors on the previously SELECTED point
+    (sequential per series); anchoring on the previous bucket's MEAN
+    removes that chain, making the whole operator window/join-expressible
+    AND exactly oracle-checkable.  Mean points stay exact by clearing
+    denominators: the triangle area with anchors (psx/pn, psy/pn) and
+    (nsx/nn, nsy/nn) scales by pn*nn into the all-integer
+    area2 = |(psx*nn - nsx*pn)*(pn*nn*y - psy*nn)
+             - (pn*nn*x - psx*nn)*(psy*nn - nsy*pn)| — no division, no
+    floats, deterministic argmax via (area2 DESC, event_id ASC).
+
+    100 TB shape: ntile per series is the per-entity sort (user-keyed
+    exchange); bucket stats are a tiny agg; the two anchor joins key on
+    (user, bucket±1) — same partitioning; per-bucket argmax is one window
+    on data already grouped.  Edge buckets (no neighbor) drop — the
+    consumer pins series endpoints separately, stated contract."""
+    base = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 1000).cast("long").alias("y"),
+        "event_id",
+        F.ntile(10)
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("bucket"),
+    )
+    bstats = base.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    p = bstats.select(
+        "user_id",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("n").alias("pn"),
+        F.col("sx").alias("psx"),
+        F.col("sy").alias("psy"),
+    )
+    nx = bstats.select(
+        "user_id",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("n").alias("nn"),
+        F.col("sx").alias("nsx"),
+        F.col("sy").alias("nsy"),
+    )
+    anchored = base.join(p, ["user_id", "bucket"]).join(nx, ["user_id", "bucket"])
+    area2 = F.abs(
+        (F.col("psx") * F.col("nn") - F.col("nsx") * F.col("pn"))
+        * (F.col("pn") * F.col("nn") * F.col("y") - F.col("psy") * F.col("nn"))
+        - (F.col("pn") * F.col("nn") * F.col("x") - F.col("psx") * F.col("nn"))
+        * (F.col("psy") * F.col("nn") - F.col("nsy") * F.col("pn"))
+    )
+    tri = anchored.select(
+        "user_id", "bucket", "x", "y", "event_id", area2.alias("area2")
+    )
+    w_pick = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("area2"), F.asc("event_id")
+    )
+    return (
+        tri.withColumn("rnk", F.row_number().over(w_pick))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("bucket").cast("long").alias("bucket"),
+            "x",
+            "y",
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("area2").cast("long").alias("area2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_sequence_gaps — monotonic-id continuity audit
+# --------------------------------------------------------------------------
+@register(
+    "quality_sequence_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id,
+             lag(event_id) OVER (ORDER BY event_id) AS prev_id
+      FROM (SELECT DISTINCT event_id FROM events WHERE event_id % 7 <> 3)
+    )
+    SELECT CAST(prev_id + 1 AS BIGINT) AS gap_start,
+           CAST(event_id - 1 AS BIGINT) AS gap_end,
+           CAST(event_id - prev_id - 1 AS BIGINT) AS n_missing
+    FROM seq WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    """,
+)
+def quality_sequence_gaps_q(spark, sf_dir):
+    """Monotonic-sequence continuity audit: given an id column that SHOULD
+    be gapless (log offsets, CDC sequence numbers, auto-increments), emit
+    every missing run as (gap_start, gap_end, n_missing) — the ingestion
+    audit that catches dropped batches before they become silent data
+    loss.  Planted holes (every id ≡ 3 mod 7 withheld) make the gate
+    output non-trivial.  One lag over the distinct-id order: a gap exists
+    iff consecutive retained ids differ by more than 1.
+
+    100 TB shape: the distinct + global-order lag is a RangePartitioner
+    sort over the ID COLUMN ONLY (the narrowest possible projection; the
+    equi-depth doctrine on the single-partition local[] rendering);
+    emitted rows are gap-cardinality — the audit's honest output."""
+    ids = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 != 3)
+        .select("event_id")
+        .distinct()
+    )
+    w = Window.orderBy("event_id")
+    seq = ids.select(
+        "event_id", F.lag("event_id").over(w).alias("prev_id")
+    )
+    return seq.filter(
+        F.col("prev_id").isNotNull() & (F.col("event_id") - F.col("prev_id") > 1)
+    ).select(
+        (F.col("prev_id") + 1).cast("long").alias("gap_start"),
+        (F.col("event_id") - 1).cast("long").alias("gap_end"),
+        (F.col("event_id") - F.col("prev_id") - 1).cast("long").alias("n_missing"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_lsh_banding_audit — the S-curve, measured
+# --------------------------------------------------------------------------
+_LSH_AUDIT_CORPUS = """
+    SELECT doc_id, text FROM documents WHERE doc_id < 70
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 10
+"""
+
+# (label, n_bands, rows_per_band) over the shared 6-hash signature
+_LSH_CONFIGS = [("b1r6", 1, 6), ("b2r3", 2, 3), ("b3r2", 3, 2), ("b6r1", 6, 1)]
+
+
+def _lsh_audit_oracle() -> str:
+    head = """
+    WITH corpus AS ({corpus}),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, substring(substring(text, 1, 60), i, 5) AS shingle
+      FROM corpus, generate_series(1, 56) t(i)
+      WHERE i <= greatest(length(substring(text, 1, 60)) - 4, 0)
+    ),
+    hs AS (
+      SELECT id,
+             ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh
+    ),
+    sigs AS (
+      SELECT id,
+        MIN(h1 + 0 * h2) AS sig_0, MIN(h1 + 1 * h2) AS sig_1,
+        MIN(h1 + 2 * h2) AS sig_2, MIN(h1 + 3 * h2) AS sig_3,
+        MIN(h1 + 4 * h2) AS sig_4, MIN(h1 + 5 * h2) AS sig_5
+      FROM hs GROUP BY id
+    ),
+    sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT x.id AS a, y.id AS b, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.id < y.id
+      GROUP BY x.id, y.id
+    ),
+    truth AS (
+      SELECT i.a, i.b FROM inter i
+      JOIN sizes sa ON sa.id = i.a JOIN sizes sb ON sb.id = i.b
+      WHERE 2 * i.ni >= sa.n + sb.n - i.ni
+    ),
+    n_truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM truth)""".format(
+        corpus=_LSH_AUDIT_CORPUS
+    )
+    parts, selects = [head], []
+    for label, b, r in _LSH_CONFIGS:
+        band_rows = []
+        for bi in range(b):
+            members = " || '|' || ".join(
+                f"CAST(sig_{bi * r + k} AS VARCHAR)" for k in range(r)
+            )
+            band_rows.append(
+                f"SELECT id, md5('{bi}' || '|' || {members}) AS band_key FROM sigs"
+            )
+        parts.append(
+            f""",
+    bands_{label} AS ({' UNION ALL '.join(band_rows)}),
+    cand_{label} AS (
+      SELECT DISTINCT x.id AS a, y.id AS b
+      FROM bands_{label} x JOIN bands_{label} y
+        ON x.band_key = y.band_key AND x.id < y.id
+    ),
+    m_{label} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+             CAST(SUM(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+      FROM cand_{label} c
+      LEFT JOIN truth t ON t.a = c.a AND t.b = c.b
+    )"""
+        )
+        selects.append(
+            f"""
+    SELECT '{label}' AS config, n_cand, n_hits, nt AS n_truth,
+           CAST(CASE WHEN n_cand > 0 THEN 1000000 * n_hits // n_cand
+                     ELSE 0 END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN nt > 0 THEN 1000000 * n_hits // nt
+                     ELSE 0 END AS BIGINT) AS recall_ppm
+    FROM m_{label}, n_truth"""
+        )
+    return "".join(parts) + " UNION ALL ".join(selects)
+
+
+@register("dedup_lsh_banding_audit", oracle=_lsh_audit_oracle())
+def dedup_lsh_banding_audit_q(spark, sf_dir):
+    """LSH banding-sensitivity audit: the SAME 6-hash MinHash signature
+    sliced four ways — (1 band x 6 rows) ... (6 bands x 1 row) — with
+    measured candidate count, precision, and recall against exact
+    ground truth (shingle Jaccard >= 1/2, the 2*inter >= union integer
+    test) on a bounded audit sample.  This is the S-curve as evidence:
+    more bands / shorter bands -> recall rises, precision falls; the
+    production (3x2) choice stops being folklore (the
+    `dedup_minhash_estimate_audit` doctrine applied to the BANDING knob
+    rather than the estimator).
+
+    100 TB shape: the ground truth is all-pairs BY DESIGN, on an
+    audit-tier sample (80 docs here; production audits a fixed-size
+    hash-sampled subset) — candidates themselves always come from band
+    joins; signatures are computed ONCE and every config re-slices the
+    same 6 columns (zero extra digest work)."""
+    from ..operators.dedup import minhash_band_keys, minhash_signatures, shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 70).unionByName(
+        docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    sh = shingles(corpus, "text", "doc_id", width=5, prefix_len=60, distinct=True)
+    sh = sh.localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh, n_hashes=6).localCheckpoint(eager=True)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        sh.select(F.col("id").alias("a"), "shingle")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .filter(2 * F.col("ni") >= F.col("na") + F.col("nb") - F.col("ni"))
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    outs = []
+    for label, b, r in _LSH_CONFIGS:
+        bands = minhash_band_keys(sigs, n_hashes=b * r, n_bands=b)
+        cand = (
+            bands.alias("x")
+            .join(bands.alias("y"), "band_key")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct()
+        )
+        m = cand.join(truth.withColumn("hit", F.lit(1)), ["a", "b"], "left").agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        outs.append(
+            m.crossJoin(F.broadcast(n_truth)).select(
+                F.lit(label).alias("config"),
+                "n_cand",
+                "n_hits",
+                F.col("nt").alias("n_truth"),
+                F.expr(
+                    "CAST(CASE WHEN n_cand > 0 THEN 1000000 * n_hits DIV n_cand"
+                    " ELSE 0 END AS BIGINT)"
+                ).alias("precision_ppm"),
+                F.expr(
+                    "CAST(CASE WHEN nt > 0 THEN 1000000 * n_hits DIV nt"
+                    " ELSE 0 END AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

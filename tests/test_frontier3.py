@@ -1037,3 +1037,82 @@ def test_ab_chi2_balanced_null_experiment(spark, tmp_path):
     assert row.a_conv + row.b_conv == n and row.a_no == 0 and row.b_no == 0
     assert row.chi2_num == 0  # ad - bc = 0 exactly under the null
     assert row.rate_a_ppm == 1_000_000 and row.rate_b_ppm == 1_000_000
+
+
+def test_ltb_keeps_spike_point(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # 30 points, flat at 1.0 except a spike at event 15: the spike's
+    # bucket must select the spike (largest triangle vs neighbor means)
+    n = 30
+    vals = [1.0] * n
+    vals[15] = 9.0
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(n)),
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1, 0, i) for i in range(n)]),
+            "user_id": [1] * n,
+            "event_type": ["click"] * n,
+            "value": vals,
+        },
+    )
+    rows = QUERIES["temporal_downsample_ltb"](spark, sf).collect()
+    # 10 buckets of 3: interior buckets 2..9 emit one point each (bucket 1
+    # and 10 have no both-side neighbors)
+    assert len(rows) == 8
+    picked = {r.bucket: r.event_id for r in rows}
+    assert picked[6] == 15  # events 15,16,17 -> the spike wins its bucket
+    spike = [r for r in rows if r.event_id == 15][0]
+    assert spike.y == 9000 and spike.area2 > 0
+
+
+def test_sequence_gaps_planted_holes(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    n = 22
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(n)),
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1)] * n),
+            "user_id": [1] * n,
+            "event_type": ["click"] * n,
+            "value": [1.0] * n,
+        },
+    )
+    got = {(r.gap_start, r.gap_end, r.n_missing)
+           for r in QUERIES["quality_sequence_gaps"](spark, sf).collect()}
+    # the query withholds ids = 3 mod 7: 3, 10, 17 -> three 1-wide gaps
+    assert got == {(3, 3, 1), (10, 10, 1), (17, 17, 1)}
+
+
+def test_lsh_banding_monotone_recall(spark, tmp_path):
+    texts = [f"stable shared prefix body {i:04d} tail" for i in range(70)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(70)),
+            "text": texts,
+            "lang": ["en"] * 70,
+            "source": ["s"] * 70,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    rows = {r.config: r for r in QUERIES["dedup_lsh_banding_audit"](spark, sf).collect()}
+    assert set(rows) == {"b1r6", "b2r3", "b3r2", "b6r1"}
+    # same truth count everywhere; planted exact dups guarantee truth > 0
+    truths = {r.n_truth for r in rows.values()}
+    assert len(truths) == 1 and truths.pop() >= 10
+    # recall is monotone in band count (more, shorter bands -> OR over more
+    # collision chances); candidates monotone too
+    rec = [rows[c].recall_ppm for c in ("b1r6", "b2r3", "b3r2", "b6r1")]
+    cand = [rows[c].n_cand for c in ("b1r6", "b2r3", "b3r2", "b6r1")]
+    assert rec == sorted(rec) and cand == sorted(cand)
+    # exact dups always collide: every config reaches the 10 planted pairs
+    assert all(r.n_hits >= 10 for r in rows.values())

@@ -186,6 +186,12 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the trigram grand total is ONE broadcast row attached to the
     # |types|^3-bounded motif census (the agg_drift_tvd pattern).
     "temporal_event_trigrams": {"CARTESIAN"},
+    # (round 7) audit-tier query by design: the 1-row truth count broadcasts
+    # onto each config's 1-row metrics (CARTESIAN), and the exchange count is
+    # 4 banding configs x (band join + dedup + hit join) over checkpointed
+    # shingle/signature/truth frames — each config slice is the audit's
+    # deliberate unit of work, not a redundant recomputation.
+    "dedup_lsh_banding_audit": {"CARTESIAN", "MANY_EXCH"},
 }
 
 
