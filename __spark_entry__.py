@@ -113,6 +113,7 @@ _PRIORITY = [
     "temporal_interval_coalesce", "dedup_phonetic_blocking", "agg_session_bounce",
     "agg_pivot_topk_other", "sample_bootstrap_poisson", "quality_ab_chi2_parts",
     "temporal_downsample_ltb", "quality_sequence_gaps", "dedup_lsh_banding_audit",
+    "quality_langid_confusion", "eval_binary_detector_metrics",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

@@ -3338,3 +3338,134 @@ def dedup_lsh_banding_audit_q(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --------------------------------------------------------------------------
+# quality_langid_confusion — classifier-vs-truth confusion matrix
+# --------------------------------------------------------------------------
+_LANGID_PRED_SQL = """
+      CASE WHEN CAST(len(list_filter(string_split_regex(text, '\\s+'),
+             t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) >= 0.04
+           THEN 'en' ELSE 'unk' END
+"""
+
+
+@register(
+    "quality_langid_confusion",
+    oracle="""
+    WITH pred AS (
+      SELECT lang AS true_lang, {pred} AS predicted_lang
+      FROM documents
+    ),
+    cells AS (
+      SELECT true_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY true_lang, predicted_lang
+    ),
+    row_tot AS (
+      SELECT true_lang, CAST(SUM(n) AS BIGINT) AS n_true
+      FROM cells GROUP BY true_lang
+    )
+    SELECT c.true_lang, c.predicted_lang, c.n, r.n_true,
+           CAST(1000000 * c.n // r.n_true AS BIGINT) AS row_ppm
+    FROM cells c JOIN row_tot r USING (true_lang)
+    """.format(pred=_LANGID_PRED_SQL),
+)
+def quality_langid_confusion_q(spark, sf_dir):
+    """Confusion matrix of the stopword-ratio language detector
+    (`text_lang_id`) against the corpus's ground-truth lang column — the
+    model-evaluation primitive every heuristic filter in a training
+    pipeline needs AS A QUERY: per (true, predicted) cell counts plus the
+    row-normalized share (recall diagonal) in exact ppm.  Evaluating a
+    classifier is itself a groupBy — keeping it in the engine means the
+    eval re-runs free with every corpus version instead of living in a
+    notebook.
+
+    100 TB shape: the predictor is a pure codegen projection riding the
+    corpus scan; the matrix is a |langs|x|preds| hash agg, map-side
+    collapsed; row totals re-join as a broadcast."""
+    from ..operators.text_analysis import lang_id
+
+    pred = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("true_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_tot = cells.groupBy("true_lang").agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    return cells.join(F.broadcast(row_tot), "true_lang").select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        "n_true",
+        F.expr("CAST(1000000 * n DIV n_true AS BIGINT)").alias("row_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_binary_detector_metrics — tp/fp/fn/tn + exact ppm P/R/F1
+# --------------------------------------------------------------------------
+@register(
+    "eval_binary_detector_metrics",
+    oracle="""
+    WITH pred AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             CASE WHEN {pred} = 'en' THEN 1 ELSE 0 END AS said_en
+      FROM documents
+    ),
+    cells AS (
+      SELECT CAST(SUM(is_en * said_en) AS BIGINT) AS tp,
+             CAST(SUM((1 - is_en) * said_en) AS BIGINT) AS fp,
+             CAST(SUM(is_en * (1 - said_en)) AS BIGINT) AS fn,
+             CAST(SUM((1 - is_en) * (1 - said_en)) AS BIGINT) AS tn
+      FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(1000000 * tp // (tp + fp) AS BIGINT) AS precision_ppm,
+           CAST(1000000 * tp // (tp + fn) AS BIGINT) AS recall_ppm,
+           CAST(2000000 * tp // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm,
+           CAST(1000000 * (tp + tn) // (tp + fp + fn + tn) AS BIGINT)
+             AS accuracy_ppm
+    FROM cells
+    """.format(pred=_LANGID_PRED_SQL),
+)
+def eval_binary_detector_metrics_q(spark, sf_dir):
+    """Binary-detector scorecard for the English detector: exact integer
+    confusion counts and truncating-ppm precision / recall / F1 /
+    accuracy — F1 via the division-free identity 2tp/(2tp+fp+fn), so
+    every metric is one integer ratio, no float harmonic mean.  The
+    companion of `quality_langid_confusion`'s full matrix: the matrix
+    diagnoses WHICH languages leak, this one-row scorecard is the number
+    a filter-threshold decision gates on (and the shape every other
+    heuristic screen — pii, quality, repetition — evaluates with by
+    swapping the predictor column).
+
+    100 TB shape: a single global fold of four products of 0/1 columns —
+    pure map-side, one 4-counter exchange, no join."""
+    from ..operators.text_analysis import lang_id
+
+    pred = _t(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+        (lang_id(F.col("text")) == "en").cast("long").alias("said_en"),
+    )
+    cells = pred.agg(
+        F.sum(F.col("is_en") * F.col("said_en")).cast("long").alias("tp"),
+        F.sum((1 - F.col("is_en")) * F.col("said_en")).cast("long").alias("fp"),
+        F.sum(F.col("is_en") * (1 - F.col("said_en"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("is_en")) * (1 - F.col("said_en"))).cast("long").alias("tn"),
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("CAST(1000000 * tp DIV (tp + fp) AS BIGINT)").alias("precision_ppm"),
+        F.expr("CAST(1000000 * tp DIV (tp + fn) AS BIGINT)").alias("recall_ppm"),
+        F.expr("CAST(2000000 * tp DIV (2 * tp + fp + fn) AS BIGINT)").alias("f1_ppm"),
+        F.expr(
+            "CAST(1000000 * (tp + tn) DIV (tp + fp + fn + tn) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )

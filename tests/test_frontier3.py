@@ -1116,3 +1116,35 @@ def test_lsh_banding_monotone_recall(spark, tmp_path):
     assert rec == sorted(rec) and cand == sorted(cand)
     # exact dups always collide: every config reaches the 10 planted pairs
     assert all(r.n_hits >= 10 for r in rows.values())
+
+
+def test_langid_confusion_and_metrics(spark, tmp_path):
+    # 4 docs: two真 en (one detected, one missed), one de wrongly detected,
+    # one zh correctly rejected
+    texts = [
+        "the cat sat on the mat and the dog is in a box",  # en, detected
+        "cat mat dog box run fast jump high swim deep",     # en, missed
+        "the der die das und the ist the von the zu",       # de, false alarm
+        "wo men zai zhe li kan shu xie zi chang ge",        # zh, rejected
+    ]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": texts,
+            "lang": ["en", "en", "de", "zh"],
+            "source": ["s"] * 4,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    cm = {(r.true_lang, r.predicted_lang): (r.n, r.n_true, r.row_ppm)
+          for r in QUERIES["quality_langid_confusion"](spark, sf).collect()}
+    assert cm[("en", "en")] == (1, 2, 500_000)
+    assert cm[("en", "unk")] == (1, 2, 500_000)
+    assert cm[("de", "en")] == (1, 1, 1_000_000)
+    assert cm[("zh", "unk")] == (1, 1, 1_000_000)
+    (m,) = QUERIES["eval_binary_detector_metrics"](spark, sf).collect()
+    assert (m.tp, m.fp, m.fn, m.tn) == (1, 1, 1, 1)
+    assert m.precision_ppm == 500_000 and m.recall_ppm == 500_000
+    assert m.f1_ppm == 500_000 and m.accuracy_ppm == 500_000
