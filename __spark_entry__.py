@@ -114,6 +114,8 @@ _PRIORITY = [
     "agg_pivot_topk_other", "sample_bootstrap_poisson", "quality_ab_chi2_parts",
     "temporal_downsample_ltb", "quality_sequence_gaps", "dedup_lsh_banding_audit",
     "quality_langid_confusion", "eval_binary_detector_metrics",
+    "temporal_wow_growth", "graph_two_hop_reach",
+    "quality_duplication_scorecard", "agg_aging_buckets",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

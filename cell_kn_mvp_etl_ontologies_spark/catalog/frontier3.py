@@ -3469,3 +3469,247 @@ def eval_binary_detector_metrics_q(spark, sf_dir):
             "CAST(1000000 * (tp + tn) DIV (tp + fp + fn + tn) AS BIGINT)"
         ).alias("accuracy_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# temporal_wow_growth — week-over-week growth on the weekly rollup
+# --------------------------------------------------------------------------
+@register(
+    "temporal_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST((CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 604800)
+                  AS BIGINT) AS week,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY week
+    )
+    SELECT week, n_orders, rev_cents,
+           CAST(lag(rev_cents) OVER (ORDER BY week) AS BIGINT) AS prev_cents,
+           CAST(rev_cents - lag(rev_cents) OVER (ORDER BY week) AS BIGINT)
+             AS delta_cents
+    FROM weekly
+    """,
+)
+def temporal_wow_growth_q(spark, sf_dir):
+    """Week-over-week growth ledger: the weekly revenue rollup with each
+    week's previous value and exact delta alongside — the BI staple whose
+    growth RATE is the consumer's division (delta/prev as a plotted
+    float), while the engine emits only the exact integer pair (the
+    assortativity no-division doctrine: Spark DIV truncates toward zero,
+    DuckDB // floors, and deltas go negative).  Epoch-week bucketing
+    (epoch // 604800) rather than calendar weeks keeps the bucket
+    function engine-identical (ISO week-of-year rules differ subtly).
+
+    100 TB shape: one map-side-collapsed weekly agg; the lag window runs
+    on the week-cardinality rollup — dozens of rows, single-partition
+    correct."""
+    weekly = _t(spark, sf_dir, "orders").groupBy(
+        (F.unix_timestamp("o_orderdate").cast("long") / 604800)
+        .cast("long")
+        .alias("week")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    w = Window.orderBy("week")
+    return weekly.select(
+        "week",
+        "n_orders",
+        "rev_cents",
+        F.lag("rev_cents").over(w).cast("long").alias("prev_cents"),
+        (F.col("rev_cents") - F.lag("rev_cents").over(w))
+        .cast("long")
+        .alias("delta_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_two_hop_reach — friend-of-friend reach per vertex
+# --------------------------------------------------------------------------
+@register(
+    "graph_two_hop_reach",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 1500 AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    und AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY src),
+    adj AS (
+      SELECT u.src, u.dst FROM und u JOIN deg ON deg.v = u.dst
+      WHERE deg.d <= 40
+    ),
+    two_hop AS (
+      SELECT e1.src AS v, e2.dst AS w
+      FROM adj e1 JOIN und e2 ON e2.src = e1.dst
+      WHERE e2.dst <> e1.src
+    )
+    SELECT CAST(v AS BIGINT) AS v,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS reach2
+    FROM two_hop GROUP BY v
+    """,
+)
+def graph_two_hop_reach_q(spark, sf_dir):
+    """Two-hop reach (friend-of-friend audience size) per vertex: the
+    count of DISTINCT vertices reachable in exactly <= 2 hops through a
+    hub-capped middle — the influence/propagation sizing metric beside
+    the link predictors (same graph, same cap doctrine: middles with
+    degree > 40 are stop-vertices whose fanout would be quadratic and
+    whose contribution is uninformative).  Note the cap applies to the
+    MIDDLE vertex only — first-hop edges into a capped middle are kept,
+    the second fanout is what the cap bounds; w <> v excludes the
+    trivial 2-hop return to self.
+
+    100 TB shape: one keyed self-join with per-middle fanout bounded by
+    cap; the distinct-count is a (v, w)-keyed dedup inside the count
+    aggregate — the expensive honest step, sized by true reach, not by
+    path multiplicity (paths collapse before counting)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    raw = li.select(
+        F.col("l_suppkey").cast("long").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("b"),
+    ).distinct()
+    und = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("dst").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    adj = (
+        und.join(deg, und.dst == deg.v)
+        .filter(F.col("d") <= 40)
+        .select("src", "dst")
+    )
+    e2 = und.select(F.col("src").alias("dst"), F.col("dst").alias("w"))
+    two_hop = (
+        adj.join(e2, "dst")
+        .filter(F.col("w") != F.col("src"))
+        .select(F.col("src").alias("v"), "w")
+    )
+    return two_hop.groupBy("v").agg(
+        F.countDistinct("w").cast("long").alias("reach2")
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_duplication_scorecard — corpus dup-rate summary
+# --------------------------------------------------------------------------
+@register(
+    "quality_duplication_scorecard",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 40
+    ),
+    groups AS (
+      SELECT sha256(text) AS h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM corpus GROUP BY sha256(text)
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n - 1) AS BIGINT) AS n_redundant,
+           CAST(MAX(n) AS BIGINT) AS max_copies,
+           CAST(1000000 * SUM(n - 1) // SUM(n) AS BIGINT) AS redundant_ppm
+    FROM groups
+    """,
+)
+def quality_duplication_scorecard_q(spark, sf_dir):
+    """One-row corpus duplication scorecard: total docs, distinct
+    contents, redundant copies (rows an exact dedup would remove), the
+    largest duplicate group, and the redundancy share in ppm — the
+    before/after number every dedup run reports (planted copies of 40
+    docs make the gate's expected redundancy exact).  This is the
+    SUMMARY tier above `dedup_exact_hash`'s per-group detail — the
+    scorecard a pipeline logs per corpus version.
+
+    100 TB shape: one digest hash agg (the exchange carries 32-byte
+    digests + counters), then a 5-counter global fold over the
+    group-cardinality frame."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    groups = corpus.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return groups.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_redundant"),
+        F.max("n").cast("long").alias("max_copies"),
+        F.expr("CAST(1000000 * sum(n - 1) DIV sum(n) AS BIGINT)").alias(
+            "redundant_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_aging_buckets — receivables-style age bucketing
+# --------------------------------------------------------------------------
+@register(
+    "agg_aging_buckets",
+    oracle="""
+    WITH aged AS (
+      SELECT o_orderstatus AS status,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                  (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+                  AS BIGINT) AS age_days,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    bucketed AS (
+      SELECT status,
+             CASE WHEN age_days <= 30 THEN '0-30'
+                  WHEN age_days <= 60 THEN '31-60'
+                  WHEN age_days <= 90 THEN '61-90'
+                  ELSE '90+' END AS age_bucket,
+             cents
+      FROM aged
+    )
+    SELECT status, age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM bucketed GROUP BY status, age_bucket
+    """,
+)
+def agg_aging_buckets_q(spark, sf_dir):
+    """Aging report (the receivables/backlog staple): orders bucketed by
+    days outstanding relative to the corpus max date (0-30/31-60/61-90/
+    90+), value per (status, bucket) in exact cents.  Day arithmetic on
+    DATE-truncated values so both engines count calendar days (datediff
+    on raw timestamps would be engine-identical here but the DATE cast
+    states the intent); the reference date is the corpus max — a pure
+    function of the data, so the gate is reproducible (wall-clock 'now'
+    never appears in a hash-gated query).
+
+    100 TB shape: the max date is a 1-row broadcast; the bucket CASE is
+    codegen; one (status, bucket)-keyed hash agg, 8 output rows."""
+    orders = _t(spark, sf_dir, "orders")
+    max_d = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref"))
+    aged = orders.crossJoin(F.broadcast(max_d)).select(
+        F.col("o_orderstatus").alias("status"),
+        F.datediff("ref", F.col("o_orderdate").cast("date")).cast("long").alias(
+            "age_days"
+        ),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bucketed = aged.select(
+        "status",
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+        .alias("age_bucket"),
+        "cents",
+    )
+    return bucketed.groupBy("status", "age_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

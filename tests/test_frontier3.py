@@ -1148,3 +1148,96 @@ def test_langid_confusion_and_metrics(spark, tmp_path):
     assert (m.tp, m.fp, m.fn, m.tn) == (1, 1, 1, 1)
     assert m.precision_ppm == 500_000 and m.recall_ppm == 500_000
     assert m.f1_ppm == 500_000 and m.accuracy_ppm == 500_000
+
+
+def test_wow_growth_deltas(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # three consecutive epoch-weeks with revenue 10, 30, 20 dollars
+    base = dt.datetime(2024, 1, 4)  # mid-week, any anchor works
+    sf = _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1] * 3,
+            "o_orderstatus": ["F"] * 3,
+            "o_totalprice": [10.0, 30.0, 20.0],
+            "o_orderdate": pd.to_datetime(
+                [base, base + dt.timedelta(days=7), base + dt.timedelta(days=14)]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1"] * 3,
+        },
+    )
+    rows = sorted(QUERIES["temporal_wow_growth"](spark, sf).collect(),
+                  key=lambda r: r.week)
+    assert [r.rev_cents for r in rows] == [1000, 3000, 2000]
+    assert rows[0].prev_cents is None and rows[0].delta_cents is None
+    assert rows[1].delta_cents == 2000 and rows[2].delta_cents == -1000
+
+
+def test_two_hop_reach_star(spark, tmp_path):
+    # star: supplier 1 connected to 5 parts -> each part reaches the other
+    # 4 parts in two hops via the (capped-ok, deg 5) middle; supplier's
+    # 2-hop reach is 0 distinct (only returns to itself, excluded)
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [3 * i for i in range(5)],
+            "l_suppkey": [1] * 5,
+            "l_partkey": list(range(5)),
+        },
+    )
+    got = {r.v: r.reach2 for r in QUERIES["graph_two_hop_reach"](spark, sf).collect()}
+    parts = [100000 + p for p in range(5)]
+    for p in parts:
+        assert got[p] == 4
+    assert 1 not in got  # the hub's only 2-hop walks return to itself
+
+
+def test_duplication_scorecard(spark, tmp_path):
+    texts = [f"doc body {i}" for i in range(50)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(50)),
+            "text": texts,
+            "lang": ["en"] * 50,
+            "source": ["s"] * 50,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    (row,) = QUERIES["quality_duplication_scorecard"](spark, sf).collect()
+    # 50 docs + 40 planted copies = 90 total, 50 distinct, 40 redundant
+    assert (row.n_docs, row.n_distinct, row.n_redundant) == (90, 50, 40)
+    assert row.max_copies == 2
+    assert row.redundant_ppm == 1_000_000 * 40 // 90
+
+
+def test_aging_buckets(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    ref = dt.datetime(2024, 6, 1)
+    ages = [0, 30, 31, 61, 91, 400]
+    sf = _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": list(range(len(ages))),
+            "o_custkey": [1] * len(ages),
+            "o_orderstatus": ["F"] * len(ages),
+            "o_totalprice": [1.0] * len(ages),
+            "o_orderdate": pd.to_datetime(
+                [ref - dt.timedelta(days=a) for a in ages]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1"] * len(ages),
+        },
+    )
+    got = {r.age_bucket: (r.n_orders, r.cents)
+           for r in QUERIES["agg_aging_buckets"](spark, sf).collect()}
+    assert got == {"0-30": (2, 200), "31-60": (1, 100), "61-90": (1, 100),
+                   "90+": (2, 200)}

@@ -192,6 +192,9 @@ WAIVERS: dict[str, set[str]] = {
     # shingle/signature/truth frames — each config slice is the audit's
     # deliberate unit of work, not a redundant recomputation.
     "dedup_lsh_banding_audit": {"CARTESIAN", "MANY_EXCH"},
+    # (round 7) the corpus max order date is ONE broadcast row attached to
+    # every order before the aging-bucket CASE (the agg_rfm_scores pattern).
+    "agg_aging_buckets": {"CARTESIAN"},
 }
 
 
