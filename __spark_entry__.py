@@ -116,6 +116,7 @@ _PRIORITY = [
     "quality_langid_confusion", "eval_binary_detector_metrics",
     "temporal_wow_growth", "graph_two_hop_reach",
     "quality_duplication_scorecard", "agg_aging_buckets",
+    "join_asof_tolerance", "text_burstiness_profile", "multimodal_frame_dedup",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

@@ -3713,3 +3713,219 @@ def agg_aging_buckets_q(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# join_asof_tolerance — as-of with a staleness bound
+# --------------------------------------------------------------------------
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    m AS (
+      SELECT e.event_id, e.ts, o.o_orderkey, o.o_orderdate
+      FROM events e
+      ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    )
+    SELECT event_id,
+           CAST(CASE WHEN o_orderdate IS NOT NULL
+                      AND CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          - CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+                          <= 604800
+                     THEN o_orderkey END AS BIGINT) AS asof_orderkey,
+           CAST(CASE WHEN o_orderdate IS NOT NULL
+                      AND CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          - CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+                          <= 604800
+                     THEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          - CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+                END AS BIGINT) AS staleness_s
+    FROM m
+    """,
+)
+def join_asof_tolerance_q(spark, sf_dir):
+    """As-of join with a STALENESS BOUND — the production knob the plain
+    as-of lacks: a match older than the tolerance (7 days here) is as
+    good as no match (sensor fusion, price snapshots, feature stores all
+    reject stale carries), so it nulls out and the staleness itself is
+    emitted for the freshness histogram.  Implemented by carrying a
+    STRUCT(right_time, right_value) through the same union + windowed
+    carry-forward as `join_asof_events` (one extra packed column, zero
+    extra shuffles — vs the naive approach of a second as-of pass for
+    the time), then applying the tolerance as a projection.
+
+    100 TB shape: identical to the as-of family — one union + one
+    (key, time)-ordered window, never a range cross product; the
+    tolerance filter is free codegen on top."""
+    from ..operators.asof import join_asof
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        F.struct(F.col("o_orderdate").alias("t"), F.col("o_orderkey").alias("v")).alias(
+            "packed"
+        ),
+    )
+    out = join_asof(
+        ev,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_value="packed",
+        out_col="m",
+    )
+    stale = F.unix_timestamp("ts").cast("long") - F.unix_timestamp(
+        F.col("m.t")
+    ).cast("long")
+    ok = F.col("m").isNotNull() & (stale <= 604800)
+    return out.select(
+        "event_id",
+        F.when(ok, F.col("m.v")).cast("long").alias("asof_orderkey"),
+        F.when(ok, stale).cast("long").alias("staleness_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_burstiness_profile — token dispersion (template detection)
+# --------------------------------------------------------------------------
+@register(
+    "text_burstiness_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY doc_id, w
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    stats AS (
+      SELECT w,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS total_tf,
+             CAST(SUM(c * c) AS BIGINT) AS sq_sum
+      FROM tf GROUP BY w
+    ),
+    ranked AS (
+      SELECT s.w, s.df, s.total_tf, s.sq_sum, nd.n,
+             CAST(nd.n * s.sq_sum - s.total_tf * s.total_tf AS BIGINT)
+               AS burst_num,
+             row_number() OVER (ORDER BY s.df DESC, s.w ASC) AS rnk
+      FROM stats s, nd
+    )
+    SELECT w, df, total_tf, sq_sum, n AS n_docs, burst_num,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def text_burstiness_profile_q(spark, sf_dir):
+    """Token burstiness (dispersion) profile for the 20 highest-df terms:
+    burst_num = n·Σc² − (Σc)² over per-doc counts c (zero-filled docs
+    included via the n· term) — the exact integer variance numerator, so
+    positive-and-large means the token CLUMPS into few documents
+    (boilerplate, templates, spam signatures) while near-Poisson terms
+    spread evenly.  The corpus-quality signal Church & Gale's burstiness
+    work made standard, emitted as exact moments (the consumer divides
+    for the Fano factor; the DIV/floor trap avoided again).
+
+    100 TB shape: the stats aggregate runs over the (doc, term) TF TABLE
+    (the `text_tfidf_topk` never-reaggregate-the-token-stream rule); the
+    top-20 cut is orderBy().limit() — TakeOrderedAndProject, no global
+    sort; n_docs attaches as a 1-row broadcast."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tf = tf.localCheckpoint(eager=True)  # feeds nd and stats
+    nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    stats = tf.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("total_tf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq_sum"),
+    )
+    head = (
+        stats.orderBy(F.desc("df"), F.asc("w"))
+        .limit(20)
+        .crossJoin(F.broadcast(nd))
+    )
+    w_rank = Window.orderBy(F.desc("df"), F.asc("w"))
+    return head.select(
+        "w",
+        "df",
+        "total_tf",
+        "sq_sum",
+        F.col("n").alias("n_docs"),
+        (F.col("n") * F.col("sq_sum") - F.col("total_tf") * F.col("total_tf"))
+        .cast("long")
+        .alias("burst_num"),
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal_frame_dedup — cross-video duplicate-frame detection
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_frame_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT) AS n_frames
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+             substring(text, CAST(j * 8 + 1 AS INT), 8) AS frame_stub
+      FROM d, generate_series(0, 9) t(j)
+      WHERE j < n_frames AND j % 3 = 0
+    )
+    SELECT md5(frame_stub) AS frame_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM frames GROUP BY md5(frame_stub)
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def multimodal_frame_dedup_q(spark, sf_dir):
+    """Cross-video duplicate-frame detection: hash every sampled frame
+    (the `multimodal_frame_sample` every-3rd stub frames) and keep hashes
+    appearing in MORE THAN ONE document — the shared-intro/outro/
+    watermark detector a video-training pipeline runs before clip-level
+    dedup (byte-identical frames across different videos are edit-reuse
+    evidence even when the videos differ).  Composes the multimodal
+    sampling stage with the exact-dedup digest aggregate; decoding never
+    happens — frames are opaque bytes hashed as-is (the
+    `multimodal_dedup_exact` doctrine one level down, at frame
+    granularity).
+
+    100 TB shape: frame sampling is a bounded explode (every k-th frame,
+    not every frame); the digest aggregate's exchange carries hashes +
+    counters; the n_docs > 1 filter prunes the (overwhelming) unique
+    tail before output."""
+    from ..operators.multimodal import decode_payloads, sample_frames
+    from ..operators.multimodal import attach_binary_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs)
+    frames = sample_frames(
+        decode_payloads(payloads), payloads, every_k=3, frame_bytes=8
+    )
+    return (
+        frames.groupBy(F.md5("frame_stub").alias("frame_hash"))
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1241,3 +1241,83 @@ def test_aging_buckets(spark, tmp_path):
            for r in QUERIES["agg_aging_buckets"](spark, sf).collect()}
     assert got == {"0-30": (2, 200), "31-60": (1, 100), "61-90": (1, 100),
                    "90+": (2, 200)}
+
+
+def test_asof_tolerance_rejects_stale(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0)
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": [100, 200],
+            "o_custkey": [1, 2],
+            "o_orderstatus": ["F"] * 2,
+            "o_totalprice": [1.0] * 2,
+            # user 1's order 1h before the event; user 2's 30 days before
+            "o_orderdate": pd.to_datetime(
+                [t0 - dt.timedelta(hours=1), t0 - dt.timedelta(days=30)]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1"] * 2,
+        },
+    )
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime([t0] * 3),
+            "user_id": [1, 2, 3],  # user 3: no order at all
+            "event_type": ["click"] * 3,
+            "value": [1.0] * 3,
+        },
+    )
+    got = {r.event_id: (r.asof_orderkey, r.staleness_s)
+           for r in QUERIES["join_asof_tolerance"](spark, sf).collect()}
+    assert got[1] == (100, 3600)        # fresh match carried with staleness
+    assert got[2] == (None, None)       # match exists but > 7 days -> rejected
+    assert got[3] == (None, None)       # no match at all
+
+
+def test_burstiness_separates_template_from_spread(spark, tmp_path):
+    # 'tmpl' appears 5x in ONE doc (bursty); 'even' once in each of 5 docs
+    texts = ["tmpl tmpl tmpl tmpl tmpl even"] + ["filler even words"] * 4
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(5)),
+            "text": texts,
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    got = {r.w: r for r in QUERIES["text_burstiness_profile"](spark, sf).collect()}
+    # even: df=5, counts all 1 -> burst_num = 5*5 - 25 = 0 (perfectly spread)
+    assert got["even"].burst_num == 0 and got["even"].df == 5
+    # tmpl: df=1, one count of 5 -> burst_num = 5*25 - 25 = 100 (clumped)
+    assert got["tmpl"].burst_num == 100 and got["tmpl"].total_tf == 5
+
+
+def test_frame_dedup_finds_shared_intro(spark, tmp_path):
+    # docs share an identical 8-byte "intro" at frame 0; tails differ.
+    # text lengths chosen so every doc has >= 1 frame (n_frames >= 1 always)
+    texts = ["INTRO_XX" + f" unique tail {i:02d}" for i in range(6)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(6)),
+            "text": texts,
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    rows = QUERIES["multimodal_frame_dedup"](spark, sf).collect()
+    shared = {r.frame_hash: r for r in rows}
+    # frame 0 of every doc is the identical 'INTRO_XX' slice
+    assert any(r.n_docs == 6 and r.example_doc == 0 for r in rows), shared

@@ -195,6 +195,9 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the corpus max order date is ONE broadcast row attached to
     # every order before the aging-bucket CASE (the agg_rfm_scores pattern).
     "agg_aging_buckets": {"CARTESIAN"},
+    # (round 7) the corpus doc count is ONE broadcast row attached to the
+    # 20-row top-df head (the text_tfidf_topk pattern).
+    "text_burstiness_profile": {"CARTESIAN"},
 }
 
 
