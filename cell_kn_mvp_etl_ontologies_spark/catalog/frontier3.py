@@ -3929,3 +3929,214 @@ def multimodal_frame_dedup_q(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# agg_association_rules — market-basket support / confidence / lift
+# --------------------------------------------------------------------------
+@register(
+    "agg_association_rules",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey % 200 AS item
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM basket),
+    item_supp AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM basket GROUP BY item
+    ),
+    pair_supp AS (
+      SELECT x.item AS a, y.item AS b, CAST(COUNT(*) AS BIGINT) AS sab
+      FROM basket x JOIN basket y ON y.o = x.o AND x.item < y.item
+      GROUP BY x.item, y.item
+      HAVING COUNT(*) >= 5
+    )
+    SELECT p.a, p.b, p.sab, sa.s AS sa, sb.s AS sb, n.n AS n_orders,
+           CAST(1000000 * p.sab // n.n AS BIGINT) AS support_ppm,
+           CAST(1000000 * p.sab // sa.s AS BIGINT) AS conf_a_to_b_ppm,
+           CAST(1000000 * p.sab // sb.s AS BIGINT) AS conf_b_to_a_ppm,
+           CAST(p.sab * n.n AS BIGINT) AS lift_num,
+           CAST(sa.s * sb.s AS BIGINT) AS lift_den
+    FROM pair_supp p
+    JOIN item_supp sa ON sa.item = p.a
+    JOIN item_supp sb ON sb.item = p.b
+    CROSS JOIN n_orders n
+    """,
+)
+def agg_association_rules_q(spark, sf_dir):
+    """Association rules over order baskets (Agrawal-Srikant apriori at
+    the pair level): co-purchased item pairs with exact support,
+    DIRECTED confidences, and lift as the integer pair
+    (sab·N, sa·sb) — lift > 1 iff sab·N > sa·sb, a pure integer
+    comparison (the no-division doctrine; lift is PMI's exponential
+    sibling, `text_collocations_pmi` on the basket domain with the
+    confidence column the text version has no analogue for).  min
+    support 5 prunes the noise tail BEFORE the stats joins.
+
+    100 TB shape: pair generation is the basket self-join keyed on order
+    — fanout bounded by basket size squared (baskets are small by
+    nature; a degenerate mega-basket is the hub-cap case); item supports
+    join on the pair endpoints; N is a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 2 == 0)
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), (F.col("l_partkey") % 200).alias("item")
+    ).distinct().localCheckpoint(eager=True)
+    n_orders = basket.agg(F.countDistinct("o").cast("long").alias("n"))
+    item_supp = basket.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    x = basket.select("o", F.col("item").alias("a"))
+    y = basket.select("o", F.col("item").alias("b"))
+    pair_supp = (
+        x.join(y, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("sab"))
+        .filter(F.col("sab") >= 5)
+    )
+    return (
+        pair_supp.join(item_supp.select(F.col("item").alias("a"), F.col("s").alias("sa")), "a")
+        .join(item_supp.select(F.col("item").alias("b"), F.col("s").alias("sb")), "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            "sab",
+            "sa",
+            "sb",
+            F.col("n").alias("n_orders"),
+            F.expr("CAST(1000000 * sab DIV n AS BIGINT)").alias("support_ppm"),
+            F.expr("CAST(1000000 * sab DIV sa AS BIGINT)").alias("conf_a_to_b_ppm"),
+            F.expr("CAST(1000000 * sab DIV sb AS BIGINT)").alias("conf_b_to_a_ppm"),
+            (F.col("sab") * F.col("n")).cast("long").alias("lift_num"),
+            (F.col("sa") * F.col("sb")).cast("long").alias("lift_den"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_exact_normalized — near-exact dedup after canonical text cleanup
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, upper(text) FROM documents WHERE doc_id < 15
+      UNION ALL
+      SELECT doc_id + 20000, text || '   ' FROM documents WHERE doc_id < 15
+    ),
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[.,!?;:''"()]', '', 'g'), '\\s+', ' ', 'g')) AS t
+      FROM corpus
+    )
+    SELECT sha256(t) AS norm_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM norm GROUP BY sha256(t)
+    """,
+)
+def dedup_exact_normalized_q(spark, sf_dir):
+    """Normalized-exact dedup — the tier between byte-exact
+    (`dedup_exact_hash`) and fuzzy: lowercase, strip punctuation,
+    collapse whitespace, THEN hash — catching the case/spacing/
+    punctuation variants that dominate real crawl duplicates (the C4
+    cleanup observation) at exact-dedup cost, no candidate generation at
+    all.  Planted uppercase and trailing-whitespace copies make the gate
+    count them as duplicates where the byte-exact tier would not.
+
+    100 TB shape: the normalizer is a codegen regexp chain riding the
+    scan; thereafter identical to exact dedup — ONE digest hash
+    aggregate, uniform keys."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 15).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), F.upper("text").alias("text")
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 15).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("   ")).alias("text"),
+        )
+    )
+    norm = corpus.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[.,!?;:'\"()]", ""), r"\s+", " "
+            )
+        ).alias("t"),
+    )
+    return norm.groupBy(F.sha2("t", 256).alias("norm_hash")).agg(
+        F.min("doc_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_calibration_bins — reliability diagram as a query
+# --------------------------------------------------------------------------
+@register(
+    "eval_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+        CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+               t -> t IN ('the','a','of','and','to','in','is')))
+             // len(string_split_regex(text, '\\s+')) AS BIGINT) AS score_ppm,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    binned AS (
+      SELECT score_ppm, y,
+             ntile(10) OVER (ORDER BY score_ppm, doc_id) AS bin
+      FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(score_ppm) AS BIGINT) AS score_lo,
+           CAST(MAX(score_ppm) AS BIGINT) AS score_hi,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(1000000 * SUM(y) // COUNT(*) AS BIGINT) AS observed_ppm,
+           CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm
+    FROM binned GROUP BY bin
+    """,
+)
+def eval_calibration_bins_q(spark, sf_dir):
+    """Reliability diagram (calibration curve) as a query: the stopword
+    ratio — quantized to exact ppm so the score itself is
+    engine-identical — used as an English-ness score, decile-binned
+    (ntile with the deterministic (score, id) total order), with each
+    bin's observed positive rate beside its mean score.  A calibrated
+    detector shows observed_ppm tracking mean_score_ppm; the gap per bin
+    is the thresholding evidence `eval_binary_detector_metrics`' single
+    cutoff can't show.  Completes the eval family: confusion matrix
+    (which classes), scorecard (how good), calibration (where to cut).
+
+    100 TB shape: score is codegen on the scan; the decile ntile is the
+    one total sort (equi-depth doctrine — production bins on
+    approx-quantile boundaries and keeps this exact path for the audit
+    tier); per-bin stats collapse map-side."""
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(1000000 * size(filter(split(text, '\\\\s+'),"
+            " t -> t IN ('the','a','of','and','to','in','is')))"
+            " DIV size(split(text, '\\\\s+')) AS BIGINT)"
+        ).alias("score_ppm"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    binned = scored.select(
+        "score_ppm",
+        "y",
+        F.ntile(10).over(Window.orderBy("score_ppm", "doc_id")).alias("bin"),
+    )
+    return binned.groupBy(F.col("bin").cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("score_ppm").alias("score_lo"),
+        F.max("score_ppm").alias("score_hi"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.expr("CAST(1000000 * sum(y) DIV count(1) AS BIGINT)").alias("observed_ppm"),
+        F.expr("CAST(sum(score_ppm) DIV count(1) AS BIGINT)").alias("mean_score_ppm"),
+    )

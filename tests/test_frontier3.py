@@ -1321,3 +1321,74 @@ def test_frame_dedup_finds_shared_intro(spark, tmp_path):
     shared = {r.frame_hash: r for r in rows}
     # frame 0 of every doc is the identical 'INTRO_XX' slice
     assert any(r.n_docs == 6 and r.example_doc == 0 for r in rows), shared
+
+
+def test_association_rules_lift_direction(spark, tmp_path):
+    # items 1,2 co-occur in every basket (lift > 1); item 3 appears alone
+    rows = []
+    for o in range(10):
+        rows += [(2 * o, 1), (2 * o, 2)]          # even orders: {1, 2}
+        rows += [(2 * o, 3)] if o % 2 else []      # some also carry 3
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [r[0] for r in rows],
+            "l_suppkey": [1] * len(rows),
+            "l_partkey": [r[1] for r in rows],
+        },
+    )
+    got = {(r.a, r.b): r for r in QUERIES["agg_association_rules"](spark, sf).collect()}
+    r12 = got[(1, 2)]
+    assert r12.sab == 10 and r12.n_orders == 10
+    assert r12.conf_a_to_b_ppm == 1_000_000 and r12.conf_b_to_a_ppm == 1_000_000
+    # lift = sab*N / (sa*sb) = 100/100 = 1 exactly (1,2 in every basket)
+    assert r12.lift_num == r12.lift_den == 100
+    r13 = got[(1, 3)]
+    assert r13.sab == 5 and r13.lift_num == 50 and r13.lift_den == 50
+
+
+def test_normalized_dedup_catches_case_and_whitespace(spark, tmp_path):
+    texts = [f"Doc body, number {i}!" for i in range(20)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(20)),
+            "text": texts,
+            "lang": ["en"] * 20,
+            "source": ["s"] * 20,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    rows = {r.keep_id: r.n_copies
+            for r in QUERIES["dedup_exact_normalized"](spark, sf).collect()}
+    # docs 0..14 gain an UPPERCASE copy and a trailing-whitespace copy:
+    # all three normalize identically -> 3 copies per group
+    for i in range(15):
+        assert rows[i] == 3
+    for i in range(15, 20):
+        assert rows[i] == 1
+
+
+def test_calibration_bins_monotone_for_perfect_signal(spark, tmp_path):
+    # score == label by construction: en docs are stopword-dense
+    texts = (["the a of and to in is"] * 10          # score 1e6, en
+             + ["wort zahl ding satz baum"] * 10)    # score 0, de
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(20)),
+            "text": texts,
+            "lang": ["en"] * 10 + ["de"] * 10,
+            "source": ["s"] * 20,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    rows = sorted(QUERIES["eval_calibration_bins"](spark, sf).collect(),
+                  key=lambda r: r.bin)
+    assert len(rows) == 10 and all(r.n == 2 for r in rows)
+    # low-score bins are all-de (observed 0), high-score bins all-en (1e6)
+    assert [r.observed_ppm for r in rows] == [0] * 5 + [1_000_000] * 5
+    assert rows[0].mean_score_ppm == 0 and rows[-1].mean_score_ppm == 1_000_000

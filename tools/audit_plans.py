@@ -198,6 +198,9 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the corpus doc count is ONE broadcast row attached to the
     # 20-row top-df head (the text_tfidf_topk pattern).
     "text_burstiness_profile": {"CARTESIAN"},
+    # (round 7) the basket count N is ONE broadcast row attached to the
+    # min-support-pruned pair table (the agg_drift_tvd pattern).
+    "agg_association_rules": {"CARTESIAN"},
 }
 
 
