@@ -4140,3 +4140,215 @@ def eval_calibration_bins_q(spark, sf_dir):
         F.expr("CAST(1000000 * sum(y) DIV count(1) AS BIGINT)").alias("observed_ppm"),
         F.expr("CAST(sum(score_ppm) DIV count(1) AS BIGINT)").alias("mean_score_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_code_detector — code-vs-prose screening signals
+# --------------------------------------------------------------------------
+@register(
+    "text_code_detector",
+    oracle="""
+    SELECT doc_id,
+      CAST(length(text) - length(regexp_replace(text, '[{{}}()\\[\\];=<>]', '', 'g'))
+           AS BIGINT) AS n_symbols,
+      CAST(1000000 * (length(text)
+             - length(regexp_replace(text, '[{{}}()\\[\\];=<>]', '', 'g')))
+           // greatest(length(text), 1) AS BIGINT) AS symbol_ppm,
+      CAST(len(list_filter(string_split_regex(text, '\\s+'),
+             t -> t IN ('def','return','import','var','function','class',
+                        'const','if','else','for','while')))
+           AS BIGINT) AS n_keywords,
+      CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+             t -> t IN ('def','return','import','var','function','class',
+                        'const','if','else','for','while')))
+           // greatest(len(string_split_regex(text, '\\s+')), 1) AS BIGINT)
+        AS keyword_ppm,
+      1000000 * (length(text)
+             - length(regexp_replace(text, '[{{}}()\\[\\];=<>]', '', 'g')))
+           // greatest(length(text), 1) >= 30000
+        OR 1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+             t -> t IN ('def','return','import','var','function','class',
+                        'const','if','else','for','while')))
+           // greatest(len(string_split_regex(text, '\\s+')), 1) >= 50000
+        AS looks_like_code
+    FROM documents
+    """,
+)
+def text_code_detector_q(spark, sf_dir):
+    """Code-vs-prose detector — the routing screen a pretraining pipeline
+    runs to send code to the code pipeline and prose to the text one:
+    structural-symbol density ({}()[];=<>) and programming-keyword share,
+    both as exact ppm, OR-combined into the boolean verdict at documented
+    thresholds (3% symbols or 5% keywords).  Signals stay alongside the
+    verdict so threshold tuning is a projection, not a re-scan.
+
+    100 TB shape: two codegen regexp/HOF expressions riding the corpus
+    scan — zero shuffles, the cheapest possible router; at the corpus
+    tier the verdict becomes the partition column of the routed write
+    (the `stream_split_route` side-output doctrine)."""
+    sym = F.length("text") - F.length(
+        F.regexp_replace("text", r"[{}()\[\];=<>]", "")
+    )
+    kws = "('def','return','import','var','function','class','const','if','else','for','while')"
+    n_kw = F.expr(
+        f"size(filter(split(text, '\\\\s+'), t -> t IN {kws}))"
+    )
+    n_tok = F.expr("greatest(size(split(text, '\\\\s+')), 1)")
+    sym_ppm = F.expr(
+        "CAST(1000000 * (length(text)"
+        " - length(regexp_replace(text, '[{}()\\\\[\\\\];=<>]', '')))"
+        " DIV greatest(length(text), 1) AS BIGINT)"
+    )
+    kw_ppm = (F.lit(1000000) * n_kw.cast("long")).cast("long") / n_tok
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        sym.cast("long").alias("n_symbols"),
+        sym_ppm.alias("symbol_ppm"),
+        n_kw.cast("long").alias("n_keywords"),
+        F.expr(
+            f"CAST(1000000 * size(filter(split(text, '\\\\s+'), t -> t IN {kws}))"
+            " DIV greatest(size(split(text, '\\\\s+')), 1) AS BIGINT)"
+        ).alias("keyword_ppm"),
+        (
+            (sym_ppm >= 30000)
+            | (
+                F.expr(
+                    f"1000000 * size(filter(split(text, '\\\\s+'), t -> t IN {kws}))"
+                    " DIV greatest(size(split(text, '\\\\s+')), 1)"
+                )
+                >= 50000
+            )
+        ).alias("looks_like_code"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_readability_stats — Flesch-Kincaid components, integer-exact
+# --------------------------------------------------------------------------
+@register(
+    "text_readability_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+        CAST(greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+               s -> trim(s) <> '')), 1) AS BIGINT) AS n_sents,
+        CAST(greatest(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+               w -> w <> '')), 1) AS BIGINT) AS n_words,
+        CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+             AS BIGINT) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_sents, n_words, n_syll,
+           CAST(1000 * n_words // n_sents AS BIGINT) AS words_per_sent_milli,
+           CAST(1000 * n_syll // n_words AS BIGINT) AS syll_per_word_milli,
+           CAST((390 * 1000 * n_words // n_sents
+                 + 11800 * n_syll // n_words) - 15590 AS BIGINT)
+             AS fk_grade_micro_ish
+    FROM base
+    """,
+)
+def text_readability_stats_q(spark, sf_dir):
+    """Flesch-Kincaid readability components, integer-exact: sentence
+    count (punctuation runs), word count, and the standard vowel-cluster
+    syllable approximation — plus the FK grade assembled from truncating
+    milli-ratios (0.39·w/s + 11.8·syll/w − 15.59, scaled x1000; named
+    `_ish` because the truncation happens per-term, a documented
+    quantization, not a float).  The grade-level prior is a standard
+    pretraining quality facet (too-low = fragments/boilerplate, too-high
+    = OCR garbage), here with every component exposed so alternative
+    formulas (SMOG, Coleman-Liau) are projections over the same scan.
+
+    100 TB shape: three regexp/HOF expressions riding the scan — zero
+    shuffles, like every per-document text facet."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(greatest(size(filter(split(text, '[.!?]+'),"
+            " s -> trim(s) <> '')), 1) AS BIGINT)"
+        ).alias("n_sents"),
+        F.expr(
+            "CAST(greatest(size(filter(split(lower(text), '[^a-z]+'),"
+            " w -> w <> '')), 1) AS BIGINT)"
+        ).alias("n_words"),
+        F.expr(
+            "CAST(greatest(size(regexp_extract_all(lower(text),"
+            " '[aeiouy]+', 0)), 1) AS BIGINT)"
+        ).alias("n_syll"),
+    ).select(
+        "doc_id",
+        "n_sents",
+        "n_words",
+        "n_syll",
+        F.expr("CAST(1000 * n_words DIV n_sents AS BIGINT)").alias(
+            "words_per_sent_milli"
+        ),
+        F.expr("CAST(1000 * n_syll DIV n_words AS BIGINT)").alias(
+            "syll_per_word_milli"
+        ),
+        F.expr(
+            "CAST((390 * 1000 * n_words DIV n_sents"
+            " + 11800 * n_syll DIV n_words) - 15590 AS BIGINT)"
+        ).alias("fk_grade_micro_ish"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_recency_decay — exact halving recency weights
+# --------------------------------------------------------------------------
+@register(
+    "sample_recency_decay",
+    oracle="""
+    WITH aged AS (
+      SELECT o_orderkey,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                  (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+                  AS BIGINT) // 180 AS half_lives,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    weighted AS (
+      SELECT half_lives,
+             CASE WHEN half_lives >= 10 THEN 0
+                  ELSE 1024 // CAST(2 ** half_lives AS BIGINT) END AS w_1024,
+             cents
+      FROM aged
+    )
+    SELECT CAST(half_lives AS BIGINT) AS half_lives,
+           CAST(w_1024 AS BIGINT) AS w_1024,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(w_1024 * cents) AS BIGINT) AS weighted_cents
+    FROM weighted GROUP BY half_lives, w_1024
+    """,
+)
+def sample_recency_decay_q(spark, sf_dir):
+    """Recency-decay sampling weights with EXACT halving: age bucketed
+    into 180-day half-lives, weight = 1024 >> half_lives (integer
+    power-of-two decay, zero after 10 half-lives) — the
+    freshness-weighting every news/web mixture applies, made a pure
+    integer function so weighted sums hash-gate (a float exp(-age/tau)
+    weight could never cross engines bit-exactly; snapping tau to
+    half-life buckets is the documented quantization).  Grouped output =
+    the decay table + weighted revenue per bucket; the per-row weight
+    join is implicit (weight is a function of the bucket).
+
+    100 TB shape: age + weight are codegen (max date broadcast); one
+    bucket-keyed hash agg, ~10 output rows."""
+    orders = _t(spark, sf_dir, "orders")
+    max_d = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref"))
+    aged = orders.crossJoin(F.broadcast(max_d)).select(
+        F.expr("CAST(datediff(ref, CAST(o_orderdate AS DATE)) AS BIGINT) DIV 180")
+        .alias("half_lives"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    weighted = aged.select(
+        "half_lives",
+        F.when(F.col("half_lives") >= 10, F.lit(0))
+        .otherwise(F.expr("1024 DIV CAST(pow(2, half_lives) AS BIGINT)"))
+        .cast("long")
+        .alias("w_1024"),
+        "cents",
+    )
+    return weighted.groupBy("half_lives", "w_1024").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("w_1024") * F.col("cents")).cast("long").alias("weighted_cents"),
+    )

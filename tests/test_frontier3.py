@@ -1392,3 +1392,74 @@ def test_calibration_bins_monotone_for_perfect_signal(spark, tmp_path):
     # low-score bins are all-de (observed 0), high-score bins all-en (1e6)
     assert [r.observed_ppm for r in rows] == [0] * 5 + [1_000_000] * 5
     assert rows[0].mean_score_ppm == 0 and rows[-1].mean_score_ppm == 1_000_000
+
+
+def test_code_detector_routes_code(spark, tmp_path):
+    texts = [
+        "def main(): return [x for x in range(10)]; x = {};",   # code
+        "The quiet afternoon passed slowly in the garden.",      # prose
+    ]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": [1, 2],
+            "text": texts,
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    got = {r.doc_id: r for r in QUERIES["text_code_detector"](spark, sf).collect()}
+    assert got[1].looks_like_code and not got[2].looks_like_code
+    assert got[1].n_keywords >= 2 and got[2].n_symbols == 0
+
+
+def test_readability_components(spark, tmp_path):
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": [1],
+            "text": ["The cat sat. The dog ran fast!"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [30],
+        },
+    )
+    (r,) = QUERIES["text_readability_stats"](spark, sf).collect()
+    assert r.n_sents == 2 and r.n_words == 7
+    # vowel clusters: e,a,a,e,o,a,a -> 7
+    assert r.n_syll == 7
+    assert r.words_per_sent_milli == 3500 and r.syll_per_word_milli == 1000
+    # 390*3500//1000... formula: 390*1000*7//2 + 11800*7//7 - 15590
+    assert r.fk_grade_micro_ish == 390 * 1000 * 7 // 2 + 11800 - 15590
+
+
+def test_recency_decay_halving(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    ref = dt.datetime(2024, 6, 1)
+    # ages 0, 180, 360, 5*360 days -> half_lives 0, 1, 2, 10
+    ages = [0, 180, 360, 1800]
+    sf = _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": list(range(4)),
+            "o_custkey": [1] * 4,
+            "o_orderstatus": ["F"] * 4,
+            "o_totalprice": [1.0] * 4,
+            "o_orderdate": pd.to_datetime(
+                [ref - dt.timedelta(days=a) for a in ages]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1"] * 4,
+        },
+    )
+    got = {r.half_lives: (r.w_1024, r.n_orders, r.weighted_cents)
+           for r in QUERIES["sample_recency_decay"](spark, sf).collect()}
+    assert got[0] == (1024, 1, 102400)
+    assert got[1] == (512, 1, 51200)
+    assert got[2] == (256, 1, 25600)
+    assert got[10] == (0, 1, 0)  # beyond 10 half-lives: weight zero

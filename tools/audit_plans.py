@@ -201,6 +201,10 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the basket count N is ONE broadcast row attached to the
     # min-support-pruned pair table (the agg_drift_tvd pattern).
     "agg_association_rules": {"CARTESIAN"},
+    # (round 7) the corpus max order date is ONE broadcast row attached to
+    # every order before the half-life bucketing (the agg_aging_buckets
+    # pattern).
+    "sample_recency_decay": {"CARTESIAN"},
 }
 
 
