@@ -119,6 +119,7 @@ _PRIORITY = [
     "join_asof_tolerance", "text_burstiness_profile", "multimodal_frame_dedup",
     "agg_association_rules", "dedup_exact_normalized", "eval_calibration_bins",
     "text_code_detector", "text_readability_stats", "sample_recency_decay",
+    "quality_freshness_profile", "temporal_new_entity_curve",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

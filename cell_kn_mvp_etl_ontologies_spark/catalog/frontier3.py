@@ -4352,3 +4352,120 @@ def sample_recency_decay_q(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.col("w_1024") * F.col("cents")).cast("long").alias("weighted_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# quality_freshness_profile — per-partition staleness monitor
+# --------------------------------------------------------------------------
+@register(
+    "quality_freshness_profile",
+    oracle="""
+    WITH ref AS (
+      SELECT CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS ref_s FROM events
+    ),
+    per_type AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_s,
+             CAST(SUM(CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                        >= (SELECT ref_s FROM ref) - 604800
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_last_7d
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_last_7d,
+           CAST(r.ref_s - p.last_s AS BIGINT) AS staleness_s,
+           r.ref_s - p.last_s > 86400 AS stale_over_1d
+    FROM per_type p, ref r
+    """,
+)
+def quality_freshness_profile_q(spark, sf_dir):
+    """Per-stream freshness monitor: for each event type, its last-seen
+    timestamp's lag behind the corpus high-water mark, the trailing-7-day
+    volume, and a 1-day staleness flag — the ingestion-health dashboard
+    row that catches a silently-dead upstream (one event type stops
+    flowing while the others mask the total).  The reference point is the
+    corpus max (pure function of the data — the `agg_aging_buckets`
+    no-wall-clock rule), so the gate hashes.
+
+    100 TB shape: two map-side-combinable aggregates (global max, per-type
+    stats — the 7-day predicate rides the scan against the broadcast
+    ref); output is type-cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.unix_timestamp(F.max("ts")).cast("long").alias("ref_s"))
+    per_type = (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.unix_timestamp(F.max("ts")).cast("long").alias("last_s"),
+            F.sum(
+                (
+                    F.unix_timestamp("ts").cast("long")
+                    >= F.col("ref_s") - 604800
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_last_7d"),
+            F.first("ref_s").alias("ref_s"),
+        )
+    )
+    return per_type.select(
+        "event_type",
+        "n_events",
+        "n_last_7d",
+        (F.col("ref_s") - F.col("last_s")).cast("long").alias("staleness_s"),
+        (F.col("ref_s") - F.col("last_s") > 86400).alias("stale_over_1d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal_new_entity_curve — first-seen growth with cumulative total
+# --------------------------------------------------------------------------
+@register(
+    "temporal_new_entity_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 21600) AS BIGINT)
+               AS bucket6h
+      FROM events GROUP BY user_id
+    ),
+    per_bucket AS (
+      SELECT bucket6h, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY bucket6h
+    )
+    SELECT bucket6h, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY bucket6h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_entities
+    FROM per_bucket
+    """,
+)
+def temporal_new_entity_curve_q(spark, sf_dir):
+    """New-entity growth curve: users bucketed by the 6-hour epoch
+    bucket they were FIRST seen in (bucket width sized to the synthetic
+    corpus's time span; a production run picks days/weeks), with the running cumulative — the acquisition curve
+    (users, domains, devices: swap the key) that a plain weekly
+    distinct-count can't give because it double-counts returners.  The
+    cumulative at week w IS the exact distinct-to-date count, computed
+    without any sliding distinct machinery: first-seen assignment makes
+    each entity count exactly once (`agg_bitmap_sliding_distinct` solves
+    the harder windowed variant; this is the monotone special case where
+    a MIN + cumsum suffices).
+
+    100 TB shape: one entity-keyed MIN agg, a bucket-cardinality rollup,
+    and a cumsum window over dozens of rows."""
+    first_seen = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.min(F.unix_timestamp("ts").cast("long") / 21600)
+        .cast("long")
+        .alias("bucket6h")
+    )
+    per_bucket = first_seen.groupBy("bucket6h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("bucket6h").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket6h",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_entities"),
+    )

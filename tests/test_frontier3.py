@@ -1463,3 +1463,54 @@ def test_recency_decay_halving(spark, tmp_path):
     assert got[1] == (512, 1, 51200)
     assert got[2] == (256, 1, 25600)
     assert got[10] == (0, 1, 0)  # beyond 10 half-lives: weight zero
+
+
+def test_freshness_flags_dead_stream(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 6, 10)
+    rows = [
+        (0, t0, "live"), (1, t0 - dt.timedelta(hours=2), "live"),
+        (2, t0 - dt.timedelta(days=3), "dead"),  # last seen 3 days ago
+    ]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [1] * 3,
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * 3,
+        },
+    )
+    got = {r.event_type: r for r in QUERIES["quality_freshness_profile"](spark, sf).collect()}
+    assert got["live"].staleness_s == 0 and not got["live"].stale_over_1d
+    assert got["dead"].staleness_s == 3 * 86400 and got["dead"].stale_over_1d
+    assert got["live"].n_last_7d == 2 and got["dead"].n_last_7d == 1
+
+
+def test_new_entity_curve_counts_once(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1 appears in buckets 0 and 2 (counts once, at 0);
+    # user 2 first appears in bucket 2
+    rows = [(0, 1, t0), (1, 1, t0 + dt.timedelta(hours=13)),
+            (2, 2, t0 + dt.timedelta(hours=13))]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]),
+            "user_id": [r[1] for r in rows],
+            "event_type": ["click"] * 3,
+            "value": [1.0] * 3,
+        },
+    )
+    out = sorted(QUERIES["temporal_new_entity_curve"](spark, sf).collect(),
+                 key=lambda r: r.bucket6h)
+    assert [(r.n_new, r.cum_entities) for r in out] == [(1, 1), (1, 2)]

@@ -205,6 +205,9 @@ WAIVERS: dict[str, set[str]] = {
     # every order before the half-life bucketing (the agg_aging_buckets
     # pattern).
     "sample_recency_decay": {"CARTESIAN"},
+    # (round 7) the corpus high-water mark is ONE broadcast row attached to
+    # every event before the trailing-window predicate (the aging pattern).
+    "quality_freshness_profile": {"CARTESIAN"},
 }
 
 
