@@ -191,18 +191,19 @@ _PRIORITY = [
     "join_upsert_scd2", "multimodal_feature_extract", "pack_sequences_greedy",
     "pipeline_incremental_graph", "quality_expectations",
     "setop_intersect_except", "similarity_ann_lsh", "similarity_topk",
-    # ROUND-8 ROTATION PLAN (precomputed): the r7 prefix = changed
-    # contracts + the newest ~40 additions, so the r8 stalest set is
-    # (a) the round-7 queries that got NO driver slot: multimodal_dedup_exact,
-    # the OHLC/MaxSim late batch (temporal_ohlc .. graph_degree_stats,
-    # 22 rows), and graph_kcore / text_lm_bigram_score / join_asof_nearest /
-    # graph_label_propagation — all local-r7-green, driver-never;
-    # (b) the three r2-only rows (sort_by_key, dedup_embedding_cosine,
-    # project_triple_nodes — displaced three rounds running); (c) the r3
-    # backlog below (parser blast radius first, then alphabetical).  That
-    # is ~30 + 3 + 17 = 50 slots exactly; the rest of the r3/r4 backlog
-    # rides to r9.  As always, any query whose operator or oracle changes
-    # in round 8 jumps to the head.
+    # ROUND-8 ROTATION PLAN (precomputed): the r7 prefix-50 boundary falls
+    # after graph_degree_assortativity (slot 50); EXACTLY 56 catalog
+    # queries outside the prefix have NO driver evidence ever (verified
+    # against CORRECTNESS_r01-r06 keys): multimodal_dedup_exact onward
+    # through this header block (temporal_event_trigrams ..
+    # temporal_new_entity_curve, ~28 rows), the OHLC/MaxSim late batch
+    # (temporal_ohlc .. graph_degree_stats, 22), and graph_kcore /
+    # text_lm_bigram_score / join_asof_nearest / graph_label_propagation /
+    # text_search_stemmed overflow — all local-r7-green.  Round 8 prefix =
+    # those 56 minus 6 (pick the 50 stalest by catalog order, newest-first
+    # within ties); the r2-only trio + r3 backlog ride to r9 unless a
+    # contract changes.  As always, operator/oracle changes jump to the
+    # head.
     # ------------------------------------------------------------------
     # ROUND 6 ROTATION (VERDICT.md r5, "Next round: do this" #1): the 50-slot
     # prefix is (a) the EIGHT round-5 late additions that were the only
