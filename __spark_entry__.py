@@ -120,6 +120,7 @@ _PRIORITY = [
     "agg_association_rules", "dedup_exact_normalized", "eval_calibration_bins",
     "text_code_detector", "text_readability_stats", "sample_recency_decay",
     "quality_freshness_profile", "temporal_new_entity_curve",
+    "graph_random_walks", "agg_session_paths",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

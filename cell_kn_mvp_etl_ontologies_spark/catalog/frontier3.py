@@ -4469,3 +4469,238 @@ def temporal_new_entity_curve_q(spark, sf_dir):
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("cum_entities"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_random_walks — deterministic hash-driven walk corpus
+# --------------------------------------------------------------------------
+def _walks_oracle(n_steps: int = 3, n_walks: int = 2) -> str:
+    """Unrolled walk chain (the kcore/pq unroll doctrine): each step joins
+    the ranked adjacency on (vertex, md5-picked rank)."""
+    head = """
+    WITH raw AS (
+      SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 1500 AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    und AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+    adj AS (
+      SELECT src AS v, dst AS nbr,
+             row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk
+      FROM und
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    w0 AS (
+      SELECT a AS start, CAST(k AS BIGINT) AS walk_id, a AS v0
+      FROM (SELECT DISTINCT a FROM raw), generate_series(0, {last_walk}) t(k)
+    )""".format(last_walk=n_walks - 1)
+    parts = [head]
+    for s in range(n_steps):
+        parts.append(
+            f""",
+    w{s + 1} AS (
+      SELECT w.start, w.walk_id, w.v0{"".join(f", w.v{i}" for i in range(1, s + 1))},
+             a.nbr AS v{s + 1}
+      FROM w{s} w
+      JOIN deg ON deg.v = w.v{s}
+      JOIN adj a ON a.v = w.v{s}
+       AND a.rnk = 1 + ('0x' || substring(md5(
+             CAST(w.v{s} AS VARCHAR) || '|' || CAST({s} AS VARCHAR)
+             || '|' || CAST(w.walk_id AS VARCHAR) || '|rw'), 1, 8))::BIGINT
+             % deg.d
+    )"""
+        )
+    cols = ", ".join(
+        f"CAST(v{i} AS BIGINT) AS v{i}" for i in range(n_steps + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(start AS BIGINT) AS start, walk_id, {cols} FROM w{n_steps}"""
+    )
+    return "".join(parts)
+
+
+@register("graph_random_walks", oracle=_walks_oracle())
+def graph_random_walks_q(spark, sf_dir):
+    """Deterministic random-walk corpus over the co-purchase graph — the
+    DeepWalk/node2vec training-data generator: 2 walks of length 3 from
+    every supplier, where step s of walk w at vertex v moves to the
+    neighbor at rank 1 + md5(v|s|w|salt) mod deg(v) in the (vertex,
+    sorted-neighbor) ranked adjacency.  The walk is a PURE FUNCTION of
+    (vertex, step, walk_id) — no RNG state, so a re-executed task
+    regenerates the identical walk (the bootstrap determinism argument,
+    on graphs), shards are reproducible, and the full corpus is
+    oracle-exact via the unrolled step chain.
+
+    100 TB shape: each step is ONE keyed join against the ranked
+    adjacency (co-partitioned on vertex) — k steps = k joins, never a
+    per-walk driver loop; the frontier is walk-cardinality, constant per
+    step.  Degree bias (uniform-neighbor sampling ~ node2vec p=q=1) is
+    the documented sampling law; weighted walks swap the mod for a
+    prefix-sum rank lookup on the same plan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    raw = li.select(
+        F.col("l_suppkey").cast("long").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("b"),
+    ).distinct()
+    und = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    adj = und.select(
+        F.col("src").alias("v"),
+        F.col("dst").alias("nbr"),
+        F.row_number()
+        .over(Window.partitionBy("src").orderBy("dst"))
+        .alias("rnk"),
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    starts = raw.select(F.col("a").alias("start")).distinct()
+    walks = starts.select(
+        "start",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("walk_id"),
+        F.col("start").alias("v0"),
+    ).select("start", F.col("walk_id").cast("long").alias("walk_id"), "v0")
+    cur = walks
+    for s in range(3):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col(f"v{s}"),
+                            F.lit(str(s)),
+                            F.col("walk_id"),
+                            F.lit("rw"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("d")
+            + 1
+        )
+        cur = (
+            cur.join(deg, deg.v == F.col(f"v{s}"))
+            .withColumn("pick", pick)
+            .drop("v")
+            .join(
+                adj.select(
+                    F.col("v").alias(f"v{s}"),
+                    F.col("rnk").alias("pick"),
+                    F.col("nbr").alias(f"v{s + 1}"),
+                ),
+                [f"v{s}", "pick"],
+            )
+            .drop("pick", "d")
+        )
+    return cur.select(
+        "start", "walk_id", "v0", "v1", "v2", "v3"
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_session_paths — common session entry paths
+# --------------------------------------------------------------------------
+@register(
+    "agg_session_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM seq
+    ),
+    heads AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY rn) AS path3
+      FROM heads WHERE rn <= 3 GROUP BY user_id, sid
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths)
+    SELECT path3, CAST(COUNT(*) AS BIGINT) AS n, t.n_sessions,
+           CAST(1000000 * COUNT(*) // t.n_sessions AS BIGINT) AS share_ppm
+    FROM paths, tot t GROUP BY path3, t.n_sessions
+    """,
+)
+def agg_session_paths_q(spark, sf_dir):
+    """Common session entry paths: the first 3 event types of every
+    30-minute-gap session concatenated into a path string and censused —
+    the navigation-flow summary (the top rows ARE the Sankey diagram's
+    left edge), one step up from `agg_session_bounce`'s single-event
+    screen.  Path assembly must be ORDER-DEFINED in both engines:
+    DuckDB's string_agg takes ORDER BY inside the aggregate; Spark builds
+    the same via sort_array over (rn, type) structs then joins — both
+    orderings pinned to the (ts, event_id) total order.
+
+    100 TB shape: the same one-exchange sessionize chain as
+    `agg_session_bounce`; path strings are <= 3 short tokens; the census
+    collapses to path-cardinality map-side."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts").cast("long")
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (sec - F.lag(sec).over(w) > 1800) | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    sess = seq.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    w_in = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    heads = sess.withColumn("rn", F.row_number().over(w_in)).filter(
+        F.col("rn") <= 3
+    )
+    paths = heads.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path3")
+    )
+    tot = paths.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return (
+        paths.groupBy("path3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "path3",
+            "n",
+            "n_sessions",
+            F.expr("CAST(1000000 * n DIV n_sessions AS BIGINT)").alias("share_ppm"),
+        )
+    )

@@ -1514,3 +1514,74 @@ def test_new_entity_curve_counts_once(spark, tmp_path):
     out = sorted(QUERIES["temporal_new_entity_curve"](spark, sf).collect(),
                  key=lambda r: r.bucket6h)
     assert [(r.n_new, r.cum_entities) for r in out] == [(1, 1), (1, 2)]
+
+
+def test_random_walks_deterministic_and_valid_edges(spark, tmp_path):
+    import hashlib
+
+    n = 60
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [3 * i for i in range(n)],
+            "l_suppkey": [i % 3 for i in range(n)],
+            "l_partkey": [i % 8 for i in range(n)],
+        },
+    )
+    rows = QUERIES["graph_random_walks"](spark, sf).collect()
+    # 3 suppliers x 2 walks
+    assert len(rows) == 6
+    # rebuild the graph in python and verify every hop is a real edge AND
+    # matches the md5 pick exactly
+    edges = {(i % 3, 100000 + (i % 8)) for i in range(n)}
+    und = edges | {(b, a) for (a, b) in edges}
+    from collections import defaultdict
+    adj = defaultdict(list)
+    for s, d in und:
+        adj[s].append(d)
+    for v in adj:
+        adj[v].sort()
+    for r in rows:
+        path = [r.v0, r.v1, r.v2, r.v3]
+        assert path[0] == r.start
+        for s in range(3):
+            u = int(hashlib.md5(
+                f"{path[s]}|{s}|{r.walk_id}|rw".encode()
+            ).hexdigest()[:8], 16) % len(adj[path[s]])
+            assert path[s + 1] == adj[path[s]][u]
+    # re-run is identical (pure function, no RNG)
+    rows2 = QUERIES["graph_random_walks"](spark, sf).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in rows2}
+
+
+def test_session_paths_census(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1 session: view > click > view > click (path keeps first 3)
+        (0, 1, t0, "view"), (1, 1, t0 + dt.timedelta(minutes=1), "click"),
+        (2, 1, t0 + dt.timedelta(minutes=2), "view"),
+        (3, 1, t0 + dt.timedelta(minutes=3), "click"),
+        # user 2 session: single view
+        (4, 2, t0, "view"),
+    ]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]),
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+        },
+    )
+    got = {r.path3: (r.n, r.n_sessions, r.share_ppm)
+           for r in QUERIES["agg_session_paths"](spark, sf).collect()}
+    assert got == {
+        "view>click>view": (1, 2, 500_000),
+        "view": (1, 2, 500_000),
+    }

@@ -208,6 +208,9 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the corpus high-water mark is ONE broadcast row attached to
     # every event before the trailing-window predicate (the aging pattern).
     "quality_freshness_profile": {"CARTESIAN"},
+    # (round 7) the session grand total is ONE broadcast row attached to the
+    # path-cardinality census (the agg_drift_tvd pattern).
+    "agg_session_paths": {"CARTESIAN"},
 }
 
 
