@@ -121,6 +121,8 @@ _PRIORITY = [
     "text_code_detector", "text_readability_stats", "sample_recency_decay",
     "quality_freshness_profile", "temporal_new_entity_curve",
     "graph_random_walks", "agg_session_paths",
+    "graph_walk_skipgram_pairs", "sample_class_weights",
+    "embedding_distance_histogram",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

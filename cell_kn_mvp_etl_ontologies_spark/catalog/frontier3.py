@@ -4704,3 +4704,219 @@ def agg_session_paths_q(spark, sf_dir):
             F.expr("CAST(1000000 * n DIV n_sessions AS BIGINT)").alias("share_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# graph_walk_skipgram_pairs — DeepWalk pipeline stage 2
+# --------------------------------------------------------------------------
+@register(
+    "graph_walk_skipgram_pairs",
+    oracle=_walks_oracle().replace(
+        """
+    SELECT CAST(start AS BIGINT) AS start, walk_id, CAST(v0 AS BIGINT) AS v0, CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2, CAST(v3 AS BIGINT) AS v3 FROM w3""",
+        """,
+    pos AS (
+      SELECT start, walk_id, 0 AS p, v0 AS v FROM w3
+      UNION ALL SELECT start, walk_id, 1, v1 FROM w3
+      UNION ALL SELECT start, walk_id, 2, v2 FROM w3
+      UNION ALL SELECT start, walk_id, 3, v3 FROM w3
+    )
+    SELECT CAST(a.v AS BIGINT) AS center, CAST(b.v AS BIGINT) AS context,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pos a JOIN pos b
+      ON b.start = a.start AND b.walk_id = a.walk_id
+     AND b.p <> a.p AND abs(b.p - a.p) <= 2
+    GROUP BY a.v, b.v""",
+    ),
+)
+def graph_walk_skipgram_pairs_q(spark, sf_dir):
+    """Skip-gram training pairs from the deterministic walk corpus —
+    stage 2 of the DeepWalk pipeline (`graph_random_walks` generates the
+    sentences; this is the word2vec windowing): every (center, context)
+    vertex pair within window 2 inside a walk, aggregated with
+    multiplicity — the exact table a Pandas-UDF embedding trainer consumes
+    as (input, label, weight).  The oracle extends the SAME unrolled walk
+    chain (one shared derivation, the `_STAR_ORACLE` sharing doctrine
+    applied to a PIPELINE STAGE rather than a twin).
+
+    100 TB shape: the window join is per-(walk) with fanout <= 2*window
+    per position — walks are length-k rows, so pair generation is
+    corpus-linear; the (center, context) agg collapses map-side on the
+    vocabulary-pair key."""
+    # materialized once: the 4 position projections would otherwise
+    # re-execute the whole 3-join walk chain 4x (the _pareto/HITS lineage
+    # doctrine; measured 35 exchanges -> 8)
+    walks = graph_random_walks_q(spark, sf_dir).localCheckpoint(eager=True)
+    pos = None
+    for p in range(4):
+        part = walks.select(
+            "start", "walk_id", F.lit(p).alias("p"), F.col(f"v{p}").alias("v")
+        )
+        pos = part if pos is None else pos.unionByName(part)
+    a = pos.select("start", "walk_id", F.col("p").alias("pa"), F.col("v").alias("center"))
+    b = pos.select("start", "walk_id", F.col("p").alias("pb"), F.col("v").alias("context"))
+    return (
+        a.join(b, ["start", "walk_id"])
+        .filter(
+            (F.col("pb") != F.col("pa"))
+            & (F.abs(F.col("pb") - F.col("pa")) <= 2)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_class_weights — inverse-frequency weights for imbalanced labels
+# --------------------------------------------------------------------------
+@register(
+    "sample_class_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_classes
+      FROM counts
+    )
+    SELECT CAST(label AS BIGINT) AS label, n, t.total, t.n_classes,
+           CAST(1000000 * t.total // (t.n_classes * n) AS BIGINT)
+             AS weight_ppm
+    FROM counts, tot t
+    """,
+)
+def sample_class_weights_q(spark, sf_dir):
+    """Inverse-frequency class weights (sklearn's 'balanced' heuristic):
+    w_c = total / (n_classes * n_c) in exact ppm — the loss-reweighting
+    table for imbalanced labels, emitted beside the raw counts so
+    effective-number or capped variants are projections.  A balanced
+    corpus yields 1e6 everywhere; a 10x-underrepresented class gets ~1e7.
+
+    100 TB shape: one label-cardinality hash agg + a 1-row broadcast —
+    the cheapest query in the catalog, and the one whose output feeds
+    directly into every trainer config."""
+    counts = _t(spark, sf_dir, "embeddings").groupBy(
+        F.col("label").cast("long").alias("label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        "total",
+        "n_classes",
+        F.expr("CAST(1000000 * total DIV (n_classes * n) AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_distance_histogram — embedding-space collapse detection
+# --------------------------------------------------------------------------
+@register(
+    "embedding_distance_histogram",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400
+    ),
+    n_vecs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus),
+    pairs AS (
+      SELECT a.vec_id AS ia,
+             ('0x' || substring(md5(CAST(a.vec_id AS VARCHAR) || '|'
+                                    || CAST(k.k AS VARCHAR) || '|dh'), 1, 8))::BIGINT
+               % nv.n AS ib
+      FROM corpus a CROSS JOIN n_vecs nv, generate_series(0, 3) k(k)
+    ),
+    keep AS (SELECT DISTINCT ia, ib FROM pairs WHERE ia <> ib),
+    qa AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    dists AS (
+      SELECT p.ia, p.ib,
+             CAST(SUM((x.v - y.v) * (x.v - y.v)) AS BIGINT) AS d2
+      FROM keep p
+      JOIN qa x ON x.vec_id = p.ia
+      JOIN qa y ON y.vec_id = p.ib AND y.i = x.i
+      GROUP BY p.ia, p.ib
+    )
+    SELECT CAST(length(CAST(d2 AS VARCHAR)) AS BIGINT) AS digits,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(d2) AS BIGINT) AS min_d2,
+           CAST(MAX(d2) AS BIGINT) AS max_d2
+    FROM dists GROUP BY digits
+    """,
+)
+def embedding_distance_histogram_q(spark, sf_dir):
+    """Embedding-space geometry health check: quantized squared-L2
+    distances over a DETERMINISTIC hash-sampled pair set (4 draws per
+    vector via the md5 ring, the `sample_negatives_hash` machinery),
+    bucketed by digit count — a COLLAPSED embedding space (all vectors
+    near one point, the classic contrastive-training failure) shows the
+    histogram's mass crashing into low buckets, while healthy spaces
+    spread.  Distances are the same HALF_UP-quantized int64 as the ANN
+    chain, so the histogram is bit-comparable with every similarity
+    rung's internal scores.
+
+    100 TB shape: pair sampling is corpus-linear (4 ids per vector, NO
+    quadratic pair set); each sampled pair costs one keyed join to fetch
+    the partner vector and an in-row zip_with fold; the histogram
+    collapses to ~10 buckets map-side."""
+    from ..operators.similarity import quantize_vec
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400).select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("qv")
+    ).localCheckpoint(eager=True)
+    nv = em.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        em.select("vec_id")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            F.col("vec_id").alias("ia"),
+            F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"),
+            "n",
+        )
+        .select(
+            "ia",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col("ia"), F.col("k"), F.lit("dh"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("ib"),
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        .distinct()  # two draws can hit the same partner; pairs are a SET
+    )
+    x = em.select(F.col("vec_id").alias("ia"), F.col("qv").alias("qa"))
+    y = em.select(F.col("vec_id").alias("ib"), F.col("qv").alias("qb"))
+    dists = (
+        pairs.join(x, "ia")
+        .join(y, "ib")
+        .select(
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2")
+        )
+    )
+    return dists.groupBy(
+        F.length(F.col("d2").cast("string")).cast("long").alias("digits")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("d2").alias("min_d2"),
+        F.max("d2").alias("max_d2"),
+    )

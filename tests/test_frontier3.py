@@ -1585,3 +1585,62 @@ def test_session_paths_census(spark, tmp_path):
         "view>click>view": (1, 2, 500_000),
         "view": (1, 2, 500_000),
     }
+
+
+def test_skipgram_pairs_window(spark, tmp_path):
+    n = 60
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [3 * i for i in range(n)],
+            "l_suppkey": [i % 3 for i in range(n)],
+            "l_partkey": [i % 8 for i in range(n)],
+        },
+    )
+    walks = {(r.start, r.walk_id): [r.v0, r.v1, r.v2, r.v3]
+             for r in QUERIES["graph_random_walks"](spark, sf).collect()}
+    got = {(r.center, r.context): r.n
+           for r in QUERIES["graph_walk_skipgram_pairs"](spark, sf).collect()}
+    # python replay: window-2 pairs over every walk
+    from collections import defaultdict
+    want = defaultdict(int)
+    for path in walks.values():
+        for i, c in enumerate(path):
+            for j, x in enumerate(path):
+                if i != j and abs(i - j) <= 2:
+                    want[(c, x)] += 1
+    assert got == dict(want) and len(got) > 0
+
+
+def test_class_weights_balanced_and_skewed(spark, tmp_path):
+    sf = _write(
+        tmp_path,
+        "embeddings",
+        {
+            "vec_id": list(range(12)),
+            "embedding": [[0.0]] * 12,
+            "label": [0] * 2 + [1] * 10,  # 5x imbalance
+        },
+    )
+    got = {r.label: r for r in QUERIES["sample_class_weights"](spark, sf).collect()}
+    # w = total / (n_classes * n): 12/(2*2)=3 and 12/(2*10)=0.6
+    assert got[0].weight_ppm == 3_000_000
+    assert got[1].weight_ppm == 600_000
+
+
+def test_distance_histogram_collapse_vs_spread(spark, tmp_path):
+    # collapsed space: identical vectors -> every sampled distance is 0
+    sf = _write(
+        tmp_path,
+        "embeddings",
+        {
+            "vec_id": list(range(50)),
+            "embedding": [[0.5, 0.5]] * 50,
+            "label": [0] * 50,
+        },
+    )
+    rows = QUERIES["embedding_distance_histogram"](spark, sf).collect()
+    # all distances are 0 -> one bucket (digits of "0" = 1), min=max=0
+    assert len(rows) == 1
+    assert rows[0].digits == 1 and rows[0].min_d2 == 0 and rows[0].max_d2 == 0

@@ -211,6 +211,12 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the session grand total is ONE broadcast row attached to the
     # path-cardinality census (the agg_drift_tvd pattern).
     "agg_session_paths": {"CARTESIAN"},
+    # (round 7) the class-count/total is ONE broadcast row attached to the
+    # label-cardinality counts (the agg_drift_tvd pattern).
+    "sample_class_weights": {"CARTESIAN"},
+    # (round 7) the vector count N is ONE broadcast row attached to each
+    # anchor before the 4-draw md5 ring (the sample_negatives_hash pattern).
+    "embedding_distance_histogram": {"CARTESIAN"},
 }
 
 
