@@ -4920,3 +4920,159 @@ def embedding_distance_histogram_q(spark, sf_dir):
         F.min("d2").alias("min_d2"),
         F.max("d2").alias("max_d2"),
     )
+
+
+# --------------------------------------------------------------------------
+# temporal_autocorr_lag1 — exact lag-1 autocovariance moments
+# --------------------------------------------------------------------------
+@register(
+    "temporal_autocorr_lag1",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS x,
+             lag(CAST(FLOOR(value * 1000) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS px
+      FROM events WHERE user_id < 60
+    ),
+    pairs AS (
+      SELECT user_id, x, px FROM seq WHERE px IS NOT NULL
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(px) AS BIGINT) AS spx,
+           CAST(SUM(x * px) AS BIGINT) AS sxpx,
+           CAST(COUNT(*) * SUM(x * px) - SUM(x) * SUM(px) AS BIGINT)
+             AS cov_num
+    FROM pairs GROUP BY user_id
+    """,
+)
+def temporal_autocorr_lag1_q(spark, sf_dir):
+    """Lag-1 autocorrelation moments per entity: over consecutive value
+    pairs (x_t, x_{t-1}), the exact covariance numerator
+    n·Σ(x·px) − Σx·Σpx — positive means the series is persistent /
+    trending, negative means mean-reverting / alternating, near zero
+    means white noise (the pre-test before fitting any AR model or
+    trusting `temporal_ema_smooth`'s smoothing).  Emitted as exact int64
+    moments — the correlation COEFFICIENT needs the two variance terms
+    and a sqrt, which the consumer computes; the sign and the scale-free
+    comparisons live entirely in cov_num (the assortativity doctrine on
+    the time axis).
+
+    100 TB shape: one user-key exchange for the lag window, one hash agg
+    on the same partitioning — the CUSUM plan shape with a product
+    accumulator."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.floor(F.col("value") * 1000).cast("long")
+    seq = _t(spark, sf_dir, "events").filter(F.col("user_id") < 60).select(
+        "user_id", x.alias("x"), F.lag(x).over(w).alias("px")
+    )
+    pairs = seq.filter(F.col("px").isNotNull())
+    n, sx, spx = F.count(F.lit(1)), F.sum("x"), F.sum("px")
+    sxpx = F.sum(F.col("x") * F.col("px"))
+    return pairs.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        n.cast("long").alias("n"),
+        sx.cast("long").alias("sx"),
+        spx.cast("long").alias("spx"),
+        sxpx.cast("long").alias("sxpx"),
+        (n * sxpx - sx * spx).cast("long").alias("cov_num"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_attribution_models — first/last/linear credit side by side
+# --------------------------------------------------------------------------
+@register(
+    "agg_attribution_models",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_event, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS touch_event, user_id, ts AS touch_ts, event_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    attr AS (
+      SELECT c.conv_event, t.event_type,
+             row_number() OVER (PARTITION BY c.conv_event
+                                ORDER BY t.touch_ts, t.touch_event) AS pos,
+             COUNT(*) OVER (PARTITION BY c.conv_event) AS n_touch
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.touch_ts < c.conv_ts
+       AND t.touch_ts >= c.conv_ts - INTERVAL 2 HOUR
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch_convs,
+           CAST(SUM(CASE WHEN pos = n_touch THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch_convs,
+           CAST(SUM(1000000 // n_touch) AS BIGINT) AS linear_credit_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM attr GROUP BY event_type
+    """,
+)
+def agg_attribution_models_q(spark, sf_dir):
+    """Attribution-model comparison on the `agg_attribution_linear`
+    assignment: per touch TYPE, conversions credited under first-touch
+    (pos = 1), last-touch (pos = n), and linear (Σ 1e6//n per touch —
+    truncating micro-credits, the DOCUMENTED quantization: a conversion
+    with 3 touches distributes 999,999 not 1,000,000, bias < 1 ppm per
+    conversion and identical in both engines).  The three columns side
+    by side are the model-sensitivity readout a marketing-mix decision
+    actually looks at: when they disagree wildly, the channel mix is
+    position-dependent and a single-model report is lying.
+
+    100 TB shape: the same bucketed interval join as the base operator,
+    then a types-cardinality rollup — the windows reuse the conversion
+    partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    lookback = 7200
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_event"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_event"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("touch_ts"),
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / lookback).cast("long").alias("bucket"),
+    )
+    conv_fan = conv.select(
+        "conv_event",
+        "user_id",
+        "conv_ts",
+        F.explode(
+            F.array(
+                (F.floor(F.unix_timestamp("conv_ts") / lookback) - 1).cast("long"),
+                F.floor(F.unix_timestamp("conv_ts") / lookback).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    joined = conv_fan.join(touch, ["user_id", "bucket"]).filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 2 HOURS"))
+    )
+    w_pos = Window.partitionBy("conv_event").orderBy("touch_ts", "touch_event")
+    w_cnt = Window.partitionBy("conv_event")
+    attr = joined.select(
+        "event_type",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(w_cnt).alias("n_touch"),
+    )
+    return attr.groupBy("event_type").agg(
+        F.sum((F.col("pos") == 1).cast("long")).cast("long").alias(
+            "first_touch_convs"
+        ),
+        F.sum((F.col("pos") == F.col("n_touch")).cast("long"))
+        .cast("long")
+        .alias("last_touch_convs"),
+        F.sum(F.expr("1000000 DIV n_touch")).cast("long").alias(
+            "linear_credit_micro"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+    )

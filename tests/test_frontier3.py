@@ -1644,3 +1644,59 @@ def test_distance_histogram_collapse_vs_spread(spark, tmp_path):
     # all distances are 0 -> one bucket (digits of "0" = 1), min=max=0
     assert len(rows) == 1
     assert rows[0].digits == 1 and rows[0].min_d2 == 0 and rows[0].max_d2 == 0
+
+
+def test_autocorr_persistent_vs_alternating(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # user 1: monotone ramp (persistent, cov_num > 0)
+    # user 2: strict alternation (mean-reverting, cov_num < 0)
+    rows = []
+    for i in range(10):
+        rows.append((i, 1, dt.datetime(2024, 1, 1, 0, i), float(i)))
+        rows.append((100 + i, 2, dt.datetime(2024, 1, 1, 0, i), float(i % 2)))
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]),
+            "user_id": [r[1] for r in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [r[3] for r in rows],
+        },
+    )
+    got = {r.user_id: r for r in QUERIES["temporal_autocorr_lag1"](spark, sf).collect()}
+    assert got[1].cov_num > 0 and got[2].cov_num < 0
+    assert got[1].n == 9 and got[2].n == 9
+
+
+def test_attribution_models_positions(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t0 - dt.timedelta(minutes=90), "view"),   # pos 1 (first)
+        (2, t0 - dt.timedelta(minutes=40), "click"),  # pos 2
+        (3, t0 - dt.timedelta(minutes=10), "click"),  # pos 3 (last)
+        (4, t0, "purchase"),
+    ]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [1] * 4,
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * 4,
+        },
+    )
+    got = {r.event_type: r for r in QUERIES["agg_attribution_models"](spark, sf).collect()}
+    assert got["view"].first_touch_convs == 1 and got["view"].last_touch_convs == 0
+    assert got["click"].first_touch_convs == 0 and got["click"].last_touch_convs == 1
+    # linear: view 1/3, clicks 2/3 in truncating micro units
+    assert got["view"].linear_credit_micro == 333_333
+    assert got["click"].linear_credit_micro == 666_666
