@@ -124,6 +124,8 @@ _PRIORITY = [
     "graph_walk_skipgram_pairs", "sample_class_weights",
     "embedding_distance_histogram",
     "temporal_autocorr_lag1", "agg_attribution_models",
+    "temporal_activity_heatmap", "sample_split_chronological",
+    "quality_split_balance",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

@@ -5076,3 +5076,193 @@ def agg_attribution_models_q(spark, sf_dir):
         ),
         F.count(F.lit(1)).cast("long").alias("n_touches"),
     )
+
+
+# --------------------------------------------------------------------------
+# temporal_activity_heatmap — (day-of-week x hour) activity matrix
+# --------------------------------------------------------------------------
+@register(
+    "temporal_activity_heatmap",
+    oracle="""
+    WITH base AS (
+      SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS mv
+      FROM events
+    ),
+    cells AS (
+      SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mv) AS BIGINT) AS sum_mv
+      FROM base GROUP BY dow, hod
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cells)
+    SELECT dow, hod, n, sum_mv,
+           CAST(1000000 * n // t.n_total AS BIGINT) AS share_ppm
+    FROM cells, tot t
+    """,
+)
+def temporal_activity_heatmap_q(spark, sf_dir):
+    """The (day-of-week x hour-of-day) activity heatmap — the 168-cell
+    traffic matrix every ops dashboard opens with, here with exact cell
+    shares so anomalous cells (a 3 AM Sunday spike = batch job or attack)
+    are comparable across corpus versions.  Completes the seasonality
+    pair: `temporal_seasonal_profile` gives per-dow deviations with exact
+    significance numerators; this gives the full 2-D shape.  The hour is
+    session-timezone-dependent BY DESIGN — the catalog pins sessions to
+    UTC and the TZ sweep verifies NTZ math, so hour(ts) on NTZ values is
+    engine-identical.
+
+    100 TB shape: pure map-side collapse to <= 168 cells, one exchange,
+    1-row broadcast total."""
+    base = _t(spark, sf_dir, "events").select(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+        F.floor(F.col("value") * 1000).cast("long").alias("mv"),
+    )
+    cells = base.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mv").cast("long").alias("sum_mv"),
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("n_total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        "n",
+        "sum_mv",
+        F.expr("CAST(1000000 * n DIV n_total AS BIGINT)").alias("share_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_split_chronological — leakage-free time-ordered train/test split
+# --------------------------------------------------------------------------
+@register(
+    "sample_split_chronological",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, ts,
+             row_number() OVER (ORDER BY ts, event_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    tagged AS (
+      SELECT event_id, ts,
+             CASE WHEN rnk <= 8 * n // 10 THEN 'train' ELSE 'test' END
+               AS split
+      FROM ranked
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS BIGINT) AS min_ts_s,
+           CAST(MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS BIGINT) AS max_ts_s
+    FROM tagged GROUP BY split
+    """,
+)
+def sample_split_chronological_q(spark, sf_dir):
+    """Chronological 80/20 train/test split — the ONLY valid split for
+    forecasting/sequence models, where `sample_split_hash`'s uniform
+    assignment would leak the future into training: rows ranked by
+    (ts, event_id) and the first 80% (exact integer cutoff 8n//10) become
+    train.  The gate emits per-split row counts and the time BOUNDARIES —
+    max(train) <= min(test) is the no-leakage invariant made visible (and
+    pinned by test).
+
+    100 TB shape: the global time rank is one RangePartitioner sort (the
+    equi-depth doctrine); production replaces the exact rank with a
+    timestamp cut at the approx 80% quantile and keeps this exact path
+    for the audit tier — stated so the sort is a choice, not an
+    accident."""
+    w = Window.orderBy("ts", "event_id")
+    ranked = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    tagged = ranked.select(
+        "event_id",
+        "ts",
+        F.when(F.col("rnk") <= F.expr("8 * n DIV 10"), "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(F.unix_timestamp("ts").cast("long")).alias("min_ts_s"),
+        F.max(F.unix_timestamp("ts").cast("long")).alias("max_ts_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_split_balance — distribution shift between chronological splits
+# --------------------------------------------------------------------------
+@register(
+    "quality_split_balance",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, ts, event_id,
+             row_number() OVER (ORDER BY ts, event_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    tagged AS (
+      SELECT event_type,
+             CASE WHEN rnk <= 8 * n // 10 THEN 'train' ELSE 'test' END
+               AS split
+      FROM ranked
+    ),
+    cells AS (
+      SELECT split, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tagged GROUP BY split, event_type
+    ),
+    split_tot AS (
+      SELECT split, CAST(SUM(n) AS BIGINT) AS n_split
+      FROM cells GROUP BY split
+    )
+    SELECT c.split, c.event_type, c.n, s.n_split,
+           CAST(1000000 * c.n // s.n_split AS BIGINT) AS share_ppm
+    FROM cells c JOIN split_tot s USING (split)
+    """,
+)
+def quality_split_balance_q(spark, sf_dir):
+    """Distribution balance across the chronological split: each event
+    type's share WITHIN train and WITHIN test — the covariate-shift check
+    run immediately after `sample_split_chronological` (a type whose
+    share moves sharply between splits means the task distribution
+    drifted over time and test metrics will surprise; the
+    `agg_drift_tvd` comparison applied to the split axis instead of the
+    time-pivot axis).  Shares are truncating ppm of the split total.
+
+    100 TB shape: the split tag reuses the one time-rank sort; the census
+    is a (split, type) map-side collapse with split totals re-joined as
+    a 2-row broadcast."""
+    w = Window.orderBy("ts", "event_id")
+    ranked = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    tagged = ranked.select(
+        "event_type",
+        F.when(F.col("rnk") <= F.expr("8 * n DIV 10"), "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cells = tagged.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    split_tot = cells.groupBy("split").agg(F.sum("n").cast("long").alias("n_split"))
+    return cells.join(F.broadcast(split_tot), "split").select(
+        "split",
+        "event_type",
+        "n",
+        "n_split",
+        F.expr("CAST(1000000 * n DIV n_split AS BIGINT)").alias("share_ppm"),
+    )

@@ -1700,3 +1700,75 @@ def test_attribution_models_positions(spark, tmp_path):
     # linear: view 1/3, clicks 2/3 in truncating micro units
     assert got["view"].linear_credit_micro == 333_333
     assert got["click"].linear_credit_micro == 666_666
+
+
+def test_activity_heatmap_cells(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # 3 events Sunday 09:xx (dow 1, hod 9), 1 event Monday 14:xx
+    stamps = [dt.datetime(2024, 1, 7, 9, m) for m in (0, 10, 20)] + [
+        dt.datetime(2024, 1, 8, 14, 0)
+    ]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(4)),
+            "ts": pd.to_datetime(stamps),
+            "user_id": [1] * 4,
+            "event_type": ["click"] * 4,
+            "value": [1.0] * 4,
+        },
+    )
+    got = {(r.dow, r.hod): (r.n, r.share_ppm)
+           for r in QUERIES["temporal_activity_heatmap"](spark, sf).collect()}
+    assert got == {(1, 9): (3, 750_000), (2, 14): (1, 250_000)}
+
+
+def test_chronological_split_no_leakage(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    n = 50
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(n)),
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+                                  for i in range(n)]),
+            "user_id": [1] * n,
+            "event_type": ["click"] * n,
+            "value": [1.0] * n,
+        },
+    )
+    got = {r.split: r for r in QUERIES["sample_split_chronological"](spark, sf).collect()}
+    assert got["train"].n_rows == 40 and got["test"].n_rows == 10
+    # the no-leakage invariant: every train timestamp precedes every test one
+    assert got["train"].max_ts_s < got["test"].min_ts_s
+
+
+def test_split_balance_detects_shift(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # first 40 events are 'old' type, last 10 are 'new' -> test split is
+    # 100% 'new' while train is 100% 'old': maximal covariate shift
+    n = 50
+    types = ["old"] * 40 + ["new"] * 10
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(n)),
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+                                  for i in range(n)]),
+            "user_id": [1] * n,
+            "event_type": types,
+            "value": [1.0] * n,
+        },
+    )
+    got = {(r.split, r.event_type): r.share_ppm
+           for r in QUERIES["quality_split_balance"](spark, sf).collect()}
+    assert got == {("train", "old"): 1_000_000, ("test", "new"): 1_000_000}

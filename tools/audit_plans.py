@@ -217,6 +217,9 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the vector count N is ONE broadcast row attached to each
     # anchor before the 4-draw md5 ring (the sample_negatives_hash pattern).
     "embedding_distance_histogram": {"CARTESIAN"},
+    # (round 7) the grand event total is ONE broadcast row attached to the
+    # 168-cell heatmap (the agg_drift_tvd pattern).
+    "temporal_activity_heatmap": {"CARTESIAN"},
 }
 
 
