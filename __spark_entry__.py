@@ -126,6 +126,7 @@ _PRIORITY = [
     "temporal_autocorr_lag1", "agg_attribution_models",
     "temporal_activity_heatmap", "sample_split_chronological",
     "quality_split_balance",
+    "agg_lorenz_curve", "graph_biased_walks",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

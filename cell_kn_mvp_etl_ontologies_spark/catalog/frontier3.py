@@ -5266,3 +5266,277 @@ def quality_split_balance_q(spark, sf_dir):
         "n_split",
         F.expr("CAST(1000000 * n DIV n_split AS BIGINT)").alias("share_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_lorenz_curve — decile cumulative-share points (the Gini picture)
+# --------------------------------------------------------------------------
+@register(
+    "agg_lorenz_curve",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS cust,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT cents, ntile(10) OVER (ORDER BY cents, cust) AS decile
+      FROM spend
+    ),
+    per_decile AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM tiled GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM per_decile)
+    SELECT decile, n_cust, cents,
+           CAST(SUM(cents) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents,
+           CAST(1000000 * SUM(cents) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                // t.total AS BIGINT) AS cum_share_ppm
+    FROM per_decile, tot t
+    """,
+)
+def agg_lorenz_curve_q(spark, sf_dir):
+    """Lorenz curve points: customers decile-tiled by ascending spend
+    (deterministic (cents, cust) total order — the equi-depth doctrine),
+    each decile's cumulative share of total spend in exact ppm — the
+    PICTURE whose area-gap `agg_gini_concentration` reduces to a scalar
+    (cum_share_ppm at decile d vs the d*100000 diagonal IS the local
+    inequality).  Bottom-decile share near 0 with top-decile jump to 1e6
+    = a heavy-tail corpus; the plot-ready companion of the Gini audit.
+
+    100 TB shape: customer-keyed agg, a dimension-scale ntile sort, and
+    the cumsum over exactly 10 rows; total broadcasts."""
+    spend = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("cust")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tiled = spend.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "cust")).alias("decile"),
+    )
+    per_decile = tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = per_decile.agg(F.sum("cents").cast("long").alias("total"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_decile.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_cust",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+        F.expr(
+            "CAST(1000000 * sum(cents) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " DIV total AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_biased_walks — node2vec-style second-order weighted walks
+# --------------------------------------------------------------------------
+def _biased_walks_oracle(n_biased: int = 2) -> str:
+    """Unrolled second-order walk chain: step 0 is the uniform pick; each
+    biased step weighs candidates 1 (return to prev) / 4 (triangle-closing
+    neighbor of prev) / 2 (exploration), cumsums them in neighbor order,
+    and selects by md5 mod total-weight."""
+    head = """
+    WITH raw AS (
+      SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 1500 AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    und AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+    adj AS (
+      SELECT src AS v, dst AS nbr,
+             row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk
+      FROM und
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    w0 AS (
+      SELECT a AS start, CAST(k AS BIGINT) AS walk_id, a AS v0
+      FROM (SELECT DISTINCT a FROM raw), generate_series(0, 1) t(k)
+    ),
+    w1 AS (
+      SELECT w.start, w.walk_id, w.v0, a.nbr AS v1
+      FROM w0 w
+      JOIN deg ON deg.v = w.v0
+      JOIN adj a ON a.v = w.v0
+       AND a.rnk = 1 + ('0x' || substring(md5(
+             CAST(w.v0 AS VARCHAR) || '|0|' || CAST(w.walk_id AS VARCHAR)
+             || '|bw'), 1, 8))::BIGINT % deg.d
+    )"""
+    parts = [head]
+    for s in range(n_biased):
+        prev, cur, nxt = f"v{s}", f"v{s + 1}", f"v{s + 2}"
+        carried = ", ".join(f"w.v{i}" for i in range(s + 2))
+        parts.append(
+            f""",
+    cand{s} AS (
+      SELECT {carried}, w.start, w.walk_id, a.nbr,
+             CASE WHEN a.nbr = w.{prev} THEN 1
+                  WHEN e.src IS NOT NULL THEN 4
+                  ELSE 2 END AS wt
+      FROM w{s + 1} w
+      JOIN adj a ON a.v = w.{cur}
+      LEFT JOIN und e ON e.src = w.{prev} AND e.dst = a.nbr
+    ),
+    cum{s} AS (
+      SELECT *,
+             SUM(wt) OVER (PARTITION BY start, walk_id ORDER BY nbr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY start, walk_id) AS tw
+      FROM cand{s}
+    ),
+    w{s + 2} AS (
+      SELECT {carried.replace('w.', '')}, start, walk_id, nbr AS {nxt}
+      FROM cum{s} w
+      WHERE cw > ('0x' || substring(md5(
+              CAST({prev} AS VARCHAR) || '|' || CAST({cur} AS VARCHAR)
+              || '|{s + 1}|' || CAST(walk_id AS VARCHAR) || '|bw'), 1, 8))::BIGINT
+              % tw
+        AND cw - wt <= ('0x' || substring(md5(
+              CAST({prev} AS VARCHAR) || '|' || CAST({cur} AS VARCHAR)
+              || '|{s + 1}|' || CAST(walk_id AS VARCHAR) || '|bw'), 1, 8))::BIGINT
+              % tw
+    )"""
+        )
+    cols = ", ".join(f"CAST(v{i} AS BIGINT) AS v{i}" for i in range(n_biased + 2))
+    parts.append(
+        f"""
+    SELECT CAST(start AS BIGINT) AS start, walk_id, {cols}
+    FROM w{n_biased + 1}"""
+    )
+    return "".join(parts)
+
+
+@register("graph_biased_walks", oracle=_biased_walks_oracle())
+def graph_biased_walks_q(spark, sf_dir):
+    """node2vec-style SECOND-ORDER biased walks (Grover & Leskovec 2016):
+    after a uniform first hop, each step at (prev, cur) weighs cur's
+    neighbors by their relation to prev — integer weights 1 (return), 4
+    (triangle-closing neighbor of prev — the BFS-ish pull), 2 (pure
+    exploration) — and selects via md5 mod total-weight against the
+    running weight sum in neighbor order (the alias-table draw
+    re-expressed as a prefix-sum scan, exactly the trick that makes a
+    WEIGHTED categorical draw hash-deterministic and engine-portable).
+    `graph_random_walks`' uniform sampler is the p=q=1 degenerate case;
+    here the walk distribution actually depends on the previous step —
+    the property that makes node2vec embeddings tunable.
+
+    100 TB shape: each biased step = one adjacency join (candidates,
+    fanout deg(cur)) + one edge-membership LEFT join keyed on (prev,
+    nbr) + two windows on the walk partitioning + the pick filter —
+    all co-partitioned; candidate fanout at hubs is the cost (the same
+    hub economics as every wedge operator, and nprobe-style capping
+    composes if needed)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    raw = li.select(
+        F.col("l_suppkey").cast("long").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("b"),
+    ).distinct()
+    und = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    adj = und.select(
+        F.col("src").alias("v"),
+        F.col("dst").alias("nbr"),
+        F.row_number().over(Window.partitionBy("src").orderBy("dst")).alias("rnk"),
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    starts = raw.select(F.col("a").alias("start")).distinct()
+    w1pick = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("v0"), F.lit("0"), F.col("walk_id"), F.lit("bw"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("d")
+        + 1
+    )
+    cur = (
+        starts.select(
+            "start",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("walk_id"),
+            F.col("start").alias("v0"),
+        )
+        .select("start", F.col("walk_id").cast("long").alias("walk_id"), "v0")
+        .join(deg, deg.v == F.col("v0"))
+        .withColumn("pick", w1pick)
+        .drop("v", "d")
+        .join(
+            adj.select(
+                F.col("v").alias("v0"), F.col("rnk").alias("pick"), F.col("nbr").alias("v1")
+            ),
+            ["v0", "pick"],
+        )
+        .drop("pick")
+    )
+    for s in range(2):
+        prev, c, nxt = f"v{s}", f"v{s + 1}", f"v{s + 2}"
+        cand = (
+            cur.join(
+                adj.select(F.col("v").alias(c), "nbr"), c
+            )
+            .join(
+                und.select(
+                    F.col("src").alias(prev), F.col("dst").alias("nbr"), F.lit(1).alias("shared")
+                ),
+                [prev, "nbr"],
+                "left",
+            )
+            .withColumn(
+                "wt",
+                F.when(F.col("nbr") == F.col(prev), F.lit(1))
+                .when(F.col("shared").isNotNull(), F.lit(4))
+                .otherwise(F.lit(2))
+                .cast("long"),
+            )
+            .drop("shared")
+        )
+        wp = Window.partitionBy("start", "walk_id")
+        cum = cand.select(
+            "*",
+            F.sum("wt").over(wp.orderBy("nbr").rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+            F.sum("wt").over(wp).alias("tw"),
+        )
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col(prev),
+                            F.col(c),
+                            F.lit(str(s + 1)),
+                            F.col("walk_id"),
+                            F.lit("bw"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("tw")
+        )
+        cur = (
+            cum.filter((F.col("cw") > pick) & (F.col("cw") - F.col("wt") <= pick))
+            .withColumnRenamed("nbr", nxt)
+            .drop("wt", "cw", "tw")
+        )
+    return cur.select("start", "walk_id", "v0", "v1", "v2", "v3")

@@ -1772,3 +1772,64 @@ def test_split_balance_detects_shift(spark, tmp_path):
     got = {(r.split, r.event_type): r.share_ppm
            for r in QUERIES["quality_split_balance"](spark, sf).collect()}
     assert got == {("train", "old"): 1_000_000, ("test", "new"): 1_000_000}
+
+
+def test_lorenz_curve_monotone_and_ends_at_total(spark, tmp_path):
+    sf = _orders_customers(tmp_path, [1, 2, 3, 4, 5, 6, 7, 8, 9, 100])
+    rows = sorted(QUERIES["agg_lorenz_curve"](spark, sf).collect(),
+                  key=lambda r: r.decile)
+    assert len(rows) == 10 and all(r.n_cust == 1 for r in rows)
+    shares = [r.cum_share_ppm for r in rows]
+    assert shares == sorted(shares) and shares[-1] == 1_000_000
+    # the heavy tail: the last customer owns 100/145 of the spend
+    assert rows[-1].cents == 10000
+    assert shares[-2] == 1_000_000 * 45 // 145
+
+
+def test_biased_walks_match_python_reference(spark, tmp_path):
+    import hashlib
+
+    n = 60
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [3 * i for i in range(n)],
+            "l_suppkey": [i % 3 for i in range(n)],
+            "l_partkey": [i % 8 for i in range(n)],
+        },
+    )
+    rows = QUERIES["graph_biased_walks"](spark, sf).collect()
+    assert len(rows) == 6  # 3 starts x 2 walks
+
+    edges = {(i % 3, 100000 + (i % 8)) for i in range(n)}
+    und = edges | {(b, a) for (a, b) in edges}
+    from collections import defaultdict
+    adj = defaultdict(list)
+    for s, d in und:
+        adj[s].append(d)
+    for v in adj:
+        adj[v].sort()
+    eset = set(und)
+
+    def uniform_pick(v, step, wid):
+        u = int(hashlib.md5(f"{v}|{step}|{wid}|bw".encode()).hexdigest()[:8], 16)
+        return adj[v][u % len(adj[v])]
+
+    def biased_pick(prev, cur, step, wid):
+        cands = adj[cur]
+        wts = [1 if x == prev else (4 if (prev, x) in eset else 2) for x in cands]
+        total = sum(wts)
+        u = int(hashlib.md5(f"{prev}|{cur}|{step}|{wid}|bw".encode()).hexdigest()[:8], 16) % total
+        c = 0
+        for x, w in zip(cands, wts):
+            c += w
+            if c > u:
+                return x
+        raise AssertionError
+
+    for r in rows:
+        v1 = uniform_pick(r.v0, 0, r.walk_id)
+        v2 = biased_pick(r.v0, v1, 1, r.walk_id)
+        v3 = biased_pick(v1, v2, 2, r.walk_id)
+        assert (r.v1, r.v2, r.v3) == (v1, v2, v3)

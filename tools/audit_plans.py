@@ -220,6 +220,9 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the grand event total is ONE broadcast row attached to the
     # 168-cell heatmap (the agg_drift_tvd pattern).
     "temporal_activity_heatmap": {"CARTESIAN"},
+    # (round 7) the spend grand total is ONE broadcast row attached to the
+    # 10-row decile rollup (the agg_drift_tvd pattern).
+    "agg_lorenz_curve": {"CARTESIAN"},
 }
 
 
