@@ -127,6 +127,7 @@ _PRIORITY = [
     "temporal_activity_heatmap", "sample_split_chronological",
     "quality_split_balance",
     "agg_lorenz_curve", "graph_biased_walks",
+    "embedding_farthest_point_init", "temporal_local_peaks",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

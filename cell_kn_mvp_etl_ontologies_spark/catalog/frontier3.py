@@ -5540,3 +5540,172 @@ def graph_biased_walks_q(spark, sf_dir):
             .drop("wt", "cw", "tw")
         )
     return cur.select("start", "walk_id", "v0", "v1", "v2", "v3")
+
+
+# --------------------------------------------------------------------------
+# embedding_farthest_point_init — deterministic k-center / k-means++ seeds
+# --------------------------------------------------------------------------
+def _fpi_oracle(n_rounds: int = 3) -> str:
+    """Unrolled farthest-point traversal: seed 0 is the min vec_id; each
+    round adds the point maximizing its distance to the NEAREST chosen
+    seed (ties to the smaller id)."""
+    head = """
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+    ),
+    q AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    s0 AS (SELECT MIN(vec_id) AS seed FROM corpus),
+    seeds0 AS (SELECT seed, 0 AS round FROM s0)"""
+    parts = [head]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+    d{r} AS (
+      SELECT x.vec_id, MIN(dd.d2) AS near_d2
+      FROM (SELECT DISTINCT vec_id FROM q
+            WHERE vec_id NOT IN (SELECT seed FROM seeds{r - 1})) x
+      JOIN (
+        SELECT a.vec_id, s.seed,
+               CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+        FROM q a
+        JOIN seeds{r - 1} s ON TRUE
+        JOIN q b ON b.vec_id = s.seed AND b.i = a.i
+        GROUP BY a.vec_id, s.seed
+      ) dd ON dd.vec_id = x.vec_id
+      GROUP BY x.vec_id
+    ),
+    pick{r} AS (
+      SELECT vec_id AS seed, {r} AS round FROM d{r}
+      ORDER BY near_d2 DESC, vec_id ASC LIMIT 1
+    ),
+    seeds{r} AS (
+      SELECT seed, round FROM seeds{r - 1}
+      UNION ALL SELECT seed, round FROM pick{r}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(seed AS BIGINT) AS seed, CAST(round AS BIGINT) AS round
+    FROM seeds{n_rounds}"""
+    )
+    return "".join(parts)
+
+
+@register("embedding_farthest_point_init", oracle=_fpi_oracle())
+def embedding_farthest_point_init_q(spark, sf_dir):
+    """Deterministic farthest-point initialization (Gonzalez k-center /
+    the deterministic cousin of k-means++ seeding): seed 0 is the
+    smallest id, each of 3 rounds adds the vector farthest from its
+    NEAREST already-chosen seed — argmax by (min-distance DESC, id ASC),
+    the deterministic-argmax doctrine, on the same HALF_UP-quantized
+    int64 distances as the ANN chain.  This is the coverage-maximizing
+    seed set that makes `cluster_kmeans` / IVF training reproducible
+    (random init is exactly what the no-RNG doctrine forbids), and
+    Gonzalez's guarantee (2-approx for k-center) comes with it.
+
+    100 TB shape: the bounded-driver-loop doctrine (BPE/PageRank/kmeans):
+    per round, distances to <= k seeds are an in-row fold over a
+    BROADCAST seed matrix (corpus never shuffles), the argmax is
+    orderBy().limit(1) — TakeOrdered, one row collected per round, k
+    rounds total."""
+    from ..operators.similarity import quantize_vec
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("qv")
+    ).localCheckpoint(eager=True)
+    first = em.orderBy("vec_id").limit(1).collect()[0]
+    seeds = [(int(first["vec_id"]), 0, list(first["qv"]))]
+    for r in range(1, 4):
+        seed_arr = F.array(
+            *[
+                F.array(*[F.lit(int(x)) for x in qv])
+                for (_, _, qv) in seeds
+            ]
+        )
+        chosen_ids = [s for (s, _, _) in seeds]
+        near = em.filter(~F.col("vec_id").isin(chosen_ids)).select(
+            "vec_id",
+            F.array_min(
+                F.transform(
+                    seed_arr,
+                    lambda s: F.aggregate(
+                        F.zip_with(F.col("qv"), s, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ),
+                )
+            ).alias("near_d2"),
+        )
+        pick = near.orderBy(F.desc("near_d2"), F.asc("vec_id")).limit(1).collect()[0]
+        chosen = em.filter(F.col("vec_id") == int(pick["vec_id"])).collect()[0]
+        seeds.append((int(chosen["vec_id"]), r, list(chosen["qv"])))
+    return spark.createDataFrame(
+        [(s, r) for (s, r, _) in seeds], "seed long, round long"
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal_local_peaks — prominence-filtered local maxima
+# --------------------------------------------------------------------------
+@register(
+    "temporal_local_peaks",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS x,
+             lag(CAST(FLOOR(value * 1000) AS BIGINT))
+               OVER w AS px,
+             lead(CAST(FLOOR(value * 1000) AS BIGINT))
+               OVER w AS nx
+      FROM events WHERE user_id < 60
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           x, px, nx,
+           CAST(x - greatest(px, nx) AS BIGINT) AS prominence
+    FROM seq
+    WHERE px IS NOT NULL AND nx IS NOT NULL
+      AND x > px AND x > nx AND x - greatest(px, nx) >= 100
+    """,
+)
+def temporal_local_peaks_q(spark, sf_dir):
+    """Local-peak detection with a prominence floor: interior points
+    strictly above BOTH neighbors by at least 0.1 (100 milli-units) —
+    the spike extractor behind alert-on-peak telemetry and the
+    discrete counterpart of `temporal_rolling_anomaly`'s windowed z-test
+    (that flags statistical outliers; this finds geometric peaks, and a
+    point can be either without being the other).  Strict inequality +
+    the integer prominence threshold make the peak set reproducible on
+    plateaus (a flat-top plateau has NO strict peak — documented
+    semantics, not an accident).
+
+    100 TB shape: one lag + one lead over the SAME user-key window
+    (single Window operator, one exchange); the filter is codegen."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.floor(F.col("value") * 1000).cast("long")
+    seq = _t(spark, sf_dir, "events").filter(F.col("user_id") < 60).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        x.alias("x"),
+        F.lag(x).over(w).alias("px"),
+        F.lead(x).over(w).alias("nx"),
+    )
+    return seq.filter(
+        F.col("px").isNotNull()
+        & F.col("nx").isNotNull()
+        & (F.col("x") > F.col("px"))
+        & (F.col("x") > F.col("nx"))
+        & (F.col("x") - F.greatest("px", "nx") >= 100)
+    ).select(
+        "user_id",
+        "event_id",
+        "x",
+        "px",
+        "nx",
+        (F.col("x") - F.greatest("px", "nx")).cast("long").alias("prominence"),
+    )

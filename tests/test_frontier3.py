@@ -1833,3 +1833,49 @@ def test_biased_walks_match_python_reference(spark, tmp_path):
         v2 = biased_pick(r.v0, v1, 1, r.walk_id)
         v3 = biased_pick(v1, v2, 2, r.walk_id)
         assert (r.v1, r.v2, r.v3) == (v1, v2, v3)
+
+
+def test_farthest_point_init_spreads(spark, tmp_path):
+    # three clusters on a line at 0, 10, 20 (in embedding space); seed 0 is
+    # the min id (cluster A), rounds must jump to the far cluster first
+    vecs, ids = [], []
+    for i in range(10):
+        ids.append(i);        vecs.append([0.0, 0.0])     # cluster A
+        ids.append(100 + i);  vecs.append([10.0, 0.0])    # cluster B
+        ids.append(200 + i);  vecs.append([20.0, 0.0])    # cluster C
+    sf = _write(
+        tmp_path,
+        "embeddings",
+        {"vec_id": ids, "embedding": vecs, "label": [0] * len(ids)},
+    )
+    rows = sorted(QUERIES["embedding_farthest_point_init"](spark, sf).collect(),
+                  key=lambda r: r.round)
+    assert rows[0].seed == 0              # min id
+    assert rows[1].seed == 200            # farthest cluster, smallest id
+    assert rows[2].seed == 100            # middle cluster maximizes min-dist
+    # round 3: all clusters covered; farthest remaining point is any
+    # cluster member at distance 0? No — every point is AT a seed now, so
+    # the max near_d2 is 0 and the tie-break picks the smallest unpicked id
+    assert rows[3].seed == 1
+
+
+def test_local_peaks_prominence_floor(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # series: 1, 5, 1, 1.05, 1  -> peak at idx1 (prom 4000), idx3 too weak
+    vals = [1.0, 5.0, 1.0, 1.05, 1.0]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(5)),
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1, 0, i) for i in range(5)]),
+            "user_id": [1] * 5,
+            "event_type": ["click"] * 5,
+            "value": vals,
+        },
+    )
+    rows = QUERIES["temporal_local_peaks"](spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].event_id == 1 and rows[0].prominence == 4000
