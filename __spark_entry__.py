@@ -128,6 +128,8 @@ _PRIORITY = [
     "quality_split_balance",
     "agg_lorenz_curve", "graph_biased_walks",
     "embedding_farthest_point_init", "temporal_local_peaks",
+    "cluster_kmeans_inertia_ab", "agg_attribution_lookback_sweep",
+    "embedding_label_separation",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

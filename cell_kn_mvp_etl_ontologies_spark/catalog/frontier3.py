@@ -5709,3 +5709,361 @@ def temporal_local_peaks_q(spark, sf_dir):
         "nx",
         (F.col("x") - F.greatest("px", "nx")).cast("long").alias("prominence"),
     )
+
+
+# --------------------------------------------------------------------------
+# cluster_kmeans_inertia_ab — seed-quality A/B, measured not assumed
+# --------------------------------------------------------------------------
+@register(
+    "cluster_kmeans_inertia_ab",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+    ),
+    q AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    s0 AS (SELECT MIN(vec_id) AS seed FROM corpus),
+    seeds0 AS (SELECT seed, 0 AS round FROM s0),
+    d1 AS (
+      SELECT x.vec_id, MIN(dd.d2) AS near_d2
+      FROM (SELECT DISTINCT vec_id FROM q
+            WHERE vec_id NOT IN (SELECT seed FROM seeds0)) x
+      JOIN (
+        SELECT a.vec_id, s.seed,
+               CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+        FROM q a JOIN seeds0 s ON TRUE
+        JOIN q b ON b.vec_id = s.seed AND b.i = a.i
+        GROUP BY a.vec_id, s.seed
+      ) dd ON dd.vec_id = x.vec_id GROUP BY x.vec_id
+    ),
+    pick1 AS (SELECT vec_id AS seed, 1 AS round FROM d1
+              ORDER BY near_d2 DESC, vec_id ASC LIMIT 1),
+    seeds1 AS (SELECT * FROM seeds0 UNION ALL SELECT * FROM pick1),
+    d2r AS (
+      SELECT x.vec_id, MIN(dd.d2) AS near_d2
+      FROM (SELECT DISTINCT vec_id FROM q
+            WHERE vec_id NOT IN (SELECT seed FROM seeds1)) x
+      JOIN (
+        SELECT a.vec_id, s.seed,
+               CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+        FROM q a JOIN seeds1 s ON TRUE
+        JOIN q b ON b.vec_id = s.seed AND b.i = a.i
+        GROUP BY a.vec_id, s.seed
+      ) dd ON dd.vec_id = x.vec_id GROUP BY x.vec_id
+    ),
+    pick2 AS (SELECT vec_id AS seed, 2 AS round FROM d2r
+              ORDER BY near_d2 DESC, vec_id ASC LIMIT 1),
+    seeds2 AS (SELECT * FROM seeds1 UNION ALL SELECT * FROM pick2),
+    pick3 AS (
+      SELECT vec_id AS seed, 3 AS round FROM (
+        SELECT x.vec_id, MIN(dd.d2) AS near_d2
+        FROM (SELECT DISTINCT vec_id FROM q
+              WHERE vec_id NOT IN (SELECT seed FROM seeds2)) x
+        JOIN (
+          SELECT a.vec_id, s.seed,
+                 CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+          FROM q a JOIN seeds2 s ON TRUE
+          JOIN q b ON b.vec_id = s.seed AND b.i = a.i
+          GROUP BY a.vec_id, s.seed
+        ) dd ON dd.vec_id = x.vec_id GROUP BY x.vec_id
+      ) ORDER BY near_d2 DESC, vec_id ASC LIMIT 1
+    ),
+    fpi AS (
+      SELECT seed FROM seeds2 UNION ALL SELECT seed FROM pick3
+    ),
+    naive AS (
+      SELECT vec_id AS seed FROM corpus ORDER BY vec_id LIMIT 4
+    ),
+    inertia AS (
+      SELECT 'fpi' AS seeding,
+             CAST(SUM(near) AS BIGINT) AS inertia
+      FROM (
+        SELECT a.vec_id, MIN(
+          (SELECT CAST(SUM((x.v - y.v) * (x.v - y.v)) AS BIGINT)
+           FROM q x JOIN q y ON y.vec_id = s.seed AND y.i = x.i
+           WHERE x.vec_id = a.vec_id)) AS near
+        FROM (SELECT DISTINCT vec_id FROM q) a CROSS JOIN fpi s
+        GROUP BY a.vec_id
+      )
+      UNION ALL
+      SELECT 'naive',
+             CAST(SUM(near) AS BIGINT)
+      FROM (
+        SELECT a.vec_id, MIN(
+          (SELECT CAST(SUM((x.v - y.v) * (x.v - y.v)) AS BIGINT)
+           FROM q x JOIN q y ON y.vec_id = s.seed AND y.i = x.i
+           WHERE x.vec_id = a.vec_id)) AS near
+        FROM (SELECT DISTINCT vec_id FROM q) a CROSS JOIN naive s
+        GROUP BY a.vec_id
+      )
+    )
+    SELECT seeding, inertia FROM inertia
+    """,
+)
+def cluster_kmeans_inertia_ab_q(spark, sf_dir):
+    """Seed-quality A/B, measured not assumed: total inertia (sum over
+    the corpus of squared distance to the nearest seed) under
+    `embedding_farthest_point_init`'s 4 seeds VS the naive first-4-ids
+    seeding — the two-row table that justifies paying for coverage-aware
+    initialization (the OPQ-vs-PQ recall-A/B doctrine applied to
+    clustering).  All distances the ANN chain's HALF_UP int64; both
+    seeding's inertias exact, so the comparison is a pure integer
+    ordering, hash-gated.
+
+    100 TB shape: both inertia passes are in-row folds over a broadcast
+    4-seed matrix (corpus never shuffles) + one global sum; the FPI
+    seed derivation is the bounded driver loop documented on the
+    operator."""
+    from ..operators.similarity import quantize_vec
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("qv")
+    ).localCheckpoint(eager=True)
+    fpi_seeds = [
+        int(r["seed"])
+        for r in embedding_farthest_point_init_q(spark, sf_dir).collect()
+    ]
+    naive_seeds = [
+        int(r["vec_id"]) for r in em.orderBy("vec_id").limit(4).collect()
+    ]
+    seed_vecs = {
+        int(r["vec_id"]): list(r["qv"])
+        for r in em.filter(F.col("vec_id").isin(fpi_seeds + naive_seeds)).collect()
+    }
+
+    def inertia(seed_ids, label):
+        arr = F.array(
+            *[F.array(*[F.lit(int(x)) for x in seed_vecs[s]]) for s in seed_ids]
+        )
+        near = em.select(
+            F.array_min(
+                F.transform(
+                    arr,
+                    lambda s: F.aggregate(
+                        F.zip_with(F.col("qv"), s, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ),
+                )
+            ).alias("near")
+        )
+        return near.agg(F.sum("near").cast("long").alias("inertia")).select(
+            F.lit(label).alias("seeding"), "inertia"
+        )
+
+    return inertia(fpi_seeds, "fpi").unionByName(inertia(naive_seeds, "naive"))
+
+
+# --------------------------------------------------------------------------
+# agg_attribution_lookback_sweep — the lookback knob, measured
+# --------------------------------------------------------------------------
+def _lookback_oracle() -> str:
+    selects = []
+    for h in (1, 2, 4):
+        selects.append(
+            f"""
+    SELECT {h} AS lookback_h,
+           CAST(COUNT(DISTINCT c.conv_event) AS BIGINT) AS n_attributed,
+           CAST(COUNT(*) AS BIGINT) AS n_touch_pairs
+    FROM conv c JOIN touch t
+      ON t.user_id = c.user_id
+     AND t.touch_ts < c.conv_ts
+     AND t.touch_ts >= c.conv_ts - INTERVAL {h} HOUR"""
+        )
+    return (
+        """
+    WITH conv AS (
+      SELECT event_id AS conv_event, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS touch_event, user_id, ts AS touch_ts
+      FROM events WHERE event_type IN ('click', 'view')
+    )"""
+        + " UNION ALL ".join(selects)
+    )
+
+
+@register("agg_attribution_lookback_sweep", oracle=_lookback_oracle())
+def agg_attribution_lookback_sweep_q(spark, sf_dir):
+    """Attribution-lookback sensitivity sweep: attributed conversions and
+    touch pairs at 1 h / 2 h / 4 h windows — the knob-tuning evidence for
+    `agg_attribution_linear`'s lookback parameter, read together with
+    `agg_funnel_time_to_convert`'s latency distribution (the sweep shows
+    what each window CAPTURES; the distribution shows what it SHOULD).
+    The marginal rows between consecutive windows are the conversions a
+    tighter budget would orphan.
+
+    100 TB shape: ONE bucketed interval join at the WIDEST window (4 h
+    buckets, {b-1, b} fanout), then each narrower window is a FILTER over
+    the same joined rows — three sweep points for one join's cost, never
+    three joins."""
+    ev = _t(spark, sf_dir, "events")
+    widest = 14400
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_event"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.floor(F.unix_timestamp("ts") / widest).cast("long").alias("bucket"),
+    )
+    conv_fan = conv.select(
+        "conv_event",
+        "user_id",
+        "conv_ts",
+        F.explode(
+            F.array(
+                (F.floor(F.unix_timestamp("conv_ts") / widest) - 1).cast("long"),
+                F.floor(F.unix_timestamp("conv_ts") / widest).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    joined = (
+        conv_fan.join(touch, ["user_id", "bucket"])
+        .filter(
+            (F.col("touch_ts") < F.col("conv_ts"))
+            & (
+                F.col("touch_ts")
+                >= F.col("conv_ts") - F.expr("INTERVAL 4 HOURS")
+            )
+        )
+        .select(
+            "conv_event",
+            (
+                F.unix_timestamp("conv_ts").cast("long")
+                - F.unix_timestamp("touch_ts").cast("long")
+            ).alias("gap_s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for h in (1, 2, 4):
+        outs.append(
+            joined.filter(F.col("gap_s") <= h * 3600).agg(
+                F.lit(h).cast("int").alias("lookback_h"),
+                F.countDistinct("conv_event").cast("long").alias("n_attributed"),
+                F.count(F.lit(1)).cast("long").alias("n_touch_pairs"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# --------------------------------------------------------------------------
+# embedding_label_separation — class-separability audit on sampled pairs
+# --------------------------------------------------------------------------
+@register(
+    "embedding_label_separation",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 400
+    ),
+    n_vecs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS ia,
+             ('0x' || substring(md5(CAST(a.vec_id AS VARCHAR) || '|'
+                                    || CAST(k.k AS VARCHAR) || '|ls'), 1, 8))::BIGINT
+               % nv.n AS ib
+      FROM corpus a CROSS JOIN n_vecs nv, generate_series(0, 3) k(k)
+    ),
+    keep AS (SELECT ia, ib FROM pairs WHERE ia <> ib),
+    q AS (
+      SELECT vec_id, label, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    dists AS (
+      SELECT p.ia, p.ib,
+             MIN(x.label) = MIN(y.label) AS same_label,
+             CAST(SUM((x.v - y.v) * (x.v - y.v)) AS BIGINT) AS d2
+      FROM keep p
+      JOIN q x ON x.vec_id = p.ia
+      JOIN q y ON y.vec_id = p.ib AND y.i = x.i
+      GROUP BY p.ia, p.ib
+    )
+    SELECT same_label,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(d2) AS BIGINT) AS sum_d2,
+           CAST(MIN(d2) AS BIGINT) AS min_d2,
+           CAST(MAX(d2) AS BIGINT) AS max_d2
+    FROM dists GROUP BY same_label
+    """,
+)
+def embedding_label_separation_q(spark, sf_dir):
+    """Class-separability audit: over the deterministic md5-ring pair
+    sample, squared distances split by SAME-label vs CROSS-label — a
+    useful embedding has cross-label mean distance well above same-label
+    (the Fisher-criterion numerator/denominator as exact sums; the
+    consumer's ratio sum_d2·n_other vs sum_d2_other·n is a pure integer
+    comparison).  The supervised companion of
+    `embedding_distance_histogram`'s unsupervised collapse check —
+    together they answer 'is the space healthy' and 'does it know the
+    labels'.
+
+    100 TB shape: identical sampling economics to the histogram (4
+    draws/vector, never quadratic); labels ride the sampled rows; the
+    two-group rollup is map-side."""
+    from ..operators.similarity import quantize_vec
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400).select(
+        "vec_id", "label", quantize_vec(F.col("embedding")).alias("qv")
+    ).localCheckpoint(eager=True)
+    nv = em.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        em.select("vec_id")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            F.col("vec_id").alias("ia"),
+            F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"),
+            "n",
+        )
+        .select(
+            "ia",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col("ia"), F.col("k"), F.lit("ls"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("ib"),
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        .distinct()
+    )
+    x = em.select(
+        F.col("vec_id").alias("ia"), F.col("label").alias("la"), F.col("qv").alias("qa")
+    )
+    y = em.select(
+        F.col("vec_id").alias("ib"), F.col("label").alias("lb"), F.col("qv").alias("qb")
+    )
+    dists = (
+        pairs.join(x, "ia")
+        .join(y, "ib")
+        .select(
+            (F.col("la") == F.col("lb")).alias("same_label"),
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+    return dists.groupBy("same_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("d2").cast("long").alias("sum_d2"),
+        F.min("d2").alias("min_d2"),
+        F.max("d2").alias("max_d2"),
+    )

@@ -1879,3 +1879,65 @@ def test_local_peaks_prominence_floor(spark, tmp_path):
     rows = QUERIES["temporal_local_peaks"](spark, sf).collect()
     assert len(rows) == 1
     assert rows[0].event_id == 1 and rows[0].prominence == 4000
+
+
+def test_inertia_ab_fpi_beats_naive_on_clusters(spark, tmp_path):
+    # three tight line clusters: naive first-4 seeds all in cluster A,
+    # FPI covers all clusters -> FPI inertia strictly lower
+    vecs, ids = [], []
+    for i in range(10):
+        ids.append(i);        vecs.append([0.0, 0.0])
+        ids.append(100 + i);  vecs.append([10.0, 0.0])
+        ids.append(200 + i);  vecs.append([20.0, 0.0])
+    sf = _write(
+        tmp_path,
+        "embeddings",
+        {"vec_id": ids, "embedding": vecs, "label": [0] * len(ids)},
+    )
+    got = {r.seeding: r.inertia
+           for r in QUERIES["cluster_kmeans_inertia_ab"](spark, sf).collect()}
+    # FPI covers every cluster -> inertia 0; naive seeds sit in cluster A
+    assert got["fpi"] == 0
+    assert got["naive"] > 0
+
+
+def test_lookback_sweep_monotone(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t0 - dt.timedelta(minutes=30), "click"),   # inside 1h
+        (2, t0 - dt.timedelta(minutes=90), "view"),    # inside 2h only
+        (3, t0 - dt.timedelta(hours=3), "click"),      # inside 4h only
+        (4, t0, "purchase"),
+    ]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [1] * 4,
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * 4,
+        },
+    )
+    got = {r.lookback_h: (r.n_attributed, r.n_touch_pairs)
+           for r in QUERIES["agg_attribution_lookback_sweep"](spark, sf).collect()}
+    assert got == {1: (1, 1), 2: (1, 2), 4: (1, 3)}
+
+
+def test_label_separation_clustered_labels(spark, tmp_path):
+    # label 0 near origin, label 1 far away: cross-label pairs dominate
+    ids = list(range(40))
+    vecs = [[0.0, 0.0]] * 20 + [[10.0, 10.0]] * 20
+    sf = _write(
+        tmp_path,
+        "embeddings",
+        {"vec_id": ids, "embedding": vecs, "label": [0] * 20 + [1] * 20},
+    )
+    got = {r.same_label: r for r in QUERIES["embedding_label_separation"](spark, sf).collect()}
+    # same-label pairs are all distance 0; cross-label all 2*(10000)^2
+    assert got[True].sum_d2 == 0
+    assert got[False].min_d2 == got[False].max_d2 == 2 * 10_000 ** 2

@@ -223,6 +223,10 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the spend grand total is ONE broadcast row attached to the
     # 10-row decile rollup (the agg_drift_tvd pattern).
     "agg_lorenz_curve": {"CARTESIAN"},
+    # (round 7) the vector count N is ONE broadcast row attached to each
+    # anchor before the 4-draw md5 ring (the embedding_distance_histogram
+    # pattern).
+    "embedding_label_separation": {"CARTESIAN"},
 }
 
 
