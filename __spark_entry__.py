@@ -130,6 +130,8 @@ _PRIORITY = [
     "embedding_farthest_point_init", "temporal_local_peaks",
     "cluster_kmeans_inertia_ab", "agg_attribution_lookback_sweep",
     "embedding_label_separation",
+    "join_point_in_time_features", "quality_split_leakage",
+    "fn_target_encode_oof",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

@@ -6067,3 +6067,260 @@ def embedding_label_separation_q(spark, sf_dir):
         F.min("d2").alias("min_d2"),
         F.max("d2").alias("max_d2"),
     )
+
+
+# --------------------------------------------------------------------------
+# join_point_in_time_features — leakage-free feature-store join
+# --------------------------------------------------------------------------
+@register(
+    "join_point_in_time_features",
+    oracle="""
+    WITH feats AS (
+      SELECT o_custkey AS user_id, o_orderdate AS ft,
+             row_number() OVER w AS n_orders,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER w
+               AS spend_cents,
+             row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                ORDER BY o_orderkey DESC) AS rn_at_ts
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    snap AS (
+      SELECT user_id, ft, MAX(n_orders) AS n_orders,
+             MAX(spend_cents) AS spend_cents
+      FROM feats GROUP BY user_id, ft
+    ),
+    labels AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id,
+           CAST(COALESCE(s.n_orders, 0) AS BIGINT) AS n_orders_asof,
+           CAST(COALESCE(s.spend_cents, 0) AS BIGINT) AS spend_cents_asof
+    FROM labels l
+    ASOF LEFT JOIN snap s ON l.user_id = s.user_id AND l.ts >= s.ft
+    """,
+)
+def join_point_in_time_features_q(spark, sf_dir):
+    """Point-in-time-correct feature join — the feature-store core: each
+    label event (purchase) is enriched with the user's order count and
+    cumulative spend AS OF the label timestamp, never after it (training
+    on post-label state is the leakage that makes offline metrics lie).
+    Features are running aggregates snapshotted at each order time (one
+    cumulative window, deduped to the last value per (user, ts)); the
+    enrichment is the as-of carry-forward — composing the repo's two
+    primitives into the pattern every training-example assembler runs.
+    Absent history = COALESCE 0, the documented cold-start encoding.
+
+    100 TB shape: the feature timeline is one user-keyed window; the PIT
+    join is the as-of union + carry-forward (never a range cross
+    product); multi-feature-table assembly repeats the same shape per
+    table on the shared user partitioning."""
+    from ..operators.asof import join_asof
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    feats = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ft"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).over(w).alias(
+            "spend_cents"
+        ),
+    )
+    snap = feats.groupBy("user_id", "ft").agg(
+        F.max("n_orders").alias("n_orders"),
+        F.max("spend_cents").alias("spend_cents"),
+    ).select(
+        "user_id",
+        "ft",
+        F.struct(F.col("n_orders").alias("n"), F.col("spend_cents").alias("s")).alias(
+            "packed"
+        ),
+    )
+    labels = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    out = join_asof(
+        labels,
+        snap,
+        on="user_id",
+        left_time="ts",
+        right_time="ft",
+        right_value="packed",
+        out_col="m",
+    )
+    return out.select(
+        "event_id",
+        F.coalesce(F.col("m.n"), F.lit(0)).cast("long").alias("n_orders_asof"),
+        F.coalesce(F.col("m.s"), F.lit(0)).cast("long").alias("spend_cents_asof"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_split_leakage — duplicated content across train/test
+# --------------------------------------------------------------------------
+@register(
+    "quality_split_leakage",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30
+    ),
+    tagged AS (
+      SELECT doc_id, sha256(text) AS h,
+             CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                        || '|splitv1'), 1, 8))::BIGINT % 10 < 8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM corpus
+    ),
+    sides AS (
+      SELECT h,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test
+      FROM tagged GROUP BY h
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_contents,
+           CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked_contents,
+           CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN n_test
+                    ELSE 0 END) AS BIGINT) AS n_test_rows_leaked
+    FROM sides
+    """,
+)
+def quality_split_leakage_q(spark, sf_dir):
+    """Split-leakage audit: content hashes appearing in BOTH the train
+    and test sides of the md5 split — the self-contamination check
+    (`contamination_ngram` guards against external benchmarks; this
+    guards against your own duplicates crossing the split, the failure
+    that inflates every offline metric).  Planted duplicate texts under
+    DIFFERENT doc_ids land on different split sides with probability
+    2·0.8·0.2, so the gate output is non-trivially positive.  The fix is
+    upstream dedup-then-split — this audit is the regression test that
+    the fix stays in place.
+
+    100 TB shape: the split tag is a pure md5 projection; ONE digest
+    aggregate carries both side counters (the exchange is digests +
+    counters); the verdict is a 3-counter fold."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    tagged = corpus.select(
+        F.sha2("text", 256).alias("h"),
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("doc_id"), F.lit("splitv1"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 8,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    sides = tagged.groupBy("h").agg(
+        F.sum((F.col("split") == "train").cast("long")).cast("long").alias("n_train"),
+        F.sum((F.col("split") == "test").cast("long")).cast("long").alias("n_test"),
+    )
+    leaked = (F.col("n_train") > 0) & (F.col("n_test") > 0)
+    return sides.agg(
+        F.count(F.lit(1)).cast("long").alias("n_contents"),
+        F.sum(leaked.cast("long")).cast("long").alias("n_leaked_contents"),
+        F.sum(F.when(leaked, F.col("n_test")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_test_rows_leaked"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_target_encode_oof — leakage-free out-of-fold target encoding
+# --------------------------------------------------------------------------
+@register(
+    "fn_target_encode_oof",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS cat,
+             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                      || '|tefold'), 1, 8))::BIGINT % 5 AS fold,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    per_fold AS (
+      SELECT cat, CAST(fold AS BIGINT) AS fold,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM base GROUP BY cat, fold
+    ),
+    cat_tot AS (
+      SELECT cat, CAST(SUM(n) AS BIGINT) AS n_all,
+             CAST(SUM(pos) AS BIGINT) AS pos_all
+      FROM per_fold GROUP BY cat
+    )
+    SELECT p.cat, p.fold,
+           CAST(t.n_all - p.n AS BIGINT) AS n_oof,
+           CAST(t.pos_all - p.pos AS BIGINT) AS pos_oof,
+           CAST(1000000 * (t.pos_all - p.pos) // (t.n_all - p.n) AS BIGINT)
+             AS te_ppm
+    FROM per_fold p JOIN cat_tot t USING (cat)
+    """,
+)
+def fn_target_encode_oof_q(spark, sf_dir):
+    """Out-of-fold target encoding — the leakage-free version of the
+    classic leaky feature: each (category, fold) cell's encoding is the
+    target rate computed from all OTHER folds (totals minus own fold —
+    the complement trick, no per-fold rescan), with deterministic md5
+    fold assignment so every engine and every retry produces the same
+    folds.  A row's feature value is then a lookup on (its category, its
+    fold) — train-time and serve-time agree by construction.  Rates in
+    truncating ppm on exact counts.
+
+    100 TB shape: one (cat, fold) hash agg (map-side collapsed to
+    |cats|x5), the category totals re-join as a broadcast, and the
+    complement arithmetic is codegen — the full encoder costs one
+    aggregate regardless of fold count."""
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("o_orderkey"), F.lit("tefold"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("fold"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    per_fold = base.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    cat_tot = per_fold.groupBy("cat").agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("pos").cast("long").alias("pos_all"),
+    )
+    return per_fold.join(F.broadcast(cat_tot), "cat").select(
+        "cat",
+        "fold",
+        (F.col("n_all") - F.col("n")).cast("long").alias("n_oof"),
+        (F.col("pos_all") - F.col("pos")).cast("long").alias("pos_oof"),
+        F.expr(
+            "CAST(1000000 * (pos_all - pos) DIV (n_all - n) AS BIGINT)"
+        ).alias("te_ppm"),
+    )
