@@ -6324,3 +6324,193 @@ def fn_target_encode_oof_q(spark, sf_dir):
             "CAST(1000000 * (pos_all - pos) DIV (n_all - n) AS BIGINT)"
         ).alias("te_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# temporal_growth_accounting — new / retained / resurrected per period
+# --------------------------------------------------------------------------
+@register(
+    "temporal_growth_accounting",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) // 21600 AS BIGINT)
+               AS period
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, period,
+             lag(period) OVER (PARTITION BY user_id ORDER BY period)
+               AS prev_period
+      FROM active
+    )
+    SELECT period,
+           CAST(SUM(CASE WHEN prev_period IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN prev_period = period - 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN prev_period IS NOT NULL
+                          AND prev_period < period - 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM tagged GROUP BY period
+    """,
+)
+def temporal_growth_accounting_q(spark, sf_dir):
+    """Growth accounting (the new/retained/resurrected decomposition every
+    growth team runs): each (user, period) activity row is classified by
+    the user's PREVIOUS active period — first ever = new, consecutive =
+    retained, gap = resurrected; churn is the complement (prev period's
+    actives minus this period's retained, a consumer-side subtraction on
+    this table).  Period = 6-hour epoch bucket sized to the synthetic
+    span (production uses weeks).  `agg_retention_cohort` slices the
+    same behavior by signup cohort; this slices it by calendar period —
+    the two standard views of one retention truth.
+
+    100 TB shape: one distinct on (user, period), one user-keyed lag
+    window, one period-cardinality census — all on a single user-key
+    exchange after the distinct."""
+    active = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_timestamp("ts").cast("long") / 21600).cast("long").alias("period"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("period")
+    tagged = active.select(
+        "period", F.lag("period").over(w).alias("prev_period")
+    )
+    # flags via when/otherwise(0), NOT boolean casts: (NULL == x) is NULL,
+    # and a period whose rows are ALL first-ever would sum to NULL where
+    # the oracle's CASE..ELSE 0 gives 0 (found differentially)
+    retained = F.when(F.col("prev_period") == F.col("period") - 1, 1).otherwise(0)
+    resurrected = F.when(
+        F.col("prev_period").isNotNull()
+        & (F.col("prev_period") < F.col("period") - 1),
+        1,
+    ).otherwise(0)
+    return tagged.groupBy("period").agg(
+        F.sum(F.col("prev_period").isNull().cast("long")).cast("long").alias("n_new"),
+        F.sum(retained).cast("long").alias("n_retained"),
+        F.sum(resurrected).cast("long").alias("n_resurrected"),
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_feature_chi2_cells — per-cell chi-square parts for feature screening
+# --------------------------------------------------------------------------
+@register(
+    "eval_feature_chi2_cells",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    cells AS (
+      SELECT cat, y, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM base GROUP BY cat, y
+    ),
+    row_tot AS (SELECT cat, CAST(SUM(obs) AS BIGINT) AS r FROM cells GROUP BY cat),
+    col_tot AS (SELECT y, CAST(SUM(obs) AS BIGINT) AS c FROM cells GROUP BY y),
+    n_tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
+    SELECT cells.cat, CAST(cells.y AS BIGINT) AS y, cells.obs, rt.r, ct.c, nt.n,
+           CAST((nt.n * cells.obs - rt.r * ct.c)
+                * (nt.n * cells.obs - rt.r * ct.c) AS BIGINT) AS dev_sq_num,
+           CAST(nt.n * rt.r * ct.c AS BIGINT) AS dev_sq_den
+    FROM cells
+    JOIN row_tot rt USING (cat) JOIN col_tot ct USING (y) CROSS JOIN n_tot nt
+    """,
+)
+def eval_feature_chi2_cells_q(spark, sf_dir):
+    """Per-cell chi-square contributions for categorical-feature screening
+    — the multi-category generalization of `quality_ab_chi2_parts`'s 2x2:
+    each (category, label) cell's deviation from independence as the
+    exact pair (N·obs − r·c)² / (N·r·c) (the cell's chi2 contribution is
+    num/(den·N) — summing the rationals is the consumer's job, and each
+    CELL's num/den already ranks which category-label combinations carry
+    the signal, which is what feature screening reads).  Bigger than
+    int64?  No: obs ≤ N ~1.5e4 at sf0.01, num ≤ (N·obs)² ~ 5e16; at
+    larger N the counts downscale to per-mille first (the chi2-parts
+    doctrine).
+
+    100 TB shape: one (cat, label) hash agg; row/col totals re-join as
+    broadcasts; all arithmetic codegen."""
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    cells = base.groupBy("cat", "y").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    row_tot = cells.groupBy("cat").agg(F.sum("obs").cast("long").alias("r"))
+    col_tot = cells.groupBy("y").agg(F.sum("obs").cast("long").alias("c"))
+    n_tot = cells.agg(F.sum("obs").cast("long").alias("n"))
+    dev = F.col("n") * F.col("obs") - F.col("r") * F.col("c")
+    return (
+        cells.join(F.broadcast(row_tot), "cat")
+        .join(F.broadcast(col_tot), "y")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "cat",
+            F.col("y").cast("long").alias("y"),
+            "obs",
+            "r",
+            "c",
+            "n",
+            (dev * dev).cast("long").alias("dev_sq_num"),
+            (F.col("n") * F.col("r") * F.col("c")).cast("long").alias("dev_sq_den"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_char_diversity — character-level entropy proxy without a log
+# --------------------------------------------------------------------------
+@register(
+    "text_char_diversity",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n
+      FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(MAX(n) AS BIGINT) AS top_char_n,
+           CAST(1000000 * MAX(n) // SUM(n) AS BIGINT) AS top_share_ppm,
+           CAST(1000000 * COUNT(*) // SUM(n) AS BIGINT) AS diversity_ppm
+    FROM freq GROUP BY doc_id
+    """,
+)
+def text_char_diversity_q(spark, sf_dir):
+    """Character-diversity profile — the log-free entropy proxy: distinct
+    character count, the top character's share, and distinct-per-char
+    ppm.  A doc whose top_share_ppm nears 1e6 is a run of one character
+    (padding, corrupted decode); near-uniform bytes (encrypted/compressed
+    blobs pasted as text) show maximal diversity with length — the
+    cheap first-pass garbage screens that `text_quality_score`'s
+    word-level features miss because they presume words exist.  Both
+    engines split on the empty pattern identically (verified: same char
+    arrays, same counts).
+
+    100 TB shape: char explode is corpus-linear with tiny rows; the
+    per-doc census collapses on (doc, char) map-side; at the corpus tier
+    the explode swaps for an in-row aggregate over split(text, '') —
+    same contract, zero shuffle."""
+    chars = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return freq.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.max("n").cast("long").alias("top_char_n"),
+        F.expr("CAST(1000000 * max(n) DIV sum(n) AS BIGINT)").alias("top_share_ppm"),
+        F.expr("CAST(1000000 * count(1) DIV sum(n) AS BIGINT)").alias(
+            "diversity_ppm"
+        ),
+    )

@@ -2041,3 +2041,76 @@ def test_target_encode_oof_complement(spark, tmp_path):
         assert r.n_oof == tot[r.cat][0] - nn
         assert r.pos_oof == tot[r.cat][1] - pp
         assert r.te_ppm == 1_000_000 * r.pos_oof // r.n_oof
+
+
+def test_growth_accounting_classification(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # periods are 6h epoch buckets; craft per-period activity:
+    # user 1: periods p, p+1, p+3  (new, retained, resurrected)
+    # user 2: period p+1 only      (new)
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    def at(periods_ahead):
+        return base + dt.timedelta(hours=6 * periods_ahead)
+    rows = [(0, 1, at(0)), (1, 1, at(1)), (2, 1, at(3)), (3, 2, at(1))]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]),
+            "user_id": [r[1] for r in rows],
+            "event_type": ["click"] * 4,
+            "value": [1.0] * 4,
+        },
+    )
+    out = sorted(QUERIES["temporal_growth_accounting"](spark, sf).collect(),
+                 key=lambda r: r.period)
+    p0 = out[0].period
+    by = {r.period - p0: (r.n_new, r.n_retained, r.n_resurrected, r.n_active)
+          for r in out}
+    assert by[0] == (1, 0, 0, 1)      # user 1 new
+    assert by[1] == (1, 1, 0, 2)      # user 2 new, user 1 retained
+    assert by[3] == (0, 0, 1, 1)      # user 1 resurrected after the gap
+
+
+def test_chi2_cells_independence_gives_zero(spark, tmp_path):
+    import pandas as pd
+
+    # perfectly independent: every (cat, y) cell = exactly expected
+    n = 40
+    sf = _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": list(range(n)),
+            "o_custkey": [1] * n,
+            # alternate status within each category block equally
+            "o_orderstatus": ["F" if i % 2 == 0 else "O" for i in range(n)],
+            "o_totalprice": [1.0] * n,
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * n).astype("datetime64[us]"),
+            "o_orderpriority": ["A" if i < 20 else "B" for i in range(n)],
+        },
+    )
+    rows = QUERIES["eval_feature_chi2_cells"](spark, sf).collect()
+    assert all(r.dev_sq_num == 0 for r in rows)  # exact independence
+
+
+def test_char_diversity_run_vs_varied(spark, tmp_path):
+    texts = ["aaaaaaaaaa", "abcdefghij"]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": [1, 2],
+            "text": texts,
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [10, 10],
+        },
+    )
+    got = {r.doc_id: r for r in QUERIES["text_char_diversity"](spark, sf).collect()}
+    assert got[1].n_distinct_chars == 1 and got[1].top_share_ppm == 1_000_000
+    assert got[2].n_distinct_chars == 10 and got[2].top_share_ppm == 100_000
+    assert got[2].diversity_ppm == 1_000_000

@@ -227,6 +227,9 @@ WAIVERS: dict[str, set[str]] = {
     # anchor before the 4-draw md5 ring (the embedding_distance_histogram
     # pattern).
     "embedding_label_separation": {"CARTESIAN"},
+    # (round 7) the grand total N is ONE broadcast row attached to the
+    # (cat, label) cell table (the agg_drift_tvd pattern).
+    "eval_feature_chi2_cells": {"CARTESIAN"},
 }
 
 
