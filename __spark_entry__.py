@@ -133,7 +133,7 @@ _PRIORITY = [
     "join_point_in_time_features", "quality_split_leakage",
     "fn_target_encode_oof",
     "temporal_growth_accounting", "eval_feature_chi2_cells",
-    "text_char_diversity",
+    "text_char_diversity", "pairs_contrastive_dataset",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

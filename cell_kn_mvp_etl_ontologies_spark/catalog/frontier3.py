@@ -6514,3 +6514,127 @@ def text_char_diversity_q(spark, sf_dir):
             "diversity_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# pairs_contrastive_dataset — assembled positive/negative training pairs
+# --------------------------------------------------------------------------
+@register(
+    "pairs_contrastive_dataset",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30
+    ),
+    hashed AS (SELECT doc_id, sha256(text) AS h FROM corpus),
+    groups AS (
+      SELECT h, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM hashed GROUP BY h
+    ),
+    positives AS (
+      SELECT g.rep AS anchor, x.doc_id AS partner, 1 AS label
+      FROM groups g JOIN hashed x ON x.h = g.h AND x.doc_id <> g.rep
+    ),
+    n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus),
+    anchors AS (SELECT DISTINCT anchor FROM positives),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+      FROM corpus
+    ),
+    neg_draws AS (
+      SELECT a.anchor, k.k,
+             ('0x' || substring(md5(CAST(a.anchor AS VARCHAR) || '|'
+                                    || CAST(k.k AS VARCHAR) || '|cp'), 1, 8))::BIGINT
+               % nd.n AS pick
+      FROM anchors a CROSS JOIN n_docs nd, generate_series(0, 1) k(k)
+    ),
+    negatives AS (
+      SELECT d.anchor, r.doc_id AS partner, 0 AS label
+      FROM neg_draws d
+      JOIN ranked r ON r.pos = d.pick
+      JOIN hashed ha ON ha.doc_id = d.anchor
+      JOIN hashed hp ON hp.doc_id = r.doc_id
+      WHERE ha.h <> hp.h
+    )
+    SELECT CAST(anchor AS BIGINT) AS anchor, CAST(partner AS BIGINT) AS partner,
+           CAST(label AS BIGINT) AS label
+    FROM positives
+    UNION ALL
+    SELECT CAST(anchor AS BIGINT), CAST(partner AS BIGINT), CAST(label AS BIGINT)
+    FROM negatives
+    """,
+)
+def pairs_contrastive_dataset_q(spark, sf_dir):
+    """Contrastive training-pair assembly — the dataset constructor that
+    composes the repo's primitives into (anchor, partner, label) rows:
+    POSITIVES are within-duplicate-group pairs (each content group's
+    min-id representative paired with its copies — the `dedup_exact_hash`
+    groups turned into supervision), NEGATIVES are md5-ring draws per
+    anchor (the `sample_negatives_hash` machinery, here over a dense
+    RANK of the corpus rather than raw ids) with same-content draws
+    rejected — a negative that is secretly a positive is the classic
+    label-noise bug, filtered by hash equality, not id equality.
+
+    100 TB shape: positives ride the dedup digest aggregate; negative
+    draws are corpus-linear; the rank table is one sort; every join is
+    keyed.  Hard-negative upgrades (draw from the anchor's LSH bucket
+    instead of the whole ring) compose on the same skeleton."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 200).unionByName(
+        docs.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    ).localCheckpoint(eager=True)
+    hashed = corpus.select("doc_id", F.sha2("text", 256).alias("h")).localCheckpoint(
+        eager=True
+    )
+    groups = hashed.groupBy("h").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    positives = (
+        groups.join(hashed, "h")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("anchor"),
+            F.col("doc_id").alias("partner"),
+            F.lit(1).cast("long").alias("label"),
+        )
+    )
+    nd = corpus.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    anchors = positives.select("anchor").distinct()
+    ranked = corpus.select(
+        "doc_id", (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("pos")
+    )
+    neg_draws = (
+        anchors.crossJoin(F.broadcast(nd))
+        .select(
+            "anchor",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+            "n",
+        )
+        .select(
+            "anchor",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col("anchor"), F.col("k"), F.lit("cp"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("pick"),
+        )
+    )
+    negatives = (
+        neg_draws.join(ranked, neg_draws.pick == ranked.pos)
+        .select("anchor", F.col("doc_id").alias("partner"))
+        .join(hashed.select(F.col("doc_id").alias("anchor"), F.col("h").alias("ha")), "anchor")
+        .join(hashed.select(F.col("doc_id").alias("partner"), F.col("h").alias("hp")), "partner")
+        .filter(F.col("ha") != F.col("hp"))
+        .select("anchor", "partner", F.lit(0).cast("long").alias("label"))
+    )
+    return positives.unionByName(negatives)

@@ -2114,3 +2114,32 @@ def test_char_diversity_run_vs_varied(spark, tmp_path):
     assert got[1].n_distinct_chars == 1 and got[1].top_share_ppm == 1_000_000
     assert got[2].n_distinct_chars == 10 and got[2].top_share_ppm == 100_000
     assert got[2].diversity_ppm == 1_000_000
+
+
+def test_contrastive_pairs_labels_sound(spark, tmp_path):
+    texts = [f"pair body {i}" for i in range(50)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(50)),
+            "text": texts,
+            "lang": ["en"] * 50,
+            "source": ["s"] * 50,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    rows = QUERIES["pairs_contrastive_dataset"](spark, sf).collect()
+    text_of = {i: texts[i % 10000 if i < 10000 else i - 10000] for i in
+               list(range(50)) + [10000 + i for i in range(30)]}
+    pos = [r for r in rows if r.label == 1]
+    neg = [r for r in rows if r.label == 0]
+    # 30 planted copies -> 30 positive pairs, anchored at the original id
+    assert len(pos) == 30
+    for r in pos:
+        assert r.anchor < 10000 and r.partner == r.anchor + 10000
+        assert text_of[r.anchor] == text_of[r.partner]
+    # negatives never pair identical content
+    for r in neg:
+        assert text_of[r.anchor] != text_of[r.partner]
+    assert len(neg) > 0

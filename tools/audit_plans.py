@@ -230,6 +230,9 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the grand total N is ONE broadcast row attached to the
     # (cat, label) cell table (the agg_drift_tvd pattern).
     "eval_feature_chi2_cells": {"CARTESIAN"},
+    # (round 7) the corpus count N is ONE broadcast row attached to each
+    # anchor before the 2-draw md5 ring (the sample_negatives_hash pattern).
+    "pairs_contrastive_dataset": {"CARTESIAN"},
 }
 
 
