@@ -134,6 +134,7 @@ _PRIORITY = [
     "fn_target_encode_oof",
     "temporal_growth_accounting", "eval_feature_chi2_cells",
     "text_char_diversity", "pairs_contrastive_dataset",
+    "dedup_cluster_size_profile", "text_mojibake_detector",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

@@ -6638,3 +6638,128 @@ def pairs_contrastive_dataset_q(spark, sf_dir):
         .select("anchor", "partner", F.lit(0).cast("long").alias("label"))
     )
     return positives.unionByName(negatives)
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster_size_profile — the post-clustering sanity histogram
+# --------------------------------------------------------------------------
+@register(
+    "dedup_cluster_size_profile",
+    oracle="""
+    WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+    pairs AS (
+      SELECT doc_id AS a, doc_id + 10000 AS b FROM ids WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 10000, doc_id + 20000 FROM ids WHERE doc_id < 15
+      UNION ALL
+      SELECT doc_id + 20000, doc_id + 30000 FROM ids WHERE doc_id < 5
+    ),
+    sym AS (
+      SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    reach AS (
+      SELECT x AS node, x AS r FROM sym
+      UNION
+      SELECT s.x, reach.r FROM sym s JOIN reach ON reach.node = s.y
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM comp GROUP BY component
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_members
+    FROM sizes GROUP BY sz
+    """,
+)
+def dedup_cluster_size_profile_q(spark, sf_dir):
+    """Duplicate-cluster size histogram — the sanity check every
+    clustering dedup run reads FIRST: a healthy near-dup graph yields
+    many small clusters; one giant component means the candidate
+    generator (LSH bands too aggressive, shingle width too small)
+    glued the corpus together and keep-one-per-group is about to delete
+    it.  Runs the same min-label closure as `dedup_connected_components`
+    over the planted chain graph (sizes 2, 3, and 4 by construction) and
+    histograms the component sizes.
+
+    100 TB shape: closure cost is the components operator's (documented
+    there); the histogram is two tiny hash aggs on top — the profile is
+    effectively free relative to the closure it audits."""
+    from ..plans.graph_query import connected_components
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    link = lambda n, off_a, off_b: ids.filter(F.col("doc_id") < n).select(  # noqa: E731
+        (F.col("doc_id") + off_a).alias("a"), (F.col("doc_id") + off_b).alias("b")
+    )
+    pairs = link(30, 0, 10000).unionByName(link(15, 10000, 20000)).unionByName(
+        link(5, 20000, 30000)
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_members"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_mojibake_detector — encoding-corruption screen
+# --------------------------------------------------------------------------
+@register(
+    "text_mojibake_detector",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000,
+             replace(replace(text, 'a', 'Ã¡'), 'e', 'â€™')
+      FROM documents WHERE doc_id < 12
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text,
+             '(Ã.|â€.|Â.|ï¿½)')) AS BIGINT) AS n_mojibake,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(1000000 * len(regexp_extract_all(text, '(Ã.|â€.|Â.|ï¿½)'))
+           // greatest(length(text), 1) AS BIGINT) AS mojibake_ppm,
+      1000000 * len(regexp_extract_all(text, '(Ã.|â€.|Â.|ï¿½)'))
+           // greatest(length(text), 1) >= 10000 AS looks_corrupted
+    FROM corpus
+    """,
+)
+def text_mojibake_detector_q(spark, sf_dir):
+    """Mojibake (encoding-corruption) screen: counts the classic
+    double-encoded UTF-8 signatures — 'Ã'+continuation, 'â€'+punct,
+    'Â'+char, and the replacement char — that appear when a crawl
+    pipeline decodes UTF-8 bytes as Latin-1 and re-encodes; flagged at
+    1% density.  Planted corrupted twins (the replace() chain simulates
+    the double-encode on real docs) make the gate's positive class
+    non-trivial.  This is the encoding facet of the quality family:
+    `text_char_diversity` catches statistical garbage, this catches the
+    specific, extremely common crawl pathology by its fingerprint.
+
+    100 TB shape: one regexp_extract_all riding the scan — zero
+    shuffles; at corpus tier the flag becomes a routed-write partition
+    column like every boolean screen."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 12).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.regexp_replace(
+                F.regexp_replace("text", "a", "Ã¡"), "e", "â€™"
+            ).alias("text"),
+        )
+    )
+    pat = "(Ã.|â€.|Â.|ï¿½)"
+    n_moj = F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+    ppm = F.expr(
+        f"1000000 * size(regexp_extract_all(text, '{pat}', 0))"
+        " DIV greatest(length(text), 1)"
+    )
+    return corpus.select(
+        "doc_id",
+        n_moj.cast("long").alias("n_mojibake"),
+        F.length("text").cast("long").alias("n_chars"),
+        ppm.cast("long").alias("mojibake_ppm"),
+        (ppm >= 10000).alias("looks_corrupted"),
+    )

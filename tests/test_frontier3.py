@@ -2143,3 +2143,42 @@ def test_contrastive_pairs_labels_sound(spark, tmp_path):
     for r in neg:
         assert text_of[r.anchor] != text_of[r.partner]
     assert len(neg) > 0
+
+
+def test_cluster_size_profile_planted_chain(spark, tmp_path):
+    texts = ["x"] * 40
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(40)),
+            "text": texts,
+            "lang": ["en"] * 40,
+            "source": ["s"] * 40,
+            "n_chars": [1] * 40,
+        },
+    )
+    got = {r.cluster_size: (r.n_clusters, r.n_members)
+           for r in QUERIES["dedup_cluster_size_profile"](spark, sf).collect()}
+    # chain plant: docs 0..4 form 4-chains, 5..14 form 3-chains, 15..29 pairs
+    assert got == {4: (5, 20), 3: (10, 30), 2: (15, 30)}
+
+
+def test_mojibake_flags_corrupted_twin(spark, tmp_path):
+    texts = ["clean sentence here" for _ in range(15)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(15)),
+            "text": texts,
+            "lang": ["en"] * 15,
+            "source": ["s"] * 15,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    got = {r.doc_id: r for r in QUERIES["text_mojibake_detector"](spark, sf).collect()}
+    for i in range(15):
+        assert got[i].n_mojibake == 0 and not got[i].looks_corrupted
+    for i in range(12):
+        assert got[10000 + i].n_mojibake > 0 and got[10000 + i].looks_corrupted
