@@ -135,6 +135,7 @@ _PRIORITY = [
     "temporal_growth_accounting", "eval_feature_chi2_cells",
     "text_char_diversity", "pairs_contrastive_dataset",
     "dedup_cluster_size_profile", "text_mojibake_detector",
+    "dedup_blocker_union_audit",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

