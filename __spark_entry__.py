@@ -136,6 +136,7 @@ _PRIORITY = [
     "text_char_diversity", "pairs_contrastive_dataset",
     "dedup_cluster_size_profile", "text_mojibake_detector",
     "dedup_blocker_union_audit",
+    "embedding_dim_minmax_params", "temporal_dwell_time",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

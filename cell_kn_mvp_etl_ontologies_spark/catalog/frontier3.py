@@ -6930,3 +6930,95 @@ def dedup_blocker_union_audit_q(spark, sf_dir):
     return merged.groupBy("by_prefix", "by_window", "by_phonetic").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_dim_minmax_params — scaler fitting as a query
+# --------------------------------------------------------------------------
+@register(
+    "embedding_dim_minmax_params",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM embeddings, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    )
+    SELECT CAST(i AS BIGINT) AS dim,
+           CAST(MIN(v) AS BIGINT) AS min_q,
+           CAST(MAX(v) AS BIGINT) AS max_q,
+           CAST(MAX(v) - MIN(v) AS BIGINT) AS range_q,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM q GROUP BY i
+    """,
+)
+def embedding_dim_minmax_params_q(spark, sf_dir):
+    """Min-max scaler parameters per embedding dimension — preprocessing
+    FIT as a catalog query: the (min, max, range) every normalizer needs,
+    on the same HALF_UP-quantized grid as the ANN chain so the fitted
+    transform composes bit-exactly with every downstream similarity rung.
+    A zero range flags a dead dimension (constant output — the per-dim
+    sibling of `embedding_norm_profile`'s zero-vector check); fitting
+    params in-engine means train- and serve-time transforms read ONE
+    table instead of re-deriving constants in two codebases.
+
+    100 TB shape: posexplode to (dim, value) then a 64-group min/max agg
+    — fully map-side combinable; at corpus tier the explode swaps for
+    64 in-row element_at aggregates (same contract, zero fanout)."""
+    from ..operators.similarity import quantize_vec
+
+    q = _t(spark, sf_dir, "embeddings").select(
+        F.posexplode(quantize_vec(F.col("embedding"))).alias("pos", "v")
+    )
+    return q.groupBy((F.col("pos") + 1).cast("long").alias("dim")).agg(
+        F.min("v").cast("long").alias("min_q"),
+        F.max("v").cast("long").alias("max_q"),
+        (F.max("v") - F.min("v")).cast("long").alias("range_q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal_dwell_time — forward-gap dwell attributed to the current state
+# --------------------------------------------------------------------------
+@register(
+    "temporal_dwell_time",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(CAST(FLOOR(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dwell_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dwell_s) AS BIGINT) AS sum_dwell_s,
+           CAST(MIN(dwell_s) AS BIGINT) AS min_dwell_s,
+           CAST(MAX(dwell_s) AS BIGINT) AS max_dwell_s
+    FROM seq WHERE dwell_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def temporal_dwell_time_q(spark, sf_dir):
+    """Dwell-time profile: the forward gap (time until the user's NEXT
+    event) attributed to the CURRENT event's type — 'how long do users
+    stay on X' — the mirror of `temporal_interarrival_profile`, which
+    attributes the same gap backward to the ARRIVING event; the two
+    directions answer different product questions from the same window
+    pass and the attribution direction is stated, not implicit.  Last
+    events have no forward gap and drop (open sessions are unmeasurable
+    dwell — documented, not zero-filled).
+
+    100 TB shape: one lead() on the user-key exchange; type-cardinality
+    rollup map-side."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts").cast("long")
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type", (F.lead(sec).over(w) - sec).alias("dwell_s")
+    )
+    return seq.filter(F.col("dwell_s").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dwell_s").cast("long").alias("sum_dwell_s"),
+        F.min("dwell_s").alias("min_dwell_s"),
+        F.max("dwell_s").alias("max_dwell_s"),
+    )

@@ -2213,3 +2213,44 @@ def test_blocker_union_provenance_cells(spark, tmp_path):
     # guaranteed on this fixture, but total pair mass must be conserved
     assert sum(cells.values()) == sum(v for v in cells.values())
     assert all(k != (0, 0, 0) for k in cells)
+
+
+def test_dim_minmax_flags_dead_dimension(spark, tmp_path):
+    sf = _write(
+        tmp_path,
+        "embeddings",
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[0.1, 5.0], [0.1, -5.0], [0.1, 0.0]],
+            "label": [0] * 3,
+        },
+    )
+    got = {r.dim: (r.min_q, r.max_q, r.range_q)
+           for r in QUERIES["embedding_dim_minmax_params"](spark, sf).collect()}
+    assert got[1] == (100, 100, 0)       # dead dimension, zero range
+    assert got[2] == (-5000, 5000, 10000)
+
+
+def test_dwell_time_forward_attribution(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    # view at t0 (dwell 60 until click), click at +60 (dwell 540), view末
+    rows = [(0, t0, "view"), (1, t0 + dt.timedelta(seconds=60), "click"),
+            (2, t0 + dt.timedelta(seconds=600), "view")]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [1] * 3,
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * 3,
+        },
+    )
+    got = {r.event_type: (r.n, r.sum_dwell_s)
+           for r in QUERIES["temporal_dwell_time"](spark, sf).collect()}
+    # the LAST view has no forward gap and drops
+    assert got == {"view": (1, 60), "click": (1, 540)}
