@@ -208,17 +208,18 @@ _PRIORITY = [
     "join_upsert_scd2", "multimodal_feature_extract", "pack_sequences_greedy",
     "pipeline_incremental_graph", "quality_expectations",
     "setop_intersect_except", "similarity_ann_lsh", "similarity_topk",
-    # ROUND-8 ROTATION PLAN (precomputed): the r7 prefix-50 boundary falls
-    # after graph_degree_assortativity (slot 50); EXACTLY 56 catalog
-    # queries outside the prefix have NO driver evidence ever (verified
-    # against CORRECTNESS_r01-r06 keys): multimodal_dedup_exact onward
-    # through this header block (temporal_event_trigrams ..
-    # temporal_new_entity_curve, ~28 rows), the OHLC/MaxSim late batch
-    # (temporal_ohlc .. graph_degree_stats, 22), and graph_kcore /
+    # ROUND-8 ROTATION PLAN (recomputed at round end): the r7 prefix-50
+    # boundary falls after graph_degree_assortativity (slot 50); EXACTLY 85
+    # catalog queries outside the prefix have NO driver evidence ever
+    # (verified against CORRECTNESS_r01-r06 keys): everything in this
+    # header block from multimodal_dedup_exact onward (~57 rows, the
+    # round-7 extension batches 8-31), the OHLC/MaxSim late batch
+    # (temporal_ohlc .. graph_degree_stats, 22), and the graph_kcore /
     # text_lm_bigram_score / join_asof_nearest / graph_label_propagation /
-    # text_search_stemmed overflow — all local-r7-green.  Round 8 prefix =
-    # those 56 minus 6 (pick the 50 stalest by catalog order, newest-first
-    # within ties); the r2-only trio + r3 backlog ride to r9 unless a
+    # text_search_stemmed overflow — all hash-green in
+    # CORRECTNESS_LOCAL_r07.json (same checker).  Round 8 prefix = the 50
+    # stalest of those 85 (catalog order, newest-first within ties); the
+    # remaining 35 + the r2-only trio + the r3 backlog ride to r9 unless a
     # contract changes.  As always, operator/oracle changes jump to the
     # head.
     # ------------------------------------------------------------------
