@@ -7022,3 +7022,162 @@ def temporal_dwell_time_q(spark, sf_dir):
         F.min("dwell_s").alias("min_dwell_s"),
         F.max("dwell_s").alias("max_dwell_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# join_interval_overlap_duration — duration-weighted co-occurrence
+# --------------------------------------------------------------------------
+@register(
+    "join_interval_overlap_duration",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + 60 + (event_id % 10) * 60 AS e
+      FROM events WHERE user_id < 12
+    )
+    SELECT CAST(a.user_id AS BIGINT) AS user_a,
+           CAST(b.user_id AS BIGINT) AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+             AS overlap_s
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND a.s < b.e AND b.s < a.e
+    GROUP BY a.user_id, b.user_id
+    """,
+)
+def join_interval_overlap_duration_q(spark, sf_dir):
+    """Duration-weighted co-occurrence: for every cross-user pair of
+    overlapping activity intervals, the exact overlap SECONDS
+    (min(end) − max(start)) summed per user pair — co-viewing /
+    co-presence time, the measure `join_interval_overlap`'s boolean
+    pairing can't express (two users overlapping 100 times for 1 s are
+    not the pair overlapping once for an hour).  The ORACLE states the
+    theta-join; the ENGINE buckets time at the max interval span and
+    fans BOTH intervals over their covered
+    buckets; every overlapping pair meets in the bucket owning max(start)
+    — a bucket both fans contain, since max(start) lies inside both
+    intervals — so each pair counts exactly once (the owner-bucket rule on
+    the TIME axis; a single-bucket side would miss pairs whose later start
+    falls past that bucket — found differentially).
+
+    100 TB shape: keyed equi-join on time buckets with span/bucket-width
+    fanout, never the quadratic interval cross product; per-bucket skew
+    = concurrent-interval density, the operator's honest hot spot."""
+    sec = F.unix_timestamp("ts").cast("long")
+    iv = _t(spark, sf_dir, "events").filter(F.col("user_id") < 12).select(
+        "user_id",
+        "event_id",
+        sec.alias("s"),
+        (sec + 60 + (F.col("event_id") % 10) * 60).alias("e"),
+    )
+    width = 660  # max interval length: 60 + 9*60
+    # BOTH sides fan over their covered buckets; the pair is counted only
+    # in the bucket owning max(start) — which both fans contain (max(start)
+    # lies inside both intervals), so each pair meets exactly once.  A
+    # single-bucket right side MISSES pairs whose later start falls in a
+    # later bucket than the right's own start (found differentially).
+    def fan(df, who):
+        return df.select(
+            F.col("user_id").alias(f"user_{who}"),
+            F.col("s").alias(f"s{who}"),
+            F.col("e").alias(f"e{who}"),
+            F.explode(
+                F.sequence(
+                    (F.col("s") / width).cast("long"),
+                    (F.col("e") / width).cast("long"),
+                )
+            ).alias("bucket"),
+        )
+
+    pairs = (
+        fan(iv, "a").join(fan(iv, "b"), "bucket")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+            & ((F.greatest("sa", "sb") / width).cast("long") == F.col("bucket"))
+        )
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+        F.sum(F.least("ea", "eb") - F.greatest("sa", "sb"))
+        .cast("long")
+        .alias("overlap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_rolling_origin_folds — time-series cross-validation folds
+# --------------------------------------------------------------------------
+@register(
+    "sample_rolling_origin_folds",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, ts,
+             row_number() OVER (ORDER BY ts, event_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    folds AS (
+      SELECT f.fold, r.event_id, r.ts, r.rnk, r.n,
+             CASE WHEN r.rnk <= (2 + f.fold) * r.n // 5 THEN 'train'
+                  WHEN r.rnk <= (3 + f.fold) * r.n // 5 THEN 'test'
+                  ELSE NULL END AS role
+      FROM ranked r, generate_series(0, 2) f(fold)
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, role,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS BIGINT) AS min_ts_s,
+           CAST(MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS BIGINT) AS max_ts_s
+    FROM folds WHERE role IS NOT NULL
+    GROUP BY fold, role
+    """,
+)
+def sample_rolling_origin_folds_q(spark, sf_dir):
+    """Rolling-origin (expanding-window) cross-validation folds — the
+    time-series CV methodology: fold f trains on the first (2+f)/5 of
+    the timeline and tests on the next fifth, so every fold's test
+    period follows its training period (k-fold's random assignment is
+    exactly the leakage `sample_split_chronological` forbids; this is
+    its k-fold generalization).  Integer rank cutoffs ((2+f)·n//5) make
+    fold boundaries exact; per-(fold, role) time bounds expose the
+    max(train) <= min(test) invariant for EVERY fold.
+
+    100 TB shape: ONE time-rank sort shared by all folds (the fold fan
+    is a 3-way explode over the ranked rows, each fold a CASE over the
+    same rank); production swaps the exact rank for approx time-quantile
+    cuts and keeps this path as the audit tier."""
+    w = Window.orderBy("ts", "event_id")
+    ranked = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    folds = ranked.select(
+        "event_id",
+        "ts",
+        "rnk",
+        "n",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("fold"),
+    ).select(
+        F.col("fold").cast("long").alias("fold"),
+        "ts",
+        F.when(
+            F.col("rnk") <= F.expr("(2 + fold) * n DIV 5"), F.lit("train")
+        )
+        .when(F.col("rnk") <= F.expr("(3 + fold) * n DIV 5"), F.lit("test"))
+        .otherwise(F.lit(None))
+        .alias("role"),
+    )
+    return folds.filter(F.col("role").isNotNull()).groupBy("fold", "role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(F.unix_timestamp("ts").cast("long")).alias("min_ts_s"),
+        F.max(F.unix_timestamp("ts").cast("long")).alias("max_ts_s"),
+    )

@@ -2254,3 +2254,54 @@ def test_dwell_time_forward_attribution(spark, tmp_path):
            for r in QUERIES["temporal_dwell_time"](spark, sf).collect()}
     # the LAST view has no forward gap and drops
     assert got == {"view": (1, 60), "click": (1, 540)}
+
+
+def test_overlap_duration_exact_seconds(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1 event 0: [t0, t0+60]; user 2 event 1: [t0+30, t0+30+120]
+    # overlap = [t0+30, t0+60] = 30 s
+    rows = [(0, 1, t0), (1, 2, t0 + dt.timedelta(seconds=30))]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]),
+            "user_id": [r[1] for r in rows],
+            "event_type": ["click"] * 2,
+            "value": [1.0] * 2,
+        },
+    )
+    rows_out = QUERIES["join_interval_overlap_duration"](spark, sf).collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert (r.user_a, r.user_b, r.n_overlaps, r.overlap_s) == (1, 2, 1, 30)
+
+
+def test_rolling_origin_folds_expand_and_never_leak(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    n = 50
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": list(range(n)),
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+                                  for i in range(n)]),
+            "user_id": [1] * n,
+            "event_type": ["click"] * n,
+            "value": [1.0] * n,
+        },
+    )
+    got = {(r.fold, r.role): r for r in
+           QUERIES["sample_rolling_origin_folds"](spark, sf).collect()}
+    # expanding train windows: 20, 30, 40 rows; each test the next 10
+    assert [got[(f, "train")].n_rows for f in (0, 1, 2)] == [20, 30, 40]
+    assert all(got[(f, "test")].n_rows == 10 for f in (0, 1, 2))
+    for f in (0, 1, 2):
+        assert got[(f, "train")].max_ts_s < got[(f, "test")].min_ts_s
