@@ -1,23 +1,41 @@
-"""Round-7 continuation batch 3: corpus-concentration and data-quality
-audits plus the classic star-schema rollup — each with an exactly-
-equivalent DuckDB oracle (integer quantization keeps every score bit-exact
-across engines; see catalog/__init__ cross-engine rules).
+"""Round-7 extension surface (batches 3-32): the analytics / training-data
+operator families added beyond the reference's own set, each with an
+exactly-equivalent DuckDB oracle (integer quantization keeps every score
+bit-exact across engines; see catalog/__init__ cross-engine rules).
 
-These extend the SURVEY §2.12/§2.13 training-data / analytics surface
-(the brief's "operations a large-scale training-data pipeline would
-need"):
+Families in this module (SURVEY §2.12/§2.13 carries the per-query rows):
 
-- agg_gini_concentration / agg_hhi_concentration measure how concentrated
-  a corpus is on few sources — the source-diversity audit run before
-  mixing training data (a Gini near 1 means a handful of customers/
-  domains dominate).  Both are exact: Gini via the integer rank identity,
-  HHI via sum-of-squares — no floats anywhere.
-- quality_benford is the first-significant-digit audit (Benford's law):
-  machine-generated or fraudulent numeric columns deviate from the
-  logarithmic digit curve; deviations are reported in exact ppm against
-  hardcoded integer expectation constants.
-- join_star_revenue_rollup is the TPC-H Q5-shaped denormalization every
-  warehouse runs: fact->dim snowflake with explicitly broadcast dims.
+- concentration & inequality: Gini (integer rank identity), HHI
+  (mergeable sum-of-squares), Lorenz curve, Pareto 80/20 coverage
+- data-quality audits: Benford first-digit (hardcoded integer ppm
+  expectations), completeness census, sequence gaps, freshness,
+  duplication & cluster-size scorecards, split leakage/balance,
+  mojibake & char-diversity & code & readability screens
+- warehouse analytics: broadcast star rollup (+ streaming maintainer),
+  RFM, cohort LTV, aging buckets, WoW growth, top-k pivot, association
+  rules, growth accounting, activity heatmap
+- sequence/temporal: Markov transitions & trigrams (+ boundary-stitched
+  streaming twins), CUSUM change-point, seasonality, inter-arrival &
+  dwell, interval coalesce & overlap-duration, local peaks, lag-1
+  autocorrelation, LTTB-style downsampling, new-entity curve
+- ER blocking: sorted-neighborhood, phonetic key (dual-dialect rule
+  chain), three-blocker union audit, MinHash estimator & LSH banding
+  audits, normalized-exact dedup
+- graph: Jaccard/RA link prediction, clustering coefficient, k-truss,
+  two-hop reach, assortativity, deterministic uniform + node2vec-biased
+  walks with skip-gram pair generation
+- ML infra: point-in-time features, chronological split + rolling-origin
+  folds, OOF target encoding, contrastive pair assembly, Poisson
+  bootstrap, negative sampling, class weights, farthest-point seeding
+  (+ inertia A/B), scaler params, embedding health audits
+- evaluation-as-queries: confusion matrix, P/R/F1 scorecard, calibration
+  bins, per-cell chi-square feature screening, label separation
+
+Shared doctrines: no RNG anywhere (md5 rings / hash folds); no float
+logs or divisions in gated outputs (hardcoded ppm constants, digit-length
+buckets, (num, den) pairs — Spark DIV truncates, DuckDB // floors);
+streaming maintainers share their batch twin's oracle constant; audits
+measure their own knobs (banding, lookback, seeding) instead of assuming.
 """
 
 from __future__ import annotations
