@@ -7199,3 +7199,208 @@ def sample_rolling_origin_folds_q(spark, sf_dir):
         F.min(F.unix_timestamp("ts").cast("long")).alias("min_ts_s"),
         F.max(F.unix_timestamp("ts").cast("long")).alias("max_ts_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_degree_gini — hub inequality of the degree sequence
+# --------------------------------------------------------------------------
+@register(
+    "graph_degree_gini",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l_suppkey AS a, 100000 + l_partkey % 1500 AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    und AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY src),
+    ranked AS (
+      SELECT d, row_number() OVER (ORDER BY d, v) AS i FROM deg
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(SUM(d) AS BIGINT) AS sum_deg,
+           CAST(MAX(d) AS BIGINT) AS max_deg,
+           CAST(2 * SUM(i * d) - (COUNT(*) + 1) * SUM(d) AS BIGINT)
+             AS gini_num,
+           CAST(COUNT(*) * SUM(d) AS BIGINT) AS gini_den,
+           CAST(1000000::HUGEINT
+                * (2 * SUM(i * d) - (COUNT(*) + 1) * SUM(d))
+                // (COUNT(*)::HUGEINT * SUM(d)) AS BIGINT) AS gini_ppm
+    FROM ranked
+    """,
+)
+def graph_degree_gini_q(spark, sf_dir):
+    """Degree-sequence Gini — hub inequality as ONE number: the exact
+    integer rank identity (`agg_gini_concentration`'s machinery) applied
+    to the co-purchase degree distribution.  A near-0 Gini means a
+    regular graph where per-vertex partitioning balances for free; a
+    high Gini quantifies exactly the skew every hub-cap in this repo
+    defends against — the number that justifies the caps
+    (`graph_degree_stats` profiles the distribution; this scalarizes it
+    for cross-corpus comparison).  The ppm runs in 38-digit arithmetic
+    (DECIMAL/HUGEINT) per the overflow discipline.
+
+    100 TB shape: one degree agg, one vertex-cardinality ranking window,
+    one global fold — graph-order cost, not edge order."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    raw = li.select(
+        F.col("l_suppkey").cast("long").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("b"),
+    ).distinct()
+    und = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ranked = deg.select(
+        "d", F.row_number().over(Window.orderBy("d", "v")).alias("i")
+    )
+    n, s, t = F.count(F.lit(1)), F.sum("d"), F.sum(F.col("i") * F.col("d"))
+    return ranked.agg(
+        n.cast("long").alias("n_vertices"),
+        s.cast("long").alias("sum_deg"),
+        F.max("d").alias("max_deg"),
+        (2 * t - (n + 1) * s).cast("long").alias("gini_num"),
+        (n * s).cast("long").alias("gini_den"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(7,0))"
+            " * CAST(2*sum(i*d) - (count(1)+1)*sum(d) AS DECIMAL(19,0)))"
+            " DIV (CAST(count(1) AS DECIMAL(19,0))"
+            " * CAST(sum(d) AS DECIMAL(19,0))) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_sentence_repetition — intra-document repeated-sentence screen
+# --------------------------------------------------------------------------
+@register(
+    "text_sentence_repetition",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000,
+             text || '. ' || text || '. ' || text
+      FROM documents WHERE doc_id < 8
+    ),
+    sents AS (
+      SELECT doc_id, trim(s) AS sent
+      FROM corpus, unnest(string_split_regex(text, '[.!?]+')) t(s)
+      WHERE trim(s) <> ''
+    ),
+    freq AS (
+      SELECT doc_id, sent, CAST(COUNT(*) AS BIGINT) AS n
+      FROM sents GROUP BY doc_id, sent
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_sents,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_sents,
+           CAST(MAX(n) AS BIGINT) AS max_repeat,
+           CAST(1000000 * (SUM(n) - COUNT(*)) // SUM(n) AS BIGINT)
+             AS repeated_ppm
+    FROM freq GROUP BY doc_id
+    """,
+)
+def text_sentence_repetition_q(spark, sf_dir):
+    """Intra-document sentence-repetition screen: sentences (punctuation
+    splits) censused per doc — max repeat count and the share of
+    sentences that are re-occurrences — catching copy-paste loops and
+    template stuffing at SENTENCE granularity, between
+    `text_repetition_filter`'s n-gram window and
+    `dedup_remove_segments`' cross-document spans (the three
+    granularities catch different generators).  Planted triple-repeat
+    twins make the positive class exact: a doc repeated 3x shows
+    repeated_ppm ≈ 2/3e6.
+
+    100 TB shape: sentence explode is corpus-linear; the per-(doc, sent)
+    census collapses map-side (sentence strings are short and
+    doc-scoped); the rollup is per-doc."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 8).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat_ws(". ", "text", "text", "text").alias("text"),
+        )
+    )
+    sents = corpus.select(
+        "doc_id",
+        F.explode(F.split("text", "[.!?]+")).alias("s"),
+    ).select("doc_id", F.trim("s").alias("sent")).filter(F.col("sent") != "")
+    freq = sents.groupBy("doc_id", "sent").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return freq.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_sents"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_sents"),
+        F.max("n").cast("long").alias("max_repeat"),
+        F.expr(
+            "CAST(1000000 * (sum(n) - count(1)) DIV sum(n) AS BIGINT)"
+        ).alias("repeated_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_event_order_audit — ingestion-order vs event-time inversions
+# --------------------------------------------------------------------------
+@register(
+    "quality_event_order_audit",
+    oracle="""
+    WITH corrupted AS (
+      -- planted disorder: every 97th ingestion id arrives with its clock
+      -- 1 h behind (the replay/skew signature the audit exists to catch)
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - CASE WHEN event_id % 97 = 0 THEN 3600 ELSE 0 END AS t
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, t,
+             lag(t) OVER (PARTITION BY user_id ORDER BY event_id) AS pt
+      FROM corrupted
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(SUM(CASE WHEN t < pt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inversions,
+           CAST(MAX(CASE WHEN t < pt THEN pt - t ELSE 0 END) AS BIGINT)
+             AS max_backstep_s
+    FROM seq WHERE pt IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN t < pt THEN 1 ELSE 0 END) > 0
+    """,
+)
+def quality_event_order_audit_q(spark, sf_dir):
+    """Ingestion-order audit: per user, adjacent INVERSIONS between the
+    assigned event_id order (ingestion sequence) and event time — a
+    producer whose ids advance while timestamps go backward is a clock
+    skew / buffering / replay bug, and it silently breaks every operator
+    whose contract is time-ordered ingestion (the boundary-stitched
+    streaming maintainers state exactly that contract; THIS is the audit
+    that checks the data honors it).  Only offending users are emitted,
+    with the worst backstep magnitude.  The synthetic corpus is perfectly
+    ordered, so the gate PLANTS the pathology (every 97th ingestion id
+    shifted 1 h back) — a 0-row audit gate would verify nothing.
+
+    100 TB shape: one lag over the user-key exchange, flags fold
+    map-side, output is offender-cardinality."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    sec = F.unix_timestamp("ts").cast("long") - F.when(
+        F.col("event_id") % 97 == 0, F.lit(3600)
+    ).otherwise(F.lit(0))
+    seq = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        sec.alias("t"),
+        F.lag(sec).over(w).alias("pt"),
+    ).filter(F.col("pt").isNotNull())
+    inv = F.when(F.col("t") < F.col("pt"), 1).otherwise(0)
+    back = F.when(F.col("t") < F.col("pt"), F.col("pt") - F.col("t")).otherwise(0)
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.sum(inv).cast("long").alias("n_inversions"),
+            F.max(back).cast("long").alias("max_backstep_s"),
+        )
+        .filter(F.col("n_inversions") > 0)
+    )

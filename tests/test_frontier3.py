@@ -2305,3 +2305,73 @@ def test_rolling_origin_folds_expand_and_never_leak(spark, tmp_path):
     assert all(got[(f, "test")].n_rows == 10 for f in (0, 1, 2))
     for f in (0, 1, 2):
         assert got[(f, "train")].max_ts_s < got[(f, "test")].min_ts_s
+
+
+def test_degree_gini_star_vs_cycle(spark, tmp_path):
+    # star: one hub of degree n, n leaves of degree 1 -> high Gini
+    n = 30
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [3 * i for i in range(n)],
+            "l_suppkey": [1] * n,
+            "l_partkey": list(range(n)),
+        },
+    )
+    (row,) = QUERIES["graph_degree_gini"](spark, sf).collect()
+    assert row.n_vertices == n + 1 and row.max_deg == n
+    # star Gini = (n-1)/(n+1) approx: check exact identity instead
+    # sorted degrees: n ones then one n -> sum(i*d) = n(n+1)/2 + (n+1)n
+    t = n * (n + 1) // 2 + (n + 1) * n
+    s = 2 * n
+    assert row.gini_num == 2 * t - (n + 2) * s
+    assert row.gini_ppm > 400_000  # strongly unequal
+
+
+def test_sentence_repetition_triple_plant(spark, tmp_path):
+    texts = ["one clear sentence here" for _ in range(10)]
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": list(range(10)),
+            "text": texts,
+            "lang": ["en"] * 10,
+            "source": ["s"] * 10,
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    got = {r.doc_id: r for r in QUERIES["text_sentence_repetition"](spark, sf).collect()}
+    for i in range(10):
+        assert got[i].max_repeat == 1 and got[i].repeated_ppm == 0
+    for i in range(8):
+        r = got[10000 + i]
+        assert r.n_sents == 3 and r.n_distinct_sents == 1 and r.max_repeat == 3
+        assert r.repeated_ppm == 1_000_000 * 2 // 3
+
+
+def test_event_order_audit_flags_planted_backstep(spark, tmp_path):
+    import datetime as dt
+    import pandas as pd
+
+    # ids 96..98 for one user: id 97 gets the planted -1h shift, making a
+    # backstep between 96 and 97 and another inversion 97 -> 98 is fine
+    rows = [(96, dt.datetime(2024, 1, 1, 10)), (97, dt.datetime(2024, 1, 1, 10, 30)),
+            (98, dt.datetime(2024, 1, 1, 11))]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [1] * 3,
+            "event_type": ["click"] * 3,
+            "value": [1.0] * 3,
+        },
+    )
+    rows_out = QUERIES["quality_event_order_audit"](spark, sf).collect()
+    # id 97's clock shifts to 09:30 -> one inversion vs 10:00, backstep 1800
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert r.n_inversions == 1 and r.max_backstep_s == 1800
