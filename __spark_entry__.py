@@ -139,6 +139,7 @@ _PRIORITY = [
     "embedding_dim_minmax_params", "temporal_dwell_time",
     "join_interval_overlap_duration", "sample_rolling_origin_folds",
     "graph_degree_gini", "text_sentence_repetition", "quality_event_order_audit",
+    "graph_modularity_audit",
     # ROUND 7 LATE BATCH (continuation): twenty-two queries added after the
     # main r7 rotation was laid down — OHLC candles, interval-overlap
     # join, PMI collocations, common-neighbor link prediction,

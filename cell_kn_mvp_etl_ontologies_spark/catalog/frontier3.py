@@ -7404,3 +7404,107 @@ def quality_event_order_audit_q(spark, sf_dir):
         )
         .filter(F.col("n_inversions") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# graph_modularity_audit — measured quality of the detected communities
+# --------------------------------------------------------------------------
+@register(
+    "graph_modularity_audit",
+    oracle=__import__(
+        "cell_kn_mvp_etl_ontologies_spark.catalog.analytics", fromlist=["_lpa_oracle"]
+    )._lpa_oracle().replace(
+        """
+    SELECT v, CAST(lab AS BIGINT) AS lab FROM lbl3""",
+        """,
+    undirected AS (SELECT a, b FROM raw),
+    m_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM undirected),
+    internal AS (
+      SELECT la.lab, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM undirected e
+      JOIN lbl3 la ON la.v = e.a
+      JOIN lbl3 lb ON lb.v = e.b AND lb.lab = la.lab
+      GROUP BY la.lab
+    ),
+    degs AS (
+      SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM sym GROUP BY src
+    ),
+    comm_deg AS (
+      SELECT l.lab, CAST(SUM(d.d) AS BIGINT) AS d_c
+      FROM lbl3 l JOIN degs d ON d.v = l.v
+      GROUP BY l.lab
+    ),
+    rollup AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+             CAST(SUM(COALESCE(i.e_c, 0)) AS BIGINT) AS sum_internal,
+             CAST(SUM(c.d_c * c.d_c) AS BIGINT) AS sum_deg_sq
+      FROM comm_deg c LEFT JOIN internal i ON i.lab = c.lab
+    )
+    SELECT r.n_communities, r.sum_internal, r.sum_deg_sq, t.m,
+           CAST(4 * t.m * r.sum_internal - r.sum_deg_sq AS BIGINT) AS q_num,
+           CAST(4 * t.m * t.m AS BIGINT) AS q_den
+    FROM rollup r, m_tot t""",
+    ),
+)
+def graph_modularity_audit_q(spark, sf_dir):
+    """Modularity of the detected communities — MEASURED quality for
+    `graph_label_propagation`'s output (the recall-audit doctrine applied
+    to community detection: 'LPA found communities' becomes 'the
+    partition scores Q = q_num/q_den against the null model').  The
+    float-free identity: Q·4m² = 4m·Σe_c − Σd_c² over the TRUE undirected
+    edge set (the unit self-loops that damp LPA's bipartite 2-cycle are a
+    solver device and are excluded from the scored graph); degrees from
+    the symmetric edge list.  The oracle EXTENDS the shared unrolled-LPA
+    chain — one derivation, two consumers (the skipgram/walks sharing
+    pattern).
+
+    100 TB shape: two label joins on the edge list + two tiny rollups on
+    top of the LPA rounds the base operator already pays for."""
+    from ..plans.graph_query import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    raw = li.select(
+        F.col("l_suppkey").cast("long").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("b"),
+    ).distinct().localCheckpoint(eager=True)
+    labels = label_propagation(
+        raw.select(F.col("a").alias("src"), F.col("b").alias("dst")), n_rounds=3
+    ).localCheckpoint(eager=True)
+    m_tot = raw.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    internal = (
+        raw.join(labels.select(F.col("v").alias("a"), F.col("lab").alias("la")), "a")
+        .join(labels.select(F.col("v").alias("b"), F.col("lab").alias("lb")), "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lab"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    sym = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    degs = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    comm_deg = labels.join(degs, "v").groupBy("lab").agg(
+        F.sum("d").cast("long").alias("d_c")
+    )
+    rollup = (
+        comm_deg.join(internal, "lab", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum(F.coalesce(F.col("e_c"), F.lit(0))).cast("long").alias(
+                "sum_internal"
+            ),
+            F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("sum_deg_sq"),
+        )
+    )
+    return rollup.crossJoin(F.broadcast(m_tot)).select(
+        "n_communities",
+        "sum_internal",
+        "sum_deg_sq",
+        "m",
+        (4 * F.col("m") * F.col("sum_internal") - F.col("sum_deg_sq"))
+        .cast("long")
+        .alias("q_num"),
+        (4 * F.col("m") * F.col("m")).cast("long").alias("q_den"),
+    )

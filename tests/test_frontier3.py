@@ -2375,3 +2375,27 @@ def test_event_order_audit_flags_planted_backstep(spark, tmp_path):
     assert len(rows_out) == 1
     r = rows_out[0]
     assert r.n_inversions == 1 and r.max_backstep_s == 1800
+
+
+def test_modularity_two_cliques_positive(spark, tmp_path):
+    # two disjoint bipartite blocks: LPA separates them; Q must be
+    # strongly positive (well-separated communities)
+    rows = []
+    for i in range(12):
+        rows.append((3 * i, i % 3, i % 4))            # block A: sup 0-2, parts 0-3
+        rows.append((3 * (100 + i), 10 + i % 3, 100 + i % 4))  # block B
+    sf = _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [r[0] for r in rows],
+            "l_suppkey": [r[1] for r in rows],
+            "l_partkey": [r[2] for r in rows],
+        },
+    )
+    (r,) = QUERIES["graph_modularity_audit"](spark, sf).collect()
+    # two disconnected components: every edge internal -> sum_internal = m
+    assert r.sum_internal == r.m
+    # Q = 1 - sum_deg_sq/(4m^2) in that case; must be positive
+    assert r.q_num > 0
+    assert r.q_den == 4 * r.m * r.m

@@ -233,6 +233,9 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the corpus count N is ONE broadcast row attached to each
     # anchor before the 2-draw md5 ring (the sample_negatives_hash pattern).
     "pairs_contrastive_dataset": {"CARTESIAN"},
+    # (round 7) the edge count m is ONE broadcast row attached to the 1-row
+    # community rollup (the agg_drift_tvd pattern).
+    "graph_modularity_audit": {"CARTESIAN"},
 }
 
 
