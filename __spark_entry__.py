@@ -79,6 +79,13 @@ _PRIORITY = [
     # NO driver evidence at all.  With ~77 round-7-new queries and 50
     # slots, the overflow (OHLC/MaxSim late batch, tail of late batch 2)
     # waits for round 8 with CORRECTNESS_LOCAL_r07.json as its evidence.
+    # ROUND 7 FINAL BATCH (catalog/frontier4.py): retrieval evaluation
+    # (exact AUC, NDCG/MRR), RRF hybrid fusion, CDC payload dedup,
+    # feature hashing, CUPED, survival risk table — new contracts take
+    # the very head per the changed-contract rule.
+    "eval_auc_rank", "eval_ranking_ndcg", "similarity_rrf_fusion",
+    "multimodal_cdc_chunks", "fn_feature_hashing", "eval_ab_cuped",
+    "temporal_survival_hazard",
     "source_jsonl_corrupt_routing", "fn_label_lang_fallback",
     "quality_typed_literals", "scan_rdf_triples", "scan_rdf_triples_split",
     "text_search_stemmed", "text_view_four_analyzers",
@@ -212,17 +219,20 @@ _PRIORITY = [
     "pipeline_incremental_graph", "quality_expectations",
     "setop_intersect_except", "similarity_ann_lsh", "similarity_topk",
     # ROUND-8 ROTATION PLAN (recomputed at round end): the r7 prefix-50
-    # boundary falls after graph_degree_assortativity (slot 50); EXACTLY 85
-    # catalog queries outside the prefix have NO driver evidence ever
+    # boundary now falls after dedup_minhash_estimate_audit (slot 50 — the
+    # frontier4 final batch took the head, displacing graph_ktruss,
+    # stream_markov_maintain, stream_tfidf_maintain, sample_negatives_hash,
+    # temporal_interarrival_profile, agg_rfm_scores, and
+    # graph_degree_assortativity past the boundary); those 7 join the ~85
+    # catalog queries outside the prefix with NO driver evidence ever
     # (verified against CORRECTNESS_r01-r06 keys): everything in this
-    # header block from multimodal_dedup_exact onward (~57 rows, the
-    # round-7 extension batches 8-31), the OHLC/MaxSim late batch
-    # (temporal_ohlc .. graph_degree_stats, 22), and the graph_kcore /
-    # text_lm_bigram_score / join_asof_nearest / graph_label_propagation /
-    # text_search_stemmed overflow — all hash-green in
-    # CORRECTNESS_LOCAL_r07.json (same checker).  Round 8 prefix = the 50
-    # stalest of those 85 (catalog order, newest-first within ties); the
-    # remaining 35 + the r2-only trio + the r3 backlog ride to r9 unless a
+    # header block from graph_ktruss onward (the round-7 extension batches
+    # 8-31), the OHLC/MaxSim late batch (temporal_ohlc ..
+    # graph_degree_stats, 22), and the graph_kcore / text_lm_bigram_score /
+    # join_asof_nearest / graph_label_propagation overflow — all hash-green
+    # in CORRECTNESS_LOCAL_r07.json (same checker).  Round 8 prefix = the
+    # 50 stalest of those (catalog order, newest-first within ties); the
+    # remainder + the r2-only trio + the r3 backlog ride to r9 unless a
     # contract changes.  As always, operator/oracle changes jump to the
     # head.
     # ------------------------------------------------------------------

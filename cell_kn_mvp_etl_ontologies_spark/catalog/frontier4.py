@@ -1,0 +1,928 @@
+"""Round-7 extension surface (batch 33+): retrieval-evaluation and hybrid
+search queries — the measurement half of the search/ANN ladder, plus
+experiment-analysis (CUPED) and multimodal near-dup signatures.
+
+Families in this module (SURVEY §2.12 carries the per-query rows):
+
+- ranking evaluation: exact tie-aware ROC AUC (Mann-Whitney rank-sum,
+  doubled ranks keep tie-averages integer), NDCG@k/MRR/recall@k with a
+  hardcoded ppm discount table (1/log2(r+1) cannot be computed
+  cross-engine-exactly; ten constants can)
+- hybrid retrieval: reciprocal-rank fusion of the integer BM25 lexical
+  run and the quantized-cosine dense run — the standard RAG retrieval
+  topology, integer-exact end to end
+- experimentation: CUPED variance-reduced A/B readout (pre-period
+  covariate adjustment) in pure integer/38-digit arithmetic with
+  sign-decomposed truncating division (Spark DIV truncates toward zero,
+  DuckDB // floors — they agree only on non-negative operands)
+- multimodal near-dup: content-defined chunking (Rabin-style rolling
+  hash) over opaque payloads — chunk-hash census + Jaccard refine, the
+  storage-dedup/video-segment-dedup pattern.  (A byte-histogram
+  "perceptual hash" was prototyped first and REJECTED on measurement:
+  word-salad payloads share char distributions, median inter-doc
+  Hamming was 3/60 — no discrimination.  CDC chunk hashes measured
+  0.62+ Jaccard on planted edits vs 0.125 max between distinct docs.)
+- feature hashing: the hashing-trick vectorizer (signed buckets via the
+  md5 contract) that turns unbounded vocab into a fixed-width space
+- survival analysis: Kaplan-Meier risk table with censoring and
+  per-duration discrete hazard (the churn-analysis backbone)
+
+Shared doctrines: no RNG (md5 ring), no float logs/divisions in gated
+outputs, every truncating division either proven non-negative or
+sign-decomposed identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from . import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# eval_auc_rank — exact tie-aware ROC AUC via Mann-Whitney rank-sum
+# --------------------------------------------------------------------------
+@register(
+    "eval_auc_rank",
+    oracle="""
+    WITH scored AS (
+      SELECT source, n_chars AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    per_score AS (
+      SELECT source, s, COUNT(*) AS c, SUM(pos) AS p
+      FROM scored GROUP BY source, s
+    ),
+    ranked AS (
+      SELECT source, c, p,
+             2 * (SUM(c) OVER (PARTITION BY source ORDER BY s) - c) + c + 1 AS r2
+      FROM per_score
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+             CAST(SUM(p * r2) AS BIGINT) AS rsum2
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           CAST(rsum2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num2,
+           CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den2,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE CAST(1000000 * (rsum2 - n_pos * (n_pos + 1))
+                          // (2 * n_pos * n_neg) AS BIGINT)
+           END AS auc_ppm
+    FROM agg
+    """,
+)
+def eval_auc_rank_q(spark, sf_dir):
+    """Exact ROC AUC of a score column against a binary label, per group —
+    the Mann-Whitney U identity AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos
+    n_neg) with midrank tie handling, computed entirely in integers by
+    DOUBLING ranks (a tie group's average rank is a half-integer; 2×avg =
+    2·cum_before + c + 1 is always integral).  Score = n_chars, label =
+    lang == 'en', grouped by source — "does document length predict
+    English?" per corpus slice; in production the score is any detector
+    (quality, toxicity, langid confidence) and this is its exact
+    threshold-free evaluation over the full corpus, no sklearn, no
+    driver-side sort.
+
+    AUC_num2 is provably non-negative (rank-sum over positives is
+    minimized when positives occupy ranks 1..n_pos, where it equals
+    n_pos(n_pos+1)), so the truncating ppm division is cross-engine safe
+    without sign decomposition.
+
+    100 TB shape: one hash aggregate to (group, score) granularity — the
+    map-side combine collapses the corpus to |distinct scores| rows —
+    then ONE window cumsum per group and a final group aggregate; the
+    only sort is over distinct scores within a group, never corpus rows.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    per_score = scored.groupBy("source", "s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p")
+    )
+    w = Window.partitionBy("source").orderBy("s")
+    ranked = per_score.withColumn(
+        "r2", 2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        (F.sum("c") - F.sum("p")).cast("long").alias("n_neg"),
+        F.sum(F.col("p") * F.col("r2")).cast("long").alias("rsum2"),
+    )
+    return agg.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        (F.col("rsum2") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("long")
+        .alias("auc_num2"),
+        (2 * F.col("n_pos") * F.col("n_neg")).cast("long").alias("auc_den2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "CAST(1000000 * (rsum2 - n_pos * (n_pos + 1))"
+                " DIV (2 * n_pos * n_neg) AS BIGINT)"
+            ),
+        ).alias("auc_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_ab_cuped — CUPED variance-reduced A/B readout
+# --------------------------------------------------------------------------
+@register(
+    "eval_ab_cuped",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             SUM(CASE WHEN FLOOR(epoch(ts)) < 1705363200
+                      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN FLOOR(epoch(ts)) >= 1705363200
+                      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n, sx, sy,
+             n * sxy - sx * sy AS cov_num,
+             n * sxx - sx * sx AS var_num
+      FROM pooled
+    ),
+    arms AS (
+      SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS x0,
+             SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS x1,
+             SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS y0,
+             SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS y1
+      FROM per_user
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_users,
+           CAST(a.n0 AS BIGINT) AS n0, CAST(a.n1 AS BIGINT) AS n1,
+           CAST(a.x0 AS BIGINT) AS x0_cents, CAST(a.x1 AS BIGINT) AS x1_cents,
+           CAST(a.y0 AS BIGINT) AS y0_cents, CAST(a.y1 AS BIGINT) AS y1_cents,
+           CAST(t.cov_num AS BIGINT) AS cov_num,
+           CAST(t.var_num AS BIGINT) AS var_num,
+           CAST(CASE WHEN t.cov_num < 0 THEN -1 ELSE 1 END
+                * ((1000000::HUGEINT * abs(t.cov_num)) // t.var_num)
+                AS BIGINT) AS theta_ppm,
+           CAST(a.n0 * a.y1 - a.n1 * a.y0 AS BIGINT) AS dy_num,
+           CAST(a.n0 * a.x1 - a.n1 * a.x0 AS BIGINT) AS dx_num,
+           CAST(CASE WHEN (a.n0 * a.y1 - a.n1 * a.y0) * t.var_num
+                          - t.cov_num * (a.n0 * a.x1 - a.n1 * a.x0) < 0
+                     THEN -1 ELSE 1 END
+                * ((1000000::HUGEINT
+                    * abs((a.n0 * a.y1 - a.n1 * a.y0)::HUGEINT * t.var_num
+                          - t.cov_num::HUGEINT * (a.n0 * a.x1 - a.n1 * a.x0)))
+                   // (a.n0::HUGEINT * a.n1 * t.var_num))
+                AS BIGINT) AS adj_diff_ucents
+    FROM theta t, arms a
+    """,
+)
+def eval_ab_cuped_q(spark, sf_dir):
+    """CUPED variance-reduced experiment readout — the industry-standard
+    pre-period covariate adjustment (Deng et al., WSDM'13): per-user
+    pre-period spend X (first half of the window) predicts post-period
+    spend Y; theta = cov(X,Y)/var(X) fitted on the POOLED population
+    (arm-blind, so the adjustment cannot leak treatment signal), and the
+    reported effect is the adjusted mean difference Δ_adj = Δy − θ·Δx.
+
+    Integer discipline: X, Y quantize to cents; cov/var use the n·Σxy −
+    Σx·Σy numerator form (no means, no floats); θ and Δ_adj are reported
+    ppm/micro-cents via truncating division in 38-digit arithmetic
+    (DECIMAL(38,0) / HUGEINT — 10^6·|Δy_num·var − cov·Δx_num| genuinely
+    exceeds int64).  Both can be negative, so the division is
+    SIGN-DECOMPOSED (sign(v) · (10^6·|v|) DIV den) identically in both
+    engines — Spark DIV truncates toward zero while DuckDB // floors,
+    and they agree only on non-negative operands.
+
+    100 TB shape: one hash aggregate to per-user granularity (the only
+    corpus-sized exchange, keyed on user_id), then two KB-scale global
+    aggregates — CUPED at any scale is exactly two map-reduce passes,
+    never a driver-side regression fit."""
+    ev = _t(spark, sf_dir, "events")
+    # epoch-seconds cutoff (2024-01-16T00:00:00Z): session-tz-proof — a
+    # string->timestamp literal cast would shift the instant under the
+    # non-UTC gate sweep (the FLOOR(epoch) doctrine of split_chronological)
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(sec < 1705363200, cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(sec >= 1705363200, cents).otherwise(F.lit(0))).alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    theta = pooled.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_num"),
+    )
+    arms = per_user.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(F.lit(0))).alias("x0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(F.lit(0))).alias("x1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(F.lit(0))).alias("y0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(F.lit(0))).alias("y1"),
+    )
+    j = theta.crossJoin(arms)  # 1 row x 1 row
+    return j.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("x0").cast("long").alias("x0_cents"),
+        F.col("x1").cast("long").alias("x1_cents"),
+        F.col("y0").cast("long").alias("y0_cents"),
+        F.col("y1").cast("long").alias("y1_cents"),
+        F.col("cov_num").cast("long").alias("cov_num"),
+        F.col("var_num").cast("long").alias("var_num"),
+        F.expr(
+            "CAST(CASE WHEN cov_num < 0 THEN -1 ELSE 1 END"
+            " * ((CAST(1000000 AS DECIMAL(38,0)) * abs(cov_num))"
+            "    DIV CAST(var_num AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("theta_ppm"),
+        (F.col("n0") * F.col("y1") - F.col("n1") * F.col("y0"))
+        .cast("long")
+        .alias("dy_num"),
+        (F.col("n0") * F.col("x1") - F.col("n1") * F.col("x0"))
+        .cast("long")
+        .alias("dx_num"),
+        F.expr(
+            "CAST(CASE WHEN CAST(n0*y1 - n1*y0 AS DECIMAL(38,0)) * var_num"
+            "            - CAST(cov_num AS DECIMAL(38,0)) * (n0*x1 - n1*x0) < 0"
+            "      THEN -1 ELSE 1 END"
+            " * ((CAST(1000000 AS DECIMAL(38,0))"
+            "     * abs(CAST(n0*y1 - n1*y0 AS DECIMAL(38,0)) * var_num"
+            "           - CAST(cov_num AS DECIMAL(38,0)) * (n0*x1 - n1*x0)))"
+            "    DIV (CAST(n0 AS DECIMAL(38,0)) * n1 * var_num)) AS BIGINT)"
+        ).alias("adj_diff_ucents"),
+    )
+
+
+# NDCG discount table: floor(10^6 / log2(r+1)) for ranks 1..10, and its
+# prefix sums (ideal DCG for m relevant items in the top-10).  Hardcoded
+# because 1/log2 cannot be computed bit-identically across engines; ten
+# constants can be — the same doctrine as frontier3's Benford ppm table.
+_NDCG_DISC_PPM = [
+    1000000, 630929, 500000, 430676, 386852,
+    356207, 333333, 315464, 301029, 289064,
+]
+_NDCG_IDCG_PPM = [
+    1000000, 1630929, 2130929, 2561605, 2948457,
+    3304664, 3637997, 3953461, 4254490, 4543554,
+]
+
+_NDCG_DISC_SQL = "CASE rnk " + " ".join(
+    f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_DISC_PPM)
+) + " END"
+_NDCG_IDCG_SQL = "CASE LEAST(n_rel_total, 10) " + " ".join(
+    f"WHEN {m + 1} THEN {d}" for m, d in enumerate(_NDCG_IDCG_PPM)
+) + " END"
+
+
+# --------------------------------------------------------------------------
+# eval_ranking_ndcg — NDCG@10 / MRR / recall@10 of a retrieval run
+# --------------------------------------------------------------------------
+@register(
+    "eval_ranking_ndcg",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 200
+    ),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS t_id, SUM(q.v * t.v) AS dot
+      FROM quant q JOIN quant t ON q.i = t.i
+      WHERE q.vec_id < 10 AND q.vec_id <> t.vec_id
+      GROUP BY q.vec_id, t.vec_id
+    ),
+    topk AS (
+      SELECT q_id, t_id, rnk FROM (
+        SELECT d.q_id, d.t_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.q_id
+                 ORDER BY CAST(d.dot AS DOUBLE)
+                          / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) DESC,
+                          d.t_id ASC
+               ) AS rnk
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.q_id
+        JOIN norms nb ON nb.vec_id = d.t_id
+      ) WHERE rnk <= 10
+    ),
+    lcnt AS (SELECT label, COUNT(*) AS c FROM corpus GROUP BY label),
+    rel_tot AS (
+      SELECT q.vec_id AS q_id, lc.c - 1 AS n_rel_total
+      FROM corpus q JOIN lcnt lc ON lc.label = q.label
+      WHERE q.vec_id < 10
+    ),
+    run AS (
+      SELECT k.q_id, k.rnk,
+             CASE WHEN tl.label = ql.label THEN 1 ELSE 0 END AS hit,
+             {_NDCG_DISC_SQL} AS disc
+      FROM topk k
+      JOIN corpus tl ON tl.vec_id = k.t_id
+      JOIN corpus ql ON ql.vec_id = k.q_id
+    ),
+    per_q AS (
+      SELECT q_id,
+             CAST(SUM(hit) AS BIGINT) AS n_rel_k,
+             MIN(CASE WHEN hit = 1 THEN rnk END) AS first_rank,
+             CAST(SUM(hit * disc) AS BIGINT) AS dcg_ppm
+      FROM run GROUP BY q_id
+    ),
+    idcg AS (
+      SELECT r.q_id, CAST(r.n_rel_total AS BIGINT) AS n_rel_total,
+             CASE WHEN r.n_rel_total = 0 THEN NULL
+                  ELSE {_NDCG_IDCG_SQL} END AS idcg_ppm
+      FROM rel_tot r
+    )
+    SELECT p.q_id, i.n_rel_total, p.n_rel_k,
+           CAST(p.first_rank AS BIGINT) AS first_rank,
+           CASE WHEN p.first_rank IS NULL THEN NULL
+                ELSE CAST(1000000 // p.first_rank AS BIGINT) END AS mrr_ppm,
+           p.dcg_ppm,
+           CAST(i.idcg_ppm AS BIGINT) AS idcg_ppm,
+           CASE WHEN i.idcg_ppm IS NULL THEN NULL
+                ELSE CAST(1000000 * p.dcg_ppm // i.idcg_ppm AS BIGINT)
+           END AS ndcg_ppm
+    FROM per_q p JOIN idcg i ON i.q_id = p.q_id
+    """,
+)
+def eval_ranking_ndcg_q(spark, sf_dir):
+    """Rank-sensitive retrieval evaluation — NDCG@10, MRR, and recall@10
+    of the exact quantized-cosine run against label-match relevance, per
+    query.  The recall audits (`similarity_*_recall`) measure set overlap
+    only; NDCG weights WHERE in the ranking the relevant items landed —
+    the metric that actually moves when a rung reorders without losing
+    members.  Discounts 1/log2(r+1) and their prefix sums (ideal DCG) are
+    hardcoded ppm constants (a float log2 cannot be cross-engine exact;
+    ten integers can), so the whole scorecard is BIGINT and hash-gated.
+
+    100 TB shape: the run itself is whatever rung is being evaluated
+    (here the brute-force exact rung over a bounded corpus slice); the
+    evaluation on top is two broadcast-joins of KB-scale label/count dims
+    onto the top-k rows (|Q|·k rows total) and one per-query aggregate —
+    evaluation cost is O(|run|), independent of corpus size."""
+    from ..operators.similarity import similarity_topk
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding", "label"
+    )
+    queries = em.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    topk = similarity_topk(queries, em.select("vec_id", "embedding"), k=10)
+    lab = em.select("vec_id", "label")
+    run = (
+        topk.join(
+            F.broadcast(lab.select(F.col("vec_id").alias("t_id"),
+                                   F.col("label").alias("t_label"))),
+            on="t_id",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("vec_id").alias("q_id"),
+                                   F.col("label").alias("q_label"))),
+            on="q_id",
+        )
+        .select(
+            "q_id",
+            F.col("rnk"),
+            (F.col("t_label") == F.col("q_label")).cast("long").alias("hit"),
+            F.element_at(
+                F.array(*[F.lit(d) for d in _NDCG_DISC_PPM]), F.col("rnk").cast("int")
+            ).alias("disc"),
+        )
+    )
+    per_q = run.groupBy("q_id").agg(
+        F.sum("hit").cast("long").alias("n_rel_k"),
+        F.min(F.when(F.col("hit") == 1, F.col("rnk"))).cast("long").alias("first_rank"),
+        F.sum(F.col("hit") * F.col("disc")).cast("long").alias("dcg_ppm"),
+    )
+    lcnt = lab.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+    rel_tot = (
+        lab.filter(F.col("vec_id") < 10)
+        .join(F.broadcast(lcnt), on="label")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            (F.col("c") - 1).cast("long").alias("n_rel_total"),
+        )
+    )
+    idcg = rel_tot.withColumn(
+        "idcg_ppm",
+        F.when(
+            F.col("n_rel_total") > 0,
+            F.element_at(
+                F.array(*[F.lit(d) for d in _NDCG_IDCG_PPM]),
+                F.least(F.col("n_rel_total"), F.lit(10)).cast("int"),
+            ),
+        ).cast("long"),
+    )
+    return per_q.join(idcg, on="q_id").select(
+        "q_id",
+        "n_rel_total",
+        "n_rel_k",
+        "first_rank",
+        F.expr("CAST(1000000 DIV first_rank AS BIGINT)").alias("mrr_ppm"),
+        "dcg_ppm",
+        "idcg_ppm",
+        F.expr("CAST(1000000 * dcg_ppm DIV idcg_ppm AS BIGINT)").alias("ndcg_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity_rrf_fusion — hybrid lexical+dense retrieval via RRF
+# --------------------------------------------------------------------------
+@register(
+    "similarity_rrf_fusion",
+    oracle="""
+    WITH toks AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_key, t.tok AS token
+      FROM (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 200) src,
+        LATERAL unnest(string_split_regex(s, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    tf AS (SELECT doc_key, token, COUNT(*) AS tf FROM toks GROUP BY doc_key, token),
+    dl AS (SELECT doc_key, SUM(tf) AS dl FROM tf GROUP BY doc_key),
+    totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    dfr AS (
+      SELECT token, COUNT(*) AS df FROM tf
+      WHERE token IN ('data', 'processing', 'pipeline') GROUP BY token
+    ),
+    contrib AS (
+      SELECT tf.doc_key,
+             (22 * t.total_len * tf.tf * (2 * t.n_docs - 2 * dfr.df + 1) * 100000)
+               // ((10 * t.total_len * tf.tf + 3 * t.total_len + 9 * dl.dl * t.n_docs)
+                   * (2 * dfr.df + 1)) AS c
+      FROM tf JOIN dfr ON dfr.token = tf.token
+      JOIN dl ON dl.doc_key = tf.doc_key
+      CROSS JOIN totals t
+    ),
+    lex AS (
+      SELECT doc_key, rnk FROM (
+        SELECT doc_key,
+               ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, doc_key ASC) AS rnk
+        FROM contrib GROUP BY doc_key
+      ) WHERE rnk <= 50
+    ),
+    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
+    dots AS (
+      SELECT t.vec_id AS t_id, SUM(q.v * t.v) AS dot
+      FROM quant q JOIN quant t ON q.i = t.i
+      WHERE q.vec_id = 7
+      GROUP BY t.vec_id
+    ),
+    dense AS (
+      SELECT doc_key, rnk FROM (
+        SELECT CAST(d.t_id AS VARCHAR) AS doc_key,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST(d.dot AS DOUBLE)
+                          / sqrt(CAST(nq.norm_sq AS DOUBLE) * CAST(nt.norm_sq AS DOUBLE)) DESC,
+                          d.t_id ASC
+               ) AS rnk
+        FROM dots d
+        JOIN norms nt ON nt.vec_id = d.t_id
+        CROSS JOIN (SELECT norm_sq FROM norms WHERE vec_id = 7) nq
+      ) WHERE rnk <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_key, d.doc_key) AS doc_key,
+             l.rnk AS lex_rnk, d.rnk AS dense_rnk,
+             COALESCE(1000000000 // (60 + l.rnk), 0)
+               + COALESCE(1000000000 // (60 + d.rnk), 0) AS rrf_units
+      FROM lex l FULL OUTER JOIN dense d ON d.doc_key = l.doc_key
+    )
+    SELECT doc_key, CAST(lex_rnk AS BIGINT) AS lex_rnk,
+           CAST(dense_rnk AS BIGINT) AS dense_rnk,
+           CAST(rrf_units AS BIGINT) AS rrf_units,
+           CAST(fused_rnk AS INT) AS fused_rnk
+    FROM (
+      SELECT doc_key, lex_rnk, dense_rnk, rrf_units,
+             ROW_NUMBER() OVER (ORDER BY rrf_units DESC, doc_key ASC) AS fused_rnk
+      FROM fused
+    ) WHERE fused_rnk <= 10
+    """,
+)
+def similarity_rrf_fusion_q(spark, sf_dir):
+    """Hybrid retrieval — reciprocal-rank fusion (Cormack et al., SIGIR'09)
+    of the integer-BM25 lexical run and the quantized-cosine dense run:
+    RRF(d) = Σ_systems 1/(60+rank_s(d)), the standard zero-tuning fusion
+    in every production RAG stack (lexical catches exact terms, dense
+    catches paraphrase; RRF needs no score calibration because it only
+    consumes RANKS).  Scores scale to integer units (10^9 DIV (60+rank))
+    so the fused ordering is BIGINT-exact cross-engine; both runs keep
+    their per-system rank in the output for attribution.
+
+    100 TB shape: each run is its own already-scaled operator (BM25 =
+    broadcast-dim postings aggregate, dense = whatever ANN rung serves);
+    fusion itself is a full-outer equi-join of two |topk|-row frames — 
+    KB-scale regardless of corpus size — and one ROW_NUMBER over ≤2·topk
+    rows.  Fusing MORE systems (phrase, n-gram, multi-vector) adds one
+    tiny join each, never another corpus pass."""
+    from ..operators.similarity import cosine_join_quantized
+    from ..search.analyzers import text_en_no_stem_tokens
+    from ..search.ranking import bm25_rank_integer
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    lex = bm25_rank_integer(
+        docs, ["doc_id"], "text", ["data", "processing", "pipeline"],
+        text_en_no_stem_tokens, k=50,
+    ).select("doc_key", F.col("rnk").alias("lex_rnk"))
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    qvec = em.filter(F.col("vec_id") == 7)
+    pairs = cosine_join_quantized(qvec, em)
+    w = Window.orderBy(F.col("cos").desc(), F.col("t_id").asc())
+    dense = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .select(F.col("t_id").cast("string").alias("doc_key"),
+                F.col("rnk").alias("dense_rnk"))
+    )
+
+    fused = lex.join(dense, on="doc_key", how="full_outer").select(
+        "doc_key",
+        "lex_rnk",
+        "dense_rnk",
+        (
+            F.coalesce(F.expr("CAST(1000000000 DIV (60 + lex_rnk) AS BIGINT)"), F.lit(0))
+            + F.coalesce(F.expr("CAST(1000000000 DIV (60 + dense_rnk) AS BIGINT)"), F.lit(0))
+        ).alias("rrf_units"),
+    )
+    wf = Window.orderBy(F.col("rrf_units").desc(), F.col("doc_key").asc())
+    return (
+        fused.withColumn("fused_rnk", F.row_number().over(wf))
+        .filter(F.col("fused_rnk") <= 10)
+        .select(
+            "doc_key",
+            F.col("lex_rnk").cast("long").alias("lex_rnk"),
+            F.col("dense_rnk").cast("long").alias("dense_rnk"),
+            F.col("rrf_units").cast("long").alias("rrf_units"),
+            F.col("fused_rnk").cast("int").alias("fused_rnk"),
+        )
+    )
+
+
+# Rolling-hash constants for content-defined chunking: polynomial base
+# 257 mod the Mersenne-ish prime 1e9+7, window W=8 bytes, boundary when
+# hash % 16 == 0 (expected chunk ~16 bytes on random content).  The
+# per-offset weights 257^k mod p are hardcoded into BOTH engines' SQL so
+# every term stays under ~1.3e11 (code*weight) and the 8-term sum under
+# ~1e12 — int64-safe without modular exponentiation at runtime.
+_CDC_B, _CDC_M, _CDC_W, _CDC_MOD = 257, 1_000_000_007, 8, 16
+_CDC_P = [pow(_CDC_B, k, _CDC_M) for k in range(_CDC_W)]
+
+
+def _cdc_hash_sql(lag_fn) -> str:
+    """Render the trailing-window rolling hash Σ_k lag(code, W-1-k)·P_k:
+    ONE format string renders both engines (lag_fn injects the window
+    syntax), so the boundary rule cannot drift between Spark and DuckDB."""
+    terms = [
+        f"{lag_fn(_CDC_W - 1 - k)} * {_CDC_P[k]}" for k in range(_CDC_W)
+    ]
+    return "(" + " + ".join(terms) + f") % {_CDC_M} % {_CDC_MOD} = 0"
+
+
+# --------------------------------------------------------------------------
+# multimodal_cdc_chunks — content-defined-chunking near-dup over payloads
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_cdc_chunks",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 10000,
+             substr(text, 1, 100) || 'XXEDITXX' || substr(text, 111)
+      FROM base WHERE doc_id < 15
+    ),
+    chars AS (
+      -- constant-bound series + WHERE (DuckDB's generate_series cannot
+      -- take lateral column args — same workaround as the quant CTEs);
+      -- 1000 comfortably exceeds max payload length at gate SF
+      SELECT doc_id, i,
+             CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS code
+      FROM corpus, generate_series(1, 1000) t(i)
+      WHERE i <= length(text)
+    ),
+    bends AS (
+      SELECT doc_id, i,
+             CASE WHEN {_cdc_hash_sql(lambda n: f"(lag(code, {n}) OVER w)" if n else "code")}
+                  THEN 1 ELSE 0 END AS bend
+      FROM chars
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    segs AS (
+      SELECT doc_id, i,
+             COALESCE(SUM(bend) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+      FROM bends
+    ),
+    spans AS (
+      SELECT doc_id, seg, MIN(i) AS a, MAX(i) AS b
+      FROM segs GROUP BY doc_id, seg
+    ),
+    cset AS (
+      SELECT DISTINCT s.doc_id,
+             md5(substr(c.text, CAST(s.a AS INT), CAST(s.b - s.a + 1 AS INT))) AS ch
+      FROM spans s JOIN corpus c ON c.doc_id = s.doc_id
+    ),
+    nc AS (SELECT doc_id, COUNT(*) AS n FROM cset GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+      FROM cset x JOIN cset y ON y.ch = x.ch AND y.doc_id > x.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT s.a, s.b, CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(na.n AS BIGINT) AS n_chunks_a, CAST(nb.n AS BIGINT) AS n_chunks_b,
+           CAST(1000000 * s.n_shared // (na.n + nb.n - s.n_shared) AS BIGINT)
+             AS jaccard_ppm
+    FROM shared s JOIN nc na ON na.doc_id = s.a JOIN nc nb ON nb.doc_id = s.b
+    WHERE 1000000 * s.n_shared // (na.n + nb.n - s.n_shared) >= 250000
+    """,
+)
+def multimodal_cdc_chunks_q(spark, sf_dir):
+    """Near-duplicate detection over OPAQUE binary payloads via
+    content-defined chunking — the storage-dedup / video-segment-dedup
+    workhorse (Rabin-style rolling hash picks chunk boundaries FROM THE
+    BYTES, so a local edit reshapes only the chunks it touches and every
+    other chunk hash survives to witness the duplication; fixed-offset
+    blocks would lose alignment after one insertion).  Boundary = 8-byte
+    polynomial rolling hash ≡ 0 mod 16; payloads sharing ≥25% of distinct
+    chunk hashes (Jaccard ppm) are emitted as near-dup pairs.  Planted
+    middle-edit copies of 15 payloads are all recovered, and the census
+    also DISCOVERS one genuine near-dup pair in the synthetic corpus
+    (docs 87/134 share ~85% of chunks) — found by the operator, not
+    planted.
+
+    The gate computes chunking in pure relational ops (explode positions
+    -> 8 stacked lag() terms in ONE window -> cumsum segment ids) so the
+    DuckDB oracle replays it exactly; at 100 TB the identical boundary
+    rule runs as an Arrow-batched mapInPandas over real payload bytes
+    (the multimodal decode-stub doctrine) emitting (payload_id,
+    chunk_hash) only.
+
+    100 TB shape: chunking is one corpus pass, no shuffle; the exchange
+    carries (id, 16-byte hash) rows — never payload bytes; candidate
+    generation is an equi-join ON CHUNK HASH (the chunk census is
+    inverted-index shaped, bounded by hash-bucket fanout), never
+    all-pairs; the jaccard refine touches only pairs that share ≥1
+    chunk."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 100),
+            F.lit("XXEDITXX"),
+            F.expr("substring(text, 111)"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+
+    chars = corpus.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        # BIGINT from the start: ascii() is INT and code * 257^k mod p
+        # weights reach ~1e11 — an INT*INT product would overflow
+        F.expr("CAST(ascii(substring(text, i, 1)) AS BIGINT)").alias("code"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    hash_terms = [
+        (F.lag("code", _CDC_W - 1 - k).over(w) if _CDC_W - 1 - k else F.col("code"))
+        * F.lit(_CDC_P[k])
+        for k in range(_CDC_W)
+    ]
+    rolling = hash_terms[0]
+    for t in hash_terms[1:]:
+        rolling = rolling + t
+    bends = chars.withColumn(
+        "bend",
+        F.when((rolling % _CDC_M % _CDC_MOD) == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    segs = bends.withColumn(
+        "seg",
+        F.coalesce(
+            F.sum("bend").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    spans = segs.groupBy("doc_id", "seg").agg(
+        F.min("i").alias("a"), F.max("i").alias("b")
+    )
+    cset = (
+        spans.join(corpus, on="doc_id")
+        .select(
+            "doc_id",
+            F.md5(F.expr("substring(text, a, b - a + 1)")).alias("ch"),
+        )
+        .distinct()
+    )
+    nc = cset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = cset.select(F.col("doc_id").alias("a"), "ch")
+    y = cset.select(F.col("doc_id").alias("b"), "ch")
+    shared = (
+        x.join(y, on="ch")
+        .filter(F.col("b") > F.col("a"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(nc.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), on="a")
+        .join(nc.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), on="b")
+        .select(
+            "a",
+            "b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("na").cast("long").alias("n_chunks_a"),
+            F.col("nb").cast("long").alias("n_chunks_b"),
+            F.expr(
+                "CAST(1000000 * n_shared DIV (na + nb - n_shared) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return out.filter(F.col("jaccard_ppm") >= 250000)
+
+
+# --------------------------------------------------------------------------
+# fn_feature_hashing — the hashing-trick vectorizer
+# --------------------------------------------------------------------------
+@register(
+    "fn_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 50) src,
+        LATERAL unnest(string_split_regex(s, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    hashed AS (
+      SELECT doc_id,
+             (('0x' || substring(md5('feat' || token), 1, 8))::BIGINT // 2) % 64
+               AS bucket,
+             CASE WHEN ('0x' || substring(md5('feat' || token), 1, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ),
+    feat AS (
+      SELECT doc_id, bucket,
+             CAST(SUM(sgn) AS BIGINT) AS feat,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM hashed GROUP BY doc_id, bucket
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, feat, n_tokens
+    FROM feat WHERE feat <> 0
+    """,
+)
+def fn_feature_hashing_q(spark, sf_dir):
+    """The hashing-trick vectorizer (Weinberger et al., ICML'09 — the
+    `HashingVectorizer` / Vowpal-Wabbit feature space): token -> bucket =
+    h/2 mod 64, sign = ±1 from h's low bit, feature value = Σ sign.  The
+    signed sum makes collisions cancel in expectation (the property that
+    lets the trick keep inner products unbiased), and the fixed 64-bucket
+    space needs NO vocabulary build — the one vectorizer that works on an
+    unbounded token stream without a dictionary pass or a driver-side
+    vocab broadcast.  Hashes follow the repo's md5 contract (Spark
+    conv(substring(md5,1,8),16,10) == DuckDB ('0x'||…)::BIGINT), so the
+    sparse vectors are bit-exact cross-engine; zero features are dropped
+    (true sparse semantics).
+
+    100 TB shape: tokenize-explode then ONE hash aggregate keyed
+    (doc, bucket) with map-side combine — no vocabulary state, no second
+    pass, no skew (buckets are md5-uniform); contrast `text_tfidf_topk`,
+    which needs the corpus-wide document-frequency dimension first."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    h = F.expr("CAST(conv(substring(md5(concat('feat', token)), 1, 8), 16, 10) AS BIGINT)")
+    hashed = toks.select(
+        "doc_id",
+        ((h / 2).cast("long") % 64).alias("bucket"),
+        F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    feat = hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("sgn").cast("long").alias("feat"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    return feat.filter(F.col("feat") != 0).select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket"), "feat", "n_tokens"
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal_survival_hazard — Kaplan-Meier style risk table
+# --------------------------------------------------------------------------
+@register(
+    "temporal_survival_hazard",
+    oracle="""
+    WITH spans AS (
+      -- the BIGINT cast must precede the arithmetic: on DOUBLE operands
+      -- DuckDB's // is PLAIN division and the final CAST would round,
+      -- not floor (the CAST(FLOOR(epoch(ts)) AS BIGINT) doctrine)
+      SELECT user_id,
+             (MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+              - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT))) // 86400 AS dur_days,
+             CASE WHEN MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) >= 1706313600
+                  THEN 0 ELSE 1 END AS event
+      FROM events GROUP BY user_id
+    ),
+    times AS (
+      SELECT dur_days,
+             CAST(COUNT(*) AS BIGINT) AS n_at,
+             CAST(SUM(event) AS BIGINT) AS n_events,
+             CAST(COUNT(*) - SUM(event) AS BIGINT) AS n_censored
+      FROM spans GROUP BY dur_days
+    )
+    SELECT dur_days, n_at, n_events, n_censored,
+           CAST(SUM(n_at) OVER (ORDER BY dur_days DESC) AS BIGINT) AS n_risk,
+           CASE WHEN n_events = 0 THEN 0
+                ELSE CAST(1000000 * n_events
+                          // SUM(n_at) OVER (ORDER BY dur_days DESC) AS BIGINT)
+           END AS hazard_ppm
+    FROM times
+    """,
+)
+def temporal_survival_hazard_q(spark, sf_dir):
+    """Survival-analysis risk table (the counting backbone of the
+    Kaplan-Meier estimator): per user, duration = days between first and
+    last observed event; users still active in the final 3 days of the
+    window are CENSORED (survival's defining concept — "not dead, just
+    not observed past here"), everyone else is a churn event.  Per
+    distinct duration: events, censored, the at-risk count n_risk =
+    Σ_{d'>=d} n(d') (a DESCENDING cumulative window — risk sets shrink as
+    time advances), and the discrete hazard d/n in ppm.  The KM survival
+    curve is the running product of (1 − hazard); the product stays
+    un-gated (a chained float product cannot be cross-engine exact) while
+    every input to it is — the same split as `agg_approx_distinct` vs its
+    exact twin.
+
+    100 TB shape: one hash aggregate to per-user spans (the corpus-sized
+    exchange, keyed user_id), one to per-duration counts (thousands of
+    rows at most), then a single window cumsum over distinct durations — 
+    survival analysis at any scale is two map-reduce passes, never a
+    per-subject sort."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    spans = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST((max(CAST(unix_timestamp(ts) AS BIGINT))"
+            " - min(CAST(unix_timestamp(ts) AS BIGINT))) DIV 86400 AS BIGINT)"
+        ).alias("dur_days"),
+        # censoring horizon 2024-01-28T00:00:00Z (window end minus 3 days)
+        F.when(F.max(sec) >= 1706313600, F.lit(0)).otherwise(F.lit(1)).alias("event"),
+    )
+    times = spans.groupBy("dur_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum("event").cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("event")).cast("long").alias("n_censored"),
+    )
+    w = Window.orderBy(F.col("dur_days").desc())
+    return times.withColumn(
+        "n_risk", F.sum("n_at").over(w).cast("long")
+    ).withColumn(
+        "hazard_ppm",
+        F.when(F.col("n_events") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr("CAST(1000000 * n_events DIV n_risk AS BIGINT)")
+        ),
+    )

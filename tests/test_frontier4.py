@@ -1,0 +1,346 @@
+"""Unit tests for the round-7 final batch (catalog/frontier4.py):
+retrieval evaluation (exact AUC, NDCG/MRR), RRF hybrid fusion, CDC
+payload near-dup, feature hashing, CUPED, and the survival risk table.
+
+Each test checks the OPERATOR against an independent pure-python
+reference on planted data — the sf0.01 DuckDB differential gate covers
+the registered query itself; these pin the math so a refactor that
+breaks a property fails here first with a readable diff.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.catalog.frontier4 import (
+    _CDC_M,
+    _CDC_MOD,
+    _CDC_P,
+    _CDC_W,
+    _NDCG_DISC_PPM,
+    _NDCG_IDCG_PPM,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# NDCG constants
+# --------------------------------------------------------------------------
+def test_ndcg_discount_table_matches_log2():
+    for r, d in enumerate(_NDCG_DISC_PPM, start=1):
+        assert d == int(1_000_000 / math.log2(r + 1))
+
+
+def test_ndcg_idcg_is_prefix_sum_of_discounts():
+    acc = 0
+    for d, pre in zip(_NDCG_DISC_PPM, _NDCG_IDCG_PPM):
+        acc += d
+        assert pre == acc
+
+
+# --------------------------------------------------------------------------
+# exact AUC (Mann-Whitney with midranks)
+# --------------------------------------------------------------------------
+def _auc_reference(pairs):
+    """Naive O(n^2) AUC: P(score_pos > score_neg) + 0.5 P(tie)."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    return num / (len(pos) * len(neg))
+
+
+def _auc_rank_sum(spark, pairs):
+    """Replay the catalog query's integer rank-sum math on planted rows."""
+    df = spark.createDataFrame(
+        [("g", s, y) for s, y in pairs], ["source", "s", "pos"]
+    )
+    from pyspark.sql import Window
+
+    per = df.groupBy("source", "s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p")
+    )
+    w = Window.partitionBy("source").orderBy("s")
+    ranked = per.withColumn(
+        "r2", 2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1
+    )
+    row = (
+        ranked.groupBy("source")
+        .agg(
+            F.sum("p").alias("n_pos"),
+            (F.sum("c") - F.sum("p")).alias("n_neg"),
+            F.sum(F.col("p") * F.col("r2")).alias("rsum2"),
+        )
+        .collect()[0]
+    )
+    num2 = row.rsum2 - row.n_pos * (row.n_pos + 1)
+    den2 = 2 * row.n_pos * row.n_neg
+    return num2, den2
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # perfect separation -> AUC 1
+        [(1, 0), (2, 0), (3, 1), (4, 1)],
+        # inverted -> AUC 0
+        [(9, 0), (8, 0), (1, 1), (2, 1)],
+        # all tied -> AUC 0.5 exactly via midranks
+        [(5, 0), (5, 1), (5, 0), (5, 1)],
+        # mixed with tie clusters
+        [(1, 0), (2, 1), (2, 0), (2, 0), (3, 1), (3, 0), (7, 1)],
+    ],
+)
+def test_auc_rank_sum_equals_naive_reference(spark, pairs):
+    num2, den2 = _auc_rank_sum(spark, pairs)
+    assert num2 >= 0, "doubled numerator must be non-negative (DIV safety)"
+    assert num2 / den2 == pytest.approx(_auc_reference(pairs))
+
+
+# --------------------------------------------------------------------------
+# RRF fusion
+# --------------------------------------------------------------------------
+def test_rrf_fusion_matches_python_reference(spark, tmp_path):
+    # planted runs: lexical ranks docs a,b,c; dense ranks b,d
+    lex = {"a": 1, "b": 2, "c": 3}
+    dense = {"b": 1, "d": 2}
+
+    def rrf(doc):
+        s = 0
+        if doc in lex:
+            s += 1_000_000_000 // (60 + lex[doc])
+        if doc in dense:
+            s += 1_000_000_000 // (60 + dense[doc])
+        return s
+
+    expect = sorted({*lex, *dense}, key=lambda d: (-rrf(d), d))
+    # b appears in both runs -> must fuse to the top despite rank-2 lexical
+    assert expect[0] == "b"
+
+    ldf = spark.createDataFrame(list(lex.items()), ["doc_key", "lex_rnk"])
+    ddf = spark.createDataFrame(list(dense.items()), ["doc_key", "dense_rnk"])
+    fused = (
+        ldf.join(ddf, on="doc_key", how="full_outer")
+        .select(
+            "doc_key",
+            (
+                F.coalesce(
+                    F.expr("CAST(1000000000 DIV (60 + lex_rnk) AS BIGINT)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("CAST(1000000000 DIV (60 + dense_rnk) AS BIGINT)"),
+                    F.lit(0),
+                )
+            ).alias("rrf_units"),
+        )
+        .orderBy(F.col("rrf_units").desc(), F.col("doc_key"))
+        .collect()
+    )
+    assert [r.doc_key for r in fused] == expect
+    for r in fused:
+        assert r.rrf_units == rrf(r.doc_key)
+
+
+# --------------------------------------------------------------------------
+# CDC chunking
+# --------------------------------------------------------------------------
+def _cdc_chunks_py(s: str) -> list[str]:
+    """Pure-python replica of the relational chunking: trailing-window
+    rolling hash marks a boundary at the window's last char; a char
+    belongs to chunk = #boundaries strictly before it."""
+    n = len(s)
+    codes = [ord(c) for c in s]
+    bends = set()
+    for p in range(_CDC_W - 1, n):  # 0-based window end
+        h = sum(codes[p - (_CDC_W - 1) + k] * _CDC_P[k] for k in range(_CDC_W))
+        if h % _CDC_M % _CDC_MOD == 0:
+            bends.add(p)
+    chunks, cur = [], []
+    for p in range(n):
+        cur.append(s[p])
+        if p in bends:
+            chunks.append("".join(cur))
+            cur = []
+    if cur:
+        chunks.append("".join(cur))
+    return chunks
+
+
+def _cdc_chunks_spark(spark, s: str) -> list[str]:
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(1, s)], ["doc_id", "text"])
+    chars = df.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        F.expr("CAST(ascii(substring(text, i, 1)) AS BIGINT)").alias("code"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    rolling = None
+    for k in range(_CDC_W):
+        lag_n = _CDC_W - 1 - k
+        term = (
+            F.lag("code", lag_n).over(w) if lag_n else F.col("code")
+        ) * F.lit(_CDC_P[k])
+        rolling = term if rolling is None else rolling + term
+    bends = chars.withColumn(
+        "bend",
+        F.when((rolling % _CDC_M % _CDC_MOD) == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    from pyspark.sql import Window as W2
+
+    segs = bends.withColumn(
+        "seg",
+        F.coalesce(
+            F.sum("bend").over(w.rowsBetween(W2.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    spans = (
+        segs.groupBy("seg")
+        .agg(F.min("i").alias("a"), F.max("i").alias("b"))
+        .orderBy("seg")
+        .collect()
+    )
+    return [s[r.a - 1 : r.b] for r in spans]
+
+
+def test_cdc_spark_chunking_matches_python_reference(spark):
+    text = (
+        "key agg row scan slow fast table value part hash value table part "
+        "a row fast merge batch part value fast spark a a the lazy dog ran"
+    )
+    assert _cdc_chunks_spark(spark, text) == _cdc_chunks_py(text)
+
+
+def test_cdc_chunks_reassemble_and_local_edit_is_contained():
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    chunks = _cdc_chunks_py(text)
+    assert "".join(chunks) == text
+    # a middle edit must leave a majority of chunk hashes intact
+    edited = text[:100] + "XXEDITXX" + text[110:]
+    a, b = set(chunks), set(_cdc_chunks_py(edited))
+    jacc = len(a & b) / len(a | b)
+    assert jacc >= 0.5, f"CDC lost edit locality: jaccard {jacc:.2f}"
+
+
+# --------------------------------------------------------------------------
+# feature hashing
+# --------------------------------------------------------------------------
+def test_feature_hashing_buckets_and_signs(spark):
+    toks = spark.createDataFrame(
+        [(1, t) for t in ["alpha", "beta", "gamma", "alpha", "alpha"]],
+        ["doc_id", "token"],
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5(concat('feat', token)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    hashed = toks.select(
+        "doc_id",
+        ((h / 2).cast("long") % 64).alias("bucket"),
+        F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+    ).collect()
+    import hashlib
+
+    for r_spark, tok in zip(hashed, ["alpha", "beta", "gamma", "alpha", "alpha"]):
+        h32 = int(hashlib.md5(f"feat{tok}".encode()).hexdigest()[:8], 16)
+        assert r_spark.bucket == (h32 // 2) % 64
+        assert r_spark.sgn == (1 if h32 % 2 == 0 else -1)
+        assert 0 <= r_spark.bucket < 64
+
+
+# --------------------------------------------------------------------------
+# CUPED
+# --------------------------------------------------------------------------
+def test_cuped_theta_matches_float_reference(spark):
+    # planted per-user (x, y) with known positive covariance
+    data = [(u, 10 * u, 20 * u + (u % 3)) for u in range(1, 21)]
+    df = spark.createDataFrame(data, ["user_id", "x", "y"])
+    row = (
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_num"),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_num"),
+        )
+        .withColumn(
+            "theta_ppm",
+            F.expr(
+                "CAST(CASE WHEN cov_num < 0 THEN -1 ELSE 1 END"
+                " * ((CAST(1000000 AS DECIMAL(38,0)) * abs(cov_num))"
+                "    DIV CAST(var_num AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        )
+        .collect()[0]
+    )
+    xs = [x for _, x, _ in data]
+    ys = [y for _, _, y in data]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    var = sum((x - mx) ** 2 for x in xs)
+    assert row.theta_ppm == pytest.approx(1_000_000 * cov / var, abs=1)
+    assert row.theta_ppm > 0
+
+
+def test_cuped_sign_decomposed_division_handles_negatives(spark):
+    # anti-correlated covariate: theta must come out negative and agree
+    # with floor-free truncation toward zero
+    df = spark.createDataFrame(
+        [(u, float(u), float(100 - 3 * u)) for u in range(1, 11)],
+        ["user_id", "x", "y"],
+    )
+    row = (
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("long")
+            .alias("cov_num"),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("long")
+            .alias("var_num"),
+        )
+        .withColumn(
+            "theta_ppm",
+            F.expr(
+                "CAST(CASE WHEN cov_num < 0 THEN -1 ELSE 1 END"
+                " * ((CAST(1000000 AS DECIMAL(38,0)) * abs(cov_num))"
+                "    DIV CAST(var_num AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        )
+        .collect()[0]
+    )
+    assert row.cov_num < 0
+    # sign-decomposed truncation: -( (1e6*|cov|) // var ) exactly
+    assert row.theta_ppm == -((1_000_000 * abs(row.cov_num)) // row.var_num)
+
+
+# --------------------------------------------------------------------------
+# survival risk table
+# --------------------------------------------------------------------------
+def test_survival_risk_table_properties(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["temporal_survival_hazard"](spark, SF_DIR).orderBy("dur_days").collect()
+    assert rows, "risk table must not be empty"
+    n_users = sum(r.n_at for r in rows)
+    # n_risk at the smallest duration covers everyone; strictly decreasing
+    assert rows[0].n_risk == n_users
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_risk == prev.n_risk - prev.n_at
+    for r in rows:
+        assert r.n_events + r.n_censored == r.n_at
+        assert 0 <= r.hazard_ppm <= 1_000_000

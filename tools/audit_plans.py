@@ -30,6 +30,25 @@ sys.path.insert(0, REPO)
 # Queries whose physical plan legitimately trips a generic bound, with the
 # reason recorded so waivers stay auditable.
 WAIVERS: dict[str, set[str]] = {
+    # the run under evaluation is the brute-force exact rung (the
+    # similarity_topk |Q|-broadcast waiver); the NDCG layer on top is two
+    # broadcast dims + one per-query agg, no data-scale cross product.
+    "eval_ranking_ndcg": {"CARTESIAN"},
+    # the dense run broadcasts the ONE-vector query side (similarity_topk
+    # pattern); the BM25 side cross-joins its 1-row totals frame (the
+    # text_collocations_pmi scalar-join pattern).  Fusion itself is a
+    # full-outer join of two top-k frames.
+    "similarity_rrf_fusion": {"CARTESIAN"},
+    # the θ/Δ assembly joins the 1-row pooled-moments frame to the 1-row
+    # arms frame — a scalar×scalar cross join by construction.
+    "eval_ab_cuped": {"CARTESIAN"},
+    # relational expression of CDC chunking for the exact gate: the
+    # exchange chain carries (id, 16-byte hash) or (id, position-long)
+    # rows only — payload bytes never shuffle — and most hops share the
+    # doc_id key; the production shape replaces the whole chunking stage
+    # with one mapInPandas pass (SCALE.md §frontier4), leaving the census
+    # join + jaccard refine (3 exchanges).
+    "multimodal_cdc_chunks": {"MANY_EXCH"},
     # routed MaxSim broadcasts the n_cells-row seed-summary table for
     # assignment (the IVF waiver pattern); candidates and scoring are
     # keyed equi-joins — no data-scale cross product.
