@@ -596,24 +596,10 @@ def similarity_rrf_fusion_q(spark, sf_dir):
     )
 
 
-# Rolling-hash constants for content-defined chunking: polynomial base
-# 257 mod the Mersenne-ish prime 1e9+7, window W=8 bytes, boundary when
-# hash % 16 == 0 (expected chunk ~16 bytes on random content).  The
-# per-offset weights 257^k mod p are hardcoded into BOTH engines' SQL so
-# every term stays under ~1.3e11 (code*weight) and the 8-term sum under
-# ~1e12 — int64-safe without modular exponentiation at runtime.
-_CDC_B, _CDC_M, _CDC_W, _CDC_MOD = 257, 1_000_000_007, 8, 16
-_CDC_P = [pow(_CDC_B, k, _CDC_M) for k in range(_CDC_W)]
-
-
-def _cdc_hash_sql(lag_fn) -> str:
-    """Render the trailing-window rolling hash Σ_k lag(code, W-1-k)·P_k:
-    ONE format string renders both engines (lag_fn injects the window
-    syntax), so the boundary rule cannot drift between Spark and DuckDB."""
-    terms = [
-        f"{lag_fn(_CDC_W - 1 - k)} * {_CDC_P[k]}" for k in range(_CDC_W)
-    ]
-    return "(" + " + ".join(terms) + f") % {_CDC_M} % {_CDC_MOD} = 0"
+# CDC boundary rule + both engines' chunking live in operators/cdc.py —
+# shared verbatim with the streaming maintainer so the rule cannot drift.
+from ..operators.cdc import cdc_chunk_hashes, cdc_cset_sql  # noqa: E402
+from .training import _PACK_CORPUS_SQL  # noqa: E402  (shared packing corpus)
 
 
 # --------------------------------------------------------------------------
@@ -630,37 +616,7 @@ def _cdc_hash_sql(lag_fn) -> str:
              substr(text, 1, 100) || 'XXEDITXX' || substr(text, 111)
       FROM base WHERE doc_id < 15
     ),
-    chars AS (
-      -- constant-bound series + WHERE (DuckDB's generate_series cannot
-      -- take lateral column args — same workaround as the quant CTEs);
-      -- 1000 comfortably exceeds max payload length at gate SF
-      SELECT doc_id, i,
-             CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS code
-      FROM corpus, generate_series(1, 1000) t(i)
-      WHERE i <= length(text)
-    ),
-    bends AS (
-      SELECT doc_id, i,
-             CASE WHEN {_cdc_hash_sql(lambda n: f"(lag(code, {n}) OVER w)" if n else "code")}
-                  THEN 1 ELSE 0 END AS bend
-      FROM chars
-      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-    ),
-    segs AS (
-      SELECT doc_id, i,
-             COALESCE(SUM(bend) OVER (PARTITION BY doc_id ORDER BY i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
-      FROM bends
-    ),
-    spans AS (
-      SELECT doc_id, seg, MIN(i) AS a, MAX(i) AS b
-      FROM segs GROUP BY doc_id, seg
-    ),
-    cset AS (
-      SELECT DISTINCT s.doc_id,
-             md5(substr(c.text, CAST(s.a AS INT), CAST(s.b - s.a + 1 AS INT))) AS ch
-      FROM spans s JOIN corpus c ON c.doc_id = s.doc_id
-    ),
+    {cdc_cset_sql("corpus", "cset", "c")},
     nc AS (SELECT doc_id, COUNT(*) AS n FROM cset GROUP BY doc_id),
     shared AS (
       SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
@@ -715,48 +671,7 @@ def multimodal_cdc_chunks_q(spark, sf_dir):
     )
     corpus = docs.unionByName(planted)
 
-    chars = corpus.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
-    ).select(
-        "doc_id",
-        "i",
-        # BIGINT from the start: ascii() is INT and code * 257^k mod p
-        # weights reach ~1e11 — an INT*INT product would overflow
-        F.expr("CAST(ascii(substring(text, i, 1)) AS BIGINT)").alias("code"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    hash_terms = [
-        (F.lag("code", _CDC_W - 1 - k).over(w) if _CDC_W - 1 - k else F.col("code"))
-        * F.lit(_CDC_P[k])
-        for k in range(_CDC_W)
-    ]
-    rolling = hash_terms[0]
-    for t in hash_terms[1:]:
-        rolling = rolling + t
-    bends = chars.withColumn(
-        "bend",
-        F.when((rolling % _CDC_M % _CDC_MOD) == 0, F.lit(1)).otherwise(F.lit(0)),
-    )
-    segs = bends.withColumn(
-        "seg",
-        F.coalesce(
-            F.sum("bend").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    )
-    spans = segs.groupBy("doc_id", "seg").agg(
-        F.min("i").alias("a"), F.max("i").alias("b")
-    )
-    cset = (
-        spans.join(corpus, on="doc_id")
-        .select(
-            "doc_id",
-            F.md5(F.expr("substring(text, a, b - a + 1)")).alias("ch"),
-        )
-        .distinct()
-    )
+    cset = cdc_chunk_hashes(corpus, "doc_id", "text")
     nc = cset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = cset.select(F.col("doc_id").alias("a"), "ch")
     y = cset.select(F.col("doc_id").alias("b"), "ch")
@@ -925,4 +840,168 @@ def temporal_survival_hazard_q(spark, sf_dir):
         F.when(F.col("n_events") == 0, F.lit(0).cast("long")).otherwise(
             F.expr("CAST(1000000 * n_events DIV n_risk AS BIGINT)")
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_ppr_seeded — personalized (topic-sensitive) PageRank
+# --------------------------------------------------------------------------
+def _ppr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    c{cur} AS (
+      SELECT e.dst AS node, SUM(r{prev}.rank_units // deg.deg) AS in_units
+      FROM e JOIN r{prev} ON r{prev}.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{cur} AS (
+      SELECT nodes.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN (1000000000000 - 1000000000000 * 85 // 100) // ns.n
+                  ELSE 0 END
+               + COALESCE(c{cur}.in_units, 0) * 85 // 100 AS rank_units
+      FROM nodes CROSS JOIN ns
+      LEFT JOIN seeds s ON s.node = nodes.node
+      LEFT JOIN c{cur} ON c{cur}.node = nodes.node
+    )"""
+
+
+@register(
+    "graph_ppr_seeded",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst
+      FROM lineitem WHERE l_orderkey % 7 = 0
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    seeds AS (SELECT node FROM nodes WHERE node % 100 = 0),
+    ns AS (SELECT COUNT(*) AS n FROM seeds),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (
+      SELECT nodes.node,
+             CASE WHEN s.node IS NOT NULL THEN 1000000000000 // ns.n
+                  ELSE 0 END AS rank_units
+      FROM nodes CROSS JOIN ns LEFT JOIN seeds s ON s.node = nodes.node
+    ),"""
+    + _ppr_iter_sql("0", "1")
+    + ","
+    + _ppr_iter_sql("1", "2")
+    + ","
+    + _ppr_iter_sql("2", "3")
+    + " SELECT node, CAST(rank_units AS BIGINT) AS rank_units FROM r3",
+)
+def graph_ppr_seeded_q(spark, sf_dir):
+    """Personalized PageRank (plans/graph_query.personalized_pagerank_integer)
+    on the order→part graph, seeded at nodes ≡ 0 mod 100: all teleport
+    mass lands on the seed set, so ranks measure proximity-weighted
+    reachability FROM THE SEEDS — the recommendation / seed-expansion
+    feature global PageRank cannot express (it only measures popularity).
+    Same bit-exact integer-unit doctrine as `graph_pagerank`: BIGINT
+    units of 1e-12, truncating div, hash-gated against the oracle's
+    unrolled three iterations.  A node unreachable from the seeds lands
+    at exactly 0 — the gate covers both the mass-carrying and the
+    zero-rank paths."""
+    from ..plans.graph_query import personalized_pagerank_integer
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    edges = li.select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 100 == 0)
+    return personalized_pagerank_integer(edges, seeds, n_iter=3)
+
+
+# --------------------------------------------------------------------------
+# pack_efficiency_audit — bin-packing waste scorecard (greedy vs quotient)
+# --------------------------------------------------------------------------
+@register(
+    "pack_efficiency_audit",
+    oracle="""
+    WITH RECURSIVE corpus AS ({corpus}),
+    ordered AS (
+      SELECT shard, doc_id, tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn,
+             COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM corpus
+    ),
+    packed AS (
+      SELECT shard, rn, tokens, tokens AS fill, CAST(0 AS BIGINT) AS bin
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.tokens,
+             CASE WHEN p.fill + o.tokens > 512 THEN o.tokens ELSE p.fill + o.tokens END,
+             CASE WHEN p.fill + o.tokens > 512 THEN p.bin + 1 ELSE p.bin END
+      FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+    ),
+    g AS (
+      SELECT shard, MAX(bin) + 1 AS greedy_bins,
+             COUNT(*) AS n_docs, SUM(tokens) AS total_tokens
+      FROM packed GROUP BY shard
+    ),
+    q AS (
+      SELECT shard, MAX(before // 512) + 1 AS quotient_bins
+      FROM ordered GROUP BY shard
+    )
+    SELECT g.shard,
+           CAST(g.n_docs AS BIGINT) AS n_docs,
+           CAST(g.total_tokens AS BIGINT) AS total_tokens,
+           CAST(g.greedy_bins AS BIGINT) AS greedy_bins,
+           CAST(q.quotient_bins AS BIGINT) AS quotient_bins,
+           CAST(g.greedy_bins * 512 AS BIGINT) AS greedy_cap,
+           CAST(1000000 * GREATEST(g.greedy_bins * 512 - g.total_tokens, 0)
+                // (g.greedy_bins * 512) AS BIGINT) AS waste_ppm
+    FROM g JOIN q ON q.shard = g.shard
+    """.format(corpus=_PACK_CORPUS_SQL),
+)
+def pack_efficiency_audit_q(spark, sf_dir):
+    """Packing-efficiency scorecard — the audit-your-own-knobs doctrine
+    applied to sequence packing: per shard, how many 512-token bins does
+    strict greedy packing (`pack_sequences_greedy`) open, how many would
+    the cheap quotient assignment (`pack_sequences`) have used, and what
+    fraction of the greedy capacity is padding waste (ppm)?  Training-data
+    packing waste is paid in GPU-hours at every step of every epoch, so
+    the packer gets a measured efficiency number, not an assumption; the
+    quotient twin's bin count sits beside it to price the
+    one-window-vs-stateful trade (quotient bins can overflow by one doc,
+    greedy bins never do).
+
+    Waste numerator is clamped at 0 (a single document larger than the
+    budget can legally overflow its greedy bin), keeping the truncating
+    ppm division on non-negative operands.
+
+    100 TB shape: both packers are per-shard streams (applyInPandas /
+    one window) over the SAME shard-keyed exchange; the audit adds one
+    per-shard aggregate each and a broadcast-size join of two
+    |shards|-row frames."""
+    from ..operators.training import pack_sequences, pack_sequences_greedy
+    from .training import _pack_corpus
+
+    corpus = _pack_corpus(spark, sf_dir)
+    greedy = pack_sequences_greedy(corpus, "shard", "doc_id", "tokens", 512)
+    quot = pack_sequences(corpus, "shard", "doc_id", "tokens", 512)
+    g = greedy.groupBy("shard").agg(
+        (F.max("bin") + 1).cast("long").alias("greedy_bins"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+    )
+    q = quot.groupBy("shard").agg(
+        (F.max("bin") + 1).cast("long").alias("quotient_bins")
+    )
+    return g.join(q, on="shard").select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        "greedy_bins",
+        "quotient_bins",
+        (F.col("greedy_bins") * 512).cast("long").alias("greedy_cap"),
+        F.expr(
+            "CAST(1000000 * GREATEST(greedy_bins * 512 - total_tokens, 0)"
+            " DIV (greedy_bins * 512) AS BIGINT)"
+        ).alias("waste_ppm"),
     )

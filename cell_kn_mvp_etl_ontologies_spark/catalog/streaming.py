@@ -968,3 +968,99 @@ def stream_session_eviction_q(spark, sf_dir):
         "n",
     )
     return finish_and_clean(result, root)
+
+
+def _stream_cdc_oracle() -> str:
+    from ..operators.cdc import cdc_cset_sql
+
+    return f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    newb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 100),
+    {cdc_cset_sql("corpus", "corpus_cset", "cc")},
+    {cdc_cset_sql("newb", "new_cset", "nb")},
+    bcnt AS (SELECT doc_id, COUNT(*) AS nb FROM new_cset GROUP BY doc_id),
+    ccnt AS (SELECT doc_id, COUNT(*) AS na FROM corpus_cset GROUP BY doc_id),
+    hits AS (
+      SELECT n.doc_id, c.doc_id AS corpus_id, COUNT(*) AS n_shared
+      FROM new_cset n JOIN corpus_cset c ON c.ch = n.ch
+      GROUP BY n.doc_id, c.doc_id
+    ),
+    best AS (
+      SELECT doc_id, corpus_id, n_shared FROM (
+        SELECT doc_id, corpus_id, n_shared,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY n_shared DESC, corpus_id ASC) AS rnk
+        FROM hits
+      ) WHERE rnk = 1
+    )
+    SELECT i.doc_id,
+           CAST(best.corpus_id AS BIGINT) AS matched,
+           CAST(COALESCE(best.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(COALESCE(
+             1000000 * best.n_shared // (ccnt.na + bcnt.nb - best.n_shared), 0)
+             AS BIGINT) AS jaccard_ppm,
+           COALESCE(
+             1000000 * best.n_shared // (ccnt.na + bcnt.nb - best.n_shared), 0)
+             >= 250000 AS is_dup
+    FROM (SELECT doc_id FROM newb) i
+    LEFT JOIN best ON best.doc_id = i.doc_id
+    LEFT JOIN ccnt ON ccnt.doc_id = best.corpus_id
+    LEFT JOIN bcnt ON bcnt.doc_id = i.doc_id
+    """
+
+
+@register("stream_cdc_dedup_vs_corpus", oracle=_stream_cdc_oracle())
+def stream_cdc_dedup_vs_corpus_q(spark, sf_dir):
+    """Continuous-ingest CDC near-dedup: arriving payloads are chunked and
+    screened micro-batch by micro-batch against the STATIC corpus's
+    pre-materialized chunk census — the content-defined-chunking face of
+    `stream_dedup_vs_corpus` (shingle-LSH) and the streaming twin of
+    `multimodal_cdc_chunks`.  A payload's verdict depends only on (its own
+    chunks × the static census), so batch bundling cannot change any
+    verdict and the bounded stream result equals the batch screening the
+    oracle computes.  The census is JOINED per micro-batch (broadcast
+    here; bucketed-on-chunk-hash at scale), never re-chunked, never
+    rescanned — per-trigger work is O(batch), the incremental-dedup
+    doctrine.  The corpus split even contains a genuine cross-split
+    near-dup (stream doc 134 vs corpus doc 87, ~85% shared chunks), so
+    the is_dup=true path is exercised by DISCOVERED data, not a plant."""
+    import tempfile
+
+    from ..operators.cdc import cdc_chunk_hashes, cdc_dedup_vs_corpus
+    from . import finish_and_clean
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    corpus_cset = cdc_chunk_hashes(corpus, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    corpus_counts = corpus_cset.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") >= 100)
+        .select("doc_id", "text")
+    )
+    root = tempfile.mkdtemp(prefix="stream_cdc_corpus_")
+    out_dir = root + "/verdicts"
+
+    def handle_batch(batch_df, batch_id):
+        # the SAME batch operator runs per micro-batch against the census
+        cdc_dedup_vs_corpus(batch_df, corpus_cset, corpus_counts).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+    )
+    query.awaitTermination()
+    return finish_and_clean(spark.read.parquet(out_dir), root)

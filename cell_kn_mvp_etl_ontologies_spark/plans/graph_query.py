@@ -519,3 +519,94 @@ def common_neighbor_scores(
     return scored.select(
         "a", "b", "common", "deg_a", "deg_b", jacc.alias("jaccard_ppm")
     )
+
+
+def personalized_pagerank_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: identical integer-unit
+    arithmetic to :func:`pagerank_integer`, but ALL teleport mass — the
+    initial distribution and the per-iteration base term — lands on the
+    ``seeds`` set instead of uniformly on every node.  Ranks then measure
+    proximity-weighted reachability FROM THE SEEDS (Haveliwala, WWW'02),
+    the standard graph feature for recommendation ("rank items near this
+    user's items") and for seed-expansion labeling, where global PageRank
+    only measures popularity.
+
+    ``seeds`` is a one-column (node) frame; seeds not present in the edge
+    set still receive their teleport share (they are unioned into the
+    node set), so a seed with no edges keeps base mass instead of
+    silently vanishing.  Same bit-exactness contract as the global
+    variant: BIGINT units, truncating div, mass only ever shrinks.
+
+    100 TB shape: the seed frame is KB-scale and broadcast onto the node
+    frame for the base term; per iteration the cost is exactly the global
+    variant's — one contribution join keyed on the frontier node + one
+    sum aggregate, with the degree-attached edge side satisfied by its
+    stored partitioning every round.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(seed_nodes)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("seeds must be non-empty (all teleport mass lands there)")
+    from pyspark.sql import Window
+
+    e_deg = (
+        e.withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    init_units = scale // n_seeds
+    base_units = (scale - scale * damping_num // damping_den) // n_seeds
+    flagged = nodes.join(
+        F.broadcast(seed_nodes.withColumn("is_seed", F.lit(1))), on="node", how="left"
+    )
+    ranks = flagged.select(
+        "node",
+        F.when(F.col("is_seed") == 1, F.lit(init_units))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_units"),
+    )
+    for i in range(n_iter):
+        contribs = (
+            ranks.join(e_deg, ranks["node"] == e_deg["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_units div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_units"))
+        )
+        ranks = flagged.join(contribs, on="node", how="left").select(
+            "node",
+            (
+                F.when(F.col("is_seed") == 1, F.lit(base_units)).otherwise(F.lit(0))
+                + F.expr(
+                    f"coalesce(in_units, 0L) * {damping_num} div {damping_den}"
+                )
+            ).cast("long").alias("rank_units"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i != n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

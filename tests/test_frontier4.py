@@ -16,12 +16,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from cell_kn_mvp_etl_ontologies_spark.catalog.frontier4 import (
-    _CDC_M,
-    _CDC_MOD,
-    _CDC_P,
-    _CDC_W,
     _NDCG_DISC_PPM,
     _NDCG_IDCG_PPM,
+)
+from cell_kn_mvp_etl_ontologies_spark.operators.cdc import (
+    CDC_M as _CDC_M,
+    CDC_MOD as _CDC_MOD,
+    CDC_P as _CDC_P,
+    CDC_W as _CDC_W,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -344,3 +346,113 @@ def test_survival_risk_table_properties(spark):
     for r in rows:
         assert r.n_events + r.n_censored == r.n_at
         assert 0 <= r.hazard_ppm <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# CDC dedup-vs-corpus operator
+# --------------------------------------------------------------------------
+def test_cdc_dedup_vs_corpus_verdicts(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.cdc import (
+        cdc_chunk_hashes,
+        cdc_dedup_vs_corpus,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated payload content " * 10)],
+        ["doc_id", "text"],
+    )
+    cset = cdc_chunk_hashes(corpus, "doc_id", "text")
+    counts = cset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    batch = spark.createDataFrame(
+        [
+            (10, base[:100] + "XXEDITXX" + base[110:]),  # near-dup of 1
+            (11, "zzz entirely novel payload qqq " * 12),  # no match
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in cdc_dedup_vs_corpus(batch, cset, counts).collect()
+    }
+    assert rows[10].is_dup and rows[10].matched == 1
+    assert rows[10].jaccard_ppm >= 250_000
+    assert not rows[11].is_dup and rows[11].matched is None
+    assert rows[11].n_shared == 0 and rows[11].jaccard_ppm == 0
+
+
+# --------------------------------------------------------------------------
+# personalized PageRank
+# --------------------------------------------------------------------------
+def test_ppr_mass_concentrates_near_seeds(spark):
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+        pagerank_integer,
+        personalized_pagerank_integer,
+    )
+
+    # two disjoint 3-cycles; seed only in the first
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    ranks = {
+        r.node: r.rank_units
+        for r in personalized_pagerank_integer(edges, seeds, n_iter=4).collect()
+    }
+    # the unseeded component gets EXACTLY zero mass
+    assert ranks[10] == 0 and ranks[11] == 0 and ranks[12] == 0
+    # seeded component carries all the (truncation-leaked) mass
+    assert ranks[1] > 0 and ranks[2] > 0 and ranks[3] > 0
+    assert 0 < ranks[1] + ranks[2] + ranks[3] <= 10**12
+    # global PageRank on the same graph gives the far component mass —
+    # the two operators measure different things
+    globals_ = {
+        r.node: r.rank_units for r in pagerank_integer(edges, n_iter=4).collect()
+    }
+    assert globals_[10] > 0
+
+
+def test_ppr_rejects_empty_seeds(spark):
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+        personalized_pagerank_integer,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    empty = spark.createDataFrame([], "node LONG")
+    with pytest.raises(ValueError, match="seeds must be non-empty"):
+        personalized_pagerank_integer(edges, empty)
+
+
+def test_ppr_isolated_seed_keeps_base_mass(spark):
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+        personalized_pagerank_integer,
+    )
+
+    # seed 99 has no edges at all: it must still appear with base mass
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(99,)], ["node"])
+    ranks = {
+        r.node: r.rank_units
+        for r in personalized_pagerank_integer(edges, seeds, n_iter=2).collect()
+    }
+    assert ranks[99] > 0 and ranks[1] == 0 and ranks[2] == 0
+
+
+# --------------------------------------------------------------------------
+# packing efficiency audit
+# --------------------------------------------------------------------------
+def test_pack_efficiency_audit_properties(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["pack_efficiency_audit"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # greedy never opens more bins than quotient closes late
+        assert r.greedy_bins >= 1 and r.quotient_bins >= 1
+        assert r.greedy_cap == 512 * r.greedy_bins
+        # strict greedy: capacity covers the tokens (no doc exceeds 512
+        # in this corpus), so waste is the exact padding fraction
+        assert r.greedy_cap >= r.total_tokens
+        assert r.waste_ppm == 1_000_000 * (r.greedy_cap - r.total_tokens) // r.greedy_cap
+        assert 0 <= r.waste_ppm < 1_000_000
