@@ -13,8 +13,10 @@ Families in this module (SURVEY §2.12 carries the per-query rows):
   topology, integer-exact end to end
 - experimentation: CUPED variance-reduced A/B readout (pre-period
   covariate adjustment) in pure integer/38-digit arithmetic with
-  sign-decomposed truncating division (Spark DIV truncates toward zero,
-  DuckDB // floors — they agree only on non-negative operands)
+  sign-decomposed division (rounding on negatives is engine-specific:
+  Spark DIV and DuckDB integer // truncate toward zero, python // and
+  DuckDB double // behave differently again — sign decomposition makes
+  the rounding explicit and engine-independent)
 - multimodal near-dup: content-defined chunking (Rabin-style rolling
   hash) over opaque payloads — chunk-hash census + Jaccard refine, the
   storage-dedup/video-segment-dedup pattern.  (A byte-histogram
@@ -29,7 +31,9 @@ Families in this module (SURVEY §2.12 carries the per-query rows):
 
 Shared doctrines: no RNG (md5 ring), no float logs/divisions in gated
 outputs, every truncating division either proven non-negative or
-sign-decomposed identically in both engines.
+sign-decomposed identically in both engines (negative-operand rounding
+is engine-specific — measured in this module: DuckDB integer //
+truncates like Spark DIV, python // floors).
 """
 
 from __future__ import annotations
@@ -208,10 +212,12 @@ def eval_ab_cuped_q(spark, sf_dir):
     Σx·Σy numerator form (no means, no floats); θ and Δ_adj are reported
     ppm/micro-cents via truncating division in 38-digit arithmetic
     (DECIMAL(38,0) / HUGEINT — 10^6·|Δy_num·var − cov·Δx_num| genuinely
-    exceeds int64).  Both can be negative, so the division is
-    SIGN-DECOMPOSED (sign(v) · (10^6·|v|) DIV den) identically in both
-    engines — Spark DIV truncates toward zero while DuckDB // floors,
-    and they agree only on non-negative operands.
+    exceeds int64).  Both can be negative, and rounding-toward-what on
+    negatives is engine-specific (Spark DIV and DuckDB integer //
+    truncate toward zero; python // floors; DuckDB double // is plain
+    division), so the division is SIGN-DECOMPOSED (sign(v) ·
+    (10^6·|v|) DIV den) in both engines — the rounding is then explicit
+    and identical whatever each engine does below zero.
 
     100 TB shape: one hash aggregate to per-user granularity (the only
     corpus-sized exchange, keyed on user_id), then two KB-scale global
@@ -1004,4 +1010,359 @@ def pack_efficiency_audit_q(spark, sf_dir):
             "CAST(1000000 * GREATEST(greedy_bins * 512 - total_tokens, 0)"
             " DIV (greedy_bins * 512) AS BIGINT)"
         ).alias("waste_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_lexicon_screen — blocklist/lexicon content screen
+# --------------------------------------------------------------------------
+@register(
+    "quality_lexicon_screen",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 200) src,
+        LATERAL unnest(string_split_regex(s, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN token IN ('slow','crash','dup','big')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             CAST(COUNT(DISTINCT CASE WHEN token IN ('slow','crash','dup','big')
+                                      THEN token END) AS BIGINT) AS n_distinct_hits
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_hits, n_distinct_hits,
+           CAST(1000000 * n_hits // n_tokens AS BIGINT) AS hit_ppm,
+           (1000000 * n_hits // n_tokens >= 100000 OR n_distinct_hits >= 3)
+             AS flagged
+    FROM per_doc
+    """,
+)
+def quality_lexicon_screen_q(spark, sf_dir):
+    """Blocklist lexicon screen — the safety-filter workhorse every LLM
+    data pipeline runs before anything model-based: per document, hit
+    count / distinct-term count / hit density against a curated lexicon,
+    flagged when density ≥ 10% OR ≥ 3 distinct lexicon terms (density
+    catches concentration, distinct-count catches breadth — a single
+    repeated term and a spread of different terms are different risk
+    shapes).  The lexicon here is a 4-term stand-in; production swaps in
+    the real blocklist with zero plan change.
+
+    100 TB shape: tokenize-explode + ONE doc-keyed hash aggregate; the
+    lexicon membership test is a codegen IN-list (broadcast-joined
+    against a lexicon TABLE when it outgrows a literal list, same plan
+    otherwise) — no second corpus pass, no UDF."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    lex = ["slow", "crash", "dup", "big"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    hit = F.col("token").isin(lex)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(hit.cast("long")).cast("long").alias("n_hits"),
+        F.count_distinct(F.when(hit, F.col("token"))).cast("long").alias(
+            "n_distinct_hits"
+        ),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_hits",
+        "n_distinct_hits",
+        F.expr("CAST(1000000 * n_hits DIV n_tokens AS BIGINT)").alias("hit_ppm"),
+        (
+            (F.expr("1000000 * n_hits DIV n_tokens") >= 100000)
+            | (F.col("n_distinct_hits") >= 3)
+        ).alias("flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_jl_recall — Johnson-Lindenstrauss random projection + audit
+# --------------------------------------------------------------------------
+@register(
+    "embedding_jl_recall",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+    ),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    signs AS (
+      SELECT j, d,
+             CASE WHEN ('0x' || substring(
+                    md5('jl' || CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)),
+                    1, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM generate_series(1, 16) a(j), generate_series(1, 64) b(d)
+    ),
+    proj AS (
+      SELECT q.vec_id, s.j, SUM(s.s * q.v) AS p
+      FROM quant q JOIN signs s ON s.d = q.i
+      GROUP BY q.vec_id, s.j
+    ),
+    pdist AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS t_id,
+             SUM((a.p - b.p) * (a.p - b.p)) AS d2
+      FROM proj a JOIN proj b ON b.j = a.j
+      WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    ptop AS (
+      SELECT q_id, t_id FROM (
+        SELECT q_id, t_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2 ASC, t_id ASC) AS rnk
+        FROM pdist
+      ) WHERE rnk <= 5
+    ),
+    edist AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS t_id,
+             SUM((a.v - b.v) * (a.v - b.v)) AS d2
+      FROM quant a JOIN quant b ON b.i = a.i
+      WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    etop AS (
+      SELECT q_id, t_id FROM (
+        SELECT q_id, t_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2 ASC, t_id ASC) AS rnk
+        FROM edist
+      ) WHERE rnk <= 5
+    )
+    SELECT COALESCE(e.q_id, p.q_id) AS q_id,
+           CAST(COUNT(e.t_id) AS BIGINT) AS n_exact,
+           CAST(COUNT(p.t_id) AS BIGINT) AS n_proj,
+           CAST(SUM(CASE WHEN e.t_id IS NOT NULL AND p.t_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+    FROM etop e FULL OUTER JOIN ptop p
+      ON p.q_id = e.q_id AND p.t_id = e.t_id
+    GROUP BY COALESCE(e.q_id, p.q_id)
+    """,
+)
+def embedding_jl_recall_q(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (64 → 16 dims via a ±1
+    sign matrix — Achlioptas' database-friendly JL) WITH its measured
+    recall@5 audit against exact full-dimension L2, in one gated query —
+    and the measurement is a NEGATIVE result, kept deliberately: on this
+    near-isotropic corpus (see `embedding_isotropy_probe`: flat spectrum,
+    λ2/λ1 = 0.983) JL@16 preserves only ~4/50 of exact top-5 neighbors
+    (~10/50 at 32 dims, measured in tests/test_frontier4.py).  Distance
+    concentration on isotropic data makes neighbor order information-
+    theoretically fragile, and a data-OBLIVIOUS projection destroys it —
+    the measured justification for the repo's compression ladder using
+    TRAINED quantizers (PQ/OPQ, +36%% recall from a trained permutation
+    alone) instead of random projection.  The projection matrix is
+    md5-derived (no-RNG ring), so projected vectors are BIGINT-exact
+    cross-engine and the recall number is evidence, not a JL-lemma
+    citation (the lemma bounds DISTANCE distortion, not neighbor-set
+    overlap — exactly the gap this audit exposes).
+
+    100 TB shape: projection is ONE pass — the 16×64 sign matrix is a
+    KB-scale broadcast and each output dim a fold over the input row (no
+    shuffle); the audit's brute-force distance joins are gate-scale
+    machinery over a bounded slice (|Q|=10), same as every other recall
+    audit in the ladder."""
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    from ..operators.similarity import quantize_vec
+
+    quant = em.select(
+        "vec_id", F.posexplode(quantize_vec(F.col("embedding"), 1000))
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("v"))
+    dims = spark.range(1, 17).select(F.col("id").alias("j"))
+    axes = spark.range(1, 65).select(F.col("id").alias("d"))
+    signs = dims.crossJoin(axes).select(
+        "j",
+        "d",
+        F.when(
+            F.expr(
+                "CAST(conv(substring(md5(concat('jl', CAST(j AS STRING), '_',"
+                " CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0"
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    proj = (
+        quant.join(F.broadcast(signs), quant["i"] == signs["d"])
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("v")).alias("p"))
+    )
+    pq = proj.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "j", F.col("p").alias("pq")
+    )
+    pt = proj.select(F.col("vec_id").alias("t_id"), "j", F.col("p").alias("pt"))
+    pdist = (
+        pq.join(pt, on="j")
+        .filter(F.col("q_id") != F.col("t_id"))
+        .groupBy("q_id", "t_id")
+        .agg(F.sum((F.col("pq") - F.col("pt")) * (F.col("pq") - F.col("pt"))).alias("d2"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("t_id").asc())
+    ptop = (
+        pdist.withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "t_id", F.lit(1).alias("in_proj"))
+    )
+    eq = quant.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "i", F.col("v").alias("vq")
+    )
+    et = quant.select(F.col("vec_id").alias("t_id"), "i", F.col("v").alias("vt"))
+    edist = (
+        eq.join(et, on="i")
+        .filter(F.col("q_id") != F.col("t_id"))
+        .groupBy("q_id", "t_id")
+        .agg(F.sum((F.col("vq") - F.col("vt")) * (F.col("vq") - F.col("vt"))).alias("d2"))
+    )
+    etop = (
+        edist.withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "t_id", F.lit(1).alias("in_exact"))
+    )
+    j = etop.join(ptop, on=["q_id", "t_id"], how="full_outer")
+    return j.groupBy("q_id").agg(
+        F.count("in_exact").cast("long").alias("n_exact"),
+        F.count("in_proj").cast("long").alias("n_proj"),
+        F.sum(
+            (F.col("in_exact").isNotNull() & F.col("in_proj").isNotNull()).cast("int")
+        ).cast("long").alias("n_overlap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_isotropy_probe — Rayleigh/isotropy audit via integer power iteration
+# --------------------------------------------------------------------------
+def _pca_iter_sql(prev: str, cur: str) -> str:
+    """One power-iteration step: u = G·v, then L∞-normalize back to 1e6
+    units.  u*1e6 exceeds int64 (u reaches ~5e16), so the rescale runs in
+    HUGEINT.  DuckDB's integer // TRUNCATES toward zero on negatives
+    (measured: -7//2 = -3) while python's // floors, so the python driver
+    loop sign-decomposes its division to match — the same trap as Spark
+    DIV, one engine over."""
+    return f"""
+    u{cur} AS (
+      SELECT g.gi AS i, SUM(g.gv * {prev}.v) AS u
+      FROM g JOIN {prev} ON {prev}.i = g.gj GROUP BY g.gi
+    ),
+    m{cur} AS (SELECT GREATEST(MAX(abs(u)), 1) AS m FROM u{cur}),
+    {cur} AS (
+      SELECT i, CAST((u::HUGEINT * 1000000) // m AS BIGINT) AS v
+      FROM u{cur}, m{cur}
+    )"""
+
+
+_PCA_ITERS_SQL = ",".join(
+    _pca_iter_sql(f"v{k}", f"v{k + 1}") for k in range(6)
+)
+
+
+@register(
+    "embedding_isotropy_probe",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+    ),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    g AS (
+      SELECT a.i AS gi, b.i AS gj, SUM(a.v * b.v) AS gv
+      FROM quant a JOIN quant b ON b.vec_id = a.vec_id
+      GROUP BY a.i, b.i
+    ),
+    v0 AS (
+      SELECT i, CAST(1000000 AS BIGINT) AS v FROM generate_series(1, 64) t(i)
+    ),
+    {_PCA_ITERS_SQL},
+    ray AS (
+      SELECT SUM(a.v::HUGEINT * g.gv * b.v) AS num
+      FROM v6 a JOIN g ON g.gi = a.i JOIN v6 b ON b.i = g.gj
+    ),
+    den AS (SELECT SUM(v::HUGEINT * v) AS d FROM v6),
+    tr AS (SELECT SUM(gv) AS t FROM g WHERE gi = gj)
+    SELECT v6.i, CAST(v6.v AS BIGINT) AS v_units,
+           CAST(ray.num // den.d AS BIGINT) AS lambda_units,
+           CAST((1000000::HUGEINT * ray.num) // (den.d::HUGEINT * tr.t)
+                AS BIGINT) AS evr_ppm
+    FROM v6, ray, den, tr
+    """,
+)
+def embedding_isotropy_probe_q(spark, sf_dir):
+    """Embedding ISOTROPY probe: a bounded integer power iteration on the
+    (uncentered) Gram matrix yields a Rayleigh-quotient LOWER BOUND on
+    the top eigenvalue; its ratio to trace/64 (the mean eigenvalue) is
+    the anisotropy evidence.  On this corpus the spectrum is measured
+    FLAT — λ2/λ1 = 0.983, the 6-step iterate's cosine to the true top
+    eigenvector is only 0.15 (0.70 even after 100 steps) — so the probe
+    is deliberately NOT claiming "the" principal direction: with no
+    eigengap there is no convergable direction, and the honest gated
+    artifacts are the deterministic 6-step Krylov iterate (v_units), the
+    Rayleigh lower bound (λ_lb ≈ 1.07× the mean eigenvalue here), and
+    the explained-variance ppm (≈ 1/64 — one direction explains nothing).
+    This measured flatness is WHY the compression ladder uses trained PQ
+    /OPQ rather than data-oblivious projection — the companion
+    `embedding_jl_recall` audit shows the practical consequence (JL@16
+    preserves only ~8% of top-5 neighborhoods on this corpus).
+
+    Mechanics: the DISTRIBUTED work is one exact pass (Gram = Σ v vᵀ
+    folded map-side to 64×64 = 4096 BIGINT cells); the iteration runs on
+    those 4096 integers in a bounded driver loop (k-means/BPE doctrine —
+    at 100 TB the Gram pass scans everything once, the solve costs
+    microseconds).  Rayleigh-of-any-vector ≤ λ1 makes the bound valid at
+    ANY iteration count; iterating only tightens it.  Uncentered by
+    design: mean subtraction would make the Gram non-integer, and the
+    uncentered spectrum is what norm-sensitive downstreams (ADC,
+    quantizers) actually see."""
+    from ..operators.similarity import quantize_vec
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    quant = em.select(
+        "vec_id", F.posexplode(quantize_vec(F.col("embedding"), 1000))
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("v"))
+    a = quant.select("vec_id", F.col("i").alias("gi"), F.col("v").alias("va"))
+    b = quant.select("vec_id", F.col("i").alias("gj"), F.col("v").alias("vb"))
+    gram_rows = (
+        a.join(b, on="vec_id")
+        .groupBy("gi", "gj")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("gv"))
+        .collect()  # 4096 BIGINT cells — KB-scale, bounded-driver doctrine
+    )
+    dim = 64
+    G = [[0] * dim for _ in range(dim)]
+    for r in gram_rows:
+        G[r.gi - 1][r.gj - 1] = r.gv
+    v = [1_000_000] * dim
+    for _ in range(6):
+        u = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(max(abs(x) for x in u), 1)
+        # sign-decomposed: DuckDB integer // truncates toward zero on
+        # negatives, python // floors — they agree only on |x|
+        v = [
+            (1 if x >= 0 else -1) * ((abs(x) * 1_000_000) // m) for x in u
+        ]
+    ray_num = sum(v[i] * G[i][j] * v[j] for i in range(dim) for j in range(dim))
+    ray_den = sum(x * x for x in v)
+    trace = sum(G[i][i] for i in range(dim))
+    # ray_num is a PSD quadratic form (>= 0), so plain // is truncation-safe
+    lambda_units = ray_num // ray_den
+    evr_ppm = (1_000_000 * ray_num) // (ray_den * trace)
+    rows = [
+        (i + 1, int(v[i]), int(lambda_units), int(evr_ppm)) for i in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "i BIGINT, v_units BIGINT, lambda_units BIGINT, evr_ppm BIGINT"
     )

@@ -456,3 +456,105 @@ def test_pack_efficiency_audit_properties(spark):
         assert r.greedy_cap >= r.total_tokens
         assert r.waste_ppm == 1_000_000 * (r.greedy_cap - r.total_tokens) // r.greedy_cap
         assert 0 <= r.waste_ppm < 1_000_000
+
+
+# --------------------------------------------------------------------------
+# lexicon screen / JL projection / PCA power iteration
+# --------------------------------------------------------------------------
+def test_lexicon_screen_flag_logic(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["quality_lexicon_screen"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        expect = (1_000_000 * r.n_hits // r.n_tokens >= 100_000) or (
+            r.n_distinct_hits >= 3
+        )
+        assert r.flagged == expect
+        assert r.hit_ppm == 1_000_000 * r.n_hits // r.n_tokens
+        assert 0 <= r.n_distinct_hits <= 4  # lexicon has 4 terms
+
+
+def test_jl_projection_is_linear_and_sign_exact(spark):
+    import hashlib
+
+    # replicate one sign cell from the md5 ring and check a known identity:
+    # proj(v + w) == proj(v) + proj(w) holds trivially for a linear sign
+    # fold — verify the SIGN derivation matches python md5
+    for j, d in [(1, 1), (7, 33), (16, 64)]:
+        h32 = int(hashlib.md5(f"jl{j}_{d}".encode()).hexdigest()[:8], 16)
+        s_py = 1 if h32 % 2 == 0 else -1
+        s_spark = spark.sql(
+            f"SELECT CASE WHEN CAST(conv(substring(md5(concat('jl', '{j}', '_',"
+            f" '{d}')), 1, 8), 16, 10) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s"
+        ).collect()[0].s
+        assert s_spark == s_py
+
+
+def test_jl_recall_audit_pins_the_negative_result(spark):
+    """The JL audit's measured value IS the finding: on this
+    near-isotropic corpus a data-oblivious ±1 projection to 16 dims
+    destroys top-5 neighborhoods (distance concentration) — the measured
+    case for trained quantizers.  Pin the result so a silent change to
+    the projection (or corpus) that flips the conclusion fails loudly."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["embedding_jl_recall"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    total_exact = sum(r.n_exact for r in rows)
+    total_overlap = sum(r.n_overlap for r in rows)
+    assert total_exact == 50  # 10 queries x top-5
+    # the documented negative result: well under half survives
+    assert total_overlap < 25, (
+        f"JL@16 recall unexpectedly high ({total_overlap}/50) — the "
+        "negative-result framing in the docstring no longer holds"
+    )
+    for r in rows:
+        assert 0 <= r.n_overlap <= min(r.n_exact, r.n_proj)
+
+
+def test_isotropy_probe_output_invariants(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["embedding_isotropy_probe"](spark, SF_DIR).collect()
+    assert len(rows) == 64
+    vmax = max(abs(r.v_units) for r in rows)
+    assert vmax == 1_000_000, "L-inf normalization must peg the max at 1e6"
+    lam = {r.lambda_units for r in rows}
+    evr = {r.evr_ppm for r in rows}
+    assert len(lam) == 1 and len(evr) == 1
+    assert 0 < evr.pop() <= 1_000_000
+    assert lam.pop() > 0
+
+
+def test_isotropy_probe_rayleigh_bound_and_flat_spectrum(spark):
+    """The probe's claims, verified against numpy: (1) the Rayleigh value
+    is a valid LOWER bound on the true top eigenvalue at any iteration
+    count; (2) it exceeds the mean eigenvalue (the iterate is biased
+    toward the top of the spectrum); (3) the corpus spectrum is in fact
+    FLAT (λ2/λ1 > 0.9) — the measured premise of the isotropy framing
+    and of the JL negative result."""
+    import numpy as np
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import quantize_np
+
+    em = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("embedding")
+        .collect()
+    )
+    X = np.stack([quantize_np(np.array(r.embedding, dtype=np.float64)) for r in em])
+    G = X.T @ X
+    w, _ = np.linalg.eigh(G)
+    rows = QUERIES["embedding_isotropy_probe"](spark, SF_DIR).collect()
+    lam = rows[0].lambda_units
+    mean_eig = float(np.trace(G)) / 64
+    assert lam <= w[-1] * (1 + 1e-9), "Rayleigh must lower-bound the top eigenvalue"
+    assert lam > mean_eig, "the iterate must beat the mean eigenvalue"
+    assert w[-2] / w[-1] > 0.9, (
+        "spectrum no longer flat — revisit the isotropy framing "
+        f"(l2/l1 = {w[-2] / w[-1]:.3f})"
+    )
