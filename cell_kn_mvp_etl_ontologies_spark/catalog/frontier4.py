@@ -1366,3 +1366,289 @@ def embedding_isotropy_probe_q(spark, sf_dir):
     return spark.createDataFrame(
         rows, "i BIGINT, v_units BIGINT, lambda_units BIGINT, evr_ppm BIGINT"
     )
+
+
+# --------------------------------------------------------------------------
+# agg_markov_stationary — steady-state behavior mix via integer iteration
+# --------------------------------------------------------------------------
+def _markov_iter_sql(prev: str, cur: str) -> str:
+    """One distribution step p'_j = Σ_i (p_i · c_ij) DIV r_i — truncating
+    per-term, all non-negative, so // is engine-safe."""
+    return f"""
+    {cur} AS (
+      SELECT t.to_type AS state, SUM({prev}.v * t.n // r.n_from) AS v
+      FROM trans t
+      JOIN row_tot r ON r.from_type = t.from_type
+      JOIN {prev} ON {prev}.state = t.from_type
+      GROUP BY t.to_type
+    )"""
+
+
+_MARKOV_ITERS_SQL = ",".join(
+    _markov_iter_sql(f"p{k}", f"p{k + 1}") for k in range(8)
+)
+
+
+@register(
+    "agg_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM events
+    ),
+    trans AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    row_tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      FROM trans GROUP BY from_type
+    ),
+    p0 AS (
+      SELECT from_type AS state,
+             CAST(1000000000 // (SELECT COUNT(*) FROM row_tot) AS BIGINT) AS v
+      FROM row_tot
+    ),
+    {_MARKOV_ITERS_SQL},
+    tot AS (SELECT SUM(v) AS s FROM p8)
+    SELECT p8.state, CAST(p8.v AS BIGINT) AS p_units,
+           CAST(1000000 * p8.v // tot.s AS BIGINT) AS p_ppm
+    FROM p8, tot
+    """,
+)
+def agg_markov_stationary_q(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain — the
+    steady-state behavior mix the transition matrix
+    (`temporal_markov_transitions`) implies: where does a user's session
+    spend its time in the long run?  Eight integer distribution steps
+    p'_j = Σ_i (p_i·c_ij) DIV r_i from the uniform start; unlike the
+    embedding Gram matrix (measured flat — see `embedding_isotropy_probe`),
+    an ergodic 5-state chain has a real spectral gap, so the iterate IS
+    converged at 8 steps (|p8 − p7| ≤ a few units, pinned in tests).
+    Truncation leaks a few units of mass per step (deterministically), so
+    the final distribution is re-expressed as ppm of its own total.
+
+    100 TB shape: the corpus-scale work is `temporal_markov_transitions`'s
+    one user-keyed exchange; the chain solve is |types|² integers in a
+    bounded driver loop (k-means/BPE doctrine) — corpus-size-independent.
+    States = types with ≥1 outgoing transition (every type here);
+    transitions into a hypothetical sink state would deterministically
+    shed its mass, documented rather than hidden."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    trans_rows = (
+        seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    )  # |types|^2 rows — KB-scale, bounded-driver doctrine
+    states = sorted({r.from_type for r in trans_rows})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    C = [[0] * k for _ in range(k)]
+    for r in trans_rows:
+        if r.to_type in idx:
+            C[idx[r.from_type]][idx[r.to_type]] += r.n
+    R = [sum(row) for row in C]
+    p = [1_000_000_000 // k] * k
+    for _ in range(8):
+        nxt = [0] * k
+        for i in range(k):
+            for j in range(k):
+                nxt[j] += (p[i] * C[i][j]) // R[i]  # non-negative: // == DIV
+        p = nxt
+    tot = sum(p)
+    rows = [(states[i], int(p[i]), int(1_000_000 * p[i] // tot)) for i in range(k)]
+    return spark.createDataFrame(rows, "state STRING, p_units BIGINT, p_ppm BIGINT")
+
+
+# --------------------------------------------------------------------------
+# sink_manifest_skipping — manifest-stats data skipping (lakehouse pattern)
+# --------------------------------------------------------------------------
+@register(
+    "sink_manifest_skipping",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id, n_chars, doc_id // 63 AS shard FROM documents
+    ),
+    manifest AS (
+      SELECT shard, MIN(doc_id) AS lo, MAX(doc_id) AS hi, COUNT(*) AS n
+      FROM sharded GROUP BY shard
+    ),
+    selected AS (
+      SELECT shard, n FROM manifest WHERE hi >= 100 AND lo <= 150
+    )
+    SELECT CAST((SELECT COUNT(*) FROM manifest) AS BIGINT) AS n_files_total,
+           CAST((SELECT COUNT(*) FROM selected) AS BIGINT) AS n_files_selected,
+           CAST((SELECT SUM(n) FROM selected) AS BIGINT) AS n_rows_scanned,
+           CAST((SELECT COUNT(*) FROM sharded
+                 WHERE doc_id BETWEEN 100 AND 150) AS BIGINT) AS n_rows_match,
+           CAST((SELECT SUM(n_chars) FROM sharded
+                 WHERE doc_id BETWEEN 100 AND 150) AS BIGINT) AS sum_chars
+    """,
+)
+def sink_manifest_skipping_q(spark, sf_dir):
+    """Manifest-stats data skipping — the lakehouse (Iceberg/Delta) scan
+    pattern in miniature: write deterministic shards (shard = doc_id DIV
+    63), build a MANIFEST of per-file key ranges, and answer a range
+    query by consulting the manifest FIRST, reading only files whose
+    [min,max] interval intersects the predicate.  The gate proves the
+    skip is sound AND tight: the pruned read's row count equals the
+    manifest's selected-file total, the filtered result over the pruned
+    read equals the full-table filter (same sum), and only 2 of 8 files
+    are touched for a 10% key range.
+
+    100 TB shape: this is THE mechanism that makes selective queries
+    cheap at scale — the manifest is |files| rows (KB-scale, cached on
+    the driver/catalog), so a point/range query costs O(matching files)
+    IO instead of a full scan; parquet min/max footers give a second
+    skipping layer inside each selected file (the engine already
+    exploits those — see the PushedFilters audits).  Here the manifest
+    selection is computed from the read-back files themselves so the
+    gate verifies the written artifact, not an assumption."""
+    import tempfile
+
+    from . import finish_and_clean
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (F.col("doc_id") / 63).cast("long").alias("shard")
+    )
+    root = tempfile.mkdtemp(prefix="manifest_skip_")
+    path = root + "/shards"
+    docs.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+    back = spark.read.parquet(path)
+    manifest = (
+        back.groupBy("shard")
+        .agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )  # |files| rows — the driver-side catalog, KB-scale by design
+    lo_q, hi_q = 100, 150
+    selected = [m for m in manifest if m.hi >= lo_q and m.lo <= hi_q]
+    # read ONLY the selected shard directories — the actual skip
+    pruned = spark.read.parquet(*[f"{path}/shard={m.shard}" for m in selected])
+    agg = pruned.filter(F.col("doc_id").between(lo_q, hi_q)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_match"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    out = agg.select(
+        F.lit(len(manifest)).cast("long").alias("n_files_total"),
+        F.lit(len(selected)).cast("long").alias("n_files_selected"),
+        F.lit(sum(m.n for m in selected)).cast("long").alias("n_rows_scanned"),
+        "n_rows_match",
+        "sum_chars",
+    )
+    return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# eval_welch_ttest — Welch's t² readout in exact rational arithmetic
+# --------------------------------------------------------------------------
+@register(
+    "eval_welch_ttest",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT
+        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS s0,
+        SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS s1,
+        SUM(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS q0,
+        SUM(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS q1
+      FROM per_user
+    ),
+    terms AS (
+      SELECT n0, n1, s0, s1, q0, q1,
+             n0 * s1 - n1 * s0 AS dnum,
+             n0 * q0 - s0 * s0 AS a0,
+             n1 * q1 - s1 * s1 AS a1,
+             n0 * n0 * (n0 - 1) AS b0,
+             n1 * n1 * (n1 - 1) AS b1
+      FROM arms
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(s0 AS BIGINT) AS s0_cents, CAST(s1 AS BIGINT) AS s1_cents,
+           CAST(q0 AS BIGINT) AS q0, CAST(q1 AS BIGINT) AS q1,
+           CAST(dnum AS BIGINT) AS dnum,
+           CAST(a0 AS BIGINT) AS var0_num, CAST(a1 AS BIGINT) AS var1_num,
+           CAST((1000000::HUGEINT * dnum * dnum * b0 * b1)
+                // ((n0::HUGEINT * n1 * n0 * n1)
+                    * (a0::HUGEINT * b1 + a1::HUGEINT * b0))
+                AS BIGINT) AS t2_ppm
+    FROM terms
+    """,
+)
+def eval_welch_ttest_q(spark, sf_dir):
+    """Welch's unequal-variance t-statistic for the A/B arms, in exact
+    rational arithmetic: t² = Δ²/(s0²/n0 + s1²/n1) expands to a single
+    integer ratio — 10⁶·Δnum²·B0·B1 / ((n0n1)²·(A0B1 + A1B0)) with
+    A_i = n_i·Σy² − (Σy)² and B_i = n_i²(n_i−1) — every term a square or
+    a product of counts, so everything is provably non-negative and the
+    truncating DIV is engine-safe without sign games.  Completes the
+    experimentation pair: `eval_ab_cuped` gives the variance-REDUCED
+    effect estimate, this gives the significance readout of the raw
+    difference (t = sqrt(t2_ppm/10⁶); the caller compares against the
+    normal quantile — Welch df is deliberately not emitted, its exact
+    rational overflows 38-digit arithmetic and a float would break the
+    gate).
+
+    100 TB shape: one per-user hash aggregate (the only corpus-keyed
+    exchange) then a single-row global aggregate — the entire test is
+    two map-reduce passes; the 38-digit arithmetic runs once on one
+    row."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(F.sum(cents).alias("y")).withColumn(
+        "arm", F.col("user_id") % 2
+    )
+    arms = per_user.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(F.lit(0))).alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(F.lit(0))).alias("s1"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("y") * F.col("y")).otherwise(F.lit(0))
+        ).alias("q0"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("y") * F.col("y")).otherwise(F.lit(0))
+        ).alias("q1"),
+    )
+    return arms.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("s0").cast("long").alias("s0_cents"),
+        F.col("s1").cast("long").alias("s1_cents"),
+        F.col("q0").cast("long").alias("q0"),
+        F.col("q1").cast("long").alias("q1"),
+        (F.col("n0") * F.col("s1") - F.col("n1") * F.col("s0"))
+        .cast("long")
+        .alias("dnum"),
+        (F.col("n0") * F.col("q0") - F.col("s0") * F.col("s0"))
+        .cast("long")
+        .alias("var0_num"),
+        (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
+        .cast("long")
+        .alias("var1_num"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (n0*s1 - n1*s0) * (n0*s1 - n1*s0)"
+            " * (n0*n0*(n0-1)) * (n1*n1*(n1-1)))"
+            " DIV ((CAST(n0 AS DECIMAL(38,0)) * n1 * n0 * n1)"
+            "      * (CAST(n0*q0 - s0*s0 AS DECIMAL(38,0)) * (n1*n1*(n1-1))"
+            "         + CAST(n1*q1 - s1*s1 AS DECIMAL(38,0)) * (n0*n0*(n0-1))))"
+            " AS BIGINT)"
+        ).alias("t2_ppm"),
+    )

@@ -558,3 +558,74 @@ def test_isotropy_probe_rayleigh_bound_and_flat_spectrum(spark):
         "spectrum no longer flat — revisit the isotropy framing "
         f"(l2/l1 = {w[-2] / w[-1]:.3f})"
     )
+
+
+# --------------------------------------------------------------------------
+# Markov stationary / manifest skipping / Welch t²
+# --------------------------------------------------------------------------
+def test_markov_stationary_converged_and_normalized(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["agg_markov_stationary"](spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    total_ppm = sum(r.p_ppm for r in rows)
+    # ppm shares sum to ~1e6 (truncation may shed a few ppm)
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+    for r in rows:
+        assert r.p_units > 0 and r.p_ppm > 0
+
+
+def test_markov_stationary_is_a_fixed_point(spark):
+    """One more distribution step from the reported p must land within a
+    few units per state — the convergence claim, checked directly."""
+    from pyspark.sql import Window
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, SF_DIR, "events")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    trans = {
+        (r.from_type, r.to_type): r.n
+        for r in seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    row_tot = {}
+    for (f, _), n in trans.items():
+        row_tot[f] = row_tot.get(f, 0) + n
+    p = {r.state: r.p_units for r in QUERIES["agg_markov_stationary"](spark, SF_DIR).collect()}
+    nxt = dict.fromkeys(p, 0)
+    for (f, t), n in trans.items():
+        if f in p and t in nxt:
+            nxt[t] += (p[f] * n) // row_tot[f]
+    for s in p:
+        # fixed point to within truncation noise, relative to ~2e8 units
+        assert abs(nxt[s] - p[s]) <= max(5, p[s] // 1000), (s, p[s], nxt[s])
+
+
+def test_manifest_skipping_prunes_and_matches(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    r = QUERIES["sink_manifest_skipping"](spark, SF_DIR).collect()[0]
+    assert r.n_files_selected < r.n_files_total, "no pruning happened"
+    assert r.n_rows_match <= r.n_rows_scanned
+    # every doc in [100,150] exists in the sf0.001 table (doc_ids 0..499)
+    assert r.n_rows_match == 51
+
+
+def test_welch_t2_matches_float_reference(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    r = QUERIES["eval_welch_ttest"](spark, SF_DIR).collect()[0]
+    n0, n1 = r.n0, r.n1
+    m0, m1 = r.s0_cents / n0, r.s1_cents / n1
+    v0 = (r.q0 - n0 * m0 * m0) / (n0 - 1)
+    v1 = (r.q1 - n1 * m1 * m1) / (n1 - 1)
+    t2 = (m1 - m0) ** 2 / (v0 / n0 + v1 / n1)
+    assert r.t2_ppm == pytest.approx(t2 * 1_000_000, rel=1e-6, abs=2)
+    assert r.var0_num >= 0 and r.var1_num >= 0
