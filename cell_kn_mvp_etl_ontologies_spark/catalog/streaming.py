@@ -1064,3 +1064,39 @@ def stream_cdc_dedup_vs_corpus_q(spark, sf_dir):
     )
     query.awaitTermination()
     return finish_and_clean(spark.read.parquet(out_dir), root)
+
+
+@register(
+    "stream_manifest_maintain",
+    oracle="""
+    SELECT CAST(doc_id // 63 AS BIGINT) AS shard,
+           CAST(MIN(doc_id) AS BIGINT) AS lo,
+           CAST(MAX(doc_id) AS BIGINT) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY doc_id // 63
+    """,
+)
+def stream_manifest_maintain_q(spark, sf_dir):
+    """Continuous manifest maintenance — the ingestion half of
+    `sink_manifest_skipping`'s lakehouse loop: as files/rows arrive, the
+    per-shard [min, max, count] statistics that data skipping consults
+    are maintained as STREAMING STATE (min/max/count are all mergeable
+    aggregates, so Spark's incremental state update IS the manifest
+    commit — no rebuild, no read-modify-write race).  Complete-mode
+    output = the manifest table a scan would consult; exact vs the batch
+    oracle because mergeable aggregates are bundling-invariant.
+
+    100 TB shape: state is |shards| rows (KB-scale — it IS a manifest),
+    per-trigger work O(batch); contrast rebuild-per-commit manifests
+    whose cost grows with table size."""
+    stream = read_documents_stream(spark, sf_dir)
+    agg = (
+        stream.select("doc_id", F.expr("CAST(doc_id DIV 63 AS BIGINT)").alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.min("doc_id").cast("long").alias("lo"),
+            F.max("doc_id").cast("long").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return run_stream_to_table(agg, output_mode="complete")

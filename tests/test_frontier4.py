@@ -629,3 +629,46 @@ def test_welch_t2_matches_float_reference(spark):
     t2 = (m1 - m0) ** 2 / (v0 / n0 + v1 / n1)
     assert r.t2_ppm == pytest.approx(t2 * 1_000_000, rel=1e-6, abs=2)
     assert r.var0_num >= 0 and r.var1_num >= 0
+
+
+# --------------------------------------------------------------------------
+# Bayes shrinkage / dup-flow matrix / reco diversity
+# --------------------------------------------------------------------------
+def test_bayes_shrinkage_pulls_toward_prior(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["agg_bayes_shrunk_rate"](spark, SF_DIR).collect()
+    assert rows
+    prior_ppm = 1_000_000 * 1 // 20  # Beta(1,19) prior mean = 5%
+    for r in rows:
+        assert r.shrunk_ppm == 1_000_000 * (r.n_buy + 1) // (r.n_view + 20)
+        if r.raw_ppm is not None and r.n_view > 0:
+            # shrunk estimate lies between the raw rate and the prior
+            lo, hi = sorted((r.raw_ppm, prior_ppm))
+            assert lo - 1 <= r.shrunk_ppm <= hi + 1, (r.raw_ppm, r.shrunk_ppm)
+
+
+def test_cross_source_dup_matrix_is_planted_mirror_only(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["quality_cross_source_dup"](spark, SF_DIR).collect()
+    assert rows, "planted mirror pairs must surface"
+    # this corpus has no natural exact dups: every pair involves 'mirror'
+    for r in rows:
+        assert "mirror" in (r.source_a, r.source_b)
+        assert r.source_a <= r.source_b  # canonicalized unordered pair
+        assert r.n_pairs >= 1
+    assert sum(r.n_pairs for r in rows) == 20  # 20 planted copies
+
+
+def test_reco_diversity_bounds(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["eval_reco_diversity"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    cov = {r.coverage_ppm for r in rows}
+    assert len(cov) == 1  # coverage is global, repeated per row
+    for r in rows:
+        assert 1 <= r.n_labels <= r.k == 5
+        assert r.label_diversity_ppm == 1_000_000 * r.n_labels // r.k
+        assert 0 < r.n_distinct_items <= 50  # at most |Q|*k distinct

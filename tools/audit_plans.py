@@ -30,6 +30,10 @@ sys.path.insert(0, REPO)
 # Queries whose physical plan legitimately trips a generic bound, with the
 # reason recorded so waivers stay auditable.
 WAIVERS: dict[str, set[str]] = {
+    # the run under evaluation is the brute-force exact rung (the
+    # similarity_topk |Q|-broadcast waiver); the coverage scalar (ONE
+    # row) is cross-joined back onto the 10 per-query rows.
+    "eval_reco_diversity": {"CARTESIAN"},
     # the 16x64 ±1 sign matrix is built as range(16) x range(64) — a
     # 1024-row CONSTANT cross join (then broadcast onto the corpus);
     # the audit's distance joins are keyed equi-joins.
