@@ -91,6 +91,7 @@ _PRIORITY = [
     "agg_markov_stationary", "sink_manifest_skipping", "eval_welch_ttest",
     "agg_bayes_shrunk_rate", "quality_cross_source_dup", "eval_reco_diversity",
     "stream_manifest_maintain",
+    "join_spatial_grid", "graph_sssp_weighted", "eval_regression_metrics",
     "source_jsonl_corrupt_routing", "fn_label_lang_fallback",
     "quality_typed_literals", "scan_rdf_triples", "scan_rdf_triples_split",
     "text_search_stemmed", "text_view_four_analyzers",
@@ -224,18 +225,19 @@ _PRIORITY = [
     "pipeline_incremental_graph", "quality_expectations",
     "setop_intersect_except", "similarity_ann_lsh", "similarity_topk",
     # ROUND-8 ROTATION PLAN (recomputed at round end): the r7 prefix-50
-    # boundary now falls after graph_jaccard_neighbors (slot 50 — the
-    # twenty frontier4 final-batch queries took the head, displacing
-    # temporal_seasonal_profile, text_tfidf_topk, text_zipf_rank,
-    # temporal_markov_transitions, dedup_sorted_neighborhood,
-    # text_vocab_growth, stream_star_rollup_maintain,
-    # graph_clustering_coefficient, quality_completeness_profile,
-    # agg_pareto_coverage, embedding_norm_profile,
-    # agg_funnel_time_to_convert, dedup_minhash_estimate_audit,
-    # graph_ktruss, stream_markov_maintain, stream_tfidf_maintain,
-    # sample_negatives_hash, temporal_interarrival_profile,
-    # agg_rfm_scores, and graph_degree_assortativity past the boundary);
-    # those 20 join the ~85
+    # boundary now falls after quality_benford (slot 50 — the
+    # twenty-three frontier4 final-batch queries took the head,
+    # displacing stream_benford_maintain, join_star_revenue_rollup,
+    # graph_jaccard_neighbors, temporal_seasonal_profile, text_tfidf_topk,
+    # text_zipf_rank, temporal_markov_transitions,
+    # dedup_sorted_neighborhood, text_vocab_growth,
+    # stream_star_rollup_maintain, graph_clustering_coefficient,
+    # quality_completeness_profile, agg_pareto_coverage,
+    # embedding_norm_profile, agg_funnel_time_to_convert,
+    # dedup_minhash_estimate_audit, graph_ktruss, stream_markov_maintain,
+    # stream_tfidf_maintain, sample_negatives_hash,
+    # temporal_interarrival_profile, agg_rfm_scores, and
+    # graph_degree_assortativity past the boundary); those 23 join the ~85
     # catalog queries outside the prefix with NO driver evidence ever
     # (verified against CORRECTNESS_r01-r06 keys): everything in this
     # header block from graph_ktruss onward (the round-7 extension batches

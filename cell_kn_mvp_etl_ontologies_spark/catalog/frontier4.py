@@ -1873,3 +1873,247 @@ def eval_reco_diversity_q(spark, sf_dir):
             "coverage_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# join_spatial_grid — grid-bucketed radius join (geohash pattern)
+# --------------------------------------------------------------------------
+@register(
+    "join_spatial_grid",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id AS id,
+             ('0x' || substring(md5('x' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS x,
+             ('0x' || substring(md5('y' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS y
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    cells AS (
+      SELECT id, x, y, x // 50 AS cx, y // 50 AS cy FROM pts
+    ),
+    -- each point probes its own cell and the 8 neighbors: any pair within
+    -- radius 50 must share or neighbor a 50-unit cell
+    probes AS (
+      SELECT id, x, y, cx + dx.d AS px, cy + dy.d AS py
+      FROM cells, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+    ),
+    pairs AS (
+      SELECT a.id AS a, b.id AS b, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+      FROM probes a JOIN cells b ON b.cx = a.px AND b.cy = a.py AND b.id > a.id
+    ),
+    hits AS (
+      SELECT DISTINCT a, b,
+             (ax - bx) * (ax - bx) + (ay - by) * (ay - by) AS d2
+      FROM pairs
+      WHERE (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= 2500
+    )
+    SELECT a, b, CAST(d2 AS BIGINT) AS d2 FROM hits
+    """,
+)
+def join_spatial_grid_q(spark, sf_dir):
+    """Radius self-join via grid bucketing — the geohash/S2 spatial-join
+    pattern: bucket points into cells the size of the query radius, probe
+    each point's own cell plus its 8 neighbors (any pair within radius r
+    must share or neighbor an r-sized cell — the completeness argument),
+    and refine candidates with the exact integer distance.  Coordinates
+    here are md5-derived from user ids (the no-RNG ring) so the whole
+    join is BIGINT-exact; production swaps real lat/lon quantized to an
+    integer grid with zero plan change.
+
+    100 TB shape: candidate generation is an EQUI-join on (cell_x,
+    cell_y) — never the all-pairs cross join a naive distance predicate
+    forces the planner into; the 9-cell probe is a constant ×9 fanout of
+    the probe side only, and the exact-distance refine touches only
+    same-or-adjacent-cell candidates.  Skewed cells (urban hot spots)
+    take the standard salting defense on the cell key."""
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    h = lambda salt: F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}', CAST(user_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) % 1000"
+    )
+    pts = ev.select(
+        F.col("user_id").alias("id"), h("x").alias("x"), h("y").alias("y")
+    ).withColumn("cx", F.expr("x DIV 50")).withColumn("cy", F.expr("y DIV 50"))
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], ["dx", "dy"]
+    )
+    probes = pts.crossJoin(F.broadcast(offs)).select(
+        F.col("id").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("dx")).alias("px"),
+        (F.col("cy") + F.col("dy")).alias("py"),
+    )
+    cells = pts.select(
+        F.col("id").alias("b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        probes.join(
+            cells,
+            (cells["cx"] == probes["px"])
+            & (cells["cy"] == probes["py"])
+            & (cells["b"] > probes["a"]),
+        )
+        .select("a", "b", d2.alias("d2"))
+        .filter(F.col("d2") <= 2500)
+        .distinct()
+        .select("a", "b", F.col("d2").cast("long").alias("d2"))
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_sssp_weighted — weighted shortest paths via bounded Bellman-Ford
+# --------------------------------------------------------------------------
+def _sssp_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, {prev}.d + e.w AS d
+        FROM e JOIN {prev} ON {prev}.node = e.src
+      ) GROUP BY node
+    )"""
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey % 300 AS src, l_partkey % 300 AS dst,
+             1 + l_linenumber % 5 AS w
+      FROM lineitem WHERE l_orderkey % 11 = 0
+    ),
+    d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d)"""
+    + ","
+    + ",".join(_sssp_iter_sql(f"d{k}", f"d{k + 1}") for k in range(6))
+    + """
+    SELECT node, CAST(d AS BIGINT) AS dist FROM d6
+    """,
+)
+def graph_sssp_weighted_q(spark, sf_dir):
+    """Weighted single-source shortest paths by bounded Bellman-Ford —
+    `graph_bfs_distance` counts HOPS; this sums integer edge WEIGHTS
+    (latency, cost, toll), the variant routing/attribution actually
+    needs.  Six relaxation rounds from source node 0 over the order→part
+    graph (weights 1..5 from the line number): each round is one
+    frontier-keyed join + one MIN aggregate, and a node's tentative
+    distance only ever decreases — monotone, so the k-round result is
+    exactly "cheapest path using ≤ k edges", a well-defined gated object
+    even where the graph's diameter exceeds k (same bounded-iteration
+    doctrine as `graph_bfs_distance` / `graph_pagerank`).
+
+    100 TB shape: per round ONE shuffle keyed on the frontier node + one
+    MIN aggregate (both map-side combinable); the edge side keeps its
+    stored partitioning across rounds; localCheckpoint truncates lineage
+    every 2 rounds.  Negative weights are structurally impossible here
+    (1 + x % 5), which is what makes MIN-relaxation correct."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 11 == 0)
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 300).alias("src"),
+            (F.col("l_partkey") % 300).alias("dst"),
+            (1 + F.col("l_linenumber") % 5).cast("long").alias("w"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame([(0, 0)], "node LONG, d LONG")
+    for i in range(6):
+        relaxed = e.join(dist, dist["node"] == e["src"]).select(
+            F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        if i % 2 == 1 and i != 5:
+            dist = dist.localCheckpoint(eager=True)
+    return dist.select("node", F.col("d").cast("long").alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# eval_regression_metrics — exact SSE/SST/R² for a per-group predictor
+# --------------------------------------------------------------------------
+@register(
+    "eval_regression_metrics",
+    oracle="""
+    WITH obs AS (SELECT source, n_chars AS y FROM documents),
+    mu AS (
+      SELECT source, SUM(y) // COUNT(*) AS yhat FROM obs GROUP BY source
+    ),
+    resid AS (
+      SELECT o.source, o.y, m.yhat FROM obs o JOIN mu m ON m.source = o.source
+    ),
+    grand AS (SELECT SUM(y) // COUNT(*) AS gmean FROM obs)
+    SELECT r.source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(r.yhat) AS BIGINT) AS yhat,
+           CAST(SUM(abs(r.y - r.yhat)) AS BIGINT) AS sae,
+           CAST(SUM((r.y - r.yhat) * (r.y - r.yhat)) AS BIGINT) AS sse,
+           CAST(SUM((r.y - g.gmean) * (r.y - g.gmean)) AS BIGINT) AS sst,
+           CASE WHEN SUM((r.y - g.gmean) * (r.y - g.gmean)) = 0 THEN NULL
+                ELSE CAST(1000000
+                          - 1000000 * SUM((r.y - r.yhat) * (r.y - r.yhat))
+                            // SUM((r.y - g.gmean) * (r.y - g.gmean))
+                          AS BIGINT)
+           END AS r2_ppm
+    FROM resid r, grand g
+    GROUP BY r.source, g.gmean
+    """,
+)
+def eval_regression_metrics_q(spark, sf_dir):
+    """Exact regression scorecard — SAE (L1), SSE (L2), SST, and R² per
+    group for a predictor, all in integers: the predictor here is the
+    integer group mean (SUM DIV COUNT — itself a gated quantity), the
+    baseline is the integer grand mean, so R² = 1 − SSE/SST measures how
+    much of the corpus-wide length variance the source identity explains
+    — "is source a useful feature for this target?" as one query, the
+    regression sibling of `eval_auc_rank` (classification) and
+    `eval_feature_chi2_cells` (categorical).
+
+    R²_ppm can be legitimately negative (a group whose integer mean
+    predicts worse than the grand mean); 10⁶ − (10⁶·SSE DIV SST) keeps
+    the DIVIDEND non-negative (both sums of squares), so the truncating
+    division itself never sees a negative operand and the subtraction is
+    exact — no sign decomposition needed.
+
+    100 TB shape: two passes — one aggregate to fit the per-group means
+    (KB-scale dim, broadcast back), one to score; the grand mean rides
+    the first pass.  At any scale, regression evaluation is bounded by
+    the cost of reading the predictions."""
+    obs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("y")
+    )
+    mu = obs.groupBy("source").agg(
+        F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("yhat")
+    )
+    grand = obs.agg(
+        F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("gmean")
+    )
+    resid = obs.join(F.broadcast(mu), on="source").crossJoin(F.broadcast(grand))
+    return resid.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("yhat").cast("long").alias("yhat"),
+        F.sum(F.abs(F.col("y") - F.col("yhat"))).cast("long").alias("sae"),
+        F.sum((F.col("y") - F.col("yhat")) * (F.col("y") - F.col("yhat")))
+        .cast("long")
+        .alias("sse"),
+        F.sum((F.col("y") - F.col("gmean")) * (F.col("y") - F.col("gmean")))
+        .cast("long")
+        .alias("sst"),
+        F.expr(
+            "CASE WHEN SUM((y - gmean) * (y - gmean)) = 0 THEN NULL"
+            " ELSE CAST(1000000 - 1000000 * SUM((y - yhat) * (y - yhat))"
+            " DIV SUM((y - gmean) * (y - gmean)) AS BIGINT) END"
+        ).alias("r2_ppm"),
+    )

@@ -672,3 +672,104 @@ def test_reco_diversity_bounds(spark):
         assert 1 <= r.n_labels <= r.k == 5
         assert r.label_diversity_ppm == 1_000_000 * r.n_labels // r.k
         assert 0 < r.n_distinct_items <= 50  # at most |Q|*k distinct
+
+
+# --------------------------------------------------------------------------
+# spatial grid join / weighted SSSP / regression metrics
+# --------------------------------------------------------------------------
+def test_spatial_grid_join_matches_brute_force(spark):
+    import hashlib
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    # sf0.01: 150 users -> a meaningful pair set (sf0.001's ~15 users
+    # yield ZERO radius-50 pairs in the 1000x1000 space — an empty==empty
+    # comparison would vacuously pass)
+    sf = "/root/testdata/sf0.01"
+    users = [
+        r.user_id
+        for r in load_table(spark, sf, "events").select("user_id").distinct().collect()
+    ]
+
+    def coord(salt, u):
+        return int(hashlib.md5(f"{salt}{u}".encode()).hexdigest()[:8], 16) % 1000
+
+    pts = {u: (coord("x", u), coord("y", u)) for u in users}
+    brute = {
+        (a, b, (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2)
+        for i, a in enumerate(users)
+        for b in users[i + 1 :]
+        if a < b
+        and (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2 <= 2500
+    } | {
+        (b, a, (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2)
+        for i, a in enumerate(users)
+        for b in users[i + 1 :]
+        if a > b
+        and (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2 <= 2500
+    }
+    brute = {(min(a, b), max(a, b), d) for a, b, d in brute}
+    got = {
+        (r.a, r.b, r.d2)
+        for r in QUERIES["join_spatial_grid"](spark, sf).collect()
+    }
+    assert got and got == brute, "grid+neighbor probe must be exactly the brute-force set"
+
+
+def test_sssp_weighted_matches_dijkstra(spark):
+    import heapq
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_orderkey") % 11 == 0)
+        .select(
+            (F.col("l_orderkey") % 300).alias("src"),
+            (F.col("l_partkey") % 300).alias("dst"),
+            (1 + F.col("l_linenumber") % 5).alias("w"),
+        )
+        .distinct()
+        .collect()
+    )
+    adj = {}
+    for r in li:
+        adj.setdefault(r.src, []).append((r.dst, r.w))
+    # Dijkstra restricted to paths of <= 6 edges == Bellman-Ford(6)
+    INF = float("inf")
+    best = {(0, 0): 0}
+    dist6 = {0: 0}
+    frontier = {0: 0}
+    for _ in range(6):
+        nxt = {}
+        for node, d in frontier.items():
+            for t, w in adj.get(node, []):
+                nd = d + w
+                if nd < dist6.get(t, INF):
+                    dist6[t] = nd
+                    nxt[t] = nd
+                elif nd < nxt.get(t, INF) and nd == dist6.get(t):
+                    nxt[t] = nd
+        # frontier = nodes improved this round
+        frontier = {t: dist6[t] for t in nxt}
+        if not frontier:
+            break
+    got = {r.node: r.dist for r in QUERIES["graph_sssp_weighted"](spark, SF_DIR).collect()}
+    for node, d in dist6.items():
+        assert got.get(node) == d, (node, d, got.get(node))
+    # nodes never reached within 6 relaxations must be absent
+    assert set(got) == set(dist6)
+
+
+def test_regression_metrics_identities(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["eval_regression_metrics"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.sse >= 0 and r.sst >= 0 and r.sae >= 0
+        if r.r2_ppm is not None:
+            assert r.r2_ppm == 1_000_000 - 1_000_000 * r.sse // r.sst
+            assert r.r2_ppm <= 1_000_000

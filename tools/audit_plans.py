@@ -34,6 +34,13 @@ WAIVERS: dict[str, set[str]] = {
     # similarity_topk |Q|-broadcast waiver); the coverage scalar (ONE
     # row) is cross-joined back onto the 10 per-query rows.
     "eval_reco_diversity": {"CARTESIAN"},
+    # the 9-row (dx, dy) neighbor-offset frame is cross-joined onto the
+    # point side (constant x9 fanout); the candidate join itself is the
+    # (cell_x, cell_y) equi-join — the whole point of the operator.
+    "join_spatial_grid": {"CARTESIAN"},
+    # the 1-row grand-mean frame is cross-joined onto the observations
+    # (a scalar broadcast, the text_collocations_pmi pattern).
+    "eval_regression_metrics": {"CARTESIAN"},
     # the 16x64 ±1 sign matrix is built as range(16) x range(64) — a
     # 1024-row CONSTANT cross join (then broadcast onto the corpus);
     # the audit's distance joins are keyed equi-joins.
