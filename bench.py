@@ -572,6 +572,52 @@ def graph_build_full(spark):
     return g.edges
 
 
+def cdc_chunks_5k(spark):
+    """Content-defined-chunking near-dup over the FULL 5k-document payload
+    corpus plus 500 planted middle-edit copies, on the PRODUCTION path:
+    Arrow mapInPandas chunking (numpy rolling-hash boundaries inside the
+    task, only (id, hash) rows emitted — zero shuffle for the chunking
+    stage), then the chunk-hash census equi-join + Jaccard-ppm refine.
+    Bit-identical to the relational gate form (pinned in
+    tests/test_frontier4.py); the relational form's measured cost at this
+    scale is recorded in SCALE.md §cdc for the comparison."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.cdc import (
+        cdc_chunk_hashes_arrow as cdc_chunk_hashes,
+    )
+
+    docs = parallelize(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") < 500).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 100),
+            F.lit("XXEDITXX"),
+            F.expr("substring(text, 111)"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    cset = cdc_chunk_hashes(corpus, "doc_id", "text")
+    nc = cset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = cset.select(F.col("doc_id").alias("a"), "ch")
+    y = cset.select(F.col("doc_id").alias("b"), "ch")
+    shared = (
+        x.join(y, on="ch")
+        .filter(F.col("b") > F.col("a"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(nc.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), on="a")
+        .join(nc.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), on="b")
+        .select(
+            "a", "b",
+            F.expr("CAST(1000000 * n_shared DIV (na + nb - n_shared) AS BIGINT)").alias("jaccard_ppm"),
+        )
+    )
+    return out.filter(F.col("jaccard_ppm") >= 250000)
+
+
 BENCH_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -598,6 +644,7 @@ BENCH_QUERIES = {
     "pagerank_orders": pagerank_orders,
     "bm25_documents": bm25_documents,
     "graph_build_full": graph_build_full,
+    "cdc_chunks_5k": cdc_chunks_5k,
 }
 
 

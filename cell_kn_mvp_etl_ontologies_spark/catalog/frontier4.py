@@ -611,9 +611,7 @@ from .training import _PACK_CORPUS_SQL  # noqa: E402  (shared packing corpus)
 # --------------------------------------------------------------------------
 # multimodal_cdc_chunks — content-defined-chunking near-dup over payloads
 # --------------------------------------------------------------------------
-@register(
-    "multimodal_cdc_chunks",
-    oracle=f"""
+_CDC_CHUNKS_ORACLE = f"""
     WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
     corpus AS (
       SELECT doc_id, text FROM base
@@ -635,8 +633,10 @@ from .training import _PACK_CORPUS_SQL  # noqa: E402  (shared packing corpus)
              AS jaccard_ppm
     FROM shared s JOIN nc na ON na.doc_id = s.a JOIN nc nb ON nb.doc_id = s.b
     WHERE 1000000 * s.n_shared // (na.n + nb.n - s.n_shared) >= 250000
-    """,
-)
+    """
+
+
+@register("multimodal_cdc_chunks", oracle=_CDC_CHUNKS_ORACLE)
 def multimodal_cdc_chunks_q(spark, sf_dir):
     """Near-duplicate detection over OPAQUE binary payloads via
     content-defined chunking — the storage-dedup / video-segment-dedup
@@ -678,6 +678,60 @@ def multimodal_cdc_chunks_q(spark, sf_dir):
     corpus = docs.unionByName(planted)
 
     cset = cdc_chunk_hashes(corpus, "doc_id", "text")
+    nc = cset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = cset.select(F.col("doc_id").alias("a"), "ch")
+    y = cset.select(F.col("doc_id").alias("b"), "ch")
+    shared = (
+        x.join(y, on="ch")
+        .filter(F.col("b") > F.col("a"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(nc.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), on="a")
+        .join(nc.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), on="b")
+        .select(
+            "a",
+            "b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("na").cast("long").alias("n_chunks_a"),
+            F.col("nb").cast("long").alias("n_chunks_b"),
+            F.expr(
+                "CAST(1000000 * n_shared DIV (na + nb - n_shared) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return out.filter(F.col("jaccard_ppm") >= 250000)
+
+
+@register("multimodal_cdc_chunks_arrow", oracle=_CDC_CHUNKS_ORACLE)
+def multimodal_cdc_chunks_arrow_q(spark, sf_dir):
+    """PRODUCTION-path facet of `multimodal_cdc_chunks`: identical corpus,
+    census join, and Jaccard refine, but the chunking stage runs as the
+    Arrow mapInPandas pass (operators/cdc.cdc_chunk_hashes_arrow — numpy
+    rolling-hash inside the task, only (id, hash) rows emitted, zero
+    shuffle).  Shares the relational query's oracle VERBATIM because the
+    two chunkers are bit-identical (pinned by
+    tests/test_frontier4.py::test_cdc_arrow_twin_matches_relational) —
+    the same shared-oracle doctrine as `similarity_ivf_pq_routed`.
+    Measured 2x the relational form at sf0.1 (SCALE.md §cdc); benched as
+    `cdc_chunks_5k`."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 100),
+            F.lit("XXEDITXX"),
+            F.expr("substring(text, 111)"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+
+    from ..operators.cdc import cdc_chunk_hashes_arrow
+
+    cset = cdc_chunk_hashes_arrow(corpus, "doc_id", "text")
     nc = cset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = cset.select(F.col("doc_id").alias("a"), "ch")
     y = cset.select(F.col("doc_id").alias("b"), "ch")
@@ -2116,4 +2170,261 @@ def eval_regression_metrics_q(spark, sf_dir):
             " ELSE CAST(1000000 - 1000000 * SUM((y - yhat) * (y - yhat))"
             " DIV SUM((y - gmean) * (y - gmean)) AS BIGINT) END"
         ).alias("r2_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_token_budget_mix — token-budget corpus mixing
+# --------------------------------------------------------------------------
+@register(
+    "sample_token_budget_mix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, greatest(n_chars // 4, 1) AS tokens FROM documents
+    ),
+    totals AS (
+      SELECT source, SUM(tokens) AS total_tokens FROM toks GROUP BY source
+    ),
+    rates AS (
+      -- per-source keep-rate to hit an 8000-token budget per source:
+      -- LEAST caps oversubscribed sources, under-budget sources keep all
+      SELECT source, total_tokens,
+             LEAST(1000000, 8000000000 // total_tokens) AS rate_ppm
+      FROM totals
+    ),
+    kept AS (
+      SELECT t.doc_id, t.source, t.tokens, r.rate_ppm,
+             ('0x' || substring(md5('mix' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 < r.rate_ppm AS keep
+      FROM toks t JOIN rates r ON r.source = t.source
+    )
+    SELECT source,
+           CAST(MAX(rate_ppm) AS BIGINT) AS rate_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def sample_token_budget_mix_q(spark, sf_dir):
+    """TOKEN-budget corpus mixing — training mixes are specified in tokens,
+    not documents (a source of long documents at the same doc-rate
+    contributes far more gradient steps): per-source keep-rate =
+    min(1, budget / total_tokens), membership a pure md5 function of
+    doc_id (stable under retries and repartitioning — the sampling
+    doctrine), so the kept token mass lands ∝ the budget for
+    oversubscribed sources while under-budget sources pass through whole.
+    Complements `sample_source_sqrt` (doc-rate temperature flattening)
+    with the absolute-budget form real data recipes use ("50B tokens of
+    web, 10B of code").
+
+    100 TB shape: one token census per source (map-side combinable, the
+    rates frame is |sources| rows broadcast back), then a stateless
+    projection+filter — membership never shuffles the corpus; expected
+    kept tokens deviate from the budget only by per-doc granularity
+    (documented; exact-budget packing is `pack_sequences`' job
+    downstream)."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.greatest(F.expr("n_chars DIV 4"), F.lit(1)).cast("long").alias("tokens"),
+    )
+    totals = toks.groupBy("source").agg(F.sum("tokens").alias("total_tokens"))
+    rates = totals.select(
+        "source",
+        "total_tokens",
+        F.least(
+            F.lit(1000000).cast("long"),
+            # 8e9 as ONE literal: 1000000 * 8000 would constant-fold in
+            # INT and overflow under ANSI before ever touching data
+            F.expr("CAST(8000000000 DIV total_tokens AS BIGINT)"),
+        ).alias("rate_ppm"),
+    )
+    kept = toks.join(F.broadcast(rates), on="source").withColumn(
+        "keep",
+        F.expr(
+            "CAST(conv(substring(md5(concat('mix', CAST(doc_id AS STRING))), 1, 8),"
+            " 16, 10) AS BIGINT) % 1000000"
+        )
+        < F.col("rate_ppm"),
+    )
+    return kept.groupBy("source").agg(
+        F.max("rate_ppm").cast("long").alias("rate_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_parity_audit — selection-rate fairness audit (80% rule)
+# --------------------------------------------------------------------------
+@register(
+    "quality_parity_audit",
+    oracle="""
+    WITH scored AS (
+      SELECT source, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS selected
+      FROM documents
+    ),
+    per_group AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(selected) AS BIGINT) AS n_selected,
+             CAST(1000000 * SUM(selected) // COUNT(*) AS BIGINT) AS rate_ppm
+      FROM scored GROUP BY source
+    ),
+    ref AS (SELECT MAX(rate_ppm) AS max_rate FROM per_group)
+    SELECT p.source, p.n, p.n_selected, p.rate_ppm,
+           CASE WHEN r.max_rate = 0 THEN NULL
+                ELSE CAST(1000000 * p.rate_ppm // r.max_rate AS BIGINT)
+           END AS parity_ppm,
+           CASE WHEN r.max_rate = 0 THEN NULL
+                ELSE 1000000 * p.rate_ppm // r.max_rate < 800000
+           END AS flagged_80pct
+    FROM per_group p, ref r
+    """,
+)
+def quality_parity_audit_q(spark, sf_dir):
+    """Selection-rate parity audit — the four-fifths (80%) rule applied to
+    a pipeline decision: per group, the rate at which a screen selects
+    documents, each group's ratio to the MOST-selected group, and a flag
+    where that ratio falls below 0.8 (the classic disparate-impact
+    screen, applied here to corpus curation: does the length filter
+    silently starve some sources?).  The screen under audit is the
+    n_chars ≥ 300 keep-decision; swap in any boolean pipeline decision
+    (dedup survival, quality percentile, lexicon pass) and the audit is
+    unchanged — fairness-of-the-pipeline as a first-class query rather
+    than an offline notebook.
+
+    100 TB shape: one hash aggregate to |groups| rows, one KB-scale max,
+    one broadcast-back projection — auditing a decision costs one pass
+    over its inputs, which is the property that makes running it on
+    EVERY pipeline decision affordable."""
+    scored = _t(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") >= 300).cast("long").alias("selected")
+    )
+    per_group = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("selected").cast("long").alias("n_selected"),
+        F.expr("CAST(1000000 * SUM(selected) DIV COUNT(*) AS BIGINT)").alias(
+            "rate_ppm"
+        ),
+    )
+    ref = per_group.agg(F.max("rate_ppm").alias("max_rate"))
+    return per_group.crossJoin(F.broadcast(ref)).select(
+        "source",
+        "n",
+        "n_selected",
+        "rate_ppm",
+        F.when(
+            F.col("max_rate") > 0,
+            F.expr("CAST(1000000 * rate_ppm DIV max_rate AS BIGINT)"),
+        ).alias("parity_ppm"),
+        F.when(
+            F.col("max_rate") > 0,
+            F.expr("1000000 * rate_ppm DIV max_rate < 800000"),
+        ).alias("flagged_80pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# contamination_filter_train — benchmark decontamination, the filtering half
+# --------------------------------------------------------------------------
+@register(
+    "contamination_filter_train",
+    oracle="""
+    WITH train AS (
+      SELECT doc_id, source, substring(text, 1, 120) AS prefix
+      FROM documents WHERE source <> 'src0'
+    ),
+    bench AS (
+      SELECT substring(text, 1, 120) AS prefix FROM documents WHERE source = 'src0'
+      UNION ALL
+      SELECT substring(text, 1, 120) FROM documents
+      WHERE source <> 'src0' AND doc_id % 7 = 0
+    ),
+    tsh AS (
+      SELECT DISTINCT doc_id, md5(substring(prefix, i, 8)) AS sh
+      FROM train, generate_series(1, 113) t(i)
+      WHERE i <= greatest(length(prefix) - 7, 0)
+    ),
+    bsh AS (
+      SELECT DISTINCT md5(substring(prefix, i, 8)) AS sh
+      FROM bench, generate_series(1, 113) t(i)
+      WHERE i <= greatest(length(prefix) - 7, 0)
+    ),
+    dirty AS (SELECT DISTINCT doc_id FROM tsh JOIN bsh USING (sh))
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(COUNT(*) - SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(1000000 * SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS drop_ppm
+    FROM train t LEFT JOIN dirty d ON d.doc_id = t.doc_id
+    GROUP BY t.source
+    """,
+)
+def contamination_filter_train_q(spark, sf_dir):
+    """Benchmark DECONTAMINATION — the filtering half on top of
+    `contamination_ngram`'s detection: any training document sharing ≥1
+    8-char shingle with the benchmark set is DROPPED from the training
+    split (the GPT-3-style n-gram decontamination recipe), and the gate
+    emits the per-source kept/dropped census — the number a training run
+    actually reports ("we removed X% of source Y for eval overlap").
+    Every 7th training doc is planted verbatim in the benchmark, so the
+    drop rate is substantial and its per-source distribution meaningful.
+
+    100 TB shape: the benchmark shingle set is benchmark-sized (KB-MB —
+    eval sets are small by definition) and broadcast; training docs
+    shingle in one pass, the contaminated-id set comes from the broadcast
+    semi-join, and the filter is an ANTI-join on doc_id — the corpus is
+    scanned once and never shuffled on content."""
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, 120)
+    train = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "source", prefix.alias("prefix")
+    )
+    bench_set = (
+        docs.filter(F.col("source") == "src0")
+        .select(prefix.alias("prefix"))
+        .unionByName(
+            docs.filter((F.col("source") != "src0") & (F.col("doc_id") % 7 == 0))
+            .select(prefix.alias("prefix"))
+        )
+    )
+
+    def shingles(df, keep_id):
+        cols = ["doc_id"] if keep_id else []
+        ex = df.select(
+            *cols,
+            "prefix",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("prefix") - 7, F.lit(0))
+                )
+            ).alias("i"),
+        )
+        return ex.select(
+            *cols, F.md5(F.expr("substring(prefix, i, 8)")).alias("sh")
+        ).distinct()
+
+    tsh = shingles(train, keep_id=True)
+    bsh = shingles(bench_set, keep_id=False)
+    dirty = tsh.join(F.broadcast(bsh), on="sh").select("doc_id").distinct()
+    flagged = train.join(
+        dirty.withColumn("hit", F.lit(1)), on="doc_id", how="left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum(F.col("hit").isNotNull().cast("long")).cast("long").alias("n_dropped"),
+        (F.count(F.lit(1)) - F.sum(F.col("hit").isNotNull().cast("long")))
+        .cast("long")
+        .alias("n_kept"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("drop_ppm"),
     )

@@ -197,3 +197,54 @@ def cdc_dedup_vs_corpus(
         )
     )
     return verdicts.withColumn("is_dup", F.col("jaccard_ppm") >= threshold_ppm)
+
+
+def cdc_chunk_hashes_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Production form of :func:`cdc_chunk_hashes`: the SAME boundary rule
+    evaluated in an Arrow-batched ``mapInPandas`` pass — payload bytes are
+    chunked inside the executor task and only (id, chunk_hash) rows come
+    out, no position explode, no window sort, no shuffle at all.
+
+    Bit-identical to the relational form by construction (numpy evaluates
+    the identical Σ code·257^k mod p ≡ 0 mod 16 predicate; chunk hashes
+    are md5 of the same substrings) — pinned by
+    tests/test_frontier4.py::test_cdc_arrow_twin_matches_relational.
+    Swap the utf-8 stand-in for real payload bytes (image/audio) with no
+    plan change: the rule is byte-level already.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{id_col} LONG, ch STRING"
+    weights = np.array(CDC_P, dtype=np.int64)
+
+    def chunk_batch(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for pid, text in zip(pdf[id_col], pdf[text_col]):
+                codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = codes.shape[0]
+                seen = set()
+                if n >= CDC_W:
+                    # windows[p] = codes[p-W+1 .. p] · weights  (window END p)
+                    win = np.lib.stride_tricks.sliding_window_view(codes, CDC_W)
+                    h = (win * weights).sum(axis=1) % CDC_M % CDC_MOD
+                    bends = np.nonzero(h == 0)[0] + (CDC_W - 1)
+                else:
+                    bends = np.array([], dtype=np.int64)
+                start = 0
+                for b in bends:
+                    seen.add(hashlib.md5(text[start : b + 1].encode()).hexdigest())
+                    start = b + 1
+                if start < n:
+                    seen.add(hashlib.md5(text[start:].encode()).hexdigest())
+                for ch in seen:
+                    ids.append(pid)
+                    hashes.append(ch)
+            yield pd.DataFrame({id_col: ids, "ch": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(chunk_batch, out_schema)

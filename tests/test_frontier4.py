@@ -773,3 +773,68 @@ def test_regression_metrics_identities(spark):
         if r.r2_ppm is not None:
             assert r.r2_ppm == 1_000_000 - 1_000_000 * r.sse // r.sst
             assert r.r2_ppm <= 1_000_000
+
+
+def test_cdc_arrow_twin_matches_relational(spark):
+    """The production mapInPandas chunker and the relational gate form
+    must emit the IDENTICAL (id, chunk_hash) set — same boundary rule,
+    same md5 — including payloads shorter than the hash window."""
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+    from cell_kn_mvp_etl_ontologies_spark.operators.cdc import (
+        cdc_chunk_hashes,
+        cdc_chunk_hashes_arrow,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    short = spark.createDataFrame(
+        [(900001, "tiny"), (900002, "exactly8"), (900003, "")],
+        ["doc_id", "text"],
+    )
+    corpus = docs.unionByName(short).filter(F.length("text") > 0)
+    rel = {(r.doc_id, r.ch) for r in cdc_chunk_hashes(corpus, "doc_id", "text").collect()}
+    arw = {
+        (r.doc_id, r.ch)
+        for r in cdc_chunk_hashes_arrow(corpus, "doc_id", "text").collect()
+    }
+    assert rel == arw and len(rel) > 100
+
+
+# --------------------------------------------------------------------------
+# token budget mix / parity audit / decontamination filter
+# --------------------------------------------------------------------------
+def test_token_budget_mix_rates_and_membership(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["sample_token_budget_mix"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.rate_ppm <= 1_000_000
+        assert 0 <= r.n_kept <= r.n_docs
+        if r.rate_ppm == 1_000_000:
+            assert r.n_kept == r.n_docs, "under-budget source must keep all"
+
+
+def test_parity_audit_flags_below_80pct(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["quality_parity_audit"](spark, SF_DIR).collect()
+    assert rows
+    max_rate = max(r.rate_ppm for r in rows)
+    for r in rows:
+        assert r.parity_ppm == 1_000_000 * r.rate_ppm // max_rate
+        assert r.flagged_80pct == (r.parity_ppm < 800_000)
+    # the max-rate group itself can never be flagged
+    top = [r for r in rows if r.rate_ppm == max_rate]
+    assert all(not r.flagged_80pct for r in top)
+
+
+def test_decontamination_census_is_consistent(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["contamination_filter_train"](spark, SF_DIR).collect()
+    assert rows
+    total_dropped = sum(r.n_dropped for r in rows)
+    assert total_dropped > 0, "planted every-7th overlap must drop docs"
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_train
+        assert r.drop_ppm == 1_000_000 * r.n_dropped // r.n_train

@@ -41,6 +41,9 @@ WAIVERS: dict[str, set[str]] = {
     # the 1-row grand-mean frame is cross-joined onto the observations
     # (a scalar broadcast, the text_collocations_pmi pattern).
     "eval_regression_metrics": {"CARTESIAN"},
+    # the 1-row max-rate frame is cross-joined onto the |groups|-row
+    # per-group frame (scalar broadcast).
+    "quality_parity_audit": {"CARTESIAN"},
     # the 16x64 ±1 sign matrix is built as range(16) x range(64) — a
     # 1024-row CONSTANT cross join (then broadcast onto the corpus);
     # the audit's distance joins are keyed equi-joins.
