@@ -94,6 +94,7 @@ _PRIORITY = [
     "join_spatial_grid", "graph_sssp_weighted", "eval_regression_metrics",
     "multimodal_cdc_chunks_arrow", "sample_token_budget_mix",
     "quality_parity_audit", "contamination_filter_train",
+    "eval_bootstrap_ci", "eval_ks_two_sample",
     "source_jsonl_corrupt_routing", "fn_label_lang_fallback",
     "quality_typed_literals", "scan_rdf_triples", "scan_rdf_triples_split",
     "text_search_stemmed", "text_view_four_analyzers",
@@ -227,11 +228,11 @@ _PRIORITY = [
     "pipeline_incremental_graph", "quality_expectations",
     "setop_intersect_except", "similarity_ann_lsh", "similarity_topk",
     # ROUND-8 ROTATION PLAN (recomputed at round end): the r7 prefix-50
-    # boundary now falls after agg_attribution_linear (slot 50 — the
-    # twenty-seven frontier4 final-batch queries took the head,
-    # displacing graph_resource_allocation, agg_gini_concentration,
-    # agg_hhi_concentration, quality_benford, stream_benford_maintain,
-    # join_star_revenue_rollup,
+    # boundary now falls after window_streak_islands (slot 50 — the
+    # twenty-nine frontier4 final-batch queries took the head, displacing
+    # agg_attribution_linear, graph_resource_allocation,
+    # agg_gini_concentration, agg_hhi_concentration, quality_benford,
+    # stream_benford_maintain, join_star_revenue_rollup,
     # graph_jaccard_neighbors, temporal_seasonal_profile, text_tfidf_topk,
     # text_zipf_rank, temporal_markov_transitions,
     # dedup_sorted_neighborhood, text_vocab_growth,

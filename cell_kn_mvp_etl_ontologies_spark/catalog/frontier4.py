@@ -2428,3 +2428,205 @@ def contamination_filter_train_q(spark, sf_dir):
             " DIV COUNT(*) AS BIGINT)"
         ).alias("drop_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# eval_bootstrap_ci — deterministic Poisson-bootstrap confidence interval
+# --------------------------------------------------------------------------
+@register(
+    "eval_bootstrap_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY user_id
+    ),
+    reps AS (
+      -- Poisson(1) multiplicity approximated by the md5 ring exactly as
+      -- sample_bootstrap_poisson: P(0)=.3679, P(1)=.7358, P(2)=.9197,
+      -- P(3)=.9810 cumulative ppm thresholds, key = (user, rep)
+      SELECT r.rep, p.user_id, p.y,
+             CASE
+               WHEN h < 367879 THEN 0
+               WHEN h < 735759 THEN 1
+               WHEN h < 919699 THEN 2
+               WHEN h < 980988 THEN 3
+               ELSE 4
+             END AS m
+      FROM per_user p, generate_series(0, 31) r(rep),
+           LATERAL (SELECT ('0x' || substring(md5('boot' || CAST(r.rep AS VARCHAR)
+                     || '_' || CAST(p.user_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 1000000 AS h) t
+    ),
+    rep_means AS (
+      SELECT rep,
+             CAST(SUM(m * y) AS BIGINT) AS total_cents,
+             CAST(SUM(m) AS BIGINT) AS n_resampled,
+             CAST(SUM(m * y) // GREATEST(SUM(m), 1) AS BIGINT) AS mean_cents
+      FROM reps GROUP BY rep
+    ),
+    ranked AS (
+      SELECT rep, total_cents, n_resampled, mean_cents,
+             ROW_NUMBER() OVER (ORDER BY mean_cents, rep) AS rnk
+      FROM rep_means
+    )
+    SELECT CAST(32 AS BIGINT) AS n_reps,
+           CAST(MIN(mean_cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(mean_cents) AS BIGINT) AS hi_cents,
+           CAST(MIN(CASE WHEN rnk = 2 THEN mean_cents END) AS BIGINT)
+             AS p05_cents,
+           CAST(MIN(CASE WHEN rnk = 16 THEN mean_cents END) AS BIGINT)
+             AS p50_cents,
+           CAST(MIN(CASE WHEN rnk = 31 THEN mean_cents END) AS BIGINT)
+             AS p95_cents
+    FROM ranked
+    """,
+)
+def eval_bootstrap_ci_q(spark, sf_dir):
+    """Bootstrap confidence interval for a corpus metric (mean per-user
+    spend) from 32 DETERMINISTIC Poisson resamples — the uncertainty
+    quantification layer over `sample_bootstrap_poisson`'s resampling
+    primitive: each replicate's multiplicities are a pure md5 function of
+    (rep, user), so the whole CI is hash-gated and retry-stable where an
+    RNG bootstrap gives a different interval every run (and every task
+    retry).  Emits the replicate distribution's min/p05/median/p95/max —
+    rank statistics over 32 values, exact by construction, no percentile
+    interpolation ambiguity (rank-2 and rank-31 of 32 bracket ~90%).
+
+    100 TB shape: the 32 replicates fan out as ONE generate-series
+    multiply of the per-user frame (32× rows of an already-aggregated
+    KB-per-key frame, NOT of the raw corpus), then one (rep)-keyed
+    aggregate — bootstrap cost is 32× the metric's per-user size,
+    independent of event count."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("y")
+    )
+    reps = per_user.crossJoin(
+        F.broadcast(spark.range(0, 32).select(F.col("id").alias("rep")))
+    ).withColumn(
+        "h",
+        F.expr(
+            "CAST(conv(substring(md5(concat('boot', CAST(rep AS STRING), '_',"
+            " CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"
+        ),
+    ).withColumn(
+        "m",
+        F.when(F.col("h") < 367879, 0)
+        .when(F.col("h") < 735759, 1)
+        .when(F.col("h") < 919699, 2)
+        .when(F.col("h") < 980988, 3)
+        .otherwise(4),
+    )
+    rep_means = reps.groupBy("rep").agg(
+        F.sum(F.col("m") * F.col("y")).cast("long").alias("total_cents"),
+        F.sum("m").cast("long").alias("n_resampled"),
+        F.expr(
+            "CAST(SUM(m * y) DIV GREATEST(SUM(m), 1) AS BIGINT)"
+        ).alias("mean_cents"),
+    )
+    ranked = rep_means.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("mean_cents").asc(), F.col("rep").asc())),
+    )
+    return ranked.agg(
+        F.lit(32).cast("long").alias("n_reps"),
+        F.min("mean_cents").cast("long").alias("lo_cents"),
+        F.max("mean_cents").cast("long").alias("hi_cents"),
+        F.min(F.when(F.col("rnk") == 2, F.col("mean_cents")))
+        .cast("long")
+        .alias("p05_cents"),
+        F.min(F.when(F.col("rnk") == 16, F.col("mean_cents")))
+        .cast("long")
+        .alias("p50_cents"),
+        F.min(F.when(F.col("rnk") == 31, F.col("mean_cents")))
+        .cast("long")
+        .alias("p95_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_ks_two_sample — exact two-sample Kolmogorov-Smirnov statistic
+# --------------------------------------------------------------------------
+@register(
+    "eval_ks_two_sample",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY user_id
+    ),
+    support AS (
+      SELECT y,
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+      FROM per_user GROUP BY y
+    ),
+    cums AS (
+      SELECT y,
+             SUM(c0) OVER (ORDER BY y) AS f0,
+             SUM(c1) OVER (ORDER BY y) AS f1
+      FROM support
+    ),
+    ns AS (
+      SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+      FROM per_user
+    )
+    SELECT CAST(ns.n0 AS BIGINT) AS n0, CAST(ns.n1 AS BIGINT) AS n1,
+           CAST(MAX(abs(ns.n1 * c.f0 - ns.n0 * c.f1)) AS BIGINT) AS d_num,
+           CAST(ns.n0 * ns.n1 AS BIGINT) AS d_den,
+           CAST(1000000 * MAX(abs(ns.n1 * c.f0 - ns.n0 * c.f1))
+                // (ns.n0 * ns.n1) AS BIGINT) AS d_ppm
+    FROM cums c, ns
+    GROUP BY ns.n0, ns.n1
+    """,
+)
+def eval_ks_two_sample_q(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic — D = max |F0 − F1|
+    over the merged support, computed as the integer rational
+    max|n1·cum0 − n0·cum1| / (n0·n1): the DISTRIBUTION-shape companion to
+    the mean-level tests (`eval_welch_ttest` sees location, `agg_drift_tvd`
+    sees binned mass, KS sees the worst point of the whole CDF gap —
+    the test that catches a variance or tail change the others miss).
+    |·| of an integer difference is exact (no division until the final
+    ppm), so the statistic is bit-gateable; the p-value's asymptotic
+    series stays un-gated (floats) — callers compare d_ppm against the
+    1.36·sqrt((n0+n1)/(n0·n1)) critical line themselves.
+
+    100 TB shape: one per-key aggregate, one (value)-keyed support
+    census (map-side combinable to |distinct values| rows), ONE window
+    cumsum over the distinct support — never a corpus-row sort — and a
+    KB-scale max."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("y")
+    ).withColumn("arm", F.col("user_id") % 2)
+    support = per_user.groupBy("y").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("c1"),
+    )
+    w = Window.orderBy("y")
+    cums = support.select(
+        "y",
+        F.sum("c0").over(w).alias("f0"),
+        F.sum("c1").over(w).alias("f1"),
+    )
+    ns = per_user.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n1"),
+    )
+    return cums.crossJoin(F.broadcast(ns)).groupBy("n0", "n1").agg(
+        F.max(F.abs(F.col("n1") * F.col("f0") - F.col("n0") * F.col("f1")))
+        .cast("long")
+        .alias("d_num"),
+        F.max(F.col("n0") * F.col("n1")).cast("long").alias("d_den"),
+        F.expr(
+            "CAST(1000000 * MAX(abs(n1 * f0 - n0 * f1)) DIV (n0 * n1) AS BIGINT)"
+        ).alias("d_ppm"),
+    ).select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        "d_num",
+        "d_den",
+        "d_ppm",
+    )

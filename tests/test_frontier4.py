@@ -838,3 +838,58 @@ def test_decontamination_census_is_consistent(spark):
     for r in rows:
         assert r.n_kept + r.n_dropped == r.n_train
         assert r.drop_ppm == 1_000_000 * r.n_dropped // r.n_train
+
+
+# --------------------------------------------------------------------------
+# bootstrap CI / two-sample KS
+# --------------------------------------------------------------------------
+def test_bootstrap_ci_brackets_the_point_estimate(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    r = QUERIES["eval_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    assert r.lo_cents <= r.p05_cents <= r.p50_cents <= r.p95_cents <= r.hi_cents
+    # the resampled median should be near the true mean (resamples of the
+    # same population) — within the bootstrap envelope by construction
+    per_user = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("y"))
+        .agg(F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert r.lo_cents <= per_user <= r.hi_cents
+
+
+def test_bootstrap_is_rerun_identical(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    a = QUERIES["eval_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    b = QUERIES["eval_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    assert a == b, "deterministic bootstrap must reproduce exactly"
+
+
+def test_ks_two_sample_matches_python_reference(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("y"))
+        .collect()
+    )
+    a = sorted(r.y for r in rows if r.user_id % 2 == 0)
+    b = sorted(r.y for r in rows if r.user_id % 2 == 1)
+    support = sorted(set(a) | set(b))
+    import bisect
+
+    d_num = max(
+        abs(len(b) * bisect.bisect_right(a, v) - len(a) * bisect.bisect_right(b, v))
+        for v in support
+    )
+    r = QUERIES["eval_ks_two_sample"](spark, SF_DIR).collect()[0]
+    assert (r.n0, r.n1) == (len(a), len(b))
+    assert r.d_num == d_num
+    assert r.d_ppm == 1_000_000 * d_num // (len(a) * len(b))

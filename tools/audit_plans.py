@@ -44,6 +44,13 @@ WAIVERS: dict[str, set[str]] = {
     # the 1-row max-rate frame is cross-joined onto the |groups|-row
     # per-group frame (scalar broadcast).
     "quality_parity_audit": {"CARTESIAN"},
+    # the 32-row replicate-id frame is cross-joined onto the per-user
+    # aggregate (constant x32 fanout of an already-reduced frame) — the
+    # sample_bootstrap_poisson shape lifted to CI assembly.
+    "eval_bootstrap_ci": {"CARTESIAN"},
+    # the 1-row (n0, n1) totals frame is cross-joined onto the distinct
+    # support (scalar broadcast).
+    "eval_ks_two_sample": {"CARTESIAN"},
     # the 16x64 ±1 sign matrix is built as range(16) x range(64) — a
     # 1024-row CONSTANT cross join (then broadcast onto the corpus);
     # the audit's distance joins are keyed equi-joins.
