@@ -2630,3 +2630,159 @@ def eval_ks_two_sample_q(spark, sf_dir):
         "d_den",
         "d_ppm",
     )
+
+
+# --------------------------------------------------------------------------
+# temporal_mann_kendall — nonparametric monotone-trend test
+# --------------------------------------------------------------------------
+@register(
+    "temporal_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day
+    )
+    SELECT event_type,
+           CAST((SELECT COUNT(*) FROM daily d WHERE d.event_type = p.event_type)
+                AS BIGINT) AS n_days,
+           CAST(SUM(sgn) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN SUM(sgn) < 0 THEN -1 ELSE 1 END
+                * (1000000 * abs(SUM(sgn)) // COUNT(*)) AS BIGINT) AS tau_ppm
+    FROM pairs p
+    GROUP BY event_type
+    """,
+)
+def temporal_mann_kendall_q(spark, sf_dir):
+    """Mann-Kendall monotone-trend test per series — S = Σ_{i<j}
+    sign(x_j − x_i) over the daily revenue series of each event type,
+    with Kendall's τ_a = S / C(n,2) in SIGN-DECOMPOSED ppm (S is
+    legitimately negative for a downtrend; the |·|-then-sign form keeps
+    the truncating division on non-negative operands).  The
+    NONPARAMETRIC trend detector: `temporal_wow_growth` measures level
+    changes, CUSUM finds a change POINT, Mann-Kendall answers "is this
+    series drifting at all" with no distributional assumption and
+    immunity to outliers (only signs enter).
+
+    100 TB shape: the trend test runs on the DAILY aggregate — the
+    corpus collapses to |series|×|days| rows in one map-side-combinable
+    pass, and the O(days²) pair comparison is over ~30 rows per series
+    (a within-group self-join of a KB-scale frame).  The test is cheap
+    BECAUSE the reduction happened first; running it on raw events would
+    be the anti-pattern."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400").alias("day"),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select("event_type", F.col("day").alias("db"), F.col("cents").alias("cb"))
+    pairs = a.join(b, on="event_type").filter(F.col("db") > F.col("da")).select(
+        "event_type",
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return s.join(n_days, on="event_type").select(
+        "event_type",
+        "n_days",
+        "s",
+        "n_pairs",
+        F.expr(
+            "CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END"
+            " * (1000000 * abs(s) DIV n_pairs) AS BIGINT)"
+        ).alias("tau_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_winsorized_mean — robust mean with exact rank-based clipping
+# --------------------------------------------------------------------------
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH obs AS (
+      SELECT source, n_chars AS y,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+               AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    cuts AS (
+      -- exact rank cutoffs: clip below the 1+floor(n/20)-th smallest and
+      -- above the n-floor(n/20)-th (5% each tail, rank-based, no
+      -- interpolation)
+      SELECT source,
+             MIN(CASE WHEN rnk = 1 + n // 20 THEN y END) AS lo,
+             MIN(CASE WHEN rnk = n - n // 20 THEN y END) AS hi
+      FROM obs GROUP BY source
+    )
+    SELECT o.source,
+           CAST(MAX(o.n) AS BIGINT) AS n,
+           CAST(MAX(c.lo) AS BIGINT) AS lo_cut,
+           CAST(MAX(c.hi) AS BIGINT) AS hi_cut,
+           CAST(SUM(LEAST(GREATEST(o.y, c.lo), c.hi)) AS BIGINT) AS wsum,
+           CAST(SUM(LEAST(GREATEST(o.y, c.lo), c.hi)) // MAX(o.n) AS BIGINT)
+             AS wmean,
+           CAST(SUM(o.y) // MAX(o.n) AS BIGINT) AS raw_mean
+    FROM obs o JOIN cuts c ON c.source = o.source
+    GROUP BY o.source
+    """,
+)
+def agg_winsorized_mean_q(spark, sf_dir):
+    """Winsorized mean per group — clip each tail at the exact rank-based
+    5% cutoff (the 1+⌊n/20⌋-th smallest / n−⌊n/20⌋-th values, no
+    percentile interpolation to disagree about), then take the integer
+    mean of the clipped values.  The OTHER standard robust location
+    estimator beside `filter_outlier_mad`'s screen: MAD DROPS outliers
+    (changes n, biases densities), winsorization CAPS them (keeps every
+    row's vote, bounds every row's leverage) — the right choice for
+    revenue-style metrics where deleting whales misstates totals.  Raw
+    mean emitted beside it so the robustness delta is visible per group.
+
+    100 TB shape: one rank window per group over a (group, value)-sorted
+    exchange, a |groups|-row cutoff dim broadcast back, then a plain
+    clipped aggregate — two exchanges total; the window ranks within
+    groups only (never a global sort)."""
+    obs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("y"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy("y", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = obs.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    cuts = ranked.groupBy("source").agg(
+        F.min(F.when(F.col("rnk") == 1 + F.expr("n DIV 20"), F.col("y"))).alias("lo"),
+        F.min(F.when(F.col("rnk") == F.col("n") - F.expr("n DIV 20"), F.col("y"))).alias(
+            "hi"
+        ),
+    )
+    joined = ranked.join(F.broadcast(cuts), on="source")
+    clipped = F.least(F.greatest(F.col("y"), F.col("lo")), F.col("hi"))
+    return joined.groupBy("source").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("lo").cast("long").alias("lo_cut"),
+        F.max("hi").cast("long").alias("hi_cut"),
+        F.sum(clipped).cast("long").alias("wsum"),
+        F.expr(
+            "CAST(SUM(LEAST(GREATEST(y, lo), hi)) DIV MAX(n) AS BIGINT)"
+        ).alias("wmean"),
+        F.expr("CAST(SUM(y) DIV MAX(n) AS BIGINT)").alias("raw_mean"),
+    )

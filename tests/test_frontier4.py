@@ -893,3 +893,49 @@ def test_ks_two_sample_matches_python_reference(spark):
     assert (r.n0, r.n1) == (len(a), len(b))
     assert r.d_num == d_num
     assert r.d_ppm == 1_000_000 * d_num // (len(a) * len(b))
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall / winsorized mean
+# --------------------------------------------------------------------------
+def test_mann_kendall_matches_python_reference(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.cents))
+    got = {r.event_type: r for r in QUERIES["temporal_mann_kendall"](spark, SF_DIR).collect()}
+    for et, pts in series.items():
+        pts.sort()
+        s = sum(
+            (1 if pts[j][1] > pts[i][1] else -1 if pts[j][1] < pts[i][1] else 0)
+            for i in range(len(pts))
+            for j in range(i + 1, len(pts))
+        )
+        n_pairs = len(pts) * (len(pts) - 1) // 2
+        r = got[et]
+        assert (r.n_days, r.s, r.n_pairs) == (len(pts), s, n_pairs)
+        sign = -1 if s < 0 else 1
+        assert r.tau_ppm == sign * (1_000_000 * abs(s) // n_pairs)
+
+
+def test_winsorized_mean_bounds_and_identity(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["agg_winsorized_mean"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.lo_cut <= r.hi_cut
+        # winsorized mean must sit inside the cutoffs
+        assert r.lo_cut <= r.wmean <= r.hi_cut
+        assert r.wsum // r.n == r.wmean
