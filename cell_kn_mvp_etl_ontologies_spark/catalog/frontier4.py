@@ -2786,3 +2786,84 @@ def agg_winsorized_mean_q(spark, sf_dir):
         ).alias("wmean"),
         F.expr("CAST(SUM(y) DIV MAX(n) AS BIGINT)").alias("raw_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# eval_calibration_ece — expected/max calibration error over the bins
+# --------------------------------------------------------------------------
+@register(
+    "eval_calibration_ece",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+        CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+               t -> t IN ('the','a','of','and','to','in','is')))
+             // len(string_split_regex(text, '\\s+')) AS BIGINT) AS score_ppm,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    binned AS (
+      SELECT score_ppm, y,
+             ntile(10) OVER (ORDER BY score_ppm, doc_id) AS bin
+      FROM scored
+    ),
+    bins AS (
+      SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos,
+             1000000 * SUM(y) // COUNT(*) AS observed_ppm,
+             SUM(score_ppm) // COUNT(*) AS mean_score_ppm
+      FROM binned GROUP BY bin
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n * abs(observed_ppm - mean_score_ppm)) AS BIGINT) AS ece_num,
+           CAST(SUM(n * abs(observed_ppm - mean_score_ppm)) // SUM(n) AS BIGINT)
+             AS ece_ppm,
+           CAST(MAX(abs(observed_ppm - mean_score_ppm)) AS BIGINT) AS mce_ppm
+    FROM bins
+    """,
+)
+def eval_calibration_ece_q(spark, sf_dir):
+    """Expected Calibration Error — the ONE-NUMBER summary of
+    `eval_calibration_bins`' reliability diagram: ECE = Σ_b (n_b/N)·
+    |observed_b − predicted_b| (count-weighted mean bin gap) plus MCE
+    (the worst bin) — the KPI a model-monitoring dashboard alerts on,
+    where the full diagram is the drill-down.  Both gaps are differences
+    of integer ppm quantities, so |·| is exact and the single truncating
+    division is the last step — the whole metric is BIGINT-exact, unlike
+    the float ECE every ML library reports (which inherits binning AND
+    summation order ambiguity).
+
+    100 TB shape: identical cost to the bins query it summarizes (the
+    one equi-depth sort), plus a 10-row aggregate — the summary is free
+    once the diagram is computed."""
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(1000000 * size(filter(split(text, '\\\\s+'),"
+            " t -> t IN ('the','a','of','and','to','in','is')))"
+            " DIV size(split(text, '\\\\s+')) AS BIGINT)"
+        ).alias("score_ppm"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    binned = scored.withColumn(
+        "bin", F.ntile(10).over(Window.orderBy("score_ppm", "doc_id"))
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.expr("1000000 * SUM(y) DIV COUNT(*)").alias("observed_ppm"),
+        F.expr("SUM(score_ppm) DIV COUNT(*)").alias("mean_score_ppm"),
+    )
+    return bins.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(F.col("n") * F.abs(F.col("observed_ppm") - F.col("mean_score_ppm")))
+        .cast("long")
+        .alias("ece_num"),
+        F.expr(
+            "CAST(SUM(n * abs(observed_ppm - mean_score_ppm)) DIV SUM(n) AS BIGINT)"
+        ).alias("ece_ppm"),
+        F.max(F.abs(F.col("observed_ppm") - F.col("mean_score_ppm")))
+        .cast("long")
+        .alias("mce_ppm"),
+    )

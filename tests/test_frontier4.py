@@ -939,3 +939,17 @@ def test_winsorized_mean_bounds_and_identity(spark):
         # winsorized mean must sit inside the cutoffs
         assert r.lo_cut <= r.wmean <= r.hi_cut
         assert r.wsum // r.n == r.wmean
+
+
+def test_calibration_ece_summarizes_the_bins(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    bins = QUERIES["eval_calibration_bins"](spark, SF_DIR).collect()
+    r = QUERIES["eval_calibration_ece"](spark, SF_DIR).collect()[0]
+    n_total = sum(b.n for b in bins)
+    ece_num = sum(b.n * abs(b.observed_ppm - b.mean_score_ppm) for b in bins)
+    mce = max(abs(b.observed_ppm - b.mean_score_ppm) for b in bins)
+    assert (r.n_total, r.n_bins) == (n_total, len(bins))
+    assert r.ece_num == ece_num
+    assert r.ece_ppm == ece_num // n_total
+    assert r.mce_ppm == mce >= r.ece_ppm
