@@ -942,8 +942,10 @@ def test_winsorized_mean_bounds_and_identity(spark):
 
 
 def test_calibration_ece_summarizes_the_bins(spark):
-    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark import catalog
 
+    catalog.load_all()  # the bins query lives in frontier3
+    QUERIES = catalog.QUERIES
     bins = QUERIES["eval_calibration_bins"](spark, SF_DIR).collect()
     r = QUERIES["eval_calibration_ece"](spark, SF_DIR).collect()[0]
     n_total = sum(b.n for b in bins)
