@@ -2867,3 +2867,92 @@ def eval_calibration_ece_q(spark, sf_dir):
         .cast("long")
         .alias("mce_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# eval_knn_probe — 1-NN label-prediction probe for embedding quality
+# --------------------------------------------------------------------------
+@register(
+    "eval_knn_probe",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 200
+    ),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS t_id, SUM(q.v * t.v) AS dot
+      FROM quant q JOIN quant t ON q.i = t.i
+      WHERE q.vec_id <> t.vec_id
+      GROUP BY q.vec_id, t.vec_id
+    ),
+    nn AS (
+      SELECT q_id, t_id FROM (
+        SELECT d.q_id, d.t_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.q_id
+                 ORDER BY CAST(d.dot AS DOUBLE)
+                          / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) DESC,
+                          d.t_id ASC
+               ) AS rnk
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.q_id
+        JOIN norms nb ON nb.vec_id = d.t_id
+      ) WHERE rnk = 1
+    )
+    SELECT ql.label AS true_label, tl.label AS predicted_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nn
+    JOIN corpus ql ON ql.vec_id = nn.q_id
+    JOIN corpus tl ON tl.vec_id = nn.t_id
+    GROUP BY ql.label, tl.label
+    """,
+)
+def eval_knn_probe_q(spark, sf_dir):
+    """1-NN label-prediction probe — the classic non-parametric
+    representation-quality metric: every vector is classified by its
+    single nearest neighbor's label (leave-one-out, exact quantized
+    cosine), emitted as the full (true, predicted) confusion census.
+    Accuracy = the diagonal share; unlike `embedding_label_separation`
+    (distributional distance statistics) this measures the DECISION
+    quality the space supports — the number a linear/kNN-probe paper
+    reports, and the ceiling any ANN rung's end-task accuracy can reach
+    (compose with a rung instead of the exact scan to price its
+    end-task cost).
+
+    100 TB shape: the probe IS a top-1 similarity run over a held slice
+    — whatever rung serves it pays the rung's audited cost; the census
+    on top is one |labels|² aggregate over |Q| rows.  All-pairs here is
+    the exact gate tier (200×200); production probes sample queries and
+    route through IVF-PQ like every other serving path."""
+    from ..operators.similarity import similarity_topk
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding", "label"
+    )
+    nn = similarity_topk(
+        em.select("vec_id", "embedding"), em.select("vec_id", "embedding"), k=1
+    )
+    lab = em.select("vec_id", "label")
+    return (
+        nn.join(
+            F.broadcast(
+                lab.select(F.col("vec_id").alias("q_id"), F.col("label").alias("true_label"))
+            ),
+            on="q_id",
+        )
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("t_id"), F.col("label").alias("predicted_label")
+                )
+            ),
+            on="t_id",
+        )
+        .groupBy("true_label", "predicted_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

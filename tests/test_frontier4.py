@@ -955,3 +955,17 @@ def test_calibration_ece_summarizes_the_bins(spark):
     assert r.ece_num == ece_num
     assert r.ece_ppm == ece_num // n_total
     assert r.mce_ppm == mce >= r.ece_ppm
+
+
+def test_knn_probe_census_properties(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    rows = QUERIES["eval_knn_probe"](spark, SF_DIR).collect()
+    n_vecs = (
+        load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200).count()
+    )
+    # every vector gets exactly one 1-NN verdict
+    assert sum(r.n for r in rows) == n_vecs
+    acc = sum(r.n for r in rows if r.true_label == r.predicted_label)
+    assert 0 <= acc <= n_vecs

@@ -51,6 +51,10 @@ WAIVERS: dict[str, set[str]] = {
     # the 1-row (n0, n1) totals frame is cross-joined onto the distinct
     # support (scalar broadcast).
     "eval_ks_two_sample": {"CARTESIAN"},
+    # the probe IS a brute-force top-1 similarity run over the 200-row
+    # gate slice (the similarity_topk |Q|-broadcast waiver); production
+    # routes through the audited ANN rungs.
+    "eval_knn_probe": {"CARTESIAN"},
     # the 16x64 ±1 sign matrix is built as range(16) x range(64) — a
     # 1024-row CONSTANT cross join (then broadcast onto the corpus);
     # the audit's distance joins are keyed equi-joins.
