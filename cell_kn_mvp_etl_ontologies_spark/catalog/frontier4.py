@@ -2956,3 +2956,90 @@ def eval_knn_probe_q(spark, sf_dir):
         .groupBy("true_label", "predicted_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# temporal_theil_sen — robust trend slope (median of pairwise slopes)
+# --------------------------------------------------------------------------
+@register(
+    "temporal_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+             SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400
+    ),
+    slopes AS (
+      -- per-pair slope in centi-cents/day, sign-decomposed truncation
+      SELECT a.event_type,
+             CASE WHEN b.cents < a.cents THEN -1 ELSE 1 END
+               * (100 * abs(b.cents - a.cents) // (b.day - a.day)) AS slope_cc
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day > a.day
+    ),
+    ranked AS (
+      SELECT event_type, slope_cc,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope_cc) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM slopes
+    )
+    SELECT event_type,
+           CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+           CAST(MIN(CASE WHEN rnk = (n_pairs + 1) // 2 THEN slope_cc END)
+                AS BIGINT) AS slope_cc_median,
+           CAST(MIN(slope_cc) AS BIGINT) AS slope_cc_min,
+           CAST(MAX(slope_cc) AS BIGINT) AS slope_cc_max
+    FROM ranked GROUP BY event_type
+    """,
+)
+def temporal_theil_sen_q(spark, sf_dir):
+    """Theil-Sen robust trend SLOPE — the median of all pairwise slopes
+    of the daily series, the estimator that tolerates up to ~29% corrupt
+    points where least-squares is wrecked by one; the magnitude
+    companion to `temporal_mann_kendall`'s direction test (MK says "is
+    it drifting", Theil-Sen says "how fast").  Each pairwise slope is an
+    exact sign-decomposed integer in centi-cents/day (the per-pair
+    division truncates identically in both engines on the |·| form);
+    the median is the exact lower-median RANK statistic over those
+    integers — no interpolated percentile, no float sort key whose ties
+    could diverge.
+
+    100 TB shape: like MK, the estimator runs on the DAILY aggregate —
+    one map-side-combinable reduction, then an O(days²) pair self-join
+    of a ~30-row-per-series frame and one rank window over |pairs| rows
+    per series.  The robustness is free because the reduction happened
+    first."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400").alias("day"),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select("event_type", F.col("day").alias("db"), F.col("cents").alias("cb"))
+    slopes = (
+        a.join(b, on="event_type")
+        .filter(F.col("db") > F.col("da"))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(CASE WHEN cb < ca THEN -1 ELSE 1 END"
+                " * (100 * abs(cb - ca) DIV (db - da)) AS BIGINT)"
+            ).alias("slope_cc"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_cc")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(wn)
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n_pairs").cast("long").alias("n_pairs"),
+        F.min(
+            F.when(F.col("rnk") == F.expr("(n_pairs + 1) DIV 2"), F.col("slope_cc"))
+        )
+        .cast("long")
+        .alias("slope_cc_median"),
+        F.min("slope_cc").cast("long").alias("slope_cc_min"),
+        F.max("slope_cc").cast("long").alias("slope_cc_max"),
+    )

@@ -969,3 +969,35 @@ def test_knn_probe_census_properties(spark):
     assert sum(r.n for r in rows) == n_vecs
     acc = sum(r.n for r in rows if r.true_label == r.predicted_label)
     assert 0 <= acc <= n_vecs
+
+
+def test_theil_sen_matches_python_reference(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.cents))
+    got = {r.event_type: r for r in QUERIES["temporal_theil_sen"](spark, SF_DIR).collect()}
+    for et, pts in series.items():
+        pts.sort()
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                d = pts[j][1] - pts[i][1]
+                sign = -1 if d < 0 else 1
+                slopes.append(sign * (100 * abs(d) // (pts[j][0] - pts[i][0])))
+        slopes.sort()
+        r = got[et]
+        assert r.n_pairs == len(slopes)
+        assert r.slope_cc_median == slopes[(len(slopes) + 1) // 2 - 1]
+        assert r.slope_cc_min == slopes[0] and r.slope_cc_max == slopes[-1]
