@@ -1,39 +1,56 @@
-"""Round-7 extension surface (batch 33+): retrieval-evaluation and hybrid
-search queries — the measurement half of the search/ANN ladder, plus
-experiment-analysis (CUPED) and multimodal near-dup signatures.
+"""Round-7 final extension surface: retrieval/experiment/representation
+EVALUATION as queries, hybrid search, CDC payload dedup, and the
+lakehouse/robust-statistics tail.
 
-Families in this module (SURVEY §2.12 carries the per-query rows):
+Families in this module (SURVEY §2.12 carries the per-query rows; §2.13
+the facets):
 
-- ranking evaluation: exact tie-aware ROC AUC (Mann-Whitney rank-sum,
-  doubled ranks keep tie-averages integer), NDCG@k/MRR/recall@k with a
-  hardcoded ppm discount table (1/log2(r+1) cannot be computed
-  cross-engine-exactly; ten constants can)
-- hybrid retrieval: reciprocal-rank fusion of the integer BM25 lexical
-  run and the quantized-cosine dense run — the standard RAG retrieval
-  topology, integer-exact end to end
-- experimentation: CUPED variance-reduced A/B readout (pre-period
-  covariate adjustment) in pure integer/38-digit arithmetic with
-  sign-decomposed division (rounding on negatives is engine-specific:
-  Spark DIV and DuckDB integer // truncate toward zero, python // and
-  DuckDB double // behave differently again — sign decomposition makes
-  the rounding explicit and engine-independent)
-- multimodal near-dup: content-defined chunking (Rabin-style rolling
-  hash) over opaque payloads — chunk-hash census + Jaccard refine, the
-  storage-dedup/video-segment-dedup pattern.  (A byte-histogram
-  "perceptual hash" was prototyped first and REJECTED on measurement:
-  word-salad payloads share char distributions, median inter-doc
-  Hamming was 3/60 — no discrimination.  CDC chunk hashes measured
-  0.62+ Jaccard on planted edits vs 0.125 max between distinct docs.)
-- feature hashing: the hashing-trick vectorizer (signed buckets via the
-  md5 contract) that turns unbounded vocab into a fixed-width space
-- survival analysis: Kaplan-Meier risk table with censoring and
-  per-duration discrete hazard (the churn-analysis backbone)
+- ranking & retrieval evaluation: exact tie-aware ROC AUC (doubled-rank
+  Mann-Whitney), NDCG@10/MRR (hardcoded ppm discount tables — ten
+  integers are cross-engine exact, a float log2 is not), recommendation
+  diversity + catalog coverage, calibration ECE/MCE summary facet, 1-NN
+  label probe with full confusion census
+- hybrid retrieval: reciprocal-rank fusion of the integer BM25 and
+  quantized-cosine runs — rank-only, no score calibration
+- experimentation: CUPED variance reduction, exact-rational Welch t²,
+  Beta-Binomial rate shrinkage, four-fifths-rule parity audit,
+  deterministic 32-replicate Poisson-bootstrap CI, exact two-sample KS
+- multimodal near-dup: content-defined chunking (rolling-hash
+  boundaries) — chunk-hash census + Jaccard refine; the Arrow
+  mapInPandas production facet shares the relational form's oracle
+  (bit-identical by pinned test, ~2x at sf0.1, benched as
+  cdc_chunks_5k).  A byte-histogram "perceptual hash" was prototyped
+  first and REJECTED on measurement: word-salad payloads share char
+  distributions (median inter-doc Hamming 3/60 — no discrimination);
+  CDC measured 0.62+ Jaccard on planted edits vs 0.125 max between
+  distinct docs, and DISCOVERED a genuine corpus near-dup pair (87/134)
+- representation audits: JL ±1 random projection kept as a measured
+  NEGATIVE result (4/50 top-5 recall at 16 dims on this near-isotropic
+  corpus — the case for trained quantizers), with the integer
+  power-iteration isotropy probe (Rayleigh lower bound; spectrum
+  measured flat, λ2/λ1 = 0.983) as the explanation
+- graph: personalized PageRank (seeded teleport, bit-exact integer
+  units), bounded Bellman-Ford weighted SSSP, Markov stationary
+  distribution (the chain HAS a spectral gap, so the bounded iteration
+  genuinely converges — contrast the Gram matrix)
+- lakehouse: manifest-stats data skipping (2/8 files touched for a 10%
+  key range, proven in-gate)
+- spatial: grid-bucketed radius join (geohash pattern; 47.6x candidate
+  reduction measured at sf0.1, results equal to brute force)
+- LLM-pipeline curation: hashing-trick feature vectorization,
+  token-budget corpus mixing, n-gram benchmark decontamination
+  FILTERING with per-source census, lexicon safety screen, source-level
+  duplication-flow matrix, packing-efficiency audit
+- robust / nonparametric statistics: survival risk table with
+  censoring, Mann-Kendall trend + Theil-Sen slope, winsorized means at
+  exact rank cutoffs, per-group regression scorecard (SAE/SSE/R²)
 
 Shared doctrines: no RNG (md5 ring), no float logs/divisions in gated
 outputs, every truncating division either proven non-negative or
 sign-decomposed identically in both engines (negative-operand rounding
 is engine-specific — measured in this module: DuckDB integer //
-truncates like Spark DIV, python // floors).
+truncates like Spark DIV, python // floors; and 1e6·8000 constant-folds
+in INT and overflows under ANSI — large literals are written folded).
 """
 
 from __future__ import annotations
