@@ -97,6 +97,7 @@ _PRIORITY = [
     "eval_bootstrap_ci", "eval_ks_two_sample",
     "temporal_mann_kendall", "agg_winsorized_mean",
     "eval_calibration_ece", "eval_knn_probe", "temporal_theil_sen",
+    "eval_cohens_kappa",
     "source_jsonl_corrupt_routing", "fn_label_lang_fallback",
     "quality_typed_literals", "scan_rdf_triples", "scan_rdf_triples_split",
     "text_search_stemmed", "text_view_four_analyzers",
@@ -230,10 +231,11 @@ _PRIORITY = [
     "pipeline_incremental_graph", "quality_expectations",
     "setop_intersect_except", "similarity_ann_lsh", "similarity_topk",
     # ROUND-8 ROTATION PLAN (recomputed at round end): the r7 prefix-50
-    # boundary now falls after stream_drift_monitor (slot 50 — the
-    # thirty-four frontier4 final-batch queries took the head, displacing
-    # agg_hist_equi_depth, text_keyword_rake, stream_skyline_maintain,
-    # window_streak_islands, temporal_cusum_changepoint,
+    # boundary now falls after window_rolling_median (slot 50 — the
+    # thirty-five frontier4 final-batch queries took the head, displacing
+    # stream_drift_monitor, agg_hist_equi_depth, text_keyword_rake,
+    # stream_skyline_maintain, window_streak_islands,
+    # temporal_cusum_changepoint,
     # agg_attribution_linear, graph_resource_allocation,
     # agg_gini_concentration, agg_hhi_concentration, quality_benford,
     # stream_benford_maintain, join_star_revenue_rollup,

@@ -3060,3 +3060,110 @@ def temporal_theil_sen_q(spark, sf_dir):
         F.min("slope_cc").cast("long").alias("slope_cc_min"),
         F.max("slope_cc").cast("long").alias("slope_cc_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# eval_cohens_kappa — chance-corrected agreement between two labelers
+# --------------------------------------------------------------------------
+@register(
+    "eval_cohens_kappa",
+    oracle="""
+    WITH labeled AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+             CASE WHEN 1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+                    t -> t IN ('the','a','of','and','to','in','is')))
+                  // len(string_split_regex(text, '\\s+')) >= 60000
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    counts AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+             SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+             SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+             SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+      FROM labeled
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           CAST(1000000 * (n11 + n00) // n AS BIGINT) AS po_ppm,
+           CAST(n * (n11 + n00)
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                AS BIGINT) AS kappa_num,
+           CAST(n * n
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                AS BIGINT) AS kappa_den,
+           CAST(CASE WHEN n * (n11 + n00)
+                          - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) < 0
+                     THEN -1 ELSE 1 END
+                * (1000000 * abs(n * (n11 + n00)
+                     - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+                   // (n * n
+                       - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))))
+                AS BIGINT) AS kappa_ppm
+    FROM counts
+    """,
+)
+def eval_cohens_kappa_q(spark, sf_dir):
+    """Cohen's kappa between two binary labelers — chance-corrected
+    agreement κ = (p_o − p_e)/(1 − p_e), the inter-annotator metric
+    every labeling pipeline reports before trusting its labels (raw
+    agreement p_o flatters labelers who both say "yes" to everything;
+    κ subtracts what marginal chance alone would produce).  Cleared of
+    divisions by n: κ = (n·agree − Σ marginal products) / (n² − Σ
+    marginal products) — pure integer counts, sign-decomposed ppm (κ is
+    legitimately negative for worse-than-chance labelers).  The two
+    "annotators" here are two cheap English-ness rules (length vs
+    stopword ratio); production swaps any pair of model/heuristic/human
+    label columns with zero plan change.
+
+    100 TB shape: ONE pass to the four contingency cells (map-side
+    combinable to a single row) — agreement at any scale is one
+    aggregate over the pair of label columns."""
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        (F.col("n_chars") >= 300).cast("long").alias("a"),
+        (
+            F.expr(
+                "1000000 * size(filter(split(text, '\\\\s+'),"
+                " t -> t IN ('the','a','of','and','to','in','is')))"
+                " DIV size(split(text, '\\\\s+'))"
+            )
+            >= 60000
+        ).cast("long").alias("b"),
+    )
+    counts = labeled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("long")).alias("n11"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("long")).alias("n10"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("long")).alias("n01"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 0)).cast("long")).alias("n00"),
+    )
+    return counts.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        F.expr("CAST(1000000 * (n11 + n00) DIV n AS BIGINT)").alias("po_ppm"),
+        F.expr(
+            "CAST(n * (n11 + n00)"
+            " - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS BIGINT)"
+        ).alias("kappa_num"),
+        F.expr(
+            "CAST(n * n"
+            " - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS BIGINT)"
+        ).alias("kappa_den"),
+        F.expr(
+            "CAST(CASE WHEN n * (n11 + n00)"
+            "  - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) < 0"
+            " THEN -1 ELSE 1 END"
+            " * (1000000 * abs(n * (n11 + n00)"
+            "    - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))"
+            "   DIV (n * n"
+            "    - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))))"
+            " AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )

@@ -1001,3 +1001,18 @@ def test_theil_sen_matches_python_reference(spark):
         assert r.n_pairs == len(slopes)
         assert r.slope_cc_median == slopes[(len(slopes) + 1) // 2 - 1]
         assert r.slope_cc_min == slopes[0] and r.slope_cc_max == slopes[-1]
+
+
+def test_cohens_kappa_matches_float_reference(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    r = QUERIES["eval_cohens_kappa"](spark, SF_DIR).collect()[0]
+    n = r.n
+    assert r.n11 + r.n10 + r.n01 + r.n00 == n
+    po = (r.n11 + r.n00) / n
+    pe = ((r.n11 + r.n10) * (r.n11 + r.n01) + (r.n01 + r.n00) * (r.n10 + r.n00)) / (
+        n * n
+    )
+    kappa = (po - pe) / (1 - pe)
+    assert r.kappa_ppm == pytest.approx(kappa * 1_000_000, abs=2)
+    assert r.po_ppm == 1_000_000 * (r.n11 + r.n00) // n
