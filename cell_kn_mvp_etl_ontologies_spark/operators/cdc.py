@@ -38,8 +38,13 @@ def cdc_chunk_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     One corpus pass, no shuffle beyond the id-keyed window sort; the
     output carries (id, 16-byte md5 hex) rows only.
+
+    Empty payloads emit NO chunk rows (the ``length > 0`` guard below —
+    without it ``sequence(1, 0)`` yields the DESCENDING list ``[1, 0]``
+    and a spurious empty-substring chunk that neither the Arrow twin nor
+    the DuckDB oracle produces).
     """
-    chars = df.select(
+    chars = df.where(F.length(F.col(text_col)) > 0).select(
         F.col(id_col).alias("__cdc_id"),
         F.col(text_col).alias("__cdc_text"),
         F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("i"),
@@ -101,13 +106,18 @@ def cdc_cset_sql(src: str, out: str, prefix: str) -> str:
     hash_pred = _cdc_hash_sql(lambda n: f"(lag(code, {n}) OVER w)" if n else "code")
     return f"""
     {prefix}_chars AS (
-      -- constant-bound series + WHERE (DuckDB's generate_series cannot
-      -- take lateral column args); 1000 comfortably exceeds max payload
-      -- length at gate SF.  BIGINT cast before the weight multiply.
+      -- scalar-list generate_series takes column args (the TABLE form
+      -- needs constants), so the series bound is exactly length(text):
+      -- no hardcoded cap to silently truncate long payloads, and empty
+      -- text unnests to zero rows.  BIGINT cast before the weight
+      -- multiply.
       SELECT doc_id, i,
              CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS code
-      FROM {src}, generate_series(1, 1000) t(i)
-      WHERE i <= length(text)
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM {src}
+      )
     ),
     {prefix}_bends AS (
       SELECT doc_id, i,
@@ -205,12 +215,16 @@ def cdc_chunk_hashes_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFra
     chunked inside the executor task and only (id, chunk_hash) rows come
     out, no position explode, no window sort, no shuffle at all.
 
-    Bit-identical to the relational form by construction (numpy evaluates
-    the identical Σ code·257^k mod p ≡ 0 mod 16 predicate; chunk hashes
-    are md5 of the same substrings) — pinned by
-    tests/test_frontier4.py::test_cdc_arrow_twin_matches_relational.
-    Swap the utf-8 stand-in for real payload bytes (image/audio) with no
-    plan change: the rule is byte-level already.
+    Bit-identical to the relational form by construction: codes are
+    CODEPOINTS (``ord``), matching Spark ``ascii()`` / DuckDB ``ord()``
+    exactly — including non-ASCII and astral characters, where all three
+    engines agree on full-codepoint codes, codepoint indexing, and md5
+    over the substring's UTF-8 bytes (UTF-8 *byte* codes would diverge
+    from ``ascii()`` on any non-ASCII payload).  Pinned, with non-ASCII
+    cases, by tests/test_frontier4.py::test_cdc_arrow_twin_matches_relational.
+    For real binary payloads (image/audio) feed latin-1-decoded bytes:
+    codepoints == byte values there, so the rule is byte-level with no
+    plan change.
     """
     import hashlib
 
@@ -224,8 +238,8 @@ def cdc_chunk_hashes_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFra
         for pdf in batches:
             ids, hashes = [], []
             for pid, text in zip(pdf[id_col], pdf[text_col]):
-                codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(
-                    np.int64
+                codes = np.fromiter(
+                    (ord(c) for c in text), dtype=np.int64, count=len(text)
                 )
                 n = codes.shape[0]
                 seen = set()

@@ -778,7 +778,10 @@ def test_regression_metrics_identities(spark):
 def test_cdc_arrow_twin_matches_relational(spark):
     """The production mapInPandas chunker and the relational gate form
     must emit the IDENTICAL (id, chunk_hash) set — same boundary rule,
-    same md5 — including payloads shorter than the hash window."""
+    same md5 — including payloads shorter than the hash window, EMPTY
+    payloads (zero chunks in both forms, no filter sidestep), and
+    non-ASCII text where codepoint codes (Spark ascii() semantics) and
+    UTF-8 byte codes would diverge."""
     from cell_kn_mvp_etl_ontologies_spark.io import load_table
     from cell_kn_mvp_etl_ontologies_spark.operators.cdc import (
         cdc_chunk_hashes,
@@ -787,16 +790,29 @@ def test_cdc_arrow_twin_matches_relational(spark):
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     short = spark.createDataFrame(
-        [(900001, "tiny"), (900002, "exactly8"), (900003, "")],
+        [
+            (900001, "tiny"),
+            (900002, "exactly8"),
+            (900003, ""),
+            # non-ASCII: accents (BMP), currency, CJK, and an astral
+            # emoji — ascii()/ord() give full codepoints in all engines
+            (900004, "héllo wörld détecteur — çà et là, naïveté garantie. " * 8),
+            (900005, "価格は€1,234です。データ重複排除のテスト文字列。" * 10),
+            (900006, "mixed ascii and 😀 emoji 🚀 payload with astral chars " * 6),
+        ],
         ["doc_id", "text"],
     )
-    corpus = docs.unionByName(short).filter(F.length("text") > 0)
+    corpus = docs.unionByName(short)
     rel = {(r.doc_id, r.ch) for r in cdc_chunk_hashes(corpus, "doc_id", "text").collect()}
     arw = {
         (r.doc_id, r.ch)
         for r in cdc_chunk_hashes_arrow(corpus, "doc_id", "text").collect()
     }
     assert rel == arw and len(rel) > 100
+    # empty payload emits no chunks in either form
+    assert not any(i == 900003 for i, _ in rel)
+    # the non-ASCII payloads actually chunked (boundary rule fired)
+    assert any(i == 900004 for i, _ in rel) and any(i == 900005 for i, _ in rel)
 
 
 # --------------------------------------------------------------------------
