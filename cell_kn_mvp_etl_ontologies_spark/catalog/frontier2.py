@@ -597,18 +597,19 @@ def agg_hist_equi_depth_q(spark, sf_dir):
     boundaries sketch-wise; this is the exact-twin doctrine applied to
     histogram construction.
 
-    100 TB shape: a global ntile is a total sort — the exact build is a
-    RangePartitioner pass (Spark sorts distributedly; the single-partition
-    window here is the local[] rendering).  The production profile samples
-    or reuses the approx-quantile sketch for boundaries and keeps this
-    exact path for the audit tier."""
+    100 TB shape: the build IS the distributed form — `ntile_exact`'s
+    two-pass range-rank (repartitionByRange + per-range row_number +
+    a |partitions|-row offset collect), no single-partition window
+    anywhere.  The production profile samples or reuses the
+    approx-quantile sketch for boundaries and keeps this exact path for
+    the audit tier."""
     base = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("long").alias("k"),
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
     )
-    tiled = base.select(
-        "v", F.ntile(10).over(Window.orderBy("v", "k")).alias("tile")
-    )
+    from ..operators.windows import ntile_exact
+
+    tiled = ntile_exact(base, 10, ["v", "k"], "tile").select("v", "tile")
     return tiled.groupBy(F.col("tile").cast("long").alias("tile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.min("v").alias("lo"),

@@ -4132,10 +4132,10 @@ def eval_calibration_bins_q(spark, sf_dir):
     cutoff can't show.  Completes the eval family: confusion matrix
     (which classes), scorecard (how good), calibration (where to cut).
 
-    100 TB shape: score is codegen on the scan; the decile ntile is the
-    one total sort (equi-depth doctrine — production bins on
-    approx-quantile boundaries and keeps this exact path for the audit
-    tier); per-bin stats collapse map-side."""
+    100 TB shape: score is codegen on the scan; the decile assignment is
+    `ntile_exact`'s two-pass range-rank (repartitionByRange + per-range
+    row_number + a |partitions|-row offset collect) — ntile semantics
+    with no single-partition sort; per-bin stats collapse map-side."""
     scored = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(
@@ -4145,10 +4145,10 @@ def eval_calibration_bins_q(spark, sf_dir):
         ).alias("score_ppm"),
         (F.col("lang") == "en").cast("long").alias("y"),
     )
-    binned = scored.select(
-        "score_ppm",
-        "y",
-        F.ntile(10).over(Window.orderBy("score_ppm", "doc_id")).alias("bin"),
+    from ..operators.windows import ntile_exact
+
+    binned = ntile_exact(scored, 10, ["score_ppm", "doc_id"], "bin").select(
+        "score_ppm", "y", "bin"
     )
     return binned.groupBy(F.col("bin").cast("long").alias("bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -5337,9 +5337,10 @@ def agg_lorenz_curve_q(spark, sf_dir):
         .cast("long")
         .alias("cents")
     )
-    tiled = spend.select(
-        "cents",
-        F.ntile(10).over(Window.orderBy("cents", "cust")).alias("decile"),
+    from ..operators.windows import ntile_exact
+
+    tiled = ntile_exact(spend, 10, ["cents", "cust"], "decile").select(
+        "cents", "decile"
     )
     per_decile = tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_cust"),

@@ -1505,9 +1505,14 @@ def agg_markov_stationary_q(spark, sf_dir):
     100 TB shape: the corpus-scale work is `temporal_markov_transitions`'s
     one user-keyed exchange; the chain solve is |types|² integers in a
     bounded driver loop (k-means/BPE doctrine) — corpus-size-independent.
-    States = types with ≥1 outgoing transition (every type here);
-    transitions into a hypothetical sink state would deterministically
-    shed its mass, documented rather than hidden."""
+    The driver iteration mirrors the oracle's CTE chain STATE-FOR-STATE:
+    p0 is uniform over from_types only; each step propagates mass along
+    every transition whose from-state is present in the previous step, so
+    a SINK state (a to_type with no outgoing transitions) receives inflow
+    each step, sheds it the next, and appears in the final p8 rows with
+    its step-8 inflow — identical semantics on chains with or without
+    sinks (every type here has outgoing transitions, but the mirror no
+    longer depends on that)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = _t(spark, sf_dir, "events")
     seq = ev.select(
@@ -1517,23 +1522,22 @@ def agg_markov_stationary_q(spark, sf_dir):
     trans_rows = (
         seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n")).collect()
     )  # |types|^2 rows — KB-scale, bounded-driver doctrine
-    states = sorted({r.from_type for r in trans_rows})
-    idx = {s: i for i, s in enumerate(states)}
-    k = len(states)
-    C = [[0] * k for _ in range(k)]
+    R: dict[str, int] = {}
     for r in trans_rows:
-        if r.to_type in idx:
-            C[idx[r.from_type]][idx[r.to_type]] += r.n
-    R = [sum(row) for row in C]
-    p = [1_000_000_000 // k] * k
+        R[r.from_type] = R.get(r.from_type, 0) + r.n
+    # p0: uniform over states WITH outgoing transitions (oracle's row_tot)
+    p = {s: 1_000_000_000 // len(R) for s in R}
     for _ in range(8):
-        nxt = [0] * k
-        for i in range(k):
-            for j in range(k):
-                nxt[j] += (p[i] * C[i][j]) // R[i]  # non-negative: // == DIV
+        nxt: dict[str, int] = {}
+        for r in trans_rows:
+            if r.from_type in p:  # oracle joins p_prev ON state = from_type
+                # non-negative: // == DIV
+                nxt[r.to_type] = nxt.get(r.to_type, 0) + (p[r.from_type] * r.n) // R[
+                    r.from_type
+                ]
         p = nxt
-    tot = sum(p)
-    rows = [(states[i], int(p[i]), int(1_000_000 * p[i] // tot)) for i in range(k)]
+    tot = sum(p.values())
+    rows = [(s, int(v), int(1_000_000 * v // tot)) for s, v in sorted(p.items())]
     return spark.createDataFrame(rows, "state STRING, p_units BIGINT, p_ppm BIGINT")
 
 
@@ -2862,9 +2866,9 @@ def eval_calibration_ece_q(spark, sf_dir):
         ).alias("score_ppm"),
         (F.col("lang") == "en").cast("long").alias("y"),
     )
-    binned = scored.withColumn(
-        "bin", F.ntile(10).over(Window.orderBy("score_ppm", "doc_id"))
-    )
+    from ..operators.windows import ntile_exact
+
+    binned = ntile_exact(scored, 10, ["score_ppm", "doc_id"], "bin")
     bins = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("n_pos"),

@@ -88,3 +88,123 @@ def sort_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
     """Deterministic sink ordering (SURVEY.md §2.6): replaces the reference's
     undefined HashMap iteration order on output."""
     return df.orderBy(*keys)
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global rank under a TOTAL order — without the
+    single-partition ``Window.orderBy`` sort that funnels the whole frame
+    through one executor.
+
+    Two-pass range-rank: (1) ``repartitionByRange`` on the order columns
+    (Spark's distributed-sort primitive — every partition holds a
+    contiguous key range) + ``row_number`` within each range; (2) one
+    P-row collect of per-partition counts → cumulative offsets,
+    broadcast back and added to the local row number.  The offset table
+    is |partitions| rows (KB — bounded-driver doctrine), so the global
+    sort never materializes on one machine; this is exactly how a
+    distributed engine implements ORDER BY + ROW_NUMBER internally.
+
+    ``order_cols`` MUST be a total order (append a unique key to break
+    ties) — otherwise tied rows straddling a range boundary would rank
+    nondeterministically.  RangePartitioner's boundary sampling is
+    seeded per-partition-index, so the two passes see identical ranges.
+    """
+    ranked, _total = _global_rank_with_total(df, order_cols, rank_col, num_partitions)
+    return ranked
+
+
+def _global_rank_with_total(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Core of the two-pass rank.  Pass 1 range-partitions ONCE to learn
+    balanced bucket boundaries (each range's max key) and counts; pass 2
+    assigns buckets BY VALUE against those boundary literals.  The
+    by-value assignment is the load-bearing subtlety: RangePartitioner
+    seeds its boundary sampling with the RDD id, so a second job over
+    the same plan draws DIFFERENT ranges — pid-keyed offsets from pass 1
+    would silently misalign (observed: interleaved rank collisions).
+    Value-keyed buckets are a pure function of the row, identical in
+    every job that evaluates them."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) for c in order_cols]
+    key = F.struct(*cols)
+    # pass 1: balanced range stats — one row per range (KB driver state).
+    # Unique keys (total-order contract) make range membership exact:
+    # rows <= bound_i live in ranges 0..i, so cumulative counts ARE the
+    # by-value offsets no matter how a later job would re-sample ranges.
+    stats = (
+        df.repartitionByRange(num_partitions, *cols)
+        .select(F.spark_partition_id().alias("__gr_pid"), key.alias("__gr_key"))
+        .groupBy("__gr_pid")
+        .agg(F.count(F.lit(1)).alias("__n"), F.max("__gr_key").alias("__hi"))
+        .collect()
+    )
+    stats.sort(key=lambda r: r["__gr_pid"])
+    offsets, acc = [], 0
+    for r in stats:
+        offsets.append(acc)
+        acc += r["__n"]
+    bounds = [r["__hi"] for r in stats[:-1]]  # inner boundaries only
+    # pass 2: bucket = #boundaries strictly below the key — a codegen
+    # comparison chain over |ranges|-1 struct literals (fine for O(100)
+    # ranges; a broadcast range-join would replace it beyond that).
+    bucket = F.lit(0)
+    for b in bounds:
+        lit_b = F.struct(
+            *[F.lit(v).alias(c) for v, c in zip(b, order_cols)]
+        )
+        bucket = bucket + (key > lit_b).cast("int")
+    spark_offsets = spark.createDataFrame(
+        list(enumerate(offsets)) or [(0, 0)], "__gr_bkt INT, __gr_off LONG"
+    )
+    local = df.withColumn("__gr_bkt", bucket).withColumn(
+        "__gr_rn", F.row_number().over(Window.partitionBy("__gr_bkt").orderBy(*cols))
+    )
+    out = (
+        local.join(F.broadcast(spark_offsets), on="__gr_bkt")
+        .withColumn(rank_col, (F.col("__gr_rn") + F.col("__gr_off")).cast("long"))
+        .drop("__gr_bkt", "__gr_rn", "__gr_off")
+    )
+    return out, acc
+
+
+def ntile_exact(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: list[str],
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SQL ``ntile(k)`` semantics — first ``n MOD k`` buckets get
+    ``n DIV k + 1`` rows, the rest ``n DIV k`` — computed from the
+    two-pass :func:`with_global_rank` instead of a single-partition
+    window, so equi-depth binning scales past one executor.  Bit-equal
+    to ``ntile(k) OVER (ORDER BY order_cols)`` whenever ``order_cols``
+    is a total order (ntile itself is nondeterministic under ties, so
+    the gate discipline already requires totality)."""
+    ranked, n = _global_rank_with_total(df, order_cols, "__gr_rank", num_partitions)
+    # n comes free from the rank pass's offset collect.  SQL ntile
+    # front-loads the larger buckets:
+    big = n // n_tiles + 1
+    small = n // n_tiles
+    n_big = n % n_tiles
+    cutoff = n_big * big
+    r = F.col("__gr_rank")
+    if small == 0:
+        tile = r  # n < k: each row its own 1..n tile
+    else:
+        # integer DIV keeps the bucket math BIGINT-exact at any rank
+        tile = F.when(
+            r <= cutoff, F.expr(f"(__gr_rank - 1) DIV {big}") + 1
+        ).otherwise(n_big + F.expr(f"(__gr_rank - 1 - {cutoff}) DIV {small}") + 1)
+    return ranked.withColumn(out_col, tile.cast("long")).drop("__gr_rank")

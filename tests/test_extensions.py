@@ -247,3 +247,58 @@ def test_approx_distinct_within_error_bound_of_exact(spark):
     exact_types = ev.select("event_type").distinct().count()
     assert abs(approx.a_users - exact_users) <= 0.05 * exact_users
     assert abs(approx.a_types - exact_types) <= max(1, 0.05 * exact_types)
+
+
+# --------------------------------------------------------------------------
+# ntile_exact / with_global_rank — two-pass distributed equi-depth binning
+# --------------------------------------------------------------------------
+def test_ntile_exact_matches_sql_ntile(spark):
+    """The two-pass range-rank ntile must be bit-equal to
+    ntile(k) OVER (ORDER BY ...) for sizes exercising every branch of
+    the front-loaded bucket formula: n % k == 0, n % k != 0, n < k."""
+    from pyspark.sql import Window
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.windows import ntile_exact
+
+    for n, k in [(100, 10), (103, 10), (7, 10), (33, 4), (1, 3)]:
+        # non-monotone values with a unique tiebreak key
+        df = spark.range(n).select(
+            F.col("id").alias("key"), ((F.col("id") * 37) % 11).alias("v")
+        )
+        want = {
+            (r.key, r.tile)
+            for r in df.select(
+                "key", F.ntile(k).over(Window.orderBy("v", "key")).alias("tile")
+            ).collect()
+        }
+        got = {
+            (r.key, r.tile)
+            for r in ntile_exact(df, k, ["v", "key"], "tile").collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_with_global_rank_is_dense_and_ordered(spark):
+    from cell_kn_mvp_etl_ontologies_spark.operators.windows import with_global_rank
+
+    df = spark.range(500).select(
+        F.col("id").alias("key"), ((F.col("id") * 13) % 97).alias("v")
+    )
+    rows = with_global_rank(df, ["v", "key"], "r").orderBy("r").collect()
+    assert [x.r for x in rows] == list(range(1, 501))
+    assert [(x.v, x.key) for x in rows] == sorted((x.v, x.key) for x in rows)
+
+
+def test_ntile_exact_plan_has_no_single_partition_sort(spark):
+    """The point of the operator: no Exchange SinglePartition feeding the
+    binning — the sort is a range repartition."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.windows import ntile_exact
+
+    df = spark.range(1000).select(
+        F.col("id").alias("key"), ((F.col("id") * 7) % 23).alias("v")
+    )
+    plan = ntile_exact(df, 10, ["v", "key"], "tile")._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # the returned plan shuffles by the value-derived bucket, not a
+    # global sort (the range pass ran in pass 1, driver-bounded)
+    assert "hashpartitioning(__gr_bkt" in plan, plan

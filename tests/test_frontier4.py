@@ -608,6 +608,47 @@ def test_markov_stationary_is_a_fixed_point(spark):
         assert abs(nxt[s] - p[s]) <= max(5, p[s] // 1000), (s, p[s], nxt[s])
 
 
+def test_markov_stationary_sink_state_matches_oracle(spark, tmp_path):
+    """A chain with a SINK event_type (appears only as to_type) must give
+    the same rows from the driver mirror and the DuckDB oracle: the sink
+    receives inflow each step, sheds it the next, and appears in the
+    final p8 rows with its step-8 inflow — the divergence the r7 ADVICE
+    flagged when the old matrix loop dropped sink transitions."""
+    import datetime
+
+    import duckdb
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog import ORACLES, QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1 cycles a<->b with occasional hops into sink state 'z'
+    for u, seq in [
+        (1, ["a", "b", "a", "b", "z"]),
+        (2, ["b", "a", "b", "a", "a", "z"]),
+        (3, ["a", "a", "b", "b", "a"]),
+    ]:
+        for k, et in enumerate(seq):
+            eid += 1
+            rows.append((eid, base + datetime.timedelta(minutes=k), u, et, 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.state, r.p_units, r.p_ppm)
+        for r in QUERIES["agg_markov_stationary"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    want = {tuple(r) for r in con.sql(ORACLES["agg_markov_stationary"]).fetchall()}
+    assert got == want
+    assert any(s == "z" for s, _, _ in got), "sink state must appear in p8"
+
+
 def test_manifest_skipping_prunes_and_matches(spark):
     from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
 
