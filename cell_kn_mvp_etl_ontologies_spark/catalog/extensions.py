@@ -831,13 +831,53 @@ def window_analytics_q(spark, sf_dir):
     )
 
 
-@register("agg_approx_distinct")  # approx values are engine-specific: rows-only check
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT 'users' AS metric,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_value,
+           TRUE AS within_bound
+    FROM events
+    UNION ALL
+    SELECT 'types' AS metric,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS exact_value,
+           TRUE AS within_bound
+    FROM events
+    """,
+)
 def agg_approx_distinct_q(spark, sf_dir):
+    """HLL++ distinct-count sketch, gated as a BOUNDED-ERROR differential:
+    the raw estimate is engine-specific (no cross-engine hash can pin it),
+    so the gate output carries the EXACT count plus a boolean asserting
+    |approx − exact| ≤ max(4·rsd·exact, 4) — four standard deviations of
+    the sketch's declared relative standard deviation (default rsd 0.05).
+    The oracle emits TRUE unconditionally: the hash gate goes red the day
+    the sketch exceeds its published bound, instead of pretending sketch
+    outputs are deterministic (rows-only) or skipping the check.
+
+    100 TB shape: approx_count_distinct is the one-pass mergeable-sketch
+    path (fixed state per group, no distinct reshuffle); the exact side
+    here is the gate's audit cost, served at scale by the bitmap-word
+    rollup twin (`agg_distinct_exact_twin`)."""
     ev = _t(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_type").alias("approx_types"),
+    both = ev.agg(
+        F.approx_count_distinct("user_id").alias("eu"),
+        F.approx_count_distinct("event_type").alias("et"),
+        F.countDistinct("user_id").alias("xu"),
+        F.countDistinct("event_type").alias("xt"),
     )
+
+    def row(metric, est, exact):
+        return both.select(
+            F.lit(metric).alias("metric"),
+            F.col(exact).cast("long").alias("exact_value"),
+            (
+                F.abs(F.col(est) - F.col(exact))
+                <= F.greatest(F.ceil(F.col(exact) * F.lit(0.2)), F.lit(4))
+            ).alias("within_bound"),
+        )
+
+    return row("users", "eu", "xu").unionByName(row("types", "et", "xt"))
 
 
 @register(

@@ -387,23 +387,59 @@ def agg_quantiles_q(spark, sf_dir):
     )
 
 
-@register("agg_approx_quantiles")  # sketch output is engine-specific: rows-only check
+@register(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT d.lang, CAST(t.i AS BIGINT) AS i,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS within_tol
+    FROM documents d, (SELECT unnest([1, 2, 3]) AS i) t
+    GROUP BY d.lang, t.i
+    """,
+)
 def agg_approx_quantiles_q(spark, sf_dir):
     """The 100-TB path `agg_quantiles` names: `approx_percentile` (one pass,
     mergeable partial sketches, bounded state per group — no per-group sort
-    of raw values).  Sketch estimates are engine-specific, so like
-    agg_approx_distinct this is a rows-only gate; the accuracy evidence is
-    tests/test_training.py::test_approx_quantiles_within_declared_accuracy,
-    which pins the estimate against the exact twin at the declared 1/acc
-    rank tolerance on the same sf0.01 table."""
+    of raw values).  Sketch estimates are engine-specific, so the gate
+    hashes a BOUNDED-ERROR differential instead of the estimate: for each
+    (lang, percentile) the estimate's RANK among that group's values must
+    sit within the GK sketch's published tolerance of the target rank
+    (ε = 1/accuracy, gated at 2εn + 1 for boundary-convention slack).
+    The oracle emits TRUE unconditionally — the gate goes red if the
+    sketch ever exceeds its declared accuracy.  The same check previously
+    lived only in tests/test_training.py; now the catalog row itself is
+    hash-gated."""
     docs = load_table(spark, sf_dir, "documents")
     qs = docs.groupBy("lang").agg(
         F.approx_percentile(
             F.col("n_chars"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(1000)
         ).alias("q")
     )
-    return qs.select("lang", F.posexplode("q").alias("i0", "q_value")).select(
-        "lang", (F.col("i0") + 1).alias("i"), "q_value"
+    est = qs.select("lang", F.posexplode("q").alias("i0", "est")).select(
+        "lang", (F.col("i0") + 1).cast("long").alias("i"), "est"
+    )
+    ps = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    ranked = (
+        docs.select("lang", "n_chars")
+        .join(F.broadcast(est), on="lang")
+        .groupBy("lang", "i", "est")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum((F.col("n_chars") < F.col("est")).cast("long")).alias("rk_lt"),
+            F.sum((F.col("n_chars") <= F.col("est")).cast("long")).alias("rk_le"),
+        )
+    )
+    # a tied value occupies the whole rank span [rk_lt+1, rk_le]; the
+    # sketch guarantee holds if ANY rank in that span is within tol
+    target = F.element_at(ps, F.col("i").cast("int")) * F.col("n_rows")
+    tol = F.lit(2.0) * F.col("n_rows") / F.lit(1000) + F.lit(1.0)
+    return ranked.select(
+        "lang",
+        "i",
+        "n_rows",
+        (
+            (target >= F.col("rk_lt") + 1 - tol) & (target <= F.col("rk_le") + tol)
+        ).alias("within_tol"),
     )
 
 

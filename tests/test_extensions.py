@@ -227,10 +227,10 @@ def test_pivot_wide_matches_conditional_agg(spark):
 
 
 def test_approx_distinct_within_error_bound_of_exact(spark):
-    """VERDICT r3 #6: evidence behind the agg_approx_distinct rows-only
-    waiver — Spark's HLL++ estimate must land within ±5% of the exact
-    bitmap-twin count (default rsd is 5%; both run on the same sf0.01
-    events table the gate uses)."""
+    """Tighter (1σ) evidence behind agg_approx_distinct's bounded-error
+    gate — Spark's HLL++ estimate must land within ±5% of the exact
+    bitmap-twin count (default rsd is 5%; the gate itself allows 4σ and
+    hashes the boolean; both run on the same sf0.01 events table)."""
     from cell_kn_mvp_etl_ontologies_spark.io import load_table
     from cell_kn_mvp_etl_ontologies_spark.operators.aggregates import (
         bitmap_distinct_rollup,

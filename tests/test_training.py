@@ -310,7 +310,8 @@ def test_sample_weighted_deterministic_and_monotone(spark):
 
 
 def test_approx_quantiles_within_declared_accuracy(spark):
-    """agg_approx_quantiles' rows-only waiver, evidence-backed: with
+    """Tighter (1ε) evidence behind agg_approx_quantiles' bounded-error
+    gate (the gate itself allows 2εn+1 and hashes the boolean): with
     accuracy=1000, approx_percentile guarantees the returned element's exact
     RANK lies within [floor((p-eps)*N), ceil((p+eps)*N)] for eps=1/1000
     (it returns a data element, not an interpolated value, so the bound is
