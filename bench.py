@@ -158,17 +158,19 @@ def cosine_topk_80k(spark):
 
 
 def cosine_topk_80k_vec(spark):
-    """Arrow/numpy twin of cosine_topk_80k (quantized; gate-proven
-    bit-identical to the expression path): the HOF dot products evaluate
-    interpreted, the matmul path vectorizes them — measured 2.4x at this
-    workload (SCALE.md)."""
+    """Routed-cogroup brute twin of cosine_topk_80k (quantized; gate- and
+    test-proven bit-identical to the expression path AND the old
+    driver-collect vectorized twin): hash-blocked targets × block-
+    replicated queries, one int64 matmul per block — NO driver collect on
+    either side (VERDICT r7 #2; the collect-based cosine_topk_vectorized
+    stays as the guarded |Q|≪|T| audit tier)."""
     from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
-        cosine_topk_vectorized,
+        cosine_topk_routed,
     )
 
     corpus = _expanded_embeddings(spark)
     q = corpus.filter(F.col("vec_id") < 50)
-    return cosine_topk_vectorized(q, corpus, k=10)
+    return cosine_topk_routed(q, corpus, k=10, n_blocks=CPUS * 2)
 
 
 _ANN_STATE: dict = {}

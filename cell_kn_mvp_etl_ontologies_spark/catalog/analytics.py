@@ -859,6 +859,35 @@ def _register_similarity_topk_vectorized():
 _register_similarity_topk_vectorized()
 
 
+def _register_similarity_topk_routed():
+    # same oracle a third time: expression path, driver-collect vectorized
+    # twin, and the fully-routed cogroup all pin to one SQL contract
+    from . import ORACLES
+
+    @register("similarity_topk_routed", oracle=ORACLES["similarity_topk"])
+    def similarity_topk_routed_q(spark, sf_dir):
+        """Brute-force cosine top-k through the routed cogroup
+        (operators/similarity.py cosine_topk_routed): hash-blocked targets
+        cogrouped with block-replicated queries — ZERO driver collect on
+        either side, the production serving shape of the brute tier
+        (VERDICT r7 #2).  Same workload and oracle as similarity_topk /
+        similarity_topk_vectorized, so the gate pins all three forms to
+        one SQL contract."""
+        from ..operators.similarity import cosine_topk_routed
+
+        em = (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 200)
+            .select("vec_id", "embedding")
+        )
+        q = em.filter(F.col("vec_id") < 10)
+        out = cosine_topk_routed(q, em, k=5, n_blocks=8)
+        return out.select("q_id", "t_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
+_register_similarity_topk_routed()
+
+
 # --------------------------------------------------------------------------
 # dedup_keep_best_quality — keep the HIGHEST-QUALITY member per dup cluster
 # --------------------------------------------------------------------------

@@ -193,6 +193,15 @@ def pq_encode_vectorized(
     import pandas as pd
 
     crows = codebooks.select("sub", "cell", "cv").collect()
+    from .guards import check_driver_bound
+
+    check_driver_bound(
+        len(crows),
+        1_048_576,
+        "pq codebook driver collect (m·ksub rows)",
+        "a smaller codebook (m·ksub beyond 2^20 entries is no longer the "
+        "KB-scale always-legal collect this path assumes)",
+    )
     by_sub: dict[int, list] = {}
     for r in crows:
         by_sub.setdefault(int(r.sub), []).append((int(r.cell), list(r.cv)))
@@ -546,6 +555,15 @@ def opq_variance_permutation(
     rows = stats.select(
         "i", (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("var_num")
     ).collect()
+    from .guards import check_driver_bound
+
+    check_driver_bound(
+        len(rows),
+        65_536,
+        "opq_variance_permutation (per-dimension variance collect)",
+        "dimension reduction before OPQ (a 64k+-dim embedding is outside "
+        "this permutation search's contract)",
+    )
     order = sorted(rows, key=lambda r: (-r.var_num, r.i))
     d = len(order)
     if d % m != 0:
@@ -663,6 +681,15 @@ def ivf_pq_topk_routed(
     from .similarity import ivf_assign_vectorized
 
     crows = codebooks.select("sub", "cell", "cv").collect()
+    from .guards import check_driver_bound
+
+    check_driver_bound(
+        len(crows),
+        1_048_576,
+        "pq codebook driver collect (m·ksub rows)",
+        "a smaller codebook (m·ksub beyond 2^20 entries is no longer the "
+        "KB-scale always-legal collect this path assumes)",
+    )
     by_sub: dict[int, list] = {}
     for r in crows:
         by_sub.setdefault(int(r.sub), []).append((int(r.cell), list(r.cv)))

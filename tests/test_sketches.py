@@ -241,6 +241,53 @@ def test_cosine_topk_vectorized_matches_expression_path(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_cosine_topk_routed_bit_identical_to_vectorized_and_expression(spark):
+    """The routed cogroup brute tier (no driver collect on either side)
+    must be bit-identical to BOTH the expression path and the
+    driver-collect vectorized twin — including cos doubles — across
+    block counts (1 block = one big matmul; 16 blocks > |targets|/k
+    exercises near-empty blocks)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        cosine_topk_routed,
+        cosine_topk_vectorized,
+        similarity_topk,
+    )
+
+    q = df.filter(F.col("vec_id") < 5)
+    a = sorted(
+        map(
+            tuple,
+            similarity_topk(q, df, k=4, quantized=True)
+            .select("q_id", "t_id", "cos", "rnk")
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            cosine_topk_vectorized(q, df, k=4)
+            .select("q_id", "t_id", "cos", "rnk")
+            .collect(),
+        )
+    )
+    assert a == b
+    for n_blocks in (1, 4, 16):
+        c = sorted(
+            map(
+                tuple,
+                cosine_topk_routed(q, df, k=4, n_blocks=n_blocks)
+                .select("q_id", "t_id", "cos", "rnk")
+                .collect(),
+            )
+        )
+        assert c == a, n_blocks
+
+
 def test_ivf_vectorized_serving_matches_expression_path(spark):
     import numpy as np
 
@@ -478,3 +525,53 @@ def test_numpy_twins_replicate_spark_nan_desc_ordering(spark):
     # the zero-norm row is excluded from BOTH results (NULL cosine,
     # nulls-last) — twelve valid candidates fill every top-3
     assert all(t != 99 for (_, _, t) in a)
+
+
+# --------------------------------------------------------------------------
+# bounded-driver guards — every contract-bounded collect fails loudly
+# --------------------------------------------------------------------------
+def _vecs(spark, n, dim=4):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(int(i), [float(x) for x in rng.randn(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_driver_bound_guards_fail_loudly(spark):
+    """VERDICT r7 #9: each documented |Q|/size contract raises
+    DriverBoundExceeded (naming the scale path) when exceeded, instead of
+    silently degrading into a driver bottleneck."""
+    import pytest
+
+    from cell_kn_mvp_etl_ontologies_spark.operators.guards import (
+        DriverBoundExceeded,
+        check_driver_bound,
+    )
+
+    # the helper itself
+    check_driver_bound(10, 10, "site", "alt")  # at the bound: fine
+    with pytest.raises(DriverBoundExceeded, match="site.*alt"):
+        check_driver_bound(11, 10, "site", "alt")
+
+    # cosine_topk_vectorized |Q| cap (lowered so the test is cheap)
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    df = _vecs(spark, 30)
+    with pytest.raises(DriverBoundExceeded, match="cosine_topk_routed"):
+        cosine_topk_vectorized(df.filter(F.col("vec_id") < 20), df, k=3, max_queries=10)
+    # within bound still works
+    assert cosine_topk_vectorized(df.filter(F.col("vec_id") < 5), df, k=3,
+                                  max_queries=10).count() > 0
+
+    # bloom literal m_bits cap — pure parameter check, no job
+    from cell_kn_mvp_etl_ontologies_spark.operators.sketches import (
+        bloom_prefilter_materialized,
+    )
+
+    with pytest.raises(DriverBoundExceeded, match="bloom_prefilter"):
+        bloom_prefilter_materialized(
+            df, "vec_id", spark.range(1), m_bits=1 << 28
+        )
