@@ -676,6 +676,22 @@ def main() -> None:
         .format("noop")
         .save()
     )
+    # ... and the Arrow/Python-worker path: the first mapInPandas call in a
+    # session pays daemon fork + numpy/pandas import + Arrow codec init
+    # (~2-3 s on this host) — warm it once so every Arrow-path query
+    # (cdc_chunks_5k, the routed ANN rungs, maxsim) measures steady-state
+    # compute, the same doctrine as the scan/codegen warmup above
+    # (VERDICT r7 #3).
+    def _warm(batches):
+        import numpy as np  # noqa: F401
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"]})
+
+    spark.range(1000).mapInPandas(_warm, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     # Three timed iterations per query, best-of kept: the object-heavy stages
     # (collect_set states, shingle explodes) generate enough garbage that a
