@@ -346,7 +346,17 @@ def maxsim_routed_10k(spark):
     the per-corpus-version cost is in the same run — unlike the prebuilt
     ANN rungs there is no hidden offline stage.  Bit-identity of this
     exact path to the brute/expression twins is hash-gated at sf0.01
-    (similarity_maxsim_routed_vec, shared oracle constant)."""
+    (similarity_maxsim_routed_vec, shared oracle constant).
+
+    Round 8 (VERDICT r7 #5) measured the trained-cells A/B AT THIS EXACT
+    CORPUS/SHAPE (tools/probe_maxsim_trained_recall.py, SCALE.md
+    §maxsim-trained-serving): trained routing buys recall only at low
+    probe fractions (nprobe=1: 0.442→0.500; nprobe=4: 0.542→0.610) and
+    is a WASH at this row's nprobe=8 (hash 0.680 vs trained 0.674) while
+    adding the k-means pass (~2.3× wall).  So the benched serving path
+    stays md5-seeded at nprobe=8 — evidence over expectation — and
+    routing="trained" is the documented serving choice for the
+    low-nprobe regime."""
     from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
         maxsim_topk_routed_vectorized,
     )

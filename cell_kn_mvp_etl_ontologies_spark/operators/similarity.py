@@ -1109,6 +1109,7 @@ def maxsim_topk_routed_vectorized(
     n_cells: int = 4,
     nprobe: int | None = None,
     scale: int = 1000,
+    routing: str = "hash",
 ) -> DataFrame:
     """Fully-distributed vectorized MaxSim serving — the
     ``ivf_topk_prebuilt_routed`` shape applied to the multi-vector rung,
@@ -1133,13 +1134,28 @@ def maxsim_topk_routed_vectorized(
     duplicate-free; union-of-local-top-k applies per query).  Hot cells
     are one straggler task — k_cells at route-build time is the documented
     mitigation, as for IVF.
+
+    ``routing`` picks the cell builder: ``"hash"`` = md5-seeded
+    ``maxsim_route_cells`` (no training pass; exact with nprobe=all, the
+    gate shape, and the benched nprobe=8 default); ``"trained"`` =
+    ``maxsim_route_cells_trained`` (k-means over the summaries) — the
+    measured A/B (SCALE.md §maxsim-trained-serving, VERDICT r7 #5) shows
+    trained cells buy recall only at LOW probe fractions (nprobe ≤ 4 of
+    64: 0.442→0.500 @1, 0.542→0.610 @4) and wash out by nprobe=8, so
+    trained is the low-probe-budget serving choice, not the default.
+    Scoring downstream of the cells is byte-identical either way.
     """
     import numpy as np
     import pandas as pd
 
     if nprobe is None:
         nprobe = n_cells
-    q_cells, t_cells = maxsim_route_cells(q_tokens, t_tokens, n_cells, nprobe, scale)
+    if routing == "trained":
+        q_cells, t_cells = maxsim_route_cells_trained(
+            q_tokens, t_tokens, n_cells, nprobe, scale=scale
+        )
+    else:
+        q_cells, t_cells = maxsim_route_cells(q_tokens, t_tokens, n_cells, nprobe, scale)
 
     def _pack(tokens: DataFrame, id_col: str, tok_col: str) -> DataFrame:
         # FLAT array<long> of the concatenated token vectors + a token

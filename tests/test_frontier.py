@@ -206,6 +206,44 @@ def test_maxsim_routed_identity_at_full_probe(spark):
     )
 
 
+def test_maxsim_trained_routing_identity_at_full_probe(spark):
+    """routing='trained' changes WHICH cells exist, never the scoring:
+    at nprobe = n_cells the trained-cell cogrouped path must still be
+    bit-identical to brute (the routed-identity doctrine), and at a
+    pruning probe its results must be a subset of the exact ranking."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    tv = rng.normal(size=(10, 4, 6)).astype(np.float32)
+    t_rows = [
+        (int(d), int(t), [float(x) for x in tv[d, t]])
+        for d in range(10) for t in range(4)
+    ]
+    t = spark.createDataFrame(t_rows, "t_id long, t_tok long, vec array<float>")
+    q = (
+        t.filter(F.col("t_id") < 3)
+        .select(F.col("t_id").alias("q_id"), F.col("t_tok").alias("q_tok"), "vec")
+    )
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        maxsim_topk,
+        maxsim_topk_routed_vectorized,
+    )
+
+    brute = rows_set(maxsim_topk(q, t, k=4), "q_id", "t_id", "maxsim_units")
+    routed = rows_set(
+        maxsim_topk_routed_vectorized(q, t, k=4, n_cells=3, nprobe=3, routing="trained"),
+        "q_id", "t_id", "maxsim_units",
+    )
+    assert brute == routed
+    pruned = rows_set(
+        maxsim_topk_routed_vectorized(q, t, k=4, n_cells=3, nprobe=1, routing="trained"),
+        "q_id", "t_id", "maxsim_units",
+    )
+    assert pruned <= rows_set(
+        maxsim_topk(q, t, k=10 * 4), "q_id", "t_id", "maxsim_units"
+    )
+
+
 def test_maxsim_vectorized_matches_expression_at_pruning_probe(spark):
     # the two routed paths share maxsim_route_cells; at a PRUNING probe
     # (nprobe=1) any routing or scoring divergence would surface as a
