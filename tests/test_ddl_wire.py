@@ -232,3 +232,48 @@ def test_path_segments_percent_encoded(arango_sim):
         "/_db/a%2Fb%20c%3Fd/_api/gharial",
         {"edgeDefinitions": [], "name": "g#1"},
     )
+
+
+def test_full_search_ddl_posts_all_four_analyzer_payloads_then_view(arango_sim):
+    """VERDICT r7 #8 — the COMPLETE four-analyzer search DDL on the wire:
+    the two reference-created analyzers (ArangoDbUtilities.java:219-249),
+    the two server built-ins the view links name (text_en — the :301
+    stemmer config matching search/stemmer.py's gated chain — and
+    identity, posted only because the emulated server lacks them), then
+    the view body whose every field link references exactly those four.
+    Order pinned: analyzers before the view, so no link ever names an
+    analyzer the server hasn't seen."""
+    from cell_kn_mvp_etl_ontologies_spark.sinks.http_transport import (
+        IDENTITY_BUILTIN_ANALYZER,
+        SEARCH_VIEW_ANALYZERS,
+        TEXT_EN_BUILTIN_ANALYZER,
+    )
+
+    client, requests = arango_sim
+    client.create_or_get_database("db1")
+    requests.clear()
+    client.create_search_ddl("db1", {"CL": ["label", "definition"], "GO": ["label"]})
+    posts = [(p, b) for (m, p, b) in requests if m == "POST"]
+    assert [p for p, _ in posts[:4]] == ["/_db/db1/_api/analyzer"] * 4
+    assert [b["name"] for _, b in posts[:4]] == [
+        "n-gram", "text_en_no_stem", "text_en", "identity",
+    ]
+    # the text_en body IS the stemmer contract: en/lower/no-accent/STEM ON
+    assert TEXT_EN_BUILTIN_ANALYZER["properties"] == {
+        "locale": "en", "case": "lower", "accent": False,
+        "stemming": True, "stopwords": [],
+    }
+    assert IDENTITY_BUILTIN_ANALYZER["type"] == "identity"
+    # view posts LAST, and its field links name exactly the four analyzers
+    view_path, view_body = posts[4]
+    assert view_path == "/_db/db1/_api/view" and len(posts) == 5
+    for coll in ("CL", "GO"):
+        for f, link in view_body["links"][coll]["fields"].items():
+            assert link["analyzers"] == SEARCH_VIEW_ANALYZERS
+    # posted analyzer set == set named by the links (plus link-level identity)
+    posted = {b["name"] for _, b in posts[:4]}
+    assert posted == set(SEARCH_VIEW_ANALYZERS)
+    # second run: pure probes, nothing re-posted
+    requests.clear()
+    client.create_search_ddl("db1", {"CL": ["label", "definition"], "GO": ["label"]})
+    assert all(m == "GET" for (m, _, _) in requests)
