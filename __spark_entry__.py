@@ -69,6 +69,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
+    # ================= ROUND 8 PREFIX (executing the precomputed r8 plan
+    # below + the changed-contract rule; VERDICT r7 #4) =================
+    # (a) contracts CHANGED in round 8 — jump to the head: the CDC trio
+    # (codepoint Arrow chunker + empty-payload guard + unbounded oracle
+    # series, ADVICE r7), the markov driver mirror (sink states,
+    # ADVICE r7), the four ntile_exact conversions (distributed two-pass
+    # rank replaces single-partition windows, ADVICE r7), the two sketch
+    # gates upgraded rows-only → bounded-error hash gates (VERDICT r7
+    # #7), the NEW routed brute-cosine gate and its guard-touched
+    # vectorized twin (VERDICT r7 #2/#9).
+    "multimodal_cdc_chunks", "multimodal_cdc_chunks_arrow",
+    "stream_cdc_dedup_vs_corpus", "agg_markov_stationary",
+    "eval_calibration_ece", "eval_calibration_bins", "agg_hist_equi_depth",
+    "agg_lorenz_curve", "agg_approx_distinct", "agg_approx_quantiles",
+    "similarity_topk_routed", "similarity_topk_vectorized",
+    # (b) the 38 stalest never-driver-verified rows (verified against
+    # CORRECTNESS_r01-r07 keys; all hash-green in CORRECTNESS_LOCAL_r07):
+    # the r7 boundary-displaced block first (catalog order), then the
+    # frontier3 tail.  The remaining ~46 never-driver rows (frontier3
+    # tail from temporal_interval_coalesce onward, the OHLC/MaxSim late
+    # batch, and the kcore/bigram/asof-nearest/LPA overflow) are the
+    # precomputed r9 prefix, stalest-first, unless contracts change.
+    "stream_drift_monitor", "text_keyword_rake", "stream_skyline_maintain",
+    "join_band_bucketed", "window_streak_islands",
+    "temporal_cusum_changepoint", "agg_attribution_linear",
+    "graph_resource_allocation", "agg_gini_concentration",
+    "agg_hhi_concentration", "quality_benford", "stream_benford_maintain",
+    "join_star_revenue_rollup", "graph_jaccard_neighbors",
+    "temporal_seasonal_profile", "text_tfidf_topk", "text_zipf_rank",
+    "temporal_markov_transitions", "dedup_sorted_neighborhood",
+    "text_vocab_growth", "stream_star_rollup_maintain",
+    "graph_clustering_coefficient", "quality_completeness_profile",
+    "agg_pareto_coverage", "embedding_norm_profile",
+    "agg_funnel_time_to_convert", "dedup_minhash_estimate_audit",
+    "graph_ktruss", "stream_markov_maintain", "stream_tfidf_maintain",
+    "sample_negatives_hash", "temporal_interarrival_profile",
+    "agg_rfm_scores", "graph_degree_assortativity", "multimodal_dedup_exact",
+    "temporal_event_trigrams", "agg_cohort_ltv", "stream_interarrival_maintain",
+    # ================= end ROUND 8 PREFIX (50 slots) =================
     # CHANGED-CONTRACT BLOCK (must hold the prefix head): the round-7
     # operator/gate REWRITES — one-pass corrupt routing (VERDICT r6 #5),
     # the lang-fallback/typed-literal gates rebased onto sf tables (#6),
