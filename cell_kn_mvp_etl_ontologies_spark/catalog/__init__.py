@@ -76,3 +76,4 @@ def load_all() -> None:
     from . import frontier2  # noqa: F401
     from . import frontier3  # noqa: F401
     from . import frontier4  # noqa: F401
+    from . import frontier5  # noqa: F401
