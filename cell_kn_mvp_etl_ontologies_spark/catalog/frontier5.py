@@ -18,6 +18,9 @@ uplift corner of the evaluation family (SURVEY §2.12).
   deciles (the campaign-targeting twin of the calibration diagram),
   deciles assigned by the distributed `ntile_exact` under the
   (score DESC, doc_id) total order.
+- `eval_uplift_qini` (round 9, VERDICT r8 #6) — treated-vs-control
+  Qini / uplift table over the same deciles, treatment assigned by the
+  deterministic md5 coin; sign-decomposed integer ratios.
 
 Shared doctrines: integer/rational identities end-to-end, truncating
 division only on proven-non-negative operands or sign-decomposed, eval
@@ -81,7 +84,16 @@ def eval_spearman_rank_q(spark, sf_dir):
     100 TB shape: per-customer agg is one keyed exchange; each rank
     vector is `with_global_rank`'s two-pass range-rank (ADVICE r7's
     distributed-ntile machinery — no single-partition window anywhere);
-    the d² reduction is map-side.  ρ itself is a 1-row aggregate."""
+    the d² reduction is map-side.  ρ itself is a 1-row aggregate.
+
+    Headroom bound (ADVICE r8): the ppm numerator ``6e6 · Σd²`` is
+    BIGINT; worst-case Σd² (perfect anti-correlation) is (n³−n)/3, so
+    the numerator overflows int64 once n ≳ 16.6k ranked entities.
+    Realistic positive-correlation Σd² is far smaller, but the contract
+    bound is the worst case: for large-n production use, rescale first
+    (e.g. compute ``Σd² DIV n`` before multiplying, giving n ≲ 2.5e7,
+    or emit ρ in double) — this query is the exact gate tier and keeps
+    the integer identity; the n ≤ 16.6k bound is the documented limit."""
     from ..operators.windows import with_global_rank
 
     per_cust = (
@@ -387,4 +399,149 @@ def eval_gains_deciles_q(spark, sf_dir):
         F.expr(
             "CAST(1000000 * cum_pos * tot_n DIV (cum_n * tot_pos) AS BIGINT)"
         ).alias("lift_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_uplift_qini — treated-vs-control Qini / uplift table over deciles
+# --------------------------------------------------------------------------
+@register(
+    "eval_uplift_qini",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+        CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+               t -> t IN ('the','a','of','and','to','in','is')))
+             // len(string_split_regex(text, '\\s+')) AS BIGINT) AS score_ppm,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        CAST(('0x' || substring(md5('uplift' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 2 AS BIGINT) AS t
+      FROM documents
+    ),
+    binned AS (
+      SELECT y, t, ntile(10) OVER (ORDER BY score_ppm DESC, doc_id) AS decile
+      FROM scored
+    ),
+    per AS (
+      SELECT decile,
+             CAST(SUM(t) AS BIGINT) AS n_t,
+             CAST(SUM(1 - t) AS BIGINT) AS n_c,
+             CAST(SUM(t * y) AS BIGINT) AS pos_t,
+             CAST(SUM((1 - t) * y) AS BIGINT) AS pos_c
+      FROM binned GROUP BY decile
+    ),
+    cum AS (
+      SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, pos_t, pos_c,
+             CAST(SUM(n_t) OVER (ORDER BY decile) AS BIGINT) AS cum_n_t,
+             CAST(SUM(n_c) OVER (ORDER BY decile) AS BIGINT) AS cum_n_c,
+             CAST(SUM(pos_t) OVER (ORDER BY decile) AS BIGINT) AS cum_pos_t,
+             CAST(SUM(pos_c) OVER (ORDER BY decile) AS BIGINT) AS cum_pos_c
+      FROM per
+    )
+    SELECT decile, n_t, n_c, pos_t, pos_c, cum_n_t, cum_n_c, cum_pos_t, cum_pos_c,
+           CAST(CASE WHEN cum_n_c = 0 THEN 0
+                WHEN cum_pos_t * cum_n_c >= cum_pos_c * cum_n_t
+                THEN 1000 * (cum_pos_t * cum_n_c - cum_pos_c * cum_n_t) // cum_n_c
+                ELSE -(1000 * (cum_pos_c * cum_n_t - cum_pos_t * cum_n_c) // cum_n_c)
+                END AS BIGINT) AS qini_milli,
+           CAST(CASE WHEN cum_n_c = 0 OR cum_n_t = 0 THEN 0
+                WHEN cum_pos_t * cum_n_c >= cum_pos_c * cum_n_t
+                THEN 1000000 * (cum_pos_t * cum_n_c - cum_pos_c * cum_n_t)
+                     // (cum_n_t * cum_n_c)
+                ELSE -(1000000 * (cum_pos_c * cum_n_t - cum_pos_t * cum_n_c)
+                     // (cum_n_t * cum_n_c)) END AS BIGINT) AS uplift_ppm
+    FROM cum
+    """,
+)
+def eval_uplift_qini_q(spark, sf_dir):
+    """Qini / uplift table over score deciles — the treated-vs-control
+    completion of `eval_gains_deciles` (VERDICT r8 #6): a deterministic
+    md5 coin (``hash_bucket(doc_id, 2, 'uplift')``, the sample_split_hash
+    contract) assigns each document to treatment (t=1) or control (t=0);
+    the corpus is ranked by the English-ness score DESC and cut into the
+    SAME `ntile_exact` deciles for both arms; each cumulative cut k
+    reports
+
+      qini(k)   = cum_pos_t − cum_pos_c · cum_n_t / cum_n_c   (milli)
+      uplift(k) = cum_pos_t/cum_n_t − cum_pos_c/cum_n_c       (ppm)
+
+    — the incremental-positives curve a campaign-targeting model is
+    judged by.  With a pure-hash treatment independent of y, uplift ≈ 0
+    at every cut (the A/A null), so the table doubles as a randomization
+    audit: |uplift_ppm| far from 0 at large cum_n flags a broken split.
+
+    Exactness: both statistics are sign-decomposed integer ratios
+    (CASE on the cross-product comparison, truncating division only on
+    proven-non-negative operands — the frontier4 doctrine; eval_mcnemar's
+    squared-numerator trick doesn't apply since uplift is signed).
+    Headroom: numerators are ≤ 1e6·n², int64-safe to n ≈ 3e6 units per
+    arm — beyond that rescale cum counts first (documented bound, same
+    class as eval_gains_deciles' ~3e9 note).
+
+    100 TB shape: one codegen projection (score + md5 coin), one
+    two-pass `ntile_exact` range-rank, a 10-row cumulative window —
+    identical cost envelope to the gains table; the treatment column
+    adds zero shuffles."""
+    from ..operators.training import hash_bucket
+    from ..operators.windows import ntile_exact
+
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(1000000 * size(filter(split(text, '\\\\s+'),"
+            " t -> t IN ('the','a','of','and','to','in','is')))"
+            " DIV size(split(text, '\\\\s+')) AS BIGINT)"
+        ).alias("score_ppm"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+        hash_bucket(F.col("doc_id"), 2, "uplift").cast("long").alias("t"),
+    )
+    binned = ntile_exact(
+        scored.withColumn("neg_score", -F.col("score_ppm")),
+        10,
+        ["neg_score", "doc_id"],
+        "decile",
+    )
+    per = binned.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.sum("t").cast("long").alias("n_t"),
+        F.sum(F.lit(1) - F.col("t")).cast("long").alias("n_c"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("pos_t"),
+        F.sum((F.lit(1) - F.col("t")) * F.col("y")).cast("long").alias("pos_c"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "pos_t",
+        "pos_c",
+        F.sum("n_t").over(w_cum).cast("long").alias("cum_n_t"),
+        F.sum("n_c").over(w_cum).cast("long").alias("cum_n_c"),
+        F.sum("pos_t").over(w_cum).cast("long").alias("cum_pos_t"),
+        F.sum("pos_c").over(w_cum).cast("long").alias("cum_pos_c"),
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "pos_t",
+        "pos_c",
+        "cum_n_t",
+        "cum_n_c",
+        "cum_pos_t",
+        "cum_pos_c",
+        F.expr(
+            "CAST(CASE WHEN cum_n_c = 0 THEN 0"
+            " WHEN cum_pos_t * cum_n_c >= cum_pos_c * cum_n_t"
+            " THEN 1000 * (cum_pos_t * cum_n_c - cum_pos_c * cum_n_t) DIV cum_n_c"
+            " ELSE -(1000 * (cum_pos_c * cum_n_t - cum_pos_t * cum_n_c) DIV cum_n_c)"
+            " END AS BIGINT)"
+        ).alias("qini_milli"),
+        F.expr(
+            "CAST(CASE WHEN cum_n_c = 0 OR cum_n_t = 0 THEN 0"
+            " WHEN cum_pos_t * cum_n_c >= cum_pos_c * cum_n_t"
+            " THEN 1000000 * (cum_pos_t * cum_n_c - cum_pos_c * cum_n_t)"
+            " DIV (cum_n_t * cum_n_c)"
+            " ELSE -(1000000 * (cum_pos_c * cum_n_t - cum_pos_t * cum_n_c)"
+            " DIV (cum_n_t * cum_n_c)) END AS BIGINT)"
+        ).alias("uplift_ppm"),
     )
