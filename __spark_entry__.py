@@ -69,8 +69,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
-    # ================= ROUND 8 PREFIX (executing the precomputed r8 plan
-    # below + the changed-contract rule; VERDICT r7 #4) =================
+    # ================= ROUND 9 PREFIX (executing the precomputed r9 plan;
+    # VERDICT r8 #1) =================
+    # (a) contracts NEW/CHANGED in round 9 — jump to the head: the
+    # treated-vs-control Qini/uplift table (VERDICT r8 #6, brand-new
+    # contract), then the four frontier5 rows that have never seen ANY
+    # recorded driver gate (they led the precomputed plan; the r8 gate ran
+    # before they landed — VERDICT r8 'What's wrong' #1).
+    "eval_uplift_qini",
+    "eval_spearman_rank", "eval_kendall_tau", "eval_mcnemar",
+    "eval_gains_deciles",
+    # (b) the 45 stalest of the remaining 85 never-driver-verified rows,
+    # catalog order (== staleness order within the r7 additions): the
+    # kcore/bigram/asof-nearest/LPA overflow first, then the OHLC/MaxSim
+    # late batch, then the frontier3 tail from temporal_interval_coalesce
+    # onward.  All are hash-green in CORRECTNESS_LOCAL_r07 (and re-swept
+    # in CORRECTNESS_LOCAL_r09 this round).  The 40 never-driver rows that
+    # don't fit (frontier3 tail from dedup_exact_normalized onward) are
+    # the precomputed ROUND-10 prefix, stalest-first, unless contracts
+    # change.  EVIDENCE FRESHNESS FLOOR (VERDICT r8 #8): after this gate
+    # no catalog row's newest evidence (driver OR local sweep) may be
+    # older than 4 rounds; tests/test_catalog_survey_sync.py asserts it
+    # against the checked-in artifacts.
+    "graph_kcore", "text_lm_bigram_score", "join_asof_nearest",
+    "graph_label_propagation", "temporal_ohlc", "join_interval_overlap",
+    "text_collocations_pmi", "graph_common_neighbors", "similarity_maxsim",
+    "similarity_maxsim_routed", "similarity_maxsim_routed_vec",
+    "similarity_maxsim_recall", "embedding_mrl_recall",
+    "agg_bitmap_sliding_distinct", "temporal_rolling_anomaly",
+    "profile_topk_values", "stream_ohlc", "stream_maxsim_maintain",
+    "fn_json_extract_agg", "semistructured_keys_profile",
+    "similarity_maxsim_trained_recall", "sample_repeat_temperature",
+    "dedup_remove_segments", "window_distribution",
+    "quality_referential_integrity", "graph_degree_stats",
+    "temporal_interval_coalesce", "dedup_phonetic_blocking",
+    "agg_session_bounce", "agg_pivot_topk_other", "sample_bootstrap_poisson",
+    "quality_ab_chi2_parts", "temporal_downsample_ltb",
+    "quality_sequence_gaps", "dedup_lsh_banding_audit",
+    "quality_langid_confusion", "eval_binary_detector_metrics",
+    "temporal_wow_growth", "graph_two_hop_reach",
+    "quality_duplication_scorecard", "agg_aging_buckets",
+    "join_asof_tolerance", "text_burstiness_profile",
+    "multimodal_frame_dedup", "agg_association_rules",
+    # ================= end ROUND 9 PREFIX (50 slots) =================
+    # ================= ROUND 8 PREFIX (executed; kept for the record —
+    # duplicates below the r9 block are deduped by _ordered) =============
     # (a) contracts CHANGED in round 8 — jump to the head: the CDC trio
     # (codepoint Arrow chunker + empty-payload guard + unbounded oracle
     # series, ADVICE r7), the markov driver mirror (sink states,

@@ -584,6 +584,136 @@ def graph_build_full(spark):
     return g.edges
 
 
+_WIRE_STATE: dict = {}
+
+
+def _ensure_wire_state(spark):
+    """Offline artifacts for the wire-sink row: the sf0.1 graph (built once,
+    persisted — the per-corpus-version cost every ANN row also amortizes)
+    and an in-process bulk-document HTTP server (started once; counts
+    requests/bytes per collection WITHOUT parsing JSON, so the server never
+    becomes the bottleneck being measured)."""
+    if "vertices" not in _WIRE_STATE:
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from cell_kn_mvp_etl_ontologies_spark.fixtures import (
+            OBO,
+            RDFS,
+            fixture_ro_terms,
+        )
+        from cell_kn_mvp_etl_ontologies_spark.plans import build_graph
+
+        li = parallelize(load_table(spark, SF_DIR, "lineitem"))
+        subj = F.concat(
+            F.lit(OBO + "CL_"), F.lpad((F.col("l_orderkey") % 100000).cast("string"), 7, "0")
+        )
+        obj = F.concat(
+            F.lit(OBO + "GO_"), F.lpad((F.col("l_partkey") % 50000).cast("string"), 7, "0")
+        )
+        is_edge = (F.col("l_linenumber") % 3) != 0
+        triples = li.select(
+            F.lit("synthetic.owl").alias("src_file"),
+            subj.alias("subject"),
+            F.when(is_edge, F.lit(RDFS + "subClassOf"))
+            .otherwise(F.lit(RDFS + "label"))
+            .alias("predicate"),
+            F.when(is_edge, F.lit("iri")).otherwise(F.lit("literal")).alias("object_kind"),
+            F.when(is_edge, obj).alias("object_iri"),
+            F.when(~is_edge, F.concat(F.lit("label for "), subj)).alias("object_lexical"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit(None).cast("string").alias("object_datatype"),
+        )
+        g = build_graph(triples, fixture_ro_terms(spark), persist_clean=True)
+        v = g.vertices.persist()
+        e = g.edges.persist()
+        _WIRE_STATE["n_vertices"] = v.count()
+        _WIRE_STATE["n_edges"] = e.count()
+        _WIRE_STATE["vertices"], _WIRE_STATE["edges"] = v, e
+
+        counters = {"requests": 0, "bytes": 0}
+        lock = threading.Lock()
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                # drain without parsing: the row measures the ENGINE's wire
+                # path (serialize + batch + POST), not a python json server
+                remaining = n
+                while remaining > 0:
+                    remaining -= len(self.rfile.read(min(remaining, 1 << 20)))
+                with lock:
+                    counters["requests"] += 1
+                    counters["bytes"] += n
+                body = b"{}"
+                self.send_response(202)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):
+                pass
+
+        server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        _WIRE_STATE["server"] = server
+        _WIRE_STATE["counters"] = counters
+        _WIRE_STATE["lock"] = lock
+        _WIRE_STATE["url"] = f"http://127.0.0.1:{server.server_address[1]}"
+    else:
+        for key in ("vertices", "edges"):
+            _WIRE_STATE[key].persist()
+
+
+def graph_wire_sink(spark):
+    """The live graph-service load path end-to-end (VERDICT r8 #7): POST the
+    prebuilt sf0.1 graph to an in-process bulk-document server through the
+    production stack — HttpJsonTransport (ArangoDB bulk-endpoint shape,
+    stdlib urllib, per-executor connections) driven by
+    upsert_graph_via_transport (per-partition 1000-doc batches, bounded
+    retry, vertices-before-edges per OntologyGraphBuilder.java:241-273).
+
+    What the number guards: serialization + batching + HTTP round trips.
+    An N+1 regression (per-doc POSTs) multiplies n_requests ~1000× and the
+    wall time with it; a broken batcher shows up the same way.  The graph
+    build itself is the amortized offline artifact (graph_build_full times
+    it); min-of-3 times steady-state wire load.  The returned 1-row frame
+    carries the server's request/byte counters for THIS call, so the
+    request count is part of the benched contract, not just the seconds."""
+    from cell_kn_mvp_etl_ontologies_spark.sinks.graph_service import (
+        upsert_graph_via_transport,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.sinks.http_transport import (
+        HttpJsonTransport,
+    )
+
+    _ensure_wire_state(spark)
+    with _WIRE_STATE["lock"]:
+        before = dict(_WIRE_STATE["counters"])
+    upsert_graph_via_transport(
+        _WIRE_STATE["vertices"],
+        _WIRE_STATE["edges"],
+        HttpJsonTransport(_WIRE_STATE["url"]),
+        batch_size=1000,
+    )
+    with _WIRE_STATE["lock"]:
+        after = dict(_WIRE_STATE["counters"])
+    return spark.createDataFrame(
+        [
+            (
+                _WIRE_STATE["n_vertices"],
+                _WIRE_STATE["n_edges"],
+                after["requests"] - before["requests"],
+                after["bytes"] - before["bytes"],
+            )
+        ],
+        "n_vertices long, n_edges long, n_requests long, n_bytes long",
+    )
+
+
 def cdc_chunks_5k(spark):
     """Content-defined-chunking near-dup over the FULL 5k-document payload
     corpus plus 500 planted middle-edit copies, on the PRODUCTION path:
@@ -657,6 +787,7 @@ BENCH_QUERIES = {
     "bm25_documents": bm25_documents,
     "graph_build_full": graph_build_full,
     "cdc_chunks_5k": cdc_chunks_5k,
+    "graph_wire_sink": graph_wire_sink,
 }
 
 

@@ -119,3 +119,33 @@ def test_http_transport_graph_ordering_over_the_wire(spark, http_sink):
     )
     order = [json.load(open(p))["path"].split("/")[3].split("?")[0] for p in by_mtime]
     assert order.index("edges") == len(order) - 1
+
+
+def test_graph_wire_sink_bench_row_batches(spark, monkeypatch):
+    """The bench's wire row (VERDICT r8 #7) must load the whole graph in
+    ~ceil(rows/1000)-per-partition bulk requests — an N+1 regression
+    (per-doc POSTs) would multiply n_requests by ~1000x and this pins it.
+    Runs at sf0.001 so the test is seconds, not the benched sf0.1."""
+    import importlib
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    import bench as bench_mod
+
+    bench_mod = importlib.reload(bench_mod)
+    try:
+        [row] = bench_mod.graph_wire_sink(spark).collect()
+        n_docs = row.n_vertices + row.n_edges
+        assert n_docs > 0 and row.n_bytes > 0
+        # per-partition batching bound: requests <= partitions_touched +
+        # ceil(docs/batch); far below n_docs (the N+1 failure mode)
+        assert row.n_requests < max(10, n_docs // 10), (
+            f"batching regressed: {row.n_requests} requests for {n_docs} docs"
+        )
+    finally:
+        if "server" in bench_mod._WIRE_STATE:
+            bench_mod._WIRE_STATE["server"].shutdown()
+        for key in ("vertices", "edges"):
+            if key in bench_mod._WIRE_STATE:
+                bench_mod._WIRE_STATE[key].unpersist()
+        bench_mod._WIRE_STATE.clear()
+        importlib.reload(bench_mod)
