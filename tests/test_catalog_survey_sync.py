@@ -71,3 +71,56 @@ def test_facet_parents_exist():
         assert facet in cat, f"facet {facet} is not a registered catalog query"
         assert f"`{parent}`" in sec2, f"facet {facet}: parent {parent} not in §2"
         assert parent != facet
+
+
+def _evidence_rounds() -> tuple[int, dict[str, int]]:
+    """Newest all-green evidence round per query across every checked-in
+    correctness artifact (driver CORRECTNESS_rN + local CORRECTNESS_LOCAL_rN),
+    and the newest artifact round overall."""
+    import glob
+    import json
+
+    newest: dict[str, int] = {}
+    current = 0
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_*r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        current = max(current, rnd)
+        for qid, res in json.load(open(path)).items():
+            if not isinstance(res, dict):
+                continue
+            green = (
+                res.get("rows_match") is True
+                and not res.get("err")
+                and res.get("hash_match") is not False
+            )
+            if green:
+                newest[qid] = max(newest.get(qid, 0), rnd)
+    return current, newest
+
+
+def test_evidence_freshness_floor():
+    """VERDICT r8 #8: every catalog query must carry all-green correctness
+    evidence (driver gate or local sweep) no older than 4 rounds — and a
+    query with NO recorded evidence at all is exactly the round-8 process
+    failure (frontier5 shipped ungated), so it is red too.  Fix for a red
+    row: run `python tools/check_correctness.py --json-out
+    CORRECTNESS_LOCAL_r{N}.json` (the full sweep is the round's last
+    commit by doctrine)."""
+    current, newest = _evidence_rounds()
+    assert current >= 2, "no correctness artifacts found"
+    floor = current - 4
+    stale = sorted(
+        q for q in _catalog_ids() if newest.get(q, -1) < floor
+    )
+    never = sorted(q for q in _catalog_ids() if q not in newest)
+    assert not never, (
+        "catalog queries with NO recorded correctness evidence (run the "
+        f"local sweep before committing new queries): {never}"
+    )
+    assert not stale, (
+        f"catalog queries whose newest evidence is older than round {floor} "
+        f"(current artifact round {current}): {stale}"
+    )
