@@ -466,14 +466,23 @@ def _exact_rerank(
 ) -> DataFrame:
     """Shared stage-2 of the two-stage recipes: fetch full vectors for the
     (q_id, t_id) shortlist only (a keyed join — at 100 TB a point-lookup
-    tier) and re-rank by exact quantized squared-L2, (d ASC, t_id ASC)."""
+    tier) and re-rank by exact quantized squared-L2, (d ASC, t_id ASC).
+
+    The shortlist side is BROADCAST (round 9): it is |Q|·shortlist id
+    pairs — bounded by the serving contract (a 10k-query batch at
+    shortlist=100 is 1M 16-byte rows), while the corpus side is the
+    100 TB frame.  Without the hint the planner shuffled BOTH sides into
+    a sort-merge join (measured: the corpus exchange alone was ~0.6 s of
+    the 0.77 s stage cost at the 80k bench shape); broadcasting the
+    shortlist streams the corpus scan with zero corpus exchange —
+    the point-lookup tier the docstring always promised."""
     t = corpus.select(
         F.col(id_col).alias("t_id"), quantize_vec(F.col(vec_col), scale).alias("vb")
     )
     qq = queries.select(
         F.col(id_col).alias("q_id"), quantize_vec(F.col(vec_col), scale).alias("va")
     )
-    cand = short.join(t, on="t_id").join(F.broadcast(qq), on="q_id")
+    cand = t.join(F.broadcast(short), on="t_id").join(F.broadcast(qq), on="q_id")
     scored = cand.select("q_id", "t_id", _sq_dist(F.col("va"), F.col("vb")).alias("d"))
     return window_rank_topk(
         scored, ["q_id"], [F.col("d").asc(), F.col("t_id").asc()], k, rank_col="rnk"
