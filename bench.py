@@ -657,6 +657,11 @@ def _ensure_wire_state(spark):
             def log_message(self, *args):
                 pass
 
+        # 32 executor threads connect concurrently; the default listen
+        # backlog (5) drops SYNs under that burst and only the transport's
+        # bounded retry hides it — raise it so the server isn't the thing
+        # being measured
+        ThreadingHTTPServer.request_queue_size = 128
         server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         threading.Thread(target=server.serve_forever, daemon=True).start()
         _WIRE_STATE["server"] = server
