@@ -1,0 +1,360 @@
+"""Round-9 extension batch: probabilistic-forecast scoring, the uplift
+scalar, and directed graph components (SURVEY §2.12).
+
+- `eval_brier_score` — Brier score of a ppm probability column against a
+  binary outcome, with the climatology reference and the Brier skill
+  score: the PROPER scoring rule the calibration family
+  (`eval_calibration_ece`/`_bins`) diagnoses but never totals.  Integer
+  e12/milli units end-to-end.
+- `eval_uplift_auuc` — area under `eval_uplift_qini`'s curve (AUUC, 2×
+  trapezoid in exact milli·row units) plus the random-targeting baseline
+  area: the single-scalar decision metric campaign papers report, built
+  ON the registered qini table so the two contracts cannot drift.
+- `graph_scc` — strongly connected components of a BOUNDED directed
+  slice via path-doubling transitive closure + mutual-reachability min
+  label: the directed companion of `dedup_connected_components`
+  (undirected CC), exact gate tier; production = forward-backward
+  coloring, documented.
+
+Shared doctrines: integer/rational identities, sign-decomposed or
+subtraction-only signed stats, O(slice²)/O(slice·closure) cost only on
+contract-bounded eval slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from . import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# eval_brier_score — proper scoring rule + climatology skill
+# --------------------------------------------------------------------------
+@register(
+    "eval_brier_score",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+               t -> t IN ('the','a','of','and','to','in','is')))
+             // len(string_split_regex(text, '\\s+')) AS BIGINT) AS p_ppm,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM((p_ppm - 1000000 * y) * (p_ppm - 1000000 * y)) AS BIGINT)
+               AS sse_e12
+      FROM scored
+    )
+    SELECT n, pos,
+           CAST(sse_e12 // n AS BIGINT) AS brier_e12,
+           CAST((1000000 * pos // n) * (1000000 * (n - pos) // n) AS BIGINT)
+             AS brier_ref_e12,
+           CAST(CASE
+             WHEN (1000000 * pos // n) * (1000000 * (n - pos) // n) = 0 THEN 0
+             WHEN (1000000 * pos // n) * (1000000 * (n - pos) // n) >= sse_e12 // n
+             THEN 1000 * ((1000000 * pos // n) * (1000000 * (n - pos) // n)
+                          - sse_e12 // n)
+                  // ((1000000 * pos // n) * (1000000 * (n - pos) // n))
+             ELSE -(1000 * (sse_e12 // n
+                            - (1000000 * pos // n) * (1000000 * (n - pos) // n))
+                  // ((1000000 * pos // n) * (1000000 * (n - pos) // n)))
+           END AS BIGINT) AS bss_milli
+    FROM agg
+    """,
+)
+def eval_brier_score_q(spark, sf_dir):
+    """Brier score of the English-ness ppm score against the lang='en'
+    outcome — the PROPER scoring rule that the calibration diagram and
+    ECE diagnose but never total: BS = mean((p − y)²), here in e12 units
+    (p in ppm, y in {0, 1e6}).  Alongside it the climatology reference
+    BS_ref = ȳ(1 − ȳ) (the score of always forecasting the base rate)
+    and the Brier SKILL score BSS = 1 − BS/BS_ref in milli — BSS > 0
+    means the score beats the base-rate forecast, the single number a
+    screening model must clear before its calibration is worth reading.
+
+    Exactness: SSE is a BIGINT sum of squared ppm residuals (≤ 1e12 per
+    row — int64-safe to ~9e6 rows; document-scale slices beyond that
+    pre-aggregate per shard).  BS_ref uses the ppm-GRID climatology
+    ⌊1e6·ȳ⌋·⌊1e6·(1−ȳ)⌋ — each factor ≤ 1e6 so the product never
+    overflows at ANY n (the exact 1e12·pos·(n−pos)/n² form overflows
+    int64 once n > ~6k); both engines truncate to the same grid point,
+    so the contract stays hash-exact.  BSS is sign-decomposed (the
+    frontier4 doctrine — it IS negative when the score is worse than
+    climatology).
+
+    100 TB shape: one codegen projection + one 3-cell aggregate —
+    single pass, map-side combinable, 1-row reduce."""
+    scored = _t(spark, sf_dir, "documents").select(
+        F.expr(
+            "CAST(1000000 * size(filter(split(text, '\\\\s+'),"
+            " t -> t IN ('the','a','of','and','to','in','is')))"
+            " DIV size(split(text, '\\\\s+')) AS BIGINT)"
+        ).alias("p_ppm"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(
+            (F.col("p_ppm") - 1000000 * F.col("y"))
+            * (F.col("p_ppm") - 1000000 * F.col("y"))
+        )
+        .cast("long")
+        .alias("sse_e12"),
+    )
+    ref = "(1000000 * pos DIV n) * (1000000 * (n - pos) DIV n)"
+    return agg.select(
+        "n",
+        "pos",
+        F.expr("CAST(sse_e12 DIV n AS BIGINT)").alias("brier_e12"),
+        F.expr(f"CAST({ref} AS BIGINT)").alias("brier_ref_e12"),
+        F.expr(
+            f"CAST(CASE WHEN {ref} = 0 THEN 0"
+            f" WHEN {ref} >= sse_e12 DIV n"
+            f" THEN 1000 * ({ref} - sse_e12 DIV n) DIV ({ref})"
+            f" ELSE -(1000 * (sse_e12 DIV n - {ref}) DIV ({ref})) END AS BIGINT)"
+        ).alias("bss_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_uplift_auuc — area under the Qini curve (built ON the qini table)
+# --------------------------------------------------------------------------
+@register(
+    "eval_uplift_auuc",
+    oracle="""
+    WITH base AS (
+      SELECT decile, cum_n_t + cum_n_c AS cum_n, qini_milli
+      FROM (
+    WITH scored AS (
+      SELECT doc_id,
+        CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+               t -> t IN ('the','a','of','and','to','in','is')))
+             // len(string_split_regex(text, '\\s+')) AS BIGINT) AS score_ppm,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        CAST(('0x' || substring(md5('uplift' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 2 AS BIGINT) AS t
+      FROM documents
+    ),
+    binned AS (
+      SELECT y, t, ntile(10) OVER (ORDER BY score_ppm DESC, doc_id) AS decile
+      FROM scored
+    ),
+    per AS (
+      SELECT decile,
+             CAST(SUM(t) AS BIGINT) AS n_t,
+             CAST(SUM(1 - t) AS BIGINT) AS n_c,
+             CAST(SUM(t * y) AS BIGINT) AS pos_t,
+             CAST(SUM((1 - t) * y) AS BIGINT) AS pos_c
+      FROM binned GROUP BY decile
+    ),
+    cum AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(SUM(n_t) OVER (ORDER BY decile) AS BIGINT) AS cum_n_t,
+             CAST(SUM(n_c) OVER (ORDER BY decile) AS BIGINT) AS cum_n_c,
+             CAST(SUM(pos_t) OVER (ORDER BY decile) AS BIGINT) AS cum_pos_t,
+             CAST(SUM(pos_c) OVER (ORDER BY decile) AS BIGINT) AS cum_pos_c
+      FROM per
+    )
+    SELECT decile, cum_n_t, cum_n_c,
+           CAST(CASE WHEN cum_n_c = 0 THEN 0
+                WHEN cum_pos_t * cum_n_c >= cum_pos_c * cum_n_t
+                THEN 1000 * (cum_pos_t * cum_n_c - cum_pos_c * cum_n_t) // cum_n_c
+                ELSE -(1000 * (cum_pos_c * cum_n_t - cum_pos_t * cum_n_c) // cum_n_c)
+                END AS BIGINT) AS qini_milli
+    FROM cum
+      ) q
+    ),
+    steps AS (
+      SELECT qini_milli,
+             COALESCE(LAG(qini_milli) OVER (ORDER BY decile), 0) AS prev_qini,
+             cum_n - COALESCE(LAG(cum_n) OVER (ORDER BY decile), 0) AS d_n,
+             cum_n
+      FROM base
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_deciles,
+           CAST(MAX(cum_n) AS BIGINT) AS n_units,
+           CAST(SUM((qini_milli + prev_qini) * d_n) AS BIGINT)
+             AS auuc2_milli_rows,
+           CAST(MAX(CASE WHEN cum_n = (SELECT MAX(cum_n) FROM steps)
+                    THEN qini_milli END) * MAX(cum_n) AS BIGINT)
+             AS auuc2_rand_milli_rows
+    FROM steps
+    """,
+)
+def eval_uplift_auuc_q(spark, sf_dir):
+    """Area under the Qini curve (AUUC) — the single-scalar uplift metric:
+    2× the trapezoid area under `eval_uplift_qini`'s (cum_n, qini) curve
+    in exact milli·row units, next to the random-targeting baseline area
+    (the straight line from 0 to the final qini: 2·area = qini_final·N).
+    AUUC − baseline > 0 means targeting by score order beats targeting at
+    random; under this table's A/A md5 coin it hovers near 0, so the pair
+    doubles as the scalar randomization audit.
+
+    Built ON the registered qini query (the Spark side calls it, the
+    oracle nests its SQL verbatim) — one source of truth, the two
+    contracts cannot drift.
+
+    Exactness: the 2× trick keeps the trapezoid sum integer (no /2);
+    qini is already sign-decomposed milli, Δn and the sum are plain
+    BIGINT arithmetic (|auuc2| ≤ 2·max|qini|·N ≈ 2e3·N² — int64-safe to
+    N ≈ 2e6 units, the qini table's own documented bound class).
+
+    100 TB shape: the qini table's cost (one rank pass) + an 11-row
+    window — the scalar is free once the curve exists."""
+    from . import QUERIES
+
+    base = QUERIES["eval_uplift_qini"](spark, sf_dir).select(
+        "decile",
+        (F.col("cum_n_t") + F.col("cum_n_c")).alias("cum_n"),
+        "qini_milli",
+    )
+    w = Window.orderBy("decile")
+    steps = base.select(
+        "decile",
+        "qini_milli",
+        F.coalesce(F.lag("qini_milli").over(w), F.lit(0)).alias("prev_qini"),
+        (F.col("cum_n") - F.coalesce(F.lag("cum_n").over(w), F.lit(0))).alias("d_n"),
+        "cum_n",
+    )
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    last = steps.withColumn("n_units", F.max("cum_n").over(w_all)).withColumn(
+        "final_qini",
+        F.max(F.when(F.col("cum_n") == F.col("n_units"), F.col("qini_milli"))).over(
+            w_all
+        ),
+    )
+    return last.agg(
+        F.count(F.lit(1)).cast("long").alias("n_deciles"),
+        F.max("cum_n").cast("long").alias("n_units"),
+        F.sum((F.col("qini_milli") + F.col("prev_qini")) * F.col("d_n"))
+        .cast("long")
+        .alias("auuc2_milli_rows"),
+        (F.max("final_qini") * F.max("cum_n")).cast("long").alias("auuc2_rand_milli_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_scc — strongly connected components on a bounded directed slice
+# --------------------------------------------------------------------------
+_SCC_EDGES_SQL = """
+      SELECT DISTINCT CAST(l_orderkey % 60 AS BIGINT) AS src,
+                      CAST(l_partkey % 60 AS BIGINT) AS dst
+      FROM lineitem
+      WHERE l_orderkey % 60 <> l_partkey % 60
+        AND ('0x' || substring(md5('scc|' || CAST(l_orderkey % 60 AS VARCHAR)
+             || '|' || CAST(l_partkey % 60 AS VARCHAR)), 1, 8))::BIGINT % 100 < 4
+"""
+
+
+@register(
+    "graph_scc",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_SCC_EDGES_SQL}
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    mutual AS (
+      SELECT r1.src AS v, r1.dst AS w
+      FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+    ),
+    labeled AS (
+      SELECT n.node AS node,
+             LEAST(n.node, COALESCE(MIN(m.w), n.node)) AS scc_id
+      FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+      GROUP BY n.node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(scc_id AS BIGINT) AS scc_id,
+           CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+    FROM labeled
+    """,
+)
+def graph_scc_q(spark, sf_dir):
+    """Strongly connected components of a bounded directed slice — the
+    DIRECTED companion of `dedup_connected_components` (min-label CC is
+    blind to edge direction; cycles vs DAG structure need mutual
+    reachability).  Nodes are the 60-bucket projection of the order→part
+    graph, edges md5-thinned to ~4% (the deterministic hash contract) so
+    the slice has real SCC structure: cycles collapse to multi-node
+    components, the DAG remainder stays singleton.
+
+    Algorithm (exact gate tier): PATH-DOUBLING transitive closure —
+    6 rounds of reach ∪ (reach ⋈ reach) reach every path ≤ 2⁶ = 64 hops
+    ≥ the 60-node slice's longest simple path, so closure is exact and
+    needs NO driver-side convergence probe; then SCC(v) = min over
+    mutual-reachability partners (∪ {{v}}).  Cost is O(closure²) joins on
+    a CONTRACT-BOUNDED slice (the eval_kendall_tau doctrine: the slice
+    is the analysis unit, never the corpus).  At corpus scale the
+    production algorithm is forward-backward reachability coloring
+    (Orzan-style: peel the SCC of a pivot as forward∩backward reachable
+    sets, recurse on the remainder) or iterated (fwd-min, bwd-min) label
+    pairs — O(rounds) keyed shuffles, the `graph_label_propagation`
+    shape; this query is the exact differential gate for that machinery.
+
+    localCheckpoint between doubling rounds truncates the lineage
+    exactly as `dedup_connected_components` documents."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = (F.col("l_orderkey") % 60).cast("long")
+    dst = (F.col("l_partkey") % 60).cast("long")
+    key = F.concat(
+        F.lit("scc|"), src.cast("string"), F.lit("|"), dst.cast("string")
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    edges = (
+        li.select(src.alias("src"), dst.alias("dst"))
+        .filter((F.col("src") != F.col("dst")))
+        .filter(h % 100 < 4)
+        .distinct()
+    )
+    reach = edges.localCheckpoint(eager=True)
+    for _ in range(6):  # 2^6 = 64 >= longest simple path on 60 nodes
+        hops = (
+            reach.alias("a")
+            .join(
+                reach.alias("b"),
+                F.col("a.dst") == F.col("b.src"),
+            )
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        reach = reach.unionByName(hops).distinct().localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    mutual = (
+        reach.alias("r1")
+        .join(
+            reach.alias("r2"),
+            (F.col("r1.src") == F.col("r2.dst")) & (F.col("r1.dst") == F.col("r2.src")),
+        )
+        .select(F.col("r1.src").alias("v"), F.col("r1.dst").alias("w"))
+    )
+    labeled = (
+        nodes.join(mutual, nodes["node"] == mutual["v"], "left")
+        .groupBy("node")
+        .agg(F.least(F.col("node"), F.coalesce(F.min("w"), F.col("node"))).alias("scc_id"))
+    )
+    w_sz = Window.partitionBy("scc_id")
+    return labeled.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("scc_id").cast("long").alias("scc_id"),
+        F.count(F.lit(1)).over(w_sz).cast("long").alias("scc_size"),
+    )

@@ -1,0 +1,161 @@
+"""Tests for catalog/frontier6.py — Brier/skill, AUUC, directed SCC."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark import catalog
+
+catalog.load_all()
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_brier_identities(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    [r] = QUERIES["eval_brier_score"](spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select("text", "lang").collect()
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    import re
+
+    n = pos = sse = 0
+    for d in docs:
+        toks = re.split(r"\s+", d.text)
+        p = 1_000_000 * sum(1 for t in toks if t in stop) // len(toks)
+        y = 1 if d.lang == "en" else 0
+        n += 1
+        pos += y
+        sse += (p - 1_000_000 * y) ** 2
+    assert (r.n, r.pos) == (n, pos)
+    assert r.brier_e12 == sse // n
+    ref = (1_000_000 * pos // n) * (1_000_000 * (n - pos) // n)
+    assert r.brier_ref_e12 == ref
+    num = ref - sse // n
+    expect = (
+        0
+        if ref == 0
+        else (1000 * num // ref if num >= 0 else -(1000 * (-num) // ref))
+    )
+    assert r.bss_milli == expect
+    # brier bounded by its e12 scale
+    assert 0 <= r.brier_e12 <= 10**12
+
+
+def test_auuc_consistent_with_qini_table(spark):
+    """AUUC recomputed driver-side from the registered qini table must
+    match exactly — the two contracts share one source of truth."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    qini = sorted(
+        QUERIES["eval_uplift_qini"](spark, SF_DIR).collect(), key=lambda x: x.decile
+    )
+    [r] = QUERIES["eval_uplift_auuc"](spark, SF_DIR).collect()
+    assert r.n_deciles == 10
+    prev_q = prev_n = 0
+    auuc2 = 0
+    for x in qini:
+        cum_n = x.cum_n_t + x.cum_n_c
+        auuc2 += (x.qini_milli + prev_q) * (cum_n - prev_n)
+        prev_q, prev_n = x.qini_milli, cum_n
+    assert r.auuc2_milli_rows == auuc2
+    assert r.n_units == prev_n
+    assert r.auuc2_rand_milli_rows == prev_q * prev_n
+
+
+def test_scc_matches_tarjan(spark):
+    """Exact structural check: python Tarjan over the same thinned edge
+    slice must produce the identical (node -> min-label component)
+    partition and sizes."""
+    import hashlib
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    rows = QUERIES["graph_scc"](spark, SF_DIR).collect()
+    got = {r.node: (r.scc_id, r.scc_size) for r in rows}
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").collect()
+    edges = set()
+    for r in li:
+        s, d = r.l_orderkey % 60, r.l_partkey % 60
+        if s == d:
+            continue
+        h = int(hashlib.md5(f"scc|{s}|{d}".encode()).hexdigest()[:8], 16)
+        if h % 100 < 4:
+            edges.add((s, d))
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    adj: dict[int, list[int]] = {v: [] for v in nodes}
+    for s, d in edges:
+        adj[s].append(d)
+
+    # iterative Tarjan
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comps = []
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+
+    expect = {}
+    for comp in comps:
+        cid = min(comp)
+        for v in comp:
+            expect[v] = (cid, len(comp))
+    assert got == expect
+
+
+def test_scc_partition_properties(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["graph_scc"](spark, SF_DIR).collect()
+    by_comp: dict[int, list[int]] = {}
+    for r in rows:
+        assert r.scc_id <= r.node  # min-label contract
+        by_comp.setdefault(r.scc_id, []).append(r.node)
+    for cid, members in by_comp.items():
+        assert cid == min(members)
+        sizes = {r.scc_size for r in rows if r.scc_id == cid}
+        assert sizes == {len(members)}
