@@ -358,3 +358,122 @@ def graph_scc_q(spark, sf_dir):
         F.col("scc_id").cast("long").alias("scc_id"),
         F.count(F.lit(1)).over(w_sz).cast("long").alias("scc_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_dag_depth — ontology-hierarchy depth via max-plus path doubling
+# --------------------------------------------------------------------------
+_DAG_EDGES_SQL = """
+      SELECT DISTINCT
+        CAST(GREATEST(l_orderkey % 60, l_partkey % 60) AS BIGINT) AS child,
+        CAST(LEAST(l_orderkey % 60, l_partkey % 60) AS BIGINT) AS parent
+      FROM lineitem
+      WHERE l_orderkey % 60 <> l_partkey % 60
+        AND ('0x' || substring(md5('dag|' || CAST(GREATEST(l_orderkey % 60, l_partkey % 60) AS VARCHAR)
+             || '|' || CAST(LEAST(l_orderkey % 60, l_partkey % 60) AS VARCHAR)), 1, 8))::BIGINT % 100 < 6
+"""
+
+
+@register(
+    "graph_dag_depth",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_DAG_EDGES_SQL}
+    ),
+    nodes AS (SELECT child AS node FROM e UNION SELECT parent FROM e),
+    paths(src, dst, len) AS (
+      SELECT child, parent, 1 FROM e
+      UNION
+      SELECT p.src, e2.parent, p.len + 1
+      FROM paths p JOIN e e2 ON p.dst = e2.child
+    ),
+    stats AS (
+      SELECT n.node AS node,
+             COALESCE(MAX(p.len), 0) AS depth,
+             COUNT(DISTINCT p.dst) AS n_ancestors
+      FROM nodes n LEFT JOIN paths p ON p.src = n.node
+      GROUP BY n.node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(depth AS BIGINT) AS depth,
+           CAST(n_ancestors AS BIGINT) AS n_ancestors,
+           CAST(CASE WHEN depth = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_root
+    FROM stats
+    """,
+)
+def graph_dag_depth_q(spark, sf_dir):
+    """Hierarchy depth + ancestor count per node of a bounded DAG slice —
+    the ontology-navigation primitive the reference delegates to ArangoDB
+    traversals over its subClassOf graph (OntologyGraphBuilder.java
+    builds exactly such child→parent class DAGs; 'how deep is this term
+    and how many superclasses does it have' is the canonical query over
+    them).  depth = LONGEST child→parent path to any root (the standard
+    ontology-depth convention — max, not min, so siblings inserted under
+    a deeper parent sort deeper); n_ancestors = distinct reachable
+    superclasses; is_root flags the top of the hierarchy.
+
+    Edges are md5-thinned order→part pairs ORIENTED larger→smaller
+    label, which makes the slice a DAG by construction (every edge
+    strictly decreases the label) — no cycle handling needed, unlike the
+    `graph_scc` companion that exists for exactly the cyclic case.
+
+    Algorithm (exact gate tier): MAX-PLUS path doubling — reach carries
+    (src, dst, longest_len); each round joins reach with itself and
+    keeps MAX(len₁+len₂) per (src, dst); 6 rounds cover paths ≤ 64 >
+    the 60-node slice's longest possible chain.  localCheckpoint per
+    round (the closure-family lineage doctrine).  Cost is bounded by
+    the slice contract; at corpus scale the production shape is
+    layer-by-layer relaxation from the root frontier (the
+    `graph_label_propagation` keyed-shuffle pattern, one round per
+    hierarchy level — OBO ontologies are ~20 levels deep)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = (F.col("l_orderkey") % 60).cast("long")
+    b = (F.col("l_partkey") % 60).cast("long")
+    child, parent = F.greatest(a, b), F.least(a, b)
+    key = F.concat(
+        F.lit("dag|"), child.cast("string"), F.lit("|"), parent.cast("string")
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    edges = (
+        li.select(child.alias("child"), parent.alias("parent"))
+        .filter(F.col("child") != F.col("parent"))
+        .filter(h % 100 < 6)
+        .distinct()
+    )
+    reach = edges.select(
+        F.col("child").alias("src"), F.col("parent").alias("dst"), F.lit(1).alias("len")
+    ).localCheckpoint(eager=True)
+    for _ in range(6):  # 2^6 = 64 >= longest chain on 60 nodes
+        hops = (
+            reach.alias("x")
+            .join(reach.alias("y"), F.col("x.dst") == F.col("y.src"))
+            .select(
+                F.col("x.src").alias("src"),
+                F.col("y.dst").alias("dst"),
+                (F.col("x.len") + F.col("y.len")).alias("len"),
+            )
+        )
+        reach = (
+            reach.unionByName(hops)
+            .groupBy("src", "dst")
+            .agg(F.max("len").alias("len"))
+            .localCheckpoint(eager=True)
+        )
+    nodes = (
+        edges.select(F.col("child").alias("node"))
+        .unionByName(edges.select(F.col("parent").alias("node")))
+        .distinct()
+    )
+    stats = (
+        nodes.join(reach, nodes["node"] == reach["src"], "left")
+        .groupBy("node")
+        .agg(
+            F.coalesce(F.max("len"), F.lit(0)).cast("long").alias("depth"),
+            F.count_distinct(F.col("dst")).cast("long").alias("n_ancestors"),
+        )
+    )
+    return stats.select(
+        F.col("node").cast("long").alias("node"),
+        "depth",
+        "n_ancestors",
+        (F.col("depth") == 0).cast("long").alias("is_root"),
+    )

@@ -159,3 +159,54 @@ def test_scc_partition_properties(spark):
         assert cid == min(members)
         sizes = {r.scc_size for r in rows if r.scc_id == cid}
         assert sizes == {len(members)}
+
+
+def test_dag_depth_matches_python_longest_path(spark):
+    """Exact structural check: python longest-path over the same thinned
+    DAG slice (memoized DFS — the slice is acyclic by construction) must
+    match depth, ancestor count, and root flags."""
+    import hashlib
+    from functools import lru_cache
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    rows = QUERIES["graph_dag_depth"](spark, SF_DIR).collect()
+    got = {r.node: (r.depth, r.n_ancestors, r.is_root) for r in rows}
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").collect()
+    edges = set()
+    for r in li:
+        a, b = r.l_orderkey % 60, r.l_partkey % 60
+        if a == b:
+            continue
+        c, p = max(a, b), min(a, b)
+        h = int(hashlib.md5(f"dag|{c}|{p}".encode()).hexdigest()[:8], 16)
+        if h % 100 < 6:
+            edges.add((c, p))
+    parents: dict[int, set[int]] = {}
+    nodes = set()
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+        nodes.update((c, p))
+
+    @lru_cache(maxsize=None)
+    def depth(v: int) -> int:
+        ps = parents.get(v, ())
+        return 0 if not ps else 1 + max(depth(p) for p in ps)
+
+    @lru_cache(maxsize=None)
+    def ancestors(v: int) -> frozenset:
+        out = set()
+        for p in parents.get(v, ()):
+            out.add(p)
+            out |= ancestors(p)
+        return frozenset(out)
+
+    expect = {
+        v: (depth(v), len(ancestors(v)), 1 if depth(v) == 0 else 0) for v in nodes
+    }
+    assert got == expect
+    # DAG slice must have real structure: roots exist and depth > 1 exists
+    assert any(d == 0 for d, _, _ in got.values())
+    assert max(d for d, _, _ in got.values()) >= 2
