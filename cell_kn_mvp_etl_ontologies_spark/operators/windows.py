@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def window_last_wins(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
@@ -155,19 +156,81 @@ def _global_rank_with_total(
         offsets.append(acc)
         acc += r["__n"]
     bounds = [r["__hi"] for r in stats[:-1]]  # inner boundaries only
-    # pass 2: bucket = #boundaries strictly below the key — a codegen
-    # comparison chain over |ranges|-1 struct literals (fine for O(100)
-    # ranges; a broadcast range-join would replace it beyond that).
-    bucket = F.lit(0)
-    for b in bounds:
-        lit_b = F.struct(
-            *[F.lit(v).alias(c) for v, c in zip(b, order_cols)]
+    # pass 2: bucket = #boundaries strictly below the key.  Two regimes
+    # (round 9, closing the documented O(100)-ranges frontier):
+    #   - small |ranges|: a codegen comparison chain over the boundary
+    #     struct literals — measured clean at 100 ranges (SCALE.md
+    #     §r9-at-10x: no 64 KB fallback at 99 chained struct compares);
+    #   - large |ranges|: the chain's codegen size grows O(ranges) and
+    #     would eventually trip the 64 KB interpreted fallback, so the
+    #     sorted boundaries ride in ONE broadcast row as an array<struct>
+    #     and the bucket is found by a FIXED-DEPTH BINARY SEARCH: one
+    #     Project per step (lo/hi as real columns — attribute references,
+    #     never inlined expression trees, the documented 64 KB trap),
+    #     each step one element_at + struct compare + two CASEs, so both
+    #     codegen size and per-row cost are O(log ranges).  Measured at
+    #     1000 ranges × 1.5M rows (local[8]): filter-HOF linear scan
+    #     44.8 s (per-row O(ranges) interpreted loop — wrong shape),
+    #     binary-search fold 9.9 s vs 3.1 s at 100 ranges — the residual
+    #     gap is the 1000-partition scheduling waves of the range pass,
+    #     not the search.
+    _CHAIN_MAX = 128
+    if len(bounds) <= _CHAIN_MAX:
+        bucket = F.lit(0)
+        for b in bounds:
+            lit_b = F.struct(
+                *[F.lit(v).alias(c) for v, c in zip(b, order_cols)]
+            )
+            bucket = bucket + (key > lit_b).cast("int")
+        bounded = df.withColumn("__gr_bkt", bucket)
+    else:
+        key_schema = df.select(key.alias("__gr_key")).schema["__gr_key"].dataType
+        bounds_df = spark.createDataFrame(
+            [(list(bounds),)],
+            T.StructType(
+                [T.StructField("__gr_bounds", T.ArrayType(key_schema), False)]
+            ),
         )
-        bucket = bucket + (key > lit_b).cast("int")
+        n_b = len(bounds)
+        # lower_bound(key <= bounds[i]) as ONE aggregate-HOF fold over
+        # ceil(log2(n_b+1)) step tokens: the (lo, hi) state is a struct
+        # threaded through the fold, so the WHOLE search is a single
+        # constant-size expression.  (A step-per-Project formulation is
+        # NOT safe here: Catalyst's CollapseProject inlines each step
+        # into the next and the mid/lo/hi references double the tree per
+        # step — 2^steps blowup, measured as an optimizer OOM at 300
+        # ranges.  The fold keeps one lambda, evaluated iteratively at
+        # runtime.)
+        steps = max(1, n_b.bit_length())
+
+        def _step(acc, _tok):
+            mid = F.floor((acc["lo"] + acc["hi"]) / 2).cast("int")
+            probe = F.element_at(
+                F.col("__gr_bounds"), F.least(mid + 1, F.lit(n_b)).cast("int")
+            )
+            active = acc["lo"] < acc["hi"]
+            le = key <= probe
+            return F.struct(
+                F.when(active & ~le, mid + 1).otherwise(acc["lo"]).alias("lo"),
+                F.when(active & le, mid).otherwise(acc["hi"]).alias("hi"),
+            )
+
+        state = F.aggregate(
+            F.sequence(F.lit(1), F.lit(steps)),
+            F.struct(
+                F.lit(0).cast("int").alias("lo"), F.lit(n_b).cast("int").alias("hi")
+            ),
+            _step,
+        )
+        bounded = (
+            df.crossJoin(F.broadcast(bounds_df))  # 1-row stats frame, sanctioned
+            .withColumn("__gr_bkt", state["lo"].cast("int"))
+            .drop("__gr_bounds")
+        )
     spark_offsets = spark.createDataFrame(
         list(enumerate(offsets)) or [(0, 0)], "__gr_bkt INT, __gr_off LONG"
     )
-    local = df.withColumn("__gr_bkt", bucket).withColumn(
+    local = bounded.withColumn(
         "__gr_rn", F.row_number().over(Window.partitionBy("__gr_bkt").orderBy(*cols))
     )
     out = (

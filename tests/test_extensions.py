@@ -302,3 +302,25 @@ def test_ntile_exact_plan_has_no_single_partition_sort(spark):
     # the returned plan shuffles by the value-derived bucket, not a
     # global sort (the range pass ran in pass 1, driver-bounded)
     assert "hashpartitioning(__gr_bkt" in plan, plan
+
+
+def test_global_rank_hof_regime_past_chain_max(spark):
+    """Round 9: past _CHAIN_MAX ranges the bucket assignment must switch
+    from the codegen comparison chain to the broadcast array + filter-HOF
+    (constant codegen size), stay exact, and still never funnel through a
+    single partition."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.windows import with_global_rank
+
+    df = spark.range(20000).select(
+        F.col("id").alias("key"), ((F.col("id") * 2654435761) % 99991).alias("v")
+    )
+    out = with_global_rank(df, ["v", "key"], "rnk", num_partitions=200)
+    rows = out.collect()
+    expect = {
+        r.key: i + 1
+        for i, r in enumerate(sorted(rows, key=lambda r: (r.v, r.key)))
+    }
+    assert {r.key: r.rnk for r in rows} == expect
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" in plan.lower(), plan  # the HOF regime engaged
+    assert "SinglePartition" not in plan, plan
