@@ -477,3 +477,131 @@ def graph_dag_depth_q(spark, sf_dir):
         "n_ancestors",
         (F.col("depth") == 0).cast("long").alias("is_root"),
     )
+
+
+# --------------------------------------------------------------------------
+# eval_kendall_tau_full — corpus-scale tau with NO all-pairs join
+# --------------------------------------------------------------------------
+@register(
+    "eval_kendall_tau_full",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS cust,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    pairs AS (
+      SELECT a.x - b.x AS dx, a.y - b.y AS dy
+      FROM per_cust a JOIN per_cust b ON a.cust < b.cust
+    ),
+    census AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+             CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+             CAST(SUM(CASE WHEN dx * dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tied
+      FROM pairs
+    )
+    SELECT n_pairs, n_conc, n_disc, n_tied,
+           CAST(CASE WHEN n_conc >= n_disc
+                THEN 1000000 * (n_conc - n_disc) // n_pairs
+                ELSE -(1000000 * (n_disc - n_conc) // n_pairs) END AS BIGINT)
+             AS tau_a_ppm
+    FROM census
+    """,
+)
+def eval_kendall_tau_full_q(spark, sf_dir):
+    """Kendall τ_a over ALL customers — the PRODUCTION path the
+    `eval_kendall_tau` gate tier names: no all-pairs join anywhere, so
+    the oracle's O(n²) census is matched by an O(|x-values|·n) plan.
+
+    Works for the common discrete×continuous metric pairing (here
+    x = order count, a small-integer metric; y = spend cents,
+    near-unique): count strict-strict concordant/discordant pairs by 2D
+    DOMINANCE COUNTING on an exact strict-CDF grid —
+
+      T(v, w)   = #points at exactly (x=v, y=w)        (one keyed agg)
+      Cy(v, w)  = #(x=v, y ≤ w)    — cum over the y grid WITHIN each x
+                  value (window partitioned by v: |x-values| partitions,
+                  never a single-partition sort)
+      H(v⁻, w)  = #(x < v, y ≤ w)  — cum over x values within each y
+                  grid row (n partitions of |x-values| rows)
+      E(v⁻, w)  = #(x < v, y = w)  — same frame over T
+
+    then per point j:  D_j = #(x < x_j) − H(x_j⁻, y_j)   (x up, y down)
+                       C_j = H(x_j⁻, y_j) − E(x_j⁻, y_j) (strict both)
+    and  n_disc = ΣD_j, n_conc = ΣC_j exactly ONCE per unordered pair
+    (orientation fixed by the strict x inequality); ties fall out as
+    n_pairs − C − D, no tie census needed.
+
+    Cost/exactness contract: the grid is |x-values| × |distinct y| rows
+    — the |x-values| ≤ 200 bound is guard-enforced (DriverBoundExceeded
+    names the fallback: bucket y and pay the boundary-strip join).  Every
+    count is a BIGINT; ΣD_j ≤ n² keeps the reduce int64-safe to n≈3e9.
+    The sign-decomposed ppm division is the frontier4 doctrine.
+
+    100 TB shape: two keyed aggs, one |x-values|-wide broadcast cross of
+    the y grid, two PARTITIONED window passes, one equi-join back to the
+    points, one 2-cell reduce.  Nothing quadratic, nothing
+    single-partition."""
+    from ..operators.guards import check_driver_bound
+
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    xvals = per.select("x").distinct()
+    check_driver_bound(
+        xvals.count(),
+        200,
+        "eval_kendall_tau_full: distinct x-value grid axis",
+        "bucketed-y dominance counting with boundary-strip joins",
+    )
+    ygrid = per.select("y").distinct()
+    t_cnt = per.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    grid = (
+        ygrid.crossJoin(F.broadcast(xvals))  # |x-values|-wide dim fanout
+        .join(t_cnt, ["x", "y"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long"))
+    )
+    w_y = Window.partitionBy("x").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cy = grid.withColumn("cy", F.sum("cnt").over(w_y))
+    w_x = Window.partitionBy("y").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    h = (
+        cy.withColumn("h", F.coalesce(F.sum("cy").over(w_x), F.lit(0)).cast("long"))
+        .withColumn("e", F.coalesce(F.sum("cnt").over(w_x), F.lit(0)).cast("long"))
+        .select("x", "y", "h", "e")
+    )
+    xcensus = per.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    w_xc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    nx_lt = xcensus.withColumn(
+        "nx_lt", F.coalesce(F.sum("m").over(w_xc), F.lit(0)).cast("long")
+    ).select("x", "nx_lt")
+    perj = per.join(h, ["x", "y"]).join(F.broadcast(nx_lt), "x")
+    sums = perj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("nx_lt") - F.col("h")).cast("long").alias("n_disc"),
+        F.sum(F.col("h") - F.col("e")).cast("long").alias("n_conc"),
+    )
+    return sums.select(
+        F.expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").alias("n_pairs"),
+        "n_conc",
+        "n_disc",
+        F.expr("CAST(n * (n - 1) DIV 2 - n_conc - n_disc AS BIGINT)").alias("n_tied"),
+        F.expr(
+            "CAST(CASE WHEN n_conc >= n_disc"
+            " THEN 1000000 * (n_conc - n_disc) DIV (n * (n - 1) DIV 2)"
+            " ELSE -(1000000 * (n_disc - n_conc) DIV (n * (n - 1) DIV 2)) END"
+            " AS BIGINT)"
+        ).alias("tau_a_ppm"),
+    )

@@ -210,3 +210,54 @@ def test_dag_depth_matches_python_longest_path(spark):
     # DAG slice must have real structure: roots exist and depth > 1 exists
     assert any(d == 0 for d, _, _ in got.values())
     assert max(d for d, _, _ in got.values()) >= 2
+
+
+def test_kendall_full_matches_quadratic_census(spark):
+    """The dominance-count production path must equal the O(n^2) census
+    computed in python over ALL customers — strict concordant, strict
+    discordant, and ties (which the operator derives by subtraction)."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    [r] = QUERIES["eval_kendall_tau_full"](spark, SF_DIR).collect()
+    per = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("y"),
+        )
+        .collect()
+    )
+    pts = [(p.x, p.y) for p in per]
+    n = len(pts)
+    conc = disc = tied = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (pts[i][0] - pts[j][0]) * (pts[i][1] - pts[j][1])
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+            else:
+                tied += 1
+    assert (r.n_pairs, r.n_conc, r.n_disc, r.n_tied) == (
+        n * (n - 1) // 2, conc, disc, tied,
+    )
+    # the gate slice had x,y strongly positive-associated; full corpus too
+    assert r.n_conc > r.n_disc
+
+
+def test_kendall_full_plan_has_no_allpairs_join(spark):
+    """The whole point: no BroadcastNestedLoopJoin / CartesianProduct over
+    the customer frame (the census tier's shape), and no single-partition
+    exchange on it either — only the |x-values|-wide grid fanout."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    plan = (
+        QUERIES["eval_kendall_tau_full"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan

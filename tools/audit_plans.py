@@ -36,6 +36,15 @@ WAIVERS: dict[str, set[str]] = {
     # gate tier (docstring names inversion counting as the production
     # path); landed in r8's final commit after that round's audit ran.
     "eval_kendall_tau": {"CARTESIAN"},
+    # the production-path twin: its only cross join is the y grid ×
+    # |x-values| dim broadcast (guard-bounded ≤ 200 values — the
+    # operator's documented O(|x-values|·n) expansion, NOT an all-pairs
+    # join; the plan test pins CartesianProduct absent), and its 13
+    # exchanges are the five keyed stages (per-customer agg, (x,y)
+    # census, grid fill, two partitioned window passes, point join) —
+    # all keyed, none single-partition, ReusedExchange dedupes the
+    # repeated per-customer agg subtree.
+    "eval_kendall_tau_full": {"CARTESIAN", "MANY_EXCH"},
     # the run under evaluation is the brute-force exact rung (the
     # similarity_topk |Q|-broadcast waiver); the coverage scalar (ONE
     # row) is cross-joined back onto the 10 per-query rows.
