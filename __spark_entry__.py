@@ -78,12 +78,14 @@ _PRIORITY = [
     # into CORRECTNESS_LOCAL_r09), then the four frontier5 rows that had
     # never seen ANY recorded driver gate (they led the precomputed plan;
     # the r8 gate ran before they landed — VERDICT r8 'What's wrong' #1).
-    # The five frontier6 head slots displace the 5 tail rows of the
-    # precomputed 45-stalest block (agg_aging_buckets, join_asof_tolerance,
+    # The seven frontier6 head slots displace the 7 tail rows of the
+    # precomputed 45-stalest block (graph_two_hop_reach,
+    # quality_duplication_scorecard, agg_aging_buckets, join_asof_tolerance,
     # text_burstiness_profile, multimodal_frame_dedup,
     # agg_association_rules) to the r10 prefix.
     "eval_uplift_qini", "eval_uplift_auuc", "eval_brier_score", "graph_scc",
-    "graph_dag_depth", "eval_kendall_tau_full",
+    "graph_dag_depth", "eval_kendall_tau_full", "eval_spearman_rescaled",
+    "graph_condensation",
     "eval_spearman_rank", "eval_kendall_tau", "eval_mcnemar",
     "eval_gains_deciles",
     # (b) the 45 stalest of the remaining 85 never-driver-verified rows,
@@ -114,8 +116,7 @@ _PRIORITY = [
     "quality_ab_chi2_parts", "temporal_downsample_ltb",
     "quality_sequence_gaps", "dedup_lsh_banding_audit",
     "quality_langid_confusion", "eval_binary_detector_metrics",
-    "temporal_wow_growth", "graph_two_hop_reach",
-    "quality_duplication_scorecard",
+    "temporal_wow_growth",
     # ================= end ROUND 9 PREFIX (50 slots) =================
     # ================= ROUND 8 PREFIX (executed; kept for the record —
     # duplicates below the r9 block are deduped by _ordered) =============

@@ -605,3 +605,147 @@ def eval_kendall_tau_full_q(spark, sf_dir):
             " AS BIGINT)"
         ).alias("tau_a_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# eval_spearman_rescaled — the documented large-n path, gated
+# --------------------------------------------------------------------------
+@register(
+    "eval_spearman_rescaled",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS cust,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cust,
+             ROW_NUMBER() OVER (ORDER BY n_orders, cust) AS r1,
+             ROW_NUMBER() OVER (ORDER BY cents, cust) AS r2
+      FROM per_cust
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+      FROM ranked
+    )
+    SELECT n,
+           CAST(sum_d2 // n AS BIGINT) AS d2_over_n,
+           CAST(1000000 - 6 * (1000000 * (sum_d2 // n)) // (n * n - 1) AS BIGINT)
+             AS rho_ppm_rescaled
+    FROM agg
+    """,
+)
+def eval_spearman_rescaled_q(spark, sf_dir):
+    """The LARGE-n Spearman path `eval_spearman_rank`'s headroom note
+    (ADVICE r8) documents, as a gated contract of its own: divide Σd² by
+    n BEFORE the 6e6 blowup, so the ppm numerator is bounded by
+    6e6·(n²/3) — int64-safe to n ≈ 2.5e7 ranked entities instead of the
+    exact tier's 16.6k.  Both engines truncate Σd² DIV n to the same
+    grid point, so the contract stays hash-exact; the residual vs the
+    exact tier is < 6e6/(n²−1) ppm (sub-ppm past n ≈ 2.5k).  Same
+    two-pass `with_global_rank` machinery — the 10× scale probe
+    (SCALE.md §r9-at-10x) runs THIS formula at n = 150k."""
+    from ..operators.windows import with_global_rank
+
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    r1 = with_global_rank(per_cust, ["n_orders", "cust"], "r1").select("cust", "r1")
+    r2 = with_global_rank(per_cust, ["cents", "cust"], "r2").select("cust", "r2")
+    agg = (
+        r1.join(r2, on="cust")
+        .select(((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))).alias("d2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("d2").cast("long").alias("sum_d2"),
+        )
+    )
+    return agg.select(
+        "n",
+        F.expr("CAST(sum_d2 DIV n AS BIGINT)").alias("d2_over_n"),
+        F.expr(
+            "CAST(1000000 - 6 * (1000000 * (sum_d2 DIV n)) DIV (n * n - 1)"
+            " AS BIGINT)"
+        ).alias("rho_ppm_rescaled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_condensation — the SCC quotient DAG
+# --------------------------------------------------------------------------
+@register(
+    "graph_condensation",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_SCC_EDGES_SQL}
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    mutual AS (
+      SELECT r1.src AS v, r1.dst AS w
+      FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+    ),
+    labeled AS (
+      SELECT n.node AS node,
+             LEAST(n.node, COALESCE(MIN(m.w), n.node)) AS scc_id
+      FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+      GROUP BY n.node
+    )
+    SELECT DISTINCT CAST(ls.scc_id AS BIGINT) AS from_scc,
+                    CAST(ld.scc_id AS BIGINT) AS to_scc
+    FROM e
+    JOIN labeled ls ON ls.node = e.src
+    JOIN labeled ld ON ld.node = e.dst
+    WHERE ls.scc_id <> ld.scc_id
+    """,
+)
+def graph_condensation_q(spark, sf_dir):
+    """The CONDENSATION of the `graph_scc` slice: contract every strongly
+    connected component to one node (its min label) and keep the distinct
+    inter-component edges — the quotient graph, which is ACYCLIC by the
+    SCC theorem and therefore the input `graph_dag_depth`'s machinery
+    accepts.  Together the three queries are the standard directed-graph
+    pipeline: components → condensation → topological layering.
+
+    Composition contract: this query CALLS the registered `graph_scc`
+    (one source of truth for the labeling) and joins its labels onto the
+    same thinned edge slice — two broadcast label lookups + a distinct.
+    At corpus scale the labels come from the coloring production path
+    and the edge relabel is the same two keyed joins."""
+    from . import QUERIES
+
+    labels = QUERIES["graph_scc"](spark, sf_dir).select("node", "scc_id")
+    li = _t(spark, sf_dir, "lineitem")
+    src = (F.col("l_orderkey") % 60).cast("long")
+    dst = (F.col("l_partkey") % 60).cast("long")
+    key = F.concat(
+        F.lit("scc|"), src.cast("string"), F.lit("|"), dst.cast("string")
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    edges = (
+        li.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .filter(h % 100 < 4)
+        .distinct()
+    )
+    ls = labels.select(F.col("node").alias("src"), F.col("scc_id").alias("from_scc"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("scc_id").alias("to_scc"))
+    return (
+        edges.join(F.broadcast(ls), "src")
+        .join(F.broadcast(ld), "dst")
+        .filter(F.col("from_scc") != F.col("to_scc"))
+        .select("from_scc", "to_scc")
+        .distinct()
+    )

@@ -261,3 +261,52 @@ def test_kendall_full_plan_has_no_allpairs_join(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan, plan
+
+
+def test_spearman_rescaled_close_to_exact(spark):
+    """The rescaled rho must sit within 6e6/(n^2-1) ppm of the exact tier
+    (the documented truncation residual) and share its n."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    [exact] = QUERIES["eval_spearman_rank"](spark, SF_DIR).collect()
+    [resc] = QUERIES["eval_spearman_rescaled"](spark, SF_DIR).collect()
+    assert resc.n == exact.n
+    bound = 6_000_000 // (resc.n * resc.n - 1) + 1
+    assert abs(resc.rho_ppm_rescaled - exact.rho_ppm) <= bound, (
+        resc.rho_ppm_rescaled, exact.rho_ppm, bound,
+    )
+
+
+def test_condensation_is_acyclic_and_consistent_with_scc(spark):
+    """The quotient graph must reference only SCC ids, contain no
+    self-loops, and be a DAG (python cycle check over the tiny slice)."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    scc = QUERIES["graph_scc"](spark, SF_DIR).collect()
+    ids = {r.scc_id for r in scc}
+    cedges = [(r.from_scc, r.to_scc) for r in QUERIES["graph_condensation"](spark, SF_DIR).collect()]
+    assert cedges, "condensation unexpectedly empty"
+    for a, b in cedges:
+        assert a in ids and b in ids and a != b
+    # DAG check: iterative DFS 3-coloring
+    adj: dict[int, list[int]] = {}
+    for a, b in cedges:
+        adj.setdefault(a, []).append(b)
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color = {v: WHITE for v in ids}
+    for start in ids:
+        if color[start] != WHITE:
+            continue
+        stack = [(start, iter(adj.get(start, ())))]
+        color[start] = GRAY
+        while stack:
+            v, it = stack[-1]
+            nxt = next(it, None)
+            if nxt is None:
+                color[v] = BLACK
+                stack.pop()
+                continue
+            assert color[nxt] != GRAY, f"cycle through {nxt} — not a DAG"
+            if color[nxt] == WHITE:
+                color[nxt] = GRAY
+                stack.append((nxt, iter(adj.get(nxt, ()))))

@@ -45,6 +45,12 @@ WAIVERS: dict[str, set[str]] = {
     # all keyed, none single-partition, ReusedExchange dedupes the
     # repeated per-customer agg subtree.
     "eval_kendall_tau_full": {"CARTESIAN", "MANY_EXCH"},
+    # embeds the registered graph_scc (one source of truth for the
+    # labeling): its mutual-reachability join + node/edge distincts plus
+    # the condensation's two label joins and final distinct are all keyed
+    # exchanges over the contract-BOUNDED 60-node slice (the closure
+    # rounds themselves are behind localCheckpoint and don't replan).
+    "graph_condensation": {"MANY_EXCH"},
     # the run under evaluation is the brute-force exact rung (the
     # similarity_topk |Q|-broadcast waiver); the coverage scalar (ONE
     # row) is cross-joined back onto the 10 per-query rows.
