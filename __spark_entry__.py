@@ -78,14 +78,14 @@ _PRIORITY = [
     # into CORRECTNESS_LOCAL_r09), then the four frontier5 rows that had
     # never seen ANY recorded driver gate (they led the precomputed plan;
     # the r8 gate ran before they landed — VERDICT r8 'What's wrong' #1).
-    # The seven frontier6 head slots displace the 7 tail rows of the
-    # precomputed 45-stalest block (graph_two_hop_reach,
+    # The eight frontier6 head slots displace the 8 tail rows of the
+    # precomputed 45-stalest block (temporal_wow_growth, graph_two_hop_reach,
     # quality_duplication_scorecard, agg_aging_buckets, join_asof_tolerance,
     # text_burstiness_profile, multimodal_frame_dedup,
     # agg_association_rules) to the r10 prefix.
     "eval_uplift_qini", "eval_uplift_auuc", "eval_brier_score", "graph_scc",
     "graph_dag_depth", "eval_kendall_tau_full", "eval_spearman_rescaled",
-    "graph_condensation",
+    "graph_condensation", "stream_uplift_maintain",
     "eval_spearman_rank", "eval_kendall_tau", "eval_mcnemar",
     "eval_gains_deciles",
     # (b) the 45 stalest of the remaining 85 never-driver-verified rows,
@@ -116,7 +116,6 @@ _PRIORITY = [
     "quality_ab_chi2_parts", "temporal_downsample_ltb",
     "quality_sequence_gaps", "dedup_lsh_banding_audit",
     "quality_langid_confusion", "eval_binary_detector_metrics",
-    "temporal_wow_growth",
     # ================= end ROUND 9 PREFIX (50 slots) =================
     # ================= ROUND 8 PREFIX (executed; kept for the record —
     # duplicates below the r9 block are deduped by _ordered) =============

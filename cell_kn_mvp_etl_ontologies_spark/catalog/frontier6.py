@@ -749,3 +749,164 @@ def graph_condensation_q(spark, sf_dir):
         .select("from_scc", "to_scc")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# stream_uplift_maintain — incremental uplift-monitor maintenance
+# --------------------------------------------------------------------------
+@register(
+    "stream_uplift_maintain",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        CAST(CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+               t -> t IN ('the','a','of','and','to','in','is')))
+             // len(string_split_regex(text, '\\s+')) AS BIGINT) // 20000
+             AS BIGINT) AS bucket,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        CAST(('0x' || substring(md5('uplift' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 2 AS BIGINT) AS t
+      FROM documents
+    ),
+    per AS (
+      SELECT bucket,
+             CAST(SUM(t) AS BIGINT) AS n_t,
+             CAST(SUM(1 - t) AS BIGINT) AS n_c,
+             CAST(SUM(t * y) AS BIGINT) AS pos_t,
+             CAST(SUM((1 - t) * y) AS BIGINT) AS pos_c
+      FROM scored GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket, n_t, n_c, pos_t, pos_c,
+             CAST(SUM(n_t) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_n_t,
+             CAST(SUM(n_c) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_n_c,
+             CAST(SUM(pos_t) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_pos_t,
+             CAST(SUM(pos_c) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_pos_c
+      FROM per
+    )
+    SELECT bucket, n_t, n_c, pos_t, pos_c, cum_n_t, cum_n_c, cum_pos_t, cum_pos_c,
+           CAST(CASE WHEN cum_n_c = 0 THEN 0
+                WHEN cum_pos_t * cum_n_c >= cum_pos_c * cum_n_t
+                THEN 1000 * (cum_pos_t * cum_n_c - cum_pos_c * cum_n_t) // cum_n_c
+                ELSE -(1000 * (cum_pos_c * cum_n_t - cum_pos_t * cum_n_c) // cum_n_c)
+                END AS BIGINT) AS qini_milli
+    FROM cum
+    """,
+)
+def stream_uplift_maintain_q(spark, sf_dir):
+    """Streaming maintenance of the uplift monitor — the experiment
+    dashboard you'd actually run WHILE a campaign ingests: each
+    micro-batch of documents folds its (score-bucket × arm) counts into
+    keyed parquet state; the qini curve is derived from the state at
+    read time.
+
+    The IVM insight vs `eval_uplift_qini`: row-ntile DECILES are not
+    batch-additive (they depend on the global score distribution and
+    doc_id tie-breaks), so the maintained sufficient statistic is the
+    fixed-width score HISTOGRAM (20k-ppm buckets × arm → n, pos — pure
+    SUM merges, bundling-independent), and the cumulative-from-the-top
+    qini over bucket cuts is a post-aggregation over the ≤51-row state.
+    Value-cut curves are the streaming-legitimate contract; the batch
+    decile table remains the offline-eval twin.
+
+    100 TB shape: per trigger O(batch) codegen projection + a
+    bucket-keyed partial agg; state is bucket-cardinality (≤ 51 × 2
+    cells), never the corpus.  The same doctrine as
+    `stream_star_rollup_maintain`."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_documents_stream
+    from . import finish_and_clean
+
+    stream = read_documents_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_uplift_")
+    state_path = root + "/state"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = batch_df.select(
+            F.expr(
+                "CAST(CAST(1000000 * size(filter(split(text, '\\\\s+'),"
+                " t -> t IN ('the','a','of','and','to','in','is')))"
+                " DIV size(split(text, '\\\\s+')) AS BIGINT) DIV 20000 AS BIGINT)"
+            ).alias("bucket"),
+            (F.col("lang") == "en").cast("long").alias("y"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("uplift"), F.col("doc_id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("t"),
+        ).groupBy("bucket").agg(
+            F.sum("t").cast("long").alias("n_t"),
+            F.sum(F.lit(1) - F.col("t")).cast("long").alias("n_c"),
+            F.sum(F.col("t") * F.col("y")).cast("long").alias("pos_t"),
+            F.sum((F.lit(1) - F.col("t")) * F.col("y")).cast("long").alias("pos_c"),
+        )
+        try:
+            state = sp.read.parquet(state_path)
+            merged = (
+                state.unionByName(part)
+                .groupBy("bucket")
+                .agg(
+                    F.sum("n_t").alias("n_t"),
+                    F.sum("n_c").alias("n_c"),
+                    F.sum("pos_t").alias("pos_t"),
+                    F.sum("pos_c").alias("pos_c"),
+                )
+            )
+        except Exception:  # first batch: the partial IS the state
+            merged = part
+        staging = root + "/staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    state = spark.read.parquet(state_path)
+    w_cum = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = state.select(
+        "bucket",
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("pos_t").cast("long").alias("pos_t"),
+        F.col("pos_c").cast("long").alias("pos_c"),
+        F.sum("n_t").over(w_cum).cast("long").alias("cum_n_t"),
+        F.sum("n_c").over(w_cum).cast("long").alias("cum_n_c"),
+        F.sum("pos_t").over(w_cum).cast("long").alias("cum_pos_t"),
+        F.sum("pos_c").over(w_cum).cast("long").alias("cum_pos_c"),
+    ).select(
+        "bucket",
+        "n_t",
+        "n_c",
+        "pos_t",
+        "pos_c",
+        "cum_n_t",
+        "cum_n_c",
+        "cum_pos_t",
+        "cum_pos_c",
+        F.expr(
+            "CAST(CASE WHEN cum_n_c = 0 THEN 0"
+            " WHEN cum_pos_t * cum_n_c >= cum_pos_c * cum_n_t"
+            " THEN 1000 * (cum_pos_t * cum_n_c - cum_pos_c * cum_n_t) DIV cum_n_c"
+            " ELSE -(1000 * (cum_pos_c * cum_n_t - cum_pos_t * cum_n_c) DIV cum_n_c)"
+            " END AS BIGINT)"
+        ).alias("qini_milli"),
+    )
+    return finish_and_clean(cum, root)

@@ -310,3 +310,45 @@ def test_condensation_is_acyclic_and_consistent_with_scc(spark):
             if color[nxt] == WHITE:
                 color[nxt] = GRAY
                 stack.append((nxt, iter(adj.get(nxt, ()))))
+
+
+def test_stream_uplift_maintain_equals_batch(spark):
+    """The maintained state must equal the one-shot batch computation of
+    the same bucket table — SUM merges make the fold bundling-independent."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    got = {
+        r.bucket: (r.n_t, r.n_c, r.pos_t, r.pos_c, r.qini_milli)
+        for r in QUERIES["stream_uplift_maintain"](spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang").collect()
+    import hashlib
+    import re as _re
+
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    per: dict[int, list[int]] = {}
+    for d in docs:
+        toks = _re.split(r"\s+", d.text)
+        b = (1_000_000 * sum(1 for t in toks if t in stop) // len(toks)) // 20000
+        t = int(hashlib.md5(f"uplift{d.doc_id}".encode()).hexdigest()[:8], 16) % 2
+        y = 1 if d.lang == "en" else 0
+        cell = per.setdefault(b, [0, 0, 0, 0])
+        cell[0] += t
+        cell[1] += 1 - t
+        cell[2] += t * y
+        cell[3] += (1 - t) * y
+    assert set(got) == set(per)
+    # cumulative qini from the top bucket down, sign-decomposed
+    cum = [0, 0, 0, 0]
+    for b in sorted(per, reverse=True):
+        for i in range(4):
+            cum[i] += per[b][i]
+        num = cum[2] * cum[1] - cum[3] * cum[0]
+        if cum[1] == 0:
+            q = 0
+        elif num >= 0:
+            q = 1000 * num // cum[1]
+        else:
+            q = -(1000 * (-num) // cum[1])
+        assert got[b] == (per[b][0], per[b][1], per[b][2], per[b][3], q), b
