@@ -1,5 +1,6 @@
 """Round-9 extension batch: probabilistic-forecast scoring, the uplift
-scalar, and directed graph components (SURVEY §2.12).
+corner completed, directed-graph structure, and two production-path
+twins of existing gate tiers (SURVEY §2.12, §2.11).
 
 - `eval_brier_score` — Brier score of a ppm probability column against a
   binary outcome, with the climatology reference and the Brier skill
@@ -10,15 +11,31 @@ scalar, and directed graph components (SURVEY §2.12).
   trapezoid in exact milli·row units) plus the random-targeting baseline
   area: the single-scalar decision metric campaign papers report, built
   ON the registered qini table so the two contracts cannot drift.
+- `stream_uplift_maintain` — the uplift monitor as incremental view
+  maintenance: additive (score-bucket × arm) histogram state, qini over
+  bucket cuts derived at read time (row-ntile deciles are not
+  batch-additive; the histogram is the IVM-legitimate statistic).
 - `graph_scc` — strongly connected components of a BOUNDED directed
   slice via path-doubling transitive closure + mutual-reachability min
   label: the directed companion of `dedup_connected_components`
   (undirected CC), exact gate tier; production = forward-backward
   coloring, documented.
+- `graph_condensation` — the SCC quotient DAG (calls the registered
+  `graph_scc`; acyclic by the SCC theorem, DFS-3-coloring-verified).
+- `graph_dag_depth` — ontology-hierarchy depth + ancestor counts via
+  MAX-PLUS path doubling over a by-construction-acyclic slice — the
+  subClassOf-navigation primitive (OntologyGraphBuilder.java's DAGs).
+- `eval_kendall_tau_full` — Kendall τ_a over ALL entities with NO
+  all-pairs join: exact 2D dominance counting on a strict-CDF grid,
+  O(|x-values|·n) vs the gate tier's O(slice²) census.
+- `eval_spearman_rescaled` — the documented large-n Spearman path
+  (Σd² DIV n before the 6e6 blowup, int64-safe to n ≈ 2.5e7) as its own
+  gated contract.
 
 Shared doctrines: integer/rational identities, sign-decomposed or
-subtraction-only signed stats, O(slice²)/O(slice·closure) cost only on
-contract-bounded eval slices.
+subtraction-only signed stats, quadratic cost only on contract-bounded
+eval slices, production paths differentially gated against the same
+oracles as their gate tiers.
 """
 
 from __future__ import annotations
