@@ -93,10 +93,11 @@ _PRIORITY = [
     # kcore/bigram/asof-nearest/LPA overflow first, then the OHLC/MaxSim
     # late batch, then the frontier3 tail from temporal_interval_coalesce
     # onward.  All are hash-green in CORRECTNESS_LOCAL_r07 (and re-swept
-    # in CORRECTNESS_LOCAL_r09 this round).  The 40 never-driver rows that
-    # don't fit (frontier3 tail from dedup_exact_normalized onward) are
-    # the precomputed ROUND-10 prefix, stalest-first, unless contracts
-    # change.  EVIDENCE FRESHNESS FLOOR (VERDICT r8 #8): after this gate
+    # in CORRECTNESS_LOCAL_r09 this round).  The 48 never-driver rows that
+    # don't fit — the 8 displaced by the frontier6 head block (named
+    # above) plus the frontier3 tail from dedup_exact_normalized onward —
+    # are the precomputed ROUND-10 prefix, stalest-first, unless
+    # contracts change.  EVIDENCE FRESHNESS FLOOR (VERDICT r8 #8): after this gate
     # no catalog row's newest evidence (driver OR local sweep) may be
     # older than 4 rounds; tests/test_catalog_survey_sync.py asserts it
     # against the checked-in artifacts.
