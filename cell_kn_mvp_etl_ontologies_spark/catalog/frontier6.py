@@ -927,3 +927,117 @@ def stream_uplift_maintain_q(spark, sf_dir):
         ).alias("qini_milli"),
     )
     return finish_and_clean(cum, root)
+
+
+# --------------------------------------------------------------------------
+# fn_sft_render_spans — chat-template assembly + exact loss-mask spans
+# --------------------------------------------------------------------------
+@register(
+    "fn_sft_render_spans",
+    oracle="""
+    WITH turns AS (
+      SELECT CAST(doc_id // 4 AS BIGINT) AS conv_id,
+             CAST(doc_id % 4 AS BIGINT) AS turn_idx,
+             CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             text
+      FROM documents
+    ),
+    rendered AS (
+      SELECT conv_id, turn_idx, role,
+             '<|' || role || '|>' || text AS piece,
+             CAST(length('<|' || role || '|>') AS BIGINT) AS header_len,
+             CAST(length(text) AS BIGINT) AS text_len
+      FROM turns
+    ),
+    offsets AS (
+      SELECT conv_id, turn_idx, role, header_len, text_len,
+             CAST(COALESCE(SUM(header_len + text_len) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS piece_start,
+             CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_turns,
+             CAST(SUM(header_len + text_len) OVER (PARTITION BY conv_id)
+               AS BIGINT) AS conv_len
+      FROM rendered
+    )
+    SELECT conv_id, turn_idx,
+           CAST(piece_start + header_len AS BIGINT) AS start_char,
+           CAST(piece_start + header_len + text_len AS BIGINT) AS end_char,
+           n_turns, conv_len
+    FROM offsets
+    WHERE role = 'assistant'
+    """,
+)
+def fn_sft_render_spans_q(spark, sf_dir):
+    """SFT chat-template assembly with EXACT loss-mask spans — the
+    training-data op every instruction-tuning pipeline needs: turns are
+    rendered ``<|role|>text`` in turn order, and for each ASSISTANT turn
+    the query emits the [start_char, end_char) span of its payload
+    within the rendered conversation — the character offsets a
+    tokenizer-side loss mask is built from (mask = 1 inside assistant
+    payloads, 0 on headers and user turns).
+
+    Synthetic conversations: 4 consecutive documents per conv
+    (doc_id DIV 4), alternating user/assistant by parity — the template
+    logic is the contract under test, not the dialogue.
+
+    Exactness: spans are pure integer arithmetic over character lengths
+    (both engines' ``length()`` counts codepoints), computed by ONE
+    cumulative window per conversation (PARTITIONED by conv_id, ordered
+    by turn_idx — thousands of independent 4-row partitions, never a
+    global sort).  Emitting spans as rows (not arrays) keeps the
+    differential hash engine-agnostic.
+
+    100 TB shape: a pure projection + one conv-keyed window — the same
+    single-exchange cost as sessionization; rendering the full text
+    column (concat of pieces) is a map-side string op when a sink needs
+    it, deliberately NOT materialized here (spans + lengths are the
+    verifiable contract; the text is derivable)."""
+    turns = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 4).cast("long").alias("conv_id"),
+        (F.col("doc_id") % 4).cast("long").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+    rendered = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.length(F.concat(F.lit("<|"), F.col("role"), F.lit("|>")))
+        .cast("long")
+        .alias("header_len"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+    w_cum = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy("conv_id")
+    offsets = rendered.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "header_len",
+        "text_len",
+        F.coalesce(
+            F.sum(F.col("header_len") + F.col("text_len")).over(w_cum), F.lit(0)
+        )
+        .cast("long")
+        .alias("piece_start"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_turns"),
+        F.sum(F.col("header_len") + F.col("text_len"))
+        .over(w_all)
+        .cast("long")
+        .alias("conv_len"),
+    )
+    return offsets.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        "turn_idx",
+        (F.col("piece_start") + F.col("header_len")).cast("long").alias("start_char"),
+        (F.col("piece_start") + F.col("header_len") + F.col("text_len"))
+        .cast("long")
+        .alias("end_char"),
+        "n_turns",
+        "conv_len",
+    )

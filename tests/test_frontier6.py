@@ -352,3 +352,37 @@ def test_stream_uplift_maintain_equals_batch(spark):
         else:
             q = -(1000 * (-num) // cum[1])
         assert got[b] == (per[b][0], per[b][1], per[b][2], per[b][3], q), b
+
+
+def test_sft_render_spans_exact(spark):
+    """Loss-mask spans recomputed in python by actually rendering each
+    conversation must match char-for-char — and slicing the rendered
+    string at the spans must recover exactly the assistant payloads."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    rows = QUERIES["fn_sft_render_spans"](spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    convs: dict[int, list[tuple[int, str, str]]] = {}
+    for d in docs:
+        role = "user" if d.doc_id % 2 == 0 else "assistant"
+        convs.setdefault(d.doc_id // 4, []).append((d.doc_id % 4, role, d.text))
+    expect = {}
+    renders = {}
+    for cid, turns in convs.items():
+        turns.sort()
+        s = ""
+        for idx, role, text in turns:
+            start = len(s) + len(f"<|{role}|>")
+            s += f"<|{role}|>{text}"
+            if role == "assistant":
+                expect[(cid, idx)] = (start, len(s), len(turns))
+        renders[cid] = s
+    got = {(r.conv_id, r.turn_idx): (r.start_char, r.end_char, r.n_turns) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r.conv_len == len(renders[r.conv_id])
+        # slicing the render at the span recovers the assistant payload
+        payload = renders[r.conv_id][r.start_char : r.end_char]
+        src = dict((t[0], t[2]) for t in convs[r.conv_id])
+        assert payload == src[r.turn_idx]
