@@ -643,7 +643,10 @@ def _ensure_wire_state(spark):
                 # path (serialize + batch + POST), not a python json server
                 remaining = n
                 while remaining > 0:
-                    remaining -= len(self.rfile.read(min(remaining, 1 << 20)))
+                    chunk = self.rfile.read(min(remaining, 1 << 20))
+                    if not chunk:  # client died mid-POST: EOF, don't spin
+                        return
+                    remaining -= len(chunk)
                 with lock:
                     counters["requests"] += 1
                     counters["bytes"] += n
@@ -659,10 +662,12 @@ def _ensure_wire_state(spark):
 
         # 32 executor threads connect concurrently; the default listen
         # backlog (5) drops SYNs under that burst and only the transport's
-        # bounded retry hides it — raise it so the server isn't the thing
-        # being measured
-        ThreadingHTTPServer.request_queue_size = 128
-        server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        # bounded retry hides it — raise it on a SUBCLASS so the stdlib
+        # class isn't mutated for every other server in the process
+        class _WireServer(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        server = _WireServer(("127.0.0.1", 0), Handler)
         threading.Thread(target=server.serve_forever, daemon=True).start()
         _WIRE_STATE["server"] = server
         _WIRE_STATE["counters"] = counters

@@ -276,6 +276,26 @@ _SCC_EDGES_SQL = """
 """
 
 
+def _scc_edges(spark, sf_dir):
+    """The Spark twin of ``_SCC_EDGES_SQL`` — ONE definition of the thinned
+    directed slice shared by `graph_scc` and `graph_condensation`, so the
+    condensation can never join labels onto a different edge set than the
+    one they were computed from."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = (F.col("l_orderkey") % 60).cast("long")
+    dst = (F.col("l_partkey") % 60).cast("long")
+    key = F.concat(
+        F.lit("scc|"), src.cast("string"), F.lit("|"), dst.cast("string")
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return (
+        li.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .filter(h % 100 < 4)
+        .distinct()
+    )
+
+
 @register(
     "graph_scc",
     oracle=f"""
@@ -327,19 +347,7 @@ def graph_scc_q(spark, sf_dir):
 
     localCheckpoint between doubling rounds truncates the lineage
     exactly as `dedup_connected_components` documents."""
-    li = _t(spark, sf_dir, "lineitem")
-    src = (F.col("l_orderkey") % 60).cast("long")
-    dst = (F.col("l_partkey") % 60).cast("long")
-    key = F.concat(
-        F.lit("scc|"), src.cast("string"), F.lit("|"), dst.cast("string")
-    )
-    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-    edges = (
-        li.select(src.alias("src"), dst.alias("dst"))
-        .filter((F.col("src") != F.col("dst")))
-        .filter(h % 100 < 4)
-        .distinct()
-    )
+    edges = _scc_edges(spark, sf_dir)
     reach = edges.localCheckpoint(eager=True)
     for _ in range(6):  # 2^6 = 64 >= longest simple path on 60 nodes
         hops = (
@@ -744,19 +752,7 @@ def graph_condensation_q(spark, sf_dir):
     from . import QUERIES
 
     labels = QUERIES["graph_scc"](spark, sf_dir).select("node", "scc_id")
-    li = _t(spark, sf_dir, "lineitem")
-    src = (F.col("l_orderkey") % 60).cast("long")
-    dst = (F.col("l_partkey") % 60).cast("long")
-    key = F.concat(
-        F.lit("scc|"), src.cast("string"), F.lit("|"), dst.cast("string")
-    )
-    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-    edges = (
-        li.select(src.alias("src"), dst.alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .filter(h % 100 < 4)
-        .distinct()
-    )
+    edges = _scc_edges(spark, sf_dir)
     ls = labels.select(F.col("node").alias("src"), F.col("scc_id").alias("from_scc"))
     ld = labels.select(F.col("node").alias("dst"), F.col("scc_id").alias("to_scc"))
     return (
@@ -841,6 +837,8 @@ def stream_uplift_maintain_q(spark, sf_dir):
     state_path = root + "/state"
 
     def handle_batch(batch_df, batch_id):
+        from ..operators.training import hash_bucket
+
         sp = batch_df.sparkSession
         part = batch_df.select(
             F.expr(
@@ -849,25 +847,21 @@ def stream_uplift_maintain_q(spark, sf_dir):
                 " DIV size(split(text, '\\\\s+')) AS BIGINT) DIV 20000 AS BIGINT)"
             ).alias("bucket"),
             (F.col("lang") == "en").cast("long").alias("y"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit("uplift"), F.col("doc_id").cast("string"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % 2
-            ).alias("t"),
+            # the SAME coin as the batch twin eval_uplift_qini — one
+            # source of truth for the sample_split_hash contract
+            hash_bucket(F.col("doc_id"), 2, "uplift").cast("long").alias("t"),
         ).groupBy("bucket").agg(
             F.sum("t").cast("long").alias("n_t"),
             F.sum(F.lit(1) - F.col("t")).cast("long").alias("n_c"),
             F.sum(F.col("t") * F.col("y")).cast("long").alias("pos_t"),
             F.sum((F.lit(1) - F.col("t")) * F.col("y")).cast("long").alias("pos_c"),
         )
-        try:
+        # first-batch is detected by state ABSENCE, not by catching read
+        # errors — a transient failure on batch N>0 must fail the batch
+        # loudly (the retry replays it), never silently reset the fold
+        import os as _os
+
+        if _os.path.isdir(state_path):
             state = sp.read.parquet(state_path)
             merged = (
                 state.unionByName(part)
@@ -879,7 +873,7 @@ def stream_uplift_maintain_q(spark, sf_dir):
                     F.sum("pos_c").alias("pos_c"),
                 )
             )
-        except Exception:  # first batch: the partial IS the state
+        else:  # first batch: the partial IS the state
             merged = part
         staging = root + "/staging"
         merged.write.mode("overwrite").parquet(staging)
@@ -994,7 +988,7 @@ def fn_sft_render_spans_q(spark, sf_dir):
     it, deliberately NOT materialized here (spans + lengths are the
     verifiable contract; the text is derivable)."""
     turns = _t(spark, sf_dir, "documents").select(
-        (F.col("doc_id") / 4).cast("long").alias("conv_id"),
+        F.expr("CAST(doc_id DIV 4 AS BIGINT)").alias("conv_id"),
         (F.col("doc_id") % 4).cast("long").alias("turn_idx"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
         .otherwise(F.lit("assistant"))

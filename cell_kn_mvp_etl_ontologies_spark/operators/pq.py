@@ -436,6 +436,7 @@ def pq_adc_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    broadcast_shortlist: bool = True,
 ) -> DataFrame:
     """Two-stage PQ serving: ADC shortlist → exact re-rank — the standard
     production recipe for high recall at PQ memory cost.
@@ -452,7 +453,9 @@ def pq_adc_rerank_topk(
     short = pq_adc_topk(queries, codes, codebooks, shortlist, m=m, scale=scale).select(
         "q_id", "t_id"
     )
-    return _exact_rerank(short, queries, corpus, k, id_col, vec_col, scale)
+    return _exact_rerank(
+        short, queries, corpus, k, id_col, vec_col, scale, broadcast_shortlist
+    )
 
 
 def _exact_rerank(
@@ -463,26 +466,33 @@ def _exact_rerank(
     id_col: str,
     vec_col: str,
     scale: int,
+    broadcast_shortlist: bool = True,
 ) -> DataFrame:
     """Shared stage-2 of the two-stage recipes: fetch full vectors for the
     (q_id, t_id) shortlist only (a keyed join — at 100 TB a point-lookup
     tier) and re-rank by exact quantized squared-L2, (d ASC, t_id ASC).
 
-    The shortlist side is BROADCAST (round 9): it is |Q|·shortlist id
-    pairs — bounded by the serving contract (a 10k-query batch at
-    shortlist=100 is 1M 16-byte rows), while the corpus side is the
-    100 TB frame.  Without the hint the planner shuffled BOTH sides into
-    a sort-merge join (measured: the corpus exchange alone was ~0.6 s of
-    the 0.77 s stage cost at the 80k bench shape); broadcasting the
-    shortlist streams the corpus scan with zero corpus exchange —
-    the point-lookup tier the docstring always promised."""
+    The shortlist side is BROADCAST by default (round 9): it is
+    |Q|·shortlist id pairs — bounded by the serving contract (a
+    10k-query batch at shortlist=100 is 1M 16-byte rows), while the
+    corpus side is the 100 TB frame.  Without the hint the planner
+    shuffled BOTH sides into a sort-merge join (measured: the corpus
+    exchange alone was ~0.6 s of the 0.77 s stage cost at the 80k bench
+    shape); broadcasting the shortlist streams the corpus scan with zero
+    corpus exchange — the point-lookup tier the docstring always
+    promised.  Callers serving query batches past the broadcast budget
+    (|Q|·shortlist approaching the driver/executor broadcast limit,
+    ~10⁸ id pairs) pass ``broadcast_shortlist=False`` to keep the
+    shuffle-join fallback — results are identical, only the exchange
+    shape changes."""
     t = corpus.select(
         F.col(id_col).alias("t_id"), quantize_vec(F.col(vec_col), scale).alias("vb")
     )
     qq = queries.select(
         F.col(id_col).alias("q_id"), quantize_vec(F.col(vec_col), scale).alias("va")
     )
-    cand = t.join(F.broadcast(short), on="t_id").join(F.broadcast(qq), on="q_id")
+    short_side = F.broadcast(short) if broadcast_shortlist else short
+    cand = t.join(short_side, on="t_id").join(F.broadcast(qq), on="q_id")
     scored = cand.select("q_id", "t_id", _sq_dist(F.col("va"), F.col("vb")).alias("d"))
     return window_rank_topk(
         scored, ["q_id"], [F.col("d").asc(), F.col("t_id").asc()], k, rank_col="rnk"
@@ -501,6 +511,7 @@ def pq_adc_rerank_topk_routed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    broadcast_shortlist: bool = True,
 ) -> DataFrame:
     """Two-stage PQ serving with the ADC shortlist served through the
     ROUTED cogroup (VERDICT r6 #2): stage 1 probes EVERY cell of the
@@ -523,7 +534,9 @@ def pq_adc_rerank_topk_routed(
         queries, index_codes, centroids, codebooks, k=shortlist,
         nprobe=n_cells, m=m, scale=scale,
     ).select("q_id", "t_id")
-    return _exact_rerank(short, queries, corpus, k, id_col, vec_col, scale)
+    return _exact_rerank(
+        short, queries, corpus, k, id_col, vec_col, scale, broadcast_shortlist
+    )
 
 
 def opq_variance_permutation(

@@ -249,9 +249,11 @@ def test_kendall_full_matches_quadratic_census(spark):
 
 
 def test_kendall_full_plan_has_no_allpairs_join(spark):
-    """The whole point: no BroadcastNestedLoopJoin / CartesianProduct over
-    the customer frame (the census tier's shape), and no single-partition
-    exchange on it either — only the |x-values|-wide grid fanout."""
+    """The whole point: no CartesianProduct, and at most ONE
+    BroadcastNestedLoopJoin — the sanctioned |x-values|-wide grid fanout
+    (a second BNLJ would mean the census tier's all-pairs shape crept
+    back in; 'CartesianProduct absent' alone cannot catch that since an
+    inequality-conditioned all-pairs join plans as a BNLJ)."""
     from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
 
     plan = (
@@ -261,6 +263,7 @@ def test_kendall_full_plan_has_no_allpairs_join(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
 def test_spearman_rescaled_close_to_exact(spark):

@@ -125,13 +125,15 @@ def test_graph_wire_sink_bench_row_batches(spark, monkeypatch):
     """The bench's wire row (VERDICT r8 #7) must load the whole graph in
     ~ceil(rows/1000)-per-partition bulk requests — an N+1 regression
     (per-doc POSTs) would multiply n_requests by ~1000x and this pins it.
-    Runs at sf0.001 so the test is seconds, not the benched sf0.1."""
-    import importlib
+    Runs at sf0.001 so the test is seconds, not the benched sf0.1.
 
-    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    SF override via module attribute, not env + reload: a reload inside
+    the still-patched env would bake the test SF into the bench module
+    for the rest of the pytest session (and discard any _ANN_STATE
+    another test had built) — ADVICE-class hygiene found in round 9."""
     import bench as bench_mod
 
-    bench_mod = importlib.reload(bench_mod)
+    monkeypatch.setattr(bench_mod, "SF_DIR", "/root/testdata/sf0.001")
     try:
         [row] = bench_mod.graph_wire_sink(spark).collect()
         n_docs = row.n_vertices + row.n_edges
@@ -148,4 +150,3 @@ def test_graph_wire_sink_bench_row_batches(spark, monkeypatch):
             if key in bench_mod._WIRE_STATE:
                 bench_mod._WIRE_STATE[key].unpersist()
         bench_mod._WIRE_STATE.clear()
-        importlib.reload(bench_mod)
