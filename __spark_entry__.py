@@ -78,15 +78,17 @@ _PRIORITY = [
     # into CORRECTNESS_LOCAL_r09), then the four frontier5 rows that had
     # never seen ANY recorded driver gate (they led the precomputed plan;
     # the r8 gate ran before they landed — VERDICT r8 'What's wrong' #1).
-    # The nine frontier6 head slots displace the 9 tail rows of the
-    # precomputed 45-stalest block (eval_binary_detector_metrics,
+    # The ten frontier6 head slots displace the 10 tail rows of the
+    # precomputed 45-stalest block (quality_langid_confusion,
+    # eval_binary_detector_metrics,
     # temporal_wow_growth, graph_two_hop_reach,
     # quality_duplication_scorecard, agg_aging_buckets, join_asof_tolerance,
     # text_burstiness_profile, multimodal_frame_dedup,
     # agg_association_rules) to the r10 prefix.
     "eval_uplift_qini", "eval_uplift_auuc", "eval_brier_score", "graph_scc",
     "graph_dag_depth", "eval_kendall_tau_full", "eval_spearman_rescaled",
-    "graph_condensation", "stream_uplift_maintain", "fn_sft_render_spans",
+    "graph_condensation", "graph_scc_fb", "stream_uplift_maintain",
+    "fn_sft_render_spans",
     "eval_spearman_rank", "eval_kendall_tau", "eval_mcnemar",
     "eval_gains_deciles",
     # (b) the 45 stalest of the remaining 85 never-driver-verified rows,
@@ -94,8 +96,8 @@ _PRIORITY = [
     # kcore/bigram/asof-nearest/LPA overflow first, then the OHLC/MaxSim
     # late batch, then the frontier3 tail from temporal_interval_coalesce
     # onward.  All are hash-green in CORRECTNESS_LOCAL_r07 (and re-swept
-    # in CORRECTNESS_LOCAL_r09 this round).  The 49 never-driver rows that
-    # don't fit — the 9 displaced by the frontier6 head block (named
+    # in CORRECTNESS_LOCAL_r09 this round).  The 50 never-driver rows that
+    # don't fit — the 10 displaced by the frontier6 head block (named
     # above) plus the frontier3 tail from dedup_exact_normalized onward —
     # are the precomputed ROUND-10 prefix, stalest-first, unless
     # contracts change.  EVIDENCE FRESHNESS FLOOR (VERDICT r8 #8): after this gate
@@ -117,7 +119,6 @@ _PRIORITY = [
     "agg_session_bounce", "agg_pivot_topk_other", "sample_bootstrap_poisson",
     "quality_ab_chi2_parts", "temporal_downsample_ltb",
     "quality_sequence_gaps", "dedup_lsh_banding_audit",
-    "quality_langid_confusion",
     # ================= end ROUND 9 PREFIX (50 slots) =================
     # ================= ROUND 8 PREFIX (executed; kept for the record —
     # duplicates below the r9 block are deduped by _ordered) =============

@@ -389,3 +389,38 @@ def test_sft_render_spans_exact(spark):
         payload = renders[r.conv_id][r.start_char : r.end_char]
         src = dict((t[0], t[2]) for t in convs[r.conv_id])
         assert payload == src[r.turn_idx]
+
+
+def test_scc_fb_identical_to_gate_tier(spark):
+    """The FW-BW coloring production path must produce the EXACT partition
+    the path-doubling gate tier produces on the same slice."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    gate = {
+        r.node: (r.scc_id, r.scc_size)
+        for r in QUERIES["graph_scc"](spark, SF_DIR).collect()
+    }
+    fb = {
+        r.node: (r.scc_id, r.scc_size)
+        for r in QUERIES["graph_scc_fb"](spark, SF_DIR).collect()
+    }
+    assert fb == gate
+
+
+def test_scc_fb_operator_on_handbuilt_graph(spark):
+    """Hand-built digraph with two cycles, a bridge, and DAG tails — the
+    FW-BW operator must recover the exact SCC partition."""
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+        strongly_connected_components_fb,
+    )
+
+    # cycles {1,2,3} and {5,6}; bridge 3->5; tails 0->1, 6->7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (5, 6), (6, 5), (3, 5), (0, 1), (6, 7)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.scc_id
+        for r in strongly_connected_components_fb(edges).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
