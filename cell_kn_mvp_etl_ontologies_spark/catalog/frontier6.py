@@ -393,6 +393,28 @@ def graph_scc_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # graph_dag_depth — ontology-hierarchy depth via max-plus path doubling
 # --------------------------------------------------------------------------
+def _dag_edges(spark, sf_dir):
+    """The md5-thinned larger->smaller-label DAG slice shared by
+    `graph_dag_depth` (path-doubling gate tier) and
+    `graph_dag_depth_frontier` (layer-relaxation production twin) —
+    one edge builder so the twin discipline gates both against the
+    SAME slice (mirrors `_scc_edges`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = (F.col("l_orderkey") % 60).cast("long")
+    b = (F.col("l_partkey") % 60).cast("long")
+    child, parent = F.greatest(a, b), F.least(a, b)
+    key = F.concat(
+        F.lit("dag|"), child.cast("string"), F.lit("|"), parent.cast("string")
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return (
+        li.select(child.alias("child"), parent.alias("parent"))
+        .filter(F.col("child") != F.col("parent"))
+        .filter(h % 100 < 6)
+        .distinct()
+    )
+
+
 _DAG_EDGES_SQL = """
       SELECT DISTINCT
         CAST(GREATEST(l_orderkey % 60, l_partkey % 60) AS BIGINT) AS child,
@@ -455,20 +477,7 @@ def graph_dag_depth_q(spark, sf_dir):
     layer-by-layer relaxation from the root frontier (the
     `graph_label_propagation` keyed-shuffle pattern, one round per
     hierarchy level — OBO ontologies are ~20 levels deep)."""
-    li = _t(spark, sf_dir, "lineitem")
-    a = (F.col("l_orderkey") % 60).cast("long")
-    b = (F.col("l_partkey") % 60).cast("long")
-    child, parent = F.greatest(a, b), F.least(a, b)
-    key = F.concat(
-        F.lit("dag|"), child.cast("string"), F.lit("|"), parent.cast("string")
-    )
-    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-    edges = (
-        li.select(child.alias("child"), parent.alias("parent"))
-        .filter(F.col("child") != F.col("parent"))
-        .filter(h % 100 < 6)
-        .distinct()
-    )
+    edges = _dag_edges(spark, sf_dir)
     reach = edges.select(
         F.col("child").alias("src"), F.col("parent").alias("dst"), F.lit(1).alias("len")
     ).localCheckpoint(eager=True)
@@ -1722,3 +1731,181 @@ def profile_moments_q(spark, sf_dir):
         .cast("long")
         .alias("m3_num"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_dag_depth_frontier — layer-relaxation + bitmap-ancestor production
+# twin of graph_dag_depth, gated on the SAME oracle and slice
+# --------------------------------------------------------------------------
+@register(
+    "graph_dag_depth_frontier",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_DAG_EDGES_SQL}
+    ),
+    nodes AS (SELECT child AS node FROM e UNION SELECT parent FROM e),
+    paths(src, dst, len) AS (
+      SELECT child, parent, 1 FROM e
+      UNION
+      SELECT p.src, e2.parent, p.len + 1
+      FROM paths p JOIN e e2 ON p.dst = e2.child
+    ),
+    stats AS (
+      SELECT n.node AS node,
+             COALESCE(MAX(p.len), 0) AS depth,
+             COUNT(DISTINCT p.dst) AS n_ancestors
+      FROM nodes n LEFT JOIN paths p ON p.src = n.node
+      GROUP BY n.node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(depth AS BIGINT) AS depth,
+           CAST(n_ancestors AS BIGINT) AS n_ancestors,
+           CAST(CASE WHEN depth = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_root
+    FROM stats
+    """,
+)
+def graph_dag_depth_frontier_q(spark, sf_dir):
+    """`graph_dag_depth`'s PRODUCTION path, gated against the SAME oracle
+    and the SAME edge slice (the `graph_scc_fb` twin discipline):
+    layer-by-layer Bellman-Ford MAX-relaxation for depth + bounded-
+    universe BITMAP fold for ancestor counts — per-round keyed shuffles
+    only, NO (src, dst) transitive closure materialized, so memory is
+    O(|V| · label-width) where the path-doubling gate tier pays
+    O(closure).
+
+    One monotone state (node, depth, anc_bm), relaxed to fixpoint:
+      depth(v)  = max over parents p of 1 + depth(p)        (MAX lattice)
+      anc_bm(v) = OR  over parents p of bit(p) | anc_bm(p)  (OR lattice)
+    Both lattices are monotone and bounded (DAG ⇒ depth ≤ longest
+    chain; bm ⊆ universe), so the joint fixpoint exists and is exact;
+    rounds = the hierarchy's depth (OBO ontologies ~20 levels — the
+    LPA cost shape the gate tier's docstring promises).  Rounds are
+    capped with a LOUD error; probes batch 4 lazy hops per
+    convergence count.
+
+    Ancestor-count scale contract: the gate slice's 60-label universe
+    fits ONE BIGINT bitmap (exact popcount); at corpus scale the bm
+    column becomes the `agg_bitmap_distinct` bucketed-bitmap machinery
+    (array of 64-bit words, still an OR-fold) or an HLL register when
+    approximate counts suffice — the RELAXATION is unchanged, only the
+    set representation widens."""
+    from ..plans.graph_query import dag_depth_frontier
+
+    state = dag_depth_frontier(_dag_edges(spark, sf_dir))
+    return state.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("depth").cast("long").alias("depth"),
+        F.expr("CAST(bit_count(anc_bm) AS BIGINT)").alias("n_ancestors"),
+        (F.col("depth") == 0).cast("long").alias("is_root"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_pr_curve_maintain — the PR curve as incremental view maintenance
+# --------------------------------------------------------------------------
+@register(
+    "stream_pr_curve_maintain",
+    oracle=f"""
+    WITH {_PR_CUM_SQL}
+    SELECT source, CAST(s AS BIGINT) AS threshold, cum_tp,
+           CAST(cum_n - cum_tp AS BIGINT) AS cum_fp,
+           CAST(1000000 * cum_tp // cum_n AS BIGINT) AS precision_ppm,
+           CASE WHEN tot_p = 0 THEN NULL
+                ELSE CAST(1000000 * cum_tp // tot_p AS BIGINT)
+           END AS recall_ppm
+    FROM cum
+    """,
+)
+def stream_pr_curve_maintain_q(spark, sf_dir):
+    """Streaming maintenance of `eval_pr_curve` — the detector-quality
+    dashboard you'd run WHILE a corpus ingests: each micro-batch folds
+    its (group, score) → (count, positives) cells into keyed parquet
+    state; the full precision-recall curve is derived from the state at
+    read time and must equal the batch twin EXACTLY (same oracle — the
+    `stream_uplift_maintain` IVM discipline).
+
+    The IVM insight: curve POINTS are not batch-additive (cum_tp/cum_n
+    depend on the global threshold sweep), but the per-(group, distinct
+    score) census IS — pure SUM merges, bundling-independent, so any
+    batch arrival order folds to the same state.  The window sweep is a
+    post-aggregation over |distinct scores| state rows, never corpus
+    rows.
+
+    100 TB shape: per trigger O(batch) projection + a (group, score)-
+    keyed partial agg; state cardinality is |groups| × |distinct
+    scores| (the same granularity `eval_auc_rank` proves is the right
+    reduction point), independent of rows ingested."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming import read_documents_stream
+    from . import finish_and_clean
+
+    stream = read_documents_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_pr_curve_")
+    state_path = root + "/state"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = (
+            batch_df.select(
+                "source",
+                F.col("n_chars").alias("s"),
+                (F.col("lang") == "en").cast("long").alias("pos"),
+            )
+            .groupBy("source", "s")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("c"),
+                F.sum("pos").cast("long").alias("p"),
+            )
+        )
+        # first batch detected by state ABSENCE (transient read errors on
+        # batch N>0 must fail the batch loudly, never reset the fold)
+        if _os.path.isdir(state_path):
+            state = sp.read.parquet(state_path)
+            merged = (
+                state.unionByName(part)
+                .groupBy("source", "s")
+                .agg(F.sum("c").alias("c"), F.sum("p").alias("p"))
+            )
+        else:
+            merged = part
+        staging = root + "/staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    state = spark.read.parquet(state_path)
+    w_desc = Window.partitionBy("source").orderBy(F.desc("s"))
+    w_all = Window.partitionBy("source")
+    cum = state.select(
+        "source",
+        "s",
+        "c",
+        "p",
+        F.sum("p").over(w_desc).cast("long").alias("cum_tp"),
+        F.sum("c").over(w_desc).cast("long").alias("cum_n"),
+        F.sum("p").over(w_all).cast("long").alias("tot_p"),
+    )
+    curve = cum.select(
+        "source",
+        F.col("s").cast("long").alias("threshold"),
+        "cum_tp",
+        (F.col("cum_n") - F.col("cum_tp")).cast("long").alias("cum_fp"),
+        F.expr("CAST(1000000 * cum_tp DIV cum_n AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.when(
+            F.col("tot_p") > 0,
+            F.expr("CAST(1000000 * cum_tp DIV tot_p AS BIGINT)"),
+        ).alias("recall_ppm"),
+    )
+    return finish_and_clean(curve, root)

@@ -762,3 +762,82 @@ def strongly_connected_components_fb(
     if assigned is None:
         raise ValueError("strongly_connected_components_fb: empty edge set")
     return assigned
+
+
+def dag_depth_frontier(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_rounds: int = 64,
+    check_every: int = 4,
+) -> DataFrame:
+    """(node, depth, anc_bm) for every node of a DAG edge set
+    (child -> parent): depth = LONGEST path to any root (max-plus
+    Bellman-Ford relaxation), anc_bm = BIGINT bitmap of all reachable
+    ancestors (OR-fold) — the layer-relaxation production shape of
+    `graph_dag_depth`'s path-doubling gate tier: per-round keyed
+    shuffles only, NO (src, dst) closure materialized, memory
+    O(|V| * label-width).
+
+    Both lattices (MAX on depth, OR on the bitmap) are monotone and
+    bounded on a DAG, so the joint fixpoint exists and is exact;
+    rounds = the hierarchy depth.  Labels must fit the single-BIGINT
+    bitmap universe (< 63); at corpus scale the bitmap column widens
+    to the bucketed-bitmap machinery (`agg_bitmap_distinct`) or an
+    HLL — the relaxation is unchanged.  Rounds capped with a LOUD
+    error (a partial fixpoint under-reports silently otherwise);
+    convergence probes batch ``check_every`` lazy hops per count.
+    """
+    e = edges.select(
+        F.col(child).alias("c"),
+        F.col(parent).alias("p"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({parent} AS INT))").alias(
+            "p_bit"
+        ),
+    ).localCheckpoint(eager=True)
+    state = (
+        e.select(F.col("c").alias("node"))
+        .unionByName(e.select(F.col("p").alias("node")))
+        .distinct()
+        .select(
+            "node",
+            F.lit(0).cast("long").alias("depth"),
+            F.lit(0).cast("long").alias("anc_bm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds // check_every):
+        before = state
+        for _ in range(check_every):
+            cand = e.join(
+                state.withColumnRenamed("node", "p"), on="p"
+            ).select(
+                F.col("c").alias("node"),
+                (F.col("depth") + 1).alias("depth"),
+                F.expr("anc_bm | p_bit").alias("anc_bm"),
+            )
+            state = (
+                state.unionByName(cand)
+                .groupBy("node")
+                .agg(
+                    F.max("depth").cast("long").alias("depth"),
+                    F.expr("bit_or(anc_bm)").cast("long").alias("anc_bm"),
+                )
+            )
+        state = state.localCheckpoint(eager=True)
+        changed = (
+            state.withColumnRenamed("depth", "__d")
+            .withColumnRenamed("anc_bm", "__b")
+            .join(before, on="node")
+            .filter(
+                (F.col("__d") != F.col("depth"))
+                | (F.col("__b") != F.col("anc_bm"))
+            )
+            .count()
+        )
+        if changed == 0:
+            return state
+    raise RuntimeError(
+        f"dag_depth_frontier: relaxation did not converge within "
+        f"{max_rounds} rounds — hierarchy deeper than the cap; raise it."
+    )

@@ -598,3 +598,61 @@ def test_profile_moments_match_python(spark):
         mu = s1 / n
         m2_direct = sum((d - mu) ** 2 for d in ds)
         assert abs(r.m2_num / n - m2_direct) < 1e-6 * max(1.0, m2_direct)
+
+
+def test_dag_depth_frontier_identical_to_gate_tier(spark):
+    """The layer-relaxation + bitmap production path must produce the
+    EXACT (depth, n_ancestors) table the path-doubling gate tier does."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    gate = {
+        r.node: (r.depth, r.n_ancestors, r.is_root)
+        for r in QUERIES["graph_dag_depth"](spark, SF_DIR).collect()
+    }
+    fr = {
+        r.node: (r.depth, r.n_ancestors, r.is_root)
+        for r in QUERIES["graph_dag_depth_frontier"](spark, SF_DIR).collect()
+    }
+    assert fr == gate
+
+
+def test_dag_depth_frontier_operator_handbuilt(spark):
+    """Hand-built DAG: diamond 5->3->1, 5->4->1, 1->0 plus isolated-ish 2->0;
+    longest-path depths and exact ancestor sets must come out."""
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+        dag_depth_frontier,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 3), (5, 4), (3, 1), (4, 1), (1, 0), (2, 0)],
+        "child long, parent long",
+    )
+    got = {
+        r.node: (r.depth, bin(r.anc_bm).count("1"))
+        for r in dag_depth_frontier(edges).collect()
+    }
+    # depth = longest child->parent path to a root; ancestors = reachable set
+    assert got == {
+        0: (0, 0),
+        1: (1, 1),
+        2: (1, 1),
+        3: (2, 2),
+        4: (2, 2),
+        5: (3, 4),
+    }
+
+
+def test_stream_pr_curve_equals_batch(spark):
+    """The maintained state's read-time curve must equal the batch twin
+    exactly (IVM discipline: (group, score) census is batch-additive)."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    batch = {
+        (r.source, r.threshold): (r.cum_tp, r.cum_fp, r.precision_ppm, r.recall_ppm)
+        for r in QUERIES["eval_pr_curve"](spark, SF_DIR).collect()
+    }
+    stream = {
+        (r.source, r.threshold): (r.cum_tp, r.cum_fp, r.precision_ppm, r.recall_ppm)
+        for r in QUERIES["stream_pr_curve_maintain"](spark, SF_DIR).collect()
+    }
+    assert stream == batch
