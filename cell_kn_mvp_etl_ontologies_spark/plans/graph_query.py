@@ -770,8 +770,9 @@ def dag_depth_frontier(
     parent: str = "parent",
     max_rounds: int = 64,
     check_every: int = 4,
+    with_ancestors: bool = True,
 ) -> DataFrame:
-    """(node, depth, anc_bm) for every node of a DAG edge set
+    """(node, depth[, anc_bm]) for every node of a DAG edge set
     (child -> parent): depth = LONGEST path to any root (max-plus
     Bellman-Ford relaxation), anc_bm = BIGINT bitmap of all reachable
     ancestors (OR-fold) — the layer-relaxation production shape of
@@ -781,29 +782,47 @@ def dag_depth_frontier(
 
     Both lattices (MAX on depth, OR on the bitmap) are monotone and
     bounded on a DAG, so the joint fixpoint exists and is exact;
-    rounds = the hierarchy depth.  Labels must fit the single-BIGINT
-    bitmap universe (< 63); at corpus scale the bitmap column widens
-    to the bucketed-bitmap machinery (`agg_bitmap_distinct`) or an
-    HLL — the relaxation is unchanged.  Rounds capped with a LOUD
-    error (a partial fixpoint under-reports silently otherwise);
-    convergence probes batch ``check_every`` lazy hops per count.
+    rounds = the hierarchy depth.  With ``with_ancestors`` the labels
+    must fit the single-BIGINT bitmap universe (< 63 — GUARDED with a
+    loud error, because shiftleft wraps mod 64 and would corrupt
+    bitmaps SILENTLY past that); at corpus scale the bitmap column
+    widens to the bucketed-bitmap machinery (`agg_bitmap_distinct`) or
+    an HLL — the relaxation is unchanged, and ``with_ancestors=False``
+    runs the unbounded-universe depth-only relaxation.  Rounds capped
+    with a LOUD error (a partial fixpoint under-reports silently
+    otherwise); convergence probes batch ``check_every`` lazy hops per
+    count.
     """
+    if with_ancestors:
+        [mx] = edges.select(
+            F.greatest(F.max(child), F.max(parent)).alias("mx")
+        ).collect()
+        if mx.mx is not None and mx.mx >= 63:
+            raise ValueError(
+                f"dag_depth_frontier: label {mx.mx} exceeds the single-"
+                "BIGINT bitmap universe (< 63) — shiftleft would wrap and "
+                "corrupt ancestor sets silently.  Widen to the bucketed-"
+                "bitmap representation (agg_bitmap_distinct machinery) or "
+                "call with with_ancestors=False for depth-only."
+            )
+    anc_cols = (
+        [
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({parent} AS INT))"
+            ).alias("p_bit")
+        ]
+        if with_ancestors
+        else []
+    )
     e = edges.select(
-        F.col(child).alias("c"),
-        F.col(parent).alias("p"),
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({parent} AS INT))").alias(
-            "p_bit"
-        ),
+        F.col(child).alias("c"), F.col(parent).alias("p"), *anc_cols
     ).localCheckpoint(eager=True)
+    state_cols = [F.lit(0).cast("long").alias("anc_bm")] if with_ancestors else []
     state = (
         e.select(F.col("c").alias("node"))
         .unionByName(e.select(F.col("p").alias("node")))
         .distinct()
-        .select(
-            "node",
-            F.lit(0).cast("long").alias("depth"),
-            F.lit(0).cast("long").alias("anc_bm"),
-        )
+        .select("node", F.lit(0).cast("long").alias("depth"), *state_cols)
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds // check_every):
@@ -814,27 +833,25 @@ def dag_depth_frontier(
             ).select(
                 F.col("c").alias("node"),
                 (F.col("depth") + 1).alias("depth"),
-                F.expr("anc_bm | p_bit").alias("anc_bm"),
+                *(
+                    [F.expr("anc_bm | p_bit").alias("anc_bm")]
+                    if with_ancestors
+                    else []
+                ),
             )
-            state = (
-                state.unionByName(cand)
-                .groupBy("node")
-                .agg(
-                    F.max("depth").cast("long").alias("depth"),
-                    F.expr("bit_or(anc_bm)").cast("long").alias("anc_bm"),
-                )
+            aggs = [F.max("depth").cast("long").alias("depth")] + (
+                [F.expr("bit_or(anc_bm)").cast("long").alias("anc_bm")]
+                if with_ancestors
+                else []
             )
+            state = state.unionByName(cand).groupBy("node").agg(*aggs)
         state = state.localCheckpoint(eager=True)
-        changed = (
-            state.withColumnRenamed("depth", "__d")
-            .withColumnRenamed("anc_bm", "__b")
-            .join(before, on="node")
-            .filter(
-                (F.col("__d") != F.col("depth"))
-                | (F.col("__b") != F.col("anc_bm"))
-            )
-            .count()
-        )
+        delta = F.col("__d") != F.col("depth")
+        renamed = state.withColumnRenamed("depth", "__d")
+        if with_ancestors:
+            renamed = renamed.withColumnRenamed("anc_bm", "__b")
+            delta = delta | (F.col("__b") != F.col("anc_bm"))
+        changed = renamed.join(before, on="node").filter(delta).count()
         if changed == 0:
             return state
     raise RuntimeError(

@@ -656,3 +656,25 @@ def test_stream_pr_curve_equals_batch(spark):
         for r in QUERIES["stream_pr_curve_maintain"](spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_dag_depth_frontier_bitmap_guard(spark):
+    """Labels ≥ 63 must raise LOUDLY with ancestors on (shiftleft wraps
+    mod 64 — silent bitmap corruption otherwise) and run depth-only
+    with with_ancestors=False."""
+    import pytest
+
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+        dag_depth_frontier,
+    )
+
+    edges = spark.createDataFrame(
+        [(100, 70), (70, 5)], "child long, parent long"
+    )
+    with pytest.raises(ValueError, match="bitmap universe"):
+        dag_depth_frontier(edges)
+    got = {
+        r.node: r.depth
+        for r in dag_depth_frontier(edges, with_ancestors=False).collect()
+    }
+    assert got == {5: 0, 70: 1, 100: 2}
