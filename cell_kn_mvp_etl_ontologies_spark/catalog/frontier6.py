@@ -1909,3 +1909,196 @@ def stream_pr_curve_maintain_q(spark, sf_dir):
         ).alias("recall_ppm"),
     )
     return finish_and_clean(curve, root)
+
+
+# --------------------------------------------------------------------------
+# graph_dag_lca_similarity — LCA + Wu-Palmer similarity over the DAG slice
+# --------------------------------------------------------------------------
+@register(
+    "graph_dag_lca_similarity",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_DAG_EDGES_SQL}
+    ),
+    nodes AS (
+      -- engine trap (measured, DuckDB 1.0.0): inside a WITH RECURSIVE
+      -- block, a non-recursive CTE of the form "A UNION B" silently
+      -- loses UNION's dedup -- DISTINCT must be explicit
+      SELECT DISTINCT node FROM (
+        SELECT child AS node FROM e UNION ALL SELECT parent FROM e)
+    ),
+    paths(src, dst, len) AS (
+      SELECT child, parent, 1 FROM e
+      UNION
+      SELECT p.src, e2.parent, p.len + 1
+      FROM paths p JOIN e e2 ON p.dst = e2.child
+    ),
+    depths AS (
+      SELECT n.node AS node, COALESCE(MAX(p.len), 0) AS depth
+      FROM nodes n LEFT JOIN paths p ON p.src = n.node
+      GROUP BY n.node
+    ),
+    anc AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT node AS src, node AS dst FROM nodes
+        UNION ALL
+        SELECT src, dst FROM paths)
+    ),
+    pairs AS (
+      SELECT a.node AS n1, b.node AS n2
+      FROM nodes a JOIN nodes b ON a.node < b.node
+      WHERE ('0x' || substring(md5('lca|' || CAST(a.node AS VARCHAR)
+              || '|' || CAST(b.node AS VARCHAR)), 1, 8))::BIGINT % 100 < 3
+    ),
+    common AS (
+      SELECT p.n1, p.n2, a1.dst AS anc_node, d.depth AS anc_depth
+      FROM pairs p
+      JOIN anc a1 ON a1.src = p.n1
+      JOIN anc a2 ON a2.src = p.n2 AND a2.dst = a1.dst
+      JOIN depths d ON d.node = a1.dst
+    ),
+    best_depth AS (
+      SELECT n1, n2, MAX(anc_depth) AS lca_depth
+      FROM common GROUP BY n1, n2
+    ),
+    lca AS (
+      SELECT c.n1, c.n2, b.lca_depth, MIN(c.anc_node) AS lca_node
+      FROM common c
+      JOIN best_depth b ON b.n1 = c.n1 AND b.n2 = c.n2
+        AND c.anc_depth = b.lca_depth
+      GROUP BY c.n1, c.n2, b.lca_depth
+    )
+    SELECT CAST(p.n1 AS BIGINT) AS n1, CAST(p.n2 AS BIGINT) AS n2,
+           CAST(d1.depth AS BIGINT) AS d1, CAST(d2.depth AS BIGINT) AS d2,
+           CAST(l.lca_node AS BIGINT) AS lca_node,
+           CAST(l.lca_depth AS BIGINT) AS lca_depth,
+           CASE WHEN l.lca_depth IS NULL THEN NULL
+                WHEN d1.depth + d2.depth = 0 THEN NULL
+                ELSE CAST(2000 * l.lca_depth // (d1.depth + d2.depth)
+                          AS BIGINT)
+           END AS wup_milli
+    FROM pairs p
+    JOIN depths d1 ON d1.node = p.n1
+    JOIN depths d2 ON d2.node = p.n2
+    LEFT JOIN lca l ON l.n1 = p.n1 AND l.n2 = p.n2
+    """,
+)
+def graph_dag_lca_similarity_q(spark, sf_dir):
+    """Lowest-common-ancestor + Wu-Palmer similarity over the ontology
+    DAG slice — THE term-similarity primitive of ontology analytics
+    (Wu-Palmer/Resnik families all start from "deepest ancestor the two
+    terms share"; the reference's ArangoDB graph serves exactly such
+    traversals over its subClassOf DAGs).  For md5-thinned node pairs:
+    both terms' depths, the LCA (deepest common ancestor-OR-SELF, ties
+    broken by MIN node id — deterministic), and Wu-Palmer similarity
+    2·depth(lca)/(d1+d2) in milli (depth = longest path to a root, the
+    `graph_dag_depth` convention; root-depth-0 pairs yield NULL, stated
+    contract).
+
+    Gate tier: ancestors via the same path-doubling closure as
+    `graph_dag_depth` (slice-bounded by contract); the LCA argmax is
+    a two-step exact reduction (MAX depth per pair, then MIN node at
+    that depth) so engines cannot disagree on ties.  Production shape:
+    ancestor SETS come from the `dag_depth_frontier` bitmap/bucketed-
+    bitmap fold (anc_bm AND anc_bm = the common-ancestor set in one
+    codegen op per pair), depths from the same relaxation — LCA at
+    corpus scale is a bitwise-AND plus a highest-set-bit-by-depth
+    lookup, never a closure join.
+
+    100 TB shape: pairs × ancestors joins are bounded by the slice
+    contract here; the production path above replaces them with
+    per-pair O(label-width) bit math."""
+    edges = _dag_edges(spark, sf_dir)
+    reach = edges.select(
+        F.col("child").alias("src"),
+        F.col("parent").alias("dst"),
+        F.lit(1).alias("len"),
+    ).localCheckpoint(eager=True)
+    for _ in range(6):  # 2^6 = 64 >= longest chain on the 60-node slice
+        hops = (
+            reach.alias("x")
+            .join(reach.alias("y"), F.col("x.dst") == F.col("y.src"))
+            .select(
+                F.col("x.src").alias("src"),
+                F.col("y.dst").alias("dst"),
+                (F.col("x.len") + F.col("y.len")).alias("len"),
+            )
+        )
+        reach = (
+            reach.unionByName(hops)
+            .groupBy("src", "dst")
+            .agg(F.max("len").alias("len"))
+            .localCheckpoint(eager=True)
+        )
+    nodes = (
+        edges.select(F.col("child").alias("node"))
+        .unionByName(edges.select(F.col("parent").alias("node")))
+        .distinct()
+    )
+    depths = (
+        nodes.join(reach, nodes["node"] == reach["src"], "left")
+        .groupBy("node")
+        .agg(F.coalesce(F.max("len"), F.lit(0)).cast("long").alias("depth"))
+    )
+    anc = nodes.select(
+        F.col("node").alias("src"), F.col("node").alias("dst")
+    ).unionByName(reach.select("src", "dst")).distinct()
+    a = nodes.select(F.col("node").alias("n1"))
+    b = nodes.select(F.col("node").alias("n2"))
+    key = F.concat(
+        F.lit("lca|"),
+        F.col("n1").cast("string"),
+        F.lit("|"),
+        F.col("n2").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    pairs = (
+        a.join(b, F.col("n1") < F.col("n2"))
+        .filter(h % 100 < 3)
+        .localCheckpoint(eager=True)
+    )
+    common = (
+        pairs.join(
+            anc.select(F.col("src").alias("n1"), F.col("dst").alias("anc_node")),
+            on="n1",
+        ).join(
+            anc.select(F.col("src").alias("n2"), F.col("dst").alias("anc_node")),
+            on=["n2", "anc_node"],
+        )
+    ).join(
+        depths.select(
+            F.col("node").alias("anc_node"), F.col("depth").alias("anc_depth")
+        ),
+        on="anc_node",
+    )
+    best_depth = common.groupBy("n1", "n2").agg(
+        F.max("anc_depth").alias("lca_depth")
+    )
+    lca = (
+        common.join(best_depth, on=["n1", "n2"])
+        .filter(F.col("anc_depth") == F.col("lca_depth"))
+        .groupBy("n1", "n2", "lca_depth")
+        .agg(F.min("anc_node").alias("lca_node"))
+    )
+    return (
+        pairs.join(
+            depths.select(F.col("node").alias("n1"), F.col("depth").alias("d1")),
+            on="n1",
+        )
+        .join(
+            depths.select(F.col("node").alias("n2"), F.col("depth").alias("d2")),
+            on="n2",
+        )
+        .join(lca, on=["n1", "n2"], how="left")
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("d1").cast("long").alias("d1"),
+            F.col("d2").cast("long").alias("d2"),
+            F.col("lca_node").cast("long").alias("lca_node"),
+            F.col("lca_depth").cast("long").alias("lca_depth"),
+            F.when(
+                F.col("lca_depth").isNotNull() & (F.col("d1") + F.col("d2") > 0),
+                F.expr("CAST(2000 * lca_depth DIV (d1 + d2) AS BIGINT)"),
+            ).alias("wup_milli"),
+        )
+    )

@@ -678,3 +678,47 @@ def test_dag_depth_frontier_bitmap_guard(spark):
         for r in dag_depth_frontier(edges, with_ancestors=False).collect()
     }
     assert got == {5: 0, 70: 1, 100: 2}
+
+
+def test_dag_lca_against_python_closure(spark):
+    """LCA node/depth and Wu-Palmer milli must match a direct python
+    closure computation over the same slice."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier6 import _dag_edges
+
+    edges = [(r.child, r.parent) for r in _dag_edges(spark, SF_DIR).collect()]
+    parents: dict = {}
+    nodes = set()
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+        nodes |= {c, p}
+
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def anc_or_self(v):
+        out = {v}
+        for p in parents.get(v, ()):
+            out |= anc_or_self(p)
+        return frozenset(out)
+
+    @functools.lru_cache(maxsize=None)
+    def depth(v):
+        return max((1 + depth(p) for p in parents.get(v, ())), default=0)
+
+    rows = QUERIES["graph_dag_lca_similarity"](spark, SF_DIR).collect()
+    assert rows
+    n_with_lca = 0
+    for r in rows:
+        assert (r.d1, r.d2) == (depth(r.n1), depth(r.n2))
+        common = anc_or_self(r.n1) & anc_or_self(r.n2)
+        if not common:
+            assert r.lca_node is None and r.wup_milli is None
+            continue
+        n_with_lca += 1
+        best = max(depth(a) for a in common)
+        assert r.lca_depth == best
+        assert r.lca_node == min(a for a in common if depth(a) == best)
+        if r.d1 + r.d2 > 0:
+            assert r.wup_milli == 2000 * best // (r.d1 + r.d2)
+    assert n_with_lca > 0  # both branches exercised
