@@ -2102,3 +2102,156 @@ def graph_dag_lca_similarity_q(spark, sf_dir):
             ).alias("wup_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# eval_kendall_tau_bucketed — the guard-named fallback, implemented + gated
+# --------------------------------------------------------------------------
+@register(
+    "eval_kendall_tau_bucketed",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS cust,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x,
+             CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    pairs AS (
+      SELECT a.x - b.x AS dx, a.y - b.y AS dy
+      FROM per_cust a JOIN per_cust b ON a.cust < b.cust
+    ),
+    census AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+             CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+             CAST(SUM(CASE WHEN dx * dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tied
+      FROM pairs
+    )
+    SELECT n_pairs, n_conc, n_disc, n_tied,
+           CAST(CASE WHEN n_conc >= n_disc
+                THEN 1000000 * (n_conc - n_disc) // n_pairs
+                ELSE -(1000000 * (n_disc - n_conc) // n_pairs) END AS BIGINT)
+             AS tau_a_ppm
+    FROM census
+    """,
+)
+def eval_kendall_tau_bucketed_q(spark, sf_dir):
+    """The fallback `eval_kendall_tau_full`'s guard NAMES, implemented and
+    differentially gated against the same O(n²) oracle census (the twin
+    discipline): Kendall τ_a when BOTH metrics are near-continuous —
+    here x = spend cents and y = max single-order cents per customer,
+    both ~n distinct values, so the exact-grid path's |x-values| ≤ 200
+    guard WOULD trip.
+
+    Bucketed-x dominance counting with a boundary-strip join:
+      - bucket x into fixed-WIDTH value buckets (xb = x DIV 4e6 —
+        value-derived, so xb_i < xb_j ⟹ x_i < x_j STRICTLY and the
+        bucketing is engine/partitioning-independent);
+      - CROSS-BUCKET pairs: the same exact strict-CDF grid machinery as
+        the full path with xb as the small axis — per point j,
+        D_j = #(xb < xb_j) − H(xb_j⁻, y_j), C_j = H − E, orientation
+        fixed by the strict bucket inequality;
+      - SAME-BUCKET pairs (the boundary strip): an all-pairs join
+        PARTITIONED BY BUCKET — O(Σ n_b²) = O(n²/B) total, each strip
+        bounded (occupancy guard, loud; remedy = narrow the width or
+        recurse the bucketing);
+      - ties fall out by subtraction (n_pairs − conc − disc), exact.
+
+    100 TB shape: two keyed aggs + a B-row broadcast dim crossed with
+    the y grid + two PARTITIONED window passes + one equi-join back +
+    per-bucket bounded strips — nothing global, nothing quadratic in n;
+    B and the strip bound are the tuning pair (B·strip ≈ n keeps both
+    sides balanced)."""
+    from ..operators.guards import check_driver_bound
+
+    width = 4_000_000
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x"),
+            F.max(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("xb", F.expr(f"CAST(x DIV {width} AS BIGINT)"))
+    )
+    buckets = per.select("xb").distinct()
+    check_driver_bound(
+        buckets.count(),
+        512,
+        "eval_kendall_tau_bucketed: bucket dim",
+        "widen the bucket width (B*strip ~ n balances the two sides)",
+    )
+    [mx] = per.groupBy("xb").count().agg(F.max("count").alias("m")).collect()
+    check_driver_bound(
+        int(mx.m),
+        4096,
+        "eval_kendall_tau_bucketed: max strip occupancy",
+        "narrow the bucket width or recurse the bucketing inside hot strips",
+    )
+    # cross-bucket dominance counting (the eval_kendall_tau_full grid with
+    # xb as the small axis)
+    ygrid = per.select("y").distinct()
+    t_cnt = per.groupBy("xb", "y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    grid = (
+        ygrid.crossJoin(F.broadcast(buckets))
+        .join(t_cnt, ["xb", "y"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long"))
+    )
+    w_y = Window.partitionBy("xb").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cy = grid.withColumn("cy", F.sum("cnt").over(w_y))
+    w_x = Window.partitionBy("y").orderBy("xb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    h = (
+        cy.withColumn("h", F.coalesce(F.sum("cy").over(w_x), F.lit(0)).cast("long"))
+        .withColumn("e", F.coalesce(F.sum("cnt").over(w_x), F.lit(0)).cast("long"))
+        .select("xb", "y", "h", "e")
+    )
+    xcensus = per.groupBy("xb").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    w_xc = Window.orderBy("xb").rowsBetween(Window.unboundedPreceding, -1)
+    nx_lt = xcensus.withColumn(
+        "nx_lt", F.coalesce(F.sum("m").over(w_xc), F.lit(0)).cast("long")
+    ).select("xb", "nx_lt")
+    perj = per.join(h, ["xb", "y"]).join(F.broadcast(nx_lt), "xb")
+    cross = perj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("nx_lt") - F.col("h")).cast("long").alias("disc_x"),
+        F.sum(F.col("h") - F.col("e")).cast("long").alias("conc_x"),
+    )
+    # boundary strip: all-pairs WITHIN each bucket, partitioned by bucket
+    a = per.select("xb", F.col("cust").alias("ca"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = per.select("xb", F.col("cust").alias("cb"), F.col("x").alias("xx"), F.col("y").alias("yb"))
+    strip = (
+        a.join(b, on="xb")
+        .filter(F.col("ca") < F.col("cb"))
+        .select(
+            ((F.col("xa") - F.col("xx")) * (F.col("ya") - F.col("yb"))).alias("dxdy")
+        )
+        .agg(
+            F.sum((F.col("dxdy") > 0).cast("long")).cast("long").alias("conc_s"),
+            F.sum((F.col("dxdy") < 0).cast("long")).cast("long").alias("disc_s"),
+        )
+    )
+    sums = cross.crossJoin(strip).select(
+        "n",
+        (F.col("conc_x") + F.coalesce(F.col("conc_s"), F.lit(0))).alias("n_conc"),
+        (F.col("disc_x") + F.coalesce(F.col("disc_s"), F.lit(0))).alias("n_disc"),
+    )
+    return sums.select(
+        F.expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").alias("n_pairs"),
+        F.col("n_conc").cast("long").alias("n_conc"),
+        F.col("n_disc").cast("long").alias("n_disc"),
+        F.expr("CAST(n * (n - 1) DIV 2 - n_conc - n_disc AS BIGINT)").alias("n_tied"),
+        F.expr(
+            "CAST(CASE WHEN n_conc >= n_disc"
+            " THEN 1000000 * (n_conc - n_disc) DIV (n * (n - 1) DIV 2)"
+            " ELSE -(1000000 * (n_disc - n_conc) DIV (n * (n - 1) DIV 2)) END"
+            " AS BIGINT)"
+        ).alias("tau_a_ppm"),
+    )

@@ -722,3 +722,31 @@ def test_dag_lca_against_python_closure(spark):
         if r.d1 + r.d2 > 0:
             assert r.wup_milli == 2000 * best // (r.d1 + r.d2)
     assert n_with_lca > 0  # both branches exercised
+
+
+def test_kendall_bucketed_matches_quadratic_census(spark):
+    """The bucketed-x + strip decomposition must reproduce the exact
+    O(n²) pair census on both near-continuous metrics."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    per = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("x"),
+            F.max(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("y"),
+        )
+        .collect()
+    )
+    pts = [(r.x, r.y) for r in per]
+    conc = disc = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            s = (pts[i][0] - pts[j][0]) * (pts[i][1] - pts[j][1])
+            conc += s > 0
+            disc += s < 0
+    n = len(pts)
+    [r] = QUERIES["eval_kendall_tau_bucketed"](spark, SF_DIR).collect()
+    assert (r.n_pairs, r.n_conc, r.n_disc) == (n * (n - 1) // 2, conc, disc)
+    assert r.n_tied == n * (n - 1) // 2 - conc - disc
