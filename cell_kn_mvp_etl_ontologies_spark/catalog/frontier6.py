@@ -2255,3 +2255,206 @@ def eval_kendall_tau_bucketed_q(spark, sf_dir):
             " AS BIGINT)"
         ).alias("tau_a_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# eval_wilcoxon_signed_rank — paired nonparametric shift test, exact ranks
+# --------------------------------------------------------------------------
+@register(
+    "eval_wilcoxon_signed_rank",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS cust,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+                  THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+               - SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+                  THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS d
+      FROM orders GROUP BY o_custkey
+    ),
+    nz AS (SELECT d, ABS(d) AS ad FROM per WHERE d <> 0),
+    per_ad AS (
+      SELECT ad, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+      FROM nz GROUP BY ad
+    ),
+    ranked AS (
+      SELECT ad, c, p,
+             2 * (SUM(c) OVER (ORDER BY ad) - c) + c + 1 AS r2
+      FROM per_ad
+    ),
+    agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_eff,
+             CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(p * r2) AS BIGINT) AS w_plus2
+      FROM ranked
+    )
+    SELECT n_eff, n_pos, w_plus2,
+           CAST(n_eff * (n_eff + 1) - w_plus2 AS BIGINT) AS w_minus2,
+           CAST(2 * w_plus2 - n_eff * (n_eff + 1) AS BIGINT) AS shift_num4
+    FROM agg
+    """,
+)
+def eval_wilcoxon_signed_rank_q(spark, sf_dir):
+    """Wilcoxon signed-rank test on PAIRED per-entity metrics — the
+    nonparametric shift test for 'did the same customers spend more
+    after the cut date': d = H2 − H1 spend cents per customer, zeros
+    dropped (the standard convention), |d| midranks computed exactly in
+    integers by DOUBLING (the `eval_auc_rank` trick: 2·avg-rank =
+    2·cum_before + c + 1 is always integral), W⁺ as the doubled
+    rank-sum of positive diffs.  Emits the exact complement
+    W⁻ = n(n+1) − W⁺ (doubled) and the mean-centered shift numerator
+    4·(W⁺ − E[W⁺]) = 2·W⁺₂ − n(n+1) — sign says direction, magnitude
+    vs n(n+1)(2n+1)/6 variance is float post-processing OUTSIDE the
+    gated contract (the `profile_moments` doctrine).  Completes the
+    paired-eval family: McNemar (binary), CUPED (variance-reduced
+    means), Wilcoxon (ordinal/robust shift).
+
+    100 TB shape: one keyed agg to per-entity diffs, one hash agg to
+    |d|-value granularity (map-side combinable), ONE window cumsum over
+    distinct |d| values, 1-row reduce — the auc_rank envelope."""
+    cut = "1998-07-01"
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") >= F.lit(cut).cast("timestamp"),
+                        F.floor(F.col("o_totalprice") * 100).cast("long"),
+                    ).otherwise(F.lit(0))
+                )
+                - F.sum(
+                    F.when(
+                        F.col("o_orderdate") < F.lit(cut).cast("timestamp"),
+                        F.floor(F.col("o_totalprice") * 100).cast("long"),
+                    ).otherwise(F.lit(0))
+                )
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    nz = per.filter(F.col("d") != 0).select("d", F.abs("d").alias("ad"))
+    per_ad = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum((F.col("d") > 0).cast("long")).cast("long").alias("p"),
+    )
+    w = Window.orderBy("ad")
+    ranked = per_ad.withColumn(
+        "r2", 2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1
+    )
+    agg = ranked.agg(
+        F.sum("c").cast("long").alias("n_eff"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("p") * F.col("r2")).cast("long").alias("w_plus2"),
+    )
+    return agg.select(
+        "n_eff",
+        "n_pos",
+        "w_plus2",
+        (F.col("n_eff") * (F.col("n_eff") + 1) - F.col("w_plus2"))
+        .cast("long")
+        .alias("w_minus2"),
+        (2 * F.col("w_plus2") - F.col("n_eff") * (F.col("n_eff") + 1))
+        .cast("long")
+        .alias("shift_num4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_allocation_largest_remainder — exact budget apportionment
+# --------------------------------------------------------------------------
+@register(
+    "sample_allocation_largest_remainder",
+    oracle="""
+    WITH sized AS (
+      SELECT source,
+             CAST(SUM(GREATEST(n_chars // 4, 1)) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM sized),
+    quota AS (
+      SELECT source, tokens,
+             CAST(100000 * tokens // t AS BIGINT) AS base_alloc,
+             CAST(100000 * tokens % t AS BIGINT) AS rem_num
+      FROM sized, tot
+    ),
+    ranked AS (
+      SELECT source, tokens, base_alloc, rem_num,
+             CAST(row_number() OVER (ORDER BY rem_num DESC, source)
+               AS BIGINT) AS rem_rank,
+             CAST(100000 - SUM(base_alloc) OVER () AS BIGINT) AS n_extra
+      FROM quota
+    )
+    SELECT source, tokens, base_alloc, rem_num,
+           CAST(CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def sample_allocation_largest_remainder_q(spark, sf_dir):
+    """Exact largest-remainder (Hamilton) apportionment of a sampling
+    budget across strata — the allocation step every proportional
+    training-data mix needs BEFORE `sample_token_budget_mix` draws:
+    floor quotas ⌊K·w_h/W⌋ leave K − Σfloor units; they go to the
+    strata with the largest remainders (deterministic tie-break by
+    stratum id), so Σalloc = K EXACTLY and every stratum is within 1 of
+    its real quota — the apportionment guarantee pro-rata-then-round
+    schemes (which can over/undershoot K by |strata|) do not give.
+    Weights = estimated tokens per source (the packer's measure).
+
+    Exactness: quotas and remainders are pure integer div/mod on
+    non-negative operands; the remainder rank is fully keyed
+    (rem desc, source).  The Σfloor window and the remainder rank run
+    on the |strata|-row frame — bounded-dim single-partition by the
+    same contract as `eval_kendall_tau_full`'s x-census (strata
+    cardinality is the contract bound, documented).
+
+    100 TB shape: one hash agg corpus → |strata| rows; everything after
+    is dim-frame arithmetic — the allocation of a trillion-token budget
+    costs one scan."""
+    sized = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.greatest(F.expr("n_chars DIV 4"), F.lit(1)))
+            .cast("long")
+            .alias("tokens")
+        )
+    )
+    tot = sized.agg(F.sum("tokens").cast("long").alias("t"))
+    quota = sized.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr("CAST(100000 * tokens DIV t AS BIGINT)").alias("base_alloc"),
+        F.expr("CAST(100000 * tokens % t AS BIGINT)").alias("rem_num"),
+    )
+    w_rank = Window.orderBy(F.desc("rem_num"), F.asc("source"))
+    w_all = Window.partitionBy()
+    ranked = quota.select(
+        "source",
+        "tokens",
+        "base_alloc",
+        "rem_num",
+        F.row_number().over(w_rank).cast("long").alias("rem_rank"),
+        (F.lit(100000) - F.sum("base_alloc").over(w_all))
+        .cast("long")
+        .alias("n_extra"),
+    )
+    return ranked.select(
+        "source",
+        "tokens",
+        "base_alloc",
+        "rem_num",
+        (F.col("rem_rank") <= F.col("n_extra")).cast("long").alias("extra"),
+        (
+            F.col("base_alloc")
+            + (F.col("rem_rank") <= F.col("n_extra")).cast("long")
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -750,3 +750,67 @@ def test_kendall_bucketed_matches_quadratic_census(spark):
     [r] = QUERIES["eval_kendall_tau_bucketed"](spark, SF_DIR).collect()
     assert (r.n_pairs, r.n_conc, r.n_disc) == (n * (n - 1) // 2, conc, disc)
     assert r.n_tied == n * (n - 1) // 2 - conc - disc
+
+
+def test_wilcoxon_matches_scipy_free_python(spark):
+    """W+ (doubled) must equal the direct midrank computation, and the
+    identities W+ + W- = n(n+1)/2 (doubled) and the centered numerator
+    must hold."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    per = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp"),
+                        F.floor(F.col("o_totalprice") * 100).cast("long"),
+                    ).otherwise(F.lit(0))
+                )
+                - F.sum(
+                    F.when(
+                        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"),
+                        F.floor(F.col("o_totalprice") * 100).cast("long"),
+                    ).otherwise(F.lit(0))
+                )
+            ).alias("d")
+        )
+        .collect()
+    )
+    ds = [r.d for r in per if r.d != 0]
+    srt = sorted(abs(d) for d in ds)
+    # doubled midrank per |d| value
+    from collections import Counter
+
+    cnt = Counter(srt)
+    r2 = {}
+    cum = 0
+    for v in sorted(cnt):
+        r2[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    w_plus2 = sum(r2[abs(d)] for d in ds if d > 0)
+    n = len(ds)
+    [r] = QUERIES["eval_wilcoxon_signed_rank"](spark, SF_DIR).collect()
+    assert (r.n_eff, r.w_plus2) == (n, w_plus2)
+    assert r.w_plus2 + r.w_minus2 == n * (n + 1)
+    assert r.shift_num4 == 2 * w_plus2 - n * (n + 1)
+    assert r.n_pos == sum(1 for d in ds if d > 0)
+
+
+def test_largest_remainder_sums_to_budget(spark):
+    """Σalloc = K exactly; every stratum within 1 of its real quota."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    rows = QUERIES["sample_allocation_largest_remainder"](spark, SF_DIR).collect()
+    assert rows
+    K = 100_000
+    total_tokens = sum(r.tokens for r in rows)
+    assert sum(r.alloc for r in rows) == K
+    for r in rows:
+        exact = K * r.tokens / total_tokens
+        assert r.base_alloc == K * r.tokens // total_tokens
+        assert abs(r.alloc - exact) < 1
+        assert r.extra in (0, 1)
