@@ -2458,3 +2458,149 @@ def sample_allocation_largest_remainder_q(spark, sf_dir):
         .cast("long")
         .alias("alloc"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_betweenness_bounded — bounded-radius betweenness centrality
+# --------------------------------------------------------------------------
+@register(
+    "graph_betweenness_bounded",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_SCC_EDGES_SQL}
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    -- walk ENUMERATION (multiplicity = one row per walk): the oracle's
+    -- naive tier; the Spark side aggregates counts per hop instead
+    walks(s, t, k) AS (
+      SELECT src, dst, 1 FROM e
+      UNION ALL
+      SELECT w.s, e2.dst, w.k + 1 FROM walks w
+      JOIN e e2 ON e2.src = w.t WHERE w.k < 6
+    ),
+    sigma_all AS (
+      SELECT s, t, k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM walks GROUP BY s, t, k
+    ),
+    dmin AS (
+      SELECT s, t, MIN(k) AS d FROM sigma_all WHERE s <> t GROUP BY s, t
+    ),
+    sigma AS (
+      SELECT a.s, a.t, m.d, a.cnt AS sg
+      FROM sigma_all a JOIN dmin m ON m.s = a.s AND m.t = a.t AND m.d = a.k
+    ),
+    contrib AS (
+      SELECT sv.t AS v,
+             CAST(1000000 * sv.sg * vt.sg // st.sg AS BIGINT) AS c_milli
+      FROM sigma sv
+      JOIN sigma vt ON vt.s = sv.t
+      JOIN sigma st ON st.s = sv.s AND st.t = vt.t
+        AND st.d = sv.d + vt.d
+      WHERE sv.s <> vt.t AND sv.t <> sv.s AND sv.t <> vt.t
+    )
+    SELECT CAST(n.node AS BIGINT) AS node,
+           CAST(COALESCE(SUM(c.c_milli), 0) AS BIGINT) AS betweenness_ppm,
+           CAST(COUNT(c.c_milli) AS BIGINT) AS n_contribs
+    FROM nodes n LEFT JOIN contrib c ON c.v = n.node
+    GROUP BY n.node
+    """,
+)
+def graph_betweenness_bounded_q(spark, sf_dir):
+    """Bounded-radius betweenness centrality over the directed slice —
+    the brokerage metric of the centrality canon (pagerank = influence,
+    HITS = authority, betweenness = CHOKEPOINTS): for every node v, the
+    sum over (s, t) pairs of the fraction of shortest s→t paths that
+    pass through v, restricted to shortest paths of length ≤ 6 — the
+    k-betweenness variant production systems actually compute (full
+    betweenness needs all-pairs shortest paths; bounded-radius keeps
+    the semantics local and the cost bounded, and on small-world graphs
+    captures most of the mass).
+
+    Exactness: shortest-path COUNTS σ are walk counts at the minimal
+    hop k (a shortest walk cannot revisit, so walk-count = path-count
+    at k = d); the pair contribution is the per-pair truncated integer
+    1e6·σ_sv·σ_vt DIV σ_st summed per v — order-independent, so
+    partitioning cannot change the result.  The Bellman combination
+    σ_sv·σ_vt with d_sv + d_vt = d_st is the Brandes identity.
+
+    Plan: Spark AGGREGATES counts per hop (W_{{k+1}} = W_k ⋈ A with a
+    (s,t)-keyed SUM — the matrix-power shape, O(L) keyed shuffles,
+    counts never enumerated), where the oracle's recursive CTE
+    enumerates one row PER WALK — the naive tier the aggregated plan
+    is gated against.  100 TB shape: per-hop joins keyed by the
+    frontier endpoint; at corpus scale s is restricted to a sampled
+    source set (Brandes sampling, the documented production estimator)
+    and the combination join is keyed by v — nothing all-pairs beyond
+    the slice contract."""
+    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    walks = edges.select("src", "dst", F.lit(1).alias("k"), F.lit(1).cast("long").alias("cnt"))
+    frontier = walks
+    for _ in range(5):  # hops 2..6
+        frontier = (
+            frontier.join(
+                edges.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")),
+                on="dst",
+            )
+            .groupBy("src", F.col("nxt").alias("dst2"), (F.col("k") + 1).alias("k2"))
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .select(
+                "src",
+                F.col("dst2").alias("dst"),
+                F.col("k2").alias("k"),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+        walks = walks.unionByName(frontier)
+    sigma_all = walks.groupBy("src", "dst", "k").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    dmin = (
+        sigma_all.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("k").alias("d"))
+    )
+    sigma = (
+        sigma_all.join(dmin, on=["src", "dst"])
+        .filter(F.col("k") == F.col("d"))
+        .select("src", "dst", "d", F.col("cnt").alias("sg"))
+        .localCheckpoint(eager=True)
+    )
+    sv = sigma.select(
+        F.col("src").alias("s"), F.col("dst").alias("v"),
+        F.col("d").alias("d1"), F.col("sg").alias("sg1"),
+    )
+    vt = sigma.select(
+        F.col("src").alias("v"), F.col("dst").alias("t"),
+        F.col("d").alias("d2"), F.col("sg").alias("sg2"),
+    )
+    st = sigma.select(
+        F.col("src").alias("s"), F.col("dst").alias("t"),
+        F.col("d").alias("dst_d"), F.col("sg").alias("sg_st"),
+    )
+    contrib = (
+        sv.join(vt, on="v")
+        .filter((F.col("s") != F.col("t")) & (F.col("v") != F.col("s")) & (F.col("v") != F.col("t")))
+        .join(st, on=["s", "t"])
+        .filter(F.col("dst_d") == F.col("d1") + F.col("d2"))
+        .select(
+            "v",
+            F.expr("CAST(1000000 * sg1 * sg2 DIV sg_st AS BIGINT)").alias("c_milli"),
+        )
+    )
+    return (
+        nodes.join(contrib, nodes["node"] == contrib["v"], "left")
+        .groupBy("node")
+        .agg(
+            F.coalesce(F.sum("c_milli"), F.lit(0)).cast("long").alias("betweenness_ppm"),
+            F.count("c_milli").cast("long").alias("n_contribs"),
+        )
+        .select(F.col("node").cast("long").alias("node"), "betweenness_ppm", "n_contribs")
+    )

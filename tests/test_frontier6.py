@@ -814,3 +814,57 @@ def test_largest_remainder_sums_to_budget(spark):
         assert r.base_alloc == K * r.tokens // total_tokens
         assert abs(r.alloc - exact) < 1
         assert r.extra in (0, 1)
+
+
+def test_betweenness_bounded_against_python_bfs(spark):
+    """Betweenness contributions must match a direct python BFS path-count
+    computation (radius ≤ 6) on the same slice."""
+    from collections import defaultdict, deque
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier6 import _scc_edges
+
+    edges = [(r.src, r.dst) for r in _scc_edges(spark, SF_DIR).collect()]
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        adj[s].append(d)
+        nodes |= {s, d}
+
+    # BFS path counts per source, radius 6
+    sigma = {}  # (s,t) -> (d, count)
+    for s in nodes:
+        dist = {s: 0}
+        cnt = defaultdict(int)
+        cnt[s] = 1
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 6:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    cnt[w] += cnt[u]
+        for t, d in dist.items():
+            if t != s:
+                sigma[(s, t)] = (d, cnt[t])
+
+    want = {n: [0, 0] for n in nodes}
+    for (s, t), (d, sg) in sigma.items():
+        for v in nodes:
+            if v in (s, t):
+                continue
+            if (s, v) in sigma and (v, t) in sigma:
+                d1, g1 = sigma[(s, v)]
+                d2, g2 = sigma[(v, t)]
+                if d1 + d2 == d:
+                    want[v][0] += 1_000_000 * g1 * g2 // sg
+                    want[v][1] += 1
+    got = {
+        r.node: (r.betweenness_ppm, r.n_contribs)
+        for r in QUERIES["graph_betweenness_bounded"](spark, SF_DIR).collect()
+    }
+    assert got == {n: tuple(w) for n, w in want.items()}
