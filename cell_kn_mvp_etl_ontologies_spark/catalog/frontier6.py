@@ -32,10 +32,31 @@ twins of existing gate tiers (SURVEY §2.12, §2.11).
   (Σd² DIV n before the 6e6 blowup, int64-safe to n ≈ 2.5e7) as its own
   gated contract.
 
+Continuation batch (same round): the retrieval-eval threshold family
+(`eval_pr_curve`, `eval_average_precision`, `stream_pr_curve_maintain` —
+the curve as IVM over the batch-additive (group, score) census),
+`eval_pairwise_winrate` (paired model comparison census),
+`eval_wilcoxon_signed_rank` (doubled-midrank exact paired shift test),
+`eval_kendall_tau_bucketed` (the guard-named bucketed-x + boundary-strip
+fallback, gated on the same O(n²) census), the LLM training-data ops
+(`pairs_dpo_dataset` outside-in preference pairing,
+`pack_attention_spans` block-diagonal mask metadata,
+`fn_chat_truncate_budget` maximal-fitting-suffix truncation,
+`sample_allocation_largest_remainder` Hamilton apportionment),
+`profile_moments` (pivot-centered exact central-moment numerators), and
+the graph tier completions (`graph_scc_fb` + `graph_dag_depth_frontier`
+production twins gated on their gate tiers' oracles,
+`graph_dag_lca_similarity` Wu-Palmer term similarity,
+`graph_betweenness_bounded` k≤6 betweenness via aggregated walk counts
+vs a walk-enumerating oracle).
+
 Shared doctrines: integer/rational identities, sign-decomposed or
 subtraction-only signed stats, quadratic cost only on contract-bounded
 eval slices, production paths differentially gated against the same
-oracles as their gate tiers.
+oracles as their gate tiers.  Engine trap pinned this round: DuckDB
+1.0.0 drops UNION's dedup for NON-recursive CTEs inside a WITH
+RECURSIVE block (measured; explicit DISTINCT required — see
+`graph_dag_lca_similarity`'s oracle).
 """
 
 from __future__ import annotations
