@@ -45,6 +45,25 @@ WAIVERS: dict[str, set[str]] = {
     # all keyed, none single-partition, ReusedExchange dedupes the
     # repeated per-customer agg subtree.
     "eval_kendall_tau_full": {"CARTESIAN", "MANY_EXCH"},
+    # the guard-named fallback twin: its cross joins are the y grid ×
+    # bucket dim broadcast (guard-bounded ≤ 512 buckets — the documented
+    # O(B·n) expansion) and the 1-row cross-census × 1-row strip-census
+    # combine (the sanctioned 1-row stats-frame pattern); the 16
+    # exchanges are the same five keyed stages as the full path plus the
+    # bucket-partitioned strip join and the two bounded-dim census
+    # frames — all keyed or bounded-dim, none corpus-single-partition.
+    "eval_kendall_tau_bucketed": {"CARTESIAN", "MANY_EXCH"},
+    # the LCA gate tier runs the graph_dag_depth closure (6 path-doubling
+    # rounds behind localCheckpoint) plus the ancestor-or-self de-dup,
+    # pair thinning, two anc joins, the two-step LCA argmax, and three
+    # depth joins — all keyed exchanges over the contract-BOUNDED 60-node
+    # slice; production is the dag_depth_frontier bitmap AND, which has
+    # none of these joins.
+    "graph_dag_lca_similarity": {"MANY_EXCH"},
+    # the only cross join is broadcast-of-1-row total-tokens frame onto
+    # the |strata|-row dim (the sanctioned 1-row stats-frame pattern,
+    # operators/training.py:418 precedent).
+    "sample_allocation_largest_remainder": {"CARTESIAN"},
     # embeds the registered graph_scc (one source of truth for the
     # labeling): its mutual-reachability join + node/edge distincts plus
     # the condensation's two label joins and final distinct are all keyed
