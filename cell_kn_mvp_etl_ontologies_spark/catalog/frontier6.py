@@ -2625,3 +2625,311 @@ def graph_betweenness_bounded_q(spark, sf_dir):
         )
         .select(F.col("node").cast("long").alias("node"), "betweenness_ppm", "n_contribs")
     )
+
+
+# --------------------------------------------------------------------------
+# eval_rank_biased_overlap — RBO@10 between two rankers, exact integer terms
+# --------------------------------------------------------------------------
+_RBO_W_SQL = """(VALUES (1, 100000), (2, 90000), (3, 81000), (4, 72900),
+      (5, 65610), (6, 59049), (7, 53144), (8, 47829), (9, 43046),
+      (10, 38742)) AS w(d, w_ppm)"""
+
+
+@register(
+    "eval_rank_biased_overlap",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, doc_id, n_chars AS a,
+             CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+                    t -> t IN ('the','a','of','and','to','in','is')))
+                  // len(string_split_regex(text, '\\s+')) AS BIGINT) AS b
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY a DESC, doc_id) AS BIGINT) AS ra,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY b DESC, doc_id) AS BIGINT) AS rb
+      FROM scored
+    ),
+    both_top AS (
+      SELECT source, GREATEST(ra, rb) AS m
+      FROM ranked WHERE ra <= 10 AND rb <= 10
+    ),
+    terms AS (
+      SELECT b.source, w.d, w.w_ppm,
+             CAST(COUNT(*) AS BIGINT) AS overlap_d
+      FROM both_top b JOIN {_RBO_W_SQL} ON b.m <= w.d
+      GROUP BY b.source, w.d, w.w_ppm
+    )
+    SELECT source,
+           CAST(SUM(w_ppm * overlap_d // d) AS BIGINT) AS rbo_ppm_trunc,
+           CAST(MAX(CASE WHEN d = 10 THEN overlap_d END) AS BIGINT)
+             AS overlap_at_10
+    FROM terms GROUP BY source
+    """,
+)
+def eval_rank_biased_overlap_q(spark, sf_dir):
+    """Rank-biased overlap (RBO@10, p = 0.9, truncated — no residual term,
+    stated contract) between two rankers of the same items per group —
+    the top-weighted rank-agreement metric for comparing retrieval runs
+    or model rankings (Kendall/Spearman weight all positions equally;
+    RBO weights the head geometrically, which is what retrieval cares
+    about).  Ranker A = char length, B = stopword density, each under a
+    fully keyed total order.
+
+    Exactness: the geometric weights (1−p)·p^(d−1) are a HARDCODED
+    integer ppm table (the `eval_ranking_ndcg` discount-table
+    precedent — no float pow in either engine); per-depth overlap uses
+    the max-rank census (a doc in both top-10s contributes to every
+    depth ≥ max(ra, rb), so overlap_d = #docs with max-rank ≤ d — one
+    join against the 10-row weight dim, no per-depth set intersection);
+    each term w_d·overlap_d DIV d is an integer, so the sum is
+    order-independent.  Truncated RBO@10 caps at Σw = 651,320 ppm
+    (= 1 − p¹⁰), documented.
+
+    100 TB shape: two within-group row_number windows (per-group
+    partitions) + a 10-row broadcast dim join + one group aggregate —
+    groups scale out; only top-10 rows leave each group."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("a"),
+        F.expr(
+            "CAST(1000000 * size(filter(split(text, '\\\\s+'),"
+            " t -> t IN ('the','a','of','and','to','in','is')))"
+            " DIV size(split(text, '\\\\s+')) AS BIGINT)"
+        ).alias("b"),
+    )
+    w_a = Window.partitionBy("source").orderBy(F.desc("a"), F.asc("doc_id"))
+    w_b = Window.partitionBy("source").orderBy(F.desc("b"), F.asc("doc_id"))
+    ranked = scored.select(
+        "source",
+        F.row_number().over(w_a).cast("long").alias("ra"),
+        F.row_number().over(w_b).cast("long").alias("rb"),
+    )
+    both_top = ranked.filter((F.col("ra") <= 10) & (F.col("rb") <= 10)).select(
+        "source", F.greatest("ra", "rb").alias("m")
+    )
+    weights = spark.createDataFrame(
+        [(1, 100000), (2, 90000), (3, 81000), (4, 72900), (5, 65610),
+         (6, 59049), (7, 53144), (8, 47829), (9, 43046), (10, 38742)],
+        "d long, w_ppm long",
+    )
+    terms = (
+        both_top.join(F.broadcast(weights), F.col("m") <= F.col("d"))
+        .groupBy("source", "d", "w_ppm")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap_d"))
+    )
+    return terms.groupBy("source").agg(
+        F.sum(F.expr("w_ppm * overlap_d DIV d")).cast("long").alias("rbo_ppm_trunc"),
+        F.max(F.when(F.col("d") == 10, F.col("overlap_d")))
+        .cast("long")
+        .alias("overlap_at_10"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_eccentricity_bounded — radius-6 reachability/eccentricity profile
+# --------------------------------------------------------------------------
+@register(
+    "graph_eccentricity_bounded",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_SCC_EDGES_SQL}
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    walks(s, t, k) AS (
+      SELECT src, dst, 1 FROM e
+      UNION ALL
+      SELECT w.s, e2.dst, w.k + 1 FROM walks w
+      JOIN e e2 ON e2.src = w.t WHERE w.k < 6
+    ),
+    dmin AS (
+      SELECT s, t, CAST(MIN(k) AS BIGINT) AS d FROM walks
+      WHERE s <> t GROUP BY s, t
+    )
+    SELECT CAST(n.node AS BIGINT) AS node,
+           CAST(COALESCE(COUNT(m.t), 0) AS BIGINT) AS n_reach,
+           CAST(COALESCE(MAX(m.d), 0) AS BIGINT) AS ecc,
+           CAST(COALESCE(SUM(m.d), 0) AS BIGINT) AS sum_dist
+    FROM nodes n LEFT JOIN dmin m ON m.s = n.node
+    GROUP BY n.node
+    """,
+)
+def graph_eccentricity_bounded_q(spark, sf_dir):
+    """Bounded-radius (k ≤ 6) eccentricity + reachability profile per
+    node — the 'how far is everything from here' audit completing the
+    bounded-radius family (`graph_betweenness_bounded` shares the exact
+    same shortest-distance table): out-reach set size, eccentricity
+    (max shortest distance), and the closeness numerator Σd within the
+    radius.  Closeness centrality 1e6·n_reach²/(n·Σd) is float
+    post-processing of these integers (the `profile_moments` doctrine).
+
+    Same walk-count machinery as betweenness: Spark aggregates per-hop
+    counts (matrix-power joins, O(L) keyed shuffles); the oracle's
+    recursive CTE enumerates one row per walk — naive tier vs
+    aggregated plan, gated equal.  At corpus scale the radius bound IS
+    the contract (bounded-radius closeness/eccentricity are the
+    standard large-graph variants) and sources are sampled
+    Brandes-style."""
+    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    frontier = edges.select("src", "dst", F.lit(1).alias("k"))
+    reach = frontier
+    for _ in range(5):
+        frontier = (
+            frontier.join(
+                edges.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")),
+                on="dst",
+            )
+            .select("src", F.col("nxt").alias("dst"), (F.col("k") + 1).alias("k"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        reach = reach.unionByName(frontier)
+    dmin = (
+        reach.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("k").cast("long").alias("d"))
+    )
+    return (
+        nodes.join(dmin, nodes["node"] == dmin["src"], "left")
+        .groupBy("node")
+        .agg(
+            F.count(F.col("dst")).cast("long").alias("n_reach"),
+            F.coalesce(F.max("d"), F.lit(0)).cast("long").alias("ecc"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("sum_dist"),
+        )
+        .select(F.col("node").cast("long").alias("node"), "n_reach", "ecc", "sum_dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_allocation_maintain — the Hamilton allocation as IVM
+# --------------------------------------------------------------------------
+@register(
+    "stream_allocation_maintain",
+    oracle="""
+    WITH sized AS (
+      SELECT source,
+             CAST(SUM(GREATEST(n_chars // 4, 1)) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM sized),
+    quota AS (
+      SELECT source, tokens,
+             CAST(100000 * tokens // t AS BIGINT) AS base_alloc,
+             CAST(100000 * tokens % t AS BIGINT) AS rem_num
+      FROM sized, tot
+    ),
+    ranked AS (
+      SELECT source, tokens, base_alloc, rem_num,
+             CAST(row_number() OVER (ORDER BY rem_num DESC, source)
+               AS BIGINT) AS rem_rank,
+             CAST(100000 - SUM(base_alloc) OVER () AS BIGINT) AS n_extra
+      FROM quota
+    )
+    SELECT source, tokens, base_alloc, rem_num,
+           CAST(CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def stream_allocation_maintain_q(spark, sf_dir):
+    """Streaming maintenance of `sample_allocation_largest_remainder` —
+    the budget dashboard you'd run WHILE a corpus ingests: per-batch
+    (source → token) sums fold into keyed parquet state (pure SUM,
+    bundling-independent); the Hamilton apportionment is derived from
+    the |strata|-row state at read time and must equal the batch twin
+    EXACTLY (same oracle — the `stream_pr_curve_maintain` IVM
+    discipline).  The allocation itself is NOT batch-additive (floor
+    quotas and remainder ranks depend on the global totals); the
+    maintained sufficient statistic is the per-stratum token census.
+
+    100 TB shape: per trigger O(batch) projection + a source-keyed
+    partial agg; state is |strata| rows regardless of rows ingested;
+    the apportionment is dim-frame arithmetic at read time."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming import read_documents_stream
+    from . import finish_and_clean
+
+    stream = read_documents_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_alloc_")
+    state_path = root + "/state"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = batch_df.groupBy("source").agg(
+            F.sum(F.greatest(F.expr("n_chars DIV 4"), F.lit(1)))
+            .cast("long")
+            .alias("tokens")
+        )
+        if _os.path.isdir(state_path):
+            state = sp.read.parquet(state_path)
+            merged = (
+                state.unionByName(part)
+                .groupBy("source")
+                .agg(F.sum("tokens").cast("long").alias("tokens"))
+            )
+        else:
+            merged = part
+        staging = root + "/staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    sized = spark.read.parquet(state_path)
+    tot = sized.agg(F.sum("tokens").cast("long").alias("t"))
+    quota = sized.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr("CAST(100000 * tokens DIV t AS BIGINT)").alias("base_alloc"),
+        F.expr("CAST(100000 * tokens % t AS BIGINT)").alias("rem_num"),
+    )
+    w_rank = Window.orderBy(F.desc("rem_num"), F.asc("source"))
+    w_all = Window.partitionBy()
+    out = quota.select(
+        "source",
+        "tokens",
+        "base_alloc",
+        "rem_num",
+        F.row_number().over(w_rank).cast("long").alias("rem_rank"),
+        (F.lit(100000) - F.sum("base_alloc").over(w_all))
+        .cast("long")
+        .alias("n_extra"),
+    ).select(
+        "source",
+        "tokens",
+        "base_alloc",
+        "rem_num",
+        (F.col("rem_rank") <= F.col("n_extra")).cast("long").alias("extra"),
+        (
+            F.col("base_alloc")
+            + (F.col("rem_rank") <= F.col("n_extra")).cast("long")
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+    return finish_and_clean(out, root)

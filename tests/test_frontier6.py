@@ -868,3 +868,96 @@ def test_betweenness_bounded_against_python_bfs(spark):
         for r in QUERIES["graph_betweenness_bounded"](spark, SF_DIR).collect()
     }
     assert got == {n: tuple(w) for n, w in want.items()}
+
+
+def test_rbo_against_python(spark):
+    """RBO@10 terms must match a direct python prefix-overlap computation
+    with the hardcoded weight table."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+    import re
+
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "n_chars", "text"
+    ).collect()
+    by_src: dict = {}
+    for d in docs:
+        toks = re.split(r"\s+", d.text)
+        q = 1_000_000 * sum(1 for t in toks if t in stop) // len(toks)
+        by_src.setdefault(d.source, []).append((d.doc_id, d.n_chars, q))
+    W = [100000, 90000, 81000, 72900, 65610, 59049, 53144, 47829, 43046, 38742]
+    want = {}
+    for src, rows in by_src.items():
+        ra = {doc: i + 1 for i, (doc, a, b) in enumerate(
+            sorted(rows, key=lambda r: (-r[1], r[0])))}
+        rb = {doc: i + 1 for i, (doc, a, b) in enumerate(
+            sorted(rows, key=lambda r: (-r[2], r[0])))}
+        rbo = 0
+        ov10 = 0
+        for d in range(1, 11):
+            top_a = {doc for doc, r in ra.items() if r <= d}
+            top_b = {doc for doc, r in rb.items() if r <= d}
+            ov = len(top_a & top_b)
+            rbo += W[d - 1] * ov // d
+            if d == 10:
+                ov10 = ov
+        want[src] = (rbo, ov10)
+    got = {
+        r.source: (r.rbo_ppm_trunc, r.overlap_at_10)
+        for r in QUERIES["eval_rank_biased_overlap"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_eccentricity_consistent_with_betweenness_distances(spark):
+    """The eccentricity table's distance stats must agree with an
+    independent python BFS (radius 6) on the same slice."""
+    from collections import defaultdict, deque
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier6 import _scc_edges
+
+    edges = [(r.src, r.dst) for r in _scc_edges(spark, SF_DIR).collect()]
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        adj[s].append(d)
+        nodes |= {s, d}
+    want = {}
+    for s in nodes:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 6:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        ds = [d for t, d in dist.items() if t != s]
+        want[s] = (len(ds), max(ds, default=0), sum(ds))
+    got = {
+        r.node: (r.n_reach, r.ecc, r.sum_dist)
+        for r in QUERIES["graph_eccentricity_bounded"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_stream_allocation_equals_batch(spark):
+    """The maintained state's read-time apportionment must equal the
+    batch twin exactly."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    batch = {
+        r.source: (r.tokens, r.base_alloc, r.extra, r.alloc)
+        for r in QUERIES["sample_allocation_largest_remainder"](
+            spark, SF_DIR
+        ).collect()
+    }
+    stream = {
+        r.source: (r.tokens, r.base_alloc, r.extra, r.alloc)
+        for r in QUERIES["stream_allocation_maintain"](spark, SF_DIR).collect()
+    }
+    assert stream == batch

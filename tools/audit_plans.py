@@ -53,6 +53,11 @@ WAIVERS: dict[str, set[str]] = {
     # bucket-partitioned strip join and the two bounded-dim census
     # frames — all keyed or bounded-dim, none corpus-single-partition.
     "eval_kendall_tau_bucketed": {"CARTESIAN", "MANY_EXCH"},
+    # the θ-join m <= d against the 10-row hardcoded weight dim is a
+    # BroadcastNestedLoopJoin by construction (constant ×10 fanout of
+    # top-10 rows only — the spatial-grid 9-row offset-frame waiver
+    # pattern); nothing corpus-sized enters it.
+    "eval_rank_biased_overlap": {"CARTESIAN"},
     # the LCA gate tier runs the graph_dag_depth closure (6 path-doubling
     # rounds behind localCheckpoint) plus the ancestor-or-self de-dup,
     # pair thinning, two anc joins, the two-step LCA argmax, and three
