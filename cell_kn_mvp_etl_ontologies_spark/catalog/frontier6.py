@@ -48,7 +48,10 @@ the graph tier completions (`graph_scc_fb` + `graph_dag_depth_frontier`
 production twins gated on their gate tiers' oracles,
 `graph_dag_lca_similarity` Wu-Palmer term similarity,
 `graph_betweenness_bounded` k≤6 betweenness via aggregated walk counts
-vs a walk-enumerating oracle).
+vs a walk-enumerating oracle, `graph_eccentricity_bounded` on the same
+distance table), `eval_rank_biased_overlap` (RBO@10, hardcoded integer
+geometric weights, max-rank census), and `stream_allocation_maintain`
+(the Hamilton apportionment as IVM over the additive token census).
 
 Shared doctrines: integer/rational identities, sign-decomposed or
 subtraction-only signed stats, quadratic cost only on contract-bounded
