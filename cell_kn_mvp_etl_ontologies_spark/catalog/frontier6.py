@@ -2360,31 +2360,9 @@ def eval_wilcoxon_signed_rank_q(spark, sf_dir):
             .alias("d")
         )
     )
-    nz = per.filter(F.col("d") != 0).select("d", F.abs("d").alias("ad"))
-    per_ad = nz.groupBy("ad").agg(
-        F.count(F.lit(1)).cast("long").alias("c"),
-        F.sum((F.col("d") > 0).cast("long")).cast("long").alias("p"),
-    )
-    w = Window.orderBy("ad")
-    ranked = per_ad.withColumn(
-        "r2", 2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1
-    )
-    agg = ranked.agg(
-        F.sum("c").cast("long").alias("n_eff"),
-        F.sum("p").cast("long").alias("n_pos"),
-        F.sum(F.col("p") * F.col("r2")).cast("long").alias("w_plus2"),
-    )
-    return agg.select(
-        "n_eff",
-        "n_pos",
-        "w_plus2",
-        (F.col("n_eff") * (F.col("n_eff") + 1) - F.col("w_plus2"))
-        .cast("long")
-        .alias("w_minus2"),
-        (2 * F.col("w_plus2") - F.col("n_eff") * (F.col("n_eff") + 1))
-        .cast("long")
-        .alias("shift_num4"),
-    )
+    from ..operators.eval_stats import wilcoxon_signed_rank
+
+    return wilcoxon_signed_rank(per, "d")
 
 
 # --------------------------------------------------------------------------
@@ -2450,38 +2428,9 @@ def sample_allocation_largest_remainder_q(spark, sf_dir):
             .alias("tokens")
         )
     )
-    tot = sized.agg(F.sum("tokens").cast("long").alias("t"))
-    quota = sized.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "tokens",
-        F.expr("CAST(100000 * tokens DIV t AS BIGINT)").alias("base_alloc"),
-        F.expr("CAST(100000 * tokens % t AS BIGINT)").alias("rem_num"),
-    )
-    w_rank = Window.orderBy(F.desc("rem_num"), F.asc("source"))
-    w_all = Window.partitionBy()
-    ranked = quota.select(
-        "source",
-        "tokens",
-        "base_alloc",
-        "rem_num",
-        F.row_number().over(w_rank).cast("long").alias("rem_rank"),
-        (F.lit(100000) - F.sum("base_alloc").over(w_all))
-        .cast("long")
-        .alias("n_extra"),
-    )
-    return ranked.select(
-        "source",
-        "tokens",
-        "base_alloc",
-        "rem_num",
-        (F.col("rem_rank") <= F.col("n_extra")).cast("long").alias("extra"),
-        (
-            F.col("base_alloc")
-            + (F.col("rem_rank") <= F.col("n_extra")).cast("long")
-        )
-        .cast("long")
-        .alias("alloc"),
-    )
+    from ..operators.eval_stats import largest_remainder_allocation
+
+    return largest_remainder_allocation(sized, "source", "tokens", 100000)
 
 
 # --------------------------------------------------------------------------
@@ -2706,32 +2655,9 @@ def eval_rank_biased_overlap_q(spark, sf_dir):
             " DIV size(split(text, '\\\\s+')) AS BIGINT)"
         ).alias("b"),
     )
-    w_a = Window.partitionBy("source").orderBy(F.desc("a"), F.asc("doc_id"))
-    w_b = Window.partitionBy("source").orderBy(F.desc("b"), F.asc("doc_id"))
-    ranked = scored.select(
-        "source",
-        F.row_number().over(w_a).cast("long").alias("ra"),
-        F.row_number().over(w_b).cast("long").alias("rb"),
-    )
-    both_top = ranked.filter((F.col("ra") <= 10) & (F.col("rb") <= 10)).select(
-        "source", F.greatest("ra", "rb").alias("m")
-    )
-    weights = spark.createDataFrame(
-        [(1, 100000), (2, 90000), (3, 81000), (4, 72900), (5, 65610),
-         (6, 59049), (7, 53144), (8, 47829), (9, 43046), (10, 38742)],
-        "d long, w_ppm long",
-    )
-    terms = (
-        both_top.join(F.broadcast(weights), F.col("m") <= F.col("d"))
-        .groupBy("source", "d", "w_ppm")
-        .agg(F.count(F.lit(1)).cast("long").alias("overlap_d"))
-    )
-    return terms.groupBy("source").agg(
-        F.sum(F.expr("w_ppm * overlap_d DIV d")).cast("long").alias("rbo_ppm_trunc"),
-        F.max(F.when(F.col("d") == 10, F.col("overlap_d")))
-        .cast("long")
-        .alias("overlap_at_10"),
-    )
+    from ..operators.eval_stats import rank_biased_overlap_topk
+
+    return rank_biased_overlap_topk(scored, "source", "doc_id", "a", "b")
 
 
 # --------------------------------------------------------------------------
@@ -2903,36 +2829,8 @@ def stream_allocation_maintain_q(spark, sf_dir):
         .start()
     )
     query.awaitTermination()
+    from ..operators.eval_stats import largest_remainder_allocation
+
     sized = spark.read.parquet(state_path)
-    tot = sized.agg(F.sum("tokens").cast("long").alias("t"))
-    quota = sized.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "tokens",
-        F.expr("CAST(100000 * tokens DIV t AS BIGINT)").alias("base_alloc"),
-        F.expr("CAST(100000 * tokens % t AS BIGINT)").alias("rem_num"),
-    )
-    w_rank = Window.orderBy(F.desc("rem_num"), F.asc("source"))
-    w_all = Window.partitionBy()
-    out = quota.select(
-        "source",
-        "tokens",
-        "base_alloc",
-        "rem_num",
-        F.row_number().over(w_rank).cast("long").alias("rem_rank"),
-        (F.lit(100000) - F.sum("base_alloc").over(w_all))
-        .cast("long")
-        .alias("n_extra"),
-    ).select(
-        "source",
-        "tokens",
-        "base_alloc",
-        "rem_num",
-        (F.col("rem_rank") <= F.col("n_extra")).cast("long").alias("extra"),
-        (
-            F.col("base_alloc")
-            + (F.col("rem_rank") <= F.col("n_extra")).cast("long")
-        )
-        .cast("long")
-        .alias("alloc"),
-    )
+    out = largest_remainder_allocation(sized, "source", "tokens", 100000)
     return finish_and_clean(out, root)

@@ -1,0 +1,176 @@
+"""Reusable exact-integer evaluation/allocation statistics.
+
+Factored from the round-9 catalog queries so the logic is a library
+surface, not query-inline code: each function is a pure
+``DataFrame -> DataFrame`` operator over caller-supplied columns, and the
+catalog queries (`eval_wilcoxon_signed_rank`,
+`sample_allocation_largest_remainder`, `eval_rank_biased_overlap`) are
+thin bindings of these onto the gate tables — the DuckDB differential
+gate therefore gates THESE implementations.
+
+Shared doctrines (see catalog/frontier4.py): integer/rational identities
+only, doubled ranks so midranks stay integral, truncating divisions with
+non-negative operands (or sign-decomposed), fully keyed total orders so
+results are retry/partition-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# (1-p)·p^(d-1) in ppm for p = 0.9, d = 1..10 — hardcoded so neither
+# engine evaluates a float pow (the eval_ranking_ndcg discount-table
+# doctrine).  Σ = 651,320 ppm = 1 - 0.9^10 (the truncated-RBO cap).
+RBO_WEIGHTS_PPM = [
+    (1, 100000),
+    (2, 90000),
+    (3, 81000),
+    (4, 72900),
+    (5, 65610),
+    (6, 59049),
+    (7, 53144),
+    (8, 47829),
+    (9, 43046),
+    (10, 38742),
+]
+
+
+def largest_remainder_allocation(
+    df: DataFrame, key: str, weight: str, budget: int
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of ``budget`` integer
+    units across the rows of ``df`` proportionally to ``weight``:
+    floor quotas ⌊K·w/W⌋, then the K − Σfloor leftover units go to the
+    largest remainders (ties broken by ``key`` — fully deterministic).
+
+    Guarantees: Σalloc = budget EXACTLY and |alloc − K·w/W| < 1 per row
+    (pro-rata-then-round schemes can miss the total by |rows|).
+
+    Scale contract: ``df`` is a STRATA dim frame (one row per stratum —
+    aggregate the corpus first); the rank and Σfloor windows run on that
+    bounded frame, the sanctioned bounded-dim single-partition pattern.
+    """
+    tot = df.agg(F.sum(weight).cast("long").alias("__t"))
+    quota = df.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.expr(f"CAST({budget} * {weight} DIV __t AS BIGINT)").alias(
+            "base_alloc"
+        ),
+        F.expr(f"CAST({budget} * {weight} % __t AS BIGINT)").alias("rem_num"),
+    )
+    w_rank = Window.orderBy(F.desc("rem_num"), F.asc(key))
+    w_all = Window.partitionBy()
+    return (
+        quota.select(
+            "*",
+            F.row_number().over(w_rank).cast("long").alias("__rank"),
+            (F.lit(budget) - F.sum("base_alloc").over(w_all))
+            .cast("long")
+            .alias("__extra"),
+        )
+        .select(
+            *[c for c in df.columns],
+            "base_alloc",
+            "rem_num",
+            (F.col("__rank") <= F.col("__extra")).cast("long").alias("extra"),
+            (
+                F.col("base_alloc")
+                + (F.col("__rank") <= F.col("__extra")).cast("long")
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
+def wilcoxon_signed_rank(df: DataFrame, diff: str) -> DataFrame:
+    """Wilcoxon signed-rank statistics over a paired-difference column:
+    zeros dropped (the standard convention), |d| midranks computed
+    exactly in integers by DOUBLING (2·avg-rank = 2·cum_before + c + 1
+    is always integral — the eval_auc_rank trick), W⁺ as the doubled
+    rank-sum of positive diffs.
+
+    Returns ONE row: n_eff, n_pos, w_plus2, w_minus2 (the exact
+    complement n(n+1) − W⁺₂), and shift_num4 = 2·W⁺₂ − n(n+1) =
+    4·(W⁺ − E[W⁺]) — sign says direction; the variance ratio is float
+    post-processing outside this contract.
+
+    Scale contract: one hash agg to |d|-value granularity (map-side
+    combinable), one window cumsum over DISTINCT |d| values, 1-row
+    reduce — never a row-granular sort.
+    """
+    nz = df.filter(F.col(diff) != 0).select(
+        F.col(diff).alias("__d"), F.abs(diff).alias("__ad")
+    )
+    per_ad = nz.groupBy("__ad").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum((F.col("__d") > 0).cast("long")).cast("long").alias("__p"),
+    )
+    w = Window.orderBy("__ad")
+    ranked = per_ad.withColumn(
+        "__r2", 2 * (F.sum("__c").over(w) - F.col("__c")) + F.col("__c") + 1
+    )
+    agg = ranked.agg(
+        F.sum("__c").cast("long").alias("n_eff"),
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum(F.col("__p") * F.col("__r2")).cast("long").alias("w_plus2"),
+    )
+    return agg.select(
+        "n_eff",
+        "n_pos",
+        "w_plus2",
+        (F.col("n_eff") * (F.col("n_eff") + 1) - F.col("w_plus2"))
+        .cast("long")
+        .alias("w_minus2"),
+        (2 * F.col("w_plus2") - F.col("n_eff") * (F.col("n_eff") + 1))
+        .cast("long")
+        .alias("shift_num4"),
+    )
+
+
+def rank_biased_overlap_topk(
+    df: DataFrame,
+    group: str,
+    item: str,
+    score_a: str,
+    score_b: str,
+) -> DataFrame:
+    """Truncated RBO@10 (p = 0.9, no residual) between the rankings two
+    score columns induce on the same items, per group.
+
+    Rankings use ONE fully keyed total order each (score desc, item asc)
+    so row_number is reproducible; per-depth overlap uses the max-rank
+    census (an item in both top-10s contributes to every depth
+    ≥ max(ra, rb) — one θ-join against the 10-row weight dim instead of
+    10 set intersections); each term w_d·overlap_d DIV d is an integer,
+    so the sum is order-independent.  Caps at Σw = 651,320 ppm.
+
+    Returns (group, rbo_ppm_trunc, overlap_at_10).
+    """
+    w_a = Window.partitionBy(group).orderBy(F.desc(score_a), F.asc(item))
+    w_b = Window.partitionBy(group).orderBy(F.desc(score_b), F.asc(item))
+    ranked = df.select(
+        group,
+        F.row_number().over(w_a).cast("long").alias("__ra"),
+        F.row_number().over(w_b).cast("long").alias("__rb"),
+    )
+    both_top = ranked.filter(
+        (F.col("__ra") <= 10) & (F.col("__rb") <= 10)
+    ).select(group, F.greatest("__ra", "__rb").alias("__m"))
+    weights = df.sparkSession.createDataFrame(
+        RBO_WEIGHTS_PPM, "d long, w_ppm long"
+    )
+    terms = (
+        both_top.join(F.broadcast(weights), F.col("__m") <= F.col("d"))
+        .groupBy(group, "d", "w_ppm")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap_d"))
+    )
+    return terms.groupBy(group).agg(
+        F.sum(F.expr("w_ppm * overlap_d DIV d"))
+        .cast("long")
+        .alias("rbo_ppm_trunc"),
+        F.max(F.when(F.col("d") == 10, F.col("overlap_d")))
+        .cast("long")
+        .alias("overlap_at_10"),
+    )
