@@ -1,0 +1,154 @@
+"""Property-based tests for the round-9 iterative graph twins
+(plans/graph_query.py) on GENERATED graphs.
+
+The catalog gates pin one slice and tests/test_frontier6.py pins
+hand-built cases; these pin the algorithms against python references
+(iterative Tarjan, memoized longest-path + reachability) on random
+digraphs/DAGs.  Fixpoint runs cost several Spark jobs each, so example
+counts are small (the test_properties.py budget doctrine).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+    dag_depth_frontier,
+    strongly_connected_components_fb,
+)
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _tarjan_scc(nodes, adj):
+    """Iterative Tarjan; returns node -> min-member-of-its-SCC."""
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    label = {}
+    counter = [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, iter(adj.get(root, ())))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+    return label
+
+
+@SETTINGS
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_scc_fb_matches_tarjan_on_random_digraphs(spark, edges):
+    """FW-BW coloring must recover Tarjan's exact SCC partition on any
+    random digraph."""
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    adj: dict = {}
+    nodes = set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        nodes |= {a, b}
+    want = _tarjan_scc(sorted(nodes), adj)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.scc_id
+        for r in strongly_connected_components_fb(df).collect()
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    raw=st.sets(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dag_depth_frontier_matches_python_on_random_dags(spark, raw):
+    """Depth (longest path to a root) and exact ancestor sets must match
+    memoized python on any random DAG (edges oriented larger->smaller
+    node, acyclic by construction)."""
+    edges = [(c, p) for c, p in raw if p < c]
+    if not edges:
+        return
+    parents: dict = {}
+    nodes = set()
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+        nodes |= {c, p}
+
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def depth(v):
+        return max((1 + depth(p) for p in parents.get(v, ())), default=0)
+
+    @functools.lru_cache(maxsize=None)
+    def anc(v):
+        out = set()
+        for p in parents.get(v, ()):
+            out |= {p} | anc(p)
+        return frozenset(out)
+
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {
+        r.node: (r.depth, r.anc_bm)
+        for r in dag_depth_frontier(df).collect()
+    }
+    want = {
+        v: (depth(v), sum(1 << a for a in anc(v))) for v in nodes
+    }
+    assert got == want
