@@ -2216,69 +2216,13 @@ def eval_kendall_tau_bucketed_q(spark, sf_dir):
         "eval_kendall_tau_bucketed: max strip occupancy",
         "narrow the bucket width or recurse the bucketing inside hot strips",
     )
-    # cross-bucket dominance counting (the eval_kendall_tau_full grid with
-    # xb as the small axis)
-    ygrid = per.select("y").distinct()
-    t_cnt = per.groupBy("xb", "y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    grid = (
-        ygrid.crossJoin(F.broadcast(buckets))
-        .join(t_cnt, ["xb", "y"], "left")
-        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long"))
-    )
-    w_y = Window.partitionBy("xb").orderBy("y").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cy = grid.withColumn("cy", F.sum("cnt").over(w_y))
-    w_x = Window.partitionBy("y").orderBy("xb").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    h = (
-        cy.withColumn("h", F.coalesce(F.sum("cy").over(w_x), F.lit(0)).cast("long"))
-        .withColumn("e", F.coalesce(F.sum("cnt").over(w_x), F.lit(0)).cast("long"))
-        .select("xb", "y", "h", "e")
-    )
-    xcensus = per.groupBy("xb").agg(F.count(F.lit(1)).cast("long").alias("m"))
-    w_xc = Window.orderBy("xb").rowsBetween(Window.unboundedPreceding, -1)
-    nx_lt = xcensus.withColumn(
-        "nx_lt", F.coalesce(F.sum("m").over(w_xc), F.lit(0)).cast("long")
-    ).select("xb", "nx_lt")
-    perj = per.join(h, ["xb", "y"]).join(F.broadcast(nx_lt), "xb")
-    cross = perj.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("nx_lt") - F.col("h")).cast("long").alias("disc_x"),
-        F.sum(F.col("h") - F.col("e")).cast("long").alias("conc_x"),
-    )
-    # boundary strip: all-pairs WITHIN each bucket, partitioned by bucket
-    a = per.select("xb", F.col("cust").alias("ca"), F.col("x").alias("xa"), F.col("y").alias("ya"))
-    b = per.select("xb", F.col("cust").alias("cb"), F.col("x").alias("xx"), F.col("y").alias("yb"))
-    strip = (
-        a.join(b, on="xb")
-        .filter(F.col("ca") < F.col("cb"))
-        .select(
-            ((F.col("xa") - F.col("xx")) * (F.col("ya") - F.col("yb"))).alias("dxdy")
-        )
-        .agg(
-            F.sum((F.col("dxdy") > 0).cast("long")).cast("long").alias("conc_s"),
-            F.sum((F.col("dxdy") < 0).cast("long")).cast("long").alias("disc_s"),
-        )
-    )
-    sums = cross.crossJoin(strip).select(
-        "n",
-        (F.col("conc_x") + F.coalesce(F.col("conc_s"), F.lit(0))).alias("n_conc"),
-        (F.col("disc_x") + F.coalesce(F.col("disc_s"), F.lit(0))).alias("n_disc"),
-    )
-    return sums.select(
-        F.expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").alias("n_pairs"),
-        F.col("n_conc").cast("long").alias("n_conc"),
-        F.col("n_disc").cast("long").alias("n_disc"),
-        F.expr("CAST(n * (n - 1) DIV 2 - n_conc - n_disc AS BIGINT)").alias("n_tied"),
-        F.expr(
-            "CAST(CASE WHEN n_conc >= n_disc"
-            " THEN 1000000 * (n_conc - n_disc) DIV (n * (n - 1) DIV 2)"
-            " ELSE -(1000000 * (n_disc - n_conc) DIV (n * (n - 1) DIV 2)) END"
-            " AS BIGINT)"
-        ).alias("tau_a_ppm"),
-    )
+    # the decomposition itself is the reusable operator (factored, the
+    # eval_stats twin discipline); the guards above are the catalog
+    # binding's contract
+    from ..operators.eval_stats import kendall_tau_census_bucketed
+
+    return kendall_tau_census_bucketed(per, "cust", "x", "y", width)
+
 
 
 # --------------------------------------------------------------------------

@@ -174,3 +174,133 @@ def rank_biased_overlap_topk(
         .cast("long")
         .alias("overlap_at_10"),
     )
+
+
+def kendall_tau_census_bucketed(
+    df: DataFrame, id_col: str, x: str, y: str, width: int
+) -> DataFrame:
+    """Exact Kendall pair census (n_pairs, n_conc, n_disc, n_tied,
+    tau_a_ppm) for two near-continuous integer metrics with NO all-pairs
+    join — the fallback `eval_kendall_tau_full`'s guard names, as a
+    reusable operator.
+
+    Decomposition (every pair counted exactly once):
+      - x is cut into fixed-WIDTH value buckets (xb = x DIV width —
+        value-derived, so xb_i < xb_j ⟹ x_i < x_j STRICTLY, and the
+        bucketing is engine/partitioning-independent);
+      - CROSS-BUCKET pairs via strict-CDF dominance counting on the
+        (xb, y) grid with xb as the small axis (the Brandes-style per
+        point j: D_j = #(xb < xb_j) − H(xb_j⁻, y_j), C_j = H − E);
+      - SAME-BUCKET pairs via an all-pairs strip PARTITIONED BY BUCKET
+        (O(Σ n_b²) = O(n²/B) total);
+      - ties fall out by subtraction.
+
+    ``id_col`` must be a STABLE unique row identity (a real key, never
+    monotonically_increasing_id) — the strip's count-once order must be
+    identical across the self-join's two legs even when one leg's tasks
+    retry, or pairs double/zero-count (the chaos-probe doctrine).
+    Requires x ≥ 0 (value bucketing by DIV; shift negative metrics
+    first).
+
+    Scale contract: two keyed aggs + a B-row broadcast dim × the y grid
+    + two PARTITIONED window passes + per-bucket bounded strips; B and
+    the strip occupancy are the tuning pair (B·strip ≈ n balances the
+    sides) — callers should guard both (the catalog binding does).
+    """
+    per = df.select(
+        F.col(id_col).alias("__rid"),
+        F.col(x).cast("long").alias("__x"),
+        F.col(y).cast("long").alias("__y"),
+    ).withColumn("__xb", F.expr(f"CAST(__x DIV {width} AS BIGINT)"))
+    buckets = per.select("__xb").distinct()
+    ygrid = per.select("__y").distinct()
+    t_cnt = per.groupBy("__xb", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    grid = (
+        ygrid.crossJoin(F.broadcast(buckets))
+        .join(t_cnt, ["__xb", "__y"], "left")
+        .withColumn("__cnt", F.coalesce(F.col("__cnt"), F.lit(0)).cast("long"))
+    )
+    w_y = Window.partitionBy("__xb").orderBy("__y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cy = grid.withColumn("__cy", F.sum("__cnt").over(w_y))
+    w_x = Window.partitionBy("__y").orderBy("__xb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    h = (
+        cy.withColumn(
+            "__h", F.coalesce(F.sum("__cy").over(w_x), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "__e", F.coalesce(F.sum("__cnt").over(w_x), F.lit(0)).cast("long")
+        )
+        .select("__xb", "__y", "__h", "__e")
+    )
+    xcensus = per.groupBy("__xb").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    w_xc = Window.orderBy("__xb").rowsBetween(Window.unboundedPreceding, -1)
+    nx_lt = xcensus.withColumn(
+        "__nx_lt", F.coalesce(F.sum("__m").over(w_xc), F.lit(0)).cast("long")
+    ).select("__xb", "__nx_lt")
+    perj = per.join(h, ["__xb", "__y"]).join(F.broadcast(nx_lt), "__xb")
+    cross = perj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__nx_lt") - F.col("__h")).cast("long").alias("disc_x"),
+        F.sum(F.col("__h") - F.col("__e")).cast("long").alias("conc_x"),
+    )
+    a = per.select(
+        "__xb",
+        F.col("__rid").alias("__ra"),
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+    )
+    bb = per.select(
+        "__xb",
+        F.col("__rid").alias("__rb"),
+        F.col("__x").alias("__xx"),
+        F.col("__y").alias("__yb"),
+    )
+    strip = (
+        a.join(bb, on="__xb")
+        .filter(F.col("__ra") < F.col("__rb"))
+        .select(
+            (
+                (F.col("__xa") - F.col("__xx"))
+                * (F.col("__ya") - F.col("__yb"))
+            ).alias("__dxdy")
+        )
+        .agg(
+            F.sum((F.col("__dxdy") > 0).cast("long"))
+            .cast("long")
+            .alias("conc_s"),
+            F.sum((F.col("__dxdy") < 0).cast("long"))
+            .cast("long")
+            .alias("disc_s"),
+        )
+    )
+    sums = cross.crossJoin(strip).select(
+        "n",
+        (F.col("conc_x") + F.coalesce(F.col("conc_s"), F.lit(0))).alias(
+            "n_conc"
+        ),
+        (F.col("disc_x") + F.coalesce(F.col("disc_s"), F.lit(0))).alias(
+            "n_disc"
+        ),
+    )
+    return sums.select(
+        F.expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").alias("n_pairs"),
+        F.col("n_conc").cast("long").alias("n_conc"),
+        F.col("n_disc").cast("long").alias("n_disc"),
+        F.expr("CAST(n * (n - 1) DIV 2 - n_conc - n_disc AS BIGINT)").alias(
+            "n_tied"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_conc >= n_disc"
+            " THEN 1000000 * (n_conc - n_disc) DIV (n * (n - 1) DIV 2)"
+            " ELSE -(1000000 * (n_disc - n_conc) DIV (n * (n - 1) DIV 2)) END"
+            " AS BIGINT)"
+        ).alias("tau_a_ppm"),
+    )

@@ -115,3 +115,38 @@ def test_rbo_properties(spark, scores):
     )
     if len(rows) >= 10:
         assert same.rbo_ppm_trunc == 651320
+
+
+@SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=-500, max_value=500),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    width=st.integers(min_value=1, max_value=200),
+)
+def test_kendall_bucketed_census_matches_brute_force(spark, pts, width):
+    """The bucketed-x + strip decomposition must reproduce the exact O(n²)
+    census for ANY point set and ANY bucket width (incl. width=1 —
+    all-strip — and width > max(x) — all-cross)."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.eval_stats import (
+        kendall_tau_census_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pts)], "rid long, x long, y long"
+    )
+    [r] = kendall_tau_census_bucketed(df, "rid", "x", "y", width).collect()
+    conc = disc = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            s = (pts[i][0] - pts[j][0]) * (pts[i][1] - pts[j][1])
+            conc += s > 0
+            disc += s < 0
+    n = len(pts)
+    assert (r.n_pairs, r.n_conc, r.n_disc) == (n * (n - 1) // 2, conc, disc)
+    assert r.n_tied == n * (n - 1) // 2 - conc - disc
