@@ -2451,76 +2451,9 @@ def graph_betweenness_bounded_q(spark, sf_dir):
     source set (Brandes sampling, the documented production estimator)
     and the combination join is keyed by v — nothing all-pairs beyond
     the slice contract."""
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    walks = edges.select("src", "dst", F.lit(1).alias("k"), F.lit(1).cast("long").alias("cnt"))
-    frontier = walks
-    for _ in range(5):  # hops 2..6
-        frontier = (
-            frontier.join(
-                edges.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")),
-                on="dst",
-            )
-            .groupBy("src", F.col("nxt").alias("dst2"), (F.col("k") + 1).alias("k2"))
-            .agg(F.sum("cnt").cast("long").alias("cnt"))
-            .select(
-                "src",
-                F.col("dst2").alias("dst"),
-                F.col("k2").alias("k"),
-                "cnt",
-            )
-            .localCheckpoint(eager=True)
-        )
-        walks = walks.unionByName(frontier)
-    sigma_all = walks.groupBy("src", "dst", "k").agg(
-        F.sum("cnt").cast("long").alias("cnt")
-    )
-    dmin = (
-        sigma_all.filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.min("k").alias("d"))
-    )
-    sigma = (
-        sigma_all.join(dmin, on=["src", "dst"])
-        .filter(F.col("k") == F.col("d"))
-        .select("src", "dst", "d", F.col("cnt").alias("sg"))
-        .localCheckpoint(eager=True)
-    )
-    sv = sigma.select(
-        F.col("src").alias("s"), F.col("dst").alias("v"),
-        F.col("d").alias("d1"), F.col("sg").alias("sg1"),
-    )
-    vt = sigma.select(
-        F.col("src").alias("v"), F.col("dst").alias("t"),
-        F.col("d").alias("d2"), F.col("sg").alias("sg2"),
-    )
-    st = sigma.select(
-        F.col("src").alias("s"), F.col("dst").alias("t"),
-        F.col("d").alias("dst_d"), F.col("sg").alias("sg_st"),
-    )
-    contrib = (
-        sv.join(vt, on="v")
-        .filter((F.col("s") != F.col("t")) & (F.col("v") != F.col("s")) & (F.col("v") != F.col("t")))
-        .join(st, on=["s", "t"])
-        .filter(F.col("dst_d") == F.col("d1") + F.col("d2"))
-        .select(
-            "v",
-            F.expr("CAST(1000000 * sg1 * sg2 DIV sg_st AS BIGINT)").alias("c_milli"),
-        )
-    )
-    return (
-        nodes.join(contrib, nodes["node"] == contrib["v"], "left")
-        .groupBy("node")
-        .agg(
-            F.coalesce(F.sum("c_milli"), F.lit(0)).cast("long").alias("betweenness_ppm"),
-            F.count("c_milli").cast("long").alias("n_contribs"),
-        )
-        .select(F.col("node").cast("long").alias("node"), "betweenness_ppm", "n_contribs")
-    )
+    from ..plans.graph_query import betweenness_bounded
+
+    return betweenness_bounded(_scc_edges(spark, sf_dir), max_hops=6)
 
 
 # --------------------------------------------------------------------------
@@ -2650,30 +2583,15 @@ def graph_eccentricity_bounded_q(spark, sf_dir):
     the contract (bounded-radius closeness/eccentricity are the
     standard large-graph variants) and sources are sampled
     Brandes-style."""
-    edges = _scc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    from ..plans.graph_query import bounded_shortest_counts
+
+    edges = _scc_edges(spark, sf_dir)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    frontier = edges.select("src", "dst", F.lit(1).alias("k"))
-    reach = frontier
-    for _ in range(5):
-        frontier = (
-            frontier.join(
-                edges.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")),
-                on="dst",
-            )
-            .select("src", F.col("nxt").alias("dst"), (F.col("k") + 1).alias("k"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        reach = reach.unionByName(frontier)
-    dmin = (
-        reach.filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.min("k").cast("long").alias("d"))
-    )
+    dmin = bounded_shortest_counts(edges, max_hops=6)
     return (
         nodes.join(dmin, nodes["node"] == dmin["src"], "left")
         .groupBy("node")

@@ -858,3 +858,115 @@ def dag_depth_frontier(
         f"dag_depth_frontier: relaxation did not converge within "
         f"{max_rounds} rounds — hierarchy deeper than the cap; raise it."
     )
+
+
+def bounded_shortest_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """(src, dst, d, sg) for every ordered pair within ``max_hops``:
+    d = shortest directed distance, sg = the EXACT number of shortest
+    paths — the shared distance table of the bounded-radius family
+    (`graph_betweenness_bounded`, `graph_eccentricity_bounded`).
+
+    Spark AGGREGATES walk counts per hop (W_{k+1} = W_k ⋈ A with a
+    (src, dst)-keyed SUM — the matrix-power shape, O(L) keyed shuffles,
+    never one row per walk); shortest-path count = walk count at the
+    minimal hop, exact because a shortest walk cannot revisit a node.
+    At corpus scale restrict ``src`` to a sampled source set
+    (Brandes sampling) before calling — the per-hop join is keyed by
+    the frontier endpoint either way.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    walks = e.select(
+        "src", "dst", F.lit(1).alias("k"), F.lit(1).cast("long").alias("cnt")
+    )
+    frontier = walks
+    for _ in range(max_hops - 1):
+        frontier = (
+            frontier.join(
+                e.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")),
+                on="dst",
+            )
+            .groupBy("src", F.col("nxt").alias("dst2"), (F.col("k") + 1).alias("k2"))
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .select("src", F.col("dst2").alias("dst"), F.col("k2").alias("k"), "cnt")
+            .localCheckpoint(eager=True)
+        )
+        walks = walks.unionByName(frontier)
+    sigma_all = walks.groupBy("src", "dst", "k").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    dmin = (
+        sigma_all.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("k").alias("d"))
+    )
+    return (
+        sigma_all.join(dmin, on=["src", "dst"])
+        .filter(F.col("k") == F.col("d"))
+        .select("src", "dst", F.col("d").cast("long").alias("d"), F.col("cnt").alias("sg"))
+    )
+
+
+def betweenness_bounded(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """(node, betweenness_ppm, n_contribs): bounded-radius betweenness
+    centrality over ``bounded_shortest_counts``'s distance table — per
+    (s, t) pair the truncated integer 1e6·σ_sv·σ_vt DIV σ_st summed per
+    v (order-independent ⇒ partition-proof), combined on the Brandes
+    identity d_sv + d_vt = d_st.  Nodes on no shortest path report 0.
+    """
+    sigma = bounded_shortest_counts(edges, src, dst, max_hops).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    sv = sigma.select(
+        F.col("src").alias("s"), F.col("dst").alias("v"),
+        F.col("d").alias("d1"), F.col("sg").alias("sg1"),
+    )
+    vt = sigma.select(
+        F.col("src").alias("v"), F.col("dst").alias("t"),
+        F.col("d").alias("d2"), F.col("sg").alias("sg2"),
+    )
+    st_ = sigma.select(
+        F.col("src").alias("s"), F.col("dst").alias("t"),
+        F.col("d").alias("dst_d"), F.col("sg").alias("sg_st"),
+    )
+    contrib = (
+        sv.join(vt, on="v")
+        .filter(
+            (F.col("s") != F.col("t"))
+            & (F.col("v") != F.col("s"))
+            & (F.col("v") != F.col("t"))
+        )
+        .join(st_, on=["s", "t"])
+        .filter(F.col("dst_d") == F.col("d1") + F.col("d2"))
+        .select(
+            "v",
+            F.expr("CAST(1000000 * sg1 * sg2 DIV sg_st AS BIGINT)").alias(
+                "c_milli"
+            ),
+        )
+    )
+    return (
+        nodes.join(contrib, nodes["node"] == contrib["v"], "left")
+        .groupBy("node")
+        .agg(
+            F.coalesce(F.sum("c_milli"), F.lit(0))
+            .cast("long")
+            .alias("betweenness_ppm"),
+            F.count("c_milli").cast("long").alias("n_contribs"),
+        )
+        .select(F.col("node").cast("long").alias("node"), "betweenness_ppm", "n_contribs")
+    )

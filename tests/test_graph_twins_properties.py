@@ -152,3 +152,69 @@ def test_dag_depth_frontier_matches_python_on_random_dags(spark, raw):
         v: (depth(v), sum(1 << a for a in anc(v))) for v in nodes
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_betweenness_bounded_matches_python_on_random_digraphs(spark, edges):
+    """bounded betweenness (radius 6) must match a python BFS path-count
+    computation on any random digraph."""
+    from collections import defaultdict, deque
+
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+        betweenness_bounded,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    adj = defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        adj[a].append(b)
+        nodes |= {a, b}
+    sigma = {}
+    for s in nodes:
+        dist = {s: 0}
+        cnt = defaultdict(int)
+        cnt[s] = 1
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 6:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    cnt[w] += cnt[u]
+        for t, d in dist.items():
+            if t != s:
+                sigma[(s, t)] = (d, cnt[t])
+    want = {n: [0, 0] for n in nodes}
+    for (s, t), (d, sg) in sigma.items():
+        for v in nodes:
+            if v in (s, t):
+                continue
+            if (s, v) in sigma and (v, t) in sigma:
+                d1, g1 = sigma[(s, v)]
+                d2, g2 = sigma[(v, t)]
+                if d1 + d2 == d:
+                    want[v][0] += 1_000_000 * g1 * g2 // sg
+                    want[v][1] += 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.betweenness_ppm, r.n_contribs)
+        for r in betweenness_bounded(df).collect()
+    }
+    assert got == {n: tuple(w) for n, w in want.items()}
