@@ -2696,3 +2696,108 @@ def stream_allocation_maintain_q(spark, sf_dir):
     sized = spark.read.parquet(state_path)
     out = largest_remainder_allocation(sized, "source", "tokens", 100000)
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# temporal_holt_linear — trend-aware double exponential smoothing, exact
+# --------------------------------------------------------------------------
+@register(
+    "temporal_holt_linear",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id) AS BIGINT) AS rn,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS v
+      FROM events WHERE user_id < 50
+    ),
+    hw(user_id, rn, lvl, trd) AS (
+      SELECT user_id, rn, v, CAST(0 AS BIGINT) FROM base WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn,
+             (h.lvl + h.trd + s.v) // 2,
+             (h.trd + ((h.lvl + h.trd + s.v) // 2 - h.lvl)) // 2
+      FROM hw h JOIN base s ON s.user_id = h.user_id AND s.rn = h.rn + 1
+    ),
+    tail AS (
+      SELECT user_id, MAX(rn) AS n_events FROM hw GROUP BY user_id
+    )
+    SELECT t.user_id, t.n_events,
+           CAST(h.lvl AS BIGINT) AS level_units,
+           CAST(h.trd AS BIGINT) AS trend_units,
+           CAST(h.lvl + h.trd AS BIGINT) AS forecast_units
+    FROM tail t JOIN hw h ON h.user_id = t.user_id AND h.rn = t.n_events
+    """,
+)
+def temporal_holt_linear_q(spark, sf_dir):
+    """Holt double exponential smoothing (alpha = beta = 1/2) per user —
+    the TREND-AWARE sibling of `temporal_ema_smooth` (EMA structurally
+    lags a trending series; Holt carries an explicit integer trend state
+    and its level+trend is the 1-step-ahead forecast).  Two COUPLED
+    recursive states per step — what windows cannot express; the fold
+    can (struct accumulator).
+
+    Exactness: values floor-quantized to micro-units; both halvings use
+    truncating division (Spark's sign-safe shiftright(x − x%2, 1)
+    identity ≡ DuckDB's `//` ≡ the recursive-CTE unrolling the oracle
+    runs — genuinely different fold machinery landing on the same two
+    BIGINTs per user, the `temporal_ema_smooth` doctrine with twice the
+    state).  Order = (event time, event_id), a total order.
+
+    100 TB shape: ONE keyed shuffle (collect_list + sort per user), fold
+    is a per-row codegen expression; per-key state is the key's own
+    sequence — cap whale keys upstream, the documented ema caveat."""
+    from ..operators.temporal import holt_linear_integer
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    prepped = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+    )
+    return holt_linear_integer(prepped, ["user_id"], ["ts", "event_id"], "v")
+
+
+# --------------------------------------------------------------------------
+# sample_systematic_interval — classic every-k-th systematic sample
+# --------------------------------------------------------------------------
+@register(
+    "sample_systematic_interval",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, source, rnk
+    FROM ranked WHERE (rnk - 1) % 10 = 3
+    """,
+)
+def sample_systematic_interval_q(spark, sf_dir):
+    """Systematic (every-k-th) sampling under ONE keyed total order —
+    the classic survey-sampling design completing the family
+    (hash-uniform, stratified, weighted, temperature, bootstrap,
+    chronological): rank rows by doc_id, keep rank ≡ offset (mod k)
+    with k = 10, offset = 3.  Systematic sampling gives implicit
+    stratification along the order key for free (every window of k
+    contributes exactly one row) — the property hash sampling does not
+    have; the trade is vulnerability to periodicity in the key,
+    documented.
+
+    Exactness: the order is fully keyed (doc_id unique), so the rank —
+    and therefore the SAMPLE — is deterministic across engines, retries,
+    and repartitioning (the sampling doctrine).
+
+    100 TB shape: the global rank comes from the distributed two-pass
+    `with_global_rank` (range-bucketed pass-1 stats + per-bucket ranks —
+    NO single-partition window; the oracle's ROW_NUMBER() OVER () is the
+    naive tier); selection is a codegen modulo filter."""
+    from ..operators.windows import with_global_rank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = with_global_rank(docs, ["doc_id"], "rnk")
+    return ranked.filter((F.col("rnk") - 1) % 10 == 3).select(
+        "doc_id", "source", F.col("rnk").cast("long").alias("rnk")
+    )

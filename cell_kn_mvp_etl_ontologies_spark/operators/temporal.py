@@ -535,3 +535,68 @@ def ohlc_finalize(partials: DataFrame) -> DataFrame:
         "n_obs",
         "sum_units",
     )
+
+
+def holt_linear_integer(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (alpha = beta = 1/2) in
+    pure integer arithmetic — the TREND-AWARE sibling of
+    :func:`ema_integer` (EMA lags a trending series by construction;
+    Holt carries an explicit trend state):
+
+        level_1 = v_1,                      trend_1 = 0
+        level_n = (level_{n-1} + trend_{n-1} + v_n) trunc-div 2
+        trend_n = (trend_{n-1} + (level_n − level_{n-1})) trunc-div 2
+
+    Truncating halving uses the sign-safe ``shiftright(x − x%2, 1)``
+    identity (exact for either sign over the full int64 range — the
+    ema_integer ADVICE-r4 trick); DuckDB's ``//`` truncates identically,
+    so the two-state fold is bit-exact cross-engine.
+
+    Shape: ONE keyed shuffle (collect_list + sort_array), then a per-row
+    ``aggregate()`` fold with a STRUCT accumulator — coupled recursive
+    state is exactly what windows cannot express and a fold can.  Same
+    whale caveat as ema_integer: cap a key's history upstream.
+
+    Output: key_cols + (n_events, level_units, trend_units,
+    forecast_units = level + trend — the 1-step-ahead Holt forecast).
+    """
+
+    def half(x: Column) -> Column:
+        return F.shiftright(x - (x % 2), 1)
+
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                F.col(value_col).alias("v"),
+            )
+        )
+    )
+    g = df.groupBy(*key_cols).agg(
+        ordered.alias("xs"), F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    vals = F.transform(F.col("xs"), lambda s: s["v"])
+    init = F.struct(
+        F.element_at(vals, 1).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("t"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        new_l = half(acc["l"] + acc["t"] + x)
+        return F.struct(
+            new_l.alias("l"), half(acc["t"] + new_l - acc["l"]).alias("t")
+        )
+
+    fold = F.aggregate(F.slice(vals, 2, F.size(vals) - 1), init, step)
+    return g.select(
+        *key_cols,
+        "n_events",
+        fold["l"].cast("long").alias("level_units"),
+        fold["t"].cast("long").alias("trend_units"),
+        (fold["l"] + fold["t"]).cast("long").alias("forecast_units"),
+    )

@@ -961,3 +961,77 @@ def test_stream_allocation_equals_batch(spark):
         for r in QUERIES["stream_allocation_maintain"](spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_holt_linear_matches_python_recursion(spark):
+    """The two-state integer fold must equal a direct python recursion
+    with truncating halving (trunc toward zero, both signs)."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict = {}
+    for r in ev:
+        import math
+
+        series.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, math.floor(r.value * 1_000_000))
+        )
+
+    def trunc_half(x):
+        return int(x / 2) if x >= 0 else -((-x) // 2)
+
+    want = {}
+    for uid, rows in series.items():
+        rows.sort()
+        lvl, trd = rows[0][2], 0
+        for _, _, v in rows[1:]:
+            new_l = trunc_half(lvl + trd + v)
+            trd = trunc_half(trd + new_l - lvl)
+            lvl = new_l
+        want[uid] = (len(rows), lvl, trd, lvl + trd)
+    got = {
+        r.user_id: (r.n_events, r.level_units, r.trend_units, r.forecast_units)
+        for r in QUERIES["temporal_holt_linear"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_holt_tracks_trend_where_ema_lags(spark):
+    """On a clean linear ramp the Holt forecast converges to the next
+    value while EMA stays behind — the operator's reason to exist."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.temporal import (
+        ema_integer,
+        holt_linear_integer,
+    )
+
+    ramp = [(1, i, 1000 * i) for i in range(1, 41)]
+    df = spark.createDataFrame(ramp, "k long, t long, v long")
+    [h] = holt_linear_integer(df, ["k"], ["t"], "v").collect()
+    [e] = ema_integer(df, ["k"], ["t"], "v").collect()
+    nxt = 1000 * 41
+    assert abs(h.forecast_units - nxt) < abs(e.ema_units - nxt)
+    assert h.trend_units > 0
+
+
+def test_systematic_sample_covers_every_window(spark):
+    """Every consecutive window of k=10 ranks contributes exactly one
+    sampled row — the implicit-stratification property."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    n = load_table(spark, SF_DIR, "documents").count()
+    rows = QUERIES["sample_systematic_interval"](spark, SF_DIR).collect()
+    ranks = sorted(r.rnk for r in rows)
+    assert ranks == list(range(4, n + 1, 10))
+    # the sampled doc_ids are the (rank)th smallest ids
+    ids = sorted(
+        r.doc_id
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id").collect()
+    )
+    assert sorted(r.doc_id for r in rows) == [ids[k - 1] for k in ranks]
