@@ -2801,3 +2801,122 @@ def sample_systematic_interval_q(spark, sf_dir):
     return ranked.filter((F.col("rnk") - 1) % 10 == 3).select(
         "doc_id", "source", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# eval_friedman_ranks — k=3 paired-detector rank test, exact integer core
+# --------------------------------------------------------------------------
+@register(
+    "eval_friedman_ranks",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS sa,
+             CAST(6 * len(string_split_regex(text, '\\s+')) AS BIGINT) AS sb,
+             CAST(30 * len(list_filter(string_split_regex(text, '\\s+'),
+                    t -> t IN ('the','a','of','and','to','in','is')))
+               AS BIGINT) AS sc
+      FROM documents
+    ),
+    r2 AS (
+      SELECT doc_id,
+             CAST(2 * (CASE WHEN sb < sa THEN 1 ELSE 0 END
+                     + CASE WHEN sc < sa THEN 1 ELSE 0 END)
+                + (CASE WHEN sb = sa THEN 1 ELSE 0 END
+                 + CASE WHEN sc = sa THEN 1 ELSE 0 END) + 2 AS BIGINT) AS ra2,
+             CAST(2 * (CASE WHEN sa < sb THEN 1 ELSE 0 END
+                     + CASE WHEN sc < sb THEN 1 ELSE 0 END)
+                + (CASE WHEN sa = sb THEN 1 ELSE 0 END
+                 + CASE WHEN sc = sb THEN 1 ELSE 0 END) + 2 AS BIGINT) AS rb2,
+             CAST(2 * (CASE WHEN sa < sc THEN 1 ELSE 0 END
+                     + CASE WHEN sb < sc THEN 1 ELSE 0 END)
+                + (CASE WHEN sa = sc THEN 1 ELSE 0 END
+                 + CASE WHEN sb = sc THEN 1 ELSE 0 END) + 2 AS BIGINT) AS rc2
+      FROM scored
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ra2) AS BIGINT) AS r2_a,
+             CAST(SUM(rb2) AS BIGINT) AS r2_b,
+             CAST(SUM(rc2) AS BIGINT) AS r2_c
+      FROM r2
+    )
+    SELECT n, r2_a, r2_b, r2_c,
+           CAST((r2_a - 4 * n) * (r2_a - 4 * n)
+              + (r2_b - 4 * n) * (r2_b - 4 * n)
+              + (r2_c - 4 * n) * (r2_c - 4 * n) AS BIGINT) AS friedman_num4
+    FROM agg
+    """,
+)
+def eval_friedman_ranks_q(spark, sf_dir):
+    """Friedman k-sample paired rank test (k = 3 detectors scoring the
+    SAME documents) — completes the paired-eval arc: McNemar (2 binary) →
+    CUPED (means) → Wilcoxon (2 ordinal) → Friedman (k ordinal).  Each
+    document ranks its three scores WITHIN-ROW with exact doubled
+    midranks (2·#less + #equal-excluding-self + 2 — ties stay integral, the
+    `eval_auc_rank` trick applied row-wise via pure CASE comparisons);
+    the gated contract is the exact integer core: per-treatment doubled
+    rank sums R2_j, n, and friedman_num4 = Σ(R2_j − n(k+1))² =
+    4·Σ(R_j − E[R_j])² — the χ² statistic's numerator (the float
+    12/(nk(k+1)) scaling and the tie-correction denominator are
+    post-processing OUTSIDE the contract, the `profile_moments`
+    doctrine).  Scores: chars, 6·tokens, 30·stopwords — three length/
+    quality detectors whose disagreement is the thing under test.
+
+    Identity check built in: Σ_j R2_j = 12n exactly (each row's three
+    doubled midranks sum to 2(1+2+3) = 12), pinned by test.
+
+    100 TB shape: ONE codegen projection (row-wise CASE ranks — no
+    joins, no windows, no shuffle beyond the 4-cell reduce); a
+    trillion-document three-way comparison costs one scan."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").cast("long").alias("sa"),
+        (6 * F.expr("size(split(text, '\\\\s+'))")).cast("long").alias("sb"),
+        (
+            30
+            * F.expr(
+                "size(filter(split(text, '\\\\s+'),"
+                " t -> t IN ('the','a','of','and','to','in','is')))"
+            )
+        )
+        .cast("long")
+        .alias("sc"),
+    )
+
+    def r2(me, o1, o2):
+        return (
+            2
+            * (
+                (F.col(o1) < F.col(me)).cast("long")
+                + (F.col(o2) < F.col(me)).cast("long")
+            )
+            + (F.col(o1) == F.col(me)).cast("long")
+            + (F.col(o2) == F.col(me)).cast("long")
+            + 2
+        )
+
+    ranked = scored.select(
+        r2("sa", "sb", "sc").alias("ra2"),
+        r2("sb", "sa", "sc").alias("rb2"),
+        r2("sc", "sa", "sb").alias("rc2"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ra2").cast("long").alias("r2_a"),
+        F.sum("rb2").cast("long").alias("r2_b"),
+        F.sum("rc2").cast("long").alias("r2_c"),
+    )
+    return agg.select(
+        "n",
+        "r2_a",
+        "r2_b",
+        "r2_c",
+        (
+            (F.col("r2_a") - 4 * F.col("n")) * (F.col("r2_a") - 4 * F.col("n"))
+            + (F.col("r2_b") - 4 * F.col("n")) * (F.col("r2_b") - 4 * F.col("n"))
+            + (F.col("r2_c") - 4 * F.col("n")) * (F.col("r2_c") - 4 * F.col("n"))
+        )
+        .cast("long")
+        .alias("friedman_num4"),
+    )

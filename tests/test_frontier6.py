@@ -1035,3 +1035,32 @@ def test_systematic_sample_covers_every_window(spark):
         for r in load_table(spark, SF_DIR, "documents").select("doc_id").collect()
     )
     assert sorted(r.doc_id for r in rows) == [ids[k - 1] for k in ranks]
+
+
+def test_friedman_ranks_identities_and_python(spark):
+    """Σ doubled rank sums = 12n exactly; ranks match a python midrank
+    computation per row."""
+    import re
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    docs = load_table(spark, SF_DIR, "documents").select("n_chars", "text").collect()
+    sums = [0, 0, 0]
+    for d in docs:
+        toks = re.split(r"\s+", d.text)
+        scores = [
+            d.n_chars,
+            6 * len(toks),
+            30 * sum(1 for t in toks if t in stop),
+        ]
+        for j, v in enumerate(scores):
+            less = sum(1 for u in scores if u < v)
+            eq = sum(1 for u in scores if u == v) - 1
+            sums[j] += 2 * less + eq + 2
+    n = len(docs)
+    [r] = QUERIES["eval_friedman_ranks"](spark, SF_DIR).collect()
+    assert (r.n, r.r2_a, r.r2_b, r.r2_c) == (n, sums[0], sums[1], sums[2])
+    assert r.r2_a + r.r2_b + r.r2_c == 12 * n
+    assert r.friedman_num4 == sum((s - 4 * n) ** 2 for s in sums)
