@@ -78,7 +78,7 @@ _PRIORITY = [
     # into CORRECTNESS_LOCAL_r09), then the four frontier5 rows that had
     # never seen ANY recorded driver gate (they led the precomputed plan;
     # the r8 gate ran before they landed — VERDICT r8 'What's wrong' #1).
-    # The thirty frontier6 head slots displace the 30 tail rows of the
+    # The thirty-one frontier6 head slots displace the 31 tail rows of the
     # precomputed 45-stalest block (quality_langid_confusion,
     # eval_binary_detector_metrics,
     # temporal_wow_growth, graph_two_hop_reach,
@@ -93,7 +93,8 @@ _PRIORITY = [
     # dedup_remove_segments, sample_repeat_temperature,
     # similarity_maxsim_trained_recall, fn_json_extract_agg,
     # semistructured_keys_profile, stream_ohlc,
-    # stream_maxsim_maintain, profile_topk_values) to the r10 prefix.
+    # stream_maxsim_maintain, profile_topk_values,
+    # temporal_rolling_anomaly) to the r10 prefix.
     "eval_uplift_qini", "eval_uplift_auuc", "eval_brier_score", "graph_scc",
     "graph_dag_depth", "eval_kendall_tau_full", "eval_spearman_rescaled",
     "graph_condensation", "graph_scc_fb", "stream_uplift_maintain",
@@ -106,7 +107,7 @@ _PRIORITY = [
     "graph_betweenness_bounded", "eval_rank_biased_overlap",
     "graph_eccentricity_bounded", "stream_allocation_maintain",
     "temporal_holt_linear", "sample_systematic_interval",
-    "eval_friedman_ranks",
+    "eval_friedman_ranks", "eval_cochran_q",
     "eval_spearman_rank", "eval_kendall_tau", "eval_mcnemar",
     "eval_gains_deciles",
     # (b) the 45 stalest of the remaining 85 never-driver-verified rows,
@@ -114,8 +115,8 @@ _PRIORITY = [
     # kcore/bigram/asof-nearest/LPA overflow first, then the OHLC/MaxSim
     # late batch, then the frontier3 tail from temporal_interval_coalesce
     # onward.  All are hash-green in CORRECTNESS_LOCAL_r07 (and re-swept
-    # in CORRECTNESS_LOCAL_r09 this round).  The 70 never-driver rows that
-    # don't fit — the 30 displaced by the frontier6 head block (named
+    # in CORRECTNESS_LOCAL_r09 this round).  The 71 never-driver rows that
+    # don't fit — the 31 displaced by the frontier6 head block (named
     # above) plus the frontier3 tail from dedup_exact_normalized onward —
     # are the precomputed ROUND-10 prefix, stalest-first, unless
     # contracts change.  EVIDENCE FRESHNESS FLOOR (VERDICT r8 #8): after this gate
@@ -127,7 +128,7 @@ _PRIORITY = [
     "text_collocations_pmi", "graph_common_neighbors", "similarity_maxsim",
     "similarity_maxsim_routed", "similarity_maxsim_routed_vec",
     "similarity_maxsim_recall", "embedding_mrl_recall",
-    "agg_bitmap_sliding_distinct", "temporal_rolling_anomaly",
+    "agg_bitmap_sliding_distinct",
     # ================= end ROUND 9 PREFIX (50 slots) =================
     # ================= ROUND 8 PREFIX (executed; kept for the record —
     # duplicates below the r9 block are deduped by _ordered) =============

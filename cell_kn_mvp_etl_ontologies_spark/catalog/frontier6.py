@@ -2920,3 +2920,110 @@ def eval_friedman_ranks_q(spark, sf_dir):
         .cast("long")
         .alias("friedman_num4"),
     )
+
+
+# --------------------------------------------------------------------------
+# eval_cochran_q — k=3 paired BINARY detectors, exact integer core
+# --------------------------------------------------------------------------
+@register(
+    "eval_cochran_q",
+    oracle="""
+    WITH verdicts AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS va,
+             CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS vb,
+             CASE WHEN 1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+                    t -> t IN ('the','a','of','and','to','in','is')))
+                  // len(string_split_regex(text, '\\s+')) > 40000
+                  THEN 1 ELSE 0 END AS vc
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(va) AS BIGINT) AS c_a,
+             CAST(SUM(vb) AS BIGINT) AS c_b,
+             CAST(SUM(vc) AS BIGINT) AS c_c,
+             CAST(SUM(va + vb + vc) AS BIGINT) AS sum_r,
+             CAST(SUM((va + vb + vc) * (va + vb + vc)) AS BIGINT) AS sum_r2
+      FROM verdicts
+    )
+    SELECT n, c_a, c_b, c_c, sum_r, sum_r2,
+           CAST(2 * (3 * (c_a * c_a + c_b * c_b + c_c * c_c)
+                     - sum_r * sum_r) AS BIGINT) AS q_num,
+           CAST(3 * sum_r - sum_r2 AS BIGINT) AS q_den,
+           CASE WHEN 3 * sum_r - sum_r2 = 0 THEN NULL
+                ELSE CAST(1000 * (2 * (3 * (c_a * c_a + c_b * c_b + c_c * c_c)
+                          - sum_r * sum_r)) // (3 * sum_r - sum_r2) AS BIGINT)
+           END AS q_milli
+    FROM agg
+    """,
+)
+def eval_cochran_q_q(spark, sf_dir):
+    """Cochran's Q test — k = 3 paired BINARY detectors on the SAME
+    documents (language, length, stopword-density screens): do the
+    screens fire at the same rate, accounting for per-document pairing?
+    Completes the paired-eval lattice along the other axis:
+    McNemar (k=2 binary) → Cochran Q (k binary), parallel to
+    Wilcoxon (k=2 ordinal) → Friedman (k ordinal) — and Q reduces to
+    McNemar's χ² exactly at k = 2.
+
+    Exactness: Q = (k−1)(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²) is a
+    pure integer ratio (C_j = per-detector fire counts, R_i = per-row
+    fire counts); the gated contract emits the exact numerator,
+    denominator, and the milli quotient (both operands provably
+    non-negative: Cauchy-Schwarz for the numerator, R_i ≤ k for the
+    denominator; all-rows-unanimous ⇒ denominator 0 ⇒ NULL, stated).
+
+    100 TB shape: ONE codegen projection (three CASE verdicts + the
+    row-sum square) folding map-side to 6 integer cells — single pass,
+    1-row reduce, no joins, no windows."""
+    docs = _t(spark, sf_dir, "documents")
+    verdicts = docs.select(
+        (F.col("lang") == "en").cast("long").alias("va"),
+        (F.col("n_chars") > 300).cast("long").alias("vb"),
+        (
+            F.expr(
+                "CAST(1000000 * size(filter(split(text, '\\\\s+'),"
+                " t -> t IN ('the','a','of','and','to','in','is')))"
+                " DIV size(split(text, '\\\\s+')) AS BIGINT)"
+            )
+            > 40000
+        )
+        .cast("long")
+        .alias("vc"),
+    )
+    r = F.col("va") + F.col("vb") + F.col("vc")
+    agg = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("va").cast("long").alias("c_a"),
+        F.sum("vb").cast("long").alias("c_b"),
+        F.sum("vc").cast("long").alias("c_c"),
+        F.sum(r).cast("long").alias("sum_r"),
+        F.sum(r * r).cast("long").alias("sum_r2"),
+    )
+    q_num = 2 * (
+        3
+        * (
+            F.col("c_a") * F.col("c_a")
+            + F.col("c_b") * F.col("c_b")
+            + F.col("c_c") * F.col("c_c")
+        )
+        - F.col("sum_r") * F.col("sum_r")
+    )
+    q_den = 3 * F.col("sum_r") - F.col("sum_r2")
+    return agg.select(
+        "n",
+        "c_a",
+        "c_b",
+        "c_c",
+        "sum_r",
+        "sum_r2",
+        q_num.cast("long").alias("q_num"),
+        q_den.cast("long").alias("q_den"),
+        F.when(
+            q_den != 0,
+            F.expr(
+                "CAST(1000 * (2 * (3 * (c_a * c_a + c_b * c_b + c_c * c_c)"
+                " - sum_r * sum_r)) DIV (3 * sum_r - sum_r2) AS BIGINT)"
+            ),
+        ).alias("q_milli"),
+    )

@@ -1064,3 +1064,39 @@ def test_friedman_ranks_identities_and_python(spark):
     assert (r.n, r.r2_a, r.r2_b, r.r2_c) == (n, sums[0], sums[1], sums[2])
     assert r.r2_a + r.r2_b + r.r2_c == 12 * n
     assert r.friedman_num4 == sum((s - 4 * n) ** 2 for s in sums)
+
+
+def test_cochran_q_matches_python_and_reduces_to_mcnemar_shape(spark):
+    """Q's integer core must match python; identities ΣC_j = ΣR_i and the
+    non-negativity of num/den must hold."""
+    import re
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "lang", "n_chars", "text"
+    ).collect()
+    ca = cb = cc = sr = sr2 = 0
+    for d in docs:
+        toks = re.split(r"\s+", d.text)
+        va = 1 if d.lang == "en" else 0
+        vb = 1 if d.n_chars > 300 else 0
+        vc = 1 if 1_000_000 * sum(1 for t in toks if t in stop) // len(toks) > 40_000 else 0
+        ca += va
+        cb += vb
+        cc += vc
+        sr += va + vb + vc
+        sr2 += (va + vb + vc) ** 2
+    [r] = QUERIES["eval_cochran_q"](spark, SF_DIR).collect()
+    assert (r.n, r.c_a, r.c_b, r.c_c, r.sum_r, r.sum_r2) == (
+        len(docs), ca, cb, cc, sr, sr2,
+    )
+    assert r.c_a + r.c_b + r.c_c == r.sum_r
+    num = 2 * (3 * (ca * ca + cb * cb + cc * cc) - sr * sr)
+    den = 3 * sr - sr2
+    assert (r.q_num, r.q_den) == (num, den)
+    assert num >= 0 and den >= 0
+    if den:
+        assert r.q_milli == 1000 * num // den
