@@ -566,7 +566,8 @@ def graph_dag_depth_q(spark, sf_dir):
       FROM pairs
     )
     SELECT n_pairs, n_conc, n_disc, n_tied,
-           CAST(CASE WHEN n_conc >= n_disc
+           CAST(CASE WHEN n_pairs = 0 THEN NULL
+                WHEN n_conc >= n_disc
                 THEN 1000000 * (n_conc - n_disc) // n_pairs
                 ELSE -(1000000 * (n_disc - n_conc) // n_pairs) END AS BIGINT)
              AS tau_a_ppm
@@ -662,7 +663,10 @@ def eval_kendall_tau_full_q(spark, sf_dir):
         "n_disc",
         F.expr("CAST(n * (n - 1) DIV 2 - n_conc - n_disc AS BIGINT)").alias("n_tied"),
         F.expr(
-            "CAST(CASE WHEN n_conc >= n_disc"
+            # n < 2 guard (ADVICE r9): explicit NULL instead of an
+            # engine-divergent division by zero (eval_cochran_q pattern).
+            "CAST(CASE WHEN n < 2 THEN NULL"
+            " WHEN n_conc >= n_disc"
             " THEN 1000000 * (n_conc - n_disc) DIV (n * (n - 1) DIV 2)"
             " ELSE -(1000000 * (n_disc - n_conc) DIV (n * (n - 1) DIV 2)) END"
             " AS BIGINT)"
@@ -2152,7 +2156,8 @@ def graph_dag_lca_similarity_q(spark, sf_dir):
       FROM pairs
     )
     SELECT n_pairs, n_conc, n_disc, n_tied,
-           CAST(CASE WHEN n_conc >= n_disc
+           CAST(CASE WHEN n_pairs = 0 THEN NULL
+                WHEN n_conc >= n_disc
                 THEN 1000000 * (n_conc - n_disc) // n_pairs
                 ELSE -(1000000 * (n_disc - n_conc) // n_pairs) END AS BIGINT)
              AS tau_a_ppm

@@ -50,8 +50,34 @@ def largest_remainder_allocation(
     Scale contract: ``df`` is a STRATA dim frame (one row per stratum —
     aggregate the corpus first); the rank and Σfloor windows run on that
     bounded frame, the sanctioned bounded-dim single-partition pattern.
+
+    Precondition (ADVICE r9): the weight column must be non-empty with a
+    strictly positive total — apportioning a budget over zero total
+    weight is undefined.  Enforced loudly: Σweight ≤ 0 raises at
+    execution time in BOTH engines (Spark via assert_true here; DuckDB's
+    division by zero errors on its own) instead of Spark silently
+    emitting NULL quotas.
     """
-    tot = df.agg(F.sum(weight).cast("long").alias("__t"))
+    tot = df.agg(
+        F.coalesce(F.sum(weight).cast("long"), F.lit(0)).alias("__t")
+    ).select(
+        # assert_true returns NULL when the predicate holds, so the
+        # coalesce(+0) keeps __t unchanged on the happy path and the
+        # whole expression raises when Σweight ≤ 0.
+        (
+            F.col("__t")
+            + F.coalesce(
+                F.assert_true(
+                    F.col("__t") > 0,
+                    F.lit(
+                        "largest_remainder_allocation: weight total must be"
+                        " > 0 (empty input or all-zero weight column)"
+                    ),
+                ).cast("long"),
+                F.lit(0),
+            )
+        ).alias("__t")
+    )
     quota = df.crossJoin(F.broadcast(tot)).select(
         "*",
         F.expr(f"CAST({budget} * {weight} DIV __t AS BIGINT)").alias(
@@ -248,8 +274,14 @@ def kendall_tau_census_bucketed(
     perj = per.join(h, ["__xb", "__y"]).join(F.broadcast(nx_lt), "__xb")
     cross = perj.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("__nx_lt") - F.col("__h")).cast("long").alias("disc_x"),
-        F.sum(F.col("__h") - F.col("__e")).cast("long").alias("conc_x"),
+        # coalesce: SUM over an empty frame is NULL — the census columns
+        # must be well-defined zeros on empty/1-row input (ADVICE r9)
+        F.coalesce(F.sum(F.col("__nx_lt") - F.col("__h")), F.lit(0))
+        .cast("long")
+        .alias("disc_x"),
+        F.coalesce(F.sum(F.col("__h") - F.col("__e")), F.lit(0))
+        .cast("long")
+        .alias("conc_x"),
     )
     a = per.select(
         "__xb",
@@ -298,7 +330,12 @@ def kendall_tau_census_bucketed(
             "n_tied"
         ),
         F.expr(
-            "CAST(CASE WHEN n_conc >= n_disc"
+            # n < 2 guard (ADVICE r9): with no pairs the denominator is 0 —
+            # Spark (non-ANSI) would silently return NULL while DuckDB
+            # errors; make the undefined-τ case an EXPLICIT NULL in both
+            # engines (the eval_cochran_q q_milli pattern).
+            "CAST(CASE WHEN n < 2 THEN NULL"
+            " WHEN n_conc >= n_disc"
             " THEN 1000000 * (n_conc - n_disc) DIV (n * (n - 1) DIV 2)"
             " ELSE -(1000000 * (n_disc - n_conc) DIV (n * (n - 1) DIV 2)) END"
             " AS BIGINT)"

@@ -164,11 +164,16 @@ def _global_rank_with_total(
     #   - large |ranges|: the chain's codegen size grows O(ranges) and
     #     would eventually trip the 64 KB interpreted fallback, so the
     #     sorted boundaries ride in ONE broadcast row as an array<struct>
-    #     and the bucket is found by a FIXED-DEPTH BINARY SEARCH: one
-    #     Project per step (lo/hi as real columns — attribute references,
-    #     never inlined expression trees, the documented 64 KB trap),
-    #     each step one element_at + struct compare + two CASEs, so both
-    #     codegen size and per-row cost are O(log ranges).  Measured at
+    #     and the bucket is found by a FIXED-DEPTH BINARY SEARCH
+    #     expressed as a SINGLE aggregate-HOF fold over log2(ranges)
+    #     step tokens — the (lo, hi) state is a struct threaded through
+    #     the fold, one element_at + struct compare + two CASEs per
+    #     step, so both codegen size and per-row cost are O(log ranges).
+    #     (A Project-per-step formulation was REJECTED: Catalyst's
+    #     CollapseProject inlines each step into the next, doubling the
+    #     expression tree per step — optimizer OOM.  A filter-HOF linear
+    #     scan was REJECTED on measurement: per-row O(ranges)
+    #     interpreted loop, 4.5x slower.)  Measured at
     #     1000 ranges × 1.5M rows (local[8]): filter-HOF linear scan
     #     44.8 s (per-row O(ranges) interpreted loop — wrong shape),
     #     binary-search fold 9.9 s vs 3.1 s at 100 ranges — the residual

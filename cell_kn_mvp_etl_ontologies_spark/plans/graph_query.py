@@ -669,7 +669,10 @@ def strongly_connected_components_fb(
     def _fixpoint(state: DataFrame, step, agg_col: str, agg_fn) -> DataFrame:
         """Iterate ``state -> state ∪ step(state)`` folded by ``agg_fn``
         until unchanged; ``check_every`` lazy hops per eager checkpoint."""
-        for _ in range(max_inner // check_every + 1):
+        # hop budget = rounds * check_every (up to max_inner + check_every
+        # hops — the error below reports the TRUE budget, ADVICE r9)
+        rounds = max_inner // check_every + 1
+        for _ in range(rounds):
             before = state
             for _ in range(check_every):
                 state = (
@@ -688,8 +691,8 @@ def strongly_connected_components_fb(
                 return state
         raise RuntimeError(
             f"strongly_connected_components_fb: fixpoint on {agg_col} did "
-            f"not converge within {max_inner} hops — directed diameter "
-            "exceeds the cap; raise max_inner."
+            f"not converge within {rounds * check_every} hops — directed "
+            "diameter exceeds the cap; raise max_inner."
         )
 
     for _ in range(max_outer):

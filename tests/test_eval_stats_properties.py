@@ -150,3 +150,36 @@ def test_kendall_bucketed_census_matches_brute_force(spark, pts, width):
     n = len(pts)
     assert (r.n_pairs, r.n_conc, r.n_disc) == (n * (n - 1) // 2, conc, disc)
     assert r.n_tied == n * (n - 1) // 2 - conc - disc
+
+
+def test_kendall_bucketed_degenerate_n_explicit_null(spark):
+    """ADVICE r9: on an empty or 1-row input tau_a_ppm must be an EXPLICIT
+    NULL (the eval_cochran_q guard pattern), never an engine-divergent
+    division by zero; the census columns stay well-defined zeros."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.eval_stats import (
+        kendall_tau_census_bucketed,
+    )
+
+    for rows in ([], [(0, 3, 7)]):
+        df = spark.createDataFrame(rows, "rid long, x long, y long")
+        [r] = kendall_tau_census_bucketed(df, "rid", "x", "y", 10).collect()
+        assert r.tau_a_ppm is None
+        assert (r.n_pairs, r.n_conc, r.n_disc, r.n_tied) == (0, 0, 0, 0)
+
+
+def test_largest_remainder_rejects_nonpositive_weight_total(spark):
+    """ADVICE r9: apportioning over an empty or all-zero weight column must
+    raise LOUDLY (assert_true) instead of Spark silently emitting NULL
+    quotas while DuckDB errors."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    for rows in ([], [(0, 0), (1, 0)]):
+        df = spark.createDataFrame(rows, "k long, w long")
+        out = largest_remainder_allocation(df, "k", "w", 100)
+        with pytest.raises(
+            (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException),
+            match="weight total must be",
+        ):
+            out.collect()
