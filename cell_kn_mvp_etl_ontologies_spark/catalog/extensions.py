@@ -1753,6 +1753,101 @@ def _pq_trained_oracle(m: int = 4, subdim: int = 16, ksub: int = 4, n_iter: int 
     return "".join(parts)
 
 
+def _pq_codebook_oracle(m: int = 4, subdim: int = 16, ksub: int = 4, n_iter: int = 2) -> str:
+    """Unroll ONLY the codebook-training half of the trained-PQ chain
+    (VERDICT r9 #4): identical training CTEs to ``_pq_trained_oracle`` (same
+    md5 seeding, floor-division means, dist/cell tie-breaks), but the final
+    select emits the trained codebook CELLS — one row per
+    (sub, cell, dim, value) — so the codebook vectors themselves are the
+    gated surface, cell-exactly, not just a per-code digest."""
+    parts = [
+        """
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    seeds AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+      FROM corpus
+    )"""
+    ]
+    outs = []
+    for s in range(m):
+        lo, hi = subdim * s, subdim * (s + 1)
+        parts.append(
+            f""",
+    q_{s} AS (SELECT vec_id, i - {lo} AS i, v FROM quant WHERE i > {lo} AND i <= {hi}),
+    c0_{s} AS (
+      SELECT CAST(sd.r - 1 AS INT) AS cell, q.i, q.v
+      FROM seeds sd JOIN q_{s} q ON q.vec_id = sd.vec_id WHERE sd.r <= {ksub}
+    )"""
+        )
+        for n in range(1, n_iter + 1):
+            parts.append(
+                f""",
+    d{n}_{s} AS (
+      SELECT q.vec_id, c.cell, SUM((q.v - c.v) * (q.v - c.v)) AS d
+      FROM q_{s} q JOIN c{n - 1}_{s} c ON c.i = q.i
+      GROUP BY q.vec_id, c.cell
+    ),
+    a{n}_{s} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM d{n}_{s}
+      ) WHERE rn = 1
+    ),
+    c{n}_{s} AS (
+      SELECT a.cell, q.i, CAST(floor(CAST(SUM(q.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+      FROM a{n}_{s} a JOIN q_{s} q ON q.vec_id = a.vec_id
+      GROUP BY a.cell, q.i
+    )"""
+            )
+        outs.append(
+            f"SELECT {s} AS sub, cell, i, v FROM c{n_iter}_{s}"
+        )
+    parts.append(
+        "\n    SELECT CAST(sub AS INT) AS sub, CAST(cell AS INT) AS cell,"
+        " CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS val FROM (\n      "
+        + "\n      UNION ALL ".join(outs)
+        + "\n    ) u"
+    )
+    return "".join(parts)
+
+
+@register("pq_train_codebooks", oracle=_pq_codebook_oracle())
+def pq_train_codebooks_q(spark, sf_dir):
+    """The PQ TRAINING operator as its own gated row (VERDICT r9 #4 — the
+    one SURVEY §2 ID previously gated only through the
+    ``similarity_pq_trained`` chain's per-code digest).  Emits the trained
+    codebooks exploded to (sub, cell, dim, val) cells so every trained
+    coordinate is hash-gated against the unrolled-CTE k-means replay, the
+    strongest possible contract on the training math itself (m=4 subspaces
+    × ksub=4 cells × 16 dims = 256 cells on the sf corpus slice).
+
+    Scale shape: training is m independent bounded k-means runs whose
+    updates partial-aggregate at (cell, dim) grain — corpus-scale scans,
+    codebook-scale (m·ksub·subdim rows) output, permanently broadcastable."""
+    from ..operators.pq import pq_train_codebooks
+
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120).select(
+        "vec_id", "embedding"
+    )
+    books = pq_train_codebooks(em, m=4, ksub=4, n_iter=2)
+    return books.select(
+        "sub",
+        "cell",
+        F.posexplode("cv").alias("pos", "val"),
+    ).select(
+        F.col("sub").cast("int").alias("sub"),
+        F.col("cell").cast("int").alias("cell"),
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("val").cast("long").alias("val"),
+    )
+
+
 @register("similarity_pq_trained", oracle=_pq_trained_oracle())
 def similarity_pq_trained_q(spark, sf_dir):
     """End-to-end TRAINED product quantization (VERDICT r5 #4,

@@ -102,16 +102,18 @@ def _evidence_rounds() -> tuple[int, dict[str, int]]:
 
 
 def test_evidence_freshness_floor():
-    """VERDICT r8 #8: every catalog query must carry all-green correctness
-    evidence (driver gate or local sweep) no older than 4 rounds — and a
-    query with NO recorded evidence at all is exactly the round-8 process
-    failure (frontier5 shipped ungated), so it is red too.  Fix for a red
-    row: run `python tools/check_correctness.py --json-out
-    CORRECTNESS_LOCAL_r{N}.json` (the full sweep is the round's last
-    commit by doctrine)."""
+    """VERDICT r8 #8, tightened 4 → 3 rounds in round 10 (VERDICT r9 #6):
+    every catalog query must carry all-green correctness evidence (driver
+    gate or local sweep) no older than 3 rounds — with a 50-slot driver
+    gate over a 400+-row catalog, this floor is what prevents a
+    permanently-stale tail.  A query with NO recorded evidence at all is
+    exactly the round-8 process failure (frontier5 shipped ungated), so it
+    is red too.  Fix for a red row: run `python tools/check_correctness.py
+    --json-out CORRECTNESS_LOCAL_r{N}.json` (the full sweep is the round's
+    last commit by doctrine)."""
     current, newest = _evidence_rounds()
     assert current >= 2, "no correctness artifacts found"
-    floor = current - 4
+    floor = current - 3
     stale = sorted(
         q for q in _catalog_ids() if newest.get(q, -1) < floor
     )
