@@ -82,7 +82,7 @@ _PRIORITY = [
     # never-driver fill in (b).
     "eval_kendall_tau_full", "eval_kendall_tau_bucketed",
     "sample_allocation_largest_remainder", "stream_allocation_maintain",
-    "pq_train_codebooks",
+    "pq_train_codebooks", "graph_dag_lca_frontier",
     "quality_seasonal_null_audit", "temporal_ewma_crossover",
     "graph_reciprocity", "agg_log_histogram", "text_hapax_ratio",
     "sample_inverse_propensity", "eval_lift_at_k", "join_nearest_feature",

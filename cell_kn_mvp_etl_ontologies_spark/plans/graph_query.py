@@ -973,3 +973,181 @@ def betweenness_bounded(
         )
         .select(F.col("node").cast("long").alias("node"), "betweenness_ppm", "n_contribs")
     )
+
+
+def dag_ancestors_bucketed(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_rounds: int = 64,
+    check_every: int = 4,
+    bucket_bits: int = 62,
+) -> DataFrame:
+    """(node, bucket, bm) — sparse bucketed-bitmap ancestor sets for an
+    UNBOUNDED label universe: the widening `dag_depth_frontier` documents
+    for labels >= 63 (its single-BIGINT `anc_bm` would silently wrap).
+    Ancestor a of node v sets bit (a % bucket_bits) in v's bucket
+    (a DIV bucket_bits) row; rows exist only for non-empty buckets, so
+    state is O(Σ|ancestors| / bucket_bits) rows, never a dense matrix.
+
+    Relaxation (monotone OR-lattice, exact fixpoint on a DAG): state
+    starts as the direct-parent bits, then each round re-keys every
+    parent-side bucket row across the edge set and bit_or-folds — one
+    keyed shuffle join + one (node, bucket) aggregation per round,
+    rounds = hierarchy depth, NO (src, dst) closure pairs materialized.
+    ``bucket_bits`` stays below 63 so shiftleft never touches the
+    BIGINT sign bit.  Convergence is probed every ``check_every`` hops
+    (the `dag_depth_frontier` batching), capped with a LOUD error: a
+    partial ancestor set would under-report LCAs silently.
+
+    100 TB shape: per-round join keyed on the parent endpoint; bucket
+    fan-out multiplies rows only by occupied buckets per node (ontology
+    ancestor sets are tens-to-hundreds → 1-3 buckets).  Skewed hub
+    ancestors salt like any hot join key.
+    """
+    if not 1 <= bucket_bits <= 62:
+        raise ValueError("dag_ancestors_bucketed: bucket_bits must be in [1, 62]")
+    e = edges.select(
+        F.col(child).alias("c"), F.col(parent).alias("p")
+    ).localCheckpoint(eager=True)
+    bit = lambda col: F.expr(  # noqa: E731
+        f"shiftleft(CAST(1 AS BIGINT), CAST({col} % {bucket_bits} AS INT))"
+    )
+    state = (
+        e.select(
+            F.col("c").alias("node"),
+            (F.col("p") / bucket_bits).cast("long").alias("bucket"),
+            bit("p").alias("bm"),
+        )
+        .groupBy("node", "bucket")
+        .agg(F.expr("bit_or(bm)").alias("bm"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(-(-max_rounds // check_every)):
+        before = state
+        for _ in range(check_every):
+            cand = e.join(state.withColumnRenamed("node", "p"), on="p").select(
+                F.col("c").alias("node"), "bucket", "bm"
+            )
+            state = (
+                state.unionByName(cand)
+                .groupBy("node", "bucket")
+                .agg(F.expr("bit_or(bm)").alias("bm"))
+            )
+        state = state.localCheckpoint(eager=True)
+        changed = (
+            state.withColumnRenamed("bm", "__bm")
+            .join(before, on=["node", "bucket"], how="left")
+            .filter(F.col("bm").isNull() | (F.col("bm") != F.col("__bm")))
+            .count()
+        )
+        if changed == 0:
+            return state
+    raise RuntimeError(
+        "dag_ancestors_bucketed: relaxation did not converge within "
+        f"{-(-max_rounds // check_every) * check_every} hops — hierarchy "
+        "deeper than the cap; raise it."
+    )
+
+
+def lca_wu_palmer_bucketed(
+    edges: DataFrame,
+    pairs: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    bucket_bits: int = 62,
+) -> DataFrame:
+    """(n1, n2, d1, d2, lca_node, lca_depth, wup_milli) — the PRODUCTION
+    LCA/Wu-Palmer path `graph_dag_lca_similarity` documents: common
+    ancestors come from a bucket-aligned bitwise AND of the two terms'
+    bucketed ancestor-or-self bitmaps (one codegen op per shared bucket),
+    never from a pairs × closure join; only the AND's set bits ever
+    become rows.  Depths from the depth-only `dag_depth_frontier`
+    relaxation; LCA = deepest common ancestor, ties to MIN node id (the
+    two-step exact reduction); Wu-Palmer = 2000·depth(lca) DIV (d1+d2),
+    NULL for root-depth-0 pairs — identical contract to the gate tier,
+    which is what the shared-oracle facet pins.
+
+    ``pairs`` needs columns (n1, n2).
+    """
+    depths = dag_depth_frontier(
+        edges, child, parent, with_ancestors=False
+    ).localCheckpoint(eager=True)
+    anc = dag_ancestors_bucketed(edges, child, parent, bucket_bits=bucket_bits)
+    self_bits = depths.select(
+        "node",
+        (F.col("node") / bucket_bits).cast("long").alias("bucket"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(node % {bucket_bits} AS INT))"
+        ).alias("bm"),
+    )
+    anc_or_self = (
+        anc.unionByName(self_bits)
+        .groupBy("node", "bucket")
+        .agg(F.expr("bit_or(bm)").alias("bm"))
+        .localCheckpoint(eager=True)
+    )
+    common_bm = (
+        pairs.join(
+            anc_or_self.select(
+                F.col("node").alias("n1"), "bucket", F.col("bm").alias("bm1")
+            ),
+            on="n1",
+        )
+        .join(
+            anc_or_self.select(
+                F.col("node").alias("n2"), "bucket", F.col("bm").alias("bm2")
+            ),
+            on=["n2", "bucket"],
+        )
+        .select("n1", "n2", "bucket", F.expr("bm1 & bm2").alias("bm"))
+        .filter(F.col("bm") != 0)
+    )
+    # only the set bits become rows: filter the 0..bucket_bits-1 positions
+    # through the bitmap, then explode — O(common ancestors) rows per pair
+    common = common_bm.select(
+        "n1",
+        "n2",
+        F.explode(
+            F.expr(
+                f"filter(sequence(0, {bucket_bits - 1}),"
+                " i -> (bm & shiftleft(CAST(1 AS BIGINT), i)) != 0)"
+            )
+        ).alias("_bit"),
+        "bucket",
+    ).select(
+        "n1",
+        "n2",
+        (F.col("bucket") * bucket_bits + F.col("_bit")).alias("anc_node"),
+    )
+    common = common.join(
+        depths.select(F.col("node").alias("anc_node"), F.col("depth").alias("anc_depth")),
+        on="anc_node",
+    )
+    best = common.groupBy("n1", "n2").agg(
+        F.max("anc_depth").alias("lca_depth"),
+        F.min_by(F.col("anc_node"), F.struct(-F.col("anc_depth"), F.col("anc_node"))).alias(
+            "lca_node"
+        ),
+    )
+    return (
+        pairs.join(
+            depths.select(F.col("node").alias("n1"), F.col("depth").alias("d1")), on="n1"
+        )
+        .join(
+            depths.select(F.col("node").alias("n2"), F.col("depth").alias("d2")), on="n2"
+        )
+        .join(best, on=["n1", "n2"], how="left")
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("d1").cast("long").alias("d1"),
+            F.col("d2").cast("long").alias("d2"),
+            F.col("lca_node").cast("long").alias("lca_node"),
+            F.col("lca_depth").cast("long").alias("lca_depth"),
+            F.when(
+                F.col("lca_depth").isNotNull() & (F.col("d1") + F.col("d2") > 0),
+                F.expr("CAST(2000 * lca_depth DIV (d1 + d2) AS BIGINT)"),
+            ).alias("wup_milli"),
+        )
+    )

@@ -218,3 +218,120 @@ def test_betweenness_bounded_matches_python_on_random_digraphs(spark, edges):
         for r in betweenness_bounded(df).collect()
     }
     assert got == {n: tuple(w) for n, w in want.items()}
+
+
+@SETTINGS
+@given(
+    raw=st.sets(
+        st.tuples(
+            # labels up to 180 — deliberately BEYOND the single-BIGINT
+            # bitmap universe (< 63) that dag_depth_frontier guards, because
+            # the bucketed widening existing for exactly this regime is the
+            # property under test
+            st.integers(min_value=0, max_value=180),
+            st.integers(min_value=0, max_value=180),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dag_ancestors_bucketed_matches_python_beyond_bitmap_universe(spark, raw):
+    """The bucketed (node, bucket, bm) ancestor rows must decode to the
+    exact python ancestor sets on random DAGs whose labels exceed 63."""
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+        dag_ancestors_bucketed,
+    )
+
+    edges = [(c, p) for c, p in raw if p < c]
+    if not edges:
+        return
+    parents: dict = {}
+    nodes = set()
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+        nodes |= {c, p}
+
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def anc(v):
+        out = set()
+        for p in parents.get(v, ()):
+            out |= {p} | anc(p)
+        return frozenset(out)
+
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got: dict = {}
+    for r in dag_ancestors_bucketed(df).collect():
+        for i in range(62):
+            if r.bm & (1 << i):
+                got.setdefault(r.node, set()).add(r.bucket * 62 + i)
+    want = {v: set(anc(v)) for v in nodes if anc(v)}
+    assert got == want
+
+
+@SETTINGS
+@given(
+    raw=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=180),
+            st.integers(min_value=0, max_value=180),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_lca_wu_palmer_bucketed_matches_python_beyond_bitmap_universe(spark, raw):
+    """LCA node/depth and Wu-Palmer milli from the bucketed-bitmap
+    production path must match brute-force python (deepest common
+    ancestor-or-self, MIN-id tie-break) on >63-label random DAGs, for
+    ALL ordered pairs of nodes."""
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+        lca_wu_palmer_bucketed,
+    )
+
+    edges = [(c, p) for c, p in raw if p < c]
+    if not edges:
+        return
+    parents: dict = {}
+    nodes = set()
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+        nodes |= {c, p}
+
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def depth(v):
+        return max((1 + depth(p) for p in parents.get(v, ())), default=0)
+
+    @functools.lru_cache(maxsize=None)
+    def anc_self(v):
+        out = {v}
+        for p in parents.get(v, ()):
+            out |= anc_self(p)
+        return frozenset(out)
+
+    pairs = [(a, b) for a in nodes for b in nodes if a < b]
+    want = {}
+    for a, b in pairs:
+        common = anc_self(a) & anc_self(b)
+        if common:
+            ld = max(depth(x) for x in common)
+            ln = min(x for x in common if depth(x) == ld)
+            wup = (
+                2000 * ld // (depth(a) + depth(b))
+                if depth(a) + depth(b) > 0
+                else None
+            )
+            want[(a, b)] = (depth(a), depth(b), ln, ld, wup)
+        else:
+            want[(a, b)] = (depth(a), depth(b), None, None, None)
+
+    df = spark.createDataFrame(edges, "child long, parent long")
+    pdf = spark.createDataFrame(pairs, "n1 long, n2 long")
+    got = {
+        (r.n1, r.n2): (r.d1, r.d2, r.lca_node, r.lca_depth, r.wup_milli)
+        for r in lca_wu_palmer_bucketed(df, pdf).collect()
+    }
+    assert got == want
