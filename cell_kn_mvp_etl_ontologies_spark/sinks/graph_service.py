@@ -120,3 +120,39 @@ def upsert_graph_via_transport(
     upsert_via_transport(
         edges, "edges", transport, batch_size, max_retries, backoff
     )
+
+
+def arango_flatten_transport(
+    inner: Transport, attrs_col: str = "attrs", scalar_single: bool = True
+) -> Transport:
+    """Adapter that reshapes the engine's vertex rows into the reference's
+    ArangoDB document shape before delegating to ``inner``: the pivoted
+    ``attrs`` MAP<STRING, ARRAY<STRING>> column is flattened into TOP-LEVEL
+    document fields, single-element arrays becoming scalars when
+    ``scalar_single`` — exactly the golden state
+    OntologyGraphBuilderTest.java:361-368 asserts (list-valued `hasDbXref`
+    next to scalar `label`/`hasExactSynonym`/`comment`).
+
+    One deliberate divergence, documented: the reference preserves OWL
+    document order inside multi-valued attributes; this engine's pivot
+    emits SORTED arrays (the determinism contract every attrs gate pins),
+    so list-valued fields land sorted.
+
+    Pure per-batch reshaping (no I/O, no state) — picklable, ships to
+    executors inside the foreachPartition closure like any transport."""
+
+    def transport(collection: str, batch: list[dict]) -> None:
+        shaped = []
+        for doc in batch:
+            doc = dict(doc)
+            attrs = doc.pop(attrs_col, None) or {}
+            for k, vs in attrs.items():
+                doc[k] = (
+                    vs[0]
+                    if scalar_single and isinstance(vs, list) and len(vs) == 1
+                    else vs
+                )
+            shaped.append(doc)
+        inner(collection, shaped)
+
+    return transport

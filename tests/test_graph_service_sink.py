@@ -169,3 +169,43 @@ def test_upsert_retry_after_midbatch_failure_is_idempotent(spark, tmp_path):
     clean, faulty = state(clean_root), state(faulty_root)
     assert faulty == clean  # byte-identical after retry
     assert len(clean) == 97
+
+
+def test_arango_flatten_transport_scalar_vs_list(spark, tmp_path):
+    """The flattening adapter must reproduce the reference's document shape
+    (OntologyGraphBuilderTest.java:361-368): single-valued attrs become
+    scalars, multi-valued stay (sorted) lists, _key passes through, and the
+    attrs column itself never reaches the inner transport."""
+    from cell_kn_mvp_etl_ontologies_spark.sinks.graph_service import (
+        arango_flatten_transport,
+        upsert_via_transport,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("0000235", {"label": ["macrophage"], "hasDbXref": ["A:1", "B:2"]}),
+            ("0000576", {"label": ["monocyte"]}),
+            ("0000001", None),
+        ],
+        "_key string, attrs map<string, array<string>>",
+    )
+    root = str(tmp_path)
+    upsert_via_transport(
+        df, "CL", arango_flatten_transport(_dir_transport(root)), batch_size=10
+    )
+    back = _read_back(root)
+    docs = {d["_key"]: d for d in back}
+    assert all(d["collection"] == "CL" for d in back)
+    assert "attrs" not in docs["0000235"]
+    assert docs["0000235"] == {
+        "collection": "CL",
+        "_key": "0000235",
+        "label": "macrophage",
+        "hasDbXref": ["A:1", "B:2"],
+    }
+    assert docs["0000576"] == {
+        "collection": "CL",
+        "_key": "0000576",
+        "label": "monocyte",
+    }
+    assert docs["0000001"] == {"collection": "CL", "_key": "0000001"}
