@@ -170,6 +170,7 @@ def run_stream_apply_changes(
     keys: list[str],
     op_col: str = "op",
     seq_col: str = "seq",
+    chaos_after_batch=None,
 ) -> DataFrame:
     """Run a (bounded) CDC changelog stream into keyed parquet state via
     foreachBatch ``apply_changes`` and return the final state (with
@@ -178,8 +179,15 @@ def run_stream_apply_changes(
     Because apply_changes is seq-resolved, the result is INDEPENDENT of how
     the file source bundles files into micro-batches or in what order they
     arrive — the property that makes CDC ingestion restartable and
-    backfillable at scale.  Same two-phase staging rewrite as
-    run_stream_upsert (a parquet path can't be overwritten mid-read)."""
+    backfillable at scale.  It is also IDEMPOTENT under batch redelivery:
+    re-applying an already-applied changelog slice resolves to the same
+    (key, max seq) winners, so a crash in the at-least-once window (state
+    committed, checkpoint offset not yet) converges on restart —
+    ``chaos_after_batch(batch_id)``, called after the state write and
+    before foreachBatch returns, is the fault-injection seam the chaos
+    tests use to land a failure exactly there (production passes nothing).
+    Same two-phase staging rewrite as run_stream_upsert (a parquet path
+    can't be overwritten mid-read)."""
     import shutil
 
     from ..operators.incremental import apply_changes
@@ -195,6 +203,8 @@ def run_stream_apply_changes(
         merged.write.mode("overwrite").parquet(staging)
         spark.read.parquet(staging).write.mode("overwrite").parquet(path)
         shutil.rmtree(staging.replace("file:", ""), ignore_errors=True)
+        if chaos_after_batch is not None:
+            chaos_after_batch(batch_id)
 
     query = (
         changelog.writeStream.foreachBatch(handle_batch)

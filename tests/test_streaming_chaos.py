@@ -1,0 +1,196 @@
+"""Streaming chaos composition (VERDICT r9 #8): one adversarial file that
+drives EXISTING maintainers under the three stressors at once —
+out-of-order delivery, commit-misaligned ``maxFilesPerTrigger`` batch
+boundaries, and a mid-stream failure with checkpoint-restart redelivery —
+to prove the boundary-stitch and idempotent-upsert contracts COMPOSE:
+
+1. `markov_maintain_run` (the boundary-stitch maintainer): 5 planted
+   time-slice files whose rows are SHUFFLED within each file (the window
+   must resequence) with every user active in every slice, driven at
+   ``maxFilesPerTrigger=2`` so trigger boundaries land mid-way between
+   planted commits (5 files → 2+2+1 batches).  The stitched matrix must
+   equal the batch lag() computation exactly.
+
+2. `run_stream_apply_changes` (the idempotent CDC upsert): a 5-file
+   changelog planted OUT OF SEQ ORDER (later seq in earlier files — the
+   bundling-independence contract), ``maxFilesPerTrigger=2``, and a
+   fault injected through the production ``chaos_after_batch`` seam at
+   the worst possible point — AFTER the state write of batch 1, BEFORE
+   the checkpoint offset commit (the at-least-once window).  The query
+   dies, the restart REDELIVERS batch 1 against state that already
+   contains it, and seq-resolution must converge: final state equals the
+   quiet run bit-for-bit.
+
+The executor-kill variant of the same claims runs out-of-process on a
+local-cluster master (tools/chaos_retry_probe.py; SCALE.md §chaos) —
+in-process local[4] has task maxFailures=1, so the in-test fault is
+injected at the foreachBatch commit protocol instead, which is the layer
+the streaming contracts actually promise."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.catalog import load_all
+
+load_all()  # frontier modules register in dependency order
+
+
+def _plant_event_slices(tmp_path, n_files=5, users=4, per_slice=6):
+    """Time-slice files, every user active in every slice, rows md5-shuffled
+    WITHIN each file; per-user event time still increases across files (the
+    stitch maintainer's stated ordering contract)."""
+    ev_dir = tmp_path / "events_chaos"
+    ev_dir.mkdir()
+    rows = []
+    eid = 0
+    for f in range(n_files):
+        slice_rows = []
+        for u in range(users):
+            for j in range(per_slice):
+                t = dt.datetime(2024, 1, 1, f, j * 7 + u)
+                etype = "abc"[(u + f + j) % 3]
+                slice_rows.append((eid, t, u, etype, 1.0))
+                eid += 1
+        # shuffle within the file: order by md5 of the event id
+        slice_rows.sort(key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+        rows.extend(slice_rows)
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in slice_rows],
+                "ts": pd.to_datetime([r[1] for r in slice_rows]).astype(
+                    "datetime64[us]"  # NANOS parquet type is illegal to Spark
+                ),
+                "user_id": [r[2] for r in slice_rows],
+                "event_type": [r[3] for r in slice_rows],
+                "value": [r[4] for r in slice_rows],
+            }
+        ).to_parquet(ev_dir / f"part-{f}.parquet")
+        t0 = 1_000_000_000 + f * 100
+        os.utime(ev_dir / f"part-{f}.parquet", (t0, t0))
+    return str(ev_dir), rows
+
+
+def test_markov_stitch_survives_shuffled_files_and_misaligned_triggers(
+    spark, tmp_path
+):
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier3 import (
+        markov_maintain_run,
+    )
+
+    ev_dir, rows = _plant_event_slices(tmp_path)
+    schema = spark.read.parquet(ev_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)  # 5 files -> 2+2+1: misaligned
+        .parquet(ev_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.n_from, r.p_ppm)
+        for r in markov_maintain_run(spark, stream).collect()
+    }
+
+    # batch expectation: python lag over the FULL per-user sequences
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for eid, t, u, etype, _ in rows:
+        seqs[u].append((t, eid, etype))
+    counts: dict = defaultdict(int)
+    for u, evs in seqs.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] += 1
+    n_from = defaultdict(int)
+    for (a, _), n in counts.items():
+        n_from[a] += n
+    want = {
+        (a, b): (n, n_from[a], 1_000_000 * n // n_from[a])
+        for (a, b), n in counts.items()
+    }
+    assert got == want and len(got) > 3
+
+
+def _plant_changelog(tmp_path, n_files=5):
+    """CDC changelog across 5 files with seq DELIBERATELY out of file
+    order: file k carries the seq residue class (n_files-1-k), so the
+    largest seqs for many keys arrive FIRST.  Every key is touched in
+    several files; key % 7 == 0 ends deleted at its max seq."""
+    cdc_dir = tmp_path / "cdc_chaos"
+    cdc_dir.mkdir()
+    all_rows = []
+    for f in range(n_files):
+        rows = []
+        for key in range(40):
+            seq = (n_files - 1 - f) * 100 + key  # later files = SMALLER seq
+            op = (
+                "D"
+                if key % 7 == 0 and f == 0  # the max-seq op for these keys
+                else ("U" if (key + f) % 3 else "I")
+            )
+            rows.append((key, seq, op, f"v{key}@{seq}"))
+        all_rows.extend(rows)
+        pd.DataFrame(
+            {
+                "key": [r[0] for r in rows],
+                "seq": [r[1] for r in rows],
+                "op": [r[2] for r in rows],
+                "val": [r[3] for r in rows],
+            }
+        ).to_parquet(cdc_dir / f"part-{f}.parquet")
+        t0 = 1_000_000_000 + f * 100
+        os.utime(cdc_dir / f"part-{f}.parquet", (t0, t0))
+    return str(cdc_dir)
+
+
+def _run_cdc(spark, cdc_dir, path, chaos=None):
+    from cell_kn_mvp_etl_ontologies_spark.streaming.file_stream import (
+        run_stream_apply_changes,
+    )
+
+    schema = spark.read.parquet(cdc_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(cdc_dir)
+    )
+    return run_stream_apply_changes(
+        stream, path, ["key"], op_col="op", seq_col="seq", chaos_after_batch=chaos
+    )
+
+
+def test_cdc_apply_redelivery_after_crash_in_at_least_once_window(
+    spark, tmp_path
+):
+    cdc_dir = _plant_changelog(tmp_path)
+
+    # quiet run: same misaligned bundling, no fault
+    quiet = _run_cdc(spark, cdc_dir, str(tmp_path / "state_quiet"))
+    quiet_rows = {tuple(r) for r in quiet.collect()}
+    assert len(quiet_rows) == 40  # every key has a resolved winner row
+
+    # chaos run: crash AFTER batch 1's state write, BEFORE its checkpoint
+    # offset commit — the restart must REDELIVER batch 1 against state
+    # that already contains it
+    crashed = {"done": False}
+
+    def chaos(batch_id: int) -> None:
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("chaos: crash in the at-least-once window")
+
+    state_path = str(tmp_path / "state_chaos")
+    with pytest.raises(Exception, match="chaos"):
+        _run_cdc(spark, cdc_dir, state_path, chaos=chaos)
+    assert crashed["done"]
+    # restart with the SAME checkpoint: batch 1 is redelivered (applied
+    # twice in total), batch 2 then completes the stream
+    recovered = _run_cdc(spark, cdc_dir, state_path, chaos=chaos)
+    assert {tuple(r) for r in recovered.collect()} == quiet_rows
