@@ -85,8 +85,8 @@ _PRIORITY = [
     "pq_train_codebooks", "graph_dag_lca_frontier",
     "quality_seasonal_null_audit", "temporal_ewma_crossover",
     "graph_reciprocity", "agg_log_histogram", "text_hapax_ratio",
-    "sample_inverse_propensity", "eval_lift_at_k", "join_nearest_feature",
-    "dedup_sequence_fingerprint", "stream_ewma_maintain",
+    "sample_inverse_propensity", "eval_lift_at_k", "join_nearest_value",
+    "dedup_sequence_fingerprint", "stream_reciprocity_maintain",
     # (b) the never-driver-verified backlog, stalest-first (VERDICT r9 #1):
     # the 31 rows displaced by the r9 frontier6 head block first, then the
     # frontier3 tail from dedup_exact_normalized onward.  All 71 are

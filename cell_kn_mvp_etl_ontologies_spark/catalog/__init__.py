@@ -78,3 +78,4 @@ def load_all() -> None:
     from . import frontier4  # noqa: F401
     from . import frontier5  # noqa: F401
     from . import frontier6  # noqa: F401
+    from . import frontier7  # noqa: F401

@@ -1,0 +1,793 @@
+"""Round-10 extension batch: directed-graph structure audits, magnitude
+histograms, lexical richness, targeting/evaluation economics, planted-
+missingness quality auditing, 1-D nearest-value joining, and sequence
+fingerprinting (SURVEY §2.12, §2.11).
+
+- `graph_reciprocity` — per-node edge reciprocity over a derived directed
+  slice: the directed-graph health metric (mutual-follow rate) next to
+  `graph_degree_stats`; one keyed self-join against the reversed edge set.
+- `stream_reciprocity_maintain` — the same table as IVM: the maintained
+  state is the DISTINCT edge set (per-batch anti-join merge); the per-node
+  reciprocity profile is a read-time face over state.  Shares the batch
+  oracle constant.
+- `agg_log_histogram` — decimal-magnitude (digit-count) histogram of
+  order totals: the scale-free distribution profile that catches unit
+  errors (a 100× ingest bug moves every row two buckets) without
+  assuming a parametric shape.  Exact integer bucket stats.
+- `text_hapax_ratio` — per-language lexical richness: vocabulary size,
+  hapax-legomenon count and ratio, integer type-token ratio — the
+  vocabulary-health face of the Zipf/vocab-growth family on the shared
+  tokenizer convention.
+- `eval_lift_at_k` — targeting lift at top-k% score cutoffs (the
+  campaign-economics face of the detector-metrics family): exact integer
+  rank cutoffs, lift in ppm against the base rate.
+- `sample_inverse_propensity` — per-stratum inverse-propensity weights
+  for a deterministically-assigned treatment with stratum-varying rate:
+  propensity and IPW weight in exact ppm, zero-treated strata NULL by
+  contract (the largest-remainder guard doctrine).
+- `temporal_ewma_crossover` — fast/slow finite-impulse EWMA crossover
+  signals per user: integer-weighted windows (4-2-1 over 3 events vs
+  32-16-8-4-2-1 over 6) compared by cross-multiplication so the engines
+  never divide; crossover = sign flip of the cross-multiplied diff.
+- `quality_seasonal_null_audit` — per-hour missingness audit with a
+  PLANTED hour-dependent null mask: per-bucket null rates vs the overall
+  rate, buckets flagged by exact integer cross-multiplication (rate >
+  1.5× overall) — the seasonal data-quality monitor.
+- `join_nearest_value` — 1-D nearest-neighbor join WITHIN a group by
+  VALUE (each order to its same-customer nearest-price other order):
+  sort-adjacency production shape (equal-value runs resolved by min/
+  second-min key, distinct-value neighbors by lag/lead) vs the oracle's
+  per-group quadratic argmin — never a cross join in the engine.
+- `dedup_sequence_fingerprint` — per-document min-4 rolling 3-gram
+  fingerprint (winnowing-lite): token codes from md5, gram codes by
+  modular polynomial combination (all < 2^61, overflow-proof), the 4
+  smallest as the document signature — the order-sensitive dedup blocker
+  that exact/MinHash hashing misses (re-shuffled documents share bags
+  but not sequences).
+
+Shared doctrines: integer/rational identities (ppm/milli, DIV), md5-
+derived determinism for planted scenarios, explicit NULL guards on empty
+denominators, additive or keyed-join IVM only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from . import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# graph_reciprocity — per-node edge reciprocity on a derived directed slice
+# --------------------------------------------------------------------------
+_RECIP_EDGES_SQL = """
+      SELECT DISTINCT
+        CAST(user_id % 300 AS BIGINT) AS src,
+        CAST((user_id * 31 + event_id) % 300 AS BIGINT) AS dst
+      FROM events
+      WHERE user_id % 300 <> (user_id * 31 + event_id) % 300
+"""
+
+_RECIP_ORACLE_SQL = f"""
+    WITH e AS ({_RECIP_EDGES_SQL}
+    ),
+    r AS (
+      SELECT a.src, a.dst,
+             CASE WHEN b.src IS NULL THEN 0 ELSE 1 END AS recip
+      FROM e a LEFT JOIN e b ON b.src = a.dst AND b.dst = a.src
+    )
+    SELECT src AS node,
+           CAST(COUNT(*) AS BIGINT) AS out_deg,
+           CAST(SUM(recip) AS BIGINT) AS n_recip,
+           CAST(1000000 * SUM(recip) // COUNT(*) AS BIGINT) AS recip_ppm
+    FROM r GROUP BY src
+"""
+
+
+def _recip_edges(spark, sf_dir):
+    """ONE definition of the reciprocity slice, shared by the batch row and
+    the streaming maintainer (the `_scc_edges` single-slice doctrine)."""
+    ev = _t(spark, sf_dir, "events")
+    src = (F.col("user_id") % 300).cast("long")
+    dst = ((F.col("user_id") * 31 + F.col("event_id")) % 300).cast("long")
+    return (
+        ev.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def reciprocity_profile(edges):
+    """(node, out_deg, n_recip, recip_ppm) per source node: one keyed
+    LEFT SEMI-shaped join against the reversed edge set (expressed as a
+    left join + indicator so non-reciprocal edges still count), then a
+    per-node aggregate.  100 TB shape: both sides shuffle once on the
+    (dst, src)/(src, dst) key — no broadcast needed, no closure; skewed
+    hub nodes salt like any hot join key."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_r"))
+    marked = edges.join(rev, on=["src", "dst"], how="left").select(
+        "src", F.coalesce(F.col("_r"), F.lit(0)).alias("recip")
+    )
+    return marked.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg"),
+        F.sum("recip").cast("long").alias("n_recip"),
+        F.expr("CAST(1000000 * sum(recip) DIV count(*) AS BIGINT)").alias("recip_ppm"),
+    )
+
+
+@register("graph_reciprocity", oracle=_RECIP_ORACLE_SQL)
+def graph_reciprocity_q(spark, sf_dir):
+    """Per-node edge reciprocity — the mutual-link rate that separates
+    broadcast-shaped graphs (news feeds, citation) from conversational
+    ones (follows-back, co-purchase): for every directed edge, is the
+    reverse edge present?  Exact integers; recip_ppm = 1e6·n_recip DIV
+    out_deg (out_deg ≥ 1 by grouping, no zero guard needed)."""
+    return reciprocity_profile(_recip_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# agg_log_histogram — decimal-magnitude histogram of order totals
+# --------------------------------------------------------------------------
+@register(
+    "agg_log_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS whole,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT CAST(LENGTH(CAST(whole AS VARCHAR)) AS BIGINT) AS magnitude,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM v GROUP BY 1
+    """,
+)
+def agg_log_histogram_q(spark, sf_dir):
+    """Decimal-magnitude histogram (bucket = digit count of the integer
+    part): the scale-free distribution profile that catches unit errors —
+    a 100× ingest bug shifts every row exactly two buckets, visible at a
+    glance where a mean would just grow.  Digit count via string length
+    of the BIGINT cast (exact in both engines, no float log10 edge at
+    powers of ten).
+
+    100 TB shape: one narrow projection + a hash aggregate over ≤ ~19
+    buckets — map-side combine collapses everything; output is O(1)."""
+    v = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.floor("o_totalprice").cast("long").alias("whole"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return v.groupBy(
+        F.length(F.col("whole").cast("string")).cast("long").alias("magnitude")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_hapax_ratio — per-language lexical richness
+# --------------------------------------------------------------------------
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok WHERE w <> '' GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(1000000 * SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) // COUNT(*)
+                AS BIGINT) AS hapax_ppm,
+           CAST(1000 * COUNT(*) // SUM(f) AS BIGINT) AS ttr_milli
+    FROM freq GROUP BY lang
+    """,
+)
+def text_hapax_ratio_q(spark, sf_dir):
+    """Per-language lexical richness: vocabulary size, hapax legomena
+    (once-occurring terms) and their share of the vocabulary, and the
+    integer type-token ratio — the vocabulary-health companion of
+    `text_zipf_rank`/`text_vocab_growth` (a template-generated corpus
+    shows collapsed hapax share; scraped natural text runs ~40-60%).
+    Shared tokenizer convention ([^a-z0-9]+ on lowercased text).
+
+    100 TB shape: corpus-linear token explode into a (lang, w) hash agg
+    (map-side combined), then a |vocab|-row second aggregate — no joins,
+    no windows; vocab grows sub-linearly (Heaps' law) so the second agg
+    shrinks relative to the corpus as data scales."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    freq = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    return freq.groupBy("lang").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) DIV count(*) AS BIGINT)"
+        ).alias("hapax_ppm"),
+        F.expr("CAST(1000 * count(*) DIV sum(f) AS BIGINT)").alias("ttr_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_lift_at_k — targeting lift at top-k% cutoffs
+# --------------------------------------------------------------------------
+@register(
+    "eval_lift_at_k",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             row_number() OVER (ORDER BY FLOOR(o_totalprice * 100) DESC,
+                                o_orderkey ASC) AS rnk
+      FROM orders
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos FROM scored
+    ),
+    ks AS (SELECT unnest([1, 5, 10, 25]) AS pct)
+    SELECT CAST(k.pct AS BIGINT) AS pct,
+           CAST(t.n * k.pct // 100 AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN s.rnk <= t.n * k.pct // 100 THEN s.y ELSE 0 END)
+                AS BIGINT) AS pos_k,
+           CASE WHEN t.n * k.pct // 100 = 0 OR t.pos = 0 THEN NULL
+                ELSE CAST(1000000 *
+                     (SUM(CASE WHEN s.rnk <= t.n * k.pct // 100 THEN s.y ELSE 0 END) * t.n)
+                     // ((t.n * k.pct // 100) * t.pos) AS BIGINT)
+           END AS lift_ppm
+    FROM scored s, tot t, ks k
+    GROUP BY k.pct, t.n, t.pos
+    """,
+)
+def eval_lift_at_k_q(spark, sf_dir):
+    """Targeting lift at top-k% score cutoffs — the campaign-economics
+    face of the detector family (`eval_gains_deciles` reports the whole
+    decile curve; this answers 'how much better than random is the slice
+    I can afford to act on').  Score = order total in cents, label =
+    finalized order; cutoff k = n·pct DIV 100 rows by (score DESC, key
+    ASC) — an exact integer rank cutoff both engines agree on; lift_ppm
+    = 1e6·(pos_k·n) DIV (k·pos), NULL when the cutoff or positive count
+    is empty (explicit guard, the largest-remainder doctrine).
+
+    100 TB shape: one global rank — at corpus scale the cutoffs come from
+    the distributed two-pass rank (the ntile_exact machinery); here the
+    rank feeds a conditional aggregate, output is 4 rows."""
+    scored = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        "o_orderkey",
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("o_orderkey"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    ks = ranked.sparkSession.createDataFrame([(1,), (5,), (10,), (25,)], "pct int")
+    joined = ranked.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ks))
+    return (
+        joined.groupBy(F.col("pct").cast("long").alias("pct"), "n", "pos")
+        .agg(
+            F.expr("CAST(max(n * pct DIV 100) AS BIGINT)").alias("k"),
+            F.expr(
+                "CAST(sum(CASE WHEN rnk <= n * pct DIV 100 THEN y ELSE 0 END) AS BIGINT)"
+            ).alias("pos_k"),
+        )
+        .select(
+            "pct",
+            "k",
+            "pos_k",
+            F.expr(
+                "CASE WHEN k = 0 OR pos = 0 THEN NULL"
+                " ELSE CAST(1000000 * (pos_k * n) DIV (k * pos) AS BIGINT) END"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_inverse_propensity — stratified IPW weights, exact ppm
+# --------------------------------------------------------------------------
+@register(
+    "sample_inverse_propensity",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, source,
+             CASE WHEN ('0x' || substring(md5('ipw|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 10 + (LENGTH(source) * 7) % 30
+                  THEN 1 ELSE 0 END AS treated
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(treated) AS BIGINT) AS n_treated,
+           CAST(1000000 * SUM(treated) // COUNT(*) AS BIGINT) AS p_ppm,
+           CASE WHEN SUM(treated) = 0 THEN NULL
+                ELSE CAST(1000000 * COUNT(*) // SUM(treated) AS BIGINT)
+           END AS w_ppm
+    FROM assigned GROUP BY lang, source
+    """,
+)
+def sample_inverse_propensity_q(spark, sf_dir):
+    """Per-stratum inverse-propensity weights for a deterministic
+    md5-assigned treatment whose RATE VARIES BY STRATUM (10-39% by source
+    name) — the reweighting table observational-analysis pipelines join
+    onto treated rows so stratum-skewed assignment stops biasing the
+    estimate.  Propensity p̂ and weight 1/p̂ in exact ppm; a zero-treated
+    stratum yields NULL weight by contract (explicit guard — silently
+    dividing would diverge between engines).
+
+    100 TB shape: one hash aggregate at stratum grain; the weight table is
+    dimension-sized and broadcasts back onto the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ipw|"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    thr = F.lit(10) + (F.length("source") * 7) % 30
+    assigned = docs.select(
+        "lang", "source", F.when(h % 100 < thr, 1).otherwise(0).alias("treated")
+    )
+    return assigned.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("treated").cast("long").alias("n_treated"),
+        F.expr("CAST(1000000 * sum(treated) DIV count(*) AS BIGINT)").alias("p_ppm"),
+        F.expr(
+            "CASE WHEN sum(treated) = 0 THEN NULL"
+            " ELSE CAST(1000000 * count(*) DIV sum(treated) AS BIGINT) END"
+        ).alias("w_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal_ewma_crossover — integer fast/slow EWMA crossover signals
+# --------------------------------------------------------------------------
+@register(
+    "temporal_ewma_crossover",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             lag(CAST(FLOOR(value * 100) AS BIGINT), 1) OVER w AS v1,
+             lag(CAST(FLOOR(value * 100) AS BIGINT), 2) OVER w AS v2,
+             lag(CAST(FLOOR(value * 100) AS BIGINT), 3) OVER w AS v3,
+             lag(CAST(FLOOR(value * 100) AS BIGINT), 4) OVER w AS v4,
+             lag(CAST(FLOOR(value * 100) AS BIGINT), 5) OVER w AS v5
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sig AS (
+      SELECT user_id, rn,
+             CASE WHEN 9 * (4*v + 2*v1 + v2) > (32*v + 16*v1 + 8*v2 + 4*v3 + 2*v4 + v5) THEN 1
+                  WHEN 9 * (4*v + 2*v1 + v2) < (32*v + 16*v1 + 8*v2 + 4*v3 + 2*v4 + v5) THEN -1
+                  ELSE 0 END AS sgn
+      FROM seq WHERE rn >= 6
+    ),
+    x AS (
+      SELECT user_id, sgn,
+             lag(sgn) OVER (PARTITION BY user_id ORDER BY rn) AS prev_sgn
+      FROM sig
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN prev_sgn * sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross,
+           CAST(SUM(sgn) AS BIGINT) AS sum_sign
+    FROM x GROUP BY user_id
+    """,
+)
+def temporal_ewma_crossover_q(spark, sf_dir):
+    """Fast/slow EWMA crossover detection per user — the trading-signal /
+    regime-change primitive, made hash-exact by FINITE integer-weighted
+    windows (fast = 4-2-1 over the last 3 events ÷7, slow = 32-16-8-4-2-1
+    over 6 ÷63) compared by CROSS-MULTIPLICATION (fast/7 vs slow/63 ⟺
+    9·fast_num vs slow_num) so no engine ever divides.  Crossover = the
+    cross-multiplied sign flipping between consecutive evaluable events
+    (zero = neither side, not a cross).
+
+    100 TB shape: one user-keyed window pass (6 lags + the sign lag fuse
+    into a single WindowExec), then a user-grain aggregate — corpus-linear,
+    no joins."""
+    v = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        v.alias("v"),
+        F.row_number().over(w).alias("rn"),
+        *[F.lag(v, i).over(w).alias(f"v{i}") for i in range(1, 6)],
+    )
+    sig = seq.filter(F.col("rn") >= 6).select(
+        "user_id",
+        "rn",
+        F.expr(
+            "CASE WHEN 9 * (4*v + 2*v1 + v2) > (32*v + 16*v1 + 8*v2 + 4*v3 + 2*v4 + v5) THEN 1"
+            " WHEN 9 * (4*v + 2*v1 + v2) < (32*v + 16*v1 + 8*v2 + 4*v3 + 2*v4 + v5) THEN -1"
+            " ELSE 0 END"
+        ).alias("sgn"),
+    )
+    wx = Window.partitionBy("user_id").orderBy("rn")
+    x = sig.select("user_id", "sgn", F.lag("sgn").over(wx).alias("prev_sgn"))
+    return x.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("prev_sgn") * F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross"),
+        F.sum("sgn").cast("long").alias("sum_sign"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_seasonal_null_audit — per-hour missingness vs overall
+# --------------------------------------------------------------------------
+@register(
+    "quality_seasonal_null_audit",
+    oracle="""
+    WITH masked AS (
+      SELECT EXTRACT(hour FROM ts) AS h,
+             CASE WHEN ('0x' || substring(md5('null|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 5 + CASE WHEN EXTRACT(hour FROM ts) BETWEEN 2 AND 4
+                                        THEN 15 ELSE 0 END
+                  THEN 1 ELSE 0 END AS is_null
+      FROM events
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+             CAST(SUM(is_null) AS BIGINT) AS null_tot
+      FROM masked
+    )
+    SELECT CAST(m.h AS BIGINT) AS h,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(m.is_null) AS BIGINT) AS n_null,
+           CAST(1000000 * SUM(m.is_null) // COUNT(*) AS BIGINT) AS null_ppm,
+           CAST(CASE WHEN 2 * SUM(m.is_null) * t.n_tot > 3 * t.null_tot * COUNT(*)
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM masked m, tot t
+    GROUP BY m.h, t.n_tot, t.null_tot
+    """,
+)
+def quality_seasonal_null_audit_q(spark, sf_dir):
+    """Seasonal missingness audit: per-hour null rate of a measurement vs
+    the overall rate, hours flagged when their rate exceeds 1.5× overall —
+    by EXACT integer cross-multiplication (2·null_h·n_tot > 3·null_tot·n_h),
+    never a float ratio compare.  The missingness is PLANTED with an
+    md5-derived hour-dependent mask (base 5%, hours 02-04 at 20%) so the
+    audit's detection is verifiable: exactly the planted hours must flag.
+    This is the monitor that catches 'the overnight ETL job drops a
+    column' class of regressions.
+
+    100 TB shape: one projection + hour-grain hash aggregate (24 groups,
+    map-side combined) + a broadcast of the 1-row total."""
+    ev = _t(spark, sf_dir, "events")
+    h_expr = F.hour("ts")
+    mask = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("null|"), F.col("event_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    ) < (F.lit(5) + F.when(h_expr.between(2, 4), 15).otherwise(0))
+    masked = ev.select(
+        h_expr.alias("h"), F.when(mask, 1).otherwise(0).alias("is_null")
+    )
+    tot = masked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.sum("is_null").cast("long").alias("null_tot"),
+    )
+    per_h = masked.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("is_null").cast("long").alias("n_null"),
+    )
+    return per_h.crossJoin(F.broadcast(tot)).select(
+        F.col("h").cast("long").alias("h"),
+        "n",
+        "n_null",
+        F.expr("CAST(1000000 * n_null DIV n AS BIGINT)").alias("null_ppm"),
+        F.expr(
+            "CAST(CASE WHEN 2 * n_null * n_tot > 3 * null_tot * n THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# join_nearest_value — 1-D nearest-neighbor join within a group, by value
+# --------------------------------------------------------------------------
+@register(
+    "join_nearest_value",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS cust, o_orderkey AS okey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ranked AS (
+      SELECT a.okey, b.okey AS partner_key, b.cents AS partner_cents,
+             row_number() OVER (PARTITION BY a.okey
+                                ORDER BY abs(a.cents - b.cents), b.cents, b.okey)
+               AS rn
+      FROM o a JOIN o b ON b.cust = a.cust AND b.okey <> a.okey
+    ),
+    best AS (
+      SELECT okey, partner_key, partner_cents FROM ranked WHERE rn = 1
+    )
+    SELECT o.cust, o.okey, o.cents,
+           CAST(b.partner_key AS BIGINT) AS partner_key,
+           CAST(b.partner_cents AS BIGINT) AS partner_cents,
+           CAST(abs(o.cents - b.partner_cents) AS BIGINT) AS diff_cents
+    FROM o LEFT JOIN best b ON b.okey = o.okey
+    """,
+)
+def join_nearest_value_q(spark, sf_dir):
+    """1-D nearest-neighbor join by VALUE within a group — each order
+    paired to its same-customer order with the closest total (ties →
+    lower partner value, then lower partner key; single-order customers
+    → NULL).  The oracle computes the naive per-group quadratic argmin;
+    the ENGINE never builds a pair: after one sort by (cust, cents, key),
+
+    - an equal-value RUN resolves internally (partner = the run's min key,
+      or its second-min for the min-key holder itself — Δ = 0 beats any
+      distinct-value neighbor, and among Δ=0 candidates min key wins);
+    - a unique value compares its lag/lead DISTINCT-value neighbors by
+      (|Δ|, then lower value) and takes that value's min key.
+
+    100 TB shape: one keyed sort + two window passes + one dim-sized
+    self-join at (cust, value) grain — O(n log n) vs the oracle's
+    Σ|group|²; this is the sort-adjacency trick that makes value-nearest
+    joins feasible where a band join would explode."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # per (cust, cents): run size, min key, second-min key
+    grp = o.groupBy("cust", "cents").agg(
+        F.count(F.lit(1)).alias("n_same"),
+        F.min("okey").alias("min_key"),
+    )
+    second = (
+        o.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("cust", "cents").orderBy("okey")
+            ),
+        )
+        .filter(F.col("_rk") == 2)
+        .select("cust", "cents", F.col("okey").alias("min2_key"))
+    )
+    grp = grp.join(second, on=["cust", "cents"], how="left")
+    # distinct-value adjacency per customer
+    wv = Window.partitionBy("cust").orderBy("cents")
+    adj = grp.select(
+        "cust",
+        "cents",
+        "n_same",
+        "min_key",
+        "min2_key",
+        F.lag("cents").over(wv).alias("prev_c"),
+        F.lead("cents").over(wv).alias("next_c"),
+    )
+    joined = o.join(adj, on=["cust", "cents"])
+    # choose the partner VALUE: own run if n_same > 1 (diff 0), else the
+    # nearer of prev/next (tie -> lower value); then the partner KEY is that
+    # value's min key (or second-min when self is the run's min)
+    chosen = joined.select(
+        "cust",
+        "okey",
+        "cents",
+        "n_same",
+        "min_key",
+        "min2_key",
+        "prev_c",
+        "next_c",
+        F.expr(
+            "CASE WHEN n_same > 1 THEN cents"
+            " WHEN prev_c IS NULL AND next_c IS NULL THEN NULL"
+            " WHEN prev_c IS NULL THEN next_c"
+            " WHEN next_c IS NULL THEN prev_c"
+            " WHEN cents - prev_c <= next_c - cents THEN prev_c"
+            " ELSE next_c END"
+        ).alias("partner_cents"),
+    )
+    partner_keys = grp.select(
+        "cust",
+        F.col("cents").alias("partner_cents"),
+        F.col("min_key").alias("p_min_key"),
+        F.col("min2_key").alias("p_min2_key"),
+    )
+    out = chosen.join(partner_keys, on=["cust", "partner_cents"], how="left").select(
+        "cust",
+        "okey",
+        "cents",
+        F.expr(
+            "CASE WHEN partner_cents IS NULL THEN NULL"
+            " WHEN partner_cents = cents AND okey = p_min_key THEN p_min2_key"
+            " WHEN partner_cents = cents THEN p_min_key"
+            " ELSE p_min_key END"
+        ).cast("long").alias("partner_key"),
+        F.col("partner_cents").cast("long").alias("partner_cents"),
+        F.expr("CAST(abs(cents - partner_cents) AS BIGINT)").alias("diff_cents"),
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# dedup_sequence_fingerprint — min-4 rolling 3-gram document signature
+# --------------------------------------------------------------------------
+@register(
+    "dedup_sequence_fingerprint",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+      FROM documents
+    ),
+    -- positional explode via generate_series (this DuckDB has no WITH
+    -- ORDINALITY); 2000 comfortably exceeds the ~100-token max (udf_surface
+    -- pattern)
+    idx AS (
+      SELECT doc_id, toks[i] AS w, i
+      FROM raw, generate_series(1, 2000) t(i)
+      WHERE i <= len(toks)
+    ),
+    tok AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(w), 1, 8))::BIGINT % 1048573 AS c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p
+      FROM idx WHERE w <> ''
+    ),
+    gram AS (
+      SELECT DISTINCT a.doc_id,
+             (a.c * 1048573 + b.c) * 1048573 + c3.c AS g
+      FROM tok a
+      JOIN tok b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      JOIN tok c3 ON c3.doc_id = a.doc_id AND c3.p = a.p + 2
+    ),
+    ranked AS (
+      SELECT doc_id, g,
+             row_number() OVER (PARTITION BY doc_id ORDER BY g) AS slot
+      FROM gram
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(slot AS BIGINT) AS slot,
+           CAST(g AS BIGINT) AS fp
+    FROM ranked WHERE slot <= 4
+    """,
+)
+def dedup_sequence_fingerprint_q(spark, sf_dir):
+    """Winnowing-lite sequence fingerprint: per document, the 4 SMALLEST
+    distinct rolling 3-gram codes — the ORDER-SENSITIVE dedup blocker the
+    bag-of-words family (exact hash, MinHash) cannot provide: a document
+    whose sentences were re-shuffled keeps its token bag (same MinHash)
+    but loses most of its 3-gram sequence, so these fingerprints diverge.
+    Token code = md5 first-8-hex mod 1048573; gram code = base-1048573
+    polynomial combination (max < 2^61 — overflow-proof in BIGINT, no
+    modular reduction needed so both engines compute bit-identically).
+
+    100 TB shape: corpus-linear posexplode + two self-joins keyed on
+    (doc, position) — each is a narrow co-partitioned join (same key
+    distribution, one shuffle reused) — then a per-doc bottom-4 window
+    (WindowGroupLimit pushes the 4-row cap map-side).  Matching
+    signatures group docs into candidate buckets exactly like the LSH
+    band join."""
+    raw = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+        ).alias("i", "w"),
+    )
+    tok = (
+        raw.filter(F.col("w") != "")
+        .withColumn(
+            "c",
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 1048573,
+        )
+        .withColumn(
+            "p",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("i")),
+        )
+        .select("doc_id", "c", "p")
+    )
+    b = tok.select("doc_id", F.col("c").alias("c2"), (F.col("p") - 1).alias("p"))
+    c3 = tok.select("doc_id", F.col("c").alias("c3"), (F.col("p") - 2).alias("p"))
+    gram = (
+        tok.join(b, on=["doc_id", "p"])
+        .join(c3, on=["doc_id", "p"])
+        .select(
+            "doc_id",
+            ((F.col("c") * 1048573 + F.col("c2")) * 1048573 + F.col("c3")).alias("g"),
+        )
+        .distinct()
+    )
+    ranked = gram.withColumn(
+        "slot", F.row_number().over(Window.partitionBy("doc_id").orderBy("g"))
+    )
+    return ranked.filter(F.col("slot") <= 4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("slot").cast("long").alias("slot"),
+        F.col("g").cast("long").alias("fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_reciprocity_maintain — the reciprocity profile as IVM
+# --------------------------------------------------------------------------
+@register("stream_reciprocity_maintain", oracle=_RECIP_ORACLE_SQL)
+def stream_reciprocity_maintain_q(spark, sf_dir):
+    """`graph_reciprocity` as incremental view maintenance: the maintained
+    state is the DISTINCT derived edge set — each micro-batch derives its
+    edges with the shared slice definition and merges them by anti-join
+    (only never-seen edges append, so re-delivered events are absorbed:
+    idempotent under at-least-once).  The per-node reciprocity profile is
+    a READ-TIME face over state (the `stream_pr_curve_maintain`
+    state-vs-face doctrine: edge membership is IVM-legitimate, the
+    reverse-join profile is not batch-additive).  Shares the batch row's
+    oracle constant: stream-maintained == batch == DuckDB, hash-exact.
+
+    100 TB shape: per trigger O(batch) projection + one keyed anti-join
+    against edge-cardinality state; the face runs over state rows, never
+    the event corpus."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_events_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_recip_")
+    edges_path = root + "/edges"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        src = (F.col("user_id") % 300).cast("long")
+        dst = ((F.col("user_id") * 31 + F.col("event_id")) % 300).cast("long")
+        new = (
+            batch_df.select(src.alias("src"), dst.alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        try:
+            state = sp.read.parquet(edges_path)
+            fresh = new.join(state, on=["src", "dst"], how="left_anti")
+            merged = state.unionByName(fresh)
+        except Exception:  # first batch
+            merged = new
+        staging = edges_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(edges_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    out = reciprocity_profile(spark.read.parquet(edges_path))
+    return finish_and_clean(out, root)

@@ -1,0 +1,149 @@
+"""Hand-built pins for the round-10 extension batch (catalog/frontier7.py):
+the catalog gates hash the sf slice; these pin the algorithms on planted
+cases where the right answer is computed by hand or by a python
+reference."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES, load_all
+
+load_all()
+
+
+def test_reciprocity_profile_hand_case(spark):
+    """1→2, 2→1 (mutual), 1→3 (one-way), 3→2 (one-way)."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier7 import (
+        reciprocity_profile,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 2)], "src long, dst long"
+    )
+    got = {r.node: (r.out_deg, r.n_recip, r.recip_ppm)
+           for r in reciprocity_profile(e).collect()}
+    assert got == {1: (2, 1, 500_000), 2: (1, 1, 1_000_000), 3: (1, 0, 0)}
+
+
+def test_seasonal_null_audit_flags_exactly_planted_hours(spark):
+    """The planted mask raises hours 02-04 to ~20% vs ~5% elsewhere — the
+    audit must flag exactly those hours at sf0.01 (detection, not just
+    arithmetic, is the pinned property)."""
+    out = QUERIES["quality_seasonal_null_audit"](spark, "/root/testdata/sf0.01")
+    flagged = {r.h for r in out.collect() if r.flagged == 1}
+    assert flagged == {2, 3, 4}
+
+
+def test_ewma_crossover_known_sequence(spark):
+    """A monotone rise then a hard drop: the fast EWMA crosses below the
+    slow exactly once after the drop."""
+    import datetime as dt
+
+    rows = []
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 1, 1, 1]  # rise, then collapse at i=8
+    for i, v in enumerate(vals):
+        rows.append((i, dt.datetime(2024, 1, 1, 0, i), 7, "x", float(v)))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {r.user_id: (r.n_eval, r.n_cross, r.sum_sign)
+           for r in QUERIES["temporal_ewma_crossover"](spark, d).collect()}
+    n_eval, n_cross, sum_sign = out[7]
+    assert n_eval == len(vals) - 5
+    # rising phase: fast > slow (sign +1); collapse flips it negative once
+    assert n_cross == 1
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_nearest_value_equal_price_runs_and_singletons(spark):
+    """Equal-value runs must resolve to min/second-min key (the adjacency
+    trap: for key 3 the nearest is key 1, not the sort-adjacent key 2);
+    singleton customers yield NULL."""
+    import tempfile
+
+    rows = [
+        # cust 1: three equal prices + one distant
+        (1, 1, 5.00), (2, 1, 5.00), (3, 1, 5.00), (4, 1, 9.99),
+        # cust 2: singleton
+        (5, 2, 3.33),
+        # cust 3: tie in |delta| (10 vs 8 and 12) -> lower value wins
+        (6, 3, 8.00), (7, 3, 10.00), (8, 3, 12.00),
+    ]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_custkey long, o_totalprice double")
+    d = tempfile.mkdtemp()
+    df.withColumn("o_orderstatus", F.lit("F")).write.mode("overwrite").parquet(
+        d + "/orders.parquet"
+    )
+    out = {r.okey: (r.partner_key, r.partner_cents, r.diff_cents)
+           for r in QUERIES["join_nearest_value"](spark, d).collect()}
+    assert out[1] == (2, 500, 0)      # self is min key -> second-min
+    assert out[2] == (1, 500, 0)
+    assert out[3] == (1, 500, 0)      # NOT the adjacent key 2 — min key wins
+    assert out[4] == (1, 500, 499)    # distant row joins the run's min key
+    assert out[5] == (None, None, None)
+    assert out[7] == (6, 800, 200)    # |10-8| == |12-10| -> lower value (8)
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sequence_fingerprint_is_order_sensitive_bag_insensitive(spark):
+    """Two docs with the SAME token bag but different order must diverge in
+    their fingerprints (the property MinHash cannot give), while an exact
+    copy shares all four."""
+    import tempfile
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    shuffled = "kappa beta iota delta theta zeta gamma eta alpha epsilon"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, shuffled)], "doc_id long, text string"
+    ).select("doc_id", "text", F.lit("en").alias("lang"),
+             F.lit("s").alias("source"), F.length("text").cast("long").alias("n_chars"))
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {}
+    for r in QUERIES["dedup_sequence_fingerprint"](spark, d).collect():
+        out.setdefault(r.doc_id, {})[r.slot] = r.fp
+    assert out[1] == out[2]                  # exact copy: identical signature
+    assert out[1] != out[3]                  # same bag, different order
+    assert set(out[1]) == {1, 2, 3, 4}
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lift_at_k_perfect_detector(spark):
+    """Score == label ordering: all positives rank first, so lift@k for a
+    cutoff inside the positive block is exactly n/pos."""
+    import tempfile
+
+    rows = []
+    # 20 positives with the highest prices, 80 negatives below
+    for k in range(100):
+        status = "F" if k < 20 else "O"
+        price = 1000.0 - k
+        rows.append((k, 17, price, status))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/orders.parquet")
+    out = {r.pct: (r.k, r.pos_k, r.lift_ppm)
+           for r in QUERIES["eval_lift_at_k"](spark, d).collect()}
+    # base rate 20%: a perfect detector's lift at cutoffs inside the
+    # positive block is 1/0.2 = 5x
+    assert out[1] == (1, 1, 5_000_000)
+    assert out[5] == (5, 5, 5_000_000)
+    assert out[10] == (10, 10, 5_000_000)
+    # at 25% the cutoff (25) passes the 20 positives: lift = 20*100/(25*20)
+    assert out[25] == (25, 20, 4_000_000)
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)

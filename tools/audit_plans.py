@@ -96,6 +96,14 @@ WAIVERS: dict[str, set[str]] = {
     # the 1-row (n0, n1) totals frame is cross-joined onto the distinct
     # support (scalar broadcast).
     "eval_ks_two_sample": {"CARTESIAN"},
+    # the 1-row (n, pos) totals frame and the 4-row pct dim are
+    # cross-joined onto the ranked orders (scalar broadcast + constant x4
+    # fanout — the eval_bootstrap_ci replicate-dim pattern); the rank
+    # itself is the audited global-window shape.
+    "eval_lift_at_k": {"CARTESIAN"},
+    # the 1-row (n_tot, null_tot) totals frame is cross-joined onto the
+    # 24-row per-hour frame (scalar broadcast).
+    "quality_seasonal_null_audit": {"CARTESIAN"},
     # the probe IS a brute-force top-1 similarity run over the 200-row
     # gate slice (the similarity_topk |Q|-broadcast waiver); production
     # routes through the audited ANN rungs.
