@@ -791,3 +791,309 @@ def stream_reciprocity_maintain_q(spark, sf_dir):
     query.awaitTermination()
     out = reciprocity_profile(spark.read.parquet(edges_path))
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# eval_cindex — survival concordance index on the bounded eval slice
+# --------------------------------------------------------------------------
+@register(
+    "eval_cindex",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS cust,
+             CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS e,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+    ),
+    pairs AS (
+      SELECT a.s AS si, b.s AS sj
+      FROM per a JOIN per b
+        ON a.t < b.t AND a.e = 1 AND a.cust <> b.cust
+    ),
+    census AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_comparable,
+             CAST(SUM(CASE WHEN si > sj THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+             CAST(SUM(CASE WHEN si = sj THEN 1 ELSE 0 END) AS BIGINT) AS n_tied
+      FROM pairs
+    )
+    SELECT n_comparable, n_conc, n_tied,
+           CASE WHEN n_comparable = 0 THEN NULL
+                ELSE CAST(1000000 * (2 * n_conc + n_tied)
+                          // (2 * n_comparable) AS BIGINT)
+           END AS c_ppm
+    FROM census
+    """,
+)
+def eval_cindex_q(spark, sf_dir):
+    """Harrell's concordance index (C-index) for a risk score against
+    censored event times — THE discrimination metric of survival
+    analysis, completing `temporal_survival_hazard`'s risk table: a pair
+    (i, j) is comparable when i's event time is strictly earlier AND i's
+    event was observed (j may be censored); concordant when the earlier
+    failer carries the HIGHER risk score; ties count half.  Here
+    t = order count, event = any finalized order, risk = total spend
+    cents; c_ppm = 1e6·(2·conc + tied) DIV (2·comparable), NULL when no
+    pair is comparable (explicit guard).
+
+    Gate tier: the all-pairs census on the contract-BOUNDED slice
+    (custkey < 200 — the `eval_kendall_tau` slice doctrine, documented
+    O(slice²)).  Production at corpus scale is the
+    `eval_kendall_tau_full` dominance-counting machinery: sort by t,
+    sweep the score CDF — O(|t-values|·n), no pair materialized."""
+    per = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("e"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    a = per.select(
+        F.col("cust").alias("ci"), F.col("t").alias("ti"), F.col("e").alias("ei"),
+        F.col("s").alias("si"),
+    )
+    b = per.select(
+        F.col("cust").alias("cj"), F.col("t").alias("tj"), F.col("s").alias("sj")
+    )
+    pairs = a.join(
+        b,
+        (F.col("ti") < F.col("tj")) & (F.col("ei") == 1) & (F.col("ci") != F.col("cj")),
+    )
+    census = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_comparable"),
+        F.sum(F.when(F.col("si") > F.col("sj"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_conc"),
+        F.sum(F.when(F.col("si") == F.col("sj"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tied"),
+    )
+    return census.select(
+        "n_comparable",
+        "n_conc",
+        "n_tied",
+        F.expr(
+            "CASE WHEN n_comparable = 0 THEN NULL"
+            " ELSE CAST(1000000 * (2 * n_conc + n_tied) DIV (2 * n_comparable)"
+            " AS BIGINT) END"
+        ).alias("c_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_dag_path_count — aggregated root-path counting on the DAG slice
+# --------------------------------------------------------------------------
+@register(
+    "graph_dag_path_count",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT
+        CAST(GREATEST(l_orderkey % 60, l_partkey % 60) AS BIGINT) AS child,
+        CAST(LEAST(l_orderkey % 60, l_partkey % 60) AS BIGINT) AS parent
+      FROM lineitem
+      WHERE l_orderkey % 60 <> l_partkey % 60
+        AND ('0x' || substring(md5('dag|' || CAST(GREATEST(l_orderkey % 60, l_partkey % 60) AS VARCHAR)
+             || '|' || CAST(LEAST(l_orderkey % 60, l_partkey % 60) AS VARCHAR)), 1, 8))::BIGINT % 100 < 6
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT child AS node FROM e UNION ALL SELECT parent FROM e)
+    ),
+    roots AS (
+      SELECT node FROM nodes
+      WHERE node NOT IN (SELECT child FROM e)
+    ),
+    -- UNION ALL path enumeration: on a DAG every walk is a path, and the
+    -- recursion terminates; one row PER PATH (the naive tier the engine's
+    -- aggregated counting must equal)
+    walk(src, dst) AS (
+      SELECT child, parent FROM e
+      UNION ALL
+      SELECT w.src, e2.parent FROM walk w JOIN e e2 ON w.dst = e2.child
+    )
+    SELECT CAST(n.node AS BIGINT) AS node,
+           CAST(COALESCE(p.n_paths, 0) AS BIGINT) AS n_paths
+    FROM nodes n
+    LEFT JOIN (
+      SELECT src AS node, COUNT(*) AS n_paths
+      FROM walk WHERE dst IN (SELECT node FROM roots)
+      GROUP BY src
+    ) p ON p.node = n.node
+    """,
+)
+def graph_dag_path_count_q(spark, sf_dir):
+    """Distinct root-path count per DAG node — the ontology multiplicity
+    audit ('how many distinct is-a routes does this term have to a
+    root?'): high counts mark diamond-heavy regions where naive closure
+    materialization explodes, exactly the rows a 100 TB plan must know
+    about.  The oracle ENUMERATES one row per path (UNION ALL recursive
+    CTE — the naive tier); the engine only ever AGGREGATES: per-hop
+    frontier (src, dst, cnt) with (src, dst)-keyed SUM, root mass peeled
+    off each round, rounds capped LOUDLY at 64 (a silent partial count
+    would under-report) — the `bounded_shortest_counts` matrix-power
+    shape run to exhaustion on the contract-bounded slice.
+
+    100 TB shape: per-round keyed join + partial-agg sum; path COUNTS
+    stay one row per (src, frontier-node) no matter how exponential the
+    path set is — the whole point of counting in the aggregate domain."""
+    edges = _t(spark, sf_dir, "lineitem")
+    a = (F.col("l_orderkey") % 60).cast("long")
+    b = (F.col("l_partkey") % 60).cast("long")
+    child, parent = F.greatest(a, b), F.least(a, b)
+    key = F.concat(
+        F.lit("dag|"), child.cast("string"), F.lit("|"), parent.cast("string")
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    e = (
+        edges.select(child.alias("child"), parent.alias("parent"))
+        .filter(F.col("child") != F.col("parent"))
+        .filter(h % 100 < 6)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("child").alias("node"))
+        .unionByName(e.select(F.col("parent").alias("node")))
+        .distinct()
+    )
+    roots = nodes.join(
+        e.select(F.col("child").alias("node")).distinct(), on="node", how="left_anti"
+    ).select(F.col("node").alias("root"))
+    # frontier: (src, dst, cnt) = #paths of current length; peel root mass
+    frontier = e.select(
+        F.col("child").alias("src"), F.col("parent").alias("dst"),
+        F.lit(1).cast("long").alias("cnt"),
+    ).localCheckpoint(eager=True)
+    totals = None
+    for rnd in range(64):
+        ended = frontier.join(
+            F.broadcast(roots), frontier["dst"] == roots["root"]
+        ).groupBy("src").agg(F.sum("cnt").cast("long").alias("n"))
+        totals = ended if totals is None else (
+            totals.unionByName(ended).groupBy("src").agg(
+                F.sum("n").cast("long").alias("n")
+            )
+        )
+        totals = totals.localCheckpoint(eager=True)
+        frontier = (
+            frontier.join(
+                e.select(F.col("child").alias("dst"), F.col("parent").alias("nxt")),
+                on="dst",
+            )
+            .groupBy("src", F.col("nxt").alias("dst2"))
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .select("src", F.col("dst2").alias("dst"), "cnt")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            "graph_dag_path_count: frontier not exhausted within 64 hops — "
+            "hierarchy deeper than the cap; raise it."
+        )
+    return nodes.join(
+        totals.withColumnRenamed("src", "node"), on="node", how="left"
+    ).select(
+        F.col("node").cast("long").alias("node"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_paths"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_hapax_maintain — the vocabulary census as IVM
+# --------------------------------------------------------------------------
+@register(
+    "stream_hapax_maintain",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok WHERE w <> '' GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(1000000 * SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) // COUNT(*)
+                AS BIGINT) AS hapax_ppm,
+           CAST(1000 * COUNT(*) // SUM(f) AS BIGINT) AS ttr_milli
+    FROM freq GROUP BY lang
+    """,
+)
+def stream_hapax_maintain_q(spark, sf_dir):
+    """`text_hapax_ratio` as incremental view maintenance: the maintained
+    state is the (lang, word, count) vocabulary census — counts fold by
+    pure SUM, so state is bundling-independent (any micro-batch split of
+    the corpus converges to the same census); the hapax/richness profile
+    is a READ-TIME face over state rows (hapax-ness is NOT batch-additive
+    — a word can stop being a hapax — which is exactly why the census,
+    not the profile, is the IVM-legitimate statistic: the
+    `stream_pr_curve_maintain` doctrine).  Same oracle as the batch row:
+    stream-maintained == batch == DuckDB, hash-exact.
+
+    100 TB shape: per trigger O(batch tokens) explode + keyed partial
+    agg into vocab-cardinality state (Heaps-sublinear); the face runs
+    over state rows, never the corpus."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_documents_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_hapax_")
+    census_path = root + "/census"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        tok = batch_df.select(
+            "lang",
+            F.explode(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+            ).alias("w"),
+        ).filter(F.col("w") != "")
+        part = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("f"))
+        try:
+            state = sp.read.parquet(census_path)
+            merged = (
+                state.unionByName(part)
+                .groupBy("lang", "w")
+                .agg(F.sum("f").cast("long").alias("f"))
+            )
+        except Exception:  # first batch
+            merged = part
+        staging = census_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(census_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    freq = spark.read.parquet(census_path)
+    out = freq.groupBy("lang").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) DIV count(*) AS BIGINT)"
+        ).alias("hapax_ppm"),
+        F.expr("CAST(1000 * count(*) DIV sum(f) AS BIGINT)").alias("ttr_milli"),
+    )
+    return finish_and_clean(out, root)

@@ -104,6 +104,11 @@ WAIVERS: dict[str, set[str]] = {
     # the 1-row (n_tot, null_tot) totals frame is cross-joined onto the
     # 24-row per-hour frame (scalar broadcast).
     "quality_seasonal_null_audit": {"CARTESIAN"},
+    # the comparable-pairs census is an inequality self-join on the
+    # contract-BOUNDED eval slice (custkey < 200 — the eval_kendall_tau
+    # O(slice^2) gate-tier waiver; docstring names the dominance-counting
+    # sweep as the production path).
+    "eval_cindex": {"CARTESIAN"},
     # the probe IS a brute-force top-1 similarity run over the 200-row
     # gate slice (the similarity_topk |Q|-broadcast waiver); production
     # routes through the audited ANN rungs.
