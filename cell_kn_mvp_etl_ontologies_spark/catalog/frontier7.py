@@ -943,6 +943,8 @@ def graph_dag_path_count_q(spark, sf_dir):
     100 TB shape: per-round keyed join + partial-agg sum; path COUNTS
     stay one row per (src, frontier-node) no matter how exponential the
     path set is — the whole point of counting in the aggregate domain."""
+    from ..plans.graph_query import dag_root_path_counts
+
     edges = _t(spark, sf_dir, "lineitem")
     a = (F.col("l_orderkey") % 60).cast("long")
     b = (F.col("l_partkey") % 60).cast("long")
@@ -956,55 +958,8 @@ def graph_dag_path_count_q(spark, sf_dir):
         .filter(F.col("child") != F.col("parent"))
         .filter(h % 100 < 6)
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select(F.col("child").alias("node"))
-        .unionByName(e.select(F.col("parent").alias("node")))
-        .distinct()
-    )
-    roots = nodes.join(
-        e.select(F.col("child").alias("node")).distinct(), on="node", how="left_anti"
-    ).select(F.col("node").alias("root"))
-    # frontier: (src, dst, cnt) = #paths of current length; peel root mass
-    frontier = e.select(
-        F.col("child").alias("src"), F.col("parent").alias("dst"),
-        F.lit(1).cast("long").alias("cnt"),
-    ).localCheckpoint(eager=True)
-    totals = None
-    for rnd in range(64):
-        ended = frontier.join(
-            F.broadcast(roots), frontier["dst"] == roots["root"]
-        ).groupBy("src").agg(F.sum("cnt").cast("long").alias("n"))
-        totals = ended if totals is None else (
-            totals.unionByName(ended).groupBy("src").agg(
-                F.sum("n").cast("long").alias("n")
-            )
-        )
-        totals = totals.localCheckpoint(eager=True)
-        frontier = (
-            frontier.join(
-                e.select(F.col("child").alias("dst"), F.col("parent").alias("nxt")),
-                on="dst",
-            )
-            .groupBy("src", F.col("nxt").alias("dst2"))
-            .agg(F.sum("cnt").cast("long").alias("cnt"))
-            .select("src", F.col("dst2").alias("dst"), "cnt")
-            .localCheckpoint(eager=True)
-        )
-        if frontier.limit(1).count() == 0:
-            break
-    else:
-        raise RuntimeError(
-            "graph_dag_path_count: frontier not exhausted within 64 hops — "
-            "hierarchy deeper than the cap; raise it."
-        )
-    return nodes.join(
-        totals.withColumnRenamed("src", "node"), on="node", how="left"
-    ).select(
-        F.col("node").cast("long").alias("node"),
-        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_paths"),
-    )
+    return dag_root_path_counts(e)
 
 
 # --------------------------------------------------------------------------

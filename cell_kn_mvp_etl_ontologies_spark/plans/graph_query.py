@@ -1151,3 +1151,71 @@ def lca_wu_palmer_bucketed(
             ).alias("wup_milli"),
         )
     )
+
+
+def dag_root_path_counts(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(node, n_paths) — number of DISTINCT directed paths from each node
+    to any root (a node with no parent), counted entirely in the
+    AGGREGATE domain: the per-hop frontier carries (src, dst, cnt) with a
+    (src, dst)-keyed SUM, root mass is peeled off each round, and the
+    loop runs to frontier exhaustion with a LOUD cap (a silent partial
+    count would under-report).  Path counts can be exponential in depth;
+    frontier rows never exceed |V|² and are typically ~|V|·|frontier
+    reachable| — counting one row per path is exactly what this operator
+    exists to avoid.
+
+    100 TB shape: per-round keyed join + map-side-combined partial sum;
+    rounds = hierarchy depth (OBO ~20); localCheckpoint per round keeps
+    lineage flat."""
+    e = edges.select(F.col(child).alias("c"), F.col(parent).alias("p")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        e.select(F.col("c").alias("node"))
+        .unionByName(e.select(F.col("p").alias("node")))
+        .distinct()
+    )
+    roots = nodes.join(
+        e.select(F.col("c").alias("node")).distinct(), on="node", how="left_anti"
+    ).select(F.col("node").alias("root"))
+    frontier = e.select(
+        F.col("c").alias("src"), F.col("p").alias("dst"), F.lit(1).cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)
+    totals = None
+    for _ in range(max_rounds):
+        ended = frontier.join(
+            F.broadcast(roots), frontier["dst"] == roots["root"]
+        ).groupBy("src").agg(F.sum("cnt").cast("long").alias("n"))
+        totals = ended if totals is None else (
+            totals.unionByName(ended).groupBy("src").agg(
+                F.sum("n").cast("long").alias("n")
+            )
+        )
+        totals = totals.localCheckpoint(eager=True)
+        frontier = (
+            frontier.join(
+                e.select(F.col("c").alias("dst"), F.col("p").alias("nxt")), on="dst"
+            )
+            .groupBy("src", F.col("nxt").alias("dst2"))
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .select("src", F.col("dst2").alias("dst"), "cnt")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dag_root_path_counts: frontier not exhausted within {max_rounds} "
+            "hops — hierarchy deeper than the cap; raise it."
+        )
+    return nodes.join(
+        totals.withColumnRenamed("src", "node"), on="node", how="left"
+    ).select(
+        F.col("node").cast("long").alias("node"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_paths"),
+    )
