@@ -1052,3 +1052,238 @@ def stream_hapax_maintain_q(spark, sf_dir):
         F.expr("CAST(1000 * count(*) DIV sum(f) AS BIGINT)").alias("ttr_milli"),
     )
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# temporal_kaplan_meier — exact integer KM survival curve
+# --------------------------------------------------------------------------
+@register(
+    "temporal_kaplan_meier",
+    oracle="""
+    WITH RECURSIVE per AS (
+      SELECT o_custkey AS cust,
+             CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS e
+      FROM orders GROUP BY o_custkey
+    ),
+    at_t AS (
+      SELECT t,
+             CAST(SUM(e) AS BIGINT) AS d,
+             CAST(SUM(1 - e) AS BIGINT) AS c
+      FROM per GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, c,
+             CAST(SUM(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rk
+      FROM at_t
+    ),
+    km(rk, t, d, c, n_risk, s_ppm) AS (
+      SELECT rk, t, d, c, n_risk,
+             CAST(1000000 * (n_risk - d) // n_risk AS BIGINT)
+      FROM risk WHERE rk = 1
+      UNION ALL
+      SELECT r.rk, r.t, r.d, r.c, r.n_risk,
+             CAST(km.s_ppm * (r.n_risk - r.d) // r.n_risk AS BIGINT)
+      FROM km JOIN risk r ON r.rk = km.rk + 1
+    )
+    SELECT t, n_risk, d, c, s_ppm FROM km
+    """,
+)
+def temporal_kaplan_meier_q(spark, sf_dir):
+    """Kaplan-Meier survival curve in EXACT integer ppm — the estimator
+    behind every retention/churn curve, made hash-gateable by fixing the
+    fold order: the survival product S(t) = Π (n_i − d_i)/n_i is evaluated
+    as the integer recurrence s_k = s_{k-1}·(n_k − d_k) DIV n_k over event
+    times ASCENDING (a product of ppm fractions is order-DEPENDENT under
+    truncating division, so the contract pins ascending-t — both engines
+    replay the same sequence; DuckDB via a recursive CTE, Spark via one
+    aggregate-HOF fold over the collected step table).  Here t = orders
+    per customer (the tenure proxy), event = any finalized order,
+    censored otherwise; risk set n_t = Σ_{u≥t}(d_u + c_u) by a suffix
+    window.
+
+    100 TB shape: entity-grain agg → |distinct t|-grain agg (bounded: a
+    tenure axis has tens of steps) → the fold runs on that bounded
+    step table driver-free via F.aggregate — the largest-remainder
+    bounded-dim doctrine; the corpus is touched exactly once."""
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("e"),
+        )
+    )
+    at_t = per.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("e")).cast("long").alias("c"),
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = at_t.select(
+        "t", "d", "c", F.sum(F.col("d") + F.col("c")).over(w).cast("long").alias("n_risk")
+    )
+    # ascending-t fold over the bounded step table: one collected array,
+    # one aggregate HOF producing the running product alongside the steps
+    folded = risk.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c", "n_risk"))).alias("steps")
+    ).select(
+        F.explode(
+            F.aggregate(
+                "steps",
+                F.expr(
+                    "CAST(array() AS ARRAY<STRUCT<t BIGINT, n_risk BIGINT,"
+                    " d BIGINT, c BIGINT, s_ppm BIGINT>>)"
+                ),
+                lambda acc, s: F.concat(
+                    acc,
+                    F.array(
+                        F.struct(
+                            s["t"].alias("t"),
+                            s["n_risk"].alias("n_risk"),
+                            s["d"].alias("d"),
+                            s["c"].alias("c"),
+                            (
+                                F.when(
+                                    F.size(acc) == 0, F.lit(1000000).cast("long")
+                                ).otherwise(F.element_at(acc, -1)["s_ppm"])
+                                * (s["n_risk"] - s["d"])
+                                / s["n_risk"]
+                            )
+                            # products stay < 2^41, far inside double
+                            # exactness; floor == truncating DIV here
+                            # (all terms positive)
+                            .cast("long")
+                            .alias("s_ppm"),
+                        )
+                    ),
+                ),
+            )
+        ).alias("km")
+    )
+    return folded.select(
+        F.col("km.t").alias("t"),
+        F.col("km.n_risk").alias("n_risk"),
+        F.col("km.d").alias("d"),
+        F.col("km.c").alias("c"),
+        F.col("km.s_ppm").alias("s_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_seasonal_null_maintain — the hour census as IVM
+# --------------------------------------------------------------------------
+@register(
+    "stream_seasonal_null_maintain",
+    oracle="""
+    WITH masked AS (
+      SELECT EXTRACT(hour FROM ts) AS h,
+             CASE WHEN ('0x' || substring(md5('null|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 5 + CASE WHEN EXTRACT(hour FROM ts) BETWEEN 2 AND 4
+                                        THEN 15 ELSE 0 END
+                  THEN 1 ELSE 0 END AS is_null
+      FROM events
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+             CAST(SUM(is_null) AS BIGINT) AS null_tot
+      FROM masked
+    )
+    SELECT CAST(m.h AS BIGINT) AS h,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(m.is_null) AS BIGINT) AS n_null,
+           CAST(1000000 * SUM(m.is_null) // COUNT(*) AS BIGINT) AS null_ppm,
+           CAST(CASE WHEN 2 * SUM(m.is_null) * t.n_tot > 3 * t.null_tot * COUNT(*)
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM masked m, tot t
+    GROUP BY m.h, t.n_tot, t.null_tot
+    """,
+)
+def stream_seasonal_null_maintain_q(spark, sf_dir):
+    """`quality_seasonal_null_audit` as IVM: the maintained state is the
+    24-row (hour, n, n_null) census — pure-SUM folds, bundling-independent
+    — and the flag computation (rates + the 1.5×-overall cross-
+    multiplication) is a READ-TIME face: a bucket's flag can flip as
+    other buckets' mass arrives, so the flag is NOT batch-additive while
+    the census is (the stream_pr_curve_maintain doctrine, again).  Same
+    oracle as the batch row.
+
+    100 TB shape: per trigger O(batch) projection + a 24-group partial
+    agg folded into constant-size state; the face is O(24)."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_events_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_nullaudit_")
+    census_path = root + "/census"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        h_expr = F.hour("ts")
+        mask = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("null|"), F.col("event_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ) < (F.lit(5) + F.when(h_expr.between(2, 4), 15).otherwise(0))
+        part = (
+            batch_df.select(
+                h_expr.alias("h"), F.when(mask, 1).otherwise(0).alias("is_null")
+            )
+            .groupBy("h")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("is_null").cast("long").alias("n_null"),
+            )
+        )
+        try:
+            state = sp.read.parquet(census_path)
+            merged = (
+                state.unionByName(part)
+                .groupBy("h")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("n_null").cast("long").alias("n_null"),
+                )
+            )
+        except Exception:  # first batch
+            merged = part
+        staging = census_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(census_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    census = spark.read.parquet(census_path)
+    tot = census.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("n_null").cast("long").alias("null_tot"),
+    )
+    out = census.crossJoin(F.broadcast(tot)).select(
+        F.col("h").cast("long").alias("h"),
+        "n",
+        "n_null",
+        F.expr("CAST(1000000 * n_null DIV n AS BIGINT)").alias("null_ppm"),
+        F.expr(
+            "CAST(CASE WHEN 2 * n_null * n_tot > 3 * null_tot * n THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("flagged"),
+    )
+    return finish_and_clean(out, root)

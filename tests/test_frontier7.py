@@ -239,3 +239,42 @@ def test_stream_hapax_equals_batch(spark):
     batch = {tuple(r) for r in QUERIES["text_hapax_ratio"](spark, sf).collect()}
     stream = {tuple(r) for r in QUERIES["stream_hapax_maintain"](spark, sf).collect()}
     assert batch == stream and len(batch) > 0
+
+
+def test_kaplan_meier_hand_case(spark):
+    """Textbook KM: 5 subjects, T=(1,2e,2c,3e,3e) — i.e. t=1 event,
+    t=2 one event one censored, t=3 two events."""
+    import tempfile
+
+    rows = []
+    # cust 1: 1 order F -> t=1 event
+    rows.append((1, 1, 10.0, "F"))
+    # cust 2: 2 orders, F -> t=2 event
+    rows.append((2, 2, 10.0, "F")); rows.append((3, 2, 10.0, "O"))
+    # cust 3: 2 orders, censored
+    rows.append((4, 3, 10.0, "O")); rows.append((5, 3, 10.0, "O"))
+    # cust 4 and 5: 3 orders each, F
+    for c in (4, 5):
+        for j in range(3):
+            rows.append((10 * c + j, c, 10.0, "F" if j == 0 else "O"))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/orders.parquet")
+    got = {r.t: (r.n_risk, r.d, r.c, r.s_ppm)
+           for r in QUERIES["temporal_kaplan_meier"](spark, d).collect()}
+    # t=1: n=5 d=1 -> 1e6*4//5 = 800000
+    # t=2: n=4 d=1 c=1 -> 800000*3//4 = 600000
+    # t=3: n=2 d=2 -> 600000*0//2 = 0
+    assert got == {1: (5, 1, 0, 800_000), 2: (4, 1, 1, 600_000), 3: (2, 2, 0, 0)}
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_seasonal_null_equals_batch(spark):
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in QUERIES["quality_seasonal_null_audit"](spark, sf).collect()}
+    stream = {tuple(r) for r in QUERIES["stream_seasonal_null_maintain"](spark, sf).collect()}
+    assert batch == stream and len(batch) > 0
