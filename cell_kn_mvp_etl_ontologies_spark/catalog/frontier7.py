@@ -1287,3 +1287,135 @@ def stream_seasonal_null_maintain_q(spark, sf_dir):
         ).alias("flagged"),
     )
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# eval_cindex_full — the C-index production path (dominance counting)
+# --------------------------------------------------------------------------
+@register(
+    "eval_cindex_full",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS cust,
+             CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS e,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    pairs AS (
+      SELECT a.s AS si, b.s AS sj
+      FROM per a JOIN per b
+        ON a.t < b.t AND a.e = 1 AND a.cust <> b.cust
+    ),
+    census AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_comparable,
+             CAST(SUM(CASE WHEN si > sj THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+             CAST(SUM(CASE WHEN si = sj THEN 1 ELSE 0 END) AS BIGINT) AS n_tied
+      FROM pairs
+    )
+    SELECT n_comparable, n_conc, n_tied,
+           CASE WHEN n_comparable = 0 THEN NULL
+                ELSE CAST(1000000 * (2 * n_conc + n_tied)
+                          // (2 * n_comparable) AS BIGINT)
+           END AS c_ppm
+    FROM census
+    """,
+)
+def eval_cindex_full_q(spark, sf_dir):
+    """`eval_cindex`'s PRODUCTION path over ALL customers (the
+    `eval_kendall_tau_full` twin discipline, applied to survival
+    concordance): NO comparable-pairs join anywhere.  The tenure axis t
+    (distinct event times) is BOUNDED (order counts — tens of values), so
+    the census decomposes exactly:
+
+    - the event side expands to (t_big, s) cells through the strict
+      (t_small < t_big) combo dim — the documented O(|t-values|·n)
+      expansion, a broadcast of a ≤ T² dim, never an all-pairs join;
+    - per t_big, a PARTITIONED descending-s window turns the expanded
+      event multiset into a strict-CDF (cum-greater / tied-at-s), and
+      probe rows read their counts off the same merged frame;
+    - comparability mass comes from the per-t event totals' exclusive
+      prefix sum — one T-row window.
+
+    The oracle is the naive all-pairs census (DuckDB affords n² at the
+    gate SF); identical output contract to the bounded gate tier."""
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("e"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    tvals = per.select("t").distinct()
+    combos = (
+        tvals.select(F.col("t").alias("t_small"))
+        .join(tvals.select(F.col("t").alias("t_big")), F.expr("t_small < t_big"))
+    )
+    ev_ts = (
+        per.filter(F.col("e") == 1)
+        .groupBy("t", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("ev_c"))
+    )
+    grid = (
+        ev_ts.join(F.broadcast(combos), ev_ts["t"] == combos["t_small"])
+        .groupBy("t_big", "s")
+        .agg(F.sum("ev_c").cast("long").alias("ev_c"))
+    )
+    probes = per.groupBy(F.col("t").alias("t_big"), "s").agg(
+        F.count(F.lit(1)).cast("long").alias("pr_c")
+    )
+    merged = (
+        grid.join(probes, on=["t_big", "s"], how="full_outer")
+        .select(
+            "t_big",
+            "s",
+            F.coalesce(F.col("ev_c"), F.lit(0)).alias("ev_c"),
+            F.coalesce(F.col("pr_c"), F.lit(0)).alias("pr_c"),
+        )
+    )
+    w = (
+        Window.partitionBy("t_big")
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = merged.select(
+        "t_big",
+        "s",
+        "ev_c",
+        "pr_c",
+        (F.sum("ev_c").over(w) - F.col("ev_c")).alias("ev_greater"),
+    )
+    conc_tied = cdf.agg(
+        F.sum(F.col("pr_c") * F.col("ev_greater")).cast("long").alias("n_conc"),
+        F.sum(F.col("pr_c") * F.col("ev_c")).cast("long").alias("n_tied"),
+    )
+    # comparability mass: per-t event totals, exclusive ascending prefix
+    ev_t = per.filter(F.col("e") == 1).groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev")
+    )
+    pr_t = per.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n_pr"))
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        pr_t.join(ev_t, on="t", how="left")
+        .select("t", "n_pr", F.coalesce(F.col("n_ev"), F.lit(0)).alias("n_ev"))
+        .select("t", "n_pr", F.coalesce(F.sum("n_ev").over(wt), F.lit(0)).alias("ev_before"))
+    )
+    comparable = prefix.agg(
+        F.sum(F.col("n_pr") * F.col("ev_before")).cast("long").alias("n_comparable")
+    )
+    return comparable.crossJoin(conc_tied).select(
+        "n_comparable",
+        "n_conc",
+        "n_tied",
+        F.expr(
+            "CASE WHEN n_comparable = 0 THEN NULL"
+            " ELSE CAST(1000000 * (2 * n_conc + n_tied) DIV (2 * n_comparable)"
+            " AS BIGINT) END"
+        ).alias("c_ppm"),
+    )

@@ -278,3 +278,35 @@ def test_stream_seasonal_null_equals_batch(spark):
     batch = {tuple(r) for r in QUERIES["quality_seasonal_null_audit"](spark, sf).collect()}
     stream = {tuple(r) for r in QUERIES["stream_seasonal_null_maintain"](spark, sf).collect()}
     assert batch == stream and len(batch) > 0
+
+
+def test_cindex_full_equals_bounded_tier_on_shared_slice(spark, tmp_path):
+    """On a dataset where ALL customers fall inside the gate tier's
+    custkey < 200 bound, the production dominance-counting path must
+    equal the all-pairs census bit-for-bit — the twin identity."""
+    import random
+    import tempfile
+
+    rng = random.Random(7)
+    rows = []
+    k = 0
+    for cust in range(120):
+        n_orders = rng.randint(1, 8)
+        for _ in range(n_orders):
+            k += 1
+            rows.append(
+                (k, cust, rng.randint(100, 99999) / 100.0,
+                 "F" if rng.random() < 0.5 else "O")
+            )
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/orders.parquet")
+    [full] = QUERIES["eval_cindex_full"](spark, d).collect()
+    [gate] = QUERIES["eval_cindex"](spark, d).collect()
+    assert tuple(full) == tuple(gate)
+    assert full.n_comparable > 0
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)

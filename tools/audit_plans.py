@@ -109,6 +109,16 @@ WAIVERS: dict[str, set[str]] = {
     # O(slice^2) gate-tier waiver; docstring names the dominance-counting
     # sweep as the production path).
     "eval_cindex": {"CARTESIAN"},
+    # the production twin: its only cross joins are the strict t_small <
+    # t_big combo dim (tenure axis — tens of distinct order counts, a
+    # <= T^2 CONSTANT dim broadcast onto the event side: the documented
+    # O(|t-values|*n) expansion, same waiver as eval_kendall_tau_full's y
+    # grid) and the 1-row census x 1-row comparability-mass combine (the
+    # sanctioned 1-row stats-frame pattern); the 16 exchanges are the
+    # keyed stages (entity agg reused thrice via ReusedExchange, (t,s)
+    # grids, the t_big-PARTITIONED CDF window, two T-row bounded-dim
+    # frames) — none corpus-single-partition.
+    "eval_cindex_full": {"CARTESIAN", "MANY_EXCH"},
     # the probe IS a brute-force top-1 similarity run over the 200-row
     # gate slice (the similarity_topk |Q|-broadcast waiver); production
     # routes through the audited ANN rungs.
