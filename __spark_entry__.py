@@ -93,14 +93,17 @@ _PRIORITY = [
     # (b) the never-driver-verified backlog, stalest-first (VERDICT r9 #1):
     # the 31 rows displaced by the r9 frontier6 head block first, then the
     # frontier3 tail from dedup_exact_normalized onward.  All 71 are
-    # hash-green in CORRECTNESS_LOCAL_r09 (re-swept in _r10 this round).
-    # The overflow that doesn't fit the 50-slot prefix — the frontier3 tail
-    # from embedding_distance_histogram onward (25 rows) plus however many
-    # slots the round-10 head block consumed — is the precomputed ROUND-11
-    # prefix, stalest-first, unless contracts change.  EVIDENCE FRESHNESS
-    # FLOOR (tightened 4 → 3 rounds this round per VERDICT r9 #6):
-    # tests/test_catalog_survey_sync.py asserts no catalog row's newest
-    # evidence (driver OR local sweep) is older than 3 rounds.
+    # hash-green in CORRECTNESS_LOCAL_r09 and re-swept in _r10.  The
+    # round-10 head block settled at 22 slots (4 changed contracts + 18
+    # new rows: pq_train_codebooks, graph_dag_lca_frontier, and the
+    # 16-row frontier7 batch), so 28 backlog rows fit the 50-slot prefix
+    # (through `stream_ohlc`); the remaining 43 —
+    # `stream_maxsim_maintain` onward in the order below — are the
+    # precomputed ROUND-11 prefix, stalest-first, unless contracts
+    # change.  EVIDENCE FRESHNESS FLOOR (tightened 4 → 3 rounds this
+    # round per VERDICT r9 #6): tests/test_catalog_survey_sync.py asserts
+    # no catalog row's newest evidence (driver OR local sweep) is older
+    # than 3 rounds.
     "quality_langid_confusion", "eval_binary_detector_metrics",
     "temporal_wow_growth", "graph_two_hop_reach",
     "quality_duplication_scorecard", "agg_aging_buckets",
