@@ -624,10 +624,11 @@ def join_nearest_value_q(spark, sf_dir):
         "cust",
         "okey",
         "cents",
+        # within the chosen partner-value group the min key wins, except a
+        # same-value probe that IS the group's min key takes the second-min
         F.expr(
             "CASE WHEN partner_cents IS NULL THEN NULL"
             " WHEN partner_cents = cents AND okey = p_min_key THEN p_min2_key"
-            " WHEN partner_cents = cents THEN p_min_key"
             " ELSE p_min_key END"
         ).cast("long").alias("partner_key"),
         F.col("partner_cents").cast("long").alias("partner_cents"),
