@@ -994,6 +994,7 @@ def maxsim_route_cells(
     scale: int = 1000,
     q_sum: DataFrame | None = None,
     t_sum: DataFrame | None = None,
+    vectorized_assign: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """THE routing chain for cell-routed MaxSim, shared verbatim by the
     expression path (``maxsim_topk_routed``) and the cogrouped vectorized
@@ -1008,7 +1009,23 @@ def maxsim_route_cells(
     summaries — the streaming maintainer's hook: token-SUM summaries are
     ADDITIVE, so a stream can keep them fresh by merging per-batch sums
     (`stream_maxsim_maintain`) and route through the maintained table
-    without ever rescanning the corpus tokens."""
+    without ever rescanning the corpus tokens.
+
+    ``vectorized_assign`` swaps the assignment stage's implementation —
+    NOT its result: the expression shape evaluates |docs|·n_cells
+    interpreted zip_with/aggregate HOF distances through a window top-k,
+    while the vectorized shape collects the BOUNDED seed table (n_cells
+    rows — the k-means driver-loop doctrine) and computes per-batch exact
+    int64 ‖v‖²+‖s‖²−2·v·s matrices in numpy with a stable argsort whose
+    tie order is cell-ascending by construction.  int64 matmul/argsort
+    are exact, so the two shapes are BIT-IDENTICAL — pinned by an
+    identity test on random inputs.  MEASURED NEGATIVE RESULT at the
+    benched 10k×64 shape (round-10 A/B, min-of-5): the vectorized twin
+    costs 4.87 s full-row vs the expression path's 3.76 s — the eager
+    summary-materialization job plus the Arrow hop exceed the interpreted
+    HOF it replaces — so the default stays False; the twin is the
+    documented choice for n_cells in the hundreds+, where the
+    |docs|·n_cells HOF explode dominates instead."""
     if t_sum is None:
         t_sum = maxsim_doc_summaries(t_tokens, "t_id", scale)
     if q_sum is None:
@@ -1029,18 +1046,82 @@ def maxsim_route_cells(
         .select((F.col("_r") - 1).cast("long").alias("cell"), F.col("svec").alias("_sv"))
     )
 
-    def _assign(side: DataFrame, id_col: str, keep: int) -> DataFrame:
-        d = side.join(F.broadcast(seeds), on=F.lit(True), how="inner").select(
-            id_col,
-            "cell",
-            sq_dist_long(F.col("svec"), F.col("_sv")).alias("_d"),
+    if vectorized_assign:
+        import numpy as np
+
+        # the seed collect is an EXTRA eager job consuming the summaries
+        # subtree — materialize the summaries once so the collect and the
+        # two downstream assigns share them instead of re-deriving the
+        # corpus scan + fold per consumer (measured: without this the
+        # vectorized path LOST 1.7 s to recomputation at the bench shape)
+        t_sum = t_sum.localCheckpoint(eager=True)
+        q_sum = q_sum.localCheckpoint(eager=True)
+        seeds = (
+            t_sum.select(
+                "t_id",
+                "svec",
+                F.row_number()
+                .over(
+                    Window.orderBy(
+                        F.md5(F.col("t_id").cast("string")), F.col("t_id")
+                    )
+                )
+                .alias("_r"),
+            )
+            .filter(F.col("_r") <= n_cells)
+            .select(
+                (F.col("_r") - 1).cast("long").alias("cell"),
+                F.col("svec").alias("_sv"),
+            )
         )
-        w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cell").asc())
-        return (
-            d.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= keep)
-            .select(id_col, "cell")
-        )
+        rows = seeds.orderBy("cell").collect()  # bounded: ≤ n_cells rows
+        S = np.asarray([r["_sv"] for r in rows], dtype=np.int64)
+        cells_arr = np.asarray([r["cell"] for r in rows], dtype=np.int64)
+        ss = (S * S).sum(axis=1)
+
+        def _assign(side: DataFrame, id_col: str, keep: int) -> DataFrame:
+            k = min(keep, len(cells_arr))
+
+            def run(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    V = np.array(
+                        [np.asarray(v, dtype=np.int64) for v in pdf["svec"]]
+                    )
+                    vv = (V * V).sum(axis=1)
+                    # exact int64 squared L2; ties break to the SMALLER cell
+                    # because columns are cell-ascending and the stable sort
+                    # preserves column order among equal distances
+                    d = vv[:, None] + ss[None, :] - 2 * (V @ S.T)
+                    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+                    yield pd.DataFrame(
+                        {
+                            id_col: np.repeat(pdf[id_col].to_numpy(), k),
+                            "cell": cells_arr[idx].reshape(-1),
+                        }
+                    )
+
+            return side.mapInPandas(run, f"{id_col} long, cell long")
+
+    else:
+
+        def _assign(side: DataFrame, id_col: str, keep: int) -> DataFrame:
+            d = side.join(F.broadcast(seeds), on=F.lit(True), how="inner").select(
+                id_col,
+                "cell",
+                sq_dist_long(F.col("svec"), F.col("_sv")).alias("_d"),
+            )
+            w = Window.partitionBy(id_col).orderBy(
+                F.col("_d").asc(), F.col("cell").asc()
+            )
+            return (
+                d.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= keep)
+                .select(id_col, "cell")
+            )
 
     return _assign(q_sum, "q_id", nprobe), _assign(t_sum, "t_id", 1)
 
@@ -1162,6 +1243,14 @@ def maxsim_topk_routed_vectorized(
             q_tokens, t_tokens, n_cells, nprobe, scale=scale
         )
     else:
+        # expression assign, deliberately: the numpy vectorized_assign twin
+        # MEASURED SLOWER at this exact shape (round-10 A/B, min-of-5 —
+        # 4.87 s vs 3.76 s full-row; naive version without summary
+        # materialization 5.49 s): the eager summary job + Arrow hop cost
+        # more than the interpreted HOF distances they replace at
+        # 10k docs × 64 cells.  The twin stays implemented + identity-
+        # gated for the regime where it should win (n_cells in the
+        # hundreds+, where the |docs|·n_cells HOF explode dominates).
         q_cells, t_cells = maxsim_route_cells(q_tokens, t_tokens, n_cells, nprobe, scale)
 
     def _pack(tokens: DataFrame, id_col: str, tok_col: str) -> DataFrame:
