@@ -89,7 +89,7 @@ _PRIORITY = [
     "dedup_sequence_fingerprint", "stream_reciprocity_maintain",
     "eval_cindex", "graph_dag_path_count", "stream_hapax_maintain",
     "temporal_kaplan_meier", "stream_seasonal_null_maintain",
-    "eval_cindex_full",
+    "eval_cindex_full", "quality_k_anonymity",
     # (b) the never-driver-verified backlog, stalest-first (VERDICT r9 #1):
     # the 31 rows displaced by the r9 frontier6 head block first, then the
     # frontier3 tail from dedup_exact_normalized onward.  All 71 are

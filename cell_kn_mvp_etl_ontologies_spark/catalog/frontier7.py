@@ -1420,3 +1420,75 @@ def eval_cindex_full_q(spark, sf_dir):
             " AS BIGINT) END"
         ).alias("c_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# quality_k_anonymity — k-anonymity / l-diversity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+@register(
+    "quality_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+             doc_id % 7 AS sensitive
+      FROM documents
+    ),
+    grp AS (
+      SELECT lang, source, size_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_div
+      FROM q GROUP BY lang, source, size_bucket
+    ),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN g.n < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(SUM(CASE WHEN g.n < ks.k THEN g.n ELSE 0 END) AS BIGINT)
+             AS exposed_rows,
+           CAST(SUM(CASE WHEN g.l_div < 2 THEN g.n ELSE 0 END) AS BIGINT)
+             AS low_diversity_rows
+    FROM grp g, ks GROUP BY ks.k
+    """,
+)
+def quality_k_anonymity_q(spark, sf_dir):
+    """k-anonymity / l-diversity release audit — the privacy companion of
+    `text_pii_redact`: bucket the corpus by quasi-identifiers (language,
+    source, coarse size bucket), and for k ∈ {2, 5, 10} count the
+    equivalence classes smaller than k and the rows they EXPOSE (a row in
+    a size-1 class is re-identifiable from its quasi-identifiers alone);
+    l-diversity flags rows whose class carries fewer than 2 distinct
+    sensitive values (here a derived 7-way label) — k-anonymous but
+    attribute-disclosing.  All counts exact integers.
+
+    100 TB shape: one hash aggregate at quasi-identifier grain (map-side
+    combined; the class table is dimension-sized relative to the corpus),
+    then a ×3 constant k-dim fanout of THAT table — the corpus is
+    touched once and never joined."""
+    q = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("size_bucket"),
+        (F.col("doc_id") % 7).alias("sensitive"),
+    )
+    grp = q.groupBy("lang", "source", "size_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("sensitive").cast("long").alias("l_div"),
+    )
+    ks = q.sparkSession.createDataFrame([(2,), (5,), (10,)], "k int")
+    return (
+        grp.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("long").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("violating_groups"),
+            F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("exposed_rows"),
+            F.sum(F.when(F.col("l_div") < 2, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("low_diversity_rows"),
+        )
+    )

@@ -347,3 +347,37 @@ def test_maxsim_route_vectorized_assign_identity(spark):
     qv, tv = maxsim_route_cells(q, toks, 8, 3, 1000, vectorized_assign=True)
     assert {tuple(r) for r in te.collect()} == {tuple(r) for r in tv.collect()}
     assert {tuple(r) for r in qe.collect()} == {tuple(r) for r in qv.collect()}
+
+
+def test_k_anonymity_hand_case(spark):
+    """Classes of sizes 1, 3, 12: at k=2 only the singleton violates; at
+    k=5 the 3-class joins it; at k=10 all but the 12-class.  The
+    single-sensitive-value class is the low-diversity mass."""
+    import tempfile
+
+    rows = []
+    did = 0
+    # class A: 1 row; class B: 3 rows; class C: 12 rows
+    for n, src in ((1, "a"), (3, "b"), (12, "c")):
+        for _ in range(n):
+            # sensitive = doc_id % 7: give class B one distinct value by
+            # choosing ids ≡ 0 (mod 7)
+            if src == "b":
+                while did % 7 != 0:
+                    did += 1
+            rows.append((did, "t" * 150, "en", src, 150))
+            did += 7 if src == "b" else 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = {r.k: (r.n_groups, r.violating_groups, r.exposed_rows, r.low_diversity_rows)
+           for r in QUERIES["quality_k_anonymity"](spark, d).collect()}
+    # low diversity: class A (1 row, 1 value) + class B (3 rows, all ≡0 mod 7)
+    assert got[2] == (3, 1, 1, 4)
+    assert got[5] == (3, 2, 4, 4)
+    assert got[10] == (3, 2, 4, 4)
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)

@@ -119,6 +119,11 @@ WAIVERS: dict[str, set[str]] = {
     # grids, the t_big-PARTITIONED CDF window, two T-row bounded-dim
     # frames) — none corpus-single-partition.
     "eval_cindex_full": {"CARTESIAN", "MANY_EXCH"},
+    # the 3-row k-threshold dim is cross-joined onto the ALREADY-REDUCED
+    # quasi-identifier class table (constant x3 fanout of a dim-sized
+    # frame — the eval_bootstrap_ci replicate-dim pattern); the corpus
+    # itself sees only one hash aggregate.
+    "quality_k_anonymity": {"CARTESIAN"},
     # the probe IS a brute-force top-1 similarity run over the 200-row
     # gate slice (the similarity_topk |Q|-broadcast waiver); production
     # routes through the audited ANN rungs.
