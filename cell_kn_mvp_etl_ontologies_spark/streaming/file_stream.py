@@ -15,21 +15,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events table with the same dtype-branched
     timestamp normalization as the batch loader (io.normalize_event_time),
     except targeting LTZ: watermarks/event-time windows require TIMESTAMP
     type, not NTZ.  The container and driver sessions run UTC, so formatted
-    output matches DuckDB's naive timestamps."""
+    output matches DuckDB's naive timestamps.
+
+    ``max_files_per_trigger`` bounds files per micro-batch (None = source
+    default) — production's backpressure knob, and the tests' lever for
+    forcing REAL multi-batch runs over split files (the IVM
+    bundling-independence pins)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file streams need a directory source; glob-filter the one table out of
     # the mixed-schema testdata dir
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events*")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events*")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
     dt = dict(stream.dtypes).get("ts")
     if dt == "bigint":  # legacy TIMESTAMP(NANOS) storage read as long
         return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -41,16 +47,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the documents table (no event-time column, so
     no normalization needed) — the ingestion side of continuous index
-    maintenance."""
+    maintenance.  ``max_files_per_trigger`` as in ``read_events_stream``."""
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents*")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "documents*")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir)
 
 
 def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

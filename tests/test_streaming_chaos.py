@@ -194,3 +194,62 @@ def test_cdc_apply_redelivery_after_crash_in_at_least_once_window(
     # twice in total), batch 2 then completes the stream
     recovered = _run_cdc(spark, cdc_dir, state_path, chaos=chaos)
     assert {tuple(r) for r in recovered.collect()} == quiet_rows
+
+
+def test_round10_ivm_twins_bundling_independence(spark, tmp_path, monkeypatch):
+    """The three round-10 IVM maintainers must equal their batch twins when
+    driven over a REAL multi-batch split (3 files, maxFilesPerTrigger=1) —
+    the bundling-independence their census-state contracts claim.  The
+    catalog gate only ever sees the one-file (single-batch) case."""
+    import cell_kn_mvp_etl_ontologies_spark.streaming as streaming_mod
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "split_sf"
+    d.mkdir()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # first slice keeps the canonical name (the readers' schema probe needs
+    # {sf_dir}/events.parquet to exist); the glob picks up all three
+    names = {0: "", 1: "_1", 2: "_2"}
+    import glob as _glob
+    import shutil
+
+    for i in range(3):
+        for frame, col, base in ((ev, "event_id", "events"), (docs, "doc_id", "documents")):
+            tmp_out = str(d / f"__tmp_{base}_{i}")
+            frame.filter(F.col(col) % 3 == i).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(tmp_out)
+            # flatten: the glob filter matches LEAF file names, so each
+            # slice must be a single FILE named {base}{suffix}.parquet
+            part = _glob.glob(tmp_out + "/part-*.parquet")[0]
+            shutil.move(part, str(d / f"{base}{names[i]}.parquet"))
+            shutil.rmtree(tmp_out, ignore_errors=True)
+    sf_dir = str(d)
+
+    orig_ev, orig_doc = (
+        streaming_mod.read_events_stream,
+        streaming_mod.read_documents_stream,
+    )
+    monkeypatch.setattr(
+        streaming_mod,
+        "read_events_stream",
+        lambda sp, sd: orig_ev(sp, sd, max_files_per_trigger=1),
+    )
+    monkeypatch.setattr(
+        streaming_mod,
+        "read_documents_stream",
+        lambda sp, sd: orig_doc(sp, sd, max_files_per_trigger=1),
+    )
+
+    for stream_q, batch_q in [
+        ("stream_reciprocity_maintain", "graph_reciprocity"),
+        ("stream_hapax_maintain", "text_hapax_ratio"),
+        ("stream_seasonal_null_maintain", "quality_seasonal_null_audit"),
+    ]:
+        # batch twin runs on the ORIGINAL single-file dir — same rows, so
+        # multi-batch state folds must converge to the identical table
+        batch = {tuple(r) for r in QUERIES[batch_q](spark, sf).collect()}
+        stream = {tuple(r) for r in QUERIES[stream_q](spark, sf_dir).collect()}
+        assert stream == batch and len(batch) > 0, stream_q
