@@ -94,11 +94,11 @@ _PRIORITY = [
     # the 31 rows displaced by the r9 frontier6 head block first, then the
     # frontier3 tail from dedup_exact_normalized onward.  All 71 are
     # hash-green in CORRECTNESS_LOCAL_r09 and re-swept in _r10.  The
-    # round-10 head block settled at 22 slots (4 changed contracts + 18
+    # round-10 head block settled at 23 slots (4 changed contracts + 19
     # new rows: pq_train_codebooks, graph_dag_lca_frontier, and the
-    # 16-row frontier7 batch), so 28 backlog rows fit the 50-slot prefix
-    # (through `stream_ohlc`); the remaining 43 —
-    # `stream_maxsim_maintain` onward in the order below — are the
+    # 17-row frontier7 batch), so 27 backlog rows fit the 50-slot prefix
+    # (through `semistructured_keys_profile`); the remaining 44 —
+    # `stream_ohlc` onward in the order below — are the
     # precomputed ROUND-11 prefix, stalest-first, unless contracts
     # change.  EVIDENCE FRESHNESS FLOOR (tightened 4 → 3 rounds this
     # round per VERDICT r9 #6): tests/test_catalog_survey_sync.py asserts
