@@ -1055,6 +1055,66 @@ def stream_hapax_maintain_q(spark, sf_dir):
     return finish_and_clean(out, root)
 
 
+def _km_curve(per):
+    """The KM read-time face shared by the batch row and the streaming
+    maintainer (one source of truth for the pinned fold order): entity
+    (t, e) table → (t, d, c) census → suffix risk window → ascending-t
+    integer survival fold over the bounded step table."""
+    at_t = per.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("e")).cast("long").alias("c"),
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = at_t.select(
+        "t", "d", "c", F.sum(F.col("d") + F.col("c")).over(w).cast("long").alias("n_risk")
+    )
+    # ascending-t fold over the bounded step table: one collected array,
+    # one aggregate HOF producing the running product alongside the steps
+    folded = risk.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c", "n_risk"))).alias("steps")
+    ).select(
+        F.explode(
+            F.aggregate(
+                "steps",
+                F.expr(
+                    "CAST(array() AS ARRAY<STRUCT<t BIGINT, n_risk BIGINT,"
+                    " d BIGINT, c BIGINT, s_ppm BIGINT>>)"
+                ),
+                lambda acc, s: F.concat(
+                    acc,
+                    F.array(
+                        F.struct(
+                            s["t"].alias("t"),
+                            s["n_risk"].alias("n_risk"),
+                            s["d"].alias("d"),
+                            s["c"].alias("c"),
+                            (
+                                F.when(
+                                    F.size(acc) == 0, F.lit(1000000).cast("long")
+                                ).otherwise(F.element_at(acc, -1)["s_ppm"])
+                                * (s["n_risk"] - s["d"])
+                                / s["n_risk"]
+                            )
+                            # products stay < 2^41, far inside double
+                            # exactness; floor == truncating DIV here
+                            # (all terms positive)
+                            .cast("long")
+                            .alias("s_ppm"),
+                        )
+                    ),
+                ),
+            )
+        ).alias("km")
+    )
+    return folded.select(
+        F.col("km.t").alias("t"),
+        F.col("km.n_risk").alias("n_risk"),
+        F.col("km.d").alias("d"),
+        F.col("km.c").alias("c"),
+        F.col("km.s_ppm").alias("s_ppm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # temporal_kaplan_meier — exact integer KM survival curve
 # --------------------------------------------------------------------------
@@ -1118,59 +1178,7 @@ def temporal_kaplan_meier_q(spark, sf_dir):
             .alias("e"),
         )
     )
-    at_t = per.groupBy("t").agg(
-        F.sum("e").cast("long").alias("d"),
-        F.sum(F.lit(1) - F.col("e")).cast("long").alias("c"),
-    )
-    w = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
-    risk = at_t.select(
-        "t", "d", "c", F.sum(F.col("d") + F.col("c")).over(w).cast("long").alias("n_risk")
-    )
-    # ascending-t fold over the bounded step table: one collected array,
-    # one aggregate HOF producing the running product alongside the steps
-    folded = risk.agg(
-        F.sort_array(F.collect_list(F.struct("t", "d", "c", "n_risk"))).alias("steps")
-    ).select(
-        F.explode(
-            F.aggregate(
-                "steps",
-                F.expr(
-                    "CAST(array() AS ARRAY<STRUCT<t BIGINT, n_risk BIGINT,"
-                    " d BIGINT, c BIGINT, s_ppm BIGINT>>)"
-                ),
-                lambda acc, s: F.concat(
-                    acc,
-                    F.array(
-                        F.struct(
-                            s["t"].alias("t"),
-                            s["n_risk"].alias("n_risk"),
-                            s["d"].alias("d"),
-                            s["c"].alias("c"),
-                            (
-                                F.when(
-                                    F.size(acc) == 0, F.lit(1000000).cast("long")
-                                ).otherwise(F.element_at(acc, -1)["s_ppm"])
-                                * (s["n_risk"] - s["d"])
-                                / s["n_risk"]
-                            )
-                            # products stay < 2^41, far inside double
-                            # exactness; floor == truncating DIV here
-                            # (all terms positive)
-                            .cast("long")
-                            .alias("s_ppm"),
-                        )
-                    ),
-                ),
-            )
-        ).alias("km")
-    )
-    return folded.select(
-        F.col("km.t").alias("t"),
-        F.col("km.n_risk").alias("n_risk"),
-        F.col("km.d").alias("d"),
-        F.col("km.c").alias("c"),
-        F.col("km.s_ppm").alias("s_ppm"),
-    )
+    return _km_curve(per)
 
 
 # --------------------------------------------------------------------------
@@ -1492,3 +1500,103 @@ def quality_k_anonymity_q(spark, sf_dir):
             .alias("low_diversity_rows"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# stream_kaplan_meier_maintain — entity tenure state as IVM, KM at read
+# --------------------------------------------------------------------------
+def _km_oracle() -> str:
+    return """
+    WITH RECURSIVE per AS (
+      SELECT o_custkey AS cust,
+             CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS e
+      FROM orders GROUP BY o_custkey
+    ),
+    at_t AS (
+      SELECT t,
+             CAST(SUM(e) AS BIGINT) AS d,
+             CAST(SUM(1 - e) AS BIGINT) AS c
+      FROM per GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, c,
+             CAST(SUM(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rk
+      FROM at_t
+    ),
+    km(rk, t, d, c, n_risk, s_ppm) AS (
+      SELECT rk, t, d, c, n_risk,
+             CAST(1000000 * (n_risk - d) // n_risk AS BIGINT)
+      FROM risk WHERE rk = 1
+      UNION ALL
+      SELECT r.rk, r.t, r.d, r.c, r.n_risk,
+             CAST(km.s_ppm * (r.n_risk - r.d) // r.n_risk AS BIGINT)
+      FROM km JOIN risk r ON r.rk = km.rk + 1
+    )
+    SELECT t, n_risk, d, c, s_ppm FROM km
+    """
+
+
+@register("stream_kaplan_meier_maintain", oracle=_km_oracle())
+def stream_kaplan_meier_maintain_q(spark, sf_dir):
+    """`temporal_kaplan_meier` as incremental view maintenance — the
+    INTERESTING IVM case: the (t, d, c) step census is NOT batch-additive
+    (an entity's tenure t GROWS as its orders stream in, moving it
+    between census buckets), so the maintained state sits one level
+    down, at ENTITY grain: per customer, (order count, any-finalized)
+    fold by keyed merge — count is additive, the event flag is a MAX
+    lattice, both bundling-independent.  The KM curve (census + suffix
+    risk window + ascending-t survival fold) is a READ-TIME face over
+    the customer-cardinality state.  Same oracle as the batch row:
+    stream-maintained == batch == DuckDB, hash-exact.
+
+    100 TB shape: per trigger O(batch) projection + one keyed merge into
+    entity-cardinality state; the face runs over |entities| state rows
+    and its fold over the bounded tenure axis — the corpus is never
+    rescanned."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_orders_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_km_")
+    state_path = root + "/per_cust"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = batch_df.groupBy(F.col("o_custkey").alias("cust")).agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("e"),
+        )
+        try:
+            state = sp.read.parquet(state_path)
+            merged = (
+                state.unionByName(part)
+                .groupBy("cust")
+                .agg(
+                    F.sum("t").cast("long").alias("t"),
+                    F.max("e").cast("long").alias("e"),
+                )
+            )
+        except Exception:  # first batch
+            merged = part
+        staging = state_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_orders_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    out = _km_curve(spark.read.parquet(state_path))
+    return finish_and_clean(out, root)

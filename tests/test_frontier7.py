@@ -381,3 +381,10 @@ def test_k_anonymity_hand_case(spark):
     import shutil
 
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_km_equals_batch(spark):
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in QUERIES["temporal_kaplan_meier"](spark, sf).collect()}
+    stream = {tuple(r) for r in QUERIES["stream_kaplan_meier_maintain"](spark, sf).collect()}
+    assert batch == stream and len(batch) > 0
