@@ -90,15 +90,17 @@ _PRIORITY = [
     "eval_cindex", "graph_dag_path_count", "stream_hapax_maintain",
     "temporal_kaplan_meier", "stream_seasonal_null_maintain",
     "eval_cindex_full", "quality_k_anonymity", "stream_kaplan_meier_maintain",
+    "graph_harmonic_centrality_bounded", "eval_brier_decomposition",
+    "temporal_velocity_profile",
     # (b) the never-driver-verified backlog, stalest-first (VERDICT r9 #1):
     # the 31 rows displaced by the r9 frontier6 head block first, then the
     # frontier3 tail from dedup_exact_normalized onward.  All 71 are
     # hash-green in CORRECTNESS_LOCAL_r09 and re-swept in _r10.  The
-    # round-10 head block settled at 24 slots (4 changed contracts + 20
+    # round-10 head block settled at 27 slots (4 changed contracts + 23
     # new rows: pq_train_codebooks, graph_dag_lca_frontier, and the
-    # 18-row frontier7 batch), so 26 backlog rows fit the 50-slot prefix
-    # (through `fn_json_extract_agg`); the remaining 45 —
-    # `semistructured_keys_profile` onward in the order below — are the
+    # 21-row frontier7 batch), so 23 backlog rows fit the 50-slot prefix
+    # (through `dedup_remove_segments`); the remaining 48 —
+    # `sample_repeat_temperature` onward in the order below — are the
     # precomputed ROUND-11 prefix, stalest-first, unless contracts
     # change.  EVIDENCE FRESHNESS FLOOR (tightened 4 → 3 rounds this
     # round per VERDICT r9 #6): tests/test_catalog_survey_sync.py asserts

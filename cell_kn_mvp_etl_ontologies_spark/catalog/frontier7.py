@@ -1600,3 +1600,249 @@ def stream_kaplan_meier_maintain_q(spark, sf_dir):
     query.awaitTermination()
     out = _km_curve(spark.read.parquet(state_path))
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# graph_harmonic_centrality_bounded — Σ 1/d within the radius, exact ppm
+# --------------------------------------------------------------------------
+@register(
+    "graph_harmonic_centrality_bounded",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT CAST(l_orderkey % 60 AS BIGINT) AS src,
+                      CAST(l_partkey % 60 AS BIGINT) AS dst
+      FROM lineitem
+      WHERE l_orderkey % 60 <> l_partkey % 60
+        AND ('0x' || substring(md5('scc|' || CAST(l_orderkey % 60 AS VARCHAR)
+             || '|' || CAST(l_partkey % 60 AS VARCHAR)), 1, 8))::BIGINT % 100 < 4
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    walks(s, t, k) AS (
+      SELECT src, dst, 1 FROM e
+      UNION ALL
+      SELECT w.s, e2.dst, w.k + 1 FROM walks w
+      JOIN e e2 ON e2.src = w.t WHERE w.k < 6
+    ),
+    dmin AS (
+      SELECT s, t, CAST(MIN(k) AS BIGINT) AS d FROM walks
+      WHERE s <> t GROUP BY s, t
+    )
+    SELECT CAST(n.node AS BIGINT) AS node,
+           CAST(COALESCE(COUNT(m.t), 0) AS BIGINT) AS n_reach,
+           CAST(COALESCE(SUM(1000000 // m.d), 0) AS BIGINT) AS harmonic_ppm
+    FROM nodes n LEFT JOIN dmin m ON m.s = n.node
+    GROUP BY n.node
+    """,
+)
+def graph_harmonic_centrality_bounded_q(spark, sf_dir):
+    """Bounded-radius harmonic centrality — Σ 1/d over reachable targets
+    within 6 hops, the centrality that handles DISCONNECTED graphs
+    gracefully (unreachable targets contribute 0, no infinite-distance
+    special case — why Boldi-Vigna recommend it over closeness).  Made
+    exact by summing the PER-PAIR truncated integer 1e6 DIV d — each term
+    is a pure function of the pair, so the sum is partition- and
+    order-proof (the betweenness c_milli doctrine).  Completes the
+    bounded-radius family on the SAME `bounded_shortest_counts` distance
+    table as betweenness/eccentricity; same slice, same walk-enumerating
+    naive oracle vs aggregated engine plan.
+
+    100 TB shape: reuses the O(radius) keyed matrix-power shuffles; the
+    centrality itself is one node-grain aggregate over the distance
+    table.  Brandes-style source sampling applies unchanged at corpus
+    scale."""
+    from ..plans.graph_query import bounded_shortest_counts
+
+    from .frontier6 import _scc_edges
+
+    edges = _scc_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dmin = bounded_shortest_counts(edges, max_hops=6)
+    return (
+        nodes.join(dmin, nodes["node"] == dmin["src"], "left")
+        .groupBy("node")
+        .agg(
+            F.count(F.col("dst")).cast("long").alias("n_reach"),
+            F.coalesce(F.sum(F.expr("1000000 DIV d")), F.lit(0))
+            .cast("long")
+            .alias("harmonic_ppm"),
+        )
+        .select(F.col("node").cast("long").alias("node"), "n_reach", "harmonic_ppm")
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_brier_decomposition — Murphy reliability / resolution / uncertainty
+# --------------------------------------------------------------------------
+@register(
+    "eval_brier_decomposition",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+               t -> t IN ('the','a','of','and','to','in','is')))
+             // len(string_split_regex(text, '\\s+')) AS BIGINT) AS p_ppm,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    bins AS (
+      SELECT p_ppm,
+             CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(y) AS BIGINT) AS dk
+      FROM scored GROUP BY p_ppm
+    ),
+    tot AS (
+      SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(dk) AS BIGINT) AS pos
+      FROM bins
+    ),
+    terms AS (
+      SELECT
+        SUM((CAST(nk AS HUGEINT) * p_ppm - CAST(1000000 AS HUGEINT) * dk)
+            * (CAST(nk AS HUGEINT) * p_ppm - CAST(1000000 AS HUGEINT) * dk)
+            // nk) AS rel_sum,
+        SUM(CAST(1000000000000 AS HUGEINT)
+            * (CAST(t.n AS HUGEINT) * dk - CAST(nk AS HUGEINT) * t.pos)
+            * (CAST(t.n AS HUGEINT) * dk - CAST(nk AS HUGEINT) * t.pos)
+            // (CAST(nk AS HUGEINT) * t.n * t.n)) AS res_sum,
+        MAX(t.n) AS n, MAX(t.pos) AS pos
+      FROM bins, tot t
+    )
+    SELECT n, pos,
+           CAST(rel_sum // n AS BIGINT) AS reliability_e12,
+           CAST(res_sum // n AS BIGINT) AS resolution_e12,
+           CAST((1000000 * pos // n) * (1000000 * (n - pos) // n) AS BIGINT)
+             AS uncertainty_e12
+    FROM terms GROUP BY n, pos, rel_sum, res_sum
+    """,
+)
+def eval_brier_decomposition_q(spark, sf_dir):
+    """Murphy decomposition of the Brier score — reliability (calibration
+    error mass), resolution (how far bin outcomes move from the base
+    rate; what `eval_brier_score`'s single total cannot separate), and
+    uncertainty (climatology ȳ(1−ȳ)) — binned by EXACT forecast value so
+    the bin-mean forecast is the value itself and the only rationals are
+    the per-bin outcome rates.  Those are cleared by cross-multiplication
+    into 38-digit arithmetic (DECIMAL(38,0) / HUGEINT — the CUPED/Gini
+    doctrine): rel_k = (n_k·p_k − 1e6·d_k)² DIV n_k, res_k =
+    1e12·(N·d_k − n_k·pos)² DIV (n_k·N), each truncated PER BIN (the
+    stated contract), summed then DIV N into e12 units.  BS ≈ REL − RES
+    + UNC holds up to the per-bin truncations (pinned in tests).
+
+    Same forecast/outcome derivation as `eval_brier_score` (stopword
+    English-ness ppm vs lang='en') so the family composes.
+
+    100 TB shape: one corpus projection → one (p_ppm)-grain hash agg →
+    |bins|-row second agg with a 1-row broadcast of the totals; nothing
+    quadratic, bins ≤ distinct forecast values."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    stop = F.filter(
+        toks,
+        lambda t: t.isin("the", "a", "of", "and", "to", "in", "is"),
+    )
+    scored = docs.select(
+        (F.lit(1000000) * F.size(stop)).cast("long").alias("_num"),
+        F.size(toks).cast("long").alias("_den"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).select(F.expr("CAST(_num DIV _den AS BIGINT)").alias("p_ppm"), "y")
+    bins = scored.groupBy("p_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("y").cast("long").alias("dk"),
+    )
+    tot = bins.agg(
+        F.sum("nk").cast("long").alias("n"), F.sum("dk").cast("long").alias("pos")
+    )
+    terms = bins.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "(CAST(nk AS DECIMAL(38,0)) * p_ppm - CAST(1000000 AS DECIMAL(38,0)) * dk)"
+                " * (CAST(nk AS DECIMAL(38,0)) * p_ppm - CAST(1000000 AS DECIMAL(38,0)) * dk)"
+                " DIV nk"
+            )
+        ).alias("rel_sum"),
+        F.sum(
+            F.expr(
+                "CAST(1000000000000 AS DECIMAL(38,0))"
+                " * (CAST(n AS DECIMAL(38,0)) * dk - CAST(nk AS DECIMAL(38,0)) * pos)"
+                " * (CAST(n AS DECIMAL(38,0)) * dk - CAST(nk AS DECIMAL(38,0)) * pos)"
+                " DIV (CAST(nk AS DECIMAL(38,0)) * n * n)"
+            )
+        ).alias("res_sum"),
+        F.max("n").alias("n"),
+        F.max("pos").alias("pos"),
+    )
+    return terms.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        F.expr("CAST(rel_sum DIV n AS BIGINT)").alias("reliability_e12"),
+        F.expr("CAST(res_sum DIV n AS BIGINT)").alias("resolution_e12"),
+        F.expr(
+            "CAST((1000000 * pos DIV n) * (1000000 * (n - pos) DIV n) AS BIGINT)"
+        ).alias("uncertainty_e12"),
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal_velocity_profile — first/second discrete differences per user
+# --------------------------------------------------------------------------
+@register(
+    "temporal_velocity_profile",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 100) AS BIGINT)
+               - lag(CAST(FLOOR(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    acc AS (
+      SELECT user_id, d1,
+             d1 - lag(d1) OVER (PARTITION BY user_id ORDER BY rn) AS d2
+      FROM seq WHERE d1 IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_moves,
+           CAST(SUM(CASE WHEN d1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+           CAST(SUM(CASE WHEN d1 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+           CAST(MAX(ABS(d1)) AS BIGINT) AS max_jump,
+           CAST(SUM(ABS(d1)) AS BIGINT) AS path_len,
+           CAST(SUM(CASE WHEN d2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accel
+    FROM acc GROUP BY user_id
+    """,
+)
+def temporal_velocity_profile_q(spark, sf_dir):
+    """Discrete motion profile per user — first differences (velocity:
+    up/down/flat move counts, max jump, total path length) and second
+    differences (acceleration count) of the value series, all exact
+    integers on cents, both lags over the (ts, event_id) total order.
+    The volatility-shape screen that separates drifting series from
+    oscillating ones where a variance would conflate them.
+
+    100 TB shape: one user-keyed window pass (both lags fuse) + a
+    user-grain aggregate; corpus-linear, no joins."""
+    v = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (v - F.lag(v).over(w)).alias("d1"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("d1").isNotNull())
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    acc = seq.select(
+        "user_id", "d1", (F.col("d1") - F.lag("d1").over(w2)).alias("d2")
+    )
+    return acc.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+        F.sum(F.when(F.col("d1") > 0, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(F.col("d1") < 0, 1).otherwise(0)).cast("long").alias("n_down"),
+        F.max(F.abs("d1")).cast("long").alias("max_jump"),
+        F.sum(F.abs("d1")).cast("long").alias("path_len"),
+        F.sum(F.when(F.col("d2") > 0, 1).otherwise(0)).cast("long").alias("n_accel"),
+    )

@@ -388,3 +388,72 @@ def test_stream_km_equals_batch(spark):
     batch = {tuple(r) for r in QUERIES["temporal_kaplan_meier"](spark, sf).collect()}
     stream = {tuple(r) for r in QUERIES["stream_kaplan_meier_maintain"](spark, sf).collect()}
     assert batch == stream and len(batch) > 0
+
+
+def test_brier_decomposition_identity_and_perfect_forecast(spark):
+    """BS == REL − RES + UNC up to the per-bin truncations (exact when no
+    truncation occurs), and a PERFECT forecaster has REL=0 with RES=UNC."""
+    import tempfile
+
+    # perfect forecaster: p == 1e6*y exactly, two bins (0 and 1e6)
+    rows = []
+    for i in range(40):
+        en = i % 4 == 0
+        # text with all-stopwords => p_ppm = 1e6; no stopwords => 0
+        text = "the of and in is to a the" if en else "xx yy zz ww"
+        rows.append((i, text, "en" if en else "de", "s", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    [r] = QUERIES["eval_brier_decomposition"](spark, d).collect()
+    assert r.reliability_e12 == 0
+    assert r.resolution_e12 == r.uncertainty_e12 > 0
+    [b] = QUERIES["eval_brier_score"](spark, d).collect()
+    assert b.brier_e12 == r.reliability_e12 - r.resolution_e12 + r.uncertainty_e12
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_velocity_profile_hand_case(spark):
+    """Series 1, 3, 2, 2, 5 (cents 100, 300, 200, 200, 500): d1 = +200,
+    -100, 0, +300; d2 = -300, +100, +300."""
+    import datetime as dt
+    import tempfile
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i), 9, "x", v)
+        for i, v in enumerate([1.0, 3.0, 2.0, 2.0, 5.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    [r] = QUERIES["temporal_velocity_profile"](spark, d).collect()
+    assert (r.n_moves, r.n_up, r.n_down, r.max_jump, r.path_len, r.n_accel) == (
+        4, 2, 1, 300, 600, 2,
+    )
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_harmonic_centrality_chain(spark):
+    """Directed chain 0->1->2->3: node 0 reaches 3 targets at d=1,2,3 ->
+    harmonic = 1e6 + 500000 + 333333."""
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+        bounded_shortest_counts,
+    )
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    dmin = bounded_shortest_counts(e, max_hops=6)
+    got = {
+        r.src: r.h
+        for r in dmin.groupBy("src")
+        .agg(F.sum(F.expr("1000000 DIV d")).alias("h"))
+        .collect()
+    }
+    assert got == {0: 1_833_333, 1: 1_500_000, 2: 1_000_000}

@@ -124,6 +124,10 @@ WAIVERS: dict[str, set[str]] = {
     # frame — the eval_bootstrap_ci replicate-dim pattern); the corpus
     # itself sees only one hash aggregate.
     "quality_k_anonymity": {"CARTESIAN"},
+    # the 1-row (n, pos) totals frame is cross-joined onto the |bins|-row
+    # forecast-value census (scalar broadcast, the eval_ks_two_sample
+    # pattern); the corpus sees one projection + one hash aggregate.
+    "eval_brier_decomposition": {"CARTESIAN"},
     # the probe IS a brute-force top-1 similarity run over the 200-row
     # gate slice (the similarity_topk |Q|-broadcast waiver); production
     # routes through the audited ANN rungs.
