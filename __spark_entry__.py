@@ -91,16 +91,16 @@ _PRIORITY = [
     "temporal_kaplan_meier", "stream_seasonal_null_maintain",
     "eval_cindex_full", "quality_k_anonymity", "stream_kaplan_meier_maintain",
     "graph_harmonic_centrality_bounded", "eval_brier_decomposition",
-    "temporal_velocity_profile",
+    "temporal_velocity_profile", "stream_velocity_maintain",
     # (b) the never-driver-verified backlog, stalest-first (VERDICT r9 #1):
     # the 31 rows displaced by the r9 frontier6 head block first, then the
     # frontier3 tail from dedup_exact_normalized onward.  All 71 are
     # hash-green in CORRECTNESS_LOCAL_r09 and re-swept in _r10.  The
-    # round-10 head block settled at 27 slots (4 changed contracts + 23
+    # round-10 head block settled at 28 slots (4 changed contracts + 24
     # new rows: pq_train_codebooks, graph_dag_lca_frontier, and the
-    # 21-row frontier7 batch), so 23 backlog rows fit the 50-slot prefix
-    # (through `dedup_remove_segments`); the remaining 48 —
-    # `sample_repeat_temperature` onward in the order below — are the
+    # 22-row frontier7 batch), so 22 backlog rows fit the 50-slot prefix
+    # (through `window_distribution`); the remaining 49 —
+    # `dedup_remove_segments` onward in the order below — are the
     # precomputed ROUND-11 prefix, stalest-first, unless contracts
     # change.  EVIDENCE FRESHNESS FLOOR (tightened 4 → 3 rounds this
     # round per VERDICT r9 #6): tests/test_catalog_survey_sync.py asserts

@@ -1846,3 +1846,209 @@ def temporal_velocity_profile_q(spark, sf_dir):
         F.sum(F.abs("d1")).cast("long").alias("path_len"),
         F.sum(F.when(F.col("d2") > 0, 1).otherwise(0)).cast("long").alias("n_accel"),
     )
+
+
+# --------------------------------------------------------------------------
+# stream_velocity_maintain — TWO-LEVEL boundary-stitched motion census
+# --------------------------------------------------------------------------
+@register(
+    "stream_velocity_maintain",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 100) AS BIGINT)
+               - lag(CAST(FLOOR(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    acc AS (
+      SELECT user_id, d1,
+             d1 - lag(d1) OVER (PARTITION BY user_id ORDER BY rn) AS d2
+      FROM seq WHERE d1 IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_moves,
+           CAST(SUM(CASE WHEN d1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+           CAST(SUM(CASE WHEN d1 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+           CAST(MAX(ABS(d1)) AS BIGINT) AS max_jump,
+           CAST(SUM(ABS(d1)) AS BIGINT) AS path_len,
+           CAST(SUM(CASE WHEN d2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accel
+    FROM acc GROUP BY user_id
+    """,
+)
+def stream_velocity_maintain_q(spark, sf_dir):
+    """`temporal_velocity_profile` as IVM with a TWO-LEVEL boundary
+    stitch — the escalation of the markov maintainer's doctrine: a batch
+    boundary severs BOTH difference orders, so per-batch windows alone
+    drop one d1 per active user AND the d2 that spans the boundary, plus
+    the d2 between the stored last d1 and the batch's first internal d1.
+    The maintainer therefore keeps per-user (last value, last d1) state
+    and stitches: boundary d1 = batch-first-value − stored-last-value
+    (counted, and PAIRED with stored-last-d1 for its d2), then the
+    batch's first internal d1 pairs with the boundary d1.  The census
+    columns themselves are SUM/MAX lattices, so once d1/d2 events are
+    correctly enumerated the fold is bundling-independent.  Same
+    ordering contract as `stream_markov_maintain` (batches per-user
+    event-time ordered); shares the batch row's oracle: hash-exact.
+
+    100 TB shape: per trigger one user-keyed window over the BATCH, one
+    keyed join against user-cardinality state, one census merge — the
+    corpus is never rescanned."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_events_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_vel_")
+    census_path = root + "/census"
+    last_path = root + "/last"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        v = F.floor(F.col("value") * 100).cast("long")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = batch_df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            v.alias("v"),
+            (v - F.lag(v).over(w)).alias("d1"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_batch"),
+        )
+        internal = seq.filter(F.col("d1").isNotNull()).select(
+            "user_id",
+            "d1",
+            (F.col("d1") - F.lag("d1").over(Window.partitionBy("user_id").orderBy("rn"))).alias(
+                "d2"
+            ),
+            F.col("rn"),
+        )
+        firsts = seq.filter(F.col("rn") == 1).select(
+            "user_id", F.col("v").alias("first_v")
+        )
+        first_internal = internal.filter(F.col("rn") == 2).select(
+            "user_id", F.col("d1").alias("first_d1")
+        )
+        try:
+            last = sp.read.parquet(last_path)
+            has_state = True
+        except Exception:
+            last = None
+            has_state = False
+        if has_state:
+            # boundary d1 per user with stored state: stitches the severed
+            # first difference AND supplies both severed second differences
+            boundary = (
+                last.join(firsts, "user_id")
+                .select(
+                    "user_id",
+                    (F.col("first_v") - F.col("last_v")).alias("d1"),
+                    (F.col("first_v") - F.col("last_v") - F.col("last_d1")).alias("d2"),
+                    F.lit(1).alias("rn"),
+                )
+            )
+            # the batch's first internal d1 pairs with the boundary d1
+            fixed_first = (
+                boundary.select("user_id", F.col("d1").alias("b_d1"))
+                .join(first_internal, "user_id")
+                .select(
+                    "user_id",
+                    F.col("first_d1").alias("d1"),
+                    (F.col("first_d1") - F.col("b_d1")).alias("d2"),
+                    F.lit(2).alias("rn"),
+                )
+            )
+            moves = (
+                internal.join(
+                    fixed_first.select("user_id", F.col("rn").alias("_fr")),
+                    on="user_id",
+                    how="left",
+                )
+                .filter(F.col("_fr").isNull() | (F.col("rn") != 2))
+                .select("user_id", "d1", "d2", "rn")
+                .unionByName(boundary)
+                .unionByName(fixed_first)
+            )
+        else:
+            moves = internal
+        part = moves.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_moves"),
+            F.sum(F.when(F.col("d1") > 0, 1).otherwise(0)).cast("long").alias("n_up"),
+            F.sum(F.when(F.col("d1") < 0, 1).otherwise(0)).cast("long").alias("n_down"),
+            F.max(F.abs("d1")).cast("long").alias("max_jump"),
+            F.sum(F.abs("d1")).cast("long").alias("path_len"),
+            F.sum(F.when(F.col("d2") > 0, 1).otherwise(0)).cast("long").alias("n_accel"),
+        )
+        try:
+            census = sp.read.parquet(census_path)
+            merged_census = (
+                census.unionByName(part)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_moves").cast("long").alias("n_moves"),
+                    F.sum("n_up").cast("long").alias("n_up"),
+                    F.sum("n_down").cast("long").alias("n_down"),
+                    F.max("max_jump").cast("long").alias("max_jump"),
+                    F.sum("path_len").cast("long").alias("path_len"),
+                    F.sum("n_accel").cast("long").alias("n_accel"),
+                )
+            )
+        except Exception:
+            merged_census = part
+        # new last-state: the batch's last event value + trailing d1 (which
+        # is the boundary-stitched d1 when the batch had a single event)
+        w_last = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        batch_last = (
+            seq.withColumn("_rl", F.row_number().over(w_last))
+            .filter(F.col("_rl") == 1)
+            .select("user_id", "ts", "event_id", "v", "d1", "n_batch")
+        )
+        if has_state:
+            # trailing d1: the batch's own last d1 when it has ≥2 events,
+            # else the boundary d1 (single-event batch)
+            bd = boundary.select("user_id", F.col("d1").alias("_bd1"))
+            new_last = (
+                batch_last.join(bd, "user_id", "left")
+                .select(
+                    "user_id",
+                    F.col("ts").alias("last_ts"),
+                    F.col("event_id").alias("last_eid"),
+                    F.col("v").alias("last_v"),
+                    F.coalesce(
+                        F.when(F.col("n_batch") >= 2, F.col("d1")),
+                        F.col("_bd1"),
+                    ).alias("last_d1"),
+                )
+            )
+            carried = last.join(batch_last.select("user_id"), "user_id", "left_anti")
+            merged_last = carried.unionByName(new_last)
+        else:
+            merged_last = batch_last.select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_eid"),
+                F.col("v").alias("last_v"),
+                F.col("d1").alias("last_d1"),
+            )
+        for frame, path in ((merged_census, census_path), (merged_last, last_path)):
+            staging = path + "_staging"
+            frame.write.mode("overwrite").parquet(staging)
+            sp.read.parquet(staging).write.mode("overwrite").parquet(path)
+            shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+    out = spark.read.parquet(census_path).select(
+        "user_id", "n_moves", "n_up", "n_down", "max_jump", "path_len", "n_accel"
+    )
+    return finish_and_clean(out, root)

@@ -253,3 +253,57 @@ def test_round10_ivm_twins_bundling_independence(spark, tmp_path, monkeypatch):
         batch = {tuple(r) for r in QUERIES[batch_q](spark, sf).collect()}
         stream = {tuple(r) for r in QUERIES[stream_q](spark, sf_dir).collect()}
         assert stream == batch and len(batch) > 0, stream_q
+
+
+def test_velocity_two_level_stitch_across_batches(spark, tmp_path, monkeypatch):
+    """The velocity maintainer's TWO-LEVEL stitch: 5 time-slice files at
+    one file per trigger (every user active in every slice, rows shuffled
+    within files) must equal the batch profile computed over the combined
+    data — per-batch windows alone would drop one d1 per user per
+    boundary AND the two d2s each boundary severs."""
+    import cell_kn_mvp_etl_ontologies_spark.streaming as streaming_mod
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    ev_dir, rows = _plant_event_slices(tmp_path, n_files=5, users=4, per_slice=6)
+    # vary values so d1/d2 are non-trivial
+    # (re-plant with value = f(eid): deterministic, mixed signs)
+    import pandas as pd
+
+    for f in list(os.listdir(ev_dir)):
+        path = os.path.join(ev_dir, f)
+        pdf = pd.read_parquet(path)
+        pdf["value"] = [((eid * 37) % 19 - 9) / 1.0 for eid in pdf["event_id"]]
+        idx = int(f.split("-")[1].split(".")[0])
+        # the stream readers probe {dir}/events.parquet for the schema and
+        # glob leaf files as events*: rename the slices accordingly
+        new_name = "events.parquet" if idx == 0 else f"events_{idx}.parquet"
+        new_path = os.path.join(ev_dir, new_name)
+        pdf.to_parquet(new_path)
+        os.remove(path)
+        t0 = 1_000_000_000 + idx * 100
+        os.utime(new_path, (t0, t0))
+
+    orig_ev = streaming_mod.read_events_stream
+    monkeypatch.setattr(
+        streaming_mod,
+        "read_events_stream",
+        lambda sp, sd: orig_ev(sp, sd, max_files_per_trigger=1),
+    )
+    stream = {
+        tuple(r)
+        for r in QUERIES["stream_velocity_maintain"](spark, ev_dir + "/").collect()
+    }
+    # batch twin over the same combined rows: read all files as one table
+    combined_dir = tmp_path / "combined"
+    combined_dir.mkdir()
+    pdf = pd.concat(
+        [pd.read_parquet(os.path.join(ev_dir, f)) for f in os.listdir(ev_dir)]
+    )
+    pdf.to_parquet(combined_dir / "events.parquet")
+    batch = {
+        tuple(r)
+        for r in QUERIES["temporal_velocity_profile"](
+            spark, str(combined_dir)
+        ).collect()
+    }
+    assert stream == batch and len(batch) == 4
