@@ -69,8 +69,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
-    # ================= ROUND 10 PREFIX (executing the precomputed r10 plan;
-    # VERDICT r9 #1) =================
+    # ================= ROUND 11 PREFIX (executing the precomputed r11 plan;
+    # VERDICT r10 #1: the never-driver backlog is EXACTLY 49 rows and the
+    # gate is 50 slots, so this round CLOSES the set) =================
+    # (a) the single NEW contract this round (held to <=1 per VERDICT r10
+    # #1): the hot-chunk-capped CDC census (VERDICT r10 #5 — the
+    # boilerplate-chunk quadratic guard, mirroring dedup_minhash_lsh_capped).
+    "cdc_chunks_capped",
+    # (b) ALL 49 never-driver-verified rows (catalog minus the union of
+    # CORRECTNESS_r1-r10 hash-green keys; recomputed this round and equal
+    # to the r10-precomputed list), stalest-first.  All are hash-green in
+    # the r7/r9/r10 local sweeps.  NOTE on the round-11 ADVICE fixes: the
+    # four r10 ADVICE findings (integer bucket arithmetic in
+    # dag_ancestors_bucketed, AnalysisException-only state reads in the
+    # IVM maintainers, the arango reserved-key guard, DECIMAL(38,0)
+    # per-bin Brier quotients) are RESULT-NEUTRAL hardening — every
+    # touched gated row was re-verified hash-exact against its oracle in
+    # this round's local sweep (ADVICE_RESPONSES_r11.md), so per the
+    # changed-CONTRACT rule none of them displaces a backlog slot: the
+    # observable gate contract (query results at any representable scale
+    # both engines share) is unchanged; only failure paths and
+    # overflow-range behavior moved.
+    "dedup_remove_segments", "sample_repeat_temperature",
+    "similarity_maxsim_trained_recall", "fn_json_extract_agg",
+    "semistructured_keys_profile", "stream_ohlc", "stream_maxsim_maintain",
+    "profile_topk_values", "temporal_rolling_anomaly",
+    "dedup_exact_normalized", "text_code_detector", "text_readability_stats",
+    "sample_recency_decay", "quality_freshness_profile",
+    "temporal_new_entity_curve", "graph_random_walks", "agg_session_paths",
+    "graph_walk_skipgram_pairs", "sample_class_weights",
+    "embedding_distance_histogram", "temporal_autocorr_lag1",
+    "agg_attribution_models", "temporal_activity_heatmap",
+    "sample_split_chronological", "quality_split_balance",
+    "graph_biased_walks", "embedding_farthest_point_init",
+    "temporal_local_peaks", "cluster_kmeans_inertia_ab",
+    "agg_attribution_lookback_sweep", "embedding_label_separation",
+    "join_point_in_time_features", "quality_split_leakage",
+    "fn_target_encode_oof", "temporal_growth_accounting",
+    "eval_feature_chi2_cells", "text_char_diversity",
+    "pairs_contrastive_dataset", "dedup_cluster_size_profile",
+    "text_mojibake_detector", "dedup_blocker_union_audit",
+    "embedding_dim_minmax_params", "temporal_dwell_time",
+    "join_interval_overlap_duration", "sample_rolling_origin_folds",
+    "graph_degree_gini", "text_sentence_repetition",
+    "quality_event_order_audit", "graph_modularity_audit",
+    # ================= end ROUND 11 PREFIX (50 slots; never-driver set
+    # is now EMPTY — every catalog row has at least one driver-round
+    # proof, and the 3-round freshness floor covers staleness from here
+    # on) =================
+    # ================= ROUND 10 PREFIX (executed; kept for the record —
+    # duplicates below the r11 block are deduped by _ordered) =============
     # (a) contracts NEW/CHANGED since the r9 gate — jump to the head per the
     # standing rule.  The post-r9-artifact guard commit (8555e21, ADVICE r9)
     # changed four gated contracts: the two kendall-tau rows (n<2 → explicit

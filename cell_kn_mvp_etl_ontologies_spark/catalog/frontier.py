@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, read_state_parquet
 from . import register
 
 
@@ -699,10 +699,10 @@ def stream_ohlc_q(spark, sf_dir):
             batch_df, "user_id", "ts", "value",
             bucket_seconds=86400, scale=1_000_000, tiebreak_col="event_id",
         )
-        try:
-            state = sp.read.parquet(state_path)
+        state = read_state_parquet(sp, state_path)
+        if state is not None:
             merged = ohlc_merge(state.unionByName(part))
-        except Exception:  # first batch: the partial IS the state
+        else:  # first batch: the partial IS the state
             merged = ohlc_merge(part)
         staging = root + "/staging"
         merged.write.mode("overwrite").parquet(staging)
@@ -759,10 +759,10 @@ def stream_maxsim_maintain_q(spark, sf_dir):
             F.col("embedding").alias("vec"),
         )
         part = maxsim_doc_summaries(toks, "t_id", scale=1000)
-        try:
-            state = sp.read.parquet(state_path)
+        state = read_state_parquet(sp, state_path)
+        if state is not None:
             merged = merge_doc_summaries(state.unionByName(part), "t_id")
-        except Exception:  # first batch
+        else:  # first batch
             merged = part
         staging = root + "/staging"
         merged.write.mode("overwrite").parquet(staging)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, read_state_parquet
 from . import register
 
 
@@ -539,14 +539,14 @@ def stream_drift_monitor_q(spark, sf_dir):
             F.sum((F.col("o_orderdate") < pivot).cast("long")).alias("c1"),
             F.sum((F.col("o_orderdate") >= pivot).cast("long")).alias("c2"),
         )
-        try:
-            state = sp.read.parquet(state_path)
+        state = read_state_parquet(sp, state_path)
+        if state is not None:
             merged = (
                 state.unionByName(part)
                 .groupBy("bucket")
                 .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
             )
-        except Exception:  # first batch: the partial IS the state
+        else:  # first batch: the partial IS the state
             merged = part
         staging = root + "/staging"
         merged.write.mode("overwrite").parquet(staging)
@@ -770,10 +770,10 @@ def stream_skyline_maintain_q(spark, sf_dir):
             F.col("p_size").cast("long").alias("size"),
         )
         part_sky = _pareto_sweep(base)
-        try:
-            state = sp.read.parquet(state_path)
+        state = read_state_parquet(sp, state_path)
+        if state is not None:
             merged = _pareto_sweep(state.unionByName(part_sky))
-        except Exception:  # first batch: the local sweep IS the state
+        else:  # first batch: the local sweep IS the state
             merged = part_sky
         staging = root + "/staging"
         merged.write.mode("overwrite").parquet(staging)

@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, read_state_parquet
 from . import register
 
 
@@ -671,12 +671,12 @@ def stream_benford_maintain_q(spark, sf_dir):
             .groupBy("d")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
         )
-        try:
-            state = sp.read.parquet(state_path)
+        state = read_state_parquet(sp, state_path)
+        if state is not None:
             merged = (
                 state.unionByName(part).groupBy("d").agg(F.sum("n").alias("n"))
             )
-        except Exception:  # first batch: the partial IS the state
+        else:  # first batch: the partial IS the state
             merged = part
         staging = root + "/staging"
         merged.write.mode("overwrite").parquet(staging)
@@ -973,8 +973,8 @@ def stream_star_rollup_maintain_q(spark, sf_dir):
                 F.sum("rev_c").cast("long").alias("revenue_cents"),
             )
         )
-        try:
-            state = sp.read.parquet(state_path)
+        state = read_state_parquet(sp, state_path)
+        if state is not None:
             merged = (
                 state.unionByName(part)
                 .groupBy("region", "nation")
@@ -983,7 +983,7 @@ def stream_star_rollup_maintain_q(spark, sf_dir):
                     F.sum("revenue_cents").alias("revenue_cents"),
                 )
             )
-        except Exception:  # first batch: the partial IS the state
+        else:  # first batch: the partial IS the state
             merged = part
         staging = root + "/staging"
         merged.write.mode("overwrite").parquet(staging)
@@ -1715,8 +1715,8 @@ def markov_maintain_run(spark, stream):
         firsts = seq.filter(F.col("rn") == 1).select(
             "user_id", F.col("to_type").alias("first_type")
         )
-        try:
-            last = sp.read.parquet(last_path)
+        last = read_state_parquet(sp, last_path)
+        if last is not None:
             boundary = last.join(firsts, "user_id").select(
                 F.col("event_type").alias("from_type"),
                 F.col("first_type").alias("to_type"),
@@ -1725,20 +1725,20 @@ def markov_maintain_run(spark, stream):
             merged_last_src = last.unionByName(
                 b.select("user_id", "ts", "event_id", "event_type")
             )
-        except Exception:  # first batch: no stored last events yet
+        else:  # first batch: no stored last events yet
             trans = internal
             merged_last_src = b.select("user_id", "ts", "event_id", "event_type")
         part = trans.groupBy("from_type", "to_type").agg(
             F.count(F.lit(1)).cast("long").alias("n")
         )
-        try:
-            counts = sp.read.parquet(counts_path)
+        counts = read_state_parquet(sp, counts_path)
+        if counts is not None:
             merged_counts = (
                 counts.unionByName(part)
                 .groupBy("from_type", "to_type")
                 .agg(F.sum("n").alias("n"))
             )
-        except Exception:
+        else:  # first batch
             merged_counts = part
         w_last = Window.partitionBy("user_id").orderBy(
             F.desc("ts"), F.desc("event_id")
@@ -1821,14 +1821,14 @@ def stream_tfidf_maintain_q(spark, sf_dir):
             .groupBy("doc_id", "w")
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         )
-        try:
-            state = sp.read.parquet(state_path)
+        state = read_state_parquet(sp, state_path)
+        if state is not None:
             merged = (
                 state.unionByName(part)
                 .groupBy("doc_id", "w")
                 .agg(F.sum("tf").alias("tf"))
             )
-        except Exception:  # first batch: the partial IS the state
+        else:  # first batch: the partial IS the state
             merged = part
         staging = root + "/staging"
         merged.write.mode("overwrite").parquet(staging)
@@ -2398,8 +2398,8 @@ def stream_interarrival_maintain_q(spark, sf_dir):
             F.col("event_type").alias("first_type"),
             F.col("s").alias("first_s"),
         )
-        try:
-            last = sp.read.parquet(last_path)
+        last = read_state_parquet(sp, last_path)
+        if last is not None:
             boundary = last.join(firsts, "user_id").select(
                 F.col("first_type").alias("event_type"),
                 (F.col("first_s") - F.col("s")).alias("gap_s"),
@@ -2408,7 +2408,7 @@ def stream_interarrival_maintain_q(spark, sf_dir):
             merged_last_src = last.unionByName(
                 b.select("user_id", "ts", "event_id", "event_type", "s")
             )
-        except Exception:  # first batch: no stored last events yet
+        else:  # first batch: no stored last events yet
             merged_last_src = b.select("user_id", "ts", "event_id", "event_type", "s")
         part = gaps.groupBy(
             "event_type",
@@ -2419,8 +2419,8 @@ def stream_interarrival_maintain_q(spark, sf_dir):
             F.max("gap_s").cast("long").alias("max_gap_s"),
             F.sum("gap_s").cast("long").alias("sum_gap_s"),
         )
-        try:
-            hist = sp.read.parquet(hist_path)
+        hist = read_state_parquet(sp, hist_path)
+        if hist is not None:
             merged_hist = (
                 hist.unionByName(part)
                 .groupBy("event_type", "digits")
@@ -2431,7 +2431,7 @@ def stream_interarrival_maintain_q(spark, sf_dir):
                     F.sum("sum_gap_s").alias("sum_gap_s"),
                 )
             )
-        except Exception:
+        else:  # first batch
             merged_hist = part
         w_last = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
         merged_last = (

@@ -55,7 +55,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, read_state_parquet
 from . import register
 
 
@@ -770,11 +770,13 @@ def stream_reciprocity_maintain_q(spark, sf_dir):
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
-        try:
-            state = sp.read.parquet(edges_path)
+        # read_state_parquet: None ONLY on a genuinely absent first-batch
+        # path; transient read errors propagate (ADVICE r10).
+        state = read_state_parquet(sp, edges_path)
+        if state is not None:
             fresh = new.join(state, on=["src", "dst"], how="left_anti")
             merged = state.unionByName(fresh)
-        except Exception:  # first batch
+        else:  # first batch
             merged = new
         staging = edges_path + "_staging"
         merged.write.mode("overwrite").parquet(staging)
@@ -1019,14 +1021,14 @@ def stream_hapax_maintain_q(spark, sf_dir):
             ).alias("w"),
         ).filter(F.col("w") != "")
         part = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("f"))
-        try:
-            state = sp.read.parquet(census_path)
+        state = read_state_parquet(sp, census_path)
+        if state is not None:
             merged = (
                 state.unionByName(part)
                 .groupBy("lang", "w")
                 .agg(F.sum("f").cast("long").alias("f"))
             )
-        except Exception:  # first batch
+        else:  # first batch
             merged = part
         staging = census_path + "_staging"
         merged.write.mode("overwrite").parquet(staging)
@@ -1255,8 +1257,8 @@ def stream_seasonal_null_maintain_q(spark, sf_dir):
                 F.sum("is_null").cast("long").alias("n_null"),
             )
         )
-        try:
-            state = sp.read.parquet(census_path)
+        state = read_state_parquet(sp, census_path)
+        if state is not None:
             merged = (
                 state.unionByName(part)
                 .groupBy("h")
@@ -1265,7 +1267,7 @@ def stream_seasonal_null_maintain_q(spark, sf_dir):
                     F.sum("n_null").cast("long").alias("n_null"),
                 )
             )
-        except Exception:  # first batch
+        else:  # first batch
             merged = part
         staging = census_path + "_staging"
         merged.write.mode("overwrite").parquet(staging)
@@ -1572,8 +1574,8 @@ def stream_kaplan_meier_maintain_q(spark, sf_dir):
             .cast("long")
             .alias("e"),
         )
-        try:
-            state = sp.read.parquet(state_path)
+        state = read_state_parquet(sp, state_path)
+        if state is not None:
             merged = (
                 state.unionByName(part)
                 .groupBy("cust")
@@ -1582,7 +1584,7 @@ def stream_kaplan_meier_maintain_q(spark, sf_dir):
                     F.max("e").cast("long").alias("e"),
                 )
             )
-        except Exception:  # first batch
+        else:  # first batch
             merged = part
         staging = state_path + "_staging"
         merged.write.mode("overwrite").parquet(staging)
@@ -1758,20 +1760,40 @@ def eval_brier_decomposition_q(spark, sf_dir):
     tot = bins.agg(
         F.sum("nk").cast("long").alias("n"), F.sum("dk").cast("long").alias("pos")
     )
-    terms = bins.crossJoin(F.broadcast(tot)).agg(
+    # Per-bin floor quotients stay in DECIMAL(38,0) (ADVICE r10): Spark's
+    # IntegralDivide returns BIGINT, which silently WRAPS once the per-bin
+    # quotient passes 9.2e18 (nk beyond ~9e6 rows per forecast bin at the
+    # corpus scale the docstring claims), unlike the oracle's true HUGEINT.
+    # floor(a/b) for a,b >= 0 is computed exactly as (a - pmod(a,b)) / b —
+    # the adjusted numerator is divisible by b, so the decimal division is
+    # exact (verified against Python bigint ground truth on 30-digit
+    # numerators).
+    per_bin = bins.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        "n",
+        "pos",
+        F.expr(
+            "(CAST(nk AS DECIMAL(38,0)) * p_ppm - CAST(1000000 AS DECIMAL(38,0)) * dk)"
+            " * (CAST(nk AS DECIMAL(38,0)) * p_ppm - CAST(1000000 AS DECIMAL(38,0)) * dk)"
+        ).alias("rel_num"),
+        F.expr(
+            "CAST(1000000000000 AS DECIMAL(38,0))"
+            " * (CAST(n AS DECIMAL(38,0)) * dk - CAST(nk AS DECIMAL(38,0)) * pos)"
+            " * (CAST(n AS DECIMAL(38,0)) * dk - CAST(nk AS DECIMAL(38,0)) * pos)"
+        ).alias("res_num"),
+        F.expr("CAST(nk AS DECIMAL(38,0)) * n * n").alias("res_den"),
+    )
+    terms = per_bin.agg(
         F.sum(
             F.expr(
-                "(CAST(nk AS DECIMAL(38,0)) * p_ppm - CAST(1000000 AS DECIMAL(38,0)) * dk)"
-                " * (CAST(nk AS DECIMAL(38,0)) * p_ppm - CAST(1000000 AS DECIMAL(38,0)) * dk)"
-                " DIV nk"
+                "CAST((rel_num - pmod(rel_num, CAST(nk AS DECIMAL(38,0)))) / nk"
+                " AS DECIMAL(38,0))"
             )
         ).alias("rel_sum"),
         F.sum(
             F.expr(
-                "CAST(1000000000000 AS DECIMAL(38,0))"
-                " * (CAST(n AS DECIMAL(38,0)) * dk - CAST(nk AS DECIMAL(38,0)) * pos)"
-                " * (CAST(n AS DECIMAL(38,0)) * dk - CAST(nk AS DECIMAL(38,0)) * pos)"
-                " DIV (CAST(nk AS DECIMAL(38,0)) * n * n)"
+                "CAST((res_num - pmod(res_num, res_den)) / res_den"
+                " AS DECIMAL(38,0))"
             )
         ).alias("res_sum"),
         F.max("n").alias("n"),
@@ -1932,12 +1954,8 @@ def stream_velocity_maintain_q(spark, sf_dir):
         first_internal = internal.filter(F.col("rn") == 2).select(
             "user_id", F.col("d1").alias("first_d1")
         )
-        try:
-            last = sp.read.parquet(last_path)
-            has_state = True
-        except Exception:
-            last = None
-            has_state = False
+        last = read_state_parquet(sp, last_path)
+        has_state = last is not None
         if has_state:
             # boundary d1 per user with stored state: stitches the severed
             # first difference AND supplies both severed second differences
@@ -1982,8 +2000,8 @@ def stream_velocity_maintain_q(spark, sf_dir):
             F.sum(F.abs("d1")).cast("long").alias("path_len"),
             F.sum(F.when(F.col("d2") > 0, 1).otherwise(0)).cast("long").alias("n_accel"),
         )
-        try:
-            census = sp.read.parquet(census_path)
+        census = read_state_parquet(sp, census_path)
+        if census is not None:
             merged_census = (
                 census.unionByName(part)
                 .groupBy("user_id")
@@ -1996,7 +2014,7 @@ def stream_velocity_maintain_q(spark, sf_dir):
                     F.sum("n_accel").cast("long").alias("n_accel"),
                 )
             )
-        except Exception:
+        else:  # first batch
             merged_census = part
         # new last-state: the batch's last event value + trailing d1 (which
         # is the boundary-stitched d1 when the batch had a single event)

@@ -83,6 +83,36 @@ def parallelize(df: DataFrame, n: int | None = None) -> DataFrame:
     return df.repartition(n or sc.defaultParallelism * 2)
 
 
+def read_state_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read an IVM maintainer's parquet state, returning ``None`` iff the
+    state genuinely does not exist yet (first batch).
+
+    ADVICE r10 (catalog/frontier7.py:777 et al.): the IVM maintainers used a
+    bare ``except Exception`` around the state read, so a TRANSIENT read
+    failure (permissions flap, object-store hiccup, corrupt footer) was
+    indistinguishable from "first batch" and silently reset accumulated
+    state to empty — converging to a wrong, batch-inequal result instead of
+    failing loudly.  This helper catches ONLY ``AnalysisException`` (Spark's
+    path-not-found / cannot-infer-schema-from-empty-location signal, checked
+    at plan time); executor-side IO errors surface at action time as
+    ``Py4JJavaError``/``SparkException`` and now propagate.  Defense in
+    depth: when the path-not-found claim is checkable cheaply (local
+    filesystem), an existing-but-unreadable path re-raises rather than
+    resetting.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        import os
+
+        if "://" not in path and os.path.exists(path):
+            # The path exists but planning failed: NOT a first batch.
+            raise
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     configure(spark)

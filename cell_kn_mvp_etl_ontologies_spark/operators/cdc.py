@@ -142,6 +142,39 @@ def cdc_cset_sql(src: str, out: str, prefix: str) -> str:
     )"""
 
 
+def cdc_census_cap(
+    cset: DataFrame, id_col: str = "doc_id", max_freq: int = 8
+) -> DataFrame:
+    """Drop HOT chunks — chunk hashes carried by more than ``max_freq``
+    distinct payloads — from a (id, ch) chunk census before pair
+    expansion.
+
+    The quadratic-death guard the CDC census was missing (VERDICT r10
+    #5): the near-dup pair join is an equi-join on chunk hash, so ONE
+    boilerplate chunk (a shared footer, an empty-padding block, a
+    template header) carried by M payloads emits M²/2 candidate pairs —
+    exactly the failure mode `dedup_minhash_lsh_capped` guards with
+    ``max_bucket`` on band buckets.  A chunk shared by *more* than
+    ``max_freq`` payloads cannot witness a targeted near-duplication
+    anyway (it is template mass, not copied content), so capping changes
+    candidate VOLUME, not recall on genuine near-dup pairs — measured in
+    SCALE.md §cdc-cap.
+
+    Contract: the capped census is the corpus view — hot chunks leave
+    BOTH pair generation and the per-doc chunk counts, keeping Jaccard
+    internally consistent over the capped chunk universe.
+
+    100 TB shape: one (ch)-grain hash agg over the census + a semi-join
+    shaped filter; runs BEFORE the self-join, so the cap also bounds the
+    join's per-key fanout at ``max_freq``.
+    """
+    freq = cset.groupBy("ch").agg(F.count(F.lit(1)).alias("__freq"))
+    return (
+        cset.join(freq.filter(F.col("__freq") <= max_freq), on="ch")
+        .select(id_col, "ch")
+    )
+
+
 def cdc_dedup_vs_corpus(
     batch: DataFrame,
     corpus_cset: DataFrame,

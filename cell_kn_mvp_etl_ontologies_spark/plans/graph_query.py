@@ -996,7 +996,16 @@ def dag_ancestors_bucketed(
     keyed shuffle join + one (node, bucket) aggregation per round,
     rounds = hierarchy depth, NO (src, dst) closure pairs materialized.
     ``bucket_bits`` stays below 63 so shiftleft never touches the
-    BIGINT sign bit.  Convergence is probed every ``check_every`` hops
+    BIGINT sign bit.  Bucket/bit decomposition is PURE INTEGER
+    floor-division arithmetic (ADVICE r10): ``bit = pmod(id, b)`` in
+    [0, b-1] and ``bucket = (id - pmod(id, b)) DIV b`` (exact — the
+    numerator is divisible by b), so ids >= 2^53 never pass through a
+    double and negative ids decompose consistently
+    (id == bucket*b + bit) instead of feeding shiftleft a negative
+    count.  Sole remaining edge: ids below LONG_MIN + bucket_bits would
+    underflow the subtraction; real id universes (hashes, sequence
+    ids) never live within 62 of LONG_MIN.  Convergence is probed
+    every ``check_every`` hops
     (the `dag_depth_frontier` batching), capped with a LOUD error: a
     partial ancestor set would under-report LCAs silently.
 
@@ -1011,12 +1020,15 @@ def dag_ancestors_bucketed(
         F.col(child).alias("c"), F.col(parent).alias("p")
     ).localCheckpoint(eager=True)
     bit = lambda col: F.expr(  # noqa: E731
-        f"shiftleft(CAST(1 AS BIGINT), CAST({col} % {bucket_bits} AS INT))"
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({col}, {bucket_bits}) AS INT))"
+    )
+    bucket = lambda col: F.expr(  # noqa: E731
+        f"({col} - pmod({col}, {bucket_bits})) DIV {bucket_bits}"
     )
     state = (
         e.select(
             F.col("c").alias("node"),
-            (F.col("p") / bucket_bits).cast("long").alias("bucket"),
+            bucket("p").alias("bucket"),
             bit("p").alias("bm"),
         )
         .groupBy("node", "bucket")
@@ -1076,9 +1088,11 @@ def lca_wu_palmer_bucketed(
     anc = dag_ancestors_bucketed(edges, child, parent, bucket_bits=bucket_bits)
     self_bits = depths.select(
         "node",
-        (F.col("node") / bucket_bits).cast("long").alias("bucket"),
         F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(node % {bucket_bits} AS INT))"
+            f"(node - pmod(node, {bucket_bits})) DIV {bucket_bits}"
+        ).alias("bucket"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(node, {bucket_bits}) AS INT))"
         ).alias("bm"),
     )
     anc_or_self = (

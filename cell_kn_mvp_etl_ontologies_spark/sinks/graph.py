@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..io import read_state_parquet
 from ..operators.joins import join_upsert
 
 
@@ -60,10 +61,10 @@ def upsert_parquet(
     existing with incoming-wins semantics, rewritten atomically via a staging
     path.  (With a transactional table format this is a single MERGE INTO;
     plain parquet needs the rewrite.)"""
-    try:
-        existing = spark.read.parquet(path)
+    existing = read_state_parquet(spark, path)
+    if existing is not None:
         merged = join_upsert(incoming, existing.select(*incoming.columns), keys)
-    except Exception:  # first write: nothing to merge
+    else:  # first write: nothing to merge
         merged = incoming
     # two-phase: a source path cannot be overwritten while being read, so
     # materialize the merge to a staging dir, then rewrite the target from it

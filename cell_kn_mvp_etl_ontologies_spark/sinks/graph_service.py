@@ -147,6 +147,20 @@ def arango_flatten_transport(
             doc = dict(doc)
             attrs = doc.pop(attrs_col, None) or {}
             for k, vs in attrs.items():
+                # Reserved-key guard (ADVICE r10): an attribute named
+                # `_key`/`_from`/`_to` (any `_`-prefixed system field),
+                # `collection` (the routing field the inner transport
+                # assigns downstream), or shadowing an existing document
+                # field would silently overwrite the routing fields and
+                # corrupt the upsert target.  Data-shaped corruption
+                # fails LOUDLY, naming the key — same doctrine as the
+                # corrupt-literal gates.
+                if k.startswith("_") or k == "collection" or k in doc:
+                    raise ValueError(
+                        "arango_flatten_transport: attrs key "
+                        f"{k!r} would overwrite a reserved/routing "
+                        "document field — refusing to flatten"
+                    )
                 doc[k] = (
                     vs[0]
                     if scalar_single and isinstance(vs, list) and len(vs) == 1

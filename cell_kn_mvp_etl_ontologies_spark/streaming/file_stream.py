@@ -14,6 +14,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import read_state_parquet
+
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
@@ -201,9 +203,8 @@ def run_stream_apply_changes(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            state = spark.read.parquet(path)
-        except Exception:  # first batch: empty state with the changelog schema
+        state = read_state_parquet(spark, path)
+        if state is None:  # first batch: empty state with the changelog schema
             state = batch_df.limit(0)
         merged = apply_changes(state, batch_df, keys, op_col, seq_col)
         staging = path.rstrip("/") + "__staging"

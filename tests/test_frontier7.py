@@ -457,3 +457,27 @@ def test_harmonic_centrality_chain(spark):
         .collect()
     }
     assert got == {0: 1_833_333, 1: 1_500_000, 2: 1_000_000}
+
+
+def test_brier_per_bin_quotient_exact_past_bigint(spark):
+    """ADVICE r10: the per-bin Murphy-decomposition quotients must stay in
+    DECIMAL(38,0).  Spark's IntegralDivide (`DIV`) returns BIGINT and
+    silently WRAPS once the quotient passes 9.2e18 (nk beyond ~9e6 rows
+    per forecast bin at corpus scale); the pmod-exact-floor form matches
+    Python bigint ground truth there."""
+    nk = 30_000_000  # a 30M-row forecast bin: rel quotient ~ nk * 1e12
+    p_ppm, dk = 750_000, 3_000_000
+    rel_num = (nk * p_ppm - 1_000_000 * dk) ** 2
+    want = rel_num // nk
+    assert want > 2**63 - 1  # the quotient really is past BIGINT
+    got = spark.sql(
+        f"""
+        SELECT CAST((rel_num - pmod(rel_num, CAST(nk AS DECIMAL(38,0))))
+                    / nk AS DECIMAL(38,0)) AS q,
+               rel_num DIV nk AS wrapped
+        FROM (SELECT CAST('{rel_num}' AS DECIMAL(38,0)) AS rel_num,
+                     CAST({nk} AS BIGINT) AS nk)
+        """
+    ).collect()[0]
+    assert int(got.q) == want
+    assert int(got.wrapped) != want  # the old DIV form really wraps here

@@ -209,3 +209,36 @@ def test_arango_flatten_transport_scalar_vs_list(spark, tmp_path):
         "label": "monocyte",
     }
     assert docs["0000001"] == {"collection": "CL", "_key": "0000001"}
+
+
+def test_arango_flatten_transport_rejects_reserved_keys(spark, tmp_path):
+    """ADVICE r10: an attrs key named `_key`/`_from`/`_to` (or shadowing an
+    existing document field) must fail LOUDLY instead of silently
+    overwriting the routing fields of the document."""
+    import pytest
+
+    from cell_kn_mvp_etl_ontologies_spark.sinks.graph_service import (
+        arango_flatten_transport,
+        upsert_via_transport,
+    )
+
+    def _noop(collection, batch):
+        pass
+
+    reserved = spark.createDataFrame(
+        [("0000235", {"_key": ["evil"], "label": ["macrophage"]})],
+        "_key string, attrs map<string, array<string>>",
+    )
+    with pytest.raises(Exception, match="reserved/routing"):
+        upsert_via_transport(
+            reserved, "CL", arango_flatten_transport(_noop), batch_size=10
+        )
+
+    shadowing = spark.createDataFrame(
+        [("0000235", {"collection": ["hijack"]})],
+        "_key string, attrs map<string, array<string>>",
+    )
+    with pytest.raises(Exception, match="reserved/routing"):
+        upsert_via_transport(
+            shadowing, "CL", arango_flatten_transport(_noop), batch_size=10
+        )

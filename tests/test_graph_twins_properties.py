@@ -335,3 +335,28 @@ def test_lca_wu_palmer_bucketed_matches_python_beyond_bitmap_universe(spark, raw
         for r in lca_wu_palmer_bucketed(df, pdf).collect()
     }
     assert got == want
+
+
+def test_dag_ancestors_bucketed_exact_past_double_precision(spark):
+    """ADVICE r10: the bucket used to be computed with DOUBLE division
+    ((p / 62).cast('long')), which is lossy for ids >= 2^53.  Pin the
+    integer floor-decomposition on a chain whose labels sit just past
+    2^53, where the old float path misbuckets (2^53 + 1 is not
+    representable as a double)."""
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import (
+        dag_ancestors_bucketed,
+    )
+
+    base = 2**53 + 1  # first integer double cannot represent
+    # chain: base+124 -> base+62 -> base  (distinct buckets, huge labels)
+    edges = [(base + 124, base + 62), (base + 62, base)]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got: dict = {}
+    for r in dag_ancestors_bucketed(df).collect():
+        for i in range(62):
+            if r.bm & (1 << i):
+                got.setdefault(r.node, set()).add(r.bucket * 62 + i)
+    assert got == {
+        base + 124: {base + 62, base},
+        base + 62: {base},
+    }

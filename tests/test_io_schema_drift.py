@@ -95,3 +95,35 @@ def test_events_stream_reader_types(spark, tmp_path):
     assert stream.isStreaming
     # LTZ TIMESTAMP so watermarks/windows accept it
     assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_read_state_parquet_first_batch_vs_transient_failure(spark, tmp_path):
+    """ADVICE r10: the IVM maintainers must treat ONLY a genuinely absent
+    state path as 'first batch'.  A path that EXISTS but cannot be read
+    (mid-rewrite wreckage, corrupt footer) raises instead of silently
+    resetting accumulated state."""
+    import os
+
+    import pytest
+
+    from cell_kn_mvp_etl_ontologies_spark.io import read_state_parquet
+
+    missing = str(tmp_path / "never_written")
+    assert read_state_parquet(spark, missing) is None
+
+    # a state dir that exists but holds no readable parquet is NOT a
+    # first batch — schema inference fails and the error must propagate
+    broken = tmp_path / "broken_state"
+    broken.mkdir()
+    (broken / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        df = read_state_parquet(spark, str(broken))
+        if df is not None:  # force plan+action if planning survived
+            df.collect()
+
+    # round-trip sanity: a real state reads back
+    good = str(tmp_path / "good_state")
+    spark.range(5).write.parquet(good)
+    assert os.path.exists(good)
+    got = read_state_parquet(spark, good)
+    assert got is not None and got.count() == 5
