@@ -776,6 +776,130 @@ def multimodal_cdc_chunks_arrow_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# cdc_chunks_capped — the CDC census with the hot-chunk quadratic guard
+# --------------------------------------------------------------------------
+_CDC_FOOTER = (
+    " | COPYRIGHT 2024 EXAMPLE CORP - ALL RIGHTS RESERVED - TERMS APPLY | "
+)
+
+_CDC_CAPPED_ORACLE = f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+    u AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 10000,
+             substr(text, 1, 100) || 'XXEDITXX' || substr(text, 111)
+      FROM base WHERE doc_id < 15
+    ),
+    corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || '{_CDC_FOOTER}'
+                  ELSE text END AS text
+      FROM u
+    ),
+    {cdc_cset_sql("corpus", "cset", "c")},
+    freq AS (SELECT ch, COUNT(*) AS f FROM cset GROUP BY ch),
+    kept AS (
+      SELECT cset.doc_id, cset.ch
+      FROM cset JOIN freq ON freq.ch = cset.ch
+      WHERE freq.f <= 8
+    ),
+    nc AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+      FROM kept x JOIN kept y ON y.ch = x.ch AND y.doc_id > x.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT s.a, s.b, CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(na.n AS BIGINT) AS n_chunks_a, CAST(nb.n AS BIGINT) AS n_chunks_b,
+           CAST(1000000 * s.n_shared // (na.n + nb.n - s.n_shared) AS BIGINT)
+             AS jaccard_ppm
+    FROM shared s JOIN nc na ON na.doc_id = s.a JOIN nc nb ON nb.doc_id = s.b
+    WHERE 1000000 * s.n_shared // (na.n + nb.n - s.n_shared) >= 250000
+    """
+
+
+@register("cdc_chunks_capped", oracle=_CDC_CAPPED_ORACLE)
+def cdc_chunks_capped_q(spark, sf_dir):
+    """`multimodal_cdc_chunks` with the HOT-CHUNK cap the census was
+    missing (VERDICT r10 #5): chunk hashes carried by more than 8
+    distinct payloads are boilerplate/template mass (a shared footer, an
+    empty-padding block) and leave the census BEFORE pair expansion —
+    the `dedup_minhash_lsh_capped` ``max_bucket`` doctrine applied to
+    the chunk-hash equi-join, whose per-key fanout is otherwise
+    unbounded: ONE chunk shared by M payloads emits M²/2 candidate
+    pairs.
+
+    The gate corpus makes the guard observable: the same 165-payload
+    corpus as the uncapped row, plus a fixed 70-char copyright footer
+    appended to every third payload — the footer's interior chunks land
+    at identical hashes in 55 payloads (measured), and the capped census
+    drops them (candidate pairs 12,046 → 1,517 at gate scale, 7.9×;
+    sf0.1 A/B in SCALE.md §cdc-cap).  Planted middle-edit near-dups are
+    all still recovered: their shared chunks are payload-specific, so
+    the cap changes candidate VOLUME, not recall — the Jaccard values
+    shift (per-doc counts exclude template chunks), which is why this is
+    its own contract, not a shared-oracle facet.
+
+    Contract: the capped census is the corpus view — hot chunks leave
+    both pair generation AND the per-doc chunk counts (Jaccard stays
+    internally consistent over the capped chunk universe).
+
+    100 TB shape: one (ch)-grain hash agg + a frequency filter BEFORE
+    the self-join caps the join's per-key fanout at 8; everything else
+    is the uncapped row's shape (chunking one pass, exchanges carry
+    16-byte hashes, refine touches only pairs sharing ≥1 kept chunk).
+    """
+    from ..operators.cdc import cdc_census_cap
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 100),
+            F.lit("XXEDITXX"),
+            F.expr("substring(text, 111)"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(_CDC_FOOTER))
+        ).otherwise(F.col("text")),
+    )
+
+    cset = cdc_census_cap(
+        cdc_chunk_hashes(corpus, "doc_id", "text"), "doc_id", max_freq=8
+    )
+    nc = cset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = cset.select(F.col("doc_id").alias("a"), "ch")
+    y = cset.select(F.col("doc_id").alias("b"), "ch")
+    shared = (
+        x.join(y, on="ch")
+        .filter(F.col("b") > F.col("a"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(nc.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), on="a")
+        .join(nc.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), on="b")
+        .select(
+            "a",
+            "b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("na").cast("long").alias("n_chunks_a"),
+            F.col("nb").cast("long").alias("n_chunks_b"),
+            F.expr(
+                "CAST(1000000 * n_shared DIV (na + nb - n_shared) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return out.filter(F.col("jaccard_ppm") >= 250000)
+
+
+# --------------------------------------------------------------------------
 # fn_feature_hashing — the hashing-trick vectorizer
 # --------------------------------------------------------------------------
 @register(

@@ -1073,3 +1073,49 @@ def test_cohens_kappa_matches_float_reference(spark):
     kappa = (po - pe) / (1 - pe)
     assert r.kappa_ppm == pytest.approx(kappa * 1_000_000, abs=2)
     assert r.po_ppm == 1_000_000 * (r.n11 + r.n00) // n
+
+
+def test_cdc_cap_preserves_planted_recall_and_cuts_candidates(spark):
+    """The hot-chunk cap (cdc_census_cap, VERDICT r10 #5) must (a) drop the
+    planted boilerplate-footer chunks from the census, collapsing the
+    candidate-pair volume, and (b) preserve every planted middle-edit
+    near-dup pair — template mass changes VOLUME, not recall."""
+    from pyspark.sql import functions as F
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier4 import (
+        _CDC_FOOTER,
+        cdc_chunks_capped_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.operators.cdc import (
+        cdc_census_cap,
+        cdc_chunk_hashes,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = {(r.a, r.b) for r in cdc_chunks_capped_q(spark, sf_dir).collect()}
+    # every planted (doc, doc+10000) middle-edit pair is recovered
+    planted = {(i, i + 10000) for i in range(15)}
+    assert planted <= out
+
+    # the cap itself: footer chunks are hot and vanish; pair volume drops
+    docs = spark.createDataFrame(
+        [(i, f"payload body {i} with distinct content {i*7}") for i in range(30)],
+        "doc_id long, text string",
+    ).withColumn("text", F.concat(F.col("text"), F.lit(_CDC_FOOTER)))
+    cset = cdc_chunk_hashes(docs, "doc_id", "text")
+    freq = cset.groupBy("ch").agg(F.count(F.lit(1)).alias("f"))
+    assert freq.filter(F.col("f") > 8).count() > 0  # hot chunks exist
+    capped = cdc_census_cap(cset, "doc_id", max_freq=8)
+    n_unc = (
+        cset.alias("x")
+        .join(cset.alias("y"), on="ch")
+        .filter(F.col("y.doc_id") > F.col("x.doc_id"))
+        .count()
+    )
+    n_cap = (
+        capped.alias("x")
+        .join(capped.alias("y"), on="ch")
+        .filter(F.col("y.doc_id") > F.col("x.doc_id"))
+        .count()
+    )
+    assert n_cap < n_unc / 4  # the footer's M^2/2 mass is gone
