@@ -43,6 +43,42 @@ from cell_kn_mvp_etl_ontologies_spark.session import ENGINE_SQL_CONF
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 
+# Normalized acceptance bands (BASELINE.md §"Normalized acceptance baseline",
+# incl. the later own-band rows and the r10 graph_build re-base).  Used by
+# the self-settlement pass (VERDICT r10 #4): after the min-of-3 sweep, the
+# ≤3 worst rows reading over 1.2× their band are re-measured min-of-5 under
+# a freshly sentinel-normalized window and reported as `queries_settled` —
+# the automated form of the manual settlement cycles rounds 8-10 each spent.
+ACCEPTANCE_BANDS = {
+    "q1_pricing_summary": 0.75,
+    "q3_top_revenue": 1.17,
+    "graph_pivot": 1.48,
+    "minhash_dedup": 2.94,
+    "cosine_topk": 1.25,
+    "running_windows": 0.54,
+    "asof_events": 0.98,
+    "inverted_index": 0.98,
+    "ann_lsh": 1.16,
+    "positional_index": 1.42,
+    "training_pipeline": 2.31,
+    "cdc_diff": 1.87,
+    "triangle_copurchase": 2.28,
+    "pagerank_orders": 3.59,
+    "bm25_documents": 2.63,
+    "graph_build_full": 7.20,
+    "cosine_topk_80k": 4.60,
+    "cosine_topk_80k_vec": 2.97,
+    "ann_ivf_80k": 2.35,
+    "minhash_dedup_capped": 1.81,
+    "ann_ivf_routed_10k": 8.45,
+    "ann_pq_rerank_80k": 2.47,
+    "ann_hamming_80k": 1.80,
+    "ann_ivf_pq_80k": 2.12,
+    "maxsim_routed_10k": 7.48,
+    "cdc_chunks_5k": 5.74,
+    "graph_wire_sink": 2.51,
+}
+
 
 def q1_pricing_summary(spark):
     li = load_table(spark, SF_DIR, "lineitem")
@@ -915,6 +951,55 @@ def main() -> None:
             q: round(t / speed, 3) for q, t in timings.items()
         }
         summary["normalized_total"] = round(sum(summary["queries_normalized"].values()), 3)
+
+        # Self-settlement pass (VERDICT r10 #4): driver windows on this VM
+        # produce isolated over-band readings that rounds 8-10 each burned a
+        # manual mid-round cycle re-measuring.  Automate it: take the ≤3
+        # worst rows reading over 1.2× their acceptance band, re-measure the
+        # sentinels (a FRESH window estimate — the settlement happens minutes
+        # after the row's min-of-3, and host speed drifts on that timescale),
+        # then re-run each flagged row min-of-5 with the same GC/clearCache
+        # isolation and normalize by the settle-window speed.  Both readings
+        # ship in the JSON line; BASELINE.md documents which to read.
+        flagged = sorted(
+            (
+                (summary["queries_normalized"][q] / band, q)
+                for q, band in ACCEPTANCE_BANDS.items()
+                if q in summary["queries_normalized"]
+                and summary["queries_normalized"][q] / band > 1.2
+            ),
+            reverse=True,
+        )[:3]
+        if flagged:
+            def _min_of(fn, n):
+                best = float("inf")
+                for _ in range(n):
+                    spark._jvm.System.gc()
+                    t0 = time.time()
+                    fn(spark).write.mode("overwrite").format("noop").save()
+                    best = min(best, time.time() - t0)
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                return best
+
+            settle_ratios = [
+                _min_of(BENCH_QUERIES[q], 3) / nominal
+                for q, nominal in sentinels.items()
+                if q in BENCH_QUERIES
+            ]
+            settle_speed = math.exp(
+                sum(math.log(r) for r in settle_ratios) / len(settle_ratios)
+            )
+            summary["settle_host_speed_ratio"] = round(settle_speed, 3)
+            summary["queries_settled"] = {}
+            for _, q in flagged:
+                try:
+                    best = _min_of(BENCH_QUERIES[q], 5)
+                except Exception as exc:  # noqa: BLE001
+                    errors[f"settle:{q}"] = f"{type(exc).__name__}: {exc}"[:500]
+                    summary["errors"] = errors
+                    continue
+                summary["queries_settled"][q] = round(best / settle_speed, 3)
     print(json.dumps(summary))
     spark.stop()
 

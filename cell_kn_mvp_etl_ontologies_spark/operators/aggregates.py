@@ -46,38 +46,38 @@ def agg_pivot_vertex_attrs(literal_triples: DataFrame) -> DataFrame:
     Ref: OntologyGraphBuilder.java:194-234 (nondeterministic scalar overwrite,
     replaced by sorted-set policy per SURVEY.md §2.4).
     """
-    # ONE aggregation, not two: collect the (attr, value) pairs per vertex,
-    # then regroup into MAP<attr, ARRAY<value>> with codegen'd array
-    # expressions.  A per-(id,number,attr) pre-aggregation is a second full
-    # ObjectHashAggregate chain over nearly-unchanged cardinality (attribute
-    # rows per vertex are few) — the array regroup does the same work
-    # JVM-side within the row.  Entries are sorted by (attr, value), so
-    # array_distinct yields attrs in ascending order and filter preserves
-    # sorted values — identical output to the two-level formulation.
+    # TWO-LEVEL aggregation (round 11, VERDICT r10 #3's measured A/B —
+    # tools/probe_pivot_ab.py): per-(id,number,attr) sorted value set, then
+    # per-vertex MAP assembly from the compact (attr, values) rows.  This
+    # replaced the original one-ObjectHashAggregate form (collect the full
+    # (attr, value) pair multiset per vertex, regroup with an
+    # O(n_attrs × n_entries) HOF): min-of-5 at sf0.1 the two-level form is
+    # no slower (1.42 vs 1.54 s) with bit-identical output (full-outer diff
+    # 0 rows), its per-group aggregation state is value strings per attr
+    # instead of the whole pair multiset (the object pressure driver
+    # windows amplify), and — unlike the HOF regroup, whose quadratic-in-
+    # group-size caveat banned copying it to unbounded groups — this shape
+    # is safe at ANY group size (it's the positional inverted index's
+    # doctrine).  When the caller pre-partitions by a subset of
+    # (id, number) both levels reuse that one exchange (subset rule);
+    # otherwise level 2 re-exchanges only vertex×attr-cardinality rows.
     #
-    # BOUNDEDNESS CAVEAT: the regroup is O(n_attrs x n_entries) per group —
-    # linear here only because a vertex's attribute rows are bounded by the
-    # per-term predicate vocabulary (tens).  Do NOT copy this shape for
-    # unbounded groups: the positional inverted index hit 35s at sf0.1 with
-    # it (hot tokens match most documents) and uses two-level aggregation
-    # over one shared exchange instead (search/inverted_index.py).
-    entries = F.sort_array(F.collect_set(F.struct("attr", "value")))
-    regroup = F.map_from_entries(
-        F.transform(
-            F.array_distinct(F.transform(F.col("entries"), lambda e: e["attr"])),
-            lambda a: F.struct(
-                a.alias("attr"),
-                F.transform(
-                    F.filter(F.col("entries"), lambda e: e["attr"] == a),
-                    lambda e: e["value"],
-                ).alias("values"),
-            ),
+    # NULL values ride inside a (is_not_null, value) struct — a bare
+    # collect_set("value") silently drops NULL elements the pair-struct
+    # set kept (the round-5 capped-twin finding); struct sort order
+    # (false < true) replicates the ascending-nulls-first value order.
+    wrapped = F.struct(
+        F.col("value").isNotNull().alias("nn"), F.col("value").alias("v")
+    )
+    per_attr = literal_triples.groupBy("id", "number", "attr").agg(
+        F.transform(F.sort_array(F.collect_set(wrapped)), lambda e: e["v"]).alias(
+            "values"
         )
     )
-    return (
-        literal_triples.groupBy("id", "number")
-        .agg(entries.alias("entries"))
-        .select("id", "number", regroup.alias("attrs"))
+    return per_attr.groupBy("id", "number").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("attr", "values")))
+        ).alias("attrs")
     )
 
 

@@ -155,6 +155,12 @@ WAIVERS: dict[str, set[str]] = {
     # with one mapInPandas pass (SCALE.md §frontier4), leaving the census
     # join + jaccard refine (3 exchanges).
     "multimodal_cdc_chunks": {"MANY_EXCH"},
+    # (round 11) the capped twin inherits the relational gate-tier chunking
+    # chain above and ADDS the (ch)-grain frequency agg + filter — one more
+    # keyed exchange over (id, 16-byte hash) rows; every hop is keyed,
+    # payload bytes never shuffle, and the production shape is the same
+    # mapInPandas chunker + census join + freq filter (4 exchanges).
+    "cdc_chunks_capped": {"MANY_EXCH"},
     # routed MaxSim broadcasts the n_cells-row seed-summary table for
     # assignment (the IVF waiver pattern); candidates and scoring are
     # keyed equi-joins — no data-scale cross product.
