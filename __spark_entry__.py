@@ -117,6 +117,18 @@ _PRIORITY = [
     # is now EMPTY — every catalog row has at least one driver-round
     # proof, and the 3-round freshness floor covers staleness from here
     # on) =================
+    # PRECOMPUTED ROUND-12 HEAD: the round-11 extension batch
+    # (catalog/frontier8.py — radius search, weighted Jaccard, FFD
+    # packing, schema drift, rate-shift audit, grouped K-fold, substring
+    # decontamination, expectations IVM), all hash-green in
+    # CORRECTNESS_LOCAL_r11; they take the r12 driver head per the
+    # new-contracts-first rule, followed by the stalest catalog rows
+    # (everything else is driver-verified r10/r11, so the r12 tail is
+    # simply catalog order below).
+    "similarity_range_search", "dedup_minhash_weighted",
+    "pack_sequences_ffd", "quality_schema_drift",
+    "temporal_rate_shift_audit", "sample_group_kfold",
+    "contamination_substring_scan", "stream_expectations_maintain",
     # ================= ROUND 10 PREFIX (executed; kept for the record —
     # duplicates below the r11 block are deduped by _ordered) =============
     # (a) contracts NEW/CHANGED since the r9 gate — jump to the head per the

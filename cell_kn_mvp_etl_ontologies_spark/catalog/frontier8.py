@@ -1,0 +1,876 @@
+"""Round-11 extension batch: radius similarity search, weighted near-dedup,
+first-fit-decreasing packing, schema-drift monitoring, event-rate shift
+auditing, grouped K-fold assignment, exact-substring decontamination, and
+the data-quality scorecard as IVM (SURVEY §2.12, §2.11).
+
+- `similarity_range_search` — RADIUS search (all neighbors with cosine ≥
+  τ), the missing face next to the top-k ladder: threshold compared by
+  cross-multiplication in exact integers (16·dot² ≥ na·nb for τ=0.25),
+  never a float sqrt; planted exact copies keep the gate non-vacuous.
+- `dedup_minhash_weighted` — tf-WEIGHTED Jaccard near-dedup: repeated
+  shingles count (J_w = Σmin(tf)/Σmax(tf)), so a doc that repeats a
+  template line differs from one that uses it once — semantics plain
+  set-Jaccard cannot express.
+- `pack_sequences_ffd` — first-fit-decreasing packing, the 11/9-OPT
+  classic next to the strict arrival-order greedy; per-shard sequential
+  state in Arrow, replayed exactly by a DuckDB recursive CTE carrying the
+  bin-fill list.
+- `quality_schema_drift` — cross-snapshot column-profile diff (null ppm,
+  distinct counts, new-value counts): the schema/distribution-drift
+  monitor every long-running ingest needs.
+- `temporal_rate_shift_audit` — per-type Poisson rate comparison between
+  the two halves of the observed time range; the shift test is the exact
+  integer form (n1−n2)² > 4·(n1+n2) of |z| > 2 under equal exposure.
+- `sample_group_kfold` — group-disjoint K-fold assignment (all rows of a
+  user land in one fold, md5-pure so any engine reproduces it) + per-fold
+  balance audit.
+- `contamination_substring_scan` — EXACT-substring decontamination: 24-char
+  probes from held-out documents scanned against the corpus with
+  locate()/position() — the exact-match complement of the shingle-overlap
+  `contamination_ngram`.
+- `stream_expectations_maintain` — `quality_expectations` as IVM: row-level
+  and FK violation counters fold by SUM; uniqueness keeps a (key, n)
+  census; the scorecard is a read-time face.  Shares the batch oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table, read_state_parquet
+from . import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# similarity_range_search — cosine-radius search in exact integers
+# --------------------------------------------------------------------------
+@register(
+    "similarity_range_search",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 5
+    ),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    norms AS (SELECT vec_id, SUM(v * v) AS norm_sq FROM quant GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS q_id, t.vec_id AS t_id, SUM(q.v * t.v) AS dot
+      FROM quant q JOIN quant t ON q.i = t.i
+      WHERE q.vec_id < 8 AND t.vec_id <> q.vec_id
+      GROUP BY q.vec_id, t.vec_id
+    )
+    SELECT d.q_id, d.t_id, CAST(d.dot AS BIGINT) AS dot_q
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.q_id
+    JOIN norms nt ON nt.vec_id = d.t_id
+    WHERE d.dot >= 0 AND 16 * d.dot * d.dot >= nq.norm_sq * nt.norm_sq
+    """,
+)
+def similarity_range_search_q(spark, sf_dir):
+    """RADIUS similarity search — every corpus vector within cosine ≥ 0.25
+    of each query — the report face the top-k ladder cannot express
+    (near-dup audits and recall sweeps need ALL neighbors in a ball, not
+    the best k).  The threshold test is exact integer cross-multiplication
+    on the HALF_UP-quantized vectors (`quantize_vec` contract): cos ≥ 1/4
+    ⟺ dot ≥ 0 ∧ 16·dot² ≥ |q|²·|t|² — no sqrt, no float compare, so both
+    engines agree bit-exactly on boundary vectors.  The gate corpus
+    plants exact copies of 5 vectors (shifted ids), so the ball contains
+    both the cos = 1 planted hits AND the natural near-neighbors random
+    64-d vectors produce at τ = 1/4 (τ = 1/2 is empirically EMPTY on an
+    isotropic corpus — cos concentrates at ±1/√d ≈ 0.125).
+
+    This is the gate tier (|Q|=8 broadcast against the corpus — the
+    `similarity_topk` waiver); production routes candidates through the
+    audited bucketed rungs first (`similarity_ann_lsh` bands or
+    `similarity_ann_ivf_kmeans` cells: a ball query probes the cells whose
+    centroid dot clears a slack-adjusted bound, then this exact refine
+    runs per candidate) — radius refine composes with every rung because
+    the predicate is per-pair.
+
+    100 TB shape: query side broadcast (8 rows), corpus scanned once,
+    per-pair work O(dim); the output is data-dependent (ball occupancy),
+    which is WHY production pre-buckets instead of scanning."""
+    from ..operators.similarity import quantize_vec
+
+    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = base.unionByName(
+        base.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    em = corpus.select("vec_id", quantize_vec(F.col("embedding")).alias("qv"))
+    em = em.select(
+        "vec_id",
+        "qv",
+        F.aggregate(
+            F.zip_with("qv", "qv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("norm_sq"),
+    )
+    q = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    pairs = em.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("t_id"),
+        F.aggregate(
+            F.zip_with("q_qv", "qv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_q"),
+        F.col("q_norm"),
+        F.col("norm_sq").alias("t_norm"),
+    )
+    return scored.filter(
+        (F.col("dot_q") >= 0)
+        & (16 * F.col("dot_q") * F.col("dot_q") >= F.col("q_norm") * F.col("t_norm"))
+    ).select("q_id", "t_id", "dot_q")
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_weighted — tf-weighted Jaccard near-dedup
+# --------------------------------------------------------------------------
+_WEIGHTED_CORPUS_SQL = """
+      SELECT doc_id, substring(text, 1, 60) AS text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 10000, substring(text, 1, 60) FROM documents WHERE doc_id < 10
+"""
+
+
+@register(
+    "dedup_minhash_weighted",
+    oracle=f"""
+    WITH corpus AS ({_WEIGHTED_CORPUS_SQL}),
+    tf AS (
+      SELECT doc_id AS id, substring(text, i, 5) AS sh,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM corpus, generate_series(1, 56) t(i)
+      WHERE i <= greatest(length(text) - 4, 0)
+      GROUP BY doc_id, substring(text, i, 5)
+    ),
+    tot AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS t FROM tf GROUP BY id),
+    shared AS (
+      SELECT x.id AS a, y.id AS b,
+             CAST(SUM(least(x.tf, y.tf)) AS BIGINT) AS min_sum
+      FROM tf x JOIN tf y ON y.sh = x.sh AND y.id > x.id
+      GROUP BY x.id, y.id
+    )
+    SELECT s.a, s.b, s.min_sum,
+           CAST(1000000 * s.min_sum // (ta.t + tb.t - s.min_sum) AS BIGINT)
+             AS jw_ppm
+    FROM shared s JOIN tot ta ON ta.id = s.a JOIN tot tb ON tb.id = s.b
+    WHERE 1000000 * s.min_sum // (ta.t + tb.t - s.min_sum) >= 300000
+    """,
+)
+def dedup_minhash_weighted_q(spark, sf_dir):
+    """tf-WEIGHTED Jaccard near-dedup: J_w(a,b) = Σ_s min(tf_a, tf_b) /
+    Σ_s max(tf_a, tf_b) over 5-gram shingle term frequencies — repeated
+    shingles COUNT, so a document that repeats a boilerplate line 10×
+    scores differently against one that uses it once (plain set-Jaccard
+    sees both as a single shared shingle).  Exact integer form: Σmax =
+    t_a + t_b − Σmin over shared shingles, so only the shared-min sum and
+    the two per-doc totals are ever computed; jw in ppm by integer DIV.
+    Planted full-prefix copies of 10 docs land at jw = 1e6.
+
+    Candidates come from the shared-shingle equi-join (the inverted-index
+    census shape, never all-pairs); at 100 TB the candidate stage swaps in
+    banded MinHash (`dedup_minhash_lsh` buckets, whose J estimate lower-
+    bounds J_w candidates worth refining) with the hot-shingle cap — this
+    row pins the exact REFINE semantics those candidates feed.
+
+    100 TB shape: one shingle pass → (id, sh, tf) census → hash equi-join
+    on sh (per-key fanout = docs sharing the shingle — capped in
+    production like `cdc_chunks_capped`), one (a,b)-keyed agg."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select(
+        "doc_id", F.substring("text", 1, 60).alias("text")
+    )
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    shingles = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 4, 0)),"
+                " i -> substring(text, i, 5))"
+            )
+        ).alias("sh"),
+    )
+    tf = shingles.groupBy("id", "sh").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    tot = tf.groupBy("id").agg(F.sum("tf").cast("long").alias("t"))
+    x = tf.select(F.col("id").alias("a"), "sh", F.col("tf").alias("tfa"))
+    y = tf.select(F.col("id").alias("b"), "sh", F.col("tf").alias("tfb"))
+    shared = (
+        x.join(y, on="sh")
+        .filter(F.col("b") > F.col("a"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.least("tfa", "tfb")).cast("long").alias("min_sum"))
+    )
+    out = (
+        shared.join(tot.select(F.col("id").alias("a"), F.col("t").alias("ta")), on="a")
+        .join(tot.select(F.col("id").alias("b"), F.col("t").alias("tb")), on="b")
+        .select(
+            "a",
+            "b",
+            "min_sum",
+            F.expr(
+                "CAST(1000000 * min_sum DIV (ta + tb - min_sum) AS BIGINT)"
+            ).alias("jw_ppm"),
+        )
+    )
+    return out.filter(F.col("jw_ppm") >= 300000)
+
+
+# --------------------------------------------------------------------------
+# pack_sequences_ffd — first-fit-decreasing packing
+# --------------------------------------------------------------------------
+_FFD_BUDGET = 512
+
+_FFD_ORACLE = f"""
+    WITH RECURSIVE docs AS (
+      SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
+             CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_chars // 16 + 1 AS BIGINT) AS tokens
+      FROM documents WHERE doc_id < 200
+    ),
+    items AS (
+      SELECT shard, doc_id, tokens,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY tokens DESC, doc_id ASC) AS rn
+      FROM docs
+    ),
+    ffd AS (
+      SELECT shard, 0 AS rn, CAST([] AS BIGINT[]) AS fills,
+             CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS tokens,
+             CAST(NULL AS BIGINT) AS bin
+      FROM (SELECT DISTINCT shard FROM items)
+      UNION ALL
+      SELECT i.shard, i.rn,
+             CASE WHEN fit.idx IS NULL THEN list_append(f.fills, i.tokens)
+                  ELSE list_transform(range(1, len(f.fills) + 1),
+                         k -> CASE WHEN k = fit.idx THEN f.fills[k] + i.tokens
+                                   ELSE f.fills[k] END)
+             END,
+             i.doc_id, i.tokens,
+             COALESCE(fit.idx, len(f.fills) + 1)
+      FROM ffd f
+      JOIN items i ON i.shard = f.shard AND i.rn = f.rn + 1
+      LEFT JOIN LATERAL (
+        SELECT MIN(k) AS idx
+        FROM (SELECT unnest(range(1, len(f.fills) + 1)) AS k)
+        WHERE f.fills[CAST(k AS INT)] + i.tokens <= {_FFD_BUDGET}
+      ) fit ON TRUE
+    )
+    SELECT shard, doc_id, tokens, bin
+    FROM ffd WHERE doc_id IS NOT NULL
+    """
+
+
+@register("pack_sequences_ffd", oracle=_FFD_ORACLE)
+def pack_sequences_ffd_q(spark, sf_dir):
+    """First-fit-decreasing sequence packing — the classic 11/9·OPT+6/9
+    bin-packing heuristic, next to the strict arrival-order greedy
+    (`pack_sequences_greedy`, which closes a bin the moment one document
+    overflows it): documents sort by token count DESCENDING (ties to the
+    smaller id — determinism is part of the contract) and each goes into
+    the FIRST open bin with room, so large items never strand capacity
+    behind them.  Measured on this corpus FFD packs the same documents
+    into ≤ the greedy bin count on every shard (pinned by test).
+
+    Per-shard sequential state (the open-bin fill list) runs in one
+    Arrow `applyInPandas` group per shard — the `pack_sequences_greedy`
+    doctrine: thousands of shards pack in parallel, each bounded by shard
+    size.  The DuckDB oracle replays first-fit EXACTLY with a recursive
+    CTE carrying the bin-fill LIST per shard.
+
+    100 TB shape: one shuffle on shard; per-shard memory = open-bin list
+    (≤ shard tokens / budget entries); no corpus-wide state."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") % 4).cast("long").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("n_chars") / F.lit(16)).cast("long").alias("_div"),
+    ).select(
+        "shard", "doc_id", (F.col("_div") + 1).alias("tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        bins: list[int] = []
+        for t in pdf["tokens"].astype("int64"):
+            for i, fll in enumerate(fills):
+                if fll + t <= _FFD_BUDGET:
+                    fills[i] += t
+                    bins.append(i + 1)
+                    break
+            else:
+                fills.append(int(t))
+                bins.append(len(fills))
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf[["shard", "doc_id", "tokens", "bin"]]
+
+    schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("tokens", LongType()),
+            StructField("bin", LongType()),
+        ]
+    )
+    return docs.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# quality_schema_drift — cross-snapshot column-profile diff
+# --------------------------------------------------------------------------
+_DRIFT_COL_SQL = """
+      SELECT '{name}' AS column_name,
+             CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE half = 2) AS BIGINT) AS n_b,
+             CAST(1000000 * COUNT(*) FILTER (WHERE half = 1 AND v IS NULL)
+                  // COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS null_ppm_a,
+             CAST(1000000 * COUNT(*) FILTER (WHERE half = 2 AND v IS NULL)
+                  // COUNT(*) FILTER (WHERE half = 2) AS BIGINT) AS null_ppm_b,
+             CAST(COUNT(DISTINCT v) FILTER (WHERE half = 1) AS BIGINT) AS distinct_a,
+             CAST(COUNT(DISTINCT v) FILTER (WHERE half = 2) AS BIGINT) AS distinct_b,
+             CAST((SELECT COUNT(*) FROM (
+                SELECT DISTINCT v FROM snap WHERE half = 2 AND v IS NOT NULL
+                EXCEPT
+                SELECT DISTINCT v FROM snap WHERE half = 1 AND v IS NOT NULL
+             ) WHERE v IN (SELECT {expr} FROM halves WHERE half = 2)) AS BIGINT)
+               AS new_values_b
+      FROM snap
+"""
+
+
+@register(
+    "quality_schema_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT *, CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 2 END AS half
+      FROM orders
+    ),
+    profiles AS (
+      SELECT column_name, half,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+      FROM (
+        SELECT 'o_orderstatus' AS column_name, half, o_orderstatus AS v FROM halves
+        UNION ALL
+        SELECT 'o_orderpriority', half, o_orderpriority FROM halves
+        UNION ALL
+        SELECT 'o_custkey', half, CAST(o_custkey AS VARCHAR) FROM halves
+        UNION ALL
+        SELECT 'price_band', half,
+               CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS VARCHAR)
+        FROM halves
+      ) long GROUP BY column_name, half
+    ),
+    newv AS (
+      SELECT column_name, CAST(COUNT(*) AS BIGINT) AS new_values_b FROM (
+        SELECT column_name, v FROM (
+          SELECT 'o_orderstatus' AS column_name, o_orderstatus AS v
+          FROM halves WHERE half = 2
+          UNION ALL SELECT 'o_orderpriority', o_orderpriority
+          FROM halves WHERE half = 2
+          UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+          FROM halves WHERE half = 2
+          UNION ALL SELECT 'price_band',
+               CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS VARCHAR)
+          FROM halves WHERE half = 2
+        ) WHERE v IS NOT NULL
+        EXCEPT
+        SELECT column_name, v FROM (
+          SELECT 'o_orderstatus' AS column_name, o_orderstatus AS v
+          FROM halves WHERE half = 1
+          UNION ALL SELECT 'o_orderpriority', o_orderpriority
+          FROM halves WHERE half = 1
+          UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+          FROM halves WHERE half = 1
+          UNION ALL SELECT 'price_band',
+               CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS VARCHAR)
+          FROM halves WHERE half = 1
+        ) WHERE v IS NOT NULL
+      ) GROUP BY column_name
+    )
+    SELECT a.column_name,
+           a.n AS n_a, b.n AS n_b,
+           CAST(1000000 * a.n_null // a.n AS BIGINT) AS null_ppm_a,
+           CAST(1000000 * b.n_null // b.n AS BIGINT) AS null_ppm_b,
+           a.n_distinct AS distinct_a, b.n_distinct AS distinct_b,
+           COALESCE(nv.new_values_b, 0) AS new_values_b
+    FROM profiles a
+    JOIN profiles b ON b.column_name = a.column_name AND b.half = 2
+    LEFT JOIN newv nv ON nv.column_name = a.column_name
+    WHERE a.half = 1
+    """,
+)
+def quality_schema_drift_q(spark, sf_dir):
+    """Cross-snapshot column-profile drift monitor — the ingest-health
+    check a long-running 100 TB pipeline runs between loads: for each
+    profiled column, row count, exact null ppm, distinct cardinality, and
+    the count of values NEW in the later snapshot (a new enum value or
+    key range = upstream schema/semantics drift, caught before it poisons
+    training).  Snapshots here are the calendar halves of orders
+    (month ≤ 6 vs > 6); numerics profile as bounded bands (price DIV
+    50000) so cardinality is an enum-shaped signal, not a row count echo.
+
+    100 TB shape: the long unpivot is a projection (no shuffle); profiles
+    are one (column, half) hash agg; new-value detection is a left-anti
+    join of the two DISTINCT value sets — all exchanges carry (column,
+    value) pairs, cardinality-bounded for enum/band columns."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "half", F.when(F.month("o_orderdate") <= 6, 1).otherwise(2)
+    )
+    cols = [
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        (
+            "price_band",
+            F.floor(F.col("o_totalprice") / 50000).cast("long").cast("string"),
+        ),
+    ]
+    long = None
+    for name, expr in cols:
+        part = orders.select(
+            F.lit(name).alias("column_name"), "half", expr.alias("v")
+        )
+        long = part if long is None else long.unionByName(part)
+    profiles = long.groupBy("column_name", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+    )
+    vals = long.filter(F.col("v").isNotNull()).select(
+        "column_name", "half", "v"
+    ).distinct()
+    newv = (
+        vals.filter(F.col("half") == 2)
+        .select("column_name", "v")
+        .join(
+            vals.filter(F.col("half") == 1).select("column_name", "v"),
+            on=["column_name", "v"],
+            how="left_anti",
+        )
+        .groupBy("column_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_values_b"))
+    )
+    a = profiles.filter(F.col("half") == 1).select(
+        "column_name",
+        F.col("n").alias("n_a"),
+        F.expr("CAST(1000000 * n_null DIV n AS BIGINT)").alias("null_ppm_a"),
+        F.col("n_distinct").alias("distinct_a"),
+    )
+    b = profiles.filter(F.col("half") == 2).select(
+        "column_name",
+        F.col("n").alias("n_b"),
+        F.expr("CAST(1000000 * n_null DIV n AS BIGINT)").alias("null_ppm_b"),
+        F.col("n_distinct").alias("distinct_b"),
+    )
+    return (
+        a.join(b, on="column_name")
+        .join(newv, on="column_name", how="left")
+        .select(
+            "column_name",
+            "n_a",
+            "n_b",
+            "null_ppm_a",
+            "null_ppm_b",
+            "distinct_a",
+            "distinct_b",
+            F.coalesce(F.col("new_values_b"), F.lit(0))
+            .cast("long")
+            .alias("new_values_b"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal_rate_shift_audit — Poisson rate comparison across the range halves
+# --------------------------------------------------------------------------
+@register(
+    "temporal_rate_shift_audit",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(epoch(MIN(ts)) AS BIGINT) AS lo,
+             CAST(epoch(MAX(ts)) AS BIGINT) AS hi
+      FROM events
+    ),
+    marked AS (
+      SELECT event_type,
+             CASE WHEN CAST(epoch(ts) AS BIGINT) * 2 <= b.lo + b.hi
+                  THEN 1 ELSE 2 END AS half
+      FROM events, bounds b
+    )
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS n1,
+           CAST(COUNT(*) FILTER (WHERE half = 2) AS BIGINT) AS n2,
+           (COUNT(*) FILTER (WHERE half = 1) - COUNT(*) FILTER (WHERE half = 2))
+           * (COUNT(*) FILTER (WHERE half = 1) - COUNT(*) FILTER (WHERE half = 2))
+           > 4 * COUNT(*) AS shifted
+    FROM marked GROUP BY event_type
+    """,
+)
+def temporal_rate_shift_audit_q(spark, sf_dir):
+    """Per-event-type Poisson rate-shift audit between the two halves of
+    the observed time range — the change-detection face of the
+    interarrival family: under equal exposure, the two-rate z statistic
+    is (n1−n2)/√(n1+n2), and |z| > 2 is the EXACT integer predicate
+    (n1−n2)² > 4·(n1+n2) — no float, no sqrt, engines agree on boundary
+    counts.  The half boundary itself is integer epoch arithmetic
+    (2·epoch ≤ lo+hi), so a midpoint landing exactly between two events
+    buckets identically in both engines.
+
+    100 TB shape: one 1-row min/max agg broadcast onto the scan, one
+    (event_type)-grain hash agg — two passes over the event stream, no
+    joins of data-scale sides."""
+    events = _t(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.unix_timestamp("ts")).cast("long").alias("lo"),
+        F.max(F.unix_timestamp("ts")).cast("long").alias("hi"),
+    )
+    marked = events.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.unix_timestamp("ts").cast("long") * 2 <= F.col("lo") + F.col("hi"), 1
+        )
+        .otherwise(2)
+        .alias("half"),
+    )
+    return marked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+        (
+            (
+                F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+                - F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+            )
+            * (
+                F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+                - F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+            )
+            > 4 * F.count(F.lit(1))
+        ).alias("shifted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_group_kfold — group-disjoint K-fold assignment + balance audit
+# --------------------------------------------------------------------------
+@register(
+    "sample_group_kfold",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             ('0x' || substring(md5('kfold|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 5 AS fold
+      FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assigned)
+    SELECT fold,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1000000 * COUNT(*) // t.n AS BIGINT) AS rows_ppm
+    FROM assigned, tot t GROUP BY fold, t.n
+    """,
+)
+def sample_group_kfold_q(spark, sf_dir):
+    """Group-disjoint K-fold assignment (K=5) with the balance audit: the
+    fold is a pure md5 function of the GROUP key (user_id), so every row
+    of a user lands in one fold BY CONSTRUCTION — the leakage-free CV
+    split for entity-correlated data (`sample_split_by_group` generalized
+    from one holdout to K rotating folds) — and any engine, any
+    parallelism, any day reproduces the same assignment.  The audit
+    reports per-fold group counts, row counts, and exact row share in
+    ppm (group sizes vary, so row balance ≠ group balance — the thing
+    this audit exists to surface).
+
+    100 TB shape: fold is a projection (no shuffle for the assignment
+    itself); the audit is one (fold)-grain agg + a 1-row total broadcast.
+    """
+    events = _t(spark, sf_dir, "events")
+    assigned = events.select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kfold|"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("fold"),
+    )
+    tot = assigned.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        assigned.groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_groups"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_groups",
+            "n_rows",
+            F.expr("CAST(1000000 * n_rows DIV n AS BIGINT)").alias("rows_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# contamination_substring_scan — exact-substring decontamination
+# --------------------------------------------------------------------------
+@register(
+    "contamination_substring_scan",
+    oracle="""
+    WITH probes AS (
+      SELECT doc_id AS probe_id, substring(text, 21, 24) AS probe
+      FROM documents WHERE doc_id < 20 AND length(text) >= 44
+    ),
+    hits AS (
+      SELECT p.probe_id, d.doc_id
+      FROM probes p JOIN documents d
+        ON d.doc_id <> p.probe_id AND position(p.probe IN d.text) > 0
+    )
+    SELECT p.probe_id,
+           CAST(COALESCE(COUNT(h.doc_id), 0) AS BIGINT) AS n_docs_hit,
+           CAST(MIN(h.doc_id) AS BIGINT) AS min_hit_doc
+    FROM probes p LEFT JOIN hits h ON h.probe_id = p.probe_id
+    GROUP BY p.probe_id
+    """,
+)
+def contamination_substring_scan_q(spark, sf_dir):
+    """EXACT-substring decontamination scan: 24-char probes lifted from 20
+    held-out documents (chars 21-44 — mid-document, where boilerplate
+    headers don't alias) scanned against every OTHER document with
+    locate()/position() — the exact-match complement of the
+    shingle-overlap `contamination_ngram` (which tolerates edits but
+    can false-positive on common phrasing; a verbatim 24-char hit is
+    near-certain leakage).  Emits per probe the contaminated-doc count
+    and the smallest hit id (a deterministic exemplar for triage); zero
+    hits still emit the probe row (NULL exemplar).
+
+    100 TB shape: probes are a broadcast dim (the benchmark suite — KB);
+    the corpus scans ONCE with the probe set resident per task (at real
+    probe counts the per-task matcher is Aho-Corasick over the broadcast
+    set inside one mapInPandas pass — same plan shape, one scan); the
+    only exchange is the |probes|-grain census."""
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(
+        (F.col("doc_id") < 20) & (F.length("text") >= 44)
+    ).select(
+        F.col("doc_id").alias("probe_id"),
+        F.substring("text", 21, 24).alias("probe"),
+    )
+    hits = (
+        docs.crossJoin(F.broadcast(probes))
+        .filter(
+            (F.col("doc_id") != F.col("probe_id"))
+            & (F.expr("locate(probe, text)") > 0)
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_hit"),
+            F.min("doc_id").cast("long").alias("min_hit_doc"),
+        )
+    )
+    return (
+        probes.select("probe_id")
+        .join(hits, on="probe_id", how="left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_docs_hit"), F.lit(0)).cast("long").alias("n_docs_hit"),
+            F.col("min_hit_doc").cast("long").alias("min_hit_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_expectations_maintain — the data-quality scorecard as IVM
+# --------------------------------------------------------------------------
+@register(
+    "stream_expectations_maintain",
+    oracle="""
+    SELECT "constraint", violations, violations = 0 AS passed FROM (
+      SELECT 'fk(o_custkey->customer)' AS "constraint",
+             CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+                   AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) AS violations
+      UNION ALL
+      SELECT 'in_range(o_totalprice,0.0,1000000.0)',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0 OR o_totalprice > 1000000)) AS BIGINT)
+      UNION ALL
+      SELECT 'matches_regex(o_orderpriority)',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$')) AS BIGINT)
+      UNION ALL
+      SELECT 'not_null(o_custkey)',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+      UNION ALL
+      SELECT 'not_null(o_orderkey)',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT)
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             CAST(COALESCE((SELECT SUM(n) FROM (
+               SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+             )), 0) AS BIGINT)
+    ) t ORDER BY "constraint"
+    """,
+)
+def stream_expectations_maintain_q(spark, sf_dir):
+    """`quality_expectations` as incremental view maintenance — the
+    continuous data-quality gate: row-level constraint violations
+    (not-null, in-range, regex) and FK misses against the STATIC customer
+    dim are judged per row, so their counts fold by pure SUM — additive,
+    bundling-independent.  Uniqueness is NOT batch-additive (two halves
+    of a duplicate pair can arrive in different batches), so the
+    maintainer keeps the (o_orderkey, n) key census — the
+    `stream_hapax_maintain` census-not-face doctrine — and the
+    duplicate-row count is a read-time face over census rows with n > 1.
+    Shares the batch row's oracle verbatim: stream-maintained == batch ==
+    DuckDB, hash-exact.
+
+    100 TB shape: per trigger O(batch) row judgments + one broadcast
+    anti-join against the dim + a keyed census merge; the corpus is never
+    rescanned; counter state is 5 rows, census state O(distinct keys)."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_orders_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_expect_")
+    counters_path = root + "/counters"
+    census_path = root + "/census"
+
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        fk_miss = (
+            batch_df.filter(F.col("o_custkey").isNotNull())
+            .join(
+                F.broadcast(customer),
+                batch_df["o_custkey"] == customer["c_custkey"],
+                "left_anti",
+            )
+            .count()
+        )
+        row_counts = batch_df.agg(
+            F.sum(
+                F.when(
+                    F.col("o_totalprice").isNotNull()
+                    & ((F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1000000)),
+                    1,
+                ).otherwise(0)
+            ).alias("in_range"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isNotNull()
+                    & ~F.col("o_orderpriority").rlike("^[0-9]-[A-Z ]+$"),
+                    1,
+                ).otherwise(0)
+            ).alias("regex"),
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+                "nn_cust"
+            ),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+                "nn_key"
+            ),
+        ).collect()[0]
+        part = sp.createDataFrame(
+            [
+                ("fk(o_custkey->customer)", fk_miss),
+                ("in_range(o_totalprice,0.0,1000000.0)", int(row_counts.in_range or 0)),
+                ("matches_regex(o_orderpriority)", int(row_counts.regex or 0)),
+                ("not_null(o_custkey)", int(row_counts.nn_cust or 0)),
+                ("not_null(o_orderkey)", int(row_counts.nn_key or 0)),
+            ],
+            "constraint string, violations long",
+        )
+        state = read_state_parquet(sp, counters_path)
+        if state is not None:
+            merged = (
+                state.unionByName(part)
+                .groupBy("constraint")
+                .agg(F.sum("violations").cast("long").alias("violations"))
+            )
+        else:  # first batch
+            merged = part
+        staging = counters_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(counters_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        key_part = batch_df.groupBy("o_orderkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        census = read_state_parquet(sp, census_path)
+        if census is not None:
+            merged_census = (
+                census.unionByName(key_part)
+                .groupBy("o_orderkey")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        else:  # first batch
+            merged_census = key_part
+        staging2 = census_path + "_staging"
+        merged_census.write.mode("overwrite").parquet(staging2)
+        sp.read.parquet(staging2).write.mode("overwrite").parquet(census_path)
+        shutil.rmtree(staging2, ignore_errors=True)
+
+    query = (
+        read_orders_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    counters = spark.read.parquet(counters_path)
+    dup = (
+        spark.read.parquet(census_path)
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("violations"))
+        .select(F.lit("unique(o_orderkey)").alias("constraint"), "violations")
+    )
+    out = (
+        counters.unionByName(dup)
+        .select(
+            "constraint",
+            F.col("violations").cast("long").alias("violations"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+        .orderBy("constraint")
+    )
+    return finish_and_clean(out, root)

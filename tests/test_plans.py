@@ -51,14 +51,21 @@ def test_parquet_filter_pushdown(spark):
     assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in txt
 
 
-def test_pivot_is_single_exchange(spark):
+def test_pivot_exchange_contract(spark):
+    """The two-level pivot (round-11 rewrite, SCALE.md §pivot-ab): on
+    unpartitioned input the planner pays two exchanges — raw rows on
+    (id, number, attr), then only vertex×attr-cardinality compact rows on
+    (id, number); when the caller pre-partitions by a subset of the keys
+    (the graph_pivot bench shape) BOTH aggregation levels reuse that one
+    exchange via the subset rule."""
     rows = load_table(spark, SF_DIR, "lineitem").select(
         F.col("l_orderkey").cast("string").alias("id"),
         F.col("l_linenumber").cast("string").alias("number"),
         F.col("l_returnflag").alias("attr"),
         F.col("l_linestatus").alias("value"),
     )
-    assert count_exchanges(agg_pivot_vertex_attrs(rows)) == 1
+    assert count_exchanges(agg_pivot_vertex_attrs(rows)) == 2
+    assert count_exchanges(agg_pivot_vertex_attrs(rows.repartition("id"))) == 1
 
 
 def test_dictionary_join_is_broadcast(spark):

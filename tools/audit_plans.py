@@ -367,6 +367,20 @@ WAIVERS: dict[str, set[str]] = {
     # (round 7) the edge count m is ONE broadcast row attached to the 1-row
     # community rollup (the agg_drift_tvd pattern).
     "graph_modularity_audit": {"CARTESIAN"},
+    # (round 11) the gate tier broadcasts the 8-query side against the
+    # corpus (the similarity_topk waiver); production routes candidates
+    # through the bucketed rungs, then this per-pair exact refine.
+    "similarity_range_search": {"CARTESIAN"},
+    # (round 11) the 1-row (lo, hi) time-bounds frame is cross-joined onto
+    # the event scan (scalar broadcast, the agg_drift_tvd pattern).
+    "temporal_rate_shift_audit": {"CARTESIAN"},
+    # (round 11) the 1-row grand-total frame is cross-joined onto the
+    # 5-row fold audit (scalar broadcast).
+    "sample_group_kfold": {"CARTESIAN"},
+    # (round 11) the 20-row probe dim broadcasts onto the corpus scan
+    # (constant-dim fanout — the join_spatial_grid offset-frame waiver);
+    # at real probe counts the same plan runs Aho-Corasick per task.
+    "contamination_substring_scan": {"CARTESIAN"},
 }
 
 
