@@ -129,6 +129,9 @@ _PRIORITY = [
     "pack_sequences_ffd", "quality_schema_drift",
     "temporal_rate_shift_audit", "sample_group_kfold",
     "contamination_substring_scan", "stream_expectations_maintain",
+    "stream_schema_drift_maintain", "quality_column_collision_profile",
+    "agg_weighted_median", "pairs_hard_negatives",
+    "eval_threshold_best_f1", "agg_mode_per_group",
     # ================= ROUND 10 PREFIX (executed; kept for the record —
     # duplicates below the r11 block are deduped by _ordered) =============
     # (a) contracts NEW/CHANGED since the r9 gate — jump to the head per the

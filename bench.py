@@ -991,6 +991,15 @@ def main() -> None:
                 sum(math.log(r) for r in settle_ratios) / len(settle_ratios)
             )
             summary["settle_host_speed_ratio"] = round(settle_speed, 3)
+            # Each settled row carries BOTH readings: raw min-of-5 (compare
+            # against the sweep's raw for the same row — same process, same
+            # warm state, the cleanest noise-vs-regression signal) and the
+            # settle-window normalized value.  The normalized one can
+            # over-correct: a fully-warmed settle window drives the
+            # sentinels to their floor (fixed overheads don't scale with
+            # host speed), deflating settle_speed and INFLATING normalized
+            # numbers — measured 0.51 on the first r11 run while raws
+            # confirmed the flagged rows were sweep noise.  Read raw first.
             summary["queries_settled"] = {}
             for _, q in flagged:
                 try:
@@ -999,7 +1008,10 @@ def main() -> None:
                     errors[f"settle:{q}"] = f"{type(exc).__name__}: {exc}"[:500]
                     summary["errors"] = errors
                     continue
-                summary["queries_settled"][q] = round(best / settle_speed, 3)
+                summary["queries_settled"][q] = {
+                    "raw": round(best, 3),
+                    "normalized": round(best / settle_speed, 3),
+                }
     print(json.dumps(summary))
     spark.stop()
 

@@ -874,3 +874,585 @@ def stream_expectations_maintain_q(spark, sf_dir):
         .orderBy("constraint")
     )
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# stream_schema_drift_maintain — the drift profile as IVM
+# --------------------------------------------------------------------------
+@register(
+    "stream_schema_drift_maintain",
+    oracle="""
+    WITH halves AS (
+      SELECT *, CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 2 END AS half
+      FROM orders
+    ),
+    profiles AS (
+      SELECT column_name, half,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+      FROM (
+        SELECT 'o_orderstatus' AS column_name, half, o_orderstatus AS v FROM halves
+        UNION ALL
+        SELECT 'o_orderpriority', half, o_orderpriority FROM halves
+        UNION ALL
+        SELECT 'o_custkey', half, CAST(o_custkey AS VARCHAR) FROM halves
+        UNION ALL
+        SELECT 'price_band', half,
+               CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS VARCHAR)
+        FROM halves
+      ) long GROUP BY column_name, half
+    ),
+    newv AS (
+      SELECT column_name, CAST(COUNT(*) AS BIGINT) AS new_values_b FROM (
+        SELECT column_name, v FROM (
+          SELECT 'o_orderstatus' AS column_name, o_orderstatus AS v
+          FROM halves WHERE half = 2
+          UNION ALL SELECT 'o_orderpriority', o_orderpriority
+          FROM halves WHERE half = 2
+          UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+          FROM halves WHERE half = 2
+          UNION ALL SELECT 'price_band',
+               CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS VARCHAR)
+          FROM halves WHERE half = 2
+        ) WHERE v IS NOT NULL
+        EXCEPT
+        SELECT column_name, v FROM (
+          SELECT 'o_orderstatus' AS column_name, o_orderstatus AS v
+          FROM halves WHERE half = 1
+          UNION ALL SELECT 'o_orderpriority', o_orderpriority
+          FROM halves WHERE half = 1
+          UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+          FROM halves WHERE half = 1
+          UNION ALL SELECT 'price_band',
+               CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS VARCHAR)
+          FROM halves WHERE half = 1
+        ) WHERE v IS NOT NULL
+      ) GROUP BY column_name
+    )
+    SELECT a.column_name,
+           a.n AS n_a, b.n AS n_b,
+           CAST(1000000 * a.n_null // a.n AS BIGINT) AS null_ppm_a,
+           CAST(1000000 * b.n_null // b.n AS BIGINT) AS null_ppm_b,
+           a.n_distinct AS distinct_a, b.n_distinct AS distinct_b,
+           COALESCE(nv.new_values_b, 0) AS new_values_b
+    FROM profiles a
+    JOIN profiles b ON b.column_name = a.column_name AND b.half = 2
+    LEFT JOIN newv nv ON nv.column_name = a.column_name
+    WHERE a.half = 1
+    """,
+)
+def stream_schema_drift_maintain_q(spark, sf_dir):
+    """`quality_schema_drift` as incremental view maintenance — the drift
+    monitor running CONTINUOUSLY on the ingest stream: the maintained
+    state is the (column, half, value, n) value census plus per-(column,
+    half) null counters, both pure-SUM lattices (bundling-independent —
+    any micro-batch split of the corpus converges to the same census);
+    null ppm, distinct cardinality, and new-value detection are all
+    READ-TIME faces over census rows (distinctness is NOT batch-additive
+    — the `stream_hapax_maintain` census-not-face doctrine).  Shares the
+    batch row's oracle verbatim: stream == batch == DuckDB, hash-exact.
+
+    100 TB shape: per trigger O(batch) projection + keyed census merge
+    (state bounded by value cardinality — enum/band columns by design);
+    the face joins census halves, never rescanning the corpus."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_orders_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_drift_")
+    census_path = root + "/census"
+    nulls_path = root + "/nulls"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        half = F.when(F.month("o_orderdate") <= 6, 1).otherwise(2)
+        b = batch_df.withColumn("half", half)
+        cols = [
+            ("o_orderstatus", F.col("o_orderstatus")),
+            ("o_orderpriority", F.col("o_orderpriority")),
+            ("o_custkey", F.col("o_custkey").cast("string")),
+            (
+                "price_band",
+                F.floor(F.col("o_totalprice") / 50000).cast("long").cast("string"),
+            ),
+        ]
+        long = None
+        for name, expr in cols:
+            part = b.select(
+                F.lit(name).alias("column_name"), "half", expr.alias("v")
+            )
+            long = part if long is None else long.unionByName(part)
+        census_part = (
+            long.filter(F.col("v").isNotNull())
+            .groupBy("column_name", "half", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        nulls_part = long.groupBy("column_name", "half").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+        )
+        census = read_state_parquet(sp, census_path)
+        if census is not None:
+            merged = (
+                census.unionByName(census_part)
+                .groupBy("column_name", "half", "v")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        else:  # first batch
+            merged = census_part
+        staging = census_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(census_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        nulls = read_state_parquet(sp, nulls_path)
+        if nulls is not None:
+            merged_n = (
+                nulls.unionByName(nulls_part)
+                .groupBy("column_name", "half")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("n_null").cast("long").alias("n_null"),
+                )
+            )
+        else:  # first batch
+            merged_n = nulls_part
+        staging2 = nulls_path + "_staging"
+        merged_n.write.mode("overwrite").parquet(staging2)
+        sp.read.parquet(staging2).write.mode("overwrite").parquet(nulls_path)
+        shutil.rmtree(staging2, ignore_errors=True)
+
+    query = (
+        read_orders_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    census = spark.read.parquet(census_path)
+    nulls = spark.read.parquet(nulls_path)
+    prof = nulls.join(
+        census.groupBy("column_name", "half").agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct")
+        ),
+        on=["column_name", "half"],
+    )
+    vals = census.select("column_name", "half", "v")
+    newv = (
+        vals.filter(F.col("half") == 2)
+        .select("column_name", "v")
+        .join(
+            vals.filter(F.col("half") == 1).select("column_name", "v"),
+            on=["column_name", "v"],
+            how="left_anti",
+        )
+        .groupBy("column_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_values_b"))
+    )
+    a = prof.filter(F.col("half") == 1).select(
+        "column_name",
+        F.col("n").alias("n_a"),
+        F.expr("CAST(1000000 * n_null DIV n AS BIGINT)").alias("null_ppm_a"),
+        F.col("n_distinct").alias("distinct_a"),
+    )
+    bb = prof.filter(F.col("half") == 2).select(
+        "column_name",
+        F.col("n").alias("n_b"),
+        F.expr("CAST(1000000 * n_null DIV n AS BIGINT)").alias("null_ppm_b"),
+        F.col("n_distinct").alias("distinct_b"),
+    )
+    out = (
+        a.join(bb, on="column_name")
+        .join(newv, on="column_name", how="left")
+        .select(
+            "column_name",
+            "n_a",
+            "n_b",
+            "null_ppm_a",
+            "null_ppm_b",
+            "distinct_a",
+            "distinct_b",
+            F.coalesce(F.col("new_values_b"), F.lit(0))
+            .cast("long")
+            .alias("new_values_b"),
+        )
+    )
+    return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# quality_column_collision_profile — selectivity / uniqueness profiling
+# --------------------------------------------------------------------------
+@register(
+    "quality_column_collision_profile",
+    oracle="""
+    WITH long AS (
+      SELECT 'o_orderstatus' AS column_name, o_orderstatus AS v FROM orders
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL SELECT 'price_band',
+           CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS VARCHAR)
+      FROM orders
+    ),
+    counts AS (
+      SELECT column_name, v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM long WHERE v IS NOT NULL GROUP BY column_name, v
+    )
+    SELECT column_name,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS DOUBLE) AS collision_mass,
+           CAST(1000000 * SUM(CAST(n AS HUGEINT) * (n - 1))
+                // (CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1)) AS BIGINT)
+             AS collision_ppm
+    FROM counts GROUP BY column_name
+    """,
+)
+def quality_column_collision_profile_q(spark, sf_dir):
+    """Per-column collision (Simpson/Gini) profile — the EXACT probability
+    that two random non-null rows share a value, 1e6·Σn_v(n_v−1) DIV
+    (N(N−1)) — the selectivity statistic join planners and
+    uniqueness-drift monitors want: a key column reads ~0 ppm, an enum
+    reads ~1e6/|enum|, and a creeping duplicate-key bug moves the number
+    BEFORE a uniqueness constraint hard-fails.  Arithmetic stays in
+    DECIMAL(38,0)/HUGEINT with pmod-exact floor division (the Brier
+    doctrine): Σn_v(n_v−1) reaches N² at full concentration, past BIGINT
+    for N beyond ~3e9 rows.
+
+    100 TB shape: one long unpivot (projection), one (column, value) hash
+    agg, one |columns|-row rollup — no joins of data-scale sides."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = [
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        (
+            "price_band",
+            F.floor(F.col("o_totalprice") / 50000).cast("long").cast("string"),
+        ),
+    ]
+    long = None
+    for name, expr in cols:
+        part = orders.select(F.lit(name).alias("column_name"), expr.alias("v"))
+        long = part if long is None else long.unionByName(part)
+    counts = (
+        long.filter(F.col("v").isNotNull())
+        .groupBy("column_name", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return counts.groupBy("column_name").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        # DOUBLE for the cross-engine surface (Decimal stringification
+        # differs; the catalog-header rule) — the EXACT value still drives
+        # collision_ppm below in full DECIMAL(38,0) arithmetic
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1)"))
+        .cast("double")
+        .alias("collision_mass"),
+        F.expr(
+            "(1000000 * SUM(CAST(n AS DECIMAL(38,0)) * (n - 1))"
+            " - pmod(1000000 * SUM(CAST(n AS DECIMAL(38,0)) * (n - 1)),"
+            "        CAST(SUM(n) AS DECIMAL(38,0)) * (SUM(n) - 1)))"
+            " / (CAST(SUM(n) AS DECIMAL(38,0)) * (SUM(n) - 1))"
+        )
+        .cast("long")
+        .alias("collision_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_weighted_median — exact weighted median per group
+# --------------------------------------------------------------------------
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH wq AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ),
+    cum AS (
+      SELECT flag, q, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY q) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM wq
+    )
+    SELECT flag, CAST(MIN(q) AS BIGINT) AS weighted_median
+    FROM cum WHERE 2 * cw >= tw GROUP BY flag
+    """,
+)
+def agg_weighted_median_q(spark, sf_dir):
+    """Exact weighted median per group — the smallest value whose
+    cumulative weight reaches half the group's total (weights here:
+    revenue cents per quantity level, so the median is
+    revenue-representative, not row-representative — the robust central
+    statistic cost models and SLA reports want).  Pure integer contract:
+    weights pre-aggregate per (group, value) so the cumulative window
+    runs over value-cardinality rows, and the 2·cw ≥ tw predicate avoids
+    any division.
+
+    100 TB shape: one (group, value) hash agg with map-side combine, then
+    a window over the BOUNDED per-group value grid (quantities: tens) —
+    the corpus shuffles once at (group, value) grain, never row grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    wq = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("w")
+    )
+    w_cum = Window.partitionBy("flag").orderBy("q")
+    cum = wq.select(
+        "flag",
+        "q",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("q").cast("long").alias("weighted_median"))
+    )
+
+
+# --------------------------------------------------------------------------
+# pairs_hard_negatives — hard-negative mining over the embedding corpus
+# --------------------------------------------------------------------------
+@register(
+    "pairs_hard_negatives",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, embedding, label FROM embeddings),
+    quant AS (
+      SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS v
+      FROM corpus, generate_series(1, 64) t(i)
+      WHERE i <= len(embedding)
+    ),
+    dots AS (
+      SELECT q.vec_id AS anchor, t.vec_id AS cand, SUM(q.v * t.v) AS dot
+      FROM quant q JOIN quant t ON q.i = t.i
+      JOIN corpus ca ON ca.vec_id = q.vec_id
+      JOIN corpus ct ON ct.vec_id = t.vec_id
+      WHERE q.vec_id < 16 AND ct.label <> ca.label
+      GROUP BY q.vec_id, t.vec_id
+    ),
+    ranked AS (
+      SELECT anchor, cand, dot,
+             row_number() OVER (PARTITION BY anchor
+                                ORDER BY dot DESC, cand ASC) AS rn
+      FROM dots
+    )
+    SELECT r.anchor, r.cand AS negative, CAST(r.dot AS BIGINT) AS dot_q,
+           CAST(ca.label AS BIGINT) AS anchor_label,
+           CAST(ct.label AS BIGINT) AS negative_label
+    FROM ranked r
+    JOIN corpus ca ON ca.vec_id = r.anchor
+    JOIN corpus ct ON ct.vec_id = r.cand
+    WHERE r.rn = 1
+    """,
+)
+def pairs_hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining — for each anchor, the OTHER-labeled vector
+    with the highest quantized dot product (ties to the smallest id):
+    the contrastive-training pair generator that turns an embedding
+    corpus into (anchor, hard negative) rows — easy negatives teach
+    nothing, the nearest wrong-label point is where the margin lives.
+    Integer dots on HALF_UP-quantized vectors (the `quantize_vec`
+    contract) make the argmax deterministic cross-engine.
+
+    Gate tier scans |anchors|=16 broadcast against the corpus (the
+    `similarity_topk` waiver); at scale the candidate stage routes
+    through the ANN rungs exactly like `similarity_range_search` —
+    hard-negative mining IS a top-1 query with a label-inequality
+    filter, so every bucketed rung composes.
+
+    100 TB shape: anchor side broadcast; one corpus scan; per-anchor
+    argmax via window over the candidate rows."""
+    from ..operators.similarity import quantize_vec
+
+    em = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("qv"), "label"
+    )
+    anchors = em.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("qv").alias("a_qv"),
+        F.col("label").alias("anchor_label"),
+    )
+    cands = em.crossJoin(F.broadcast(anchors)).filter(
+        F.col("label") != F.col("anchor_label")
+    )
+    scored = cands.select(
+        "anchor",
+        "anchor_label",
+        F.col("vec_id").alias("negative"),
+        F.col("label").alias("negative_label"),
+        F.aggregate(
+            F.zip_with("a_qv", "qv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_q"),
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("dot_q").desc(), F.col("negative").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            "negative",
+            F.col("dot_q").cast("long").alias("dot_q"),
+            F.col("anchor_label").cast("long").alias("anchor_label"),
+            F.col("negative_label").cast("long").alias("negative_label"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_threshold_best_f1 — exact best-F1 operating point
+# --------------------------------------------------------------------------
+@register(
+    "eval_threshold_best_f1",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+               t -> t IN ('the','a','of','and','to','in','is')))
+             // len(string_split_regex(text, '\\s+')) AS BIGINT) AS score,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    grid AS (
+      SELECT score,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY score
+    ),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p FROM grid),
+    sweep AS (
+      SELECT score AS threshold,
+             SUM(pos) OVER (ORDER BY score DESC) AS tp,
+             SUM(n - pos) OVER (ORDER BY score DESC) AS fp
+      FROM grid
+    ),
+    f1 AS (
+      SELECT threshold, tp, fp, t.p - tp AS fn,
+             CAST(1000000 * 2 * tp // (2 * tp + fp + (t.p - tp)) AS BIGINT)
+               AS f1_ppm
+      FROM sweep, tot t
+    )
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, f1_ppm
+    FROM f1
+    ORDER BY f1_ppm DESC, threshold ASC LIMIT 1
+    """,
+)
+def eval_threshold_best_f1_q(spark, sf_dir):
+    """Exact best-F1 operating point — the threshold a deployed binary
+    detector actually ships with, computed by sweeping EVERY distinct
+    score value with descending-cumulative TP/FP windows (the
+    `eval_pr_curve` machinery) and arg-maxing F1 in exact truncated ppm
+    (ties to the LOWEST threshold — prefer recall at equal F1; the
+    tie-break is part of the contract, so both engines pick the same
+    point even on F1 plateaus).  Same stopword-English-ness score and
+    lang='en' labels as the Brier/detector family, so the eval rows
+    compose into one consistent suite.
+
+    100 TB shape: one (score)-grain hash agg, one window over the
+    BOUNDED score grid (≤ 1e6+1 distinct ppm values), a 1-row argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    stop = F.filter(
+        toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is")
+    )
+    scored = docs.select(
+        (F.lit(1000000) * F.size(stop)).cast("long").alias("_num"),
+        F.size(toks).cast("long").alias("_den"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).select(F.expr("CAST(_num DIV _den AS BIGINT)").alias("score"), "y")
+    grid = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = grid.agg(F.sum("pos").cast("long").alias("p"))
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = grid.select(
+        F.col("score").alias("threshold"),
+        F.sum("pos").over(w).alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(w).alias("fp"),
+    )
+    f1 = sweep.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("p") - F.col("tp")).alias("fn"),
+        F.expr(
+            "CAST(1000000 * 2 * tp DIV (2 * tp + fp + (p - tp)) AS BIGINT)"
+        ).alias("f1_ppm"),
+    )
+    pick = Window.orderBy(F.col("f1_ppm").desc(), F.col("threshold").asc())
+    return (
+        f1.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "threshold",
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            F.col("fn").cast("long").alias("fn"),
+            "f1_ppm",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_mode_per_group — exact mode with deterministic tie-break
+# --------------------------------------------------------------------------
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderpriority AS grp, o_orderstatus AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    ranked AS (
+      SELECT grp, v, n,
+             row_number() OVER (PARTITION BY grp ORDER BY n DESC, v ASC) AS rn
+      FROM counts
+    )
+    SELECT grp, v AS mode_value, n AS mode_count FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_per_group_q(spark, sf_dir):
+    """Exact per-group mode with a DETERMINISTIC tie-break (highest count,
+    ties to the lexicographically smallest value — arrival-order modes
+    are nondeterministic under any parallelism, which is why naive
+    first-seen implementations can't be hash-gated).  The categorical
+    central-tendency primitive next to `agg_weighted_median`.
+
+    100 TB shape: one (group, value) hash agg with map-side combine, then
+    a window over value-cardinality rows per group — the classic
+    two-level regroup; never a corpus-grain window."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderstatus").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.col("n").desc(), F.col("v").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("grp", F.col("v").alias("mode_value"), F.col("n").alias("mode_count"))
+    )

@@ -195,3 +195,141 @@ def test_expectations_ivm_equals_batch(spark):
         for r in quality_expectations_q(spark, SF01).collect()
     }
     assert got == want
+
+
+def test_schema_drift_ivm_equals_batch(spark):
+    """The stream-maintained drift table equals the batch operator
+    row-for-row (shared-oracle contract) — distinctness and new-value
+    detection derive correctly from the maintained census."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        stream_schema_drift_maintain_q,
+    )
+
+    got = {tuple(r) for r in stream_schema_drift_maintain_q(spark, SF01).collect()}
+    want = {tuple(r) for r in quality_schema_drift_q(spark, SF01).collect()}
+    assert got == want and len(want) == 4
+
+
+def test_collision_profile_key_vs_enum(spark):
+    """A near-key column reads near-zero collision ppm; a small enum reads
+    ~1e6/|enum|; and the ppm matches the exact Python fraction."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        quality_column_collision_profile_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    out = {r.column_name: r for r in quality_column_collision_profile_q(spark, SF01).collect()}
+    assert out["o_custkey"].collision_ppm < out["o_orderstatus"].collision_ppm
+    # exact replay for one column
+    vals = [
+        r.o_orderstatus
+        for r in load_table(spark, SF01, "orders").select("o_orderstatus").collect()
+        if r.o_orderstatus is not None
+    ]
+    from collections import Counter
+
+    c = Counter(vals)
+    n = sum(c.values())
+    mass = sum(v * (v - 1) for v in c.values())
+    assert out["o_orderstatus"].collision_ppm == (1_000_000 * mass) // (n * (n - 1))
+    assert int(out["o_orderstatus"].collision_mass) == mass
+
+
+def test_weighted_median_exact_replay(spark):
+    """The weighted median matches an exact Python replay per group."""
+    from collections import defaultdict
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        agg_weighted_median_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    got = {r.flag: r.weighted_median for r in agg_weighted_median_q(spark, SF01).collect()}
+    acc: dict = defaultdict(lambda: defaultdict(int))
+    for r in load_table(spark, SF01, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect():
+        acc[r.l_returnflag][int(r.l_quantity)] += round(r.l_extendedprice * 100)
+    for flag, wq in acc.items():
+        tw = sum(wq.values())
+        cw = 0
+        for q in sorted(wq):
+            cw += wq[q]
+            if 2 * cw >= tw:
+                assert got[flag] == q
+                break
+
+
+def test_hard_negatives_label_inequality_and_argmax(spark):
+    """Every mined negative has a different label, and it is the true
+    integer-dot argmax among other-labeled vectors (ties to min id)."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        pairs_hard_negatives_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import quantize_np
+
+    out = {r.anchor: r for r in pairs_hard_negatives_q(spark, SF).collect()}
+    em = {
+        r.vec_id: (quantize_np(r.embedding), r.label)
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    for a, r in out.items():
+        assert r.anchor_label != r.negative_label
+        best = max(
+            ((int((em[a][0] * v).sum()), -c) for c, (v, lab) in em.items() if lab != em[a][1]),
+        )
+        assert (r.dot_q, -r.negative) == best
+
+
+def test_best_f1_is_global_argmax(spark):
+    """The emitted operating point attains the maximum truncated-ppm F1
+    over ALL distinct thresholds (verified by brute replay)."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        eval_threshold_best_f1_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    row = eval_threshold_best_f1_q(spark, SF01).collect()[0]
+    docs = load_table(spark, SF01, "documents").select("text", "lang").collect()
+    import re
+
+    scored = []
+    for d in docs:
+        toks = re.split(r"\s+", d.text)
+        stop = sum(1 for t in toks if t in {"the", "a", "of", "and", "to", "in", "is"})
+        scored.append((1_000_000 * stop // len(toks), 1 if d.lang == "en" else 0))
+    p = sum(y for _, y in scored)
+    best = None
+    for t in sorted({s for s, _ in scored}):
+        tp = sum(y for s, y in scored if s >= t)
+        fp = sum(1 - y for s, y in scored if s >= t)
+        fn = p - tp
+        f1 = 1_000_000 * 2 * tp // (2 * tp + fp + fn)
+        cand = (f1, -t)
+        if best is None or cand > best:
+            best = cand
+    assert (row.f1_ppm, -row.threshold) == best
+
+
+def test_mode_deterministic_tiebreak(spark):
+    """On a planted exact tie the mode is the lexicographically smallest
+    value, regardless of partitioning."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        agg_mode_per_group_q,
+    )
+
+    out = agg_mode_per_group_q(spark, SF01)
+    assert out.count() == out.select("grp").distinct().count()
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "a"), ("g", "a"), ("g", "b")],
+        "o_orderpriority string, o_orderstatus string",
+    ).repartition(4)
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(
+        F.col("o_orderpriority").alias("grp"), F.col("o_orderstatus").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("grp").orderBy(F.col("n").desc(), F.col("v").asc())
+    top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    assert top.collect()[0].v == "a"

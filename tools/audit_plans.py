@@ -381,6 +381,13 @@ WAIVERS: dict[str, set[str]] = {
     # (constant-dim fanout — the join_spatial_grid offset-frame waiver);
     # at real probe counts the same plan runs Aho-Corasick per task.
     "contamination_substring_scan": {"CARTESIAN"},
+    # (round 11) the 16-row anchor dim broadcasts onto the corpus scan
+    # (the similarity_topk waiver — hard-negative mining IS a top-1 query
+    # with a label filter); the argmax is a per-anchor window.
+    "pairs_hard_negatives": {"CARTESIAN"},
+    # (round 11) the 1-row positives-total frame is cross-joined onto the
+    # bounded score-grid sweep (scalar broadcast, the eval_ks pattern).
+    "eval_threshold_best_f1": {"CARTESIAN"},
 }
 
 
