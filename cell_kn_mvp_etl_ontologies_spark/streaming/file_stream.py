@@ -62,18 +62,21 @@ def read_documents_stream(
     return reader.parquet(sf_dir)
 
 
-def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_orders_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the orders table — the ingestion side of
     continuous distribution-drift monitoring.  o_orderdate is stored as a
     micros TIMESTAMP in the synthetic data; branch like read_events_stream
-    so a storage change fails loudly here, not in the driver gate."""
+    so a storage change fails loudly here, not in the driver gate.
+    ``max_files_per_trigger`` forces multi-batch execution (the bundling-
+    independence tests drive the IVM maintainers with it)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "orders*")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "orders*")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
     dt = dict(stream.dtypes).get("o_orderdate")
     if dt == "bigint":  # legacy TIMESTAMP(NANOS) storage read as long
         return stream.withColumn(

@@ -307,3 +307,48 @@ def test_velocity_two_level_stitch_across_batches(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert stream == batch and len(batch) == 4
+
+
+def test_round11_ivm_twins_bundling_independence(spark, tmp_path, monkeypatch):
+    """The two round-11 orders-stream maintainers must equal their batch
+    twins over a REAL multi-batch split (3 files, one per trigger): the
+    expectations scorecard (incl. the NON-additive uniqueness census —
+    duplicate halves landing in different batches must still count) and
+    the schema-drift profile (distinct/new-value faces over the census)."""
+    import cell_kn_mvp_etl_ontologies_spark.streaming as streaming_mod
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "split_sf"
+    d.mkdir()
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    # customer.parquet must exist beside the split (the FK dim)
+    import glob as _glob
+    import shutil
+
+    shutil.copy(f"{sf}/customer.parquet", str(d / "customer.parquet"))
+    names = {0: "", 1: "_1", 2: "_2"}
+    for i in range(3):
+        tmp_out = str(d / f"__tmp_orders_{i}")
+        orders.filter(F.col("o_orderkey") % 3 == i).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_out)
+        part = _glob.glob(tmp_out + "/part-*.parquet")[0]
+        shutil.move(part, str(d / f"orders{names[i]}.parquet"))
+        shutil.rmtree(tmp_out, ignore_errors=True)
+    sf_dir = str(d)
+
+    orig = streaming_mod.read_orders_stream
+    monkeypatch.setattr(
+        streaming_mod,
+        "read_orders_stream",
+        lambda sp, sd: orig(sp, sd, max_files_per_trigger=1),
+    )
+
+    for stream_q, batch_q in [
+        ("stream_expectations_maintain", "quality_expectations"),
+        ("stream_schema_drift_maintain", "quality_schema_drift"),
+    ]:
+        batch = {tuple(r) for r in QUERIES[batch_q](spark, sf).collect()}
+        stream = {tuple(r) for r in QUERIES[stream_q](spark, sf_dir).collect()}
+        assert stream == batch and len(batch) > 0, stream_q
