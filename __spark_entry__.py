@@ -132,6 +132,8 @@ _PRIORITY = [
     "stream_schema_drift_maintain", "quality_column_collision_profile",
     "agg_weighted_median", "pairs_hard_negatives",
     "eval_threshold_best_f1", "agg_mode_per_group",
+    "sample_balanced_downsample", "text_ngram_novelty_profile",
+    "stream_weighted_median_maintain",
     # ================= ROUND 10 PREFIX (executed; kept for the record —
     # duplicates below the r11 block are deduped by _ordered) =============
     # (a) contracts NEW/CHANGED since the r9 gate — jump to the head per the

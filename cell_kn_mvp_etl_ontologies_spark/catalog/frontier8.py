@@ -1456,3 +1456,212 @@ def agg_mode_per_group_q(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("grp", F.col("v").alias("mode_value"), F.col("n").alias("mode_count"))
     )
+
+
+# --------------------------------------------------------------------------
+# sample_balanced_downsample — auto-balance to the minority class
+# --------------------------------------------------------------------------
+@register(
+    "sample_balanced_downsample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('bal|' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM documents
+    ),
+    floor_n AS (
+      SELECT CAST(MIN(n) AS BIGINT) AS k FROM (
+        SELECT COUNT(*) AS n FROM documents GROUP BY lang
+      )
+    )
+    SELECT r.doc_id, r.lang
+    FROM ranked r, floor_n f WHERE r.r <= f.k
+    """,
+)
+def sample_balanced_downsample_q(spark, sf_dir):
+    """Class-balanced downsampling — every class kept at EXACTLY the
+    minority-class size, members chosen by md5 rank within the class (the
+    md5-pure-function sampling family: any engine, any parallelism, any
+    day selects the same rows — rerunnable data curation, not a coin
+    flip).  The complement of `sample_class_weights` (reweight instead of
+    drop) and the auto-K form of `sample_cap_per_group` (the cap is
+    COMPUTED — min class size — not configured).
+
+    100 TB shape: one (class)-grain count agg (KB) broadcast as the cap,
+    one md5 rank window per class partition, no joins of data-scale
+    sides; the md5 sort key is uniform so class partitions are balanced
+    by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("bal|"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "lang", F.row_number().over(w).alias("r"))
+    k = docs.groupBy("lang").count().agg(F.min("count").cast("long").alias("k"))
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("r") <= F.col("k"))
+        .select("doc_id", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# text_ngram_novelty_profile — per-document novelty vs everything earlier
+# --------------------------------------------------------------------------
+@register(
+    "text_ngram_novelty_profile",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substring(substring(text, 1, 100), i, 8) AS g
+      FROM documents, generate_series(1, 93) t(i)
+      WHERE doc_id < 200 AND i <= greatest(length(substring(text, 1, 100)) - 7, 0)
+    ),
+    first_seen AS (
+      SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY g
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(1000000 * SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM sh s JOIN first_seen f ON f.g = s.g
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty_profile_q(spark, sf_dir):
+    """Per-document n-gram NOVELTY against everything earlier in the
+    corpus order — the doc-grain face of `text_vocab_growth`: a document
+    whose 8-grams were all first seen in EARLIER documents is template
+    mass / near-duplicate (novelty → 0), while genuinely new content
+    keeps novelty high; the curation signal for ordering-aware dedup
+    sweeps and crawl-frontier prioritization.  First-seen attribution is
+    MIN(doc_id) per distinct gram — exact, order-free, and retry-safe
+    (an arrival-order 'seen set' would be nondeterministic under any
+    parallelism).
+
+    100 TB shape: one shingle pass → (gram)-grain MIN agg (the
+    first-occurrence index, vocabulary-sized) → one keyed join back to
+    the (doc, gram) census; at corpus scale the gram census is the same
+    inverted-index shape every dedup family already shuffles."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", F.substring("text", 1, 100).alias("text")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 7, 0)),"
+                " i -> substring(text, i, 8))"
+            )
+        ).alias("g"),
+    ).distinct()
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    return (
+        sh.join(first_seen, on="g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_weighted_median_maintain — the weighted median as IVM
+# --------------------------------------------------------------------------
+@register(
+    "stream_weighted_median_maintain",
+    oracle="""
+    WITH wq AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ),
+    cum AS (
+      SELECT flag, q, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY q) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM wq
+    )
+    SELECT flag, CAST(MIN(q) AS BIGINT) AS weighted_median
+    FROM cum WHERE 2 * cw >= tw GROUP BY flag
+    """,
+)
+def stream_weighted_median_maintain_q(spark, sf_dir):
+    """`agg_weighted_median` as incremental view maintenance: the
+    maintained state is the (group, value, weight) census — weights fold
+    by pure SUM, so state is bundling-independent — and the median itself
+    is a READ-TIME face (a quantile is NOT batch-additive: the median of
+    medians is not the median, which is exactly why the census, not the
+    statistic, is the IVM-legitimate state — the `stream_pr_curve`
+    doctrine applied to weighted order statistics).  Shares the batch
+    row's oracle verbatim: stream == batch == DuckDB, hash-exact.
+
+    100 TB shape: per trigger one (group, value) partial agg into
+    value-grid-sized state; the face's cumulative window runs over the
+    BOUNDED per-group value grid, never the corpus."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_lineitem_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_wmed_")
+    census_path = root + "/census"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = batch_df.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("q"),
+        ).agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("w")
+        )
+        state = read_state_parquet(sp, census_path)
+        if state is not None:
+            merged = (
+                state.unionByName(part)
+                .groupBy("flag", "q")
+                .agg(F.sum("w").cast("long").alias("w"))
+            )
+        else:  # first batch
+            merged = part
+        staging = census_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(census_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_lineitem_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    wq = spark.read.parquet(census_path)
+    w_cum = Window.partitionBy("flag").orderBy("q")
+    cum = wq.select(
+        "flag",
+        "q",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    out = (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("q").cast("long").alias("weighted_median"))
+    )
+    return finish_and_clean(out, root)

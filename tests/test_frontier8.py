@@ -333,3 +333,50 @@ def test_mode_deterministic_tiebreak(spark):
     w = W.partitionBy("grp").orderBy(F.col("n").desc(), F.col("v").asc())
     top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     assert top.collect()[0].v == "a"
+
+
+def test_balanced_downsample_exact_balance_and_determinism(spark):
+    """Every class lands at exactly the minority size, and two runs select
+    identical rows (md5-pure, not a coin flip)."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        sample_balanced_downsample_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    out1 = {(r.doc_id, r.lang) for r in sample_balanced_downsample_q(spark, SF01).collect()}
+    out2 = {(r.doc_id, r.lang) for r in sample_balanced_downsample_q(spark, SF01).collect()}
+    assert out1 == out2
+    from collections import Counter
+
+    sizes = Counter(lang for _, lang in out1)
+    docs = load_table(spark, SF01, "documents")
+    k = min(
+        r["count"] for r in docs.groupBy("lang").count().collect()
+    )
+    assert set(sizes.values()) == {k}
+
+
+def test_novelty_exact_duplicate_reads_zero(spark):
+    """A doc whose prefix 8-grams all appeared in an earlier doc reads
+    novelty 0; the first doc in corpus order reads 1e6."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        text_ngram_novelty_profile_q,
+    )
+
+    out = {r.doc_id: r for r in text_ngram_novelty_profile_q(spark, SF01).collect()}
+    first = min(out)
+    assert out[first].novelty_ppm == 1_000_000
+    assert all(0 <= r.novelty_ppm <= 1_000_000 for r in out.values())
+
+
+def test_weighted_median_ivm_equals_batch(spark):
+    """Stream-maintained weighted median equals the batch operator (the
+    quantile face derives correctly from the maintained weight census)."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        agg_weighted_median_q,
+        stream_weighted_median_maintain_q,
+    )
+
+    got = {tuple(r) for r in stream_weighted_median_maintain_q(spark, SF01).collect()}
+    want = {tuple(r) for r in agg_weighted_median_q(spark, SF01).collect()}
+    assert got == want and len(want) == 3

@@ -388,6 +388,10 @@ WAIVERS: dict[str, set[str]] = {
     # (round 11) the 1-row positives-total frame is cross-joined onto the
     # bounded score-grid sweep (scalar broadcast, the eval_ks pattern).
     "eval_threshold_best_f1": {"CARTESIAN"},
+    # (round 11) the 1-row computed-cap frame (min class size) is
+    # cross-joined onto the ranked rows (scalar broadcast, the
+    # sample_source_sqrt pattern).
+    "sample_balanced_downsample": {"CARTESIAN"},
 }
 
 
