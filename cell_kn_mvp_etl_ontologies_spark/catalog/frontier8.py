@@ -1665,3 +1665,337 @@ def stream_weighted_median_maintain_q(spark, sf_dir):
         .agg(F.min("q").cast("long").alias("weighted_median"))
     )
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# sketch_kmv_distinct — k-minimum-values distinct estimation, md5-exact
+# --------------------------------------------------------------------------
+_KMV_K = 64
+
+_KMV_HASH_SQL = (
+    "('0x' || substring(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+)
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_distinct
+      FROM hashes
+    )
+    SELECT event_type,
+           CAST(MAX(n_distinct) AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                ELSE ({_KMV_K} - 1) * 4294967296 // MAX(CASE WHEN rn = {_KMV_K}
+                                                        THEN h END)
+                END AS BIGINT) AS kmv_estimate
+    FROM ranked WHERE rn <= {_KMV_K}
+    GROUP BY event_type
+    """,
+)
+def sketch_kmv_distinct_q(spark, sf_dir):
+    """K-minimum-values distinct-count sketch — the mergeable sketch rung
+    between the exact bitmap (`agg_bitmap_distinct`) and HLL
+    (`agg_approx_distinct`): keep the k smallest 32-bit md5 hashes per
+    group; estimate = (k−1)·2³² DIV h_k (exact count when the group holds
+    ≤ k values — the sketch IS the set there).  Because the hash is md5
+    (the portable-function doctrine), the sketch content — and therefore
+    the ESTIMATE — is bit-identical in any engine: this gate is
+    hash-EXACT, unlike HLL's engine-specific register layouts that force
+    `agg_approx_distinct` into a bounded-error contract.  Unlike bitmaps,
+    KMV state is O(k) per group at ANY cardinality; unlike HLL, two KMV
+    sketches support INTERSECTION estimation (`sketch_kmv_intersection`).
+
+    100 TB shape: one (group, hash)-distinct agg, then a per-group k-min
+    (rank window over the group's distinct hashes); state/exchange O(k)
+    per group after the distinct; merge of two sketches = k smallest of
+    the union — an idempotent, commutative lattice (the IVM twin's
+    bundling-independence proof)."""
+    events = _t(spark, sf_dir, "events")
+    hashes = events.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashes.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_distinct"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.max("n_distinct").cast("long").alias("exact_distinct"),
+            # sketch-only estimator (identical rule to the IVM twin): the
+            # sketch cannot distinguish n == k from n > k, so k_eff == k
+            # means the (k-1)*2^32/h_k estimator; exact_distinct beside it
+            # is the AUDIT column, never an estimator input
+            F.expr(
+                f"CAST(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)"
+                f" ELSE ({_KMV_K} - 1) * 4294967296 DIV MAX(CASE WHEN rn = {_KMV_K}"
+                " THEN h END) END AS BIGINT)"
+            ).alias("kmv_estimate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sketch_kmv_intersection — set-overlap estimation from two KMV sketches
+# --------------------------------------------------------------------------
+@register(
+    "sketch_kmv_intersection",
+    oracle=f"""
+    WITH sets AS (
+      SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS h
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    sketches AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM sets
+      ) WHERE rn <= {_KMV_K}
+    ),
+    union_sketch AS (
+      SELECT h,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_b
+      FROM sketches GROUP BY h
+    ),
+    topk AS (
+      SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn
+      FROM union_sketch
+    ),
+    sk AS (
+      SELECT CAST(SUM(in_a * in_b) AS BIGINT) AS k_both,
+             CAST(COUNT(*) AS BIGINT) AS k_eff,
+             MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+      FROM topk WHERE rn <= {_KMV_K}
+    ),
+    exact AS (
+      SELECT CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter,
+             CAST(COUNT(*) AS BIGINT) AS exact_union
+      FROM (
+        SELECT h,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_b
+        FROM sets GROUP BY h
+      )
+    )
+    SELECT s.k_eff, s.k_both,
+           CAST(CASE WHEN s.k_eff < {_KMV_K} THEN s.k_eff
+                ELSE ({_KMV_K} - 1) * 4294967296 // s.hk END AS BIGINT)
+             AS union_estimate,
+           CAST(1000000 * s.k_both // s.k_eff AS BIGINT) AS jaccard_est_ppm,
+           e.exact_inter, e.exact_union,
+           CAST(1000000 * e.exact_inter // e.exact_union AS BIGINT)
+             AS jaccard_exact_ppm
+    FROM sk s, exact e
+    """,
+)
+def sketch_kmv_intersection_q(spark, sf_dir):
+    """Set-INTERSECTION estimation from two KMV sketches — the operation
+    HLL cannot do without inclusion-exclusion error blowup and the reason
+    KMV earns its place on the sketch ladder.  Pure SKETCH ALGEBRA: the
+    union sketch is the k smallest of the two per-set sketches' union
+    (<= 2k rows), and membership flags come from the sketches themselves
+    — provably identical to flagging against the full sets (h in the
+    union sketch and h in A implies h in A's sketch: fewer than k union
+    hashes precede h, so fewer than k A-hashes do), so no corpus-grain
+    global window ever runs.  The fraction of union-sketch hashes in both
+    sets estimates Jaccard; |A intersect B| ~ J_hat * |A union B|.  md5
+    hashing keeps sketch content — hence the estimate AND the audit
+    columns (exact overlap computed beside it) — bit-identical
+    cross-engine: a hash-exact gate for an approximate algorithm, the
+    `similarity_ann_recall` measure-the-estimator doctrine.
+
+    100 TB shape: per-set k-min windows partition by set; everything
+    after is <= 2k rows; only the EXACT audit columns scan data, and
+    they drop at production scale leaving pure sketch algebra."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    sets = events.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w_set = Window.partitionBy("event_type").orderBy("h")
+    sketches = (
+        sets.withColumn("rn", F.row_number().over(w_set))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    union_sketch = sketches.groupBy("h").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("in_b"),
+    )
+    w_u = Window.orderBy("h")  # <= 2k rows by construction — bounded
+    topk = union_sketch.withColumn("rn", F.row_number().over(w_u))
+    sk = topk.filter(F.col("rn") <= _KMV_K).agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("k_both"),
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+    )
+    exact = (
+        sets.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_inter"),
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+        )
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "k_eff",
+        "k_both",
+        F.expr(
+            f"CAST(CASE WHEN k_eff < {_KMV_K} THEN k_eff"
+            f" ELSE ({_KMV_K} - 1) * 4294967296 DIV hk END AS BIGINT)"
+        ).alias("union_estimate"),
+        F.expr("CAST(1000000 * k_both DIV k_eff AS BIGINT)").alias("jaccard_est_ppm"),
+        "exact_inter",
+        "exact_union",
+        F.expr("CAST(1000000 * exact_inter DIV exact_union AS BIGINT)").alias(
+            "jaccard_exact_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_kmv_maintain — the KMV sketch as IVM
+# --------------------------------------------------------------------------
+@register(
+    "stream_kmv_maintain",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashes
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS k_eff,
+           CAST(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                ELSE ({_KMV_K} - 1) * 4294967296 // MAX(CASE WHEN rn = {_KMV_K}
+                                                        THEN h END)
+                END AS BIGINT) AS kmv_estimate
+    FROM ranked WHERE rn <= {_KMV_K}
+    GROUP BY event_type
+    """,
+)
+def stream_kmv_maintain_q(spark, sf_dir):
+    """The KMV sketch as incremental view maintenance — the sketch the
+    maintainer keeps IS the state: per group the k smallest hashes, and
+    merge(old sketch, batch sketch) = k smallest of the union — an
+    idempotent, commutative, associative lattice, so ANY micro-batch
+    bundling converges to the same sketch (the strongest
+    bundling-independence of all the IVM twins: not just additive, a
+    true semilattice).  The estimate is a read-time face over ≤ k state
+    rows per group.  Unlike `stream_hapax_maintain`'s vocabulary census
+    (state grows with distinct values), KMV state is CAPPED at k rows
+    per group at ANY cardinality — the sketch family's whole point.
+
+    Estimator face: k_eff < k means the sketch holds the entire set —
+    exact count; at k_eff == k, (k−1)·2³² DIV h_k.
+
+    100 TB shape: per trigger O(batch) hashing + a per-group k-min over
+    (state ∪ batch-mins) — state rows ≤ k·|groups| forever."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_events_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_kmv_")
+    sketch_path = root + "/sketch"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = batch_df.select(
+            "event_type",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ).distinct()
+        state = read_state_parquet(sp, sketch_path)
+        pool = state.unionByName(part).distinct() if state is not None else part
+        w = Window.partitionBy("event_type").orderBy("h")
+        merged = (
+            pool.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KMV_K)
+            .select("event_type", "h")
+        )
+        staging = sketch_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(sketch_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    sketch = spark.read.parquet(sketch_path)
+    w = Window.partitionBy("event_type").orderBy("h")
+    out = (
+        sketch.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_eff"),
+            F.expr(
+                f"CAST(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)"
+                f" ELSE ({_KMV_K} - 1) * 4294967296 DIV MAX(CASE WHEN rn = {_KMV_K}"
+                " THEN h END) END AS BIGINT)"
+            ).alias("kmv_estimate"),
+        )
+    )
+    return finish_and_clean(out, root)

@@ -380,3 +380,57 @@ def test_weighted_median_ivm_equals_batch(spark):
     got = {tuple(r) for r in stream_weighted_median_maintain_q(spark, SF01).collect()}
     want = {tuple(r) for r in agg_weighted_median_q(spark, SF01).collect()}
     assert got == want and len(want) == 3
+
+
+def test_kmv_estimate_quality_and_exact_branch(spark):
+    """Below k the sketch returns the EXACT count; at k the estimator's
+    relative error on the real corpus stays within the k=64 theory band
+    (~1/sqrt(k-1) ≈ 12.6%; assert a generous 3-sigma 40%)."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        sketch_kmv_distinct_q,
+    )
+
+    for r in sketch_kmv_distinct_q(spark, SF01).collect():
+        if r.exact_distinct < 64:
+            assert r.kmv_estimate == r.exact_distinct
+        else:
+            assert abs(r.kmv_estimate - r.exact_distinct) <= 0.4 * r.exact_distinct, r
+
+
+def test_kmv_sketch_membership_equivalence(spark):
+    """The sketch-only membership rule the intersection relies on: every
+    union-sketch hash belonging to set A (full membership) is present in
+    A's k-min sketch — pinned by direct comparison."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import _KMV_K
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+    import hashlib
+
+    ev = load_table(spark, SF01, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select("event_type", "user_id").collect()
+    sets: dict = {"click": set(), "view": set()}
+    for r in ev:
+        h = int(hashlib.md5(f"kmv|{r.user_id}".encode()).hexdigest()[:8], 16)
+        sets[r.event_type].add(h)
+    ska = set(sorted(sets["click"])[:_KMV_K])
+    skb = set(sorted(sets["view"])[:_KMV_K])
+    union_sketch = set(sorted(ska | skb)[:_KMV_K])
+    for h in union_sketch:
+        if h in sets["click"]:
+            assert h in ska
+        if h in sets["view"]:
+            assert h in skb
+
+
+def test_kmv_ivm_equals_batch_sketch(spark):
+    """The stream-maintained KMV estimate equals the batch sketch's
+    estimate per group (the semilattice merge converges to the same k-min
+    set as the one-shot computation)."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        sketch_kmv_distinct_q,
+        stream_kmv_maintain_q,
+    )
+
+    got = {r.event_type: r.kmv_estimate for r in stream_kmv_maintain_q(spark, SF01).collect()}
+    want = {r.event_type: r.kmv_estimate for r in sketch_kmv_distinct_q(spark, SF01).collect()}
+    assert got == want and len(want) > 0

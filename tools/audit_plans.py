@@ -392,6 +392,9 @@ WAIVERS: dict[str, set[str]] = {
     # cross-joined onto the ranked rows (scalar broadcast, the
     # sample_source_sqrt pattern).
     "sample_balanced_downsample": {"CARTESIAN"},
+    # (round 11) the 1-row sketch-stats frame is cross-joined with the
+    # 1-row exact-audit frame (the sanctioned 1-row stats-frame pattern).
+    "sketch_kmv_intersection": {"CARTESIAN"},
 }
 
 
