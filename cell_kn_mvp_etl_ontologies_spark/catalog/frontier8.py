@@ -548,18 +548,21 @@ def temporal_rate_shift_audit_q(spark, sf_dir):
     100 TB shape: one 1-row min/max agg broadcast onto the scan, one
     (event_type)-grain hash agg — two passes over the event stream, no
     joins of data-scale sides."""
+    # TZ-free epoch: pure TIMESTAMP_NTZ arithmetic from the NTZ epoch —
+    # unix_timestamp() would interpret NTZ in the SESSION timezone, and a
+    # DST-bearing session TZ makes offsets non-constant across the range
+    # (the engine-rule: all event-time math runs on TIMESTAMP_NTZ).
+    epoch_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).cast("long")
     events = _t(spark, sf_dir, "events")
     bounds = events.agg(
-        F.min(F.unix_timestamp("ts")).cast("long").alias("lo"),
-        F.max(F.unix_timestamp("ts")).cast("long").alias("hi"),
+        F.min(epoch_s).alias("lo"),
+        F.max(epoch_s).alias("hi"),
     )
     marked = events.crossJoin(F.broadcast(bounds)).select(
         "event_type",
-        F.when(
-            F.unix_timestamp("ts").cast("long") * 2 <= F.col("lo") + F.col("hi"), 1
-        )
-        .otherwise(2)
-        .alias("half"),
+        F.when(epoch_s * 2 <= F.col("lo") + F.col("hi"), 1).otherwise(2).alias("half"),
     )
     return marked.groupBy("event_type").agg(
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n1"),
