@@ -2002,3 +2002,84 @@ def stream_kmv_maintain_q(spark, sf_dir):
         )
     )
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# temporal_twap — exact time-weighted average per entity
+# --------------------------------------------------------------------------
+@register(
+    "temporal_twap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(value * 100) AS BIGINT) AS v_c,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS us_next
+      FROM events
+    ),
+    held AS (
+      SELECT user_id, v_c, us_next - us AS dur_us
+      FROM seq WHERE us_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(dur_us) AS BIGINT) AS span_us,
+           -- exact FLOOR division for any sign (DuckDB // truncates toward
+           -- zero on negatives; Spark's pmod form floors — make both floor)
+           CAST(CASE WHEN SUM(dur_us) > 0
+                THEN (SUM(CAST(v_c AS HUGEINT) * dur_us)
+                      - ((SUM(CAST(v_c AS HUGEINT) * dur_us) % SUM(dur_us)
+                          + SUM(dur_us)) % SUM(dur_us)))
+                     // SUM(dur_us)
+                END AS BIGINT) AS twap_c
+    FROM held GROUP BY user_id
+    """,
+)
+def temporal_twap_q(spark, sf_dir):
+    """Exact TIME-weighted average per entity — the billing/sensor/position
+    average where each observation is held until the next one (piecewise-
+    constant interpolation), so a value held for an hour weighs 3600x one
+    held a second; the plain AVG the events table would naively get is
+    wrong whenever sampling is irregular (which is always).  Pure integer
+    contract in MICROSECONDS: second-grain epochs are NOT cross-engine
+    safe (DuckDB's epoch() keeps the fractional part and CAST rounds,
+    Spark's timestampdiff(SECOND) truncates — measured off-by-one on this
+    corpus), while both engines agree bit-exactly on integer epoch
+    microseconds.  The cents quotient uses FLOOR semantics FOR ANY SIGN:
+    Spark's pmod form floors naturally, and the oracle floors explicitly
+    ((S - pmod(S, D)) // D) because DuckDB's bare `//` truncates toward
+    zero on negative numerators — a divergence positive-only gate data
+    would never catch.  The weighted sum accumulates in DECIMAL(38,0)/HUGEINT
+    (the Brier doctrine: v_c x a multi-year span in us brushes the BIGINT
+    edge) and only the floored cents quotient — bounded by the value
+    range — surfaces as BIGINT.  Zero-duration repeats contribute nothing
+    (weight 0); entities with one event have no covered span and emit NO
+    row (nothing was ever *held*).  Tie order (ts, event_id) is part of
+    the contract.
+
+    100 TB shape: one per-entity window (lead) over event-time-ordered
+    rows + one entity-grain hash agg; no joins, no corpus-grain window."""
+    events = _t(spark, sf_dir, "events")
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_c"),
+        epoch_us.alias("us"),
+        F.lead(epoch_us).over(w).alias("us_next"),
+    )
+    held = seq.filter(F.col("us_next").isNotNull()).select(
+        "user_id", "v_c", (F.col("us_next") - F.col("us")).alias("dur_us")
+    )
+    return held.groupBy("user_id").agg(
+        F.sum("dur_us").cast("long").alias("span_us"),
+        F.expr(
+            "CAST(CASE WHEN SUM(dur_us) > 0 THEN"
+            " (SUM(CAST(v_c AS DECIMAL(38,0)) * dur_us)"
+            "  - pmod(SUM(CAST(v_c AS DECIMAL(38,0)) * dur_us),"
+            "         CAST(SUM(dur_us) AS DECIMAL(38,0))))"
+            " / SUM(dur_us) END AS BIGINT)"
+        ).alias("twap_c"),
+    )

@@ -434,3 +434,60 @@ def test_kmv_ivm_equals_batch_sketch(spark):
     got = {r.event_type: r.kmv_estimate for r in stream_kmv_maintain_q(spark, SF01).collect()}
     want = {r.event_type: r.kmv_estimate for r in sketch_kmv_distinct_q(spark, SF01).collect()}
     assert got == want and len(want) > 0
+
+
+def test_twap_python_replay_and_negative_floor_contract(spark):
+    """TWAP matches an exact Python replay at microsecond grain; and on
+    PLANTED negative values the Spark quotient and the oracle's explicit
+    floor form agree (DuckDB's bare // truncates toward zero — the
+    divergence positive-only gate data never exercises)."""
+    import duckdb
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import temporal_twap_q
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    got = {r.user_id: (r.span_us, r.twap_c) for r in temporal_twap_q(spark, SF).collect()}
+    rows = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    from collections import defaultdict
+    import math
+
+    seqs = defaultdict(list)
+    for r in rows:
+        us = int(r.ts.timestamp() * 1_000_000) if False else None
+        # naive NTZ epoch micros without tz interpretation:
+        epoch = (r.ts - type(r.ts)(1970, 1, 1)).total_seconds()
+        seqs[r.user_id].append((r.ts, r.event_id, math.floor(r.value * 100), int(round(epoch * 1_000_000))))
+    for u, ev in seqs.items():
+        ev.sort(key=lambda x: (x[0], x[1]))
+        if len(ev) < 2:
+            assert u not in got
+            continue
+        span = ev[-1][3] - ev[0][3]
+        wsum = sum(ev[i][2] * (ev[i + 1][3] - ev[i][3]) for i in range(len(ev) - 1))
+        assert got[u][0] == span
+        assert got[u][1] == wsum // span  # python // floors — the contract
+
+    # negative-value floor agreement, Spark expr vs oracle floor form
+    df = spark.createDataFrame(
+        [(-7, 2), (-7, 3), (7, 2), (-1, 4)], "s long, d long"
+    )
+    from pyspark.sql import functions as F
+
+    sp = {
+        (r.s, r.d): r.q
+        for r in df.select(
+            "s",
+            "d",
+            F.expr(
+                "CAST((CAST(s AS DECIMAL(38,0)) - pmod(CAST(s AS DECIMAL(38,0)),"
+                " CAST(d AS DECIMAL(38,0)))) / d AS BIGINT)"
+            ).alias("q"),
+        ).collect()
+    }
+    for (s_, d_), q in sp.items():
+        duck = duckdb.sql(
+            f"SELECT (({s_}::HUGEINT - (({s_}::HUGEINT % {d_} + {d_}) % {d_})) // {d_})::BIGINT"
+        ).fetchone()[0]
+        assert q == duck == s_ // d_, (s_, d_, q, duck)
