@@ -2083,3 +2083,134 @@ def temporal_twap_q(spark, sf_dir):
             " / SUM(dur_us) END AS BIGINT)"
         ).alias("twap_c"),
     )
+
+
+# --------------------------------------------------------------------------
+# stream_novelty_maintain — the novelty profile as IVM
+# --------------------------------------------------------------------------
+@register(
+    "stream_novelty_maintain",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substring(substring(text, 1, 100), i, 8) AS g
+      FROM documents, generate_series(1, 93) t(i)
+      WHERE doc_id < 200 AND i <= greatest(length(substring(text, 1, 100)) - 7, 0)
+    ),
+    first_seen AS (
+      SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY g
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(1000000 * SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM sh s JOIN first_seen f ON f.g = s.g
+    GROUP BY s.doc_id
+    """,
+)
+def stream_novelty_maintain_q(spark, sf_dir):
+    """`text_ngram_novelty_profile` as incremental view maintenance — the
+    crawl-frontier novelty monitor running ON the ingest stream.  Two
+    state pieces, both lattices: the (gram, first_doc) first-occurrence
+    index folds by MIN (idempotent semilattice — the KMV doctrine), and
+    the per-doc (n_grams, n_novel) counters are FROZEN at the doc's own
+    ingest trigger: a document's novelty depends only on grams of
+    earlier documents, and the MIN(doc_id) attribution makes
+    'earlier' mean the id order, not arrival luck — so each batch
+    attributes within (its own grams ∪ prior state) and later batches
+    can never retroactively change a frozen row.  Batch-boundary
+    subtlety pinned by the bundling test: a gram first seen by TWO docs
+    in the SAME batch credits only the smaller id, exactly like the
+    batch operator.  Shares the batch row's oracle verbatim.
+
+    100 TB shape: per trigger one shingle pass over the batch, one MIN
+    merge into the vocabulary-sized first-seen index, one per-doc
+    counter append — the corpus is never rescanned and frozen rows are
+    never rewritten."""
+    import shutil
+    import tempfile
+
+    from ..streaming import read_documents_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_novelty_")
+    index_path = root + "/first_seen"
+    counters_path = root + "/counters"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        docs = batch_df.filter(F.col("doc_id") < 200).select(
+            "doc_id", F.substring("text", 1, 100).alias("text")
+        )
+        sh = docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 7, 0)),"
+                    " i -> substring(text, i, 8))"
+                )
+            ).alias("g"),
+        ).distinct()
+        batch_min = sh.groupBy("g").agg(
+            F.min("doc_id").cast("long").alias("first_doc")
+        )
+        state = read_state_parquet(sp, index_path)
+        if state is not None:
+            # MIN-semilattice merge: known grams keep their (earlier)
+            # first_doc; new grams enter with the batch-local min
+            merged = (
+                state.unionByName(batch_min)
+                .groupBy("g")
+                .agg(F.min("first_doc").cast("long").alias("first_doc"))
+            )
+            effective = merged
+        else:  # first batch
+            merged = batch_min
+            effective = batch_min
+        # freeze this batch's per-doc counters against the EFFECTIVE index
+        # (prior state ∪ this batch's minima)
+        part = (
+            sh.join(effective, on="g")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_grams"),
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_novel"),
+            )
+        )
+        # ORDER MATTERS: the frozen counters are LAZY over the OLD
+        # first-seen parquet (via `effective`), so they must land before
+        # the index rewrite deletes those files (the staging rewrite
+        # pattern's one sequencing hazard).
+        counters = read_state_parquet(sp, counters_path)
+        merged_c = counters.unionByName(part) if counters is not None else part
+        staging2 = counters_path + "_staging"
+        merged_c.write.mode("overwrite").parquet(staging2)
+        sp.read.parquet(staging2).write.mode("overwrite").parquet(counters_path)
+        shutil.rmtree(staging2, ignore_errors=True)
+        staging = index_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(index_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    out = spark.read.parquet(counters_path).select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("CAST(1000000 * n_novel DIV n_grams AS BIGINT)").alias("novelty_ppm"),
+    )
+    return finish_and_clean(out, root)

@@ -352,3 +352,45 @@ def test_round11_ivm_twins_bundling_independence(spark, tmp_path, monkeypatch):
         batch = {tuple(r) for r in QUERIES[batch_q](spark, sf).collect()}
         stream = {tuple(r) for r in QUERIES[stream_q](spark, sf_dir).collect()}
         assert stream == batch and len(batch) > 0, stream_q
+
+
+def test_novelty_ivm_bundling_independence_in_corpus_order(spark, tmp_path, monkeypatch):
+    """The novelty maintainer equals its batch twin over a REAL 3-batch
+    split in CORPUS ORDER (contiguous doc_id ranges, one file per
+    trigger) — including the within-batch subtlety: a gram first seen by
+    two docs in the SAME batch credits only the smaller id.  Corpus order
+    is the maintainer's documented ordering contract (novelty is defined
+    against 'everything earlier'), matching how an append-only crawl
+    actually lands."""
+    import glob as _glob
+    import shutil
+
+    import cell_kn_mvp_etl_ontologies_spark.streaming as streaming_mod
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "split_sf"
+    d.mkdir()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    names = {0: "", 1: "_1", 2: "_2"}
+    bounds = [(0, 20), (20, 90), (90, 10**9)]  # contiguous ranges
+    for i, (lo, hi) in enumerate(bounds):
+        tmp_out = str(d / f"__tmp_documents_{i}")
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).repartition(
+            1
+        ).write.mode("overwrite").parquet(tmp_out)
+        part = _glob.glob(tmp_out + "/part-*.parquet")[0]
+        shutil.move(part, str(d / f"documents{names[i]}.parquet"))
+        shutil.rmtree(tmp_out, ignore_errors=True)
+    sf_dir = str(d)
+
+    orig = streaming_mod.read_documents_stream
+    monkeypatch.setattr(
+        streaming_mod,
+        "read_documents_stream",
+        lambda sp, sd: orig(sp, sd, max_files_per_trigger=1),
+    )
+
+    batch = {tuple(r) for r in QUERIES["text_ngram_novelty_profile"](spark, sf).collect()}
+    stream = {tuple(r) for r in QUERIES["stream_novelty_maintain"](spark, sf_dir).collect()}
+    assert stream == batch and len(batch) > 0
