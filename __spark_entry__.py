@@ -135,7 +135,7 @@ _PRIORITY = [
     "sample_balanced_downsample", "text_ngram_novelty_profile",
     "stream_weighted_median_maintain",
     "sketch_kmv_distinct", "sketch_kmv_intersection", "stream_kmv_maintain",
-    "temporal_twap", "stream_novelty_maintain",
+    "temporal_twap", "stream_novelty_maintain", "temporal_median_decompose",
     # ================= ROUND 10 PREFIX (executed; kept for the record —
     # duplicates below the r11 block are deduped by _ordered) =============
     # (a) contracts NEW/CHANGED since the r9 gate — jump to the head per the

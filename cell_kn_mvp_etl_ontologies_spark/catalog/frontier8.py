@@ -2214,3 +2214,100 @@ def stream_novelty_maintain_q(spark, sf_dir):
         F.expr("CAST(1000000 * n_novel DIV n_grams AS BIGINT)").alias("novelty_ppm"),
     )
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# temporal_median_decompose — STL-lite trend/seasonal/remainder, all-integer
+# --------------------------------------------------------------------------
+@register(
+    "temporal_median_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    trended AS (
+      SELECT day, y,
+             list_sort(list(y) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win
+      FROM daily
+    ),
+    detrended AS (
+      SELECT day, y,
+             win[CAST((len(win) + 1) // 2 AS INT)] AS trend,
+             y - win[CAST((len(win) + 1) // 2 AS INT)] AS detr,
+             dayofweek(day) AS dow
+      FROM trended
+    ),
+    seasonal AS (
+      SELECT dow, det_sorted[CAST((len(det_sorted) + 1) // 2 AS INT)] AS s
+      FROM (SELECT dow, list_sort(list(detr)) AS det_sorted
+            FROM detrended GROUP BY dow)
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.y,
+           CAST(d.trend AS BIGINT) AS trend,
+           CAST(s.s AS BIGINT) AS seasonal,
+           CAST(d.y - d.trend - s.s AS BIGINT) AS remainder
+    FROM detrended d JOIN seasonal s ON s.dow = d.dow
+    """,
+)
+def temporal_median_decompose_q(spark, sf_dir):
+    """STL-lite robust decomposition of the daily event series into
+    trend + day-of-week seasonal + remainder — the anomaly-triage
+    primitive (`temporal_rolling_anomaly` flags points; this explains
+    them: is Monday low because of trend, seasonality, or a genuine
+    residual?).  Medians, not means, at both stages (outliers must land
+    in the REMAINDER, not smear the trend — the whole reason STL is
+    median/loess-shaped), and every median is the deterministic LOWER
+    median (sorted window, element (n+1) DIV 2): engine median()
+    builtins interpolate even-length windows differently, so the sorted-
+    array element IS the cross-engine contract.  Trend = centered 7-day
+    rolling median (edge days use their available window, identically in
+    both engines); seasonal = per-dow median of the detrended series;
+    remainder closes the identity y = trend + seasonal + remainder by
+    construction.
+
+    100 TB shape: the corpus reduces to DATE grain in one hash agg
+    (bounded by calendar days); everything after runs on the tiny daily
+    series — windows over ≤7 rows, a 7-row seasonal dim, one keyed
+    join."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "y",
+        F.sort_array(F.collect_list("y").over(w7)).alias("win"),
+    )
+    lower_median = F.expr("win[CAST((size(win) + 1) DIV 2 AS INT) - 1]")
+    detrended = trended.select(
+        "day",
+        "y",
+        lower_median.cast("long").alias("trend"),
+        (F.col("y") - lower_median).cast("long").alias("detr"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seasonal = (
+        detrended.groupBy("dow")
+        .agg(F.sort_array(F.collect_list("detr")).alias("det_sorted"))
+        .select(
+            "dow",
+            F.expr(
+                "det_sorted[CAST((size(det_sorted) + 1) DIV 2 AS INT) - 1]"
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return (
+        detrended.join(seasonal, on="dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "y",
+            "trend",
+            F.col("s").alias("seasonal"),
+            (F.col("y") - F.col("trend") - F.col("s")).cast("long").alias("remainder"),
+        )
+    )

@@ -491,3 +491,50 @@ def test_twap_python_replay_and_negative_floor_contract(spark):
             f"SELECT (({s_}::HUGEINT - (({s_}::HUGEINT % {d_} + {d_}) % {d_})) // {d_})::BIGINT"
         ).fetchone()[0]
         assert q == duck == s_ // d_, (s_, d_, q, duck)
+
+
+def test_median_decompose_identity_and_robustness(spark):
+    """y = trend + seasonal + remainder on every row, and a planted
+    one-day spike lands (mostly) in the REMAINDER, not the trend — the
+    median-robustness property the operator exists for."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        temporal_median_decompose_q,
+    )
+
+    rows = temporal_median_decompose_q(spark, SF01).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.y == r.trend + r.seasonal + r.remainder
+
+    # robustness: spike one day 10x; its own remainder absorbs the spike
+    # while every OTHER day's trend moves by at most the window's median
+    # sensitivity (a single outlier cannot move a 7-point median by more
+    # than the gap to the next order statistic — here: unchanged rows
+    # must dominate)
+    import datetime
+
+    base = [
+        (datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i, hours=h), i * 24 + h)
+        for i in range(28)
+        for h in range(10)
+    ]
+    spike_day = 14
+    spike = [
+        (datetime.datetime(2024, 1, 1) + datetime.timedelta(days=spike_day, minutes=m), 10000 + m)
+        for m in range(90)
+    ]
+    df = spark.createDataFrame(
+        [(ts, i) for ts, i in base + spike], "ts timestamp_ntz, event_id long"
+    ).selectExpr("ts", "event_id", "1 as user_id", "'x' as event_type",
+                 "1.0 as value", "'' as props")
+    import cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 as f8
+    orig = f8._t
+    try:
+        f8._t = lambda sp, sd, name: df
+        out = {r.day: r for r in temporal_median_decompose_q(spark, SF01).collect()}
+    finally:
+        f8._t = orig
+    spiked = out["2024-01-15"]
+    assert spiked.remainder > 50  # the spike sits in the remainder
+    # trend on the spiked day stays at the neighborhood's median level
+    assert spiked.trend <= 2 * out["2024-01-10"].trend + 10
