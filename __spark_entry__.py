@@ -136,6 +136,7 @@ _PRIORITY = [
     "stream_weighted_median_maintain",
     "sketch_kmv_distinct", "sketch_kmv_intersection", "stream_kmv_maintain",
     "temporal_twap", "stream_novelty_maintain", "temporal_median_decompose",
+    "eval_auc_delong_var",
     # ================= ROUND 10 PREFIX (executed; kept for the record —
     # duplicates below the r11 block are deduped by _ordered) =============
     # (a) contracts NEW/CHANGED since the r9 gate — jump to the head per the

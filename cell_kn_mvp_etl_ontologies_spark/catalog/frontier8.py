@@ -2311,3 +2311,155 @@ def temporal_median_decompose_q(spark, sf_dir):
             (F.col("y") - F.col("trend") - F.col("s")).cast("long").alias("remainder"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# eval_auc_delong_var — exact DeLong variance components for the AUC
+# --------------------------------------------------------------------------
+@register(
+    "eval_auc_delong_var",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+               t -> t IN ('the','a','of','and','to','in','is')))
+             // len(string_split_regex(text, '\\s+')) AS BIGINT) AS score,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    grid AS (
+      SELECT score,
+             CAST(SUM(y) AS BIGINT) AS kp,
+             CAST(SUM(1 - y) AS BIGINT) AS kn
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, kp, kn,
+             COALESCE(SUM(kn) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below,
+             COALESCE(SUM(kp) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_above
+      FROM grid
+    ),
+    tot AS (
+      SELECT CAST(SUM(kp) AS BIGINT) AS m, CAST(SUM(kn) AS BIGINT) AS n
+      FROM grid
+    ),
+    comps AS (
+      SELECT
+        SUM(kp * (2 * neg_below + kn)) AS sum_d,
+        SUM(kp * CAST(2 * neg_below + kn AS HUGEINT)
+               * CAST(2 * neg_below + kn AS HUGEINT)) AS sum_d2,
+        SUM(kn * (2 * pos_above + kp)) AS sum_e,
+        SUM(kn * CAST(2 * pos_above + kp AS HUGEINT)
+               * CAST(2 * pos_above + kp AS HUGEINT)) AS sum_e2
+      FROM cum
+    )
+    SELECT t.m, t.n,
+           CAST(1000000 * CAST(c.sum_d AS HUGEINT)
+                // (2 * CAST(t.m AS HUGEINT) * t.n) AS BIGINT) AS auc_ppm,
+           CAST(1000000000000 * (t.m * c.sum_d2 - CAST(c.sum_d AS HUGEINT) * c.sum_d)
+                // (CAST(t.m AS HUGEINT) * t.m * (t.m - 1) * 4 * t.n * t.n)
+                AS BIGINT) AS var10_e12,
+           CAST(1000000000000 * (t.n * c.sum_e2 - CAST(c.sum_e AS HUGEINT) * c.sum_e)
+                // (CAST(t.n AS HUGEINT) * t.n * (t.n - 1) * 4 * t.m * t.m)
+                AS BIGINT) AS var01_e12
+    FROM comps c, tot t
+    """,
+)
+def eval_auc_delong_var_q(spark, sf_dir):
+    """Exact DeLong variance components for the ROC AUC — the statistic
+    behind every 'is model A's AUC significantly above B's' readout:
+    var(AUC) = S10/m + S01/n, where S10/S01 are the sample variances of
+    the per-positive / per-negative placement values.  Everything stays
+    rational-exact via dominance counting on the score grid (the
+    eval_auc_rank / eval_cindex_full doctrine — NEVER per-pair): each
+    positive at score s has doubled placement d = 2·(negatives below) +
+    (negatives tied), so Σd and Σd² fold from (score, count) grid rows;
+    symmetrically for negatives with positives above.  Variance
+    numerators m·Σd²−(Σd)² clear the rational mean exactly; outputs are
+    floored e12-scaled components (var = var10 + var01 at the
+    presentation layer; the sqrt for a CI is presentation too — this
+    engine ships exact integers, not rounding policy).  AUC ppm emitted
+    beside them, tie-aware (doubled-rank), consistent with
+    `eval_auc_rank`.
+
+    100 TB shape: one (score)-grain hash agg + two cumulative windows
+    over the BOUNDED ppm grid + a 1-row combine — the corpus is scanned
+    once; no all-pairs anything."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    stop = F.filter(
+        toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is")
+    )
+    scored = docs.select(
+        (F.lit(1000000) * F.size(stop)).cast("long").alias("_num"),
+        F.size(toks).cast("long").alias("_den"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).select(F.expr("CAST(_num DIV _den AS BIGINT)").alias("score"), "y")
+    grid = scored.groupBy("score").agg(
+        F.sum("y").cast("long").alias("kp"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("kn"),
+    )
+    w_up = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    w_dn = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grid.select(
+        "score",
+        "kp",
+        "kn",
+        F.coalesce(F.sum("kn").over(w_up), F.lit(0)).alias("neg_below"),
+        F.coalesce(F.sum("kp").over(w_dn), F.lit(0)).alias("pos_above"),
+    )
+    comps = cum.agg(
+        F.sum(F.col("kp") * (2 * F.col("neg_below") + F.col("kn")))
+        .cast("long")
+        .alias("sum_d"),
+        F.sum(
+            F.col("kp")
+            * F.expr(
+                "CAST(2 * neg_below + kn AS DECIMAL(38,0))"
+                " * CAST(2 * neg_below + kn AS DECIMAL(38,0))"
+            )
+        ).alias("sum_d2"),
+        F.sum(F.col("kn") * (2 * F.col("pos_above") + F.col("kp")))
+        .cast("long")
+        .alias("sum_e"),
+        F.sum(
+            F.col("kn")
+            * F.expr(
+                "CAST(2 * pos_above + kp AS DECIMAL(38,0))"
+                " * CAST(2 * pos_above + kp AS DECIMAL(38,0))"
+            )
+        ).alias("sum_e2"),
+    )
+    tot = grid.agg(
+        F.sum("kp").cast("long").alias("m"), F.sum("kn").cast("long").alias("n")
+    )
+
+    def _floor_div(num: str, den: str) -> str:
+        return f"CAST(({num} - pmod({num}, {den})) / ({den}) AS BIGINT)"
+
+    return comps.crossJoin(F.broadcast(tot)).select(
+        "m",
+        "n",
+        F.expr(
+            _floor_div(
+                "1000000 * CAST(sum_d AS DECIMAL(38,0))",
+                "2 * CAST(m AS DECIMAL(38,0)) * n",
+            )
+        ).alias("auc_ppm"),
+        F.expr(
+            _floor_div(
+                "1000000000000 * (m * sum_d2 - CAST(sum_d AS DECIMAL(38,0)) * sum_d)",
+                "CAST(m AS DECIMAL(38,0)) * m * (m - 1) * 4 * n * n",
+            )
+        ).alias("var10_e12"),
+        F.expr(
+            _floor_div(
+                "1000000000000 * (n * sum_e2 - CAST(sum_e AS DECIMAL(38,0)) * sum_e)",
+                "CAST(n AS DECIMAL(38,0)) * n * (n - 1) * 4 * m * m",
+            )
+        ).alias("var01_e12"),
+    )

@@ -538,3 +538,45 @@ def test_median_decompose_identity_and_robustness(spark):
     assert spiked.remainder > 50  # the spike sits in the remainder
     # trend on the spiked day stays at the neighborhood's median level
     assert spiked.trend <= 2 * out["2024-01-10"].trend + 10
+
+
+def test_delong_var_exact_python_replay(spark):
+    """AUC and both DeLong variance components match an exact Fraction
+    replay computed per-pair from scratch (the O(mn) ground truth the
+    dominance-counted form must equal)."""
+    import re
+    from fractions import Fraction
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        eval_auc_delong_var_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    row = eval_auc_delong_var_q(spark, SF01).collect()[0]
+    docs = load_table(spark, SF01, "documents").select("text", "lang").collect()
+    pos, neg = [], []
+    for d in docs:
+        toks = re.split(r"\s+", d.text)
+        s = 1_000_000 * sum(
+            1 for t in toks if t in {"the", "a", "of", "and", "to", "in", "is"}
+        ) // len(toks)
+        (pos if d.lang == "en" else neg).append(s)
+    m, n = len(pos), len(neg)
+    v10 = [
+        Fraction(sum(2 for x in neg if x < p) + sum(1 for x in neg if x == p), 2 * n)
+        for p in pos
+    ]
+    v01 = [
+        Fraction(sum(2 for x in pos if x > q) + sum(1 for x in pos if x == q), 2 * m)
+        for q in neg
+    ]
+    auc = sum(v10, Fraction(0)) / m
+    assert row.auc_ppm == (1_000_000 * auc.numerator) // auc.denominator
+    mean10 = sum(v10, Fraction(0)) / m
+    s10 = sum((v - mean10) ** 2 for v in v10) / (m - 1)
+    mean01 = sum(v01, Fraction(0)) / n
+    s01 = sum((v - mean01) ** 2 for v in v01) / (n - 1)
+    var10, var01 = s10 / m, s01 / n
+    assert row.var10_e12 == (10**12 * var10.numerator) // var10.denominator
+    assert row.var01_e12 == (10**12 * var01.numerator) // var01.denominator
+    assert sum(v10, Fraction(0)) / m == sum(v01, Fraction(0)) / n  # identity

@@ -395,6 +395,10 @@ WAIVERS: dict[str, set[str]] = {
     # (round 11) the 1-row sketch-stats frame is cross-joined with the
     # 1-row exact-audit frame (the sanctioned 1-row stats-frame pattern).
     "sketch_kmv_intersection": {"CARTESIAN"},
+    # (round 11) the 1-row dominance-component frame is cross-joined with
+    # the 1-row (m, n) totals frame (the sanctioned 1-row stats-frame
+    # pattern, eval_ab_cuped precedent).
+    "eval_auc_delong_var": {"CARTESIAN"},
 }
 
 
