@@ -135,9 +135,15 @@ def similarity_range_search_q(spark, sf_dir):
         F.col("q_norm"),
         F.col("norm_sq").alias("t_norm"),
     )
+    # DECIMAL(38,0) for the squared compare (ADVICE doctrine): dot ~ 7.6e8
+    # already wraps 16*dot^2 past BIGINT, and large-norm embeddings reach it
+    # — the oracle's HUGEINT never wraps, so the Spark side must not either.
     return scored.filter(
         (F.col("dot_q") >= 0)
-        & (16 * F.col("dot_q") * F.col("dot_q") >= F.col("q_norm") * F.col("t_norm"))
+        & (
+            F.expr("16 * CAST(dot_q AS DECIMAL(38,0)) * dot_q")
+            >= F.expr("CAST(q_norm AS DECIMAL(38,0)) * t_norm")
+        )
     ).select("q_id", "t_id", "dot_q")
 
 
@@ -529,9 +535,10 @@ def quality_schema_drift_q(spark, sf_dir):
     SELECT event_type,
            CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS n1,
            CAST(COUNT(*) FILTER (WHERE half = 2) AS BIGINT) AS n2,
-           (COUNT(*) FILTER (WHERE half = 1) - COUNT(*) FILTER (WHERE half = 2))
+           CAST(COUNT(*) FILTER (WHERE half = 1)
+                - COUNT(*) FILTER (WHERE half = 2) AS HUGEINT)
            * (COUNT(*) FILTER (WHERE half = 1) - COUNT(*) FILTER (WHERE half = 2))
-           > 4 * COUNT(*) AS shifted
+           > 4 * CAST(COUNT(*) AS HUGEINT) AS shifted
     FROM marked GROUP BY event_type
     """,
 )
@@ -567,16 +574,14 @@ def temporal_rate_shift_audit_q(spark, sf_dir):
     return marked.groupBy("event_type").agg(
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n1"),
         F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).cast("long").alias("n2"),
-        (
-            (
-                F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
-                - F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
-            )
-            * (
-                F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
-                - F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
-            )
-            > 4 * F.count(F.lit(1))
+        # DECIMAL(38,0) square (ADVICE doctrine): (n1-n2)^2 wraps BIGINT
+        # past ~3e9 single-type events; the oracle's HUGEINT never wraps
+        F.expr(
+            "CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)"
+            " - SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS DECIMAL(38,0))"
+            " * (SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)"
+            "    - SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END))"
+            " > 4 * CAST(COUNT(1) AS DECIMAL(38,0))"
         ).alias("shifted"),
     )
 
@@ -1113,9 +1118,10 @@ def stream_schema_drift_maintain_q(spark, sf_dir):
            CAST(SUM(n) AS BIGINT) AS n,
            CAST(COUNT(*) AS BIGINT) AS n_distinct,
            CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS DOUBLE) AS collision_mass,
-           CAST(1000000 * SUM(CAST(n AS HUGEINT) * (n - 1))
-                // (CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1)) AS BIGINT)
-             AS collision_ppm
+           CAST(CASE WHEN SUM(n) > 1
+                THEN 1000000 * SUM(CAST(n AS HUGEINT) * (n - 1))
+                     // (CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1))
+                END AS BIGINT) AS collision_ppm
     FROM counts GROUP BY column_name
     """,
 )
@@ -1160,11 +1166,15 @@ def quality_column_collision_profile_q(spark, sf_dir):
         F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1)"))
         .cast("double")
         .alias("collision_mass"),
+        # N <= 1 guard: a single-non-null-row column has no pair to
+        # collide — NULL by contract in BOTH engines (DuckDB would error
+        # on the bare zero division, Spark non-ANSI would NULL silently)
         F.expr(
-            "(1000000 * SUM(CAST(n AS DECIMAL(38,0)) * (n - 1))"
+            "CASE WHEN SUM(n) > 1 THEN"
+            " (1000000 * SUM(CAST(n AS DECIMAL(38,0)) * (n - 1))"
             " - pmod(1000000 * SUM(CAST(n AS DECIMAL(38,0)) * (n - 1)),"
             "        CAST(SUM(n) AS DECIMAL(38,0)) * (SUM(n) - 1)))"
-            " / (CAST(SUM(n) AS DECIMAL(38,0)) * (SUM(n) - 1))"
+            " / (CAST(SUM(n) AS DECIMAL(38,0)) * (SUM(n) - 1)) END"
         )
         .cast("long")
         .alias("collision_ppm"),
@@ -1350,8 +1360,9 @@ def pairs_hard_negatives_q(spark, sf_dir):
     ),
     f1 AS (
       SELECT threshold, tp, fp, t.p - tp AS fn,
-             CAST(1000000 * 2 * tp // (2 * tp + fp + (t.p - tp)) AS BIGINT)
-               AS f1_ppm
+             CAST(CASE WHEN 2 * tp + fp + (t.p - tp) > 0
+                  THEN 1000000 * 2 * tp // (2 * tp + fp + (t.p - tp))
+                  ELSE 0 END AS BIGINT) AS f1_ppm
       FROM sweep, tot t
     )
     SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
@@ -1401,8 +1412,12 @@ def eval_threshold_best_f1_q(spark, sf_dir):
         "tp",
         "fp",
         (F.col("p") - F.col("tp")).alias("fn"),
+        # zero-denominator guard (all-negative corpus at the top
+        # threshold): F1 defined as 0 there, in BOTH engines
         F.expr(
-            "CAST(1000000 * 2 * tp DIV (2 * tp + fp + (p - tp)) AS BIGINT)"
+            "CAST(CASE WHEN 2 * tp + fp + (p - tp) > 0"
+            " THEN 1000000 * 2 * tp DIV (2 * tp + fp + (p - tp))"
+            " ELSE 0 END AS BIGINT)"
         ).alias("f1_ppm"),
     )
     pick = Window.orderBy(F.col("f1_ppm").desc(), F.col("threshold").asc())
@@ -2358,12 +2373,14 @@ def temporal_median_decompose_q(spark, sf_dir):
     SELECT t.m, t.n,
            CAST(1000000 * CAST(c.sum_d AS HUGEINT)
                 // (2 * CAST(t.m AS HUGEINT) * t.n) AS BIGINT) AS auc_ppm,
-           CAST(1000000000000 * (t.m * c.sum_d2 - CAST(c.sum_d AS HUGEINT) * c.sum_d)
+           CAST(CASE WHEN t.m > 1 AND t.n > 0 THEN
+                1000000000000 * (t.m * c.sum_d2 - CAST(c.sum_d AS HUGEINT) * c.sum_d)
                 // (CAST(t.m AS HUGEINT) * t.m * (t.m - 1) * 4 * t.n * t.n)
-                AS BIGINT) AS var10_e12,
-           CAST(1000000000000 * (t.n * c.sum_e2 - CAST(c.sum_e AS HUGEINT) * c.sum_e)
+                END AS BIGINT) AS var10_e12,
+           CAST(CASE WHEN t.n > 1 AND t.m > 0 THEN
+                1000000000000 * (t.n * c.sum_e2 - CAST(c.sum_e AS HUGEINT) * c.sum_e)
                 // (CAST(t.n AS HUGEINT) * t.n * (t.n - 1) * 4 * t.m * t.m)
-                AS BIGINT) AS var01_e12
+                END AS BIGINT) AS var01_e12
     FROM comps c, tot t
     """,
 )
@@ -2450,16 +2467,22 @@ def eval_auc_delong_var_q(spark, sf_dir):
                 "2 * CAST(m AS DECIMAL(38,0)) * n",
             )
         ).alias("auc_ppm"),
+        # degenerate-class guard: m<=1 (or n=0) has no sample variance —
+        # NULL by contract in BOTH engines, never a zero division
         F.expr(
-            _floor_div(
+            "CASE WHEN m > 1 AND n > 0 THEN "
+            + _floor_div(
                 "1000000000000 * (m * sum_d2 - CAST(sum_d AS DECIMAL(38,0)) * sum_d)",
                 "CAST(m AS DECIMAL(38,0)) * m * (m - 1) * 4 * n * n",
             )
+            + " END"
         ).alias("var10_e12"),
         F.expr(
-            _floor_div(
+            "CASE WHEN n > 1 AND m > 0 THEN "
+            + _floor_div(
                 "1000000000000 * (n * sum_e2 - CAST(sum_e AS DECIMAL(38,0)) * sum_e)",
                 "CAST(n AS DECIMAL(38,0)) * n * (n - 1) * 4 * m * m",
             )
+            + " END"
         ).alias("var01_e12"),
     )

@@ -580,3 +580,51 @@ def test_delong_var_exact_python_replay(spark):
     assert row.var10_e12 == (10**12 * var10.numerator) // var10.denominator
     assert row.var01_e12 == (10**12 * var01.numerator) // var01.denominator
     assert sum(v10, Fraction(0)) / m == sum(v01, Fraction(0)) / n  # identity
+
+
+def test_round11_degenerate_edge_guards(spark):
+    """The self-review hardening pins (overflow/zero-division edges gate
+    data can't reach): big-dot range-search compares stay exact past the
+    BIGINT square wrap; single-row collision profiles and m<=1 DeLong
+    classes yield NULL, not an engine-divergent zero division."""
+    import duckdb
+
+    # (a) 16*dot^2 at dot = 8e8 wraps BIGINT (1.024e19 > 9.2e18); the
+    # DECIMAL compare must still be exact and POSITIVE
+    row = spark.sql(
+        """
+        SELECT 16 * CAST(d AS DECIMAL(38,0)) * d >= CAST(q AS DECIMAL(38,0)) * t AS dec_ok
+        FROM (SELECT CAST(800000000 AS BIGINT) d,
+                     CAST(3200000000 AS BIGINT) q, CAST(3200000000 AS BIGINT) t)
+        """
+    ).collect()[0]
+    assert row.dec_ok is True          # 1.024e19 >= 1.024e19 exactly
+    # the old long form is BROKEN at this magnitude either way: ANSI mode
+    # raises ARITHMETIC_OVERFLOW, non-ANSI silently wraps negative
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        wrapped = spark.sql(
+            "SELECT 16 * d * d AS w FROM (SELECT CAST(800000000 AS BIGINT) d)"
+        ).collect()[0].w
+        if wrapped >= 0:  # non-ANSI wrap path: force the failure visibly
+            raise AssertionError(f"expected wrap or overflow, got {wrapped}")
+
+    # (b) collision ppm on a 1-non-null-row column: NULL in both engines
+    from pyspark.sql import functions as F
+
+    one = spark.createDataFrame([("c", "x", 1)], "column_name string, v string, n long")
+    got = one.groupBy("column_name").agg(
+        F.expr(
+            "CASE WHEN SUM(n) > 1 THEN"
+            " (1000000 * SUM(CAST(n AS DECIMAL(38,0)) * (n - 1))"
+            " - pmod(1000000 * SUM(CAST(n AS DECIMAL(38,0)) * (n - 1)),"
+            "        CAST(SUM(n) AS DECIMAL(38,0)) * (SUM(n) - 1)))"
+            " / (CAST(SUM(n) AS DECIMAL(38,0)) * (SUM(n) - 1)) END"
+        ).cast("long").alias("p")
+    ).collect()[0]
+    assert got.p is None
+    duck = duckdb.sql(
+        "SELECT CASE WHEN SUM(n) > 1 THEN 1 END FROM (SELECT 1 AS n)"
+    ).fetchone()[0]
+    assert duck is None
