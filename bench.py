@@ -982,11 +982,23 @@ def main() -> None:
                 spark._jvm.System.gc()
                 return best
 
-            settle_ratios = [
-                _min_of(BENCH_QUERIES[q], 3) / nominal
-                for q, nominal in sentinels.items()
-                if q in BENCH_QUERIES
-            ]
+            # Fault isolation (ADVICE r11): the sentinel re-measure must not
+            # be able to raise out of main() and lose the whole sweep's
+            # summary — wrap it, and skip settlement (recording the error)
+            # if a sentinel fails or none are measurable.
+            try:
+                settle_ratios = [
+                    _min_of(BENCH_QUERIES[q], 3) / nominal
+                    for q, nominal in sentinels.items()
+                    if q in BENCH_QUERIES
+                ]
+            except Exception as exc:  # noqa: BLE001
+                errors["settle:sentinels"] = f"{type(exc).__name__}: {exc}"[:500]
+                summary["errors"] = errors
+                settle_ratios = []
+            if not settle_ratios:
+                flagged = []
+        if flagged:
             settle_speed = math.exp(
                 sum(math.log(r) for r in settle_ratios) / len(settle_ratios)
             )

@@ -522,13 +522,13 @@ def quality_schema_drift_q(spark, sf_dir):
     "temporal_rate_shift_audit",
     oracle="""
     WITH bounds AS (
-      SELECT CAST(epoch(MIN(ts)) AS BIGINT) AS lo,
-             CAST(epoch(MAX(ts)) AS BIGINT) AS hi
+      SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS lo,
+             CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS hi
       FROM events
     ),
     marked AS (
       SELECT event_type,
-             CASE WHEN CAST(epoch(ts) AS BIGINT) * 2 <= b.lo + b.hi
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) * 2 <= b.lo + b.hi
                   THEN 1 ELSE 2 END AS half
       FROM events, bounds b
     )
@@ -549,8 +549,11 @@ def temporal_rate_shift_audit_q(spark, sf_dir):
     is (n1−n2)/√(n1+n2), and |z| > 2 is the EXACT integer predicate
     (n1−n2)² > 4·(n1+n2) — no float, no sqrt, engines agree on boundary
     counts.  The half boundary itself is integer epoch arithmetic
-    (2·epoch ≤ lo+hi), so a midpoint landing exactly between two events
-    buckets identically in both engines.
+    (2·epoch ≤ lo+hi) on FLOOR-truncated epochs in BOTH engines (ADVICE
+    r11: a bare CAST(epoch(...) AS BIGINT) in DuckDB ROUNDS fractional
+    seconds while Spark's timestampdiff truncates — the repo-wide
+    CAST(FLOOR(epoch(ts)) AS BIGINT) pattern pins truncation), so a
+    midpoint landing exactly between two events buckets identically.
 
     100 TB shape: one 1-row min/max agg broadcast onto the scan, one
     (event_type)-grain hash agg — two passes over the event stream, no
@@ -1709,7 +1712,7 @@ _KMV_HASH_SQL = (
       FROM hashes
     )
     SELECT event_type,
-           CAST(MAX(n_distinct) AS BIGINT) AS exact_distinct,
+           CAST(MAX(n_distinct) AS BIGINT) AS exact_distinct_hashes,
            CAST(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
                 ELSE ({_KMV_K} - 1) * 4294967296 // MAX(CASE WHEN rn = {_KMV_K}
                                                         THEN h END)
@@ -1730,6 +1733,11 @@ def sketch_kmv_distinct_q(spark, sf_dir):
     `agg_approx_distinct` into a bounded-error contract.  Unlike bitmaps,
     KMV state is O(k) per group at ANY cardinality; unlike HLL, two KMV
     sketches support INTERSECTION estimation (`sketch_kmv_intersection`).
+    The `exact_distinct_hashes` audit column counts distinct 32-BIT
+    HASHES, not distinct keys (ADVICE r11): at ~100k keys per group,
+    birthday collisions in the 32-bit space undercount true distinct keys
+    by a few — both engines compute it identically, and the name says
+    what it is.
 
     100 TB shape: one (group, hash)-distinct agg, then a per-group k-min
     (rank window over the group's distinct hashes); state/exchange O(k)
@@ -1760,10 +1768,10 @@ def sketch_kmv_distinct_q(spark, sf_dir):
         ranked.filter(F.col("rn") <= _KMV_K)
         .groupBy("event_type")
         .agg(
-            F.max("n_distinct").cast("long").alias("exact_distinct"),
+            F.max("n_distinct").cast("long").alias("exact_distinct_hashes"),
             # sketch-only estimator (identical rule to the IVM twin): the
             # sketch cannot distinguish n == k from n > k, so k_eff == k
-            # means the (k-1)*2^32/h_k estimator; exact_distinct beside it
+            # means the (k-1)*2^32/h_k estimator; exact_distinct_hashes beside
             # is the AUDIT column, never an estimator input
             F.expr(
                 f"CAST(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)"
@@ -2127,22 +2135,24 @@ def temporal_twap_q(spark, sf_dir):
 def stream_novelty_maintain_q(spark, sf_dir):
     """`text_ngram_novelty_profile` as incremental view maintenance — the
     crawl-frontier novelty monitor running ON the ingest stream.  Two
-    state pieces, both lattices: the (gram, first_doc) first-occurrence
-    index folds by MIN (idempotent semilattice — the KMV doctrine), and
-    the per-doc (n_grams, n_novel) counters are FROZEN at the doc's own
-    ingest trigger: a document's novelty depends only on grams of
-    earlier documents, and the MIN(doc_id) attribution makes
-    'earlier' mean the id order, not arrival luck — so each batch
-    attributes within (its own grams ∪ prior state) and later batches
-    can never retroactively change a frozen row.  Batch-boundary
-    subtlety pinned by the bundling test: a gram first seen by TWO docs
-    in the SAME batch credits only the smaller id, exactly like the
-    batch operator.  Shares the batch row's oracle verbatim.
+    state pieces: the (gram, first_doc) first-occurrence index folds by
+    MIN (idempotent semilattice — the KMV doctrine), and the per-doc
+    (n_grams, n_novel) counters fold by SUM over deltas: each batch
+    attributes its own docs against (prior index ∪ batch minima), and —
+    the ADVICE r11 fix — when a LATER batch delivers a SMALLER doc_id
+    that steals a gram's first_doc from an already-counted doc, the
+    batch emits a −1 revocation delta to the displaced doc, so the
+    maintained counters equal the batch operator's global-MIN attribution
+    under ANY arrival order, not just in-id-order arrival.  Batch-
+    boundary subtlety pinned by the bundling tests (contiguous AND
+    id-shuffled splits): a gram first seen by TWO docs in the SAME batch
+    credits only the smaller id, exactly like the batch operator.
+    Shares the batch row's oracle verbatim.
 
     100 TB shape: per trigger one shingle pass over the batch, one MIN
     merge into the vocabulary-sized first-seen index, one per-doc
-    counter append — the corpus is never rescanned and frozen rows are
-    never rewritten."""
+    counter-delta fold (revocations are bounded by the batch's stolen
+    grams, never a corpus rescan)."""
     import shutil
     import tempfile
 
@@ -2171,6 +2181,7 @@ def stream_novelty_maintain_q(spark, sf_dir):
             F.min("doc_id").cast("long").alias("first_doc")
         )
         state = read_state_parquet(sp, index_path)
+        displaced = None
         if state is not None:
             # MIN-semilattice merge: known grams keep their (earlier)
             # first_doc; new grams enter with the batch-local min
@@ -2180,10 +2191,25 @@ def stream_novelty_maintain_q(spark, sf_dir):
                 .agg(F.min("first_doc").cast("long").alias("first_doc"))
             )
             effective = merged
+            # Revocation deltas (ADVICE r11): grams whose first_doc this
+            # batch STEALS (a smaller doc_id arrived late) emit a −1
+            # n_novel delta to the displaced doc, so the counters match
+            # global-MIN attribution under any arrival order.
+            displaced = (
+                state.join(
+                    batch_min.withColumnRenamed("first_doc", "new_first"), on="g"
+                )
+                .filter(F.col("new_first") < F.col("first_doc"))
+                .groupBy(F.col("first_doc").alias("doc_id"))
+                .agg(
+                    F.lit(0).cast("long").alias("n_grams"),
+                    (-F.count(F.lit(1))).cast("long").alias("n_novel"),
+                )
+            )
         else:  # first batch
             merged = batch_min
             effective = batch_min
-        # freeze this batch's per-doc counters against the EFFECTIVE index
+        # this batch's per-doc counter deltas against the EFFECTIVE index
         # (prior state ∪ this batch's minima)
         part = (
             sh.join(effective, on="g")
@@ -2197,12 +2223,18 @@ def stream_novelty_maintain_q(spark, sf_dir):
                 .alias("n_novel"),
             )
         )
-        # ORDER MATTERS: the frozen counters are LAZY over the OLD
-        # first-seen parquet (via `effective`), so they must land before
-        # the index rewrite deletes those files (the staging rewrite
-        # pattern's one sequencing hazard).
+        if displaced is not None:
+            part = part.unionByName(displaced)
+        # ORDER MATTERS: the counter deltas are LAZY over the OLD
+        # first-seen parquet (via `effective`/`state`), so they must land
+        # before the index rewrite deletes those files (the staging
+        # rewrite pattern's one sequencing hazard).
         counters = read_state_parquet(sp, counters_path)
         merged_c = counters.unionByName(part) if counters is not None else part
+        merged_c = merged_c.groupBy("doc_id").agg(
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+        )
         staging2 = counters_path + "_staging"
         merged_c.write.mode("overwrite").parquet(staging2)
         sp.read.parquet(staging2).write.mode("overwrite").parquet(counters_path)

@@ -96,18 +96,35 @@ def read_state_parquet(spark: SparkSession, path: str) -> DataFrame | None:
     path-not-found / cannot-infer-schema-from-empty-location signal, checked
     at plan time); executor-side IO errors surface at action time as
     ``Py4JJavaError``/``SparkException`` and now propagate.  Defense in
-    depth: when the path-not-found claim is checkable cheaply (local
-    filesystem), an existing-but-unreadable path re-raises rather than
-    resetting.
+    depth: the path-not-found claim is VERIFIED before concluding "first
+    batch" — ``os.path.exists`` for local paths, the Hadoop ``FileSystem``
+    API for URI paths (ADVICE r11: object-store prefixes previously fell
+    through to the silent-reset branch on ANY plan-time failure, the exact
+    hazard this helper exists to eliminate).  An existing-but-unplannable
+    path re-raises rather than resetting; only a genuinely absent path
+    returns ``None``.
     """
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(path)
     except AnalysisException:
+        if "://" in path:
+            # URI path: ask the Hadoop FileSystem whether it exists.  If
+            # the existence check itself fails (auth flap, endpoint down)
+            # we must NOT conclude first-batch — propagate loudly.
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(
+                spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+            )
+            if fs.exists(hpath):
+                # The path exists but planning failed: NOT a first batch.
+                raise
+            return None
         import os
 
-        if "://" not in path and os.path.exists(path):
+        if os.path.exists(path):
             # The path exists but planning failed: NOT a first batch.
             raise
         return None

@@ -391,10 +391,10 @@ def test_kmv_estimate_quality_and_exact_branch(spark):
     )
 
     for r in sketch_kmv_distinct_q(spark, SF01).collect():
-        if r.exact_distinct < 64:
-            assert r.kmv_estimate == r.exact_distinct
+        if r.exact_distinct_hashes < 64:
+            assert r.kmv_estimate == r.exact_distinct_hashes
         else:
-            assert abs(r.kmv_estimate - r.exact_distinct) <= 0.4 * r.exact_distinct, r
+            assert abs(r.kmv_estimate - r.exact_distinct_hashes) <= 0.4 * r.exact_distinct_hashes, r
 
 
 def test_kmv_sketch_membership_equivalence(spark):

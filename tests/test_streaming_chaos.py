@@ -394,3 +394,44 @@ def test_novelty_ivm_bundling_independence_in_corpus_order(spark, tmp_path, monk
     batch = {tuple(r) for r in QUERIES["text_ngram_novelty_profile"](spark, sf).collect()}
     stream = {tuple(r) for r in QUERIES["stream_novelty_maintain"](spark, sf_dir).collect()}
     assert stream == batch and len(batch) > 0
+
+
+def test_novelty_ivm_out_of_order_arrival(spark, tmp_path, monkeypatch):
+    """ADVICE r11: the novelty maintainer must equal its batch twin under
+    id-INTERLEAVED arrival (doc_id % 3 splits, one file per trigger), not
+    just contiguous corpus-order bundles.  When a later batch delivers a
+    SMALLER doc_id that steals a gram's first_doc from an already-counted
+    doc, the revocation delta must fire — with the old frozen counters the
+    displaced doc's n_novel could never be corrected and this equality
+    breaks."""
+    import glob as _glob
+    import shutil
+
+    import cell_kn_mvp_etl_ontologies_spark.streaming as streaming_mod
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "split_sf"
+    d.mkdir()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    names = {0: "", 1: "_1", 2: "_2"}
+    for i in range(3):
+        tmp_out = str(d / f"__tmp_documents_{i}")
+        docs.filter(F.col("doc_id") % 3 == i).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_out)
+        part = _glob.glob(tmp_out + "/part-*.parquet")[0]
+        shutil.move(part, str(d / f"documents{names[i]}.parquet"))
+        shutil.rmtree(tmp_out, ignore_errors=True)
+    sf_dir = str(d)
+
+    orig = streaming_mod.read_documents_stream
+    monkeypatch.setattr(
+        streaming_mod,
+        "read_documents_stream",
+        lambda sp, sd: orig(sp, sd, max_files_per_trigger=1),
+    )
+
+    batch = {tuple(r) for r in QUERIES["text_ngram_novelty_profile"](spark, sf).collect()}
+    stream = {tuple(r) for r in QUERIES["stream_novelty_maintain"](spark, sf_dir).collect()}
+    assert stream == batch and len(batch) > 0
