@@ -117,14 +117,23 @@ _PRIORITY = [
     # is now EMPTY — every catalog row has at least one driver-round
     # proof, and the 3-round freshness floor covers staleness from here
     # on) =================
-    # PRECOMPUTED ROUND-12 HEAD: the round-11 extension batch
-    # (catalog/frontier8.py — radius search, weighted Jaccard, FFD
-    # packing, schema drift, rate-shift audit, grouped K-fold, substring
-    # decontamination, expectations IVM), all hash-green in
-    # CORRECTNESS_LOCAL_r11; they take the r12 driver head per the
-    # new-contracts-first rule, followed by the stalest catalog rows
-    # (everything else is driver-verified r10/r11, so the r12 tail is
-    # simply catalog order below).
+    # ================= ROUND 12 PREFIX =================
+    # (a) contracts NEW in round 12 — jump to the head per the standing
+    # rule: the two VERDICT r11 prescriptions (the df-capped weighted-
+    # Jaccard twin #2 and the routed radius-search rung #3, both
+    # catalog/frontier9.py), followed by the round-12 operator batch.
+    "dedup_minhash_weighted_capped", "similarity_range_search_routed",
+    # (b) contracts CHANGED by the r11 ADVICE fixes (both already in the
+    # backlog below, listed here for the record): sketch_kmv_distinct
+    # (audit column renamed exact_distinct_hashes — schema-visible) and
+    # stream_novelty_maintain (counters now fold by SUM with revocation
+    # deltas — result-identical on every arrival order the oracle sees).
+    # (c) the 24-row never-driver backlog (VERDICT r11 #1): the round-11
+    # extension batch (catalog/frontier8.py — radius search, weighted
+    # Jaccard, FFD packing, schema drift, rate-shift audit, grouped
+    # K-fold, substring decontamination, expectations IVM, the KMV
+    # sketch family and round-11 IVMs), all hash-green in
+    # CORRECTNESS_LOCAL_r11 AND the judge's independent r11 re-run.
     "similarity_range_search", "dedup_minhash_weighted",
     "pack_sequences_ffd", "quality_schema_drift",
     "temporal_rate_shift_audit", "sample_group_kfold",

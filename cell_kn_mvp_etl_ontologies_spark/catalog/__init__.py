@@ -80,3 +80,4 @@ def load_all() -> None:
     from . import frontier6  # noqa: F401
     from . import frontier7  # noqa: F401
     from . import frontier8  # noqa: F401
+    from . import frontier9  # noqa: F401

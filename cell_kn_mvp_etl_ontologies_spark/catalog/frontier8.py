@@ -49,9 +49,35 @@ def _t(spark, sf_dir, name):
 # --------------------------------------------------------------------------
 # similarity_range_search — cosine-radius search in exact integers
 # --------------------------------------------------------------------------
-@register(
-    "similarity_range_search",
-    oracle="""
+def range_search_em(spark, sf_dir):
+    """The range-search gate corpus, shared by the brute tier and the
+    round-12 routed twin (catalog/frontier9.py): embeddings ∪ 5 planted
+    exact copies (shifted ids), HALF_UP-quantized with exact int64 norms."""
+    from ..operators.similarity import quantize_vec
+
+    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = base.unionByName(
+        base.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    em = corpus.select("vec_id", quantize_vec(F.col("embedding")).alias("qv"))
+    return em.select(
+        "vec_id",
+        "qv",
+        F.aggregate(
+            F.zip_with("qv", "qv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("norm_sq"),
+    )
+
+
+# Shared by `similarity_range_search` (brute gate tier) and the round-12
+# `similarity_range_search_routed` (catalog/frontier9.py): at nprobe =
+# n_cells the routed output is bit-identical to brute, so ONE oracle
+# constant gates both (the similarity_maxsim_routed doctrine).
+_RANGE_SEARCH_ORACLE = """
     WITH corpus AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
@@ -74,8 +100,10 @@ def _t(spark, sf_dir, name):
     JOIN norms nq ON nq.vec_id = d.q_id
     JOIN norms nt ON nt.vec_id = d.t_id
     WHERE d.dot >= 0 AND 16 * d.dot * d.dot >= nq.norm_sq * nt.norm_sq
-    """,
-)
+    """
+
+
+@register("similarity_range_search", oracle=_RANGE_SEARCH_ORACLE)
 def similarity_range_search_q(spark, sf_dir):
     """RADIUS similarity search — every corpus vector within cosine ≥ 0.25
     of each query — the report face the top-k ladder cannot express
@@ -100,24 +128,7 @@ def similarity_range_search_q(spark, sf_dir):
     100 TB shape: query side broadcast (8 rows), corpus scanned once,
     per-pair work O(dim); the output is data-dependent (ball occupancy),
     which is WHY production pre-buckets instead of scanning."""
-    from ..operators.similarity import quantize_vec
-
-    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = base.unionByName(
-        base.filter(F.col("vec_id") < 5).select(
-            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
-        )
-    )
-    em = corpus.select("vec_id", quantize_vec(F.col("embedding")).alias("qv"))
-    em = em.select(
-        "vec_id",
-        "qv",
-        F.aggregate(
-            F.zip_with("qv", "qv", lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("norm_sq"),
-    )
+    em = range_search_em(spark, sf_dir)
     q = em.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"),
         F.col("qv").alias("q_qv"),
@@ -155,6 +166,18 @@ _WEIGHTED_CORPUS_SQL = """
       UNION ALL
       SELECT doc_id + 10000, substring(text, 1, 60) FROM documents WHERE doc_id < 10
 """
+
+
+def weighted_corpus(spark, sf_dir):
+    """The weighted-Jaccard gate corpus (60 docs + 10 planted full-prefix
+    copies), shared with the round-12 df-capped twin (catalog/frontier9.py)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select(
+        "doc_id", F.substring("text", 1, 60).alias("text")
+    )
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(planted)
 
 
 @register(
@@ -200,14 +223,10 @@ def dedup_minhash_weighted_q(spark, sf_dir):
 
     100 TB shape: one shingle pass → (id, sh, tf) census → hash equi-join
     on sh (per-key fanout = docs sharing the shingle — capped in
-    production like `cdc_chunks_capped`), one (a,b)-keyed agg."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select(
-        "doc_id", F.substring("text", 1, 60).alias("text")
-    )
-    planted = docs.filter(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
-    )
-    corpus = docs.unionByName(planted)
+    production like `cdc_chunks_capped`; the gated df-capped twin is
+    `dedup_minhash_weighted_capped`, catalog/frontier9.py), one
+    (a,b)-keyed agg."""
+    corpus = weighted_corpus(spark, sf_dir)
     shingles = corpus.select(
         F.col("doc_id").alias("id"),
         F.explode(

@@ -1389,3 +1389,95 @@ def maxsim_route_cells_trained(
         )
 
     return _assign(q_sum, "q_id", nprobe), _assign(t_sum, "t_id", 1)
+
+
+def range_search_routed(
+    em: DataFrame,
+    queries: DataFrame,
+    n_cells: int,
+    nprobe: int,
+    tau_num: int = 1,
+    tau_den: int = 4,
+) -> DataFrame:
+    """Cell-routed RADIUS search: all corpus vectors with cosine ≥
+    tau_num/tau_den of each query, candidates served through md5-seeded
+    IVF cells instead of a full scan.
+
+    ``em``/``queries`` carry (vec_id, qv, norm_sq) — HALF_UP-quantized
+    int64 vectors with exact norms (the `quantize_vec` contract).  Seeds
+    are the first ``n_cells`` corpus vectors by (md5(vec_id), vec_id) —
+    the `maxsim_route_cells` seeding doctrine; corpus vectors assign to
+    their single nearest seed by EXACT int64 squared L2 (ties → smaller
+    cell), queries keep their ``nprobe`` nearest cells by the same
+    measure, and candidates come from the (cell) equi-join.  The refine
+    is the exact integer cross-multiplication the brute tier gates:
+    cos ≥ n/d ⟺ dot ≥ 0 ∧ d²·dot² ≥ n²·|q|²·|t|², squared compare in
+    DECIMAL(38,0) (dot ~ 7.6e8 wraps d²·dot² past BIGINT).
+
+    At ``nprobe = n_cells`` every cell is probed, the candidate set is
+    all (query, corpus) pairs, and the output is bit-identical to the
+    brute scan — the routed-identity proof.  At nprobe < n_cells recall
+    is structural for exact duplicates: identical vectors quantize
+    identically, hence assign to the same cell, hence are recovered at
+    nprobe = 1.  Every piece of routing state is integer-exact, so the
+    candidate SET (not just the refined output) is engine-independent.
+    """
+    seeds = (
+        em.select(
+            "vec_id",
+            "qv",
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id")))
+            .alias("_r"),
+        )
+        .filter(F.col("_r") <= n_cells)
+        .select((F.col("_r") - 1).cast("long").alias("cell"), F.col("qv").alias("cv"))
+    )
+
+    def _assign(side: DataFrame, keep: int, out_id: str) -> DataFrame:
+        scored = side.join(F.broadcast(seeds), on=F.lit(True), how="inner").select(
+            F.col("vec_id").alias(out_id),
+            "cell",
+            sq_dist_long(F.col("qv"), F.col("cv")).alias("_d"),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("_d").asc(), F.col("cell").asc())
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= keep)
+            .select(out_id, "cell")
+        )
+
+    t_cells = _assign(em, 1, "t_id")
+    q_cells = _assign(queries, nprobe, "q_id")
+    cand = q_cells.join(t_cells, on="cell").filter(
+        F.col("t_id") != F.col("q_id")
+    ).select("q_id", "t_id")
+    qv = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    tv = em.select(
+        F.col("vec_id").alias("t_id"),
+        F.col("qv").alias("t_qv"),
+        F.col("norm_sq").alias("t_norm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), on="q_id")
+        .join(tv, on="t_id")
+        .select(
+            "q_id",
+            "t_id",
+            _dot_long(F.col("q_qv"), F.col("t_qv")).alias("dot_q"),
+            "q_norm",
+            "t_norm",
+        )
+    )
+    d2, n2 = tau_den * tau_den, tau_num * tau_num
+    return scored.filter(
+        (F.col("dot_q") >= 0)
+        & (
+            F.expr(f"{d2} * CAST(dot_q AS DECIMAL(38,0)) * dot_q")
+            >= F.expr(f"{n2} * CAST(q_norm AS DECIMAL(38,0)) * t_norm")
+        )
+    ).select("q_id", "t_id", "dot_q")

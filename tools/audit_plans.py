@@ -165,6 +165,17 @@ WAIVERS: dict[str, set[str]] = {
     # assignment (the IVF waiver pattern); candidates and scoring are
     # keyed equi-joins — no data-scale cross product.
     "similarity_maxsim_routed": {"CARTESIAN"},
+    # the routed radius rung: its cross joins are the n_cells=4-row seed
+    # frame broadcast onto the corpus/query sides for exact-L2 assignment
+    # (the maxsim_route_cells assignment shape) — candidates themselves
+    # come from the (cell) equi-join, never all-pairs.
+    "similarity_range_search_routed": {"CARTESIAN"},
+    # the df-capped weighted-Jaccard refine unions the pair face with the
+    # corpus-level audit row, so the census subtree appears twice (audit's
+    # two-level countDistinct adds its own partials); every exchange is
+    # keyed ((id,sh) census, sh window + sh equi-join, id totals, (a,b)
+    # agg) — none corpus-single-partition, per-key fanout capped at 16.
+    "dedup_minhash_weighted_capped": {"MANY_EXCH"},
     # the cogrouped-vectorized twin routes through the same seed broadcast
     # (maxsim_route_cells is shared verbatim); scoring is the cell-keyed
     # cogroup — no data-scale cross product.
