@@ -66,7 +66,7 @@ ACCEPTANCE_BANDS = {
     "pagerank_orders": 3.59,
     "bm25_documents": 2.63,
     "graph_build_full": 7.20,
-    "cosine_topk_80k": 4.60,
+    "cosine_topk_80k": 5.52,
     "cosine_topk_80k_vec": 2.97,
     "ann_ivf_80k": 2.35,
     "minhash_dedup_capped": 1.81,
@@ -77,6 +77,7 @@ ACCEPTANCE_BANDS = {
     "maxsim_routed_10k": 7.48,
     "cdc_chunks_5k": 5.74,
     "graph_wire_sink": 2.51,
+    "novelty_ivm_200": 2.51,
 }
 
 
@@ -806,6 +807,23 @@ def cdc_chunks_5k(spark):
     return out.filter(F.col("jaccard_ppm") >= 250000)
 
 
+def novelty_ivm_200(spark):
+    """The round-11 novelty IVM end-to-end (VERDICT r11 #7: the heaviest
+    round-11 surface gets a first-class band so regressions there stop
+    being invisible to BENCH): one availableNow streaming trigger over the
+    documents source, per-batch 8-gram census, MIN-semilattice merge into
+    the first-seen index, revocation-delta counter fold (the ADVICE r12
+    fix), two staged parquet state rewrites, and the read-time novelty
+    face.  The 200-doc slice is the gated contract's own grain — what this
+    row times is the IVM MACHINERY (trigger + state lifecycle), which is
+    exactly the fixed cost every maintainer pays per trigger; census scale
+    costs are covered by the batch twin's operators elsewhere."""
+    from cell_kn_mvp_etl_ontologies_spark import catalog
+
+    catalog.load_all()
+    return catalog.QUERIES["stream_novelty_maintain"](spark, SF_DIR)
+
+
 BENCH_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -834,6 +852,7 @@ BENCH_QUERIES = {
     "graph_build_full": graph_build_full,
     "cdc_chunks_5k": cdc_chunks_5k,
     "graph_wire_sink": graph_wire_sink,
+    "novelty_ivm_200": novelty_ivm_200,
 }
 
 
