@@ -123,6 +123,15 @@ _PRIORITY = [
     # Jaccard twin #2 and the routed radius-search rung #3, both
     # catalog/frontier9.py), followed by the round-12 operator batch.
     "dedup_minhash_weighted_capped", "similarity_range_search_routed",
+    # ... and the round-12 operator batch (catalog/frontier9.py): the
+    # drawdown pair, the Pettitt changepoint, clipped BLEU precision, the
+    # three ingest-QA profiles, the stop-template report, LPT sharding,
+    # vocab coverage, and the multimodal metadata health profile.
+    "temporal_max_drawdown", "stream_drawdown_maintain",
+    "temporal_changepoint_pettitt", "eval_bleu_ngram_precision",
+    "quality_functional_dependency", "quality_uniqueness_profile",
+    "quality_value_length_profile", "text_boilerplate_census",
+    "shard_assign_lpt", "text_vocab_coverage", "multimodal_metadata_profile",
     # (b) contracts CHANGED by the r11 ADVICE fixes (both already in the
     # backlog below, listed here for the record): sketch_kmv_distinct
     # (audit column renamed exact_distinct_hashes — schema-visible) and

@@ -165,6 +165,14 @@ WAIVERS: dict[str, set[str]] = {
     # assignment (the IVF waiver pattern); candidates and scoring are
     # keyed equi-joins — no data-scale cross product.
     "similarity_maxsim_routed": {"CARTESIAN"},
+    # the Pettitt pair frame is the |days|² inequality self-join on the
+    # CALENDAR-BOUNDED daily series (~133k pairs for a year — the
+    # eval_kendall_tau O(slice²) waiver applied to day grain; the event
+    # stream itself reduces to days in one hash agg first).
+    "temporal_changepoint_pettitt": {"CARTESIAN"},
+    # the 1-row corpus-size frame is cross-joined onto the (tiny)
+    # boilerplate report (the sanctioned 1-row stats-frame pattern).
+    "text_boilerplate_census": {"CARTESIAN"},
     # the routed radius rung: its cross joins are the n_cells=4-row seed
     # frame broadcast onto the corpus/query sides for exact-L2 assignment
     # (the maxsim_route_cells assignment shape) — candidates themselves
