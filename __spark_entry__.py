@@ -132,6 +132,9 @@ _PRIORITY = [
     "quality_functional_dependency", "quality_uniqueness_profile",
     "quality_value_length_profile", "text_boilerplate_census",
     "shard_assign_lpt", "text_vocab_coverage", "multimodal_metadata_profile",
+    "temporal_seasonality_strength", "eval_snips_offpolicy",
+    "graph_bipartite_projection_capped", "stream_vocab_coverage_maintain",
+    "eval_krippendorff_alpha", "graph_louvain_move",
     # (b) contracts CHANGED by the r11 ADVICE fixes (both already in the
     # backlog below, listed here for the record): sketch_kmv_distinct
     # (audit column renamed exact_distinct_hashes — schema-visible) and

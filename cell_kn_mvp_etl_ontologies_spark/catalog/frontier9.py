@@ -917,9 +917,7 @@ def shard_assign_lpt_q(spark, sf_dir):
 _VOCAB_SIZE = 16
 
 
-@register(
-    "text_vocab_coverage",
-    oracle=f"""
+_VOCAB_COVERAGE_ORACLE = f"""
     WITH train_toks AS (
       SELECT t.tok FROM (
         SELECT lower(text) AS s FROM documents WHERE doc_id < 100
@@ -946,8 +944,10 @@ _VOCAB_SIZE = 16
            CAST(COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN h.tok END) AS BIGINT)
              AS oov_types
     FROM held h LEFT JOIN vocab v ON v.tok = h.tok
-    """,
-)
+    """
+
+
+@register("text_vocab_coverage", oracle=_VOCAB_COVERAGE_ORACLE)
 def text_vocab_coverage_q(spark, sf_dir):
     """Held-out vocabulary-coverage / OOV audit — the tokenizer-fitness
     check every LLM data pipeline runs before committing a vocab: train a
@@ -1073,4 +1073,608 @@ def multimodal_metadata_profile_q(spark, sf_dir):
         )
         .cast("long")
         .alias("n_meta_mismatch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal_seasonality_strength — variance-decomposition seasonality score
+# --------------------------------------------------------------------------
+@register(
+    "temporal_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    trended AS (
+      SELECT day, y,
+             list_sort(list(y) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win
+      FROM daily
+    ),
+    detrended AS (
+      SELECT day, y - win[CAST((len(win) + 1) // 2 AS INT)] AS detr,
+             dayofweek(day) AS dow
+      FROM trended
+    ),
+    seasonal AS (
+      SELECT dow, det_sorted[CAST((len(det_sorted) + 1) // 2 AS INT)] AS s
+      FROM (SELECT dow, list_sort(list(detr)) AS det_sorted
+            FROM detrended GROUP BY dow)
+    ),
+    parts AS (
+      SELECT d.detr, d.detr - s.s AS rem
+      FROM detrended d JOIN seasonal s ON s.dow = d.dow
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(*) * SUM(CAST(detr AS HUGEINT) * detr)
+                - SUM(CAST(detr AS HUGEINT)) * SUM(detr) AS BIGINT)
+             AS var_num_detr,
+           CAST(COUNT(*) * SUM(CAST(rem AS HUGEINT) * rem)
+                - SUM(CAST(rem AS HUGEINT)) * SUM(rem) AS BIGINT)
+             AS var_num_rem,
+           CAST(greatest(0, 1000000
+                - 1000000 * (COUNT(*) * SUM(CAST(rem AS HUGEINT) * rem)
+                             - SUM(CAST(rem AS HUGEINT)) * SUM(rem))
+                  // (COUNT(*) * SUM(CAST(detr AS HUGEINT) * detr)
+                      - SUM(CAST(detr AS HUGEINT)) * SUM(detr)))
+                AS BIGINT) AS seasonal_strength_ppm
+    FROM parts
+    """,
+)
+def temporal_seasonality_strength_q(spark, sf_dir):
+    """Seasonality STRENGTH of the daily series — the STL-family scalar
+    1 − Var(remainder)/Var(detrended) (Hyndman's F_s) on top of the same
+    robust decomposition `temporal_median_decompose` gates: how much of
+    the detrended variance the day-of-week profile explains, in exact
+    ppm.  All-integer: both variances enter as the n·Σx²−(Σx)² numerator
+    (same n, so the denominators cancel in the ratio), the quotient is
+    integer DIV in DECIMAL(38,0)/HUGEINT, and the score clamps at 0 (a
+    seasonal fit WORSE than nothing must read 0, not wrap negative).
+    The variance numerators ship alongside the score — the audit columns
+    that let a monitor recompute the ratio at any precision.
+
+    100 TB shape: the corpus collapses to day grain in one hash agg;
+    everything after runs on the tiny daily series (≤7-row windows, a
+    7-row seasonal dim, one 1-row final agg)."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day", "y", F.sort_array(F.collect_list("y").over(w7)).alias("win")
+    )
+    lower_median = F.expr("win[CAST((size(win) + 1) DIV 2 AS INT) - 1]")
+    detrended = trended.select(
+        "day",
+        (F.col("y") - lower_median).cast("long").alias("detr"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seasonal = (
+        detrended.groupBy("dow")
+        .agg(F.sort_array(F.collect_list("detr")).alias("det_sorted"))
+        .select(
+            "dow",
+            F.expr("det_sorted[CAST((size(det_sorted) + 1) DIV 2 AS INT) - 1]")
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    parts = detrended.join(seasonal, on="dow").select(
+        "detr", (F.col("detr") - F.col("s")).cast("long").alias("rem")
+    )
+    vd = (
+        "(COUNT(1) * SUM(CAST(detr AS DECIMAL(38,0)) * detr)"
+        " - SUM(CAST(detr AS DECIMAL(38,0))) * SUM(detr))"
+    )
+    vr = (
+        "(COUNT(1) * SUM(CAST(rem AS DECIMAL(38,0)) * rem)"
+        " - SUM(CAST(rem AS DECIMAL(38,0))) * SUM(rem))"
+    )
+    return parts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(f"CAST({vd} AS BIGINT)").alias("var_num_detr"),
+        F.expr(f"CAST({vr} AS BIGINT)").alias("var_num_rem"),
+        F.expr(
+            f"CAST(greatest(0, 1000000 - 1000000 * {vr} DIV {vd}) AS BIGINT)"
+        ).alias("seasonal_strength_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_snips_offpolicy — (self-normalized) inverse-propensity policy value
+# --------------------------------------------------------------------------
+@register(
+    "eval_snips_offpolicy",
+    oracle="""
+    WITH logged AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS r_c,
+             100000 + ('0x' || substring(md5('prop|' || CAST(event_id AS VARCHAR)),
+                                         1, 8))::BIGINT % 900001 AS p_ppm
+      FROM events
+    ),
+    weighted AS (
+      SELECT r_c, CAST(1000000000000 // p_ppm AS BIGINT) AS w_e6
+      FROM logged WHERE event_type = 'click'
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_logged FROM logged)
+    SELECT t.n_logged,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(r_c AS HUGEINT) * w_e6)
+                // (CAST(t.n_logged AS HUGEINT) * 1000000) AS BIGINT)
+             AS ips_value_c,
+           CAST(SUM(CAST(r_c AS HUGEINT) * w_e6) // SUM(w_e6) AS BIGINT)
+             AS snips_value_c
+    FROM weighted, tot t GROUP BY t.n_logged
+    """,
+)
+def eval_snips_offpolicy_q(spark, sf_dir):
+    """Off-policy evaluation by inverse propensity scoring — IPS and the
+    self-normalized SNIPS estimator of a target policy's value from
+    logged interactions (the counterfactual 'what would the click-always
+    policy have earned' question every ranking/recs change answers before
+    an A/B): matched events (logged action == target action) weigh
+    reward by 1/propensity; IPS divides by ALL logged rounds (unbiased,
+    high variance), SNIPS divides by Σw (biased, low variance — the
+    estimator pair ships TOGETHER because their disagreement is itself
+    the diagnostic).  Logging propensities are md5-derived ppm in
+    [0.1, 1.0] (the portable-function doctrine — any engine reproduces
+    the exact weights); weights are integer 1e12 DIV p_ppm; both value
+    estimates are exact HUGEINT/DECIMAL(38,0) quotients in cents.
+
+    100 TB shape: one projection (weights are per-row expressions), one
+    1-row agg plus the 1-row logged-total broadcast — no joins of
+    data-scale sides, no per-round state."""
+    events = _t(spark, sf_dir, "events")
+    logged = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("r_c"),
+        (
+            F.lit(100000)
+            + F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("prop|"), F.col("event_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 900001
+        ).alias("p_ppm"),
+    )
+    weighted = logged.filter(F.col("event_type") == "click").select(
+        "r_c", F.expr("CAST(1000000000000 DIV p_ppm AS BIGINT)").alias("w_e6")
+    )
+    tot = logged.agg(F.count(F.lit(1)).cast("long").alias("n_logged"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .groupBy("n_logged")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.expr(
+                "CAST(SUM(CAST(r_c AS DECIMAL(38,0)) * w_e6)"
+                " DIV (CAST(MAX(n_logged) AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+            ).alias("ips_value_c"),
+            F.expr(
+                "CAST(SUM(CAST(r_c AS DECIMAL(38,0)) * w_e6) DIV SUM(w_e6) AS BIGINT)"
+            ).alias("snips_value_c"),
+        )
+        .select("n_logged", "n_matched", "ips_value_c", "snips_value_c")
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_bipartite_projection_capped — item-item co-engagement with basket cap
+# --------------------------------------------------------------------------
+_BIPARTITE_BASKET_CAP = 7
+
+
+@register(
+    "graph_bipartite_projection_capped",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT
+             user_id || '|' || CAST(CAST(ts AS DATE) AS VARCHAR) AS basket,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    deg AS (SELECT basket, COUNT(*) AS d FROM ui GROUP BY basket),
+    kept AS (
+      SELECT ui.basket, ui.item FROM ui JOIN deg ON deg.basket = ui.basket
+      WHERE deg.d <= {_BIPARTITE_BASKET_CAP}
+    )
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_baskets
+    FROM kept a JOIN kept b ON b.basket = a.basket AND b.item > a.item
+    GROUP BY a.item, b.item
+    HAVING COUNT(*) >= 3
+    """,
+)
+def graph_bipartite_projection_capped_q(spark, sf_dir):
+    """Bipartite → unimodal projection with the hot-basket cap: the
+    basket–item engagement graph (baskets = (user, day) sessions, items
+    = the typed `props.k` payload key) projected onto an item–item
+    co-engagement graph weighted by shared baskets — the classic
+    market-basket / co-purchase construction — with baskets of degree
+    > {_BIPARTITE_BASKET_CAP} dropped BEFORE pair expansion: one
+    power-basket touching M items emits M²/2 item pairs (the
+    projection's quadratic is per-BASKET fanout — exactly the
+    boilerplate-mass shape the cap family kills, `cdc_chunks_capped` on
+    the basket axis), and a basket that touches everything discriminates
+    nothing (the tf-idf argument).  Gate scale: 4,006 baskets, max
+    degree 10, the cap drops 9 — observable, not decorative.  Edges
+    require ≥ 3 shared baskets (lower support is noise).
+
+    100 TB shape: one (basket, item) distinct census, basket-degree via
+    the count window over the basket partitioning (no join back), one
+    basket-keyed equi-join with per-key fanout ≤ {_BIPARTITE_BASKET_CAP}²,
+    one (item, item) hash agg — candidate volume linear in kept census
+    size, never all-item-pairs."""
+    events = _t(spark, sf_dir, "events")
+    item = F.get_json_object(F.col("props"), "$.k").cast("long")
+    ui = (
+        events.select(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("date").cast("string"),
+            ).alias("basket"),
+            item.alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    # degree via count window over the basket partitioning (the
+    # dedup_minhash_weighted_capped census shape — no join back)
+    uid = ui.withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("basket")))
+    kept = uid.filter(F.col("d") <= _BIPARTITE_BASKET_CAP).select("basket", "item")
+    a = kept.select("basket", F.col("item").alias("item_a"))
+    b = kept.select("basket", F.col("item").alias("item_b"))
+    return (
+        a.join(b, on="basket")
+        .filter(F.col("item_b") > F.col("item_a"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_baskets"))
+        .filter(F.col("n_shared_baskets") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# stream_vocab_coverage_maintain — the OOV audit as IVM
+# --------------------------------------------------------------------------
+@register("stream_vocab_coverage_maintain", oracle=_VOCAB_COVERAGE_ORACLE)
+def stream_vocab_coverage_maintain_q(spark, sf_dir):
+    """`text_vocab_coverage` as incremental view maintenance — the OOV
+    monitor running ON the ingest stream: TWO token censuses are the
+    state, (tok, c) over the training half (doc_id < 100) and (tok, c)
+    over the held-out half (100 ≤ doc_id < 200), both pure-SUM lattices
+    (bundling- and order-independent); the top-V vocabulary and the
+    coverage/OOV numbers are READ-TIME faces — a token's vocab membership
+    can flip as training mass arrives, so the vocabulary is NOT
+    batch-additive while its census is (the census-not-face doctrine
+    yet again).  Shares the batch row's oracle verbatim.
+
+    100 TB shape: per trigger one token projection + two keyed census
+    merges (state = vocabulary-grain, sublinear in tokens — the
+    stream_hapax_maintain evidence); the face is a top-V over the train
+    census + one broadcast lookup over the held census."""
+    import shutil
+    import tempfile
+
+    from ..io import read_state_parquet
+    from ..streaming import read_documents_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_vocab_")
+    train_path = root + "/train_census"
+    held_path = root + "/held_census"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        toks = batch_df.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("i", "tok"),
+        ).filter(F.col("tok") != "")
+        for path, lo, hi in ((train_path, 0, 100), (held_path, 100, 200)):
+            part = (
+                toks.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                .groupBy("tok")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            )
+            state = read_state_parquet(sp, path)
+            merged = (
+                state.unionByName(part)
+                .groupBy("tok")
+                .agg(F.sum("c").cast("long").alias("c"))
+                if state is not None
+                else part
+            )
+            staging = path + "_staging"
+            merged.write.mode("overwrite").parquet(staging)
+            sp.read.parquet(staging).write.mode("overwrite").parquet(path)
+            shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    train = spark.read.parquet(train_path)
+    held = spark.read.parquet(held_path)
+    vocab = (
+        train.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(_VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    joined = held.join(F.broadcast(vocab), on="tok", how="left")
+    out = joined.agg(
+        F.sum("c").cast("long").alias("held_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNotNull(), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN in_vocab IS NOT NULL THEN c ELSE 0 END)"
+            " DIV SUM(c) AS BIGINT)"
+        ).alias("coverage_ppm"),
+        F.countDistinct(F.when(F.col("in_vocab").isNull(), F.col("tok")))
+        .cast("long")
+        .alias("oov_types"),
+    )
+    return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# eval_krippendorff_alpha — multi-rater nominal agreement
+# --------------------------------------------------------------------------
+_KRIPP_RATERS = 3
+
+
+@register(
+    "eval_krippendorff_alpha",
+    oracle=f"""
+    WITH ratings AS (
+      SELECT doc_id, r,
+             CASE WHEN ('0x' || substring(md5('noise|' || CAST(r AS VARCHAR)
+                          || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10 = 0
+                  THEN (('0x' || substring(md5('base|' || CAST(doc_id AS VARCHAR)),
+                                           1, 8))::BIGINT + 1 + r) % 4
+                  ELSE ('0x' || substring(md5('base|' || CAST(doc_id AS VARCHAR)),
+                                          1, 8))::BIGINT % 4
+             END AS lab
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 200),
+           generate_series(0, {_KRIPP_RATERS} - 1) t(r)
+    ),
+    unit_cat AS (
+      SELECT doc_id, lab, CAST(COUNT(*) AS BIGINT) AS n_uc
+      FROM ratings GROUP BY doc_id, lab
+    ),
+    do_parts AS (
+      SELECT CAST(SUM(n_uc * ({_KRIPP_RATERS} - n_uc)) AS BIGINT) AS do_num,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_units
+      FROM unit_cat
+    ),
+    pooled AS (
+      SELECT lab, CAST(SUM(n_uc) AS BIGINT) AS n_c FROM unit_cat GROUP BY lab
+    ),
+    de_parts AS (
+      SELECT CAST(SUM(CAST(n_c AS HUGEINT) * (t.n_tot - n_c)) AS HUGEINT) AS de_num,
+             MAX(t.n_tot) AS n_tot
+      FROM pooled, (SELECT CAST(SUM(n_c) AS BIGINT) AS n_tot FROM pooled) t
+    )
+    SELECT d.n_units,
+           CAST(e.n_tot AS BIGINT) AS n_ratings,
+           d.do_num,
+           CAST(e.de_num AS BIGINT) AS de_num,
+           CAST(1000000 - (1000000 * CAST(d.do_num AS HUGEINT)
+                           * e.n_tot * (e.n_tot - 1))
+                // (e.de_num * d.n_units * {_KRIPP_RATERS}
+                    * ({_KRIPP_RATERS} - 1)) AS BIGINT) AS alpha_ppm_floor
+    FROM do_parts d, de_parts e
+    """,
+)
+def eval_krippendorff_alpha_q(spark, sf_dir):
+    """Krippendorff's alpha (nominal) — the multi-rater agreement
+    coefficient that generalizes Cohen's kappa (`eval_cohens_kappa`, two
+    raters) to R raters: α = 1 − D_o/D_e with observed disagreement
+    D_o = Σ_u Σ_c n_uc(m − n_uc) / (n·m(m−1)) and expected D_e =
+    Σ_c N_c(N − N_c) / (N(N−1)) — a RATIO OF RATIONALS, so the gated
+    α is the exact floored ppm 1e6 − ⌊1e6·D_o_num·N(N−1) /
+    (D_e_num·n·m(m−1))⌋ with both raw numerators shipped as audit
+    columns (any downstream can recompute at any precision).  The three
+    synthetic raters are md5-pure: base label md5(doc) % 4, each rater
+    flipping to a different label with 10% md5-derived probability — so
+    agreement is high but not total, and both D terms are non-degenerate.
+
+    100 TB shape: one (unit, category) hash agg (the rating matrix never
+    materializes wider than its census), one category-grain pooled agg,
+    two 1-row combines — evaluation cost is the census, not n×R."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    raters = spark.range(_KRIPP_RATERS).select(F.col("id").cast("long").alias("r"))
+    base = F.conv(
+        F.substring(F.md5(F.concat(F.lit("base|"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    noise = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("noise|"),
+                    F.col("r").cast("string"),
+                    F.lit("|"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ratings = docs.crossJoin(F.broadcast(raters)).select(
+        "doc_id",
+        "r",
+        F.when(noise % 10 == 0, (base + 1 + F.col("r")) % 4)
+        .otherwise(base % 4)
+        .alias("lab"),
+    )
+    unit_cat = ratings.groupBy("doc_id", "lab").agg(
+        F.count(F.lit(1)).cast("long").alias("n_uc")
+    )
+    do_parts = unit_cat.agg(
+        F.sum(F.col("n_uc") * (F.lit(_KRIPP_RATERS) - F.col("n_uc")))
+        .cast("long")
+        .alias("do_num"),
+        F.countDistinct("doc_id").cast("long").alias("n_units"),
+    )
+    pooled = unit_cat.groupBy("lab").agg(F.sum("n_uc").cast("long").alias("n_c"))
+    n_tot_f = pooled.agg(F.sum("n_c").cast("long").alias("n_tot"))
+    de_parts = (
+        pooled.crossJoin(F.broadcast(n_tot_f))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(n_c AS DECIMAL(38,0)) * (n_tot - n_c)) AS DECIMAL(38,0))"
+            ).alias("de_num"),
+            F.max("n_tot").alias("n_tot"),
+        )
+    )
+    m = _KRIPP_RATERS
+    return (
+        do_parts.crossJoin(F.broadcast(de_parts))
+        .select(
+            "n_units",
+            F.col("n_tot").cast("long").alias("n_ratings"),
+            "do_num",
+            F.col("de_num").cast("long").alias("de_num"),
+            F.expr(
+                "CAST(1000000 - (1000000 * CAST(do_num AS DECIMAL(38,0))"
+                " * n_tot * (n_tot - 1))"
+                f" DIV (de_num * n_units * {m} * {m - 1}) AS BIGINT)"
+            ).alias("alpha_ppm_floor"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_louvain_move — one synchronous modularity-improving move round
+# --------------------------------------------------------------------------
+@register(
+    "graph_louvain_move",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+             CAST(100000 + l_partkey % 1500 AS BIGINT) AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    und AS (
+      SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw
+    ),
+    deg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS k FROM und GROUP BY a),
+    m_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM raw),
+    -- singleton init: community(v) = v; k_{i,c} = multiplicity of (i, nbr)
+    cand AS (
+      SELECT u.a AS i, u.b AS c, CAST(COUNT(*) AS BIGINT) AS k_ic
+      FROM und u GROUP BY u.a, u.b
+    ),
+    gains AS (
+      SELECT cand.i, cand.c,
+             2 * m.m * cand.k_ic - ki.k * kc.k AS gain
+      FROM cand
+      JOIN deg ki ON ki.v = cand.i
+      JOIN deg kc ON kc.v = cand.c
+      CROSS JOIN m_tot m
+    ),
+    best AS (
+      SELECT i, c, gain,
+             row_number() OVER (PARTITION BY i
+                                ORDER BY gain DESC, c ASC) AS rn
+      FROM gains
+    )
+    SELECT d.v AS node,
+           CAST(CASE WHEN b.gain > 0 THEN b.c ELSE d.v END AS BIGINT)
+             AS community,
+           CAST(COALESCE(CASE WHEN b.gain > 0 THEN b.gain END, 0) AS BIGINT)
+             AS gain_units
+    FROM deg d
+    LEFT JOIN best b ON b.i = d.v AND b.rn = 1
+    """,
+)
+def graph_louvain_move_q(spark, sf_dir):
+    """The Louvain CANDIDATE-MOVE table from the singleton partition —
+    the modularity-ascent primitive next to the evaluation row
+    (`graph_modularity_audit` SCORES a partition; this computes the
+    ascent direction): every node i evaluates joining each neighbor
+    community c of the INITIAL partition and reports its best
+    strictly-positive move, ties to the smaller community id.  From
+    singletons each SINGLE move's exact modularity delta is
+    ΔQ = (2m·k_{i,c} − k_i·k_c)/2m² — the integer numerator is the gated
+    `gain_units` column (scale factor positive and common, so argmax and
+    the gain > 0 test transfer to integers; no float modularity is ever
+    computed), and EVERY emitted move improves Q when applied alone
+    (pinned by test).  APPLYING the moves is deliberately out of this
+    operator: simultaneous application of per-node-optimal moves can
+    DECREASE modularity (movers into the same target interact through
+    the −k_i·k_j cross term — measured on this very graph), which is
+    exactly why production Louvain applies moves sequentially; the
+    driver loop applies top moves and re-derives this table per round
+    (the PageRank bounded-iteration shape), while the TABLE itself is
+    synchronous, deterministic and engine-replayable.  The `community`
+    column is the would-be assignment (own id when no positive move
+    exists).  The supplier–part co-purchase graph is the shared test
+    graph of the community family.
+
+    100 TB shape: one edge-grain census (k_ic), one degree agg, one
+    broadcast m, a per-node window argmax — one keyed exchange over the
+    edge census per round."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    raw = li.select(
+        F.col("l_suppkey").cast("long").alias("a"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("b"),
+    ).distinct()
+    und = raw.unionByName(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    m_tot = raw.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    cand = und.groupBy(F.col("a").alias("i"), F.col("b").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("k_ic")
+    )
+    gains = (
+        cand.join(deg.select(F.col("v").alias("i"), F.col("k").alias("ki")), on="i")
+        .join(deg.select(F.col("v").alias("c"), F.col("k").alias("kc")), on="c")
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "i",
+            "c",
+            (F.lit(2) * F.col("m") * F.col("k_ic") - F.col("ki") * F.col("kc")).alias(
+                "gain"
+            ),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("gain").desc(), F.col("c").asc())
+    best = gains.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deg.join(
+            best.select(F.col("i").alias("v"), "c", "gain"), on="v", how="left"
+        )
+        .select(
+            F.col("v").alias("node"),
+            F.when(F.col("gain") > 0, F.col("c")).otherwise(F.col("v"))
+            .cast("long")
+            .alias("community"),
+            F.coalesce(F.when(F.col("gain") > 0, F.col("gain")), F.lit(0))
+            .cast("long")
+            .alias("gain_units"),
+        )
     )

@@ -324,3 +324,244 @@ def test_boilerplate_census_matches_cap_semantics(spark):
     for r in rows:
         assert r.df >= 50
         assert r.df_ppm == 1_000_000 * r.df // n_docs
+
+
+def test_seasonality_strength_identity(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier9 import (
+        temporal_seasonality_strength_q,
+    )
+
+    r = temporal_seasonality_strength_q(spark, SF01).collect()[0]
+    assert 0 <= r.seasonal_strength_ppm <= 1_000_000
+    want = max(0, 1_000_000 - 1_000_000 * r.var_num_rem // r.var_num_detr)
+    assert r.seasonal_strength_ppm == want
+    assert r.var_num_detr > 0
+
+
+def test_snips_matches_python_recompute(spark):
+    """IPS/SNIPS values equal an exact integer recompute from the same
+    md5-derived propensities."""
+    import hashlib
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier9 import (
+        eval_snips_offpolicy_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    got = eval_snips_offpolicy_q(spark, SF01).collect()[0]
+    rows = load_table(spark, SF01, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    import math
+
+    num = 0
+    den = 0
+    n_logged = len(rows)
+    n_matched = 0
+    for r in rows:
+        if r.event_type != "click":
+            continue
+        n_matched += 1
+        p_ppm = (
+            100000
+            + int(hashlib.md5(f"prop|{r.event_id}".encode()).hexdigest()[:8], 16)
+            % 900001
+        )
+        w = 10**12 // p_ppm
+        r_c = math.floor(r.value * 100)
+        num += r_c * w
+        den += w
+    assert got.n_logged == n_logged and got.n_matched == n_matched
+    assert got.ips_value_c == num // (n_logged * 10**6)
+    assert got.snips_value_c == num // den
+
+
+def test_bipartite_projection_cap_and_support(spark):
+    """Every emitted pair is supported by >= 3 kept baskets; the cap is
+    live at gate scale (some baskets exceed it); capped pairs are a
+    subset of uncapped pairs."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier9 import (
+        _BIPARTITE_BASKET_CAP,
+        graph_bipartite_projection_capped_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    rows = graph_bipartite_projection_capped_q(spark, SF01).collect()
+    assert rows and all(r.n_shared_baskets >= 3 for r in rows)
+
+    events = load_table(spark, SF01, "events")
+    item = F.get_json_object(F.col("props"), "$.k").cast("long")
+    ui = (
+        events.select(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("date").cast("string"),
+            ).alias("basket"),
+            item.alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    deg = ui.groupBy("basket").count()
+    n_hot = deg.filter(F.col("count") > _BIPARTITE_BASKET_CAP).count()
+    assert n_hot > 0, "cap must be observable at gate scale"
+    uncapped = {
+        (r.item_a, r.item_b)
+        for r in ui.alias("x")
+        .join(ui.alias("y"), on="basket")
+        .filter(F.col("y.item") > F.col("x.item"))
+        .select(F.col("x.item").alias("item_a"), F.col("y.item").alias("item_b"))
+        .groupBy("item_a", "item_b")
+        .count()
+        .filter(F.col("count") >= 3)
+        .collect()
+    }
+    assert {(r.item_a, r.item_b) for r in rows} <= uncapped
+
+
+def test_vocab_coverage_ivm_bundling(spark, tmp_path, monkeypatch):
+    """The vocab-coverage maintainer equals its batch twin over a 3-batch
+    id-interleaved split (train and held tokens arrive mixed across
+    batches — both censuses must fold regardless)."""
+    import glob as _glob
+    import shutil
+
+    import cell_kn_mvp_etl_ontologies_spark.streaming as streaming_mod
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "split_sf"
+    d.mkdir()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    names = {0: "", 1: "_1", 2: "_2"}
+    for i in range(3):
+        tmp_out = str(d / f"__tmp_documents_{i}")
+        docs.filter(F.col("doc_id") % 3 == i).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_out)
+        part = _glob.glob(tmp_out + "/part-*.parquet")[0]
+        shutil.move(part, str(d / f"documents{names[i]}.parquet"))
+        shutil.rmtree(tmp_out, ignore_errors=True)
+
+    orig = streaming_mod.read_documents_stream
+    monkeypatch.setattr(
+        streaming_mod,
+        "read_documents_stream",
+        lambda sp, sd: orig(sp, sd, max_files_per_trigger=1),
+    )
+    batch = {tuple(r) for r in QUERIES["text_vocab_coverage"](spark, sf).collect()}
+    stream = {
+        tuple(r)
+        for r in QUERIES["stream_vocab_coverage_maintain"](spark, str(d)).collect()
+    }
+    assert stream == batch and len(batch) == 1
+
+
+def test_krippendorff_matches_fraction_recompute(spark):
+    """alpha_ppm_floor equals an exact Fraction recompute from the same
+    md5-derived rating matrix."""
+    import hashlib
+    from collections import Counter
+    from fractions import Fraction
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier9 import (
+        _KRIPP_RATERS,
+        eval_krippendorff_alpha_q,
+    )
+
+    got = eval_krippendorff_alpha_q(spark, SF01).collect()[0]
+    m = _KRIPP_RATERS
+    units = {}
+    for doc_id in range(200):
+        base = int(hashlib.md5(f"base|{doc_id}".encode()).hexdigest()[:8], 16)
+        labs = []
+        for r in range(m):
+            noise = int(
+                hashlib.md5(f"noise|{r}|{doc_id}".encode()).hexdigest()[:8], 16
+            )
+            labs.append((base + 1 + r) % 4 if noise % 10 == 0 else base % 4)
+        units[doc_id] = Counter(labs)
+    n = len(units)
+    do_num = sum(c * (m - c) for cnt in units.values() for c in cnt.values())
+    pooled = Counter()
+    for cnt in units.values():
+        pooled.update(cnt)
+    N = n * m
+    de_num = sum(c * (N - c) for c in pooled.values())
+    alpha = 1 - Fraction(do_num, n * m * (m - 1)) / Fraction(de_num, N * (N - 1))
+    import math
+
+    want_ppm = 1_000_000 - math.floor(1_000_000 * do_num * N * (N - 1)
+                                      / (de_num * n * m * (m - 1)))
+    # exact integer floor, not float: recompute with integer //
+    want_ppm = 1_000_000 - (1_000_000 * do_num * N * (N - 1)) // (
+        de_num * n * m * (m - 1)
+    )
+    assert got.do_num == do_num and got.de_num == de_num
+    assert got.n_units == n and got.n_ratings == N
+    assert got.alpha_ppm_floor == want_ppm
+    assert 0 < alpha < 1
+
+
+def test_louvain_move_improves_modularity(spark):
+    """Every emitted positive-gain move, applied ALONE to the singleton
+    partition, increases modularity by exactly gain_units/2m² (the
+    single-move exactness the contract claims), and the per-node argmax
+    replays in Python."""
+    from collections import Counter, defaultdict
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier9 import (
+        graph_louvain_move_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    assign = {r.node: r for r in graph_louvain_move_q(spark, SF01).collect()}
+    li = load_table(spark, SF01, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    edges = {
+        (r.a, r.b)
+        for r in li.select(
+            F.col("l_suppkey").cast("long").alias("a"),
+            (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("b"),
+        )
+        .distinct()
+        .collect()
+    }
+    m = len(edges)
+    deg = Counter()
+    nbr_mult = defaultdict(Counter)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+        nbr_mult[a][b] += 1
+        nbr_mult[b][a] += 1
+
+    # python replay of the synchronous argmax
+    for i, cnt in nbr_mult.items():
+        best = max(cnt, key=lambda c: (2 * m * cnt[c] - deg[i] * deg[c], -c))
+        gain = 2 * m * cnt[best] - deg[i] * deg[best]
+        want = best if gain > 0 else i
+        assert assign[i].community == want, i
+        assert assign[i].gain_units == (gain if gain > 0 else 0), i
+
+    # 4m^2-scaled modularity: Q*4m^2 = sum_c (4m*e_c - tot_c^2)
+    def q_scaled(part):
+        e = Counter()
+        tot = Counter()
+        for a, b in edges:
+            if part[a] == part[b]:
+                e[part[a]] += 1
+        for v, k in deg.items():
+            tot[part[v]] += k
+        comms = set(e) | set(tot)
+        return sum(4 * m * e[c] - tot[c] ** 2 for c in comms)
+
+    singleton = {v: v for v in deg}
+    q0 = q_scaled(singleton)
+    movers = [v for v in deg if assign[v].gain_units > 0]
+    assert movers, "gate graph must admit some positive move"
+    # single-move exactness: ΔQ·4m² == 2·gain_units for each move alone
+    for v in movers[:25]:
+        alone = dict(singleton)
+        alone[v] = assign[v].community
+        assert q_scaled(alone) - q0 == 2 * assign[v].gain_units, v

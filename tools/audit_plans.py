@@ -165,6 +165,19 @@ WAIVERS: dict[str, set[str]] = {
     # assignment (the IVF waiver pattern); candidates and scoring are
     # keyed equi-joins — no data-scale cross product.
     "similarity_maxsim_routed": {"CARTESIAN"},
+    # the 1-row logged-total frame is cross-joined onto the matched rows
+    # (scalar broadcast — the eval_ks_two_sample pattern).
+    "eval_snips_offpolicy": {"CARTESIAN"},
+    # the 3-row rater dim is cross-joined onto the unit slice (constant
+    # ×R fanout, the eval_bootstrap_ci replicate-dim pattern) and the two
+    # 1-row D_o/D_e combines are the sanctioned 1-row stats-frame shape.
+    "eval_krippendorff_alpha": {"CARTESIAN"},
+    # the 1-row edge-count frame (m) broadcasts onto the candidate gains
+    # (scalar broadcast); the 15 exchanges are keyed stages over the
+    # bounded co-purchase slice — edge census, degree agg (reused thrice
+    # via ReusedExchange), per-node argmax window, final assignment join
+    # — none corpus-single-partition.
+    "graph_louvain_move": {"CARTESIAN", "MANY_EXCH"},
     # the Pettitt pair frame is the |days|² inequality self-join on the
     # CALENDAR-BOUNDED daily series (~133k pairs for a year — the
     # eval_kendall_tau O(slice²) waiver applied to day grain; the event
