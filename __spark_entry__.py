@@ -135,6 +135,7 @@ _PRIORITY = [
     "temporal_seasonality_strength", "eval_snips_offpolicy",
     "graph_bipartite_projection_capped", "stream_vocab_coverage_maintain",
     "eval_krippendorff_alpha", "graph_louvain_move",
+    "sketch_kmv_difference", "filter_outlier_iqr", "temporal_snaive_backtest",
     # (b) contracts CHANGED by the r11 ADVICE fixes (both already in the
     # backlog below, listed here for the record): sketch_kmv_distinct
     # (audit column renamed exact_distinct_hashes — schema-visible) and

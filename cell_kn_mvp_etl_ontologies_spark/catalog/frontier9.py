@@ -1678,3 +1678,294 @@ def graph_louvain_move_q(spark, sf_dir):
             .alias("gain_units"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sketch_kmv_difference — set-difference estimation, completing the algebra
+# --------------------------------------------------------------------------
+from .frontier8 import _KMV_HASH_SQL, _KMV_K  # noqa: E402
+
+
+@register(
+    "sketch_kmv_difference",
+    oracle=f"""
+    WITH sets AS (
+      SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS h
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    sketches AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM sets
+      ) WHERE rn <= {_KMV_K}
+    ),
+    union_sketch AS (
+      SELECT h,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_b
+      FROM sketches GROUP BY h
+    ),
+    topk AS (
+      SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn
+      FROM union_sketch
+    ),
+    sk AS (
+      SELECT CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS k_a_only,
+             CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS k_b_only,
+             CAST(COUNT(*) AS BIGINT) AS k_eff,
+             MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+      FROM topk WHERE rn <= {_KMV_K}
+    ),
+    est AS (
+      SELECT k_eff, k_a_only, k_b_only,
+             CAST(CASE WHEN k_eff < {_KMV_K} THEN k_eff
+                  ELSE ({_KMV_K} - 1) * 4294967296 // hk END AS BIGINT) AS u_est
+      FROM sk
+    ),
+    exact AS (
+      SELECT CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS exact_a_only,
+             CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS exact_b_only
+      FROM (
+        SELECT h,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_b
+        FROM sets GROUP BY h
+      )
+    )
+    SELECT s.k_eff, s.k_a_only, s.k_b_only,
+           CAST(s.k_a_only * s.u_est // s.k_eff AS BIGINT) AS a_minus_b_est,
+           CAST(s.k_b_only * s.u_est // s.k_eff AS BIGINT) AS b_minus_a_est,
+           e.exact_a_only, e.exact_b_only
+    FROM est s, exact e
+    """,
+)
+def sketch_kmv_difference_q(spark, sf_dir):
+    """Set-DIFFERENCE estimation from two KMV sketches — |A∖B| and
+    |B∖A|, completing the KMV set algebra (`sketch_kmv_distinct` counts,
+    `sketch_kmv_intersection` overlaps; churn/migration questions — how
+    many users clicked but never viewed — need the DIFFERENCES): from
+    the union sketch's top-k, the one-sided membership fractions
+    k_a_only/k_eff scale the union estimate, all in exact integers
+    (k·û DIV k_eff), with exact one-sided audits beside them (the
+    measure-the-estimator doctrine).  Same provably-correct membership
+    flags as the intersection row: h in the union sketch ⇒ h's per-set
+    membership is decidable from the per-set sketches alone.
+
+    100 TB shape: identical to the intersection row — per-set k-min
+    windows, ≤ 2k-row sketch algebra, the exact audits drop at
+    production scale."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    sets = events.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w_set = Window.partitionBy("event_type").orderBy("h")
+    sketches = (
+        sets.withColumn("rn", F.row_number().over(w_set))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    union_sketch = sketches.groupBy("h").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("in_b"),
+    )
+    w_u = Window.orderBy("h")  # <= 2k rows by construction — bounded
+    topk = union_sketch.withColumn("rn", F.row_number().over(w_u))
+    sk = topk.filter(F.col("rn") <= _KMV_K).agg(
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long").alias("k_a_only"),
+        F.sum(F.col("in_b") * (1 - F.col("in_a"))).cast("long").alias("k_b_only"),
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+    )
+    exact = (
+        sets.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("in_b"),
+        )
+        .agg(
+            F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long").alias("exact_a_only"),
+            F.sum(F.col("in_b") * (1 - F.col("in_a"))).cast("long").alias("exact_b_only"),
+        )
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "k_eff",
+        "k_a_only",
+        "k_b_only",
+        F.expr(
+            f"CAST(k_a_only * (CASE WHEN k_eff < {_KMV_K} THEN k_eff"
+            f" ELSE ({_KMV_K} - 1) * 4294967296 DIV hk END) DIV k_eff AS BIGINT)"
+        ).alias("a_minus_b_est"),
+        F.expr(
+            f"CAST(k_b_only * (CASE WHEN k_eff < {_KMV_K} THEN k_eff"
+            f" ELSE ({_KMV_K} - 1) * 4294967296 DIV hk END) DIV k_eff AS BIGINT)"
+        ).alias("b_minus_a_est"),
+        "exact_a_only",
+        "exact_b_only",
+    )
+
+
+# --------------------------------------------------------------------------
+# filter_outlier_iqr — Tukey fences with deterministic rank quartiles
+# --------------------------------------------------------------------------
+@register(
+    "filter_outlier_iqr",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v_c,
+             row_number() OVER (PARTITION BY event_type ORDER BY v_c) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM vals
+    ),
+    quarts AS (
+      SELECT event_type, MAX(n) AS n,
+             MAX(CASE WHEN rn = greatest(1, (n + 1) // 4) THEN v_c END) AS q1_c,
+             MAX(CASE WHEN rn = greatest(1, (3 * (n + 1)) // 4) THEN v_c END)
+               AS q3_c
+      FROM ranked GROUP BY event_type
+    )
+    SELECT q.event_type, CAST(q.n AS BIGINT) AS n,
+           q.q1_c, q.q3_c,
+           CAST(SUM(CASE WHEN 2 * v.v_c < 2 * q.q1_c - 3 * (q.q3_c - q.q1_c)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(SUM(CASE WHEN 2 * v.v_c > 2 * q.q3_c + 3 * (q.q3_c - q.q1_c)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM vals v JOIN quarts q ON q.event_type = v.event_type
+    GROUP BY q.event_type, q.n, q.q1_c, q.q3_c
+    """,
+)
+def filter_outlier_iqr_q(spark, sf_dir):
+    """Tukey IQR fences per group — the rank-based outlier screen next to
+    the MAD screen (`filter_outlier_mad`; IQR is the boxplot/reporting
+    convention, MAD the robust-statistics one): quartiles are the
+    DETERMINISTIC rank elements at positions (n+1) DIV 4 and 3(n+1) DIV 4
+    of the cents-quantized values (engine percentile builtins interpolate
+    differently — the sorted-element contract again, this time via a
+    rank WINDOW so no per-group array ever materializes), and the
+    1.5·IQR fences are compared in exact HALF-UNITS (2v < 2q1 − 3·IQR)
+    so the ×1.5 never leaves integers.
+
+    100 TB shape: one per-group rank window over cents (sort-based, no
+    collect), a group-grain quartile pick, one broadcast-size join back
+    for the fence census — no arrays, no floats."""
+    events = _t(spark, sf_dir, "events")
+    vals = events.select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("v_c")
+    )
+    w = Window.partitionBy("event_type").orderBy("v_c")
+    ranked = vals.select(
+        "event_type",
+        "v_c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    quarts = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.greatest(F.lit(1), F.expr("(n + 1) DIV 4")), F.col("v_c"))
+        ).alias("q1_c"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.expr("(3 * (n + 1)) DIV 4")),
+                F.col("v_c"),
+            )
+        ).alias("q3_c"),
+    )
+    return (
+        vals.join(F.broadcast(quarts), on="event_type")
+        .groupBy("event_type", "n", "q1_c", "q3_c")
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("v_c") < 2 * F.col("q1_c") - 3 * (F.col("q3_c") - F.col("q1_c")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(
+                F.when(
+                    2 * F.col("v_c") > 2 * F.col("q3_c") + 3 * (F.col("q3_c") - F.col("q1_c")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "q1_c",
+            "q3_c",
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal_snaive_backtest — seasonal-naive forecast error baseline
+# --------------------------------------------------------------------------
+@register(
+    "temporal_snaive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    scored AS (
+      SELECT event_type, y,
+             lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(abs(y - yhat)) // COUNT(*) AS BIGINT) AS mae_floor,
+           CAST(1000000 * SUM(abs(y - yhat)) // SUM(y) AS BIGINT) AS wape_ppm,
+           CAST(SUM(y - yhat) AS BIGINT) AS bias
+    FROM scored WHERE yhat IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def temporal_snaive_backtest_q(spark, sf_dir):
+    """Seasonal-naive forecast backtest — ŷ(d) = y(d−7), scored per
+    event type with FLOOR MAE, WAPE ppm (Σ|e| relative to Σy — the
+    scale-free accuracy every forecast eval quotes) and signed bias; the
+    BASELINE every real forecasting model must beat, so the backtest of
+    the baseline is itself pipeline furniture (a model pipeline diffs
+    its own backtest against exactly this row).  All integer: daily
+    counts, lag-7 window, absolute-error sums, DIV quotients.
+
+    100 TB shape: the corpus collapses to (type, day) grain in one hash
+    agg; the lag window and error rollup run on the tiny daily series."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type", "y", F.lag("y", 7).over(w).alias("yhat")
+    ).filter(F.col("yhat").isNotNull())
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        F.expr("CAST(SUM(abs(y - yhat)) DIV COUNT(1) AS BIGINT)").alias("mae_floor"),
+        F.expr("CAST(1000000 * SUM(abs(y - yhat)) DIV SUM(y) AS BIGINT)").alias(
+            "wape_ppm"
+        ),
+        F.sum(F.col("y") - F.col("yhat")).cast("long").alias("bias"),
+    )

@@ -565,3 +565,70 @@ def test_louvain_move_improves_modularity(spark):
         alone = dict(singleton)
         alone[v] = assign[v].community
         assert q_scaled(alone) - q0 == 2 * assign[v].gain_units, v
+
+
+def test_kmv_difference_consistency(spark):
+    """Sketch difference estimates are within the k=64 band of the exact
+    one-sided counts, and inclusion-exclusion closes: a_only + b_only +
+    both = k_eff on the union sketch."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier8 import (
+        sketch_kmv_intersection_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier9 import (
+        sketch_kmv_difference_q,
+    )
+
+    d = sketch_kmv_difference_q(spark, SF01).collect()[0]
+    i = sketch_kmv_intersection_q(spark, SF01).collect()[0]
+    assert d.k_eff == i.k_eff
+    assert d.k_a_only + d.k_b_only + i.k_both == d.k_eff
+    for est, exact in [
+        (d.a_minus_b_est, d.exact_a_only),
+        (d.b_minus_a_est, d.exact_b_only),
+    ]:
+        assert abs(est - exact) <= 0.5 * max(exact, 1), (est, exact)
+
+
+def test_iqr_fences_match_sorted_elements(spark):
+    """Quartiles equal the sorted-element contract positions and the
+    outlier counts replay in Python."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier9 import (
+        filter_outlier_iqr_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    import math
+
+    got = {r.event_type: r for r in filter_outlier_iqr_q(spark, SF01).collect()}
+    rows = load_table(spark, SF01, "events").select("event_type", "value").collect()
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in rows:
+        vals[r.event_type].append(math.floor(r.value * 100))
+    for et, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        q1 = vs[max(1, (n + 1) // 4) - 1]
+        q3 = vs[max(1, (3 * (n + 1)) // 4) - 1]
+        r = got[et]
+        assert (r.n, r.q1_c, r.q3_c) == (n, q1, q3), et
+        lo = sum(1 for v in vs if 2 * v < 2 * q1 - 3 * (q3 - q1))
+        hi = sum(1 for v in vs if 2 * v > 2 * q3 + 3 * (q3 - q1))
+        assert (r.n_low_outliers, r.n_high_outliers) == (lo, hi), et
+
+
+def test_snaive_backtest_identities(spark):
+    """WAPE/MAE/bias close against each other: mae_floor == Σ|e| DIV n,
+    and a perfectly periodic series would read 0 — the gate series is
+    not, so errors are nonzero."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier9 import (
+        temporal_snaive_backtest_q,
+    )
+
+    rows = temporal_snaive_backtest_q(spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days_scored > 0
+        assert r.mae_floor >= 0 and 0 <= r.wape_ppm
+        assert r.wape_ppm > 0, "gate series should not be perfectly periodic"

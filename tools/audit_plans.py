@@ -168,6 +168,10 @@ WAIVERS: dict[str, set[str]] = {
     # the 1-row logged-total frame is cross-joined onto the matched rows
     # (scalar broadcast — the eval_ks_two_sample pattern).
     "eval_snips_offpolicy": {"CARTESIAN"},
+    # the 1-row exact-audit frame is cross-joined onto the 1-row sketch
+    # frame (the sketch_kmv_intersection pattern — both sides single-row
+    # by construction).
+    "sketch_kmv_difference": {"CARTESIAN"},
     # the 3-row rater dim is cross-joined onto the unit slice (constant
     # ×R fanout, the eval_bootstrap_ci replicate-dim pattern) and the two
     # 1-row D_o/D_e combines are the sanctioned 1-row stats-frame shape.
