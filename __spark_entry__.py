@@ -136,6 +136,10 @@ _PRIORITY = [
     "graph_bipartite_projection_capped", "stream_vocab_coverage_maintain",
     "eval_krippendorff_alpha", "graph_louvain_move",
     "sketch_kmv_difference", "filter_outlier_iqr", "temporal_snaive_backtest",
+    "eval_mcc_parts", "profile_correlation_pairs",
+    "stream_snips_maintain", "stream_iqr_maintain",
+    # NOTE: 26 new contracts + the 24-row backlog below = exactly the
+    # 50-slot gate, zero carry-over (VERDICT r11 #1's budget).
     # (b) contracts CHANGED by the r11 ADVICE fixes (both already in the
     # backlog below, listed here for the record): sketch_kmv_distinct
     # (audit column renamed exact_distinct_hashes — schema-visible) and

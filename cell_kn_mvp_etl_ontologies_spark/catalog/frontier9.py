@@ -1185,9 +1185,7 @@ def temporal_seasonality_strength_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # eval_snips_offpolicy — (self-normalized) inverse-propensity policy value
 # --------------------------------------------------------------------------
-@register(
-    "eval_snips_offpolicy",
-    oracle="""
+_SNIPS_ORACLE = """
     WITH logged AS (
       SELECT event_type,
              CAST(floor(value * 100) AS BIGINT) AS r_c,
@@ -1208,8 +1206,10 @@ def temporal_seasonality_strength_q(spark, sf_dir):
            CAST(SUM(CAST(r_c AS HUGEINT) * w_e6) // SUM(w_e6) AS BIGINT)
              AS snips_value_c
     FROM weighted, tot t GROUP BY t.n_logged
-    """,
-)
+    """
+
+
+@register("eval_snips_offpolicy", oracle=_SNIPS_ORACLE)
 def eval_snips_offpolicy_q(spark, sf_dir):
     """Off-policy evaluation by inverse propensity scoring — IPS and the
     self-normalized SNIPS estimator of a target policy's value from
@@ -1819,9 +1819,7 @@ def sketch_kmv_difference_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # filter_outlier_iqr — Tukey fences with deterministic rank quartiles
 # --------------------------------------------------------------------------
-@register(
-    "filter_outlier_iqr",
-    oracle="""
+_IQR_ORACLE = """
     WITH vals AS (
       SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_c
       FROM events
@@ -1847,8 +1845,10 @@ def sketch_kmv_difference_q(spark, sf_dir):
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
     FROM vals v JOIN quarts q ON q.event_type = v.event_type
     GROUP BY q.event_type, q.n, q.q1_c, q.q3_c
-    """,
-)
+    """
+
+
+@register("filter_outlier_iqr", oracle=_IQR_ORACLE)
 def filter_outlier_iqr_q(spark, sf_dir):
     """Tukey IQR fences per group — the rank-based outlier screen next to
     the MAD screen (`filter_outlier_mad`; IQR is the boxplot/reporting
@@ -1969,3 +1969,425 @@ def temporal_snaive_backtest_q(spark, sf_dir):
         ),
         F.sum(F.col("y") - F.col("yhat")).cast("long").alias("bias"),
     )
+
+
+# --------------------------------------------------------------------------
+# eval_mcc_parts — Matthews correlation in exact integer parts
+# --------------------------------------------------------------------------
+# frontier3's import chain reads ORACLES entries registered by earlier
+# catalog modules (analytics needs extensions' similarity_topk oracle), so
+# importing frontier9 standalone must replay load_all's prefix order first.
+from . import core as _dep_core  # noqa: E402,F401
+from . import ontology as _dep_ontology  # noqa: E402,F401
+from . import extensions as _dep_extensions  # noqa: E402,F401
+from . import streaming as _dep_streaming  # noqa: E402,F401
+from . import fine_grained as _dep_fine_grained  # noqa: E402,F401
+from . import training as _dep_training  # noqa: E402,F401
+from . import scale_ops as _dep_scale_ops  # noqa: E402,F401
+from . import analytics as _dep_analytics  # noqa: E402,F401
+from . import frontier as _dep_frontier  # noqa: E402,F401
+from . import frontier2 as _dep_frontier2  # noqa: E402,F401
+from .frontier3 import _LANGID_PRED_SQL  # noqa: E402
+
+
+@register(
+    "eval_mcc_parts",
+    oracle="""
+    WITH pred AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             CASE WHEN {pred} = 'en' THEN 1 ELSE 0 END AS said_en
+      FROM documents
+    ),
+    cells AS (
+      SELECT CAST(SUM(is_en * said_en) AS BIGINT) AS tp,
+             CAST(SUM((1 - is_en) * said_en) AS BIGINT) AS fp,
+             CAST(SUM(is_en * (1 - said_en)) AS BIGINT) AS fn,
+             CAST(SUM((1 - is_en) * (1 - said_en)) AS BIGINT) AS tn
+      FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp * tn - fp * fn AS BIGINT) AS mcc_num,
+           CAST(CASE WHEN tp * tn - fp * fn >= 0 THEN 1 ELSE -1 END
+                * ((CAST(tp * tn - fp * fn AS HUGEINT)
+                    * (tp * tn - fp * fn) * 1000000000000)
+                   // (CAST(tp + fp AS HUGEINT) * (tp + fn)
+                       * (tn + fp) * (tn + fn))) AS BIGINT)
+             AS mcc_sq_e12_signed
+    FROM cells
+    """.format(pred=_LANGID_PRED_SQL),
+)
+def eval_mcc_parts_q(spark, sf_dir):
+    """Matthews correlation coefficient in EXACT integer parts — the one
+    balanced scalar the binary scorecard
+    (`eval_binary_detector_metrics`) lacks: precision/recall/F1 all
+    ignore TN, so a detector on an imbalanced corpus can score high F1
+    while anti-correlating with truth; MCC = (tp·tn − fp·fn)/√(Πmarginals)
+    is the chance-corrected correlation.  The √ is transcendental, so
+    the gate ships the SIGNED SQUARE: mcc_num (exact, sign = the
+    correlation's sign) and sign·⌊1e12·num²/Πmarginals⌋ — monotone in
+    |MCC| and sign-faithful, so thresholding and comparing detectors
+    works entirely in integers (the eval_auc_delong_var present-the-
+    parts doctrine); any consumer wanting the float takes one sqrt of
+    the shipped ratio.  Same english-detector cells as the scorecard
+    row, so the two rows reconcile by construction.
+
+    100 TB shape: one corpus pass into four counters — the confusion
+    cells are the whole exchange."""
+    from ..operators.text_analysis import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+        (lang_id(F.col("text")) == "en").cast("long").alias("said_en"),
+    )
+    cells = pred.agg(
+        F.sum(F.col("is_en") * F.col("said_en")).cast("long").alias("tp"),
+        F.sum((1 - F.col("is_en")) * F.col("said_en")).cast("long").alias("fp"),
+        F.sum(F.col("is_en") * (1 - F.col("said_en"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("is_en")) * (1 - F.col("said_en"))).cast("long").alias("tn"),
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("CAST(tp * tn - fp * fn AS BIGINT)").alias("mcc_num"),
+        F.expr(
+            "CAST(CASE WHEN tp * tn - fp * fn >= 0 THEN 1 ELSE -1 END"
+            " * ((CAST(tp * tn - fp * fn AS DECIMAL(38,0))"
+            "     * (tp * tn - fp * fn) * 1000000000000)"
+            "    DIV (CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"
+            "         * (tn + fp) * (tn + fn))) AS BIGINT)"
+        ).alias("mcc_sq_e12_signed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# profile_correlation_pairs — exact integer correlation numerators
+# --------------------------------------------------------------------------
+@register(
+    "profile_correlation_pairs",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice) AS BIGINT) AS price_d,
+             o_custkey AS cust,
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day_n
+      FROM orders
+    ),
+    pairs AS (
+      SELECT 'o_totalprice~o_custkey' AS pair, price_d AS x, cust AS y FROM v
+      UNION ALL
+      SELECT 'o_totalprice~o_orderdate', price_d, day_n FROM v
+      UNION ALL
+      SELECT 'o_custkey~o_orderdate', cust, day_n FROM v
+    ),
+    moms AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+             COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
+               - SUM(CAST(x AS HUGEINT)) * SUM(y) AS cov,
+             COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+               - SUM(CAST(x AS HUGEINT)) * SUM(x) AS vx,
+             COUNT(*) * SUM(CAST(y AS HUGEINT) * y)
+               - SUM(CAST(y AS HUGEINT)) * SUM(y) AS vy
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n,
+           CAST(cov AS BIGINT) AS cov_num,
+           CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END AS INT)
+             AS corr_sign,
+           CAST(((cov * cov) // vx) * 1000000 // vy AS BIGINT) AS corr_sq_e6
+    FROM moms
+    """,
+)
+def profile_correlation_pairs_q(spark, sf_dir):
+    """Pairwise correlation profile over numeric columns — the
+    feature-redundancy screen a training pipeline runs before committing
+    a feature set (two near-duplicate features waste model capacity and
+    break attribution): per pair, the EXACT covariance numerator
+    n·Σxy − Σx·Σy (its sign IS the correlation sign), and ρ² in exact
+    e6 units via ⌊1e6·cov²/ (varx·vary)⌋ — the same present-the-
+    signed-square convention as `eval_mcc_parts`, because ρ's sqrt is
+    transcendental while ρ² thresholds ('drop one of any pair with
+    ρ² > 0.95') are what pipelines actually gate on.  Timestamps enter
+    as FLOOR-epoch day numbers (the truncation pin), money as HALF_UP
+    whole units (cents would push cov² past DECIMAL(38,0) — measured
+    NUMERIC_VALUE_OUT_OF_RANGE under ANSI; at petabyte row counts the
+    moments divide by n before squaring, the documented scale path).
+
+    100 TB shape: ONE pass — every pair's five moments (Σx, Σy, Σxy,
+    Σx², Σy²) comes from the same projection-unioned scan, one
+    (pair)-grain agg; no column is scanned twice per pair."""
+    orders = _t(spark, sf_dir, "orders")
+    day_n = F.expr(
+        "CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " o_orderdate) AS BIGINT) DIV 86400"
+    )
+    v = orders.select(
+        F.round(F.col("o_totalprice")).cast("long").alias("price_d"),
+        F.col("o_custkey").alias("cust"),
+        day_n.alias("day_n"),
+    )
+    cols = [
+        ("o_totalprice~o_custkey", "price_d", "cust"),
+        ("o_totalprice~o_orderdate", "price_d", "day_n"),
+        ("o_custkey~o_orderdate", "cust", "day_n"),
+    ]
+    long = None
+    for name, xc, yc in cols:
+        part = v.select(
+            F.lit(name).alias("pair"), F.col(xc).alias("x"), F.col(yc).alias("y")
+        )
+        long = part if long is None else long.unionByName(part)
+    moms = long.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "COUNT(1) * SUM(CAST(x AS DECIMAL(38,0)) * y)"
+            " - SUM(CAST(x AS DECIMAL(38,0))) * SUM(y)"
+        ).alias("cov"),
+        F.expr(
+            "COUNT(1) * SUM(CAST(x AS DECIMAL(38,0)) * x)"
+            " - SUM(CAST(x AS DECIMAL(38,0))) * SUM(x)"
+        ).alias("vx"),
+        F.expr(
+            "COUNT(1) * SUM(CAST(y AS DECIMAL(38,0)) * y)"
+            " - SUM(CAST(y AS DECIMAL(38,0))) * SUM(y)"
+        ).alias("vy"),
+    )
+    return moms.select(
+        "pair",
+        "n",
+        F.col("cov").cast("long").alias("cov_num"),
+        F.expr(
+            "CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END AS INT)"
+        ).alias("corr_sign"),
+        # two-step floored division keeps every intermediate inside
+        # DECIMAL(38,0): cov^2 (<= vx*vy by Cauchy-Schwarz, ~1e35 at gate
+        # units) DIV vx first, then the e6 scale, then DIV vy — the inner
+        # floor's relative error is ~1e-14 and IDENTICAL in both engines
+        F.expr(
+            "CAST(((cov * cov) DIV vx) * 1000000 DIV vy AS BIGINT)"
+        ).alias("corr_sq_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_snips_maintain — off-policy value as IVM
+# --------------------------------------------------------------------------
+@register("stream_snips_maintain", oracle=_SNIPS_ORACLE)
+def stream_snips_maintain_q(spark, sf_dir):
+    """`eval_snips_offpolicy` as incremental view maintenance — the
+    off-policy value monitor running ON the logging stream: the state is
+    FOUR pure-SUM counters (Σr·w over matched rounds as DECIMAL(38,0),
+    Σw, n_matched, n_logged) — the entire IPS/SNIPS sufficient statistic
+    is additive, so this is the rare maintainer whose state is
+    CONSTANT-SIZE (one row) and exactly batch-equal under any bundling;
+    the two value quotients are read-time faces.  Shares the batch row's
+    oracle verbatim.
+
+    100 TB shape: per trigger one projection + one 1-row partial agg
+    folded into 1-row state; the face is two divisions."""
+    import shutil
+    import tempfile
+
+    from ..io import read_state_parquet
+    from ..streaming import read_events_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_snips_")
+    state_path = root + "/counters"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        logged = batch_df.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("r_c"),
+            (
+                F.lit(100000)
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit("prop|"), F.col("event_id").cast("string"))
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 900001
+            ).alias("p_ppm"),
+        )
+        part = logged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_logged"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'click' THEN"
+                " CAST(r_c AS DECIMAL(38,0)) * (1000000000000 DIV p_ppm)"
+                " ELSE 0 END) AS DECIMAL(38,0))"
+            ).alias("num"),
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'click' THEN"
+                " 1000000000000 DIV p_ppm ELSE 0 END) AS DECIMAL(38,0))"
+            ).alias("den"),
+        )
+        state = read_state_parquet(sp, state_path)
+        merged = (
+            state.unionByName(part).agg(
+                F.sum("n_logged").cast("long").alias("n_logged"),
+                F.sum("n_matched").cast("long").alias("n_matched"),
+                F.sum("num").cast("decimal(38,0)").alias("num"),
+                F.sum("den").cast("decimal(38,0)").alias("den"),
+            )
+            if state is not None
+            else part
+        )
+        staging = state_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    st = spark.read.parquet(state_path)
+    out = st.select(
+        "n_logged",
+        "n_matched",
+        F.expr(
+            "CAST(num DIV (CAST(n_logged AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias("ips_value_c"),
+        F.expr("CAST(num DIV den AS BIGINT)").alias("snips_value_c"),
+    )
+    return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# stream_iqr_maintain — Tukey fences as IVM over the value census
+# --------------------------------------------------------------------------
+@register("stream_iqr_maintain", oracle=_IQR_ORACLE)
+def stream_iqr_maintain_q(spark, sf_dir):
+    """`filter_outlier_iqr` as incremental view maintenance: the
+    maintained state is the (group, cents, n) VALUE CENSUS — counts fold
+    by pure SUM, bundling- and order-independent — and the quartiles,
+    fences and outlier counts are READ-TIME faces (an order statistic is
+    not batch-additive; the `stream_weighted_median_maintain` doctrine
+    on the quartile face).  The read face ranks the census (not the
+    rows): rn positions come from the cumulative census counts, so the
+    face costs O(value grid), never O(events).  Shares the batch row's
+    oracle verbatim.
+
+    100 TB shape: per trigger one (group, cents) partial agg into
+    value-grid state; the face is one cumulative window over the bounded
+    per-group grid + one census rollup for the fence counts."""
+    import shutil
+    import tempfile
+
+    from ..io import read_state_parquet
+    from ..streaming import read_events_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_iqr_")
+    census_path = root + "/census"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = batch_df.groupBy(
+            "event_type", F.floor(F.col("value") * 100).cast("long").alias("v_c")
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        state = read_state_parquet(sp, census_path)
+        merged = (
+            state.unionByName(part)
+            .groupBy("event_type", "v_c")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            if state is not None
+            else part
+        )
+        staging = census_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(census_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    census = spark.read.parquet(census_path)
+    w = Window.partitionBy("event_type").orderBy("v_c")
+    cum = census.select(
+        "event_type",
+        "v_c",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    # the quartile VALUE is the census row whose cumulative count first
+    # reaches the target rank (rank semantics identical to row_number
+    # over exploded rows: position p lands in the row with cum-cnt < p <= cum)
+    quarts = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(
+                (F.col("cum") - F.col("cnt") < F.greatest(F.lit(1), F.expr("(n + 1) DIV 4")))
+                & (F.greatest(F.lit(1), F.expr("(n + 1) DIV 4")) <= F.col("cum")),
+                F.col("v_c"),
+            )
+        ).alias("q1_c"),
+        F.max(
+            F.when(
+                (
+                    F.col("cum") - F.col("cnt")
+                    < F.greatest(F.lit(1), F.expr("(3 * (n + 1)) DIV 4"))
+                )
+                & (F.greatest(F.lit(1), F.expr("(3 * (n + 1)) DIV 4")) <= F.col("cum")),
+                F.col("v_c"),
+            )
+        ).alias("q3_c"),
+    )
+    out = (
+        census.join(F.broadcast(quarts), on="event_type")
+        .groupBy("event_type", "n", "q1_c", "q3_c")
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("v_c")
+                    < 2 * F.col("q1_c") - 3 * (F.col("q3_c") - F.col("q1_c")),
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(
+                F.when(
+                    2 * F.col("v_c")
+                    > 2 * F.col("q3_c") + 3 * (F.col("q3_c") - F.col("q1_c")),
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "q1_c",
+            "q3_c",
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )
+    return finish_and_clean(out, root)

@@ -632,3 +632,112 @@ def test_snaive_backtest_identities(spark):
         assert r.n_days_scored > 0
         assert r.mae_floor >= 0 and 0 <= r.wape_ppm
         assert r.wape_ppm > 0, "gate series should not be perfectly periodic"
+
+
+def test_mcc_parts_reconcile_with_scorecard(spark):
+    """MCC cells equal the binary scorecard's; the signed square is
+    monotone-consistent with a float MCC recompute."""
+    import math
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier3 import (
+        eval_binary_detector_metrics_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier9 import (
+        eval_mcc_parts_q,
+    )
+
+    got = eval_mcc_parts_q(spark, SF01).collect()[0]
+    card = eval_binary_detector_metrics_q(spark, SF01).collect()[0]
+    assert (got.tp, got.fp, got.fn, got.tn) == (card.tp, card.fp, card.fn, card.tn)
+    assert got.mcc_num == got.tp * got.tn - got.fp * got.fn
+    denom = (
+        (got.tp + got.fp) * (got.tp + got.fn) * (got.tn + got.fp) * (got.tn + got.fn)
+    )
+    mcc = got.mcc_num / math.sqrt(denom)
+    assert abs(got.mcc_sq_e12_signed / 1e12 - math.copysign(mcc * mcc, mcc)) < 1e-6
+
+
+def test_correlation_pairs_sign_and_bounds(spark):
+    """corr_sq_e6 stays in [0, 1e6] (Cauchy-Schwarz), the sign column
+    matches the covariance numerator, and the price~custkey pair is
+    near-independent by construction (rho^2 tiny)."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier9 import (
+        profile_correlation_pairs_q,
+    )
+
+    rows = {r.pair: r for r in profile_correlation_pairs_q(spark, SF01).collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert 0 <= r.corr_sq_e6 <= 1_000_000, r
+        assert r.corr_sign == (r.cov_num > 0) - (r.cov_num < 0)
+    assert rows["o_totalprice~o_custkey"].corr_sq_e6 < 50_000
+
+
+def test_snips_ivm_bundling(spark, tmp_path, monkeypatch):
+    """The SNIPS maintainer (1-row pure-SUM state) equals the batch row
+    over a 3-batch split."""
+    import glob as _glob
+    import shutil
+
+    import cell_kn_mvp_etl_ontologies_spark.streaming as streaming_mod
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "split_sf"
+    d.mkdir()
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    names = {0: "", 1: "_1", 2: "_2"}
+    for i in range(3):
+        tmp_out = str(d / f"__tmp_events_{i}")
+        events.filter(F.col("event_id") % 3 == i).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_out)
+        part = _glob.glob(tmp_out + "/part-*.parquet")[0]
+        shutil.move(part, str(d / f"events{names[i]}.parquet"))
+        shutil.rmtree(tmp_out, ignore_errors=True)
+    orig = streaming_mod.read_events_stream
+    monkeypatch.setattr(
+        streaming_mod,
+        "read_events_stream",
+        lambda sp, sd: orig(sp, sd, max_files_per_trigger=1),
+    )
+    batch = {tuple(r) for r in QUERIES["eval_snips_offpolicy"](spark, sf).collect()}
+    stream = {
+        tuple(r) for r in QUERIES["stream_snips_maintain"](spark, str(d)).collect()
+    }
+    assert stream == batch and len(batch) == 1
+
+
+def test_iqr_ivm_bundling(spark, tmp_path, monkeypatch):
+    """The IQR maintainer (value-census state, census-ranked quartile
+    face) equals the batch row over a 3-batch split."""
+    import glob as _glob
+    import shutil
+
+    import cell_kn_mvp_etl_ontologies_spark.streaming as streaming_mod
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "split_sf"
+    d.mkdir()
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    names = {0: "", 1: "_1", 2: "_2"}
+    for i in range(3):
+        tmp_out = str(d / f"__tmp_events_{i}")
+        events.filter(F.col("event_id") % 3 == i).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_out)
+        part = _glob.glob(tmp_out + "/part-*.parquet")[0]
+        shutil.move(part, str(d / f"events{names[i]}.parquet"))
+        shutil.rmtree(tmp_out, ignore_errors=True)
+    orig = streaming_mod.read_events_stream
+    monkeypatch.setattr(
+        streaming_mod,
+        "read_events_stream",
+        lambda sp, sd: orig(sp, sd, max_files_per_trigger=1),
+    )
+    batch = {tuple(r) for r in QUERIES["filter_outlier_iqr"](spark, sf).collect()}
+    stream = {
+        tuple(r) for r in QUERIES["stream_iqr_maintain"](spark, str(d)).collect()
+    }
+    assert stream == batch and len(batch) > 0
