@@ -69,7 +69,53 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
-    # ================= ROUND 11 PREFIX (executing the precomputed r11 plan;
+    # ================= ROUND 12 PREFIX =================
+    # (a) contracts NEW in round 12 — jump to the head per the standing
+    # rule: the two VERDICT r11 prescriptions (the df-capped weighted-
+    # Jaccard twin #2 and the routed radius-search rung #3, both
+    # catalog/frontier9.py), followed by the round-12 operator batch.
+    "dedup_minhash_weighted_capped", "similarity_range_search_routed",
+    # ... and the round-12 operator batch (catalog/frontier9.py): the
+    # drawdown pair, the Pettitt changepoint, clipped BLEU precision, the
+    # three ingest-QA profiles, the stop-template report, LPT sharding,
+    # vocab coverage, and the multimodal metadata health profile.
+    "temporal_max_drawdown", "stream_drawdown_maintain",
+    "temporal_changepoint_pettitt", "eval_bleu_ngram_precision",
+    "quality_functional_dependency", "quality_uniqueness_profile",
+    "quality_value_length_profile", "text_boilerplate_census",
+    "shard_assign_lpt", "text_vocab_coverage", "multimodal_metadata_profile",
+    "temporal_seasonality_strength", "eval_snips_offpolicy",
+    "graph_bipartite_projection_capped", "stream_vocab_coverage_maintain",
+    "eval_krippendorff_alpha", "graph_louvain_move",
+    "sketch_kmv_difference", "filter_outlier_iqr", "temporal_snaive_backtest",
+    "eval_mcc_parts", "profile_correlation_pairs",
+    "stream_snips_maintain", "stream_iqr_maintain",
+    # NOTE: 26 new contracts + the 24-row backlog below = exactly the
+    # 50-slot gate, zero carry-over (VERDICT r11 #1's budget).
+    # (b) contracts CHANGED by the r11 ADVICE fixes (both already in the
+    # backlog below, listed here for the record): sketch_kmv_distinct
+    # (audit column renamed exact_distinct_hashes — schema-visible) and
+    # stream_novelty_maintain (counters now fold by SUM with revocation
+    # deltas — result-identical on every arrival order the oracle sees).
+    # (c) the 24-row never-driver backlog (VERDICT r11 #1): the round-11
+    # extension batch (catalog/frontier8.py — radius search, weighted
+    # Jaccard, FFD packing, schema drift, rate-shift audit, grouped
+    # K-fold, substring decontamination, expectations IVM, the KMV
+    # sketch family and round-11 IVMs), all hash-green in
+    # CORRECTNESS_LOCAL_r11 AND the judge's independent r11 re-run.
+    "similarity_range_search", "dedup_minhash_weighted",
+    "pack_sequences_ffd", "quality_schema_drift",
+    "temporal_rate_shift_audit", "sample_group_kfold",
+    "contamination_substring_scan", "stream_expectations_maintain",
+    "stream_schema_drift_maintain", "quality_column_collision_profile",
+    "agg_weighted_median", "pairs_hard_negatives",
+    "eval_threshold_best_f1", "agg_mode_per_group",
+    "sample_balanced_downsample", "text_ngram_novelty_profile",
+    "stream_weighted_median_maintain",
+    "sketch_kmv_distinct", "sketch_kmv_intersection", "stream_kmv_maintain",
+    "temporal_twap", "stream_novelty_maintain", "temporal_median_decompose",
+    "eval_auc_delong_var",
+    # ================= ROUND 11 PREFIX (executed; kept for the record —
     # VERDICT r10 #1: the never-driver backlog is EXACTLY 49 rows and the
     # gate is 50 slots, so this round CLOSES the set) =================
     # (a) the single NEW contract this round (held to <=1 per VERDICT r10
@@ -117,52 +163,6 @@ _PRIORITY = [
     # is now EMPTY — every catalog row has at least one driver-round
     # proof, and the 3-round freshness floor covers staleness from here
     # on) =================
-    # ================= ROUND 12 PREFIX =================
-    # (a) contracts NEW in round 12 — jump to the head per the standing
-    # rule: the two VERDICT r11 prescriptions (the df-capped weighted-
-    # Jaccard twin #2 and the routed radius-search rung #3, both
-    # catalog/frontier9.py), followed by the round-12 operator batch.
-    "dedup_minhash_weighted_capped", "similarity_range_search_routed",
-    # ... and the round-12 operator batch (catalog/frontier9.py): the
-    # drawdown pair, the Pettitt changepoint, clipped BLEU precision, the
-    # three ingest-QA profiles, the stop-template report, LPT sharding,
-    # vocab coverage, and the multimodal metadata health profile.
-    "temporal_max_drawdown", "stream_drawdown_maintain",
-    "temporal_changepoint_pettitt", "eval_bleu_ngram_precision",
-    "quality_functional_dependency", "quality_uniqueness_profile",
-    "quality_value_length_profile", "text_boilerplate_census",
-    "shard_assign_lpt", "text_vocab_coverage", "multimodal_metadata_profile",
-    "temporal_seasonality_strength", "eval_snips_offpolicy",
-    "graph_bipartite_projection_capped", "stream_vocab_coverage_maintain",
-    "eval_krippendorff_alpha", "graph_louvain_move",
-    "sketch_kmv_difference", "filter_outlier_iqr", "temporal_snaive_backtest",
-    "eval_mcc_parts", "profile_correlation_pairs",
-    "stream_snips_maintain", "stream_iqr_maintain",
-    # NOTE: 26 new contracts + the 24-row backlog below = exactly the
-    # 50-slot gate, zero carry-over (VERDICT r11 #1's budget).
-    # (b) contracts CHANGED by the r11 ADVICE fixes (both already in the
-    # backlog below, listed here for the record): sketch_kmv_distinct
-    # (audit column renamed exact_distinct_hashes — schema-visible) and
-    # stream_novelty_maintain (counters now fold by SUM with revocation
-    # deltas — result-identical on every arrival order the oracle sees).
-    # (c) the 24-row never-driver backlog (VERDICT r11 #1): the round-11
-    # extension batch (catalog/frontier8.py — radius search, weighted
-    # Jaccard, FFD packing, schema drift, rate-shift audit, grouped
-    # K-fold, substring decontamination, expectations IVM, the KMV
-    # sketch family and round-11 IVMs), all hash-green in
-    # CORRECTNESS_LOCAL_r11 AND the judge's independent r11 re-run.
-    "similarity_range_search", "dedup_minhash_weighted",
-    "pack_sequences_ffd", "quality_schema_drift",
-    "temporal_rate_shift_audit", "sample_group_kfold",
-    "contamination_substring_scan", "stream_expectations_maintain",
-    "stream_schema_drift_maintain", "quality_column_collision_profile",
-    "agg_weighted_median", "pairs_hard_negatives",
-    "eval_threshold_best_f1", "agg_mode_per_group",
-    "sample_balanced_downsample", "text_ngram_novelty_profile",
-    "stream_weighted_median_maintain",
-    "sketch_kmv_distinct", "sketch_kmv_intersection", "stream_kmv_maintain",
-    "temporal_twap", "stream_novelty_maintain", "temporal_median_decompose",
-    "eval_auc_delong_var",
     # ================= ROUND 10 PREFIX (executed; kept for the record —
     # duplicates below the r11 block are deduped by _ordered) =============
     # (a) contracts NEW/CHANGED since the r9 gate — jump to the head per the
