@@ -237,5 +237,86 @@ def main() -> None:
     spark.stop()
 
 
+
+
+
+# ---- round-12 batch probes (appended after the batch landed) ----------------
+
+
+def bipartite_pairs(spark, sf, cap):
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf, "events")
+    item = F.get_json_object(F.col("props"), "$.k").cast("long")
+    ui = (
+        events.select(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("date").cast("string"),
+            ).alias("basket"),
+            item.alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    uid = ui.withColumn("d", F.count(F.lit(1)).over(W.partitionBy("basket")))
+    kept = uid.filter(F.col("d") <= cap).select("basket", "item") if cap else ui
+    a = kept.select("basket", F.col("item").alias("ia"))
+    b = kept.select("basket", F.col("item").alias("ib"))
+    t0 = time.monotonic()
+    n = (
+        a.join(b, on="basket")
+        .filter(F.col("ib") > F.col("ia"))
+        .count()
+    )
+    return n, round(time.monotonic() - t0, 2)
+
+
+def pettitt_wall(spark, sf):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", os.path.join(REPO, "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    t0 = time.monotonic()
+    n = entry.queries()["temporal_changepoint_pettitt"](spark, sf).count()
+    return n, round(time.monotonic() - t0, 2)
+
+
+def main_r12() -> None:
+    b = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in ENGINE_SQL_CONF.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict = {}
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        tag = sf.rsplit("sf", 1)[-1]
+        for cap in (None, 7):
+            n, sec = bipartite_pairs(spark, sf, cap)
+            out[f"bipartite_{tag}_cap{cap}"] = {"pairs": n, "sec": sec}
+            spark.catalog.clearCache()
+        n, sec = pettitt_wall(spark, sf)
+        out[f"pettitt_{tag}"] = {"days": n, "sec": sec}
+        spark.catalog.clearCache()
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--r12" in _sys.argv:
+        main_r12()
+    else:
+        main()
