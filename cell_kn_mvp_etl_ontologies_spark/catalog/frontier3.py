@@ -3361,12 +3361,7 @@ def dedup_lsh_banding_audit_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # quality_langid_confusion — classifier-vs-truth confusion matrix
 # --------------------------------------------------------------------------
-_LANGID_PRED_SQL = """
-      CASE WHEN CAST(len(list_filter(string_split_regex(text, '\\s+'),
-             t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-             / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) >= 0.04
-           THEN 'en' ELSE 'unk' END
-"""
+from ._text_contracts import LANGID_PRED_SQL as _LANGID_PRED_SQL  # noqa: E402
 
 
 @register(

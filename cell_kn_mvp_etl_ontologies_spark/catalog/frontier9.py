@@ -1974,20 +1974,10 @@ def temporal_snaive_backtest_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # eval_mcc_parts — Matthews correlation in exact integer parts
 # --------------------------------------------------------------------------
-# frontier3's import chain reads ORACLES entries registered by earlier
-# catalog modules (analytics needs extensions' similarity_topk oracle), so
-# importing frontier9 standalone must replay load_all's prefix order first.
-from . import core as _dep_core  # noqa: E402,F401
-from . import ontology as _dep_ontology  # noqa: E402,F401
-from . import extensions as _dep_extensions  # noqa: E402,F401
-from . import streaming as _dep_streaming  # noqa: E402,F401
-from . import fine_grained as _dep_fine_grained  # noqa: E402,F401
-from . import training as _dep_training  # noqa: E402,F401
-from . import scale_ops as _dep_scale_ops  # noqa: E402,F401
-from . import analytics as _dep_analytics  # noqa: E402,F401
-from . import frontier as _dep_frontier  # noqa: E402,F401
-from . import frontier2 as _dep_frontier2  # noqa: E402,F401
-from .frontier3 import _LANGID_PRED_SQL  # noqa: E402
+# the english-detector predicate lives in the leaf contracts module so this
+# import carries no catalog-module ordering baggage (frontier3's own import
+# chain would replay half of load_all)
+from ._text_contracts import LANGID_PRED_SQL as _LANGID_PRED_SQL  # noqa: E402
 
 
 @register(

@@ -639,15 +639,14 @@ def test_mcc_parts_reconcile_with_scorecard(spark):
     monotone-consistent with a float MCC recompute."""
     import math
 
-    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier3 import (
-        eval_binary_detector_metrics_q,
-    )
+    from cell_kn_mvp_etl_ontologies_spark.catalog import QUERIES, load_all
     from cell_kn_mvp_etl_ontologies_spark.catalog.frontier9 import (
         eval_mcc_parts_q,
     )
 
+    load_all()  # frontier3 is not standalone-importable (oracle chain)
     got = eval_mcc_parts_q(spark, SF01).collect()[0]
-    card = eval_binary_detector_metrics_q(spark, SF01).collect()[0]
+    card = QUERIES["eval_binary_detector_metrics"](spark, SF01).collect()[0]
     assert (got.tp, got.fp, got.fn, got.tn) == (card.tp, card.fp, card.fn, card.tn)
     assert got.mcc_num == got.tp * got.tn - got.fp * got.fn
     denom = (
