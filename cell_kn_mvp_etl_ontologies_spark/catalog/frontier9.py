@@ -2000,8 +2000,8 @@ from ._text_contracts import LANGID_PRED_SQL as _LANGID_PRED_SQL  # noqa: E402
            CAST(CASE WHEN tp * tn - fp * fn >= 0 THEN 1 ELSE -1 END
                 * ((CAST(tp * tn - fp * fn AS HUGEINT)
                     * (tp * tn - fp * fn) * 1000000000000)
-                   // (CAST(tp + fp AS HUGEINT) * (tp + fn)
-                       * (tn + fp) * (tn + fn))) AS BIGINT)
+                   // NULLIF(CAST(tp + fp AS HUGEINT) * (tp + fn)
+                             * (tn + fp) * (tn + fn), 0)) AS BIGINT)
              AS mcc_sq_e12_signed
     FROM cells
     """.format(pred=_LANGID_PRED_SQL),
@@ -2046,8 +2046,12 @@ def eval_mcc_parts_q(spark, sf_dir):
             "CAST(CASE WHEN tp * tn - fp * fn >= 0 THEN 1 ELSE -1 END"
             " * ((CAST(tp * tn - fp * fn AS DECIMAL(38,0))"
             "     * (tp * tn - fp * fn) * 1000000000000)"
-            "    DIV (CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"
-            "         * (tn + fp) * (tn + fn))) AS BIGINT)"
+            # a DEGENERATE confusion matrix (an empty row or column —
+            # detector always-fires or labels single-class) zeroes a
+            # marginal: NULLIF makes BOTH engines emit NULL instead of a
+            # division error (mcc is undefined there, and num = 0 says so)
+            "    DIV NULLIF(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"
+            "               * (tn + fp) * (tn + fn), 0)) AS BIGINT)"
         ).alias("mcc_sq_e12_signed"),
     )
 
