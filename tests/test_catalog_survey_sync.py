@@ -126,3 +126,43 @@ def test_evidence_freshness_floor():
         f"catalog queries whose newest evidence is older than round {floor} "
         f"(current artifact round {current}): {stale}"
     )
+
+
+def test_never_driver_rows_sit_in_gate_prefix():
+    """The standing rotation rule, pinned: every catalog query with NO
+    driver-round hash proof (new contracts registered since the last gate)
+    must sit inside the first 50 entries of queries() — the driver gates a
+    PREFIX, so a never-driver row outside it cannot earn evidence and
+    becomes next round's backlog (the round-11 'What's wrong #1').  This
+    test would have caught the round-12 mis-ordering where the new block
+    initially landed BELOW the executed round-11 prefix."""
+    import glob
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", os.path.join(REPO, "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    prefix = set(list(entry.queries().keys())[:50])
+
+    driver_green: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        for qid, res in json.load(open(path)).items():
+            if (
+                isinstance(res, dict)
+                and res.get("rows_match") is True
+                and not res.get("err")
+                and res.get("hash_match") is not False
+            ):
+                driver_green.add(qid)
+    never_driver = sorted(q for q in _catalog_ids() if q not in driver_green)
+    outside = [q for q in never_driver if q not in prefix]
+    assert not outside, (
+        f"{len(never_driver)} never-driver rows, {len(outside)} OUTSIDE the "
+        f"50-slot gate prefix (they can never earn driver evidence there): "
+        f"{outside[:10]}{'...' if len(outside) > 10 else ''} — either move "
+        "them into the prefix head or, if they exceed 50, stage the "
+        "overflow as the precomputed next-round head with a comment."
+    )
