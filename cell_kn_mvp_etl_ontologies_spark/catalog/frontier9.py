@@ -175,8 +175,10 @@ def similarity_range_search_routed_q(spark, sf_dir):
     treatment (`similarity_maxsim_routed` doctrine) applied to the ANN
     ladder's radius face, which until this round existed only as
     docstring prose on the brute gate tier (VERDICT r11 #3): corpus
-    vectors assign to their nearest of 4 md5-seeded cells by exact
-    quantized cosine, queries keep their nprobe nearest cells by the
+    vectors assign to their nearest of 4 md5-seeded cells by exact int64
+    squared L2 (the `ivf_assign`/`maxsim_route_cells` measure; ADVICE
+    r12 — cosine is only the REFINE predicate, never the routing one),
+    queries keep their nprobe nearest cells by the
     same measure, candidates come from the (cell) equi-join, and the
     exact integer refine (dot ≥ 0 ∧ 16·dot² ≥ |q|²·|t|², DECIMAL(38,0))
     runs per candidate.  With every cell probed the candidate set is all
@@ -184,8 +186,9 @@ def similarity_range_search_routed_q(spark, sf_dir):
     so the SAME oracle constant gates both — cells as a partitioning
     device, pruning off, identity proven rather than claimed.
 
-    Cell selection is rank-based (top-nprobe by centroid cosine, ties to
-    the smaller cell) rather than the slack-adjusted τ bound: a coverage-
+    Cell selection is rank-based (top-nprobe by smallest exact squared
+    L2 to the centroid, ties to the smaller cell) rather than the
+    slack-adjusted τ bound: a coverage-
     guaranteed ball bound needs the triangle-inequality term
     √((1−cos²(q,c))(1−cos²(t,c))), which is float sqrt — not cross-engine
     exact — while rank probing keeps the whole path in the audited
@@ -1105,21 +1108,22 @@ def multimodal_metadata_profile_q(spark, sf_dir):
     parts AS (
       SELECT d.detr, d.detr - s.s AS rem
       FROM detrended d JOIN seasonal s ON s.dow = d.dow
+    ),
+    moms AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             COUNT(*) * SUM(CAST(detr AS HUGEINT) * detr)
+               - SUM(CAST(detr AS HUGEINT)) * SUM(detr) AS vd,
+             COUNT(*) * SUM(CAST(rem AS HUGEINT) * rem)
+               - SUM(CAST(rem AS HUGEINT)) * SUM(rem) AS vr
+      FROM parts
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-           CAST(COUNT(*) * SUM(CAST(detr AS HUGEINT) * detr)
-                - SUM(CAST(detr AS HUGEINT)) * SUM(detr) AS BIGINT)
-             AS var_num_detr,
-           CAST(COUNT(*) * SUM(CAST(rem AS HUGEINT) * rem)
-                - SUM(CAST(rem AS HUGEINT)) * SUM(rem) AS BIGINT)
-             AS var_num_rem,
-           CAST(greatest(0, 1000000
-                - 1000000 * (COUNT(*) * SUM(CAST(rem AS HUGEINT) * rem)
-                             - SUM(CAST(rem AS HUGEINT)) * SUM(rem))
-                  // (COUNT(*) * SUM(CAST(detr AS HUGEINT) * detr)
-                      - SUM(CAST(detr AS HUGEINT)) * SUM(detr)))
-                AS BIGINT) AS seasonal_strength_ppm
-    FROM parts
+    SELECT n_days,
+           CAST(vd AS BIGINT) AS var_num_detr,
+           CAST(vr AS BIGINT) AS var_num_rem,
+           CASE WHEN vd = 0 THEN NULL
+                ELSE CAST(greatest(0, 1000000 - 1000000 * vr // vd) AS BIGINT)
+           END AS seasonal_strength_ppm
+    FROM moms
     """,
 )
 def temporal_seasonality_strength_q(spark, sf_dir):
@@ -1172,12 +1176,22 @@ def temporal_seasonality_strength_q(spark, sf_dir):
         "(COUNT(1) * SUM(CAST(rem AS DECIMAL(38,0)) * rem)"
         " - SUM(CAST(rem AS DECIMAL(38,0))) * SUM(rem))"
     )
-    return parts.agg(
+    moms = parts.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.expr(f"CAST({vd} AS BIGINT)").alias("var_num_detr"),
-        F.expr(f"CAST({vr} AS BIGINT)").alias("var_num_rem"),
+        F.expr(f"{vd}").alias("vd"),
+        F.expr(f"{vr}").alias("vr"),
+    )
+    # ADVICE r12: a degenerate (constant) detrended series zeroes vd; the
+    # strength is then undefined — both engines emit NULL, not a division
+    # error (DuckDB) or a non-ANSI silent NULL buried in greatest (Spark).
+    return moms.select(
+        "n_days",
+        F.expr("CAST(vd AS BIGINT)").alias("var_num_detr"),
+        F.expr("CAST(vr AS BIGINT)").alias("var_num_rem"),
         F.expr(
-            f"CAST(greatest(0, 1000000 - 1000000 * {vr} DIV {vd}) AS BIGINT)"
+            "CASE WHEN vd = 0 THEN NULL"
+            " ELSE CAST(greatest(0, 1000000 - 1000000 * vr DIV vd) AS BIGINT)"
+            " END"
         ).alias("seasonal_strength_ppm"),
     )
 
@@ -2089,7 +2103,8 @@ def eval_mcc_parts_q(spark, sf_dir):
            CAST(cov AS BIGINT) AS cov_num,
            CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END AS INT)
              AS corr_sign,
-           CAST(((cov * cov) // vx) * 1000000 // vy AS BIGINT) AS corr_sq_e6
+           CAST(((cov * cov) // NULLIF(vx, 0)) * 1000000 // NULLIF(vy, 0)
+                AS BIGINT) AS corr_sq_e6
     FROM moms
     """,
 )
@@ -2157,9 +2172,13 @@ def profile_correlation_pairs_q(spark, sf_dir):
         # two-step floored division keeps every intermediate inside
         # DECIMAL(38,0): cov^2 (<= vx*vy by Cauchy-Schwarz, ~1e35 at gate
         # units) DIV vx first, then the e6 scale, then DIV vy — the inner
-        # floor's relative error is ~1e-14 and IDENTICAL in both engines
+        # floor's relative error is ~1e-14 and IDENTICAL in both engines.
+        # ADVICE r12: a constant column zeroes its variance numerator; ρ²
+        # is undefined there, so NULLIF makes BOTH engines emit NULL
+        # instead of a division error (DuckDB) / non-ANSI NULL (Spark).
         F.expr(
-            "CAST(((cov * cov) DIV vx) * 1000000 DIV vy AS BIGINT)"
+            "CAST(((cov * cov) DIV NULLIF(vx, 0)) * 1000000 DIV NULLIF(vy, 0)"
+            " AS BIGINT)"
         ).alias("corr_sq_e6"),
     )
 

@@ -109,22 +109,24 @@ def read_state_parquet(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path)
     except AnalysisException:
-        if "://" in path:
-            # URI path: ask the Hadoop FileSystem whether it exists.  If
-            # the existence check itself fails (auth flap, endpoint down)
-            # we must NOT conclude first-batch — propagate loudly.
-            jvm = spark._jvm
-            hpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = hpath.getFileSystem(
-                spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
-            )
-            if fs.exists(hpath):
-                # The path exists but planning failed: NOT a first batch.
-                raise
-            return None
         import os
 
-        if os.path.exists(path):
+        if "://" not in path and os.path.exists(path):
+            # Fast path: visible on the driver's local filesystem, so the
+            # path exists but planning failed — NOT a first batch.
+            raise
+        # Authoritative check: the Hadoop FileSystem the READER resolves
+        # the path against (scheme from the URI, else fs.defaultFS — ADVICE
+        # r12: a scheme-less path on a non-local defaultFS exists remotely
+        # even when os.path.exists says no, and must not reset state).  If
+        # the existence check itself fails (auth flap, endpoint down) we
+        # must NOT conclude first-batch — propagate loudly.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+        )
+        if fs.exists(hpath):
             # The path exists but planning failed: NOT a first batch.
             raise
         return None
