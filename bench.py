@@ -76,7 +76,7 @@ ACCEPTANCE_BANDS = {
     "ann_ivf_pq_80k": 2.12,
     "maxsim_routed_10k": 7.48,
     "cdc_chunks_5k": 5.74,
-    "graph_wire_sink": 2.51,
+    "graph_wire_sink": 2.55,
     "novelty_ivm_200": 2.51,
 }
 
