@@ -69,7 +69,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # full catalog (all registered queries, same checker) is verified locally
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
-    # ================= ROUND 12 PREFIX =================
+    # ================= ROUND 13 PREFIX =================
+    # (precomputed at round-12 close): with the
+    # never-driver set at ∅ and zero carry-over, the r13 prefix is pure
+    # STALEST-DRIVER rotation — the 50 rows whose newest driver-round
+    # hash proof is oldest (3 rows at r2, 47 at r3/r4; every one is
+    # hash-green in the r12 local sweep).  New/changed r13 contracts
+    # displace from the tail of this block per the standing rule.
+    # (a) contracts NEW in round 13 (catalog/frontier10.py — the VERDICT
+    # r12 prescriptions), jumping to the head per the standing rule; each
+    # pushes one stale-rotation row past the 50-slot cut.
+    "graph_louvain_rounds",
+    # (b) the precomputed stalest-driver rotation.
+    "dedup_embedding_cosine", "project_triple_nodes", "sort_by_key", "agg_bitmap_overlap",
+    "agg_dedup_edges", "agg_first_fallback_rootns", "agg_funnel_steps", "agg_incremental_maintain",
+    "agg_pivot_vertex_attrs", "agg_retention_cohort", "agg_time_rollup", "cdc_snapshot_diff",
+    "contamination_ngram", "dedup_connected_components", "dedup_incremental_lsh", "dedup_minhash_lsh",
+    "extract_triples_owl", "filter_deprecated_obsolete", "filter_predicate_ns_whitelist", "filter_valid_triple",
+    "graph_build_edges", "graph_build_vertices", "graph_pagerank", "join_anti_new_only",
+    "join_flatten_restriction", "join_range_interval", "join_upsert", "join_upsert_scd2",
+    "multimodal_feature_extract", "pack_sequences_greedy", "pipeline_incremental_graph", "pipeline_two_pass",
+    "quality_expectations", "scan_xml_elements", "setop_intersect_except", "similarity_ann_lsh",
+    "similarity_topk", "sink_graph_upsert", "sink_side_output_deprecated", "sink_zorder_cluster",
+    "source_http_versioned", "source_owl_datasource", "stream_cdc_apply", "stream_dedup_watermark",
+    "text_bm25_topk", "text_inverted_index", "text_tokenize_stats", "window_last_wins",
+    "window_rank_topk", "window_running_sum", "window_sessionize", "agg_bitmap_distinct",
+    # ================= end ROUND 13 PREFIX (50-slot gate cut falls
+    # inside the rotation block above; overflow rows past slot 50 are
+    # the precomputed ROUND-14 head, stalest-first) =================
+    # ================= ROUND 12 PREFIX (executed; kept for the record —
+    # duplicates below the r13 block are deduped by _ordered) =============
     # (a) contracts NEW in round 12 — jump to the head per the standing
     # rule: the two VERDICT r11 prescriptions (the df-capped weighted-
     # Jaccard twin #2 and the routed radius-search rung #3, both
@@ -115,27 +144,7 @@ _PRIORITY = [
     "sketch_kmv_distinct", "sketch_kmv_intersection", "stream_kmv_maintain",
     "temporal_twap", "stream_novelty_maintain", "temporal_median_decompose",
     "eval_auc_delong_var",
-    # ================= end ROUND 12 PREFIX (50 slots) =================
-    # PRECOMPUTED ROUND-13 HEAD (recomputed at round-12 close): with the
-    # never-driver set at ∅ and zero carry-over, the r13 prefix is pure
-    # STALEST-DRIVER rotation — the 50 rows whose newest driver-round
-    # hash proof is oldest (3 rows at r2, 47 at r3/r4; every one is
-    # hash-green in the r12 local sweep).  New/changed r13 contracts
-    # displace from the tail of this block per the standing rule.
-    "dedup_embedding_cosine", "project_triple_nodes", "sort_by_key", "agg_bitmap_overlap",
-    "agg_dedup_edges", "agg_first_fallback_rootns", "agg_funnel_steps", "agg_incremental_maintain",
-    "agg_pivot_vertex_attrs", "agg_retention_cohort", "agg_time_rollup", "cdc_snapshot_diff",
-    "contamination_ngram", "dedup_connected_components", "dedup_incremental_lsh", "dedup_minhash_lsh",
-    "extract_triples_owl", "filter_deprecated_obsolete", "filter_predicate_ns_whitelist", "filter_valid_triple",
-    "graph_build_edges", "graph_build_vertices", "graph_pagerank", "join_anti_new_only",
-    "join_flatten_restriction", "join_range_interval", "join_upsert", "join_upsert_scd2",
-    "multimodal_feature_extract", "pack_sequences_greedy", "pipeline_incremental_graph", "pipeline_two_pass",
-    "quality_expectations", "scan_xml_elements", "setop_intersect_except", "similarity_ann_lsh",
-    "similarity_topk", "sink_graph_upsert", "sink_side_output_deprecated", "sink_zorder_cluster",
-    "source_http_versioned", "source_owl_datasource", "stream_cdc_apply", "stream_dedup_watermark",
-    "text_bm25_topk", "text_inverted_index", "text_tokenize_stats", "window_last_wins",
-    "window_rank_topk", "window_running_sum", "window_sessionize", "agg_bitmap_distinct",
-    # ================= end PRECOMPUTED ROUND-13 HEAD =================
+    # ================= end ROUND 12 PREFIX (executed) =================
     # ================= ROUND 11 PREFIX (executed; kept for the record —
     # VERDICT r10 #1: the never-driver backlog is EXACTLY 49 rows and the
     # gate is 50 slots, so this round CLOSES the set) =================

@@ -1233,3 +1233,186 @@ def dag_root_path_counts(
         F.col("node").cast("long").alias("node"),
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_paths"),
     )
+
+
+def louvain_rounds(
+    edges: DataFrame,
+    n_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic multi-round Louvain (Blondel et al. 2008) with
+    locally-dominant move matching, plus ONE community-coarsening step —
+    the full-algorithm extension of the `graph_louvain_move` primitive
+    (which tables the ascent direction from singletons but deliberately
+    applies nothing).
+
+    Each round computes every node's best strictly-positive-gain move to a
+    NEIGHBOR community using the exact integer modularity delta
+    ``gain = 2m·(k_{i,c} − k_{i,d∖i}) − k_i·(Σ_c − Σ_d + k_i)``
+    (= 2m²·ΔQ for moving i from its community d to c; from singletons this
+    reduces to the single-move row's 2m·k_ic − k_i·k_c), then applies the
+    LOCALLY-DOMINANT subset: a move is applied iff it carries the best
+    (gain DESC, node ASC) key among ALL candidate moves touching either its
+    source or its target community — the handshake matching of parallel
+    graph algorithms (Manne–Bisseling; the device Grappolo-style distributed
+    Louvain uses to batch moves safely).  Selected moves therefore touch
+    pairwise-DISJOINT community sets, which makes their modularity deltas
+    exactly additive (each community's membership and Σ_tot change through
+    at most one move, so no −k_i·k_j cross term between movers is ever
+    dropped) — every round strictly increases Q while any positive-gain
+    move exists, the monotonicity textbook synchronous application loses.
+    Tie-breaks are total (gain DESC, target ASC per node; gain DESC, node
+    ASC per community key), so the trajectory is a pure function of the
+    graph — hash-gateable, and the whole fixed-round computation unrolls to
+    a chained-CTE oracle (the `label_propagation`/`kcore` doctrine).
+
+    After the final round, ONE coarsening step re-aggregates the graph at
+    community grain (the supervertex construction that feeds Louvain's next
+    level): per final community the node count, degree mass Σ_c, internal
+    edge count e_c (the supervertex self-loop weight), external cut degree
+    (Σ_c − 2e_c, the inter-supervertex edge mass), and the exact per-
+    community modularity numerator ``q_num_part = 4m·e_c − Σ_c²`` — summing
+    to 4m²·Q, so the gate carries the achieved modularity exactly.
+
+    Scale shape: per round one edge-grain census join (k_ic: edges × the
+    O(V) community frame, keyed on the endpoint), one O(V) degree/Σ agg,
+    two window argmaxes over O(V) candidate rows, and an O(V) label update
+    — nothing edge-squared; the edge list is prepared once and
+    localCheckpointed, community frames localCheckpoint every round (they
+    are O(V) and the lineage would otherwise double per round).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .repartition("b")
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    m_tot = und.filter(F.col("a") < F.col("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    comm = deg.select("v", F.col("v").alias("c"))
+    for _ in range(n_rounds):
+        sig = comm.join(deg, on="v").groupBy("c").agg(
+            F.sum("k").cast("long").alias("sig")
+        )
+        kic = (
+            und.join(comm.select(F.col("v").alias("b"), "c"), on="b")
+            .groupBy(F.col("a").alias("i"), "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("k_ic"))
+        )
+        own = comm.select(F.col("v").alias("i"), F.col("c").alias("d"))
+        cand = (
+            kic.join(own, on="i")
+            .filter(F.col("c") != F.col("d"))
+            .join(
+                kic.select(
+                    F.col("i").alias("i2"),
+                    F.col("c").alias("d2"),
+                    F.col("k_ic").alias("k_own"),
+                ),
+                (F.col("i") == F.col("i2")) & (F.col("d") == F.col("d2")),
+                "left",
+            )
+            .join(deg.select(F.col("v").alias("i"), F.col("k").alias("ki")), on="i")
+            .join(
+                F.broadcast(sig.select(F.col("c"), F.col("sig").alias("sig_t"))),
+                on="c",
+            )
+            .join(
+                F.broadcast(sig.select(F.col("c").alias("d"), F.col("sig").alias("sig_d"))),
+                on="d",
+            )
+            .crossJoin(F.broadcast(m_tot))
+            .select(
+                "i",
+                "d",
+                F.col("c").alias("tgt"),
+                (
+                    F.lit(2)
+                    * F.col("m")
+                    * (F.col("k_ic") - F.coalesce(F.col("k_own"), F.lit(0)))
+                    - F.col("ki")
+                    * (F.col("sig_t") - F.col("sig_d") + F.col("ki"))
+                ).alias("gain"),
+            )
+            .filter(F.col("gain") > 0)
+        )
+        w_i = Window.partitionBy("i").orderBy(F.col("gain").desc(), F.col("tgt").asc())
+        best = (
+            cand.withColumn("_rn", F.row_number().over(w_i))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        keyed = best.select(F.col("d").alias("key_c"), "i", "gain").unionByName(
+            best.select(F.col("tgt").alias("key_c"), "i", "gain")
+        )
+        w_c = Window.partitionBy("key_c").orderBy(
+            F.col("gain").desc(), F.col("i").asc()
+        )
+        win = (
+            keyed.withColumn("_rn", F.row_number().over(w_c))
+            .filter(F.col("_rn") == 1)
+            .select("key_c", F.col("i").alias("win_i"))
+        )
+        sel = (
+            best.join(
+                win.select(F.col("key_c").alias("d"), F.col("win_i").alias("wd")),
+                on="d",
+            )
+            .filter(F.col("wd") == F.col("i"))
+            .join(
+                win.select(F.col("key_c").alias("tgt"), F.col("win_i").alias("wt")),
+                on="tgt",
+            )
+            .filter(F.col("wt") == F.col("i"))
+            .select(F.col("i").alias("v"), F.col("tgt").alias("new_c"))
+        )
+        comm = (
+            comm.join(sel, on="v", how="left")
+            .select("v", F.coalesce(F.col("new_c"), F.col("c")).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    raw_u = und.filter(F.col("a") < F.col("b"))
+    internal = (
+        raw_u.join(comm.select(F.col("v").alias("a"), "c"), on="a")
+        .join(
+            comm.select(F.col("v").alias("b"), F.col("c").alias("cb")), on="b"
+        )
+        .filter(F.col("c") == F.col("cb"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    summary = (
+        comm.join(deg, on="v")
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("k").cast("long").alias("sum_deg"),
+        )
+    )
+    return (
+        summary.join(internal, on="c", how="left")
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            F.col("c").cast("long").alias("community"),
+            "n_nodes",
+            "sum_deg",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("long").alias("internal_edges"),
+            (F.col("sum_deg") - 2 * F.coalesce(F.col("e_c"), F.lit(0)))
+            .cast("long")
+            .alias("external_edges"),
+            (
+                F.lit(4) * F.col("m") * F.coalesce(F.col("e_c"), F.lit(0))
+                - F.col("sum_deg") * F.col("sum_deg")
+            )
+            .cast("long")
+            .alias("q_num_part"),
+        )
+    )

@@ -1,0 +1,115 @@
+"""Round-13 extension batch (catalog/frontier10.py): property pins beyond
+the DuckDB hash gate — the semantic claims each docstring makes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.catalog.frontier10 import (
+    _LOUVAIN_ROUNDS,
+    graph_louvain_rounds_q,
+)
+from cell_kn_mvp_etl_ontologies_spark.catalog.frontier9 import graph_louvain_move_q
+from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import louvain_rounds
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _fixture_graph(spark, sf_dir):
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    return li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("dst"),
+    )
+
+
+def _q4m2(rows):
+    """4m²·Q from the supervertex summary's q_num_part column."""
+    return sum(r.q_num_part for r in rows)
+
+
+def test_louvain_rounds_beats_singleton_and_single_move(spark):
+    """The VERDICT r12 #3 gate: the full-Louvain partition's modularity is
+    strictly above BOTH the singleton partition's and the best single
+    applied move's (from `graph_louvain_move`), on the shared co-purchase
+    fixture.  All three compare in exact 4m²·Q integer units."""
+    rows = graph_louvain_rounds_q(spark, SF01).collect()
+    q_final = _q4m2(rows)
+
+    # singleton partition: e_c = 0 everywhere, so 4m²·Q = −Σ_v k_v².
+    # Reconstruct from the same fixture graph.
+    edges = _fixture_graph(spark, SF01)
+    e = edges.filter(F.col("src") != F.col("dst")).distinct()
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("k"))
+    q_singleton = -sum(r.k * r.k for r in deg.collect())
+    m = e.count()
+
+    # best single move from the singleton table: gain_units = 2m²·ΔQ, so
+    # applying it alone lands at q_singleton + 2·max(gain_units).
+    best_gain = (
+        graph_louvain_move_q(spark, SF01)
+        .agg(F.max("gain_units").alias("g"))
+        .collect()[0]
+        .g
+    )
+    assert best_gain > 0, "fixture must admit at least one improving move"
+    q_one_move = q_singleton + 2 * best_gain
+
+    assert q_final > q_singleton
+    assert q_final > q_one_move, (
+        f"full Louvain ({q_final}) must beat the single best move "
+        f"({q_one_move}) in 4m²·Q units (m={m})"
+    )
+
+
+def test_louvain_rounds_monotone_per_round(spark):
+    """Modularity is non-decreasing round over round (and strictly
+    increases while a positive-gain move exists) — the additivity claim
+    the handshake matching exists to guarantee."""
+    edges = _fixture_graph(spark, SF)
+    q_prev = None
+    for r in range(_LOUVAIN_ROUNDS + 1):
+        rows = louvain_rounds(edges, n_rounds=r).collect()
+        q = _q4m2(rows)
+        if q_prev is not None:
+            assert q >= q_prev, f"round {r} decreased 4m²·Q: {q_prev} -> {q}"
+        q_prev = q
+
+
+def test_louvain_summary_internal_consistency(spark):
+    """Supervertex-summary invariants: Σ n_nodes = |V|, Σ sum_deg = 2m,
+    Σ internal ≤ m, external = sum_deg − 2·internal ≥ 0, and q_num_part
+    recomputes from its own row's columns."""
+    rows = graph_louvain_rounds_q(spark, SF01).collect()
+    edges = _fixture_graph(spark, SF01)
+    e = edges.filter(F.col("src") != F.col("dst")).distinct()
+    m = e.count()
+    n_v = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_nodes for r in rows) == n_v
+    assert sum(r.sum_deg for r in rows) == 2 * m
+    assert sum(r.internal_edges for r in rows) <= m
+    for r in rows:
+        assert r.external_edges == r.sum_deg - 2 * r.internal_edges
+        assert r.external_edges >= 0
+        assert r.q_num_part == 4 * m * r.internal_edges - r.sum_deg * r.sum_deg
+
+
+def test_louvain_coarser_than_singletons(spark):
+    """Four rounds of applied moves must actually merge something: the
+    final community count is strictly below the vertex count, and at
+    least one community has internal edges."""
+    rows = graph_louvain_rounds_q(spark, SF01).collect()
+    n_v = sum(r.n_nodes for r in rows)
+    assert len(rows) < n_v
+    assert any(r.internal_edges > 0 for r in rows)
