@@ -166,3 +166,128 @@ def graph_louvain_rounds_q(spark, sf_dir):
         (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("dst"),
     )
     return louvain_rounds(edges, n_rounds=_LOUVAIN_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# pack_sequences_bpe — FFD packing over REAL BPE-encoded token counts
+# --------------------------------------------------------------------------
+from .frontier8 import _FFD_BUDGET, _FFD_ORACLE  # noqa: E402
+
+# the FFD recursive-CTE machinery, verbatim from the proxy row's oracle —
+# everything from `items AS (` on is packing logic independent of how the
+# token counts were produced, so the composed chain reuses it untouched.
+_FFD_TAIL = _FFD_ORACLE.split("items AS (", 1)[1]
+
+# the same fixed ranked merge list `text_bpe_encode` gates (two multi-round
+# merges that consume earlier outputs), so the chain composes two already-
+# gated contracts rather than inventing a third tokenizer.
+_BPE_PACK_MERGES = [
+    (0, "t", "h"),
+    (1, "th", "e"),
+    (2, "i", "n"),
+    (3, "e", "r"),
+    (4, "er", "s"),
+]
+
+_BPE_PACK_ORACLE = f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[\\s\x1f]+')) AS word
+      FROM documents WHERE doc_id < 200
+    ),
+    wc AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, word,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE word <> '' GROUP BY 1, 2
+    ),
+    v AS (SELECT DISTINCT word FROM wc),
+    s0 AS (
+      SELECT word,
+        chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31) AS s
+      FROM v
+    ),
+    s1 AS (SELECT word, replace(s, chr(31)||'t'||chr(31)||chr(31)||'h'||chr(31),
+                                chr(31)||'th'||chr(31)) AS s FROM s0),
+    s2 AS (SELECT word, replace(s, chr(31)||'th'||chr(31)||chr(31)||'e'||chr(31),
+                                chr(31)||'the'||chr(31)) AS s FROM s1),
+    s3 AS (SELECT word, replace(s, chr(31)||'i'||chr(31)||chr(31)||'n'||chr(31),
+                                chr(31)||'in'||chr(31)) AS s FROM s2),
+    s4 AS (SELECT word, replace(s, chr(31)||'e'||chr(31)||chr(31)||'r'||chr(31),
+                                chr(31)||'er'||chr(31)) AS s FROM s3),
+    s5 AS (SELECT word, replace(s, chr(31)||'er'||chr(31)||chr(31)||'s'||chr(31),
+                                chr(31)||'ers'||chr(31)) AS s FROM s4),
+    nt AS (
+      SELECT word,
+             CAST(len(string_split(trim(s, chr(31)), chr(31)||chr(31))) AS BIGINT)
+               AS n_tokens
+      FROM s5
+    ),
+    dt AS (
+      SELECT w.doc_id, CAST(SUM(w.c * n.n_tokens) AS BIGINT) AS tokens
+      FROM wc w JOIN nt n ON n.word = w.word GROUP BY w.doc_id
+    ),
+    docs AS (
+      SELECT CAST(d.doc_id % 4 AS BIGINT) AS shard,
+             CAST(d.doc_id AS BIGINT) AS doc_id,
+             COALESCE(t.tokens, 0) AS tokens
+      FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 200) d
+      LEFT JOIN dt t ON t.doc_id = d.doc_id
+    ),
+    items AS ({_FFD_TAIL}
+"""
+
+
+@register("pack_sequences_bpe", oracle=_BPE_PACK_ORACLE)
+def pack_sequences_bpe_q(spark, sf_dir):
+    """Tokenizer-TRUE sequence packing (VERDICT r12 #4) — the composed
+    chain an actual pretraining pipeline runs: per-document token counts
+    come from the REAL `text_bpe_encode` tokenizer (the fixed ranked
+    merge list that row gates, applied to the corpus vocabulary; document
+    length = Σ over its word census of the word's encoded length) and
+    feed the REAL `pack_sequences_ffd` packer (same 512 budget, same
+    desc-tokens/asc-id determinism, same first-fit rule) — replacing the
+    proxy rows' n_chars/16 surrogate.  The composition is non-vacuous by
+    measurement (pinned by test): real BPE counts are ~10× the proxy's on
+    this corpus, so the bin structure differs on every shard.
+
+    The oracle composes the two parents' machinery verbatim: the bracket-
+    delimited replace encoding of `text_bpe_encode` builds the word→
+    n_tokens dictionary, and the recursive bin-fill-list CTE of
+    `pack_sequences_ffd` (imported, not re-stated) replays first-fit
+    exactly over the derived counts.
+
+    100 TB shape: the corpus is touched ONCE (the (doc, word) census —
+    the same factorization `text_bpe_encode` ships); the encode runs at
+    vocabulary grain; per-doc lengths are one keyed join + doc-grain agg;
+    packing is one shuffle on shard with per-shard open-bin state.  The
+    chain adds NO corpus-scale stage the parents didn't already have."""
+    from ..operators.bpe import bpe_encode_words, word_frequencies
+    from ..operators.training import pack_sequences_ffd
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    wc = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.split(F.lower(F.col("text")), r"[\s\x1f]+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nt = bpe_encode_words(word_frequencies(docs, "text"), _BPE_PACK_MERGES).select(
+        "word", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    dt = (
+        wc.join(nt, on="word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("n_tokens")).cast("long").alias("tokens"))
+    )
+    items = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(dt, on="doc_id", how="left")
+        .select(
+            (F.col("doc_id") % 4).cast("long").alias("shard"),
+            "doc_id",
+            F.coalesce(F.col("tokens"), F.lit(0)).alias("tokens"),
+        )
+    )
+    return pack_sequences_ffd(items, "shard", "doc_id", "tokens", _FFD_BUDGET)

@@ -280,6 +280,56 @@ def pack_sequences_greedy(
     return sel.groupBy(shard_col).applyInPandas(pack, schema=schema)
 
 
+def pack_sequences_ffd(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """First-fit-decreasing packing: per shard, documents sort by token
+    count DESCENDING (ties to the smaller ``order_col`` — determinism is
+    part of the contract) and each goes into the FIRST open bin with room
+    (bins are 1-indexed in creation order); an item larger than the budget
+    opens its own bin.  The classic 11/9·OPT+6/9 heuristic, vs the strict
+    arrival-order greedy of :func:`pack_sequences_greedy`.
+
+    Generic extraction of the catalog's `pack_sequences_ffd` row (round
+    11, catalog/frontier8.py) so composed chains (`pack_sequences_bpe`)
+    reuse the exact packer.  Per-shard sequential state (the open-bin
+    fill list) runs in one Arrow ``applyInPandas`` group per shard —
+    thousands of shards pack in parallel, memory bounded by shard size."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [tokens_col, order_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        bins: list[int] = []
+        for t in pdf[tokens_col].astype("int64"):
+            for i, fll in enumerate(fills):
+                if fll + t <= budget:
+                    fills[i] += t
+                    bins.append(i + 1)
+                    break
+            else:
+                fills.append(int(t))
+                bins.append(len(fills))
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf[[shard_col, order_col, tokens_col, "bin"]]
+
+    sel = df.select(
+        F.col(shard_col).cast("long").alias(shard_col),
+        F.col(order_col).cast("long").alias(order_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+    )
+    schema = StructType(
+        list(sel.schema.fields) + [StructField("bin", LongType())]
+    )
+    return sel.groupBy(shard_col).applyInPandas(pack, schema=schema)
+
+
 def quantize_embeddings_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
