@@ -78,6 +78,7 @@ ACCEPTANCE_BANDS = {
     "cdc_chunks_5k": 5.74,
     "graph_wire_sink": 2.55,
     "novelty_ivm_200": 2.51,
+    "stream_ivf_pq_serve_120": 3.16,
 }
 
 
@@ -807,6 +808,24 @@ def cdc_chunks_5k(spark):
     return out.filter(F.col("jaccard_ppm") >= 250000)
 
 
+def stream_ivf_pq_serve_120(spark):
+    """The maintain → serve production topology end-to-end (VERDICT r12
+    #6): the embeddings stream incrementally builds the IVF-PQ index
+    (per-trigger cell assignment + PQ encode, keyed parquet upsert) and
+    the routed cogrouped server answers the query workload straight from
+    the MAINTAINED table — foreachBatch + state lifecycle + routed ADC
+    serving in one number, so a regression anywhere in that machinery
+    (N+1 state rewrites, a broken upsert key, a serve-side decode) stops
+    being invisible to BENCH.  The 120-vector slice is the gated
+    contract's own grain — like novelty_ivm_200, this row times the
+    per-trigger FIXED cost of the streaming-index machinery; serving
+    scale costs are covered by the ann_ivf_pq_80k batch row."""
+    from cell_kn_mvp_etl_ontologies_spark import catalog
+
+    catalog.load_all()
+    return catalog.QUERIES["stream_ivf_pq_serve"](spark, SF_DIR)
+
+
 def novelty_ivm_200(spark):
     """The round-11 novelty IVM end-to-end (VERDICT r11 #7: the heaviest
     round-11 surface gets a first-class band so regressions there stop
@@ -853,6 +872,7 @@ BENCH_QUERIES = {
     "cdc_chunks_5k": cdc_chunks_5k,
     "graph_wire_sink": graph_wire_sink,
     "novelty_ivm_200": novelty_ivm_200,
+    "stream_ivf_pq_serve_120": stream_ivf_pq_serve_120,
 }
 
 
