@@ -182,6 +182,12 @@ WAIVERS: dict[str, set[str]] = {
     # via ReusedExchange), per-node argmax window, final assignment join
     # — none corpus-single-partition.
     "graph_louvain_move": {"CARTESIAN", "MANY_EXCH"},
+    # the full-Louvain extension of the row above: the same 1-row
+    # edge-count broadcast per round (scalar m onto the candidate
+    # gains), 4 rounds + coarsening — every non-scalar join is keyed
+    # (census, sig, argmax windows, label update), localCheckpoint per
+    # round keeps the exchange count per stage bounded.
+    "graph_louvain_rounds": {"CARTESIAN", "MANY_EXCH"},
     # the Pettitt pair frame is the |days|² inequality self-join on the
     # CALENDAR-BOUNDED daily series (~133k pairs for a year — the
     # eval_kendall_tau O(slice²) waiver applied to day grain; the event
