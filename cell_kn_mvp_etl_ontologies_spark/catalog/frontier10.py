@@ -291,3 +291,500 @@ def pack_sequences_bpe_q(spark, sf_dir):
         )
     )
     return pack_sequences_ffd(items, "shard", "doc_id", "tokens", _FFD_BUDGET)
+
+
+# --------------------------------------------------------------------------
+# text_chrf_parts — character-n-gram F-score parts (chrF core)
+# --------------------------------------------------------------------------
+_CHRF_ORACLE = """
+    WITH pairs AS (
+      SELECT doc_id,
+        regexp_replace(lower(substring(text, 1, 200)), '\\s+', '', 'g') AS cs,
+        regexp_replace(lower(substring(text, 11, 200)), '\\s+', '', 'g') AS rs
+      FROM documents WHERE doc_id < 100
+    ),
+    ns AS (SELECT unnest([1, 2, 3]) AS n),
+    cg AS (
+      SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT p.doc_id, ns.n,
+               unnest(list_transform(range(1, length(p.cs) - ns.n + 2),
+                      i -> substring(p.cs, CAST(i AS INT), CAST(ns.n AS INT)))) AS g
+        FROM pairs p, ns
+      ) GROUP BY doc_id, n, g
+    ),
+    rg AS (
+      SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT p.doc_id, ns.n,
+               unnest(list_transform(range(1, length(p.rs) - ns.n + 2),
+                      i -> substring(p.rs, CAST(i AS INT), CAST(ns.n AS INT)))) AS g
+        FROM pairs p, ns
+      ) GROUP BY doc_id, n, g
+    ),
+    matched AS (
+      SELECT c.n, CAST(SUM(LEAST(c.c, r.c)) AS BIGINT) AS m
+      FROM cg c JOIN rg r ON r.doc_id = c.doc_id AND r.n = c.n AND r.g = c.g
+      GROUP BY c.n
+    ),
+    tot AS (
+      SELECT ns.n,
+             (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM cg WHERE cg.n = ns.n)
+               AS tc,
+             (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM rg WHERE rg.n = ns.n)
+               AS tr
+      FROM ns
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           CAST(COALESCE(m.m, 0) AS BIGINT) AS match_clipped,
+           t.tc AS total_cand,
+           t.tr AS total_ref,
+           CAST(1000000 * COALESCE(m.m, 0) // NULLIF(t.tc, 0) AS BIGINT) AS p_ppm,
+           CAST(1000000 * COALESCE(m.m, 0) // NULLIF(t.tr, 0) AS BIGINT) AS r_ppm,
+           CAST(5000000 * COALESCE(m.m, 0) // NULLIF(4 * t.tr + t.tc, 0) AS BIGINT)
+             AS chrf2_ppm
+    FROM tot t LEFT JOIN matched m ON m.n = t.n
+    """
+
+
+def _chrf_gram_census(df, col, side_tag):
+    """(doc_id, n, g, c) char-n-gram census for n = 1..3 over the
+    whitespace-stripped side string."""
+    out = None
+    for n in (1, 2, 3):
+        part = df.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({col}) - {n} + 1, 0)),"
+                    f" i -> substring({col}, i, {n}))"
+                )
+            ).alias("g"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def _chrf_pairs(docs):
+    strip = lambda c: F.regexp_replace(F.lower(c), r"\s+", "")
+    return docs.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        strip(F.expr("substring(text, 1, 200)")).alias("cs"),
+        strip(F.expr("substring(text, 11, 200)")).alias("rs"),
+    )
+
+
+def _chrf_parts_from_counts(parts_df):
+    """(n, match_clipped, total_cand, total_ref) -> the gated face."""
+    return parts_df.select(
+        F.col("n").cast("long").alias("n"),
+        "match_clipped",
+        "total_cand",
+        "total_ref",
+        F.expr(
+            "CAST(1000000 * match_clipped DIV NULLIF(total_cand, 0) AS BIGINT)"
+        ).alias("p_ppm"),
+        F.expr(
+            "CAST(1000000 * match_clipped DIV NULLIF(total_ref, 0) AS BIGINT)"
+        ).alias("r_ppm"),
+        F.expr(
+            "CAST(5000000 * match_clipped"
+            " DIV NULLIF(4 * total_ref + total_cand, 0) AS BIGINT)"
+        ).alias("chrf2_ppm"),
+    )
+
+
+def _chrf_batch_counts(docs):
+    """Corpus-level (n, match_clipped, total_cand, total_ref) — the
+    pure-SUM sufficient statistic the IVM twin folds."""
+    pairs = _chrf_pairs(docs)
+    cg = _chrf_gram_census(pairs, "cs", "c")
+    rg = _chrf_gram_census(pairs, "rs", "r")
+    matched = (
+        cg.join(
+            rg.select("doc_id", "n", "g", F.col("c").alias("rc")),
+            on=["doc_id", "n", "g"],
+        )
+        .groupBy("n")
+        .agg(F.sum(F.least("c", "rc")).cast("long").alias("match_clipped"))
+    )
+    spark = docs.sparkSession
+    ns = spark.range(1, 4).select(F.col("id").cast("int").alias("n"))
+    tc = cg.groupBy("n").agg(F.sum("c").cast("long").alias("total_cand"))
+    tr = rg.groupBy("n").agg(F.sum("c").cast("long").alias("total_ref"))
+    return (
+        ns.join(matched, on="n", how="left")
+        .join(tc, on="n", how="left")
+        .join(tr, on="n", how="left")
+        .select(
+            "n",
+            F.coalesce("match_clipped", F.lit(0)).cast("long").alias("match_clipped"),
+            F.coalesce("total_cand", F.lit(0)).cast("long").alias("total_cand"),
+            F.coalesce("total_ref", F.lit(0)).cast("long").alias("total_ref"),
+        )
+    )
+
+
+@register("text_chrf_parts", oracle=_CHRF_ORACLE)
+def text_chrf_parts_q(spark, sf_dir):
+    """chrF CORE as exact integer parts — corpus-level character-n-gram
+    clipped precision AND recall (n = 1..3) between candidate/reference
+    pairs, the character-level complement to `eval_bleu_ngram_precision`
+    (word n-grams, precision-only): chrF (Popović 2015) is the standard
+    generation metric robust to tokenization and morphology, and its
+    sufficient statistic is three integers per n — clipped matches
+    Σ min(c_cand, c_ref), candidate gram total, reference gram total.
+    Both sides strip ALL whitespace (the chrF convention) before gram
+    extraction; pairs are the BLEU row's shifted views of the same
+    document (cand chars 1-200, ref 11-200, doc_id < 100).  The gated
+    face carries exact floored ppm P, R, and chrF2 — the β = 2 harmonic
+    mean is RATIONAL in the totals (5·m / (4·t_ref + t_cand), derived by
+    clearing denominators), so unlike BLEU's geometric mean it gates
+    exactly with no transcendental step.  Zero-total degenerate inputs
+    yield NULL via NULLIF in both engines (the ADVICE r12 convention).
+
+    100 TB shape: gram censuses are projections + one (doc, n, gram)
+    hash agg each; the match join is census-shaped on (doc, n, gram);
+    three 3-row aggs finish — nothing pair-quadratic, nothing
+    corpus-wide except the censuses."""
+    return _chrf_parts_from_counts(_chrf_batch_counts(_t(spark, sf_dir, "documents")))
+
+
+@register("stream_chrf_maintain", oracle=_CHRF_ORACLE)
+def stream_chrf_maintain_q(spark, sf_dir):
+    """`text_chrf_parts` as incremental view maintenance — the generation-
+    quality monitor running ON the eval stream: because each pair's
+    candidate AND reference derive from the same arriving row, the
+    corpus-level sufficient statistic (per n: Σ clipped matches, Σ cand
+    grams, Σ ref grams) is a pure per-row SUM — the state is THREE rows,
+    constant-size, exactly batch-equal under any bundling (the
+    `stream_snips_maintain` constant-state class); the ppm faces are
+    read-time.  Shares the batch row's oracle verbatim.
+
+    100 TB shape: per trigger one per-batch parts computation (census
+    grain within the batch) folded into 3-row state by SUM; the face is
+    three divisions."""
+    import shutil
+    import tempfile
+
+    from ..io import read_state_parquet
+    from ..streaming import read_documents_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_chrf_")
+    state_path = root + "/counters"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = _chrf_batch_counts(batch_df)
+        state = read_state_parquet(sp, state_path)
+        merged = (
+            state.unionByName(part)
+            .groupBy("n")
+            .agg(
+                F.sum("match_clipped").cast("long").alias("match_clipped"),
+                F.sum("total_cand").cast("long").alias("total_cand"),
+                F.sum("total_ref").cast("long").alias("total_ref"),
+            )
+            if state is not None
+            else part
+        )
+        staging = state_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    return finish_and_clean(
+        _chrf_parts_from_counts(spark.read.parquet(state_path)), root
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_rouge_l — LCS-based ROUGE-L precision/recall/F, exactly
+# --------------------------------------------------------------------------
+@register(
+    "eval_rouge_l",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(substring(text, 1, 200)), '\\s+'),
+                    x -> x <> '') AS ct,
+        list_filter(string_split_regex(lower(substring(text, 11, 200)), '\\s+'),
+                    x -> x <> '') AS rt
+      FROM documents WHERE doc_id < 100
+    ),
+    dp AS (
+      -- one DP CELL per recursion step: cur holds dp[i][0..len(cur)-1],
+      -- prev holds the completed dp[i-1][0..m]; the next cell is
+      -- j = len(cur).  Degenerate (empty-side) pairs never enter (they
+      -- would never advance i) and re-join as lcs = 0 at the end.
+      SELECT doc_id, ct, rt, 1 AS i,
+             list_transform(range(0, len(rt) + 1), x -> CAST(0 AS BIGINT)) AS prev,
+             CAST([0] AS BIGINT[]) AS cur
+      FROM pairs WHERE len(ct) > 0 AND len(rt) > 0
+      UNION ALL
+      SELECT doc_id, ct, rt,
+             CASE WHEN len(cur) = len(rt) THEN i + 1 ELSE i END,
+             CASE WHEN len(cur) = len(rt) THEN list_append(cur, val) ELSE prev END,
+             CASE WHEN len(cur) = len(rt) THEN CAST([0] AS BIGINT[])
+                  ELSE list_append(cur, val) END
+      FROM (
+        SELECT doc_id, ct, rt, i, prev, cur,
+               CASE WHEN ct[i] = rt[len(cur)]
+                    THEN prev[len(cur)] + 1
+                    ELSE greatest(prev[len(cur) + 1], cur[len(cur)]) END AS val
+        FROM dp WHERE i <= len(ct)
+      )
+    ),
+    final AS (
+      SELECT doc_id, prev[len(rt) + 1] AS lcs
+      FROM dp WHERE i = len(ct) + 1
+    )
+    SELECT p.doc_id,
+           CAST(len(p.ct) AS BIGINT) AS len_cand,
+           CAST(len(p.rt) AS BIGINT) AS len_ref,
+           CAST(COALESCE(f.lcs, 0) AS BIGINT) AS lcs_len,
+           CAST(1000000 * COALESCE(f.lcs, 0) // NULLIF(len(p.ct), 0) AS BIGINT)
+             AS rouge_p_ppm,
+           CAST(1000000 * COALESCE(f.lcs, 0) // NULLIF(len(p.rt), 0) AS BIGINT)
+             AS rouge_r_ppm,
+           CAST(2000000 * COALESCE(f.lcs, 0)
+                // NULLIF(len(p.ct) + len(p.rt), 0) AS BIGINT) AS rouge_f_ppm
+    FROM pairs p LEFT JOIN final f ON f.doc_id = p.doc_id
+    """,
+)
+def eval_rouge_l_q(spark, sf_dir):
+    """ROUGE-L (Lin 2004) — the LCS-based generation metric beside the
+    n-gram rows (`eval_bleu_ngram_precision` word grams,
+    `text_chrf_parts` char grams): per candidate/reference pair the
+    token-level LONGEST COMMON SUBSEQUENCE length, with exact floored
+    ppm precision (LCS/|cand|), recall (LCS/|ref|), and F1 — which for
+    ROUGE-L is RATIONAL (2·LCS/(|cand|+|ref|), denominators cleared), so
+    the full scorecard gates exactly.  Pairs are the BLEU fixture's
+    shifted views (cand chars 1-200, ref 11-200, doc_id < 100) — high
+    but not total overlap, so the LCS is non-trivial in both directions.
+
+    LCS is the one genuinely non-relational step (an O(n·m) DP with a
+    sequential dependency), so it runs as an Arrow-batched pandas UDF —
+    per ROW, two bounded token lists in, one integer out; everything
+    around it is projections.  The oracle replays the SAME DP cell-by-
+    cell in a recursive CTE carrying the previous/current DP rows as
+    lists (the FFD bin-list doctrine applied to dynamic programming), so
+    the gate cross-checks two independent implementations of the
+    recurrence, not one implementation twice.
+
+    100 TB shape: per-row compute bounded by (tokens per doc)² with zero
+    shuffle — the UDF is a map; the final face is a projection.  Corpus
+    scale costs nothing but the scan."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    # no type annotations: `from __future__ import annotations` stringifies
+    # them and pandas_udf cannot resolve the local 'pd' at decoration time
+    @pandas_udf(LongType())
+    def lcs_len(cand, ref):
+        out = []
+        for a, b in zip(cand, ref):
+            a = list(a)
+            b = list(b)
+            if not a or not b:
+                out.append(0)
+                continue
+            prev = [0] * (len(b) + 1)
+            for x in a:
+                cur = [0]
+                for j, y in enumerate(b, 1):
+                    cur.append(prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1]))
+                prev = cur
+            out.append(prev[-1])
+        return pd.Series(out, dtype="int64")
+
+    toks = lambda expr: F.filter(
+        F.split(F.lower(F.expr(expr)), r"\s+"), lambda x: x != ""
+    )
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            toks("substring(text, 1, 200)").alias("ct"),
+            toks("substring(text, 11, 200)").alias("rt"),
+        )
+    )
+    return pairs.select(
+        "doc_id",
+        F.size("ct").cast("long").alias("len_cand"),
+        F.size("rt").cast("long").alias("len_ref"),
+        lcs_len("ct", "rt").alias("lcs_len"),
+    ).select(
+        "doc_id",
+        "len_cand",
+        "len_ref",
+        "lcs_len",
+        F.expr(
+            "CAST(1000000 * lcs_len DIV NULLIF(len_cand, 0) AS BIGINT)"
+        ).alias("rouge_p_ppm"),
+        F.expr(
+            "CAST(1000000 * lcs_len DIV NULLIF(len_ref, 0) AS BIGINT)"
+        ).alias("rouge_r_ppm"),
+        F.expr(
+            "CAST(2000000 * lcs_len DIV NULLIF(len_cand + len_ref, 0) AS BIGINT)"
+        ).alias("rouge_f_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_isotonic_calibration — pool-adjacent-violators calibration fit
+# --------------------------------------------------------------------------
+@register(
+    "eval_isotonic_calibration",
+    oracle="""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id,
+        CAST(1000000 * len(list_filter(string_split_regex(text, '\\s+'),
+               t -> t IN ('the','a','of','and','to','in','is')))
+             // len(string_split_regex(text, '\\s+')) AS BIGINT) AS score_ppm,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    ties AS (
+      SELECT score_ppm, CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(y) AS BIGINT) AS pos0
+      FROM scored GROUP BY score_ppm
+    ),
+    items AS (
+      SELECT row_number() OVER (ORDER BY score_ppm) AS rn, score_ppm, n0, pos0
+      FROM ties
+    ),
+    n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM items),
+    pav AS (
+      -- one ACTION per step: merge the top two stack blocks if they
+      -- violate monotonicity (cross-multiplied rate compare — no
+      -- division), else push the next tied-score block
+      SELECT CAST(0 AS BIGINT) AS k,
+             CAST([] AS STRUCT(n BIGINT, pos BIGINT, lo BIGINT, hi BIGINT)[]) AS st
+      UNION ALL
+      SELECT CASE WHEN viol THEN k ELSE k + 1 END,
+             CASE WHEN viol THEN
+               list_append(list_slice(st, 1, len(st) - 2),
+                 {'n': st[len(st) - 1].n + st[len(st)].n,
+                  'pos': st[len(st) - 1].pos + st[len(st)].pos,
+                  'lo': st[len(st) - 1].lo,
+                  'hi': st[len(st)].hi})
+             ELSE
+               list_append(st, {'n': i.n0, 'pos': i.pos0,
+                                'lo': i.score_ppm, 'hi': i.score_ppm})
+             END
+      FROM (
+        SELECT k, st,
+               len(st) >= 2 AND st[len(st) - 1].pos * st[len(st)].n
+                                > st[len(st)].pos * st[len(st) - 1].n AS viol
+        FROM pav
+      ) p
+      LEFT JOIN items i ON i.rn = p.k + 1
+      WHERE p.viol OR i.rn IS NOT NULL
+    ),
+    done AS (
+      SELECT st FROM pav, n_tot
+      WHERE k = n_tot.n
+        AND NOT (len(st) >= 2 AND st[len(st) - 1].pos * st[len(st)].n
+                                  > st[len(st)].pos * st[len(st) - 1].n)
+    )
+    SELECT CAST(i AS BIGINT) AS pool,
+           st[CAST(i AS INT)].n AS n,
+           st[CAST(i AS INT)].pos AS n_pos,
+           st[CAST(i AS INT)].lo AS score_lo,
+           st[CAST(i AS INT)].hi AS score_hi,
+           CAST(1000000 * st[CAST(i AS INT)].pos // st[CAST(i AS INT)].n AS BIGINT)
+             AS rate_ppm
+    FROM done, unnest(range(1, len(st) + 1)) t(i)
+    """,
+)
+def eval_isotonic_calibration_q(spark, sf_dir):
+    """Isotonic (monotone) calibration fit by pool-adjacent-violators —
+    the non-parametric companion to `eval_calibration_bins` (fixed
+    deciles DESCRIBE miscalibration; the PAV fit is the standard way to
+    CORRECT it, and its pool structure is data-driven): the stopword-
+    ratio English-ness score (exact ppm, the calibration fixture) with
+    y = (lang = 'en'), tied scores pre-pooled (the standard tie
+    treatment — the fit is a true function of score), then the classic
+    stack algorithm: push blocks in score order, merge the top two
+    whenever their positive rates violate non-decreasing order.
+    Violation tests are CROSS-MULTIPLIED (pos_a·n_b > pos_b·n_a) so no
+    division ever happens inside the algorithm; each final pool gates
+    (n, n_pos, score range, floored ppm rate), and rates are
+    non-decreasing by construction (pinned by test).
+
+    The sequential merge stack is the one non-relational step, so it
+    runs in a single bounded Arrow group (distinct scores ≈ dozens —
+    the eval-slice doctrine; production calibrates per model/segment
+    partition, thousands of groups in parallel); the oracle replays the
+    SAME stack one ACTION per recursion step, carrying the block stack
+    as a struct list (the FFD bin-list doctrine).
+
+    100 TB shape: the corpus collapses to the (score) tie census in one
+    hash agg — PAV runs on distinct scores, not rows; per-group memory
+    = the pool stack (≤ distinct scores)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    scored = _t(spark, sf_dir, "documents").select(
+        F.expr(
+            "CAST(1000000 * size(filter(split(text, '\\\\s+'),"
+            " t -> t IN ('the','a','of','and','to','in','is')))"
+            " DIV size(split(text, '\\\\s+')) AS BIGINT)"
+        ).alias("score_ppm"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    ties = scored.groupBy("score_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("y").cast("long").alias("pos0"),
+    )
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("score_ppm").reset_index(drop=True)
+        st: list[list[int]] = []  # [n, pos, lo, hi]
+        for _, r in pdf.iterrows():
+            st.append([int(r.n0), int(r.pos0), int(r.score_ppm), int(r.score_ppm)])
+            while len(st) >= 2 and st[-2][1] * st[-1][0] > st[-1][1] * st[-2][0]:
+                a, b = st[-2], st[-1]
+                st[-2:] = [[a[0] + b[0], a[1] + b[1], a[2], b[3]]]
+        return pd.DataFrame(
+            [
+                {
+                    "pool": i + 1,
+                    "n": n,
+                    "n_pos": pos,
+                    "score_lo": lo,
+                    "score_hi": hi,
+                    "rate_ppm": 1_000_000 * pos // n,
+                }
+                for i, (n, pos, lo, hi) in enumerate(st)
+            ]
+        )
+
+    schema = StructType(
+        [
+            StructField("pool", LongType()),
+            StructField("n", LongType()),
+            StructField("n_pos", LongType()),
+            StructField("score_lo", LongType()),
+            StructField("score_hi", LongType()),
+            StructField("rate_ppm", LongType()),
+        ]
+    )
+    return ties.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda key, pdf: pav(pdf), schema=schema
+    )
