@@ -788,3 +788,186 @@ def eval_isotonic_calibration_q(spark, sf_dir):
     return ties.groupBy(F.lit(1).alias("_g")).applyInPandas(
         lambda key, pdf: pav(pdf), schema=schema
     )
+
+
+# --------------------------------------------------------------------------
+# graph_louvain_two_level — iterate → coarsen → repeat, both levels gated
+# --------------------------------------------------------------------------
+_LOUVAIN_L2_ROUNDS = 3
+
+
+def _wround(tag: str, r: int, wund: str, deg: str) -> str:
+    """One WEIGHTED locally-dominant move round as CTEs (prefix ``tag``):
+    the `_louvain_oracle` round template with SUM(w) censuses and
+    strength sums — used with w = 1 at level 1 and supervertex weights
+    at level 2."""
+    return f""",
+    {tag}sig{r} AS MATERIALIZED (
+      SELECT cm.c, CAST(SUM(d.k) AS BIGINT) AS sig
+      FROM {tag}comm{r} cm JOIN {deg} d ON d.v = cm.v GROUP BY cm.c
+    ),
+    {tag}kic{r} AS MATERIALIZED (
+      SELECT u.a AS i, cm.c, CAST(SUM(u.w) AS BIGINT) AS k_ic
+      FROM {wund} u JOIN {tag}comm{r} cm ON cm.v = u.b
+      GROUP BY u.a, cm.c
+    ),
+    {tag}cand{r} AS MATERIALIZED (
+      SELECT k.i, ci.c AS d, k.c AS tgt,
+             2 * m.m * (k.k_ic - COALESCE(ko.k_ic, 0))
+               - di.k * (st.sig - sd.sig + di.k) AS gain
+      FROM {tag}kic{r} k
+      JOIN {tag}comm{r} ci ON ci.v = k.i
+      LEFT JOIN {tag}kic{r} ko ON ko.i = k.i AND ko.c = ci.c
+      JOIN {deg} di ON di.v = k.i
+      JOIN {tag}sig{r} st ON st.c = k.c
+      JOIN {tag}sig{r} sd ON sd.c = ci.c
+      CROSS JOIN m_tot m
+      WHERE k.c <> ci.c
+    ),
+    {tag}best{r} AS MATERIALIZED (
+      SELECT i, d, tgt, gain FROM (
+        SELECT i, d, tgt, gain,
+               row_number() OVER (PARTITION BY i
+                                  ORDER BY gain DESC, tgt ASC) AS rn
+        FROM {tag}cand{r} WHERE gain > 0
+      ) WHERE rn = 1
+    ),
+    {tag}win{r} AS MATERIALIZED (
+      SELECT key_c, i FROM (
+        SELECT key_c, i,
+               row_number() OVER (PARTITION BY key_c
+                                  ORDER BY gain DESC, i ASC) AS rn
+        FROM (SELECT d AS key_c, i, gain FROM {tag}best{r}
+              UNION ALL SELECT tgt AS key_c, i, gain FROM {tag}best{r})
+      ) WHERE rn = 1
+    ),
+    {tag}sel{r} AS MATERIALIZED (
+      SELECT b.i, b.tgt
+      FROM {tag}best{r} b
+      JOIN {tag}win{r} wd ON wd.key_c = b.d AND wd.i = b.i
+      JOIN {tag}win{r} wt ON wt.key_c = b.tgt AND wt.i = b.i
+    ),
+    {tag}comm{r + 1} AS MATERIALIZED (
+      SELECT cm.v, CAST(COALESCE(s.tgt, cm.c) AS BIGINT) AS c
+      FROM {tag}comm{r} cm LEFT JOIN {tag}sel{r} s ON s.i = cm.v
+    )"""
+
+
+def _louvain2_oracle(r1: int = _LOUVAIN_ROUNDS, r2: int = _LOUVAIN_L2_ROUNDS) -> str:
+    parts = [
+        """
+    WITH raw AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+             CAST(100000 + l_partkey % 1500 AS BIGINT) AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    wund1 AS MATERIALIZED (
+      SELECT a, b, CAST(1 AS BIGINT) AS w FROM raw
+      UNION ALL SELECT b, a, 1 FROM raw
+    ),
+    deg1 AS MATERIALIZED (
+      SELECT a AS v, CAST(SUM(w) AS BIGINT) AS k FROM wund1 GROUP BY a
+    ),
+    m_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM raw),
+    l1comm0 AS MATERIALIZED (SELECT v, v AS c FROM deg1)"""
+    ]
+    for r in range(r1):
+        parts.append(_wround("l1", r, "wund1", "deg1"))
+    parts.append(
+        f""",
+    l1map AS MATERIALIZED (SELECT v, c FROM l1comm{r1}),
+    mapped AS MATERIALIZED (
+      SELECT ca.c AS ca, cb.c AS cb
+      FROM raw e
+      JOIN l1map ca ON ca.v = e.a
+      JOIN l1map cb ON cb.v = e.b
+    ),
+    wund2 AS MATERIALIZED (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT ca AS a, cb AS b FROM mapped WHERE ca <> cb
+        UNION ALL SELECT cb, ca FROM mapped WHERE ca <> cb
+      ) GROUP BY a, b
+    ),
+    selfw AS MATERIALIZED (
+      SELECT ca AS v, CAST(COUNT(*) AS BIGINT) AS sw
+      FROM mapped WHERE ca = cb GROUP BY ca
+    ),
+    verts2 AS MATERIALIZED (SELECT DISTINCT c AS v FROM l1map),
+    deg2 AS MATERIALIZED (
+      SELECT t.v,
+             CAST(COALESCE(kw.kw, 0) + 2 * COALESCE(s.sw, 0) AS BIGINT) AS k
+      FROM verts2 t
+      LEFT JOIN (SELECT a AS v, CAST(SUM(w) AS BIGINT) AS kw
+                 FROM wund2 GROUP BY a) kw ON kw.v = t.v
+      LEFT JOIN selfw s ON s.v = t.v
+    ),
+    l2comm0 AS MATERIALIZED (SELECT v, v AS c FROM verts2)"""
+    )
+    for r in range(r2):
+        parts.append(_wround("l2", r, "wund2", "deg2"))
+    parts.append(
+        f""",
+    composed AS MATERIALIZED (
+      SELECT l1.v, l2.c
+      FROM l1map l1 JOIN l2comm{r2} l2 ON l2.v = l1.c
+    ),
+    internal AS (
+      SELECT ca.c, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM raw e
+      JOIN composed ca ON ca.v = e.a
+      JOIN composed cb ON cb.v = e.b AND cb.c = ca.c
+      GROUP BY ca.c
+    ),
+    summary AS (
+      SELECT cm.c AS community,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d.k) AS BIGINT) AS sum_deg
+      FROM composed cm JOIN deg1 d ON d.v = cm.v
+      GROUP BY cm.c
+    )
+    SELECT s.community, s.n_nodes, s.sum_deg,
+           CAST(COALESCE(i.e_c, 0) AS BIGINT) AS internal_edges,
+           CAST(s.sum_deg - 2 * COALESCE(i.e_c, 0) AS BIGINT) AS external_edges,
+           CAST(4 * m.m * COALESCE(i.e_c, 0) - s.sum_deg * s.sum_deg AS BIGINT)
+             AS q_num_part
+    FROM summary s
+    LEFT JOIN internal i ON i.c = s.community
+    CROSS JOIN m_tot m"""
+    )
+    return "".join(parts)
+
+
+@register("graph_louvain_two_level", oracle=_louvain2_oracle())
+def graph_louvain_two_level_q(spark, sf_dir):
+    """TWO-LEVEL Louvain — the full iterate → coarsen → REPEAT structure
+    of Blondel et al. 2008, closing the loop `graph_louvain_rounds`
+    opened (that row runs one level + the coarsening; this one runs the
+    coarsened supergraph through ``{r2}`` further WEIGHTED move rounds):
+    supervertices carry inter-community edge weights and self-loop
+    weights, strengths are k_i = Σ_j w(i,j) + 2·w(i,i), and the weighted
+    exact-integer gain 2m·(w_ic − w_i,d∖i) − k_i·(Σ_c − Σ_d + k_i)
+    drives the same locally-dominant handshake matching — merging two
+    supervertices changes Q on the ORIGINAL graph by exactly this gain
+    (the Louvain coarsening identity), so modularity keeps strictly
+    ascending and the final partition is ≥ level-1's (pinned by test,
+    with non-vacuity: level 2 must actually merge supervertices).
+    The face is the same per-community summary, computed over the
+    original unit-weight graph under the composed v → l1 → l2 mapping.
+
+    100 TB shape: level 1 is `graph_louvain_rounds`'s shape; the
+    coarsening is two keyed joins + community-grain aggs; level 2 runs
+    on the supergraph — orders of magnitude smaller, which is exactly
+    why Louvain coarsens — so its rounds cost ~nothing at any corpus
+    size.  Oracle: both levels unrolled through one weighted round
+    template (w = 1 at level 1), MATERIALIZED against CTE-inlining
+    blowup."""
+    from ..plans.graph_query import louvain_two_level
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("dst"),
+    )
+    return louvain_two_level(
+        edges, n_rounds1=_LOUVAIN_ROUNDS, n_rounds2=_LOUVAIN_L2_ROUNDS
+    )

@@ -1298,28 +1298,79 @@ def louvain_rounds(
         F.count(F.lit(1)).cast("long").alias("m")
     )
     comm = deg.select("v", F.col("v").alias("c"))
+    comm = _louvain_move_loop(
+        und.select("a", "b", F.lit(1).cast("long").alias("w")),
+        deg,
+        m_tot,
+        comm,
+        n_rounds,
+    )
+    return _louvain_summary(und.select("a", "b"), deg, m_tot, comm)
+
+
+def _louvain_stats_cut(df: DataFrame) -> DataFrame:
+    """Truncate lineage AND statistics through a self-cleaning parquet
+    round-trip + localCheckpoint.
+
+    Spark 4.x ``Dataset.localCheckpoint`` carries the pre-checkpoint
+    plan's COMPUTED ``sizeInBytes`` onto the new leaf
+    (``LogicalRDD.rewriteStatsAndConstraints``).  In an iterative loop
+    whose per-round plan joins ~10 frames, those carried sizes MULTIPLY
+    round over round — the estimate's bit-length grows exponentially,
+    and by round ~6 every stats walk spends minutes in
+    ``BigInteger.multiply`` ON THE DRIVER (measured: 80+ s per round,
+    zero active executor jobs).  A parquet scratch round-trip resets the
+    leaf statistics to the real file size; the immediate eager
+    localCheckpoint of the fresh scan pins the blocks in the block
+    manager so the scratch directory can be deleted before returning —
+    no leaked files, no lineage, no compounding stats.  This is also the
+    reliable-storage checkpoint shape iterative graph jobs use on real
+    clusters.
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="louvain_cut_")
+    df.write.mode("overwrite").parquet(root + "/d")
+    out = df.sparkSession.read.parquet(root + "/d").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _louvain_move_loop(wund, deg, m_tot, comm, n_rounds):
+    """The weighted locally-dominant move rounds shared by
+    :func:`louvain_rounds` (unit weights) and :func:`louvain_two_level`
+    (supervertex weights): ``wund`` is the symmetric self-loop-free
+    weighted edge list (a, b, w); ``deg`` the strength frame (v, k) —
+    for supervertices k includes 2× the self-loop weight; gains use the
+    weighted exact-integer formula 2m·(w_ic − w_i,d∖i) − k_i·(Σ_c − Σ_d
+    + k_i)."""
     for _ in range(n_rounds):
+        # sig and kic are each consumed more than once per round; cutting
+        # their plans keeps every downstream join a plain shuffled/broadcast
+        # equi-join — the uncut composition was measured planning the
+        # k_own lookup as a nested-loop (98 s vs 0.4 s on the gate graph).
+        # kic's materialization is the per-round edge-census cost every
+        # distributed Louvain pays; sig is O(communities).
         sig = comm.join(deg, on="v").groupBy("c").agg(
             F.sum("k").cast("long").alias("sig")
         )
         kic = (
-            und.join(comm.select(F.col("v").alias("b"), "c"), on="b")
+            wund.join(comm.select(F.col("v").alias("b"), "c"), on="b")
             .groupBy(F.col("a").alias("i"), "c")
-            .agg(F.count(F.lit(1)).cast("long").alias("k_ic"))
+            .agg(F.sum("w").cast("long").alias("k_ic"))
         )
         own = comm.select(F.col("v").alias("i"), F.col("c").alias("d"))
+        # k_{i, d∖i} (weight into OWN community) via a per-node window over
+        # the census — one pass, no kic self-join
+        w_own = Window.partitionBy("i")
         cand = (
             kic.join(own, on="i")
-            .filter(F.col("c") != F.col("d"))
-            .join(
-                kic.select(
-                    F.col("i").alias("i2"),
-                    F.col("c").alias("d2"),
-                    F.col("k_ic").alias("k_own"),
-                ),
-                (F.col("i") == F.col("i2")) & (F.col("d") == F.col("d2")),
-                "left",
+            .withColumn(
+                "k_own",
+                F.max(F.when(F.col("c") == F.col("d"), F.col("k_ic"))).over(w_own),
             )
+            .filter(F.col("c") != F.col("d"))
             .join(deg.select(F.col("v").alias("i"), F.col("k").alias("ki")), on="i")
             .join(
                 F.broadcast(sig.select(F.col("c"), F.col("sig").alias("sig_t"))),
@@ -1345,10 +1396,15 @@ def louvain_rounds(
             .filter(F.col("gain") > 0)
         )
         w_i = Window.partitionBy("i").orderBy(F.col("gain").desc(), F.col("tgt").asc())
+        # best is consumed THREE times (keyed expansion, and twice in sel);
+        # without a cut each consumer re-evaluates the whole cand DAG
+        # (~10 exchanges) — measured 3× the round cost at level 2.  It is
+        # O(V) rows, so the materialization is cheap at any scale.
         best = (
             cand.withColumn("_rn", F.row_number().over(w_i))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            .localCheckpoint(eager=True)
         )
         keyed = best.select(F.col("d").alias("key_c"), "i", "gain").unionByName(
             best.select(F.col("tgt").alias("key_c"), "i", "gain")
@@ -1374,11 +1430,20 @@ def louvain_rounds(
             .filter(F.col("wt") == F.col("i"))
             .select(F.col("i").alias("v"), F.col("tgt").alias("new_c"))
         )
-        comm = (
-            comm.join(sel, on="v", how="left")
-            .select("v", F.coalesce(F.col("new_c"), F.col("c")).alias("c"))
-            .localCheckpoint(eager=True)
+        # _louvain_stats_cut, not localCheckpoint: comm is the frame that
+        # RECURSES across rounds, so carried statistics would compound
+        # exponentially through it (see the helper's docstring)
+        comm = _louvain_stats_cut(
+            comm.join(sel, on="v", how="left").select(
+                "v", F.coalesce(F.col("new_c"), F.col("c")).alias("c")
+            )
         )
+    return comm
+
+
+def _louvain_summary(und, deg, m_tot, comm):
+    """Per-community supervertex summary over the ORIGINAL unit-weight
+    graph (the gated face of both Louvain depths)."""
     raw_u = und.filter(F.col("a") < F.col("b"))
     internal = (
         raw_u.join(comm.select(F.col("v").alias("a"), "c"), on="a")
@@ -1416,3 +1481,113 @@ def louvain_rounds(
             .alias("q_num_part"),
         )
     )
+
+
+def louvain_two_level(
+    edges: DataFrame,
+    n_rounds1: int,
+    n_rounds2: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """TWO-LEVEL deterministic Louvain — the full iterate → coarsen →
+    repeat structure of Blondel et al. 2008 on top of
+    :func:`louvain_rounds` (which runs one level + the coarsening):
+    after ``n_rounds1`` unit-weight move rounds, communities collapse
+    into supervertices (inter-community edge weights + self-loop
+    weights), and ``n_rounds2`` WEIGHTED move rounds run on the
+    supergraph — the same locally-dominant handshake matching, with
+    strengths k_i = Σ_j w(i,j) + 2·w(i,i) and weighted gains.  Merging
+    two supervertices changes Q on the ORIGINAL graph by exactly the
+    weighted gain (the standard Louvain coarsening identity), so level-2
+    modularity still strictly ascends per round and the final partition
+    is ≥ level-1's (pinned by test).
+
+    Output: the same per-community supervertex summary as
+    :func:`louvain_rounds`, computed over the original unit-weight
+    graph under the COMPOSED assignment v → level1(v) → level2(level1).
+
+    Scale shape: level 1 is `louvain_rounds`'s shape; the coarsening is
+    two keyed joins + two community-grain aggs; level 2 runs on the
+    supergraph (orders of magnitude smaller — the whole point of
+    coarsening), so its rounds are nearly free at any corpus size.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .repartition("b")
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    m_tot = und.filter(F.col("a") < F.col("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    comm1 = _louvain_move_loop(
+        und.select("a", "b", F.lit(1).cast("long").alias("w")),
+        deg,
+        m_tot,
+        deg.select("v", F.col("v").alias("c")),
+        n_rounds1,
+    )
+    # ---- coarsen: weighted supergraph over level-1 communities
+    raw_u = und.filter(F.col("a") < F.col("b"))
+    mapped = raw_u.join(
+        comm1.select(F.col("v").alias("a"), F.col("c").alias("ca")), on="a"
+    ).join(comm1.select(F.col("v").alias("b"), F.col("c").alias("cb")), on="b")
+    inter = mapped.filter(F.col("ca") != F.col("cb"))
+    wund2 = (
+        inter.select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+        .unionByName(inter.select(F.col("cb").alias("a"), F.col("ca").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    selfw = (
+        mapped.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sw"))
+    )
+    verts2 = (
+        comm1.select(F.col("c").alias("v")).distinct().localCheckpoint(eager=True)
+    )
+    strength2 = (
+        verts2.join(
+            wund2.groupBy(F.col("a").alias("v")).agg(
+                F.sum("w").cast("long").alias("kw")
+            ),
+            on="v",
+            how="left",
+        )
+        .join(selfw, on="v", how="left")
+        .select(
+            "v",
+            (
+                F.coalesce(F.col("kw"), F.lit(0))
+                + 2 * F.coalesce(F.col("sw"), F.lit(0))
+            )
+            .cast("long")
+            .alias("k"),
+        )
+        # strength2 is referenced 4× per level-2 round — cut its plan once
+        .localCheckpoint(eager=True)
+    )
+    comm2 = _louvain_move_loop(
+        wund2,
+        strength2,
+        m_tot,
+        verts2.select("v", F.col("v").alias("c")),
+        n_rounds2,
+    )
+    composed = (
+        comm1.join(
+            comm2.select(F.col("v").alias("c"), F.col("c").alias("c2")), on="c"
+        )
+        .select("v", F.col("c2").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    return _louvain_summary(und.select("a", "b"), deg, m_tot, composed)

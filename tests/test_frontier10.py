@@ -332,3 +332,27 @@ def test_isotonic_pools_are_canonical(spark):
         assert r.score_lo <= r.score_hi
         assert 0 <= r.n_pos <= r.n
         assert r.rate_ppm == 1_000_000 * r.n_pos // r.n
+
+
+def test_two_level_louvain_improves_on_level_one(spark):
+    """The iterate → coarsen → repeat gate: two-level modularity ≥ the
+    one-level row's (strictly greater when level 2 applied any move),
+    level 2 actually merges supervertices (non-vacuity), and the summary
+    invariants hold under the composed assignment."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier10 import (
+        graph_louvain_rounds_q,
+        graph_louvain_two_level_q,
+    )
+
+    l1 = graph_louvain_rounds_q(spark, SF01).collect()
+    l2 = graph_louvain_two_level_q(spark, SF01).collect()
+    q1, q2 = _q4m2(l1), _q4m2(l2)
+    assert q2 >= q1, f"two-level 4m²·Q regressed: {q1} -> {q2}"
+    assert len(l2) < len(l1), "level 2 merged nothing — vacuous"
+    assert q2 > q1, "level 2 merged supervertices but Q did not rise"
+    # same graph mass: node and degree totals conserved
+    assert sum(r.n_nodes for r in l2) == sum(r.n_nodes for r in l1)
+    assert sum(r.sum_deg for r in l2) == sum(r.sum_deg for r in l1)
+    m = sum(r.sum_deg for r in l1) // 2
+    for r in l2:
+        assert r.q_num_part == 4 * m * r.internal_edges - r.sum_deg * r.sum_deg

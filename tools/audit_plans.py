@@ -188,6 +188,9 @@ WAIVERS: dict[str, set[str]] = {
     # (census, sig, argmax windows, label update), localCheckpoint per
     # round keeps the exchange count per stage bounded.
     "graph_louvain_rounds": {"CARTESIAN", "MANY_EXCH"},
+    # the two-level extension: same per-round scalar-m broadcast, plus the
+    # weighted level-2 rounds on the coarsened supergraph.
+    "graph_louvain_two_level": {"CARTESIAN", "MANY_EXCH"},
     # the Pettitt pair frame is the |days|² inequality self-join on the
     # CALENDAR-BOUNDED daily series (~133k pairs for a year — the
     # eval_kendall_tau O(slice²) waiver applied to day grain; the event
