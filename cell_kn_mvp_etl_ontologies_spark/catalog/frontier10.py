@@ -971,3 +971,119 @@ def graph_louvain_two_level_q(spark, sf_dir):
     return louvain_two_level(
         edges, n_rounds1=_LOUVAIN_ROUNDS, n_rounds2=_LOUVAIN_L2_ROUNDS
     )
+
+
+# --------------------------------------------------------------------------
+# stream_isotonic_maintain — the PAV calibration fit as IVM
+# --------------------------------------------------------------------------
+# reuse the batch row's oracle verbatim: the maintained state IS the
+# (score, n, pos) tie census the batch fit pools, so stream == batch.
+from . import ORACLES as _ORACLES  # noqa: E402
+
+
+@register("stream_isotonic_maintain", oracle=_ORACLES["eval_isotonic_calibration"])
+def stream_isotonic_maintain_q(spark, sf_dir):
+    """`eval_isotonic_calibration` as incremental view maintenance — the
+    calibration monitor running ON the scoring stream: the maintained
+    state is the (score_ppm, n, pos) TIE CENSUS — a pure-SUM lattice
+    (bundling- and order-independent; a late row folds into its score
+    cell), while the PAV pooling itself is a READ-TIME face — pool
+    boundaries can move as mass arrives, so the FIT is not batch-
+    additive while its sufficient statistic is (the census-not-face
+    doctrine of `stream_weighted_median_maintain` applied to monotone
+    regression).  Shares the batch row's oracle verbatim: stream ==
+    batch == DuckDB, hash-exact.
+
+    100 TB shape: per trigger one projection + one keyed census merge
+    (state = distinct scores, the value GRID — ppm-quantized, so
+    bounded); the face runs PAV on the grid, never the row stream."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..io import read_state_parquet
+    from ..streaming import read_documents_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_isotonic_")
+    state_path = root + "/census"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = batch_df.select(
+            F.expr(
+                "CAST(1000000 * size(filter(split(text, '\\\\s+'),"
+                " t -> t IN ('the','a','of','and','to','in','is')))"
+                " DIV size(split(text, '\\\\s+')) AS BIGINT)"
+            ).alias("score_ppm"),
+            (F.col("lang") == "en").cast("long").alias("y"),
+        ).groupBy("score_ppm").agg(
+            F.count(F.lit(1)).cast("long").alias("n0"),
+            F.sum("y").cast("long").alias("pos0"),
+        )
+        state = read_state_parquet(sp, state_path)
+        merged = (
+            state.unionByName(part)
+            .groupBy("score_ppm")
+            .agg(
+                F.sum("n0").cast("long").alias("n0"),
+                F.sum("pos0").cast("long").alias("pos0"),
+            )
+            if state is not None
+            else part
+        )
+        staging = state_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    ties = spark.read.parquet(state_path)
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("score_ppm").reset_index(drop=True)
+        st: list[list[int]] = []
+        for _, r in pdf.iterrows():
+            st.append([int(r.n0), int(r.pos0), int(r.score_ppm), int(r.score_ppm)])
+            while len(st) >= 2 and st[-2][1] * st[-1][0] > st[-1][1] * st[-2][0]:
+                a, b = st[-2], st[-1]
+                st[-2:] = [[a[0] + b[0], a[1] + b[1], a[2], b[3]]]
+        return pd.DataFrame(
+            [
+                {
+                    "pool": i + 1,
+                    "n": n,
+                    "n_pos": pos,
+                    "score_lo": lo,
+                    "score_hi": hi,
+                    "rate_ppm": 1_000_000 * pos // n,
+                }
+                for i, (n, pos, lo, hi) in enumerate(st)
+            ]
+        )
+
+    schema = StructType(
+        [
+            StructField("pool", LongType()),
+            StructField("n", LongType()),
+            StructField("n_pos", LongType()),
+            StructField("score_lo", LongType()),
+            StructField("score_hi", LongType()),
+            StructField("rate_ppm", LongType()),
+        ]
+    )
+    out = ties.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda key, pdf: pav(pdf), schema=schema
+    )
+    return finish_and_clean(out, root)

@@ -356,3 +356,16 @@ def test_two_level_louvain_improves_on_level_one(spark):
     m = sum(r.sum_deg for r in l1) // 2
     for r in l2:
         assert r.q_num_part == 4 * m * r.internal_edges - r.sum_deg * r.sum_deg
+
+
+def test_stream_isotonic_equals_batch(spark):
+    """The IVM twin's tie-census state folds to exactly the batch row's
+    PAV pools — the census-not-face additivity claim."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier10 import (
+        eval_isotonic_calibration_q,
+        stream_isotonic_maintain_q,
+    )
+
+    batch = sorted(map(tuple, eval_isotonic_calibration_q(spark, SF01).collect()))
+    stream = sorted(map(tuple, stream_isotonic_maintain_q(spark, SF01).collect()))
+    assert batch == stream
