@@ -82,7 +82,8 @@ _PRIORITY = [
     "graph_louvain_rounds", "pack_sequences_bpe",
     "text_chrf_parts", "stream_chrf_maintain", "eval_rouge_l",
     "eval_isotonic_calibration", "graph_louvain_two_level",
-    "stream_isotonic_maintain",
+    "stream_isotonic_maintain", "dedup_simhash_multiprobe",
+    "quality_referential_integrity", "stream_referential_maintain",
     # (b) the precomputed stalest-driver rotation.
     "dedup_embedding_cosine", "project_triple_nodes", "sort_by_key", "agg_bitmap_overlap",
     "agg_dedup_edges", "agg_first_fallback_rootns", "agg_funnel_steps", "agg_incremental_maintain",

@@ -1087,3 +1087,323 @@ def stream_isotonic_maintain_q(spark, sf_dir):
         lambda key, pdf: pav(pdf), schema=schema
     )
     return finish_and_clean(out, root)
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash_multiprobe — banded SimHash candidates with 1-flip probing
+# --------------------------------------------------------------------------
+_SIMHASH_CORPUS_SQL = """
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    toks AS (
+      SELECT doc_id AS id, t.tok FROM corpus,
+        LATERAL unnest(string_split_regex(text, '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    bits AS (
+      SELECT id, tok, b.b,
+        (CAST(floor((strpos('0123456789abcdef',
+                substring(md5(tok), CAST(b.b // 4 AS INT) + 1, 1)) - 1)
+              / power(2.0, CAST(3 - b.b % 4 AS DOUBLE))) AS BIGINT) % 2) AS bit
+      FROM toks, generate_series(0, 15) AS b(b)
+    ),
+    votes AS (
+      SELECT id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY id, b
+    ),
+    sh AS (
+      SELECT id, CAST(SUM(CASE WHEN v > 0
+                    THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS s
+      FROM votes GROUP BY id
+    )
+"""
+
+
+@register(
+    "dedup_simhash_multiprobe",
+    oracle=f"""
+    WITH {_SIMHASH_CORPUS_SQL}
+    SELECT a.id AS a, b.id AS b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON b.id > a.id
+    WHERE bit_count(xor(a.s, b.s)) <= 2
+    """,
+)
+def dedup_simhash_multiprobe_q(spark, sf_dir):
+    """Multiprobe SimHash near-dup candidates — ALL pairs at Hamming
+    distance ≤ 2 on the 16-bit fingerprint, found WITHOUT an all-pairs
+    scan: fingerprints split into two 8-bit bands; candidates come from
+    (a) the hi-band equi-join, (b) the lo-band equi-join, and (c) the
+    MULTIPROBE join — each document also probes the 8 hi-band values at
+    Hamming distance 1 (the multi-probe LSH idea: query neighboring
+    buckets instead of adding tables).  Completeness is STRUCTURAL, not
+    statistical: a ≤2-bit difference splits across the two bands as
+    2+0 (lo exact), 0+2 (hi exact), or 1+1 — and the 1+1 case is exactly
+    what the hi 1-flip probes catch, so banding ∪ probing finds EVERY
+    ≤2 pair (the oracle verifies against a brute-force all-pairs
+    popcount — it cross-checks the completeness theorem, not a replay of
+    the probe machinery).  The exact integer Hamming distance refines
+    candidates and ships as the gated column.  Gate corpus: 200 docs,
+    739 pairs at ≤2 (16 identical) — non-vacuous at every distance.
+
+    100 TB shape: fingerprints are one census agg (`simhash16`);
+    candidates come from THREE band-keyed equi-joins (the probe join
+    costs 8× the hi join's left side — constant fanout, the
+    join_spatial_grid offset pattern); the refine is a projection.
+    Nothing all-pairs; bucket skew is bounded by band cardinality (256),
+    and the df-cap family's hot-bucket treatment applies if a band
+    degenerates."""
+    from ..operators.dedup import simhash16
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = simhash16(docs, "text", "doc_id").select(
+        F.col("id"), F.col("simhash").alias("s")
+    )
+    sh = sh.select(
+        "id",
+        "s",
+        F.shiftright("s", 8).alias("hi"),
+        F.col("s").bitwiseAND(F.lit(255)).alias("lo"),
+    ).localCheckpoint(eager=True)
+
+    a = sh.select(F.col("id").alias("a"), F.col("s").alias("sa"),
+                  F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
+    b = sh.select(F.col("id").alias("b"), F.col("s").alias("sb"),
+                  F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
+
+    cand_hi = a.join(b, a["hi_a"] == b["hi_b"]).filter(F.col("b") > F.col("a"))
+    cand_lo = a.join(b, a["lo_a"] == b["lo_b"]).filter(F.col("b") > F.col("a"))
+    probes = a.select(
+        "a", "sa",
+        F.explode(
+            F.expr("transform(sequence(0, 7), f -> hi_a ^ shiftleft(1, f))")
+        ).alias("hi_probe"),
+    )
+    cand_probe = probes.join(b, probes["hi_probe"] == b["hi_b"]).filter(
+        F.col("b") > F.col("a")
+    )
+    cand = (
+        cand_hi.select("a", "b", "sa", "sb")
+        .unionByName(cand_lo.select("a", "b", "sa", "sb"))
+        .unionByName(cand_probe.select("a", "b", "sa", "sb"))
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a",
+            "b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_referential_integrity — FK orphan audit across the star schema
+# --------------------------------------------------------------------------
+# md5-planted ingest corruption (the repo's planting doctrine): 2% of events
+# (md5(event_id) bucket) get their user key shifted out of the parent range,
+# so the audited FK has real orphans while the clean FKs prove the zero case.
+_REFINT_CORRUPT_SQL = """
+      SELECT CASE WHEN ('0x' || substring(md5('refint|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 50 = 0
+                  THEN user_id + 1000000 ELSE user_id END AS fk, event_id
+      FROM events
+"""
+
+_REFINT_ORACLE = f"""
+    WITH staged AS (
+{_REFINT_CORRUPT_SQL}
+    ),
+    fk1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphan_rows,
+             CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL THEN s.fk END) AS BIGINT) AS n_orphan_keys
+      FROM staged s LEFT JOIN customer c ON c.c_custkey = s.fk
+    ),
+    fk2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphan_rows,
+             CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END) AS BIGINT) AS n_orphan_keys
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    fk3 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(COUNT(*) FILTER (WHERE su.s_suppkey IS NULL) AS BIGINT) AS n_orphan_rows,
+             CAST(COUNT(DISTINCT CASE WHEN su.s_suppkey IS NULL THEN l.l_suppkey END) AS BIGINT) AS n_orphan_keys
+      FROM lineitem l LEFT JOIN supplier su ON su.s_suppkey = l.l_suppkey
+    )
+    SELECT 'events.user_id->customer' AS fk_name, n_child, n_orphan_rows, n_orphan_keys,
+           CAST(1000000 * n_orphan_rows // n_child AS BIGINT) AS orphan_ppm FROM fk1
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', n_child, n_orphan_rows, n_orphan_keys,
+           CAST(1000000 * n_orphan_rows // n_child AS BIGINT) FROM fk2
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', n_child, n_orphan_rows, n_orphan_keys,
+           CAST(1000000 * n_orphan_rows // n_child AS BIGINT) FROM fk3
+    """
+
+
+def _refint_staged_events(events):
+    corrupt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("refint|"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 50
+        == 0
+    )
+    return events.select(
+        F.when(corrupt, F.col("user_id") + 1000000)
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("fk"),
+        "event_id",
+    )
+
+
+def _refint_face(spark, sf_dir, fk1_census):
+    """The 3-row audit face given FK #1's (fk, cnt) census — shared by the
+    batch row and the IVM twin (static FKs recompute at read time, the
+    stream_star_rollup pattern)."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    fk1 = (
+        fk1_census.join(
+            F.broadcast(customer), fk1_census["fk"] == F.col("c_custkey"), "left"
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("n_child"),
+            F.sum(F.when(F.col("c_custkey").isNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_orphan_rows"),
+            F.countDistinct(F.when(F.col("c_custkey").isNull(), F.col("fk")))
+            .cast("long")
+            .alias("n_orphan_keys"),
+        )
+        .select(F.lit("events.user_id->customer").alias("fk_name"), "*")
+    )
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("fk"))
+    fk2 = (
+        orders.join(F.broadcast(customer), orders["fk"] == F.col("c_custkey"), "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphan_rows"),
+            F.countDistinct(F.when(F.col("c_custkey").isNull(), F.col("fk")))
+            .cast("long")
+            .alias("n_orphan_keys"),
+        )
+        .select(F.lit("orders.o_custkey->customer").alias("fk_name"), "*")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("fk"))
+    fk3 = (
+        li.join(F.broadcast(supplier), li["fk"] == F.col("s_suppkey"), "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.when(F.col("s_suppkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphan_rows"),
+            F.countDistinct(F.when(F.col("s_suppkey").isNull(), F.col("fk")))
+            .cast("long")
+            .alias("n_orphan_keys"),
+        )
+        .select(F.lit("lineitem.l_suppkey->supplier").alias("fk_name"), "*")
+    )
+    out = fk1.unionByName(fk2).unionByName(fk3)
+    return out.select(
+        "fk_name",
+        "n_child",
+        "n_orphan_rows",
+        "n_orphan_keys",
+        F.expr("CAST(1000000 * n_orphan_rows DIV n_child AS BIGINT)").alias(
+            "orphan_ppm"
+        ),
+    )
+
+
+@register("quality_referential_integrity", oracle=_REFINT_ORACLE)
+def quality_referential_integrity_q(spark, sf_dir):
+    """Referential-integrity (foreign-key orphan) audit across the star
+    schema — the ingest gate every warehouse load runs before exposing a
+    batch: per FK edge, child rows, orphan rows (no matching parent key),
+    DISTINCT orphan keys (how many bad values, vs how much bad mass), and
+    exact floored orphan ppm.  Three edges: a staged events→customer FK
+    with md5-planted 2% key corruption (keys shifted out of the parent
+    range — the audit must COUNT them: non-vacuity by construction), and
+    two clean production FKs (orders→customer, lineitem→supplier) proving
+    the zero case.  Orphan detection is the LEFT JOIN + null-parent count
+    (one pass carries rows, keys, and mass together — an anti-join would
+    need a second pass for the totals).
+
+    100 TB shape: parents broadcast (dimension tables); the child side is
+    one projection + one left join + a 1-row agg per FK — no shuffle of
+    child data beyond the (already tiny) aggregate; for same-magnitude
+    parent/child the join falls back to the keyed shuffle and everything
+    else is unchanged."""
+    staged = _refint_staged_events(_t(spark, sf_dir, "events"))
+    census = staged.groupBy("fk").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return _refint_face(spark, sf_dir, census)
+
+
+@register("stream_referential_maintain", oracle=_REFINT_ORACLE)
+def stream_referential_maintain_q(spark, sf_dir):
+    """`quality_referential_integrity` as incremental view maintenance —
+    the orphan monitor running ON the ingest stream: the maintained state
+    is the streamed child's (fk, count) KEY CENSUS (a pure-SUM lattice —
+    bundling/order-independent, late rows fold into their key cell); the
+    orphan classification is a READ-TIME face (a key's orphan-hood can
+    flip if the parent dimension is reloaded, so it must NOT be frozen
+    into state — the census-not-face doctrine), and the two static FKs
+    recompute from their tables at read time (the stream_star_rollup
+    static-dim pattern).  Shares the batch oracle verbatim.
+
+    100 TB shape: per trigger one projection + one keyed census merge
+    (state = distinct child keys); the face is three broadcast left
+    joins + 1-row aggs."""
+    import shutil
+    import tempfile
+
+    from ..io import read_state_parquet
+    from ..streaming import read_events_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_refint_")
+    state_path = root + "/census"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = (
+            _refint_staged_events(batch_df)
+            .groupBy("fk")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        state = read_state_parquet(sp, state_path)
+        merged = (
+            state.unionByName(part)
+            .groupBy("fk")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            if state is not None
+            else part
+        )
+        staging = state_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    census = spark.read.parquet(state_path)
+    return finish_and_clean(_refint_face(spark, sf_dir, census), root)

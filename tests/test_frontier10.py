@@ -369,3 +369,73 @@ def test_stream_isotonic_equals_batch(spark):
     batch = sorted(map(tuple, eval_isotonic_calibration_q(spark, SF01).collect()))
     stream = sorted(map(tuple, stream_isotonic_maintain_q(spark, SF01).collect()))
     assert batch == stream
+
+
+def test_simhash_multiprobe_structural_completeness(spark):
+    """The completeness theorem, pinned: banding ∪ hi-1-flip-probing finds
+    EVERY pair at Hamming ≤ 2 (compared against a driver-side brute force
+    over the collected fingerprints), and no emitted pair exceeds 2."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier10 import (
+        dedup_simhash_multiprobe_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+    from cell_kn_mvp_etl_ontologies_spark.operators.dedup import simhash16
+
+    docs = load_table(spark, SF01, "documents").filter(F.col("doc_id") < 200)
+    fp = {r.id: int(r.simhash) for r in simhash16(docs, "text", "doc_id").collect()}
+    ids = sorted(fp)
+    brute = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= 2
+    }
+    got = {
+        (r.a, r.b): r.hamming
+        for r in dedup_simhash_multiprobe_q(spark, SF01).collect()
+    }
+    assert got == brute
+    assert any(h == 0 for h in got.values())
+    assert any(h == 2 for h in got.values())
+
+
+def test_refint_plants_are_counted_and_clean_fks_are_zero(spark):
+    """The planted 2% events corruption is counted exactly (recomputed
+    driver-side from the same md5 rule); the clean FKs read zero; ppm
+    recomputes from its own row."""
+    import hashlib
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier10 import (
+        quality_referential_integrity_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    rows = {r.fk_name: r for r in quality_referential_integrity_q(spark, SF01).collect()}
+    ev = load_table(spark, SF01, "events").select("event_id", "user_id").collect()
+    n_orph = sum(
+        1
+        for e in ev
+        if int(hashlib.md5(f"refint|{e.event_id}".encode()).hexdigest()[:8], 16) % 50
+        == 0
+    )
+    r1 = rows["events.user_id->customer"]
+    assert r1.n_child == len(ev)
+    assert r1.n_orphan_rows == n_orph > 0
+    assert 0 < r1.n_orphan_keys <= r1.n_orphan_rows
+    assert r1.orphan_ppm == 1_000_000 * n_orph // len(ev)
+    for name in ("orders.o_custkey->customer", "lineitem.l_suppkey->supplier"):
+        r = rows[name]
+        assert r.n_orphan_rows == 0 and r.n_orphan_keys == 0 and r.orphan_ppm == 0
+
+
+def test_stream_refint_equals_batch(spark):
+    """The IVM twin's key census folds to exactly the batch audit — the
+    census-not-face claim for orphan monitoring."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier10 import (
+        quality_referential_integrity_q,
+        stream_referential_maintain_q,
+    )
+
+    batch = sorted(map(tuple, quality_referential_integrity_q(spark, SF01).collect()))
+    stream = sorted(map(tuple, stream_referential_maintain_q(spark, SF01).collect()))
+    assert batch == stream
