@@ -1407,3 +1407,103 @@ def stream_referential_maintain_q(spark, sf_dir):
 
     census = spark.read.parquet(state_path)
     return finish_and_clean(_refint_face(spark, sf_dir, census), root)
+
+
+# --------------------------------------------------------------------------
+# window_sessionize_gap_sweep — the inactivity-gap knob, measured
+# --------------------------------------------------------------------------
+_SESSION_GAPS_S = [300, 1800, 7200]
+
+
+def _gap_sweep_branch_sql(gap: int) -> str:
+    return f"""
+      SELECT {gap} AS gap_s, user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id,
+             dur
+      FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > {gap}
+                    THEN 1 ELSE 0 END AS is_new,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS dur
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )"""
+
+
+@register(
+    "window_sessionize_gap_sweep",
+    oracle=f"""
+    WITH numbered AS (
+      {" UNION ALL ".join(_gap_sweep_branch_sql(g) for g in _SESSION_GAPS_S)}
+    ),
+    sess AS (
+      SELECT gap_s, user_id, session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ev,
+             MAX(dur) - MIN(dur) AS dur_s
+      FROM numbered GROUP BY gap_s, user_id, session_id
+    )
+    SELECT CAST(gap_s AS BIGINT) AS gap_s,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+           CAST(MAX(n_ev) AS BIGINT) AS max_events,
+           CAST(SUM(dur_s) // COUNT(*) AS BIGINT) AS mean_dur_floor_s,
+           CAST(1000000 * SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS singleton_ppm
+    FROM sess GROUP BY gap_s
+    """,
+)
+def window_sessionize_gap_sweep_q(spark, sf_dir):
+    """The sessionization inactivity-gap threshold, MEASURED instead of
+    assumed (the `agg_attribution_lookback_sweep` knob doctrine applied
+    to `window_sessionize`'s 30-minute default): the same gaps-and-
+    islands pass at 5 min / 30 min / 2 h, each gap's session census —
+    session count, singleton (bounce-like) count and ppm, largest
+    session, floored mean duration — side by side, which is exactly the
+    evidence a team needs to PICK the gap (the bounce-rate elbow and the
+    session-count curve are the standard diagnostics).  Same total order
+    (ts, event_id) as the parent row, so tie handling is identical; all
+    outputs integer-exact (durations in floored epoch seconds).
+
+    100 TB shape: the event stream is scanned once per gap branch (the
+    union is |gaps|×, a CONSTANT fanout — and each branch is the parent
+    row's exact two-window shape on the same (user) keyed exchange);
+    session-grain then 3-row gap-grain aggs collapse map-side."""
+    from ..operators import window_sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    out = None
+    for gap in _SESSION_GAPS_S:
+        sess = window_sessionize(
+            ev, ["user_id"], "ts", gap, tiebreak_cols=["event_id"]
+        ).select(
+            F.lit(gap).cast("long").alias("gap_s"),
+            "user_id",
+            "session_id",
+            # timestampdiff from the NTZ epoch, not unix_timestamp: the
+            # latter interprets NTZ in the SESSION timezone, so a session
+            # spanning a DST transition would shift its duration (the
+            # repo-standard truncated-epoch pin)
+            F.expr(
+                "CAST(timestampdiff(SECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS BIGINT)"
+            ).alias("dur"),
+        )
+        out = sess if out is None else out.unionByName(sess)
+    per_sess = out.groupBy("gap_s", "user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        (F.max("dur") - F.min("dur")).cast("long").alias("dur_s"),
+    )
+    return per_sess.groupBy("gap_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+        F.max("n_ev").cast("long").alias("max_events"),
+        F.expr("CAST(SUM(dur_s) DIV COUNT(1) AS BIGINT)").alias("mean_dur_floor_s"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)"
+            " DIV COUNT(1) AS BIGINT)"
+        ).alias("singleton_ppm"),
+    )

@@ -439,3 +439,26 @@ def test_stream_refint_equals_batch(spark):
     batch = sorted(map(tuple, quality_referential_integrity_q(spark, SF01).collect()))
     stream = sorted(map(tuple, stream_referential_maintain_q(spark, SF01).collect()))
     assert batch == stream
+
+
+def test_gap_sweep_monotone_in_gap(spark):
+    """Knob semantics, pinned: a larger gap can only MERGE sessions —
+    session count and singleton count are non-increasing in the gap, the
+    largest session is non-decreasing, and the 1800 s row reconciles with
+    the parent `window_sessionize` row's session count."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier10 import (
+        window_sessionize_gap_sweep_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark import catalog
+
+    rows = sorted(
+        window_sessionize_gap_sweep_q(spark, SF01).collect(), key=lambda r: r.gap_s
+    )
+    assert [r.gap_s for r in rows] == [300, 1800, 7200]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_sessions >= b.n_sessions
+        assert a.n_singletons >= b.n_singletons
+        assert a.max_events <= b.max_events
+    catalog.load_all()
+    parent = catalog.QUERIES["window_sessionize"](spark, SF01).count()
+    assert rows[1].n_sessions == parent
