@@ -1507,3 +1507,114 @@ def window_sessionize_gap_sweep_q(spark, sf_dir):
             " DIV COUNT(1) AS BIGINT)"
         ).alias("singleton_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_scene_boundaries — fingerprint-delta scene splitting
+# --------------------------------------------------------------------------
+_SCENE_HAMMING_T = 11
+
+
+@register(
+    "multimodal_scene_boundaries",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT) AS n_frames
+      FROM documents WHERE doc_id < 500
+    ),
+    frames AS (
+      SELECT doc_id, n_frames, CAST(j AS BIGINT) AS frame_idx,
+             ('0x' || substring(md5(substring(text, CAST(j * 8 + 1 AS INT), 8)),
+                                1, 4))::BIGINT AS fp
+      FROM d, generate_series(0, 9) t(j)
+      WHERE j < n_frames
+    ),
+    deltas AS (
+      SELECT doc_id, n_frames, frame_idx,
+             CASE WHEN lag(fp) OVER w IS NULL THEN 1
+                  WHEN bit_count(xor(fp, lag(fp) OVER w)) > {_SCENE_HAMMING_T}
+                  THEN 1 ELSE 0 END AS is_boundary
+      FROM frames
+      WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ),
+    scenes AS (
+      SELECT doc_id, n_frames, frame_idx,
+             SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                    ROWS UNBOUNDED PRECEDING) AS scene_idx
+      FROM deltas
+    )
+    SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames_in_scene
+    FROM scenes GROUP BY doc_id, scene_idx
+    """,
+)
+def multimodal_scene_boundaries_q(spark, sf_dir):
+    """Scene splitting over sampled video frames — the shot-boundary
+    detector a video-training pipeline runs before clip-level sampling
+    (training on whole videos wastes tokens on intra-shot redundancy;
+    scene grain is the curation unit): every frame of every payload gets
+    a 16-bit content fingerprint, and a scene boundary falls where
+    consecutive fingerprints differ in MORE THAN {_SCENE_HAMMING_T} of
+    16 bits — the classic frame-difference threshold, on fingerprints
+    instead of pixels so the comparison is engine-exact.  Gaps-and-
+    islands numbering (the `window_sessionize` shape on the frame axis)
+    turns boundaries into (doc, scene, start, end, n_frames) rows.
+    The decode stage is the explicit stub (`decode_payloads`), so frame
+    counts and stub frame bytes are deterministic and the whole chain —
+    binary payload → frames → fingerprints → deltas → scenes — is
+    oracle-checkable while keeping the Spark-side plumbing (binary
+    column, bounded frame explode, keyed windows) production-real.
+
+    100 TB shape: the frame explode is bounded by the decode metadata
+    (never unbounded); fingerprints are a projection; the two windows
+    run on the (doc) keyed exchange; output is scene-grain."""
+    from ..operators.multimodal import (
+        attach_binary_payload,
+        decode_payloads,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    payloads = attach_binary_payload(docs)
+    frames = sample_frames(
+        decode_payloads(payloads), payloads, every_k=1, frame_bytes=8
+    )
+    fp = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.conv(F.substring(F.md5("frame_stub"), 1, 4), 16, 10)
+        .cast("long")
+        .alias("fp"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = fp.select(
+        "doc_id",
+        "frame_idx",
+        F.when(F.lag("fp").over(w).isNull(), 1)
+        .when(
+            F.bit_count(F.col("fp").bitwiseXOR(F.lag("fp").over(w)))
+            > _SCENE_HAMMING_T,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_boundary"),
+    )
+    scenes = deltas.select(
+        "doc_id",
+        "frame_idx",
+        F.sum("is_boundary")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("scene_idx"),
+    )
+    return scenes.groupBy(
+        "doc_id", F.col("scene_idx").cast("long").alias("scene_idx")
+    ).agg(
+        F.min("frame_idx").cast("long").alias("start_frame"),
+        F.max("frame_idx").cast("long").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames_in_scene"),
+    )

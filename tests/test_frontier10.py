@@ -462,3 +462,41 @@ def test_gap_sweep_monotone_in_gap(spark):
     catalog.load_all()
     parent = catalog.QUERIES["window_sessionize"](spark, SF01).count()
     assert rows[1].n_sessions == parent
+
+
+def test_scene_boundaries_partition_frames(spark):
+    """Scenes partition each document's frame axis: contiguous, ordered,
+    covering exactly n_frames; every doc has ≥1 scene; at least one doc
+    splits into >1 scene (threshold non-vacuous) and at least one stays
+    whole."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier10 import (
+        multimodal_scene_boundaries_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+    rows = multimodal_scene_boundaries_q(spark, SF01).collect()
+    docs = {}
+    for r in rows:
+        docs.setdefault(r.doc_id, []).append(r)
+    exp_frames = {
+        d.doc_id: (len(d.text.encode()) % 10) + 1
+        for d in load_table(spark, SF01, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(docs) == set(exp_frames)
+    n_multi = 0
+    for did, scenes in docs.items():
+        scenes.sort(key=lambda r: r.scene_idx)
+        assert [s.scene_idx for s in scenes] == list(range(1, len(scenes) + 1))
+        assert scenes[0].start_frame == 0
+        assert scenes[-1].end_frame == exp_frames[did] - 1
+        for a, b in zip(scenes, scenes[1:]):
+            assert b.start_frame == a.end_frame + 1
+        for s in scenes:
+            assert s.n_frames_in_scene == s.end_frame - s.start_frame + 1
+        if len(scenes) > 1:
+            n_multi += 1
+    assert n_multi > 0, "no doc split — threshold vacuous"
+    assert n_multi < len(docs), "every doc split — threshold degenerate"
