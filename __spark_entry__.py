@@ -88,6 +88,7 @@ _PRIORITY = [
     "stream_isotonic_maintain", "dedup_simhash_multiprobe",
     "quality_referential_integrity", "stream_referential_maintain",
     "window_sessionize_gap_sweep", "multimodal_scene_boundaries",
+    "graph_coreness_bounded",
     # (b) the precomputed stalest-driver rotation.
     "dedup_embedding_cosine", "project_triple_nodes", "sort_by_key", "agg_bitmap_overlap",
     "agg_dedup_edges", "agg_first_fallback_rootns", "agg_funnel_steps", "agg_incremental_maintain",

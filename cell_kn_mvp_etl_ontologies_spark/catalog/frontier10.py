@@ -1618,3 +1618,93 @@ def multimodal_scene_boundaries_q(spark, sf_dir):
         F.max("frame_idx").cast("long").alias("end_frame"),
         F.count(F.lit(1)).cast("long").alias("n_frames_in_scene"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_coreness_bounded — full k-core decomposition, capped
+# --------------------------------------------------------------------------
+_CORENESS_CAP = 8
+_CORENESS_INNER = 3
+
+
+def _coreness_oracle(k_cap: int = _CORENESS_CAP, inner: int = _CORENESS_INNER) -> str:
+    """Unroll the level-by-level peel as MATERIALIZED CTEs: per level k,
+    `inner` rounds of (degree, keep, endpoint semi-join), then the removed
+    set (vertices entering the level minus vertices leaving it) labels
+    coreness k−1; level-k_cap survivors label k_cap."""
+    parts = [
+        """
+    WITH raw AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+             CAST(100000 + l_partkey % 1500 AS BIGINT) AS b
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    u_1_0 AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw
+    )"""
+    ]
+    for k in range(1, k_cap + 1):
+        for r in range(inner):
+            parts.append(
+                f""",
+    d_{k}_{r} AS MATERIALIZED (
+      SELECT src AS v, COUNT(*) AS deg FROM u_{k}_{r} GROUP BY src
+    ),
+    kp_{k}_{r} AS MATERIALIZED (SELECT v FROM d_{k}_{r} WHERE deg >= {k}),
+    u_{k}_{r + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM u_{k}_{r} e
+      JOIN kp_{k}_{r} k1 ON e.src = k1.v
+      JOIN kp_{k}_{r} k2 ON e.dst = k2.v
+    )"""
+            )
+        nxt = f"u_{k + 1}_0" if k < k_cap else f"u_done"
+        parts.append(
+            f""",
+    rm_{k} AS MATERIALIZED (
+      SELECT v, CAST({k - 1} AS BIGINT) AS coreness FROM (
+        SELECT DISTINCT src AS v FROM u_{k}_0
+        EXCEPT
+        SELECT DISTINCT src AS v FROM u_{k}_{inner}
+      )
+    ),
+    {nxt} AS MATERIALIZED (SELECT src, dst FROM u_{k}_{inner})"""
+        )
+    unions = "\n    UNION ALL ".join(f"SELECT v, coreness FROM rm_{k}" for k in range(1, k_cap + 1))
+    parts.append(
+        f"""
+    {unions}
+    UNION ALL
+    SELECT DISTINCT src AS v, CAST({k_cap} AS BIGINT) AS coreness FROM u_done"""
+    )
+    return "".join(parts)
+
+
+@register("graph_coreness_bounded", oracle=_coreness_oracle())
+def graph_coreness_bounded_q(spark, sf_dir):
+    """FULL k-core decomposition, capped — every vertex's coreness (the
+    largest k whose k-core contains it) up to the {cap}+ bucket: the
+    one-number-per-vertex answer that replaces a k-by-k sweep of
+    `graph_kcore` membership queries, and the standard curation dial
+    ("train on coreness ≥ k entities"; the cap keeps the bounded-loop
+    oracle bounded — coreness beyond {cap} is deliberately reported as
+    {cap}).  Levels k = 1..{cap}, each peeling a FIXED {inner} rounds
+    (convergence pinned by test: a 4th inner round changes nothing at
+    either gate scale); vertices removed during level k survived the
+    (k−1)-core but not the k-core — coreness k−1 exactly.  Pinned
+    against an independent driver-side peel AND consistent with
+    `graph_kcore` (its k=20 members all report the {cap}+ bucket).
+
+    100 TB shape: per inner round one degree agg + one double semi-join
+    on the live (shrinking) edge list; the live frame stats-cuts once
+    per level (3 joins/round — the §stats-compounding rule); output is
+    vertex-grain.""".format(cap=_CORENESS_CAP, inner=_CORENESS_INNER)
+    from ..plans.graph_query import coreness_bounded
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.lit(100000) + F.col("l_partkey") % 1500).cast("long").alias("dst"),
+    )
+    return coreness_bounded(
+        edges, k_cap=_CORENESS_CAP, inner_rounds=_CORENESS_INNER
+    )

@@ -1591,3 +1591,62 @@ def louvain_two_level(
         .localCheckpoint(eager=True)
     )
     return _louvain_summary(und.select("a", "b"), deg, m_tot, composed)
+
+
+def coreness_bounded(
+    edges: DataFrame,
+    k_cap: int,
+    inner_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core DECOMPOSITION: every vertex's coreness (the largest
+    k whose k-core contains it), capped at ``k_cap`` — the full-algorithm
+    extension of :func:`kcore_vertices` (which answers membership for ONE
+    k), and the standard curation dial ("keep coreness ≥ k entities"):
+    one number per vertex replaces a k-by-k sweep of membership queries.
+
+    Levels run k = 1..k_cap; each level peels ``inner_rounds`` fixed
+    rounds of drop-degree-below-k (callers pin that an extra round
+    changes nothing — the kcore fixpoint doctrine); vertices removed
+    DURING level k survived the (k−1)-core but not the k-core, so their
+    coreness is k−1; survivors of level ``k_cap`` report ``k_cap`` (the
+    "k_cap+" bucket — coreness beyond the cap is deliberately not
+    resolved, which keeps the level count, and with it the unrolled
+    oracle, bounded).
+
+    Scale shape: per inner round one degree aggregate over the live edge
+    list + one double semi-join (3 keyed shuffles, nothing wider than
+    live edges); the live frame is stats-cut once per LEVEL (it feeds 3
+    joins per round — the Spark 4.x carried-sizeInBytes compounding
+    documented in SCALE.md §stats-compounding); removed sets are O(V)
+    anti-joins.  Total work ≈ k_cap × inner_rounds peel rounds, each on
+    a shrinking edge list.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    live = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in range(1, k_cap + 1):
+        before = live.select(F.col("src").alias("v")).distinct()
+        for _ in range(inner_rounds):
+            deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("v"))
+            live = live.join(
+                keep.select(F.col("v").alias("src")), on="src"
+            ).join(keep.select(F.col("v").alias("dst")), on="dst")
+        live = _louvain_stats_cut(live.select("src", "dst"))
+        after = live.select(F.col("src").alias("v")).distinct()
+        removed = before.join(after, on="v", how="left_anti").select(
+            "v", F.lit(k - 1).cast("long").alias("coreness")
+        )
+        out = removed if out is None else out.unionByName(removed)
+    survivors = live.select(F.col("src").alias("v")).distinct().select(
+        "v", F.lit(k_cap).cast("long").alias("coreness")
+    )
+    return out.unionByName(survivors)

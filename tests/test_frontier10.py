@@ -500,3 +500,58 @@ def test_scene_boundaries_partition_frames(spark):
             n_multi += 1
     assert n_multi > 0, "no doc split — threshold vacuous"
     assert n_multi < len(docs), "every doc split — threshold degenerate"
+
+
+def test_coreness_matches_exact_python_peel(spark):
+    """Every vertex's capped coreness equals an independent driver-side
+    exact peel (uncapped, then min(c, cap)); consistency with the gated
+    `graph_kcore` row (its 20-core members all sit in the cap bucket);
+    and a 4th inner round changes nothing (the fixpoint pin)."""
+    from collections import defaultdict
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier10 import (
+        _CORENESS_CAP,
+        _CORENESS_INNER,
+        graph_coreness_bounded_q,
+    )
+    from cell_kn_mvp_etl_ontologies_spark.plans.graph_query import coreness_bounded
+
+    got = {r.v: r.coreness for r in graph_coreness_bounded_q(spark, SF01).collect()}
+
+    edges = _fixture_graph(spark, SF01)
+    pairs = edges.filter(F.col("src") != F.col("dst")).distinct().collect()
+    adj = defaultdict(set)
+    for r in pairs:
+        adj[r.src].add(r.dst)
+        adj[r.dst].add(r.src)
+    live = {v: set(nb) for v, nb in adj.items()}
+    exact = {}
+    k = 1
+    while live:
+        while True:
+            drop = [v for v, nb in live.items() if len(nb) < k]
+            if not drop:
+                break
+            for v in drop:
+                for u in live.get(v, ()):
+                    live.get(u, set()).discard(v)
+                exact[v] = k - 1
+                live.pop(v, None)
+        k += 1
+        assert k < 200
+    expect = {v: min(c, _CORENESS_CAP) for v, c in exact.items()}
+    assert got == expect
+
+    from cell_kn_mvp_etl_ontologies_spark import catalog
+
+    catalog.load_all()
+    core20 = {r.v for r in catalog.QUERIES["graph_kcore"](spark, SF01).collect()}
+    assert all(got[v] == _CORENESS_CAP for v in core20)
+
+    deeper = {
+        r.v: r.coreness
+        for r in coreness_bounded(
+            edges, k_cap=_CORENESS_CAP, inner_rounds=_CORENESS_INNER + 1
+        ).collect()
+    }
+    assert deeper == got, "an extra inner peel round changed the result"

@@ -191,6 +191,13 @@ WAIVERS: dict[str, set[str]] = {
     # the two-level extension: same per-round scalar-m broadcast, plus the
     # weighted level-2 rounds on the coarsened supergraph.
     "graph_louvain_two_level": {"CARTESIAN", "MANY_EXCH"},
+    # full core decomposition: the final level's 3 peel rounds (degree
+    # agg + double semi-join each) plus the per-level removed-set
+    # anti-join and the survivor distinct all live in ONE plan (earlier
+    # levels are behind per-level stats-cut checkpoints) — 17 keyed
+    # exchanges over the shrinking live edge list, none
+    # corpus-single-partition.
+    "graph_coreness_bounded": {"MANY_EXCH"},
     # the Pettitt pair frame is the |days|² inequality self-join on the
     # CALENDAR-BOUNDED daily series (~133k pairs for a year — the
     # eval_kendall_tau O(slice²) waiver applied to day grain; the event
