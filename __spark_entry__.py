@@ -76,11 +76,11 @@ _PRIORITY = [
     # hash proof is oldest (3 rows at r2, 47 at r3/r4; every one is
     # hash-green in the r12 local sweep).  New/changed r13 contracts
     # displace from the tail of this block per the standing rule.
-    # (a) the 13 contracts NEW in round 13 (catalog/frontier10.py — the
+    # (a) the 14 contracts NEW in round 13 (catalog/frontier10.py — the
     # two VERDICT r12 prescriptions #3/#4 first, then the round-13
     # batches), jumping to the head per the standing rule; each pushes
-    # one stale-rotation row past the 50-slot cut, so 37 rotation rows
-    # fill the gate and the displaced 15 are the precomputed ROUND-14
+    # one stale-rotation row past the 50-slot cut, so 36 rotation rows
+    # fill the gate and the displaced 16 are the precomputed ROUND-14
     # head (stalest-first, per the end-of-block comment).
     "graph_louvain_rounds", "pack_sequences_bpe",
     "text_chrf_parts", "stream_chrf_maintain", "eval_rouge_l",
