@@ -103,9 +103,29 @@ _PRIORITY = [
     "source_http_versioned", "source_owl_datasource", "stream_cdc_apply", "stream_dedup_watermark",
     "text_bm25_topk", "text_inverted_index", "text_tokenize_stats", "window_last_wins",
     "window_rank_topk", "window_running_sum", "window_sessionize", "agg_bitmap_distinct",
-    # ================= end ROUND 13 PREFIX (50-slot gate cut falls
-    # inside the rotation block above; overflow rows past slot 50 are
-    # the precomputed ROUND-14 head, stalest-first) =================
+    # ================= end ROUND 13 PREFIX =================
+    # PRECOMPUTED ROUND-14 HEAD (recomputed at round-13 close): pure
+    # stalest-driver rotation — the 50 rows whose newest driver-round
+    # hash proof is oldest AFTER the r13 gate lands (16 rows displaced
+    # past this round's 50-slot cut by the 14 new contracts, then the
+    # r3/r4-evidence tail; every one hash-green in the r13 local sweep).
+    # At round-14 start: promote this block above the r13 block (the
+    # standing rotation mechanics) and displace from its tail for new
+    # r14 contracts.
+    "similarity_topk", "sink_graph_upsert", "sink_side_output_deprecated", "sink_zorder_cluster",
+    "source_http_versioned", "source_owl_datasource", "stream_cdc_apply", "stream_dedup_watermark",
+    "text_bm25_topk", "text_inverted_index", "text_tokenize_stats", "window_last_wins",
+    "window_rank_topk", "window_running_sum", "window_sessionize", "agg_bitmap_distinct",
+    "agg_cube", "agg_distinct_exact_twin", "agg_grouping_sets", "agg_pivot_wide",
+    "agg_quantiles", "agg_salted_hot_key", "cluster_kmeans", "dedup_containment",
+    "dedup_ngram_jaccard", "dedup_pipeline_keep_canonical", "dedup_simhash", "dedup_url_canonicalize",
+    "fn_contains", "fn_doc_collection_name", "fn_doc_key", "fn_make_vertex_id",
+    "fn_pred_last_path", "fn_term_split", "fn_uri_basename", "fn_uri_fragment",
+    "fn_uri_rewrite_special", "fn_version_newer", "graph_closure", "graph_triangle_count",
+    "join_asof_events", "join_salted_skew", "multimodal_columns", "profile_numeric",
+    "sample_weighted", "similarity_ann_ivf", "similarity_ann_ivf_kmeans", "similarity_ann_recall",
+    "stream_dedup_vs_corpus", "stream_file_source",
+    # ================= end PRECOMPUTED ROUND-14 HEAD =================
     # ================= ROUND 12 PREFIX (executed; kept for the record —
     # duplicates below the r13 block are deduped by _ordered) =============
     # (a) contracts NEW in round 12 — jump to the head per the standing
