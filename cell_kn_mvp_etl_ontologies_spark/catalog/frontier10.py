@@ -942,7 +942,8 @@ def graph_louvain_two_level_q(spark, sf_dir):
     """TWO-LEVEL Louvain — the full iterate → coarsen → REPEAT structure
     of Blondel et al. 2008, closing the loop `graph_louvain_rounds`
     opened (that row runs one level + the coarsening; this one runs the
-    coarsened supergraph through ``{r2}`` further WEIGHTED move rounds):
+    coarsened supergraph through ``3`` further WEIGHTED move rounds
+    (``_LOUVAIN_L2_ROUNDS``):
     supervertices carry inter-community edge weights and self-loop
     weights, strengths are k_i = Σ_j w(i,j) + 2·w(i,i), and the weighted
     exact-integer gain 2m·(w_ic − w_i,d∖i) − k_i·(Σ_c − Σ_d + k_i)
@@ -1682,22 +1683,23 @@ def _coreness_oracle(k_cap: int = _CORENESS_CAP, inner: int = _CORENESS_INNER) -
 @register("graph_coreness_bounded", oracle=_coreness_oracle())
 def graph_coreness_bounded_q(spark, sf_dir):
     """FULL k-core decomposition, capped — every vertex's coreness (the
-    largest k whose k-core contains it) up to the {cap}+ bucket: the
-    one-number-per-vertex answer that replaces a k-by-k sweep of
-    `graph_kcore` membership queries, and the standard curation dial
-    ("train on coreness ≥ k entities"; the cap keeps the bounded-loop
-    oracle bounded — coreness beyond {cap} is deliberately reported as
-    {cap}).  Levels k = 1..{cap}, each peeling a FIXED {inner} rounds
-    (convergence pinned by test: a 4th inner round changes nothing at
-    either gate scale); vertices removed during level k survived the
-    (k−1)-core but not the k-core — coreness k−1 exactly.  Pinned
-    against an independent driver-side peel AND consistent with
-    `graph_kcore` (its k=20 members all report the {cap}+ bucket).
+    largest k whose k-core contains it) up to the 8+ bucket
+    (``_CORENESS_CAP``): the one-number-per-vertex answer that replaces
+    a k-by-k sweep of `graph_kcore` membership queries, and the
+    standard curation dial ("train on coreness ≥ k entities"; the cap
+    keeps the bounded-loop oracle bounded — coreness beyond 8 is
+    deliberately reported as 8).  Levels k = 1..8, each peeling a FIXED
+    3 inner rounds (``_CORENESS_INNER``; convergence pinned by test:
+    a 4th inner round changes nothing at either gate scale); vertices
+    removed during level k survived the (k−1)-core but not the k-core —
+    coreness k−1 exactly.  Pinned against an independent driver-side
+    peel AND consistent with `graph_kcore` (its k=20 members all report
+    the 8+ bucket).
 
     100 TB shape: per inner round one degree agg + one double semi-join
     on the live (shrinking) edge list; the live frame stats-cuts once
     per level (3 joins/round — the §stats-compounding rule); output is
-    vertex-grain.""".format(cap=_CORENESS_CAP, inner=_CORENESS_INNER)
+    vertex-grain."""
     from ..plans.graph_query import coreness_bounded
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)

@@ -320,13 +320,15 @@ def pack_sequences_ffd_q(spark, sf_dir):
     Per-shard sequential state (the open-bin fill list) runs in one
     Arrow `applyInPandas` group per shard — the `pack_sequences_greedy`
     doctrine: thousands of shards pack in parallel, each bounded by shard
-    size.  The DuckDB oracle replays first-fit EXACTLY with a recursive
-    CTE carrying the bin-fill LIST per shard.
+    size.  The packer itself is the shared extraction
+    :func:`operators.training.pack_sequences_ffd` — ONE implementation
+    backs this row and the composed `pack_sequences_bpe` chain, so the
+    two cannot drift.  The DuckDB oracle replays first-fit EXACTLY with
+    a recursive CTE carrying the bin-fill LIST per shard.
 
     100 TB shape: one shuffle on shard; per-shard memory = open-bin list
     (≤ shard tokens / budget entries); no corpus-wide state."""
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
+    from ..operators.training import pack_sequences_ffd
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
         (F.col("doc_id") % 4).cast("long").alias("shard"),
@@ -335,34 +337,7 @@ def pack_sequences_ffd_q(spark, sf_dir):
     ).select(
         "shard", "doc_id", (F.col("_div") + 1).alias("tokens")
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["tokens", "doc_id"], ascending=[False, True]
-        ).reset_index(drop=True)
-        fills: list[int] = []
-        bins: list[int] = []
-        for t in pdf["tokens"].astype("int64"):
-            for i, fll in enumerate(fills):
-                if fll + t <= _FFD_BUDGET:
-                    fills[i] += t
-                    bins.append(i + 1)
-                    break
-            else:
-                fills.append(int(t))
-                bins.append(len(fills))
-        pdf["bin"] = pd.Series(bins, dtype="int64")
-        return pdf[["shard", "doc_id", "tokens", "bin"]]
-
-    schema = StructType(
-        [
-            StructField("shard", LongType()),
-            StructField("doc_id", LongType()),
-            StructField("tokens", LongType()),
-            StructField("bin", LongType()),
-        ]
-    )
-    return docs.groupBy("shard").applyInPandas(pack, schema=schema)
+    return pack_sequences_ffd(docs, "shard", "doc_id", "tokens", _FFD_BUDGET)
 
 
 # --------------------------------------------------------------------------

@@ -1323,9 +1323,17 @@ def _louvain_stats_cut(df: DataFrame) -> DataFrame:
     leaf statistics to the real file size; the immediate eager
     localCheckpoint of the fresh scan pins the blocks in the block
     manager so the scratch directory can be deleted before returning —
-    no leaked files, no lineage, no compounding stats.  This is also the
-    reliable-storage checkpoint shape iterative graph jobs use on real
-    clusters.
+    no leaked files, no lineage, no compounding stats.
+
+    Mode caveat (this helper is LOCAL/local-cluster shaped): the scratch
+    lives under a driver-local ``tempfile.mkdtemp`` path and is deleted
+    right after the eager localCheckpoint, which assumes (a) driver and
+    executors share one filesystem, and (b) the pinned block-manager
+    blocks never need the recompute fallback.  On a real multi-node
+    cluster, route the scratch through a shared-FS checkpoint root
+    (``spark.sparkContext.setCheckpointDir`` + ``Dataset.checkpoint``,
+    which has the same stats-reset effect) or defer the delete until the
+    consuming action has completed.
     """
     import shutil
     import tempfile
