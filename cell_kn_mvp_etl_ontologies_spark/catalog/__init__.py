@@ -82,3 +82,4 @@ def load_all() -> None:
     from . import frontier8  # noqa: F401
     from . import frontier9  # noqa: F401
     from . import frontier10  # noqa: F401
+    from . import frontier11  # noqa: F401

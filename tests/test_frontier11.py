@@ -1,0 +1,276 @@
+"""Round-14 extension batch (catalog/frontier11.py): property pins beyond
+the DuckDB hash gate — the semantic claims each docstring makes."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from cell_kn_mvp_etl_ontologies_spark.catalog.frontier11 import (
+    _AUDIO_W,
+    _SEG_W,
+    agg_ks_two_sample_q,
+    dedup_segment_boundary_audit_q,
+    eval_precision_recall_hits_q,
+    eval_bleu_parts_q,
+    eval_meteor_parts_q,
+    eval_spearman_rho_q,
+    multimodal_audio_energy_q,
+    stream_bleu_maintain_q,
+    stream_ks_maintain_q,
+)
+from cell_kn_mvp_etl_ontologies_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _pairs_py(spark, sf_dir):
+    """Python replay of the BLEU/METEOR pair fixture."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .collect()
+    )
+    out = []
+    for r in docs:
+        cand = [t for t in r.text[:200].lower().split() if t]
+        ref = [t for t in r.text[10:210].lower().split() if t]
+        out.append((r.doc_id, cand, ref))
+    return out
+
+
+def test_bleu_parts_match_python_recompute(spark):
+    """Every gated BLEU part — per-n clipped matches, candidate totals,
+    and the two corpus length sums — equals a Counter-based recompute."""
+    pairs = _pairs_py(spark, SF)
+    exp = {n: [0, 0] for n in range(1, 5)}
+    clen = sum(len(c) for _, c, _ in pairs)
+    rlen = sum(len(r) for _, _, r in pairs)
+    for _, cand, ref in pairs:
+        for n in range(1, 5):
+            cg = Counter(
+                " ".join(cand[i : i + n]) for i in range(len(cand) - n + 1)
+            )
+            rg = Counter(
+                " ".join(ref[i : i + n]) for i in range(len(ref) - n + 1)
+            )
+            exp[n][0] += sum(min(c, rg.get(g, 0)) for g, c in cg.items())
+            exp[n][1] += sum(cg.values())
+    rows = {r.n: r for r in eval_bleu_parts_q(spark, SF).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for n in range(1, 5):
+        assert rows[n].clipped_matches == exp[n][0]
+        assert rows[n].total_cand == exp[n][1]
+        assert rows[n].cand_len_total == clen
+        assert rows[n].ref_len_total == rlen
+        assert rows[n].bp_applies == (clen < rlen)
+        # clipping can never exceed the candidate total
+        assert rows[n].clipped_matches <= rows[n].total_cand
+
+
+def test_bleu_precisions_decrease_in_n(spark):
+    """Higher-order precisions are (weakly) below unigram precision on
+    any real corpus — the reason BLEU geometric-means them."""
+    rows = {r.n: r for r in eval_bleu_parts_q(spark, SF01).collect()}
+    assert rows[1].precision_ppm >= rows[2].precision_ppm >= rows[4].precision_ppm
+
+
+def test_stream_bleu_equals_batch(spark):
+    batch = {tuple(r) for r in eval_bleu_parts_q(spark, SF).collect()}
+    stream = {tuple(r) for r in stream_bleu_maintain_q(spark, SF).collect()}
+    assert batch == stream
+
+
+def test_meteor_parts_match_python_recompute(spark):
+    """m, chunks, and the two rational faces against a per-doc replay of
+    the occurrence-index alignment and candidate-run chunking."""
+    pairs = _pairs_py(spark, SF)
+    rows = {r.doc_id: r for r in eval_meteor_parts_q(spark, SF).collect()}
+    assert len(rows) == len(pairs)
+    for doc_id, cand, ref in pairs:
+        rc = Counter(ref)
+        seen: Counter = Counter()
+        matched = []
+        for tok in cand:
+            seen[tok] += 1
+            matched.append(seen[tok] <= rc.get(tok, 0))
+        m = sum(matched)
+        chunks = sum(
+            1
+            for i, mt in enumerate(matched)
+            if mt and (i == 0 or not matched[i - 1])
+        )
+        r = rows[doc_id]
+        assert (r.m, r.chunks, r.n_cand, r.n_ref) == (
+            m,
+            chunks,
+            len(cand),
+            len(ref),
+        )
+        assert r.chunks <= r.m  # runs can't outnumber their members
+        if m:
+            assert r.f_mean_ppm == 10000000 * m // (len(cand) + 9 * len(ref))
+            assert r.frag_penalty_ppm == 1000000 * chunks**3 // (2 * m**3)
+        else:
+            assert r.frag_penalty_ppm is None
+
+
+def test_precision_recall_hit_rows_consistent(spark):
+    """Hit rows are positives only, cum_hits counts hits in rank order,
+    and the last hit's recall is exactly 10⁶ (all positives found)."""
+    rows = eval_precision_recall_hits_q(spark, SF).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src, "fixture must contain positives"
+    for src, hits in by_src.items():
+        hits.sort(key=lambda r: r.k)
+        for i, h in enumerate(hits):
+            assert h.cum_hits == i + 1  # i-th hit in rank order
+            assert h.prec_at_k_ppm == 1000000 * h.cum_hits // h.k
+            assert h.prec_at_k_ppm <= 1000000
+        assert hits[-1].recall_ppm == 1000000
+
+
+def test_spearman_matches_python_ranks(spark):
+    """Σd² (and hence every derived column) equals a python recompute of
+    the tie-broken double ranking from the raw tables."""
+    cust = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    spend = (
+        load_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("sp"))
+    )
+    joined = cust.join(
+        spend, cust.c_custkey == spend.o_custkey, "left"
+    ).collect()
+    by_nation: dict = {}
+    for r in joined:
+        sp = r.sp if r.sp is not None else 0
+        by_nation.setdefault(r.c_nationkey, []).append(
+            (r.c_custkey, r.c_acctbal, sp)
+        )
+    exp = {}
+    for nk, members in by_nation.items():
+        ra = {
+            ck: i + 1
+            for i, (ck, _, _) in enumerate(
+                sorted(members, key=lambda t: (t[1], t[0]))
+            )
+        }
+        rb = {
+            ck: i + 1
+            for i, (ck, _, _) in enumerate(
+                sorted(members, key=lambda t: (t[2], t[0]))
+            )
+        }
+        n = len(members)
+        sum_d2 = sum((ra[ck] - rb[ck]) ** 2 for ck, _, _ in members)
+        exp[nk] = (n, sum_d2)
+    rows = {r.nationkey: r for r in eval_spearman_rho_q(spark, SF).collect()}
+    assert set(rows) == set(exp)
+    for nk, (n, sum_d2) in exp.items():
+        r = rows[nk]
+        assert (r.n, r.sum_d2) == (n, sum_d2)
+        assert r.rho_num == n * (n * n - 1) - 6 * sum_d2
+        assert r.rho_den == n * (n * n - 1)
+        assert -1000000 <= r.rho_ppm <= 1000000
+
+
+def test_ks_matches_python_ecdf(spark):
+    """D's integer numerator equals a python ECDF scan, and d_at_value
+    attains it."""
+    orders = load_table(spark, SF, "orders").select(
+        "o_totalprice", "o_orderpriority"
+    ).collect()
+    import math
+
+    a, b = Counter(), Counter()
+    for r in orders:
+        v = math.floor(r.o_totalprice)
+        (a if r.o_orderpriority in ("1-URGENT", "2-HIGH") else b)[v] += 1
+    na, nb = sum(a.values()), sum(b.values())
+    cuma = cumb = 0
+    best, best_v = -1, None
+    for v in sorted(set(a) | set(b)):
+        cuma += a.get(v, 0)
+        cumb += b.get(v, 0)
+        dn = abs(nb * cuma - na * cumb)
+        if dn > best:
+            best, best_v = dn, v
+    row = agg_ks_two_sample_q(spark, SF).collect()[0]
+    assert (row.n_a, row.n_b, row.d_num) == (na, nb, best)
+    assert row.d_at_value == best_v
+    assert row.ks_ppm == 1000000 * best // (na * nb)
+
+
+def test_stream_ks_equals_batch(spark):
+    batch = {tuple(r) for r in agg_ks_two_sample_q(spark, SF).collect()}
+    stream = {tuple(r) for r in stream_ks_maintain_q(spark, SF).collect()}
+    assert batch == stream
+
+
+def test_boundary_audit_tells_the_straddle_story(spark):
+    """The VERDICT r13 #5 claim, pinned: the aligned-segment pass fully
+    detects aligned plants, detects ZERO straddling or sub-window plants;
+    the stride-1 pass closes exactly the straddle class."""
+    rows = {
+        r.plant_class: r
+        for r in dedup_segment_boundary_audit_q(spark, SF).collect()
+    }
+    assert set(rows) == {"aligned", "straddle", "short"}
+    al, st, sh = rows["aligned"], rows["straddle"], rows["short"]
+    assert al.n_docs > 0 and st.n_docs > 0 and sh.n_docs > 0
+    # aligned plants: both detectors at full doc recall
+    assert al.seg_doc_recall_ppm == 1000000
+    assert al.win_doc_recall_ppm == 1000000
+    # straddling plants: the PLANTED span is invisible to the aligned
+    # pass (the tiny synthetic vocabulary admits the odd NATURAL repeated
+    # 10-token run, so allow ≤10% accidental doc hits) while the stride-1
+    # sweep recovers every planted doc — the quantified miss class and
+    # its fix
+    assert st.seg_doc_recall_ppm <= 100000
+    assert st.n_seg_dup * 10 <= st.n_win_dup
+    assert st.win_doc_recall_ppm == 1000000
+    # sub-window plants: invisible to both width-10 detectors (the
+    # junk-bracketed single segment is structurally unique per doc)
+    assert sh.n_seg_dup == 0 and sh.n_win_dup == 0
+    # short plants (junk + 6 tokens + junk = 8 tokens) have no width-10
+    # windows at all; their single aligned segment exists but is unique
+    assert sh.n_win_total == 0 and sh.n_seg_total == sh.n_docs
+    assert _SEG_W == 10  # the contract the plants are built against
+
+
+def test_audio_energy_windows_partition_payload(spark):
+    """Windows tile each payload exactly (Σ n_samples = length), indices
+    are contiguous from 0, at least one window is the peak, and a spot
+    recompute of window 0's energy matches."""
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = multimodal_audio_energy_q(spark, SF).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, wins in by_doc.items():
+        wins.sort(key=lambda r: r.win_idx)
+        assert [w.win_idx for w in wins] == list(range(len(wins)))
+        assert sum(w.n_samples for w in wins) == len(docs[doc_id])
+        assert all(w.n_samples == _AUDIO_W for w in wins[:-1])
+        peak = max(w.energy for w in wins)
+        assert any(w.is_peak for w in wins)
+        for w in wins:
+            assert w.is_peak == (w.energy == peak)
+            assert w.mean_power_floor == w.energy // w.n_samples
+        e0 = sum((ord(ch) - 96) ** 2 for ch in docs[doc_id][:_AUDIO_W])
+        assert wins[0].energy == e0

@@ -30,6 +30,16 @@ sys.path.insert(0, REPO)
 # Queries whose physical plan legitimately trips a generic bound, with the
 # reason recorded so waivers stay auditable.
 WAIVERS: dict[str, set[str]] = {
+    # the 4-row n-frame × ONE-row corpus length-sums frame (Σ|cand|,
+    # Σ|ref| — the brevity-penalty parts, constant columns by design):
+    # the sanctioned 1-row stats-frame cross-join pattern
+    # (eval_kendall_tau_bucketed precedent); nothing corpus-sized
+    # enters it.  The IVM twin folds parquet state instead and is clean.
+    "eval_bleu_parts": {"CARTESIAN"},
+    # the distinct-value ECDF frame × the ONE-row (n_a, n_b) totals
+    # frame — the same sanctioned 1-row stats-frame pattern; the
+    # supremum scan it feeds is distinct-value grain.
+    "agg_ks_two_sample": {"CARTESIAN"},
     # the all-pairs concordant/discordant census on the contract-BOUNDED
     # eval slice (custkey < 200 -> ~200 per-customer rows): the
     # inequality self-join ca < cb is the operator's documented O(slice²)
