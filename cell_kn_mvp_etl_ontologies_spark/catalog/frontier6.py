@@ -374,8 +374,14 @@ def graph_scc_q(spark, sf_dir):
     pairs — O(rounds) keyed shuffles, the `graph_label_propagation`
     shape; this query is the exact differential gate for that machinery.
 
-    localCheckpoint between doubling rounds truncates the lineage
-    exactly as `dedup_connected_components` documents."""
+    stats_cut (not bare localCheckpoint) between doubling rounds: the
+    recursing `reach` frame feeds THREE branches per round (the union
+    plus both sides of the self-join), so carried sizeInBytes estimates
+    would compound ~3x per round — the §stats-compounding rule this
+    repo now gates via audit_plans.py STATS_BLOWUP (measured 1771 bits
+    here before the cut, 35 after)."""
+    from ..plans.graph_query import stats_cut
+
     edges = _scc_edges(spark, sf_dir)
     reach = edges.localCheckpoint(eager=True)
     for _ in range(6):  # 2^6 = 64 >= longest simple path on 60 nodes
@@ -387,7 +393,7 @@ def graph_scc_q(spark, sf_dir):
             )
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
         )
-        reach = reach.unionByName(hops).distinct().localCheckpoint(eager=True)
+        reach = stats_cut(reach.unionByName(hops).distinct())
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -495,12 +501,15 @@ def graph_dag_depth_q(spark, sf_dir):
     Algorithm (exact gate tier): MAX-PLUS path doubling — reach carries
     (src, dst, longest_len); each round joins reach with itself and
     keeps MAX(len₁+len₂) per (src, dst); 6 rounds cover paths ≤ 64 >
-    the 60-node slice's longest possible chain.  localCheckpoint per
-    round (the closure-family lineage doctrine).  Cost is bounded by
+    the 60-node slice's longest possible chain.  stats_cut per round
+    (the reach frame feeds three branches/round — the
+    §stats-compounding rule, gated by STATS_BLOWUP).  Cost is bounded by
     the slice contract; at corpus scale the production shape is
     layer-by-layer relaxation from the root frontier (the
     `graph_label_propagation` keyed-shuffle pattern, one round per
     hierarchy level — OBO ontologies are ~20 levels deep)."""
+    from ..plans.graph_query import stats_cut
+
     edges = _dag_edges(spark, sf_dir)
     reach = edges.select(
         F.col("child").alias("src"), F.col("parent").alias("dst"), F.lit(1).alias("len")
@@ -515,11 +524,10 @@ def graph_dag_depth_q(spark, sf_dir):
                 (F.col("x.len") + F.col("y.len")).alias("len"),
             )
         )
-        reach = (
+        reach = stats_cut(
             reach.unionByName(hops)
             .groupBy("src", "dst")
             .agg(F.max("len").alias("len"))
-            .localCheckpoint(eager=True)
         )
     nodes = (
         edges.select(F.col("child").alias("node"))
@@ -2038,6 +2046,8 @@ def graph_dag_lca_similarity_q(spark, sf_dir):
     100 TB shape: pairs × ancestors joins are bounded by the slice
     contract here; the production path above replaces them with
     per-pair O(label-width) bit math."""
+    from ..plans.graph_query import stats_cut
+
     edges = _dag_edges(spark, sf_dir)
     reach = edges.select(
         F.col("child").alias("src"),
@@ -2054,11 +2064,12 @@ def graph_dag_lca_similarity_q(spark, sf_dir):
                 (F.col("x.len") + F.col("y.len")).alias("len"),
             )
         )
-        reach = (
+        # stats_cut, not bare localCheckpoint: reach feeds 3 branches per
+        # round (§stats-compounding rule, gated by STATS_BLOWUP)
+        reach = stats_cut(
             reach.unionByName(hops)
             .groupBy("src", "dst")
             .agg(F.max("len").alias("len"))
-            .localCheckpoint(eager=True)
         )
     nodes = (
         edges.select(F.col("child").alias("node"))

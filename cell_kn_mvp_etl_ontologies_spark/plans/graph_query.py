@@ -680,7 +680,7 @@ def strongly_connected_components_fb(
                     .groupBy("node")
                     .agg(agg_fn(agg_col).alias(agg_col))
                 )
-            state = state.localCheckpoint(eager=True)
+            state = stats_cut(state)
             changed = (
                 state.withColumnRenamed(agg_col, "__new")
                 .join(before, on="node")
@@ -708,7 +708,7 @@ def strongly_connected_components_fb(
 
         colors = _fixpoint(colors, fwd, "color", F.max)
         # 2. backward flag propagation within color classes
-        ce = (
+        ce = stats_cut(
             rem_edges.join(
                 colors.select(F.col("node").alias("s"), F.col("color").alias("cs")),
                 on="s",
@@ -719,7 +719,6 @@ def strongly_connected_components_fb(
             )
             .filter(F.col("cs") == F.col("cd"))
             .select("s", "d")
-            .localCheckpoint(eager=True)
         )
         flags = colors.select(
             "node", (F.col("node") == F.col("color")).alias("flg")
@@ -742,10 +741,9 @@ def strongly_connected_components_fb(
         assigned = (
             labeled if assigned is None else assigned.unionByName(labeled)
         )
-        assigned = assigned.localCheckpoint(eager=True)
-        remaining = (
+        assigned = stats_cut(assigned)
+        remaining = stats_cut(
             remaining.join(labeled.select("node"), on="node", how="left_anti")
-            .localCheckpoint(eager=True)
         )
         rem_edges = (
             rem_edges.join(
@@ -753,8 +751,8 @@ def strongly_connected_components_fb(
             )
             .join(remaining.select(F.col("node").alias("d")), on="d", how="left_semi")
             .select("s", "d")
-            .localCheckpoint(eager=True)
         )
+        rem_edges = stats_cut(rem_edges)
     n_left = remaining.count()
     if n_left != 0:
         # partial labels would silently merge/split components downstream
@@ -848,7 +846,9 @@ def dag_depth_frontier(
                 else []
             )
             state = state.unionByName(cand).groupBy("node").agg(*aggs)
-        state = state.localCheckpoint(eager=True)
+        # stats_cut, not bare localCheckpoint: state feeds 2 branches per
+        # hop x check_every hops between cuts (§stats-compounding rule)
+        state = stats_cut(state)
         delta = F.col("__d") != F.col("depth")
         renamed = state.withColumnRenamed("depth", "__d")
         if with_ancestors:
@@ -1046,7 +1046,9 @@ def dag_ancestors_bucketed(
                 .groupBy("node", "bucket")
                 .agg(F.expr("bit_or(bm)").alias("bm"))
             )
-        state = state.localCheckpoint(eager=True)
+        # stats_cut per the §stats-compounding rule (2 branches/hop x
+        # check_every hops between cuts)
+        state = stats_cut(state)
         changed = (
             state.withColumnRenamed("bm", "__bm")
             .join(before, on=["node", "bucket"], how="left")
@@ -1308,7 +1310,7 @@ def louvain_rounds(
     return _louvain_summary(und.select("a", "b"), deg, m_tot, comm)
 
 
-def _louvain_stats_cut(df: DataFrame) -> DataFrame:
+def stats_cut(df: DataFrame) -> DataFrame:
     """Truncate lineage AND statistics through a self-cleaning parquet
     round-trip + localCheckpoint.
 
@@ -1338,7 +1340,7 @@ def _louvain_stats_cut(df: DataFrame) -> DataFrame:
     import shutil
     import tempfile
 
-    root = tempfile.mkdtemp(prefix="louvain_cut_")
+    root = tempfile.mkdtemp(prefix="stats_cut_")
     df.write.mode("overwrite").parquet(root + "/d")
     out = df.sparkSession.read.parquet(root + "/d").localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
@@ -1438,10 +1440,10 @@ def _louvain_move_loop(wund, deg, m_tot, comm, n_rounds):
             .filter(F.col("wt") == F.col("i"))
             .select(F.col("i").alias("v"), F.col("tgt").alias("new_c"))
         )
-        # _louvain_stats_cut, not localCheckpoint: comm is the frame that
+        # stats_cut, not localCheckpoint: comm is the frame that
         # RECURSES across rounds, so carried statistics would compound
         # exponentially through it (see the helper's docstring)
-        comm = _louvain_stats_cut(
+        comm = stats_cut(
             comm.join(sel, on="v", how="left").select(
                 "v", F.coalesce(F.col("new_c"), F.col("c")).alias("c")
             )
@@ -1648,7 +1650,7 @@ def coreness_bounded(
             live = live.join(
                 keep.select(F.col("v").alias("src")), on="src"
             ).join(keep.select(F.col("v").alias("dst")), on="dst")
-        live = _louvain_stats_cut(live.select("src", "dst"))
+        live = stats_cut(live.select("src", "dst"))
         after = live.select(F.col("src").alias("v")).distinct()
         removed = before.join(after, on="v", how="left_anti").select(
             "v", F.lit(k - 1).cast("long").alias("coreness")

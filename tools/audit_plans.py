@@ -11,6 +11,20 @@ executed plans, and flags scale red-flags that correctness tests can't see:
                   plan (accidental cross join)
   - MANY_EXCH:    more than --exchange-max physical Exchanges (shuffle chain
                   that likely collapses at scale)
+  - STATS_BLOWUP: the optimized plan's estimated sizeInBytes exceeds
+                  --stats-bits-max BITS (default 256 — ~1e77 bytes, far
+                  beyond any physical estimate).  This is the Spark 4.x
+                  localCheckpoint stats-compounding pathology promoted to
+                  a gate (VERDICT r13 #2, SCALE.md §stats-compounding): a
+                  recursing frame feeding >2 join branches per round
+                  without a stats cut multiplies its carried size
+                  estimate round over round, the bit-length grows
+                  exponentially, and every stats walk pins the driver in
+                  BigInteger.multiply.  Any loop operator that violates
+                  the ">2 join branches per round => parquet stats cut"
+                  rule surfaces here through its returned frame; the
+                  synthetic violator is pinned in
+                  tests/test_stats_compounding.py.
 
 Usage: python tools/audit_plans.py [--sf-dir DIR] [query ...]
 Exit code 1 if any red flag fires (so it can gate CI).
@@ -483,7 +497,7 @@ def strip_cached_subtrees(plan: str) -> str:
     return "\n".join(out)
 
 
-def iter_flags(name: str, opt: str, phys: str, args) -> list[str]:
+def iter_flags(name: str, opt: str, phys: str, args, stats_bits: int | None = None) -> list[str]:
     opt = strip_cached_subtrees(opt)
     phys = strip_cached_subtrees(phys)
     flags = []
@@ -508,6 +522,8 @@ def iter_flags(name: str, opt: str, phys: str, args) -> list[str]:
     )
     if n_exch > args.exchange_max:
         flags.append(f"MANY_EXCH({n_exch})")
+    if stats_bits is not None and stats_bits > args.stats_bits_max:
+        flags.append(f"STATS_BLOWUP({stats_bits} bits)")
     waived = WAIVERS.get(name, set())
     return [f for f in flags if f.split("(")[0] not in waived]
 
@@ -518,6 +534,7 @@ def main() -> int:
     ap.add_argument("--filter-chars", type=int, default=4000)
     ap.add_argument("--regex-max", type=int, default=60)
     ap.add_argument("--exchange-max", type=int, default=12)
+    ap.add_argument("--stats-bits-max", type=int, default=256)
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -551,11 +568,12 @@ def main() -> int:
             qe = df._jdf.queryExecution()
             opt = qe.optimizedPlan().toString()
             phys = qe.executedPlan().toString()
+            stats_bits = int(qe.optimizedPlan().stats().sizeInBytes()).bit_length()
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             print(f"ERROR {name}: {type(exc).__name__}: {exc}")
             bad += 1
             continue
-        flags = iter_flags(name, opt, phys, args)
+        flags = iter_flags(name, opt, phys, args, stats_bits)
         if flags:
             bad += 1
             print(f"FLAG  {name}: {', '.join(flags)}")
