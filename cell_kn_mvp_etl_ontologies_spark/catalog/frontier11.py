@@ -724,9 +724,15 @@ def agg_ks_two_sample_q(spark, sf_dir):
 
     100 TB shape: one hash agg to distinct-value grain (map-side combine
     collapses the corpus), one window cumsum over distinct values, one
-    1-row agg.  BIGINT bound: d_num ≤ n_a·n_b and the ppm step needs
-    10⁶·n_a·n_b < 2⁶³ — n_a·n_b < 9.2·10¹², fine to ~3M rows per side;
-    beyond that, divide n_a·n_b's gcd out or rescale to per-mille."""
+    1-row agg.  Measured caveat (SCALE.md §r14-probes): near-unique
+    doubles floor to a NON-collapsing grid (129,698 distinct of 150,000
+    rows at sf0.1), so at real scale the value axis must be binned
+    coarser (cents → dollars → log-bins) for the distinct-grain claim to
+    bite — KS on a binned variable is the KS of that binned variable,
+    stated contract.  BIGINT bound: d_num ≤ n_a·n_b and the ppm step
+    needs 10⁶·n_a·n_b < 2⁶³ — n_a·n_b < 9.2·10¹², fine to ~3M rows per
+    side; beyond that, divide n_a·n_b's gcd out or rescale to
+    per-mille."""
     return _ks_face(_ks_counts(_t(spark, sf_dir, "orders")))
 
 
