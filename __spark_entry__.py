@@ -102,6 +102,29 @@ _PRIORITY = [
     # similarity_ann_recall, stream_dedup_vs_corpus, stream_file_source
     # — head the precomputed ROUND-15 block appended at round-14
     # close) =================
+    # PRECOMPUTED ROUND-15 HEAD (computed at round-14 close): pure
+    # stalest-driver rotation — the 50 rows whose newest driver-round
+    # hash proof is oldest AFTER the r14 gate lands (the 9 rows displaced
+    # past this round's 50-slot cut by the 9 new contracts first — r4
+    # evidence — then the r5-evidence tail, alphabetical within a
+    # staleness class; every one hash-green in the r14 local sweep).
+    # At round-15 start: promote this block above the r14 block (the
+    # standing rotation mechanics) and displace from its tail for new
+    # r15 contracts.
+    "join_salted_skew", "multimodal_columns", "profile_numeric", "sample_weighted",
+    "similarity_ann_ivf", "similarity_ann_ivf_kmeans", "similarity_ann_recall", "stream_dedup_vs_corpus",
+    "stream_file_source", "stream_graph_upsert", "stream_index_maintain", "stream_join_dim",
+    "stream_split_route", "stream_stateful_totals", "stream_stream_join", "stream_time_rollup",
+    "stream_window_session", "stream_window_sliding", "stream_window_tumbling", "text_fingerprint",
+    "text_index_positions", "text_pii_redact", "udf_surface", "agg_dedup_edges_last_wins",
+    "agg_heavy_hitters_cms", "agg_unpivot_long", "ddl_database_graph", "dedup_bloom_screen",
+    "dedup_embedding_clustered", "dedup_fuzzy_levenshtein", "dedup_keep_best_quality", "dedup_minhash_lsh_capped",
+    "dedup_substring_spans", "filter_outlier_mad", "filter_quality_percentile", "graph_bfs_distance",
+    "interleave_weighted", "join_asof_forward", "join_bloom_prefilter", "multimodal_decode_stub",
+    "multimodal_frame_sample", "multimodal_resize", "pack_sequences", "sample_cap_per_group",
+    "sample_stratified", "scan_dir_regex", "shard_assign", "similarity_ann_ivf_routed",
+    "sink_bucketed_table", "sink_compact",
+    # ================= end PRECOMPUTED ROUND-15 HEAD =================
     # ================= ROUND 13 PREFIX (executed; kept for the record —
     # duplicates below the r14 block are deduped by _ordered) =============
     # (precomputed at round-12 close): with the
