@@ -70,17 +70,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
     # ================= ROUND 14 PREFIX =================
-    # (a) the 9 contracts NEW in round 14 (catalog/frontier11.py — the
+    # (a) the 12 contracts NEW in round 14 (catalog/frontier11.py — the
     # two VERDICT r13 prescriptions #4/#5 first, then the round-14
-    # batch), jumping to the head per the standing rule; each displaces
-    # one row from the tail of the precomputed r14 rotation block, so 41
-    # rotation rows fill the gate and the displaced 9
-    # (join_salted_skew .. stream_file_source) head the precomputed
+    # batches), jumping to the head per the standing rule; each displaces
+    # one row from the tail of the precomputed r14 rotation block, so 38
+    # rotation rows fill the gate and the displaced 12
+    # (graph_closure .. stream_file_source) head the precomputed
     # ROUND-15 block (see the end-of-block comment below).
     "eval_bleu_parts", "stream_bleu_maintain", "dedup_segment_boundary_audit",
     "eval_meteor_parts", "eval_precision_recall_hits", "eval_spearman_rho",
     "agg_ks_two_sample", "stream_ks_maintain", "multimodal_audio_energy",
-    # (b) the first 41 rows of the precomputed stalest-driver rotation
+    "stream_spearman_maintain", "temporal_acf_profile", "text_kneser_ney_counts",
+    # (b) the first 38 rows of the precomputed stalest-driver rotation
     # (the ROUND-14 HEAD block recomputed at round-13 close, promoted
     # here per the standing rotation mechanics; the full 50-row record
     # remains below, deduped by _ordered).
@@ -93,24 +94,25 @@ _PRIORITY = [
     "dedup_ngram_jaccard", "dedup_pipeline_keep_canonical", "dedup_simhash", "dedup_url_canonicalize",
     "fn_contains", "fn_doc_collection_name", "fn_doc_key", "fn_make_vertex_id",
     "fn_pred_last_path", "fn_term_split", "fn_uri_basename", "fn_uri_fragment",
-    "fn_uri_rewrite_special", "fn_version_newer", "graph_closure", "graph_triangle_count",
-    "join_asof_events",
-    # ================= end ROUND 14 PREFIX (50 slots: 9 new + 41
-    # rotation; the 9 displaced rotation rows — join_salted_skew,
+    "fn_uri_rewrite_special", "fn_version_newer",
+    # ================= end ROUND 14 PREFIX (50 slots: 12 new + 38
+    # rotation; the 12 displaced rotation rows — graph_closure,
+    # graph_triangle_count, join_asof_events, join_salted_skew,
     # multimodal_columns, profile_numeric, sample_weighted,
     # similarity_ann_ivf, similarity_ann_ivf_kmeans,
     # similarity_ann_recall, stream_dedup_vs_corpus, stream_file_source
-    # — head the precomputed ROUND-15 block appended at round-14
-    # close) =================
+    # — head the precomputed ROUND-15 block below) =================
     # PRECOMPUTED ROUND-15 HEAD (computed at round-14 close): pure
     # stalest-driver rotation — the 50 rows whose newest driver-round
-    # hash proof is oldest AFTER the r14 gate lands (the 9 rows displaced
-    # past this round's 50-slot cut by the 9 new contracts first — r4
-    # evidence — then the r5-evidence tail, alphabetical within a
-    # staleness class; every one hash-green in the r14 local sweep).
+    # hash proof is oldest AFTER the r14 gate lands (the 12 rows
+    # displaced past this round's 50-slot cut by the 12 new contracts
+    # first — r4 evidence — then the r5-evidence tail, alphabetical
+    # within a staleness class; every one hash-green in the r14 local
+    # sweep).
     # At round-15 start: promote this block above the r14 block (the
     # standing rotation mechanics) and displace from its tail for new
     # r15 contracts.
+    "graph_closure", "graph_triangle_count", "join_asof_events",
     "join_salted_skew", "multimodal_columns", "profile_numeric", "sample_weighted",
     "similarity_ann_ivf", "similarity_ann_ivf_kmeans", "similarity_ann_recall", "stream_dedup_vs_corpus",
     "stream_file_source", "stream_graph_upsert", "stream_index_maintain", "stream_join_dim",
@@ -123,7 +125,9 @@ _PRIORITY = [
     "interleave_weighted", "join_asof_forward", "join_bloom_prefilter", "multimodal_decode_stub",
     "multimodal_frame_sample", "multimodal_resize", "pack_sequences", "sample_cap_per_group",
     "sample_stratified", "scan_dir_regex", "shard_assign", "similarity_ann_ivf_routed",
-    "sink_bucketed_table", "sink_compact",
+    # (sink_bucketed_table, sink_compact overflow to the next class once
+    # the 3 late-batch displacements joined the head; the r15 builder
+    # re-derives the exact cut anyway)
     # ================= end PRECOMPUTED ROUND-15 HEAD =================
     # ================= ROUND 13 PREFIX (executed; kept for the record —
     # duplicates below the r14 block are deduped by _ordered) =============

@@ -506,9 +506,7 @@ def eval_precision_recall_hits_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # eval_spearman_rho — exact rational Spearman rank correlation
 # --------------------------------------------------------------------------
-@register(
-    "eval_spearman_rho",
-    oracle="""
+_SPEARMAN_ORACLE = """
     WITH spend AS (
       SELECT o_custkey AS ck,
              SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sp
@@ -540,32 +538,14 @@ def eval_precision_recall_hits_q(spark, sf_dir):
                           // (n * (n * n - 1)) AS BIGINT)
            END AS rho_ppm
     FROM per
-    """,
-)
-def eval_spearman_rho_q(spark, sf_dir):
-    """Exact Spearman rank correlation per group — the monotone-
-    association companion to `eval_kendall_tau_full` (concordant pairs)
-    and `profile_correlation_pairs` (Pearson moments): does account
-    balance predict realized spend, per nation?  Ranks are tie-broken
-    deterministically by customer key (documented: the midrank/tie-
-    corrected variant needs the Pearson-on-ranks form; the tie-broken
-    rank form keeps rho = 1 − 6Σd²/(n(n²−1)) EXACTLY rational), spend is
-    summed in DECIMAL(18,6) so the rank sort key is exact cross-engine,
-    and the gated face carries the integer numerator/denominator plus a
-    ppm quotient — rho can be NEGATIVE, which is safe because DuckDB's
-    integer `//` truncates toward zero exactly like Spark's DIV (measured,
-    frontier4 module doctrine).
+    """
 
-    100 TB shape: one keyed agg to customer grain, two per-group window
-    sorts at member grain, one group agg — the `eval_auc_rank` shape;
-    rank windows sort within nation partitions only."""
-    spend = (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("ck"))
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("sp")
-        )
-    )
+
+def _spearman_face(spark, sf_dir, spend):
+    """(ck, sp) spend frame -> the gated Spearman face: join the static
+    customer dimension, double-rank with deterministic tie-breaks, and
+    emit the exact rational parts.  Shared by the batch row and the IVM
+    twin (whose state IS the spend frame)."""
     cust = (
         _t(spark, sf_dir, "customer")
         .join(spend, F.col("c_custkey") == F.col("ck"), how="left")
@@ -609,6 +589,34 @@ def eval_spearman_rho_q(spark, sf_dir):
             " DIV (n * (n * n - 1)) AS BIGINT) END"
         ).alias("rho_ppm"),
     )
+
+
+@register("eval_spearman_rho", oracle=_SPEARMAN_ORACLE)
+def eval_spearman_rho_q(spark, sf_dir):
+    """Exact Spearman rank correlation per group — the monotone-
+    association companion to `eval_kendall_tau_full` (concordant pairs)
+    and `profile_correlation_pairs` (Pearson moments): does account
+    balance predict realized spend, per nation?  Ranks are tie-broken
+    deterministically by customer key (documented: the midrank/tie-
+    corrected variant needs the Pearson-on-ranks form; the tie-broken
+    rank form keeps rho = 1 − 6Σd²/(n(n²−1)) EXACTLY rational), spend is
+    summed in DECIMAL(18,6) so the rank sort key is exact cross-engine,
+    and the gated face carries the integer numerator/denominator plus a
+    ppm quotient — rho can be NEGATIVE, which is safe because DuckDB's
+    integer `//` truncates toward zero exactly like Spark's DIV (measured,
+    frontier4 module doctrine).
+
+    100 TB shape: one keyed agg to customer grain, two per-group window
+    sorts at member grain, one group agg — the `eval_auc_rank` shape;
+    rank windows sort within nation partitions only."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("sp")
+        )
+    )
+    return _spearman_face(spark, sf_dir, spend)
 
 
 # --------------------------------------------------------------------------
@@ -1094,4 +1102,297 @@ def multimodal_audio_energy_q(spark, sf_dir):
         F.expr("CAST(energy DIV n_samples AS BIGINT)").alias(
             "mean_power_floor"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_spearman_maintain — rank correlation as IVM (entity-grain state)
+# --------------------------------------------------------------------------
+@register("stream_spearman_maintain", oracle=_SPEARMAN_ORACLE)
+def stream_spearman_maintain_q(spark, sf_dir):
+    """`eval_spearman_rho` as incremental view maintenance — the
+    balance-vs-spend monitor running ON the order stream: ranks are NOT
+    additive (one arriving order can shift every customer's spend rank),
+    but the sufficient statistic under them IS — the per-customer exact
+    DECIMAL spend sum, folded additively per batch (the
+    `stream_drawdown_maintain` entity-grain state class).  The face —
+    static customer dim join, double rank windows, rational rho parts —
+    recomputes from state at read time, so stream == batch under any
+    bundling BY CONSTRUCTION of the decimal sum (exact, order-free).
+    Shares the batch oracle verbatim.
+
+    100 TB shape: per trigger O(batch + touched customers) keyed fold;
+    the face costs the batch row's two rank windows at entity grain —
+    run on read, not per trigger."""
+    import shutil
+    import tempfile
+
+    from ..io import read_state_parquet
+    from ..streaming import read_orders_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_spearman_")
+    state_path = root + "/state"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = batch_df.groupBy(F.col("o_custkey").alias("ck")).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("sp")
+        )
+        state = read_state_parquet(sp, state_path)
+        merged = (
+            state.unionByName(part)
+            .groupBy("ck")
+            .agg(F.sum("sp").cast("decimal(18,6)").alias("sp"))
+            if state is not None
+            else part
+        )
+        staging = state_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_orders_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    return finish_and_clean(
+        _spearman_face(spark, sf_dir, spark.read.parquet(state_path)), root
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal_acf_profile — multi-lag autocorrelation moment parts
+# --------------------------------------------------------------------------
+@register(
+    "temporal_acf_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+    pairs AS (
+      SELECT l.lag, d.y AS x, p.y AS px
+      FROM daily d
+      CROSS JOIN lags l
+      JOIN daily p ON p.day = d.day - CAST(l.lag AS INT)
+    ),
+    moms AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(px) AS BIGINT) AS spx,
+             COUNT(*) * SUM(CAST(x AS HUGEINT) * px)
+               - SUM(CAST(x AS HUGEINT)) * SUM(px) AS cov,
+             COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+               - SUM(CAST(x AS HUGEINT)) * SUM(x) AS vx,
+             COUNT(*) * SUM(CAST(px AS HUGEINT) * px)
+               - SUM(CAST(px AS HUGEINT)) * SUM(px) AS vp
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n, sx, spx,
+           CAST(cov AS BIGINT) AS cov_num,
+           CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+                AS INT) AS corr_sign,
+           CAST(((cov * cov) // NULLIF(vx, 0)) * 1000000 // NULLIF(vp, 0)
+                AS BIGINT) AS corr_sq_e6
+    FROM moms
+    """,
+)
+def temporal_acf_profile_q(spark, sf_dir):
+    """Multi-lag autocorrelation PROFILE of the daily event-count series
+    — the full ACF head (lags 1..7) that `temporal_autocorr_lag1`'s
+    single-lag per-entity moments cannot draw: the shape of these seven
+    numbers is how one reads persistence vs weekly seasonality vs white
+    noise before fitting any AR model (a lag-7 spike over flat 2..6 IS
+    the weekly signature; `temporal_seasonal_profile` shows the means,
+    this shows the memory).  Per lag: exact integer covariance numerator
+    n·Σ(x·px) − Σx·Σpx (sign = correlation sign), and ρ² in exact e6
+    units via the two-step floored division in DECIMAL(38,0) — the
+    `profile_correlation_pairs` doctrine verbatim (ρ's sqrt stays with
+    the consumer; ρ² is what gets thresholded).  Lag pairs come from a
+    date-arithmetic self-join, so calendar gaps drop pairs instead of
+    silently shifting the series (stated contract).
+
+    100 TB shape: the corpus collapses to day grain in ONE hash agg;
+    the 7-lag expansion joins the tiny daily frame to itself — constant
+    fanout on a frame that is |days| rows at any corpus size."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    d = daily.select(F.col("day").alias("d_day"), F.col("y").alias("x"))
+    p = daily.select(F.col("day").alias("p_day"), F.col("y").alias("px"))
+    pairs = (
+        d.crossJoin(lags)
+        .join(p, F.expr("p_day = date_sub(d_day, lag)"))
+        .select("lag", "x", "px")
+    )
+    moms = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("px").cast("long").alias("spx"),
+        F.expr(
+            "COUNT(1) * SUM(CAST(x AS DECIMAL(38,0)) * px)"
+            " - SUM(CAST(x AS DECIMAL(38,0))) * SUM(px)"
+        ).alias("cov"),
+        F.expr(
+            "COUNT(1) * SUM(CAST(x AS DECIMAL(38,0)) * x)"
+            " - SUM(CAST(x AS DECIMAL(38,0))) * SUM(x)"
+        ).alias("vx"),
+        F.expr(
+            "COUNT(1) * SUM(CAST(px AS DECIMAL(38,0)) * px)"
+            " - SUM(CAST(px AS DECIMAL(38,0))) * SUM(px)"
+        ).alias("vp"),
+    )
+    return moms.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        "sx",
+        "spx",
+        F.col("cov").cast("long").alias("cov_num"),
+        F.expr(
+            "CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END"
+            " AS INT)"
+        ).alias("corr_sign"),
+        F.expr(
+            "CAST(((cov * cov) DIV NULLIF(vx, 0)) * 1000000 DIV NULLIF(vp, 0)"
+            " AS BIGINT)"
+        ).alias("corr_sq_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_kneser_ney_counts — KN smoothing ingredients as exact censuses
+# --------------------------------------------------------------------------
+@register(
+    "text_kneser_ney_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS ws
+      FROM documents WHERE doc_id < 500
+    ),
+    big AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+               i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)])) AS g
+        FROM toks
+      ) GROUP BY g
+    ),
+    nn AS (
+      SELECT CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+             CAST(SUM(c) AS BIGINT) AS n_bigram_tokens
+      FROM big
+    ),
+    wstats AS (
+      SELECT split_part(g, ' ', 2) AS word,
+             CAST(COUNT(*) AS BIGINT) AS continuation_types,
+             CAST(SUM(c) AS BIGINT) AS right_tokens
+      FROM big GROUP BY 1
+    ),
+    fan AS (
+      SELECT split_part(g, ' ', 1) AS word,
+             CAST(COUNT(*) AS BIGINT) AS fanout_types
+      FROM big GROUP BY 1
+    )
+    SELECT w.word, w.continuation_types,
+           COALESCE(f.fanout_types, 0) AS fanout_types,
+           w.right_tokens,
+           nn.n1, nn.n2, nn.n_bigram_types, nn.n_bigram_tokens,
+           CAST(1000000 * w.continuation_types // nn.n_bigram_types
+                AS BIGINT) AS p_cont_ppm,
+           CAST(1000000 * nn.n1 // (nn.n1 + 2 * nn.n2) AS BIGINT)
+             AS discount_ppm
+    FROM wstats w LEFT JOIN fan f ON f.word = w.word CROSS JOIN nn
+    WHERE w.continuation_types >= 5
+    """,
+)
+def text_kneser_ney_counts_q(spark, sf_dir):
+    """Kneser-Ney smoothing INGREDIENTS as exact censuses — what
+    separates KN from every count-based smoother is that its backoff
+    unigram uses CONTINUATION counts (how many distinct left contexts a
+    word follows), not raw frequency ('Francisco' is frequent but only
+    ever follows 'San' — KN correctly refuses to predict it cold), and
+    every ingredient is a pure integer census: per word N1+(·w)
+    (continuation types — the KN base distribution numerator), N1+(w·)
+    (fanout types — the normalizer of the bigram back-off weight),
+    right-position token count; corpus-level n1/n2 (bigram types seen
+    once/twice) and the absolute discount D = n1/(n1+2n2) in exact
+    floored ppm (Ney et al.'s leave-one-out estimate).  P_cont(w) gates
+    as exact ppm of bigram types.  The probability MODEL assembled from
+    these (discounted bigram + interpolated continuation base) is
+    read-time float work for the consumer — the `text_lm_bigram_score`
+    split.  Words with continuation_types ≥ 5 gate (bounds the face;
+    the censuses underneath are corpus-complete).
+
+    100 TB shape: ONE bigram hash census (map-side combine collapses
+    the corpus), then three census-grain aggs — the n1/n2 frame is one
+    row, word stats are vocabulary-grain; nothing re-scans text."""
+    toks = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+        ).alias("ws")
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    big = (
+        toks.filter(F.size("ws") >= 2)
+        .select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nn = big.agg(
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+        F.sum("c").cast("long").alias("n_bigram_tokens"),
+    )
+    wstats = big.groupBy(
+        F.substring_index("g", " ", -1).alias("word")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("continuation_types"),
+        F.sum("c").cast("long").alias("right_tokens"),
+    )
+    fan = big.groupBy(F.substring_index("g", " ", 1).alias("word")).agg(
+        F.count(F.lit(1)).cast("long").alias("fanout_types")
+    )
+    return (
+        wstats.filter(F.col("continuation_types") >= 5)
+        .join(fan, on="word", how="left")
+        .crossJoin(nn)
+        .select(
+            "word",
+            "continuation_types",
+            F.coalesce("fanout_types", F.lit(0)).cast("long").alias(
+                "fanout_types"
+            ),
+            "right_tokens",
+            "n1",
+            "n2",
+            "n_bigram_types",
+            "n_bigram_tokens",
+            F.expr(
+                "CAST(1000000 * continuation_types DIV n_bigram_types"
+                " AS BIGINT)"
+            ).alias("p_cont_ppm"),
+            F.expr(
+                "CAST(1000000 * n1 DIV (n1 + 2 * n2) AS BIGINT)"
+            ).alias("discount_ppm"),
+        )
     )

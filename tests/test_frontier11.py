@@ -274,3 +274,102 @@ def test_audio_energy_windows_partition_payload(spark):
             assert w.mean_power_floor == w.energy // w.n_samples
         e0 = sum((ord(ch) - 96) ** 2 for ch in docs[doc_id][:_AUDIO_W])
         assert wins[0].energy == e0
+
+
+def test_stream_spearman_equals_batch(spark):
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier11 import (
+        stream_spearman_maintain_q,
+    )
+
+    batch = {tuple(r) for r in eval_spearman_rho_q(spark, SF).collect()}
+    stream = {
+        tuple(r) for r in stream_spearman_maintain_q(spark, SF).collect()
+    }
+    assert batch == stream
+
+
+def test_acf_profile_matches_python_recompute(spark):
+    """Per-lag moments equal a dict-based replay over the daily series,
+    including the calendar-gap pair-drop semantics."""
+    from datetime import timedelta
+
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier11 import (
+        temporal_acf_profile_q,
+    )
+
+    daily = {
+        r.day: r.y
+        for r in load_table(spark, SF, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    }
+    rows = {r.lag: r for r in temporal_acf_profile_q(spark, SF).collect()}
+    assert set(rows) == set(range(1, 8))
+    for lag in range(1, 8):
+        pairs = [
+            (y, daily[d - timedelta(days=lag)])
+            for d, y in daily.items()
+            if d - timedelta(days=lag) in daily
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        spx = sum(p for _, p in pairs)
+        cov = n * sum(x * p for x, p in pairs) - sx * spx
+        r = rows[lag]
+        assert (r.n, r.sx, r.spx, r.cov_num) == (n, sx, spx, cov)
+        assert r.corr_sign == (1 if cov > 0 else -1 if cov < 0 else 0)
+        vx = n * sum(x * x for x, _ in pairs) - sx * sx
+        vp = n * sum(p * p for _, p in pairs) - spx * spx
+        if vx and vp:
+            assert r.corr_sq_e6 == (cov * cov // vx) * 1000000 // vp
+            assert 0 <= r.corr_sq_e6 <= 1000000
+
+
+def test_kneser_ney_counts_match_python(spark):
+    """Continuation/fanout censuses and both ppm faces equal a
+    Counter-based bigram replay."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier11 import (
+        text_kneser_ney_counts_q,
+    )
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("text")
+        .collect()
+    )
+    big: Counter = Counter()
+    for r in docs:
+        ws = [t for t in r.text.lower().split() if t]
+        for i in range(len(ws) - 1):
+            big[(ws[i], ws[i + 1])] += 1
+    n1 = sum(1 for c in big.values() if c == 1)
+    n2 = sum(1 for c in big.values() if c == 2)
+    n_types = len(big)
+    n_tokens = sum(big.values())
+    cont: Counter = Counter()
+    right_toks: Counter = Counter()
+    fan: Counter = Counter()
+    for (w1, w2), c in big.items():
+        cont[w2] += 1
+        right_toks[w2] += c
+        fan[w1] += 1
+    rows = {r.word: r for r in text_kneser_ney_counts_q(spark, SF).collect()}
+    exp_words = {w for w, c in cont.items() if c >= 5}
+    assert set(rows) == exp_words and exp_words
+    for w in exp_words:
+        r = rows[w]
+        assert (r.continuation_types, r.fanout_types, r.right_tokens) == (
+            cont[w],
+            fan.get(w, 0),
+            right_toks[w],
+        )
+        assert (r.n1, r.n2, r.n_bigram_types, r.n_bigram_tokens) == (
+            n1,
+            n2,
+            n_types,
+            n_tokens,
+        )
+        assert r.p_cont_ppm == 1000000 * cont[w] // n_types
+        assert r.discount_ppm == 1000000 * n1 // (n1 + 2 * n2)

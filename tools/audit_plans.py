@@ -54,6 +54,13 @@ WAIVERS: dict[str, set[str]] = {
     # frame — the same sanctioned 1-row stats-frame pattern; the
     # supremum scan it feeds is distinct-value grain.
     "agg_ks_two_sample": {"CARTESIAN"},
+    # the |days|-row daily frame × the 7-row lag dim (the bounded-dim
+    # broadcast pattern, eval_kendall_tau_full's y-grid precedent);
+    # the lag pairing itself is a keyed date-arithmetic equi-join.
+    "temporal_acf_profile": {"CARTESIAN"},
+    # the vocabulary-grain word-stats frame × the ONE-row n1/n2 census
+    # (the sanctioned 1-row stats-frame pattern).
+    "text_kneser_ney_counts": {"CARTESIAN"},
     # the all-pairs concordant/discordant census on the contract-BOUNDED
     # eval slice (custkey < 200 -> ~200 per-customer rows): the
     # inequality self-join ca < cb is the operator's documented O(slice²)
