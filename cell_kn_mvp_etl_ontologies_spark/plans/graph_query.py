@@ -1327,19 +1327,37 @@ def stats_cut(df: DataFrame) -> DataFrame:
     manager so the scratch directory can be deleted before returning —
     no leaked files, no lineage, no compounding stats.
 
-    Mode caveat (this helper is LOCAL/local-cluster shaped): the scratch
-    lives under a driver-local ``tempfile.mkdtemp`` path and is deleted
-    right after the eager localCheckpoint, which assumes (a) driver and
-    executors share one filesystem, and (b) the pinned block-manager
-    blocks never need the recompute fallback.  On a real multi-node
-    cluster, route the scratch through a shared-FS checkpoint root
-    (``spark.sparkContext.setCheckpointDir`` + ``Dataset.checkpoint``,
-    which has the same stats-reset effect) or defer the delete until the
-    consuming action has completed.
+    Two modes:
+
+    - **Default (LOCAL/local-cluster shaped)**: the scratch lives under a
+      driver-local ``tempfile.mkdtemp`` path and is deleted right after
+      the eager localCheckpoint, which assumes (a) driver and executors
+      share one filesystem, and (b) the pinned block-manager blocks never
+      need the recompute fallback.
+    - **Shared-root (multi-node shaped)**: set ``SPARK_GRAFT_STATS_CUT_DIR``
+      to a shared-filesystem URI (HDFS/S3A/NFS) and each cut writes a
+      unique subdirectory there and returns the plain parquet scan — the
+      files ARE the reliable materialization (recompute fallback = re-read
+      them), nothing is deleted mid-job, and the job owner clears the root
+      after the consuming action (the same lifecycle as a checkpoint dir).
+
+    Measured warning (round 14): ``Dataset.checkpoint`` with a reliable
+    ``setCheckpointDir`` is NOT a substitute — Spark 4.x routes both
+    checkpoint flavors through ``LogicalRDD.rewriteStatsAndConstraints``,
+    so reliable checkpoints carry the compounded estimate exactly like
+    local ones (measured 32 → 90 → 263 bits over three 3-branch rounds).
+    The parquet round-trip is the only stats reset.
     """
+    import os
     import shutil
     import tempfile
+    import uuid
 
+    shared_root = os.environ.get("SPARK_GRAFT_STATS_CUT_DIR")
+    if shared_root:
+        path = shared_root.rstrip("/") + "/stats_cut_" + uuid.uuid4().hex
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
     root = tempfile.mkdtemp(prefix="stats_cut_")
     df.write.mode("overwrite").parquet(root + "/d")
     out = df.sparkSession.read.parquet(root + "/d").localCheckpoint(eager=True)

@@ -102,3 +102,42 @@ def test_iterative_catalog_operators_sit_under_the_gate(spark):
     ):
         bits = _bits(catalog.QUERIES[name](spark, SF))
         assert bits <= AUDIT_BITS_MAX, f"{name}: {bits} bits"
+
+
+def test_stats_cut_shared_root_mode(spark, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_STATS_CUT_DIR set, cuts write unique subdirs under
+    the shared root, return plain parquet scans (flat stats, recompute
+    fallback = re-read), and leave the files for job-owner cleanup."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "shared")
+    monkeypatch.setenv("SPARK_GRAFT_STATS_CUT_DIR", root)
+    base = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 10).alias("b")
+    )
+    cur = base
+    for _ in range(3):
+        cur = stats_cut(_violator_round(cur))
+        assert _bits(cur) < 64
+    assert cur.count() > 0  # the scans are readable end-to-end
+    # every cut left its materialization under the root (no mid-job delete)
+    subdirs = [d for d in os.listdir(root) if d.startswith("stats_cut_")]
+    assert len(subdirs) == 3
+
+
+def test_reliable_checkpoint_is_not_a_stats_reset(spark, tmp_path):
+    """The measured warning pinned: Dataset.checkpoint with a reliable
+    checkpoint dir carries compounded estimates exactly like
+    localCheckpoint — only the parquet round-trip resets."""
+    from pyspark.sql import functions as F
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    base = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 10).alias("b")
+    )
+    cur = base.checkpoint(eager=True)
+    for _ in range(3):
+        cur = _violator_round(cur).checkpoint(eager=True)
+    assert _bits(cur) > 128  # reliable checkpoints compound too
