@@ -70,18 +70,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # every round via `tools/check_correctness.py --json-out CORRECTNESS_LOCAL_r{N}.json`.
 _PRIORITY = [
     # ================= ROUND 14 PREFIX =================
-    # (a) the 12 contracts NEW in round 14 (catalog/frontier11.py — the
+    # (a) the 13 contracts NEW in round 14 (catalog/frontier11.py — the
     # two VERDICT r13 prescriptions #4/#5 first, then the round-14
-    # batches), jumping to the head per the standing rule; each displaces
-    # one row from the tail of the precomputed r14 rotation block, so 38
-    # rotation rows fill the gate and the displaced 12
-    # (graph_closure .. stream_file_source) head the precomputed
+    # batches; stream_ks_maintain and stream_spearman_maintain are the
+    # IVM twins of the EXISTING frontier4/frontier5 batch rows, sharing
+    # their oracles), jumping to the head per the standing rule; each
+    # displaces one row from the tail of the precomputed r14 rotation
+    # block, so 37 rotation rows fill the gate and the displaced 13
+    # (fn_version_newer .. stream_file_source) head the precomputed
     # ROUND-15 block (see the end-of-block comment below).
     "eval_bleu_parts", "stream_bleu_maintain", "dedup_segment_boundary_audit",
-    "eval_meteor_parts", "eval_precision_recall_hits", "eval_spearman_rho",
-    "agg_ks_two_sample", "stream_ks_maintain", "multimodal_audio_energy",
+    "eval_meteor_parts", "eval_precision_recall_hits",
+    "stream_ks_maintain", "multimodal_audio_energy",
     "stream_spearman_maintain", "temporal_acf_profile", "text_kneser_ney_counts",
-    # (b) the first 38 rows of the precomputed stalest-driver rotation
+    "stream_acf_maintain", "stream_kneser_ney_maintain", "text_good_turing_counts",
+    # (b) the first 37 rows of the precomputed stalest-driver rotation
     # (the ROUND-14 HEAD block recomputed at round-13 close, promoted
     # here per the standing rotation mechanics; the full 50-row record
     # remains below, deduped by _ordered).
@@ -93,15 +96,16 @@ _PRIORITY = [
     "agg_quantiles", "agg_salted_hot_key", "cluster_kmeans", "dedup_containment",
     "dedup_ngram_jaccard", "dedup_pipeline_keep_canonical", "dedup_simhash", "dedup_url_canonicalize",
     "fn_contains", "fn_doc_collection_name", "fn_doc_key", "fn_make_vertex_id",
-    "fn_pred_last_path", "fn_term_split", "fn_uri_basename", "fn_uri_fragment",
-    "fn_uri_rewrite_special", "fn_version_newer",
-    # ================= end ROUND 14 PREFIX (50 slots: 12 new + 38
-    # rotation; the 12 displaced rotation rows — graph_closure,
-    # graph_triangle_count, join_asof_events, join_salted_skew,
-    # multimodal_columns, profile_numeric, sample_weighted,
-    # similarity_ann_ivf, similarity_ann_ivf_kmeans,
+    "fn_pred_last_path", "fn_term_split", "fn_uri_basename",
+    "fn_uri_fragment", "fn_uri_rewrite_special",
+    # ================= end ROUND 14 PREFIX (50 slots: 13 new + 37
+    # rotation; the 13 displaced rotation rows — fn_version_newer,
+    # graph_closure, graph_triangle_count, join_asof_events,
+    # join_salted_skew, multimodal_columns, profile_numeric,
+    # sample_weighted, similarity_ann_ivf, similarity_ann_ivf_kmeans,
     # similarity_ann_recall, stream_dedup_vs_corpus, stream_file_source
-    # — head the precomputed ROUND-15 block below) =================
+    # — head the precomputed ROUND-15 block below, which is re-derived
+    # exactly at round close) =================
     # PRECOMPUTED ROUND-15 HEAD (computed at round-14 close): pure
     # stalest-driver rotation — the 50 rows whose newest driver-round
     # hash proof is oldest AFTER the r14 gate lands (the 12 rows

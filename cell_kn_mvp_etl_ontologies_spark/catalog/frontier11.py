@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from . import register
+from .frontier4 import KS_TWO_SAMPLE_ORACLE
+from .frontier5 import SPEARMAN_RANK_ORACLE
 
 
 def _t(spark, sf_dir, name):
@@ -504,263 +506,28 @@ def eval_precision_recall_hits_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# eval_spearman_rho — exact rational Spearman rank correlation
+# stream_ks_maintain — eval_ks_two_sample as IVM (entity-grain state)
 # --------------------------------------------------------------------------
-_SPEARMAN_ORACLE = """
-    WITH spend AS (
-      SELECT o_custkey AS ck,
-             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sp
-      FROM orders GROUP BY o_custkey
-    ),
-    cust AS (
-      SELECT c_custkey, c_nationkey, c_acctbal,
-             COALESCE(s.sp, CAST(0 AS DECIMAL(18,6))) AS spend
-      FROM customer LEFT JOIN spend s ON s.ck = c_custkey
-    ),
-    ranked AS (
-      SELECT c_nationkey,
-             row_number() OVER (PARTITION BY c_nationkey
-                                ORDER BY c_acctbal, c_custkey) AS ra,
-             row_number() OVER (PARTITION BY c_nationkey
-                                ORDER BY spend, c_custkey) AS rb
-      FROM cust
-    ),
-    per AS (
-      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
-      FROM ranked GROUP BY c_nationkey
-    )
-    SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n, sum_d2,
-           CAST(n * (n * n - 1) - 6 * sum_d2 AS BIGINT) AS rho_num,
-           CAST(n * (n * n - 1) AS BIGINT) AS rho_den,
-           CASE WHEN n < 2 THEN NULL
-                ELSE CAST(1000000 * (n * (n * n - 1) - 6 * sum_d2)
-                          // (n * (n * n - 1)) AS BIGINT)
-           END AS rho_ppm
-    FROM per
-    """
-
-
-def _spearman_face(spark, sf_dir, spend):
-    """(ck, sp) spend frame -> the gated Spearman face: join the static
-    customer dimension, double-rank with deterministic tie-breaks, and
-    emit the exact rational parts.  Shared by the batch row and the IVM
-    twin (whose state IS the spend frame)."""
-    cust = (
-        _t(spark, sf_dir, "customer")
-        .join(spend, F.col("c_custkey") == F.col("ck"), how="left")
-        .select(
-            "c_custkey",
-            "c_nationkey",
-            "c_acctbal",
-            F.coalesce(
-                "sp", F.lit(0).cast("decimal(18,6)")
-            ).alias("spend"),
-        )
-    )
-    ranked = cust.select(
-        "c_nationkey",
-        F.row_number()
-        .over(
-            Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-        )
-        .alias("ra"),
-        F.row_number()
-        .over(
-            Window.partitionBy("c_nationkey").orderBy("spend", "c_custkey")
-        )
-        .alias("rb"),
-    )
-    per = ranked.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
-        .cast("long")
-        .alias("sum_d2"),
-    )
-    return per.select(
-        F.col("c_nationkey").cast("long").alias("nationkey"),
-        "n",
-        "sum_d2",
-        F.expr("CAST(n * (n * n - 1) - 6 * sum_d2 AS BIGINT)").alias("rho_num"),
-        F.expr("CAST(n * (n * n - 1) AS BIGINT)").alias("rho_den"),
-        F.expr(
-            "CASE WHEN n < 2 THEN NULL"
-            " ELSE CAST(1000000 * (n * (n * n - 1) - 6 * sum_d2)"
-            " DIV (n * (n * n - 1)) AS BIGINT) END"
-        ).alias("rho_ppm"),
-    )
-
-
-@register("eval_spearman_rho", oracle=_SPEARMAN_ORACLE)
-def eval_spearman_rho_q(spark, sf_dir):
-    """Exact Spearman rank correlation per group — the monotone-
-    association companion to `eval_kendall_tau_full` (concordant pairs)
-    and `profile_correlation_pairs` (Pearson moments): does account
-    balance predict realized spend, per nation?  Ranks are tie-broken
-    deterministically by customer key (documented: the midrank/tie-
-    corrected variant needs the Pearson-on-ranks form; the tie-broken
-    rank form keeps rho = 1 − 6Σd²/(n(n²−1)) EXACTLY rational), spend is
-    summed in DECIMAL(18,6) so the rank sort key is exact cross-engine,
-    and the gated face carries the integer numerator/denominator plus a
-    ppm quotient — rho can be NEGATIVE, which is safe because DuckDB's
-    integer `//` truncates toward zero exactly like Spark's DIV (measured,
-    frontier4 module doctrine).
-
-    100 TB shape: one keyed agg to customer grain, two per-group window
-    sorts at member grain, one group agg — the `eval_auc_rank` shape;
-    rank windows sort within nation partitions only."""
-    spend = (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("ck"))
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("sp")
-        )
-    )
-    return _spearman_face(spark, sf_dir, spend)
-
-
-# --------------------------------------------------------------------------
-# agg_ks_two_sample / stream_ks_maintain — exact two-sample KS distance
-# --------------------------------------------------------------------------
-_KS_ORACLE = """
-    WITH vals AS (
-      SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v,
-             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                  THEN 1 ELSE 0 END AS grp_a
-      FROM orders
-    ),
-    pv AS (
-      SELECT v, CAST(SUM(grp_a) AS BIGINT) AS ca,
-             CAST(SUM(1 - grp_a) AS BIGINT) AS cb
-      FROM vals GROUP BY v
-    ),
-    tot AS (
-      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
-      FROM pv
-    ),
-    ecdf AS (
-      SELECT v,
-             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
-             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
-      FROM pv
-    ),
-    d AS (
-      SELECT e.v, ABS(t.nb * e.cuma - t.na * e.cumb) AS dn
-      FROM ecdf e CROSS JOIN tot t
-    )
-    SELECT t.na AS n_a, t.nb AS n_b,
-           CAST((SELECT MAX(dn) FROM d) AS BIGINT) AS d_num,
-           CAST((SELECT MIN(v) FROM d
-                 WHERE dn = (SELECT MAX(dn) FROM d)) AS BIGINT) AS d_at_value,
-           CAST(1000000 * (SELECT MAX(dn) FROM d) // (t.na * t.nb) AS BIGINT)
-             AS ks_ppm
-    FROM tot t
-    """
-
-
-def _ks_counts(orders):
-    """Per-value group counts (v, ca, cb) — the KS sufficient statistic at
-    distinct-value grain, additive under batching (the IVM state)."""
-    vals = orders.select(
-        F.floor("o_totalprice").cast("long").alias("v"),
-        F.col("o_orderpriority")
-        .isin("1-URGENT", "2-HIGH")
-        .cast("long")
-        .alias("grp_a"),
-    )
-    return vals.groupBy("v").agg(
-        F.sum("grp_a").cast("long").alias("ca"),
-        F.sum(F.lit(1) - F.col("grp_a")).cast("long").alias("cb"),
-    )
-
-
-def _ks_face(pv):
-    """(v, ca, cb) -> the one-row KS face: D's exact integer numerator
-    max|n_b·cumA(v) − n_a·cumB(v)|, its denominator n_a·n_b, the first
-    value attaining the max, and the floored ppm quotient."""
-    tot = pv.agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cb").cast("long").alias("n_b"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = pv.select(
-        "v",
-        F.sum("ca").over(w).alias("cuma"),
-        F.sum("cb").over(w).alias("cumb"),
-    )
-    d = ecdf.crossJoin(tot).select(
-        "v",
-        "n_a",
-        "n_b",
-        F.abs(F.col("n_b") * F.col("cuma") - F.col("n_a") * F.col("cumb")).alias(
-            "dn"
-        ),
-    )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    d = d.withColumn("dmax", F.max("dn").over(wall))
-    return d.groupBy("n_a", "n_b").agg(
-        F.max("dn").cast("long").alias("d_num"),
-        F.min(F.when(F.col("dn") == F.col("dmax"), F.col("v")))
-        .cast("long")
-        .alias("d_at_value"),
-    ).select(
-        "n_a",
-        "n_b",
-        "d_num",
-        "d_at_value",
-        F.expr("CAST(1000000 * d_num DIV (n_a * n_b) AS BIGINT)").alias(
-            "ks_ppm"
-        ),
-    )
-
-
-@register("agg_ks_two_sample", oracle=_KS_ORACLE)
-def agg_ks_two_sample_q(spark, sf_dir):
-    """Exact two-sample Kolmogorov-Smirnov distance — the
-    distribution-drift family's CDF-supremum member beside `agg_drift_tvd`
-    (per-bucket L1) and `quality_ab_chi2_parts` (frequency chi²): KS sees
-    location/shape shifts that bucketed TVD smears away, and its exact
-    sufficient statistic is tiny — per distinct value the two group
-    counts, then D = max_v |F_A(v) − F_B(v)| computed as the INTEGER
-    max|n_b·cumA − n_a·cumB| over the merged value grid (denominators
-    cleared, so the gate is exact; the ppm face divides once at the end).
-    Urgent-priority orders vs the rest over floored order totals; FLOOR
-    not CAST because Spark's double→long cast truncates while DuckDB's
-    rounds (the frontier4 rounding doctrine).
-
-    100 TB shape: one hash agg to distinct-value grain (map-side combine
-    collapses the corpus), one window cumsum over distinct values, one
-    1-row agg.  Measured caveat (SCALE.md §r14-probes): near-unique
-    doubles floor to a NON-collapsing grid (129,698 distinct of 150,000
-    rows at sf0.1), so at real scale the value axis must be binned
-    coarser (cents → dollars → log-bins) for the distinct-grain claim to
-    bite — KS on a binned variable is the KS of that binned variable,
-    stated contract.  BIGINT bound: d_num ≤ n_a·n_b and the ppm step
-    needs 10⁶·n_a·n_b < 2⁶³ — n_a·n_b < 9.2·10¹², fine to ~3M rows per
-    side; beyond that, divide n_a·n_b's gcd out or rescale to
-    per-mille."""
-    return _ks_face(_ks_counts(_t(spark, sf_dir, "orders")))
-
-
-@register("stream_ks_maintain", oracle=_KS_ORACLE)
+@register("stream_ks_maintain", oracle=KS_TWO_SAMPLE_ORACLE)
 def stream_ks_maintain_q(spark, sf_dir):
-    """`agg_ks_two_sample` as incremental view maintenance — continuous
-    distribution-shift monitoring on the order stream: the state is the
-    per-value pair-count frame (v, ca, cb), folded by SUM per value (the
-    `stream_tfidf_maintain` value-grain state class), and the KS face —
-    ECDF cumsum + 1-row max — recomputes from state at read time (the
-    supremum is NOT additive; the sufficient statistic is).  Batch-equal
-    under any bundling; shares the batch oracle verbatim.
+    """`eval_ks_two_sample` (frontier4, round 7) as incremental view
+    maintenance — continuous distribution-shift monitoring on the event
+    stream: the KS supremum is NOT additive (one arriving event moves a
+    user's total and with it a whole CDF step), but the sufficient
+    statistic under it IS — the per-user cents sum, folded additively
+    per batch (the `stream_drawdown_maintain` entity-grain class; the
+    arm is a pure function user_id % 2 of the key).  The face — support
+    census, ECDF cumsum, 1-row integer supremum — recomputes from state
+    at read time, replicating the batch row exactly; shares its oracle
+    verbatim.
 
-    100 TB shape: per trigger O(batch + touched values) state fold; face
-    cost is distinct-value grain, not corpus grain."""
+    100 TB shape: per trigger O(batch + touched users) keyed fold; the
+    face costs support-census grain on read, never corpus grain."""
     import shutil
     import tempfile
 
     from ..io import read_state_parquet
-    from ..streaming import read_orders_stream
+    from ..streaming import read_events_stream
     from . import finish_and_clean
 
     root = tempfile.mkdtemp(prefix="stream_ks_")
@@ -768,15 +535,16 @@ def stream_ks_maintain_q(spark, sf_dir):
 
     def handle_batch(batch_df, batch_id):
         sp = batch_df.sparkSession
-        part = _ks_counts(batch_df)
+        part = batch_df.groupBy("user_id").agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
         state = read_state_parquet(sp, state_path)
         merged = (
             state.unionByName(part)
-            .groupBy("v")
-            .agg(
-                F.sum("ca").cast("long").alias("ca"),
-                F.sum("cb").cast("long").alias("cb"),
-            )
+            .groupBy("user_id")
+            .agg(F.sum("y").cast("long").alias("y"))
             if state is not None
             else part
         )
@@ -786,7 +554,7 @@ def stream_ks_maintain_q(spark, sf_dir):
         shutil.rmtree(staging, ignore_errors=True)
 
     query = (
-        read_orders_stream(spark, sf_dir)
+        read_events_stream(spark, sf_dir)
         .writeStream.foreachBatch(handle_batch)
         .outputMode("append")
         .trigger(availableNow=True)
@@ -795,7 +563,47 @@ def stream_ks_maintain_q(spark, sf_dir):
     )
     query.awaitTermination()
 
-    return finish_and_clean(_ks_face(spark.read.parquet(state_path)), root)
+    per_user = spark.read.parquet(state_path).withColumn(
+        "arm", F.col("user_id") % 2
+    )
+    support = per_user.groupBy("y").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("c1"),
+    )
+    w = Window.orderBy("y")
+    cums = support.select(
+        "y",
+        F.sum("c0").over(w).alias("f0"),
+        F.sum("c1").over(w).alias("f1"),
+    )
+    ns = per_user.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n1"),
+    )
+    face = (
+        cums.crossJoin(F.broadcast(ns))
+        .groupBy("n0", "n1")
+        .agg(
+            F.max(
+                F.abs(F.col("n1") * F.col("f0") - F.col("n0") * F.col("f1"))
+            )
+            .cast("long")
+            .alias("d_num"),
+            F.max(F.col("n0") * F.col("n1")).cast("long").alias("d_den"),
+            F.expr(
+                "CAST(1000000 * MAX(abs(n1 * f0 - n0 * f1))"
+                " DIV (n0 * n1) AS BIGINT)"
+            ).alias("d_ppm"),
+        )
+        .select(
+            F.col("n0").cast("long").alias("n0"),
+            F.col("n1").cast("long").alias("n1"),
+            "d_num",
+            "d_den",
+            "d_ppm",
+        )
+    )
+    return finish_and_clean(face, root)
 
 
 # --------------------------------------------------------------------------
@@ -1108,26 +916,29 @@ def multimodal_audio_energy_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # stream_spearman_maintain — rank correlation as IVM (entity-grain state)
 # --------------------------------------------------------------------------
-@register("stream_spearman_maintain", oracle=_SPEARMAN_ORACLE)
+@register("stream_spearman_maintain", oracle=SPEARMAN_RANK_ORACLE)
 def stream_spearman_maintain_q(spark, sf_dir):
-    """`eval_spearman_rho` as incremental view maintenance — the
-    balance-vs-spend monitor running ON the order stream: ranks are NOT
-    additive (one arriving order can shift every customer's spend rank),
-    but the sufficient statistic under them IS — the per-customer exact
-    DECIMAL spend sum, folded additively per batch (the
-    `stream_drawdown_maintain` entity-grain state class).  The face —
-    static customer dim join, double rank windows, rational rho parts —
-    recomputes from state at read time, so stream == batch under any
-    bundling BY CONSTRUCTION of the decimal sum (exact, order-free).
-    Shares the batch oracle verbatim.
+    """`eval_spearman_rank` (frontier5, round 8) as incremental view
+    maintenance — the frequency-vs-spend monotone-association monitor
+    running ON the order stream: ranks are NOT additive (one arriving
+    order can shift every customer's rank in both orderings), but the
+    sufficient statistic under them IS — per customer the order count
+    and the exact integer cents sum, both folded by SUM per batch (the
+    `stream_drawdown_maintain` entity-grain class).  The face — the two
+    `with_global_rank` keyed-total-order rank passes and the 1-row Σd²
+    reduction — recomputes from state at read time, so stream == batch
+    under any bundling by construction of the additive counts.  Shares
+    the batch oracle verbatim (including its documented n ≲ 16.6k
+    ppm-numerator bound).
 
     100 TB shape: per trigger O(batch + touched customers) keyed fold;
-    the face costs the batch row's two rank windows at entity grain —
-    run on read, not per trigger."""
+    the two distributed range-rank passes run on read at entity grain —
+    never per trigger, never single-partition."""
     import shutil
     import tempfile
 
     from ..io import read_state_parquet
+    from ..operators.windows import with_global_rank
     from ..streaming import read_orders_stream
     from . import finish_and_clean
 
@@ -1136,16 +947,20 @@ def stream_spearman_maintain_q(spark, sf_dir):
 
     def handle_batch(batch_df, batch_id):
         sp = batch_df.sparkSession
-        part = batch_df.groupBy(F.col("o_custkey").alias("ck")).agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
-            .alias("sp")
+        part = batch_df.groupBy(F.col("o_custkey").alias("cust")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
         )
         state = read_state_parquet(sp, state_path)
         merged = (
             state.unionByName(part)
-            .groupBy("ck")
-            .agg(F.sum("sp").cast("decimal(18,6)").alias("sp"))
+            .groupBy("cust")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
             if state is not None
             else part
         )
@@ -1164,17 +979,39 @@ def stream_spearman_maintain_q(spark, sf_dir):
     )
     query.awaitTermination()
 
-    return finish_and_clean(
-        _spearman_face(spark, sf_dir, spark.read.parquet(state_path)), root
+    per_cust = spark.read.parquet(state_path)
+    r1 = with_global_rank(per_cust, ["n_orders", "cust"], "r1").select(
+        "cust", "r1"
     )
+    r2 = with_global_rank(per_cust, ["cents", "cust"], "r2").select(
+        "cust", "r2"
+    )
+    agg = (
+        r1.join(r2, on="cust")
+        .select(
+            ((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))).alias(
+                "d2"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("d2").cast("long").alias("sum_d2"),
+        )
+    )
+    face = agg.select(
+        "n",
+        "sum_d2",
+        F.expr(
+            "CAST(1000000 - 6000000 * sum_d2 DIV (n * (n * n - 1)) AS BIGINT)"
+        ).alias("rho_ppm"),
+    )
+    return finish_and_clean(face, root)
 
 
 # --------------------------------------------------------------------------
 # temporal_acf_profile — multi-lag autocorrelation moment parts
 # --------------------------------------------------------------------------
-@register(
-    "temporal_acf_profile",
-    oracle="""
+_ACF_ORACLE = """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
       FROM events GROUP BY 1
@@ -1205,31 +1042,12 @@ def stream_spearman_maintain_q(spark, sf_dir):
            CAST(((cov * cov) // NULLIF(vx, 0)) * 1000000 // NULLIF(vp, 0)
                 AS BIGINT) AS corr_sq_e6
     FROM moms
-    """,
-)
-def temporal_acf_profile_q(spark, sf_dir):
-    """Multi-lag autocorrelation PROFILE of the daily event-count series
-    — the full ACF head (lags 1..7) that `temporal_autocorr_lag1`'s
-    single-lag per-entity moments cannot draw: the shape of these seven
-    numbers is how one reads persistence vs weekly seasonality vs white
-    noise before fitting any AR model (a lag-7 spike over flat 2..6 IS
-    the weekly signature; `temporal_seasonal_profile` shows the means,
-    this shows the memory).  Per lag: exact integer covariance numerator
-    n·Σ(x·px) − Σx·Σpx (sign = correlation sign), and ρ² in exact e6
-    units via the two-step floored division in DECIMAL(38,0) — the
-    `profile_correlation_pairs` doctrine verbatim (ρ's sqrt stays with
-    the consumer; ρ² is what gets thresholded).  Lag pairs come from a
-    date-arithmetic self-join, so calendar gaps drop pairs instead of
-    silently shifting the series (stated contract).
+    """
 
-    100 TB shape: the corpus collapses to day grain in ONE hash agg;
-    the 7-lag expansion joins the tiny daily frame to itself — constant
-    fanout on a frame that is |days| rows at any corpus size."""
-    daily = (
-        _t(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
-        .agg(F.count(F.lit(1)).cast("long").alias("y"))
-    )
+
+def _acf_face(spark, daily):
+    """(day, y) daily census -> the 7-lag ACF moment face.  Shared by the
+    batch row and the IVM twin (whose state IS the daily census)."""
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     d = daily.select(F.col("day").alias("d_day"), F.col("y").alias("x"))
     p = daily.select(F.col("day").alias("p_day"), F.col("y").alias("px"))
@@ -1272,12 +1090,37 @@ def temporal_acf_profile_q(spark, sf_dir):
     )
 
 
+@register("temporal_acf_profile", oracle=_ACF_ORACLE)
+def temporal_acf_profile_q(spark, sf_dir):
+    """Multi-lag autocorrelation PROFILE of the daily event-count series
+    — the full ACF head (lags 1..7) that `temporal_autocorr_lag1`'s
+    single-lag per-entity moments cannot draw: the shape of these seven
+    numbers is how one reads persistence vs weekly seasonality vs white
+    noise before fitting any AR model (a lag-7 spike over flat 2..6 IS
+    the weekly signature; `temporal_seasonal_profile` shows the means,
+    this shows the memory).  Per lag: exact integer covariance numerator
+    n·Σ(x·px) − Σx·Σpx (sign = correlation sign), and ρ² in exact e6
+    units via the two-step floored division in DECIMAL(38,0) — the
+    `profile_correlation_pairs` doctrine verbatim (ρ's sqrt stays with
+    the consumer; ρ² is what gets thresholded).  Lag pairs come from a
+    date-arithmetic self-join, so calendar gaps drop pairs instead of
+    silently shifting the series (stated contract).
+
+    100 TB shape: the corpus collapses to day grain in ONE hash agg;
+    the 7-lag expansion joins the tiny daily frame to itself — constant
+    fanout on a frame that is |days| rows at any corpus size."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    return _acf_face(spark, daily)
+
+
 # --------------------------------------------------------------------------
 # text_kneser_ney_counts — KN smoothing ingredients as exact censuses
 # --------------------------------------------------------------------------
-@register(
-    "text_kneser_ney_counts",
-    oracle="""
+_KN_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'),
@@ -1319,44 +1162,12 @@ def temporal_acf_profile_q(spark, sf_dir):
              AS discount_ppm
     FROM wstats w LEFT JOIN fan f ON f.word = w.word CROSS JOIN nn
     WHERE w.continuation_types >= 5
-    """,
-)
-def text_kneser_ney_counts_q(spark, sf_dir):
-    """Kneser-Ney smoothing INGREDIENTS as exact censuses — what
-    separates KN from every count-based smoother is that its backoff
-    unigram uses CONTINUATION counts (how many distinct left contexts a
-    word follows), not raw frequency ('Francisco' is frequent but only
-    ever follows 'San' — KN correctly refuses to predict it cold), and
-    every ingredient is a pure integer census: per word N1+(·w)
-    (continuation types — the KN base distribution numerator), N1+(w·)
-    (fanout types — the normalizer of the bigram back-off weight),
-    right-position token count; corpus-level n1/n2 (bigram types seen
-    once/twice) and the absolute discount D = n1/(n1+2n2) in exact
-    floored ppm (Ney et al.'s leave-one-out estimate).  P_cont(w) gates
-    as exact ppm of bigram types.  The probability MODEL assembled from
-    these (discounted bigram + interpolated continuation base) is
-    read-time float work for the consumer — the `text_lm_bigram_score`
-    split.  Words with continuation_types ≥ 5 gate (bounds the face;
-    the censuses underneath are corpus-complete).
+    """
 
-    100 TB shape: ONE bigram hash census (map-side combine collapses
-    the corpus), then three census-grain aggs — the n1/n2 frame is one
-    row, word stats are vocabulary-grain; nothing re-scans text."""
-    toks = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
-        F.filter(
-            F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
-        ).alias("ws")
-    )
-    grams = F.expr(
-        "transform(sequence(1, size(ws) - 1),"
-        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
-    )
-    big = (
-        toks.filter(F.size("ws") >= 2)
-        .select(F.explode(grams).alias("g"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+
+def _kn_face(big):
+    """(g, c) bigram census -> the gated KN-ingredient face.  Shared by
+    the batch row and the IVM twin (whose state IS the census)."""
     nn = big.agg(
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
         F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n2"),
@@ -1394,5 +1205,262 @@ def text_kneser_ney_counts_q(spark, sf_dir):
             F.expr(
                 "CAST(1000000 * n1 DIV (n1 + 2 * n2) AS BIGINT)"
             ).alias("discount_ppm"),
+        )
+    )
+
+
+def _kn_bigram_census(docs):
+    """(g, c) bigram census over the doc_id < 500 slice — pure per-row
+    SUM under batching, so the IVM twin folds it additively."""
+    toks = docs.filter(F.col("doc_id") < 500).select(
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+        ).alias("ws")
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    return (
+        toks.filter(F.size("ws") >= 2)
+        .select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+@register("text_kneser_ney_counts", oracle=_KN_ORACLE)
+def text_kneser_ney_counts_q(spark, sf_dir):
+    """Kneser-Ney smoothing INGREDIENTS as exact censuses — what
+    separates KN from every count-based smoother is that its backoff
+    unigram uses CONTINUATION counts (how many distinct left contexts a
+    word follows), not raw frequency ('Francisco' is frequent but only
+    ever follows 'San' — KN correctly refuses to predict it cold), and
+    every ingredient is a pure integer census: per word N1+(·w)
+    (continuation types — the KN base distribution numerator), N1+(w·)
+    (fanout types — the normalizer of the bigram back-off weight),
+    right-position token count; corpus-level n1/n2 (bigram types seen
+    once/twice) and the absolute discount D = n1/(n1+2n2) in exact
+    floored ppm (Ney et al.'s leave-one-out estimate).  P_cont(w) gates
+    as exact ppm of bigram types.  The probability MODEL assembled from
+    these (discounted bigram + interpolated continuation base) is
+    read-time float work for the consumer — the `text_lm_bigram_score`
+    split.  Words with continuation_types ≥ 5 gate (bounds the face;
+    the censuses underneath are corpus-complete).
+
+    100 TB shape: ONE bigram hash census (map-side combine collapses
+    the corpus), then three census-grain aggs — the n1/n2 frame is one
+    row, word stats are vocabulary-grain; nothing re-scans text."""
+    return _kn_face(_kn_bigram_census(_t(spark, sf_dir, "documents")))
+
+# --------------------------------------------------------------------------
+# stream_acf_maintain — the ACF profile as IVM (day-grain state)
+# --------------------------------------------------------------------------
+@register("stream_acf_maintain", oracle=_ACF_ORACLE)
+def stream_acf_maintain_q(spark, sf_dir):
+    """`temporal_acf_profile` as incremental view maintenance — the
+    series-memory monitor running ON the event stream: autocovariances
+    are not additive (one arriving event changes every pair its day
+    participates in), but the DAY CENSUS under them is — state is
+    (day, y) counts folded by SUM (entity×calendar grain, the
+    `stream_drawdown_maintain` class), and the 7-lag moment face
+    recomputes from the tiny daily frame at read time.  Batch-equal
+    under any bundling because the census is; shares the batch oracle
+    verbatim.
+
+    100 TB shape: per trigger O(batch + touched days); the face self-
+    joins a |days|-row frame — read-time cost independent of corpus
+    size."""
+    import shutil
+    import tempfile
+
+    from ..io import read_state_parquet
+    from ..streaming import read_events_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_acf_")
+    state_path = root + "/state"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = batch_df.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("y")
+        )
+        state = read_state_parquet(sp, state_path)
+        merged = (
+            state.unionByName(part)
+            .groupBy("day")
+            .agg(F.sum("y").cast("long").alias("y"))
+            if state is not None
+            else part
+        )
+        staging = state_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    return finish_and_clean(
+        _acf_face(spark, spark.read.parquet(state_path)), root
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_kneser_ney_maintain — the KN censuses as IVM
+# --------------------------------------------------------------------------
+@register("stream_kneser_ney_maintain", oracle=_KN_ORACLE)
+def stream_kneser_ney_maintain_q(spark, sf_dir):
+    """`text_kneser_ney_counts` as incremental view maintenance — the LM
+    smoothing statistics maintained ON the document stream: n1/n2,
+    continuation types, and the discount all FLIP non-monotonically as
+    counts cross 1 → 2 → 3, so none of the faces is additive — but the
+    (g, c) bigram census under every one of them is a pure per-row SUM
+    (the `stream_tfidf_maintain` value-grain class); the whole KN face
+    (word stats, count-of-count census, discount ppm) recomputes from
+    state at read time.  Batch-equal under any bundling; shares the
+    batch oracle verbatim.
+
+    100 TB shape: per trigger O(batch grams + touched census rows);
+    state is bigram-type grain — the LM vocabulary's own size, the
+    natural floor for ANY bigram model's storage."""
+    import shutil
+    import tempfile
+
+    from ..io import read_state_parquet
+    from ..streaming import read_documents_stream
+    from . import finish_and_clean
+
+    root = tempfile.mkdtemp(prefix="stream_kn_")
+    state_path = root + "/state"
+
+    def handle_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        part = _kn_bigram_census(batch_df)
+        state = read_state_parquet(sp, state_path)
+        merged = (
+            state.unionByName(part)
+            .groupBy("g")
+            .agg(F.sum("c").cast("long").alias("c"))
+            if state is not None
+            else part
+        )
+        staging = state_path + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    query = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/checkpoint")
+        .start()
+    )
+    query.awaitTermination()
+
+    return finish_and_clean(
+        _kn_face(spark.read.parquet(state_path)), root
+    )
+
+
+# --------------------------------------------------------------------------
+# text_good_turing_counts — frequency-of-frequencies + Turing estimates
+# --------------------------------------------------------------------------
+@register(
+    "text_good_turing_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS ws
+      FROM documents WHERE doc_id < 500
+    ),
+    big AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+               i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)])) AS g
+        FROM toks
+      ) GROUP BY g
+    ),
+    fof AS (
+      SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+      FROM big GROUP BY c
+    ),
+    tot AS (
+      SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_r) AS BIGINT) AS n_types,
+             CAST(COALESCE(SUM(n_r) FILTER (WHERE r = 1), 0) AS BIGINT) AS nn1
+      FROM fof
+    )
+    SELECT CAST(f.r AS BIGINT) AS r, f.n_r,
+           CAST(COALESCE(nx.n_r, 0) AS BIGINT) AS n_r_next,
+           CAST(1000000 * (f.r + 1) * COALESCE(nx.n_r, 0) // f.n_r AS BIGINT)
+             AS r_star_e6,
+           t.n_types, t.n_tokens,
+           CAST(1000000 * t.nn1 // t.n_tokens AS BIGINT) AS p0_ppm
+    FROM fof f
+    LEFT JOIN fof nx ON nx.r = f.r + 1
+    CROSS JOIN tot t
+    WHERE f.r <= 20
+    """,
+)
+def text_good_turing_counts_q(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies — the OTHER classical
+    smoothing ingredient beside `text_kneser_ney_counts` (KN redistributes
+    by context diversity; GT redistributes by count-of-counts): per
+    observed bigram count r ≤ 20, the number of types N_r seen exactly r
+    times, N_{r+1}, and the Turing-smoothed count r* = (r+1)·N_{r+1}/N_r
+    in exact e6 units (a COUNT, not a probability — hence e6 of the
+    count; gaps where N_{r+1} = 0 legitimately smooth to 0, the raw
+    estimator the Simple-GT regression then fixes — fitting that
+    log-log regression is the consumer's float work); corpus-level the
+    unseen-mass estimate p0 = N_1/N in exact ppm (Good 1953's headline
+    identity).  The r ≤ 20 cut bounds the face; the census is
+    corpus-complete.
+
+    100 TB shape: one bigram hash census, one count-of-counts agg over
+    census rows, a ~20-row self-join + one-row totals — everything past
+    the census is KB-scale."""
+    big = _kn_bigram_census(_t(spark, sf_dir, "documents"))
+    fof = big.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("nn1"),
+    )
+    nx = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    return (
+        fof.filter(F.col("r") <= 20)
+        .join(nx, on="r", how="left")
+        .crossJoin(tot)
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            F.coalesce("n_r_next", F.lit(0)).cast("long").alias("n_r_next"),
+            F.expr(
+                "CAST(1000000 * (r + 1) * COALESCE(n_r_next, 0) DIV n_r"
+                " AS BIGINT)"
+            ).alias("r_star_e6"),
+            "n_types",
+            "n_tokens",
+            F.expr("CAST(1000000 * nn1 DIV n_tokens AS BIGINT)").alias(
+                "p0_ppm"
+            ),
         )
     )

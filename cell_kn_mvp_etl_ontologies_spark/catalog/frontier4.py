@@ -2692,9 +2692,7 @@ def eval_bootstrap_ci_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 # eval_ks_two_sample — exact two-sample Kolmogorov-Smirnov statistic
 # --------------------------------------------------------------------------
-@register(
-    "eval_ks_two_sample",
-    oracle="""
+KS_TWO_SAMPLE_ORACLE = """
     WITH per_user AS (
       SELECT user_id, user_id % 2 AS arm,
              SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
@@ -2724,8 +2722,10 @@ def eval_bootstrap_ci_q(spark, sf_dir):
                 // (ns.n0 * ns.n1) AS BIGINT) AS d_ppm
     FROM cums c, ns
     GROUP BY ns.n0, ns.n1
-    """,
-)
+    """
+
+
+@register("eval_ks_two_sample", oracle=KS_TWO_SAMPLE_ORACLE)
 def eval_ks_two_sample_q(spark, sf_dir):
     """Exact two-sample Kolmogorov-Smirnov statistic — D = max |F0 − F1|
     over the merged support, computed as the integer rational

@@ -43,9 +43,7 @@ def _t(spark, sf_dir, name):
 # --------------------------------------------------------------------------
 # eval_spearman_rank — total-order Spearman over two customer metrics
 # --------------------------------------------------------------------------
-@register(
-    "eval_spearman_rank",
-    oracle="""
+SPEARMAN_RANK_ORACLE = """
     WITH per_cust AS (
       SELECT o_custkey AS cust,
              CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -67,8 +65,10 @@ def _t(spark, sf_dir, name):
            CAST(1000000 - 6000000 * sum_d2 // (n * (n * n - 1)) AS BIGINT)
              AS rho_ppm
     FROM agg
-    """,
-)
+    """
+
+
+@register("eval_spearman_rank", oracle=SPEARMAN_RANK_ORACLE)
 def eval_spearman_rank_q(spark, sf_dir):
     """Spearman rank correlation between order FREQUENCY and total SPEND
     per customer — the monotone-association audit (do heavy orderers

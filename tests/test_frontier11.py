@@ -10,12 +10,10 @@ from pyspark.sql import functions as F
 from cell_kn_mvp_etl_ontologies_spark.catalog.frontier11 import (
     _AUDIO_W,
     _SEG_W,
-    agg_ks_two_sample_q,
     dedup_segment_boundary_audit_q,
     eval_precision_recall_hits_q,
     eval_bleu_parts_q,
     eval_meteor_parts_q,
-    eval_spearman_rho_q,
     multimodal_audio_energy_q,
     stream_bleu_maintain_q,
     stream_ks_maintain_q,
@@ -135,82 +133,14 @@ def test_precision_recall_hit_rows_consistent(spark):
         assert hits[-1].recall_ppm == 1000000
 
 
-def test_spearman_matches_python_ranks(spark):
-    """Σd² (and hence every derived column) equals a python recompute of
-    the tie-broken double ranking from the raw tables."""
-    cust = load_table(spark, SF, "customer").select(
-        "c_custkey", "c_nationkey", "c_acctbal"
-    )
-    spend = (
-        load_table(spark, SF, "orders")
-        .groupBy("o_custkey")
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("sp"))
-    )
-    joined = cust.join(
-        spend, cust.c_custkey == spend.o_custkey, "left"
-    ).collect()
-    by_nation: dict = {}
-    for r in joined:
-        sp = r.sp if r.sp is not None else 0
-        by_nation.setdefault(r.c_nationkey, []).append(
-            (r.c_custkey, r.c_acctbal, sp)
-        )
-    exp = {}
-    for nk, members in by_nation.items():
-        ra = {
-            ck: i + 1
-            for i, (ck, _, _) in enumerate(
-                sorted(members, key=lambda t: (t[1], t[0]))
-            )
-        }
-        rb = {
-            ck: i + 1
-            for i, (ck, _, _) in enumerate(
-                sorted(members, key=lambda t: (t[2], t[0]))
-            )
-        }
-        n = len(members)
-        sum_d2 = sum((ra[ck] - rb[ck]) ** 2 for ck, _, _ in members)
-        exp[nk] = (n, sum_d2)
-    rows = {r.nationkey: r for r in eval_spearman_rho_q(spark, SF).collect()}
-    assert set(rows) == set(exp)
-    for nk, (n, sum_d2) in exp.items():
-        r = rows[nk]
-        assert (r.n, r.sum_d2) == (n, sum_d2)
-        assert r.rho_num == n * (n * n - 1) - 6 * sum_d2
-        assert r.rho_den == n * (n * n - 1)
-        assert -1000000 <= r.rho_ppm <= 1000000
-
-
-def test_ks_matches_python_ecdf(spark):
-    """D's integer numerator equals a python ECDF scan, and d_at_value
-    attains it."""
-    orders = load_table(spark, SF, "orders").select(
-        "o_totalprice", "o_orderpriority"
-    ).collect()
-    import math
-
-    a, b = Counter(), Counter()
-    for r in orders:
-        v = math.floor(r.o_totalprice)
-        (a if r.o_orderpriority in ("1-URGENT", "2-HIGH") else b)[v] += 1
-    na, nb = sum(a.values()), sum(b.values())
-    cuma = cumb = 0
-    best, best_v = -1, None
-    for v in sorted(set(a) | set(b)):
-        cuma += a.get(v, 0)
-        cumb += b.get(v, 0)
-        dn = abs(nb * cuma - na * cumb)
-        if dn > best:
-            best, best_v = dn, v
-    row = agg_ks_two_sample_q(spark, SF).collect()[0]
-    assert (row.n_a, row.n_b, row.d_num) == (na, nb, best)
-    assert row.d_at_value == best_v
-    assert row.ks_ppm == 1000000 * best // (na * nb)
-
-
 def test_stream_ks_equals_batch(spark):
-    batch = {tuple(r) for r in agg_ks_two_sample_q(spark, SF).collect()}
+    """The IVM twin reproduces frontier4's eval_ks_two_sample exactly
+    from per-user state folded over the event stream."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier4 import (
+        eval_ks_two_sample_q,
+    )
+
+    batch = {tuple(r) for r in eval_ks_two_sample_q(spark, SF).collect()}
     stream = {tuple(r) for r in stream_ks_maintain_q(spark, SF).collect()}
     assert batch == stream
 
@@ -277,11 +207,16 @@ def test_audio_energy_windows_partition_payload(spark):
 
 
 def test_stream_spearman_equals_batch(spark):
+    """The IVM twin reproduces frontier5's eval_spearman_rank exactly
+    from per-customer count/cents state folded over the order stream."""
+    from cell_kn_mvp_etl_ontologies_spark.catalog.frontier5 import (
+        eval_spearman_rank_q,
+    )
     from cell_kn_mvp_etl_ontologies_spark.catalog.frontier11 import (
         stream_spearman_maintain_q,
     )
 
-    batch = {tuple(r) for r in eval_spearman_rho_q(spark, SF).collect()}
+    batch = {tuple(r) for r in eval_spearman_rank_q(spark, SF).collect()}
     stream = {
         tuple(r) for r in stream_spearman_maintain_q(spark, SF).collect()
     }

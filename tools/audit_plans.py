@@ -50,10 +50,6 @@ WAIVERS: dict[str, set[str]] = {
     # (eval_kendall_tau_bucketed precedent); nothing corpus-sized
     # enters it.  The IVM twin folds parquet state instead and is clean.
     "eval_bleu_parts": {"CARTESIAN"},
-    # the distinct-value ECDF frame × the ONE-row (n_a, n_b) totals
-    # frame — the same sanctioned 1-row stats-frame pattern; the
-    # supremum scan it feeds is distinct-value grain.
-    "agg_ks_two_sample": {"CARTESIAN"},
     # the |days|-row daily frame × the 7-row lag dim (the bounded-dim
     # broadcast pattern, eval_kendall_tau_full's y-grid precedent);
     # the lag pairing itself is a keyed date-arithmetic equi-join.
@@ -61,6 +57,15 @@ WAIVERS: dict[str, set[str]] = {
     # the vocabulary-grain word-stats frame × the ONE-row n1/n2 census
     # (the sanctioned 1-row stats-frame pattern).
     "text_kneser_ney_counts": {"CARTESIAN"},
+    # same shape through the shared face: census state × 1-row n1/n2.
+    "stream_kneser_ney_maintain": {"CARTESIAN"},
+    # the support-census ECDF × the 1-row (n0, n1) totals frame — the
+    # batch row eval_ks_two_sample's own waived shape through the
+    # IVM face.
+    "stream_ks_maintain": {"CARTESIAN"},
+    # the ~20-row count-of-counts frame × the ONE-row totals frame (the
+    # sanctioned 1-row stats-frame pattern).
+    "text_good_turing_counts": {"CARTESIAN"},
     # the all-pairs concordant/discordant census on the contract-BOUNDED
     # eval slice (custkey < 200 -> ~200 per-customer rows): the
     # inequality self-join ca < cb is the operator's documented O(slice²)
