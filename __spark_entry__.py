@@ -106,17 +106,16 @@ _PRIORITY = [
     # similarity_ann_recall, stream_dedup_vs_corpus, stream_file_source
     # — head the precomputed ROUND-15 block below, which is re-derived
     # exactly at round close) =================
-    # PRECOMPUTED ROUND-15 HEAD (computed at round-14 close): pure
-    # stalest-driver rotation — the 50 rows whose newest driver-round
-    # hash proof is oldest AFTER the r14 gate lands (the 12 rows
-    # displaced past this round's 50-slot cut by the 12 new contracts
-    # first — r4 evidence — then the r5-evidence tail, alphabetical
-    # within a staleness class; every one hash-green in the r14 local
-    # sweep).
-    # At round-15 start: promote this block above the r14 block (the
-    # standing rotation mechanics) and displace from its tail for new
-    # r15 contracts.
-    "graph_closure", "graph_triangle_count", "join_asof_events",
+    # PRECOMPUTED ROUND-15 HEAD (re-derived exactly at round-14 close):
+    # pure stalest-driver rotation — the 50 rows whose newest
+    # driver-round hash proof is oldest AFTER the r14 gate lands (the 13
+    # rows displaced past this round's 50-slot cut by the 13 new
+    # contracts first — r4 evidence — then the r5-evidence tail,
+    # alphabetical within a staleness class; every one hash-green in the
+    # r14 local sweep).  At round-15 start: promote this block above the
+    # r14 block (the standing rotation mechanics) and displace from its
+    # tail for new r15 contracts.
+    "fn_version_newer", "graph_closure", "graph_triangle_count", "join_asof_events",
     "join_salted_skew", "multimodal_columns", "profile_numeric", "sample_weighted",
     "similarity_ann_ivf", "similarity_ann_ivf_kmeans", "similarity_ann_recall", "stream_dedup_vs_corpus",
     "stream_file_source", "stream_graph_upsert", "stream_index_maintain", "stream_join_dim",
@@ -128,10 +127,7 @@ _PRIORITY = [
     "dedup_substring_spans", "filter_outlier_mad", "filter_quality_percentile", "graph_bfs_distance",
     "interleave_weighted", "join_asof_forward", "join_bloom_prefilter", "multimodal_decode_stub",
     "multimodal_frame_sample", "multimodal_resize", "pack_sequences", "sample_cap_per_group",
-    "sample_stratified", "scan_dir_regex", "shard_assign", "similarity_ann_ivf_routed",
-    # (sink_bucketed_table, sink_compact overflow to the next class once
-    # the 3 late-batch displacements joined the head; the r15 builder
-    # re-derives the exact cut anyway)
+    "sample_stratified", "scan_dir_regex",
     # ================= end PRECOMPUTED ROUND-15 HEAD =================
     # ================= ROUND 13 PREFIX (executed; kept for the record —
     # duplicates below the r14 block are deduped by _ordered) =============
