@@ -764,30 +764,31 @@ def ivf_pq_topk_routed(
             code_idx[:, s] = idx
         q_ids = qs["q_id"].to_numpy(dtype=np.int64)
         Q = np.stack(qs["q_vec"].to_numpy()).astype(np.int64)
-        out_q, out_t, out_d = [], [], []
-        for j, qid in enumerate(q_ids):
-            # per-subspace LUT: ||q_s - c_k||^2, int64 exact (KB-scale)
-            adc = np.zeros(t_ids.size, dtype=np.int64)
-            for s in range(m):
-                qs_vec = Q[j, s * subdim:(s + 1) * subdim]
-                diff = qs_vec[None, :] - C[s]
-                lut = (diff * diff).sum(axis=1)  # (ksub,)
-                adc += lut[code_idx[:, s]]
-            keep = np.nonzero(t_ids != qid)[0]
-            if keep.size == 0:
-                continue
-            order = np.lexsort((t_ids[keep], adc[keep]))[:k]
-            sel = keep[order]
-            out_q.append(np.full(sel.size, qid, dtype=np.int64))
-            out_t.append(t_ids[sel])
-            out_d.append(adc[sel])
-        if not out_q:
+        # members pre-sorted by t_id so the vectorized top-k's stable
+        # argsort replays the (adc ASC, t_id ASC) lexsort tie order
+        # (round 14 — the old shape looped queries in Python, building
+        # each LUT m times per query and lexsorting per query)
+        ord_t = np.argsort(t_ids, kind="stable")
+        t_ids = t_ids[ord_t]
+        code_idx = code_idx[ord_t]
+        # all queries' LUTs per subspace in one broadcast subtract
+        # (int64 elementwise — exact), one fancy-index gather per subspace
+        adc = np.zeros((t_ids.size, q_ids.size), dtype=np.int64)
+        for s in range(m):
+            qsub = Q[:, s * subdim:(s + 1) * subdim]            # (n_q, subdim)
+            diff = qsub[:, None, :] - C[s][None, :, :]          # (n_q, ksub, subdim)
+            lut = np.einsum("qkd,qkd->qk", diff, diff)          # (n_q, ksub)
+            adc += lut[:, code_idx[:, s]].T                     # (n_t, n_q)
+        from .similarity import grouped_topk_indices
+
+        q_idx, t_row = grouped_topk_indices(adc, t_ids, q_ids, k)
+        if q_idx.size == 0:
             return empty
         return pd.DataFrame(
             {
-                "q_id": np.concatenate(out_q),
-                "t_id": np.concatenate(out_t),
-                "adc_dist": np.concatenate(out_d),
+                "q_id": q_ids[q_idx],
+                "t_id": t_ids[t_row],
+                "adc_dist": adc[t_row, q_idx],
             }
         )
 

@@ -323,6 +323,13 @@ def ivf_assign_vectorized(
     )
     cells = np.array([int(r.cell) for r in crows], dtype=np.int64)
     C = np.array([list(r.cv) for r in crows], dtype=np.int64)
+    # centroids pre-sorted by cell id: the reference order is
+    # lexsort((cells, -cos)) — cell-ASC tie-break — which a stable argsort
+    # on -cos alone reproduces over cell-sorted columns (round 14; the old
+    # shape ran one np.lexsort per input row in a Python loop)
+    ord_c = np.argsort(cells, kind="stable")
+    cells = cells[ord_c]
+    C = C[ord_c]
     c_norm = (C * C).sum(axis=1)
 
     def assign(batches):
@@ -332,21 +339,20 @@ def ivf_assign_vectorized(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = quantize_np(np.stack(pdf[vec_col].to_numpy()), scale)
             v_norm = (V * V).sum(axis=1)
-            dots = V @ C.T
-            cos = dots.astype(np.float64) / np.sqrt(
+            # exact-by-bound float64 BLAS (round 14 — was naive int64)
+            dots = exact_int_matmul(V, C.T)
+            cos = dots / np.sqrt(
                 v_norm[:, None].astype(np.float64) * c_norm[None, :].astype(np.float64)
             )
-            out_id, out_cell, out_rank = [], [], []
-            for j in range(ids.size):
-                order = np.lexsort((cells, -cos[j]))[:nprobe]
-                out_id.append(np.full(order.size, ids[j], dtype=np.int64))
-                out_cell.append(cells[order])
-                out_rank.append(np.arange(1, order.size + 1, dtype=np.int32))
+            kk = min(nprobe, cells.size)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
             yield pd.DataFrame(
                 {
-                    id_col: np.concatenate(out_id),
-                    "cell": np.concatenate(out_cell),
-                    "probe_rank": np.concatenate(out_rank),
+                    id_col: np.repeat(ids, kk),
+                    "cell": cells[order].reshape(-1),
+                    "probe_rank": np.tile(
+                        np.arange(1, kk + 1, dtype=np.int32), ids.size
+                    ),
                 }
             )
 
@@ -828,6 +834,55 @@ def ivf_topk_prebuilt_routed(
     )
 
 
+def exact_int_matmul(A, B):
+    """``A @ B`` over int64 matrices, computed through float64 BLAS when
+    provably exact, else the numpy int64 loop.  numpy has no BLAS kernel
+    for integer dtypes — an int64 matmul is a naive C triple loop, 10-50×
+    slower than dgemm.  Every partial sum here is an integer, and every
+    integer with |x| < 2^53 is exactly representable in float64 with exact
+    IEEE addition, so when max|A|·max|B|·K < 2^53 the BLAS result equals
+    the int64 result bit-for-bit after rounding back (guide §4.2: hand
+    batches to vectorized native libraries).  Quantized embeddings are
+    |v| ≲ 1e3·scale_margin, so the guard passes by ~6 orders of magnitude;
+    it exists so adversarial inputs degrade to slow-but-exact, never to
+    silently-wrong.  Returns float64 (integer-valued when the guard held).
+    """
+    import numpy as np
+
+    ka = A.shape[1]
+    ma = int(np.abs(A).max(initial=0))
+    mb = int(np.abs(B).max(initial=0))
+    if ma * mb * ka < 2**53:
+        return A.astype(np.float64) @ B.astype(np.float64)
+    return (A @ B).astype(np.float64)
+
+
+def grouped_topk_indices(key, t_ids_sorted, q_ids, k: int):
+    """Vectorized per-query top-k used by the cogrouped scorers: for each
+    column j of ``key`` (shape (n_t, n_q)), select the k smallest entries
+    ASCENDING with NaN last and ties broken by row order — callers pass
+    rows pre-sorted by t_id ASC, so a stable argsort reproduces the
+    reference ``np.lexsort((t_id, key))`` total order — excluding the
+    (at most one) self row where t_id == q_ids[j].  Returns flat
+    (q_col_idx, t_row_idx) index arrays.
+
+    This replaces the per-query Python loop (np.nonzero + np.lexsort per
+    query — 80k interpreter iterations at the |Q|=10k bench shape) with
+    one C-level argsort over the whole matrix: argsort-then-drop-self over
+    k+1 rows is exactly select-top-k-among-non-self because each t_id
+    occurs once per cell."""
+    import numpy as np
+
+    n_t, n_q = key.shape
+    kk = min(k + 1, n_t)
+    ord_ = np.argsort(key, axis=0, kind="stable")[:kk, :]
+    sel_t = t_ids_sorted[ord_]
+    not_self = sel_t != q_ids[None, :]
+    take = not_self & (np.cumsum(not_self, axis=0) <= k)
+    q_idx = np.broadcast_to(np.arange(n_q)[None, :], take.shape)[take]
+    return q_idx, ord_[take]
+
+
 def _block_cogroup_scorer(k: int):
     """The ONE cogrouped (members, queries) → local-top-k scorer shared
     verbatim by every routed serving path (``ivf_topk_prebuilt_routed``,
@@ -850,34 +905,34 @@ def _block_cogroup_scorer(k: int):
     def score(mem: pd.DataFrame, qs: pd.DataFrame) -> pd.DataFrame:
         if mem.empty or qs.empty:
             return empty
+        # members pre-sorted by t_id so grouped_topk_indices' stable
+        # argsort replays the (cos DESC, t_id ASC) lexsort tie order
         t_ids = mem["t_id"].to_numpy(dtype=np.int64)
-        T = np.stack(mem["t_vec"].to_numpy()).astype(np.int64)
-        t_norm = mem["t_norm"].to_numpy(dtype=np.int64)
+        ord_t = np.argsort(t_ids, kind="stable")
+        t_ids = t_ids[ord_t]
+        T = np.stack(mem["t_vec"].to_numpy()[ord_t]).astype(np.int64)
+        t_norm = mem["t_norm"].to_numpy(dtype=np.int64)[ord_t]
         q_ids = qs["q_id"].to_numpy(dtype=np.int64)
         Q = np.stack(qs["q_vec"].to_numpy()).astype(np.int64)
         q_norm = qs["q_norm"].to_numpy(dtype=np.int64)
-        dots = T @ Q.T
-        cos = dots.astype(np.float64) / np.sqrt(
+        # exact-by-bound float64 BLAS (round 14 — was a naive int64 matmul);
+        # the division below consumed double(dots) anyway, so values are
+        # IEEE-identical to the old astype path
+        dots = exact_int_matmul(T, Q.T)
+        cos = dots / np.sqrt(
             q_norm[None, :].astype(np.float64) * t_norm[:, None].astype(np.float64)
         )
-        out_q, out_t, out_c = [], [], []
-        for j, qid in enumerate(q_ids):
-            idx = np.nonzero(t_ids != qid)[0]
-            if idx.size == 0:
-                continue
-            col = cos[idx, j]
-            order = np.lexsort((t_ids[idx], -col))[:k]
-            sel = idx[order]
-            out_q.append(np.full(sel.size, qid, dtype=np.int64))
-            out_t.append(t_ids[sel])
-            out_c.append(cos[sel, j])
-        if not out_q:
+        # vectorized per-query top-k (round 14 — was a Python loop with one
+        # np.lexsort per query: 80k interpreter iterations at |Q|=10k);
+        # key = -cos gives ASC order == cos DESC, NaN placement unchanged
+        q_idx, t_row = grouped_topk_indices(-cos, t_ids, q_ids, k)
+        if q_idx.size == 0:
             return empty
         return pd.DataFrame(
             {
-                "q_id": np.concatenate(out_q),
-                "t_id": np.concatenate(out_t),
-                "cos": np.concatenate(out_c),
+                "q_id": q_ids[q_idx],
+                "t_id": t_ids[t_row],
+                "cos": cos[t_row, q_idx],
             }
         )
 
@@ -1370,10 +1425,20 @@ def maxsim_topk_routed_vectorized(
             Q = np.asarray(qtoks, dtype=np.int64).reshape(int(qn), -1)
             # ONE matmul per (query, cell), then a segmented max per doc:
             # max and sum over int64 are exact, so this is bit-identical to
-            # the expression path's per-token-pair fold
-            dots = Q @ T_all.T                                   # (nq, Σ|doc|)
-            seg_max = np.maximum.reduceat(dots, starts, axis=1)  # (nq, |docs|)
-            sums = seg_max.sum(axis=0)                           # (|docs|,)
+            # the expression path's per-token-pair fold.  Round 14: route
+            # the matmul through float64 BLAS when provably exact (every
+            # dot AND the nq-term sum are integers < 2^53 — see
+            # exact_int_matmul); numpy int64 matmul is a naive C loop.
+            mq = int(np.abs(Q).max(initial=0))
+            mt = int(np.abs(T_all).max(initial=0))
+            if mq * mt * Q.shape[1] * max(int(qn), 1) < 2**53:
+                dots = Q.astype(np.float64) @ T_all.T.astype(np.float64)
+                seg_max = np.maximum.reduceat(dots, starts, axis=1)
+                sums = seg_max.sum(axis=0).astype(np.int64)
+            else:
+                dots = Q @ T_all.T                                   # (nq, Σ|doc|)
+                seg_max = np.maximum.reduceat(dots, starts, axis=1)  # (nq, |docs|)
+                sums = seg_max.sum(axis=0)                           # (|docs|,)
             keep = t_ids != qid
             if not keep.any():
                 continue
