@@ -787,7 +787,15 @@ def cdc_chunks_5k(spark):
         ).alias("text"),
     )
     corpus = docs.unionByName(planted)
-    cset = cdc_chunk_hashes(corpus, "doc_id", "text")
+    # Round 14: cset feeds three consumers (census + both sides of the
+    # pair join); without a materialization boundary the Arrow chunking
+    # pass ran FOUR times per iteration (4 MapInPandas nodes in
+    # plans/r14/cdc_chunks_5k_before.txt).  An eager localCheckpoint runs
+    # it once per timed iteration — per-call, so min-of-3 still pays the
+    # full chunking cost every iteration (no cross-iteration cache
+    # match).  Interleaved A/B min-of-4: 6.82 s -> 5.77 s, identical 809
+    # output rows; at corpus scale this is 4 full scans -> 1.
+    cset = cdc_chunk_hashes(corpus, "doc_id", "text").localCheckpoint()
     nc = cset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = cset.select(F.col("doc_id").alias("a"), "ch")
     y = cset.select(F.col("doc_id").alias("b"), "ch")

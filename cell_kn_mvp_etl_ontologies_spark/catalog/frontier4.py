@@ -694,7 +694,11 @@ def multimodal_cdc_chunks_q(spark, sf_dir):
     )
     corpus = docs.unionByName(planted)
 
-    cset = cdc_chunk_hashes(corpus, "doc_id", "text")
+    # Round 14: cset feeds three consumers (census, both sides of the
+    # pair join) — an eager localCheckpoint materializes the chunk pass
+    # once instead of re-running it per consumer (4 corpus scans -> 1;
+    # plan evidence in plans/r14/cdc_chunks_5k_{before,after}.txt).
+    cset = cdc_chunk_hashes(corpus, "doc_id", "text").localCheckpoint()
     nc = cset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = cset.select(F.col("doc_id").alias("a"), "ch")
     y = cset.select(F.col("doc_id").alias("b"), "ch")
@@ -748,7 +752,9 @@ def multimodal_cdc_chunks_arrow_q(spark, sf_dir):
 
     from ..operators.cdc import cdc_chunk_hashes_arrow
 
-    cset = cdc_chunk_hashes_arrow(corpus, "doc_id", "text")
+    # Round 14: same single-materialization shape as the relational twin
+    # (the Arrow chunk pass is the expensive stage — one pass, not four).
+    cset = cdc_chunk_hashes_arrow(corpus, "doc_id", "text").localCheckpoint()
     nc = cset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = cset.select(F.col("doc_id").alias("a"), "ch")
     y = cset.select(F.col("doc_id").alias("b"), "ch")
@@ -870,9 +876,10 @@ def cdc_chunks_capped_q(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
 
+    # Round 14: one materialized chunk census for all three consumers.
     cset = cdc_census_cap(
         cdc_chunk_hashes(corpus, "doc_id", "text"), "doc_id", max_freq=8
-    )
+    ).localCheckpoint()
     nc = cset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = cset.select(F.col("doc_id").alias("a"), "ch")
     y = cset.select(F.col("doc_id").alias("b"), "ch")
