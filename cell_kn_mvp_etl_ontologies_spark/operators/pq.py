@@ -345,6 +345,34 @@ def binarize_sign(
     return df.select(F.col(id_col).alias("id"), words.alias("words"))
 
 
+# Known packed-word widths for the engine's embeddings: 64 dims / 32-bit
+# words → 2 words.  Same codegen posture as similarity._dim_fast_path —
+# the HOF fold (aggregate ∘ zip_with) is CodegenFallback, evaluated as an
+# interpreted expression tree per row, which dominates the brute Hamming
+# scan (4M pairs at the 80k bench shape).  The guarded unroll replays the
+# fold exactly — ((0 + w0) + w1) in index order, integer math exact — and
+# any other width (or NULL) falls through to the untouched HOF branch.
+_HAMMING_UNROLL_WORDS: tuple[int, ...] = (2,)
+
+
+def hamming_words(qw: Column, tw: Column) -> Column:
+    """Hamming distance between two equal-width packed-sign word arrays:
+    sum of bit_count(xor) per word, with a size-guarded unrolled codegen
+    fast path for the engine's known word counts."""
+    def term(a: Column, b: Column) -> Column:
+        return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+    expr = F.aggregate(
+        F.zip_with(qw, tw, term), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    for n in _HAMMING_UNROLL_WORDS:
+        acc = F.lit(0).cast("long")
+        for i in range(n):
+            acc = acc + term(qw[i], tw[i])
+        expr = F.when((F.size(qw) == n) & (F.size(tw) == n), acc).otherwise(expr)
+    return expr
+
+
 def hamming_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -371,12 +399,7 @@ def hamming_topk(
     pairs = t.join(F.broadcast(q), on=F.lit(True), how="inner").filter(
         F.col("q_id") != F.col("t_id")
     )
-    ham = F.aggregate(
-        F.zip_with("qw", "tw", lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = pairs.select("q_id", "t_id", ham.alias("hamming"))
+    scored = pairs.select("q_id", "t_id", hamming_words(F.col("qw"), F.col("tw")).alias("hamming"))
     return window_rank_topk(
         scored, ["q_id"], [F.col("hamming").asc(), F.col("t_id").asc()], k, rank_col="rnk"
     )
