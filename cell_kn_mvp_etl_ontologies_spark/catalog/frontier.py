@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load_table, read_state_parquet
+from ..io import commit_state_parquet, load_table, read_state_parquet
 from . import register
 
 
@@ -704,10 +704,7 @@ def stream_ohlc_q(spark, sf_dir):
             merged = ohlc_merge(state.unionByName(part))
         else:  # first batch: the partial IS the state
             merged = ohlc_merge(part)
-        staging = root + "/staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)
@@ -764,10 +761,7 @@ def stream_maxsim_maintain_q(spark, sf_dir):
             merged = merge_doc_summaries(state.unionByName(part), "t_id")
         else:  # first batch
             merged = part
-        staging = root + "/staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import commit_state_parquet, load_table
 from . import register
 
 
@@ -490,10 +490,7 @@ def stream_chrf_maintain_q(spark, sf_dir):
             if state is not None
             else part
         )
-        staging = state_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         read_documents_stream(spark, sf_dir)
@@ -1035,10 +1032,7 @@ def stream_isotonic_maintain_q(spark, sf_dir):
             if state is not None
             else part
         )
-        staging = state_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         read_documents_stream(spark, sf_dir)
@@ -1391,10 +1385,7 @@ def stream_referential_maintain_q(spark, sf_dir):
             if state is not None
             else part
         )
-        staging = state_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         read_events_stream(spark, sf_dir)

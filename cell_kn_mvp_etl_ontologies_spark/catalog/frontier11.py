@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import commit_state_parquet, load_table
 from . import register
 from .frontier4 import KS_TWO_SAMPLE_ORACLE
 from .frontier5 import SPEARMAN_RANK_ORACLE
@@ -252,10 +252,7 @@ def stream_bleu_maintain_q(spark, sf_dir):
             if state is not None
             else part
         )
-        staging = state_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         read_documents_stream(spark, sf_dir)
@@ -548,10 +545,7 @@ def stream_ks_maintain_q(spark, sf_dir):
             if state is not None
             else part
         )
-        staging = state_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         read_events_stream(spark, sf_dir)
@@ -964,10 +958,7 @@ def stream_spearman_maintain_q(spark, sf_dir):
             if state is not None
             else part
         )
-        staging = state_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         read_orders_stream(spark, sf_dir)
@@ -1294,10 +1285,7 @@ def stream_acf_maintain_q(spark, sf_dir):
             if state is not None
             else part
         )
-        staging = state_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         read_events_stream(spark, sf_dir)
@@ -1353,10 +1341,7 @@ def stream_kneser_ney_maintain_q(spark, sf_dir):
             if state is not None
             else part
         )
-        staging = state_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         read_documents_stream(spark, sf_dir)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table, read_state_parquet
+from ..io import commit_state_parquet, load_table, read_state_parquet
 from . import register
 
 
@@ -548,10 +548,7 @@ def stream_drift_monitor_q(spark, sf_dir):
             )
         else:  # first batch: the partial IS the state
             merged = part
-        staging = root + "/staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)
@@ -775,10 +772,7 @@ def stream_skyline_maintain_q(spark, sf_dir):
             merged = _pareto_sweep(state.unionByName(part_sky))
         else:  # first batch: the local sweep IS the state
             merged = part_sky
-        staging = root + "/staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table, read_state_parquet
+from ..io import commit_state_parquet, load_table, read_state_parquet
 from . import register
 
 
@@ -425,10 +425,7 @@ def stream_star_rollup_maintain_q(spark, sf_dir):
             )
         else:  # first batch: the partial IS the state
             merged = part
-        staging = root + "/staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)
@@ -694,10 +691,7 @@ def markov_maintain_run(spark, stream):
             .drop("rn")
         )
         for frame, path in ((merged_counts, counts_path), (merged_last, last_path)):
-            staging = path + "_staging"
-            frame.write.mode("overwrite").parquet(staging)
-            sp.read.parquet(staging).write.mode("overwrite").parquet(path)
-            shutil.rmtree(staging, ignore_errors=True)
+            commit_state_parquet(frame, path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)
@@ -1114,10 +1108,7 @@ def stream_interarrival_maintain_q(spark, sf_dir):
             .drop("rn")
         )
         for frame, path in ((merged_hist, hist_path), (merged_last, last_path)):
-            staging = path + "_staging"
-            frame.write.mode("overwrite").parquet(staging)
-            sp.read.parquet(staging).write.mode("overwrite").parquet(path)
-            shutil.rmtree(staging, ignore_errors=True)
+            commit_state_parquet(frame, path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table, read_state_parquet
+from ..io import commit_state_parquet, load_table, read_state_parquet
 from . import register
 
 
@@ -278,10 +278,7 @@ def stream_benford_maintain_q(spark, sf_dir):
             )
         else:  # first batch: the partial IS the state
             merged = part
-        staging = root + "/staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)
@@ -495,10 +492,7 @@ def stream_tfidf_maintain_q(spark, sf_dir):
             )
         else:  # first batch: the partial IS the state
             merged = part
-        staging = root + "/staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)

@@ -67,7 +67,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import commit_state_parquet, load_table
 from . import register
 
 
@@ -925,10 +925,7 @@ def stream_uplift_maintain_q(spark, sf_dir):
             )
         else:  # first batch: the partial IS the state
             merged = part
-        staging = root + "/staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)
@@ -1906,10 +1903,7 @@ def stream_pr_curve_maintain_q(spark, sf_dir):
             )
         else:
             merged = part
-        staging = root + "/staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)
@@ -2739,10 +2733,7 @@ def stream_allocation_maintain_q(spark, sf_dir):
             )
         else:
             merged = part
-        staging = root + "/staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)

@@ -55,7 +55,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table, read_state_parquet
+from ..io import commit_state_parquet, load_table, read_state_parquet
 from . import register
 
 
@@ -778,10 +778,7 @@ def stream_reciprocity_maintain_q(spark, sf_dir):
             merged = state.unionByName(fresh)
         else:  # first batch
             merged = new
-        staging = edges_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(edges_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, edges_path)
 
     query = (
         read_events_stream(spark, sf_dir)
@@ -1030,10 +1027,7 @@ def stream_hapax_maintain_q(spark, sf_dir):
             )
         else:  # first batch
             merged = part
-        staging = census_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(census_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, census_path)
 
     query = (
         read_documents_stream(spark, sf_dir)
@@ -1269,10 +1263,7 @@ def stream_seasonal_null_maintain_q(spark, sf_dir):
             )
         else:  # first batch
             merged = part
-        staging = census_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(census_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, census_path)
 
     query = (
         read_events_stream(spark, sf_dir)
@@ -1586,10 +1577,7 @@ def stream_kaplan_meier_maintain_q(spark, sf_dir):
             )
         else:  # first batch
             merged = part
-        staging = state_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         read_orders_stream(spark, sf_dir)
@@ -2052,10 +2040,7 @@ def stream_velocity_maintain_q(spark, sf_dir):
                 F.col("d1").alias("last_d1"),
             )
         for frame, path in ((merged_census, census_path), (merged_last, last_path)):
-            staging = path + "_staging"
-            frame.write.mode("overwrite").parquet(staging)
-            sp.read.parquet(staging).write.mode("overwrite").parquet(path)
-            shutil.rmtree(staging, ignore_errors=True)
+            commit_state_parquet(frame, path)
 
     query = (
         read_events_stream(spark, sf_dir)

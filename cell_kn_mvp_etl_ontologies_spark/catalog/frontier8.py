@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table, read_state_parquet
+from ..io import commit_state_parquet, load_table, read_state_parquet
 from . import register
 
 
@@ -830,10 +830,7 @@ def stream_expectations_maintain_q(spark, sf_dir):
             )
         else:  # first batch
             merged = part
-        staging = counters_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(counters_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, counters_path)
 
         key_part = batch_df.groupBy("o_orderkey").agg(
             F.count(F.lit(1)).cast("long").alias("n")
@@ -847,10 +844,7 @@ def stream_expectations_maintain_q(spark, sf_dir):
             )
         else:  # first batch
             merged_census = key_part
-        staging2 = census_path + "_staging"
-        merged_census.write.mode("overwrite").parquet(staging2)
-        sp.read.parquet(staging2).write.mode("overwrite").parquet(census_path)
-        shutil.rmtree(staging2, ignore_errors=True)
+        commit_state_parquet(merged_census, census_path)
 
     query = (
         read_orders_stream(spark, sf_dir)
@@ -1010,10 +1004,7 @@ def stream_schema_drift_maintain_q(spark, sf_dir):
             )
         else:  # first batch
             merged = census_part
-        staging = census_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(census_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, census_path)
 
         nulls = read_state_parquet(sp, nulls_path)
         if nulls is not None:
@@ -1027,10 +1018,7 @@ def stream_schema_drift_maintain_q(spark, sf_dir):
             )
         else:  # first batch
             merged_n = nulls_part
-        staging2 = nulls_path + "_staging"
-        merged_n.write.mode("overwrite").parquet(staging2)
-        sp.read.parquet(staging2).write.mode("overwrite").parquet(nulls_path)
-        shutil.rmtree(staging2, ignore_errors=True)
+        commit_state_parquet(merged_n, nulls_path)
 
     query = (
         read_orders_stream(spark, sf_dir)
@@ -1651,10 +1639,7 @@ def stream_weighted_median_maintain_q(spark, sf_dir):
             )
         else:  # first batch
             merged = part
-        staging = census_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(census_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, census_path)
 
     query = (
         read_lineitem_stream(spark, sf_dir)
@@ -1989,10 +1974,7 @@ def stream_kmv_maintain_q(spark, sf_dir):
             .filter(F.col("rn") <= _KMV_K)
             .select("event_type", "h")
         )
-        staging = sketch_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(sketch_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, sketch_path)
 
     query = (
         read_events_stream(spark, sf_dir)
@@ -2229,14 +2211,8 @@ def stream_novelty_maintain_q(spark, sf_dir):
             F.sum("n_grams").cast("long").alias("n_grams"),
             F.sum("n_novel").cast("long").alias("n_novel"),
         )
-        staging2 = counters_path + "_staging"
-        merged_c.write.mode("overwrite").parquet(staging2)
-        sp.read.parquet(staging2).write.mode("overwrite").parquet(counters_path)
-        shutil.rmtree(staging2, ignore_errors=True)
-        staging = index_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(index_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged_c, counters_path)
+        commit_state_parquet(merged, index_path)
 
     query = (
         read_documents_stream(spark, sf_dir)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import commit_state_parquet, load_table
 from . import register
 
 
@@ -724,10 +724,7 @@ def stream_drawdown_maintain_q(spark, sf_dir):
             )
         else:  # first batch
             merged = part
-        staging = census_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(census_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, census_path)
 
     query = (
         read_events_stream(spark, sf_dir)
@@ -1408,10 +1405,7 @@ def stream_vocab_coverage_maintain_q(spark, sf_dir):
                 if state is not None
                 else part
             )
-            staging = path + "_staging"
-            merged.write.mode("overwrite").parquet(staging)
-            sp.read.parquet(staging).write.mode("overwrite").parquet(path)
-            shutil.rmtree(staging, ignore_errors=True)
+            commit_state_parquet(merged, path)
 
     query = (
         read_documents_stream(spark, sf_dir)
@@ -2256,10 +2250,7 @@ def stream_snips_maintain_q(spark, sf_dir):
             if state is not None
             else part
         )
-        staging = state_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, state_path)
 
     query = (
         read_events_stream(spark, sf_dir)
@@ -2324,10 +2315,7 @@ def stream_iqr_maintain_q(spark, sf_dir):
             if state is not None
             else part
         )
-        staging = census_path + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(census_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        commit_state_parquet(merged, census_path)
 
     query = (
         read_events_stream(spark, sf_dir)

@@ -132,6 +132,43 @@ def read_state_parquet(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def commit_state_parquet(df: DataFrame, path: str) -> None:
+    """Replace the parquet state at ``path`` with ``df`` via the staging
+    pattern: materialize to ``<path>_staging`` (safe while ``df`` still lazily
+    reads the OLD files under ``path``), then commit with ONE filesystem
+    rename of the staging directory onto ``path``.
+
+    Round 14 (guide §1.2 per-task work / §6 I/O): the maintainers previously
+    committed with a second full Spark job — ``read.parquet(staging).write
+    .parquet(path)`` — so every state piece paid write+read+write per
+    trigger.  The rename commit writes each byte once; the directory swap is
+    a metadata operation on local/HDFS-class filesystems.  The crash window
+    (between delete and rename) is strictly smaller than the old pattern's
+    non-atomic overwrite-in-place of ``path``; on object stores without
+    atomic rename, pair this with a manifest/table format — same caveat the
+    old double-write had.  Resolved through the Hadoop ``FileSystem`` of the
+    destination, so URI-qualified state roots behave like local ones."""
+    path = path.rstrip("/")
+    staging = path + "_staging"
+    df.write.mode("overwrite").parquet(staging)
+    replace_parquet_dir(df.sparkSession, staging, path)
+
+
+def replace_parquet_dir(spark: SparkSession, staging: str, path: str) -> None:
+    """Commit a fully-written ``staging`` directory onto ``path``: delete the
+    old directory, rename staging into place.  One metadata operation instead
+    of a second full read+write job; resolved through the destination's
+    Hadoop ``FileSystem`` so local and URI-qualified paths behave alike."""
+    jvm = spark._jvm
+    src = jvm.org.apache.hadoop.fs.Path(staging)  # type: ignore[union-attr]
+    dst = jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"state commit rename failed: {staging} -> {path}")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     configure(spark)

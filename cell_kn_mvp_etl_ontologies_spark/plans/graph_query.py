@@ -132,7 +132,15 @@ def pagerank_integer(
     frontier — the edge side is satisfied by its stored partitioning every
     round, and the per-iteration degree join disappears.
     Per iteration: one contribution join keyed on the frontier node + one
-    sum aggregate.  ``checkpoint_every`` trades lineage depth for
+    sum aggregate — and NOTHING else: the textbook per-round
+    ``nodes LEFT JOIN contribs`` re-shuffles the full static node list and
+    sorts both sides every iteration just to hand nodes with no in-edges
+    their constant base rank.  Those nodes are the same set every round
+    (nodes never appearing as ``dst``), so they are split out ONCE before
+    the loop and their constant-rank frame is UNIONed back per round —
+    the per-iteration node Exchange + double Sort + SortMergeJoin are gone
+    and the contribution aggregate's exchange is the only shuffle left.
+    ``checkpoint_every`` trades lineage depth for
     materialization cost: every k-th iteration ``localCheckpoint``s the
     ranks (swap for reliable ``checkpoint()`` on a cluster); k=2 halves the
     materializations while keeping the uncheckpointed plan at most two
@@ -162,6 +170,15 @@ def pagerank_integer(
         raise ValueError("checkpoint_every must be >= 1")
     init_units = scale // n_nodes
     base_units = (scale - scale * damping_num // damping_den) // n_nodes
+    # Nodes with no in-edges get coalesce(NULL, 0) -> base_units in EVERY
+    # round; their rank never changes, so the per-round left join against the
+    # static node list is replaced by one anti-join here + a union per round.
+    zero_in = nodes.join(
+        e.select(F.col("dst").alias("node")).distinct(), on="node", how="left_anti"
+    ).localCheckpoint(eager=True)
+    zero_ranks = zero_in.select(
+        "node", F.lit(base_units).cast("long").alias("rank_units")
+    )
     ranks = nodes.withColumn("rank_units", F.lit(init_units).cast("long"))
     for i in range(n_iter):
         contribs = (
@@ -173,7 +190,10 @@ def pagerank_integer(
             .groupBy("node")
             .agg(F.sum("c").alias("in_units"))
         )
-        ranks = nodes.join(contribs, on="node", how="left").select(
+        # contribs covers exactly the distinct-dst node set (ranks always
+        # spans all nodes), so contribs + zero_ranks partition the node set:
+        # same rows, bit-exact arithmetic, as nodes LEFT JOIN contribs.
+        ranks = contribs.select(
             "node",
             (
                 F.lit(base_units)
@@ -181,7 +201,7 @@ def pagerank_integer(
                     f"coalesce(in_units, 0L) * {damping_num} div {damping_den}"
                 )
             ).cast("long").alias("rank_units"),
-        )
+        ).unionByName(zero_ranks)
         if (i + 1) % checkpoint_every == 0 and i != n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
@@ -550,8 +570,12 @@ def personalized_pagerank_integer(
     100 TB shape: the seed frame is KB-scale and broadcast onto the node
     frame for the base term; per iteration the cost is exactly the global
     variant's — one contribution join keyed on the frontier node + one
-    sum aggregate, with the degree-attached edge side satisfied by its
-    stored partitioning every round.
+    sum aggregate.  As in :func:`pagerank_integer`, the per-round
+    ``nodes LEFT JOIN contribs`` is eliminated: the dst-side base term is
+    attached to the STATIC degree-edge frame once (seed flag broadcast)
+    and carried through the aggregate as a functionally-dependent grouping
+    column, and the static no-in-edge node set keeps its constant teleport
+    rank via one union per round.
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
@@ -570,16 +594,42 @@ def personalized_pagerank_integer(
         raise ValueError("seeds must be non-empty (all teleport mass lands there)")
     from pyspark.sql import Window
 
-    e_deg = (
-        e.withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
-        .localCheckpoint(eager=True)
-    )
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
     init_units = scale // n_seeds
     base_units = (scale - scale * damping_num // damping_den) // n_seeds
-    flagged = nodes.join(
-        F.broadcast(seed_nodes.withColumn("is_seed", F.lit(1))), on="node", how="left"
+    # The per-dst base term is a function of the dst's seed membership —
+    # attach it to the static degree-edge frame ONCE (broadcast seed flag)
+    # instead of re-joining the node list against the aggregate per round.
+    dst_seed = seed_nodes.select(F.col("node").alias("dst"), F.lit(1).alias("dst_is_seed"))
+    e_deg = (
+        e.withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .join(F.broadcast(dst_seed), on="dst", how="left")
+        .withColumn(
+            "base_n",
+            F.when(F.col("dst_is_seed") == 1, F.lit(base_units))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("dst_is_seed")
+        .localCheckpoint(eager=True)
+    )
+    seed_flag = seed_nodes.withColumn("is_seed", F.lit(1))
+    flagged = nodes.join(F.broadcast(seed_flag), on="node", how="left")
+    # Static: nodes with no in-edges keep base_n (seed) / 0 (non-seed) in
+    # EVERY round — split out once, unioned back per round.
+    zero_in = nodes.join(
+        e.select(F.col("dst").alias("node")).distinct(), on="node", how="left_anti"
+    )
+    zero_flag = zero_in.join(
+        F.broadcast(seed_flag), on="node", how="left"
+    ).localCheckpoint(eager=True)
+    zero_ranks = zero_flag.select(
+        "node",
+        F.when(F.col("is_seed") == 1, F.lit(base_units))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_units"),
     )
     ranks = flagged.select(
         "node",
@@ -589,24 +639,29 @@ def personalized_pagerank_integer(
         .alias("rank_units"),
     )
     for i in range(n_iter):
+        # base_n is functionally dependent on node (= the dst's seed flag),
+        # so grouping by (node, base_n) yields the same groups; integer sums
+        # are reduction-order-exact, and contribs + zero_ranks partition the
+        # node set exactly as flagged LEFT JOIN contribs did.
         contribs = (
             ranks.join(e_deg, ranks["node"] == e_deg["src"])
             .select(
                 F.col("dst").alias("node"),
+                F.col("base_n"),
                 F.expr("rank_units div deg").alias("c"),
             )
-            .groupBy("node")
+            .groupBy("node", "base_n")
             .agg(F.sum("c").alias("in_units"))
         )
-        ranks = flagged.join(contribs, on="node", how="left").select(
+        ranks = contribs.select(
             "node",
             (
-                F.when(F.col("is_seed") == 1, F.lit(base_units)).otherwise(F.lit(0))
+                F.col("base_n")
                 + F.expr(
                     f"coalesce(in_units, 0L) * {damping_num} div {damping_den}"
                 )
             ).cast("long").alias("rank_units"),
-        )
+        ).unionByName(zero_ranks)
         if (i + 1) % checkpoint_every == 0 and i != n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -12,9 +12,10 @@ as the upsert sink — a source can't be overwritten while being read).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..io import replace_parquet_dir
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -50,10 +51,5 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
 
-    restaged = spark.read.parquet(staging)
-    writer2 = restaged.write.mode("overwrite")
-    if partition_by:
-        writer2 = writer2.partitionBy(*partition_by)
-    writer2.parquet(path)
-    shutil.rmtree(staging.removeprefix("file:"), ignore_errors=True)
+    replace_parquet_dir(spark, staging, path.rstrip("/"))
     return spark.read.parquet(path)

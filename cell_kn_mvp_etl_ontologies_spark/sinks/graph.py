@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import read_state_parquet
+from ..io import read_state_parquet, replace_parquet_dir
 from ..operators.joins import join_upsert
 
 
@@ -67,17 +67,11 @@ def upsert_parquet(
     else:  # first write: nothing to merge
         merged = incoming
     # two-phase: a source path cannot be overwritten while being read, so
-    # materialize the merge to a staging dir, then rewrite the target from it
-    import shutil
-
+    # materialize the merge to a staging dir, then rename it into place
     staging = path.rstrip("/") + "__staging"
 
-    def write_to(df: DataFrame, target: str) -> None:
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(target)
-
-    write_to(merged, staging)
-    write_to(spark.read.parquet(staging), path)
-    shutil.rmtree(staging.replace("file:", ""), ignore_errors=True)
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    replace_parquet_dir(spark, staging, path.rstrip("/"))

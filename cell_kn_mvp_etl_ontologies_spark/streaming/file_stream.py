@@ -14,7 +14,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_state_parquet
+from ..io import read_state_parquet, replace_parquet_dir
 
 
 def read_events_stream(
@@ -200,8 +200,6 @@ def run_stream_apply_changes(
     tests use to land a failure exactly there (production passes nothing).
     Same two-phase staging rewrite as run_stream_upsert (a parquet path
     can't be overwritten mid-read)."""
-    import shutil
-
     from ..operators.incremental import apply_changes
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -212,8 +210,7 @@ def run_stream_apply_changes(
         merged = apply_changes(state, batch_df, keys, op_col, seq_col)
         staging = path.rstrip("/") + "__staging"
         merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-        shutil.rmtree(staging.replace("file:", ""), ignore_errors=True)
+        replace_parquet_dir(spark, staging, path.rstrip("/"))
         if chaos_after_batch is not None:
             chaos_after_batch(batch_id)
 
