@@ -45,11 +45,23 @@ def bm25_rank_integer(
     analyzer: "Callable[[Column], Column]",
     k: int = 10,
     scale: int = 10**5,
+    materialize_tf: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents for ``query_terms`` under integer-scaled BM25.
 
     Output: (doc_key, score_units BIGINT, rnk) — rank 1 is the best match;
     ties break on doc_key ascending so the cut is total-ordered.
+
+    ``materialize_tf`` (round 14, guide §3.3 "materialise an intermediate"):
+    the (doc_key, token) tf frame feeds FOUR plan branches — dl (twice: the
+    postings join and the totals fold) plus df_ and the postings themselves —
+    and column pruning makes each branch's exchange distinct, so ReuseExchange
+    never fires and the corpus is re-tokenized per branch (the bench plan
+    showed 4 full explode+first-agg passes).  One eager ``localCheckpoint``
+    computes tf once per invocation — inside the timed region, from the raw
+    inputs each call — and every statistic folds from it.  At corpus scale
+    this is 4 tokenize passes → 1.  ``False`` keeps the lazy plan for
+    plan-shape inspection.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -60,6 +72,8 @@ def bm25_rank_integer(
 
     # corpus statistics: one pass for (doc_key, token) tf, folded upward
     tf = tokens.groupBy("doc_key", "token").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize_tf:
+        tf = tf.localCheckpoint(eager=True)
     dl = tf.groupBy("doc_key").agg(F.sum("tf").alias("dl"))
     # N and L in one tiny frame, cross-joined onto the postings (1 row)
     totals = dl.agg(
