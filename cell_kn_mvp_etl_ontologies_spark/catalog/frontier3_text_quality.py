@@ -153,7 +153,13 @@ def text_tfidf_topk_q(spark, sf_dir):
         ).alias("w"),
     ).filter(F.col("w") != "")
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    return _tfidf_rank_from_tf(tf)
+    # Round 14 (guide §3.3, the BM25 entry-H pattern): tf feeds three plan
+    # branches (df, nd, and the scored join) whose pruned exchanges never
+    # unify under ReuseExchange — without a materialization the tokenize
+    # explode + first aggregation replay per branch.  One eager checkpoint
+    # per invocation computes the corpus pass once; the streaming twin's
+    # serve step folds from parquet state instead and stays lazy.
+    return _tfidf_rank_from_tf(tf.localCheckpoint(eager=True))
 
 
 def _tfidf_rank_from_tf(tf):
