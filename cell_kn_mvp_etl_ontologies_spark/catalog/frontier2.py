@@ -705,6 +705,16 @@ def text_keyword_rake_q(spark, sf_dir):
             F.trim(F.regexp_replace("p", " +", " ")).alias("phrase"),
         )
     )
+    # Round 14 (guide §3.3, the BM25/tfidf entry-H pattern): phrases feeds
+    # three plan branches (occ_words → word_score, the distinct phrase_words
+    # leg, and the n_occ aggregate) whose pruned subtrees never unify under
+    # ReuseExchange — without a materialization the corpus scan + 3-regex
+    # chain + phrase explode replay per branch.  One eager checkpoint per
+    # invocation computes the phrase pass once.
+    return _rake_rank_from_phrases(phrases.localCheckpoint(eager=True))
+
+
+def _rake_rank_from_phrases(phrases):
     occ_words = phrases.select(
         "phrase",
         F.explode(F.split("phrase", " ")).alias("w"),
