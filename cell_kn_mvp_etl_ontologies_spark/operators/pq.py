@@ -345,32 +345,20 @@ def binarize_sign(
     return df.select(F.col(id_col).alias("id"), words.alias("words"))
 
 
-# Known packed-word widths for the engine's embeddings: 64 dims / 32-bit
-# words → 2 words.  Same codegen posture as similarity._dim_fast_path —
-# the HOF fold (aggregate ∘ zip_with) is CodegenFallback, evaluated as an
-# interpreted expression tree per row, which dominates the brute Hamming
-# scan (4M pairs at the 80k bench shape).  The guarded unroll replays the
-# fold exactly — ((0 + w0) + w1) in index order, integer math exact — and
-# any other width (or NULL) falls through to the untouched HOF branch.
-_HAMMING_UNROLL_WORDS: tuple[int, ...] = (2,)
-
-
 def hamming_words(qw: Column, tw: Column) -> Column:
     """Hamming distance between two equal-width packed-sign word arrays:
-    sum of bit_count(xor) per word, with a size-guarded unrolled codegen
-    fast path for the engine's known word counts."""
+    sum of bit_count(xor) per word.  The round-14 optimization round A/B'd
+    a size-guarded unrolled variant here and REVERTED it — interleaved
+    same-session probe (tools/probe_r14_regress_ab.py) measured the bench
+    row ann_hamming_80k at 1.61 s (HOF fold) vs 5.75 s (guarded unroll):
+    the unroll multiplies references to the packed-word columns, whose
+    producing expressions the planner then duplicates per reference."""
     def term(a: Column, b: Column) -> Column:
         return F.bit_count(a.bitwiseXOR(b)).cast("long")
 
-    expr = F.aggregate(
+    return F.aggregate(
         F.zip_with(qw, tw, term), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    for n in _HAMMING_UNROLL_WORDS:
-        acc = F.lit(0).cast("long")
-        for i in range(n):
-            acc = acc + term(qw[i], tw[i])
-        expr = F.when((F.size(qw) == n) & (F.size(tw) == n), acc).otherwise(expr)
-    return expr
 
 
 def hamming_topk(

@@ -20,50 +20,27 @@ from pyspark.sql import functions as F
 from .windows import window_rank_topk
 
 
-# Spark's higher-order array functions (``aggregate``/``zip_with``/
-# ``transform``) are CodegenFallback expressions: every evaluation walks the
-# interpreted expression tree per row, which is the dominant cost of the
-# brute-force/expression similarity paths (guide §4.1 — prefer codegen'd
-# built-ins).  The helpers below keep the HOF form as the general case but
-# add a size-guarded UNROLLED fast path for the engine's known embedding
-# widths: ``CASE WHEN size(a)=d AND size(b)=d THEN a[0]*b[0]+...+a[d-1]*b[d-1]
-# ELSE <hof> END``.  The unrolled sum replays the HOF fold exactly —
-# ``((zero + t0) + t1) + ...`` in index order — so doubles are bit-identical
-# (same IEEE association) and integer arithmetic is exact either way; inputs
-# of any other width (or NULL) fall through to the untouched HOF branch, so
-# semantics are unchanged for every caller.
-_UNROLL_DIMS: tuple[int, ...] = (64, 8)
-
-
-def _unrolled_fold(a: Column, b: Column, zero: Column, term, dim: int) -> Column:
-    acc = zero
-    for i in range(dim):
-        acc = acc + term(a[i], b[i])
-    return acc
-
-
-def _dim_fast_path(a: Column, b: Column, zero: Column, term, hof: Column) -> Column:
-    expr = hof
-    for d in _UNROLL_DIMS:
-        expr = F.when(
-            (F.size(a) == d) & (F.size(b) == d),
-            _unrolled_fold(a, b, zero, term, d),
-        ).otherwise(expr)
-    return expr
+# The round-14 optimization round A/B'd a size-guarded UNROLLED fast path
+# here (``CASE WHEN size(a)=d THEN a[0]*b[0]+... ELSE <hof> END`` for the
+# known widths) and REVERTED it: the unroll multiplies references to its
+# input columns (64 GetArrayItems + size() guards), and when the input is
+# itself a derived expression — exactly the serving paths, where
+# ``quantize_vec`` output feeds ``_dot_long`` through CollapseProject —
+# the planner duplicates that subtree per reference.  Interleaved same-
+# session A/B at the bench rows (tools/probe_r14_regress_ab.py):
+# ann_ivf_80k 1.59 s (HOF) vs 6.38 s (unroll), ann_hamming_80k 1.61 vs
+# 5.75, cosine_topk_80k a wash.  The HOF fold stays: one reference per
+# input array, specialized evaluation loop.
 
 
 def _dot(a: Column, b: Column) -> Column:
-    hof = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return _dim_fast_path(a, b, F.lit(0.0), lambda x, y: x * y, hof)
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _dot_long(a: Column, b: Column) -> Column:
-    hof = F.aggregate(
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    return _dim_fast_path(a, b, F.lit(0).cast("long"), lambda x, y: x * y, hof)
 
 
 def quantize_vec(v: Column, scale: int = 1000) -> Column:
@@ -73,21 +50,8 @@ def quantize_vec(v: Column, scale: int = 1000) -> Column:
     the cross-engine contract: Spark ``round`` and DuckDB ``round`` both
     round half away from zero, and every numpy twin must replicate that via
     ``quantize_np`` below — ``np.rint`` (half-even) silently diverges at
-    exactly those values.
-
-    Same codegen posture as ``_dot``: ``transform`` is CodegenFallback, so
-    the engine's known embedding widths build the output array through an
-    unrolled projection (identical per-element expression, identical
-    order); any other width (or NULL) keeps the HOF branch."""
-    def elem(x: Column) -> Column:
-        return F.round(x.cast("double") * scale, 0).cast("long")
-
-    expr = F.transform(v, elem)
-    for d in _UNROLL_DIMS:
-        expr = F.when(
-            F.size(v) == d, F.array(*[elem(v[i]) for i in range(d)])
-        ).otherwise(expr)
-    return expr
+    exactly those values."""
+    return F.transform(v, lambda x: F.round(x.cast("double") * scale, 0).cast("long"))
 
 
 def quantize_np(x, scale: int = 1000):
@@ -107,15 +71,11 @@ def quantize_np(x, scale: int = 1000):
 def sq_dist_long(a: Column, b: Column) -> Column:
     """Exact int64 squared L2 over quantized vectors — THE canonical copy
     of the exactness-doctrine expression (int64 arithmetic, left-fold
-    order); clustering and PQ import it rather than re-deriving.  Carries
-    the same size-guarded unrolled codegen fast path as ``_dot``."""
-    hof = F.aggregate(
+    order); clustering and PQ import it rather than re-deriving."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
-    )
-    return _dim_fast_path(
-        a, b, F.lit(0).cast("long"), lambda x, y: (x - y) * (x - y), hof
     )
 
 
