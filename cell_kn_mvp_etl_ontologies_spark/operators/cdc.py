@@ -271,9 +271,14 @@ def cdc_chunk_hashes_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFra
         for pdf in batches:
             ids, hashes = [], []
             for pid, text in zip(pdf[id_col], pdf[text_col]):
-                codes = np.fromiter(
-                    (ord(c) for c in text), dtype=np.int64, count=len(text)
-                )
+                # codepoint vector via UTF-32-LE decode: bit-identical to
+                # ord() per character (UTF-32 code units ARE codepoints) but
+                # C-speed instead of one interpreter iteration per char —
+                # the chunk pass's dominant cost at the 5k-doc bench shape
+                # (round-14 interleaved A/B in tools/probe_cdc_codes_ab.py)
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
                 n = codes.shape[0]
                 seen = set()
                 if n >= CDC_W:

@@ -787,7 +787,7 @@ def ivf_topk_prebuilt_routed(
     cand = (
         members.groupBy("cell")
         .cogroup(routed.groupBy("cell"))
-        .applyInPandas(_block_cogroup_scorer(k), "q_id long, t_id long, cos double")
+        .applyInArrow(_block_cogroup_scorer_arrow(k), "q_id long, t_id long, cos double")
     )
     return window_rank_topk(
         cand, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
@@ -843,14 +843,83 @@ def grouped_topk_indices(key, t_ids_sorted, q_ids, k: int):
     return q_idx, ord_[take]
 
 
+def _pa_list_matrix(col, np):
+    """(n, d) int64 matrix from a pyarrow ``list<int64>`` column in ONE
+    flat copy: the list column's value buffer is a single contiguous int64
+    array, so ``flatten().to_numpy()`` + a reshape replaces the pandas
+    path's per-row object boxing (one numpy array allocated per row) and
+    the O(n) ``np.stack`` gather.  Rejects nulls and ragged widths loudly
+    (the pandas twin's ``np.stack`` would have raised on both)."""
+    arr = col.combine_chunks()
+    if arr.null_count:
+        raise ValueError("NULL vector in cogroup scorer input")
+    offs = np.asarray(arr.offsets)
+    lens = np.diff(offs)
+    d = int(lens[0]) if lens.size else 0
+    if lens.size and not (lens == d).all():
+        raise ValueError("ragged vector column in cogroup scorer input")
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, d)
+
+
+def _block_cogroup_scorer_arrow(k: int):
+    """Arrow-native twin of ``_block_cogroup_scorer`` (the round-14 §4.2
+    boundary fix): the cogrouped scorer receives ``pyarrow.Table`` pairs
+    directly (``applyInArrow``), so the vector columns cross the boundary
+    as flat int64 buffers instead of being boxed into object-dtype pandas
+    columns row by row — the boxing was the measured residual wall of the
+    routed rows after the compute itself was vectorized.  The numpy core
+    (exact_int_matmul → IEEE cosine division → grouped_topk_indices) is
+    byte-for-byte the pandas twin's; only input extraction and output
+    construction change, so results are bit-identical (pinned by
+    tools/verify_routed_ann.py and the interleaved A/B probe)."""
+    import numpy as np
+    import pyarrow as pa
+
+    empty = pa.table(
+        {
+            "q_id": pa.array([], pa.int64()),
+            "t_id": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+
+    def score(mem: "pa.Table", qs: "pa.Table") -> "pa.Table":
+        if mem.num_rows == 0 or qs.num_rows == 0:
+            return empty
+        t_ids = mem.column("t_id").to_numpy()
+        ord_t = np.argsort(t_ids, kind="stable")
+        t_ids = t_ids[ord_t]
+        T = _pa_list_matrix(mem.column("t_vec"), np)[ord_t]
+        t_norm = mem.column("t_norm").to_numpy()[ord_t]
+        q_ids = qs.column("q_id").to_numpy()
+        Q = _pa_list_matrix(qs.column("q_vec"), np)
+        q_norm = qs.column("q_norm").to_numpy()
+        dots = exact_int_matmul(T, Q.T)
+        cos = dots / np.sqrt(
+            q_norm[None, :].astype(np.float64) * t_norm[:, None].astype(np.float64)
+        )
+        q_idx, t_row = grouped_topk_indices(-cos, t_ids, q_ids, k)
+        if q_idx.size == 0:
+            return empty
+        return pa.table(
+            {"q_id": q_ids[q_idx], "t_id": t_ids[t_row], "cos": cos[t_row, q_idx]}
+        )
+
+    return score
+
+
 def _block_cogroup_scorer(k: int):
-    """The ONE cogrouped (members, queries) → local-top-k scorer shared
-    verbatim by every routed serving path (``ivf_topk_prebuilt_routed``,
-    ``cosine_topk_routed``) — sharing the bytes is what makes the
-    bit-identity pins between the rungs meaningful.  Per cell/block group:
-    one int64 matmul, one IEEE-shaped cosine division (double(dot) /
-    sqrt(double·double) — the exact expression-path shape), local top-k
-    per query under the final (cos DESC, t_id ASC) total order."""
+    """Pandas form of the cogrouped (members, queries) → local-top-k
+    scorer.  Production consumers (``ivf_topk_prebuilt_routed``,
+    ``cosine_topk_routed``) now run the Arrow twin above
+    (``_block_cogroup_scorer_arrow`` — identical numpy core, no pandas
+    boxing of the vector columns); this form is kept as the A/B reference
+    used by tools/probe_scorer_vec_ab.py and the bit-identity pins.
+    Per cell/block group: one int64 matmul, one IEEE-shaped cosine
+    division (double(dot) / sqrt(double·double) — the exact
+    expression-path shape), local top-k per query under the final
+    (cos DESC, t_id ASC) total order."""
     import numpy as np
     import pandas as pd
 
@@ -950,7 +1019,7 @@ def cosine_topk_routed(
     cand = (
         t.groupBy("cell")
         .cogroup(routed.groupBy("cell"))
-        .applyInPandas(_block_cogroup_scorer(k), "q_id long, t_id long, cos double")
+        .applyInArrow(_block_cogroup_scorer_arrow(k), "q_id long, t_id long, cos double")
     )
     return window_rank_topk(
         cand, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
