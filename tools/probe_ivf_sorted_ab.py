@@ -8,7 +8,12 @@ same on the ivf_pq index in ann_ivf_pq_80k_after.txt).
 
 Measures both serving shapes at their bench grain with the index variant
 (unsorted vs pre-sorted) injected, outputs asserted identical, and the
-member-branch Sort counted in each variant's formatted plan.
+TOTAL Sort-node count of each variant's formatted plan compared as a proxy
+for the member-branch Sort (``n_sorts`` counts every tree line containing
+"Sort (" — query-side and window Sorts are included on both sides of the
+A/B, so only the DELTA between variants is meaningful, and a member-side
+change offset by an equal opposite query-side change would be masked;
+ADVICE r14).
 
 Run:  SPARK_GRAFT_CPUS=32 python tools/probe_ivf_sorted_ab.py
 """
